@@ -1,0 +1,328 @@
+"""Hierarchical cell indexes — the engine's spatial partitioning keys.
+
+Three coordinate-to-key systems, all pure vectorized NumPy (no external
+geo libraries exist in this environment, per SURVEY.md preamble):
+
+1. **S2-style cube-face cell id** (``cell_from_lonlat``): lon/lat → unit
+   sphere → one of 6 cube faces → quadratic (u,v)→(s,t) projection →
+   Morton-interleaved 60-bit position. The 64-bit id layout follows the
+   public S2 scheme (3 face bits, 2·level position bits, a sentinel ``1``
+   bit, trailing zeros) so that **parent = prefix** and every level-L cell
+   owns a contiguous id range — the property the join/tiling layer keys
+   on. Level 15 ≈ 1.3 km² per cell ≈ H3 res-9 scale (north-rule target).
+   Hilbert ordering is not required for prefix containment; Morton keeps
+   the kernel branch-free.
+
+2. **Equirectangular grid cell** (``grid_cell``): degree-resolution grid
+   whose encoding is ANSI-SQL floor arithmetic, used for the DuckDB
+   correctness oracle and for planar kNN ring expansion (ring k covers
+   every point within ``k·res`` planar degrees — an exact stopping bound).
+
+3. **Web-mercator XYZ tile** (``mercator_tile``): standard slippy-map
+   z/x/y for the raster↔vector assignment stage.
+
+Geometry semantics (planar edges, XY doubles) follow the reference's
+planar-only kernel precedent (/root/reference/src/geoarrow.c:1746-1750).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+DEFAULT_LEVEL = 15  # ≈1.3 km² per cell: the H3-res-9-equivalent working level
+
+_U64 = np.uint64
+
+
+def _u64(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.uint64)
+
+
+# ----------------------------------------------------------------- Morton
+
+def _spread_bits(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of each uint64 into even bit positions."""
+    x = x & _U64(0xFFFFFFFF)
+    x = (x | (x << _U64(16))) & _U64(0x0000FFFF0000FFFF)
+    x = (x | (x << _U64(8))) & _U64(0x00FF00FF00FF00FF)
+    x = (x | (x << _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << _U64(2))) & _U64(0x3333333333333333)
+    x = (x | (x << _U64(1))) & _U64(0x5555555555555555)
+    return x
+
+
+def _compact_bits(x: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_bits: gather even bit positions into low 32 bits."""
+    x = x & _U64(0x5555555555555555)
+    x = (x | (x >> _U64(1))) & _U64(0x3333333333333333)
+    x = (x | (x >> _U64(2))) & _U64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> _U64(4))) & _U64(0x00FF00FF00FF00FF)
+    x = (x | (x >> _U64(8))) & _U64(0x0000FFFF0000FFFF)
+    x = (x | (x >> _U64(16))) & _U64(0x00000000FFFFFFFF)
+    return x
+
+
+# ------------------------------------------------------- sphere <-> face/uv
+
+def _lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+
+
+def _xyz_to_face_uv(x, y, z):
+    """Dominant-axis cube face + gnomonic (u, v), public S2 face layout."""
+    x = np.atleast_1d(np.asarray(x, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    z = np.atleast_1d(np.asarray(z, dtype=np.float64))
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for f, (ufn, vfn) in _FACE_UV.items():
+            m = face == f
+            if np.any(m):
+                u[m] = ufn(x[m], y[m], z[m])
+                v[m] = vfn(x[m], y[m], z[m])
+    return face, u, v
+
+
+_FACE_UV = {
+    0: (lambda x, y, z: y / x, lambda x, y, z: z / x),
+    1: (lambda x, y, z: -x / y, lambda x, y, z: z / y),
+    2: (lambda x, y, z: -x / z, lambda x, y, z: -y / z),
+    3: (lambda x, y, z: z / x, lambda x, y, z: y / x),
+    4: (lambda x, y, z: z / y, lambda x, y, z: -x / y),
+    5: (lambda x, y, z: -y / z, lambda x, y, z: -x / z),
+}
+
+
+def _face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Inverse of _xyz_to_face_uv (unnormalized direction vector)."""
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    one = np.ones_like(u)
+    specs = {
+        0: (one, u, v),
+        1: (-u, one, v),
+        2: (-u, -v, one),
+        3: (-one, -v, -u),
+        4: (v, -one, -u),
+        5: (v, u, -one),
+    }
+    for f, (xs, ys, zs) in specs.items():
+        m = face == f
+        if np.any(m):
+            x[m], y[m], z[m] = xs[m], ys[m], zs[m]
+    return x, y, z
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2 quadratic projection — evens out gnomonic area distortion."""
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    """Inverse quadratic; monotonic outside [0,1] too (used by ring math)."""
+    return np.where(
+        s >= 0.5,
+        (1.0 / 3.0) * (4.0 * s * s - 1.0),
+        (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)),
+    )
+
+
+# ------------------------------------------------------------- cell codec
+
+def cell_from_lonlat(lon_deg, lat_deg, level: int = DEFAULT_LEVEL) -> np.ndarray:
+    """Encode lon/lat (degrees) to S2-style uint64 cell ids at ``level``.
+
+    NaN inputs (empty points, per the reference's all-NaN-is-empty rule,
+    /root/reference/src/r-wk-handle-stream.cc:195-222) encode to 0, which
+    is never a valid cell id (valid ids always carry the sentinel bit).
+    """
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    bad = ~(np.isfinite(lon) & np.isfinite(lat))
+    x, y, z = _lonlat_to_xyz(np.where(bad, 0.0, lon), np.where(bad, 0.0, lat))
+    face, u, v = _xyz_to_face_uv(x, y, z)
+    ids = _encode_face_ij(
+        face,
+        _st_to_ij(_uv_to_st(u), level),
+        _st_to_ij(_uv_to_st(v), level),
+        level,
+    )
+    return np.where(bad, _U64(0), ids)
+
+
+def _st_to_ij(s: np.ndarray, level: int) -> np.ndarray:
+    n = 1 << level
+    return np.clip(np.floor(s * n), 0, n - 1).astype(np.int64)
+
+
+def _encode_face_ij(face, i, j, level: int) -> np.ndarray:
+    pos = (_spread_bits(_u64(i)) << _U64(1)) | _spread_bits(_u64(j))  # 2*level bits
+    shift = _U64(61 - 2 * level)
+    sentinel = _U64(1) << _U64(60 - 2 * level)
+    return (_u64(face) << _U64(61)) | (pos << shift) | sentinel
+
+
+def cell_to_face_ij(ids: np.ndarray, level: int):
+    ids = _u64(ids)
+    face = (ids >> _U64(61)).astype(np.int64)
+    pos = (ids >> _U64(61 - 2 * level)) & ((_U64(1) << _U64(2 * level)) - _U64(1))
+    i = _compact_bits(pos >> _U64(1)).astype(np.int64)
+    j = _compact_bits(pos).astype(np.int64)
+    return face, i, j
+
+
+def cell_level(ids: np.ndarray) -> np.ndarray:
+    """Level from the sentinel (lowest set) bit."""
+    ids = _u64(ids)
+    lsb = ids & (~ids + _U64(1))
+    # count trailing zeros via float64 exponent trick (exact for 2^k)
+    tz = (np.frexp(lsb.astype(np.float64))[1] - 1).astype(np.int64)
+    return (60 - tz) // 2
+
+
+def cell_parent(ids: np.ndarray, parent_level: int) -> np.ndarray:
+    """Truncate to the ancestor at ``parent_level`` (prefix containment)."""
+    ids = _u64(ids)
+    sentinel = _U64(1) << _U64(60 - 2 * parent_level)
+    return (ids & ~((sentinel << _U64(1)) - _U64(1))) | sentinel
+
+
+def cell_range(ids: np.ndarray):
+    """(lo, hi) inclusive id range of all descendants at any deeper level."""
+    ids = _u64(ids)
+    lsb = ids & (~ids + _U64(1))
+    return ids - (lsb - _U64(1)), ids + (lsb - _U64(1))
+
+
+def cell_center_lonlat(ids: np.ndarray, level: int):
+    face, i, j = cell_to_face_ij(ids, level)
+    n = float(1 << level)
+    u = _st_to_uv((i.astype(np.float64) + 0.5) / n)
+    v = _st_to_uv((j.astype(np.float64) + 0.5) / n)
+    x, y, z = _face_uv_to_xyz(face, u, v)
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / r))
+    lon = np.degrees(np.arctan2(y, x))
+    return lon, lat
+
+
+def cell_token(ids: np.ndarray) -> np.ndarray:
+    """Hex token (leading-zero-padded, trailing zeros stripped like S2)."""
+    ids = np.atleast_1d(_u64(ids))
+    out = np.array([format(int(i), "016x").rstrip("0") or "0" for i in ids])
+    return out
+
+
+def cell_disk(ids: np.ndarray, level: int, k: int = 1) -> np.ndarray:
+    """The (2k+1)² neighborhood of each cell, shape (n, (2k+1)²).
+
+    In-face neighbors encode directly from (i±di, j±dj); offsets that walk
+    off the face edge are re-projected through continuous (face, u, v) →
+    xyz → re-encode, which lands them on the adjacent face. Corner-region
+    results are approximate (may contain a duplicate of the center ring)
+    — callers dedup; kNN re-verifies with exact distances.
+    """
+    ids = np.atleast_1d(_u64(ids))
+    face, i, j = cell_to_face_ij(ids, level)
+    nside = 1 << level
+    offs = [(di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)]
+    n = ids.shape[0]
+    out = np.empty((n, len(offs)), dtype=np.uint64)
+    fn = float(nside)
+    for c, (di, dj) in enumerate(offs):
+        ii = i + di
+        jj = j + dj
+        inside = (ii >= 0) & (ii < nside) & (jj >= 0) & (jj < nside)
+        enc = _encode_face_ij(face, np.clip(ii, 0, nside - 1), np.clip(jj, 0, nside - 1), level)
+        if not np.all(inside):
+            m = ~inside
+            u = _st_to_uv((ii[m].astype(np.float64) + 0.5) / fn)
+            v = _st_to_uv((jj[m].astype(np.float64) + 0.5) / fn)
+            x, y, z = _face_uv_to_xyz(face[m], u, v)
+            f2, u2, v2 = _xyz_to_face_uv(x, y, z)
+            enc[m] = _encode_face_ij(
+                f2, _st_to_ij(_uv_to_st(u2), level), _st_to_ij(_uv_to_st(v2), level), level
+            )
+        out[:, c] = enc
+    return out
+
+
+# ------------------------------------------------------ equirect grid cells
+
+GRID_MULT = 100_000  # gy < 18000 for res ≥ 0.01° — safe multiplier
+
+
+def grid_cell(lon_deg, lat_deg, res_deg: float) -> np.ndarray:
+    """SQL-oracle-friendly grid key:
+    ``floor((lon+180)/res)*100000 + floor((lat+90)/res)`` (int64).
+
+    Matches the ANSI-SQL expression used by ``oracle_sql`` exactly —
+    do not clamp or special-case here.
+    """
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    gx = np.floor((lon + 180.0) / res_deg).astype(np.int64)
+    gy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
+    return gx * GRID_MULT + gy
+
+
+def grid_disk(cells: np.ndarray, k: int, nx: int) -> np.ndarray:
+    """(2k+1)² neighborhood of grid cells; lon wraps modulo ``nx`` columns.
+
+    ``nx = ceil(360/res)``. Latitude rows do not wrap (poles); offsets out
+    of range are kept (they simply match nothing).
+    """
+    cells = np.atleast_1d(np.asarray(cells, dtype=np.int64))
+    gx = cells // GRID_MULT
+    gy = cells % GRID_MULT
+    offs = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    out = np.empty((cells.shape[0], len(offs)), dtype=np.int64)
+    for c, (dx, dy) in enumerate(offs):
+        out[:, c] = ((gx + dx) % nx) * GRID_MULT + (gy + dy)
+    return out
+
+
+# ------------------------------------------------------- web-mercator tiles
+
+MERCATOR_MAX_LAT = 85.05112877980659
+
+
+def mercator_tile(lon_deg, lat_deg, zoom: int):
+    """Standard slippy-map tile (tx, ty) at ``zoom``.
+
+    Formulated as ``floor((1 - ln(tan(lat) + 1/cos(lat))/pi)/2 * 2^z)`` so
+    the DuckDB oracle can use the identical expression (no asinh).
+    """
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.clip(np.asarray(lat_deg, dtype=np.float64), -MERCATOR_MAX_LAT, MERCATOR_MAX_LAT)
+    n = float(1 << zoom)
+    tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    latr = np.radians(lat)
+    ty = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * n).astype(np.int64)
+    np.clip(tx, 0, (1 << zoom) - 1, out=tx)
+    np.clip(ty, 0, (1 << zoom) - 1, out=ty)
+    return tx, ty
+
+
+def tile_key(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
+    """Single int64 key ``(zoom << 58) | (tx << 29) | ty`` (zoom ≤ 29)."""
+    return (
+        (np.int64(zoom) << np.int64(58))
+        | (np.asarray(tx, dtype=np.int64) << np.int64(29))
+        | np.asarray(ty, dtype=np.int64)
+    )

@@ -1,0 +1,138 @@
+"""Cell-index unit tests (numpy oracles + DuckDB cross-checks)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from georay import cells
+
+
+def rand_lonlat(n, seed=0):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-180.0, 180.0, n)
+    # uniform on sphere for lat
+    lat = np.degrees(np.arcsin(rng.uniform(-1.0, 1.0, n)))
+    return lon, lat
+
+
+def test_cell_roundtrip_center_stays_in_cell():
+    lon, lat = rand_lonlat(20_000, seed=1)
+    for level in (5, 10, 15):
+        ids = cells.cell_from_lonlat(lon, lat, level)
+        clon, clat = cells.cell_center_lonlat(ids, level)
+        ids2 = cells.cell_from_lonlat(clon, clat, level)
+        assert np.array_equal(ids, ids2)
+
+
+def test_cell_level_and_sentinel():
+    lon, lat = rand_lonlat(1000, seed=2)
+    for level in (0, 7, 15, 30):
+        ids = cells.cell_from_lonlat(lon, lat, level)
+        assert np.all(cells.cell_level(ids) == level)
+        # sentinel bit means no valid id is 0
+        assert np.all(ids != 0)
+
+
+def test_cell_parent_is_prefix():
+    lon, lat = rand_lonlat(5000, seed=3)
+    child = cells.cell_from_lonlat(lon, lat, 15)
+    parent = cells.cell_parent(child, 8)
+    direct = cells.cell_from_lonlat(lon, lat, 8)
+    assert np.array_equal(parent, direct)
+    # children fall inside the parent's id range
+    lo, hi = cells.cell_range(parent)
+    assert np.all((child >= lo) & (child <= hi))
+
+
+def test_cell_nan_encodes_zero():
+    ids = cells.cell_from_lonlat(
+        np.array([np.nan, 10.0]), np.array([np.nan, 20.0]), 15
+    )
+    assert ids[0] == 0
+    assert ids[1] != 0
+
+
+def test_cell_disk_contains_nearby_points():
+    # a point slightly east of another must appear in its ring-1 disk
+    rng = np.random.default_rng(4)
+    level = 12
+    lon, lat = rand_lonlat(2000, seed=5)
+    ids = cells.cell_from_lonlat(lon, lat, level)
+    # perturb by ~¼ of a cell: cell side ~ 90°/2^level in st-space
+    eps = 90.0 / (1 << level) / 4
+    ids_p = cells.cell_from_lonlat(
+        lon + rng.uniform(-eps, eps, lon.shape),
+        np.clip(lat + rng.uniform(-eps, eps, lat.shape), -89.9, 89.9),
+        level,
+    )
+    disk = cells.cell_disk(ids, level, k=1)
+    found = (disk == ids_p[:, None]).any(axis=1)
+    assert found.mean() > 0.995  # corner cases may need ring 2
+
+
+def test_cell_disk_crosses_face_edges():
+    # points near lon=45 (face 0/1 edge): disk must include cells on both faces
+    lon = np.full(50, 44.9999)
+    lat = np.linspace(-40, 40, 50)
+    level = 10
+    ids = cells.cell_from_lonlat(lon, lat, level)
+    disk = cells.cell_disk(ids, level, k=1)
+    faces = (disk >> np.uint64(61)).astype(int)
+    assert set(np.unique(faces)) >= {0, 1}
+
+
+def test_grid_cell_matches_duckdb():
+    lon, lat = rand_lonlat(5000, seed=6)
+    res = 1.0
+    got = cells.grid_cell(lon, lat, res)
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame({"lon": lon, "lat": lat})
+    expected = con.execute(
+        "SELECT CAST(FLOOR((lon+180)/1.0) AS BIGINT)*100000 + "
+        "CAST(FLOOR((lat+90)/1.0) AS BIGINT) AS g FROM df"
+    ).fetchnumpy()["g"]
+    assert np.array_equal(got, expected)
+
+
+def test_grid_disk_wraps_longitude():
+    res = 1.0
+    nx = 360
+    c = cells.grid_cell(np.array([-179.5]), np.array([0.5]), res)
+    disk = cells.grid_disk(c, 1, nx)
+    west = cells.grid_cell(np.array([179.5]), np.array([0.5]), res)
+    assert west[0] in disk[0]
+
+
+def test_mercator_tile_matches_duckdb():
+    lon, lat = rand_lonlat(5000, seed=7)
+    zoom = 6
+    tx, ty = cells.mercator_tile(lon, lat, zoom)
+    import pandas as pd
+
+    df = pd.DataFrame({"lon": lon, "lat": np.clip(lat, -85.05112877980659, 85.05112877980659)})
+    con = duckdb.connect()
+    q = (
+        "SELECT CAST(FLOOR((lon+180)/360*64) AS BIGINT) AS tx, "
+        "CAST(FLOOR((1 - LN(TAN(RADIANS(lat)) + 1/COS(RADIANS(lat)))/PI())/2*64) AS BIGINT) AS ty "
+        "FROM df"
+    )
+    exp = con.execute(q).fetchnumpy()
+    assert np.array_equal(tx, np.clip(exp["tx"], 0, 63))
+    assert np.array_equal(ty, np.clip(exp["ty"], 0, 63))
+
+
+def test_mercator_tile_known_values():
+    # lon=0,lat=0 at zoom 1 → (1, 1); zoom 0 → (0, 0)
+    tx, ty = cells.mercator_tile(np.array([0.0]), np.array([0.0]), 1)
+    assert (tx[0], ty[0]) == (1, 1)
+    tx, ty = cells.mercator_tile(np.array([0.0]), np.array([0.0]), 0)
+    assert (tx[0], ty[0]) == (0, 0)
+
+
+def test_tile_key_unique():
+    tx = np.array([0, 1, 2**29 - 1])
+    ty = np.array([5, 5, 5])
+    k = cells.tile_key(tx, ty, 12)
+    assert len(set(k.tolist())) == 3
