@@ -1,0 +1,259 @@
+"""Geometry compute kernels — vectorized NumPy re-expressions of the
+reference's GeoArrowKernel registry (/root/reference/src/geoarrow.c:1996-2022).
+
+Each scalar kernel maps 1 batch → 1 array (same length); each aggregate
+kernel maps batches → a small mergeable partial, merged by Ray Data
+(`map_batches` partials + a tiny final reduce), mirroring the reference's
+push…push→finish protocol (/root/reference/src/geoarrow/geoarrow.h:875-905).
+
+Semantics pinned to the reference:
+- box: null→null, empty→(+Inf,+Inf,-Inf,-Inf), planar-only
+  (src/geoarrow.c:1735-1935, planar check at 1746-1750)
+- box_agg: never null; null features treated as empty (geoarrow.h:1172-1181)
+- unique_geometry_types_agg: bitmask key ``dims*8 + geometry_type``; the
+  bit is added only when a feature has ≥1 coordinate, so EMPTY features
+  are excluded; output = ISO-WKB codes ``(dims-1)*1000 + geom`` sorted by
+  bit index (src/geoarrow.c:1616-1733)
+- inference promotion: single native type → itself; {POINT,MULTIPOINT}→
+  MULTIPOINT, {LINESTRING,MULTILINESTRING}→MULTILINESTRING,
+  {POLYGON,MULTIPOLYGON}→MULTIPOLYGON; anything else → WKB; dims union
+  Z/M → XYZM (R/infer-default.R:85-152)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from georay.codecs import native
+from georay.types import (
+    CoordType,
+    Dimensions,
+    EdgeType,
+    GeometryType,
+    GeoType,
+    TypeId,
+)
+
+
+def _require_planar(geo: GeoType, what: str) -> None:
+    if geo.edge_type != EdgeType.PLANAR:
+        # src/geoarrow.c:1746-1750 — box kernels are planar-only
+        raise ValueError(f"{what} kernel is only valid for planar edges")
+
+
+# ---------------------------------------------------------------- box
+
+def box(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Array:
+    """Per-feature 2D bounding box → geoarrow.box array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+    _require_planar(geo, "box")
+
+    if geo.geometry_type == GeometryType.BOX:
+        mins, maxes, valid = native.box_view(arr, geo)
+        mask = None if valid is None else ~valid
+        return native.build_boxes(
+            mins[:, :2], maxes[:, :2], GeoType.box(), mask=mask
+        )
+
+    v = native.view(arr, geo)
+    n = v.length
+    xmin = np.full(n, np.inf)
+    ymin = np.full(n, np.inf)
+    xmax = np.full(n, -np.inf)
+    ymax = np.full(n, -np.inf)
+    if v.coords.shape[0]:
+        feat = v.feature_of_coord()
+        x = v.coords[:, 0]
+        y = v.coords[:, 1]
+        # NaN coords (empty points) must not poison the min/max
+        ok = ~(np.isnan(x) | np.isnan(y))
+        if not ok.all():
+            feat = feat[ok]
+            x = x[ok]
+            y = y[ok]
+        np.minimum.at(xmin, feat, x)
+        np.minimum.at(ymin, feat, y)
+        np.maximum.at(xmax, feat, x)
+        np.maximum.at(ymax, feat, y)
+    mask = None if v.valid is None else ~v.valid
+    mins = np.column_stack([xmin, ymin])
+    maxes = np.column_stack([xmax, ymax])
+    return native.build_boxes(mins, maxes, GeoType.box(), mask=mask)
+
+
+def box_agg_partial(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None):
+    """Per-batch partial for the global box: (xmin, ymin, xmax, ymax)."""
+    b = box(arr, geo)
+    mins, maxes, valid = native.box_view(b, GeoType.box())
+    if valid is not None:
+        mins = mins[valid]
+        maxes = maxes[valid]
+    if mins.shape[0] == 0:
+        return (np.inf, np.inf, -np.inf, -np.inf)
+    with np.errstate(invalid="ignore"):
+        return (
+            float(np.min(mins[:, 0])),
+            float(np.min(mins[:, 1])),
+            float(np.max(maxes[:, 0])),
+            float(np.max(maxes[:, 1])),
+        )
+
+
+def box_agg_merge(partials) -> tuple[float, float, float, float]:
+    """Commutative/associative merge — safe under any Ray Data ordering."""
+    ps = list(partials)
+    if not ps:
+        return (np.inf, np.inf, -np.inf, -np.inf)
+    a = np.asarray(ps, dtype=np.float64)
+    return (
+        float(a[:, 0].min()),
+        float(a[:, 1].min()),
+        float(a[:, 2].max()),
+        float(a[:, 3].max()),
+    )
+
+
+# ------------------------------------------------------------ centroid
+
+def centroid(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Array:
+    """Per-feature coordinate-mean centroid → geoarrow.point.
+
+    null→null, empty→(NaN, NaN) (the empty-point encoding). Planar only.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+    _require_planar(geo, "centroid")
+    v = native.view(arr, geo)
+    n = v.length
+    sx = np.zeros(n)
+    sy = np.zeros(n)
+    cnt = np.zeros(n)
+    if v.coords.shape[0]:
+        feat = v.feature_of_coord()
+        x = v.coords[:, 0]
+        y = v.coords[:, 1]
+        ok = ~(np.isnan(x) | np.isnan(y))
+        if not ok.all():
+            feat = feat[ok]
+            x = x[ok]
+            y = y[ok]
+        np.add.at(sx, feat, x)
+        np.add.at(sy, feat, y)
+        np.add.at(cnt, feat, 1.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cx = np.where(cnt > 0, sx / cnt, np.nan)
+        cy = np.where(cnt > 0, sy / cnt, np.nan)
+    mask = None if v.valid is None else ~v.valid
+    return native.build_points(np.column_stack([cx, cy]), GeoType.point(), mask=mask)
+
+
+# ------------------------------------- unique_geometry_types_agg
+
+def unique_types_partial(
+    arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None
+) -> int:
+    """Per-batch uint64 bitmask, key = dims*8 + geometry_type."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+
+    if geo.serialized in (TypeId.WKB, TypeId.LARGE_WKB, TypeId.WKB_VIEW):
+        from georay.codecs import wkb as wkb_codec
+
+        return wkb_codec.unique_types_mask(arr)
+    if geo.serialized in (TypeId.WKT, TypeId.LARGE_WKT, TypeId.WKT_VIEW):
+        from georay.codecs import wkt as wkt_codec
+
+        return wkt_codec.unique_types_mask(arr)
+
+    gt = geo.geometry_type
+    if gt == GeometryType.BOX:
+        # box features visit as polygons (src/geoarrow.c:2960-3028)
+        mins, maxes, valid = native.box_view(arr, geo)
+        nonempty = np.all(maxes[:, :2] >= mins[:, :2], axis=1)
+        if valid is not None:
+            nonempty &= valid
+        if not np.any(nonempty):
+            return 0
+        return 1 << (int(Dimensions.XY) * 8 + int(GeometryType.POLYGON))
+
+    v = native.view(arr, geo)
+    if gt == GeometryType.POINT:
+        # native POINTs are never EMPTY for this kernel (no all-NaN check),
+        # per the kernel comment src/geoarrow.c:1616-1628
+        any_feature = v.length > 0 and (
+            v.valid is None or bool(np.any(v.valid))
+        )
+    else:
+        counts = v.coord_counts()
+        nonempty = counts > 0
+        if v.valid is not None:
+            nonempty &= v.valid
+        any_feature = bool(np.any(nonempty))
+    if not any_feature:
+        return 0
+    return 1 << (int(geo.dimensions) * 8 + int(gt))
+
+
+def unique_types_finish(mask: int) -> list[int]:
+    """Bitmask → sorted ISO-WKB int32 codes (src/geoarrow.c:1630-1733)."""
+    out = []
+    for bit in range(8, 40):
+        if mask & (1 << bit):
+            dims = bit // 8  # 1..4
+            geom = bit % 8
+            out.append((dims - 1) * 1000 + geom)
+    return out
+
+
+def infer_type_from_codes(
+    codes: list[int],
+    promote_multi: bool = True,
+    coord_type: CoordType = CoordType.SEPARATE,
+) -> GeoType:
+    """schema_from_types_and_dims (R/infer-default.R:112-152)."""
+    types = sorted({c % 1000 for c in codes})
+    dims_codes = {c // 1000 + 1 for c in codes}
+    has_z = bool(dims_codes & {2, 4})
+    has_m = bool(dims_codes & {3, 4})
+    if len(types) == 1 and 1 <= types[0] <= 6:
+        geom = GeometryType(types[0])
+    elif promote_multi and types == [1, 4]:
+        geom = GeometryType.MULTIPOINT
+    elif promote_multi and types == [2, 5]:
+        geom = GeometryType.MULTILINESTRING
+    elif promote_multi and types == [3, 6]:
+        geom = GeometryType.MULTIPOLYGON
+    else:
+        return GeoType.wkb()
+    if has_z and has_m:
+        dims = Dimensions.XYZM
+    elif has_z:
+        dims = Dimensions.XYZ
+    elif has_m:
+        dims = Dimensions.XYM
+    else:
+        dims = Dimensions.XY
+    return GeoType.native(geom, dimensions=dims, coord_type=coord_type)
+
+
+# ----------------------------------------------------------------- void
+
+def void(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Kernel 1: null array of the input's length (pipeline smoke-test)."""
+    return pa.nulls(len(arr))
+
+
+def void_agg_partial(arr) -> None:
+    return None
+
+
+def void_agg_finish(_partials) -> pa.Array:
+    return pa.nulls(1)
