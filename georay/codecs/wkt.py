@@ -1,0 +1,536 @@
+"""WKT codec: utf8 arrays ↔ GeoArrow-native arrays.
+
+Reference parity:
+- writer text layout (spacing, dims tags ``POINT Z (…)``, EMPTY,
+  flat multipoint ``MULTIPOINT (0 1, 2 3)`` by default):
+  /root/reference/src/geoarrow.c:5540-5896, default flat mode at 5825,
+  expected strings in tests/testthat/test-handle.R:24-134
+- double formatting: fixed notation with ``precision`` (default 16,
+  clamped 0–16) digits after the decimal point, trailing zeros stripped;
+  scientific with 17 significant digits for |x| > 1e17
+  (/root/reference/src/geoarrow.c:6331-6379 + vendored Ryu src/d2s.c).
+  Python's correctly-rounded ``format`` reproduces both paths.
+- ``max_element_size_bytes`` option truncates each feature's text
+  (kernel option, src/geoarrow.c:1484-1494, 5737)
+- reader: recursive descent accepting both flat and nested MULTIPOINT
+  (src/geoarrow.c:5013-5538, flat accepted at 5202)
+- all-NaN native POINT is written as ``POINT EMPTY`` (the engine-wide
+  empty-point convention, src/r-wk-handle-stream.cc:195-222)
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from georay.codecs import native
+from georay.codecs.wkb import Node, build_native
+from georay.kernels import infer_type_from_codes
+from georay.types import Dimensions, GeometryType, GeoType
+
+_GEOM_NAME = {
+    GeometryType.POINT: "POINT",
+    GeometryType.LINESTRING: "LINESTRING",
+    GeometryType.POLYGON: "POLYGON",
+    GeometryType.MULTIPOINT: "MULTIPOINT",
+    GeometryType.MULTILINESTRING: "MULTILINESTRING",
+    GeometryType.MULTIPOLYGON: "MULTIPOLYGON",
+    GeometryType.GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+}
+_NAME_GEOM = {v: k for k, v in _GEOM_NAME.items()}
+_DIMS_TAG = {
+    Dimensions.XY: "",
+    Dimensions.XYZ: " Z",
+    Dimensions.XYM: " M",
+    Dimensions.XYZM: " ZM",
+}
+_TAG_DIMS = {"Z": Dimensions.XYZ, "M": Dimensions.XYM, "ZM": Dimensions.XYZM}
+
+
+def format_double(x: float, precision: int = 16) -> str:
+    """Replicates GeoArrowPrintDouble (src/geoarrow.c:6331-6341 + Ryu
+    src/d2s.c:690-733): start from the SHORTEST round-trip decimal form
+    (Python ``repr`` == Ryu d2d), then — fixed notation with at most
+    ``precision`` decimals, rounded half-even, trailing zeros stripped;
+    scientific ``d.ddd…e±XX`` for |x| > 1e17."""
+    precision = max(0, min(16, precision))
+    if math.isnan(x):
+        return "nan"
+    if math.isinf(x):
+        return "inf" if x > 0 else "-inf"
+    if x == 0:
+        return "-0" if math.copysign(1.0, x) < 0 else "0"
+    d = decimal.Decimal(repr(x))
+    if x > 1.0e17 or x < -1.0e17:
+        sign, digits, _ = d.as_tuple()
+        exp10 = d.adjusted()
+        mant = str(digits[0])
+        rest = "".join(map(str, digits[1:])).rstrip("0")
+        if rest:
+            mant += "." + rest
+        return f"{'-' if sign else ''}{mant}e{'+' if exp10 >= 0 else '-'}{abs(exp10)}"
+    exp = d.as_tuple().exponent
+    if -exp > precision:
+        d = d.quantize(
+            decimal.Decimal(1).scaleb(-precision), rounding=decimal.ROUND_HALF_EVEN
+        )
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    if s in ("-0", ""):
+        s = "0"
+    return s
+
+
+# ------------------------------------------------------------------ write
+
+def _coords_text(c: np.ndarray, precision: int) -> str:
+    return ", ".join(
+        " ".join(format_double(v, precision) for v in row) for row in c
+    )
+
+
+def write_node(node: Node, precision: int = 16, flat_multipoint: bool = True) -> str:
+    name = _GEOM_NAME[node.geom] + _DIMS_TAG[node.dims]
+    g = node.geom
+    if g == GeometryType.POINT:
+        if node.coords.shape[0] == 0 or np.all(np.isnan(node.coords)):
+            return f"{name} EMPTY"
+        return f"{name} ({_coords_text(node.coords, precision)})"
+    if g == GeometryType.LINESTRING:
+        if node.coords.shape[0] == 0:
+            return f"{name} EMPTY"
+        return f"{name} ({_coords_text(node.coords, precision)})"
+    if g == GeometryType.POLYGON:
+        if not node.rings:
+            return f"{name} EMPTY"
+        body = ", ".join(f"({_coords_text(r, precision)})" for r in node.rings)
+        return f"{name} ({body})"
+    if g == GeometryType.MULTIPOINT:
+        if not node.children:
+            return f"{name} EMPTY"
+        if flat_multipoint and all(
+            ch.coords is not None and ch.coords.shape[0] == 1 and not np.all(np.isnan(ch.coords))
+            for ch in node.children
+        ):
+            body = ", ".join(_coords_text(ch.coords, precision) for ch in node.children)
+            return f"{name} ({body})"
+        parts = []
+        for ch in node.children:
+            if ch.coords.shape[0] == 0 or np.all(np.isnan(ch.coords)):
+                parts.append("EMPTY")
+            else:
+                parts.append(f"({_coords_text(ch.coords, precision)})")
+        return f"{name} ({', '.join(parts)})"
+    if g == GeometryType.MULTILINESTRING:
+        if not node.children:
+            return f"{name} EMPTY"
+        parts = [
+            "EMPTY" if ch.coords.shape[0] == 0 else f"({_coords_text(ch.coords, precision)})"
+            for ch in node.children
+        ]
+        return f"{name} ({', '.join(parts)})"
+    if g == GeometryType.MULTIPOLYGON:
+        if not node.children:
+            return f"{name} EMPTY"
+        parts = []
+        for ch in node.children:
+            if not ch.rings:
+                parts.append("EMPTY")
+            else:
+                parts.append(
+                    "(" + ", ".join(f"({_coords_text(r, precision)})" for r in ch.rings) + ")"
+                )
+        return f"{name} ({', '.join(parts)})"
+    if g == GeometryType.GEOMETRYCOLLECTION:
+        if not node.children:
+            return f"{name} EMPTY"
+        body = ", ".join(
+            write_node(ch, precision, flat_multipoint) for ch in node.children
+        )
+        return f"{name} ({body})"
+    raise ValueError(f"cannot write {g}")
+
+
+def nodes_from_native(arr: pa.Array, geo: GeoType) -> list[Node | None]:
+    """Per-feature Node trees from a native array (loop over offsets)."""
+    v = native.view(arr, geo)
+    gt = geo.geometry_type
+    dims = geo.dimensions
+    out: list[Node | None] = []
+    for i in range(v.length):
+        if v.valid is not None and not v.valid[i]:
+            out.append(None)
+            continue
+        if gt == GeometryType.POINT:
+            out.append(Node(gt, dims, coords=v.coords[i : i + 1]))
+        elif gt in (GeometryType.LINESTRING, GeometryType.MULTIPOINT):
+            o = v.offsets[0]
+            c = v.coords[o[i] : o[i + 1]]
+            if gt == GeometryType.LINESTRING:
+                out.append(Node(gt, dims, coords=c))
+            else:
+                out.append(
+                    Node(
+                        gt,
+                        dims,
+                        children=[
+                            Node(GeometryType.POINT, dims, coords=c[j : j + 1])
+                            for j in range(c.shape[0])
+                        ],
+                    )
+                )
+        elif gt in (GeometryType.POLYGON, GeometryType.MULTILINESTRING):
+            o0, o1 = v.offsets
+            parts = [
+                v.coords[o1[r] : o1[r + 1]] for r in range(o0[i], o0[i + 1])
+            ]
+            if gt == GeometryType.POLYGON:
+                out.append(Node(gt, dims, rings=parts))
+            else:
+                out.append(
+                    Node(
+                        gt,
+                        dims,
+                        children=[Node(GeometryType.LINESTRING, dims, coords=p) for p in parts],
+                    )
+                )
+        elif gt == GeometryType.MULTIPOLYGON:
+            o0, o1, o2 = v.offsets
+            polys = []
+            for p in range(o0[i], o0[i + 1]):
+                rings = [v.coords[o2[r] : o2[r + 1]] for r in range(o1[p], o1[p + 1])]
+                polys.append(Node(GeometryType.POLYGON, dims, rings=rings))
+            out.append(Node(gt, dims, children=polys))
+        else:
+            raise ValueError(f"unsupported type {gt}")
+    return out
+
+
+def encode(
+    arr: pa.Array | pa.ChunkedArray,
+    geo: GeoType | None = None,
+    precision: int = 16,
+    flat_multipoint: bool = True,
+    max_element_size_bytes: int | None = None,
+) -> pa.Array:
+    """as_wkt / format_wkt kernel (src/geoarrow.c:1545-1576)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+    if geo.serialized:
+        from georay.codecs import wkb as wkb_codec
+
+        nodes = [
+            wkb_codec.parse_feature(v.as_py()) if v.is_valid else None for v in arr
+        ]
+    else:
+        nodes = nodes_from_native(arr, geo)
+    out = []
+    for nd in nodes:
+        if nd is None:
+            out.append(None)
+            continue
+        s = write_node(nd, precision, flat_multipoint)
+        if max_element_size_bytes is not None and len(s) > max_element_size_bytes:
+            s = s[:max_element_size_bytes]
+        out.append(s)
+    return pa.array(out, pa.string())
+
+
+# ------------------------------------------------------------------ parse
+
+_TOKEN_RE = re.compile(
+    r"\s*([A-Za-z]+|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?|\(|\)|,)"
+)
+
+
+class _Tokens:
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+    def next(self) -> str | None:
+        m = _TOKEN_RE.match(self.s, self.pos)
+        if m is None:
+            rest = self.s[self.pos :].strip()
+            if rest:
+                raise ValueError(f"bad WKT near {rest[:20]!r}")
+            return None
+        self.pos = m.end()
+        return m.group(1)
+
+    def peek(self) -> str | None:
+        save = self.pos
+        t = self.next()
+        self.pos = save
+        return t
+
+    def expect(self, tok: str) -> None:
+        t = self.next()
+        if t != tok:
+            raise ValueError(f"expected {tok!r}, got {t!r} in WKT")
+
+
+def _parse_coord_seq(tk: _Tokens, ndim: int) -> np.ndarray:
+    rows = []
+    while True:
+        row = []
+        while True:
+            t = tk.peek()
+            if t in (",", ")"):
+                break
+            t = tk.next()
+            try:
+                row.append(float(t))
+            except (TypeError, ValueError):
+                raise ValueError(f"expected number, got {t!r}") from None
+        if len(row) != ndim:
+            raise ValueError(f"expected {ndim} ordinates, got {len(row)}")
+        rows.append(row)
+        t = tk.next()
+        if t == ")":
+            break
+        if t != ",":
+            raise ValueError(f"expected ',' or ')', got {t!r}")
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _parse_geometry(tk: _Tokens, inherit_dims: Dimensions | None = None) -> Node:
+    t = tk.next()
+    if t is None:
+        raise ValueError("empty WKT")
+    name = t.upper()
+    if name not in _NAME_GEOM:
+        raise ValueError(f"unknown geometry type {t!r}")
+    geom = _NAME_GEOM[name]
+    dims = Dimensions.XY
+    t = tk.next()
+    if t is not None and t.upper() in _TAG_DIMS:
+        dims = _TAG_DIMS[t.upper()]
+        t = tk.next()
+    elif inherit_dims is not None and t is not None and t.upper() == "EMPTY":
+        pass
+    nd = dims.count
+
+    if t is not None and t.upper() == "EMPTY":
+        if geom == GeometryType.POINT:
+            return Node(geom, dims, coords=np.full((1, nd), np.nan))
+        if geom == GeometryType.LINESTRING:
+            return Node(geom, dims, coords=np.empty((0, nd)))
+        if geom == GeometryType.POLYGON:
+            return Node(geom, dims, rings=[])
+        return Node(geom, dims, children=[])
+    if t != "(":
+        raise ValueError(f"expected '(' or EMPTY, got {t!r}")
+
+    if geom == GeometryType.POINT:
+        c = _parse_coord_seq(tk, nd)
+        if c.shape[0] != 1:
+            raise ValueError("POINT must have exactly one coordinate")
+        return Node(geom, dims, coords=c)
+    if geom == GeometryType.LINESTRING:
+        return Node(geom, dims, coords=_parse_coord_seq(tk, nd))
+    if geom == GeometryType.POLYGON:
+        rings = []
+        while True:
+            tk.expect("(")
+            rings.append(_parse_coord_seq(tk, nd))
+            t = tk.next()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected ',' or ')', got {t!r}")
+        return Node(geom, dims, rings=rings)
+    if geom == GeometryType.MULTIPOINT:
+        children = []
+        while True:
+            t = tk.peek()
+            if t == "(":
+                tk.next()
+                c = _parse_coord_seq(tk, nd)
+                children.append(Node(GeometryType.POINT, dims, coords=c))
+                t = tk.next()
+            elif t is not None and t.upper() == "EMPTY":
+                tk.next()
+                children.append(
+                    Node(GeometryType.POINT, dims, coords=np.full((1, nd), np.nan))
+                )
+                t = tk.next()
+            else:
+                # flat form: MULTIPOINT (0 1, 2 3) — accepted on read
+                # (src/geoarrow.c:5202)
+                c = _parse_coord_seq(tk, nd)
+                for j in range(c.shape[0]):
+                    children.append(Node(GeometryType.POINT, dims, coords=c[j : j + 1]))
+                t = ")"
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected ',' or ')', got {t!r}")
+        return Node(geom, dims, children=children)
+    if geom == GeometryType.MULTILINESTRING:
+        children = []
+        while True:
+            t = tk.next()
+            if t == "(":
+                children.append(
+                    Node(GeometryType.LINESTRING, dims, coords=_parse_coord_seq(tk, nd))
+                )
+            elif t is not None and t.upper() == "EMPTY":
+                children.append(Node(GeometryType.LINESTRING, dims, coords=np.empty((0, nd))))
+            else:
+                raise ValueError(f"expected '(' got {t!r}")
+            t = tk.next()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected ',' or ')', got {t!r}")
+        return Node(geom, dims, children=children)
+    if geom == GeometryType.MULTIPOLYGON:
+        children = []
+        while True:
+            t = tk.next()
+            if t == "(":
+                rings = []
+                while True:
+                    tk.expect("(")
+                    rings.append(_parse_coord_seq(tk, nd))
+                    t = tk.next()
+                    if t == ")":
+                        break
+                    if t != ",":
+                        raise ValueError(f"expected ',' or ')', got {t!r}")
+                children.append(Node(GeometryType.POLYGON, dims, rings=rings))
+            elif t is not None and t.upper() == "EMPTY":
+                children.append(Node(GeometryType.POLYGON, dims, rings=[]))
+            else:
+                raise ValueError(f"expected '(' got {t!r}")
+            t = tk.next()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected ',' or ')', got {t!r}")
+        return Node(geom, dims, children=children)
+    if geom == GeometryType.GEOMETRYCOLLECTION:
+        children = []
+        while True:
+            children.append(_parse_geometry(tk, inherit_dims=dims))
+            t = tk.next()
+            if t == ")":
+                break
+            if t != ",":
+                raise ValueError(f"expected ',' or ')', got {t!r}")
+        return Node(geom, dims, children=children)
+    raise ValueError(f"unsupported geometry {geom}")
+
+
+def parse_feature_wkt(s: str) -> Node:
+    tk = _Tokens(s)
+    node = _parse_geometry(tk)
+    if tk.next() is not None:
+        raise ValueError(f"trailing characters in WKT: {s!r}")
+    return node
+
+
+# ----------------------------------------------------------------- decode
+
+def _string_values(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def decode(
+    arr: pa.Array | pa.ChunkedArray, target: GeoType | None = None
+) -> tuple[pa.Array, GeoType]:
+    arr = _string_values(arr)
+    nodes = [parse_feature_wkt(v.as_py()) if v.is_valid else None for v in arr]
+    if target is None:
+        from georay.kernels import unique_types_finish
+
+        mask = 0
+        for nd in nodes:
+            if nd is not None and _node_has_coords(nd):
+                mask |= 1 << (int(nd.dims) * 8 + int(nd.geom))
+        codes = unique_types_finish(mask)
+        t = infer_type_from_codes(codes) if codes else GeoType.wkb()
+        if t.serialized:
+            from georay.codecs import wkb as wkb_codec
+
+            # heterogeneous input → WKB fallback (R/infer-default.R:120-131)
+            out = []
+            for i, nd in enumerate(nodes):
+                if nd is None:
+                    out.append(None)
+                else:
+                    out.append(_node_to_wkb(nd))
+            return pa.array(out, pa.binary()), GeoType.wkb()
+        target = t
+    return build_native(nodes, target), target
+
+
+def _node_has_coords(node: Node) -> bool:
+    if node.coords is not None:
+        return node.coords.shape[0] > 0 and not (
+            node.geom == GeometryType.POINT and np.all(np.isnan(node.coords))
+        )
+    if node.rings is not None:
+        return any(r.shape[0] > 0 for r in node.rings)
+    return any(_node_has_coords(c) for c in node.children)
+
+
+def _node_to_wkb(node: Node) -> bytes:
+    """Serialize a parsed node straight to little-endian ISO WKB."""
+    import struct as _s
+
+    from georay.codecs.wkb import _code
+
+    head = _s.pack("<B", 1) + _s.pack("<I", _code(node.geom, node.dims))
+    if node.geom == GeometryType.POINT:
+        return head + np.ascontiguousarray(node.coords, "<f8").tobytes()
+    if node.geom == GeometryType.LINESTRING:
+        return (
+            head
+            + _s.pack("<I", node.coords.shape[0])
+            + np.ascontiguousarray(node.coords, "<f8").tobytes()
+        )
+    if node.geom == GeometryType.POLYGON:
+        body = b"".join(
+            _s.pack("<I", r.shape[0]) + np.ascontiguousarray(r, "<f8").tobytes()
+            for r in node.rings
+        )
+        return head + _s.pack("<I", len(node.rings)) + body
+    body = b"".join(_node_to_wkb(ch) for ch in node.children)
+    return head + _s.pack("<I", len(node.children)) + body
+
+
+def unique_types_mask(arr) -> int:
+    arr = _string_values(arr)
+    mask = 0
+    for v in arr:
+        if not v.is_valid:
+            continue
+        nd = parse_feature_wkt(v.as_py())
+        # WKT POINT EMPTY parses to no coords event in the reference, so
+        # the all-NaN placeholder must not count here
+        if _node_has_coords(nd):
+            mask |= 1 << (int(nd.dims) * 8 + int(nd.geom))
+    return mask
+
+
+def validate(arr) -> int:
+    """visit_void_agg: full parse, raising on malformed input
+    (src/geoarrow.c:1528-1540). Returns the number of valid features."""
+    arr = _string_values(arr)
+    n = 0
+    for v in arr:
+        if v.is_valid:
+            parse_feature_wkt(v.as_py())
+            n += 1
+    return n

@@ -1,0 +1,230 @@
+"""Codec round-trip tests — the engine analogue of the reference's
+test-handle.R wk-corpus round-trips (FIXTURES.md F3/F4)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import kernels
+from georay.codecs import native, wkb, wkt
+from georay.types import CoordType, Dimensions, GeometryType, GeoType
+
+# mirror of wk::wk_example_wkt coverage: every type × dims × EMPTY + nulls
+CORPUS = [
+    "POINT (30 10)",
+    "POINT Z (30 10 5)",
+    "POINT M (30 10 7)",
+    "POINT ZM (30 10 5 7)",
+    "POINT EMPTY",
+    "POINT Z EMPTY",
+    "LINESTRING (30 10, 10 30, 40 40)",
+    "LINESTRING Z (30 10 1, 10 30 2, 40 40 3)",
+    "LINESTRING EMPTY",
+    "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+    "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+    "POLYGON EMPTY",
+    "MULTIPOINT (10 40, 40 30, 20 20, 30 10)",
+    "MULTIPOINT EMPTY",
+    "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))",
+    "MULTILINESTRING EMPTY",
+    "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))",
+    "MULTIPOLYGON (((40 40, 20 45, 45 30, 40 40)), ((20 35, 10 30, 10 10, 30 5, 45 20, 20 35), (30 20, 20 15, 20 25, 30 20)))",
+    "MULTIPOLYGON EMPTY",
+    "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20, 10 40), POLYGON ((40 40, 20 45, 45 30, 40 40)))",
+    "GEOMETRYCOLLECTION EMPTY",
+    None,
+    "POINT (0.2222222222222222 0.1)",  # high-precision shortest-round-trip
+    "POINT (1e-06 -1.5)",
+]
+
+
+def test_wkt_parse_write_roundtrip():
+    for s in CORPUS:
+        if s is None:
+            continue
+        node = wkt.parse_feature_wkt(s)
+        out = wkt.write_node(node)
+        if s == "POINT (1e-06 -1.5)":
+            # fixed-notation writer normalizes exponent input
+            assert out == "POINT (0.000001 -1.5)"
+        else:
+            assert out == s, (s, out)
+
+
+def test_wkt_wkb_wkt_roundtrip():
+    arr = pa.array(CORPUS, pa.string())
+    vals = [s for s in CORPUS]
+    for s in vals:
+        if s is None:
+            continue
+        node = wkt.parse_feature_wkt(s)
+        data = wkt._node_to_wkb(node)
+        node2 = wkb.parse_feature(data)
+        out = wkt.write_node(node2)
+        if s == "POINT (1e-06 -1.5)":
+            assert out == "POINT (0.000001 -1.5)"
+        else:
+            assert out == s, (s, out)
+
+
+@pytest.mark.parametrize(
+    "subset,geo",
+    [
+        (["POINT (30 10)", "POINT EMPTY", None], GeoType.point()),
+        (
+            ["LINESTRING (30 10, 10 30, 40 40)", "LINESTRING EMPTY", None],
+            GeoType.linestring(),
+        ),
+        (
+            [
+                "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+                "POLYGON EMPTY",
+                None,
+            ],
+            GeoType.polygon(),
+        ),
+        (
+            ["MULTIPOINT (10 40, 40 30)", "MULTIPOINT EMPTY", None],
+            GeoType.multipoint(),
+        ),
+        (
+            [
+                "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30))",
+                "MULTILINESTRING EMPTY",
+                None,
+            ],
+            GeoType.multilinestring(),
+        ),
+        (
+            [
+                "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)))",
+                "MULTIPOLYGON EMPTY",
+                None,
+            ],
+            GeoType.multipolygon(),
+        ),
+    ],
+)
+def test_wkt_native_wkt_roundtrip(subset, geo):
+    arr = pa.array(subset, pa.string())
+    nat, t = wkt.decode(arr, geo)
+    assert t.id == geo.id
+    back = wkt.encode(nat, geo)
+    assert back.to_pylist() == subset
+
+
+@pytest.mark.parametrize(
+    "subset,geo",
+    [
+        (["POINT (30 10)", "POINT EMPTY", None], GeoType.point()),
+        (
+            [
+                "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+                "POLYGON EMPTY",
+                None,
+            ],
+            GeoType.polygon(),
+        ),
+        (
+            [
+                "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)))",
+                "MULTIPOLYGON EMPTY",
+                None,
+            ],
+            GeoType.multipolygon(),
+        ),
+    ],
+)
+def test_native_wkb_native_roundtrip(subset, geo):
+    nat, t = wkt.decode(pa.array(subset, pa.string()), geo)
+    bin_arr = wkb.encode(nat, t)
+    nat2, t2 = wkb.decode(bin_arr, t)
+    v1 = native.view(nat, t)
+    v2 = native.view(nat2, t2)
+    assert np.allclose(v1.coords, v2.coords, equal_nan=True)
+    assert all(np.array_equal(a, b) for a, b in zip(v1.offsets, v2.offsets))
+
+
+def test_wkb_both_endiannesses_agree():
+    import struct
+
+    le = struct.pack("<BIdd", 1, 1, 30.0, 10.0)
+    be = struct.pack(">BIdd", 0, 1, 30.0, 10.0)
+    n1 = wkb.parse_feature(le)
+    n2 = wkb.parse_feature(be)
+    assert np.array_equal(n1.coords, n2.coords)
+
+
+def test_wkt_precision_and_truncation():
+    pts = native.build_points(np.array([[0.123456789, 1.0]]), GeoType.point())
+    assert wkt.encode(pts, GeoType.point(), precision=3).to_pylist() == [
+        "POINT (0.123 1)"
+    ]
+    long = wkt.encode(pts, GeoType.point(), max_element_size_bytes=7).to_pylist()
+    assert long == ["POINT ("]
+
+
+def test_wkt_shortest_roundtrip_16():
+    # precision 16 reproduces shortest-round-trip text for these fixtures
+    vals = [0.2222222222222222, 1 / 3, 1e-4, 123456789.123456]
+    pts = native.build_points(
+        np.array([[v, 0.0] for v in vals]), GeoType.point()
+    )
+    out = wkt.encode(pts, GeoType.point()).to_pylist()
+    assert out[0] == "POINT (0.2222222222222222 0)"
+    assert out[1] == "POINT (0.3333333333333333 0)"
+    assert out[2] == "POINT (0.0001 0)"
+    assert out[3] == "POINT (123456789.123456 0)"
+
+
+def test_flat_multipoint_modes():
+    nat, t = wkt.decode(
+        pa.array(["MULTIPOINT ((10 40), (40 30))"], pa.string()), GeoType.multipoint()
+    )
+    assert wkt.encode(nat, t).to_pylist() == ["MULTIPOINT (10 40, 40 30)"]
+    assert wkt.encode(nat, t, flat_multipoint=False).to_pylist() == [
+        "MULTIPOINT ((10 40), (40 30))"
+    ]
+
+
+def test_mixed_input_falls_back_to_wkb():
+    arr = pa.array(["POINT (0 1)", "LINESTRING (0 1, 2 3)"], pa.string())
+    out, t = wkt.decode(arr)
+    assert t.serialized
+    assert pa.types.is_binary(out.type)
+    # decodes back losslessly
+    back = wkt.encode(out, t)
+    assert back.to_pylist() == ["POINT (0 1)", "LINESTRING (0 1, 2 3)"]
+
+
+def test_unique_types_excludes_empty():
+    arr = pa.array(["POINT EMPTY", "LINESTRING (0 1, 2 3)"], pa.string())
+    codes = kernels.unique_types_finish(kernels.unique_types_partial(arr, GeoType.wkt()))
+    assert codes == [2]
+
+
+def test_unique_types_mixed_dims():
+    arr = pa.array(
+        ["POINT (0 1)", "POINT Z (0 1 2)", "MULTIPOINT (3 4)"], pa.string()
+    )
+    codes = kernels.unique_types_finish(kernels.unique_types_partial(arr, GeoType.wkt()))
+    assert codes == [1, 4, 1001]
+    inferred = kernels.infer_type_from_codes(codes)
+    assert inferred.geometry_type == GeometryType.MULTIPOINT
+    assert inferred.dimensions == Dimensions.XYZ
+
+
+def test_validate_raises_on_malformed():
+    with pytest.raises(ValueError):
+        wkt.validate(pa.array(["POINT (0"], pa.string()))
+    with pytest.raises(ValueError):
+        wkt.validate(pa.array(["FROB (1 2)"], pa.string()))
+    assert wkt.validate(pa.array(["POINT (0 1)", None], pa.string())) == 1
+
+
+def test_interleaved_point_roundtrip():
+    geo = GeoType.point(coord_type=CoordType.INTERLEAVED)
+    pts = native.build_points(np.array([[1.0, 2.0], [3.0, 4.0]]), geo)
+    v = native.view(pts, geo)
+    assert np.array_equal(v.coords, [[1.0, 2.0], [3.0, 4.0]])
+    assert wkt.encode(pts, geo).to_pylist() == ["POINT (1 2)", "POINT (3 4)"]
