@@ -1,0 +1,376 @@
+"""Broadcastable spatial indexes for the join stages.
+
+Both indexes are built once (driver or a single Ray task), shipped to the
+object store with ``ray.put``, and read by every joiner actor in its
+``__init__`` — the broadcast-hash-join pattern: no shuffle of the big
+side, the small side moves once per node (SURVEY.md §2.B5/B6).
+
+All lookups are CSR (sorted keys + offsets + values) so probe batches
+resolve with one ``np.searchsorted`` — no Python dict in the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from georay import cells
+from georay.codecs import native
+from georay.types import GeometryType, GeoType
+
+
+def _csr_from_pairs(keys: np.ndarray, values: np.ndarray):
+    """(sorted unique keys, offsets, values grouped by key)."""
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    vs = values[order]
+    uniq, starts = np.unique(ks, return_index=True)
+    offsets = np.append(starts, ks.shape[0])
+    return uniq, offsets, vs
+
+
+def csr_lookup(uniq: np.ndarray, offsets: np.ndarray, vs: np.ndarray, probe: np.ndarray):
+    """For each probe key → (probe_idx, value) pair arrays."""
+    pos = np.searchsorted(uniq, probe)
+    pos = np.clip(pos, 0, len(uniq) - 1) if len(uniq) else np.zeros_like(pos)
+    hit = len(uniq) > 0
+    found = hit & (uniq[pos] == probe) if hit else np.zeros(len(probe), bool)
+    if not np.any(found):
+        return np.empty(0, np.int64), np.empty(0, vs.dtype if len(vs) else np.int64)
+    pidx = np.nonzero(found)[0]
+    p = pos[pidx]
+    counts = offsets[p + 1] - offsets[p]
+    out_probe = np.repeat(pidx, counts)
+    # gather value ranges: start offsets repeated + intra-range arange
+    starts = np.repeat(offsets[p], counts)
+    within = np.arange(counts.sum()) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    out_vals = vs[starts + within]
+    return out_probe, out_vals
+
+
+@dataclass
+class PolygonIndex:
+    """Cell-bucketed polygon index (the engine's STR-pack analogue).
+
+    Polygons are covered with S2-style cells at ``cover_level``; a probe
+    point's cell lookup yields candidate polygons, pre-filtered by bbox,
+    then exact even-odd crossing-number PIP on the ring coordinates
+    (planar, per the reference's planar-only kernel precedent,
+    /root/reference/src/geoarrow.c:1746-1750).
+    """
+
+    cover_level: int
+    cell_uniq: np.ndarray
+    cell_offsets: np.ndarray
+    cell_polys: np.ndarray
+    bbox: np.ndarray  # (n_poly, 4) xmin ymin xmax ymax
+    edge_x1: np.ndarray
+    edge_y1: np.ndarray
+    edge_x2: np.ndarray
+    edge_y2: np.ndarray
+    poly_edge_offsets: np.ndarray  # (n_poly+1) into edge arrays
+    polygon_ids: np.ndarray  # original id column (object/str or int)
+
+    @property
+    def n_polygons(self) -> int:
+        return len(self.polygon_ids)
+
+    # -------------------------------------------------------------- build
+    @staticmethod
+    def build(
+        polygons: pa.Table,
+        geometry_col: str = "geometry",
+        id_col: str = "polygon_id",
+        cover_level: int | None = None,
+    ) -> "PolygonIndex":
+        geo = GeoType.from_field(polygons.schema.field(geometry_col))
+        if geo.geometry_type not in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON):
+            raise ValueError(f"pip index needs polygons, got {geo.geometry_type}")
+        arr = polygons[geometry_col].combine_chunks()
+        v = native.view(arr, geo)
+        n = v.length
+
+        # ring-closing edges: every consecutive vertex pair within a ring
+        ring_off = v.offsets[-1]
+        n_rings = len(ring_off) - 1
+        # per-feature ring ranges (walk outer offsets down to ring level)
+        feat_ring_start = v.offsets[0][:-1]
+        feat_ring_end = v.offsets[0][1:]
+        for mid in v.offsets[1:-1]:
+            feat_ring_start = mid[feat_ring_start]
+            feat_ring_end = mid[feat_ring_end]
+
+        x = v.coords[:, 0]
+        y = v.coords[:, 1]
+        # edges per ring r: vertices ring_off[r] .. ring_off[r+1]-2 paired
+        # with the next vertex (rings are closed; skip the wrap edge)
+        ring_sizes = np.diff(ring_off)
+        edge_counts = np.maximum(ring_sizes - 1, 0)
+        ring_edge_start = np.concatenate([[0], np.cumsum(edge_counts)])
+        total_edges = int(ring_edge_start[-1])
+        src = np.concatenate(
+            [
+                np.arange(ring_off[r], ring_off[r + 1] - 1)
+                for r in range(n_rings)
+                if ring_sizes[r] > 1
+            ]
+        ) if total_edges else np.empty(0, np.int64)
+        e_x1, e_y1 = x[src], y[src]
+        e_x2, e_y2 = x[src + 1], y[src + 1]
+
+        # per-polygon edge offsets
+        # rings are contiguous per feature, so feature edge ranges are
+        # [ring_edge_start[first_ring], ring_edge_start[one_past_last_ring])
+        poly_edge_offsets = np.zeros(n + 1, dtype=np.int64)
+        poly_edge_offsets[1:] = ring_edge_start[feat_ring_end]
+        poly_edge_offsets[:-1] = ring_edge_start[feat_ring_start]
+
+        # bbox per polygon
+        from georay import kernels
+
+        b = kernels.box(arr, geo)
+        mins, maxes, bvalid = native.box_view(b, GeoType.box())
+        bbox = np.concatenate([mins, maxes], axis=1)
+
+        # choose cover level from median bbox extent (≈1 cell per bbox side)
+        widths = np.maximum(maxes[:, 0] - mins[:, 0], maxes[:, 1] - mins[:, 1])
+        finite = widths[np.isfinite(widths) & (widths > 0)]
+        if cover_level is None:
+            med = float(np.median(finite)) if finite.size else 1.0
+            cover_level = int(np.clip(np.round(np.log2(90.0 / max(med, 1e-9))), 4, 14))
+
+        # cover each polygon's bbox: dense lon/lat sample grid re-encoded to
+        # cells, per-face ij rectangles expanded by 1 ring (corner safety)
+        pair_cells: list[np.ndarray] = []
+        pair_polys: list[np.ndarray] = []
+        for i in range(n):
+            if bvalid is not None and not bvalid[i]:
+                continue
+            x0, y0, x1, y1 = bbox[i]
+            if not np.isfinite(x0) or x1 < x0:
+                continue  # EMPTY (min>max convention, src/geoarrow.c:2986-3016)
+            g = 8
+            gx = np.linspace(x0, x1, g)
+            gy = np.linspace(np.clip(y0, -89.99, 89.99), np.clip(y1, -89.99, 89.99), g)
+            mlon, mlat = np.meshgrid(gx, gy)
+            ids = cells.cell_from_lonlat(mlon.ravel(), mlat.ravel(), cover_level)
+            face, ci, cj = cells.cell_to_face_ij(ids, cover_level)
+            cs = []
+            nside = 1 << cover_level
+            for f in np.unique(face):
+                m = face == f
+                i0, i1 = ci[m].min() - 1, ci[m].max() + 1
+                j0, j1 = cj[m].min() - 1, cj[m].max() + 1
+                ii, jj = np.meshgrid(
+                    np.arange(max(i0, 0), min(i1, nside - 1) + 1),
+                    np.arange(max(j0, 0), min(j1, nside - 1) + 1),
+                )
+                cs.append(
+                    cells._encode_face_ij(
+                        np.full(ii.size, f), ii.ravel(), jj.ravel(), cover_level
+                    )
+                )
+            cc = np.unique(np.concatenate(cs))
+            pair_cells.append(cc)
+            pair_polys.append(np.full(cc.shape[0], i, dtype=np.int64))
+
+        if pair_cells:
+            keys = np.concatenate(pair_cells)
+            vals = np.concatenate(pair_polys)
+        else:
+            keys = np.empty(0, np.uint64)
+            vals = np.empty(0, np.int64)
+        uniq, offsets, vs = _csr_from_pairs(keys, vals)
+
+        ids_np = np.asarray(polygons[id_col].to_pylist(), dtype=object)
+        return PolygonIndex(
+            cover_level=cover_level,
+            cell_uniq=uniq,
+            cell_offsets=offsets,
+            cell_polys=vs,
+            bbox=bbox,
+            edge_x1=e_x1,
+            edge_y1=e_y1,
+            edge_x2=e_x2,
+            edge_y2=e_y2,
+            poly_edge_offsets=poly_edge_offsets,
+            polygon_ids=ids_np,
+        )
+
+    # -------------------------------------------------------------- probe
+    def candidates(self, lon: np.ndarray, lat: np.ndarray):
+        """(point_idx, poly_idx) bbox-filtered candidate pairs."""
+        cell = cells.cell_from_lonlat(lon, lat, self.cover_level)
+        pidx, poly = csr_lookup(self.cell_uniq, self.cell_offsets, self.cell_polys, cell)
+        if pidx.size == 0:
+            return pidx, poly
+        keep = (
+            (lon[pidx] >= self.bbox[poly, 0])
+            & (lat[pidx] >= self.bbox[poly, 1])
+            & (lon[pidx] <= self.bbox[poly, 2])
+            & (lat[pidx] <= self.bbox[poly, 3])
+        )
+        return pidx[keep], poly[keep]
+
+    def contains(self, lon: np.ndarray, lat: np.ndarray):
+        """Exact PIP join: (point_idx, poly_idx) matches (even-odd rule)."""
+        pidx, poly = self.candidates(lon, lat)
+        if pidx.size == 0:
+            return pidx, poly
+        keep = np.zeros(pidx.shape[0], dtype=bool)
+        order = np.argsort(poly, kind="stable")
+        sp = poly[order]
+        spi = pidx[order]
+        bounds = np.searchsorted(sp, np.unique(sp), side="left")
+        uniq_polys = np.unique(sp)
+        bounds = np.append(bounds, sp.shape[0])
+        for t, pg in enumerate(uniq_polys):
+            sl = slice(bounds[t], bounds[t + 1])
+            pts = spi[sl]
+            px = lon[pts][:, None]
+            py = lat[pts][:, None]
+            e0, e1 = self.poly_edge_offsets[pg], self.poly_edge_offsets[pg + 1]
+            x1 = self.edge_x1[e0:e1][None, :]
+            y1 = self.edge_y1[e0:e1][None, :]
+            x2 = self.edge_x2[e0:e1][None, :]
+            y2 = self.edge_y2[e0:e1][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cond = ((y1 <= py) != (y2 <= py)) & (
+                    px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                )
+            inside = (cond.sum(axis=1) % 2).astype(bool)
+            keep[order[sl]] = inside
+        return pidx[keep], poly[keep]
+
+
+@dataclass
+class PointIndex:
+    """Grid-bucketed reference points for kNN ring expansion.
+
+    Distance metric is planar Euclidean on (lon, lat) degrees — matching
+    the DuckDB oracle expression exactly. Ring bound: a point whose grid
+    cell is at Chebyshev ring > r is farther than ``r·res`` in that
+    metric, so expansion can stop once the kth-best distance ≤ r·res.
+    """
+
+    res: float
+    nx: int
+    cell_uniq: np.ndarray
+    cell_offsets: np.ndarray
+    cell_points: np.ndarray  # indices into ref arrays
+    ref_lon: np.ndarray
+    ref_lat: np.ndarray
+    ref_ids: np.ndarray
+
+    @staticmethod
+    def build(lon: np.ndarray, lat: np.ndarray, ids: np.ndarray, res: float) -> "PointIndex":
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        lon = np.asarray(lon, np.float64)[ok]
+        lat = np.asarray(lat, np.float64)[ok]
+        ids = np.asarray(ids)[ok]
+        cell = cells.grid_cell(lon, lat, res)
+        uniq, offsets, vs = _csr_from_pairs(cell, np.arange(lon.shape[0], dtype=np.int64))
+        return PointIndex(
+            res=res,
+            nx=int(np.ceil(360.0 / res)),
+            cell_uniq=uniq,
+            cell_offsets=offsets,
+            cell_points=vs,
+            ref_lon=lon,
+            ref_lat=lat,
+            ref_ids=ids,
+        )
+
+    def knn(self, lon: np.ndarray, lat: np.ndarray, k: int, max_ring: int = 64):
+        """For each probe → up to k nearest refs.
+
+        Returns (probe_idx, ref_pos, dist2) flat arrays sorted by
+        (probe_idx, dist2, ref_id) — deterministic under ties.
+        """
+        m = lon.shape[0]
+        probe_cell = cells.grid_cell(lon, lat, self.res)
+        # accumulated candidate set per probe (list of arrays per round)
+        acc_p: list[np.ndarray] = []
+        acc_r: list[np.ndarray] = []
+        active = np.arange(m, dtype=np.int64)
+        active = active[np.isfinite(lon[active]) & np.isfinite(lat[active])]
+        kth_best = np.full(m, np.inf)
+        n_found = np.zeros(m, dtype=np.int64)
+
+        for r in range(max_ring + 1):
+            if active.size == 0:
+                break
+            # ring r cells (border only for r>0)
+            if r == 0:
+                ring_cells = probe_cell[active][:, None]
+            else:
+                disk = cells.grid_disk(probe_cell[active], r, self.nx)
+                side = 2 * r + 1
+                g = disk.reshape(active.size, side, side)
+                border_mask = np.zeros((side, side), bool)
+                border_mask[0, :] = border_mask[-1, :] = True
+                border_mask[:, 0] = border_mask[:, -1] = True
+                ring_cells = g[:, border_mask]
+            flat = ring_cells.reshape(-1)
+            owner = np.repeat(active, ring_cells.shape[1])
+            ci, refs = csr_lookup(self.cell_uniq, self.cell_offsets, self.cell_points, flat)
+            if ci.size:
+                acc_p.append(owner[ci])
+                acc_r.append(refs)
+                np.add.at(n_found, owner[ci], 1)
+
+            # which probes can stop? need ≥k candidates AND kth dist ≤ r·res
+            # (evaluate lazily: only for probes with enough candidates)
+            if acc_p:
+                # compute satisfaction only for active probes
+                P = np.concatenate(acc_p)
+                R = np.concatenate(acc_r)
+                enough = n_found >= k
+                check = active[enough[active]]
+                if check.size:
+                    sel = np.isin(P, check)
+                    Ps, Rs = P[sel], R[sel]
+                    d2 = (self.ref_lon[Rs] - lon[Ps]) ** 2 + (
+                        self.ref_lat[Rs] - lat[Ps]
+                    ) ** 2
+                    order = np.lexsort((d2, Ps))
+                    Ps_s, d2_s = Ps[order], d2[order]
+                    # kth smallest per probe
+                    uniqp, starts = np.unique(Ps_s, return_index=True)
+                    starts = np.append(starts, Ps_s.shape[0])
+                    for t, pb in enumerate(uniqp):
+                        cnt = starts[t + 1] - starts[t]
+                        if cnt >= k:
+                            kth_best[pb] = d2_s[starts[t] + k - 1]
+                    bound = (r * self.res) ** 2
+                    done = kth_best[active] <= bound
+                    active = active[~done]
+        # finalize: per probe sort candidates by (dist2, ref_id), take k
+        if not acc_p:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        P = np.concatenate(acc_p)
+        R = np.concatenate(acc_r)
+        # dedup (ring borders may repeat cells when wrapping)
+        PR = P * (self.ref_lon.shape[0] + 1) + R
+        _, ui = np.unique(PR, return_index=True)
+        P, R = P[ui], R[ui]
+        d2 = (self.ref_lon[R] - lon[P]) ** 2 + (self.ref_lat[R] - lat[P]) ** 2
+        # sort by probe, dist, ref id for deterministic ties
+        order = np.lexsort((self.ref_ids[R].astype("U") if self.ref_ids.dtype == object else self.ref_ids[R], d2, P))
+        P, R, d2 = P[order], R[order], d2[order]
+        uniqp, starts = np.unique(P, return_index=True)
+        starts_full = np.append(starts, P.shape[0])
+        keep = np.zeros(P.shape[0], bool)
+        for t in range(len(uniqp)):
+            s = starts_full[t]
+            e = min(starts_full[t] + k, starts_full[t + 1])
+            keep[s:e] = True
+        return P[keep], R[keep], d2[keep]

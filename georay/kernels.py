@@ -244,6 +244,70 @@ def infer_type_from_codes(
     return GeoType.native(geom, dimensions=dims, coord_type=coord_type)
 
 
+# ----------------------------------------------------------------- cast
+
+def cast(
+    arr: pa.Array | pa.ChunkedArray,
+    target: GeoType,
+    source: GeoType | None = None,
+) -> pa.Array:
+    """as_geoarrow kernel (src/geoarrow.c:1578-1614): cast any geometry
+    encoding to the requested type, any-to-any via the shared Node tree.
+
+    Passthrough when source and target parse to the same id
+    (R/array.R:121-124)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if source is None:
+        source = GeoType.from_field(pa.field("g", arr.type))
+    if source.id == target.id:
+        return arr
+
+    from georay.codecs import wkb as wkb_codec
+    from georay.codecs import wkt as wkt_codec
+
+    src_kind = (
+        "wkb"
+        if source.serialized in (TypeId.WKB, TypeId.LARGE_WKB, TypeId.WKB_VIEW)
+        else "wkt"
+        if source.serialized in (TypeId.WKT, TypeId.LARGE_WKT, TypeId.WKT_VIEW)
+        else "native"
+    )
+    dst_kind = (
+        "wkb"
+        if target.serialized in (TypeId.WKB, TypeId.LARGE_WKB, TypeId.WKB_VIEW)
+        else "wkt"
+        if target.serialized in (TypeId.WKT, TypeId.LARGE_WKT, TypeId.WKT_VIEW)
+        else "native"
+    )
+
+    if dst_kind == "wkt":
+        return wkt_codec.encode(arr, source)
+    if dst_kind == "wkb":
+        if src_kind == "native":
+            return wkb_codec.encode(arr, source)
+        if src_kind == "wkt":
+            nodes = [
+                wkt_codec.parse_feature_wkt(v.as_py()) if v.is_valid else None
+                for v in arr
+            ]
+            return pa.array(
+                [None if n is None else wkt_codec._node_to_wkb(n) for n in nodes],
+                pa.binary(),
+            )
+        return arr.cast(target.storage_type())
+    # native destination
+    if src_kind == "wkb":
+        out, _ = wkb_codec.decode(arr, target)
+        return out
+    if src_kind == "wkt":
+        out, _ = wkt_codec.decode(arr, target)
+        return out
+    # native → native (dims / coord-type / promotion changes)
+    nodes = wkt_codec.nodes_from_native(arr, source)
+    return wkb_codec.build_native(nodes, target)
+
+
 # ----------------------------------------------------------------- void
 
 def void(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
