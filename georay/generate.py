@@ -63,6 +63,7 @@ def make_images_table(
     dup_frac: float = 0.01,
     null_geo_frac: float = 0.005,
     nan_geo_frac: float = 0.001,
+    id_offset: int = 0,
 ) -> pa.Table:
     rng = np.random.default_rng(seed)
     clon, clat, cw = city_centers()
@@ -141,7 +142,7 @@ def make_images_table(
     )
     return pa.Table.from_arrays(
         [
-            pa.array([f"img{i:012d}" for i in idx]),
+            pa.array([f"img{i + id_offset:012d}" for i in idx]),
             pa.array(byts, pa.binary()),
             pa.array(w),
             pa.array(h),
@@ -271,7 +272,7 @@ def write_images_dataset(
     for start in range(0, n, rows_per_file):
         cnt = min(rows_per_file, n - start)
         # per-shard determinism: content keys derive from the global index
-        t = make_images_table(cnt, seed=seed + shard)
+        t = make_images_table(cnt, seed=seed + shard, id_offset=start)
         path = os.path.join(out_dir, f"images-{shard:05d}.parquet")
         pq.write_table(t, path, row_group_size=4096)
         paths.append(path)

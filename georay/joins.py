@@ -1,0 +1,160 @@
+"""Broadcast spatial joins as stateful actor-pool stages (SURVEY.md §2.B5/B6).
+
+Pattern: build the small-side index once, ``ray.put`` it, and pass the
+object ref to a callable CLASS used with ``map_batches(Cls,
+concurrency=N)``. Each actor materializes the index ONCE in ``__init__``
+(the reference's kernel ``start()`` analogue, src/geoarrow.c:1936-1996)
+and every ``__call__`` probes it vectorized. The big side never shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from georay import ops
+from georay.index import PointIndex, PolygonIndex
+
+
+class PIPJoiner:
+    """Point-in-polygon probe stage.
+
+    modes: "inner" (one output row per match, point cols + polygon cols),
+    "left" (every point, null polygon_id when no match), "semi" (points
+    with ≥1 match), "anti" (points with no match).
+    """
+
+    def __init__(self, index_ref, geom_col: str, mode: str, payload_cols):
+        self.index: PolygonIndex = ray.get(index_ref)
+        self.geom_col = geom_col
+        self.mode = mode
+        self.payload_cols = payload_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, self.geom_col)
+        # NaNs (null/empty points) match nothing: encode to a probe value
+        # that cannot hit the index
+        bad = ~(np.isfinite(lon) & np.isfinite(lat))
+        pidx, poly = self.index.contains(
+            np.where(bad, 1e9, lon), np.where(bad, 1e9, lat)
+        )
+        if self.mode == "inner":
+            out = batch.take(pa.array(pidx))
+            out = out.append_column(
+                "polygon_id", pa.array(self.index.polygon_ids[poly].tolist())
+            )
+            return out
+        n = len(batch)
+        has = np.zeros(n, dtype=bool)
+        has[pidx] = True
+        if self.mode == "semi":
+            return batch.filter(pa.array(has))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~has))
+        if self.mode == "left":
+            first_match = np.full(n, -1, dtype=np.int64)
+            # pidx sorted ascending per contains(); keep the first match
+            seen_rev = {}
+            for i in range(pidx.shape[0] - 1, -1, -1):
+                seen_rev[pidx[i]] = poly[i]
+            ids = [None] * n
+            for i, p in seen_rev.items():
+                ids[i] = self.index.polygon_ids[p]
+            return batch.append_column("polygon_id", pa.array(ids))
+        raise ValueError(f"unknown mode {self.mode}")
+
+
+def pip_join(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    geom_col: str = "geotag",
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+    mode: str = "inner",
+    cover_level: int | None = None,
+    concurrency=(2, 8),
+    batch_size: int = 8192,
+    num_cpus: float = 1.0,
+) -> ray.data.Dataset:
+    """B5: broadcast PIP join. ``polygons`` must be the SMALL side (it is
+    materialized into every actor); the points Dataset streams through."""
+    index = PolygonIndex.build(
+        polygons, geometry_col=geometry_col, id_col=id_col, cover_level=cover_level
+    )
+    ref = ray.put(index)
+    return points.map_batches(
+        PIPJoiner,
+        fn_constructor_args=(ref, geom_col, mode, None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+class KNNJoiner:
+    """kNN probe stage via grid-cell ring expansion (exact under the
+    planar (lon,lat) metric; ring-r stop bound proven in PointIndex.knn)."""
+
+    def __init__(self, index_ref, geom_col: str, k: int, id_out: str, probe_id_col):
+        self.index: PointIndex = ray.get(index_ref)
+        self.geom_col = geom_col
+        self.k = k
+        self.id_out = id_out
+        self.probe_id_col = probe_id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, self.geom_col)
+        P, R, D = self.index.knn(lon, lat, self.k)
+        out = batch.take(pa.array(P))
+        ids = self.index.ref_ids[R]
+        out = out.append_column(self.id_out, pa.array(ids.tolist()))
+        out = out.append_column("knn_dist2", pa.array(D, pa.float64()))
+        rank = np.zeros(P.shape[0], dtype=np.int64)
+        if P.shape[0]:
+            # D is sorted within each probe; rank = position within probe
+            new = np.ones(P.shape[0], dtype=bool)
+            new[1:] = P[1:] != P[:-1]
+            starts = np.nonzero(new)[0]
+            rank = np.arange(P.shape[0]) - np.repeat(starts, np.diff(np.append(starts, P.shape[0])))
+        out = out.append_column("knn_rank", pa.array(rank + 1, pa.int64()))
+        return out
+
+
+def knn_join(
+    probes: ray.data.Dataset,
+    ref_lon: np.ndarray,
+    ref_lat: np.ndarray,
+    ref_ids: np.ndarray,
+    k: int = 3,
+    geom_col: str = "geotag",
+    res: float | None = None,
+    id_out: str = "neighbor_id",
+    concurrency=(2, 8),
+    batch_size: int = 8192,
+    num_cpus: float = 1.0,
+) -> ray.data.Dataset:
+    """B6: broadcast kNN join: each probe row fans out to ≤k result rows
+    (neighbor id, squared planar distance, rank)."""
+    if res is None:
+        # aim for ~a few refs per cell: res ≈ sqrt(area/ n_ref) over the
+        # lon/lat rectangle, clamped to sane bounds
+        n = max(len(ref_ids), 1)
+        res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
+    index = PointIndex.build(
+        np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64), ref_ids, res
+    )
+    ref = ray.put(index)
+    return probes.map_batches(
+        KNNJoiner,
+        fn_constructor_args=(ref, geom_col, k, id_out, None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

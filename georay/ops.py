@@ -1,0 +1,299 @@
+"""Dataset-level operators: thin, scale-conscious wrappers that express
+every SURVEY.md §2 operator as Ray Data dataflow.
+
+Design rules (SURVEY.md §4, ray_guide):
+- every per-row transform is ``map_batches(fn, batch_format="pyarrow",
+  zero_copy_batch=True)`` with a vectorized body — no Python row loops;
+- aggregates are per-batch partials + a tiny final merge (the reference's
+  push…push→finish kernel protocol);
+- stateful joins are actor pools holding a broadcast index (georay.joins);
+- wide ops (groupby/sort) are pushed onto small pre-aggregated tables
+  wherever semantics allow.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from georay import cells, kernels
+from georay.codecs import native
+from georay.types import GeoType, geo_fields
+
+
+# ------------------------------------------------------------ geometry col
+
+def point_lonlat(batch: pa.Table, geom_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) float64 from a geoarrow.point column; null/empty → NaN."""
+    arr = batch[geom_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    v = native.view(arr)
+    lon = v.coords[:, 0].astype(np.float64, copy=True)
+    lat = v.coords[:, 1].astype(np.float64, copy=True)
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    return lon, lat
+
+
+def _drop_meta(t: pa.Table) -> pa.Table:
+    return t
+
+
+# -------------------------------------------------------------- add cells
+
+def add_cell_column(
+    ds: ray.data.Dataset,
+    geom_col: str = "geotag",
+    level: int = cells.DEFAULT_LEVEL,
+    out: str = "cell",
+    parent_level: int | None = None,
+    parent_out: str = "cell_parent",
+) -> ray.data.Dataset:
+    """B3: S2-style cell id column (+ optional coarser parent for
+    partitioning). Stateless vectorized map_batches."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, geom_col)
+        ids = cells.cell_from_lonlat(lon, lat, level)
+        batch = batch.append_column(out, pa.array(ids, pa.uint64()))
+        if parent_level is not None:
+            batch = batch.append_column(
+                parent_out, pa.array(cells.cell_parent(ids, parent_level), pa.uint64())
+            )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_grid_column(
+    ds: ray.data.Dataset,
+    geom_col: str = "geotag",
+    res: float = 1.0,
+    out: str = "grid_cell",
+) -> ray.data.Dataset:
+    """SQL-oracle-matched equirect grid key (cells.grid_cell)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, geom_col)
+        return batch.append_column(out, pa.array(cells.grid_cell(lon, lat, res), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_tile_columns(
+    ds: ray.data.Dataset,
+    geom_col: str = "geotag",
+    zoom: int = 6,
+    prefix: str = "tile",
+) -> ray.data.Dataset:
+    """B7 cell math: web-mercator tile (tx, ty, key) columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, geom_col)
+        tx, ty = cells.mercator_tile(lon, lat, zoom)
+        key = cells.tile_key(tx, ty, zoom)
+        return (
+            batch.append_column(f"{prefix}_x", pa.array(tx, pa.int64()))
+            .append_column(f"{prefix}_y", pa.array(ty, pa.int64()))
+            .append_column(f"{prefix}_key", pa.array(key, pa.int64()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------------- kernel lifts
+
+def cast_geometry(
+    ds: ray.data.Dataset, col: str, target: GeoType, source: GeoType | None = None
+) -> ray.data.Dataset:
+    """as_geoarrow over a Dataset column (kernel 6)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        out = kernels.cast(batch[col], target, src)
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, target.field(col), out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_box_column(
+    ds: ray.data.Dataset, col: str, out: str = "bbox", source: GeoType | None = None
+) -> ray.data.Dataset:
+    """Per-feature box kernel (kernel 8)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        b = kernels.box(batch[col], src)
+        return batch.append_column(GeoType.box().field(out), b)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_centroid_column(
+    ds: ray.data.Dataset, col: str, out: str = "centroid", source: GeoType | None = None
+) -> ray.data.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        c = kernels.centroid(batch[col], src)
+        return batch.append_column(GeoType.point().field(out), c)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def box_agg(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
+    """Global bounds (kernel 9): per-batch partial boxes → tiny merge.
+
+    Streams: only 4 doubles per block leave the map stage.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        xmin, ymin, xmax, ymax = kernels.box_agg_partial(batch[col], src)
+        return pa.table(
+            {
+                "xmin": pa.array([xmin]),
+                "ymin": pa.array([ymin]),
+                "xmax": pa.array([xmax]),
+                "ymax": pa.array([ymax]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return kernels.box_agg_merge(
+        [(p["xmin"], p["ymin"], p["xmax"], p["ymax"]) for p in parts]
+    )
+
+
+def unique_geometry_types(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
+    """unique_geometry_types_agg (kernel 7): per-batch bitmask, OR-merged."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        m = kernels.unique_types_partial(batch[col], src)
+        return pa.table({"mask": pa.array([m], pa.uint64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    mask = 0
+    for p in parts:
+        mask |= int(p["mask"])
+    return kernels.unique_types_finish(mask)
+
+
+def infer_geo_schema(ds: ray.data.Dataset, col: str, source: GeoType | None = None) -> GeoType:
+    """infer_geoarrow_schema: unique-types agg + promotion
+    (R/infer-default.R:85-152)."""
+    codes = unique_geometry_types(ds, col, source)
+    return kernels.infer_type_from_codes(codes) if codes else GeoType.wkb()
+
+
+def validate_geometry(ds: ray.data.Dataset, col: str) -> int:
+    """visit_void_agg (kernel 3): full decode, raising on malformed rows.
+    Returns count of valid features."""
+    from georay.codecs import wkt as wkt_codec
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = GeoType.from_field(batch.schema.field(col))
+        arr = batch[col]
+        if src.serialized:
+            if "wkt" in src.extension_name:
+                n = wkt_codec.validate(arr)
+            else:
+                from georay.codecs import wkb as wkb_codec
+
+                arr_c = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+                n = 0
+                for v in arr_c:
+                    if v.is_valid:
+                        wkb_codec.parse_feature(v.as_py())
+                        n += 1
+        else:
+            v = native.view(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr, src)
+            n = v.length - (0 if v.valid is None else int((~v.valid).sum()))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return sum(p["n"] for p in parts)
+
+
+# ----------------------------------------------------------------- dedup
+
+def dedup_exact(
+    ds: ray.data.Dataset, key: str | list[str], keep_col: str | None = None
+) -> ray.data.Dataset:
+    """B9: exact dedup — hash-partition on ``key``, keep the first row per
+    group (deterministic: min of ``keep_col`` or min of ``key`` order).
+
+    The groupby is the shuffle; only one row per group survives it.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def first(group: pa.Table) -> pa.Table:
+        if keep_col is not None:
+            order = pc.sort_indices(group, sort_keys=[(keep_col, "ascending")])
+            return group.take(order[:1])
+        return group.slice(0, 1)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        first, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------- salted aggregate
+
+def salted_count(
+    ds: ray.data.Dataset,
+    key: str,
+    n_salt: int = 16,
+    agg_cols: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """B8: skew-safe grouped count/sum.
+
+    Stage 1 pre-aggregates inside each batch (map-side combine), emitting
+    at most ``groups×salts`` rows per batch; stage 2 is a small shuffle of
+    partials. Salting spreads a hot key (dense city cell) over ``n_salt``
+    reducers; the final combine is associative so the result is exact.
+
+    agg_cols: {column: "sum"} additional sums to carry.
+    """
+    agg_cols = agg_cols or {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        salt = (np.arange(k.shape[0]) % n_salt).astype(np.int64)
+        tbl = {key: k, "_salt": salt}
+        for c in agg_cols:
+            tbl[c] = batch[c].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame(tbl)
+        gb = df.groupby([key, "_salt"], sort=False)
+        out = gb.size().rename("partial_count").reset_index()
+        for c, how in agg_cols.items():
+            out[f"partial_{how}_{c}"] = gb[c].sum().values
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("partial_count", alias_name="count")]
+    for c, how in agg_cols.items():
+        aggs.append(Sum(f"partial_{how}_{c}", alias_name=f"{how}_{c}"))
+    # two-stage: (key, salt) partials already combined per batch; final
+    # groupby(key) merges the ≤ n_salt × n_blocks partial rows per key
+    return partials.groupby(key).aggregate(*aggs)
+
+
+def top_k(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:
+    """B10: global top-k = sort + limit (Ray Data samples sort boundaries;
+    only applied to small aggregated tables in georay pipelines)."""
+    return ds.sort(col, descending=descending).limit(k)

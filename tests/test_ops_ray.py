@@ -1,0 +1,197 @@
+"""End-to-end Dataset operator tests (the SURVEY.md §7.1 minimum slice
+and the join/tiling layers) on the deterministic synthetic tables."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from georay import cells, generate, ops
+from georay.codecs import native
+from georay.types import GeoType
+
+
+@pytest.fixture(scope="module")
+def images_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("images")
+    generate.write_images_dataset(str(d), 3000, seed=42, rows_per_file=1000)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def polygons_table():
+    return generate.make_polygons_table(300, seed=43)
+
+
+def test_minimum_slice_read_cells_write(images_dir, ray_session, tmp_path):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    ds = ops.add_cell_column(ds, level=12, parent_level=4)
+    out_dir = str(tmp_path / "out")
+    ds.write_parquet(out_dir)
+    back = pq.read_table(out_dir)
+    assert back.num_rows == 3000
+    assert "cell" in back.column_names and "cell_parent" in back.column_names
+
+    # numpy oracle over the same input
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    exp = cells.cell_from_lonlat(lon, lat, 12)
+    got_tbl = back.sort_by("image_id")
+    src_ids = np.asarray(src["image_id"].to_pylist())
+    order = np.argsort(src_ids, kind="stable")
+    got = got_tbl["cell"].to_numpy()
+    assert np.array_equal(got, exp[order])
+    # parent prefix property holds on the output
+    par = got_tbl["cell_parent"].to_numpy()
+    nz = got != 0
+    assert np.array_equal(
+        par[nz], cells.cell_parent(got[nz], 4)
+    )
+
+
+def test_pip_join_modes(images_dir, polygons_table, ray_session):
+    import ray.data as rd
+
+    from georay.index import PolygonIndex
+    from georay.joins import pip_join
+
+    ds = rd.read_parquet(images_dir)
+    inner = pip_join(ds, polygons_table, mode="inner", concurrency=2).take_all()
+    semi = pip_join(ds, polygons_table, mode="semi", concurrency=2).count()
+    anti = pip_join(ds, polygons_table, mode="anti", concurrency=2).count()
+    assert semi + anti == 3000
+
+    # oracle: single-process index probe
+    src = pq.read_table(images_dir)
+    idx = PolygonIndex.build(polygons_table)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    bad = ~(np.isfinite(lon) & np.isfinite(lat))
+    pidx, poly = idx.contains(np.where(bad, 1e9, lon), np.where(bad, 1e9, lat))
+    exp_pairs = set(
+        zip(
+            np.asarray(src["image_id"].to_pylist())[pidx].tolist(),
+            idx.polygon_ids[poly].tolist(),
+        )
+    )
+    got_pairs = {(r["image_id"], r["polygon_id"]) for r in inner}
+    assert got_pairs == exp_pairs
+    assert semi == len({p for p, _ in exp_pairs})
+
+
+def test_knn_join_matches_bruteforce(images_dir, ray_session):
+    import ray.data as rd
+
+    from georay.joins import knn_join
+
+    rng = np.random.default_rng(5)
+    ref_lon = rng.uniform(-180, 180, 500)
+    ref_lat = rng.uniform(-85, 85, 500)
+    ref_ids = np.array([f"ref{i:04d}" for i in range(500)])
+
+    ds = rd.read_parquet(images_dir)
+    got = knn_join(ds, ref_lon, ref_lat, ref_ids, k=2, concurrency=2).take_all()
+
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    ids = np.asarray(src["image_id"].to_pylist())
+    exp = {}
+    for i in range(len(ids)):
+        if not np.isfinite(lon[i]):
+            continue
+        d2 = (ref_lon - lon[i]) ** 2 + (ref_lat - lat[i]) ** 2
+        order = np.lexsort((ref_ids, d2))[:2]
+        exp[ids[i]] = [(ref_ids[j], round(float(d2[j]), 9)) for j in order]
+    got_by_img = {}
+    for r in got:
+        got_by_img.setdefault(r["image_id"], []).append(
+            (r["knn_rank"], r["neighbor_id"], round(r["knn_dist2"], 9))
+        )
+    assert len(got_by_img) == len(exp)
+    for img, pairs in exp.items():
+        g = sorted(got_by_img[img])
+        assert [(x[1], x[2]) for x in g] == pairs, img
+
+
+def test_dedup_exact(images_dir, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir, columns=["image_id", "phash"])
+    out = ops.dedup_exact(ds, "phash", keep_col="image_id").take_all()
+    src = pq.read_table(images_dir)
+    import collections
+
+    by_hash = collections.defaultdict(list)
+    for i, p in zip(src["image_id"].to_pylist(), src["phash"].to_pylist()):
+        by_hash[p].append(i)
+    exp = {min(v) for v in by_hash.values()}
+    assert {r["image_id"] for r in out} == exp
+
+
+def test_salted_count(images_dir, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    ds = ops.add_grid_column(ds, res=5.0)
+    out = ops.salted_count(ds, "grid_cell", n_salt=4).take_all()
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    import collections
+
+    exp = collections.Counter(cells.grid_cell(lon, lat, 5.0).tolist())
+    got = {r["grid_cell"]: r["count"] for r in out}
+    assert got == dict(exp)
+
+
+def test_box_agg_and_unique_types_distributed(images_dir, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    xmin, ymin, xmax, ymax = ops.box_agg(ds, "geotag")
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    ok = np.isfinite(lon)
+    assert np.isclose(xmin, lon[ok].min()) and np.isclose(xmax, lon[ok].max())
+    assert np.isclose(ymin, lat[ok].min()) and np.isclose(ymax, lat[ok].max())
+
+    codes = ops.unique_geometry_types(ds, "geotag")
+    assert codes == [1]
+    inferred = ops.infer_geo_schema(ds, "geotag")
+    assert inferred.geometry_type.name == "POINT"
+
+
+def test_tile_columns(images_dir, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    out = ops.add_tile_columns(ds, zoom=4).take_all()
+    for r in out[:100]:
+        assert 0 <= r["tile_x"] < 16 and 0 <= r["tile_y"] < 16
