@@ -262,6 +262,18 @@ def cell_disk(ids: np.ndarray, level: int, k: int = 1) -> np.ndarray:
     return out
 
 
+def to_i64(ids: np.ndarray) -> np.ndarray:
+    """Bit-reinterpret uint64 cell ids as int64 for storage in Dataset
+    columns (Ray Data's shuffle cannot ship uint64 > int64-max; two's
+    complement preserves equality, and any descendant range shares its
+    parent's face bits so sign never flips within a range)."""
+    return np.asarray(ids, dtype=np.uint64).view(np.int64)
+
+
+def to_u64(ids: np.ndarray) -> np.ndarray:
+    return np.asarray(ids, dtype=np.int64).view(np.uint64)
+
+
 # ------------------------------------------------------ equirect grid cells
 
 GRID_MULT = 100_000  # gy < 18000 for res ≥ 0.01° — safe multiplier

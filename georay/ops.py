@@ -63,10 +63,11 @@ def add_cell_column(
     def fn(batch: pa.Table) -> pa.Table:
         lon, lat = point_lonlat(batch, geom_col)
         ids = cells.cell_from_lonlat(lon, lat, level)
-        batch = batch.append_column(out, pa.array(ids, pa.uint64()))
+        batch = batch.append_column(out, pa.array(cells.to_i64(ids), pa.int64()))
         if parent_level is not None:
             batch = batch.append_column(
-                parent_out, pa.array(cells.cell_parent(ids, parent_level), pa.uint64())
+                parent_out,
+                pa.array(cells.to_i64(cells.cell_parent(ids, parent_level)), pa.int64()),
             )
         return batch
 
@@ -266,20 +267,38 @@ def salted_count(
     """
     agg_cols = agg_cols or {}
 
+    key_type_holder: dict = {}
+
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy(zero_copy_only=False)
+        key_dtype = k.dtype
         salt = (np.arange(k.shape[0]) % n_salt).astype(np.int64)
-        tbl = {key: k, "_salt": salt}
-        for c in agg_cols:
-            tbl[c] = batch[c].to_numpy(zero_copy_only=False)
-        import pandas as pd
-
-        df = pd.DataFrame(tbl)
-        gb = df.groupby([key, "_salt"], sort=False)
-        out = gb.size().rename("partial_count").reset_index()
+        # pure-NumPy in-batch combine: lexsort + reduceat (no pandas, so
+        # dtypes survive exactly — uint64 cell ids included)
+        order = np.lexsort((salt, k))
+        ks, ss = k[order], salt[order]
+        if ks.shape[0] == 0:
+            cols = {
+                key: pa.array(ks),
+                "_salt": pa.array(ss, pa.int64()),
+                "partial_count": pa.array(np.empty(0, np.int64)),
+            }
+            for c, how in agg_cols.items():
+                cols[f"partial_{how}_{c}"] = pa.array(np.empty(0, np.float64))
+            return pa.table(cols)
+        new = np.ones(ks.shape[0], dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, ks.shape[0])).astype(np.int64)
+        cols = {
+            key: pa.array(ks[starts]),
+            "_salt": pa.array(ss[starts], pa.int64()),
+            "partial_count": pa.array(counts),
+        }
         for c, how in agg_cols.items():
-            out[f"partial_{how}_{c}"] = gb[c].sum().values
-        return pa.Table.from_pandas(out, preserve_index=False)
+            vals = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+            cols[f"partial_{how}_{c}"] = pa.array(np.add.reduceat(vals, starts))
+        return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -1,0 +1,243 @@
+"""Flagship pipelines: ingest → cell-encode → PIP join → tiling → skew-safe
+aggregation, with per-partition lineage records and checkpoint resume
+(SURVEY.md §3 "Engine lifecycle equivalents", §2.B11).
+
+Scale notes (the 100 TB story):
+- the image ``bytes`` column never crosses a shuffle: the enriched
+  assignment table (ids + cells + tiles + join results) is written per
+  input shard with no all-to-all; the only wide op runs over tiny
+  pre-aggregated partials;
+- resume is manifest-driven: each input shard is a partition whose
+  output is validated by row count + an order-insensitive checksum;
+  finished shards are skipped on rerun (content-addressed partition ids,
+  not task ordinals);
+- the polygon side is broadcast once via ``ray.put`` (georay.joins).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from georay import cells, ops
+from georay.joins import pip_join
+
+MANIFEST = "manifest.json"
+
+
+def _shard_of_path(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _id_checksum(ids: np.ndarray) -> int:
+    """Order-insensitive 63-bit checksum over row ids (stable across
+    resumes and block orderings)."""
+    total = 0
+    for s in ids:
+        h = int.from_bytes(
+            hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "little"
+        )
+        total = (total + h) & ((1 << 63) - 1)
+    return total
+
+
+def load_manifest(out_dir: str) -> dict:
+    p = os.path.join(out_dir, MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def save_manifest(out_dir: str, manifest: dict) -> None:
+    p = os.path.join(out_dir, MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)  # atomic publish
+
+
+def run_flagship(
+    images_dir: str,
+    out_dir: str,
+    polygons: pa.Table,
+    level: int = cells.DEFAULT_LEVEL,
+    parent_level: int = 6,
+    zoom: int = 8,
+    resume: bool = True,
+    concurrency=(2, 8),
+) -> dict:
+    """Ingest/encode + spatial join + tiling over the image+caption table.
+
+    Per input shard writes ``out_dir/assign/shard=<name>/`` holding the
+    assignment table (image_id, cell, cell_parent, polygon_id, tile_*)
+    — geometry enrichment WITHOUT the image bytes (§7.4 hard part 3) —
+    and appends a lineage record to the manifest. Then aggregates tile
+    and cell histograms from the (small) assignment output.
+    """
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(images_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet shards under {images_dir}")
+    manifest = load_manifest(out_dir) if resume else {}
+    pending = [f for f in files if _shard_of_path(f) not in manifest]
+    t0 = time.perf_counter()
+    assign_root = os.path.join(out_dir, "assign")
+
+    # clear outputs of shards that started but never validated (crash);
+    # manifest-recorded shards are never touched
+    if os.path.isdir(assign_root):
+        for d in os.listdir(assign_root):
+            if d.startswith("shard=") and d.split("=", 1)[1] not in manifest:
+                shutil.rmtree(os.path.join(assign_root, d))
+
+    n_rows_written = 0
+    if pending:
+        # ONE Dataset over all pending shards — read tasks parallelize
+        # across files; provenance via include_paths drives partitioned
+        # output so every input shard owns exactly one output directory.
+        ds = rd.read_parquet(
+            pending,
+            columns=["image_id", "phash", "geotag"],  # prune at the read:
+            # bytes/caption never enter the join path
+            include_paths=True,
+        )
+
+        def shard_col(batch: pa.Table) -> pa.Table:
+            shards = [
+                _shard_of_path(p)
+                for p in batch["path"].to_pylist()
+            ]
+            return batch.drop_columns(["path"]).append_column(
+                "shard", pa.array(shards, pa.string())
+            )
+
+        ds = ds.map_batches(shard_col, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ops.add_cell_column(ds, level=level, parent_level=parent_level)
+        ds = pip_join(ds, polygons, mode="left", concurrency=concurrency)
+        ds = ops.add_tile_columns(ds, zoom=zoom)
+        ds.write_parquet(assign_root, partition_cols=["shard"])
+
+        # validate + publish lineage per shard (rows + order-insensitive
+        # id checksum); only validated shards enter the manifest
+        for path in pending:
+            shard = _shard_of_path(path)
+            shard_dir = os.path.join(assign_root, f"shard={shard}")
+            out_ids = pq.read_table(shard_dir, columns=["image_id"])["image_id"]
+            n_out = len(out_ids)
+            n_in = pq.read_metadata(path).num_rows
+            if n_out != n_in:
+                raise RuntimeError(
+                    f"shard {shard}: wrote {n_out} rows, expected {n_in}"
+                )
+            manifest[shard] = {
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "id_checksum": _id_checksum(out_ids.to_numpy(zero_copy_only=False)),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(shard_dir, f))
+                    for f in os.listdir(shard_dir)
+                ),
+            }
+            n_rows_written += n_out
+        save_manifest(out_dir, manifest)
+
+    # wide stage over the (narrow) assignment table: densest cells + tiles
+    assign = rd.read_parquet(assign_root)
+    cell_hist = ops.salted_count(assign, "cell_parent")
+    top_cells = cell_hist.sort(["count", "cell_parent"], descending=[True, False]).limit(20)
+    tile_hist = ops.salted_count(assign, "tile_key")
+    tiles_pdf = tile_hist.to_pandas()
+    top_pdf = top_cells.to_pandas()
+    tiles_pdf.to_parquet(os.path.join(out_dir, "tile_histogram.parquet"))
+    top_pdf.to_parquet(os.path.join(out_dir, "top_cells.parquet"))
+
+    total_rows = sum(m["rows_out"] for m in manifest.values())
+    summary = {
+        "shards_total": len(files),
+        "shards_processed_this_run": len(pending),
+        "rows": int(total_rows),
+        "tiles": int(len(tiles_pdf)),
+        "seconds": round(time.perf_counter() - t0, 3),
+        "rows_per_sec": round(n_rows_written / max(time.perf_counter() - t0, 1e-9), 1),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return summary
+
+
+class ImageValidator:
+    """Actor-pool stage for the per-row invariant (BASELINE.json
+    input_hint): decode pixels, check PSNR≥40dB for lossy / exact for
+    lossless against the generator's recomputed ground truth, and caption
+    integrity. Decoding is stateful-stage-shaped (real decoders would
+    load codecs once per actor here)."""
+
+    def __init__(self):
+        from georay import generate, images
+
+        self.images = images
+        self.generate = generate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        im = self.images
+        n = len(batch)
+        ok = np.zeros(n, dtype=bool)
+        psnr_vals = np.full(n, np.inf)
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        keys = batch["content_key"].to_pylist()
+        for i in range(n):
+            pix = im.decode_image(data[i], fmts[i], ws[i], hs[i])
+            exp = self.generate._pixels_for(keys[i], ws[i], hs[i])
+            if fmts[i] in im.LOSSY_FORMATS:
+                p = im.psnr(exp, pix)
+                psnr_vals[i] = p
+                ok[i] = p >= 40.0
+            else:
+                ok[i] = np.array_equal(pix, exp)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "pixels_ok": pa.array(ok),
+                "psnr": pa.array(psnr_vals),
+                "caption_present": pa.array(
+                    [c is not None for c in batch["caption"].to_pylist()]
+                ),
+            }
+        )
+
+
+def validate_images(images_dir: str, concurrency=(2, 8)) -> dict:
+    ds = rd.read_parquet(images_dir)
+    out = ds.map_batches(
+        ImageValidator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+    import pandas as pd
+
+    pdf = out.to_pandas()
+    return {
+        "rows": len(pdf),
+        "pixels_ok": int(pdf["pixels_ok"].sum()),
+        "min_psnr_lossy": float(pdf["psnr"][np.isfinite(pdf["psnr"])].min())
+        if np.isfinite(pdf["psnr"]).any()
+        else None,
+    }

@@ -44,7 +44,7 @@ def test_minimum_slice_read_cells_write(images_dir, ray_session, tmp_path):
     if v.valid is not None:
         lon[~v.valid] = np.nan
         lat[~v.valid] = np.nan
-    exp = cells.cell_from_lonlat(lon, lat, 12)
+    exp = cells.to_i64(cells.cell_from_lonlat(lon, lat, 12))
     got_tbl = back.sort_by("image_id")
     src_ids = np.asarray(src["image_id"].to_pylist())
     order = np.argsort(src_ids, kind="stable")
@@ -54,7 +54,7 @@ def test_minimum_slice_read_cells_write(images_dir, ray_session, tmp_path):
     par = got_tbl["cell_parent"].to_numpy()
     nz = got != 0
     assert np.array_equal(
-        par[nz], cells.cell_parent(got[nz], 4)
+        par[nz], cells.to_i64(cells.cell_parent(cells.to_u64(got[nz]), 4))
     )
 
 
