@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the georay engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (nor in the georay library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship spatial pipeline over /root/testdata/sf0.001 —
+  cell encode → broadcast PIP join → mercator tiling → skew-safe
+  per-cell aggregate; returns the enriched aggregate as a pyarrow Table.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 (geometry kernels, cell index, joins, tiling, dedup,
+  windows, codec round-trips).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query; geometry is synthesized deterministically from integer columns
+  (FIXTURES.md F6) so doubles match bit-for-bit.
 """
 
 from __future__ import annotations
@@ -20,25 +21,43 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from georay import tpch
+
+    sf_dir = "/root/testdata/sf0.001"
+    return q_flagship(sf_dir)
+
+
+def q_flagship(sf_dir: str) -> Any:
+    """cells + PIP join + tiles + grouped counts in one pipeline."""
+    import pyarrow as pa
+
+    from georay import ops, tpch
+    from georay.joins import pip_join
+
+    pts = tpch.lineitem_points(sf_dir)
+    pts = ops.add_cell_column(pts, level=12, parent_level=6)
+    joined = pip_join(
+        pts,
+        tpch.part_box_polygons(sf_dir),
+        geometry_col="geometry",
+        id_col="p_partkey",
+        mode="left",
+        concurrency=(1, 4),
+    )
+    joined = ops.add_tile_columns(joined, zoom=6)
+    hist = ops.salted_count(joined, "cell_parent", count_alias="n")
+    return hist.sort(["n", "cell_parent"], descending=[True, False]).limit(50)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from georay import tpch
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(tpch.QUERIES)
+    q["flagship"] = q_flagship
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from georay import tpch
+
+    return dict(tpch.ORACLE)

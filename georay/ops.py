@@ -255,6 +255,7 @@ def salted_count(
     key: str,
     n_salt: int = 16,
     agg_cols: dict[str, str] | None = None,
+    count_alias: str = "count",
 ) -> ray.data.Dataset:
     """B8: skew-safe grouped count/sum.
 
@@ -304,7 +305,7 @@ def salted_count(
 
     from ray.data.aggregate import Sum
 
-    aggs = [Sum("partial_count", alias_name="count")]
+    aggs = [Sum("partial_count", alias_name=count_alias)]
     for c, how in agg_cols.items():
         aggs.append(Sum(f"partial_{how}_{c}", alias_name=f"{how}_{c}"))
     # two-stage: (key, salt) partials already combined per batch; final

@@ -1,0 +1,471 @@
+"""Driver-contract queries over /root/testdata TPC-H-ish tables.
+
+Geometry is synthesized DETERMINISTICALLY from integer columns
+(FIXTURES.md F6) so every query has an ANSI-SQL DuckDB oracle with
+bit-identical doubles: all coordinates are ``(int-expression % m)/10.0 ±
+offset`` — integer math then one exact division — and the engine mirrors
+each SQL expression operation-for-operation.
+
+Every public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pyarrow Table whose column NAMES match the oracle SQL aliases exactly
+(the driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from georay import cells, kernels, ops
+from georay.codecs import native, wkb, wkt
+from georay.joins import knn_join, pip_join
+from georay.types import GeoType
+
+GRID_RES = 1.0
+TILE_ZOOM = 6
+KNN_K = 3
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# ----------------------------------------------- synthesized geometry
+
+def _li_lonlat(ok, pk, sk, ln):
+    """lineitem point; mirrors SQL in LI_LON/LI_LAT below exactly."""
+    lon = ((ok * 29 + ln * 11) % 3600) / 10.0 - 180.0 + 0.05
+    lat = ((pk * 13 + sk * 7 + ln) % 1700) / 10.0 - 85.0 + 0.05
+    return lon, lat
+
+
+LI_LON = "((l_orderkey * 29 + l_linenumber * 11) % 3600) / 10.0 - 180.0 + 0.05"
+LI_LAT = "((l_partkey * 13 + l_suppkey * 7 + l_linenumber) % 1700) / 10.0 - 85.0 + 0.05"
+
+PART_CX = "((p_partkey * 17) % 3600) / 10.0 - 180.0 + 0.05"
+PART_CY = "((p_partkey * 23) % 1700) / 10.0 - 85.0 + 0.05"
+PART_W = "(p_size % 10) / 2.0 + 0.5"
+PART_H = "(p_size % 7) / 2.0 + 0.5"
+
+SUPP_SX = "((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05"
+SUPP_SY = "((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05"
+
+
+def lineitem_points(sf_dir: str, extra_cols: list[str] | None = None) -> rd.Dataset:
+    """lineitem with a geoarrow.point ``geotag`` column (pruned read)."""
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    for c in extra_cols or []:
+        if c not in cols:
+            cols.append(c)
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=cols)
+
+    def add_pt(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _li_lonlat(ok, pk, sk, ln)
+        pt = native.build_points(
+            np.column_stack([lon, lat]), GeoType.point(crs="OGC:CRS84")
+        )
+        return batch.append_column(GeoType.point(crs="OGC:CRS84").field("geotag"), pt)
+
+    return ds.map_batches(add_pt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def part_box_polygons(sf_dir: str) -> pa.Table:
+    """Boxes derived from ``part``, materialized as geoarrow.polygon rings
+    in the reference's box→polygon ring order
+    (/root/reference/tests/testthat/test-pkg-wk.R:234-239):
+    (xmin ymin, xmax ymin, xmax ymax, xmin ymax, xmin ymin)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    sz = t["p_size"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    w = (sz % 10) / 2.0 + 0.5
+    h = (sz % 7) / 2.0 + 0.5
+    xmin, xmax = cx - w, cx + w
+    ymin, ymax = cy - h, cy + h
+    n = len(pk)
+    ring = np.empty((n, 5, 2), dtype=np.float64)
+    ring[:, 0] = np.column_stack([xmin, ymin])
+    ring[:, 1] = np.column_stack([xmax, ymin])
+    ring[:, 2] = np.column_stack([xmax, ymax])
+    ring[:, 3] = np.column_stack([xmin, ymax])
+    ring[:, 4] = np.column_stack([xmin, ymin])
+    coords = ring.reshape(-1, 2)
+    ring_off = np.arange(0, 5 * n + 1, 5, dtype=np.int64)
+    poly_off = np.arange(n + 1, dtype=np.int64)
+    geo = GeoType.polygon(crs="OGC:CRS84")
+    geom = native.build_nested(coords, [poly_off, ring_off], geo)
+    return pa.table(
+        {"p_partkey": pa.array(pk), "geometry": geom},
+        schema=pa.schema(
+            [pa.field("p_partkey", pa.int64()), geo.field("geometry")]
+        ),
+    )
+
+
+def supplier_points(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+    sk = t["s_suppkey"].to_numpy().astype(np.int64)
+    sx = ((sk * 41) % 3600) / 10.0 - 180.0 + 0.05
+    sy = ((sk * 59) % 1700) / 10.0 - 85.0 + 0.05
+    return sx, sy, sk
+
+
+_LI_POINT_SQL = (
+    f"SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+    f"{LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem"
+)
+
+
+# ------------------------------------------------------------- queries
+
+def q_grid_cell_count(sf_dir: str):
+    """Fixed-resolution grid-cell histogram (cell encode + skew-safe
+    two-stage aggregate)."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_grid_column(ds, res=GRID_RES)
+    return ops.salted_count(ds, "grid_cell", count_alias="n")
+
+
+SQL_GRID_CELL_COUNT = f"""
+SELECT CAST(FLOOR((lon + 180)/1.0) AS BIGINT)*100000
+     + CAST(FLOOR((lat + 90)/1.0) AS BIGINT) AS grid_cell,
+       COUNT(*) AS n
+FROM ({_LI_POINT_SQL})
+GROUP BY 1
+"""
+
+
+def q_bounds(sf_dir: str):
+    """box_agg kernel over the whole table (never-null global bounds)."""
+    ds = lineitem_points(sf_dir)
+    xmin, ymin, xmax, ymax = ops.box_agg(ds, "geotag")
+    return pa.table(
+        {
+            "xmin": pa.array([xmin]),
+            "ymin": pa.array([ymin]),
+            "xmax": pa.array([xmax]),
+            "ymax": pa.array([ymax]),
+        }
+    )
+
+
+SQL_BOUNDS = f"""
+SELECT MIN(lon) AS xmin, MIN(lat) AS ymin, MAX(lon) AS xmax, MAX(lat) AS ymax
+FROM ({_LI_POINT_SQL})
+"""
+
+
+def q_centroid_by_flag(sf_dir: str):
+    """Grouped centroid (mean of coords) — rounded to 6 dp on both sides
+    to absorb summation-order last-bit drift."""
+    ds = lineitem_points(sf_dir, extra_cols=["l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = native.view(batch["geotag"].combine_chunks())
+        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"l_returnflag": flag, "sx": v.coords[:, 0], "sy": v.coords[:, 1]}
+        )
+        g = df.groupby("l_returnflag", sort=False)
+        out = g.agg(psx=("sx", "sum"), psy=("sy", "sum"), pn=("sx", "size")).reset_index()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"].tolist(), pa.string()),
+                "psx": pa.array(out["psx"].to_numpy()),
+                "psy": pa.array(out["psy"].to_numpy()),
+                "pn": pa.array(out["pn"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("psx", alias_name="sx"),
+            Sum("psy", alias_name="sy"),
+            Sum("pn", alias_name="n"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cx": pa.array(np.round(sx / n, 6)),
+                "cy": pa.array(np.round(sy / n, 6)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CENTROID_BY_FLAG = f"""
+SELECT l_returnflag, ROUND(SUM(lon)/COUNT(*), 6) AS cx,
+       ROUND(SUM(lat)/COUNT(*), 6) AS cy, COUNT(*) AS n
+FROM (SELECT l_returnflag, {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
+def q_pip_box_join(sf_dir: str):
+    """Broadcast point-in-polygon join (boxes as polygons), counted per
+    polygon. Half-open box semantics [xmin,xmax)×[ymin,ymax) follow from
+    the even-odd crossing rule on the reference ring order."""
+    polys = part_box_polygons(sf_dir)
+    pts = lineitem_points(sf_dir)
+    joined = pip_join(
+        pts, polys, geometry_col="geometry", id_col="p_partkey", mode="inner",
+        concurrency=(1, 4),
+    )
+    return ops.salted_count(joined, "polygon_id", count_alias="n").map_batches(
+        lambda b: b.rename_columns(["p_partkey", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_PIP_BOX_JOIN = f"""
+WITH pts AS ({_LI_POINT_SQL}),
+boxes AS (
+  SELECT p_partkey,
+         {PART_CX} AS cx, {PART_CY} AS cy, {PART_W} AS w, {PART_H} AS h
+  FROM part
+)
+SELECT b.p_partkey AS p_partkey, COUNT(*) AS n
+FROM boxes b JOIN pts p
+  ON p.lon >= b.cx - b.w AND p.lon < b.cx + b.w
+ AND p.lat >= b.cy - b.h AND p.lat < b.cy + b.h
+GROUP BY b.p_partkey
+"""
+
+
+def q_knn_part_supplier(sf_dir: str):
+    """kNN join via grid-cell ring expansion: for each part point, the 3
+    nearest supplier points under the planar (lon,lat) metric."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probe = pa.table(
+        {"p_partkey": pa.array(pk)},
+        schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+    ).append_column(geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo))
+    probes = rd.from_arrow(probe)
+    sx, sy, sk = supplier_points(sf_dir)
+    out = knn_join(
+        probes, sx, sy, sk, k=KNN_K, id_out="s_suppkey", concurrency=(1, 4)
+    )
+    return out.select_columns(["p_partkey", "s_suppkey", "knn_rank"])
+
+
+SQL_KNN_PART_SUPPLIER = f"""
+WITH probes AS (
+  SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
+),
+refs AS (
+  SELECT s_suppkey, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier
+),
+ranked AS (
+  SELECT p.p_partkey, r.s_suppkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.p_partkey
+           ORDER BY (r.sx - p.px)*(r.sx - p.px) + (r.sy - p.py)*(r.sy - p.py),
+                    r.s_suppkey
+         ) AS knn_rank
+  FROM probes p CROSS JOIN refs r
+)
+SELECT p_partkey, s_suppkey, knn_rank FROM ranked WHERE knn_rank <= {KNN_K}
+"""
+
+
+def q_tile_counts(sf_dir: str):
+    """Web-mercator tiling: per-tile image counts at zoom {TILE_ZOOM}."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_tile_columns(ds, zoom=TILE_ZOOM)
+
+    def key2(batch: pa.Table) -> pa.Table:
+        return batch.select(["tile_x", "tile_y"]).append_column(
+            "txy",
+            pa.array(
+                batch["tile_x"].to_numpy(zero_copy_only=False) * 100000
+                + batch["tile_y"].to_numpy(zero_copy_only=False),
+                pa.int64(),
+            ),
+        )
+
+    ds = ds.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+    cnt = ops.salted_count(ds, "txy", count_alias="n")
+
+    def split(batch: pa.Table) -> pa.Table:
+        txy = batch["txy"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array(txy // 100000, pa.int64()),
+                "tile_y": pa.array(txy % 100000, pa.int64()),
+                "n": batch["n"],
+            }
+        )
+
+    return cnt.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_N_TILES = 1 << TILE_ZOOM
+SQL_TILE_COUNTS = f"""
+SELECT CAST(FLOOR((lon + 180)/360*{_N_TILES}) AS BIGINT) AS tile_x,
+       CAST(FLOOR((1 - LN(TAN(RADIANS(lat)) + 1/COS(RADIANS(lat)))/PI())/2*{_N_TILES}) AS BIGINT) AS tile_y,
+       COUNT(*) AS n
+FROM ({_LI_POINT_SQL})
+GROUP BY 1, 2
+"""
+
+
+def q_top_cells(sf_dir: str):
+    """Global top-k densest grid cells (sort + limit on the small
+    aggregated table; ties broken by cell id)."""
+    h = q_grid_cell_count(sf_dir)
+    return h.sort(["n", "grid_cell"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_CELLS = SQL_GRID_CELL_COUNT + " ORDER BY n DESC, grid_cell LIMIT 20"
+
+
+def q_dedup_docs(sf_dir: str):
+    """Exact dedup: first (min doc_id) document per n_chars group."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return ops.dedup_exact(ds, "n_chars", keep_col="doc_id").select_columns(
+        ["doc_id", "n_chars"]
+    )
+
+
+SQL_DEDUP_DOCS = "SELECT MIN(doc_id) AS doc_id, n_chars FROM documents GROUP BY n_chars"
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window count per event_type (stream-shaped op over
+    the ordered events log; exact integer bucket math)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000  # µs → hour bucket
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour, pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count
+
+    return (
+        ds.groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["event_type", "hour", "n"])
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, CAST(FLOOR(EPOCH(ts)/3600) AS BIGINT) AS hour, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_wkt_roundtrip(sf_dir: str):
+    """Codec conformance over synthesized points: native → WKT → WKB →
+    native must round-trip bit-identically (rows-only check; the WKT text
+    itself is pinned by tests/test_codecs.py)."""
+    ds = lineitem_points(sf_dir)
+
+    def rt(batch: pa.Table) -> pa.Table:
+        geo = GeoType.point(crs="OGC:CRS84")
+        arr = batch["geotag"].combine_chunks()
+        txt = wkt.encode(arr, geo)
+        nat1, _ = wkt.decode(txt, GeoType.point())
+        bin1 = wkb.encode(nat1, GeoType.point())
+        nat2, _ = wkb.decode(bin1, GeoType.point())
+        v0 = native.view(arr, geo)
+        v2 = native.view(nat2, GeoType.point())
+        ok = np.all(
+            np.isclose(v0.coords, v2.coords, rtol=0, atol=0, equal_nan=True), axis=1
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "roundtrip_ok": pa.array(ok),
+            }
+        )
+
+    out = ds.map_batches(rt, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count, Sum
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ok": batch["roundtrip_ok"].cast(pa.int64()), "one": pa.array(np.ones(len(batch), np.int64))}
+        )
+
+    agg = out.map_batches(to_int, batch_format="pyarrow").aggregate(
+        Sum("ok", alias_name="n_ok"), Sum("one", alias_name="n_total")
+    )
+    return pa.table({"n_ok": [agg["n_ok"]], "n_total": [agg["n_total"]]})
+
+
+def q_s2_cell_count(sf_dir: str):
+    """S2-style cell histogram at the working level (rows-only; the cell
+    codec is pinned against numpy oracles in tests/test_cells.py)."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_cell_column(ds, level=12, parent_level=6)
+    return ops.salted_count(ds, "cell_parent", count_alias="n")
+
+
+QUERIES = {
+    "grid_cell_count": q_grid_cell_count,
+    "bounds": q_bounds,
+    "centroid_by_flag": q_centroid_by_flag,
+    "pip_box_join": q_pip_box_join,
+    "knn_part_supplier": q_knn_part_supplier,
+    "tile_counts": q_tile_counts,
+    "top_cells": q_top_cells,
+    "dedup_docs": q_dedup_docs,
+    "events_window": q_events_window,
+    "wkt_roundtrip": q_wkt_roundtrip,
+    "s2_cell_count": q_s2_cell_count,
+}
+
+ORACLE = {
+    "grid_cell_count": SQL_GRID_CELL_COUNT,
+    "bounds": SQL_BOUNDS,
+    "centroid_by_flag": SQL_CENTROID_BY_FLAG,
+    "pip_box_join": SQL_PIP_BOX_JOIN,
+    "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
+    "tile_counts": SQL_TILE_COUNTS,
+    "top_cells": SQL_TOP_CELLS,
+    "dedup_docs": SQL_DEDUP_DOCS,
+    "events_window": SQL_EVENTS_WINDOW,
+}
