@@ -21,6 +21,40 @@ from georay.codecs import native
 from georay.types import GeometryType, GeoType
 
 
+def _ragged_ranges(counts: np.ndarray):
+    """(owner, within): flat enumeration of ``counts[i]`` items per i."""
+    total = int(counts.sum())
+    owner = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return owner, within
+
+
+def _cover_bboxes_grid(bbox: np.ndarray, ok: np.ndarray, res: float):
+    """(grid_keys, poly_indices): EXACT equirect-grid cover of each valid
+    bbox — pure floor arithmetic (same key function the probe side uses),
+    longitude columns wrapped modulo nx. No sampling, no misses."""
+    idx = np.nonzero(ok)[0]
+    if idx.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nx = int(np.ceil(360.0 / res))
+    ny = int(np.ceil(180.0 / res))
+    gx0 = np.floor((bbox[idx, 0] + 180.0) / res).astype(np.int64)
+    gx1 = np.floor((bbox[idx, 2] + 180.0) / res).astype(np.int64)
+    gy0 = np.clip(np.floor((bbox[idx, 1] + 90.0) / res), 0, ny - 1).astype(np.int64)
+    gy1 = np.clip(np.floor((bbox[idx, 3] + 90.0) / res), 0, ny - 1).astype(np.int64)
+    w = gx1 - gx0 + 1
+    h = gy1 - gy0 + 1
+    sizes = w * h
+    owner, within = _ragged_ranges(sizes)
+    wr = w[owner]
+    gx = (gx0[owner] + within % wr) % nx
+    gy = gy0[owner] + within // wr
+    keys = gx * cells.GRID_MULT + gy
+    return keys, idx[owner]
+
+
 def _csr_from_pairs(keys: np.ndarray, values: np.ndarray):
     """(sorted unique keys, offsets, values grouped by key)."""
     order = np.argsort(keys, kind="stable")
@@ -54,16 +88,19 @@ def csr_lookup(uniq: np.ndarray, offsets: np.ndarray, vs: np.ndarray, probe: np.
 
 @dataclass
 class PolygonIndex:
-    """Cell-bucketed polygon index (the engine's STR-pack analogue).
+    """Grid-bucketed polygon index (the engine's STR-pack analogue).
 
-    Polygons are covered with S2-style cells at ``cover_level``; a probe
+    Polygons' bboxes are covered EXACTLY with equirect grid cells at
+    degree resolution ``res`` (floor arithmetic, lon-wrapped); a probe
     point's cell lookup yields candidate polygons, pre-filtered by bbox,
     then exact even-odd crossing-number PIP on the ring coordinates
     (planar, per the reference's planar-only kernel precedent,
-    /root/reference/src/geoarrow.c:1746-1750).
+    /root/reference/src/geoarrow.c:1746-1750). S2-style cells remain the
+    dataset partitioning key (ops.add_cell_column); the join cover uses
+    the grid because bbox→cell coverage is provably exact there.
     """
 
-    cover_level: int
+    res: float
     cell_uniq: np.ndarray
     cell_offsets: np.ndarray
     cell_polys: np.ndarray
@@ -85,7 +122,7 @@ class PolygonIndex:
         polygons: pa.Table,
         geometry_col: str = "geometry",
         id_col: str = "polygon_id",
-        cover_level: int | None = None,
+        res: float | None = None,
     ) -> "PolygonIndex":
         geo = GeoType.from_field(polygons.schema.field(geometry_col))
         if geo.geometry_type not in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON):
@@ -136,59 +173,24 @@ class PolygonIndex:
         mins, maxes, bvalid = native.box_view(b, GeoType.box())
         bbox = np.concatenate([mins, maxes], axis=1)
 
-        # choose cover level from median bbox extent (≈1 cell per bbox side)
+        # choose grid resolution from the median bbox extent: ~2 cells per
+        # bbox side keeps (cells per polygon) × (polygons per cell) near
+        # its minimum when polygons overlap heavily
         widths = np.maximum(maxes[:, 0] - mins[:, 0], maxes[:, 1] - mins[:, 1])
         finite = widths[np.isfinite(widths) & (widths > 0)]
-        if cover_level is None:
+        if res is None:
             med = float(np.median(finite)) if finite.size else 1.0
-            cover_level = int(np.clip(np.round(np.log2(90.0 / max(med, 1e-9))), 4, 14))
+            res = float(np.clip(med / 4.0, 0.002, 30.0))
 
-        # cover each polygon's bbox: dense lon/lat sample grid re-encoded to
-        # cells, per-face ij rectangles expanded by 1 ring (corner safety)
-        pair_cells: list[np.ndarray] = []
-        pair_polys: list[np.ndarray] = []
-        for i in range(n):
-            if bvalid is not None and not bvalid[i]:
-                continue
-            x0, y0, x1, y1 = bbox[i]
-            if not np.isfinite(x0) or x1 < x0:
-                continue  # EMPTY (min>max convention, src/geoarrow.c:2986-3016)
-            g = 8
-            gx = np.linspace(x0, x1, g)
-            gy = np.linspace(np.clip(y0, -89.99, 89.99), np.clip(y1, -89.99, 89.99), g)
-            mlon, mlat = np.meshgrid(gx, gy)
-            ids = cells.cell_from_lonlat(mlon.ravel(), mlat.ravel(), cover_level)
-            face, ci, cj = cells.cell_to_face_ij(ids, cover_level)
-            cs = []
-            nside = 1 << cover_level
-            for f in np.unique(face):
-                m = face == f
-                i0, i1 = ci[m].min() - 1, ci[m].max() + 1
-                j0, j1 = cj[m].min() - 1, cj[m].max() + 1
-                ii, jj = np.meshgrid(
-                    np.arange(max(i0, 0), min(i1, nside - 1) + 1),
-                    np.arange(max(j0, 0), min(j1, nside - 1) + 1),
-                )
-                cs.append(
-                    cells._encode_face_ij(
-                        np.full(ii.size, f), ii.ravel(), jj.ravel(), cover_level
-                    )
-                )
-            cc = np.unique(np.concatenate(cs))
-            pair_cells.append(cc)
-            pair_polys.append(np.full(cc.shape[0], i, dtype=np.int64))
-
-        if pair_cells:
-            keys = np.concatenate(pair_cells)
-            vals = np.concatenate(pair_polys)
-        else:
-            keys = np.empty(0, np.uint64)
-            vals = np.empty(0, np.int64)
+        ok = np.isfinite(bbox[:, 0]) & (bbox[:, 2] >= bbox[:, 0])
+        if bvalid is not None:
+            ok &= bvalid
+        keys, vals = _cover_bboxes_grid(bbox, ok, res)
         uniq, offsets, vs = _csr_from_pairs(keys, vals)
 
         ids_np = np.asarray(polygons[id_col].to_pylist(), dtype=object)
         return PolygonIndex(
-            cover_level=cover_level,
+            res=res,
             cell_uniq=uniq,
             cell_offsets=offsets,
             cell_polys=vs,
@@ -204,7 +206,7 @@ class PolygonIndex:
     # -------------------------------------------------------------- probe
     def candidates(self, lon: np.ndarray, lat: np.ndarray):
         """(point_idx, poly_idx) bbox-filtered candidate pairs."""
-        cell = cells.cell_from_lonlat(lon, lat, self.cover_level)
+        cell = cells.grid_cell(lon, lat, self.res)
         pidx, poly = csr_lookup(self.cell_uniq, self.cell_offsets, self.cell_polys, cell)
         if pidx.size == 0:
             return pidx, poly
@@ -217,34 +219,32 @@ class PolygonIndex:
         return pidx[keep], poly[keep]
 
     def contains(self, lon: np.ndarray, lat: np.ndarray):
-        """Exact PIP join: (point_idx, poly_idx) matches (even-odd rule)."""
+        """Exact PIP join: (point_idx, poly_idx) matches by the even-odd
+        crossing rule — fully vectorized over (candidate pair × edge)."""
         pidx, poly = self.candidates(lon, lat)
         if pidx.size == 0:
             return pidx, poly
-        keep = np.zeros(pidx.shape[0], dtype=bool)
-        order = np.argsort(poly, kind="stable")
-        sp = poly[order]
-        spi = pidx[order]
-        bounds = np.searchsorted(sp, np.unique(sp), side="left")
-        uniq_polys = np.unique(sp)
-        bounds = np.append(bounds, sp.shape[0])
-        for t, pg in enumerate(uniq_polys):
-            sl = slice(bounds[t], bounds[t + 1])
-            pts = spi[sl]
-            px = lon[pts][:, None]
-            py = lat[pts][:, None]
-            e0, e1 = self.poly_edge_offsets[pg], self.poly_edge_offsets[pg + 1]
-            x1 = self.edge_x1[e0:e1][None, :]
-            y1 = self.edge_y1[e0:e1][None, :]
-            x2 = self.edge_x2[e0:e1][None, :]
-            y2 = self.edge_y2[e0:e1][None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cond = ((y1 <= py) != (y2 <= py)) & (
-                    px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-                )
-            inside = (cond.sum(axis=1) % 2).astype(bool)
-            keep[order[sl]] = inside
-        return pidx[keep], poly[keep]
+        eo = self.poly_edge_offsets
+        ecnt = eo[poly + 1] - eo[poly]
+        nz = ecnt > 0
+        pidx, poly, ecnt = pidx[nz], poly[nz], ecnt[nz]
+        if pidx.size == 0:
+            return pidx, poly
+        pair, within = _ragged_ranges(ecnt)
+        eidx = np.repeat(eo[poly], ecnt) + within
+        px = lon[pidx][pair]
+        py = lat[pidx][pair]
+        x1 = self.edge_x1[eidx]
+        y1 = self.edge_y1[eidx]
+        x2 = self.edge_x2[eidx]
+        y2 = self.edge_y2[eidx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cond = ((y1 <= py) != (y2 <= py)) & (
+                px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            )
+        crossings = np.bincount(pair[cond], minlength=pidx.shape[0])
+        inside = (crossings % 2).astype(bool)
+        return pidx[inside], poly[inside]
 
 
 @dataclass

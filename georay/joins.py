@@ -74,7 +74,7 @@ def pip_join(
     geometry_col: str = "geometry",
     id_col: str = "polygon_id",
     mode: str = "inner",
-    cover_level: int | None = None,
+    res: float | None = None,
     concurrency=(2, 8),
     batch_size: int = 8192,
     num_cpus: float = 1.0,
@@ -82,7 +82,7 @@ def pip_join(
     """B5: broadcast PIP join. ``polygons`` must be the SMALL side (it is
     materialized into every actor); the points Dataset streams through."""
     index = PolygonIndex.build(
-        polygons, geometry_col=geometry_col, id_col=id_col, cover_level=cover_level
+        polygons, geometry_col=geometry_col, id_col=id_col, res=res
     )
     ref = ray.put(index)
     return points.map_batches(

@@ -71,7 +71,7 @@ def add_cell_column(
             )
         return batch
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def add_grid_column(
@@ -86,7 +86,7 @@ def add_grid_column(
         lon, lat = point_lonlat(batch, geom_col)
         return batch.append_column(out, pa.array(cells.grid_cell(lon, lat, res), pa.int64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def add_tile_columns(
@@ -107,7 +107,7 @@ def add_tile_columns(
             .append_column(f"{prefix}_key", pa.array(key, pa.int64()))
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 # ----------------------------------------------------------- kernel lifts
@@ -123,7 +123,7 @@ def cast_geometry(
         i = batch.schema.get_field_index(col)
         return batch.set_column(i, target.field(col), out)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def add_box_column(
@@ -136,7 +136,7 @@ def add_box_column(
         b = kernels.box(batch[col], src)
         return batch.append_column(GeoType.box().field(out), b)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def add_centroid_column(
@@ -147,7 +147,7 @@ def add_centroid_column(
         c = kernels.centroid(batch[col], src)
         return batch.append_column(GeoType.point().field(out), c)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def box_agg(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
@@ -168,7 +168,7 @@ def box_agg(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).take_all()
     return kernels.box_agg_merge(
         [(p["xmin"], p["ymin"], p["xmax"], p["ymax"]) for p in parts]
     )
@@ -182,7 +182,7 @@ def unique_geometry_types(ds: ray.data.Dataset, col: str, source: GeoType | None
         m = kernels.unique_types_partial(batch[col], src)
         return pa.table({"mask": pa.array([m], pa.uint64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).take_all()
     mask = 0
     for p in parts:
         mask |= int(p["mask"])
@@ -221,7 +221,7 @@ def validate_geometry(ds: ray.data.Dataset, col: str) -> int:
             n = v.length - (0 if v.valid is None else int((~v.valid).sum()))
         return pa.table({"n": pa.array([n], pa.int64())})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).take_all()
     return sum(p["n"] for p in parts)
 
 
@@ -301,7 +301,7 @@ def salted_count(
             cols[f"partial_{how}_{c}"] = pa.array(np.add.reduceat(vals, starts))
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     from ray.data.aggregate import Sum
 

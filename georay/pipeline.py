@@ -124,7 +124,7 @@ def run_flagship(
                 "shard", pa.array(shards, pa.string())
             )
 
-        ds = ds.map_batches(shard_col, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(shard_col, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         ds = ops.add_cell_column(ds, level=level, parent_level=parent_level)
         ds = pip_join(ds, polygons, mode="left", concurrency=concurrency)
         ds = ops.add_tile_columns(ds, zoom=zoom)

@@ -75,7 +75,7 @@ def lineitem_points(sf_dir: str, extra_cols: list[str] | None = None) -> rd.Data
         )
         return batch.append_column(GeoType.point(crs="OGC:CRS84").field("geotag"), pt)
 
-    return ds.map_batches(add_pt, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add_pt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def part_box_polygons(sf_dir: str) -> pa.Table:
@@ -196,7 +196,7 @@ def q_centroid_by_flag(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("l_returnflag")
         .aggregate(
             Sum("psx", alias_name="sx"),
@@ -218,7 +218,7 @@ def q_centroid_by_flag(sf_dir: str):
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 SQL_CENTROID_BY_FLAG = f"""
@@ -243,6 +243,7 @@ def q_pip_box_join(sf_dir: str):
         lambda b: b.rename_columns(["p_partkey", "n"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
     )
 
 
@@ -318,7 +319,7 @@ def q_tile_counts(sf_dir: str):
             ),
         )
 
-    ds = ds.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(key2, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     cnt = ops.salted_count(ds, "txy", count_alias="n")
 
     def split(batch: pa.Table) -> pa.Table:
@@ -331,7 +332,7 @@ def q_tile_counts(sf_dir: str):
             }
         )
 
-    return cnt.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    return cnt.map_batches(split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 _N_TILES = 1 << TILE_ZOOM
@@ -380,7 +381,7 @@ def q_events_window(sf_dir: str):
             }
         )
 
-    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from ray.data.aggregate import Count
 
     return (
@@ -422,7 +423,7 @@ def q_wkt_roundtrip(sf_dir: str):
             }
         )
 
-    out = ds.map_batches(rt, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(rt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     from ray.data.aggregate import Count, Sum
 
     def to_int(batch: pa.Table) -> pa.Table:
