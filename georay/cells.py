@@ -323,9 +323,13 @@ def mercator_tile(lon_deg, lat_deg, zoom: int):
     lon = np.asarray(lon_deg, dtype=np.float64)
     lat = np.clip(np.asarray(lat_deg, dtype=np.float64), -MERCATOR_MAX_LAT, MERCATOR_MAX_LAT)
     n = float(1 << zoom)
-    tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
-    latr = np.radians(lat)
-    ty = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * n).astype(np.int64)
+    with np.errstate(invalid="ignore"):
+        fx = np.floor((lon + 180.0) / 360.0 * n)
+        latr = np.radians(lat)
+        fy = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * n)
+        # NaN coords (null/empty points) → tile 0 (callers track validity)
+        tx = np.where(np.isfinite(fx), fx, 0.0).astype(np.int64)
+        ty = np.where(np.isfinite(fy), fy, 0.0).astype(np.int64)
     np.clip(tx, 0, (1 << zoom) - 1, out=tx)
     np.clip(ty, 0, (1 << zoom) - 1, out=ty)
     return tx, ty

@@ -22,12 +22,22 @@ from georay.types import GeometryType, GeoType
 
 
 def _ragged_ranges(counts: np.ndarray):
-    """(owner, within): flat enumeration of ``counts[i]`` items per i."""
-    total = int(counts.sum())
-    owner = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(counts) - counts, counts
-    )
+    """(owner, within): flat enumeration of ``counts[i]`` items per i.
+
+    marker+cumsum instead of ``np.repeat`` for owner — ~5× faster on this
+    hardware for multi-million-element expansions."""
+    counts = np.asarray(counts, dtype=np.int64)
+    ends = np.cumsum(counts)
+    total = int(ends[-1]) if ends.shape[0] else 0
+    starts = ends - counts
+    owner = np.zeros(total, dtype=np.int64)
+    # one marker per run boundary; empty runs collapse onto the same
+    # position and their markers accumulate, which skips their indices
+    marks = starts[1:][starts[1:] < total]
+    if marks.size:
+        np.add.at(owner, marks, 1)
+    np.cumsum(owner, out=owner)
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
     return owner, within
 
 
@@ -218,33 +228,78 @@ class PolygonIndex:
         )
         return pidx[keep], poly[keep]
 
+    def _pip_pairs(self, pidx: np.ndarray, poly: np.ndarray, lon, lat) -> np.ndarray:
+        """Even-odd crossing test for candidate pairs → bool per pair.
+
+        Division-free: ``px < x_intersect`` is evaluated as a cross
+        product with the strict inequality direction flipped for
+        downward edges — exact for axis-aligned (box) edges, so the
+        half-open [min,max) box semantics match the SQL oracle."""
+        eo = self.poly_edge_offsets
+        ecnt = eo[poly + 1] - eo[poly]
+        inside = np.zeros(pidx.shape[0], dtype=bool)
+        nz = np.nonzero(ecnt > 0)[0]
+        if nz.size == 0:
+            return inside
+        pair, within = _ragged_ranges(ecnt[nz])
+        eidx = np.repeat(eo[poly[nz]], ecnt[nz]) + within
+        # repeat (sequential write) beats fancy-gather on this hardware
+        px = np.repeat(lon[pidx[nz]], ecnt[nz])
+        py = np.repeat(lat[pidx[nz]], ecnt[nz])
+        y1 = self.edge_y1[eidx]
+        y2 = self.edge_y2[eidx]
+        spans = (y1 <= py) != (y2 <= py)
+        x1 = self.edge_x1[eidx]
+        x2 = self.edge_x2[eidx]
+        lhs = (px - x1) * (y2 - y1)
+        rhs = (py - y1) * (x2 - x1)
+        up = y2 > y1
+        cond = spans & np.where(up, lhs < rhs, lhs > rhs)
+        crossings = np.bincount(pair[cond], minlength=nz.shape[0])
+        inside[nz] = (crossings % 2).astype(bool)
+        return inside
+
     def contains(self, lon: np.ndarray, lat: np.ndarray):
-        """Exact PIP join: (point_idx, poly_idx) matches by the even-odd
-        crossing rule — fully vectorized over (candidate pair × edge)."""
+        """Exact PIP join: ALL (point_idx, poly_idx) matches."""
         pidx, poly = self.candidates(lon, lat)
         if pidx.size == 0:
             return pidx, poly
-        eo = self.poly_edge_offsets
-        ecnt = eo[poly + 1] - eo[poly]
-        nz = ecnt > 0
-        pidx, poly, ecnt = pidx[nz], poly[nz], ecnt[nz]
-        if pidx.size == 0:
-            return pidx, poly
-        pair, within = _ragged_ranges(ecnt)
-        eidx = np.repeat(eo[poly], ecnt) + within
-        px = lon[pidx][pair]
-        py = lat[pidx][pair]
-        x1 = self.edge_x1[eidx]
-        y1 = self.edge_y1[eidx]
-        x2 = self.edge_x2[eidx]
-        y2 = self.edge_y2[eidx]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cond = ((y1 <= py) != (y2 <= py)) & (
-                px < x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-            )
-        crossings = np.bincount(pair[cond], minlength=pidx.shape[0])
-        inside = (crossings % 2).astype(bool)
+        inside = self._pip_pairs(pidx, poly, lon, lat)
         return pidx[inside], poly[inside]
+
+    def contains_first(self, lon: np.ndarray, lat: np.ndarray):
+        """First match per point (for left/semi/anti joins): candidates
+        are tested rank-round by rank-round with early exit, so in dense
+        overlap regions (where the first candidate usually hits) the work
+        is ~1 round instead of testing every candidate pair.
+
+        Returns ``first`` with the matching polygon index per point, -1
+        when none.
+        """
+        n = lon.shape[0]
+        first = np.full(n, -1, dtype=np.int64)
+        pidx, poly = self.candidates(lon, lat)
+        if pidx.size == 0:
+            return first
+        # rank of each candidate within its probe (pidx is probe-sorted)
+        new = np.ones(pidx.shape[0], dtype=bool)
+        new[1:] = pidx[1:] != pidx[:-1]
+        starts = np.nonzero(new)[0]
+        rank = np.arange(pidx.shape[0]) - np.repeat(
+            starts, np.diff(np.append(starts, pidx.shape[0]))
+        )
+        max_rank = int(rank.max())
+        for r in range(max_rank + 1):
+            sel = np.nonzero((rank == r) & (first[pidx] < 0))[0]
+            if sel.size == 0:
+                if not np.any(first[pidx] < 0):
+                    break
+                continue
+            sub_p = pidx[sel]
+            sub_poly = poly[sel]
+            hit = self._pip_pairs(sub_p, sub_poly, lon, lat)
+            first[sub_p[hit]] = sub_poly[hit]
+        return first
 
 
 @dataclass

@@ -38,32 +38,27 @@ class PIPJoiner:
         # NaNs (null/empty points) match nothing: encode to a probe value
         # that cannot hit the index
         bad = ~(np.isfinite(lon) & np.isfinite(lat))
-        pidx, poly = self.index.contains(
-            np.where(bad, 1e9, lon), np.where(bad, 1e9, lat)
-        )
+        lon = np.where(bad, 1e9, lon)
+        lat = np.where(bad, 1e9, lat)
+        n = len(batch)
         if self.mode == "inner":
+            pidx, poly = self.index.contains(lon, lat)
             out = batch.take(pa.array(pidx))
             out = out.append_column(
                 "polygon_id", pa.array(self.index.polygon_ids[poly].tolist())
             )
             return out
-        n = len(batch)
-        has = np.zeros(n, dtype=bool)
-        has[pidx] = True
+        # left/semi/anti need only the FIRST match → early-exit probe
+        first = self.index.contains_first(lon, lat)
+        has = first >= 0
         if self.mode == "semi":
             return batch.filter(pa.array(has))
         if self.mode == "anti":
             return batch.filter(pa.array(~has))
         if self.mode == "left":
-            first_match = np.full(n, -1, dtype=np.int64)
-            # pidx sorted ascending per contains(); keep the first match
-            seen_rev = {}
-            for i in range(pidx.shape[0] - 1, -1, -1):
-                seen_rev[pidx[i]] = poly[i]
-            ids = [None] * n
-            for i, p in seen_rev.items():
-                ids[i] = self.index.polygon_ids[p]
-            return batch.append_column("polygon_id", pa.array(ids))
+            ids = np.full(n, None, dtype=object)
+            ids[has] = self.index.polygon_ids[first[has]]
+            return batch.append_column("polygon_id", pa.array(ids.tolist()))
         raise ValueError(f"unknown mode {self.mode}")
 
 
