@@ -73,21 +73,51 @@ def pip_join(
     concurrency=(2, 8),
     batch_size: int = 8192,
     num_cpus: float = 1.0,
+    actor_pool: bool = False,
 ) -> ray.data.Dataset:
     """B5: broadcast PIP join. ``polygons`` must be the SMALL side (it is
-    materialized into every actor); the points Dataset streams through."""
+    materialized once per worker); the points Dataset streams through.
+
+    Two execution shapes:
+    - ``actor_pool=False`` (default): stateless tasks + ``ray.put``
+      broadcast with a per-worker-process cache. The stage FUSES with the
+      upstream read/map chain (no extra object-store hop for wide rows,
+      no pool spin-up) — right when the index is small-to-medium.
+    - ``actor_pool=True``: a dedicated ``map_batches(Cls, concurrency=…)``
+      actor pool — right when the index is huge (load it exactly
+      ``concurrency`` times) or probes need GPU/heavy per-actor state.
+    """
     index = PolygonIndex.build(
         polygons, geometry_col=geometry_col, id_col=id_col, res=res
     )
     ref = ray.put(index)
+    if actor_pool:
+        return points.map_batches(
+            PIPJoiner,
+            fn_constructor_args=(ref, geom_col, mode, None),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
+
+    cache: dict = {}
+
+    def pip_fn(batch: pa.Table) -> pa.Table:
+        # one fetch per worker process (the dict deserializes fresh into
+        # each worker, then persists across that worker's tasks)
+        joiner = cache.get("j")
+        if joiner is None:
+            joiner = PIPJoiner(ref, geom_col, mode, None)
+            cache["j"] = joiner
+        return joiner(batch)
+
     return points.map_batches(
-        PIPJoiner,
-        fn_constructor_args=(ref, geom_col, mode, None),
+        pip_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
     )
 
 
@@ -132,9 +162,11 @@ def knn_join(
     concurrency=(2, 8),
     batch_size: int = 8192,
     num_cpus: float = 1.0,
+    actor_pool: bool = False,
 ) -> ray.data.Dataset:
     """B6: broadcast kNN join: each probe row fans out to ≤k result rows
-    (neighbor id, squared planar distance, rank)."""
+    (neighbor id, squared planar distance, rank). Same stateless-task vs
+    actor-pool tradeoff as ``pip_join``."""
     if res is None:
         # aim for ~a few refs per cell: res ≈ sqrt(area/ n_ref) over the
         # lon/lat rectangle, clamped to sane bounds
@@ -144,12 +176,29 @@ def knn_join(
         np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64), ref_ids, res
     )
     ref = ray.put(index)
+    if actor_pool:
+        return probes.map_batches(
+            KNNJoiner,
+            fn_constructor_args=(ref, geom_col, k, id_out, None),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=num_cpus,
+        )
+
+    cache: dict = {}
+
+    def knn_fn(batch: pa.Table) -> pa.Table:
+        joiner = cache.get("j")
+        if joiner is None:
+            joiner = KNNJoiner(ref, geom_col, k, id_out, None)
+            cache["j"] = joiner
+        return joiner(batch)
+
     return probes.map_batches(
-        KNNJoiner,
-        fn_constructor_args=(ref, geom_col, k, id_out, None),
+        knn_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=num_cpus,
     )

@@ -1,0 +1,179 @@
+"""Multimodal (image/audio/video) stages.
+
+Images are REAL here: the engine ships NumPy codecs (georay.images) for
+ppm/bmp/rawrgb/qoil, so decode / resize / stats run end-to-end. Audio
+and video decoders do not exist in this sandbox (no ffmpeg/PIL — SURVEY
+preamble), so those stages are STUBS with the Ray-side plumbing (schema,
+batch shapes, actor signature, output layout) real and tested via the
+deterministic fake decoder.
+
+All stages are callable classes → actor-pool shaped (decoder state loads
+once per actor); they also run fused as stateless tasks when passed as
+instances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from georay import images as im
+
+
+class DecodeResize:
+    """Decode → nearest-neighbor resize → re-encode rawrgb.
+
+    Output schema: (image_id, w, h, bytes) with w=h=``size``, fmt
+    implicitly 'rawrgb'. Real decode via georay.images.
+    """
+
+    def __init__(self, size: int = 64):
+        self.size = size
+
+    def _resize(self, pix: np.ndarray) -> np.ndarray:
+        h, w, _ = pix.shape
+        yi = (np.arange(self.size) * h // self.size).astype(int)
+        xi = (np.arange(self.size) * w // self.size).astype(int)
+        return pix[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for data, fmt, w, h in zip(
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+        ):
+            pix = im.decode_image(data, fmt, w, h)
+            out.append(self._resize(pix).tobytes())
+        n = len(out)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "w": pa.array(np.full(n, self.size, np.int32)),
+                "h": pa.array(np.full(n, self.size, np.int32)),
+                "bytes": pa.array(out, pa.binary()),
+            }
+        )
+
+
+class ImageStats:
+    """Per-image channel mean/std (decode + reduce per row)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means = np.empty((len(batch), 3))
+        stds = np.empty((len(batch), 3))
+        for i, (data, fmt, w, h) in enumerate(
+            zip(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(),
+                batch["h"].to_pylist(),
+            )
+        ):
+            pix = im.decode_image(data, fmt, w, h).astype(np.float64)
+            means[i] = pix.mean(axis=(0, 1))
+            stds[i] = pix.std(axis=(0, 1))
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "mean_r": pa.array(means[:, 0]),
+                "mean_g": pa.array(means[:, 1]),
+                "mean_b": pa.array(means[:, 2]),
+                "std_r": pa.array(stds[:, 0]),
+                "std_g": pa.array(stds[:, 1]),
+                "std_b": pa.array(stds[:, 2]),
+            }
+        )
+
+
+def decode_resize(ds: ray.data.Dataset, size: int = 64, concurrency=(2, 8)):
+    """Actor-pool resize stage (decoder state per actor)."""
+    return ds.map_batches(
+        DecodeResize,
+        fn_constructor_args=(size,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+# ------------------------------------------------------------------ stubs
+
+class AudioFeatureStub:
+    """STUB: audio decode + feature extraction (no audio codec in this
+    container). The Ray-side contract is real: input (sample_id: string,
+    bytes: binary, sample_rate: int32), output (sample_id, n_frames:
+    int64, features: list<float>[N_MELS]); decode raises unless
+    ``fake=True`` substitutes a deterministic synthetic spectrogram so
+    the plumbing is testable."""
+
+    N_MELS = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _decode(self, data: bytes, sample_rate: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "no audio decoder available in this environment; "
+                "plug a real decoder here (same signature)"
+            )
+        rng = np.random.default_rng(np.frombuffer(data[:8].ljust(8, b"\0"), np.uint64))
+        return rng.standard_normal((max(1, len(data) // 256), self.N_MELS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        frames = []
+        for data, sr in zip(
+            batch["bytes"].to_pylist(), batch["sample_rate"].to_pylist()
+        ):
+            f = self._decode(data, sr)
+            frames.append(f.shape[0])
+            feats.append(f.mean(axis=0).astype(np.float32))
+        return pa.table(
+            {
+                "sample_id": batch["sample_id"],
+                "n_frames": pa.array(frames, pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+class VideoFrameSampleStub:
+    """STUB: video frame sampling (no video codec here). Contract:
+    input (video_id, bytes, fps: float), output one row per sampled frame
+    (video_id, frame_idx: int64, frame_bytes: binary) — a fan-out stage
+    (1 row → N rows), the shape a real ffmpeg-based sampler would use."""
+
+    def __init__(self, every_n: int = 30, fake: bool = False):
+        self.every_n = every_n
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, frames = [], [], []
+        for vid, data in zip(
+            batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            if not self.fake:
+                raise NotImplementedError(
+                    "no video decoder available in this environment; "
+                    "plug a real frame sampler here (same signature)"
+                )
+            n_frames = max(1, len(data) // 1024)
+            for k in range(0, n_frames, self.every_n):
+                vids.append(vid)
+                idxs.append(k)
+                frames.append(data[k : k + 64])
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_bytes": pa.array(frames, pa.binary()),
+            }
+        )

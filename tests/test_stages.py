@@ -1,0 +1,240 @@
+"""Training-data stage tests: text analysis, dedup family, embeddings
+ANN, multimodal stages — numpy/DuckDB oracles + planted-duplicate
+recall checks."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from georay.stages import dedup, embed, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_token_count_matches_duckdb(docs_ds):
+    got = text.add_token_count(docs_ds).select_columns(["doc_id", "n_tokens"]).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    m = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (m["n_tokens"].to_numpy() == e["n_tokens"].to_numpy()).all()
+
+
+def test_language_id_marker_texts(ray_session):
+    import ray.data as rd
+
+    samples = {
+        "en": "the cat and the dog went to the market for a walk in the park",
+        "de": "der hund und die katze sind nicht mit der bahn gefahren",
+        "fr": "le chat et le chien sont dans la maison pour une heure",
+        "es": "el perro y el gato es una historia de los campos",
+        "zh": "这是一个关于猫和狗的故事在城市里",
+    }
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(samples.values())]
+    )
+    out = text.add_language_id(ds).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == list(samples.keys())
+
+
+def test_quality_score_bounds(docs_ds):
+    out = text.add_quality(docs_ds).to_pandas()
+    assert ((out["quality"] >= 0) & (out["quality"] <= 1)).all()
+    assert (out["n_tokens"] > 0).any()
+
+
+def test_fingerprint_matches_duckdb_md5(docs_ds):
+    got = text.add_fingerprint(docs_ds).select_columns(["doc_id", "fingerprint"]).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint "
+        "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    m = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (m["fingerprint"] == e["fingerprint"]).all()
+
+
+def _docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs before the party starts",
+        "how vexingly quick daft zebras jump over the fence at dawn",
+        "completely different content about spark and ray data pipelines",
+        "yet another unrelated document mentioning arrow batches and cells",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # exact dup of 0 and near dup of 1 (one word changed)
+    rows.append({"doc_id": 100, "text": base[0]})
+    rows.append(
+        {"doc_id": 101, "text": base[1].replace("party", "dinner")}
+    )
+    # whitespace/case variant of 2 (exact after normalization)
+    rows.append({"doc_id": 102, "text": "  " + base[2].upper() + "  "})
+    return rd.from_items(rows)
+
+
+def test_dedup_exact_text(ray_session):
+    ds = _docs_with_dups(ray_session)
+    out = dedup.dedup_exact_text(ds).to_pandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept and 100 not in kept
+    assert 2 in kept and 102 not in kept
+    assert 101 in kept  # near-dup is NOT an exact dup
+
+
+def test_minhash_dedup_finds_neardups(ray_session):
+    ds = _docs_with_dups(ray_session)
+    out = dedup.minhash_dedup(ds, threshold=0.6).to_pandas().set_index("doc_id")
+    assert out.loc[100, "cluster_id"] == 0 and out.loc[100, "is_dup"]
+    assert out.loc[101, "cluster_id"] == 1 and out.loc[101, "is_dup"]
+    assert out.loc[102, "cluster_id"] == 2
+    # unrelated docs are NOT merged
+    assert out.loc[3, "cluster_id"] == 3
+    assert out.loc[4, "cluster_id"] == 4
+
+
+def test_simhash_candidates(ray_session):
+    ds = _docs_with_dups(ray_session)
+    pairs = dedup.simhash_candidates(ds).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # identical (and normalization-identical) docs have Hamming 0 → all
+    # four bands collide; the ≤3-bit pigeonhole guarantee applies to them
+    assert (0, 100) in found
+    assert (2, 102) in found
+    ham = pairs.set_index(["id_a", "id_b"])["hamming"]
+    assert ham.loc[(0, 100)] == 0
+    assert ham.loc[(2, 102)] == 0
+
+
+def test_jaccard_shingles():
+    assert dedup.jaccard_shingles("abcdefgh", "abcdefgh") == 1.0
+    assert dedup.jaccard_shingles("abcdefgh", "zzzzzzzz") == 0.0
+
+
+@pytest.fixture(scope="module")
+def embeddings_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ann_brute_matches_numpy_oracle(embeddings_ds):
+    tbl = pa.Table.from_pandas(embeddings_ds.to_pandas())
+    vecs = embed._embedding_matrix(tbl)
+    ids = tbl["vec_id"].to_numpy()
+    q = vecs[:3]
+    qids = ids[:3]
+    got = embed.ann_brute_topk(embeddings_ds, q, qids, k=5).to_pandas()
+    vn = embed._normalize(vecs)
+    qn = embed._normalize(q)
+    for t, qid in enumerate(qids):
+        sims = vn @ qn[t]
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:5]
+        exp_ids = ids[mask][order]
+        got_ids = got[got["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert np.array_equal(got_ids, exp_ids), (qid, got_ids, exp_ids)
+
+
+def test_ivf_recall_vs_brute(embeddings_ds):
+    tbl = pa.Table.from_pandas(embeddings_ds.to_pandas())
+    vecs = embed._embedding_matrix(tbl)
+    ids = tbl["vec_id"].to_numpy()
+    q = vecs[10:20]
+    qids = ids[10:20]
+    brute = embed.ann_brute_topk(embeddings_ds, q, qids, k=5, exclude_self=False).to_pandas()
+    ivf = embed.ivf_ann_topk(embeddings_ds, q, qids, k=5, n_list=8, n_probe=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        g = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & g) / len(b))
+    assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_embedding_neardup_finds_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 32)).astype(np.float32)
+    vecs[150] = vecs[10] + rng.standard_normal(32).astype(np.float32) * 0.01
+    vecs[151] = vecs[20]
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)
+    ]
+    ds = rd.from_items(rows)
+    pairs = embed.embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (10, 150) in found
+    assert (20, 151) in found
+
+
+def test_decode_resize_real(ray_session, tmp_path):
+    import ray.data as rd
+
+    from georay import generate
+
+    generate.write_images_dataset(str(tmp_path), 200, seed=5, rows_per_file=100)
+    ds = rd.read_parquet(str(tmp_path))
+    out = multimodal.decode_resize(ds, size=32, concurrency=2).to_pandas()
+    assert len(out) == 200
+    assert (out["w"] == 32).all() and (out["h"] == 32).all()
+    assert all(len(b) == 32 * 32 * 3 for b in out["bytes"])
+
+
+def test_image_stats(ray_session, tmp_path):
+    import ray.data as rd
+
+    from georay import generate
+
+    generate.write_images_dataset(str(tmp_path), 100, seed=6, rows_per_file=100)
+    ds = rd.read_parquet(str(tmp_path))
+    stage = multimodal.ImageStats()
+    out = ds.map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    # uniform random pixels → means near 127.5
+    assert abs(out["mean_r"].mean() - 127.5) < 3
+
+
+def test_audio_video_stubs(ray_session):
+    batch = pa.table(
+        {
+            "sample_id": pa.array(["a"]),
+            "bytes": pa.array([b"\x01" * 1024], pa.binary()),
+            "sample_rate": pa.array([16000], pa.int32()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.AudioFeatureStub(fake=False)(batch)
+    out = multimodal.AudioFeatureStub(fake=True)(batch)
+    assert out.column_names == ["sample_id", "n_frames", "features"]
+    assert len(out["features"][0]) == multimodal.AudioFeatureStub.N_MELS
+
+    vbatch = pa.table(
+        {
+            "video_id": pa.array(["v"]),
+            "bytes": pa.array([b"\x02" * 40960], pa.binary()),
+            "fps": pa.array([30.0]),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.VideoFrameSampleStub(fake=False)(vbatch)
+    frames = multimodal.VideoFrameSampleStub(every_n=10, fake=True)(vbatch)
+    assert frames.num_rows == 4
+    assert frames.column_names == ["video_id", "frame_idx", "frame_bytes"]
