@@ -445,7 +445,174 @@ def q_s2_cell_count(sf_dir: str):
     return ops.salted_count(ds, "cell_parent", count_alias="n")
 
 
+# ------------------------------------------------- training-data queries
+
+def q_token_count(sf_dir: str):
+    """Whitespace token counting (text-analysis stage)."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.add_token_count(ds).select_columns(["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Document fingerprinting (normalized-text md5)."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_text_exact(sf_dir: str):
+    """Exact dedup on normalized text content (fingerprint groupby)."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_stage.dedup_exact_text(ds).select_columns(["doc_id", "fingerprint"])
+
+
+SQL_DEDUP_TEXT_EXACT = r"""
+SELECT MIN(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents GROUP BY 2
+"""
+
+
+def q_doc_stats(sf_dir: str):
+    """Quality-scoring components with exact SQL equivalents."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.add_quality(ds).select_columns(["doc_id", "n_tokens", "n_digits"])
+
+
+SQL_DOC_STATS = r"""
+SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits
+FROM documents
+"""
+
+
+def q_lang_quality(sf_dir: str):
+    """Language-ID heuristic + composite quality score (rows-only: the
+    score formula is engine-defined; components are oracle-checked by
+    q_doc_stats)."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+    ds = text_stage.add_language_id(ds)
+    ds = text_stage.add_quality(ds)
+    return ds.select_columns(["doc_id", "lang", "lang_pred", "quality"])
+
+
+def q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-duplicate clustering (rows-only; recall pinned by
+    tests/test_stages.py planted-duplicate checks)."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_stage.minhash_dedup(ds, threshold=0.8)
+
+
+def q_simhash_neardup(sf_dir: str):
+    """SimHash banding candidates + exact Hamming (rows-only)."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_stage.simhash_candidates(ds)
+
+
+ANN_K = 5
+ANN_NQ = 5
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from georay.stages import embed as embed_stage
+
+    t = pq.read_table(_t(sf_dir, "embeddings"))
+    ids = t["vec_id"].to_numpy()
+    sel = np.argsort(ids)[:ANN_NQ]
+    vecs = embed_stage._embedding_matrix(t)
+    return vecs[sel], ids[sel]
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k similarity search (rank-only columns so
+    float summation order cannot flip the hash; ties broken by vec_id)."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    q, qids = _ann_queries(sf_dir)
+    out = embed_stage.ann_brute_topk(ds, q, qids, k=ANN_K)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {ANN_NQ}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
+"""
+
+
+def q_ivf_ann(sf_dir: str):
+    """IVF (clustered) approximate ANN (rows-only; recall vs brute force
+    pinned in tests/test_stages.py)."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    q, qids = _ann_queries(sf_dir)
+    return embed_stage.ivf_ann_topk(ds, q, qids, k=ANN_K)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH
+    (rows-only; planted-duplicate recall pinned in tests)."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    out = embed_stage.embedding_neardup_pairs(ds, threshold=0.98)
+    if out.num_rows == 0 or "id_a" not in out.column_names:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return out.select(["id_a", "id_b"])
+
+
 QUERIES = {
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_text_exact": q_dedup_text_exact,
+    "doc_stats": q_doc_stats,
+    "lang_quality": q_lang_quality,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_topk": q_ann_topk,
+    "ivf_ann": q_ivf_ann,
+    "embed_neardup": q_embed_neardup,
     "grid_cell_count": q_grid_cell_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -460,6 +627,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "token_count": SQL_TOKEN_COUNT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
+    "doc_stats": SQL_DOC_STATS,
+    "ann_topk": SQL_ANN_TOPK,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
