@@ -317,3 +317,129 @@ def top_k(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ra
     """B10: global top-k = sort + limit (Ray Data samples sort boundaries;
     only applied to small aggregated tables in georay pipelines)."""
     return ds.sort(col, descending=descending).limit(k)
+
+
+# ----------------------------------------------------- vctr-level ops
+
+def set_crs(
+    ds: ray.data.Dataset,
+    col: str,
+    crs: str | None,
+    edges=None,
+) -> ray.data.Dataset:
+    """wk_set_crs / wk_set_geodesic equivalent (R/pkg-wk.R:10-51): pure
+    schema-metadata rewrite, the data buffers are untouched."""
+    from georay.types import EdgeType
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = GeoType.from_field(batch.schema.field(col))
+        t = src.with_crs(crs)
+        if edges is not None:
+            t = t.with_edges(EdgeType[edges.upper()] if isinstance(edges, str) else edges)
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, t.field(col), batch[col])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def get_crs(ds: ray.data.Dataset, col: str):
+    """(crs, crs_type, edge_type) of a geometry column (wk_crs /
+    wk_is_geodesic equivalent). Reads schema only."""
+    f = ds.schema().base_schema.field(col)
+    t = GeoType.from_field(f)
+    return t.crs, t.crs_type, t.edge_type
+
+
+def union_geo(
+    datasets: list[ray.data.Dataset], col: str = "geometry"
+) -> ray.data.Dataset:
+    """``c()`` concatenation with common-type resolution
+    (R/vctr.R:78-107): identical parsed ids → plain union; any mismatch →
+    cast every input to WKB first."""
+    types = []
+    for d in datasets:
+        types.append(GeoType.from_field(d.schema().base_schema.field(col)))
+    ids = {t.id for t in types}
+    if len(ids) > 1:
+        datasets = [cast_geometry(d, col, GeoType.wkb()) for d in datasets]
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out
+
+
+def add_wkt_column(
+    ds: ray.data.Dataset,
+    col: str,
+    out: str = "wkt",
+    precision: int = 16,
+    max_element_size_bytes: int | None = None,
+) -> ray.data.Dataset:
+    """format/as.character equivalent (R/vctr.R:25-55): abbreviated WKT
+    with precision + byte budget — the format_wkt kernel lifted to a
+    Dataset column."""
+    from georay.codecs import wkt as wkt_codec
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = GeoType.from_field(batch.schema.field(col))
+        txt = wkt_codec.encode(
+            batch[col],
+            src,
+            precision=precision,
+            max_element_size_bytes=max_element_size_bytes,
+        )
+        return batch.append_column(out, txt)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+# ------------------------------------------------------- tile assembly
+
+def tile_assemble(
+    ds: ray.data.Dataset,
+    tile_col: str = "tile_key",
+    id_col: str = "image_id",
+    max_ids_per_tile: int = 64,
+) -> ray.data.Dataset:
+    """B7: per-tile manifest rows — (tile, n_images, sample of member ids).
+
+    ``groupby(tile).map_groups`` with a bounded id sample so a dense city
+    tile cannot blow up the output row (no silent cap: n_images is the
+    true count)."""
+
+    def assemble(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        return pa.table(
+            {
+                tile_col: pa.array([group[tile_col][0].as_py()], pa.int64()),
+                "n_images": pa.array([len(ids)], pa.int64()),
+                "sample_ids": pa.array([ids[:max_ids_per_tile]]),
+            }
+        )
+
+    return ds.groupby(tile_col).map_groups(assemble, batch_format="pyarrow")
+
+
+# -------------------------------------------------- extension protocol
+
+def apply_geo_kernel(
+    ds: ray.data.Dataset,
+    col: str,
+    fn,
+    batch_size=None,
+    concurrency=None,
+) -> ray.data.Dataset:
+    """User-extension surface (the engine's wk-handler-protocol analogue,
+    SURVEY §2.A.6): register any ``fn(batch: pa.Table, geo: GeoType) ->
+    pa.Table`` as a pipeline stage. ``fn`` may be a callable class
+    instance for stateful kernels; pass ``concurrency`` to run it as an
+    actor pool."""
+
+    def wrapper(batch: pa.Table) -> pa.Table:
+        geo = GeoType.from_field(batch.schema.field(col))
+        return fn(batch, geo)
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
+    return ds.map_batches(wrapper, **kw)
