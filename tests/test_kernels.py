@@ -1,0 +1,113 @@
+"""Kernel-oracle fixtures (FIXTURES.md F5): box/box_agg/centroid/unique
+types with the reference's null/empty conventions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import kernels
+from georay.codecs import native, wkt
+from georay.types import Dimensions, EdgeType, GeometryType, GeoType
+
+
+def _poly(wkts, geo=None):
+    arr = pa.array(wkts, pa.string())
+    return wkt.decode(arr, geo)
+
+
+def test_box_null_and_empty_conventions():
+    # null→null; EMPTY→(Inf,Inf,-Inf,-Inf)  (src/geoarrow.c:1735-1930)
+    nat, t = _poly(
+        ["POLYGON ((0 0, 4 0, 4 3, 0 0))", "POLYGON EMPTY", None], GeoType.polygon()
+    )
+    b = kernels.box(nat, t).to_pylist()
+    assert b[0] == {"xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 3.0}
+    assert b[1] == {
+        "xmin": float("inf"),
+        "ymin": float("inf"),
+        "xmax": float("-inf"),
+        "ymax": float("-inf"),
+    }
+    assert b[2] is None
+
+
+def test_box_agg_never_null():
+    # nulls treated as empty; empty input → Inf box (geoarrow.h:1172-1181)
+    nat, t = _poly([None, "POINT EMPTY"], GeoType.point())
+    agg = kernels.box_agg_merge([kernels.box_agg_partial(nat, t)])
+    assert agg == (float("inf"), float("inf"), float("-inf"), float("-inf"))
+    nat2, t2 = _poly(["POINT (2 5)", None], GeoType.point())
+    agg2 = kernels.box_agg_merge([kernels.box_agg_partial(nat2, t2)])
+    assert agg2 == (2.0, 5.0, 2.0, 5.0)
+
+
+def test_box_of_box_input():
+    storage = GeoType.box().storage_type()
+    arr = pa.StructArray.from_arrays(
+        [pa.array([0.0]), pa.array([1.0]), pa.array([2.0]), pa.array([3.0])],
+        fields=[storage.field(i) for i in range(4)],
+    )
+    b = kernels.box(arr, GeoType.box()).to_pylist()
+    assert b == [{"xmin": 0.0, "ymin": 1.0, "xmax": 2.0, "ymax": 3.0}]
+
+
+def test_box_planar_only():
+    nat, t = _poly(["POINT (0 1)"], GeoType.point())
+    with pytest.raises(ValueError):
+        kernels.box(nat, t.with_edges(EdgeType.SPHERICAL))
+
+
+def test_centroid_conventions():
+    nat, t = _poly(
+        ["LINESTRING (0 0, 2 0, 2 2, 0 2)", "LINESTRING EMPTY", None],
+        GeoType.linestring(),
+    )
+    c = kernels.centroid(nat, t).to_pylist()
+    assert c[0] == {"x": 1.0, "y": 1.0}
+    assert np.isnan(c[1]["x"]) and np.isnan(c[1]["y"])
+    assert c[2] is None
+
+
+def test_unique_types_box_counts_as_polygon():
+    storage = GeoType.box().storage_type()
+    arr = pa.StructArray.from_arrays(
+        [pa.array([0.0]), pa.array([1.0]), pa.array([2.0]), pa.array([3.0])],
+        fields=[storage.field(i) for i in range(4)],
+    )
+    codes = kernels.unique_types_finish(kernels.unique_types_partial(arr, GeoType.box()))
+    assert codes == [3]  # box visits as POLYGON (src/geoarrow.c:2960-3028)
+
+
+def test_unique_types_degenerate_box_is_empty():
+    # min>max box = empty polygon → excluded (src/geoarrow.c:2986-3016)
+    storage = GeoType.box().storage_type()
+    arr = pa.StructArray.from_arrays(
+        [pa.array([5.0]), pa.array([5.0]), pa.array([2.0]), pa.array([3.0])],
+        fields=[storage.field(i) for i in range(4)],
+    )
+    assert kernels.unique_types_partial(arr, GeoType.box()) == 0
+
+
+def test_unique_types_native_point_nan_still_counts():
+    # the kernel does NOT apply the all-NaN-empty convention to native
+    # points (comment src/geoarrow.c:1616-1628)
+    pts = native.build_points(np.array([[np.nan, np.nan]]), GeoType.point())
+    codes = kernels.unique_types_finish(
+        kernels.unique_types_partial(pts, GeoType.point())
+    )
+    assert codes == [1]
+
+
+def test_unique_types_z_codes():
+    nat, t = _poly(["POINT Z (0 1 2)"], GeoType.point(dimensions=Dimensions.XYZ))
+    codes = kernels.unique_types_finish(kernels.unique_types_partial(nat, t))
+    assert codes == [1001]
+
+
+def test_box_multipolygon_spanning_rings():
+    nat, t = _poly(
+        ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 9 5, 9 9, 5 5)))"],
+        GeoType.multipolygon(),
+    )
+    b = kernels.box(nat, t).to_pylist()
+    assert b[0] == {"xmin": 0.0, "ymin": 0.0, "xmax": 9.0, "ymax": 9.0}
