@@ -303,6 +303,39 @@ def cast(
     if src_kind == "wkt":
         out, _ = wkt_codec.decode(arr, target)
         return out
+    if source.geometry_type == GeometryType.BOX:
+        # box → polygon ring synthesis, reference ring order
+        # (xmin ymin, xmax ymin, xmax ymax, xmin ymax, xmin ymin)
+        # (src/geoarrow.c:2960-3028; fixture test-pkg-wk.R:234-239);
+        # min>max in any dim → POLYGON EMPTY (src/geoarrow.c:2986-3016)
+        mins, maxes, valid = native.box_view(arr, source)
+        n = mins.shape[0]
+        nonempty = np.all(maxes[:, :2] >= mins[:, :2], axis=1)
+        if valid is not None:
+            nonempty &= valid
+        poly_counts = nonempty.astype(np.int64)
+        poly_off = np.concatenate([[0], np.cumsum(poly_counts)])
+        ne = np.nonzero(nonempty)[0]
+        ring_off = np.arange(len(ne) + 1, dtype=np.int64) * 5
+        coords = np.empty((len(ne) * 5, 2), dtype=np.float64)
+        x0, y0 = mins[ne, 0], mins[ne, 1]
+        x1, y1 = maxes[ne, 0], maxes[ne, 1]
+        coords[0::5] = np.column_stack([x0, y0])
+        coords[1::5] = np.column_stack([x1, y0])
+        coords[2::5] = np.column_stack([x1, y1])
+        coords[3::5] = np.column_stack([x0, y1])
+        coords[4::5] = np.column_stack([x0, y0])
+        mask = None if valid is None else ~valid
+        poly = native.build_nested(
+            coords,
+            [poly_off, ring_off],
+            GeoType.polygon(),
+            mask=mask,
+        )
+        if target.geometry_type == GeometryType.POLYGON and target.dimensions == Dimensions.XY:
+            return poly
+        return cast(poly, target, GeoType.polygon())
+
     # native → native (dims / coord-type / promotion changes)
     nodes = wkt_codec.nodes_from_native(arr, source)
     return wkb_codec.build_native(nodes, target)

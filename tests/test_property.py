@@ -1,0 +1,124 @@
+"""Property-based round-trip tests (hypothesis): random geometries must
+survive native → WKT → native → WKB → native bit-identically, across
+all dimension sets; plus the box→polygon cast fixture."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from georay import kernels
+from georay.codecs import native, wkb, wkt
+from georay.types import Dimensions, GeometryType, GeoType
+
+# precision-16 FIXED notation — like the reference's GeoArrowPrintDouble
+# (src/geoarrow.c:6331-6341) — quantizes values needing >16 fractional
+# digits, so the EXACT round-trip domain is "shortest repr ≤16 decimals".
+# Coordinates rounded to 6 decimals (µdeg precision) sit safely inside it.
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e15, max_value=1e15
+).map(lambda x: round(x, 6))
+
+
+def coords_strategy(ndim, min_rows=1, max_rows=8):
+    return st.lists(
+        st.tuples(*([finite] * ndim)), min_size=min_rows, max_size=max_rows
+    ).map(lambda rows: np.asarray(rows, dtype=np.float64))
+
+
+def _roundtrip_check(nat, geo):
+    txt = wkt.encode(nat, geo)
+    nat2, t2 = wkt.decode(txt, geo)
+    v1, v2 = native.view(nat, geo), native.view(nat2, t2)
+    assert np.allclose(v1.coords, v2.coords, rtol=0, atol=0, equal_nan=True)
+    assert all(np.array_equal(a, b) for a, b in zip(v1.offsets, v2.offsets))
+    binr = wkb.encode(nat2, t2)
+    nat3, t3 = wkb.decode(binr, geo)
+    v3 = native.view(nat3, t3)
+    assert np.array_equal(
+        np.nan_to_num(v1.coords, nan=-9e99), np.nan_to_num(v3.coords, nan=-9e99)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    coords=coords_strategy(2, min_rows=1, max_rows=6),
+    dims=st.sampled_from([Dimensions.XY, Dimensions.XYZ, Dimensions.XYM, Dimensions.XYZM]),
+)
+def test_point_roundtrip_property(coords, dims):
+    nd = dims.count
+    c = np.column_stack([coords[:, 0]] * nd)[:, :nd]
+    c[:, 1] = coords[:, 1]
+    geo = GeoType.point(dimensions=dims)
+    nat = native.build_points(c, geo)
+    _roundtrip_check(nat, geo)
+
+
+@settings(max_examples=30, deadline=None)
+@given(coords=coords_strategy(2, min_rows=2, max_rows=12))
+def test_linestring_roundtrip_property(coords):
+    geo = GeoType.linestring()
+    nat = native.build_nested(coords, [np.array([0, coords.shape[0]])], geo)
+    _roundtrip_check(nat, geo)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rings=st.lists(coords_strategy(2, min_rows=4, max_rows=8), min_size=1, max_size=3)
+)
+def test_polygon_roundtrip_property(rings):
+    # close each ring
+    closed = [np.vstack([r, r[:1]]) for r in rings]
+    coords = np.vstack(closed)
+    ring_off = np.concatenate([[0], np.cumsum([c.shape[0] for c in closed])])
+    geo = GeoType.polygon()
+    nat = native.build_nested(
+        coords, [np.array([0, len(closed)]), ring_off], geo
+    )
+    _roundtrip_check(nat, geo)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.lists(st.tuples(finite, finite, finite, finite), min_size=1, max_size=6))
+def test_wkb_bigendian_decode_property(data):
+    import struct
+
+    # build big-endian WKB linestrings by hand; decode must byte-swap
+    bufs = []
+    for x0, y0, x1, y1 in data:
+        bufs.append(
+            struct.pack(">BII", 0, 2, 2)
+            + struct.pack(">dddd", x0, y0, x1, y1)
+        )
+    arr = pa.array(bufs, pa.binary())
+    nat, t = wkb.decode(arr, GeoType.linestring())
+    v = native.view(nat, t)
+    exp = np.asarray(data, dtype=np.float64).reshape(-1, 2)
+    assert np.array_equal(v.coords, exp)
+
+
+def test_box_to_polygon_cast_fixture():
+    # /root/reference/tests/testthat/test-pkg-wk.R:234-239
+    st_box = GeoType.box().storage_type()
+    arr = pa.StructArray.from_arrays(
+        [
+            pa.array([0.0, 5.0, 0.0]),
+            pa.array([1.0, 5.0, 0.0]),
+            pa.array([2.0, 2.0, 1.0]),
+            pa.array([3.0, 3.0, 1.0]),
+        ],
+        fields=[st_box.field(i) for i in range(4)],
+        mask=pa.array([False, False, True]),
+    )
+    poly = kernels.cast(arr, GeoType.polygon(), GeoType.box())
+    out = wkt.encode(poly, GeoType.polygon()).to_pylist()
+    assert out == ["POLYGON ((0 1, 2 1, 2 3, 0 3, 0 1))", "POLYGON EMPTY", None]
+
+
+@settings(max_examples=25, deadline=None)
+@given(x=finite)
+def test_format_double_roundtrips(x):
+    # precision-16 text must parse back to the same double (shortest
+    # round-trip property of the Ryu-compatible formatter)
+    s = wkt.format_double(x, 16)
+    assert float(s) == x
