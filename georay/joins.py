@@ -71,7 +71,7 @@ def pip_join(
     mode: str = "inner",
     res: float | None = None,
     concurrency=(2, 8),
-    batch_size: int = 8192,
+    batch_size=None,
     num_cpus: float = 1.0,
     actor_pool: bool = False,
 ) -> ray.data.Dataset:
@@ -160,7 +160,7 @@ def knn_join(
     res: float | None = None,
     id_out: str = "neighbor_id",
     concurrency=(2, 8),
-    batch_size: int = 8192,
+    batch_size=None,
     num_cpus: float = 1.0,
     actor_pool: bool = False,
 ) -> ray.data.Dataset:
