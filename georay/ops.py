@@ -420,6 +420,99 @@ def tile_assemble(
     return ds.groupby(tile_col).map_groups(assemble, batch_format="pyarrow")
 
 
+# -------------------------------------------- temporal custom operators
+
+def asof_join_broadcast(
+    ds: ray.data.Dataset,
+    right: pa.Table,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    out_ts: str = "matched_ts",
+) -> ray.data.Dataset:
+    """As-of join (each left row ↔ greatest right ts ≤ left ts per key),
+    Ray Data lacking a built-in: broadcast the (small) right side sorted
+    by (key, ts) with rank-compressed timestamps, probe per batch with two
+    ``np.searchsorted`` calls — no shuffle of the big side. Inner join;
+    ``out_ts`` carries the matched right timestamp (µs).
+
+    For a LARGE right side the same kernel runs per key-hash bucket after
+    bucketing both sides (partitioned asof) — documented scale path.
+    """
+    rk = right[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+    rt = right[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((rt, rk))
+    rk_s, rt_s = rk[order], rt[order]
+    # rank-compress right timestamps so (key, rank) packs into one int64
+    uniq_ts = np.unique(rt_s)
+    ranks = np.searchsorted(uniq_ts, rt_s)
+    shift = int(np.ceil(np.log2(max(len(uniq_ts), 2))))
+    comp = (rk_s << np.int64(shift)) | ranks.astype(np.int64)
+    payload = ray.put((comp, rt_s, rk_s, uniq_ts, shift))
+
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        comp_r, rt_sorted, rk_sorted, u_ts, sh = cache.setdefault(
+            "p", ray.get(payload)
+        )
+        lk = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = batch[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # greatest right rank with ts ≤ left ts
+        r_up = np.searchsorted(u_ts, lt, side="right") - 1
+        probe_comp = (lk << np.int64(sh)) | np.maximum(r_up, 0)
+        pos = np.searchsorted(comp_r, probe_comp, side="right") - 1
+        ok = (pos >= 0) & (r_up >= 0)
+        pos_c = np.clip(pos, 0, len(comp_r) - 1)
+        ok &= rk_sorted[pos_c] == lk  # landed inside this key's run
+        out = batch.filter(pa.array(ok))
+        matched = rt_sorted[pos_c[ok]]
+        return out.append_column(out_ts, pa.array(matched, pa.int64()))
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    gap_us: int,
+    order_tiebreak: str | None = None,
+) -> ray.data.Dataset:
+    """Session windows over an event log (the streaming-shaped custom
+    operator): per key, events sorted by (ts, tiebreak) split where the
+    gap to the previous event exceeds ``gap_us``. One shuffle
+    (groupby(key)); windowing itself is a vectorized per-group pass.
+
+    Output: (key, session_start µs, session_end µs, n_events).
+    Ordering assumption: within a key, (ts, tiebreak) is a total order.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = group.to_pandas()
+        sort_cols = [ts] + ([order_tiebreak] if order_tiebreak else [])
+        g = g.sort_values(sort_cols, kind="mergesort")
+        t = g[ts].astype("int64").to_numpy()
+        brk = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            brk[1:] = (t[1:] - t[:-1] > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame({key: g[key].to_numpy(), "_sid": sid, "_ts": t})
+        agg = df.groupby([key, "_sid"], sort=False).agg(
+            session_start=("_ts", "min"),
+            session_end=("_ts", "max"),
+            n_events=("_ts", "size"),
+        ).reset_index().drop(columns="_sid")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
 # -------------------------------------------------- extension protocol
 
 def apply_geo_kernel(

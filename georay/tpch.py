@@ -602,7 +602,59 @@ def q_embed_neardup(sf_dir: str):
     return out.select(["id_a", "id_b"])
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: each event matched to the customer's latest order at
+    or before the event time (broadcast rank-compressed right side)."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    out = ops.asof_join_broadcast(
+        ds, orders, "user_id", "ts", "o_custkey", "o_orderdate", out_ts="order_ts"
+    )
+    return out.select_columns(["event_id", "user_id", "order_ts"])
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, epoch_us(o.o_orderdate) AS order_ts
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows over the event log (gap > 6h splits)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    out = ops.sessionize(ds, "user_id", "ts", SESSION_GAP_US, order_tiebreak="event_id")
+    return out
+
+
+SQL_SESSIONIZE = f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -627,6 +679,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_join": SQL_ASOF_JOIN,
+    "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
