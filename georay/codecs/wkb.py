@@ -289,7 +289,12 @@ def decode(
         target = t
 
     # fast path: every buffer is exactly a little-endian simple point
-    if target.geometry_type == GeometryType.POINT and arr.null_count == 0:
+    # (plain binary only — large_binary has int64 offsets)
+    if (
+        target.geometry_type == GeometryType.POINT
+        and arr.null_count == 0
+        and pa.types.is_binary(arr.type)
+    ):
         nd = target.dimensions.count
         fixed = 5 + 8 * nd
         offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[

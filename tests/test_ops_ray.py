@@ -131,6 +131,27 @@ def test_knn_join_matches_bruteforce(images_dir, ray_session):
         assert [(x[1], x[2]) for x in g] == pairs, img
 
 
+def test_joins_actor_pool_paths_match_stateless(images_dir, polygons_table, ray_session):
+    import ray.data as rd
+
+    from georay.joins import knn_join, pip_join
+
+    ds = rd.read_parquet(images_dir)
+    a = pip_join(ds, polygons_table, mode="inner", actor_pool=True, concurrency=2).take_all()
+    b = pip_join(ds, polygons_table, mode="inner").take_all()
+    key = lambda r: (r["image_id"], r["polygon_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+    rng = np.random.default_rng(9)
+    rl = rng.uniform(-180, 180, 100)
+    rt = rng.uniform(-80, 80, 100)
+    rid = np.arange(100)
+    ka = knn_join(ds, rl, rt, rid, k=1, actor_pool=True, concurrency=2).take_all()
+    kb = knn_join(ds, rl, rt, rid, k=1).take_all()
+    key2 = lambda r: (r["image_id"], r["neighbor_id"])
+    assert sorted(map(key2, ka)) == sorted(map(key2, kb))
+
+
 def test_dedup_exact(images_dir, ray_session):
     import ray.data as rd
 
