@@ -335,6 +335,31 @@ def mercator_tile(lon_deg, lat_deg, zoom: int):
     return tx, ty
 
 
+def tile_bounds(tx, ty, zoom: int):
+    """(xmin, ymin, xmax, ymax) lon/lat bounds of slippy tiles."""
+    tx = np.asarray(tx, dtype=np.float64)
+    ty = np.asarray(ty, dtype=np.float64)
+    n = float(1 << zoom)
+    xmin = tx / n * 360.0 - 180.0
+    xmax = (tx + 1.0) / n * 360.0 - 180.0
+
+    def lat_of(yy):
+        return np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * yy / n))))
+
+    ymax = lat_of(ty)
+    ymin = lat_of(ty + 1.0)
+    return xmin, ymin, xmax, ymax
+
+
+def tile_from_key(key: np.ndarray):
+    """Invert tile_key → (zoom, tx, ty)."""
+    key = np.asarray(key, dtype=np.int64)
+    zoom = key >> np.int64(58)
+    tx = (key >> np.int64(29)) & np.int64((1 << 29) - 1)
+    ty = key & np.int64((1 << 29) - 1)
+    return zoom, tx, ty
+
+
 def tile_key(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
     """Single int64 key ``(zoom << 58) | (tx << 29) | ty`` (zoom ≤ 29)."""
     return (

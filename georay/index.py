@@ -267,6 +267,138 @@ class PolygonIndex:
         inside = self._pip_pairs(pidx, poly, lon, lat)
         return pidx[inside], poly[inside]
 
+    def intersects_rect(
+        self,
+        rxmin: np.ndarray,
+        rymin: np.ndarray,
+        rxmax: np.ndarray,
+        rymax: np.ndarray,
+    ):
+        """(rect_idx, poly_idx) pairs whose interiors overlap.
+
+        Test = bbox overlap filter, then: any polygon vertex inside the
+        open rect, OR any rect corner inside the polygon (even-odd), OR
+        any polygon edge properly crossing a rect edge. Exactly the
+        standard rect–polygon intersection decomposition; boundary-only
+        touches follow the half-open conventions of `_pip_pairs`.
+        """
+        rxmin = np.asarray(rxmin, np.float64)
+        rymin = np.asarray(rymin, np.float64)
+        rxmax = np.asarray(rxmax, np.float64)
+        rymax = np.asarray(rymax, np.float64)
+        n_rect = rxmin.shape[0]
+        # candidates: grid cover of each rect (exact), then CSR lookup
+        bbox = np.column_stack([rxmin, rymin, rxmax, rymax])
+        keys, ridx = _cover_bboxes_grid(bbox, np.ones(n_rect, bool), self.res)
+        pid, poly = csr_lookup(self.cell_uniq, self.cell_offsets, self.cell_polys, keys)
+        ridx = ridx[pid]
+        # dedup (rect, poly) pairs
+        pairkey = ridx * np.int64(self.n_polygons) + poly
+        _, ui = np.unique(pairkey, return_index=True)
+        ridx, poly = ridx[ui], poly[ui]
+        # bbox strict-overlap filter
+        keep = (
+            (self.bbox[poly, 0] < rxmax[ridx])
+            & (self.bbox[poly, 2] > rxmin[ridx])
+            & (self.bbox[poly, 1] < rymax[ridx])
+            & (self.bbox[poly, 3] > rymin[ridx])
+        )
+        ridx, poly = ridx[keep], poly[keep]
+        if ridx.size == 0:
+            return ridx, poly
+        hit = np.zeros(ridx.shape[0], dtype=bool)
+
+        # (a) any polygon vertex strictly inside the rect
+        eo = self.poly_edge_offsets
+        ecnt = eo[poly + 1] - eo[poly]
+        pair, within = _ragged_ranges(ecnt)
+        eidx = np.repeat(eo[poly], ecnt) + within
+        vx = self.edge_x1[eidx]
+        vy = self.edge_y1[eidx]
+        inside_rect = (
+            (vx > np.repeat(rxmin[ridx], ecnt))
+            & (vx < np.repeat(rxmax[ridx], ecnt))
+            & (vy > np.repeat(rymin[ridx], ecnt))
+            & (vy < np.repeat(rymax[ridx], ecnt))
+        )
+        np.logical_or.at(hit, pair[inside_rect], True)
+
+        # (b) any rect corner inside the polygon
+        todo = np.nonzero(~hit)[0]
+        if todo.size:
+            for cx, cy in ((0, 1), (2, 1), (2, 3), (0, 3)):
+                if todo.size == 0:
+                    break
+                px = bbox[ridx[todo], cx]
+                py = bbox[ridx[todo], cy]
+                # probe each pending pair's polygon with the corner
+                sub = self._pip_pairs_points(poly[todo], px, py)
+                hit[todo[sub]] = True
+                todo = todo[~sub]
+
+        # (c) any polygon edge properly crossing a rect edge
+        if todo.size:
+            sub_poly = poly[todo]
+            ecnt2 = eo[sub_poly + 1] - eo[sub_poly]
+            pair2, within2 = _ragged_ranges(ecnt2)
+            eidx2 = np.repeat(eo[sub_poly], ecnt2) + within2
+            ax = self.edge_x1[eidx2]
+            ay = self.edge_y1[eidx2]
+            bx = self.edge_x2[eidx2]
+            by = self.edge_y2[eidx2]
+            r0x = np.repeat(rxmin[ridx[todo]], ecnt2)
+            r0y = np.repeat(rymin[ridx[todo]], ecnt2)
+            r1x = np.repeat(rxmax[ridx[todo]], ecnt2)
+            r1y = np.repeat(rymax[ridx[todo]], ecnt2)
+            crossed = np.zeros(pair2.shape[0], dtype=bool)
+            rect_edges = (
+                (r0x, r0y, r1x, r0y),
+                (r1x, r0y, r1x, r1y),
+                (r1x, r1y, r0x, r1y),
+                (r0x, r1y, r0x, r0y),
+            )
+            for cxa, cya, cxb, cyb in rect_edges:
+                d1 = (cxb - cxa) * (ay - cya) - (cyb - cya) * (ax - cxa)
+                d2 = (cxb - cxa) * (by - cya) - (cyb - cya) * (bx - cxa)
+                d3 = (bx - ax) * (cya - ay) - (by - ay) * (cxa - ax)
+                d4 = (bx - ax) * (cyb - ay) - (by - ay) * (cxb - ax)
+                crossed |= (
+                    ((d1 > 0) != (d2 > 0))
+                    & ((d3 > 0) != (d4 > 0))
+                    & (d1 != 0)
+                    & (d2 != 0)
+                )
+            hit2 = np.zeros(todo.shape[0], dtype=bool)
+            np.logical_or.at(hit2, pair2[crossed], True)
+            hit[todo[hit2]] = True
+
+        return ridx[hit], poly[hit]
+
+    def _pip_pairs_points(self, poly: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Even-odd test for (pair i → point (px[i], py[i]) vs poly[i])."""
+        eo = self.poly_edge_offsets
+        ecnt = eo[poly + 1] - eo[poly]
+        inside = np.zeros(poly.shape[0], dtype=bool)
+        nz = np.nonzero(ecnt > 0)[0]
+        if nz.size == 0:
+            return inside
+        pair, within = _ragged_ranges(ecnt[nz])
+        eidx = np.repeat(eo[poly[nz]], ecnt[nz]) + within
+        ppx = np.repeat(px[nz], ecnt[nz])
+        ppy = np.repeat(py[nz], ecnt[nz])
+        y1 = self.edge_y1[eidx]
+        y2 = self.edge_y2[eidx]
+        spans = (y1 <= ppy) != (y2 <= ppy)
+        x1 = self.edge_x1[eidx]
+        x2 = self.edge_x2[eidx]
+        lhs = (ppx - x1) * (y2 - y1)
+        rhs = (ppy - y1) * (x2 - x1)
+        up = y2 > y1
+        cond = spans & np.where(up, lhs < rhs, lhs > rhs)
+        crossings = np.bincount(pair[cond], minlength=nz.shape[0])
+        inside[nz] = (crossings % 2).astype(bool)
+        return inside
+
     def contains_first(self, lon: np.ndarray, lat: np.ndarray):
         """First match per point (for left/semi/anti joins): candidates
         are tested rank-round by rank-round with early exit, so in dense

@@ -420,6 +420,37 @@ def tile_assemble(
     return ds.groupby(tile_col).map_groups(assemble, batch_format="pyarrow")
 
 
+def tile_polygon_assign(
+    ds: ray.data.Dataset,
+    polygons: pa.Table,
+    zoom: int,
+    tile_col: str = "tile_key",
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+) -> pa.Table:
+    """B7: raster-tile → vector assignment. The distinct tiles observed in
+    ``ds`` (small set, ≤4^zoom) are intersected against the broadcast
+    polygon index (exact rect–polygon test) → (tile_key, polygon id).
+
+    The distinct-tile reduction streams (Dataset.unique); only the tiny
+    tile list and the small polygon side materialize on the driver.
+    """
+    from georay import cells as c
+    from georay.index import PolygonIndex
+
+    tiles = np.asarray(sorted(ds.unique(tile_col)), dtype=np.int64)
+    zoom_arr, tx, ty = c.tile_from_key(tiles)
+    xmin, ymin, xmax, ymax = c.tile_bounds(tx, ty, zoom)
+    index = PolygonIndex.build(polygons, geometry_col=geometry_col, id_col=id_col)
+    ridx, poly = index.intersects_rect(xmin, ymin, xmax, ymax)
+    return pa.table(
+        {
+            tile_col: pa.array(tiles[ridx], pa.int64()),
+            id_col: pa.array(index.polygon_ids[poly].tolist()),
+        }
+    )
+
+
 # -------------------------------------------- temporal custom operators
 
 def asof_join_broadcast(

@@ -602,6 +602,18 @@ def q_embed_neardup(sf_dir: str):
     return out.select(["id_a", "id_b"])
 
 
+def q_tile_assign(sf_dir: str):
+    """Raster-tile → vector assignment: every mercator tile observed in
+    the lineitem points intersected (exact rect–polygon test) against the
+    part-box polygons. Rows-only: boundary-touch conventions are the
+    engine's half-open ones, pinned by tests/test_tile_assign.py (incl. a
+    consistency proof against the PIP join)."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_tile_columns(ds, zoom=TILE_ZOOM)
+    polys = part_box_polygons(sf_dir)
+    return ops.tile_polygon_assign(ds, polys, zoom=TILE_ZOOM, id_col="p_partkey")
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the customer's latest order at
     or before the event time (broadcast rank-compressed right side)."""
@@ -653,6 +665,7 @@ FROM s GROUP BY user_id, sid
 
 
 QUERIES = {
+    "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "token_count": q_token_count,
