@@ -115,13 +115,20 @@ def add_tile_columns(
 def cast_geometry(
     ds: ray.data.Dataset, col: str, target: GeoType, source: GeoType | None = None
 ) -> ray.data.Dataset:
-    """as_geoarrow over a Dataset column (kernel 6)."""
+    """as_geoarrow over a Dataset column (kernel 6). When the target
+    carries no crs/edges of its own, the source's metadata propagates —
+    the reference's as_geoarrow behavior (src/geoarrow.c:1578-1614)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         src = source or GeoType.from_field(batch.schema.field(col))
-        out = kernels.cast(batch[col], target, src)
+        tgt = target
+        if tgt.crs is None and src.crs is not None:
+            tgt = tgt.with_crs(src.crs, src.crs_type)
+        if tgt.edge_type.value == 0 and src.edge_type.value != 0:
+            tgt = tgt.with_edges(src.edge_type)
+        out = kernels.cast(batch[col], tgt, src)
         i = batch.schema.get_field_index(col)
-        return batch.set_column(i, target.field(col), out)
+        return batch.set_column(i, tgt.field(col), out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 

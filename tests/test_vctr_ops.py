@@ -90,6 +90,14 @@ def test_cast_matrix_dims_and_coord_type():
     assert np.array_equal(native.view(rt, GeoType.point()).coords, [[1.0, 2.0], [3.0, 4.0]])
 
 
+def test_cast_geometry_propagates_crs(points_ds):
+    out = ops.cast_geometry(points_ds, "geotag", GeoType.wkb())
+    crs, crs_type, edges = ops.get_crs(out, "geotag")
+    assert crs == "OGC:CRS84"  # src crs propagated into the WKB target
+    t = GeoType.from_field(out.schema().base_schema.field("geotag"))
+    assert t.serialized
+
+
 def test_tile_assemble(points_ds, ray_session):
     ds = ops.add_tile_columns(points_ds, zoom=3)
     out = ops.tile_assemble(ds, max_ids_per_tile=4).take_all()
