@@ -244,6 +244,86 @@ def infer_type_from_codes(
     return GeoType.native(geom, dimensions=dims, coord_type=coord_type)
 
 
+# ------------------------------------------------- planar measure kernels
+
+def _masked_float(out: np.ndarray, valid) -> pa.Array:
+    if valid is None:
+        return pa.array(out, pa.float64())
+    return pa.array(out, pa.float64(), mask=~valid)
+
+
+def length(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Array:
+    """Planar length: 0 for points, polyline length for (multi)linestring,
+    perimeter for (multi)polygon rings. null→null, empty→0. Vectorized:
+    one diff over all coords, cross-part segments zeroed by offsets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+    _require_planar(geo, "length")
+    v = native.view(arr, geo)
+    n = v.length
+    out = np.zeros(n)
+    if v.offsets and v.coords.shape[0] > 1:
+        x = v.coords[:, 0]
+        y = v.coords[:, 1]
+        seg = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+        # segment k connects vertex k→k+1; invalid when k+1 starts a new
+        # innermost part (ring / linestring)
+        inner = v.offsets[-1]
+        bad = inner[1:-1] - 1  # boundary segments
+        bad = bad[(bad >= 0) & (bad < seg.shape[0])]
+        seg[bad] = 0.0
+        feat = v.feature_of_coord()
+        np.add.at(out, feat[:-1], seg)
+    return _masked_float(out, v.valid)
+
+
+def area(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Array:
+    """Planar shoelace area per feature, |outer − holes| (rings wind
+    opposite ways by the generator's convention). Points/linestrings → 0;
+    null→null; empty→0. Fully vectorized via reduceat over ring offsets."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if geo is None:
+        geo = GeoType.from_field(pa.field("g", arr.type))
+    _require_planar(geo, "area")
+    v = native.view(arr, geo)
+    n = v.length
+    out = np.zeros(n)
+    if (
+        geo.geometry_type in (GeometryType.POLYGON, GeometryType.MULTIPOLYGON)
+        and v.coords.shape[0] >= 3
+    ):
+        x = v.coords[:, 0]
+        y = v.coords[:, 1]
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        ring_off = v.offsets[-1]
+        n_rings = len(ring_off) - 1
+        ring_sums = np.zeros(n_rings)
+        nonempty = np.diff(ring_off) > 0
+        starts = ring_off[:-1][nonempty]
+        if starts.size:
+            # reduceat sums cross[s : next_start]; subtract the wrap
+            # element cross[e-1] that straddles the ring boundary (rings
+            # are closed so it's not part of the shoelace sum)
+            sums = np.add.reduceat(
+                np.append(cross, 0.0), np.minimum(starts, cross.shape[0])
+            )
+            ends = ring_off[1:][nonempty] - 1
+            wrap = np.where(ends < cross.shape[0], np.append(cross, 0.0)[ends], 0.0)
+            ring_sums[nonempty] = 0.5 * (sums - wrap)
+        # ring → feature ranges
+        frs = v.offsets[0][:-1]
+        fre = v.offsets[0][1:]
+        for mid in v.offsets[1:-1]:
+            frs = mid[frs]
+            fre = mid[fre]
+        csum = np.concatenate([[0.0], np.cumsum(ring_sums)])
+        out = np.abs(csum[fre] - csum[frs])
+    return _masked_float(out, v.valid)
+
+
 # ----------------------------------------------------------------- cast
 
 def cast(

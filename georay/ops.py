@@ -157,6 +157,30 @@ def add_centroid_column(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def add_area_column(
+    ds: ray.data.Dataset, col: str, out: str = "area", source: GeoType | None = None
+) -> ray.data.Dataset:
+    """Planar shoelace area per feature (engine measure kernel)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        return batch.append_column(out, kernels.area(batch[col], src))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def add_length_column(
+    ds: ray.data.Dataset, col: str, out: str = "length", source: GeoType | None = None
+) -> ray.data.Dataset:
+    """Planar length / ring perimeter per feature."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = source or GeoType.from_field(batch.schema.field(col))
+        return batch.append_column(out, kernels.length(batch[col], src))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def box_agg(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
     """Global bounds (kernel 9): per-batch partial boxes → tiny merge.
 
@@ -260,16 +284,20 @@ def dedup_exact(
 def salted_count(
     ds: ray.data.Dataset,
     key: str,
-    n_salt: int = 16,
+    n_salt: int = 1,
     agg_cols: dict[str, str] | None = None,
     count_alias: str = "count",
 ) -> ray.data.Dataset:
     """B8: skew-safe grouped count/sum.
 
-    Stage 1 pre-aggregates inside each batch (map-side combine), emitting
-    at most ``groups×salts`` rows per batch; stage 2 is a small shuffle of
-    partials. Salting spreads a hot key (dense city cell) over ``n_salt``
-    reducers; the final combine is associative so the result is exact.
+    Stage 1 pre-aggregates inside each batch (map-side combine); stage 2
+    shuffles only the tiny partials. For ASSOCIATIVE aggregates this
+    two-stage combine already neutralizes key skew — a Zipf-hot cell
+    contributes at most one partial row per block — so ``n_salt``
+    defaults to 1. Raise it when the per-key stage-2 work itself is
+    irreducible (e.g. a ``map_groups`` assembler downstream), spreading a
+    hot key over ``n_salt`` reducers at the cost of ``n_salt``× partial
+    rows; the final merge stays exact either way.
 
     agg_cols: {column: "sum"} additional sums to carry.
     """

@@ -602,6 +602,38 @@ def q_embed_neardup(sf_dir: str):
     return out.select(["id_a", "id_b"])
 
 
+def q_poly_measures(sf_dir: str):
+    """Area + perimeter kernels over the part-box polygons; rounded to 6
+    dp on both sides (shoelace vs w·h take different float paths)."""
+    polys = part_box_polygons(sf_dir)
+    ds = rd.from_arrow(polys)
+    ds = ops.add_area_column(ds, "geometry")
+    ds = ops.add_length_column(ds, "geometry", out="perimeter")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "area": pa.array(
+                    np.round(batch["area"].to_numpy(zero_copy_only=False), 6)
+                ),
+                "perimeter": pa.array(
+                    np.round(batch["perimeter"].to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+SQL_POLY_MEASURES = f"""
+SELECT p_partkey,
+       ROUND((2*({PART_W})) * (2*({PART_H})), 6) AS area,
+       ROUND(2*((2*({PART_W})) + (2*({PART_H}))), 6) AS perimeter
+FROM part
+"""
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -665,6 +697,7 @@ FROM s GROUP BY user_id, sid
 
 
 QUERIES = {
+    "poly_measures": q_poly_measures,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -692,6 +725,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "poly_measures": SQL_POLY_MEASURES,
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,
