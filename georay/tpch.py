@@ -634,6 +634,35 @@ FROM part
 """
 
 
+def q_poly_centroid(sf_dir: str):
+    """Centroid kernel (coordinate mean over ring vertices — the
+    reference-anchored semantics) over part-box polygons; the closed
+    5-vertex ring repeats (xmin,ymin), mirrored exactly in the SQL."""
+    polys = part_box_polygons(sf_dir)
+    ds = rd.from_arrow(polys)
+    ds = ops.add_centroid_column(ds, "geometry")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        v = native.view(batch["centroid"].combine_chunks())
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "cx": pa.array(np.round(v.coords[:, 0], 6)),
+                "cy": pa.array(np.round(v.coords[:, 1], 6)),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+SQL_POLY_CENTROID = f"""
+SELECT p_partkey,
+       ROUND((3*(({PART_CX}) - ({PART_W})) + 2*(({PART_CX}) + ({PART_W})))/5, 6) AS cx,
+       ROUND((3*(({PART_CY}) - ({PART_H})) + 2*(({PART_CY}) + ({PART_H})))/5, 6) AS cy
+FROM part
+"""
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -698,6 +727,7 @@ FROM s GROUP BY user_id, sid
 
 QUERIES = {
     "poly_measures": q_poly_measures,
+    "poly_centroid": q_poly_centroid,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -726,6 +756,7 @@ QUERIES = {
 
 ORACLE = {
     "poly_measures": SQL_POLY_MEASURES,
+    "poly_centroid": SQL_POLY_CENTROID,
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "token_count": SQL_TOKEN_COUNT,

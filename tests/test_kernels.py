@@ -104,6 +104,37 @@ def test_unique_types_z_codes():
     assert codes == [1001]
 
 
+def test_area_with_hole_and_empty():
+    nat, t = _poly(
+        [
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))",
+            "POLYGON EMPTY",
+            None,
+            "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))",
+        ],
+        GeoType.polygon(),
+    )
+    assert kernels.area(nat, t).to_pylist() == [12.0, 0.0, None, 2.0]
+    assert kernels.length(nat, t).to_pylist() == [24.0, 0.0, None, 6.0]
+
+
+def test_length_linestring_and_multipolygon_area():
+    nat, t = _poly(
+        ["LINESTRING (0 0, 3 4, 3 8)", "LINESTRING EMPTY"], GeoType.linestring()
+    )
+    assert kernels.length(nat, t).to_pylist() == [9.0, 0.0]
+    nat2, t2 = _poly(
+        [
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+        ],
+        GeoType.multipolygon(),
+    )
+    assert kernels.area(nat2, t2).to_pylist() == [5.0]
+    assert kernels.area(
+        _poly(["POINT (3 4)"], GeoType.point())[0], GeoType.point()
+    ).to_pylist() == [0.0]
+
+
 def test_box_multipolygon_spanning_rings():
     nat, t = _poly(
         ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 9 5, 9 9, 5 5)))"],
