@@ -695,6 +695,45 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Sliding window count: 2-hour windows stepping hourly — each event
+    lands in exactly two windows (flat-map explode + grouped count)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        et = batch["event_type"]
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays(
+                    [et.combine_chunks(), et.combine_chunks()]
+                ),
+                "window_start": pa.array(
+                    np.concatenate([hour, hour - 1]), pa.int64()
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    from ray.data.aggregate import Count
+
+    return (
+        exploded.groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["event_type", "window_start", "n"])
+    )
+
+
+SQL_SLIDING_WINDOW = """
+SELECT event_type,
+       CAST(FLOOR(EPOCH(ts)/3600) AS BIGINT) - off.o AS window_start,
+       COUNT(*) AS n
+FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+GROUP BY 1, 2
+"""
+
+
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h
 
 
@@ -731,6 +770,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "sliding_window": q_sliding_window,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -759,6 +799,7 @@ ORACLE = {
     "poly_centroid": SQL_POLY_CENTROID,
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
+    "sliding_window": SQL_SLIDING_WINDOW,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

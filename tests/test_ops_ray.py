@@ -187,6 +187,24 @@ def test_salted_count(images_dir, ray_session):
     assert got == dict(exp)
 
 
+def test_salted_count_extreme_zipf_skew(ray_session):
+    """SURVEY §7.4 hard part 4: one key owning 90% of rows must aggregate
+    exactly, with and without salting."""
+    import ray.data as rd
+
+    n = 50_000
+    rng = np.random.default_rng(17)
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 1000, n))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    import collections
+
+    exp = collections.Counter(keys.tolist())
+    for n_salt in (1, 16):
+        out = ops.salted_count(ds, "k", n_salt=n_salt).take_all()
+        got = {r["k"]: r["count"] for r in out}
+        assert got == dict(exp), n_salt
+
+
 def test_box_agg_and_unique_types_distributed(images_dir, ray_session):
     import ray.data as rd
 
