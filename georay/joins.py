@@ -121,6 +121,49 @@ def pip_join(
     )
 
 
+def pip_count(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    geom_col: str = "geotag",
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+    res: float | None = None,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """PIP join + per-polygon COUNT with the aggregation pushed INTO the
+    probe stage: each batch emits one (polygon, partial count) row per
+    matched polygon instead of materializing every joined row — the
+    join-then-aggregate pattern with no wide intermediate. Exact."""
+    index = PolygonIndex.build(
+        polygons, geometry_col=geometry_col, id_col=id_col, res=res
+    )
+    ref = ray.put(index)
+    cache: dict = {}
+
+    def probe_count(batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        bad = ~(np.isfinite(lon) & np.isfinite(lat))
+        pidx, poly = idx.contains(
+            np.where(bad, 1e9, lon), np.where(bad, 1e9, lat)
+        )
+        counts = np.bincount(poly, minlength=idx.n_polygons)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                id_col: pa.array(idx.polygon_ids[nz].tolist()),
+                "partial_n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    partials = points.map_batches(
+        probe_count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby(id_col).aggregate(Sum("partial_n", alias_name=count_alias))
+
+
 class KNNJoiner:
     """kNN probe stage via grid-cell ring expansion (exact under the
     planar (lon,lat) metric; ring-r stop bound proven in PointIndex.knn)."""

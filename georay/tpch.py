@@ -231,20 +231,14 @@ GROUP BY l_returnflag
 
 def q_pip_box_join(sf_dir: str):
     """Broadcast point-in-polygon join (boxes as polygons), counted per
-    polygon. Half-open box semantics [xmin,xmax)×[ymin,ymax) follow from
-    the even-odd crossing rule on the reference ring order."""
+    polygon with the count pushed into the probe stage (no 4M-row wide
+    intermediate). Half-open box semantics [xmin,xmax)×[ymin,ymax) follow
+    from the even-odd crossing rule on the reference ring order."""
+    from georay.joins import pip_count
+
     polys = part_box_polygons(sf_dir)
     pts = lineitem_points(sf_dir)
-    joined = pip_join(
-        pts, polys, geometry_col="geometry", id_col="p_partkey", mode="inner",
-        concurrency=(1, 4),
-    )
-    return ops.salted_count(joined, "polygon_id", count_alias="n").map_batches(
-        lambda b: b.rename_columns(["p_partkey", "n"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-    )
+    return pip_count(pts, polys, geometry_col="geometry", id_col="p_partkey")
 
 
 SQL_PIP_BOX_JOIN = f"""
