@@ -486,6 +486,87 @@ def tile_polygon_assign(
     )
 
 
+# ------------------------------------------------ filters & sketches
+
+def semi_join_filter(
+    ds: ray.data.Dataset,
+    key: str,
+    keep_values: np.ndarray,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Broadcast semi/anti join: the (small) key set ships once via
+    ``ray.put`` as a sorted array; each batch filters with one
+    searchsorted. At huge key-set sizes substitute a Bloom filter in the
+    same slot (accepting its false-positive semi rows)."""
+    vals = np.unique(np.asarray(keep_values))
+    ref = ray.put(vals)
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = cache.setdefault("v", ray.get(ref))
+        k = batch[key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, k)
+        pos = np.clip(pos, 0, max(len(v) - 1, 0))
+        hit = (v[pos] == k) if len(v) else np.zeros(len(k), bool)
+        return batch.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def hll_partial(values: np.ndarray) -> np.ndarray:
+    """HyperLogLog register array for one batch (mergeable by max)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(values)).astype(np.uint64)
+    m = np.uint64((1 << _HLL_P) - 1)
+    reg_idx = (h & m).astype(np.int64)
+    w = h >> np.uint64(_HLL_P)
+    # rank = position of first set bit in the remaining 52 bits (1-based)
+    with np.errstate(divide="ignore"):
+        lz = np.where(
+            w == 0,
+            64 - _HLL_P + 1,
+            64 - _HLL_P - np.floor(np.log2(w.astype(np.float64) + 0.0)).astype(np.int64),
+        )
+    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+    np.maximum.at(regs, reg_idx, lz.astype(np.int8))
+    return regs
+
+
+def hll_merge_estimate(partials) -> float:
+    """Merge register arrays (elementwise max) → cardinality estimate."""
+    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+    for p in partials:
+        np.maximum(regs, p, out=regs)
+    m = float(1 << _HLL_P)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return float(est)
+
+
+def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
+    """Approximate COUNT DISTINCT via per-batch HLL sketches merged in a
+    tiny final step (the mergeable-sketch aggregation pattern; ~1.6%
+    standard error at 2^12 registers)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch[col].to_numpy(zero_copy_only=False))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    return hll_merge_estimate(
+        [np.frombuffer(p["regs"], dtype=np.int8) for p in parts]
+    )
+
+
 # -------------------------------------------- temporal custom operators
 
 def asof_join_broadcast(

@@ -689,6 +689,48 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_semi_join(sf_dir: str):
+    """Broadcast semi-join: lineitem rows restricted to large parts
+    (p_size > 40), counted per returnflag."""
+    import pyarrow.parquet as pq
+
+    big = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    keep = big.filter(pc.greater(big["p_size"], 40))["p_partkey"].to_numpy()
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_returnflag"])
+    ds = ops.semi_join_filter(ds, "l_partkey", keep)
+    return ops.salted_count(ds, "l_returnflag", count_alias="n")
+
+
+SQL_SEMI_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+GROUP BY l_returnflag
+"""
+
+
+def q_distinct_parts(sf_dir: str):
+    """Exact distinct count (two-stage unique) + HLL approximation with
+    its relative error — the mergeable-sketch pattern. The exact column
+    is oracle-checked; the sketch column is engine-defined (bounded by
+    the test suite instead)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+    exact = len(ds.unique("l_partkey"))
+    approx = ops.approx_distinct(ds, "l_partkey")
+    err_ok = abs(approx - exact) / exact < 0.05
+    return pa.table(
+        {
+            "n_distinct": pa.array([exact], pa.int64()),
+            "hll_within_5pct": pa.array([bool(err_ok)]),
+        }
+    )
+
+
+SQL_DISTINCT_PARTS = """
+SELECT COUNT(DISTINCT l_partkey) AS n_distinct, TRUE AS hll_within_5pct
+FROM lineitem
+"""
+
+
 def q_sliding_window(sf_dir: str):
     """Sliding window count: 2-hour windows stepping hourly — each event
     lands in exactly two windows (flat-map explode + grouped count)."""
@@ -765,6 +807,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
+    "semi_join": q_semi_join,
+    "distinct_parts": q_distinct_parts,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -794,6 +838,8 @@ ORACLE = {
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,
+    "semi_join": SQL_SEMI_JOIN,
+    "distinct_parts": SQL_DISTINCT_PARTS,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

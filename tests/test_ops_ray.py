@@ -227,6 +227,26 @@ def test_box_agg_and_unique_types_distributed(images_dir, ray_session):
     assert inferred.geometry_type.name == "POINT"
 
 
+def test_semi_join_filter_and_hll(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 5000, 40_000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+    keep = np.arange(0, 5000, 7)
+    semi = ops.semi_join_filter(ds, "k", keep).take_all()
+    anti = ops.semi_join_filter(ds, "k", keep, anti=True).count()
+    keep_set = set(keep.tolist())
+    exp_semi = int(np.isin(keys, keep).sum())
+    assert len(semi) == exp_semi
+    assert all(r["k"] in keep_set for r in semi[:200])
+    assert anti == 40_000 - exp_semi
+
+    exact = len(np.unique(keys))
+    est = ops.approx_distinct(ds, "k")
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
 def test_tile_columns(images_dir, ray_session):
     import ray.data as rd
 
