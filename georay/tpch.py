@@ -628,6 +628,68 @@ FROM part
 """
 
 
+def q_poly_bbox(sf_dir: str):
+    """Per-feature box kernel over the part-box polygons (exact doubles —
+    the ring vertices are the box corners)."""
+    polys = part_box_polygons(sf_dir)
+    ds = rd.from_arrow(polys)
+    ds = ops.add_box_column(ds, "geometry")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        mins, maxes, _ = native.box_view(batch["bbox"].combine_chunks())
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "xmin": pa.array(mins[:, 0]),
+                "ymin": pa.array(mins[:, 1]),
+                "xmax": pa.array(maxes[:, 0]),
+                "ymax": pa.array(maxes[:, 1]),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+SQL_POLY_BBOX = f"""
+SELECT p_partkey,
+       ({PART_CX}) - ({PART_W}) AS xmin, ({PART_CY}) - ({PART_H}) AS ymin,
+       ({PART_CX}) + ({PART_W}) AS xmax, ({PART_CY}) + ({PART_H}) AS ymax
+FROM part
+"""
+
+
+def q_infer_schema(sf_dir: str):
+    """unique_geometry_types_agg + MULTI-promotion inference over the
+    polygon table (rows-only; promotion table pinned in tests)."""
+    polys = part_box_polygons(sf_dir)
+    ds = rd.from_arrow(polys)
+    codes = ops.unique_geometry_types(ds, "geometry")
+    inferred = ops.infer_geo_schema(ds, "geometry")
+    return pa.table(
+        {
+            "wkb_codes": pa.array([codes]),
+            "inferred_type": pa.array([inferred.extension_name]),
+        }
+    )
+
+
+def q_validate_wkt(sf_dir: str):
+    """visit_void_agg validation kernel over WKT-serialized lineitem
+    points (full parse of every feature; rows-only)."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_wkt_column(ds, "geotag").select_columns(["wkt"])
+    ds = ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b["wkt"].combine_chunks()], schema=pa.schema([GeoType.wkt().field("wkt")])
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+    n_valid = ops.validate_geometry(ds, "wkt")
+    return pa.table({"n_valid": pa.array([n_valid], pa.int64())})
+
+
 def q_poly_centroid(sf_dir: str):
     """Centroid kernel (coordinate mean over ring vertices — the
     reference-anchored semantics) over part-box polygons; the closed
@@ -803,6 +865,9 @@ FROM s GROUP BY user_id, sid
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
+    "poly_bbox": q_poly_bbox,
+    "infer_schema": q_infer_schema,
+    "validate_wkt": q_validate_wkt,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -835,6 +900,7 @@ QUERIES = {
 ORACLE = {
     "poly_measures": SQL_POLY_MEASURES,
     "poly_centroid": SQL_POLY_CENTROID,
+    "poly_bbox": SQL_POLY_BBOX,
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,
