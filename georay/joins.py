@@ -1,10 +1,14 @@
-"""Broadcast spatial joins as stateful actor-pool stages (SURVEY.md §2.B5/B6).
+"""Spatial joins (SURVEY.md §2.B5/B6), three execution shapes:
 
-Pattern: build the small-side index once, ``ray.put`` it, and pass the
-object ref to a callable CLASS used with ``map_batches(Cls,
-concurrency=N)``. Each actor materializes the index ONCE in ``__init__``
-(the reference's kernel ``start()`` analogue, src/geoarrow.c:1936-1996)
-and every ``__call__`` probes it vectorized. The big side never shuffles.
+1. **Broadcast + fused stateless tasks** (default): the small-side index
+   ships once via ``ray.put`` and is cached per worker process; the probe
+   fuses with the upstream read chain. The big side never shuffles.
+2. **Broadcast + actor pool**: a callable CLASS materializes the index
+   ONCE per actor in ``__init__`` (the reference's kernel ``start()``
+   analogue, src/geoarrow.c:1936-1996) — for huge indexes / heavy state.
+3. **Co-partitioned** (``pip_join_partitioned``): both sides large — one
+   ``groupby(cell)`` shuffle co-locates points with the polygons covering
+   their cell; the same vectorized kernel joins each bucket locally.
 """
 
 from __future__ import annotations
@@ -162,6 +166,125 @@ def pip_count(
     from ray.data.aggregate import Sum
 
     return partials.groupby(id_col).aggregate(Sum("partial_n", alias_name=count_alias))
+
+
+def pip_join_partitioned(
+    points: ray.data.Dataset,
+    polygons: ray.data.Dataset,
+    geom_col: str = "geotag",
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+    point_id_col: str = "image_id",
+    res: float = 2.0,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE PIP join: no broadcast. Each side is keyed by the
+    same grid cell (points: their cell; polygons: every cell of their
+    exact bbox cover), co-partitioned with one ``groupby(cell)``
+    shuffle, and joined bucket-locally with the same vectorized even-odd
+    kernel. Duplicate matches from multi-cell polygons are impossible:
+    a point's single cell meets each covering polygon exactly once.
+
+    Output: inner-join pairs (point id columns + polygon id). Pick ``res``
+    so a bucket's polygons fit a worker's heap (document the skew: a
+    dense city cell = one map_groups task; split res finer to shard it).
+    """
+    import pyarrow.parquet  # noqa: F401  (kept for parity of imports)
+
+    from georay import cells as c
+    from georay.codecs import native as nat
+    from georay.codecs import wkb as wkb_codec
+    from georay.types import GeoType
+
+    nx = int(np.ceil(360.0 / res))
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        bad = ~(np.isfinite(lon) & np.isfinite(lat))
+        cell = c.grid_cell(np.where(bad, 1e9, lon), np.where(bad, 1e9, lat), res)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "side": pa.array(np.zeros(len(batch), np.int8)),
+                "pt_id": batch[point_id_col],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                id_col: pa.array([None] * len(batch), pa.int64()),
+                "wkb": pa.array([None] * len(batch), pa.binary()),
+            }
+        )
+
+    def key_polygons(batch: pa.Table) -> pa.Table:
+        from georay import kernels
+
+        geo = GeoType.from_field(batch.schema.field(geometry_col))
+        b = kernels.box(batch[geometry_col], geo)
+        mins, maxes, valid = nat.box_view(b, GeoType.box())
+        bbox = np.concatenate([mins, maxes], axis=1)
+        ok = np.isfinite(bbox[:, 0]) & (bbox[:, 2] >= bbox[:, 0])
+        if valid is not None:
+            ok &= valid
+        from georay.index import _cover_bboxes_grid
+
+        keys, poly_idx = _cover_bboxes_grid(bbox, ok, res)
+        wkb_col = wkb_codec.encode(batch[geometry_col], geo)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = keys.shape[0]
+        return pa.table(
+            {
+                "cell": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8)),
+                "pt_id": pa.array([None] * n, pa.string()),
+                "lon": pa.array(np.full(n, np.nan)),
+                "lat": pa.array(np.full(n, np.nan)),
+                id_col: pa.array(ids[poly_idx], pa.int64()),
+                "wkb": wkb_col.take(pa.array(poly_idx)),
+            }
+        )
+
+    pts_keyed = points.map_batches(
+        key_points, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    polys_keyed = polygons.map_batches(
+        key_polygons, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    both = pts_keyed.union(polys_keyed)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        pts = group.filter(pa.array(side == 0))
+        pls = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "pt_id": pa.array([], pts.column("pt_id").type),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+        if len(pts) == 0 or len(pls) == 0:
+            return empty
+        from georay.index import PolygonIndex
+        from georay.types import GeoType
+
+        nat_poly, t = wkb_codec.decode(pls["wkb"].combine_chunks(), GeoType.polygon())
+        tbl = pa.table(
+            {id_col: pls[id_col]},
+            schema=pa.schema([pa.field(id_col, pa.int64())]),
+        ).append_column(GeoType.polygon().field(geometry_col), nat_poly)
+        idx = PolygonIndex.build(tbl, geometry_col=geometry_col, id_col=id_col, res=res)
+        lon = pts["lon"].to_numpy(zero_copy_only=False)
+        lat = pts["lat"].to_numpy(zero_copy_only=False)
+        # restrict matches to THIS bucket's cell so multi-cell polygons
+        # can't double-match a point probed in a different bucket
+        cell_here = group["cell"][0].as_py()
+        own_cell = c.grid_cell(lon, lat, res) == cell_here
+        pidx, poly = idx.contains(np.where(own_cell, lon, 1e9), np.where(own_cell, lat, 1e9))
+        return pa.table(
+            {
+                "pt_id": pts["pt_id"].take(pa.array(pidx)),
+                id_col: pa.array(idx.polygon_ids[poly].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return both.groupby("cell").map_groups(join_bucket, batch_format="pyarrow")
 
 
 class KNNJoiner:

@@ -152,6 +152,21 @@ def test_joins_actor_pool_paths_match_stateless(images_dir, polygons_table, ray_
     assert sorted(map(key2, ka)) == sorted(map(key2, kb))
 
 
+def test_pip_join_partitioned_matches_broadcast(images_dir, polygons_table, ray_session):
+    import ray.data as rd
+
+    from georay.joins import pip_join, pip_join_partitioned
+
+    ids = pa.array(np.arange(polygons_table.num_rows), pa.int64())
+    polys = polygons_table.set_column(0, pa.field("polygon_id", pa.int64()), ids)
+    pts = rd.read_parquet(images_dir)
+    part = pip_join_partitioned(pts, rd.from_arrow(polys), res=2.0).take_all()
+    bc = pip_join(pts, polys, mode="inner").take_all()
+    a = sorted((r["pt_id"], r["polygon_id"]) for r in part)
+    b = sorted((r["image_id"], r["polygon_id"]) for r in bc)
+    assert a == b and len(a) > 0
+
+
 def test_dedup_exact(images_dir, ray_session):
     import ray.data as rd
 
