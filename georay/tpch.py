@@ -719,6 +719,39 @@ FROM part
 """
 
 
+def q_image_pipeline(sf_dir: str):
+    """Multimodal stage demo on a deterministic synthetic image table
+    (no external data; cached under /tmp): decode → per-row invariant
+    (lossless exact / lossy PSNR≥40dB) → resize → per-format stats.
+    Rows-only (binary pipelines have no SQL analogue)."""
+    import tempfile
+
+    from georay import generate, pipeline
+    from georay.stages import multimodal
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    ds = rd.read_parquet(cache)
+    val = ds.map_batches(
+        pipeline.ImageValidator(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    resized = multimodal.decode_resize(rd.read_parquet(cache), size=32, concurrency=2)
+    n_resized = resized.count()
+    return pa.table(
+        {
+            "rows": pa.array([len(val)], pa.int64()),
+            "pixels_ok": pa.array([int(val["pixels_ok"].sum())], pa.int64()),
+            "resized": pa.array([n_resized], pa.int64()),
+        }
+    )
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -868,6 +901,7 @@ QUERIES = {
     "poly_bbox": q_poly_bbox,
     "infer_schema": q_infer_schema,
     "validate_wkt": q_validate_wkt,
+    "image_pipeline": q_image_pipeline,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
