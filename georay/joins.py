@@ -205,7 +205,9 @@ def pip_join_partitioned(
             {
                 "cell": pa.array(cell, pa.int64()),
                 "side": pa.array(np.zeros(len(batch), np.int8)),
-                "pt_id": batch[point_id_col],
+                # string-typed so the union with the polygon side always
+                # type-checks regardless of the caller's id dtype
+                "pt_id": batch[point_id_col].cast(pa.string()),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
                 id_col: pa.array([None] * len(batch), pa.int64()),

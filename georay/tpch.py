@@ -256,6 +256,24 @@ GROUP BY b.p_partkey
 """
 
 
+def q_pip_partitioned(sf_dir: str):
+    """The SAME point-in-box join as pip_box_join, executed by the
+    co-partitioned both-sides-large strategy (groupby(cell) shuffle, no
+    broadcast) — the two physical plans must agree bit-for-bit."""
+    from georay.joins import pip_join_partitioned
+
+    polys = rd.from_arrow(part_box_polygons(sf_dir))
+    pts = lineitem_points(sf_dir)
+    pairs = pip_join_partitioned(
+        pts, polys, id_col="p_partkey", point_id_col="l_orderkey", res=4.0
+    )
+    out = ops.salted_count(pairs, "p_partkey", count_alias="n")
+    return out
+
+
+SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
+
+
 def q_knn_part_supplier(sf_dir: str):
     """kNN join via grid-cell ring expansion: for each part point, the 3
     nearest supplier points under the planar (lon,lat) metric."""
@@ -922,6 +940,7 @@ QUERIES = {
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
     "pip_box_join": q_pip_box_join,
+    "pip_partitioned": q_pip_partitioned,
     "knn_part_supplier": q_knn_part_supplier,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
@@ -949,6 +968,7 @@ ORACLE = {
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
     "pip_box_join": SQL_PIP_BOX_JOIN,
+    "pip_partitioned": SQL_PIP_PARTITIONED,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
