@@ -428,6 +428,28 @@ def add_wkt_column(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def format_geometry(
+    arr: pa.Array | pa.ChunkedArray,
+    geo: GeoType | None = None,
+    width: int = 80,
+    digits: int = 7,
+) -> pa.Array:
+    """``format.geoarrow_vctr`` replica (R/vctr.R:38-54): abbreviated WKT
+    wrapped in angle brackets, truncated at ``width - 10`` bytes with
+    ``digits`` precision. Expected literals pinned against
+    /root/reference/tests/testthat/test-vctr.R:12-30."""
+    from georay.codecs import wkt as wkt_codec
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    txt = wkt_codec.encode(
+        arr, geo, precision=digits, max_element_size_bytes=max(width - 10, 1)
+    )
+    return pa.array(
+        [None if s is None else f"<{s}>" for s in txt.to_pylist()], pa.string()
+    )
+
+
 # ------------------------------------------------------- tile assembly
 
 def tile_assemble(

@@ -90,6 +90,18 @@ def test_cast_matrix_dims_and_coord_type():
     assert np.array_equal(native.view(rt, GeoType.point()).coords, [[1.0, 2.0], [3.0, 4.0]])
 
 
+def test_format_geometry_reference_literals():
+    # /root/reference/tests/testthat/test-vctr.R:12-30
+    from georay.codecs import wkt as wkt_codec
+
+    arr = pa.array(["POINT (0.222222 1.333333)", "POINT (1 2)"], pa.string())
+    nat, t = wkt_codec.decode(arr, GeoType.point())
+    out = ops.format_geometry(nat, t).to_pylist()
+    assert out == ["<POINT (0.222222 1.333333)>", "<POINT (1 2)>"]
+    out5 = ops.format_geometry(nat, t, width=30, digits=5).to_pylist()
+    assert out5 == ["<POINT (0.22222 1.333>", "<POINT (1 2)>"]
+
+
 def test_cast_geometry_propagates_crs(points_ds):
     out = ops.cast_geometry(points_ds, "geotag", GeoType.wkb())
     crs, crs_type, edges = ops.get_crs(out, "geotag")
