@@ -221,10 +221,20 @@ def unique_geometry_types(ds: ray.data.Dataset, col: str, source: GeoType | None
 
 
 def infer_geo_schema(ds: ray.data.Dataset, col: str, source: GeoType | None = None) -> GeoType:
-    """infer_geoarrow_schema: unique-types agg + promotion
-    (R/infer-default.R:85-152)."""
-    codes = unique_geometry_types(ds, col, source)
-    return kernels.infer_type_from_codes(codes) if codes else GeoType.wkb()
+    """infer_geoarrow_schema: already-native columns short-circuit to
+    their own schema (R/infer-default.R:88-91); serialized (WKT/WKB)
+    columns run the unique-types agg + promotion (R/infer-default.R:85-152)."""
+    current = source or GeoType.from_field(ds.schema().base_schema.field(col))
+    if not current.serialized:
+        return current
+    codes = unique_geometry_types(ds, col, current)
+    inferred = kernels.infer_type_from_codes(codes) if codes else GeoType.wkb()
+    # crs/edges carry over from the source schema
+    if current.crs is not None:
+        inferred = inferred.with_crs(current.crs, current.crs_type)
+    if current.edge_type.value != 0:
+        inferred = inferred.with_edges(current.edge_type)
+    return inferred
 
 
 def validate_geometry(ds: ray.data.Dataset, col: str) -> int:

@@ -131,6 +131,32 @@ def test_apply_geo_kernel_extension(points_ds):
     assert {"east"} <= set(rows[0].keys())
 
 
+def test_infer_schema_dataset_level(ray_session):
+    import ray.data as rd
+
+    # serialized (WKT) column → inference runs, crs propagates
+    tbl = pa.table(
+        {"wkt": pa.array(["POINT (0 1)", "MULTIPOINT (2 3)"], pa.string())},
+        schema=pa.schema([GeoType.wkt(crs="EPSG:4326").field("wkt")]),
+    )
+    ds = rd.from_arrow(tbl)
+    t = ops.infer_geo_schema(ds, "wkt")
+    assert t.geometry_type == GeometryType.MULTIPOINT  # promotion
+    assert t.crs == "EPSG:4326"
+
+    # native column short-circuits to its own schema (R/infer-default.R:88-91)
+    pts = generate.make_images_table(50, seed=8)
+    ds2 = rd.from_arrow(pts.select(["image_id", "geotag"]))
+    t2 = ops.infer_geo_schema(ds2, "geotag")
+    assert t2.geometry_type == GeometryType.POINT
+    assert t2.crs == "OGC:CRS84"
+
+    # bare utf8 storage infers as WKT by convention (R/type.R:272-281)
+    ds3 = rd.from_arrow(pa.table({"wkt": pa.array(["POINT (5 6)"])}))
+    t3 = ops.infer_geo_schema(ds3, "wkt")
+    assert t3.geometry_type == GeometryType.POINT
+
+
 def test_void_kernels():
     pts = native.build_points(np.array([[1.0, 2.0]]), GeoType.point())
     v = kernels.void(pts)
