@@ -188,14 +188,10 @@ def pip_join_partitioned(
     so a bucket's polygons fit a worker's heap (document the skew: a
     dense city cell = one map_groups task; split res finer to shard it).
     """
-    import pyarrow.parquet  # noqa: F401  (kept for parity of imports)
-
     from georay import cells as c
     from georay.codecs import native as nat
     from georay.codecs import wkb as wkb_codec
     from georay.types import GeoType
-
-    nx = int(np.ceil(360.0 / res))
 
     def key_points(batch: pa.Table) -> pa.Table:
         lon, lat = ops.point_lonlat(batch, geom_col)

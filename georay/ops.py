@@ -13,8 +13,6 @@ Design rules (SURVEY.md §4, ray_guide):
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -24,7 +22,7 @@ import ray.data
 
 from georay import cells, kernels
 from georay.codecs import native
-from georay.types import GeoType, geo_fields
+from georay.types import GeoType
 
 
 # ------------------------------------------------------------ geometry col
@@ -41,10 +39,6 @@ def point_lonlat(batch: pa.Table, geom_col: str) -> tuple[np.ndarray, np.ndarray
         lon[~v.valid] = np.nan
         lat[~v.valid] = np.nan
     return lon, lat
-
-
-def _drop_meta(t: pa.Table) -> pa.Table:
-    return t
 
 
 # -------------------------------------------------------------- add cells

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from georay import cells, kernels, ops
+from georay import cells, ops
 from georay.codecs import native, wkb, wkt
 from georay.joins import knn_join, pip_join
 from georay.types import GeoType
