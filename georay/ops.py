@@ -593,6 +593,37 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
     )
 
 
+def systematic_sample(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    mod: int = 10,
+    keep: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic content-hash sampling: keep rows where
+    ``md5(key) % mod == keep``. Unlike ``random_sample`` this is
+    REPRODUCIBLE across runs/engines (the property training-data
+    pipelines need for stable held-out splits) and exactly mirrors the
+    SQL expression ``('0x' || substr(md5(key),1,8))::UBIGINT % mod``."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = [
+            batch[c].cast(pa.string()).to_pylist() for c in key_cols
+        ]
+        sel = np.fromiter(
+            (
+                int(hashlib.md5("-".join(parts).encode()).hexdigest()[:8], 16) % mod
+                == keep
+                for parts in zip(*keys)
+            ),
+            dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(sel))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 # -------------------------------------------- temporal custom operators
 
 def asof_join_broadcast(

@@ -844,6 +844,22 @@ FROM lineitem
 """
 
 
+def q_sample(sf_dir: str):
+    """Deterministic 10% content-hash sample of lineitem (stable
+    held-out-split semantics; bit-identical to the SQL mirror)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+    return ops.systematic_sample(ds, ["l_orderkey", "l_linenumber"], mod=10, keep=0)
+
+
+SQL_SAMPLE = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                          CAST(l_linenumber AS VARCHAR)), 1, 8))::UBIGINT % 10 = 0
+"""
+
+
 def q_sliding_window(sf_dir: str):
     """Sliding window count: 2-hour windows stepping hourly — each event
     lands in exactly two windows (flat-map explode + grouped count)."""
@@ -926,6 +942,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
+    "sample": q_sample,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -959,6 +976,7 @@ ORACLE = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
+    "sample": SQL_SAMPLE,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
