@@ -100,6 +100,13 @@ def run_bench() -> dict:
     v = pipeline.validate_images(images_dir, concurrency=(4, max(4, NCPU // 2)))
     timings["images_decode"] = round(time.perf_counter() - t0, 3)
     counts["images_decode"] = v["rows"]
+    # q8: text near-dup pipeline (minhash LSH end-to-end over documents)
+    timed(
+        "text_minhash_dedup",
+        lambda: tpch.q_minhash_neardup(SF_DIR).num_rows,
+    )
+    # q9: similarity search (brute cosine top-k over embeddings)
+    timed("ann_topk", lambda: tpch.q_ann_topk(SF_DIR).num_rows)
 
     total = round(sum(timings.values()), 3)
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
