@@ -276,18 +276,28 @@ def minhash_dedup(
 # ----------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in normalize_text(text or "").split():
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+    """64-bit SimHash over whitespace tokens (unweighted); token hashes
+    accumulate into the bit histogram in one vectorized pass."""
+    toks = normalize_text(text or "").split()
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
+            )
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    v = int(
+        np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
         )
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= 1 << i
+    )
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
@@ -299,11 +309,26 @@ def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def simhash_candidates(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
 ) -> pa.Table:
-    """Candidate near-dup pairs: equal 16-bit SimHash band (pigeonhole
-    guarantee for Hamming distance ≤ 3). Verification = exact Hamming."""
+    """Near-dup pairs: equal 16-bit SimHash band (pigeonhole guarantee
+    for Hamming ≤ 3) AND exact Hamming ≤ ``max_hamming`` — verification
+    is a vectorized popcount over the banded candidates."""
     sh = add_simhash(ds, text_col)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -327,28 +352,59 @@ def simhash_candidates(
 
     exploded = sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        hs = group["simhash"].to_pylist()
-        order = np.argsort(ids)
-        a, b, d = [], [], []
-        for x in range(len(ids) - 1):
-            for y in range(x + 1, min(x + 51, len(ids))):
-                i, j = order[x], order[y]
-                ham = bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1")
-                a.append(ids[i])
-                b.append(ids[j])
-                d.append(ham)
+    def pairs_of_band(group: pa.Table) -> pa.Table:
+        """One band's candidates, vectorized: sort by bucket value,
+        adjacent-W pairing within buckets, popcount Hamming filter."""
+        from georay.index import _ragged_ranges
+
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        bv = group["band_val"].to_numpy(zero_copy_only=False)
+        hs = group["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bv))
+        bv_s, ids_s, hs_s = bv[order], ids[order], hs[order]
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if ids_s.shape[0] < 2:
+            return empty
+        new = np.ones(bv_s.shape[0], dtype=bool)
+        new[1:] = bv_s[1:] != bv_s[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, bv_s.shape[0]))
+        a_parts, b_parts, h_parts = [], [], []
+        for w in range(1, 51):
+            elig = sizes > w
+            if not np.any(elig):
+                break
+            cnts = sizes[elig] - w
+            owner, within = _ragged_ranges(cnts)
+            base = np.repeat(starts[elig], cnts) + within
+            ham = _popcount64(
+                hs_s[base].view(np.uint64) ^ hs_s[base + w].view(np.uint64)
+            )
+            keep = ham <= max_hamming
+            a_parts.append(ids_s[base[keep]])
+            b_parts.append(ids_s[base[keep] + w])
+            h_parts.append(ham[keep])
+        if not a_parts:
+            return empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        h = np.concatenate(h_parts)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "hamming": pa.array(d, pa.int64()),
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(h, pa.int64()),
             }
         )
 
-    pairs = exploded.groupby(["band", "band_val"]).map_groups(
-        pairs_of_bucket, batch_format="pyarrow"
-    )
+    pairs = exploded.groupby("band").map_groups(pairs_of_band, batch_format="pyarrow")
     tbl = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
