@@ -194,15 +194,21 @@ def run_scaling_worker() -> dict:
 
     t0 = time.perf_counter()
     hist = build(files)
-    n_groups = hist.count()
+    pdf = hist.to_pandas().sort_values(["cell_parent", "n"]).reset_index(drop=True)
     dt = time.perf_counter() - t0
+    import hashlib
+
+    checksum = hashlib.sha256(
+        pdf.to_csv(index=False).encode()
+    ).hexdigest()[:16]
     n_rows = IMAGES_N * SCALE_REP
     out = {
         "metric": "scaling pipeline",
         "value": round(dt, 3),
         "unit": "sec",
         "rows": n_rows,
-        "groups": n_groups,
+        "groups": int(len(pdf)),
+        "result_checksum": checksum,
         "rows_per_sec": round(n_rows / dt, 1),
         "num_cpus": NCPU,
     }
@@ -240,7 +246,15 @@ def run_scaling() -> dict:
     r_lo = one(SCALE_LO)
     r_hi = one(SCALE_HI)
     eff = (r_lo["value"] / r_hi["value"]) / (SCALE_HI / SCALE_LO)
+    # cross-parallelism determinism: the full result histogram must be
+    # IDENTICAL at both levels (content checksum, not just row count)
+    assert r_lo["result_checksum"] == r_hi["result_checksum"], (
+        r_lo["result_checksum"],
+        r_hi["result_checksum"],
+    )
     return {
+        "deterministic_across_levels": True,
+        "result_checksum": r_lo["result_checksum"],
         "metric": f"scaling efficiency {SCALE_LO}→{SCALE_HI} cpus (fresh processes, same input)",
         "pipeline": "decode+validate+cells+tiles → broadcast PIP join → salted agg",
         "rows": r_lo["rows"],
