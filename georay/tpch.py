@@ -802,6 +802,35 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_union_grid(sf_dir: str):
+    """``c()`` concatenation semantics lifted to Datasets: lineitem and
+    supplier point sets unioned (same geometry type → plain union), then
+    the grid histogram over the combined set."""
+    li = lineitem_points(sf_dir).select_columns(["geotag"])
+    sx, sy, sk = supplier_points(sf_dir)
+    geo = GeoType.point(crs="OGC:CRS84")
+    sup_tbl = pa.table(
+        {"geotag": native.build_points(np.column_stack([sx, sy]), geo)},
+        schema=pa.schema([geo.field("geotag")]),
+    )
+    both = ops.union_geo([li, rd.from_arrow(sup_tbl)], col="geotag")
+    ds = ops.add_grid_column(both, res=GRID_RES)
+    return ops.salted_count(ds, "grid_cell", count_alias="n")
+
+
+SQL_UNION_GRID = f"""
+WITH pts AS (
+  SELECT {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem
+  UNION ALL
+  SELECT {SUPP_SX} AS lon, {SUPP_SY} AS lat FROM supplier
+)
+SELECT CAST(FLOOR((lon + 180)/1.0) AS BIGINT)*100000
+     + CAST(FLOOR((lat + 90)/1.0) AS BIGINT) AS grid_cell,
+       COUNT(*) AS n
+FROM pts GROUP BY 1
+"""
+
+
 def q_semi_join(sf_dir: str):
     """Broadcast semi-join: lineitem rows restricted to large parts
     (p_size > 40), counted per returnflag."""
@@ -943,6 +972,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
     "sample": q_sample,
+    "union_grid": q_union_grid,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -977,6 +1007,7 @@ ORACLE = {
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
     "sample": SQL_SAMPLE,
+    "union_grid": SQL_UNION_GRID,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
