@@ -802,6 +802,17 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_cast_roundtrip_grid(sf_dir: str):
+    """Dataset-level as_geoarrow cast chain: native point → WKB → native,
+    then the grid histogram — hash-equal to grid_cell_count iff the cast
+    matrix is bit-lossless end-to-end under Ray."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.cast_geometry(ds, "geotag", GeoType.wkb())
+    ds = ops.cast_geometry(ds, "geotag", GeoType.point())
+    ds = ops.add_grid_column(ds, res=GRID_RES)
+    return ops.salted_count(ds, "grid_cell", count_alias="n")
+
+
 def q_union_grid(sf_dir: str):
     """``c()`` concatenation semantics lifted to Datasets: lineitem and
     supplier point sets unioned (same geometry type → plain union), then
@@ -973,6 +984,7 @@ QUERIES = {
     "distinct_parts": q_distinct_parts,
     "sample": q_sample,
     "union_grid": q_union_grid,
+    "cast_roundtrip_grid": q_cast_roundtrip_grid,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -1008,6 +1020,7 @@ ORACLE = {
     "distinct_parts": SQL_DISTINCT_PARTS,
     "sample": SQL_SAMPLE,
     "union_grid": SQL_UNION_GRID,
+    "cast_roundtrip_grid": SQL_GRID_CELL_COUNT,
     "token_count": SQL_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
