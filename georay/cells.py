@@ -279,18 +279,29 @@ def to_u64(ids: np.ndarray) -> np.ndarray:
 GRID_MULT = 100_000  # gy < 18000 for res ≥ 0.01° — safe multiplier
 
 
+GRID_NULL = np.int64(np.iinfo(np.int64).min)  # sentinel for null/empty points
+
+
 def grid_cell(lon_deg, lat_deg, res_deg: float) -> np.ndarray:
     """SQL-oracle-friendly grid key:
     ``floor((lon+180)/res)*100000 + floor((lat+90)/res)`` (int64).
 
-    Matches the ANSI-SQL expression used by ``oracle_sql`` exactly —
-    do not clamp or special-case here.
+    Matches the ANSI-SQL expression used by ``oracle_sql`` exactly for
+    finite coordinates. Non-finite lon/lat (null/empty points, which SQL
+    would group under NULL) map to the explicit ``GRID_NULL`` sentinel
+    instead of an undefined NaN→int cast; callers filter or keep it as
+    the null bucket.
     """
     lon = np.asarray(lon_deg, dtype=np.float64)
     lat = np.asarray(lat_deg, dtype=np.float64)
-    gx = np.floor((lon + 180.0) / res_deg).astype(np.int64)
-    gy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
-    return gx * GRID_MULT + gy
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    if bool(np.all(ok)):
+        gx = np.floor((lon + 180.0) / res_deg).astype(np.int64)
+        gy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
+        return gx * GRID_MULT + gy
+    gx = np.floor((np.where(ok, lon, 0.0) + 180.0) / res_deg).astype(np.int64)
+    gy = np.floor((np.where(ok, lat, 0.0) + 90.0) / res_deg).astype(np.int64)
+    return np.where(ok, gx * GRID_MULT + gy, GRID_NULL)
 
 
 def grid_disk(cells: np.ndarray, k: int, nx: int) -> np.ndarray:

@@ -123,10 +123,10 @@ def view(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> GeomVie
         cur = cur.values
     coords = _coords_from(cur, geo)
 
-    # POINT with struct storage: validity may live only on the struct; a
-    # null feature's coords are whatever the buffer holds — mask to NaN so
-    # kernels can treat null coords uniformly (null-ness still tracked via
-    # ``valid``).
+    # POINT with struct storage: validity lives on the struct; a null
+    # feature's coord slots hold whatever the buffer holds (commonly NaN
+    # from the builders, but not guaranteed) — kernels must consult
+    # ``valid`` rather than rely on the coord values of null features.
     return GeomView(geo=geo, length=len(arr), coords=coords, offsets=offsets, valid=valid)
 
 

@@ -309,13 +309,14 @@ def _parse_geometry(tk: _Tokens, inherit_dims: Dimensions | None = None) -> Node
     if name not in _NAME_GEOM:
         raise ValueError(f"unknown geometry type {t!r}")
     geom = _NAME_GEOM[name]
-    dims = Dimensions.XY
+    # collection children without their own Z/M/ZM tag inherit the
+    # parent's dims (GEOMETRYCOLLECTION Z (POINT (1 2 3)) parses the
+    # child as XYZ); an explicit child tag always wins
+    dims = inherit_dims if inherit_dims is not None else Dimensions.XY
     t = tk.next()
     if t is not None and t.upper() in _TAG_DIMS:
         dims = _TAG_DIMS[t.upper()]
         t = tk.next()
-    elif inherit_dims is not None and t is not None and t.upper() == "EMPTY":
-        pass
     nd = dims.count
 
     if t is not None and t.upper() == "EMPTY":

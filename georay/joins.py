@@ -262,11 +262,16 @@ def pip_join_partitioned(
         from georay.index import PolygonIndex
         from georay.types import GeoType
 
-        nat_poly, t = wkb_codec.decode(pls["wkb"].combine_chunks(), GeoType.polygon())
+        # decode to MULTIPOLYGON: POLYGON upcasts losslessly, and the
+        # broadcast path (PolygonIndex.build) accepts MULTIPOLYGON too, so
+        # both physical plans take the same inputs
+        nat_poly, t = wkb_codec.decode(
+            pls["wkb"].combine_chunks(), GeoType.multipolygon()
+        )
         tbl = pa.table(
             {id_col: pls[id_col]},
             schema=pa.schema([pa.field(id_col, pa.int64())]),
-        ).append_column(GeoType.polygon().field(geometry_col), nat_poly)
+        ).append_column(GeoType.multipolygon().field(geometry_col), nat_poly)
         idx = PolygonIndex.build(tbl, geometry_col=geometry_col, id_col=id_col, res=res)
         lon = pts["lon"].to_numpy(zero_copy_only=False)
         lat = pts["lat"].to_numpy(zero_copy_only=False)

@@ -264,6 +264,10 @@ def length(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Ar
     v = native.view(arr, geo)
     n = v.length
     out = np.zeros(n)
+    # points contribute no length: (MULTI)POINT returns all zeros — a
+    # multipoint's consecutive points are NOT linestring segments
+    if geo.geometry_type in (GeometryType.POINT, GeometryType.MULTIPOINT):
+        return _masked_float(out, v.valid)
     if v.offsets and v.coords.shape[0] > 1:
         x = v.coords[:, 0]
         y = v.coords[:, 1]
@@ -280,9 +284,12 @@ def length(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Ar
 
 
 def area(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Array:
-    """Planar shoelace area per feature, |outer − holes| (rings wind
-    opposite ways by the generator's convention). Points/linestrings → 0;
-    null→null; empty→0. Fully vectorized via reduceat over ring offsets."""
+    """Planar area per feature: sum of |shoelace| of each polygon's first
+    (shell) ring minus |shoelace| of its interior (hole) rings — hole
+    subtraction by RING POSITION, so the result is independent of ring
+    winding (standard WKB/WKT does not constrain winding).
+    Points/linestrings → 0; null→null; empty→0. Fully vectorized via
+    reduceat over ring offsets."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if geo is None:
@@ -313,14 +320,22 @@ def area(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> pa.Arra
             ends = ring_off[1:][nonempty] - 1
             wrap = np.where(ends < cross.shape[0], np.append(cross, 0.0)[ends], 0.0)
             ring_sums[nonempty] = 0.5 * (sums - wrap)
+        # winding-independent: shell ring (first of each polygon) adds
+        # |shoelace|, every later ring of the same polygon subtracts it
+        poly_ring_off = v.offsets[-2]
+        sign = np.full(n_rings, -1.0)
+        pr_starts = poly_ring_off[:-1]
+        pr_nonempty = np.diff(poly_ring_off) > 0
+        sign[pr_starts[pr_nonempty]] = 1.0
+        ring_contrib = sign * np.abs(ring_sums)
         # ring → feature ranges
         frs = v.offsets[0][:-1]
         fre = v.offsets[0][1:]
         for mid in v.offsets[1:-1]:
             frs = mid[frs]
             fre = mid[fre]
-        csum = np.concatenate([[0.0], np.cumsum(ring_sums)])
-        out = np.abs(csum[fre] - csum[frs])
+        csum = np.concatenate([[0.0], np.cumsum(ring_contrib)])
+        out = csum[fre] - csum[frs]
     return _masked_float(out, v.valid)
 
 

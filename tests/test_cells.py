@@ -136,3 +136,20 @@ def test_tile_key_unique():
     ty = np.array([5, 5, 5])
     k = cells.tile_key(tx, ty, 12)
     assert len(set(k.tolist())) == 3
+
+
+def test_grid_cell_nan_maps_to_sentinel():
+    # null/empty point coords must not go through an undefined NaN->int
+    # cast; they bucket into the explicit GRID_NULL sentinel
+    import warnings
+
+    lon = np.array([0.5, np.nan, 10.5, np.inf])
+    lat = np.array([0.5, 1.0, np.nan, 2.0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        got = cells.grid_cell(lon, lat, 1.0)
+    exp0 = int(np.floor(180.5) * cells.GRID_MULT + np.floor(90.5))
+    assert got[0] == exp0
+    assert got[1] == cells.GRID_NULL
+    assert got[2] == cells.GRID_NULL
+    assert got[3] == cells.GRID_NULL

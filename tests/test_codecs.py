@@ -228,3 +228,18 @@ def test_interleaved_point_roundtrip():
     v = native.view(pts, geo)
     assert np.array_equal(v.coords, [[1.0, 2.0], [3.0, 4.0]])
     assert wkt.encode(pts, geo).to_pylist() == ["POINT (1 2)", "POINT (3 4)"]
+
+
+def test_collection_children_inherit_dims():
+    # children without their own dims tag inherit the collection's
+    node = wkt.parse_feature_wkt("GEOMETRYCOLLECTION Z (POINT (1 2 3))")
+    child = node.children[0]
+    assert child.dims == Dimensions.XYZ
+    assert child.coords.tolist() == [[1.0, 2.0, 3.0]]
+    # an explicit child tag wins over the inherited one
+    node2 = wkt.parse_feature_wkt(
+        "GEOMETRYCOLLECTION Z (POINT Z (1 2 3), POINT (4 5 6))"
+    )
+    assert [c.dims for c in node2.children] == [Dimensions.XYZ, Dimensions.XYZ]
+    # round-trip through the writer keeps the inherited dims
+    assert "POINT Z (1 2 3)" in wkt.write_node(node)

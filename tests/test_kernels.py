@@ -142,3 +142,37 @@ def test_box_multipolygon_spanning_rings():
     )
     b = kernels.box(nat, t).to_pylist()
     assert b[0] == {"xmin": 0.0, "ymin": 0.0, "xmax": 9.0, "ymax": 9.0}
+
+
+def test_area_winding_independent():
+    # a hole wound the SAME way as the shell must still subtract
+    # (standard WKB/WKT does not constrain winding): shell 10x10=100,
+    # hole 4x4=16 -> 84, regardless of either ring's orientation
+    same_winding = (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))"
+    )
+    opp_winding = (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 6, 6 6, 6 2, 2 2))"
+    )
+    cw_shell = (
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))"
+    )
+    nat, t = _poly([same_winding, opp_winding, cw_shell], GeoType.polygon())
+    assert kernels.area(nat, t).to_pylist() == [84.0, 84.0, 84.0]
+    # multipolygon: each polygon's first ring is its shell
+    mp = (
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2)),"
+        " ((20 20, 22 20, 22 22, 20 22, 20 20)))"
+    )
+    nat2, t2 = _poly([mp], GeoType.multipolygon())
+    assert kernels.area(nat2, t2).to_pylist() == [88.0]
+
+
+def test_length_multipoint_is_zero():
+    # length contract: 0 for points — consecutive points of a MULTIPOINT
+    # are not linestring segments
+    nat, t = _poly(
+        ["MULTIPOINT ((0 0), (3 4))", "MULTIPOINT EMPTY", None],
+        GeoType.multipoint(),
+    )
+    assert kernels.length(nat, t).to_pylist() == [0.0, 0.0, None]

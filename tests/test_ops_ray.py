@@ -269,3 +269,40 @@ def test_tile_columns(images_dir, ray_session):
     out = ops.add_tile_columns(ds, zoom=4).take_all()
     for r in out[:100]:
         assert 0 <= r["tile_x"] < 16 and 0 <= r["tile_y"] < 16
+
+
+def test_pip_join_partitioned_multipolygon(ray_session):
+    # ADVICE regression: the co-partitioned plan must accept MULTIPOLYGON
+    # inputs (the broadcast plan always did) and agree with it
+    import ray.data as rd
+
+    from georay.codecs import native as nat
+    from georay.codecs import wkt as wkt_codec
+    from georay.joins import pip_join, pip_join_partitioned
+    from georay.types import GeoType
+
+    mp = [
+        "MULTIPOLYGON (((0 0, 5 0, 5 5, 0 5, 0 0)), ((10 10, 15 10, 15 15, 10 15, 10 10)))",
+        "MULTIPOLYGON (((-6 -6, -1 -6, -1 -1, -6 -1, -6 -6)))",
+    ]
+    geom, t = wkt_codec.decode(pa.array(mp, pa.string()), GeoType.multipolygon())
+    polys = pa.table(
+        {"polygon_id": pa.array([7, 9], pa.int64())},
+        schema=pa.schema([pa.field("polygon_id", pa.int64())]),
+    ).append_column(GeoType.multipolygon().field("geometry"), geom)
+
+    lon = np.array([1.0, 12.0, -3.0, 50.0, 14.9])
+    lat = np.array([1.0, 12.0, -3.0, 50.0, 10.1])
+    geo = GeoType.point()
+    pts_tbl = pa.table(
+        {"image_id": pa.array([f"i{k}" for k in range(5)], pa.string())},
+        schema=pa.schema([pa.field("image_id", pa.string())]),
+    ).append_column(geo.field("geotag"), nat.build_points(np.column_stack([lon, lat]), geo))
+    pts = rd.from_arrow(pts_tbl)
+
+    part = pip_join_partitioned(pts, rd.from_arrow(polys), res=4.0).take_all()
+    bc = pip_join(pts, polys, mode="inner").take_all()
+    a = sorted((r["pt_id"], r["polygon_id"]) for r in part)
+    b = sorted((r["image_id"], r["polygon_id"]) for r in bc)
+    assert a == b
+    assert len(a) == 4  # i0, i1, i2, i4 inside; i3 matches nothing
