@@ -103,7 +103,7 @@ def run_bench() -> dict:
     # q8: text near-dup pipeline (minhash LSH end-to-end over documents)
     timed(
         "text_minhash_dedup",
-        lambda: tpch.q_minhash_neardup(SF_DIR).num_rows,
+        lambda: tpch.q_minhash_neardup(SF_DIR).count(),
     )
     # q9: similarity search (brute cosine top-k over embeddings)
     timed("ann_topk", lambda: tpch.q_ann_topk(SF_DIR).num_rows)

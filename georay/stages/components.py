@@ -1,0 +1,112 @@
+"""Distributed connected components over an edge list (Dataset).
+
+Min-label propagation with ONE shuffle per round: the current
+(node → label) table — o(number of nodes appearing in edges), for dedup
+workloads the duplicate docs, never the corpus — is broadcast via
+``ray.put``; each round maps over the (large, distributed) edge list
+emitting ``(dst, label(src))`` + ``(src, label(src))`` candidates and
+takes the per-node minimum with a single ``groupby``. No per-node Python
+loops; lookups are vectorized ``searchsorted``.
+
+Convergence: labels are monotonically non-increasing and reach the
+component minimum after ``diameter`` rounds. The candidate generators in
+``georay.stages.dedup`` bound component diameter by construction
+(adjacent-W pairing links bucket members ≤ W apart, so an m-member
+degenerate bucket has diameter ≈ m/W); ``max_rounds`` is a safety bound
+and the loop stops as soon as a round changes nothing.
+
+At extreme scale (label table too big to broadcast) the same loop can be
+re-expressed as a two-groupby label⋈edge co-shuffle per round, or the
+large-star/small-star contraction (O(log n) rounds) — the edge-list
+dataflow shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> pa.Table:
+    """(node, label) for every node appearing in ``pairs``; label = min
+    node id of its connected component."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        # symmetric: propagate both directions
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    from ray.data.aggregate import Min
+
+    def empty_labels() -> pa.Table:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+
+    if edges.count() == 0:
+        return empty_labels()
+
+    # round 0: label(x) = min(x, neighbors(x)) — no label table needed yet
+    nodes = None  # sorted node array of the current label table
+    labels = None  # label per node (aligned with ``nodes``)
+
+    for _ in range(max_rounds):
+        if nodes is None:
+            lab_ref = None
+        else:
+            lab_ref = ray.put((nodes, labels))
+        cache: dict = {}
+
+        def emit(batch: pa.Table, _ref=lab_ref) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            if _ref is None:
+                lab_src = src
+            else:
+                n_s, l_s = cache.setdefault("m", ray.get(_ref))
+                pos = np.searchsorted(n_s, src)
+                lab_src = l_s[np.clip(pos, 0, n_s.size - 1)]
+            return pa.table(
+                {
+                    "node": pa.array(np.concatenate([dst, src]), pa.int64()),
+                    "cand": pa.array(np.concatenate([lab_src, lab_src]), pa.int64()),
+                }
+            )
+
+        agg = (
+            edges.map_batches(
+                emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .take_all()
+        )
+        new_nodes = np.asarray([r["node"] for r in agg], dtype=np.int64)
+        new_labels = np.asarray([r["label"] for r in agg], dtype=np.int64)
+        order = np.argsort(new_nodes)
+        new_nodes, new_labels = new_nodes[order], new_labels[order]
+        if nodes is not None and np.array_equal(new_labels, labels):
+            break
+        nodes, labels = new_nodes, new_labels
+
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())}
+    )

@@ -5,11 +5,10 @@ Scale shapes:
   keep-first — one shuffle of (id, fingerprint) pairs only.
 - MinHash-LSH: per-batch shingle→signature (vectorized per doc) →
   explode to (band, band_hash, doc_id) rows → ``groupby`` buckets →
-  candidate pairs → Jaccard verify → connected components. Components
-  run as driver-side union-find over the (small) verified-pair set; at
-  10^12-doc scale that final step becomes a few rounds of min-label
-  propagation via groupby — the pair generation (the expensive part)
-  is already fully distributed here.
+  candidate pairs → distributed exact-Jaccard verify (pair↔text
+  co-shuffle, ``verify_pairs_distributed``) → distributed connected
+  components (min-label propagation, ``georay.stages.components``).
+  No stage materializes the corpus on the driver.
 - SimHash: 64-bit signature per doc; near-dup candidates share one of
   four 16-bit bands (Hamming ≤ 3 ⇒ at least one band equal by
   pigeonhole when the 3 differing bits fall in ≤3 bands).
@@ -212,64 +211,198 @@ def minhash_candidate_pairs(
     return bands.groupby("band").map_groups(pairs_of_band, batch_format="pyarrow")
 
 
+def verify_pairs_distributed(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs with NO
+    driver materialization of texts: the pair list is co-shuffled with the
+    corpus by ``groupby(doc_id)`` twice — hop A attaches text_a, hop B
+    attaches text_b and computes Jaccard inside ``map_groups``. Each hop
+    shuffles (id, text) once; the pair payload carried between hops is
+    bounded by the candidate count, not the corpus.
+
+    Returns the verified pairs (id_a, id_b, jaccard ≥ threshold).
+    Duplicate candidate rows (one per shared band) are deduped inside
+    hop A's group — no separate dedup shuffle.
+    """
+
+    def docs_msgs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "k": batch[id_col].cast(pa.int64()),
+                "id_a": pa.array([None] * n, pa.int64()),
+                "id_b": pa.array([None] * n, pa.int64()),
+                "text_a": pa.array([None] * n, pa.string()),
+                "text": batch[text_col].cast(pa.string()),
+                "is_doc": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    docs = ds.select_columns([id_col, text_col]).map_batches(
+        docs_msgs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def pairs_msgs_a(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "k": batch["id_a"].cast(pa.int64()),
+                "id_a": batch["id_a"].cast(pa.int64()),
+                "id_b": batch["id_b"].cast(pa.int64()),
+                "text_a": pa.array([None] * n, pa.string()),
+                "text": pa.array([None] * n, pa.string()),
+                "is_doc": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def attach_a(group: pa.Table) -> pa.Table:
+        is_doc = group["is_doc"].to_numpy(zero_copy_only=False)
+        doc_rows = np.nonzero(is_doc == 1)[0]
+        prs = group.filter(pa.array(is_doc == 0))
+        if len(prs) == 0 or doc_rows.size == 0:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "text_a": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                    "is_doc": pa.array([], pa.int8()),
+                }
+            )
+        text_a = group["text"][int(doc_rows[0])].as_py()
+        # dedup candidates: the same pair arrives once per shared band
+        ib = np.unique(prs["id_b"].to_numpy(zero_copy_only=False))
+        n = ib.shape[0]
+        ia = group["k"][0].as_py()
+        return pa.table(
+            {
+                # re-key by id_b for hop B
+                "k": pa.array(ib, pa.int64()),
+                "id_a": pa.array(np.full(n, ia), pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "text_a": pa.array([text_a] * n, pa.string()),
+                "text": pa.array([None] * n, pa.string()),
+                "is_doc": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    hop_a = (
+        docs.union(
+            pairs.map_batches(
+                pairs_msgs_a, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+        )
+        .groupby("k")
+        .map_groups(attach_a, batch_format="pyarrow")
+    )
+
+    def verify_b(group: pa.Table) -> pa.Table:
+        is_doc = group["is_doc"].to_numpy(zero_copy_only=False)
+        doc_rows = np.nonzero(is_doc == 1)[0]
+        prs = group.filter(pa.array(is_doc == 0))
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(prs) == 0 or doc_rows.size == 0:
+            return empty
+        sb = set(
+            _shingle_hashes(group["text"][int(doc_rows[0])].as_py(), shingle_k).tolist()
+        )
+        ia_out, ib_out, j_out = [], [], []
+        for ia, ib, ta in zip(
+            prs["id_a"].to_pylist(), prs["id_b"].to_pylist(), prs["text_a"].to_pylist()
+        ):
+            sa = set(_shingle_hashes(ta, shingle_k).tolist())
+            if not sa and not sb:
+                j = 1.0
+            elif not sa or not sb:
+                j = 0.0
+            else:
+                j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                ia_out.append(ia)
+                ib_out.append(ib)
+                j_out.append(j)
+        if not ia_out:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(ia_out, pa.int64()),
+                "id_b": pa.array(ib_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return (
+        hop_a.union(docs)
+        .groupby("k")
+        .map_groups(verify_b, batch_format="pyarrow")
+    )
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 5,
-) -> "pa.Table":
-    """Full near-dup pipeline → pa.Table (doc_id, cluster_id, is_dup).
+) -> ray.data.Dataset:
+    """Full near-dup pipeline → Dataset (doc_id, cluster_id, is_dup).
+
+    Every stage is distributed: LSH candidate generation (banded groupby),
+    exact-Jaccard verification (pair↔text co-shuffle, see
+    ``verify_pairs_distributed``), and connected components (min-label
+    propagation via groupby, ``georay.stages.components``). The only
+    driver-side table is the (node → component label) map for the
+    verified-duplicate nodes — the broadcast small side, proportional to
+    the number of duplicates, never the corpus — shipped once via
+    ``ray.put`` and joined back to the full id column per batch.
 
     cluster_id = min doc id in the connected component of verified pairs
     (Jaccard ≥ threshold); is_dup marks non-representative members.
     """
-    texts_tbl = ds.select_columns([id_col, text_col]).take_all()
-    text_of = {r[id_col]: r[text_col] for r in texts_tbl}  # small side (docs table)
+    from georay.stages.components import connected_components
 
-    pairs_tbl = minhash_candidate_pairs(ds, text_col, id_col, shingle_k).to_pandas()
-    pairs_tbl = pairs_tbl.drop_duplicates(["id_a", "id_b"])
-    parent: dict = {}
+    cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k)
+    verified = verify_pairs_distributed(
+        ds, cand, text_col, id_col, threshold, shingle_k
+    )
+    labels = connected_components(verified)
+    nodes = labels["node"].to_numpy(zero_copy_only=False)
+    labs = labels["label"].to_numpy(zero_copy_only=False)
+    label_ref = ray.put((nodes, labs))
+    cache: dict = {}
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def assign(batch: pa.Table) -> pa.Table:
+        n_sorted, l_sorted = cache.setdefault("m", ray.get(label_ref))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cluster = ids.copy()
+        if n_sorted.size:
+            pos = np.searchsorted(n_sorted, ids)
+            pos_c = np.clip(pos, 0, n_sorted.size - 1)
+            hit = n_sorted[pos_c] == ids
+            cluster[hit] = l_sorted[pos_c[hit]]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "is_dup": pa.array(cluster != ids),
+            }
+        )
 
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-
-    shingle_cache: dict = {}
-
-    def shingles_of(i):
-        s = shingle_cache.get(i)
-        if s is None:
-            s = set(_shingle_hashes(text_of[i], shingle_k).tolist())
-            shingle_cache[i] = s
-        return s
-
-    for ia, ib in zip(pairs_tbl["id_a"], pairs_tbl["id_b"]):
-        sa, sb = shingles_of(ia), shingles_of(ib)
-        if not sa and not sb:
-            j = 1.0
-        elif not sa or not sb:
-            j = 0.0
-        else:
-            j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            union(int(ia), int(ib))
-
-    all_ids = sorted(text_of)
-    cluster = [find(i) for i in all_ids]
-    return pa.table(
-        {
-            id_col: pa.array(all_ids, pa.int64()),
-            "cluster_id": pa.array(cluster, pa.int64()),
-            "is_dup": pa.array([c != i for i, c in zip(all_ids, cluster)]),
-        }
+    return ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

@@ -537,6 +537,73 @@ def q_minhash_neardup(sf_dir: str):
     return dedup_stage.minhash_dedup(ds, threshold=0.8)
 
 
+PLANT_MOD = 10
+PLANT_OFFSET = 1_000_000
+
+
+def q_minhash_planted(sf_dir: str):
+    """Count-style ORACLE for the MinHash pipeline: plant an exact copy
+    (new id = doc_id + {PLANT_OFFSET}) of every doc with
+    ``doc_id % {PLANT_MOD} == 0`` and run the full distributed near-dup
+    pipeline over the union. Identical text ⇒ identical signature ⇒ same
+    bucket in every band ⇒ always a verified pair (Jaccard 1.0), so each
+    planted doc is DETERMINISTICALLY flagged is_dup with
+    cluster_id ≤ its original — regardless of whatever fuzzy near-dups
+    the corpus itself contains. The oracle is the plain SQL count."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % PLANT_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        new_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) + PLANT_OFFSET
+        return pa.table({"doc_id": pa.array(new_ids, pa.int64()), "text": sub["text"]})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    both = ds.union(planted)
+    out = dedup_stage.minhash_dedup(both, threshold=0.8)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cl = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        dup = batch["is_dup"].to_numpy(zero_copy_only=False)
+        m = ids >= PLANT_OFFSET
+        return pa.table(
+            {
+                "p_planted": pa.array([int(m.sum())], pa.int64()),
+                "p_flagged": pa.array([int(dup[m].sum())], pa.int64()),
+                "p_cluster_ok": pa.array(
+                    [int((cl[m] <= ids[m] - PLANT_OFFSET).sum())], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = out.map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).aggregate(
+        Sum("p_planted", alias_name="n_planted"),
+        Sum("p_flagged", alias_name="n_flagged_dup"),
+        Sum("p_cluster_ok", alias_name="n_cluster_ok"),
+    )
+    return pa.table(
+        {
+            "n_planted": pa.array([agg["n_planted"]], pa.int64()),
+            "n_flagged_dup": pa.array([agg["n_flagged_dup"]], pa.int64()),
+            "n_cluster_ok": pa.array([agg["n_cluster_ok"]], pa.int64()),
+        }
+    )
+
+
+SQL_MINHASH_PLANTED = f"""
+SELECT COUNT(*) AS n_planted, COUNT(*) AS n_flagged_dup, COUNT(*) AS n_cluster_ok
+FROM documents WHERE doc_id % {PLANT_MOD} = 0
+"""
+
+
 def q_simhash_neardup(sf_dir: str):
     """SimHash banding candidates + exact Hamming (rows-only)."""
     from georay.stages import dedup as dedup_stage
@@ -991,6 +1058,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "lang_quality": q_lang_quality,
     "minhash_neardup": q_minhash_neardup,
+    "minhash_planted": q_minhash_planted,
     "simhash_neardup": q_simhash_neardup,
     "ann_topk": q_ann_topk,
     "ivf_ann": q_ivf_ann,
@@ -1025,6 +1093,7 @@ ORACLE = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,
+    "minhash_planted": SQL_MINHASH_PLANTED,
     "ann_topk": SQL_ANN_TOPK,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "bounds": SQL_BOUNDS,

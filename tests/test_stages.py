@@ -238,3 +238,40 @@ def test_audio_video_stubs(ray_session):
     frames = multimodal.VideoFrameSampleStub(every_n=10, fake=True)(vbatch)
     assert frames.num_rows == 4
     assert frames.column_names == ["video_id", "frame_idx", "frame_bytes"]
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data as rd
+
+    from georay.stages.components import connected_components
+
+    # two components: a 6-node chain {1..6} and a pair {10,11}; 20 isolated
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)]
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+    out = {r["node"]: r["label"] for r in connected_components(ds).to_pylist()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    # empty edge list -> empty labels
+    empty = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    assert connected_components(empty).num_rows == 0
+
+
+def test_verify_pairs_distributed_matches_exact_jaccard(ray_session):
+    import ray.data as rd
+
+    ds = _docs_with_dups(ray_session)
+    cand = rd.from_items(
+        [
+            {"id_a": 0, "id_b": 100},   # exact dup -> jaccard 1.0
+            {"id_a": 1, "id_b": 101},   # near dup -> high jaccard
+            {"id_a": 3, "id_b": 4},     # unrelated -> low jaccard
+            {"id_a": 3, "id_b": 4},     # duplicate candidate row (deduped)
+        ]
+    )
+    out = dedup.verify_pairs_distributed(ds, cand, threshold=0.6).take_all()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert got[(0, 100)] == 1.0
+    assert (1, 101) in got and got[(1, 101)] >= 0.6
+    assert (3, 4) not in got
+    assert len(out) == 2
