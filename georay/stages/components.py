@@ -103,6 +103,16 @@ def connected_components(
         new_labels = np.asarray([r["label"] for r in agg], dtype=np.int64)
         order = np.argsort(new_nodes)
         new_nodes, new_labels = new_nodes[order], new_labels[order]
+        # pointer jumping on the driver-held table: label ← label(label)
+        # until fixed. Free (pure numpy) and turns O(diameter) distributed
+        # rounds into O(log diameter): a W-linked chain collapses after
+        # one propagation round + ~log2 jumps.
+        while True:
+            idx = np.searchsorted(new_nodes, new_labels)
+            jumped = new_labels[idx]
+            if np.array_equal(jumped, new_labels):
+                break
+            new_labels = jumped
         if nodes is not None and np.array_equal(new_labels, labels):
             break
         nodes, labels = new_nodes, new_labels

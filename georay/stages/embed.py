@@ -88,57 +88,23 @@ def ann_brute_topk(
 
 # ---------------------------------------------------------------- IVF ANN
 
-class IVFIndex:
-    """Inverted-file index: k-means centroids + per-cluster member lists."""
-
-    def __init__(self, centroids: np.ndarray, assignments: np.ndarray, ids: np.ndarray, vecs: np.ndarray):
-        self.centroids = centroids
-        order = np.argsort(assignments, kind="stable")
-        self.sorted_ids = ids[order]
-        self.sorted_vecs = vecs[order]
-        sa = assignments[order]
-        self.cluster_offsets = np.searchsorted(sa, np.arange(centroids.shape[0] + 1))
-
-    @staticmethod
-    def train(vecs: np.ndarray, ids: np.ndarray, n_list: int = 16, iters: int = 10, seed: int = 3):
-        """Plain Lloyd k-means on normalized vectors (driver side — at
-        scale this trains on a Dataset sample, then assignment runs
-        distributed per batch)."""
-        v = _normalize(vecs)
-        rng = np.random.default_rng(seed)
-        cent = v[rng.choice(v.shape[0], size=min(n_list, v.shape[0]), replace=False)]
-        for _ in range(iters):
-            sims = v @ cent.T
-            assign = np.argmax(sims, axis=1)
-            for c in range(cent.shape[0]):
-                m = assign == c
-                if np.any(m):
-                    cent[c] = v[m].mean(axis=0)
-            cent = _normalize(cent)
-        sims = v @ cent.T
-        assign = np.argmax(sims, axis=1)
-        return IVFIndex(cent, assign, np.asarray(ids), v)
-
-    def search(self, queries: np.ndarray, k: int = 5, n_probe: int = 4):
-        """(query_idx, id, sim) for top-k per query over probed clusters."""
-        q = _normalize(np.asarray(queries, dtype=np.float64))
-        csims = q @ self.centroids.T
-        probe = np.argsort(-csims, axis=1)[:, :n_probe]
-        out = []
-        for qi in range(q.shape[0]):
-            cand_idx = np.concatenate(
-                [
-                    np.arange(self.cluster_offsets[c], self.cluster_offsets[c + 1])
-                    for c in probe[qi]
-                ]
-            )
-            if cand_idx.size == 0:
-                continue
-            sims = self.sorted_vecs[cand_idx] @ q[qi]
-            order = np.lexsort((self.sorted_ids[cand_idx], -sims))[:k]
-            for o in order:
-                out.append((qi, self.sorted_ids[cand_idx][o], float(sims[o])))
-        return out
+def kmeans_centroids(
+    vecs: np.ndarray, n_list: int = 16, iters: int = 10, seed: int = 3
+) -> np.ndarray:
+    """Plain Lloyd k-means on normalized vectors — deterministic (fixed
+    seed + fixed sample order). Runs driver-side over a BOUNDED training
+    sample, never the full table."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = v[rng.choice(v.shape[0], size=min(n_list, v.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(v @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if np.any(m):
+                cent[c] = v[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
 
 
 def ivf_ann_topk(
@@ -150,22 +116,78 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    train_sample: int = 4096,
 ) -> pa.Table:
-    """IVF ANN as a Dataset pipeline: the index is built once (from the
-    materialized small table here; from a sample at scale) and broadcast;
-    each batch probes it. Approximate — recall measured in tests."""
-    tbl = pa.Table.from_pandas(ds.to_pandas())  # embeddings side is the small side
-    vecs = _embedding_matrix(tbl, emb_col)
-    ids = tbl[id_col].to_numpy(zero_copy_only=False)
-    index = IVFIndex.train(vecs, ids, n_list=n_list)
-    rows = index.search(np.asarray(queries), k=k, n_probe=n_probe)
-    return pa.table(
-        {
-            "query_id": pa.array([query_ids[r[0]] for r in rows]),
-            id_col: pa.array([r[1] for r in rows]),
-            "sim": pa.array([r[2] for r in rows]),
-        }
-    )
+    """IVF ANN as a streaming Dataset pipeline (the scale path):
+
+    - TRAIN: k-means centroids from a bounded driver-side sample
+      (``ds.limit(train_sample)``) — o(1) w.r.t. table size.
+    - BROADCAST: centroids + per-query probe masks ship once via
+      ``ray.put`` with a per-worker cache.
+    - SEARCH: each batch assigns its vectors to centroids with one
+      matmul and scores only the vectors landing in a probed cluster;
+      ≤ k partial rows per (query, batch) leave the map stage.
+    - MERGE: tiny driver-side sort over the partial top-k rows.
+
+    The full embedding table is never materialized. Approximate — the
+    scanned fraction is ~n_probe/n_list; recall is pinned by tests and
+    the ``ivf_ann`` driver query's recall-vs-brute oracle."""
+    sample = ds.limit(int(train_sample)).to_pandas()
+    train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    cent = kmeans_centroids(train_vecs, n_list=n_list)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = qn.shape[0]
+    csims = qn @ cent.T
+    probe = np.argsort(-csims, axis=1)[:, : min(n_probe, cent.shape[0])]
+    probe_mask = np.zeros((cent.shape[0], nq), dtype=bool)
+    for j in range(nq):
+        probe_mask[probe[j], j] = True
+    ref = ray.put((qn, np.asarray(query_ids), cent, probe_mask))
+    cache: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, qids, c, pm = cache.setdefault("s", ray.get(ref))
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(m @ c.T, axis=1)
+        member = pm[assign]  # (n, nq) — vector i is in a probed cluster of query j
+        sims = np.where(member, m @ q.T, -np.inf)
+        take = min(k, m.shape[0])
+        top = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(q.shape[0]):
+            s = sims[top[:, j], j]
+            keep = np.isfinite(s)
+            out_q.append(np.full(int(keep.sum()), qids[j]))
+            out_id.append(ids[top[:, j][keep]])
+            out_sim.append(s[keep])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    if len(df) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    df = df.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k].drop(columns=["rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # -------------------------------------------------------- cosine near-dup
@@ -204,22 +226,44 @@ def embedding_neardup_pairs(
     sigs = ds.map_batches(sig_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs_of_bucket(group: pa.Table) -> pa.Table:
-        if len(group) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
-            )
+        """One bucket's candidate pairs with the adjacent-W pairing cap
+        (same device as the MinHash/SimHash banders, dedup.py): sort by
+        id, pair element i with i+1 … i+W only. A degenerate bucket of m
+        near-identical vectors yields ≤ m·W pairs (not m²/2) while the
+        verified pairs still chain every member into one connected
+        component. Row-wise dot products — no m×m matrix."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        n = len(group)
+        if n < 2:
+            return empty
         m = _normalize(_embedding_matrix(group, emb_col))
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
-        a = np.minimum(ids[iu[keep]], ids[ju[keep]])
-        b = np.maximum(ids[iu[keep]], ids[ju[keep]])
+        order = np.argsort(ids)
+        ids_s, m_s = ids[order], m[order]
+        W = 50
+        a_parts, b_parts, s_parts = [], [], []
+        for w in range(1, min(W, n - 1) + 1):
+            sims = np.einsum("ij,ij->i", m_s[:-w], m_s[w:])
+            keep = sims >= threshold
+            if np.any(keep):
+                a_parts.append(ids_s[:-w][keep])
+                b_parts.append(ids_s[w:][keep])
+                s_parts.append(sims[keep])
+        if not a_parts:
+            return empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "sim": pa.array(sims[iu[keep], ju[keep]]),
+                "id_a": pa.array(np.minimum(a, b), pa.int64()),
+                "id_b": pa.array(np.maximum(a, b), pa.int64()),
+                "sim": pa.array(np.concatenate(s_parts)),
             }
         )
 

@@ -657,14 +657,42 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
 """
 
 
+IVF_RECALL_MIN = 0.6
+
+
 def q_ivf_ann(sf_dir: str):
-    """IVF (clustered) approximate ANN (rows-only; recall vs brute force
-    pinned in tests/test_stages.py)."""
+    """IVF ANN pipeline recall@k against the (separately oracle-green)
+    brute-force top-k: both runs are deterministic (fixed seeds/sample),
+    so ``recall_ok`` is a stable count-style oracle row while the IVF
+    pipeline itself streams (sample-train → broadcast centroids →
+    per-batch probe → partial top-k merge; zero full-table
+    materialization)."""
     from georay.stages import embed as embed_stage
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
     q, qids = _ann_queries(sf_dir)
-    return embed_stage.ivf_ann_topk(ds, q, qids, k=ANN_K)
+    ivf = embed_stage.ivf_ann_topk(ds, q, qids, k=ANN_K, n_probe=6).to_pandas()
+    brute = embed_stage.ann_brute_topk(
+        ds, q, qids, k=ANN_K, exclude_self=False
+    ).to_pandas()
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        g = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & g) / max(len(b), 1))
+    recall = float(np.mean(recalls)) if recalls else 0.0
+    return pa.table(
+        {
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([ANN_K], pa.int64()),
+            "recall_ok": pa.array([bool(recall >= IVF_RECALL_MIN)]),
+        }
+    )
+
+
+SQL_IVF_ANN = f"""
+SELECT {ANN_NQ} AS n_queries, {ANN_K} AS k, TRUE AS recall_ok
+"""
 
 
 def q_embed_neardup(sf_dir: str):
@@ -1095,6 +1123,7 @@ ORACLE = {
     "doc_stats": SQL_DOC_STATS,
     "minhash_planted": SQL_MINHASH_PLANTED,
     "ann_topk": SQL_ANN_TOPK,
+    "ivf_ann": SQL_IVF_ANN,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,

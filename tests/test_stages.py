@@ -275,3 +275,58 @@ def test_verify_pairs_distributed_matches_exact_jaccard(ray_session):
     assert (1, 101) in got and got[(1, 101)] >= 0.6
     assert (3, 4) not in got
     assert len(out) == 2
+
+
+def test_embedding_neardup_degenerate_bucket_capped(ray_session):
+    # VERDICT regression: a degenerate bucket of thousands of identical
+    # vectors must NOT explode into O(m^2) pairs; the adjacent-W cap
+    # bounds it at ~m*W while still chaining the bucket into one
+    # connected component
+    import time
+
+    import ray.data as rd
+
+    from georay.stages.components import connected_components
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(32).astype(np.float32)
+    m = 3000
+    rows = [{"vec_id": i, "embedding": base.tolist()} for i in range(m)]
+    # plus a planted distinct near-dup pair far from the blob
+    other = rng.standard_normal(32).astype(np.float32)
+    rows.append({"vec_id": 10_000, "embedding": other.tolist()})
+    rows.append({"vec_id": 10_001, "embedding": (other * 1.0001).tolist()})
+    ds = rd.from_items(rows)
+    t0 = time.perf_counter()
+    pairs = embed.embedding_neardup_pairs(ds, threshold=0.98)
+    dt = time.perf_counter() - t0
+    assert pairs.num_rows <= m * 50 + 1
+    assert pairs.num_rows >= m - 1  # enough adjacent links to chain the blob
+    found = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert (10_000, 10_001) in found
+    # the identical blob forms ONE component
+    labels = connected_components(rd.from_arrow(pairs.select(["id_a", "id_b"])))
+    lab = {n: l for n, l in zip(labels["node"].to_pylist(), labels["label"].to_pylist())}
+    assert all(lab[i] == 0 for i in range(m))
+    assert dt < 60, f"degenerate bucket took {dt:.1f}s"
+
+
+def test_ivf_pipeline_no_full_materialization(embeddings_ds):
+    # the IVF path must stream: verify it returns sane top-k with a tiny
+    # train sample (forcing sample << table) and k rows per query
+    tbl = pa.Table.from_pandas(embeddings_ds.to_pandas())
+    vecs = embed._embedding_matrix(tbl)
+    ids = tbl["vec_id"].to_numpy()
+    q = vecs[:3]
+    qids = ids[:3]
+    out = embed.ivf_ann_topk(
+        embeddings_ds, q, qids, k=5, n_list=8, n_probe=8, train_sample=64
+    ).to_pandas()
+    # probe-all (n_probe == n_list) makes IVF exact == brute force
+    brute = embed.ann_brute_topk(
+        embeddings_ds, q, qids, k=5, exclude_self=False
+    ).to_pandas()
+    for qid in qids:
+        b = list(brute[brute["query_id"] == qid]["vec_id"])
+        g = list(out[out["query_id"] == qid]["vec_id"])
+        assert b == g
