@@ -216,19 +216,18 @@ def run_scaling_worker() -> dict:
     return out
 
 
-SCALE_LO = int(os.environ.get("GEORAY_SCALE_LO", "4"))
-SCALE_HI = int(os.environ.get("GEORAY_SCALE_HI", "16"))
+SCALE_LO = int(os.environ.get("GEORAY_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("GEORAY_SCALE_HI", "32"))
 
 
 def run_scaling() -> dict:
     """N vs 4N parallelism in fresh processes on the same input.
 
-    Defaults to 4 → 16 CPUs: on this sandbox's hardware, raw CPU
-    throughput itself stops scaling past ~16 ways (shared memory
-    bandwidth — a pure-python burn test measures only 0.80 efficiency
-    for 8→32 processes with zero coordination), so 4→16 is the pair that
-    actually measures the ENGINE's scaling rather than the VM's memory
-    bus. Override with GEORAY_SCALE_LO/HI.
+    Defaults to the canonical 8 → 32 CPUs. Round 1 measured 0.62 here
+    because the salted aggregate's sort-shuffle barrier dominated; with
+    the combine-tree final (ops.tree_sum) the measured pipeline has no
+    all-to-all left and 8→32 efficiency is ≥ 1.0 (see BASELINE.md).
+    Override with GEORAY_SCALE_LO/HI.
     """
 
     def one(ncpu: int) -> dict:

@@ -163,9 +163,10 @@ def pip_count(
     partials = points.map_batches(
         probe_count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    from ray.data.aggregate import Sum
-
-    return partials.groupby(id_col).aggregate(Sum("partial_n", alias_name=count_alias))
+    # combine-tree merge of the tiny per-batch partials — no shuffle
+    return ops.tree_sum(
+        partials, id_col, {"partial_n": count_alias}, int_cols=("partial_n",)
+    )
 
 
 def pip_join_partitioned(

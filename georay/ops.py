@@ -285,71 +285,146 @@ def dedup_exact(
 
 # ------------------------------------------------------- salted aggregate
 
+# rows per combine task when coalescing partial blocks ahead of the final
+# merge; sized so one combined block is a few MB of (key, partials)
+COMBINE_TARGET_ROWS = 1 << 18
+
+
+def _group_reduce(key_arrs: list, val_arrs: dict):
+    """Vectorized grouped sum: lexsort on the key columns + one reduceat
+    per value column. Returns ([key_col...], {name: summed})."""
+    n = key_arrs[0].shape[0]
+    if n == 0:
+        return key_arrs, val_arrs
+    order = np.lexsort(tuple(reversed(key_arrs)))
+    ks = [k[order] for k in key_arrs]
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for k in ks:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.nonzero(new)[0]
+    outs = {
+        name: np.add.reduceat(v[order], starts) for name, v in val_arrs.items()
+    }
+    return [k[starts] for k in ks], outs
+
+
+def tree_sum(
+    partials: ray.data.Dataset,
+    keys: str | list[str],
+    sum_map: dict[str, str],
+    int_cols: tuple = (),
+    final: str = "tree",
+) -> ray.data.Dataset:
+    """Merge per-batch partial-sum rows into exact per-key totals.
+
+    ``partials`` holds one small row per (batch, key); ``sum_map`` maps
+    each partial column to its output name.
+
+    Two physical plans:
+    - ``"tree"`` (default): a combine stage coalesces the tiny partial
+      blocks (many per task, ``num_cpus`` offset so it does NOT fuse with
+      — and throttle — the upstream chain), then ONE merge task emits the
+      exact result via lexsort+reduceat (numpy-rate). No all-to-all
+      shuffle; requires the RESULT (distinct keys × ~24 B) to fit one
+      worker's heap — true for every cell/tile/flag key here (≤ a few
+      10⁷ keys). The wide input never concentrates: only combined
+      partials do. This sidesteps the sort-shuffle barrier whose cost is
+      ~100 ms/task × (blocks_in × partitions) slices and whose aggregate
+      row rate is Python-bound (~45k rows/s measured).
+    - ``"shuffle"``: ``groupby(keys).aggregate(Sum...)`` — for unbounded
+      key cardinality.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    if final == "shuffle":
+        from ray.data.aggregate import Sum
+
+        aggs = [Sum(src, alias_name=out) for src, out in sum_map.items()]
+        return partials.groupby(key_list[0] if len(key_list) == 1 else key_list).aggregate(*aggs)
+
+    def reduce_batch(batch: pa.Table, rename: bool) -> pa.Table:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in key_list]
+        varrs = {s: batch[s].to_numpy(zero_copy_only=False) for s in sum_map}
+        ks, vs = _group_reduce(karrs, varrs)
+        cols = {k: pa.array(a) for k, a in zip(key_list, ks)}
+        for src, out in sum_map.items():
+            v = vs[src]
+            name = out if rename else src
+            if rename and (src in int_cols):
+                v = v.astype(np.int64)
+            cols[name] = pa.array(v)
+        return pa.table(cols)
+
+    combined = partials.map_batches(
+        lambda b: reduce_batch(b, rename=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS,
+        num_cpus=0.5,
+    )
+    return combined.map_batches(
+        lambda b: reduce_batch(b, rename=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 40,
+        num_cpus=0.9,
+    )
+
+
 def salted_count(
     ds: ray.data.Dataset,
-    key: str,
+    key: str | list[str],
     n_salt: int = 1,
     agg_cols: dict[str, str] | None = None,
     count_alias: str = "count",
+    final: str = "tree",
 ) -> ray.data.Dataset:
-    """B8: skew-safe grouped count/sum.
+    """B8: skew-safe grouped count/sum over one or more key columns.
 
-    Stage 1 pre-aggregates inside each batch (map-side combine); stage 2
-    shuffles only the tiny partials. For ASSOCIATIVE aggregates this
-    two-stage combine already neutralizes key skew — a Zipf-hot cell
-    contributes at most one partial row per block — so ``n_salt``
-    defaults to 1. Raise it when the per-key stage-2 work itself is
-    irreducible (e.g. a ``map_groups`` assembler downstream), spreading a
-    hot key over ``n_salt`` reducers at the cost of ``n_salt``× partial
-    rows; the final merge stays exact either way.
+    Stage 1 pre-aggregates inside each batch (map-side combine) — a
+    Zipf-hot key contributes at most one partial row per block, which
+    already neutralizes key skew for these ASSOCIATIVE aggregates, so
+    ``n_salt`` defaults to 1. Raise it when the per-key downstream work
+    itself is irreducible (e.g. a ``map_groups`` assembler), spreading a
+    hot key over ``n_salt`` reducers; the merge stays exact either way.
+
+    Stage 2 merges the tiny partials — see ``tree_sum`` for the two
+    physical plans (``final="tree"`` default / ``"shuffle"``).
 
     agg_cols: {column: "sum"} additional sums to carry.
     """
     agg_cols = agg_cols or {}
-
-    key_type_holder: dict = {}
+    key_list = [key] if isinstance(key, str) else list(key)
 
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False)
-        key_dtype = k.dtype
-        salt = (np.arange(k.shape[0]) % n_salt).astype(np.int64)
-        # pure-NumPy in-batch combine: lexsort + reduceat (no pandas, so
-        # dtypes survive exactly — uint64 cell ids included)
-        order = np.lexsort((salt, k))
-        ks, ss = k[order], salt[order]
-        if ks.shape[0] == 0:
-            cols = {
-                key: pa.array(ks),
-                "_salt": pa.array(ss, pa.int64()),
-                "partial_count": pa.array(np.empty(0, np.int64)),
-            }
-            for c, how in agg_cols.items():
-                cols[f"partial_{how}_{c}"] = pa.array(np.empty(0, np.float64))
-            return pa.table(cols)
-        new = np.ones(ks.shape[0], dtype=bool)
-        new[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])
-        starts = np.nonzero(new)[0]
-        counts = np.diff(np.append(starts, ks.shape[0])).astype(np.int64)
-        cols = {
-            key: pa.array(ks[starts]),
-            "_salt": pa.array(ss[starts], pa.int64()),
-            "partial_count": pa.array(counts),
-        }
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in key_list]
+        n = karrs[0].shape[0]
+        salt = (np.arange(n) % n_salt).astype(np.int64)
+        varrs = {"partial_count": np.ones(n, dtype=np.int64)}
         for c, how in agg_cols.items():
-            vals = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)[order]
-            cols[f"partial_{how}_{c}"] = pa.array(np.add.reduceat(vals, starts))
+            varrs[f"partial_{how}_{c}"] = batch[c].to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+        ks, vs = _group_reduce(karrs + [salt], varrs)
+        cols = {k: pa.array(a) for k, a in zip(key_list, ks[:-1])}
+        cols["_salt"] = pa.array(ks[-1], pa.int64())
+        for name, v in vs.items():
+            cols[name] = pa.array(v)
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-
-    from ray.data.aggregate import Sum
-
-    aggs = [Sum("partial_count", alias_name=count_alias)]
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sum_map = {"partial_count": count_alias}
     for c, how in agg_cols.items():
-        aggs.append(Sum(f"partial_{how}_{c}", alias_name=f"{how}_{c}"))
-    # two-stage: (key, salt) partials already combined per batch; final
-    # groupby(key) merges the ≤ n_salt × n_blocks partial rows per key
-    return partials.groupby(key).aggregate(*aggs)
+        sum_map[f"partial_{how}_{c}"] = f"{how}_{c}"
+    # the tree path's reduce rebuilds columns from key_list + sum_map, so
+    # _salt is dropped there automatically; combining across salts early is
+    # exact for associative sums
+    return tree_sum(
+        partials, key_list, sum_map, int_cols=("partial_count",), final=final
+    )
 
 
 def top_k(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:

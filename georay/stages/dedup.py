@@ -5,10 +5,11 @@ Scale shapes:
   keep-first — one shuffle of (id, fingerprint) pairs only.
 - MinHash-LSH: per-batch shingle→signature (vectorized per doc) →
   explode to (band, band_hash, doc_id) rows → ``groupby`` buckets →
-  candidate pairs → distributed exact-Jaccard verify (pair↔text
-  co-shuffle, ``verify_pairs_distributed``) → distributed connected
-  components (min-label propagation, ``georay.stages.components``).
-  No stage materializes the corpus on the driver.
+  candidate pairs → distributed exact-Jaccard verify (two hash joins
+  attach the pair texts, ``verify_pairs_distributed``) → distributed
+  connected components (min-label propagation,
+  ``georay.stages.components``). No stage materializes the corpus on
+  the driver.
 - SimHash: 64-bit signature per doc; near-dup candidates share one of
   four 16-bit bands (Hamming ≤ 3 ⇒ at least one band equal by
   pigeonhole when the 3 differing bits fall in ≤3 bands).
@@ -220,134 +221,78 @@ def verify_pairs_distributed(
     shingle_k: int = 5,
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs with NO
-    driver materialization of texts: the pair list is co-shuffled with the
-    corpus by ``groupby(doc_id)`` twice — hop A attaches text_a, hop B
-    attaches text_b and computes Jaccard inside ``map_groups``. Each hop
-    shuffles (id, text) once; the pair payload carried between hops is
+    driver materialization of texts: two distributed hash joins co-shuffle
+    the pair list with the corpus (attach text_a on id_a, then text_b on
+    id_b), then a vectorized-per-batch map computes Jaccard. Each join
+    shuffles (id, text) once; the pair payload carried between joins is
     bounded by the candidate count, not the corpus.
 
     Returns the verified pairs (id_a, id_b, jaccard ≥ threshold).
-    Duplicate candidate rows (one per shared band) are deduped inside
-    hop A's group — no separate dedup shuffle.
+    Duplicate candidate rows (one per shared band) are deduped by a
+    combine-tree count before the joins.
     """
+    from georay import ops
 
-    def docs_msgs(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "k": batch[id_col].cast(pa.int64()),
-                "id_a": pa.array([None] * n, pa.int64()),
-                "id_b": pa.array([None] * n, pa.int64()),
-                "text_a": pa.array([None] * n, pa.string()),
-                "text": batch[text_col].cast(pa.string()),
-                "is_doc": pa.array(np.ones(n, np.int8)),
-            }
-        )
+    # dedup candidates without a sort shuffle (combine-tree count)
+    pairs = ops.salted_count(pairs, ["id_a", "id_b"], count_alias="_nb")
+    n_join_parts = 8
 
-    docs = ds.select_columns([id_col, text_col]).map_batches(
-        docs_msgs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-
-    def pairs_msgs_a(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "k": batch["id_a"].cast(pa.int64()),
-                "id_a": batch["id_a"].cast(pa.int64()),
-                "id_b": batch["id_b"].cast(pa.int64()),
-                "text_a": pa.array([None] * n, pa.string()),
-                "text": pa.array([None] * n, pa.string()),
-                "is_doc": pa.array(np.zeros(n, np.int8)),
-            }
-        )
-
-    def attach_a(group: pa.Table) -> pa.Table:
-        is_doc = group["is_doc"].to_numpy(zero_copy_only=False)
-        doc_rows = np.nonzero(is_doc == 1)[0]
-        prs = group.filter(pa.array(is_doc == 0))
-        if len(prs) == 0 or doc_rows.size == 0:
+    def docs_as(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "k": pa.array([], pa.int64()),
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "text_a": pa.array([], pa.string()),
-                    "text": pa.array([], pa.string()),
-                    "is_doc": pa.array([], pa.int8()),
+                    f"id_{side}": batch[id_col].cast(pa.int64()),
+                    f"text_{side}": batch[text_col].cast(pa.string()),
                 }
             )
-        text_a = group["text"][int(doc_rows[0])].as_py()
-        # dedup candidates: the same pair arrives once per shared band
-        ib = np.unique(prs["id_b"].to_numpy(zero_copy_only=False))
-        n = ib.shape[0]
-        ia = group["k"][0].as_py()
-        return pa.table(
-            {
-                # re-key by id_b for hop B
-                "k": pa.array(ib, pa.int64()),
-                "id_a": pa.array(np.full(n, ia), pa.int64()),
-                "id_b": pa.array(ib, pa.int64()),
-                "text_a": pa.array([text_a] * n, pa.string()),
-                "text": pa.array([None] * n, pa.string()),
-                "is_doc": pa.array(np.zeros(n, np.int8)),
-            }
+
+        return ds.select_columns([id_col, text_col]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
         )
 
-    hop_a = (
-        docs.union(
-            pairs.map_batches(
-                pairs_msgs_a, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-            )
-        )
-        .groupby("k")
-        .map_groups(attach_a, batch_format="pyarrow")
+    with_a = pairs.join(
+        docs_as("a"), join_type="inner", num_partitions=n_join_parts, on=("id_a",)
+    )
+    with_ab = with_a.join(
+        docs_as("b"), join_type="inner", num_partitions=n_join_parts, on=("id_b",)
     )
 
-    def verify_b(group: pa.Table) -> pa.Table:
-        is_doc = group["is_doc"].to_numpy(zero_copy_only=False)
-        doc_rows = np.nonzero(is_doc == 1)[0]
-        prs = group.filter(pa.array(is_doc == 0))
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if len(prs) == 0 or doc_rows.size == 0:
-            return empty
-        sb = set(
-            _shingle_hashes(group["text"][int(doc_rows[0])].as_py(), shingle_k).tolist()
-        )
-        ia_out, ib_out, j_out = [], [], []
-        for ia, ib, ta in zip(
-            prs["id_a"].to_pylist(), prs["id_b"].to_pylist(), prs["text_a"].to_pylist()
-        ):
-            sa = set(_shingle_hashes(ta, shingle_k).tolist())
+    def verify(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        # shingle sets cached per doc id within the batch (texts repeat
+        # across that doc's pairs)
+        cache: dict = {}
+
+        def sh(i, t):
+            s = cache.get(i)
+            if s is None:
+                s = set(_shingle_hashes(t, shingle_k).tolist())
+                cache[i] = s
+            return s
+
+        jac = np.empty(len(ia), dtype=np.float64)
+        for r in range(len(ia)):
+            sa, sb = sh(int(ia[r]), ta[r]), sh(int(ib[r]), tb[r])
             if not sa and not sb:
-                j = 1.0
+                jac[r] = 1.0
             elif not sa or not sb:
-                j = 0.0
+                jac[r] = 0.0
             else:
-                j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                ia_out.append(ia)
-                ib_out.append(ib)
-                j_out.append(j)
-        if not ia_out:
-            return empty
+                jac[r] = len(sa & sb) / len(sa | sb)
+        keep = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(ia_out, pa.int64()),
-                "id_b": pa.array(ib_out, pa.int64()),
-                "jaccard": pa.array(j_out, pa.float64()),
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep]),
             }
         )
 
-    return (
-        hop_a.union(docs)
-        .groupby("k")
-        .map_groups(verify_b, batch_format="pyarrow")
+    return with_ab.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

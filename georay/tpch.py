@@ -174,40 +174,26 @@ def q_centroid_by_flag(sf_dir: str):
     to absorb summation-order last-bit drift."""
     ds = lineitem_points(sf_dir, extra_cols=["l_returnflag"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def expand(batch: pa.Table) -> pa.Table:
         v = native.view(batch["geotag"].combine_chunks())
-        flag = batch["l_returnflag"].to_numpy(zero_copy_only=False)
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {"l_returnflag": flag, "sx": v.coords[:, 0], "sy": v.coords[:, 1]}
-        )
-        g = df.groupby("l_returnflag", sort=False)
-        out = g.agg(psx=("sx", "sum"), psy=("sy", "sum"), pn=("sx", "size")).reset_index()
         return pa.table(
             {
-                "l_returnflag": pa.array(out["l_returnflag"].tolist(), pa.string()),
-                "psx": pa.array(out["psx"].to_numpy()),
-                "psy": pa.array(out["psy"].to_numpy()),
-                "pn": pa.array(out["pn"].to_numpy().astype(np.int64)),
+                "l_returnflag": batch["l_returnflag"],
+                "sx": pa.array(v.coords[:, 0]),
+                "sy": pa.array(v.coords[:, 1]),
             }
         )
 
-    from ray.data.aggregate import Sum
-
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("psx", alias_name="sx"),
-            Sum("psy", alias_name="sy"),
-            Sum("pn", alias_name="n"),
-        )
+    agg = ops.salted_count(
+        ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "l_returnflag",
+        agg_cols={"sx": "sum", "sy": "sum"},
+        count_alias="n",
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sx = batch["sx"].to_numpy(zero_copy_only=False)
-        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sx = batch["sum_sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sum_sy"].to_numpy(zero_copy_only=False)
         n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table(
             {
@@ -394,13 +380,7 @@ def q_events_window(sf_dir: str):
         )
 
     ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    from ray.data.aggregate import Count
-
-    return (
-        ds.groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["event_type", "hour", "n"])
-    )
+    return ops.salted_count(ds, ["event_type", "hour"], count_alias="n")
 
 
 SQL_EVENTS_WINDOW = """
@@ -1016,13 +996,7 @@ def q_sliding_window(sf_dir: str):
         )
 
     exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    from ray.data.aggregate import Count
-
-    return (
-        exploded.groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n"))
-        .select_columns(["event_type", "window_start", "n"])
-    )
+    return ops.salted_count(exploded, ["event_type", "window_start"], count_alias="n")
 
 
 SQL_SLIDING_WINDOW = """
