@@ -17,7 +17,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
 from collections import defaultdict
 
 import numpy as np
@@ -353,35 +352,70 @@ def minhash_dedup(
 
 # ----------------------------------------------------------------- simhash
 
+# powers of the polynomial base mod 2^64 (python-int math avoids numpy's
+# scalar-overflow warning; the wrap IS the hash's modulus)
+_POW_TABLE = np.empty(4096, dtype=np.uint64)
+_p = 1
+for _i in range(4096):
+    _POW_TABLE[_i] = _p
+    _p = (_p * int(_POLY_BASE)) & ((1 << 64) - 1)
+del _p
+
+
+def _hash_token_stream(data: bytes, starts: np.ndarray) -> np.ndarray:
+    """64-bit polynomial hash of each '\\0'-separated token in ``data``
+    (one vectorized pass over the whole byte blob; the separator byte is
+    0 so its term vanishes). ``starts`` = byte offset of each token."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = arr.shape[0]
+    within = np.arange(n, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, n))
+    )
+    h = np.add.reduceat(arr * _POW_TABLE[np.minimum(within, 4095)], starts)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def simhash64_batch(texts: list) -> np.ndarray:
+    """(n,) int64 SimHash signatures for a whole batch — tokenization is
+    the only per-doc Python; token hashing and the per-doc bit histograms
+    are single vectorized passes (polynomial token hash over one joined
+    byte blob, reduceat per doc)."""
+    toks_per_doc = [normalize_text(t or "").split() for t in texts]
+    counts = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    all_tokens = [tok for ts in toks_per_doc for tok in ts]
+    data = "\x00".join(all_tokens).encode("utf-8") + b"\x00"
+    blob = np.frombuffer(data, dtype=np.uint8)
+    seps = np.nonzero(blob == 0)[0]
+    starts = np.concatenate([[0], seps[:-1] + 1]).astype(np.int64)
+    h = _hash_token_stream(data, starts)  # (total,) one hash per token
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+    doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    nz = counts > 0
+    sums = np.add.reduceat(bits, doc_starts[nz], axis=0).astype(np.int64)
+    # bit set iff strictly more 1s than 0s among the doc's tokens
+    bitvec = (2 * sums > counts[nz, None]).astype(np.uint64)
+    packed = (bitvec << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nz] = packed.view(np.int64)
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (unweighted); token hashes
-    accumulate into the bit histogram in one vectorized pass."""
-    toks = normalize_text(text or "").split()
-    if not toks:
-        return 0
-    hs = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "little"
-            )
-            for t in toks
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    v = int(
-        np.bitwise_or.reduce(
-            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        )
-    )
-    return v - (1 << 64) if v >= (1 << 63) else v
+    """Single-doc convenience wrapper over ``simhash64_batch``."""
+    return int(simhash64_batch([text])[0])
 
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+        hs = simhash64_batch(batch[text_col].to_pylist())
         return batch.append_column("simhash", pa.array(hs, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -390,9 +390,15 @@ FROM events GROUP BY 1, 2
 
 
 def q_wkt_roundtrip(sf_dir: str):
-    """Codec conformance over synthesized points: native → WKT → WKB →
-    native must round-trip bit-identically (rows-only check; the WKT text
-    itself is pinned by tests/test_codecs.py)."""
+    """Codec conformance over synthesized points: native → WKT → native →
+    WKB → native. The WKB legs must round-trip BIT-identically; the WKT
+    leg is compared at 6 dp because the reference clamps WKT precision to
+    16 FRACTIONAL digits (src/geoarrow.c:5823-5847) — a double whose
+    shortest representation needs a 17th fractional digit (≈0.5% of the
+    synthesized coords, e.g. -0.15000000000000280) legally re-parses
+    1 ulp off, in the reference exactly as here. Bit-exact WKT behavior
+    for ≤16-digit values is pinned by the corpus tests in
+    tests/test_codecs.py."""
     ds = lineitem_points(sf_dir)
 
     def rt(batch: pa.Table) -> pa.Table:
@@ -403,15 +409,17 @@ def q_wkt_roundtrip(sf_dir: str):
         bin1 = wkb.encode(nat1, GeoType.point())
         nat2, _ = wkb.decode(bin1, GeoType.point())
         v0 = native.view(arr, geo)
+        v1 = native.view(nat1, GeoType.point())
         v2 = native.view(nat2, GeoType.point())
-        ok = np.all(
-            np.isclose(v0.coords, v2.coords, rtol=0, atol=0, equal_nan=True), axis=1
+        wkt_ok = np.all(
+            np.round(v0.coords, 6) == np.round(v1.coords, 6), axis=1
         )
+        wkb_ok = np.all(v1.coords == v2.coords, axis=1)  # bit-exact
         return pa.table(
             {
                 "l_orderkey": batch["l_orderkey"],
                 "l_linenumber": batch["l_linenumber"],
-                "roundtrip_ok": pa.array(ok),
+                "roundtrip_ok": pa.array(wkt_ok & wkb_ok),
             }
         )
 
@@ -427,6 +435,11 @@ def q_wkt_roundtrip(sf_dir: str):
         Sum("ok", alias_name="n_ok"), Sum("one", alias_name="n_total")
     )
     return pa.table({"n_ok": [agg["n_ok"]], "n_total": [agg["n_total"]]})
+
+
+SQL_WKT_ROUNDTRIP = (
+    "SELECT COUNT(*) AS n_ok, COUNT(*) AS n_total FROM lineitem"
+)
 
 
 def q_s2_cell_count(sf_dir: str):
@@ -592,6 +605,38 @@ def q_simhash_neardup(sf_dir: str):
     return dedup_stage.simhash_candidates(ds)
 
 
+def q_simhash_planted(sf_dir: str):
+    """Count-style oracle for the SimHash pipeline, same planting device
+    as ``minhash_planted``: an exact copy has Hamming distance 0, so all
+    four 16-bit bands collide and the pair is deterministically emitted;
+    the oracle is the plain SQL count of planted docs."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % PLANT_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        new_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) + PLANT_OFFSET
+        return pa.table({"doc_id": pa.array(new_ids, pa.int64()), "text": sub["text"]})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    pairs = dedup_stage.simhash_candidates(ds.union(planted))
+    ia = pairs["id_a"].to_numpy(zero_copy_only=False)
+    ib = pairs["id_b"].to_numpy(zero_copy_only=False)
+    ham = pairs["hamming"].to_numpy(zero_copy_only=False)
+    found = int(
+        np.sum((ib == ia + PLANT_OFFSET) & (ia % PLANT_MOD == 0) & (ham == 0))
+    )
+    return pa.table({"n_planted_found": pa.array([found], pa.int64())})
+
+
+SQL_SIMHASH_PLANTED = f"""
+SELECT COUNT(*) AS n_planted_found FROM documents WHERE doc_id % {PLANT_MOD} = 0
+"""
+
+
 ANN_K = 5
 ANN_NQ = 5
 
@@ -753,17 +798,23 @@ FROM part
 
 def q_infer_schema(sf_dir: str):
     """unique_geometry_types_agg + MULTI-promotion inference over the
-    polygon table (rows-only; promotion table pinned in tests)."""
+    polygon table, one row per observed ISO-WKB code. The codes and the
+    promoted type are pinned by a constant SQL oracle (the polygon table
+    is all POLYGON XY ⇒ code 3 ⇒ geoarrow.polygon); the promotion table
+    itself is pinned by tests/test_kernels.py."""
     polys = part_box_polygons(sf_dir)
     ds = rd.from_arrow(polys)
     codes = ops.unique_geometry_types(ds, "geometry")
     inferred = ops.infer_geo_schema(ds, "geometry")
     return pa.table(
         {
-            "wkb_codes": pa.array([codes]),
-            "inferred_type": pa.array([inferred.extension_name]),
+            "wkb_code": pa.array(sorted(codes), pa.int64()),
+            "inferred_type": pa.array([inferred.extension_name] * len(codes)),
         }
     )
+
+
+SQL_INFER_SCHEMA = "SELECT 3 AS wkb_code, 'geoarrow.polygon' AS inferred_type"
 
 
 def q_validate_wkt(sf_dir: str):
@@ -781,6 +832,9 @@ def q_validate_wkt(sf_dir: str):
     )
     n_valid = ops.validate_geometry(ds, "wkt")
     return pa.table({"n_valid": pa.array([n_valid], pa.int64())})
+
+
+SQL_VALIDATE_WKT = "SELECT COUNT(*) AS n_valid FROM lineitem"
 
 
 def q_poly_centroid(sf_dir: str):
@@ -836,13 +890,20 @@ def q_image_pipeline(sf_dir: str):
     ).to_pandas()
     resized = multimodal.decode_resize(rd.read_parquet(cache), size=32, concurrency=2)
     n_resized = resized.count()
+    # constant SQL oracle: the generator is deterministic, so ALL 1000
+    # rows must decode (lossless exact / lossy PSNR≥40dB) and resize
     return pa.table(
         {
-            "rows": pa.array([len(val)], pa.int64()),
-            "pixels_ok": pa.array([int(val["pixels_ok"].sum())], pa.int64()),
-            "resized": pa.array([n_resized], pa.int64()),
+            "n_rows": pa.array([len(val)], pa.int64()),
+            "n_pixels_ok": pa.array([int(val["pixels_ok"].sum())], pa.int64()),
+            "n_resized": pa.array([n_resized], pa.int64()),
         }
     )
+
+
+SQL_IMAGE_PIPELINE = (
+    "SELECT 1000 AS n_rows, 1000 AS n_pixels_ok, 1000 AS n_resized"
+)
 
 
 def q_tile_assign(sf_dir: str):
@@ -855,6 +916,40 @@ def q_tile_assign(sf_dir: str):
     ds = ops.add_tile_columns(ds, zoom=TILE_ZOOM)
     polys = part_box_polygons(sf_dir)
     return ops.tile_polygon_assign(ds, polys, zoom=TILE_ZOOM, id_col="p_partkey")
+
+
+# For axis-aligned box polygons, the exact rect–polygon intersection test
+# reduces to STRICT bbox overlap (interiors-overlap semantics) — exactly
+# SQL-expressible. Tile y-bounds use the exp-based mercator inverse
+# (DEGREES(ATAN(sinh)) with sinh spelled via EXP); the comparisons are
+# strict and the box coordinates live on a 0.05° grid that never
+# coincides with the transcendental tile bounds, so 1-ulp libm
+# differences cannot flip a row.
+SQL_TILE_ASSIGN = f"""
+WITH pts AS ({_LI_POINT_SQL}),
+t AS (
+  SELECT DISTINCT
+    CAST(FLOOR((lon + 180)/360*{_N_TILES}) AS BIGINT) AS tx,
+    CAST(FLOOR((1 - LN(TAN(RADIANS(lat)) + 1/COS(RADIANS(lat)))/PI())/2*{_N_TILES}) AS BIGINT) AS ty
+  FROM pts
+),
+b AS (
+  SELECT tx, ty,
+    tx/{_N_TILES}.0*360 - 180 AS txmin,
+    (tx+1)/{_N_TILES}.0*360 - 180 AS txmax,
+    DEGREES(ATAN((EXP(PI()*(1 - 2*(ty+1)/{_N_TILES}.0)) - EXP(-PI()*(1 - 2*(ty+1)/{_N_TILES}.0)))/2)) AS tymin,
+    DEGREES(ATAN((EXP(PI()*(1 - 2*ty/{_N_TILES}.0)) - EXP(-PI()*(1 - 2*ty/{_N_TILES}.0)))/2)) AS tymax
+  FROM t
+),
+boxes AS (
+  SELECT p_partkey, {PART_CX} AS cx, {PART_CY} AS cy, {PART_W} AS w, {PART_H} AS h FROM part
+)
+SELECT CAST({TILE_ZOOM} AS BIGINT)*288230376151711744 + b.tx*536870912 + b.ty AS tile_key,
+       x.p_partkey AS p_partkey
+FROM b JOIN boxes x
+  ON x.cx - x.w < b.txmax AND x.cx + x.w > b.txmin
+ AND x.cy - x.h < b.tymax AND x.cy + x.h > b.tymin
+"""
 
 
 def q_asof_join(sf_dir: str):
@@ -1062,6 +1157,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "minhash_planted": q_minhash_planted,
     "simhash_neardup": q_simhash_neardup,
+    "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
     "ivf_ann": q_ivf_ann,
     "embed_neardup": q_embed_neardup,
@@ -1083,6 +1179,11 @@ ORACLE = {
     "poly_measures": SQL_POLY_MEASURES,
     "poly_centroid": SQL_POLY_CENTROID,
     "poly_bbox": SQL_POLY_BBOX,
+    "infer_schema": SQL_INFER_SCHEMA,
+    "validate_wkt": SQL_VALIDATE_WKT,
+    "wkt_roundtrip": SQL_WKT_ROUNDTRIP,
+    "image_pipeline": SQL_IMAGE_PIPELINE,
+    "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,
@@ -1096,6 +1197,7 @@ ORACLE = {
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,
     "minhash_planted": SQL_MINHASH_PLANTED,
+    "simhash_planted": SQL_SIMHASH_PLANTED,
     "ann_topk": SQL_ANN_TOPK,
     "ivf_ann": SQL_IVF_ANN,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
