@@ -116,6 +116,111 @@ def _binary_values(arr: pa.Array):
     return arr
 
 
+def _buffer_views(arr: pa.Array):
+    """(offsets int64, values uint8, valid bool|None) raw views of a
+    plain/large binary array."""
+    arr = _binary_values(arr)
+    if pa.types.is_large_binary(arr.type):
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    else:
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32).astype(np.int64)
+    offs = offs[arr.offset : arr.offset + len(arr) + 1]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    valid = None
+    if arr.null_count > 0:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    return offs, buf, valid
+
+
+def _u32_at(buf: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Vectorized little-endian uint32 gather at byte positions."""
+    return (
+        buf[pos].astype(np.uint32)
+        | (buf[pos + 1].astype(np.uint32) << 8)
+        | (buf[pos + 2].astype(np.uint32) << 16)
+        | (buf[pos + 3].astype(np.uint32) << 24)
+    )
+
+
+def validate(arr) -> int:
+    """Structural validation of a WKB batch (visit_void_agg semantics:
+    full structural walk, raise on malformed, src/geoarrow.c:1528-1540).
+
+    Vectorized fast lane: when every non-null feature is little-endian
+    with one shared geometry code whose length arithmetic is closed-form
+    (POINT / LINESTRING / MULTIPOINT-of-points / POLYGON), lengths and
+    element counts are checked with numpy over the raw offsets+values
+    buffers — no per-feature parse. Mixed, big-endian, or nested
+    collection batches fall back to the exact per-feature parser.
+
+    Returns the count of valid (non-null) features.
+    """
+    arr = _binary_values(arr)
+    offs, buf, valid = _buffer_views(arr)
+    n = len(arr)
+    if n == 0:
+        return 0
+    lens = np.diff(offs)
+    live = np.ones(n, dtype=bool) if valid is None else valid.copy()
+    n_valid = int(live.sum())
+    if n_valid == 0:
+        return 0
+    starts = offs[:-1][live]
+    flens = lens[live]
+    if np.any(flens < 5):
+        raise ValueError("WKB feature shorter than its header")
+    le = buf[starts] == 1
+    codes = _u32_at(buf, starts + 1)
+    if bool(np.all(le)) and codes.min() == codes.max():
+        code = int(codes[0])
+        geom = code % 1000
+        ndim = {0: 2, 1: 3, 2: 3, 3: 4}.get(code // 1000, -1)
+        if ndim > 0:
+            sz = 8 * ndim
+            if geom == 1:  # POINT: fixed length
+                if np.all(flens == 5 + sz):
+                    return n_valid
+            elif geom == 2:  # LINESTRING: 9 + n*sz
+                cnt = _u32_at(buf, starts + 5).astype(np.int64)
+                if np.all(flens == 9 + cnt * sz):
+                    return n_valid
+            elif geom == 4:  # MULTIPOINT of child points: 9 + n*(5+sz)
+                cnt = _u32_at(buf, starts + 5).astype(np.int64)
+                if np.all(flens == 9 + cnt * (5 + sz)):
+                    # check EVERY child header (ragged expansion)
+                    from georay.index import _ragged_ranges
+
+                    owner, within = _ragged_ranges(cnt)
+                    cpos = np.repeat(starts, cnt) + 9 + within * (5 + sz)
+                    if np.all(buf[cpos] == 1) and np.all(
+                        _u32_at(buf, cpos + 1) == code - 3
+                    ):
+                        return n_valid
+            elif geom == 3:  # POLYGON: iterate rings in lockstep
+                nrings = _u32_at(buf, starts + 5).astype(np.int64)
+                pos = starts + 9
+                remaining = nrings.copy()
+                ends = starts + flens
+                ok = True
+                while True:
+                    act = remaining > 0
+                    if not np.any(act):
+                        break
+                    if np.any(pos[act] + 4 > ends[act]):
+                        ok = False
+                        break
+                    rc = _u32_at(buf, pos[act]).astype(np.int64)
+                    pos[act] += 4 + rc * sz
+                    remaining[act] -= 1
+                if ok and np.all(pos == ends):
+                    return n_valid
+    # exact fallback: full per-feature parse (raises on malformed)
+    for v in arr:
+        if v.is_valid:
+            parse_feature(v.as_py())
+    return n_valid
+
+
 def unique_types_mask(arr) -> int:
     """Per-batch uint64 bitmask for unique_geometry_types_agg."""
     arr = _binary_values(arr)

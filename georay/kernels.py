@@ -382,6 +382,12 @@ def cast(
         if src_kind == "native":
             return wkb_codec.encode(arr, source)
         if src_kind == "wkt":
+            # parse once, then (when the input is a single native type)
+            # use the VECTORIZED native→WKB encoder instead of per-node
+            # serialization; heterogeneous input keeps the per-node path
+            nat, t = wkt_codec.decode(arr, None)
+            if not t.serialized:
+                return wkb_codec.encode(nat, t)
             nodes = [
                 wkt_codec.parse_feature_wkt(v.as_py()) if v.is_valid else None
                 for v in arr

@@ -245,12 +245,7 @@ def validate_geometry(ds: ray.data.Dataset, col: str) -> int:
             else:
                 from georay.codecs import wkb as wkb_codec
 
-                arr_c = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-                n = 0
-                for v in arr_c:
-                    if v.is_valid:
-                        wkb_codec.parse_feature(v.as_py())
-                        n += 1
+                n = wkb_codec.validate(arr)
         else:
             v = native.view(arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr, src)
             n = v.length - (0 if v.valid is None else int((~v.valid).sum()))
@@ -544,12 +539,16 @@ def tile_assemble(
     true count)."""
 
     def assemble(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
+        ids = group[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        order = pc.sort_indices(ids)
+        sample = ids.take(order[:max_ids_per_tile])
         return pa.table(
             {
                 tile_col: pa.array([group[tile_col][0].as_py()], pa.int64()),
                 "n_images": pa.array([len(ids)], pa.int64()),
-                "sample_ids": pa.array([ids[:max_ids_per_tile]]),
+                "sample_ids": pa.array([sample.to_pylist()]),
             }
         )
 
@@ -682,14 +681,17 @@ def systematic_sample(
     import hashlib
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = [
-            batch[c].cast(pa.string()).to_pylist() for c in key_cols
-        ]
+        # the key string is built by ONE Arrow C kernel; md5 itself is
+        # locked by the SQL oracle so the per-row digest remains, reduced
+        # to digest()[:4] (== the hexdigest[:8] big-endian integer)
+        key = pc.binary_join_element_wise(
+            *[batch[c].cast(pa.string()) for c in key_cols], "-"
+        )
+        md5 = hashlib.md5
         sel = np.fromiter(
             (
-                int(hashlib.md5("-".join(parts).encode()).hexdigest()[:8], 16) % mod
-                == keep
-                for parts in zip(*keys)
+                int.from_bytes(md5(s).digest()[:4], "big") % mod == keep
+                for s in key.cast(pa.binary()).to_pylist()
             ),
             dtype=bool,
             count=len(batch),

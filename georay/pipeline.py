@@ -17,7 +17,6 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import time
@@ -39,16 +38,31 @@ def _shard_of_path(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
-def _id_checksum(ids: np.ndarray) -> int:
+_CK_MASK = (1 << 63) - 1
+
+
+def _id_hash64(ids: list) -> np.ndarray:
+    """Vectorized 64-bit hash per id string: one polynomial pass over a
+    NUL-joined byte blob (the same device as the SimHash token hasher) —
+    no per-row digests. Ids must be non-empty and NUL-free (true for
+    every id column in this engine)."""
+    from georay.stages.dedup import _hash_token_stream
+
+    if not ids:
+        return np.empty(0, dtype=np.uint64)
+    data = ("\x00".join(str(s) for s in ids) + "\x00").encode("utf-8")
+    blob = np.frombuffer(data, dtype=np.uint8)
+    seps = np.nonzero(blob == 0)[0]
+    starts = np.concatenate([[0], seps[:-1] + 1]).astype(np.int64)
+    return _hash_token_stream(data, starts)
+
+
+def _id_checksum(ids) -> int:
     """Order-insensitive 63-bit checksum over row ids (stable across
-    resumes and block orderings)."""
-    total = 0
-    for s in ids:
-        h = int.from_bytes(
-            hashlib.blake2b(str(s).encode(), digest_size=8).digest(), "little"
-        )
-        total = (total + h) & ((1 << 63) - 1)
-    return total
+    resumes and block orderings): modular sum of per-id hashes, so
+    per-batch partials merge by plain addition."""
+    h = _id_hash64(list(ids))
+    return int(h.sum(dtype=np.uint64) & np.uint64(_CK_MASK))
 
 
 def load_manifest(out_dir: str) -> dict:
@@ -65,6 +79,56 @@ def save_manifest(out_dir: str, manifest: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, p)  # atomic publish
+
+
+def _shard_stats(shard_dirs: list[str]) -> dict[str, tuple[int, int]]:
+    """{shard: (rows, id_checksum)} for freshly written shard dirs,
+    computed as a Ray pipeline (pruned id-only read, vectorized per-batch
+    hash partials, combine-tree merge) — the driver never hashes rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        shards = np.asarray(
+            [p.split("shard=", 1)[1].split("/", 1)[0] for p in batch["path"].to_pylist()],
+            dtype=object,
+        )
+        h = _id_hash64(batch["image_id"].to_pylist()).view(np.int64)
+        ks, vs = ops._group_reduce(
+            [shards],
+            {
+                "partial_rows": np.ones(len(shards), np.int64),
+                "partial_ck": h,
+            },
+        )
+        return pa.table(
+            {
+                "shard": pa.array(ks[0], pa.string()),
+                "partial_rows": pa.array(vs["partial_rows"]),
+                "partial_ck": pa.array(vs["partial_ck"]),
+            }
+        )
+
+    files = [
+        f
+        for d in shard_dirs
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+    ]
+    ds = rd.read_parquet(files, columns=["image_id"], include_paths=True)
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = ops.tree_sum(
+        partials,
+        "shard",
+        {"partial_rows": "rows", "partial_ck": "ck"},
+        int_cols=("partial_rows", "partial_ck"),
+    ).take_all()
+    return {
+        r["shard"]: (
+            int(r["rows"]),
+            int(np.int64(r["ck"]).view(np.uint64) & np.uint64(_CK_MASK)),
+        )
+        for r in merged
+    }
 
 
 def run_flagship(
@@ -131,12 +195,16 @@ def run_flagship(
         ds.write_parquet(assign_root, partition_cols=["shard"])
 
         # validate + publish lineage per shard (rows + order-insensitive
-        # id checksum); only validated shards enter the manifest
+        # id checksum), computed DISTRIBUTED: one pruned read of the
+        # written ids → per-batch (shard, rows, checksum) partials →
+        # combine-tree merge; the driver only compares integers per shard
+        stats = _shard_stats(
+            [os.path.join(assign_root, f"shard={_shard_of_path(p)}") for p in pending]
+        )
         for path in pending:
             shard = _shard_of_path(path)
             shard_dir = os.path.join(assign_root, f"shard={shard}")
-            out_ids = pq.read_table(shard_dir, columns=["image_id"])["image_id"]
-            n_out = len(out_ids)
+            n_out, ck = stats.get(shard, (0, 0))
             n_in = pq.read_metadata(path).num_rows
             if n_out != n_in:
                 raise RuntimeError(
@@ -145,7 +213,7 @@ def run_flagship(
             manifest[shard] = {
                 "rows_in": n_in,
                 "rows_out": n_out,
-                "id_checksum": _id_checksum(out_ids.to_numpy(zero_copy_only=False)),
+                "id_checksum": ck,
                 "bytes": sum(
                     os.path.getsize(os.path.join(shard_dir, f))
                     for f in os.listdir(shard_dir)

@@ -243,3 +243,43 @@ def test_collection_children_inherit_dims():
     assert [c.dims for c in node2.children] == [Dimensions.XYZ, Dimensions.XYZ]
     # round-trip through the writer keeps the inherited dims
     assert "POINT Z (1 2 3)" in wkt.write_node(node)
+
+
+def test_wkb_validate_vectorized_lanes():
+    # uniform little-endian buffers take the numpy fast lane; the result
+    # must equal the per-feature parse and malformed input must raise
+    cases = [
+        (["POINT (1 2)", "POINT (3 4)", None], GeoType.point()),
+        (["LINESTRING (0 0, 1 1, 2 0)", "LINESTRING EMPTY"], GeoType.linestring()),
+        (["MULTIPOINT ((0 0), (1 1))", "MULTIPOINT EMPTY"], GeoType.multipoint()),
+        (
+            [
+                "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 1 1))",
+                "POLYGON EMPTY",
+            ],
+            GeoType.polygon(),
+        ),
+    ]
+    for wkts, geo in cases:
+        nat, t = wkt.decode(pa.array(wkts, pa.string()), geo)
+        bin_arr = wkb.encode(nat, t)
+        n_expected = sum(1 for w in wkts if w is not None)
+        assert wkb.validate(bin_arr) == n_expected, geo
+    # mixed-type batch falls back to the exact parser and still counts
+    p = wkb.encode(*wkt.decode(pa.array(["POINT (1 2)"], pa.string()), GeoType.point()))
+    l = wkb.encode(
+        *wkt.decode(pa.array(["LINESTRING (0 0, 1 1)"], pa.string()), GeoType.linestring())
+    )
+    mixed = pa.concat_arrays([p.cast(pa.binary()), l.cast(pa.binary())])
+    assert wkb.validate(mixed) == 2
+    # malformed: truncated buffer raises
+    good = p[0].as_py()
+    bad = pa.array([good[:-3]], pa.binary())
+    with pytest.raises(Exception):
+        wkb.validate(bad)
+    # malformed with a PASSING uniform code but wrong count raises too
+    import struct as _s
+
+    forged = good[:5] + _s.pack("<I", 99) + good[5:]  # absurd trailing bytes
+    with pytest.raises(Exception):
+        wkb.validate(pa.array([forged], pa.binary()))
