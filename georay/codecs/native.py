@@ -101,9 +101,14 @@ def _coords_from(arr: pa.Array, geo: GeoType) -> np.ndarray:
 
 
 def view(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None) -> GeomView:
-    """Build a GeomView over a native GeoArrow array (zero/low-copy)."""
+    """Build a GeomView over a native GeoArrow array (zero/low-copy).
+    Registered extension arrays (georay.extension) are unwrapped."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        if geo is None:
+            geo = GeoType.from_field(pa.field("g", arr.type))
+        arr = arr.storage
     if geo is None:
         geo = GeoType.from_field(pa.field("g", arr.type))
     gt = geo.geometry_type
@@ -134,6 +139,10 @@ def box_view(arr: pa.Array | pa.ChunkedArray, geo: GeoType | None = None):
     """(mins, maxes, valid) for a geoarrow.box struct array, shape (n, ndim)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):
+        if geo is None:
+            geo = GeoType.from_field(pa.field("g", arr.type))
+        arr = arr.storage
     if geo is None:
         geo = GeoType.from_field(pa.field("g", arr.type))
     ndim = geo.dimensions.count

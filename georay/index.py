@@ -526,13 +526,14 @@ class PointIndex:
                     ) ** 2
                     order = np.lexsort((d2, Ps))
                     Ps_s, d2_s = Ps[order], d2[order]
-                    # kth smallest per probe
+                    # kth smallest per probe, vectorized: position within
+                    # each probe's sorted run == k-1 (runs shorter than k
+                    # simply have no such row)
                     uniqp, starts = np.unique(Ps_s, return_index=True)
-                    starts = np.append(starts, Ps_s.shape[0])
-                    for t, pb in enumerate(uniqp):
-                        cnt = starts[t + 1] - starts[t]
-                        if cnt >= k:
-                            kth_best[pb] = d2_s[starts[t] + k - 1]
+                    run_len = np.diff(np.append(starts, Ps_s.shape[0]))
+                    within = np.arange(Ps_s.shape[0]) - np.repeat(starts, run_len)
+                    is_kth = within == k - 1
+                    kth_best[Ps_s[is_kth]] = d2_s[is_kth]
                     bound = (r * self.res) ** 2
                     done = kth_best[active] <= bound
                     active = active[~done]
@@ -553,11 +554,9 @@ class PointIndex:
         # sort by probe, dist, ref id for deterministic ties
         order = np.lexsort((self.ref_ids[R].astype("U") if self.ref_ids.dtype == object else self.ref_ids[R], d2, P))
         P, R, d2 = P[order], R[order], d2[order]
+        # keep first k rows of every probe's sorted run (vectorized)
         uniqp, starts = np.unique(P, return_index=True)
-        starts_full = np.append(starts, P.shape[0])
-        keep = np.zeros(P.shape[0], bool)
-        for t in range(len(uniqp)):
-            s = starts_full[t]
-            e = min(starts_full[t] + k, starts_full[t + 1])
-            keep[s:e] = True
+        run_len = np.diff(np.append(starts, P.shape[0]))
+        within = np.arange(P.shape[0]) - np.repeat(starts, run_len)
+        keep = within < k
         return P[keep], R[keep], d2[keep]

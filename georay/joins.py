@@ -372,3 +372,299 @@ def knn_join(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+def _topk_reduce(batch: pa.Table, k: int) -> pa.Table:
+    """Keep the k smallest-(d2, rid) candidates per probe and sum the
+    per-probe candidate counts — one lexsort + boundary pass; associative,
+    so it serves as both the combine and the final stage of the top-k
+    merge tree (dedups (pid, rid) repeats from wrap-around disks)."""
+    pid = batch["pid"].to_numpy(zero_copy_only=False)
+    rid = batch["rid"].to_numpy(zero_copy_only=False)
+    d2 = batch["d2"].to_numpy(zero_copy_only=False)
+    nc = batch["nc"].to_numpy(zero_copy_only=False)
+    plon = batch["plon"].to_numpy(zero_copy_only=False)
+    plat = batch["plat"].to_numpy(zero_copy_only=False)
+    if pid.shape[0] == 0:
+        return batch
+    # dedup (pid, rid) pairs first (a ref can reach a probe through two
+    # buckets only via longitude wrap); counts follow the dedup
+    order = np.lexsort((rid, pid))
+    pid, rid, d2, nc, plon, plat = (
+        a[order] for a in (pid, rid, d2, nc, plon, plat)
+    )
+    first = np.ones(pid.shape[0], dtype=bool)
+    first[1:] = (pid[1:] != pid[:-1]) | (rid[1:] != rid[:-1])
+    pid, rid, d2, plon, plat = (a[first] for a in (pid, rid, d2, plon, plat))
+    # candidate-count partials: within a (pid, rid) dup run only the
+    # first row's count survives (they describe the same candidate)
+    nc = nc[first]
+    order = np.lexsort((rid, d2, pid))
+    pid, rid, d2, nc, plon, plat = (
+        a[order] for a in (pid, rid, d2, nc, plon, plat)
+    )
+    uniq, starts = np.unique(pid, return_index=True)
+    run_len = np.diff(np.append(starts, pid.shape[0]))
+    within = np.arange(pid.shape[0]) - np.repeat(starts, run_len)
+    keep = within < k
+    totals = np.add.reduceat(nc, starts)
+    nc_kept = np.repeat(totals, np.minimum(run_len, k))
+    return pa.table(
+        {
+            "pid": pa.array(pid[keep], pa.int64()),
+            "rid": pa.array(rid[keep], pa.int64()),
+            "d2": pa.array(d2[keep], pa.float64()),
+            "nc": pa.array(nc_kept, pa.int64()),
+            "plon": pa.array(plon[keep], pa.float64()),
+            "plat": pa.array(plat[keep], pa.float64()),
+        }
+    )
+
+
+def knn_join_partitioned(
+    probes: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    k: int = 3,
+    geom_col: str = "geotag",
+    probe_id_col: str = "p_partkey",
+    ref_geom_col: str = "geotag",
+    ref_id_col: str = "s_suppkey",
+    res: float | None = None,
+    max_ring: int = 16,
+) -> "pa.Table":
+    """BOTH-SIDES-LARGE kNN join: no broadcast index. Both sides are
+    keyed by the same grid cell; each round co-shuffles the unresolved
+    probes' ring-r disks with the refs via ONE ``groupby(cell)``, scores
+    candidates bucket-locally, and merges exact per-probe top-k with the
+    combine-tree reduce (``_topk_reduce`` — no per-probe map_groups). A
+    probe resolves when it holds ≥k candidates whose kth distance ≤
+    (r·res)² (the same ring-bound guarantee as ``PointIndex.knn``), else
+    its ring grows. Most probes resolve in ≤2 rounds at a sane ``res``.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    per-round state is bounded by k·|unresolved| rows — output-sized, the
+    same boundedness class as the top-k result itself.
+
+    Returns (probe_id_col, ref_id_col, knn_rank) — identical rows to the
+    broadcast ``knn_join`` plan.
+    """
+    from georay import cells as c
+
+    if res is None:
+        n = max(refs.count(), 1)
+        res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
+    nx = int(np.ceil(360.0 / res))
+
+    def key_refs(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, ref_geom_col)
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        sub = batch.filter(pa.array(okm))
+        lon, lat = lon[okm], lat[okm]
+        return pa.table(
+            {
+                "cell": pa.array(c.grid_cell(lon, lat, res), pa.int64()),
+                "side": pa.array(np.ones(len(sub), np.int8)),
+                "pid": pa.array(np.full(len(sub), -1), pa.int64()),
+                "rid": sub[ref_id_col].cast(pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    refs_keyed = refs.map_batches(
+        key_refs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def probe_tbl(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        sub = batch.filter(pa.array(okm))
+        return pa.table(
+            {
+                "pid": sub[probe_id_col].cast(pa.int64()),
+                "lon": pa.array(lon[okm]),
+                "lat": pa.array(lat[okm]),
+            }
+        )
+
+    unresolved = (
+        probes.map_batches(
+            probe_tbl, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .take_all()
+    )
+    un_pid = np.asarray([r["pid"] for r in unresolved], np.int64)
+    un_lon = np.asarray([r["lon"] for r in unresolved], np.float64)
+    un_lat = np.asarray([r["lat"] for r in unresolved], np.float64)
+    # keep the probe-state arrays sorted by pid (searchsorted lookups)
+    o = np.argsort(un_pid)
+    un_pid, un_lon, un_lat = un_pid[o], un_lon[o], un_lat[o]
+
+    import ray.data as rd
+
+    # per-probe adaptive radius: geometric growth while a probe has <k
+    # candidates, then a JUMP straight to the proven-sufficient radius
+    # ceil(sqrt(kth)/res) — a straggler in an empty region converges in
+    # O(log(needed_ring)) rounds instead of needed_ring rounds. At
+    # ``full_cover`` the probe's disk spans the whole grid, so whatever it
+    # holds is exact by construction.
+    full_cover = int(max(np.ceil(nx / 2.0), np.ceil(180.0 / res))) + 1
+    un_r = np.zeros(un_pid.size, dtype=np.int64)
+    results: list[pa.Table] = []
+    rounds = 0
+    while un_pid.size and rounds <= max_ring:
+        rounds += 1
+        probe_cells = c.grid_cell(un_lon, un_lat, res)
+        parts = []
+        for rv in np.unique(un_r):
+            m = un_r == rv
+            disk = c.grid_disk(probe_cells[m], int(rv), nx)
+            width = disk.shape[1]
+            npm = int(m.sum())
+            parts.append(
+                pa.table(
+                    {
+                        "cell": pa.array(disk.reshape(-1), pa.int64()),
+                        "side": pa.array(np.zeros(npm * width, np.int8)),
+                        "pid": pa.array(np.repeat(un_pid[m], width), pa.int64()),
+                        "rid": pa.array(np.full(npm * width, -1), pa.int64()),
+                        "lon": pa.array(np.repeat(un_lon[m], width)),
+                        "lat": pa.array(np.repeat(un_lat[m], width)),
+                    }
+                )
+            )
+        msgs = pa.concat_tables(parts)
+
+        def bucket_score(group: pa.Table) -> pa.Table:
+            side = group["side"].to_numpy(zero_copy_only=False)
+            prb = group.filter(pa.array(side == 0))
+            rf = group.filter(pa.array(side == 1))
+            empty = pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.float64()),
+                    "nc": pa.array([], pa.int64()),
+                    "plon": pa.array([], pa.float64()),
+                    "plat": pa.array([], pa.float64()),
+                }
+            )
+            if len(prb) == 0 or len(rf) == 0:
+                return empty
+            plon = prb["lon"].to_numpy(zero_copy_only=False)
+            plat = prb["lat"].to_numpy(zero_copy_only=False)
+            rlon = rf["lon"].to_numpy(zero_copy_only=False)
+            rlat = rf["lat"].to_numpy(zero_copy_only=False)
+            rids = rf["rid"].to_numpy(zero_copy_only=False)
+            pids = prb["pid"].to_numpy(zero_copy_only=False)
+            d2 = (plon[:, None] - rlon[None, :]) ** 2 + (
+                plat[:, None] - rlat[None, :]
+            ) ** 2
+            take = min(k, rlon.shape[0])
+            top = np.argpartition(d2, take - 1, axis=1)[:, :take]
+            rows = np.repeat(np.arange(pids.shape[0]), take)
+            cols = top.reshape(-1)
+            return pa.table(
+                {
+                    "pid": pa.array(pids[rows], pa.int64()),
+                    "rid": pa.array(rids[cols], pa.int64()),
+                    "d2": pa.array(d2[rows, cols], pa.float64()),
+                    "nc": pa.array(
+                        np.full(rows.shape[0], rlon.shape[0], np.int64)
+                    ),
+                    "plon": pa.array(plon[rows], pa.float64()),
+                    "plat": pa.array(plat[rows], pa.float64()),
+                }
+            )
+
+        cand = (
+            rd.from_arrow(msgs)
+            .union(refs_keyed)
+            .groupby("cell")
+            .map_groups(bucket_score, batch_format="pyarrow")
+        )
+        combined = cand.map_batches(
+            lambda b: _topk_reduce(b, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=ops.COMBINE_TARGET_ROWS,
+            num_cpus=0.5,
+        )
+        merged = combined.map_batches(
+            lambda b: _topk_reduce(b, k),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1 << 40,
+            num_cpus=0.9,
+        ).take_all()
+
+        mp = np.asarray([m["pid"] for m in merged], np.int64)
+        md = np.asarray([m["d2"] for m in merged], np.float64)
+        mn = np.asarray([m["nc"] for m in merged], np.int64)
+        uniq = np.empty(0, np.int64)
+        if mp.size:
+            uniq, starts = np.unique(mp, return_index=True)
+            run_len = np.diff(np.append(starts, mp.shape[0]))
+            kth = md[starts + run_len - 1]
+            nfound = mn[starts]
+            # per-probe bound: (r_i * res)^2; full-cover probes are exact
+            pos = np.searchsorted(un_pid, uniq)
+            r_of = un_r[pos]
+            bound = (r_of * res) ** 2
+            have_k = (nfound >= k) & (run_len >= np.minimum(k, nfound))
+            resolved = (have_k & (kth <= bound)) | (r_of >= full_cover)
+            ok_p = uniq[resolved]
+            if rounds > max_ring:
+                ok_p = uniq  # best effort at the round cap
+            if ok_p.size:
+                sel = np.isin(mp, ok_p)
+                results.append(
+                    pa.table(
+                        {
+                            "pid": pa.array(mp[sel], pa.int64()),
+                            "rid": pa.array(
+                                np.asarray([m["rid"] for m in merged], np.int64)[sel],
+                                pa.int64(),
+                            ),
+                            "d2": pa.array(md[sel], pa.float64()),
+                        }
+                    )
+                )
+            # grow the radius of unresolved probes: jump to the
+            # sufficient ring when the kth candidate is known, else double
+            need = np.maximum(un_r * 2, un_r + 1)
+            known = uniq[have_k & ~resolved]
+            if known.size:
+                jump = np.ceil(np.sqrt(kth[have_k & ~resolved]) / res).astype(np.int64)
+                posk = np.searchsorted(un_pid, known)
+                need[posk] = np.maximum(un_r[posk] + 1, jump)
+            still = ~np.isin(un_pid, ok_p) if ok_p.size else np.ones(un_pid.size, bool)
+            un_pid, un_lon, un_lat = un_pid[still], un_lon[still], un_lat[still]
+            un_r = np.minimum(need[still], full_cover)
+        else:
+            un_r = np.minimum(np.maximum(un_r * 2, un_r + 1), full_cover)
+
+    if not results:
+        return pa.table(
+            {
+                probe_id_col: pa.array([], pa.int64()),
+                ref_id_col: pa.array([], pa.int64()),
+                "knn_rank": pa.array([], pa.int64()),
+            }
+        )
+    out = pa.concat_tables(results)
+    pid = out["pid"].to_numpy(zero_copy_only=False)
+    rid = out["rid"].to_numpy(zero_copy_only=False)
+    d2 = out["d2"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rid, d2, pid))
+    pid, rid = pid[order], rid[order]
+    uniq, starts = np.unique(pid, return_index=True)
+    run_len = np.diff(np.append(starts, pid.shape[0]))
+    rank = np.arange(pid.shape[0]) - np.repeat(starts, run_len) + 1
+    return pa.table(
+        {
+            probe_id_col: pa.array(pid, pa.int64()),
+            ref_id_col: pa.array(rid, pa.int64()),
+            "knn_rank": pa.array(rank, pa.int64()),
+        }
+    )

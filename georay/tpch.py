@@ -282,6 +282,38 @@ def q_knn_part_supplier(sf_dir: str):
     return out.select_columns(["p_partkey", "s_suppkey", "knn_rank"])
 
 
+def q_knn_partitioned(sf_dir: str):
+    """The SAME kNN join as knn_part_supplier, executed by the
+    both-sides-large co-partitioned strategy (per-round groupby(cell)
+    co-shuffle + adaptive ring growth + top-k merge tree, no broadcast
+    index) — the two physical plans must agree bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import knn_join_partitioned
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probe = pa.table(
+        {"p_partkey": pa.array(pk)},
+        schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+    ).append_column(geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo))
+    sx, sy, sk = supplier_points(sf_dir)
+    refs = pa.table(
+        {"s_suppkey": pa.array(sk)},
+        schema=pa.schema([pa.field("s_suppkey", pa.int64())]),
+    ).append_column(geo.field("geotag"), native.build_points(np.column_stack([sx, sy]), geo))
+    return knn_join_partitioned(
+        rd.from_arrow(probe),
+        rd.from_arrow(refs),
+        k=KNN_K,
+        probe_id_col="p_partkey",
+        ref_id_col="s_suppkey",
+    )
+
+
 SQL_KNN_PART_SUPPLIER = f"""
 WITH probes AS (
   SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
@@ -1167,6 +1199,7 @@ QUERIES = {
     "pip_box_join": q_pip_box_join,
     "pip_partitioned": q_pip_partitioned,
     "knn_part_supplier": q_knn_part_supplier,
+    "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
     "dedup_docs": q_dedup_docs,
@@ -1206,6 +1239,7 @@ ORACLE = {
     "pip_box_join": SQL_PIP_BOX_JOIN,
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
+    "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,

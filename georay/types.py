@@ -363,6 +363,18 @@ class GeoType:
         reference's convention (R/type.R:272-281): utf8→wkt, binary→wkb,
         struct→point.
         """
+        # a registered GeometryExtensionType (georay.extension) carries
+        # the parsed GeoType itself
+        if isinstance(f.type, pa.ExtensionType):
+            t = f.type
+            geo = getattr(t, "geo", None)
+            if geo is not None:
+                return geo
+            gt = _parse_storage(t.extension_name, t.storage_type)
+            meta_bytes = t.__arrow_ext_serialize__()
+            if meta_bytes:
+                gt = _apply_metadata_json(gt, meta_bytes.decode())
+            return gt
         meta = f.metadata or {}
         ext_name = meta.get(EXTENSION_NAME_KEY, b"").decode() or None
         ext_meta = meta.get(EXTENSION_METADATA_KEY, b"").decode() or None

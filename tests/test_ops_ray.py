@@ -306,3 +306,50 @@ def test_pip_join_partitioned_multipolygon(ray_session):
     b = sorted((r["image_id"], r["polygon_id"]) for r in bc)
     assert a == b
     assert len(a) == 4  # i0, i1, i2, i4 inside; i3 matches nothing
+
+
+def test_knn_join_partitioned_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from georay.codecs import native as nat
+    from georay.joins import knn_join, knn_join_partitioned
+    from georay.types import GeoType
+
+    rng = np.random.default_rng(17)
+    # clustered probes + refs incl. a sparse far-away probe (forces ring
+    # growth past round 0) and a longitude-wrap case
+    plon = np.concatenate([rng.uniform(-10, 10, 120), [179.9, -65.0]])
+    plat = np.concatenate([rng.uniform(-10, 10, 120), [0.0, 70.0]])
+    rlon = np.concatenate([rng.uniform(-12, 12, 300), [-179.8, 100.0]])
+    rlat = np.concatenate([rng.uniform(-12, 12, 300), [0.1, -70.0]])
+    rids = np.arange(300 + 2, dtype=np.int64)
+    geo = GeoType.point()
+    probes_tbl = pa.table(
+        {"p_partkey": pa.array(np.arange(plon.shape[0]), pa.int64())},
+        schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+    ).append_column(geo.field("geotag"), nat.build_points(np.column_stack([plon, plat]), geo))
+    refs_tbl = pa.table(
+        {"s_suppkey": pa.array(rids, pa.int64())},
+        schema=pa.schema([pa.field("s_suppkey", pa.int64())]),
+    ).append_column(geo.field("geotag"), nat.build_points(np.column_stack([rlon, rlat]), geo))
+
+    part = knn_join_partitioned(
+        rd.from_arrow(probes_tbl),
+        rd.from_arrow(refs_tbl),
+        k=3,
+        res=4.0,
+        max_ring=40,
+    )
+    bc = knn_join(
+        rd.from_arrow(probes_tbl), rlon, rlat, rids, k=3, res=4.0, id_out="s_suppkey"
+    ).take_all()
+    a = sorted(
+        zip(
+            part["p_partkey"].to_pylist(),
+            part["knn_rank"].to_pylist(),
+            part["s_suppkey"].to_pylist(),
+        )
+    )
+    b = sorted((r["p_partkey"], r["knn_rank"], r["s_suppkey"]) for r in bc)
+    assert len(a) == plon.shape[0] * 3
+    assert a == b
