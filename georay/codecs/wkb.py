@@ -222,15 +222,61 @@ def validate(arr) -> int:
 
 
 def unique_types_mask(arr) -> int:
-    """Per-batch uint64 bitmask for unique_geometry_types_agg."""
+    """Per-batch uint64 bitmask for unique_geometry_types_agg.
+
+    Vectorized over the raw offsets+values buffers for little-endian
+    POINT / LINESTRING / POLYGON features (type+dims from the header
+    gather, non-emptiness from the count field); big-endian, multi, and
+    collection rows fall back to the exact per-feature parser. Matches
+    the per-row semantics of src/geoarrow.c:1616-1628: WKB POINT EMPTY
+    (all-NaN coord) still counts, coordinate-less features do not.
+    """
     arr = _binary_values(arr)
+    offs, buf, valid = _buffer_views(arr)
+    n = len(arr)
+    if n == 0:
+        return 0
+    live = np.ones(n, dtype=bool) if valid is None else valid
+    if not np.any(live):
+        return 0
+    starts = offs[:-1][live]
+    lens = np.diff(offs)[live]
+    if np.any(lens < 5):
+        raise ValueError("WKB feature shorter than its header")
+    le = buf[starts] == 1
+    codes = np.where(le, _u32_at(buf, starts + 1), np.uint32(0))
+    geom = codes % 1000
+    dcode = codes // 1000
+    fast = le & (geom >= 1) & (geom <= 3) & (dcode <= 3)
+    counted = np.zeros(starts.shape[0], dtype=bool)
+    # POINT: the reference's WKB reader emits the (possibly all-NaN) coord,
+    # so POINT always counts (see _node_first_coords docstring).
+    counted |= fast & (geom == 1)
+    ls = fast & (geom == 2)
+    if np.any(ls):
+        counted[ls] = _u32_at(buf, starts[ls] + 5) > 0
+    pg = fast & (geom == 3)
+    if np.any(pg):
+        nr = _u32_at(buf, starts[pg] + 5)
+        first_ring = np.zeros(nr.shape[0], dtype=np.uint32)
+        has_ring = nr > 0
+        first_ring[has_ring] = _u32_at(buf, starts[pg][has_ring] + 9)
+        counted[pg] = first_ring > 0
+        # >0 rings but empty first ring: later rings may hold coords —
+        # too rare to vectorize, resolve exactly
+        fast[np.flatnonzero(pg)[has_ring & (first_ring == 0)]] = False
     mask = 0
-    for v in arr:
-        if not v.is_valid:
-            continue
-        node = parse_feature(v.as_py())
-        if _node_first_coords(node):
-            mask |= 1 << (int(node.dims) * 8 + int(node.geom))
+    hit = fast & counted
+    if np.any(hit):
+        bits = (dcode[hit].astype(np.int64) + 1) * 8 + geom[hit].astype(np.int64)
+        for b in np.unique(bits):
+            mask |= 1 << int(b)
+    if not np.all(fast):
+        idx = np.flatnonzero(live)[~fast]
+        for i in idx:
+            node = parse_feature(arr[int(i)].as_py())
+            if _node_first_coords(node):
+                mask |= 1 << (int(node.dims) * 8 + int(node.geom))
     return mask
 
 
