@@ -244,7 +244,11 @@ def embedding_neardup_pairs(
             return empty
         m = _normalize(_embedding_matrix(group, emb_col))
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
+        # content-major sort (id tie-break): identical vectors become
+        # ADJACENT, so exact duplicates always yield a direct sim-1.0
+        # pair under the W cap — deterministic recall for exact dups
+        # (the embed_planted oracle keys on this)
+        order = np.lexsort((ids,) + tuple(m[:, c] for c in range(m.shape[1] - 1, -1, -1)))
         ids_s, m_s = ids[order], m[order]
         W = 50
         a_parts, b_parts, s_parts = [], [], []

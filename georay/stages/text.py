@@ -141,7 +141,10 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return (
         batch.append_column("n_tokens", pa.array(n_tokens.astype(np.int64)))
         .append_column("n_digits", pa.array(n_digits.astype(np.int64)))
-        .append_column("quality", pa.array(np.round(score, 6)))
+        # half-away-from-zero at 6 dp (scores are dyadic — n_tokens/64
+        # etc. — so exact .5e-6 ties DO occur; np.round's half-even would
+        # diverge from SQL round())
+        .append_column("quality", pa.array(np.floor(score * 1e6 + 0.5) / 1e6))
     )
 
 

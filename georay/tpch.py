@@ -130,6 +130,72 @@ _LI_POINT_SQL = (
 )
 
 
+def _s2_parent_sql(level: int, src: str) -> str:
+    """ANSI-SQL replica of ``cells.cell_from_lonlat(...,12)`` truncated to
+    ``cell_parent(ids, level)`` (georay/cells.py:147-202): lon/lat → unit
+    sphere → dominant-axis cube face → per-face gnomonic (u,v) → S2
+    quadratic (s,t) → floor ij at ``level`` (encode-at-12-then-truncate
+    equals direct floor at the parent level) → Morton interleave (i odd
+    bits, j even) → (face<<61)|(pos<<shift)|sentinel assembled in HUGEINT
+    and wrapped to the engine's int64 bit-reinterpret. DuckDB's IEEE
+    sqrt/arithmetic matches numpy bit-for-bit; cos/sin ulp drift is many
+    orders below the floor/face decision margins for the synthetic grid.
+
+    ``src`` must yield columns ``lon`` and ``lat`` (others pass through
+    implicitly via later joins; this helper returns one SELECT producing
+    ``lon, lat, cell_parent``).
+    """
+    morton = " | ".join(
+        f"(((i >> {b}) & 1) << {2 * b + 1}) | (((j >> {b}) & 1) << {2 * b})"
+        for b in range(level)
+    )
+    n = 1 << level
+    shift = 1 << (61 - 2 * level)
+    sentinel = 1 << (60 - 2 * level)
+    return f"""
+SELECT lon, lat, CAST(
+    CASE WHEN hid >= 9223372036854775808::HUGEINT
+         THEN hid - 18446744073709551616::HUGEINT ELSE hid END AS BIGINT) AS cell_parent
+FROM (
+  SELECT lon, lat,
+         f::HUGEINT * 2305843009213693952::HUGEINT
+       + ({morton})::HUGEINT * {shift}::HUGEINT
+       + {sentinel}::HUGEINT AS hid
+  FROM (
+    SELECT lon, lat, f,
+           CAST(least(greatest(floor(s * {n}), 0), {n - 1}) AS BIGINT) AS i,
+           CAST(least(greatest(floor(t * {n}), 0), {n - 1}) AS BIGINT) AS j
+    FROM (
+      SELECT lon, lat, f,
+             CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+             CASE WHEN v >= 0 THEN 0.5*sqrt(1.0 + 3.0*v) ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*v) END AS t
+      FROM (
+        SELECT lon, lat, f,
+               CASE f WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                      WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+               CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                      WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+        FROM (
+          SELECT lon, lat, x, y, z,
+                 CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                          THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                      WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                      ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS f
+          FROM (
+            SELECT lon, lat,
+                   cos(radians(lat)) * cos(radians(lon)) AS x,
+                   cos(radians(lat)) * sin(radians(lon)) AS y,
+                   sin(radians(lat)) AS z
+            FROM ({src})
+          )
+        )
+      )
+    )
+  )
+)
+"""
+
+
 # ------------------------------------------------------------- queries
 
 def q_grid_cell_count(sf_dir: str):
@@ -475,11 +541,30 @@ SQL_WKT_ROUNDTRIP = (
 
 
 def q_s2_cell_count(sf_dir: str):
-    """S2-style cell histogram at the working level (rows-only; the cell
-    codec is pinned against numpy oracles in tests/test_cells.py)."""
+    """S2-style cell histogram at the working level; the cell codec is
+    replicated in ANSI SQL by ``_s2_parent_sql`` for the DuckDB oracle."""
     ds = lineitem_points(sf_dir)
     ds = ops.add_cell_column(ds, level=12, parent_level=6)
     return ops.salted_count(ds, "cell_parent", count_alias="n")
+
+
+SQL_S2_CELL_COUNT = f"""
+SELECT cell_parent, COUNT(*) AS n
+FROM ({_s2_parent_sql(6, _LI_POINT_SQL)})
+GROUP BY cell_parent
+"""
+
+# The engine's left PIP join is FIRST-match (one output row per point,
+# PIPJoiner "left" mode), so the flagship per-cell histogram equals the
+# plain point histogram; the containment predicate itself is pinned by
+# the pip_box_join oracle.
+SQL_FLAGSHIP = f"""
+SELECT cell_parent, COUNT(*) AS n
+FROM ({_s2_parent_sql(6, _LI_POINT_SQL)})
+GROUP BY cell_parent
+ORDER BY n DESC, cell_parent
+LIMIT 50
+"""
 
 
 # ------------------------------------------------- training-data queries
@@ -542,15 +627,48 @@ FROM documents
 
 
 def q_lang_quality(sf_dir: str):
-    """Language-ID heuristic + composite quality score (rows-only: the
-    score formula is engine-defined; components are oracle-checked by
-    q_doc_stats)."""
+    """Language-ID heuristic + composite quality score; the marker-count
+    argmax and the score formula are replicated expression-for-expression
+    in SQL_LANG_QUALITY (RE2 regex semantics match pyarrow's)."""
     from georay.stages import text as text_stage
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
     ds = text_stage.add_language_id(ds)
     ds = text_stage.add_quality(ds)
     return ds.select_columns(["doc_id", "lang", "lang_pred", "quality"])
+
+
+# Mirrors stages/text.py: LanguageId (first-max argmax over marker counts,
+# CJK×2 for zh, 'und' when all zero) and quality_batch's composite score.
+SQL_LANG_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+    length(text)::DOUBLE AS n_chars,
+    len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_tokens,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS n_digits,
+    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b'))::DOUBLE AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b'))::DOUBLE AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|un|des|dans|pour)\b'))::DOUBLE AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|un|de|en|por)\b'))::DOUBLE AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]'))::DOUBLE * 2.0 AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+       WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       WHEN s_es >= s_zh THEN 'es'
+       ELSE 'zh' END AS lang_pred,
+  round(least(greatest(
+      0.35 * least(greatest(n_tokens / 64.0, 0), 1)
+    + 0.25 * least(greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) * 5, 0), 1)
+    + 0.2  * least(greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 0), 1)
+    + 0.2  * least(greatest((CASE WHEN n_tokens > 0 THEN s_en / greatest(n_tokens, 1) ELSE 0.0 END) * 4, 0), 1)
+  , 0.0), 1.0), 6) AS quality
+FROM s
+"""
 
 
 def q_minhash_neardup(sf_dir: str):
@@ -754,7 +872,8 @@ SELECT {ANN_NQ} AS n_queries, {ANN_K} AS k, TRUE AS recall_ok
 
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs via hyperplane LSH
-    (rows-only; planted-duplicate recall pinned in tests)."""
+    (rows-only; planted-duplicate recall pinned in tests and by the
+    embed_planted count oracle)."""
     from georay.stages import embed as embed_stage
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
@@ -764,6 +883,44 @@ def q_embed_neardup(sf_dir: str):
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
     return out.select(["id_a", "id_b"])
+
+
+def q_embed_planted(sf_dir: str):
+    """Count-style ORACLE for the embedding-LSH near-dup pipeline, same
+    planting device as ``minhash_planted``: clone every embedding with
+    ``vec_id % PLANT_MOD == 0`` under ``vec_id + PLANT_OFFSET``. An
+    identical vector shares every hyperplane sign (same bucket), and the
+    bucket pairing is content-major sorted, so orig and clone are
+    adjacent and always emit a direct cosine-1.0 pair. The oracle is the
+    plain SQL count of planted rows."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % PLANT_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        new_ids = sub["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64) + PLANT_OFFSET
+        return pa.table(
+            {"vec_id": pa.array(new_ids, pa.int64()), "embedding": sub["embedding"]}
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    both = ds.union(planted)
+    pairs = embed_stage.embedding_neardup_pairs(both, threshold=0.98)
+    if pairs.num_rows == 0:
+        n_direct = 0
+    else:
+        a = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_direct = int(((b - a == PLANT_OFFSET) & (a % PLANT_MOD == 0) & (a < PLANT_OFFSET)).sum())
+    return pa.table({"n_direct_pairs": pa.array([n_direct], pa.int64())})
+
+
+SQL_EMBED_PLANTED = f"""
+SELECT COUNT(*) AS n_direct_pairs FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+"""
 
 
 def q_poly_measures(sf_dir: str):
@@ -1193,6 +1350,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ivf_ann": q_ivf_ann,
     "embed_neardup": q_embed_neardup,
+    "embed_planted": q_embed_planted,
     "grid_cell_count": q_grid_cell_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -1244,4 +1402,8 @@ ORACLE = {
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,
     "events_window": SQL_EVENTS_WINDOW,
+    "s2_cell_count": SQL_S2_CELL_COUNT,
+    "flagship": SQL_FLAGSHIP,
+    "lang_quality": SQL_LANG_QUALITY,
+    "embed_planted": SQL_EMBED_PLANTED,
 }

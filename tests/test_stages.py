@@ -184,6 +184,29 @@ def test_embedding_neardup_finds_planted(ray_session):
     assert (20, 151) in found
 
 
+def test_embedding_neardup_exact_dup_guaranteed(ray_session):
+    """Content-major bucket sort: EVERY exact clone yields its direct
+    sim-1.0 pair even when the ids are maximally separated and the bucket
+    is shared with many other vectors (the embed_planted oracle's
+    invariant)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((300, 32)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    # clone every 10th vector under id+1_000_000 (id-sort would place the
+    # clones 300+ positions away from their originals)
+    clones = [
+        {"vec_id": i + 1_000_000, "embedding": vecs[i].tolist()}
+        for i in range(0, 300, 10)
+    ]
+    ds = rd.from_items(rows + clones)
+    pairs = embed.embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(0, 300, 10):
+        assert (i, i + 1_000_000) in found
+
+
 def test_decode_resize_real(ray_session, tmp_path):
     import ray.data as rd
 
