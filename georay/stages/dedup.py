@@ -41,7 +41,11 @@ def dedup_exact_text(
 # ---------------------------------------------------------------- minhash
 
 N_HASHES = 64
-N_BANDS = 8  # 8 bands × 8 rows → LSH threshold ≈ (1/8)^(1/8) ≈ 0.77
+# 16 bands × 4 rows → LSH threshold ≈ (1/16)^(1/4) ≈ 0.5: at the default
+# verify threshold 0.8 the candidate recall is 1-(1-0.8^4)^16 ≈ 0.9998
+# (8×8 banding caught only ~77% of true 0.8-duplicates); the exact-Jaccard
+# verify stage prunes the extra moderate-similarity candidates.
+N_BANDS = 16
 _MERSENNE = (1 << 61) - 1
 
 
@@ -72,8 +76,12 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 def _hash_params(n: int = N_HASHES, seed: int = 7):
+    """Multiply-add mod 2^64 family: A forced ODD so x → A·x+B is a
+    BIJECTION of Z_2^64 (a true permutation family for minhash) and the
+    wrap is free — no per-element integer division, which dominated the
+    signature kernel's profile at ~10M modulo ops per 78-doc batch."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, n, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _MERSENNE, n, dtype=np.int64).astype(np.uint64) | np.uint64(1)
     b = rng.integers(0, _MERSENNE, n, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -81,38 +89,52 @@ def _hash_params(n: int = N_HASHES, seed: int = 7):
 _A, _B = _hash_params()
 
 
+assert N_HASHES & (N_HASHES - 1) == 0, "OPH binning needs power-of-two N_HASHES"
+_BIN_SHIFT = np.uint64(64 - (N_HASHES.bit_length() - 1))
+
+
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
     """(N_HASHES,) uint64 signature; empty docs → all-max sentinel."""
-    h = _shingle_hashes(text, k)
-    if h.shape[0] == 0:
-        return np.full(N_HASHES, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (n_hashes, n_shingles) universal hashing, min over shingles
-    v = (_A[:, None] * h[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
-    return v.min(axis=1)
+    return minhash_signatures_batch([text], k)[0]
 
 
 def minhash_signatures_batch(texts: list, k: int = 5) -> np.ndarray:
-    """(n_docs, N_HASHES) signatures for a whole batch: shingle sets are
-    concatenated and the min-per-(doc, hash) computed with ONE
-    ``np.minimum.reduceat`` per hash-chunk instead of a per-doc loop."""
+    """(n_docs, N_HASHES) signatures by densified ONE-permutation hashing
+    (Li/Owen/Zhang OPH with circular borrowing): each shingle hash lands
+    in the bin given by its top 6 bits, signature = min per bin, empty
+    bins borrow the nearest filled bin to the left (circular). ONE pass
+    over the shingle stream instead of N_HASHES permutations — the
+    classic 64-permutation kernel was the profile's hotspot (≈24 s CPU
+    per 5k docs). A deterministic function of the shingle SET: identical
+    texts ⇒ identical signatures (the invariant every planted oracle and
+    banding bucket relies on); bin-collision rate estimates Jaccard like
+    plain minhash. Empty docs → all-max sentinel row."""
     per_doc = [_shingle_hashes(t, k) for t in texts]
     counts = np.array([p.shape[0] for p in per_doc], dtype=np.int64)
     n = len(texts)
-    sigs = np.full((n, N_HASHES), np.iinfo(np.uint64).max, dtype=np.uint64)
+    maxv = np.iinfo(np.uint64).max
+    sigs = np.full((n, N_HASHES), maxv, dtype=np.uint64)
     nz = counts > 0
     if not np.any(nz):
         return sigs
     h = np.concatenate([p for p in per_doc if p.shape[0]])
-    starts = np.concatenate([[0], np.cumsum(counts[nz])])[:-1]
-    m = np.uint64(_MERSENNE)
-    # chunk the 64 hash functions to bound the (chunk, n_shingles) temp
-    chunk = max(1, min(N_HASHES, int(8_000_000 / max(h.shape[0], 1)) or 1))
-    out_nz = np.empty((int(nz.sum()), N_HASHES), dtype=np.uint64)
-    for c0 in range(0, N_HASHES, chunk):
-        c1 = min(c0 + chunk, N_HASHES)
-        v = (_A[c0:c1, None] * h[None, :] + _B[c0:c1, None]) % m
-        out_nz[:, c0:c1] = np.minimum.reduceat(v, starts, axis=1).T
-    sigs[nz] = out_nz
+    doc_idx = np.repeat(np.flatnonzero(nz), counts[nz])
+    bins = (h >> _BIN_SHIFT).astype(np.int64)  # top bits → N_HASHES bins
+    key = doc_idx * N_HASHES + bins
+    order = np.argsort(key, kind="stable")
+    ks, vs = key[order], h[order]
+    newk = np.ones(ks.shape[0], dtype=bool)
+    newk[1:] = ks[1:] != ks[:-1]
+    starts = np.flatnonzero(newk)
+    sigs.reshape(-1)[ks[starts]] = np.minimum.reduceat(vs, starts)
+    # densify: circular forward fill of empty bins (rows with ≥1 filled)
+    rows = np.flatnonzero(nz)
+    m = sigs[rows]
+    dbl = np.concatenate([m, m], axis=1)
+    pos = np.where(dbl != maxv, np.arange(2 * N_HASHES)[None, :], -1)
+    np.maximum.accumulate(pos, axis=1, out=pos)
+    take = pos[:, N_HASHES:]
+    sigs[rows] = dbl[np.arange(m.shape[0])[:, None], take]
     return sigs
 
 
@@ -127,8 +149,12 @@ def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
 
 
 def _band_rows_batch(batch: pa.Table, text_col: str, id_col: str, k: int) -> pa.Table:
-    """Explode each doc into N_BANDS (band, band_hash, id) rows —
-    signatures and band hashes computed batch-vectorized."""
+    """Explode each doc into N_BANDS (band, band_hash, id, sig) rows —
+    signatures and band hashes computed batch-vectorized. Each row carries
+    the doc's FULL signature (fixed-size list, 512 B) so the band reducer
+    can compute the MinHash Jaccard ESTIMATE for every candidate pair
+    in-group and prune low-estimate noise before any text/shingle shuffle
+    — the standard LSH + estimate-prefilter design."""
     texts = batch[text_col].to_pylist()
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     n = len(texts)
@@ -142,11 +168,16 @@ def _band_rows_batch(batch: pa.Table, text_col: str, id_col: str, k: int) -> pa.
         bh *= np.uint64(0xBF58476D1CE4E5B9)
         bh ^= bh >> np.uint64(31)
     band_ids = np.tile(np.arange(N_BANDS, dtype=np.int64), n)
+    sig_rep = np.repeat(sigs.view(np.int64), N_BANDS, axis=0)  # (n*N_BANDS, 64)
+    sig_col = pa.FixedSizeListArray.from_arrays(
+        pa.array(sig_rep.reshape(-1), pa.int64()), N_HASHES
+    )
     return pa.table(
         {
             "band": pa.array(band_ids),
             "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             id_col: pa.array(np.repeat(ids, N_BANDS)),
+            "sig": sig_col,
         }
     )
 
@@ -156,8 +187,15 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 5,
+    est_floor: float | None = None,
 ) -> ray.data.Dataset:
-    """(id_a, id_b) candidate pairs sharing ≥1 LSH band bucket."""
+    """(id_a, id_b) candidate pairs sharing ≥1 LSH band bucket.
+
+    ``est_floor``: prune pairs whose 64-hash MinHash Jaccard ESTIMATE is
+    below this (callers pass verify-threshold − 3σ, σ = √(j(1−j)/64) ≈
+    0.06) — prunes the moderate-similarity candidate flood band-side,
+    before any text or shingle set crosses the wire. Exact duplicates
+    estimate 1.0 and always survive."""
     bands = ds.map_batches(
         lambda b: _band_rows_batch(b, text_col, id_col, shingle_k),
         batch_format="pyarrow",
@@ -180,6 +218,10 @@ def minhash_candidate_pairs(
         )
         if ids_s.shape[0] < 2:
             return empty
+        sig_mat = (
+            group["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .reshape(len(group), N_HASHES)[order]
+        )
         new = np.ones(hs_s.shape[0], dtype=bool)
         new[1:] = hs_s[1:] != hs_s[:-1]
         starts = np.nonzero(new)[0]
@@ -196,12 +238,18 @@ def minhash_candidate_pairs(
 
             owner, within = _ragged_ranges(cnts)
             base = np.repeat(starts[elig], cnts) + within
+            if est_floor is not None and est_floor > 0:
+                est = (sig_mat[base] == sig_mat[base + w]).mean(axis=1)
+                ok = est >= est_floor
+                base = base[ok]
             a_parts.append(ids_s[base])
             b_parts.append(ids_s[base + w])
         if not a_parts:
             return empty
         a = np.concatenate(a_parts)
         b = np.concatenate(b_parts)
+        if a.shape[0] == 0:
+            return empty
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
         return pa.table(
@@ -218,18 +266,138 @@ def verify_pairs_distributed(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     shingle_k: int = 5,
+    strategy: str = "broadcast",
 ) -> ray.data.Dataset:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs with NO
-    driver materialization of texts: two distributed hash joins co-shuffle
-    the pair list with the corpus (attach text_a on id_a, then text_b on
-    id_b), then a vectorized-per-batch map computes Jaccard. Each join
-    shuffles (id, text) once; the pair payload carried between joins is
-    bounded by the candidate count, not the corpus.
+    driver materialization of TEXTS. Two physical plans:
+
+    - ``broadcast`` (default): the deduped pair list — the SMALL side,
+      proportional to the near-duplicate count, never the corpus — is
+      collected and ``ray.put`` once; the corpus streams through one
+      map_batches that emits each referenced doc's shingle set keyed by
+      pair slot, and one tiny groupby over 2·n_pairs rows computes the
+      exact Jaccard. One shuffle of shingle sets of REFERENCED docs only.
+      Partitioning assumption: the (id_a, id_b) list fits the object
+      store (W-cap bounds it at W rows per corpus doc; in practice
+      ~duplicate-rate × corpus).
+    - ``shuffle``: two distributed hash joins attach text_a then text_b
+      (no driver collection of any side) — the unbounded-pairs fallback.
 
     Returns the verified pairs (id_a, id_b, jaccard ≥ threshold).
-    Duplicate candidate rows (one per shared band) are deduped by a
-    combine-tree count before the joins.
     """
+    if strategy == "broadcast":
+        return _verify_pairs_broadcast(ds, pairs, text_col, id_col, threshold, shingle_k)
+    return _verify_pairs_shuffle(ds, pairs, text_col, id_col, threshold, shingle_k)
+
+
+def _verify_pairs_broadcast(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int,
+) -> ray.data.Dataset:
+    # dedup the (one row per shared band) candidates on the driver — the
+    # small side by design (cf. PolygonIndex in joins.pip_join)
+    pt = pairs.select_columns(["id_a", "id_b"]).to_pandas()
+    pt = pt.drop_duplicates(["id_a", "id_b"])
+    pair_a = pt["id_a"].to_numpy().astype(np.int64)
+    pair_b = pt["id_b"].to_numpy().astype(np.int64)
+    n_pairs = pair_a.shape[0]
+    # CSR: referenced doc id -> its (pair_slot, side) mentions
+    mention_ids = np.concatenate([pair_a, pair_b])
+    slots = np.concatenate(
+        [np.arange(n_pairs, dtype=np.int64), np.arange(n_pairs, dtype=np.int64)]
+    )
+    sides = np.concatenate(
+        [np.zeros(n_pairs, dtype=np.int64), np.ones(n_pairs, dtype=np.int64)]
+    )
+    order = np.argsort(mention_ids, kind="stable")
+    m_sorted = mention_ids[order]
+    uniq_ids, first = np.unique(m_sorted, return_index=True)
+    csr_ends = np.append(first[1:], m_sorted.shape[0])
+    ref = ray.put((uniq_ids, first, csr_ends, slots[order], sides[order]))
+    cache: dict = {}
+
+    def emit_sides(batch: pa.Table) -> pa.Table:
+        uids, starts, ends, slot_arr, side_arr = cache.setdefault("m", ray.get(ref))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(uids, ids)
+        pos_c = np.clip(pos, 0, max(uids.shape[0] - 1, 0))
+        hit = np.zeros(ids.shape[0], dtype=bool) if uids.shape[0] == 0 else uids[pos_c] == ids
+        out_slot, out_side, out_sh = [], [], []
+        texts = None
+        for r in np.flatnonzero(hit):
+            if texts is None:
+                texts = batch[text_col].to_pylist()
+            sh = _shingle_hashes(texts[r], shingle_k)
+            for t in range(starts[pos_c[r]], ends[pos_c[r]]):
+                out_slot.append(slot_arr[t])
+                out_side.append(side_arr[t])
+                out_sh.append(sh)
+        return pa.table(
+            {
+                "slot": pa.array(np.asarray(out_slot, dtype=np.int64)),
+                "side": pa.array(np.asarray(out_side, dtype=np.int64)),
+                "shingles": pa.array(
+                    [s.view(np.int64) for s in out_sh], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    sides_ds = ds.select_columns([id_col, text_col]).map_batches(
+        emit_sides, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        slot = int(group["slot"][0].as_py())
+        side = group["side"].to_numpy(zero_copy_only=False)
+        sh = group["shingles"].to_pylist()
+        if len(sh) != 2 or side[0] == side[1]:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.asarray(sh[0] if side[0] == 0 else sh[1], dtype=np.int64)
+        sb = np.asarray(sh[1] if side[0] == 0 else sh[0], dtype=np.int64)
+        if sa.size == 0 and sb.size == 0:
+            jac = 1.0
+        elif sa.size == 0 or sb.size == 0:
+            jac = 0.0
+        else:
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac = inter / (sa.size + sb.size - inter)
+        if jac < threshold:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "id_a": pa.array([int(pair_a[slot])], pa.int64()),
+                "id_b": pa.array([int(pair_b[slot])], pa.int64()),
+                "jaccard": pa.array([jac], pa.float64()),
+            }
+        )
+
+    return sides_ds.groupby("slot").map_groups(verify_group, batch_format="pyarrow")
+
+
+def _verify_pairs_shuffle(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+) -> ray.data.Dataset:
     from georay import ops
 
     # dedup candidates without a sort shuffle (combine-tree count)
@@ -318,7 +486,10 @@ def minhash_dedup(
     """
     from georay.stages.components import connected_components
 
-    cand = minhash_candidate_pairs(ds, text_col, id_col, shingle_k)
+    # estimate-prefilter at threshold − 3σ of the 64-hash estimator
+    cand = minhash_candidate_pairs(
+        ds, text_col, id_col, shingle_k, est_floor=max(0.0, threshold - 0.18)
+    )
     verified = verify_pairs_distributed(
         ds, cand, text_col, id_col, threshold, shingle_k
     )
