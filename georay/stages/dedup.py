@@ -3,11 +3,12 @@
 Scale shapes:
 - exact: fingerprint per batch (map-side) → ``groupby(fingerprint)``
   keep-first — one shuffle of (id, fingerprint) pairs only.
-- MinHash-LSH: per-batch shingle→signature (vectorized per doc) →
-  explode to (band, band_hash, doc_id) rows → ``groupby`` buckets →
-  candidate pairs → distributed exact-Jaccard verify (two hash joins
-  attach the pair texts, ``verify_pairs_distributed``) → distributed
-  connected components (min-label propagation,
+- MinHash-LSH: per-batch shingle→signature (densified OPH, one pass) →
+  explode to (band, band_hash, doc_id, sig) rows → ``groupby`` buckets →
+  candidate pairs (estimate-prefiltered in-band) → exact-Jaccard verify
+  (``verify_pairs_distributed``: broadcast pair list + one shingle-set
+  shuffle by default; two hash joins as the unbounded-pairs fallback) →
+  distributed connected components (min-label propagation,
   ``georay.stages.components``). No stage materializes the corpus on
   the driver.
 - SimHash: 64-bit signature per doc; near-dup candidates share one of
@@ -608,7 +609,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Near-dup pairs: equal 16-bit SimHash band (pigeonhole guarantee
     for Hamming ≤ 3) AND exact Hamming ≤ ``max_hamming`` — verification
     is a vectorized popcount over the banded candidates."""
@@ -689,5 +690,9 @@ def simhash_candidates(
         )
 
     pairs = exploded.groupby("band").map_groups(pairs_of_band, batch_format="pyarrow")
-    tbl = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
-    return pa.Table.from_pandas(tbl.reset_index(drop=True), preserve_index=False)
+    # cross-band duplicates of a pair carry the IDENTICAL exact Hamming
+    # (popcount of the same two hashes), so a distributed min-aggregate IS
+    # the dedup — the pair stream never lands on the driver
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))

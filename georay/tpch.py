@@ -772,10 +772,12 @@ def q_simhash_planted(sf_dir: str):
         return pa.table({"doc_id": pa.array(new_ids, pa.int64()), "text": sub["text"]})
 
     planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    pairs = dedup_stage.simhash_candidates(ds.union(planted))
-    ia = pairs["id_a"].to_numpy(zero_copy_only=False)
-    ib = pairs["id_b"].to_numpy(zero_copy_only=False)
-    ham = pairs["hamming"].to_numpy(zero_copy_only=False)
+    # the PAIR table is the small side; collecting it for the planted
+    # count is the blessed broadcast pattern, not corpus materialization
+    pairs = dedup_stage.simhash_candidates(ds.union(planted)).to_pandas()
+    ia = pairs["id_a"].to_numpy()
+    ib = pairs["id_b"].to_numpy()
+    ham = pairs["hamming"].to_numpy()
     found = int(
         np.sum((ib == ia + PLANT_OFFSET) & (ia % PLANT_MOD == 0) & (ham == 0))
     )
