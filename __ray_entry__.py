@@ -46,7 +46,7 @@ def q_flagship(sf_dir: str) -> Any:
     )
     joined = ops.add_tile_columns(joined, zoom=6)
     hist = ops.salted_count(joined, "cell_parent", count_alias="n")
-    return hist.sort(["n", "cell_parent"], descending=[True, False]).limit(50)
+    return ops.top_k(hist, ["n", "cell_parent"], 50, descending=[True, False])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

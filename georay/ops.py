@@ -422,10 +422,63 @@ def salted_count(
     )
 
 
-def top_k(ds: ray.data.Dataset, col: str, k: int, descending: bool = True) -> ray.data.Dataset:
-    """B10: global top-k = sort + limit (Ray Data samples sort boundaries;
-    only applied to small aggregated tables in georay pipelines)."""
-    return ds.sort(col, descending=descending).limit(k)
+def top_k(
+    ds: ray.data.Dataset,
+    cols: str | list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    final: str = "tree",
+) -> ray.data.Dataset:
+    """B10: global top-k.
+
+    ``"tree"`` (default): each block keeps its own top-k (vectorized
+    lexsort; descending integer keys flipped via bitwise NOT — an
+    overflow-free monotonic inversion, safe for INT64_MIN sentinels),
+    a combine stage coalesces the k-row partials, then ONE merge task
+    emits the exact sorted result — no Sort barrier (the global top-k is
+    contained in the union of per-block top-ks). Requires k × blocks to
+    fit one worker — true for every georay top-k (k ≤ a few thousand).
+    ``"sort"``: Ray's sample-sort + limit, for giant k.
+
+    Descending float keys are negated (NaN-free inputs assumed — georay
+    top-k keys are counts and cell ids).
+    """
+    col_list = [cols] if isinstance(cols, str) else list(cols)
+    desc = (
+        [descending] * len(col_list) if isinstance(descending, bool) else list(descending)
+    )
+    if final == "sort":
+        return ds.sort(col_list, descending=desc).limit(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) <= 0:
+            return batch
+        keys = []
+        for c, d in zip(col_list, desc):
+            a = batch[c].to_numpy(zero_copy_only=False)
+            if d:
+                a = np.invert(a) if a.dtype.kind in "iub" else -a
+            keys.append(a)
+        order = np.lexsort(tuple(reversed(keys)))[:k]
+        return batch.take(pa.array(order))
+
+    part = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = part.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS,
+        num_cpus=0.5,
+    )
+    return comb.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 40,
+        num_cpus=0.9,
+    )
 
 
 # ----------------------------------------------------- vctr-level ops

@@ -442,10 +442,10 @@ GROUP BY 1, 2
 
 
 def q_top_cells(sf_dir: str):
-    """Global top-k densest grid cells (sort + limit on the small
-    aggregated table; ties broken by cell id)."""
+    """Global top-k densest grid cells (partial top-k + combine-tree
+    merge, no Sort barrier; ties broken by cell id)."""
     h = q_grid_cell_count(sf_dir)
-    return h.sort(["n", "grid_cell"], descending=[True, False]).limit(20)
+    return ops.top_k(h, ["n", "grid_cell"], 20, descending=[True, False])
 
 
 SQL_TOP_CELLS = SQL_GRID_CELL_COUNT + " ORDER BY n DESC, grid_cell LIMIT 20"
