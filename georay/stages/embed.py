@@ -199,8 +199,8 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = 11,
-) -> pa.Table:
-    """(id_a, id_b, sim) pairs with cosine ≥ threshold.
+) -> ray.data.Dataset:
+    """(id_a, id_b, sim) pairs with cosine ≥ threshold, as a Dataset.
 
     Random-hyperplane signature buckets generate candidates (vectors with
     equal sign patterns); exact cosine verifies. Near-identical vectors
@@ -272,7 +272,9 @@ def embedding_neardup_pairs(
         )
 
     pairs = sigs.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pyarrow")
-    import pandas as pd
+    # cross-bucket duplicates of a pair carry the IDENTICAL exact cosine,
+    # so a distributed max-aggregate IS the dedup — the pair stream never
+    # lands on the driver
+    from ray.data.aggregate import Max
 
-    df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("sim", alias_name="sim"))

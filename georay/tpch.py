@@ -879,12 +879,12 @@ def q_embed_neardup(sf_dir: str):
     from georay.stages import embed as embed_stage
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
-    out = embed_stage.embedding_neardup_pairs(ds, threshold=0.98)
-    if out.num_rows == 0 or "id_a" not in out.column_names:
+    out = embed_stage.embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    if len(out) == 0 or "id_a" not in out.columns:
         return pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
-    return out.select(["id_a", "id_b"])
+    return pa.Table.from_pandas(out[["id_a", "id_b"]], preserve_index=False)
 
 
 def q_embed_planted(sf_dir: str):
@@ -910,12 +910,12 @@ def q_embed_planted(sf_dir: str):
 
     planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     both = ds.union(planted)
-    pairs = embed_stage.embedding_neardup_pairs(both, threshold=0.98)
-    if pairs.num_rows == 0:
+    pairs = embed_stage.embedding_neardup_pairs(both, threshold=0.98).to_pandas()
+    if len(pairs) == 0:
         n_direct = 0
     else:
-        a = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = pairs["id_a"].to_numpy().astype(np.int64)
+        b = pairs["id_b"].to_numpy().astype(np.int64)
         n_direct = int(((b - a == PLANT_OFFSET) & (a % PLANT_MOD == 0) & (a < PLANT_OFFSET)).sum())
     return pa.table({"n_direct_pairs": pa.array([n_direct], pa.int64())})
 

@@ -321,14 +321,14 @@ def test_embedding_neardup_degenerate_bucket_capped(ray_session):
     rows.append({"vec_id": 10_001, "embedding": (other * 1.0001).tolist()})
     ds = rd.from_items(rows)
     t0 = time.perf_counter()
-    pairs = embed.embedding_neardup_pairs(ds, threshold=0.98)
+    pairs = embed.embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
     dt = time.perf_counter() - t0
-    assert pairs.num_rows <= m * 50 + 1
-    assert pairs.num_rows >= m - 1  # enough adjacent links to chain the blob
-    found = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert len(pairs) <= m * 50 + 1
+    assert len(pairs) >= m - 1  # enough adjacent links to chain the blob
+    found = {(a, b) for a, b in zip(pairs["id_a"].tolist(), pairs["id_b"].tolist())}
     assert (10_000, 10_001) in found
     # the identical blob forms ONE component
-    labels = connected_components(rd.from_arrow(pairs.select(["id_a", "id_b"])))
+    labels = connected_components(rd.from_pandas(pairs[["id_a", "id_b"]]))
     lab = {n: l for n, l in zip(labels["node"].to_pylist(), labels["label"].to_pylist())}
     assert all(lab[i] == 0 for i in range(m))
     assert dt < 60, f"degenerate bucket took {dt:.1f}s"
