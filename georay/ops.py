@@ -285,9 +285,11 @@ def dedup_exact(
 COMBINE_TARGET_ROWS = 1 << 18
 
 
-def _group_reduce(key_arrs: list, val_arrs: dict):
-    """Vectorized grouped sum: lexsort on the key columns + one reduceat
-    per value column. Returns ([key_col...], {name: summed})."""
+def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
+    """Vectorized grouped reduction: lexsort on the key columns + one
+    ``ufunc.reduceat`` per value column (sum by default; any associative
+    commutative ufunc — minimum, maximum — works).
+    Returns ([key_col...], {name: reduced})."""
     n = key_arrs[0].shape[0]
     if n == 0:
         return key_arrs, val_arrs
@@ -299,9 +301,48 @@ def _group_reduce(key_arrs: list, val_arrs: dict):
         new[1:] |= k[1:] != k[:-1]
     starts = np.nonzero(new)[0]
     outs = {
-        name: np.add.reduceat(v[order], starts) for name, v in val_arrs.items()
+        name: ufunc.reduceat(v[order], starts) for name, v in val_arrs.items()
     }
     return [k[starts] for k in ks], outs
+
+
+def tree_reduce(
+    parts: ray.data.Dataset,
+    keys: str | list[str],
+    val_map: dict[str, str],
+    ufunc=np.add,
+) -> ray.data.Dataset:
+    """Combine-tree grouped reduction (same plan as ``tree_sum`` but for
+    any associative commutative ufunc): a combine stage coalesces the
+    tiny per-batch partials, then ONE merge task emits the exact per-key
+    result at numpy rate — no sort-shuffle barrier. Requires distinct
+    keys × row width to fit one worker (true for label tables, top-k
+    partials, bounded-cardinality histograms)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def reduce_batch(batch: pa.Table, rename: bool) -> pa.Table:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in key_list]
+        varrs = {s: batch[s].to_numpy(zero_copy_only=False) for s in val_map}
+        ks, vs = _group_reduce(karrs, varrs, ufunc=ufunc)
+        cols = {k: pa.array(a) for k, a in zip(key_list, ks)}
+        for src, out in val_map.items():
+            cols[out if rename else src] = pa.array(vs[src])
+        return pa.table(cols)
+
+    combined = parts.map_batches(
+        lambda b: reduce_batch(b, rename=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS,
+        num_cpus=0.5,
+    )
+    return combined.map_batches(
+        lambda b: reduce_batch(b, rename=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 40,
+        num_cpus=0.9,
+    )
 
 
 def tree_sum(

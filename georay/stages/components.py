@@ -5,8 +5,9 @@ Min-label propagation with ONE shuffle per round: the current
 workloads the duplicate docs, never the corpus — is broadcast via
 ``ray.put``; each round maps over the (large, distributed) edge list
 emitting ``(dst, label(src))`` + ``(src, label(src))`` candidates and
-takes the per-node minimum with a single ``groupby``. No per-node Python
-loops; lookups are vectorized ``searchsorted``.
+takes the per-node minimum with ``ops.tree_reduce`` (combine tree — no
+sort-shuffle barrier; the label table is the bounded small side). No
+per-node Python loops; lookups are vectorized ``searchsorted``.
 
 Convergence: labels are monotonically non-increasing and reach the
 component minimum after ``diameter`` rounds. The candidate generators in
@@ -54,8 +55,6 @@ def connected_components(
         to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).materialize()
 
-    from ray.data.aggregate import Min
-
     def empty_labels() -> pa.Table:
         return pa.table(
             {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
@@ -91,14 +90,16 @@ def connected_components(
                 }
             )
 
-        agg = (
+        from georay import ops
+
+        agg = ops.tree_reduce(
             edges.map_batches(
                 emit, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-            )
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .take_all()
-        )
+            ),
+            "node",
+            {"cand": "label"},
+            ufunc=np.minimum,
+        ).take_all()
         new_nodes = np.asarray([r["node"] for r in agg], dtype=np.int64)
         new_labels = np.asarray([r["label"] for r in agg], dtype=np.int64)
         order = np.argsort(new_nodes)
