@@ -692,7 +692,10 @@ def simhash_candidates(
     pairs = exploded.groupby("band").map_groups(pairs_of_band, batch_format="pyarrow")
     # cross-band duplicates of a pair carry the IDENTICAL exact Hamming
     # (popcount of the same two hashes), so a distributed min-aggregate IS
-    # the dedup — the pair stream never lands on the driver
-    from ray.data.aggregate import Min
+    # the dedup — the pair stream never lands on the driver (combine tree;
+    # distinct pairs are the bounded near-dup set)
+    from georay import ops
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return ops.tree_reduce(
+        pairs, ["id_a", "id_b"], {"hamming": "hamming"}, ufunc=np.minimum
+    )

@@ -274,7 +274,8 @@ def embedding_neardup_pairs(
     pairs = sigs.groupby("bucket").map_groups(pairs_of_bucket, batch_format="pyarrow")
     # cross-bucket duplicates of a pair carry the IDENTICAL exact cosine,
     # so a distributed max-aggregate IS the dedup — the pair stream never
-    # lands on the driver
-    from ray.data.aggregate import Max
+    # lands on the driver (combine tree; distinct pairs are the bounded
+    # near-dup set)
+    from georay import ops
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("sim", alias_name="sim"))
+    return ops.tree_reduce(pairs, ["id_a", "id_b"], {"sim": "sim"}, ufunc=np.maximum)
