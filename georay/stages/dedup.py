@@ -614,10 +614,25 @@ def simhash_candidates(
     for Hamming ≤ 3) AND exact Hamming ≤ ``max_hamming`` — verification
     is a vectorized popcount over the banded candidates."""
     sh = add_simhash(ds, text_col)
+    return hash64_band_candidates(sh, "simhash", id_col, max_hamming)
+
+
+def hash64_band_candidates(
+    ds: ray.data.Dataset,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> ray.data.Dataset:
+    """(id_a, id_b, hamming) near-dup pairs for ANY 64-bit hash column
+    (SimHash over text, perceptual hash over image pixels, …): equal
+    16-bit band → candidate bucket, exact popcount Hamming ≤
+    ``max_hamming`` verifies. Buckets are content-major sorted (hash
+    before id), so identical hashes are ADJACENT and an exact duplicate
+    always yields its direct Hamming-0 pair under the W cap."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = batch[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         bands = []
         bvals = []
         oids = []
@@ -630,11 +645,11 @@ def simhash_candidates(
                 "band": pa.array(np.concatenate(bands)),
                 "band_val": pa.array(np.concatenate(bvals)),
                 id_col: pa.array(np.concatenate(oids)),
-                "simhash": pa.array(np.tile(batch["simhash"].to_numpy(zero_copy_only=False), 4)),
+                "hash64": pa.array(np.tile(batch[hash_col].to_numpy(zero_copy_only=False), 4)),
             }
         )
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs_of_band(group: pa.Table) -> pa.Table:
         """One band's candidates, vectorized: sort by bucket value,
@@ -643,8 +658,9 @@ def simhash_candidates(
 
         ids = group[id_col].to_numpy(zero_copy_only=False)
         bv = group["band_val"].to_numpy(zero_copy_only=False)
-        hs = group["simhash"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, bv))
+        hs = group["hash64"].to_numpy(zero_copy_only=False)
+        # content-major within the bucket: identical hashes adjacent
+        order = np.lexsort((ids, hs, bv))
         bv_s, ids_s, hs_s = bv[order], ids[order], hs[order]
         empty = pa.table(
             {

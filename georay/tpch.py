@@ -1097,6 +1097,66 @@ SQL_IMAGE_PIPELINE = (
 )
 
 
+def q_image_neardup(sf_dir: str):
+    """Near-duplicate IMAGE dedup by perceptual-hash Hamming banding
+    (``hash64_band_candidates`` over the phash column — the same banded
+    machinery as SimHash, content-major bucket sort). Planted-count
+    oracle: clone every 10th image row under a shifted id — identical
+    bytes ⇒ identical phash ⇒ a direct Hamming-0 pair, deterministically.
+    """
+    import tempfile
+
+    from georay import generate
+    from georay.stages import dedup as dedup_stage
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    ds = rd.read_parquet(cache, columns=["image_id", "phash"])
+
+    def to_int_ids(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({"img": pa.array(ids), "phash": batch["phash"]})
+
+    base = ds.map_batches(to_int_ids, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["img"].to_numpy(zero_copy_only=False)
+        keep = ids % PLANT_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "img": pa.array(
+                    sub["img"].to_numpy(zero_copy_only=False) + PLANT_OFFSET, pa.int64()
+                ),
+                "phash": sub["phash"],
+            }
+        )
+
+    planted = base.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    pairs = dedup_stage.hash64_band_candidates(
+        base.union(planted), "phash", id_col="img", max_hamming=6
+    ).to_pandas()
+    if len(pairs) == 0:
+        found = 0
+    else:
+        a = pairs["id_a"].to_numpy()
+        b = pairs["id_b"].to_numpy()
+        h = pairs["hamming"].to_numpy()
+        found = int(((b - a == PLANT_OFFSET) & (a % PLANT_MOD == 0) & (h == 0)).sum())
+    return pa.table({"n_planted_found": pa.array([found], pa.int64())})
+
+
+# constant oracle: the image table is deterministic (seed 77, 1000 rows),
+# ids 0..999 → exactly 100 planted clones, each guaranteed a direct
+# Hamming-0 pair by the content-major bucket sort
+SQL_IMAGE_NEARDUP = "SELECT 100 AS n_planted_found"
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -1353,6 +1413,7 @@ QUERIES = {
     "ivf_ann": q_ivf_ann,
     "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
+    "image_neardup": q_image_neardup,
     "grid_cell_count": q_grid_cell_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -1408,4 +1469,5 @@ ORACLE = {
     "flagship": SQL_FLAGSHIP,
     "lang_quality": SQL_LANG_QUALITY,
     "embed_planted": SQL_EMBED_PLANTED,
+    "image_neardup": SQL_IMAGE_NEARDUP,
 }
