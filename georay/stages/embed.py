@@ -117,6 +117,7 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     train_sample: int = 4096,
+    exclude_self: bool = True,
 ) -> pa.Table:
     """IVF ANN as a streaming Dataset pipeline (the scale path):
 
@@ -153,6 +154,10 @@ def ivf_ann_topk(
         assign = np.argmax(m @ c.T, axis=1)
         member = pm[assign]  # (n, nq) — vector i is in a probed cluster of query j
         sims = np.where(member, m @ q.T, -np.inf)
+        if exclude_self:
+            # match ann_brute_topk semantics: a query drawn from the table
+            # must not return itself
+            sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
         take = min(k, m.shape[0])
         top = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
         out_q, out_id, out_sim = [], [], []

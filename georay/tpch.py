@@ -848,7 +848,9 @@ def q_ivf_ann(sf_dir: str):
 
     ds = rd.read_parquet(_t(sf_dir, "embeddings"))
     q, qids = _ann_queries(sf_dir)
-    ivf = embed_stage.ivf_ann_topk(ds, q, qids, k=ANN_K, n_probe=6).to_pandas()
+    ivf = embed_stage.ivf_ann_topk(
+        ds, q, qids, k=ANN_K, n_probe=6, exclude_self=False
+    ).to_pandas()
     brute = embed_stage.ann_brute_topk(
         ds, q, qids, k=ANN_K, exclude_self=False
     ).to_pandas()

@@ -158,7 +158,9 @@ def test_ivf_recall_vs_brute(embeddings_ds):
     q = vecs[10:20]
     qids = ids[10:20]
     brute = embed.ann_brute_topk(embeddings_ds, q, qids, k=5, exclude_self=False).to_pandas()
-    ivf = embed.ivf_ann_topk(embeddings_ds, q, qids, k=5, n_list=8, n_probe=4).to_pandas()
+    ivf = embed.ivf_ann_topk(
+        embeddings_ds, q, qids, k=5, n_list=8, n_probe=4, exclude_self=False
+    ).to_pandas()
     recalls = []
     for qid in qids:
         b = set(brute[brute["query_id"] == qid]["vec_id"])
@@ -343,7 +345,8 @@ def test_ivf_pipeline_no_full_materialization(embeddings_ds):
     q = vecs[:3]
     qids = ids[:3]
     out = embed.ivf_ann_topk(
-        embeddings_ds, q, qids, k=5, n_list=8, n_probe=8, train_sample=64
+        embeddings_ds, q, qids, k=5, n_list=8, n_probe=8, train_sample=64,
+        exclude_self=False,
     ).to_pandas()
     # probe-all (n_probe == n_list) makes IVF exact == brute force
     brute = embed.ann_brute_topk(
