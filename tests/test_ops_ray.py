@@ -353,3 +353,86 @@ def test_knn_join_partitioned_matches_broadcast(ray_session):
     b = sorted((r["p_partkey"], r["knn_rank"], r["s_suppkey"]) for r in bc)
     assert len(a) == plon.shape[0] * 3
     assert a == b
+
+
+def test_tree_reduce_min_max_matches_pandas(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pandas as pd
+
+    from georay import ops
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 5000),
+            "v": rng.integers(-1000, 1000, 5000),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(17)
+    got_min = (
+        ops.tree_reduce(ds, "k", {"v": "mn"}, ufunc=np.minimum)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    got_max = (
+        ops.tree_reduce(ds, "k", {"v": "mx"}, ufunc=np.maximum)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = df.groupby("k")["v"].agg(["min", "max"]).reset_index()
+    assert (got_min["mn"].to_numpy() == exp["min"].to_numpy()).all()
+    assert (got_max["mx"].to_numpy() == exp["max"].to_numpy()).all()
+
+
+def test_top_k_tree_matches_sort_plan(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from georay import ops
+
+    rng = np.random.default_rng(21)
+    n = 10000
+    vals = rng.integers(0, 25, n)  # heavy ties force tie-break coverage
+    cells = rng.integers(-3, 3, n).astype(np.int64)
+    cells[vals == 0] = np.iinfo(np.int64).min  # sentinel keys: ~x, not -x
+    ds = rd.from_arrow(pa.table({"n": vals, "cell": cells})).repartition(23)
+    tree = ops.top_k(ds, ["n", "cell"], 77, descending=[True, False]).to_pandas()
+    sortp = ops.top_k(
+        ds, ["n", "cell"], 77, descending=[True, False], final="sort"
+    ).to_pandas()
+    assert tree.reset_index(drop=True).equals(sortp.reset_index(drop=True))
+    # k larger than the dataset
+    small = rd.from_arrow(pa.table({"n": [3, 1, 2], "cell": [7, 7, 7]}))
+    out = ops.top_k(small, ["n", "cell"], 100, descending=[True, False]).to_pandas()
+    assert out["n"].tolist() == [3, 2, 1]
+
+
+def test_hash64_band_candidates_hamming_semantics(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+
+    from georay.stages import dedup
+
+    base = np.int64(0x0123456789ABCDEF)
+    rows = [
+        {"img": 1, "phash": int(base)},
+        {"img": 2, "phash": int(base)},  # exact dup → hamming 0
+        # 2 flipped bits in different 16-bit bands → pigeonhole candidate
+        {"img": 3, "phash": int(base ^ np.int64((1 << 3) | (1 << 35)))},
+        # far hash → must be excluded by max_hamming
+        {"img": 4, "phash": int(base ^ np.int64(0x00FF00FF00FF00FF))},
+    ]
+    pairs = dedup.hash64_band_candidates(
+        rd.from_items(rows), "phash", id_col="img", max_hamming=6
+    ).to_pandas()
+    got = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 2 and got[(2, 3)] == 2
+    assert not any(4 in p for p in got)
