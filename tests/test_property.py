@@ -122,3 +122,41 @@ def test_format_double_roundtrips(x):
     # round-trip property of the Ryu-compatible formatter)
     s = wkt.format_double(x, 16)
     assert float(s) == x
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+            st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_s2_sql_replica_matches_numpy(pts):
+    """The DuckDB SQL replica of the S2 cell codec (tpch._s2_parent_sql)
+    must agree with cells.cell_from_lonlat/cell_parent on arbitrary
+    coordinates, not just the synthetic oracle grid. (cos/sin ulp drift
+    between numpy and DuckDB only matters within ~1e-11 of a floor/face
+    boundary — astronomically unlikely for random floats.)"""
+    import duckdb
+    import numpy as np
+
+    from georay import cells
+    from georay.tpch import _s2_parent_sql
+
+    lon = np.array([p[0] for p in pts], dtype=np.float64)
+    lat = np.array([p[1] for p in pts], dtype=np.float64)
+    ids = cells.cell_from_lonlat(lon, lat, 12)
+    expect = cells.to_i64(cells.cell_parent(ids, 6))
+
+    con = duckdb.connect()
+    con.register(
+        "pts_tbl",
+        __import__("pandas").DataFrame({"lon": lon, "lat": lat}),
+    )
+    sql = _s2_parent_sql(6, "SELECT lon, lat FROM pts_tbl")
+    got = con.execute(f"SELECT cell_parent FROM ({sql})").df()["cell_parent"].to_numpy()
+    assert np.array_equal(got, expect), (lon[got != expect], lat[got != expect])
