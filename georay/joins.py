@@ -557,11 +557,19 @@ def knn_join_partitioned(
             rlat = rf["lat"].to_numpy(zero_copy_only=False)
             rids = rf["rid"].to_numpy(zero_copy_only=False)
             pids = prb["pid"].to_numpy(zero_copy_only=False)
+            # refs sorted by rid so the STABLE d2 argsort below breaks
+            # exact-distance ties by rid ascending — the same total order
+            # as _topk_reduce and the broadcast plan. argpartition would
+            # drop an arbitrary member of a tie class straddling the kth
+            # boundary before the merge ever sees it (one-in-60k at
+            # sf0.1, caught by the broadcast-parity gate).
+            ro = np.argsort(rids)
+            rlon, rlat, rids = rlon[ro], rlat[ro], rids[ro]
             d2 = (plon[:, None] - rlon[None, :]) ** 2 + (
                 plat[:, None] - rlat[None, :]
             ) ** 2
             take = min(k, rlon.shape[0])
-            top = np.argpartition(d2, take - 1, axis=1)[:, :take]
+            top = np.argsort(d2, axis=1, kind="stable")[:, :take]
             rows = np.repeat(np.arange(pids.shape[0]), take)
             cols = top.reshape(-1)
             return pa.table(

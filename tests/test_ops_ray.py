@@ -436,3 +436,40 @@ def test_hash64_band_candidates_hamming_semantics(ray_session):
     assert got[(1, 2)] == 0
     assert got[(1, 3)] == 2 and got[(2, 3)] == 2
     assert not any(4 in p for p in got)
+
+
+def test_knn_partitioned_tie_break_by_ref_id(ray_session):
+    """Two refs EXACTLY equidistant from a probe, both inside one grid
+    bucket with > k closer-or-equal candidates: the kth slot must go to
+    the smaller ref id (the broadcast/_topk_reduce total order). An
+    argpartition-based bucket selection drops an arbitrary tie member —
+    the one-row sf0.1 divergence this pins."""
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from georay import joins
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    def pts_table(ids, lon, lat, idc):
+        geo = GeoType.point(crs="OGC:CRS84")
+        pt = native.build_points(
+            np.column_stack([np.asarray(lon, float), np.asarray(lat, float)]), geo
+        )
+        return pa.table({idc: pa.array(ids, pa.int64())}).append_column(
+            geo.field("geotag"), pt
+        )
+
+    # probe at origin; refs 10 and 20 both at distance 5 (3,4)/(−3,4),
+    # refs 30..34 nearer fillers so k=3 straddles the tie
+    probes = rd.from_arrow(pts_table([1], [0.0], [0.0], "p_partkey"))
+    rid = [30, 31, 10, 20]
+    rlon = [0.1, -0.1, 3.0, -3.0]
+    rlat = [0.1, -0.1, 4.0, 4.0]
+    refs = rd.from_arrow(pts_table(rid, rlon, rlat, "s_suppkey"))
+    out = joins.knn_join_partitioned(
+        probes, refs, k=3, res=30.0
+    ).to_pandas().sort_values("knn_rank")
+    assert out["s_suppkey"].tolist() == [30, 31, 10]  # 10 < 20 wins the tie
