@@ -101,39 +101,53 @@ def decode_resize(ds: ray.data.Dataset, size: int = 64, concurrency=(2, 8)):
     )
 
 
-# ------------------------------------------------------------------ stubs
+# ------------------------------------------------- audio/video (real codecs)
 
-class AudioFeatureStub:
-    """STUB: audio decode + feature extraction (no audio codec in this
-    container). The Ray-side contract is real: input (sample_id: string,
-    bytes: binary, sample_rate: int32), output (sample_id, n_frames:
-    int64, features: list<float>[N_MELS]); decode raises unless
-    ``fake=True`` substitutes a deterministic synthetic spectrogram so
-    the plumbing is testable."""
+class AudioFeatures:
+    """Audio decode + feature extraction over the engine's own ``RPCM``
+    container (``georay/media.py`` — no external audio lib exists here,
+    so the container AND the DSP are pure NumPy, same philosophy as the
+    image codecs). Contract: input (sample_id: string, bytes: binary,
+    sample_rate: int32) → output (sample_id, n_frames: int64, features:
+    list<float>[N_MELS] log band energies, rms/zcr/centroid_hz doubles).
+    Unknown payloads raise unless ``fake=True`` substitutes a
+    deterministic synthetic spectrogram (the pre-codec stub behavior,
+    kept for plumbing tests and as the slot where an ffmpeg/soundfile
+    decoder would plug in with the same signature)."""
 
     N_MELS = 16
 
     def __init__(self, fake: bool = False):
         self.fake = fake
 
-    def _decode(self, data: bytes, sample_rate: int) -> np.ndarray:
+    def _decode(self, data: bytes, sample_rate: int):
+        from georay import media
+
+        if data[:4] == media.MAGIC_PCM:
+            samples, rate = media.decode_rawpcm(data)
+            return media.audio_clip_features(samples, rate, self.N_MELS)
         if not self.fake:
             raise NotImplementedError(
-                "no audio decoder available in this environment; "
+                "unknown audio payload and no external decoder available; "
                 "plug a real decoder here (same signature)"
             )
         rng = np.random.default_rng(np.frombuffer(data[:8].ljust(8, b"\0"), np.uint64))
-        return rng.standard_normal((max(1, len(data) // 256), self.N_MELS))
+        f = rng.standard_normal((max(1, len(data) // 256), self.N_MELS)).astype(
+            np.float32
+        )
+        return f, 0.0, 0.0, 0.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        frames = []
+        feats, frames, rmss, zcrs, cents = [], [], [], [], []
         for data, sr in zip(
             batch["bytes"].to_pylist(), batch["sample_rate"].to_pylist()
         ):
-            f = self._decode(data, sr)
+            f, rms, zcr, cent = self._decode(data, sr)
             frames.append(f.shape[0])
             feats.append(f.mean(axis=0).astype(np.float32))
+            rmss.append(rms)
+            zcrs.append(zcr)
+            cents.append(cent)
         return pa.table(
             {
                 "sample_id": batch["sample_id"],
@@ -141,28 +155,46 @@ class AudioFeatureStub:
                 "features": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32())
                 ),
+                "rms": pa.array(rmss, pa.float64()),
+                "zcr": pa.array(zcrs, pa.float64()),
+                "centroid_hz": pa.array(cents, pa.float64()),
             }
         )
 
 
-class VideoFrameSampleStub:
-    """STUB: video frame sampling (no video codec here). Contract:
-    input (video_id, bytes, fps: float), output one row per sampled frame
-    (video_id, frame_idx: int64, frame_bytes: binary) — a fan-out stage
-    (1 row → N rows), the shape a real ffmpeg-based sampler would use."""
+class VideoFrameSampler:
+    """Video frame sampling over the engine's ``RVID`` container: decode,
+    take every ``every_n``-th frame, re-encode each sampled frame as PPM
+    so the rows COMPOSE with the image stages (ImageStats, DecodeResize).
+    Contract: input (video_id, bytes, fps: float) → one output row per
+    sampled frame (video_id, frame_idx: int64, frame_bytes: binary,
+    fmt='ppm', w, h) — a fan-out stage (1 row → N rows), the shape a real
+    ffmpeg-based sampler would use. Unknown payloads raise unless
+    ``fake=True`` (pre-codec stub behavior)."""
 
     def __init__(self, every_n: int = 30, fake: bool = False):
         self.every_n = every_n
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids, idxs, frames = [], [], []
+        from georay import images, media
+
+        vids, idxs, frames, ws, hs = [], [], [], [], []
         for vid, data in zip(
             batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
         ):
+            if data[:4] == media.MAGIC_VID:
+                pix = media.decode_rawvid(data)
+                for k in range(0, pix.shape[0], self.every_n):
+                    vids.append(vid)
+                    idxs.append(k)
+                    frames.append(images.encode_ppm(pix[k]))
+                    hs.append(pix.shape[1])
+                    ws.append(pix.shape[2])
+                continue
             if not self.fake:
                 raise NotImplementedError(
-                    "no video decoder available in this environment; "
+                    "unknown video payload and no external decoder available; "
                     "plug a real frame sampler here (same signature)"
                 )
             n_frames = max(1, len(data) // 1024)
@@ -170,10 +202,20 @@ class VideoFrameSampleStub:
                 vids.append(vid)
                 idxs.append(k)
                 frames.append(data[k : k + 64])
+                ws.append(0)
+                hs.append(0)
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),
                 "frame_idx": pa.array(idxs, pa.int64()),
                 "frame_bytes": pa.array(frames, pa.binary()),
+                "fmt": pa.array(["ppm"] * len(vids), pa.string()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
             }
         )
+
+
+# Pre-codec names, kept for compatibility.
+AudioFeatureStub = AudioFeatures
+VideoFrameSampleStub = VideoFrameSampler

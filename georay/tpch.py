@@ -1159,6 +1159,90 @@ def q_image_neardup(sf_dir: str):
 SQL_IMAGE_NEARDUP = "SELECT 100 AS n_planted_found"
 
 
+def q_av_pipeline(sf_dir: str):
+    """Audio + video multimodal pipeline over the engine's own RPCM/RVID
+    containers (georay/media.py): 200 deterministic clips → audio decode
+    + DSP features (log band energies, rms/zcr/centroid) and video frame
+    sampling (every 5th frame re-encoded as PPM, composing with the image
+    stages). Counts are closed-form from the generator parameters, so the
+    oracle is constant:
+    - audio frames/clip: 1 + (4096-1024)//512 = 7 → 1400 total
+    - video clip i has 10 + i%15 frames; Σ ceil(nf/5) over i=0..199 = 755
+    """
+    from georay.stages import multimodal
+
+    n = 200
+
+    def gen(batch: pa.Table) -> pa.Table:
+        from georay import media
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        aud, vid, sids = [], [], []
+        rate = 8000
+        t = np.arange(4096, dtype=np.float64) / rate
+        for i in ids:
+            tone = (np.sin(2 * np.pi * (100.0 + 3.0 * i) * t) * 0.4 * 32767).astype(
+                np.int16
+            )
+            aud.append(media.encode_rawpcm(tone, rate))
+            nf = 10 + int(i) % 15
+            rng = np.random.default_rng(int(i))
+            vid.append(
+                media.encode_rawvid(
+                    rng.integers(0, 256, (nf, 8, 8, 3), dtype=np.uint8)
+                )
+            )
+            sids.append(f"clip{int(i):06d}")
+        return pa.table(
+            {
+                "sample_id": pa.array(sids, pa.string()),
+                "bytes": pa.array(aud, pa.binary()),
+                "sample_rate": pa.array(np.full(len(ids), 8000, np.int32)),
+                "video_id": pa.array(sids, pa.string()),
+                "vbytes": pa.array(vid, pa.binary()),
+            }
+        )
+
+    clips = rd.range(n).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    audio = clips.select_columns(["sample_id", "bytes", "sample_rate"]).map_batches(
+        multimodal.AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=2,
+    )
+    video = (
+        clips.drop_columns(["bytes"])
+        .rename_columns({"vbytes": "bytes"})
+        .map_batches(
+            multimodal.VideoFrameSampler,
+            fn_constructor_kwargs={"every_n": 5},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=64,
+            concurrency=2,
+        )
+    )
+    a = audio.to_pandas()
+    n_vframes = video.count()
+    return pa.table(
+        {
+            "n_clips": pa.array([len(a)], pa.int64()),
+            "n_audio_frames": pa.array([int(a.n_frames.sum())], pa.int64()),
+            "n_rms_ok": pa.array([int((a.rms > 0.2).sum())], pa.int64()),
+            "n_video_frames_sampled": pa.array([int(n_vframes)], pa.int64()),
+        }
+    )
+
+
+SQL_AV_PIPELINE = (
+    "SELECT 200 AS n_clips, 1400 AS n_audio_frames, 200 AS n_rms_ok, "
+    "755 AS n_video_frames_sampled"
+)
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -1416,6 +1500,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
     "image_neardup": q_image_neardup,
+    "av_pipeline": q_av_pipeline,
     "grid_cell_count": q_grid_cell_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -1472,4 +1557,5 @@ ORACLE = {
     "lang_quality": SQL_LANG_QUALITY,
     "embed_planted": SQL_EMBED_PLANTED,
     "image_neardup": SQL_IMAGE_NEARDUP,
+    "av_pipeline": SQL_AV_PIPELINE,
 }

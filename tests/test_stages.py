@@ -248,7 +248,9 @@ def test_audio_video_stubs(ray_session):
     with pytest.raises(NotImplementedError):
         multimodal.AudioFeatureStub(fake=False)(batch)
     out = multimodal.AudioFeatureStub(fake=True)(batch)
-    assert out.column_names == ["sample_id", "n_frames", "features"]
+    assert out.column_names == [
+        "sample_id", "n_frames", "features", "rms", "zcr", "centroid_hz",
+    ]
     assert len(out["features"][0]) == multimodal.AudioFeatureStub.N_MELS
 
     vbatch = pa.table(
@@ -262,7 +264,59 @@ def test_audio_video_stubs(ray_session):
         multimodal.VideoFrameSampleStub(fake=False)(vbatch)
     frames = multimodal.VideoFrameSampleStub(every_n=10, fake=True)(vbatch)
     assert frames.num_rows == 4
-    assert frames.column_names == ["video_id", "frame_idx", "frame_bytes"]
+    assert frames.column_names == [
+        "video_id", "frame_idx", "frame_bytes", "fmt", "w", "h",
+    ]
+
+
+def test_audio_features_real_rpcm(ray_session):
+    import ray.data as rd
+
+    from georay import media
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    # a pure 440 Hz tone at half amplitude: rms = 0.5/sqrt(2), centroid ≈ 440
+    tone = (np.sin(2 * np.pi * 440.0 * t) * 0.5 * 32767).astype(np.int16)
+    data = media.encode_rawpcm(tone, rate)
+    ds = rd.from_items(
+        [{"sample_id": "tone", "bytes": data, "sample_rate": rate}]
+    )
+    out = ds.map_batches(
+        multimodal.AudioFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=1,
+    ).to_pandas()
+    assert abs(out.rms[0] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(out.centroid_hz[0] - 440.0) < 15.0
+    assert 0.05 < out.zcr[0] < 0.2  # 440 Hz at 8 kHz → 2*440/8000 = 0.11
+    assert out.n_frames[0] == 1 + (rate - 1024) // 512
+
+
+def test_video_frame_sampler_composes_with_image_stats(ray_session):
+    import ray.data as rd
+
+    from georay import images, media
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (25, 8, 8, 3), dtype=np.uint8)
+    data = media.encode_rawvid(frames)
+    ds = rd.from_items([{"video_id": "v0", "bytes": data, "fps": 25.0}])
+    sampled = ds.map_batches(
+        multimodal.VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": 10},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=1,
+    ).to_pandas()
+    assert sampled.frame_idx.tolist() == [0, 10, 20]
+    # sampled frames are REAL ppm payloads: decode must round-trip exactly
+    for _, row in sampled.iterrows():
+        pix = images.decode_ppm(row.frame_bytes)
+        assert np.array_equal(pix, frames[row.frame_idx])
 
 
 def test_connected_components_distributed(ray_session):
