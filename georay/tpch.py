@@ -810,7 +810,7 @@ def q_ann_topk(sf_dir: str):
     float summation order cannot flip the hash; ties broken by vec_id)."""
     from georay.stages import embed as embed_stage
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     q, qids = _ann_queries(sf_dir)
     out = embed_stage.ann_brute_topk(ds, q, qids, k=ANN_K)
     return out.select(["query_id", "vec_id", "rank"])
@@ -846,7 +846,7 @@ def q_ivf_ann(sf_dir: str):
     materialization)."""
     from georay.stages import embed as embed_stage
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     q, qids = _ann_queries(sf_dir)
     ivf = embed_stage.ivf_ann_topk(
         ds, q, qids, k=ANN_K, n_probe=6, exclude_self=False
@@ -880,7 +880,7 @@ def q_embed_neardup(sf_dir: str):
     embed_planted count oracle)."""
     from georay.stages import embed as embed_stage
 
-    ds = rd.read_parquet(_t(sf_dir, "embeddings"))
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = embed_stage.embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
     if len(out) == 0 or "id_a" not in out.columns:
         return pa.table(
