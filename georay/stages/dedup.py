@@ -402,8 +402,15 @@ def _verify_pairs_shuffle(
     from georay import ops
 
     # dedup candidates without a sort shuffle (combine-tree count)
-    pairs = ops.salted_count(pairs, ["id_a", "id_b"], count_alias="_nb")
+    pairs = ops.salted_count(pairs, ["id_a", "id_b"], count_alias="_nb").materialize()
     n_join_parts = 8
+    # Ray's hash-join aggregator loses the schema of a partition that
+    # receives NO left-side shard (pyarrow ArrowInvalid on the key
+    # FieldRef). A pair set too sparse to populate every partition is
+    # exactly the case the broadcast plan exists for — route it there;
+    # the joins below are the DENSE-pairs plan.
+    if pairs.count() < n_join_parts * 32:
+        return _verify_pairs_broadcast(ds, pairs, text_col, id_col, threshold, shingle_k)
 
     def docs_as(side: str):
         def fn(batch: pa.Table) -> pa.Table:
