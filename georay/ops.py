@@ -850,6 +850,43 @@ def asof_join_broadcast(
     )
 
 
+def interval_join_count(
+    ds: ray.data.Dataset,
+    right: pa.Table,
+    probe_ts: str,
+    start_col: str,
+    width_us: int,
+    out: str = "n_matches",
+) -> ray.data.Dataset:
+    """1-D RANGE JOIN with the count pushed into the probe (the
+    ``pip_count`` precedent — the many-to-many pair intermediate never
+    materializes): each probe row counts the right intervals
+    ``[start, start + width_us)`` containing its timestamp.
+
+    Fixed-width intervals make the probe exact with TWO ``searchsorted``
+    calls against the broadcast sorted starts — containment ⟺
+    ``start ∈ (ts − width, ts]``. Variable widths would run the same
+    kernel bounded by the max width plus a vectorized end check
+    (documented scale path). No shuffle of the big side.
+    """
+    starts = np.sort(
+        right[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    ref = ray.put(starts)
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        s = cache.setdefault("s", ray.get(ref))
+        ts = batch[probe_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi = np.searchsorted(s, ts, side="right")
+        lo = np.searchsorted(s, ts - np.int64(width_us), side="right")
+        return batch.append_column(out, pa.array(hi - lo, pa.int64()))
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,

@@ -1289,6 +1289,30 @@ FROM b JOIN boxes x
 """
 
 
+def q_interval_join(sf_dir: str):
+    """RANGE JOIN: each event counts the orders whose 7-day window
+    [o_orderdate, o_orderdate + 7d) contains the event timestamp —
+    broadcast sorted starts, count pushed into the probe
+    (ops.interval_join_count), no pair intermediate."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    out = ops.interval_join_count(
+        ds, orders, "ts", "o_orderdate", width_us=7 * 86400 * 1_000_000, out="n_orders"
+    )
+    return out.select_columns(["event_id", "n_orders"])
+
+
+SQL_INTERVAL_JOIN = """
+SELECT e.event_id, COUNT(o.o_orderkey) AS n_orders
+FROM events e
+LEFT JOIN orders o
+  ON o.o_orderdate <= e.ts AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY e.event_id
+"""
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the customer's latest order at
     or before the event time (broadcast rank-compressed right side)."""
@@ -1479,6 +1503,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
@@ -1526,6 +1551,7 @@ ORACLE = {
     "image_pipeline": SQL_IMAGE_PIPELINE,
     "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
+    "interval_join": SQL_INTERVAL_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,

@@ -48,3 +48,35 @@ def test_sessionize(ray_session):
         [(r["u"], r["session_start"], r["session_end"], r["n_events"]) for r in out]
     )
     assert sess == [(1, 0, 200, 3), (1, 5000, 5100, 2), (2, 10, 20, 2)]
+
+
+def test_interval_join_count_brute_parity(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from georay import ops
+
+    rng = np.random.default_rng(17)
+    starts = np.sort(rng.integers(0, 10_000, 300))
+    probes = rng.integers(-100, 10_200, 500)
+    width = 750
+    right = pa.table({"start": pa.array(starts, pa.int64())})
+    ds = rd.from_arrow(pa.table({"pid": pa.array(np.arange(500), pa.int64()),
+                                 "ts": pa.array(probes, pa.int64())}))
+    out = (
+        ops.interval_join_count(ds, right, "ts", "start", width, out="n")
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    brute = np.array(
+        [((starts <= t) & (t < starts + width)).sum() for t in probes]
+    )
+    assert np.array_equal(out["n"].to_numpy(), brute)
+    # boundary semantics: ts == start counts, ts == start+width does not
+    b = pa.table({"start": pa.array([100], pa.int64())})
+    d2 = rd.from_arrow(pa.table({"ts": pa.array([100, 849, 850], pa.int64())}))
+    n2 = ops.interval_join_count(d2, b, "ts", "start", 750, out="n").to_pandas()["n"]
+    assert n2.tolist() == [1, 1, 0]
