@@ -337,9 +337,13 @@ def _verify_pairs_broadcast(
                 out_slot.append(slot_arr[t])
                 out_side.append(side_arr[t])
                 out_sh.append(sh)
+        slots = np.asarray(out_slot, dtype=np.int64)
         return pa.table(
             {
-                "slot": pa.array(np.asarray(out_slot, dtype=np.int64)),
+                "slot": pa.array(slots),
+                # coarse shuffle key: ONE map_groups invocation per
+                # partition (64 total), not one per pair
+                "part": pa.array(slots % np.int64(64)),
                 "side": pa.array(np.asarray(out_side, dtype=np.int64)),
                 "shingles": pa.array(
                     [s.view(np.int64) for s in out_sh], pa.list_(pa.int64())
@@ -351,44 +355,45 @@ def _verify_pairs_broadcast(
         emit_sides, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        slot = int(group["slot"][0].as_py())
+    def verify_part(group: pa.Table) -> pa.Table:
+        """All pairs of one slot-partition: sort rows by slot, pair up
+        adjacent (slot, side 0/1) rows, numpy set-intersect per pair."""
+        slot = group["slot"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
         sh = group["shingles"].to_pylist()
-        if len(sh) != 2 or side[0] == side[1]:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        sa = np.asarray(sh[0] if side[0] == 0 else sh[1], dtype=np.int64)
-        sb = np.asarray(sh[1] if side[0] == 0 else sh[0], dtype=np.int64)
-        if sa.size == 0 and sb.size == 0:
-            jac = 1.0
-        elif sa.size == 0 or sb.size == 0:
-            jac = 0.0
-        else:
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac = inter / (sa.size + sb.size - inter)
-        if jac < threshold:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
+        order = np.lexsort((side, slot))
+        ia, ib, jac = [], [], []
+        i = 0
+        n = order.shape[0]
+        while i + 1 < n:
+            r0, r1 = order[i], order[i + 1]
+            if slot[r0] != slot[r1]:
+                i += 1  # orphan side (doc missing) — drop
+                continue
+            sa = np.asarray(sh[r0], dtype=np.int64)
+            sb = np.asarray(sh[r1], dtype=np.int64)
+            if sa.size == 0 and sb.size == 0:
+                j = 1.0
+            elif sa.size == 0 or sb.size == 0:
+                j = 0.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                j = inter / (sa.size + sb.size - inter)
+            if j >= threshold:
+                s = int(slot[r0])
+                ia.append(int(pair_a[s]))
+                ib.append(int(pair_b[s]))
+                jac.append(j)
+            i += 2
         return pa.table(
             {
-                "id_a": pa.array([int(pair_a[slot])], pa.int64()),
-                "id_b": pa.array([int(pair_b[slot])], pa.int64()),
-                "jaccard": pa.array([jac], pa.float64()),
+                "id_a": pa.array(np.asarray(ia, dtype=np.int64)),
+                "id_b": pa.array(np.asarray(ib, dtype=np.int64)),
+                "jaccard": pa.array(np.asarray(jac, dtype=np.float64)),
             }
         )
 
-    return sides_ds.groupby("slot").map_groups(verify_group, batch_format="pyarrow")
+    return sides_ds.groupby("part").map_groups(verify_part, batch_format="pyarrow")
 
 
 def _verify_pairs_shuffle(
