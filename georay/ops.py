@@ -855,32 +855,61 @@ def interval_join_count(
     right: pa.Table,
     probe_ts: str,
     start_col: str,
-    width_us: int,
+    width_us: int | None = None,
+    end_col: str | None = None,
     out: str = "n_matches",
 ) -> ray.data.Dataset:
     """1-D RANGE JOIN with the count pushed into the probe (the
     ``pip_count`` precedent — the many-to-many pair intermediate never
-    materializes): each probe row counts the right intervals
-    ``[start, start + width_us)`` containing its timestamp.
+    materializes): each probe row counts the right intervals containing
+    its timestamp. Half-open ``[start, end)`` semantics.
 
-    Fixed-width intervals make the probe exact with TWO ``searchsorted``
-    calls against the broadcast sorted starts — containment ⟺
-    ``start ∈ (ts − width, ts]``. Variable widths would run the same
-    kernel bounded by the max width plus a vectorized end check
-    (documented scale path). No shuffle of the big side.
+    - Fixed width (``width_us``): exact with TWO ``searchsorted`` calls
+      against the broadcast sorted starts — containment ⟺
+      ``start ∈ (ts − width, ts]``.
+    - Variable width (``end_col``): the same searchsorted window bounded
+      by the MAX width, then a vectorized end check over the ragged
+      candidate runs (cost ∝ candidates under the max-width bound — the
+      documented density assumption; a handful of pathological long
+      intervals should be split or handled by a dedicated long-list).
+
+    No shuffle of the big side.
     """
-    starts = np.sort(
-        right[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    )
-    ref = ray.put(starts)
+    starts_raw = right[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if end_col is None:
+        if width_us is None:
+            raise ValueError("one of width_us / end_col is required")
+        payload = (np.sort(starts_raw), np.int64(width_us), None)
+    else:
+        ends_raw = right[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(starts_raw)
+        s_sorted = starts_raw[order]
+        e_sorted = ends_raw[order]
+        max_w = np.int64(max(int((ends_raw - starts_raw).max(initial=0)), 0))
+        payload = (s_sorted, max_w, e_sorted)
+    ref = ray.put(payload)
     cache: dict = {}
 
     def probe(batch: pa.Table) -> pa.Table:
-        s = cache.setdefault("s", ray.get(ref))
+        s, w, e = cache.setdefault("s", ray.get(ref))
         ts = batch[probe_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hi = np.searchsorted(s, ts, side="right")
-        lo = np.searchsorted(s, ts - np.int64(width_us), side="right")
-        return batch.append_column(out, pa.array(hi - lo, pa.int64()))
+        lo = np.searchsorted(s, ts - w, side="right")
+        if e is None:
+            n = hi - lo
+        else:
+            from georay.index import _ragged_ranges
+
+            cnts = hi - lo
+            owner, within = _ragged_ranges(cnts)
+            cand = np.repeat(lo, cnts) + within
+            inside = e[cand] > ts[owner]
+            n = np.zeros(ts.shape[0], dtype=np.int64)
+            nz = cnts > 0
+            if np.any(nz):
+                run_starts = (np.cumsum(cnts) - cnts)[nz]
+                n[nz] = np.add.reduceat(inside.astype(np.int64), run_starts)
+        return batch.append_column(out, pa.array(n, pa.int64()))
 
     return ds.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None

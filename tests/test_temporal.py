@@ -80,3 +80,36 @@ def test_interval_join_count_brute_parity(ray_session):
     d2 = rd.from_arrow(pa.table({"ts": pa.array([100, 849, 850], pa.int64())}))
     n2 = ops.interval_join_count(d2, b, "ts", "start", 750, out="n").to_pandas()["n"]
     assert n2.tolist() == [1, 1, 0]
+
+
+def test_interval_join_variable_width_brute_parity(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from georay import ops
+
+    rng = np.random.default_rng(23)
+    starts = rng.integers(0, 10_000, 300)
+    ends = starts + rng.integers(1, 2_000, 300)  # variable widths
+    probes = rng.integers(-100, 12_000, 500)
+    right = pa.table(
+        {"start": pa.array(starts, pa.int64()), "end": pa.array(ends, pa.int64())}
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array(np.arange(500), pa.int64()),
+                "ts": pa.array(probes, pa.int64()),
+            }
+        )
+    )
+    out = (
+        ops.interval_join_count(ds, right, "ts", "start", end_col="end", out="n")
+        .to_pandas()
+        .sort_values("pid")
+        .reset_index(drop=True)
+    )
+    brute = np.array([((starts <= t) & (t < ends)).sum() for t in probes])
+    assert np.array_equal(out["n"].to_numpy(), brute)
