@@ -850,6 +850,123 @@ def asof_join_broadcast(
     )
 
 
+def asof_join_partitioned(
+    ds: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    out_ts: str = "matched_ts",
+    left_payload: list[str] | None = None,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE as-of join (the scale twin of
+    ``asof_join_broadcast``, mirroring pip_join_partitioned /
+    knn_join_partitioned): both sides are hash-bucketed by key and
+    co-shuffled with ONE ``groupby(bucket)``; inside each bucket the same
+    lexsort + searchsorted kernel matches every left row to the greatest
+    right ts ≤ its ts for its key. Inner join, bit-identical rows to the
+    broadcast plan.
+
+    Partitioning assumption: one bucket (≈ |keys|/n_buckets of BOTH
+    sides) fits a worker — hash bucketing bounds skew to the hottest
+    single key.
+    """
+    pay = list(left_payload or [])
+    left_schema = ds.schema().base_schema
+    pay_types = [left_schema.field(c).type for c in pay]
+
+    def key_side(side: int, key_col: str, ts_col: str, payload: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # splitmix-style key hash → bucket (avoid modulo-of-sequential
+            # ids landing adjacent keys in one bucket)
+            h = k.astype(np.uint64)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            cols = {
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+                "side": pa.array(np.full(len(batch), side, np.int8)),
+                "k": pa.array(k),
+                "t": pa.array(t),
+            }
+            for i, c in enumerate(pay):
+                cols[f"p{i}"] = batch[c].cast(pay_types[i])
+            return pa.table(cols)
+
+        return fn
+
+    left_keyed = ds.map_batches(
+        key_side(0, left_key, left_ts, pay),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    # right side must carry the same schema for union: null payloads
+    def right_fn(batch: pa.Table) -> pa.Table:
+        k = batch[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = k.astype(np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        cols = {
+            "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "side": pa.array(np.full(len(batch), 1, np.int8)),
+            "k": pa.array(k),
+            "t": pa.array(t),
+        }
+        for i in range(len(pay)):
+            cols[f"p{i}"] = pa.nulls(len(batch), pay_types[i])
+        return pa.table(cols)
+
+    right_keyed = right.map_batches(
+        right_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def match_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        rt = group.filter(pa.array(side == 1))
+        out_cols = {c: pa.array([], pa.int64()) for c in (left_key, left_ts, out_ts)}
+        for i, c in enumerate(pay):
+            out_cols[c] = pa.array([], group.schema.field(f"p{i}").type)
+        if len(left) == 0 or len(rt) == 0:
+            return pa.table(out_cols)
+        lk = left["k"].to_numpy(zero_copy_only=False)
+        lt = left["t"].to_numpy(zero_copy_only=False)
+        rk = rt["k"].to_numpy(zero_copy_only=False)
+        rts = rt["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rts, rk))
+        rk_s, rt_s = rk[order], rts[order]
+        # greatest right (key, ts) ≤ (key, lt): searchsorted over the
+        # lexicographic (key, ts) pairs via rank compression
+        uniq_ts = np.unique(rt_s)
+        ranks = np.searchsorted(uniq_ts, rt_s)
+        shift = int(np.ceil(np.log2(max(len(uniq_ts), 2))))
+        comp = (rk_s << np.int64(shift)) | ranks.astype(np.int64)
+        r_up = np.searchsorted(uniq_ts, lt, side="right") - 1
+        probe = (lk << np.int64(shift)) | np.maximum(r_up, 0)
+        pos = np.searchsorted(comp, probe, side="right") - 1
+        ok = (pos >= 0) & (r_up >= 0)
+        pos_c = np.clip(pos, 0, len(comp) - 1)
+        ok &= rk_s[pos_c] == lk
+        sel = left.filter(pa.array(ok))
+        out_cols = {
+            left_key: pa.array(lk[ok], pa.int64()),
+            left_ts: pa.array(lt[ok], pa.int64()),
+            out_ts: pa.array(rt_s[pos_c[ok]], pa.int64()),
+        }
+        for i, c in enumerate(pay):
+            out_cols[c] = sel[f"p{i}"]
+        return pa.table(out_cols)
+
+    return left_keyed.union(right_keyed).groupby("bucket").map_groups(
+        match_bucket, batch_format="pyarrow"
+    )
+
+
 def interval_join_count(
     ds: ray.data.Dataset,
     right: pa.Table,

@@ -1289,6 +1289,25 @@ FROM b JOIN boxes x
 """
 
 
+def q_asof_partitioned(sf_dir: str):
+    """The SAME as-of join as ``asof_join``, executed by the
+    both-sides-large co-partitioned strategy (hash-bucket groupby, no
+    broadcast) — the two physical plans must agree bit-for-bit."""
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate"])
+    out = ops.asof_join_partitioned(
+        events,
+        orders,
+        "user_id",
+        "ts",
+        "o_custkey",
+        "o_orderdate",
+        out_ts="order_ts",
+        left_payload=["event_id"],
+    )
+    return out.select_columns(["event_id", "user_id", "order_ts"])
+
+
 def q_interval_join(sf_dir: str):
     """RANGE JOIN: each event counts the orders whose 7-day window
     [o_orderdate, o_orderdate + 7d) contains the event timestamp —
@@ -1504,6 +1523,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "asof_partitioned": q_asof_partitioned,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
@@ -1552,6 +1572,7 @@ ORACLE = {
     "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,
+    "asof_partitioned": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,

@@ -113,3 +113,47 @@ def test_interval_join_variable_width_brute_parity(ray_session):
     )
     brute = np.array([((starts <= t) & (t < ends)).sum() for t in probes])
     assert np.array_equal(out["n"].to_numpy(), brute)
+
+
+def test_asof_partitioned_matches_broadcast_under_skew(ray_session):
+    import ray.data as rd
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet  # noqa: F401
+
+    from georay import ops
+
+    rng = np.random.default_rng(29)
+    n_l, n_r = 3000, 800
+    # 80% of left rows share ONE hot key; right side has sparse keys so
+    # some left keys have no match (inner-join drop path)
+    lk = np.where(rng.random(n_l) < 0.8, 7, rng.integers(0, 50, n_l)).astype(np.int64)
+    lt = rng.integers(0, 100_000, n_l)
+    rk = rng.integers(0, 40, n_r).astype(np.int64)
+    rt = rng.integers(0, 100_000, n_r)
+    left = pa.table(
+        {
+            "eid": pa.array(np.arange(n_l), pa.int64()),
+            "k": pa.array(lk),
+            "ts": pa.array(lt, pa.int64()),
+        }
+    )
+    right = pa.table({"k": pa.array(rk), "ts": pa.array(rt, pa.int64())})
+    ds = rd.from_arrow(left).repartition(13)
+    bc = (
+        ops.asof_join_broadcast(ds, right, "k", "ts", "k", "ts", out_ts="m")
+        .to_pandas()[["eid", "m"]]
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    pt = (
+        ops.asof_join_partitioned(
+            ds, rd.from_arrow(right), "k", "ts", "k", "ts", out_ts="m",
+            left_payload=["eid"], n_buckets=8,
+        )
+        .to_pandas()[["eid", "m"]]
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert bc.equals(pt)
