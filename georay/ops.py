@@ -1047,7 +1047,57 @@ def sessionize(
 
     Output: (key, session_start µs, session_end µs, n_events).
     Ordering assumption: within a key, (ts, tiebreak) is a total order.
+
+    Integer keys are hash-bucketed so each ``map_groups`` call processes
+    a whole BUCKET of keys in one vectorized lexsort+boundary pass —
+    one Python invocation per bucket, not per key (per-key calls are
+    Python-rate at 10⁸ users). Non-integer keys keep the per-key path.
     """
+    key_type = ds.schema().base_schema.field(key).type
+    if pa.types.is_integer(key_type):
+        n_buckets = 64
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = k.astype(np.uint64)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            return batch.append_column(
+                "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            )
+
+        def per_bucket(group: pa.Table) -> pa.Table:
+            k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = group[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            n = k.shape[0]
+            if order_tiebreak:
+                tb = group[order_tiebreak].to_numpy(zero_copy_only=False)
+                order = np.lexsort((tb, t, k))
+            else:
+                order = np.lexsort((t, k))
+            ks, tss = k[order], t[order]
+            brk = np.ones(n, dtype=bool)
+            brk[1:] = (ks[1:] != ks[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+            starts = np.flatnonzero(brk)
+            run_len = np.diff(np.append(starts, n))
+            ends = starts + run_len - 1
+            return pa.table(
+                {
+                    key: pa.array(ks[starts]).cast(key_type),
+                    "session_start": pa.array(tss[starts], pa.int64()),
+                    "session_end": pa.array(tss[ends], pa.int64()),
+                    "n_events": pa.array(run_len, pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            )
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+        )
 
     def per_key(group: pa.Table) -> pa.Table:
         import pandas as pd
