@@ -628,25 +628,55 @@ def tile_assemble(
 ) -> ray.data.Dataset:
     """B7: per-tile manifest rows — (tile, n_images, sample of member ids).
 
-    ``groupby(tile).map_groups`` with a bounded id sample so a dense city
-    tile cannot blow up the output row (no silent cap: n_images is the
-    true count)."""
+    Tiles are hash-bucketed (one ``map_groups`` call per BUCKET, not per
+    tile — per-tile Python calls are a bottleneck at deep zooms); each
+    bucket assembles all its tiles in one vectorized sort+boundary pass.
+    The id sample is bounded so a dense city tile cannot blow up the
+    output row (no silent cap: n_images is the true count)."""
+    n_buckets = 64
 
-    def assemble(group: pa.Table) -> pa.Table:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = batch[tile_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.astype(np.uint64)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def assemble_bucket(group: pa.Table) -> pa.Table:
+        tiles = group[tile_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = group[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        order = pc.sort_indices(ids)
-        sample = ids.take(order[:max_ids_per_tile])
+        id_np = np.asarray(ids)
+        order = np.lexsort((id_np, tiles))
+        t_s, id_s = tiles[order], id_np[order]
+        n = t_s.shape[0]
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = t_s[1:] != t_s[:-1]
+        starts = np.flatnonzero(brk)
+        run_len = np.diff(np.append(starts, n))
+        take = np.minimum(run_len, max_ids_per_tile)
+        samples = [
+            id_s[s : s + int(c)].tolist() for s, c in zip(starts, take)
+        ]
         return pa.table(
             {
-                tile_col: pa.array([group[tile_col][0].as_py()], pa.int64()),
-                "n_images": pa.array([len(ids)], pa.int64()),
-                "sample_ids": pa.array([sample.to_pylist()]),
+                tile_col: pa.array(t_s[starts], pa.int64()),
+                "n_images": pa.array(run_len, pa.int64()),
+                "sample_ids": pa.array(samples),
             }
         )
 
-    return ds.groupby(tile_col).map_groups(assemble, batch_format="pyarrow")
+    return (
+        ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("_bucket")
+        .map_groups(assemble_bucket, batch_format="pyarrow")
+    )
 
 
 def tile_polygon_assign(
