@@ -625,6 +625,7 @@ def tile_assemble(
     tile_col: str = "tile_key",
     id_col: str = "image_id",
     max_ids_per_tile: int = 64,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """B7: per-tile manifest rows — (tile, n_images, sample of member ids).
 
@@ -632,8 +633,9 @@ def tile_assemble(
     tile — per-tile Python calls are a bottleneck at deep zooms); each
     bucket assembles all its tiles in one vectorized sort+boundary pass.
     The id sample is bounded so a dense city tile cannot blow up the
-    output row (no silent cap: n_images is the true count)."""
-    n_buckets = 64
+    output row (no silent cap: n_images is the true count). ``n_buckets``
+    sizes tasks (≈ rows / target_rows_per_task), it is not a parallelism
+    cap."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         t = batch[tile_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1069,6 +1071,7 @@ def sessionize(
     ts: str,
     gap_us: int,
     order_tiebreak: str | None = None,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Session windows over an event log (the streaming-shaped custom
     operator): per key, events sorted by (ts, tiebreak) split where the
@@ -1082,10 +1085,12 @@ def sessionize(
     a whole BUCKET of keys in one vectorized lexsort+boundary pass —
     one Python invocation per bucket, not per key (per-key calls are
     Python-rate at 10⁸ users). Non-integer keys keep the per-key path.
+    ``n_buckets`` is a task-granularity knob, NOT a parallelism cap on
+    correctness: size it ≈ total_rows / target_rows_per_task (one bucket
+    must fit a worker's heap).
     """
     key_type = ds.schema().base_schema.field(key).type
     if pa.types.is_integer(key_type):
-        n_buckets = 64
 
         def add_bucket(batch: pa.Table) -> pa.Table:
             k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
