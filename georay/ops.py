@@ -257,15 +257,137 @@ def validate_geometry(ds: ray.data.Dataset, col: str) -> int:
 
 # ----------------------------------------------------------------- dedup
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer over a uint64 array (in place, returns h)."""
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _bytes_hash(arr: pa.Array) -> np.ndarray:
+    """(n,) uint64 polynomial hash of a string/binary Arrow array — one
+    vectorized pass over the flat data buffer (no per-row Python). Nulls
+    and empty strings hash to 0."""
+    from georay.stages.dedup import _POW_TABLE
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    lb = arr.cast(pa.large_binary())
+    n = len(lb)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    offs = np.frombuffer(lb.buffers()[1], dtype=np.int64, count=n + 1,
+                         offset=lb.offset * 8)
+    data = np.frombuffer(lb.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    total_lo, total_hi = int(starts[0]), int(ends[-1])
+    if total_hi == total_lo:
+        return out
+    blob = data[total_lo:total_hi].astype(np.uint64)
+    from georay.index import _ragged_ranges
+
+    owner, within = _ragged_ranges(lens)
+    seg_starts = (starts - total_lo).copy()
+    # reduceat quirk: an empty segment returns the element at its start
+    # index (and start==len(blob) would be out of range) — clamp, then
+    # zero empties below
+    h = np.add.reduceat(
+        blob * _POW_TABLE[np.minimum(within, 4095)],
+        np.minimum(seg_starts, blob.shape[0] - 1),
+    )
+    h[lens == 0] = 0
+    if lb.null_count:
+        valid = np.asarray(lb.is_valid())
+        h[~valid] = 0
+    return _mix64(h)
+
+
+def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray | None:
+    """(n,) uint64 combined hash of the key columns; None when a key type
+    has no vectorized hash path (caller falls back to per-group)."""
+    h = np.full(len(batch), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        typ = col.type
+        if pa.types.is_integer(typ):
+            arr = col.to_numpy(zero_copy_only=False)
+            hk = _mix64(arr.astype(np.int64).view(np.uint64).copy())
+        elif (
+            pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ)
+            or pa.types.is_large_binary(typ)
+        ):
+            hk = _bytes_hash(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+        else:
+            return None
+        h = _mix64(h * np.uint64(0x100000001B3) + hk)
+    return h
+
+
 def dedup_exact(
-    ds: ray.data.Dataset, key: str | list[str], keep_col: str | None = None
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    keep_col: str | None = None,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """B9: exact dedup — hash-partition on ``key``, keep the first row per
-    group (deterministic: min of ``keep_col`` or min of ``key`` order).
+    group (deterministic: min of ``keep_col``; without ``keep_col`` the
+    survivor among equal keys is partition-order-dependent).
 
-    The groupby is the shuffle; only one row per group survives it.
+    One shuffle. Int/string/binary keys are hash-bucketed so each
+    ``map_groups`` call processes a whole BUCKET of keys in one vectorized
+    sort+boundary pass — one Python invocation per bucket, not per
+    distinct key (per-key calls are Python-rate at 10⁹ fingerprints).
+    ``n_buckets`` sizes tasks (≈ rows / target_rows_per_task), it is not
+    a parallelism cap. Other key types fall back to per-group calls.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    probe = ds.schema().base_schema
+    hashable = all(
+        pa.types.is_integer(t) or pa.types.is_string(t)
+        or pa.types.is_large_string(t) or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        for t in (probe.field(k).type for k in keys)
+    )
+    if hashable:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            h = _key_hash(batch, keys)
+            return batch.append_column(
+                "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            )
+
+        def per_bucket(group: pa.Table) -> pa.Table:
+            group = group.drop_columns(["_bucket"])
+            sort_keys = [(k, "ascending") for k in keys]
+            if keep_col is not None:
+                sort_keys.append((keep_col, "ascending"))
+            order = pc.sort_indices(group, sort_keys=sort_keys)
+            g = group.take(order)
+            n = len(g)
+            first = np.zeros(n, dtype=bool)
+            if n:
+                first[0] = True
+            for k in keys:
+                a = g[k].combine_chunks() if isinstance(g[k], pa.ChunkedArray) else g[k]
+                neq = pc.fill_null(pc.not_equal(a.slice(1), a.slice(0, n - 1)), False)
+                diff = np.asarray(neq)
+                nul = np.asarray(pc.is_null(a))
+                first[1:] |= diff | (nul[1:] != nul[:-1])
+            return g.filter(pa.array(first))
+
+        return (
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pyarrow")
+        )
 
     def first(group: pa.Table) -> pa.Table:
         if keep_col is not None:
