@@ -1203,15 +1203,69 @@ def sessionize(
     Output: (key, session_start µs, session_end µs, n_events).
     Ordering assumption: within a key, (ts, tiebreak) is a total order.
 
-    Integer keys are hash-bucketed so each ``map_groups`` call processes
-    a whole BUCKET of keys in one vectorized lexsort+boundary pass —
-    one Python invocation per bucket, not per key (per-key calls are
-    Python-rate at 10⁸ users). Non-integer keys keep the per-key path.
-    ``n_buckets`` is a task-granularity knob, NOT a parallelism cap on
-    correctness: size it ≈ total_rows / target_rows_per_task (one bucket
-    must fit a worker's heap).
+    Integer and string/binary keys are hash-bucketed so each
+    ``map_groups`` call processes a whole BUCKET of keys in one
+    vectorized sort+boundary pass — one Python invocation per bucket,
+    not per key (per-key calls are Python-rate at 10⁸ users). Other key
+    types keep the per-key path. ``n_buckets`` is a task-granularity
+    knob, NOT a parallelism cap on correctness: size it ≈ total_rows /
+    target_rows_per_task (one bucket must fit a worker's heap).
     """
     key_type = ds.schema().base_schema.field(key).type
+    if (
+        pa.types.is_string(key_type)
+        or pa.types.is_large_string(key_type)
+        or pa.types.is_binary(key_type)
+        or pa.types.is_large_binary(key_type)
+    ):
+
+        def add_bucket_str(batch: pa.Table) -> pa.Table:
+            h = _bytes_hash(batch[key])
+            return batch.append_column(
+                "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+            )
+
+        def per_bucket_str(group: pa.Table) -> pa.Table:
+            group = group.drop_columns(["_bucket"])
+            sort_keys = [(key, "ascending"), (ts, "ascending")]
+            if order_tiebreak:
+                sort_keys.append((order_tiebreak, "ascending"))
+            g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+            n = len(g)
+            k = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+            t = g[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            brk = np.ones(n, dtype=bool)
+            if n > 1:
+                neq = pc.fill_null(
+                    pc.not_equal(k.slice(1), k.slice(0, n - 1)), False
+                )
+                nul = np.asarray(pc.is_null(k))
+                brk[1:] = (
+                    np.asarray(neq)
+                    | (nul[1:] != nul[:-1])
+                    | (t[1:] - t[:-1] > gap_us)
+                )
+            starts = np.flatnonzero(brk)
+            run_len = np.diff(np.append(starts, n))
+            ends = starts + run_len - 1
+            return pa.table(
+                {
+                    key: k.take(pa.array(starts)),
+                    "session_start": pa.array(t[starts], pa.int64()),
+                    "session_end": pa.array(t[ends], pa.int64()),
+                    "n_events": pa.array(run_len, pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(
+                add_bucket_str, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_bucket")
+            .map_groups(per_bucket_str, batch_format="pyarrow")
+        )
+
     if pa.types.is_integer(key_type):
 
         def add_bucket(batch: pa.Table) -> pa.Table:
