@@ -169,6 +169,96 @@ def pip_count(
     )
 
 
+def pip_zonal_stats(
+    points: ray.data.Dataset,
+    polygons: pa.Table,
+    value_col: str,
+    geom_col: str = "geotag",
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+    res: float | None = None,
+) -> ray.data.Dataset:
+    """Zonal statistics: PIP join + per-polygon COUNT/SUM/MIN/MAX/AVG of
+    a point-side value column, with the whole aggregation pushed INTO the
+    probe stage — each batch emits one partial row per matched polygon
+    (lexsort+reduceat), then a combine-tree merge with per-column
+    reducers. No joined-pair intermediate ever materializes; the only
+    data movement is (polygon_id, 4 partials) rows.
+
+    Output: (id_col, n, v_sum, v_min, v_max, v_avg). Exact when the
+    value column is integer-valued (float sums are order-independent
+    then); AVG is computed as sum/n after the merge.
+    """
+    index = PolygonIndex.build(
+        polygons, geometry_col=geometry_col, id_col=id_col, res=res
+    )
+    ref = ray.put(index)
+    cache: dict = {}
+
+    def probe_stats(batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bad = ~(np.isfinite(lon) & np.isfinite(lat))
+        pidx, poly = idx.contains(
+            np.where(bad, 1e9, lon), np.where(bad, 1e9, lat)
+        )
+        v = vals[pidx]
+        (keys,), outs = ops._group_reduce(
+            [poly],
+            {
+                "partial_n": np.ones(poly.shape[0], dtype=np.int64),
+                "partial_sum": v,
+                "partial_min": v,
+                "partial_max": v,
+            },
+            ufunc={
+                "partial_n": np.add,
+                "partial_sum": np.add,
+                "partial_min": np.minimum,
+                "partial_max": np.maximum,
+            },
+        )
+        return pa.table(
+            {
+                id_col: pa.array(idx.polygon_ids[keys].tolist()),
+                "partial_n": pa.array(outs["partial_n"], pa.int64()),
+                "partial_sum": pa.array(outs["partial_sum"], pa.float64()),
+                "partial_min": pa.array(outs["partial_min"], pa.float64()),
+                "partial_max": pa.array(outs["partial_max"], pa.float64()),
+            }
+        )
+
+    partials = points.map_batches(
+        probe_stats, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = ops.tree_reduce(
+        partials,
+        id_col,
+        {
+            "partial_n": "n",
+            "partial_sum": "v_sum",
+            "partial_min": "v_min",
+            "partial_max": "v_max",
+        },
+        ufunc={
+            "partial_n": np.add,
+            "partial_sum": np.add,
+            "partial_min": np.minimum,
+            "partial_max": np.maximum,
+        },
+    )
+
+    def add_avg(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["v_sum"].to_numpy(zero_copy_only=False)
+        return batch.append_column("v_avg", pa.array(s / n, pa.float64()))
+
+    return merged.map_batches(
+        add_avg, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def pip_join_partitioned(
     points: ray.data.Dataset,
     polygons: ray.data.Dataset,

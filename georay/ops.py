@@ -410,7 +410,8 @@ COMBINE_TARGET_ROWS = 1 << 18
 def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     """Vectorized grouped reduction: lexsort on the key columns + one
     ``ufunc.reduceat`` per value column (sum by default; any associative
-    commutative ufunc — minimum, maximum — works).
+    commutative ufunc — minimum, maximum — works; pass a
+    ``{name: ufunc}`` dict for per-column reducers).
     Returns ([key_col...], {name: reduced})."""
     n = key_arrs[0].shape[0]
     if n == 0:
@@ -422,8 +423,9 @@ def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     for k in ks:
         new[1:] |= k[1:] != k[:-1]
     starts = np.nonzero(new)[0]
+    uf = ufunc if isinstance(ufunc, dict) else {name: ufunc for name in val_arrs}
     outs = {
-        name: ufunc.reduceat(v[order], starts) for name, v in val_arrs.items()
+        name: uf[name].reduceat(v[order], starts) for name, v in val_arrs.items()
     }
     return [k[starts] for k in ks], outs
 
@@ -435,11 +437,12 @@ def tree_reduce(
     ufunc=np.add,
 ) -> ray.data.Dataset:
     """Combine-tree grouped reduction (same plan as ``tree_sum`` but for
-    any associative commutative ufunc): a combine stage coalesces the
-    tiny per-batch partials, then ONE merge task emits the exact per-key
-    result at numpy rate — no sort-shuffle barrier. Requires distinct
-    keys × row width to fit one worker (true for label tables, top-k
-    partials, bounded-cardinality histograms)."""
+    any associative commutative ufunc, or a ``{src_col: ufunc}`` dict for
+    per-column reducers): a combine stage coalesces the tiny per-batch
+    partials, then ONE merge task emits the exact per-key result at
+    numpy rate — no sort-shuffle barrier. Requires distinct keys × row
+    width to fit one worker (true for label tables, top-k partials,
+    bounded-cardinality histograms)."""
     key_list = [keys] if isinstance(keys, str) else list(keys)
 
     def reduce_batch(batch: pa.Table, rename: bool) -> pa.Table:

@@ -326,6 +326,44 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: the pip_box_join geometry with COUNT/SUM/MIN/
+    MAX/AVG of l_quantity per polygon, all pushed into the probe stage
+    (per-batch lexsort+reduceat partials, combine-tree merge with
+    per-column reducers — no joined-pair intermediate). l_quantity is
+    integer-valued so the float sums are order-independent exact."""
+    from georay.joins import pip_zonal_stats
+
+    polys = part_box_polygons(sf_dir)
+    pts = lineitem_points(sf_dir, extra_cols=["l_quantity"])
+    return pip_zonal_stats(
+        pts, polys, value_col="l_quantity",
+        geometry_col="geometry", id_col="p_partkey",
+    )
+
+
+SQL_ZONAL_STATS = f"""
+WITH pts AS (
+  SELECT l_quantity, {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem
+),
+boxes AS (
+  SELECT p_partkey,
+         {PART_CX} AS cx, {PART_CY} AS cy, {PART_W} AS w, {PART_H} AS h
+  FROM part
+)
+SELECT b.p_partkey AS p_partkey,
+       COUNT(*) AS n,
+       SUM(p.l_quantity) AS v_sum,
+       MIN(p.l_quantity) AS v_min,
+       MAX(p.l_quantity) AS v_max,
+       SUM(p.l_quantity) / COUNT(*) AS v_avg
+FROM boxes b JOIN pts p
+  ON p.lon >= b.cx - b.w AND p.lon < b.cx + b.w
+ AND p.lat >= b.cy - b.h AND p.lat < b.cy + b.h
+GROUP BY b.p_partkey
+"""
+
+
 def q_knn_part_supplier(sf_dir: str):
     """kNN join via grid-cell ring expansion: for each part point, the 3
     nearest supplier points under the planar (lon,lat) metric."""
@@ -1551,6 +1589,7 @@ QUERIES = {
     "centroid_by_flag": q_centroid_by_flag,
     "pip_box_join": q_pip_box_join,
     "pip_partitioned": q_pip_partitioned,
+    "zonal_stats": q_zonal_stats,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1593,6 +1632,7 @@ ORACLE = {
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
     "pip_box_join": SQL_PIP_BOX_JOIN,
     "pip_partitioned": SQL_PIP_PARTITIONED,
+    "zonal_stats": SQL_ZONAL_STATS,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

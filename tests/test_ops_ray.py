@@ -473,3 +473,41 @@ def test_knn_partitioned_tie_break_by_ref_id(ray_session):
         probes, refs, k=3, res=30.0
     ).to_pandas().sort_values("knn_rank")
     assert out["s_suppkey"].tolist() == [30, 31, 10]  # 10 < 20 wins the tie
+
+
+def test_pip_zonal_stats_matches_join_aggregate(images_dir, polygons_table, ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from georay.joins import pip_join, pip_zonal_stats
+
+    ids = pa.array(np.arange(polygons_table.num_rows), pa.int64())
+    polys = polygons_table.set_column(0, pa.field("polygon_id", pa.int64()), ids)
+    pts = rd.read_parquet(images_dir)
+
+    got = (
+        pip_zonal_stats(pts, polys, value_col="w")
+        .to_pandas()
+        .sort_values("polygon_id")
+        .reset_index(drop=True)
+    )
+
+    # oracle: materialized inner join + pandas aggregate
+    pairs = pip_join(pts, polys, mode="inner").to_pandas()[["image_id", "polygon_id"]]
+    src = pq.read_table(images_dir, columns=["image_id", "w"]).to_pandas()
+    j = pairs.merge(src, on="image_id")
+    want = (
+        j.groupby("polygon_id")["w"]
+        .agg(n="size", v_sum="sum", v_min="min", v_max="max")
+        .reset_index()
+    )
+    want["v_avg"] = want["v_sum"] / want["n"]
+    want = want.sort_values("polygon_id").reset_index(drop=True)
+
+    assert len(got) == len(want) > 0
+    assert np.array_equal(got["polygon_id"].to_numpy(), want["polygon_id"].to_numpy())
+    assert np.array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    assert np.allclose(got["v_sum"].to_numpy(), want["v_sum"].to_numpy(), rtol=0, atol=0)
+    assert np.array_equal(got["v_min"].to_numpy(), want["v_min"].astype(np.float64).to_numpy())
+    assert np.array_equal(got["v_max"].to_numpy(), want["v_max"].astype(np.float64).to_numpy())
+    assert np.allclose(got["v_avg"].to_numpy(), want["v_avg"].to_numpy(), rtol=0, atol=0)
