@@ -647,6 +647,87 @@ def top_k(
     )
 
 
+def group_top_k(
+    ds: ray.data.Dataset,
+    key: str | list[str],
+    order_cols: str | list[str],
+    k: int,
+    descending: bool | list[bool] = True,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-group top-k (e.g. the K best-scored images per cell): exact
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols) <= k``.
+
+    Scale shape: a map-side prune keeps each batch's own per-key top-k
+    first (a batch can contribute at most k rows per key), so the one
+    key-hash shuffle moves ≤ k·keys·blocks rows, not the corpus; the
+    per-bucket finisher repeats the same vectorized pass. Group ranks
+    are computed with ONE lexsort + boundary scan per call — key columns
+    are dictionary-encoded per batch (exact, no hash collisions) so
+    string keys group at C speed. ``n_buckets`` sizes tasks, it is not a
+    parallelism cap.
+
+    Determinism: include a unique tiebreak column in ``order_cols`` for
+    a total order (ties are otherwise broken by batch position).
+    Descending float columns are negated (NaN-free assumption, as
+    ``top_k``); descending ints/bools are inverted bitwise.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    desc = (
+        [descending] * len(order_list)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
+
+    def select_top(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        sort_arrays = []  # least-significant first for np.lexsort
+        for c, d in zip(reversed(order_list), reversed(desc)):
+            a = batch[c].to_numpy(zero_copy_only=False)
+            if d:
+                a = np.invert(a) if a.dtype.kind in "iub" else -a
+            sort_arrays.append(a)
+        codes = []
+        for c in reversed(keys):
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = pc.dictionary_encode(col)
+            codes.append(np.asarray(enc.indices).astype(np.int64))
+        sort_arrays.extend(codes)
+        order = np.lexsort(tuple(sort_arrays))
+        kc = [c[order] for c in codes]
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in kc:
+            new[1:] |= c[1:] != c[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        grp_start = np.maximum.accumulate(np.where(new, pos, 0))
+        rank = pos - grp_start
+        return batch.take(pa.array(order[rank < k]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, keys)
+        if h is None:  # unhashable key type: single bucket (rare)
+            h = np.zeros(len(batch), dtype=np.uint64)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        return select_top(group.drop_columns(["_bucket"]))
+
+    pruned = ds.map_batches(
+        select_top, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return pruned.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- vctr-level ops
 
 def set_crs(

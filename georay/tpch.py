@@ -326,6 +326,38 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_group_topk(sf_dir: str):
+    """Per-group top-k (ROW_NUMBER <= k): each supplier's 3 priciest line
+    items, total order via (price desc, orderkey, linenumber). Map-side
+    per-batch prune then ONE key-hash-bucket shuffle — the shuffle moves
+    ≤ k·keys·blocks rows, never the corpus."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_orderkey", "l_linenumber"],
+    )
+    return ops.group_top_k(
+        ds,
+        "l_suppkey",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        k=3,
+        descending=[True, False, False],
+    )
+
+
+SQL_GROUP_TOPK = """
+SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber
+FROM (
+  SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn <= 3
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: the pip_box_join geometry with COUNT/SUM/MIN/
     MAX/AVG of l_quantity per polygon, all pushed into the probe stage
@@ -1590,6 +1622,7 @@ QUERIES = {
     "pip_box_join": q_pip_box_join,
     "pip_partitioned": q_pip_partitioned,
     "zonal_stats": q_zonal_stats,
+    "group_topk": q_group_topk,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1633,6 +1666,7 @@ ORACLE = {
     "pip_box_join": SQL_PIP_BOX_JOIN,
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "zonal_stats": SQL_ZONAL_STATS,
+    "group_topk": SQL_GROUP_TOPK,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

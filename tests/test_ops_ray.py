@@ -511,3 +511,26 @@ def test_pip_zonal_stats_matches_join_aggregate(images_dir, polygons_table, ray_
     assert np.array_equal(got["v_min"].to_numpy(), want["v_min"].astype(np.float64).to_numpy())
     assert np.array_equal(got["v_max"].to_numpy(), want["v_max"].astype(np.float64).to_numpy())
     assert np.allclose(got["v_avg"].to_numpy(), want["v_avg"].to_numpy(), rtol=0, atol=0)
+
+
+def test_group_top_k_matches_pandas(images_dir, ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir, columns=["image_id", "w", "h"])
+    got = (
+        ops.group_top_k(ds, "w", ["h", "image_id"], 2, descending=[True, False], n_buckets=16)
+        .to_pandas()
+        .sort_values(["w", "h", "image_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    df = pq.read_table(images_dir, columns=["image_id", "w", "h"]).to_pandas()
+    want = (
+        df.sort_values(["w", "h", "image_id"], ascending=[True, False, True])
+        .groupby("w")
+        .head(2)
+        .sort_values(["w", "h", "image_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got[["image_id", "w", "h"]].equals(want[["image_id", "w", "h"]])
