@@ -1035,6 +1035,50 @@ def systematic_sample(
 
 # -------------------------------------------- temporal custom operators
 
+def broadcast_join(
+    ds: ray.data.Dataset,
+    dim: pa.Table,
+    on: str,
+    dim_on: str | None = None,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Map-side equality join against a SMALL dimension table: the dim
+    table is ``ray.put`` once and probed per batch with
+    ``pc.index_in`` (Arrow's C hash lookup) — no shuffle, no per-row
+    Python, the big side streams. The 100-TB pattern for attaching
+    lookup columns (labels, names, configs) without an all-to-all
+    exchange; for both-sides-large equality joins use Ray's
+    ``Dataset.join``.
+
+    ``how``: "inner" drops probe rows with no dim match; "left" keeps
+    them with null dim columns. Duplicate dim keys keep the FIRST
+    occurrence (dimension tables are expected unique on the key).
+    """
+    dkey = dim_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    dim_cols = [c for c in dim.column_names if c != dkey]
+    ref = ray.put(dim.combine_chunks())
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        d: pa.Table = cache.setdefault("d", ray.get(ref))
+        keys = d[dkey].combine_chunks() if isinstance(d[dkey], pa.ChunkedArray) else d[dkey]
+        pos = pc.index_in(batch[on], value_set=keys)
+        if how == "inner":
+            hit = pc.is_valid(pos)
+            batch = batch.filter(hit)
+            pos = pc.filter(pos, hit)
+        for c in dim_cols:
+            col = d[c].combine_chunks() if isinstance(d[c], pa.ChunkedArray) else d[c]
+            batch = batch.append_column(c, pc.take(col, pos))
+        return batch
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def asof_join_broadcast(
     ds: ray.data.Dataset,
     right: pa.Table,

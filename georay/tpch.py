@@ -326,6 +326,30 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_dim_join(sf_dir: str):
+    """Broadcast dimension join: attach nation/region names to the
+    customer stream with map-side ``pc.index_in`` probes (dim tables
+    ``ray.put`` once; no shuffle), then count customers per region name
+    via the combine tree."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    ds = ops.broadcast_join(ds, nation, on="c_nationkey", dim_on="n_nationkey")
+    ds = ops.broadcast_join(ds, region, on="n_regionkey", dim_on="r_regionkey")
+    return ops.salted_count(ds, "r_name", count_alias="n_customers")
+
+
+SQL_DIM_JOIN = """
+SELECT r.r_name AS r_name, COUNT(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 def q_group_topk(sf_dir: str):
     """Per-group top-k (ROW_NUMBER <= k): each supplier's 3 priciest line
     items, total order via (price desc, orderkey, linenumber). Map-side
@@ -1623,6 +1647,7 @@ QUERIES = {
     "pip_partitioned": q_pip_partitioned,
     "zonal_stats": q_zonal_stats,
     "group_topk": q_group_topk,
+    "dim_join": q_dim_join,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1667,6 +1692,7 @@ ORACLE = {
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "zonal_stats": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,
+    "dim_join": SQL_DIM_JOIN,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -534,3 +534,27 @@ def test_group_top_k_matches_pandas(images_dir, ray_session):
     )
     assert len(got) == len(want) > 0
     assert got[["image_id", "w", "h"]].equals(want[["image_id", "w", "h"]])
+
+
+def test_broadcast_join_inner_left(ray_session):
+    import ray.data as rd
+
+    dim = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                    "name": pa.array(["one", "two", "three"])})
+    t = pa.table({"k": pa.array([3, 1, 9, 2, 1, None], pa.int64()),
+                  "rid": pa.array(list(range(6)), pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+
+    inner = ops.broadcast_join(ds, dim, on="k").to_pandas().sort_values("rid")
+    assert inner["rid"].tolist() == [0, 1, 3, 4]
+    assert inner["name"].tolist() == ["three", "one", "two", "one"]
+
+    left = ops.broadcast_join(ds, dim, on="k", how="left").to_pandas().sort_values("rid")
+    assert left["rid"].tolist() == [0, 1, 2, 3, 4, 5]
+    assert left["name"].tolist()[2] is None or left["name"].isna().tolist()[2]
+    assert left["name"].isna().tolist() == [False, False, True, False, False, True]
+
+    # duplicate dim keys keep the first occurrence
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()), "name": pa.array(["a", "b"])})
+    out = ops.broadcast_join(ds, dup, on="k").to_pandas()
+    assert set(out["name"]) == {"a"}
