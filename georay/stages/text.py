@@ -184,3 +184,59 @@ def add_fingerprint(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def token_histogram(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Distributed wordcount: exact per-token corpus counts as
+    ``(token, n)`` — the vocabulary table a tokenizer-training or
+    quality-filter stage consumes.
+
+    Tokenization is pure Arrow C (lower → collapse ``\\s+`` → trim →
+    ``split_pattern`` on single spaces, matching DuckDB
+    ``string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')),' ')``
+    semantics — an empty doc yields one empty token, both sides).
+    Per-batch partial counts come from ``pc.value_counts`` (hash agg, no
+    Python per token) and merge through an Arrow-groupby combine tree —
+    no sort-shuffle barrier; requires the VOCABULARY (not the corpus) to
+    fit one worker, true even at web scale (10⁷ tokens × ~30 B)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "),
+            characters=" ",
+        )
+        flat = pc.list_flatten(pc.split_pattern(norm, " "))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table, out_name: str) -> pa.Table:
+        g = batch.group_by("token").aggregate([("partial_n", "sum")])
+        return pa.table({"token": g["token"], out_name: g["partial_n_sum"]})
+
+    from georay.ops import COMBINE_TARGET_ROWS
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = parts.map_batches(
+        lambda b: combine(b, "partial_n"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS,
+        num_cpus=0.5,
+    )
+    return comb.map_batches(
+        lambda b: combine(b, "n"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 40,
+        num_cpus=0.9,
+    )

@@ -326,6 +326,27 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_token_histogram(sf_dir: str):
+    """Distributed wordcount over documents.text: exact (token, n) vocab
+    counts — Arrow-C tokenize + value_counts partials + Arrow-groupby
+    combine tree (vocabulary-sized merge, corpus never shuffles)."""
+    from georay.stages.text import token_histogram
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return token_histogram(ds)
+
+
+SQL_TOKEN_HISTOGRAM = r"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+GROUP BY token
+"""
+
+
 def q_dim_join(sf_dir: str):
     """Broadcast dimension join: attach nation/region names to the
     customer stream with map-side ``pc.index_in`` probes (dim tables
@@ -1648,6 +1669,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "group_topk": q_group_topk,
     "dim_join": q_dim_join,
+    "token_histogram": q_token_histogram,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1693,6 +1715,7 @@ ORACLE = {
     "zonal_stats": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,
     "dim_join": SQL_DIM_JOIN,
+    "token_histogram": SQL_TOKEN_HISTOGRAM,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -410,3 +410,23 @@ def test_ivf_pipeline_no_full_materialization(embeddings_ds):
         b = list(brute[brute["query_id"] == qid]["vec_id"])
         g = list(out[out["query_id"] == qid]["vec_id"])
         assert b == g
+
+
+def test_token_histogram_matches_python(ray_session):
+    import collections
+    import re as _re
+
+    import ray.data as rd
+
+    from georay.stages.text import token_histogram
+
+    texts = [
+        "The quick  Brown fox", "jumps over\tthe lazy dog", "",
+        "  the the THE  ", "fox\n\nfox",
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    got = {r["token"]: r["n"] for r in token_histogram(ds).take_all()}
+    exp = collections.Counter()
+    for t in texts:
+        exp.update(_re.sub(r"\s+", " ", t.lower()).strip(" ").split(" "))
+    assert got == dict(exp)
