@@ -647,6 +647,64 @@ def top_k(
     )
 
 
+def exact_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Exact distributed quantiles (``quantile_disc`` semantics: the
+    element at index ``max(ceil(q·n)-1, 0)`` of the sorted column) for a
+    BOUNDED-CARDINALITY column, via a value histogram: per-batch
+    ``pc.value_counts`` partials, combine-tree merge keyed by value,
+    then one tiny task walks the cumulative counts. The corpus never
+    shuffles — only (distinct value, count) rows move, so this is exact
+    at any scale where the value domain fits one worker (codes, sizes,
+    scores, quantities). For unbounded domains use a sampled sketch
+    instead (this operator is the exact path).
+
+    Output: one row per q — (q float64, v float64).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr)
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.float64()),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_sum(parts, "v", {"partial_n": "n"}, int_cols=("partial_n",))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if cum.shape[0] else 0
+        out_q, out_v = [], []
+        for q in qs:
+            idx = max(int(np.ceil(q * total)) - 1, 0)
+            pos = np.searchsorted(cum, idx + 1, side="left")
+            out_q.append(float(q))
+            out_v.append(float(v[pos]))
+        return pa.table(
+            {"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())}
+        )
+
+    return hist.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40,
+        num_cpus=0.9,
+    )
+
+
 def group_top_k(
     ds: ray.data.Dataset,
     key: str | list[str],

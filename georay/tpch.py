@@ -326,6 +326,29 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of l_quantity (quantile_disc
+    semantics) via the value-histogram plan — only (value, count) rows
+    move, never the corpus."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+    return ops.exact_quantiles(ds, "l_quantity", [0.01, 0.25, 0.5, 0.9, 0.99])
+
+
+SQL_QUANTILES = """
+SELECT q, v FROM (
+  SELECT 0.01 AS q, quantile_disc(l_quantity, 0.01) AS v FROM lineitem
+  UNION ALL
+  SELECT 0.25, quantile_disc(l_quantity, 0.25) FROM lineitem
+  UNION ALL
+  SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
+  UNION ALL
+  SELECT 0.99, quantile_disc(l_quantity, 0.99) FROM lineitem
+)
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Distributed wordcount over documents.text: exact (token, n) vocab
     counts — Arrow-C tokenize + value_counts partials + Arrow-groupby
@@ -1670,6 +1693,7 @@ QUERIES = {
     "group_topk": q_group_topk,
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
+    "quantiles": q_quantiles,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1716,6 +1740,7 @@ ORACLE = {
     "group_topk": SQL_GROUP_TOPK,
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "quantiles": SQL_QUANTILES,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -558,3 +558,23 @@ def test_broadcast_join_inner_left(ray_session):
     dup = pa.table({"k": pa.array([1, 1], pa.int64()), "name": pa.array(["a", "b"])})
     out = ops.broadcast_join(ds, dup, on="k").to_pandas()
     assert set(out["name"]) == {"a"}
+
+
+def test_exact_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    vals = np.concatenate([
+        rng.integers(1, 51, 5000).astype(np.float64),
+        np.full(2000, 7.0),  # heavy duplicate mass
+    ])
+    t = pa.table({"x": pa.array(vals)})
+    ds = rd.from_arrow(t).repartition(6)
+    qs = [0.0, 0.01, 0.25, 0.5, 0.9, 0.999, 1.0]
+    got = {r["q"]: r["v"] for r in ops.exact_quantiles(ds, "x", qs).take_all()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for q in qs:
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
