@@ -1137,6 +1137,97 @@ def broadcast_join(
     )
 
 
+def equi_join_partitioned(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE equality join (the scale twin of
+    ``broadcast_join``, mirroring pip/knn/asof partitioned variants):
+    both sides are hash-bucketed by key and co-shuffled with ONE
+    ``groupby(bucket)``; each bucket joins locally with Arrow's C++ hash
+    join (``pa.Table.join``). Built on the union+bucket plan rather than
+    ``Dataset.join`` to sidestep the Ray 2.49 empty-partition schema
+    loss (ROUND_NOTES) and to reuse the engine's one partitioning key.
+
+    ``how``: "inner" or "left". Non-key column names must be disjoint
+    across sides. Duplicate keys produce full per-key pairs (true join
+    semantics) — a single hot key concentrates in one bucket, so salt
+    upstream if a key's match set exceeds a worker's heap.
+    ``n_buckets`` sizes tasks, it is not a parallelism cap.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    rkey = right_on or on
+    l_schema = left.schema().base_schema
+    r_schema = right.schema().base_schema
+    l_cols = list(l_schema.names)
+    r_cols = [c for c in r_schema.names if c != rkey]
+    clash = set(l_cols) & set(r_cols)
+    if clash:
+        raise ValueError(f"non-key columns must be disjoint, shared: {sorted(clash)}")
+    l_types = {c: l_schema.field(c).type for c in l_cols}
+    r_types = {c: r_schema.field(c).type for c in r_cols}
+
+    def key_left(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [on])
+        if h is None:
+            raise TypeError(f"unsupported join key type {l_types[on]}")
+        cols = {
+            "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "_side": pa.array(np.zeros(len(batch), np.int8)),
+        }
+        for c in l_cols:
+            cols[c] = batch[c]
+        for c in r_cols:
+            cols[c] = pa.nulls(len(batch), r_types[c])
+        return pa.table(cols)
+
+    def key_right(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [rkey])
+        if h is None:
+            raise TypeError(f"unsupported join key type {r_schema.field(rkey).type}")
+        cols = {
+            "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "_side": pa.array(np.ones(len(batch), np.int8)),
+        }
+        for c in l_cols:
+            if c == on:
+                cols[c] = batch[rkey].cast(l_types[on])
+            else:
+                cols[c] = pa.nulls(len(batch), l_types[c])
+        for c in r_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    lk = left.map_batches(
+        key_left, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    rk = right.map_batches(
+        key_right, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(l_cols)
+        rt = group.filter(pa.array(side == 1)).select([on] + r_cols)
+        joined = lt.join(
+            rt,
+            keys=on,
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        return joined.select(l_cols + r_cols)
+
+    return (
+        lk.union(rk)
+        .groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
 def asof_join_broadcast(
     ds: ray.data.Dataset,
     right: pa.Table,

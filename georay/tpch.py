@@ -326,6 +326,23 @@ def q_pip_partitioned(sf_dir: str):
 SQL_PIP_PARTITIONED = SQL_PIP_BOX_JOIN
 
 
+def q_equi_join(sf_dir: str):
+    """Both-sides-large equality join: orders ⋈ customer on custkey via
+    hash-bucket co-shuffle + per-bucket Arrow hash join (no broadcast —
+    the scale plan when neither side fits a worker)."""
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    return ops.equi_join_partitioned(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    )
+
+
+SQL_EQUI_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_quantiles(sf_dir: str):
     """Exact distributed quantiles of l_quantity (quantile_disc
     semantics) via the value-histogram plan — only (value, count) rows
@@ -1694,6 +1711,7 @@ QUERIES = {
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
     "quantiles": q_quantiles,
+    "equi_join": q_equi_join,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1741,6 +1759,7 @@ ORACLE = {
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "quantiles": SQL_QUANTILES,
+    "equi_join": SQL_EQUI_JOIN,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -578,3 +578,23 @@ def test_exact_quantiles_matches_duckdb(ray_session):
     for q in qs:
         want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
         assert got[q] == want, (q, got[q], want)
+
+
+def test_equi_join_partitioned_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    lt = pa.table({"k": pa.array(rng.integers(0, 60, 900), pa.int64()),
+                   "lval": pa.array(np.arange(900), pa.int64())})
+    rt = pa.table({"rk": pa.array(rng.integers(0, 60, 200), pa.int64()),
+                   "rval": pa.array([f"r{i}" for i in range(200)])})
+    L, R = rd.from_arrow(lt).repartition(5), rd.from_arrow(rt).repartition(3)
+    got = ops.equi_join_partitioned(L, R, on="k", right_on="rk", n_buckets=7).to_pandas()
+    want = lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk").drop(columns="rk")
+    assert sorted(map(tuple, got[["k", "lval", "rval"]].values.tolist())) == \
+        sorted(map(tuple, want[["k", "lval", "rval"]].values.tolist()))
+
+    gotl = ops.equi_join_partitioned(L, R, on="k", right_on="rk", how="left").to_pandas()
+    wantl = lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk", how="left")
+    assert len(gotl) == len(wantl)
+    assert int(gotl["rval"].isna().sum()) == int(wantl["rval"].isna().sum())
