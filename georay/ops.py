@@ -705,6 +705,99 @@ def exact_quantiles(
     )
 
 
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Per-group exact quantiles (``quantile_disc`` semantics per key):
+    the same value-histogram plan as ``exact_quantiles`` but keyed —
+    per-batch Arrow-groupby ``(key, value) → count`` partials, a combine
+    tree, then ONE tiny task that walks every key's cumulative counts in
+    one vectorized searchsorted (no per-key Python loop). Exact whenever
+    keys × distinct values fit one worker.
+
+    Output: one row per (key, q) — (key, q float64, v float64).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, col]).append_column(
+            "_one", pa.array(np.ones(len(batch), dtype=np.int64))
+        )
+        g = t.group_by([key, col]).aggregate([("_one", "sum")])
+        return pa.table(
+            {
+                key: g[key],
+                "v": g[col].cast(pa.float64()),
+                "partial_n": g["_one_sum"].cast(pa.int64()),
+            }
+        )
+
+    def combine(batch: pa.Table, out_name: str) -> pa.Table:
+        g = batch.group_by([key, "v"]).aggregate([("partial_n", "sum")])
+        return pa.table(
+            {key: g[key], "v": g["v"], out_name: g["partial_n_sum"]}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = parts.map_batches(
+        lambda b: combine(b, "partial_n"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    )
+    hist = comb.map_batches(
+        lambda b: combine(b, "n"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[(key, "ascending"), ("v", "ascending")]
+        )
+        g = batch.take(order)
+        m = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        v = g["v"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        new = np.zeros(m, dtype=bool)
+        if m:
+            new[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, m - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            new[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        seg = np.flatnonzero(new)
+        cum = np.cumsum(n)
+        base = np.where(seg > 0, cum[seg - 1], 0)
+        seg_end = np.append(seg[1:], m) - 1
+        n_k = cum[seg_end] - base
+        out_keys, out_q, out_v = [], [], []
+        for q in qs:
+            target = base + np.maximum(np.ceil(q * n_k).astype(np.int64), 1)
+            pos = np.searchsorted(cum, target, side="left")
+            out_keys.append(karr.take(pa.array(seg)))
+            out_q.append(np.full(seg.shape[0], float(q)))
+            out_v.append(v[pos])
+        if not out_keys:
+            return pa.table({key: karr.slice(0, 0), "q": pa.array([], pa.float64()),
+                             "v": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                key: pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_keys]),
+                "q": pa.array(np.concatenate(out_q), pa.float64()),
+                "v": pa.array(np.concatenate(out_v), pa.float64()),
+            }
+        )
+
+    return hist.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40,
+        num_cpus=0.9,
+    )
+
+
 def group_top_k(
     ds: ray.data.Dataset,
     key: str | list[str],

@@ -366,6 +366,29 @@ SELECT q, v FROM (
 """
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-returnflag exact quantiles of l_quantity (keyed value
+    histogram, vectorized per-key cumulative pick)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+    return ops.grouped_quantiles(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.99])
+
+
+SQL_GROUPED_QUANTILES = """
+SELECT l_returnflag, q, v FROM (
+  SELECT l_returnflag, 0.25 AS q, quantile_disc(l_quantity, 0.25) AS v
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.5, quantile_disc(l_quantity, 0.5)
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.99, quantile_disc(l_quantity, 0.99)
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Distributed wordcount over documents.text: exact (token, n) vocab
     counts — Arrow-C tokenize + value_counts partials + Arrow-groupby
@@ -1712,6 +1735,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "quantiles": q_quantiles,
     "equi_join": q_equi_join,
+    "grouped_quantiles": q_grouped_quantiles,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1760,6 +1784,7 @@ ORACLE = {
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "quantiles": SQL_QUANTILES,
     "equi_join": SQL_EQUI_JOIN,
+    "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -598,3 +598,26 @@ def test_equi_join_partitioned_matches_pandas(ray_session):
     wantl = lt.to_pandas().merge(rt.to_pandas(), left_on="k", right_on="rk", how="left")
     assert len(gotl) == len(wantl)
     assert int(gotl["rval"].isna().sum()) == int(wantl["rval"].isna().sum())
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    t = pa.table({
+        "g": pa.array([int(x) for x in rng.integers(0, 5, 4000)], pa.int64()),
+        "x": pa.array(rng.integers(1, 30, 4000).astype(np.float64)),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    qs = [0.0, 0.5, 0.95, 1.0]
+    got = {(r["g"], r["q"]): r["v"]
+           for r in ops.grouped_quantiles(ds, "g", "x", qs).take_all()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for (g,) in con.execute("SELECT DISTINCT g FROM t").fetchall():
+        for q in qs:
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM t WHERE g={g}"
+            ).fetchone()[0]
+            assert got[(g, q)] == want, (g, q)
