@@ -284,3 +284,115 @@ def embedding_neardup_pairs(
     from georay import ops
 
     return ops.tree_reduce(pairs, ["id_a", "id_b"], {"sim": "sim"}, ufunc=np.maximum)
+
+
+def kmeans_assign(
+    ds: ray.data.Dataset,
+    centers: np.ndarray,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Nearest-center assignment (the k-means E-step) as a streaming
+    stage: centers are ``ray.put`` once; each batch computes DIRECT
+    squared Euclidean distances (``(x-c)²`` summed — not the expanded
+    dot-product form, so near-duplicate points keep full precision and
+    the argmin matches SQL ``list_distance`` ordering) and takes the
+    lowest-distance center, ties to the lowest center id (numpy argmin's
+    first-hit rule).
+
+    Output: (id_col, center_id int64)."""
+    c64 = np.ascontiguousarray(np.asarray(centers, dtype=np.float64))
+    ref = ray.put(c64)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cache.setdefault("c", ray.get(ref))
+        x = _embedding_matrix(batch, col)
+        # (B, k) direct distances; B·k·d floats per batch is bounded by
+        # the block size (k is small by construction)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "center_id": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int,
+    n_iter: int = 5,
+    col: str = "embedding",
+    init_centers: np.ndarray | None = None,
+    init_ids: int | None = None,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd k-means over the full table (the scale twin of
+    the sample-trained ``kmeans_centroids``): per iteration, one
+    streaming pass assigns each batch to the broadcast centers and emits
+    k partial rows (center_id, count, per-dim sums as columns); a
+    combine tree merges them and the driver updates k×d numbers — the
+    corpus never concentrates anywhere. Deterministic: ties to the
+    lowest center id; empty clusters keep their previous center.
+
+    ``init_centers`` (k,d) or ``init_ids`` (= the rows with
+    ``id_col < init_ids`` — a deterministic, SQL-replicable init).
+    Returns the (k, d) float64 centers after ``n_iter`` E/M rounds.
+    """
+    from georay import ops as _ops
+
+    if init_centers is None:
+        if init_ids is None:
+            init_ids = k
+        import pyarrow.compute as pc
+
+        first = ds.filter(
+            expr=f"{id_col} < {init_ids}"
+        ).to_pandas().sort_values(id_col)
+        centers = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in first[col]]
+        )[:k]
+    else:
+        centers = np.ascontiguousarray(np.asarray(init_centers, dtype=np.float64))
+    kk, d = centers.shape
+    sum_cols = [f"s{i}" for i in range(d)]
+
+    for _ in range(n_iter):
+        ref = ray.put(centers)
+        cache: dict = {}
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = cache.setdefault("c", ray.get(ref))
+            x = _embedding_matrix(batch, col)
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            cols = {
+                "center_id": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(cnt),
+            }
+            for i, name in enumerate(sum_cols):
+                cols[name] = pa.array(sums[:, i])
+            return pa.table(cols)
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        merged = _ops.tree_sum(
+            parts, "center_id",
+            {**{c: c for c in sum_cols}, "n": "n"},
+            int_cols=("n",),
+        ).to_pandas().sort_values("center_id")
+        n = merged["n"].to_numpy()
+        sums = merged[sum_cols].to_numpy()
+        nz = n > 0
+        centers = centers.copy()
+        centers[nz] = sums[nz] / n[nz, None]
+    return centers

@@ -1012,6 +1012,59 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
 """
 
 
+KMEANS_K = 8
+
+
+def q_kmeans_assign(sf_dir: str):
+    """k-means E-step as a streaming stage: every embedding assigned to
+    the nearest of 8 fixed centers (the first 8 vectors — a
+    deterministic, SQL-replicable init), counted per center via the
+    combine tree. Direct (x−c)² distances in float64 so the argmin
+    matches SQL list_distance ordering bit-for-bit."""
+    import pyarrow.parquet as pq
+    from georay.stages import embed as embed_stage
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    first = t.filter(pc.less(t["vec_id"], KMEANS_K)).sort_by("vec_id")
+    centers = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in first["embedding"].to_pylist()]
+    )
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    asg = embed_stage.kmeans_assign(ds, centers)
+    return ops.tree_sum(
+        asg.map_batches(
+            lambda b: pa.table(
+                {
+                    "center_id": b["center_id"],
+                    "partial_n": pa.array(np.ones(len(b), np.int64)),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        "center_id", {"partial_n": "n"}, int_cols=("partial_n",),
+    )
+
+
+SQL_KMEANS_ASSIGN = f"""
+WITH c AS (
+  SELECT vec_id AS center_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+p AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS pe FROM embeddings
+),
+best AS (
+  SELECT p.vec_id, c.center_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.vec_id
+           ORDER BY list_distance(p.pe, c.ce), c.center_id
+         ) AS rn
+  FROM p CROSS JOIN c
+)
+SELECT center_id, COUNT(*) AS n FROM best WHERE rn = 1 GROUP BY center_id
+"""
+
+
 IVF_RECALL_MIN = 0.6
 
 
@@ -1736,6 +1789,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
+    "kmeans_assign": q_kmeans_assign,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1785,6 +1839,7 @@ ORACLE = {
     "quantiles": SQL_QUANTILES,
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
+    "kmeans_assign": SQL_KMEANS_ASSIGN,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

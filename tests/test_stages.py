@@ -430,3 +430,29 @@ def test_token_histogram_matches_python(ray_session):
     for t in texts:
         exp.update(_re.sub(r"\s+", " ", t.lower()).strip(" ").split(" "))
     assert got == dict(exp)
+
+
+def test_kmeans_fit_recovers_separated_clusters(ray_session):
+    import ray.data as rd
+
+    from georay.stages import embed as E
+
+    rng = np.random.default_rng(4)
+    true_c = np.array([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]], dtype=np.float64)
+    lab = rng.integers(0, 3, 1500)
+    X = true_c[lab] + rng.normal(0, 0.3, (1500, 4))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(1500), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in X], pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+
+    centers = E.kmeans_fit(ds, k=3, n_iter=6, init_centers=true_c + rng.normal(0, 1, (3, 4)))
+    want = np.stack([X[lab == i].mean(axis=0) for i in range(3)])
+    perm = [int(np.argmin(((want - c) ** 2).sum(axis=1))) for c in centers]
+    assert sorted(perm) == [0, 1, 2]
+    # exact per-cluster means up to float32 storage noise
+    assert np.abs(centers - want[perm]).max() < 1e-6
+
+    asg = E.kmeans_assign(ds, centers).to_pandas().sort_values("vec_id")
+    assert (np.array([perm[c] for c in asg["center_id"]]) == lab).all()
