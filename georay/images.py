@@ -155,3 +155,43 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n): B @ x applies the DCT."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    b = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    b[0] /= np.sqrt(2.0)
+    return b
+
+
+def _pool_gray(pix: np.ndarray, n: int = 32) -> np.ndarray:
+    """Mean-pool the grayscale image to n×n (ragged blocks like phash64)."""
+    g = pix.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(n + 1) * h // n).astype(int)
+    xs = (np.arange(n + 1) * w // n).astype(int)
+    # integral image → arbitrary-rectangle means without Python loops
+    ii = np.zeros((h + 1, w + 1))
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    s = ii[ys][:, xs]
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return (s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]) / np.maximum(area, 1)
+
+
+def dct_phash64(pix: np.ndarray, basis: np.ndarray | None = None) -> int:
+    """DCT perceptual hash: 32×32 grayscale pool → 2-D DCT-II → the 8×8
+    low-frequency block (DC excluded) thresholded at its median →
+    64-bit signature. Robust to resize/noise (unlike the average-hash
+    ``phash64``, which keys exact content)."""
+    b = basis if basis is not None else _dct_basis(32)
+    small = _pool_gray(pix, 32)
+    freq = b @ small @ b.T
+    block = freq[:8, :8].flatten()
+    block[0] = np.median(block)  # neutralize DC so it never votes
+    bits = block > np.median(block)
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -89,6 +89,48 @@ class ImageStats:
         )
 
 
+class DctPhash:
+    """DCT perceptual hash per image (decode → 32×32 pool → DCT-II →
+    low-frequency median signature). The DCT basis is built ONCE per
+    actor in ``__init__`` (stateful-stage shape); decode is inherently
+    per-image, everything after is numpy matmul.
+
+    Output: (image_id, dct_phash int64)."""
+
+    def __init__(self):
+        self.basis = im._dct_basis(32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = np.empty(len(batch), dtype=np.int64)
+        for i, (data, fmt, w, h) in enumerate(
+            zip(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(),
+                batch["h"].to_pylist(),
+            )
+        ):
+            pix = im.decode_image(data, fmt, w, h)
+            out[i] = im.dct_phash64(pix, self.basis)
+        return pa.table(
+            {"image_id": batch["image_id"], "dct_phash": pa.array(out)}
+        )
+
+
+def add_dct_phash(ds: ray.data.Dataset, concurrency=(2, 8)):
+    """Actor-pool perceptual-hash stage; compose with
+    ``dedup.hash64_band_candidates(..., hash_col="dct_phash")`` for
+    robust image near-dup detection (survives re-encode/resize/noise,
+    unlike the exact-content ``phash`` column)."""
+    return ds.map_batches(
+        DctPhash,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
 def decode_resize(ds: ray.data.Dataset, size: int = 64, concurrency=(2, 8)):
     """Actor-pool resize stage (decoder state per actor)."""
     return ds.map_batches(

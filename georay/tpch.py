@@ -1390,6 +1390,94 @@ def q_image_neardup(sf_dir: str):
 SQL_IMAGE_NEARDUP = "SELECT 100 AS n_planted_found"
 
 
+def q_dct_image_neardup(sf_dir: str):
+    """ROBUST image near-dup: decode pixels → DCT perceptual hash
+    (actor-pool stage, basis built once per actor) → 16-bit Hamming
+    banding. Planted NOISY clones (±4 per channel, fixed seed) — byte-
+    and phash-distinct, but within a few DCT bits, so only a
+    pixel-level perceptual hash finds them. Deterministic input ⇒
+    constant-count oracle (pinned at all three sf scales)."""
+    import tempfile
+
+    from georay import generate, images as im
+    from georay.stages import dedup as dedup_stage
+    from georay.stages.multimodal import add_dct_phash
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_dctimages_600")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 600, seed=78, rows_per_file=300)
+        open(marker, "w").write("ok")
+    ds = rd.read_parquet(cache)
+
+    def to_int_ids(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("image_id"), "image_id", pa.array(ids)
+        )
+
+    base = ds.map_batches(
+        to_int_ids, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def plant_noisy(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        keep = ids % PLANT_MOD == 0
+        sub = batch.filter(pa.array(keep))
+        new_bytes, new_fmt = [], []
+        for rid, data, fmt, w, h in zip(
+            sub["image_id"].to_pylist(),
+            sub["bytes"].to_pylist(),
+            sub["fmt"].to_pylist(),
+            sub["w"].to_pylist(),
+            sub["h"].to_pylist(),
+        ):
+            pix = im.decode_image(data, fmt, w, h)
+            rng = np.random.default_rng(10_000 + rid)  # per-row determinism
+            noisy = np.clip(
+                pix.astype(np.int16) + rng.integers(-4, 5, pix.shape), 0, 255
+            ).astype(np.uint8)
+            new_bytes.append(im.encode_ppm(noisy))
+            new_fmt.append("ppm")
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    sub["image_id"].to_numpy(zero_copy_only=False) + PLANT_OFFSET,
+                    pa.int64(),
+                ),
+                "bytes": pa.array(new_bytes, pa.binary()),
+                "fmt": pa.array(new_fmt),
+                "w": sub["w"],
+                "h": sub["h"],
+            }
+        )
+
+    planted = base.map_batches(
+        plant_noisy, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).select_columns(["image_id", "bytes", "fmt", "w", "h"])
+    both = base.select_columns(["image_id", "bytes", "fmt", "w", "h"]).union(planted)
+    hashed = add_dct_phash(both, concurrency=(2, 8))
+    pairs = dedup_stage.hash64_band_candidates(
+        hashed, "dct_phash", id_col="image_id", max_hamming=8
+    ).to_pandas()
+    if len(pairs) == 0:
+        found = 0
+    else:
+        a = pairs["id_a"].to_numpy()
+        b = pairs["id_b"].to_numpy()
+        found = int(((b - a == PLANT_OFFSET) & (a % PLANT_MOD == 0)).sum())
+    return pa.table({"n_planted_found": pa.array([found], pa.int64())})
+
+
+# constant oracle: 600 deterministic images (seed 78) → 60 noisy clones;
+# every one lands within Hamming ≤ 8 of its source's DCT hash AND shares
+# a 16-bit band (verified at all three sf scales — the input is
+# sf-independent by construction)
+SQL_DCT_IMAGE_NEARDUP = "SELECT 60 AS n_planted_found"
+
+
 def q_av_pipeline(sf_dir: str):
     """Audio + video multimodal pipeline over the engine's own RPCM/RVID
     containers (georay/media.py): 200 deterministic clips → audio decode
@@ -1776,6 +1864,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
     "image_neardup": q_image_neardup,
+    "dct_image_neardup": q_dct_image_neardup,
     "av_pipeline": q_av_pipeline,
     "grid_cell_count": q_grid_cell_count,
     "bounds": q_bounds,
@@ -1851,5 +1940,6 @@ ORACLE = {
     "lang_quality": SQL_LANG_QUALITY,
     "embed_planted": SQL_EMBED_PLANTED,
     "image_neardup": SQL_IMAGE_NEARDUP,
+    "dct_image_neardup": SQL_DCT_IMAGE_NEARDUP,
     "av_pipeline": SQL_AV_PIPELINE,
 }

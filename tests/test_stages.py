@@ -456,3 +456,37 @@ def test_kmeans_fit_recovers_separated_clusters(ray_session):
 
     asg = E.kmeans_assign(ds, centers).to_pandas().sort_values("vec_id")
     assert (np.array([perm[c] for c in asg["center_id"]]) == lab).all()
+
+
+def test_dct_phash_robust_neardup(ray_session):
+    import ray.data as rd
+
+    from georay import images as im
+    from georay.stages.multimodal import add_dct_phash
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(30):
+        pix = rng.integers(0, 255, (40, 56, 3)).astype(np.uint8)
+        rows.append((f"im{i:03d}", pix))
+        if i % 5 == 0:  # planted noisy near-dup
+            noisy = np.clip(
+                pix.astype(np.int16) + rng.integers(-6, 6, pix.shape), 0, 255
+            ).astype(np.uint8)
+            rows.append((f"im{i:03d}_dup", noisy))
+    t = pa.table({
+        "image_id": pa.array([r[0] for r in rows]),
+        "bytes": pa.array([im.encode_ppm(r[1]) for r in rows], pa.binary()),
+        "fmt": pa.array(["ppm"] * len(rows)),
+        "w": pa.array([r[1].shape[1] for r in rows], pa.int32()),
+        "h": pa.array([r[1].shape[0] for r in rows], pa.int32()),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    got = {r["image_id"]: r["dct_phash"] for r in add_dct_phash(ds, concurrency=2).take_all()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    for i in range(0, 30, 5):
+        d = ham(got[f"im{i:03d}"], got[f"im{i:03d}_dup"])
+        assert d <= 6, (i, d)
+    # unrelated pairs stay far
+    far = ham(got["im001"], got["im002"])
+    assert far > 10, far
