@@ -705,6 +705,135 @@ def exact_quantiles(
     )
 
 
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """Data-profiling summary (pipeline-QA primitive): one output row per
+    column — (column, n, n_null, min, max, sum). Numeric columns report
+    float min/max/sum; string/binary report lexicographic min/max with
+    NaN sum. One streaming pass emits a per-batch partial row per column;
+    a combine-tree merge with per-column reducers finishes — nothing
+    wide, nothing driver-side.
+
+    Exact sums require integer-valued doubles (order-independence); min/
+    max/counts are always exact.
+    """
+    schema = ds.schema().base_schema
+    numeric = {
+        c: pa.types.is_integer(schema.field(c).type)
+        or pa.types.is_floating(schema.field(c).type)
+        for c in cols
+    }
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        smin, smax = [], []
+        for c in cols:
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            names.append(c)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            if numeric[c]:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                sm = pc.sum(arr).as_py()
+                mins.append(float("inf") if mn is None else float(mn))
+                maxs.append(float("-inf") if mx is None else float(mx))
+                sums.append(0.0 if sm is None else float(sm))
+                smin.append(None)
+                smax.append(None)
+            else:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                mins.append(float("inf"))
+                maxs.append(float("-inf"))
+                sums.append(np.nan)
+                smin.append(mn)
+                smax.append(mx)
+        return pa.table(
+            {
+                "column": pa.array(names),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "vmin": pa.array(mins, pa.float64()),
+                "vmax": pa.array(maxs, pa.float64()),
+                "vsum": pa.array(sums, pa.float64()),
+                "smin": pa.array(smin, pa.string()),
+                "smax": pa.array(smax, pa.string()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        key = batch["column"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        g = batch.group_by("column").aggregate(
+            [
+                ("n", "sum"),
+                ("n_null", "sum"),
+                ("vmin", "min"),
+                ("vmax", "max"),
+                ("vsum", "sum"),
+                ("smin", "min"),
+                ("smax", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                "column": g["column"],
+                "n": g["n_sum"],
+                "n_null": g["n_null_sum"],
+                "vmin": g["vmin_min"],
+                "vmax": g["vmax_max"],
+                "vsum": g["vsum_sum"],
+                "smin": g["smin_min"],
+                "smax": g["smax_max"],
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = parts.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    )
+    merged = comb.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        names = batch["column"].to_pylist()
+        is_num = [numeric[c] for c in names]
+        vmin = batch["vmin"].to_numpy(zero_copy_only=False)
+        vmax = batch["vmax"].to_numpy(zero_copy_only=False)
+        smin, smax = batch["smin"].to_pylist(), batch["smax"].to_pylist()
+        return pa.table(
+            {
+                "column": batch["column"],
+                "n": batch["n"],
+                "n_null": batch["n_null"],
+                "min": pa.array(
+                    [str(vmin[i]) if is_num[i] else smin[i] for i in range(len(names))],
+                    pa.string(),
+                ),
+                "max": pa.array(
+                    [str(vmax[i]) if is_num[i] else smax[i] for i in range(len(names))],
+                    pa.string(),
+                ),
+                "sum": batch["vsum"],
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40
+    )
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str,

@@ -366,6 +366,37 @@ SELECT q, v FROM (
 """
 
 
+def q_profile(sf_dir: str):
+    """Data-profiling pass over lineitem: per-column n/n_null/min/max/sum
+    in ONE streaming pass (per-batch partial row per column, combine-tree
+    merge with per-column reducers)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    )
+    return ops.profile_columns(ds, ["l_orderkey", "l_quantity", "l_returnflag"])
+
+
+SQL_PROFILE = """
+SELECT 'l_orderkey' AS "column", COUNT(*) AS n,
+       COUNT(*) - COUNT(l_orderkey) AS n_null,
+       CAST(CAST(MIN(l_orderkey) AS DOUBLE) AS VARCHAR) AS "min",
+       CAST(CAST(MAX(l_orderkey) AS DOUBLE) AS VARCHAR) AS "max",
+       CAST(SUM(l_orderkey) AS DOUBLE) AS "sum"
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+       CAST(CAST(MIN(l_quantity) AS DOUBLE) AS VARCHAR),
+       CAST(CAST(MAX(l_quantity) AS DOUBLE) AS VARCHAR),
+       CAST(SUM(l_quantity) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', COUNT(*), COUNT(*) - COUNT(l_returnflag),
+       MIN(l_returnflag), MAX(l_returnflag), CAST('nan' AS DOUBLE)
+FROM lineitem
+"""
+
+
 def q_grouped_quantiles(sf_dir: str):
     """Per-returnflag exact quantiles of l_quantity (keyed value
     histogram, vectorized per-key cumulative pick)."""
@@ -1879,6 +1910,7 @@ QUERIES = {
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans_assign": q_kmeans_assign,
+    "profile": q_profile,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1929,6 +1961,7 @@ ORACLE = {
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "profile": SQL_PROFILE,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -621,3 +621,20 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
                 f"SELECT quantile_disc(x, {q}) FROM t WHERE g={g}"
             ).fetchone()[0]
             assert got[(g, q)] == want, (g, q)
+
+
+def test_profile_columns(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "a": pa.array([1, 5, None, 3, 2], pa.int64()),
+        "b": pa.array([2.5, None, 1.0, 9.0, 3.5]),
+        "s": pa.array(["kiwi", "apple", None, "zebra", "mango"]),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = {r["column"]: r for r in ops.profile_columns(ds, ["a", "b", "s"]).take_all()}
+    assert out["a"]["n"] == 5 and out["a"]["n_null"] == 1
+    assert out["a"]["min"] == "1.0" and out["a"]["max"] == "5.0" and out["a"]["sum"] == 11.0
+    assert out["b"]["min"] == "1.0" and out["b"]["max"] == "9.0" and out["b"]["sum"] == 16.0
+    assert out["s"]["min"] == "apple" and out["s"]["max"] == "zebra"
+    assert np.isnan(out["s"]["sum"])
