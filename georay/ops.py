@@ -705,6 +705,51 @@ def exact_quantiles(
     )
 
 
+def focal_sum(
+    hist: ray.data.Dataset,
+    cell_col: str = "grid_cell",
+    val_col: str = "n",
+    k: int = 1,
+    nx: int = 360,
+    out_col: str = "focal_n",
+) -> ray.data.Dataset:
+    """Raster focal (neighborhood) sum: for every grid cell in the
+    histogram, the sum of ``val_col`` over its (2k+1)² neighbor cells
+    (lon wraps modulo ``nx`` columns; rows don't wrap past the poles) —
+    the classic raster-smoothing kernel over the engine's grid keys.
+
+    Scale shape: the input is the already-aggregated CELL histogram
+    (bounded by the raster size, not the point corpus — ≤ 360·180/res²
+    cells on Earth), so it is broadcast once as two sorted arrays and
+    each batch probes its neighbors with ``searchsorted`` — no second
+    shuffle. For rasters too fine to broadcast, explode + ``tree_sum``
+    by neighbor key is the partitioned twin (same numbers, one shuffle).
+    """
+    tbl = pa.concat_tables(
+        [b for b in hist.select_columns([cell_col, val_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None)]
+    )
+    c = tbl[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = tbl[val_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(c, kind="stable")
+    ref = ray.put((c[order], v[order]))
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cs, vs = cache.setdefault("m", ray.get(ref))
+        cells_arr = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = cells.grid_disk(cells_arr, k, nx)
+        pos = np.searchsorted(cs, nb)
+        pos_c = np.minimum(pos, cs.shape[0] - 1)
+        hit = cs[pos_c] == nb
+        sums = np.where(hit, vs[pos_c], 0).sum(axis=1)
+        return batch.append_column(out_col, pa.array(sums, pa.int64()))
+
+    return hist.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def profile_columns(
     ds: ray.data.Dataset,
     cols: list[str],

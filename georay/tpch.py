@@ -215,6 +215,33 @@ GROUP BY 1
 """
 
 
+def q_focal_sum(sf_dir: str):
+    """Raster focal 3×3 sum over the per-cell point histogram (the
+    smoothing kernel): histogram via salted count, then one broadcast
+    searchsorted probe per cell — no second shuffle."""
+    hist = q_grid_cell_count(sf_dir)
+    return ops.focal_sum(hist, "grid_cell", "n", k=1, nx=360)
+
+
+SQL_FOCAL_SUM = f"""
+WITH h AS ({SQL_GRID_CELL_COUNT}),
+g AS (
+  SELECT grid_cell, n,
+         grid_cell // 100000 AS gx, grid_cell % 100000 AS gy
+  FROM h
+),
+o(d) AS (VALUES (-1), (0), (1))
+SELECT a.grid_cell AS grid_cell,
+       CAST(ANY_VALUE(a.n) AS BIGINT) AS n,
+       CAST(SUM(b.n) AS BIGINT) AS focal_n
+FROM g a
+CROSS JOIN o ox CROSS JOIN o oy
+JOIN g b
+  ON b.gx = (a.gx + ox.d + 360) % 360 AND b.gy = a.gy + oy.d
+GROUP BY a.grid_cell
+"""
+
+
 def q_bounds(sf_dir: str):
     """box_agg kernel over the whole table (never-null global bounds)."""
     ds = lineitem_points(sf_dir)
@@ -1911,6 +1938,7 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans_assign": q_kmeans_assign,
     "profile": q_profile,
+    "focal_sum": q_focal_sum,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1962,6 +1990,7 @@ ORACLE = {
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "profile": SQL_PROFILE,
+    "focal_sum": SQL_FOCAL_SUM,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

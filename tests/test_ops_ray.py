@@ -638,3 +638,25 @@ def test_profile_columns(ray_session):
     assert out["b"]["min"] == "1.0" and out["b"]["max"] == "9.0" and out["b"]["sum"] == 16.0
     assert out["s"]["min"] == "apple" and out["s"]["max"] == "zebra"
     assert np.isnan(out["s"]["sum"])
+
+
+def test_focal_sum_matches_brute(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(19)
+    # sparse raster incl. antimeridian wrap column 0 and 359
+    gx = np.concatenate([rng.integers(0, 360, 300), [0, 359, 359]])
+    gy = np.concatenate([rng.integers(0, 180, 300), [90, 90, 91]])
+    keys, counts = np.unique(gx.astype(np.int64) * 100000 + gy, return_counts=True)
+    t = pa.table({"grid_cell": pa.array(keys), "n": pa.array(counts.astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(4)
+    got = {r["grid_cell"]: r["focal_n"] for r in ops.focal_sum(ds, k=1, nx=360).take_all()}
+    lut = dict(zip(keys.tolist(), counts.tolist()))
+    for cell in keys.tolist():
+        cx, cy = cell // 100000, cell % 100000
+        want = sum(
+            lut.get(((cx + dx) % 360) * 100000 + (cy + dy), 0)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        assert got[cell] == want, cell
