@@ -1878,6 +1878,66 @@ def sessionize(
 
 # -------------------------------------------------- extension protocol
 
+def window_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "lag_value",
+    order_tiebreak: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key LAG: each row gets the previous row's ``value_col`` in
+    (ts, tiebreak) order within its key (SQL ``LAG(value) OVER
+    (PARTITION BY key ORDER BY ts)``); the first row per key gets null.
+
+    Same bucket plan as ``sessionize``: ONE key-hash shuffle, each
+    ``map_groups`` call handles a whole bucket of keys in one vectorized
+    sort + shift (key boundaries nulled). Integer and string keys
+    supported; ``n_buckets`` sizes tasks, it is not a parallelism cap.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_lag requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        varr = (
+            g[value_col].combine_chunks()
+            if isinstance(g[value_col], pa.ChunkedArray)
+            else g[value_col]
+        )
+        # shift down by one, then null rows that start a new key
+        lag = pa.concat_arrays([pa.nulls(1, varr.type), varr.slice(0, n - 1)]) if n else varr
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        lag = pc.if_else(pa.array(~first), lag, pa.nulls(n, varr.type))
+        return g.append_column(out_col, lag)
+
+    return (
+        ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def apply_geo_kernel(
     ds: ray.data.Dataset,
     col: str,

@@ -215,6 +215,26 @@ GROUP BY 1
 """
 
 
+def q_window_lag(sf_dir: str):
+    """Per-user LAG(ts) over the event log ((ts, event_id) total order)
+    — one key-hash shuffle, whole-bucket vectorized sort+shift."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_lag(
+        ds, key="user_id", ts="ts", value_col="ts",
+        out_col="prev_ts", order_tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "prev_ts"])
+
+
+SQL_WINDOW_LAG = """
+SELECT event_id, user_id, ts,
+       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+FROM events
+"""
+
+
 def q_focal_sum(sf_dir: str):
     """Raster focal 3×3 sum over the per-cell point histogram (the
     smoothing kernel): histogram via salted count, then one broadcast
@@ -1939,6 +1959,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "profile": q_profile,
     "focal_sum": q_focal_sum,
+    "window_lag": q_window_lag,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -1991,6 +2012,7 @@ ORACLE = {
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "profile": SQL_PROFILE,
     "focal_sum": SQL_FOCAL_SUM,
+    "window_lag": SQL_WINDOW_LAG,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

@@ -157,3 +157,30 @@ def test_asof_partitioned_matches_broadcast_under_skew(ray_session):
         .reset_index(drop=True)
     )
     assert bc.equals(pt)
+
+
+def test_window_lag_matches_pandas(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    t = pa.table({
+        "u": pa.array([f"user{int(x)}" for x in rng.integers(0, 25, n)]),
+        "ts": pa.array(np.sort(rng.integers(0, 10_000, n)).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "val": pa.array(rng.normal(size=n)),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    got = (
+        ops.window_lag(ds, key="u", ts="ts", value_col="val", order_tiebreak="eid", n_buckets=9)
+        .to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    df["lag_value"] = df.groupby("u")["val"].shift(1)
+    assert len(got) == len(df)
+    a, b = got["lag_value"].to_numpy(), df["lag_value"].to_numpy()
+    assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
