@@ -490,3 +490,21 @@ def test_dct_phash_robust_neardup(ray_session):
     # unrelated pairs stay far
     far = ham(got["im001"], got["im002"])
     assert far > 10, far
+
+
+def test_connected_components_local_matches_distributed(ray_session):
+    import ray.data as rd
+
+    from georay.stages.components import connected_components
+
+    edges = [(100 + i, 101 + i) for i in range(15)]
+    edges += [(500, x) for x in range(510, 520)] + [(7, 9), (9, 3)]
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    loc = connected_components(ds)
+    dist = connected_components(ds, local_edge_cutoff=0)
+    dl = dict(zip(loc["node"].to_pylist(), loc["label"].to_pylist()))
+    dd = dict(zip(dist["node"].to_pylist(), dist["label"].to_pylist()))
+    assert dl == dd
+    assert dl[115] == 100 and dl[519] == 500 and dl[7] == 3 and dl[9] == 3
