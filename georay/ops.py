@@ -1938,6 +1938,62 @@ def window_lag(
     )
 
 
+def window_cumsum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    order_tiebreak: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key running total: SQL ``SUM(value) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak ROWS UNBOUNDED PRECEDING)``. Same bucket plan
+    as ``window_lag`` — one key-hash shuffle, whole-bucket vectorized
+    sort + segmented cumsum (global cumsum minus each key's base)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_cumsum requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        # segmented cumsum: global cumsum minus the sum before each key's
+        # first row (index propagation, correct for negative values too).
+        # Exact for integer-valued doubles below 2^53 — same caveat as
+        # every float-sum oracle here.
+        cum = np.cumsum(v)
+        pos = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        base = cum[start] - v[start]
+        return g.append_column(out_col, pa.array(cum - base, pa.float64()))
+
+    return (
+        ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def apply_geo_kernel(
     ds: ray.data.Dataset,
     col: str,

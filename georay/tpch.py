@@ -235,6 +235,38 @@ FROM events
 """
 
 
+def q_window_cumsum(sf_dir: str):
+    """Per-user running total of l_quantity-style integer values: running
+    count of each user's events ordered by (ts, event_id) — segmented
+    cumsum over the bucket shuffle (integer-valued ⇒ exact)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.float64))
+        )
+
+    ds = ds.map_batches(add_one, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ops.window_cumsum(
+        ds, key="user_id", ts="ts", value_col="one",
+        out_col="running_n", order_tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "ts", "running_n"])
+
+
+SQL_WINDOW_CUMSUM = """
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS DOUBLE) AS running_n
+FROM events
+"""
+
+
 def q_focal_sum(sf_dir: str):
     """Raster focal 3×3 sum over the per-cell point histogram (the
     smoothing kernel): histogram via salted count, then one broadcast
@@ -1960,6 +1992,7 @@ QUERIES = {
     "profile": q_profile,
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
+    "window_cumsum": q_window_cumsum,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "tile_counts": q_tile_counts,
@@ -2013,6 +2046,7 @@ ORACLE = {
     "profile": SQL_PROFILE,
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,
+    "window_cumsum": SQL_WINDOW_CUMSUM,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "tile_counts": SQL_TILE_COUNTS,

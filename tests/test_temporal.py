@@ -184,3 +184,28 @@ def test_window_lag_matches_pandas(ray_session):
     assert len(got) == len(df)
     a, b = got["lag_value"].to_numpy(), df["lag_value"].to_numpy()
     assert ((np.isnan(a) & np.isnan(b)) | (a == b)).all()
+
+
+def test_window_cumsum_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(29)
+    n = 1000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 9000, n)).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        # negative integer-valued doubles exercise the index-propagated base
+        "val": pa.array(rng.integers(-10, 10, n).astype(np.float64)),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = (
+        ops.window_cumsum(ds, key="u", ts="ts", value_col="val", order_tiebreak="eid")
+        .to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    df["running_sum"] = df.groupby("u")["val"].cumsum()
+    assert np.array_equal(got["running_sum"].to_numpy(), df["running_sum"].to_numpy())
