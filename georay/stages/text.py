@@ -240,3 +240,138 @@ def token_histogram(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Da
         batch_size=1 << 40,
         num_cpus=0.9,
     )
+
+
+def _tokenize_flat(txt: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(flat token array, per-doc token counts) with the engine's
+    canonical normalization (lower → collapse whitespace → trim → split
+    on single spaces; empty doc yields one empty token)."""
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "),
+        characters=" ",
+    )
+    lists = pc.split_pattern(norm, " ")
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pc.list_flatten(lists), counts
+
+
+def doc_top_tfidf(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document top TF-IDF token: for each doc, the token maximizing
+    ``tf(d,t) · ln(N / df(t))`` (ties → lexicographically smallest
+    token). Argmax instead of a score sum keeps the result float-order
+    independent (single multiply per candidate), so it oracles exactly.
+
+    Two streaming passes: (1) document frequencies — per-batch unique
+    (doc, token) pairs via dictionary-encode + lexsort boundary, Arrow
+    groupby combine tree (vocabulary-sized merge, same bound as
+    ``token_histogram``); the (token → idf) table is then broadcast
+    sorted so ``pc.index_in`` codes ARE lexicographic ranks. (2) scoring
+    — per-batch tf per (doc, token) with one lexsort+reduceat, score,
+    vectorized per-doc argmax.
+
+    Output: (id_col, top_token, tf).
+    """
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize_flat(txt)
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "partial_df": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        from georay.index import _ragged_ranges
+        owner, _ = _ragged_ranges(counts)
+        order = np.lexsort((codes, owner))
+        oc, cc = owner[order], codes[order]
+        new = np.ones(oc.shape[0], dtype=bool)
+        new[1:] = (oc[1:] != oc[:-1]) | (cc[1:] != cc[:-1])
+        uniq_codes = cc[new]
+        dfc = np.bincount(uniq_codes, minlength=len(enc.dictionary))
+        nz = np.nonzero(dfc)[0]
+        return pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(nz)),
+                "partial_df": pa.array(dfc[nz], pa.int64()),
+            }
+        )
+
+    def df_combine(batch: pa.Table, out: str) -> pa.Table:
+        g = batch.group_by("token").aggregate([("partial_df", "sum")])
+        return pa.table({"token": g["token"], out: g["partial_df_sum"]})
+
+    from georay.ops import COMBINE_TARGET_ROWS
+
+    parts = ds.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = parts.map_batches(
+        lambda b: df_combine(b, "partial_df"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    )
+    df_tbl = pa.concat_tables(
+        comb.map_batches(
+            lambda b: df_combine(b, "df"),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1 << 40, num_cpus=0.9,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    # sorted vocab ⇒ index_in codes are lexicographic ranks (tie order)
+    order = pc.sort_indices(df_tbl, sort_keys=[("token", "ascending")])
+    df_tbl = df_tbl.take(order)
+    vocab = df_tbl["token"].combine_chunks() if isinstance(
+        df_tbl["token"], pa.ChunkedArray) else df_tbl["token"]
+    idf = np.log(float(n_docs) / df_tbl["df"].to_numpy(zero_copy_only=False))
+    import ray as _ray
+
+    bcast = _ray.put((vocab, idf))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        vcb, idfv = cache.setdefault("m", _ray.get(bcast))
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize_flat(txt)
+        ids = batch[id_col]
+        codes = np.asarray(pc.index_in(flat, value_set=vcb)).astype(np.int64)
+        from georay.index import _ragged_ranges
+        owner, _ = _ragged_ranges(counts)
+        order = np.lexsort((codes, owner))
+        oc, cc = owner[order], codes[order]
+        new = np.ones(oc.shape[0], dtype=bool) if oc.shape[0] else np.zeros(0, bool)
+        if oc.shape[0]:
+            new[1:] = (oc[1:] != oc[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, oc.shape[0]))
+        p_owner, p_code, p_tf = oc[starts], cc[starts], run_len
+        s = p_tf * idfv[p_code]
+        # per-doc argmax with (score desc, code asc): pairs are already
+        # (owner, code)-sorted, so a stable max scan keeps the smallest
+        # code on ties — lexsort by (-s within owner) with stable kind
+        sel = np.lexsort((p_code, -s, p_owner))
+        so = p_owner[sel]
+        first = np.ones(so.shape[0], dtype=bool)
+        first[1:] = so[1:] != so[:-1]
+        win = sel[first]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(p_owner[win])) if not isinstance(ids, pa.ChunkedArray) else ids.combine_chunks().take(pa.array(p_owner[win])),
+                "top_token": vcb.take(pa.array(p_code[win])),
+                "tf": pa.array(p_tf[win], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

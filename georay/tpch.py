@@ -499,6 +499,38 @@ SELECT l_returnflag, q, v FROM (
 """
 
 
+def q_tfidf_top(sf_dir: str):
+    """Per-document top TF-IDF token (argmax of tf·ln(N/df), token
+    tiebreak): distributed DF pass + broadcast IDF + vectorized per-doc
+    scoring. Argmax (not a float sum) keeps it exactly oracle-able."""
+    from georay.stages.text import doc_top_tfidf
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return doc_top_tfidf(ds)
+
+
+SQL_TFIDF_TOP = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * LN(CAST(n.n AS DOUBLE) / df.df) AS s
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token AS top_token, tf FROM (
+  SELECT doc_id, token, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def q_token_histogram(sf_dir: str):
     """Distributed wordcount over documents.text: exact (token, n) vocab
     counts — Arrow-C tokenize + value_counts partials + Arrow-groupby
@@ -1985,6 +2017,7 @@ QUERIES = {
     "group_topk": q_group_topk,
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
+    "tfidf_top": q_tfidf_top,
     "quantiles": q_quantiles,
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
@@ -2039,6 +2072,7 @@ ORACLE = {
     "group_topk": SQL_GROUP_TOPK,
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "tfidf_top": SQL_TFIDF_TOP,
     "quantiles": SQL_QUANTILES,
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,

@@ -508,3 +508,42 @@ def test_connected_components_local_matches_distributed(ray_session):
     dd = dict(zip(dist["node"].to_pylist(), dist["label"].to_pylist()))
     assert dl == dd
     assert dl[115] == 100 and dl[519] == 500 and dl[7] == 3 and dl[9] == 3
+
+
+def test_doc_top_tfidf_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from georay.stages.text import doc_top_tfidf
+
+    texts = [
+        "the cat sat on the mat", "dogs and cats and birds",
+        "the the the rare unicorn", "mat mat mat dog", "a b c a b a",
+        "", "  spaced   out   words  ",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+    got = {r["doc_id"]: (r["top_token"], r["tf"]) for r in doc_top_tfidf(ds).take_all()}
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    sql = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')),' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, tf.tf * LN(CAST(n.n AS DOUBLE)/df.df) AS s
+      FROM tf JOIN df USING(token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf FROM (
+      SELECT doc_id, token, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
