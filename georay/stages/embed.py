@@ -118,11 +118,14 @@ def ivf_ann_topk(
     emb_col: str = "embedding",
     train_sample: int = 4096,
     exclude_self: bool = True,
+    train: str = "sample",
 ) -> pa.Table:
     """IVF ANN as a streaming Dataset pipeline (the scale path):
 
     - TRAIN: k-means centroids from a bounded driver-side sample
-      (``ds.limit(train_sample)``) — o(1) w.r.t. table size.
+      (``ds.limit(train_sample)``) — o(1) w.r.t. table size; or
+      ``train="distributed"`` to run full-table Lloyd iterations via
+      ``kmeans_fit`` (combine-tree partials, corpus never concentrates).
     - BROADCAST: centroids + per-query probe masks ship once via
       ``ray.put`` with a per-worker cache.
     - SEARCH: each batch assigns its vectors to centroids with one
@@ -133,9 +136,20 @@ def ivf_ann_topk(
     The full embedding table is never materialized. Approximate — the
     scanned fraction is ~n_probe/n_list; recall is pinned by tests and
     the ``ivf_ann`` driver query's recall-vs-brute oracle."""
-    sample = ds.limit(int(train_sample)).to_pandas()
-    train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
-    cent = kmeans_centroids(train_vecs, n_list=n_list)
+    if train == "distributed":
+        # full-table Lloyd over combine-tree partials (georay k-means);
+        # init from the sample trainer so both paths share a seed
+        sample = ds.limit(int(train_sample)).to_pandas()
+        train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+        init = kmeans_centroids(train_vecs, n_list=n_list, iters=1)
+        cent = _normalize(
+            kmeans_fit(ds, k=init.shape[0], n_iter=5, col=emb_col,
+                       init_centers=init, id_col=id_col)
+        )
+    else:
+        sample = ds.limit(int(train_sample)).to_pandas()
+        train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+        cent = kmeans_centroids(train_vecs, n_list=n_list)
 
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     nq = qn.shape[0]

@@ -547,3 +547,24 @@ def test_doc_top_tfidf_matches_duckdb(ray_session):
     """
     want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_ivf_distributed_train_recall(ray_session):
+    import ray.data as rd
+
+    from georay.stages import embed as E
+
+    rng = np.random.default_rng(14)
+    vecs = rng.normal(size=(800, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(800), pa.int64()),
+                  "embedding": pa.array([v for v in vecs], pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t).repartition(4)
+    q = vecs[:5].astype(np.float64)
+    qids = np.arange(5)
+    brute = E.ann_brute_topk(ds, q, qids, k=5).to_pandas()
+    bset = brute.groupby("query_id")["vec_id"].apply(set).to_dict()
+    ivf = E.ivf_ann_topk(ds, q, qids, k=5, n_list=8, n_probe=8, train="distributed").to_pandas()
+    iset = ivf.groupby("query_id")["vec_id"].apply(set).to_dict()
+    # probe-all must be exact vs brute regardless of the trainer
+    for k in bset:
+        assert bset[k] == iset[k]
