@@ -560,3 +560,50 @@ class PointIndex:
         within = np.arange(P.shape[0]) - np.repeat(starts, run_len)
         keep = within < k
         return P[keep], R[keep], d2[keep]
+
+    def within(self, lon: np.ndarray, lat: np.ndarray, radius: float):
+        """All (probe, ref) pairs with planar distance ≤ ``radius``.
+
+        One fixed disk of Chebyshev radius ``ceil(radius/res)``
+        guarantees coverage (a ref in ring > R is farther than
+        R·res ≥ radius), so no expansion loop — one vectorized CSR
+        gather + exact filter. Returns (probe_idx, ref_pos, dist2)
+        sorted by (probe_idx, dist2, ref_id)."""
+        m = lon.shape[0]
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        probe_cell = cells.grid_cell(
+            np.where(ok, lon, 0.0), np.where(ok, lat, 0.0), self.res
+        )
+        R = int(np.ceil(radius / self.res))
+        disk = cells.grid_disk(probe_cell, R, self.nx)  # (m, (2R+1)²)
+        flat = disk.reshape(-1)
+        owner = np.repeat(np.arange(m, dtype=np.int64), disk.shape[1])
+        ci, refs = csr_lookup(
+            self.cell_uniq, self.cell_offsets, self.cell_points, flat
+        )
+        if ci.size == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.float64),
+            )
+        P, Rf = owner[ci], refs
+        keep_ok = ok[P]
+        P, Rf = P[keep_ok], Rf[keep_ok]
+        # wrap duplicates: tiny disks near the antimeridian can revisit
+        PR = P * (self.ref_lon.shape[0] + 1) + Rf
+        _, ui = np.unique(PR, return_index=True)
+        P, Rf = P[ui], Rf[ui]
+        d2 = (self.ref_lon[Rf] - lon[P]) ** 2 + (self.ref_lat[Rf] - lat[P]) ** 2
+        hit = d2 <= radius * radius
+        P, Rf, d2 = P[hit], Rf[hit], d2[hit]
+        order = np.lexsort(
+            (
+                self.ref_ids[Rf].astype("U")
+                if self.ref_ids.dtype == object
+                else self.ref_ids[Rf],
+                d2,
+                P,
+            )
+        )
+        return P[order], Rf[order], d2[order]

@@ -720,6 +720,49 @@ SELECT p_partkey, s_suppkey, knn_rank FROM ranked WHERE knn_rank <= {KNN_K}
 """
 
 
+RADIUS_D = 2.5
+
+
+def q_radius_join(sf_dir: str):
+    """Within-distance join: suppliers within planar distance 2.5 of
+    each part point, counted per part (fixed cell disk — no ring loop,
+    no shuffle: per-probe counts complete inside each batch)."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import radius_join_count
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table(
+            {"p_partkey": pa.array(pk)},
+            schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+        ).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo)
+        )
+    )
+    sx, sy, sk = supplier_points(sf_dir)
+    return radius_join_count(probes, sx, sy, sk, radius=RADIUS_D)
+
+
+SQL_RADIUS_JOIN = f"""
+WITH probes AS (
+  SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
+),
+refs AS (
+  SELECT s_suppkey, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier
+)
+SELECT p.p_partkey AS p_partkey, COUNT(*) AS n
+FROM probes p JOIN refs r
+  ON (r.sx - p.px)*(r.sx - p.px) + (r.sy - p.py)*(r.sy - p.py)
+     <= {RADIUS_D} * {RADIUS_D}
+GROUP BY p.p_partkey
+"""
+
+
 def q_tile_counts(sf_dir: str):
     """Web-mercator tiling: per-tile image counts at zoom {TILE_ZOOM}."""
     ds = lineitem_points(sf_dir)
@@ -2028,6 +2071,7 @@ QUERIES = {
     "window_cumsum": q_window_cumsum,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
+    "radius_join": q_radius_join,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
     "dedup_docs": q_dedup_docs,
@@ -2083,6 +2127,7 @@ ORACLE = {
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
+    "radius_join": SQL_RADIUS_JOIN,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,

@@ -660,3 +660,38 @@ def test_focal_sum_matches_brute(ray_session):
             for dy in (-1, 0, 1)
         )
         assert got[cell] == want, cell
+
+
+def test_radius_join_count_matches_brute(images_dir, ray_session):
+    import ray.data as rd
+
+    from georay.joins import radius_join_count
+
+    rng = np.random.default_rng(51)
+    rl = rng.uniform(-180, 180, 300)
+    rt = rng.uniform(-85, 85, 300)
+    rid = np.arange(300)
+    ds = rd.read_parquet(images_dir)
+    got = {
+        r["image_id"]: r["n"]
+        for r in radius_join_count(
+            ds, rl, rt, rid, radius=4.0, probe_id_col="image_id"
+        ).take_all()
+    }
+
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    ids = np.asarray(src["image_id"].to_pylist())
+    exp = {}
+    for i in range(len(ids)):
+        if not np.isfinite(lon[i]):
+            continue
+        n = int(((rl - lon[i]) ** 2 + (rt - lat[i]) ** 2 <= 16.0).sum())
+        if n:
+            exp[ids[i]] = n
+    assert got == exp and len(exp) > 0
