@@ -720,6 +720,53 @@ SELECT p_partkey, s_suppkey, knn_rank FROM ranked WHERE knn_rank <= {KNN_K}
 """
 
 
+def q_wkt_csv_source(sf_dir: str):
+    """End-to-end external-format ingest: part centroids formatted as
+    WKT by the engine's Ryu-compatible writer into a CSV, read back
+    through the streaming CSV source + WKT parser, grid-binned and
+    counted. Oracles against SQL computing the same cells directly from
+    part — pinning writer→parser round-trip AND the source plumbing."""
+    import csv as _csv
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from georay import sources
+    from georay.codecs import wkt as wkt_codec
+    from georay.codecs import native as _nat
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    pts = _nat.build_points(np.column_stack([cx, cy]), geo)
+    wkts = wkt_codec.encode(pts, geo).to_pylist()
+    path = os.path.join(
+        tempfile.gettempdir(), f"georay_wkt_{len(pk)}_{int(pk[:16].sum())}.csv"
+    )
+    if not os.path.exists(path):
+        with open(path + ".tmp", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["p_partkey", "wkt"])
+            for key, s in zip(pk.tolist(), wkts):
+                w.writerow([key, s])
+        os.replace(path + ".tmp", path)
+
+    ds = sources.read_wkt_csv(path, target=GeoType.point(), out_col="geotag")
+    ds = ops.add_grid_column(ds, res=1.0, geom_col="geotag")
+    return ops.salted_count(ds, "grid_cell", count_alias="n")
+
+
+SQL_WKT_CSV_SOURCE = f"""
+SELECT CAST(FLOOR(({PART_CX} + 180)/1.0) AS BIGINT)*100000
+     + CAST(FLOOR(({PART_CY} + 90)/1.0) AS BIGINT) AS grid_cell,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1
+"""
+
+
 RADIUS_D = 2.5
 
 
@@ -2072,6 +2119,7 @@ QUERIES = {
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
+    "wkt_csv_source": q_wkt_csv_source,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
     "dedup_docs": q_dedup_docs,
@@ -2128,6 +2176,7 @@ ORACLE = {
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
+    "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,

