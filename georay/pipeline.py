@@ -81,7 +81,9 @@ def save_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, p)  # atomic publish
 
 
-def _shard_stats(shard_dirs: list[str]) -> dict[str, tuple[int, int]]:
+def _shard_stats(
+    shard_dirs: list[str], id_col: str = "image_id"
+) -> dict[str, tuple[int, int]]:
     """{shard: (rows, id_checksum)} for freshly written shard dirs,
     computed as a Ray pipeline (pruned id-only read, vectorized per-batch
     hash partials, combine-tree merge) — the driver never hashes rows."""
@@ -91,7 +93,7 @@ def _shard_stats(shard_dirs: list[str]) -> dict[str, tuple[int, int]]:
             [p.split("shard=", 1)[1].split("/", 1)[0] for p in batch["path"].to_pylist()],
             dtype=object,
         )
-        h = _id_hash64(batch["image_id"].to_pylist()).view(np.int64)
+        h = _id_hash64(batch[id_col].to_pylist()).view(np.int64)
         ks, vs = ops._group_reduce(
             [shards],
             {
@@ -112,7 +114,7 @@ def _shard_stats(shard_dirs: list[str]) -> dict[str, tuple[int, int]]:
         for d in shard_dirs
         for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
     ]
-    ds = rd.read_parquet(files, columns=["image_id"], include_paths=True)
+    ds = rd.read_parquet(files, columns=[id_col], include_paths=True)
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
@@ -128,6 +130,91 @@ def _shard_stats(shard_dirs: list[str]) -> dict[str, tuple[int, int]]:
             int(np.int64(r["ck"]).view(np.uint64) & np.uint64(_CK_MASK)),
         )
         for r in merged
+    }
+
+
+def write_resumable(
+    input_files: list[str],
+    out_dir: str,
+    transform,
+    id_col: str = "image_id",
+    columns: list[str] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Generic checkpoint-resumable partitioned sink (the flagship's B2/
+    B11 machinery as a reusable primitive): each INPUT shard owns one
+    output directory ``out_dir/data/shard=<name>/``; finished shards are
+    recorded in the manifest (rows in/out, order-insensitive id
+    checksum, bytes) and skipped on rerun; half-written shards from a
+    crash are cleared and redone. ``transform(ds) -> ds`` is any
+    Dataset→Dataset stage chain that preserves the ``shard`` and
+    ``id_col`` columns (1 output row per input row; relax the count
+    check by emitting your own manifest if a transform filters).
+
+    Returns {shards_total, shards_processed_this_run, rows, seconds}.
+    """
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(input_files)
+    if not files:
+        raise FileNotFoundError("write_resumable: empty input file list")
+    manifest = load_manifest(out_dir) if resume else {}
+    pending = [f for f in files if _shard_of_path(f) not in manifest]
+    t0 = time.perf_counter()
+    data_root = os.path.join(out_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d.startswith("shard=") and d.split("=", 1)[1] not in manifest:
+                shutil.rmtree(os.path.join(data_root, d))
+
+    n_rows_written = 0
+    if pending:
+        ds = rd.read_parquet(pending, columns=columns, include_paths=True)
+
+        def shard_col(batch: pa.Table) -> pa.Table:
+            shards = [_shard_of_path(p) for p in batch["path"].to_pylist()]
+            return batch.drop_columns(["path"]).append_column(
+                "shard", pa.array(shards, pa.string())
+            )
+
+        ds = ds.map_batches(
+            shard_col, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        ds = transform(ds)
+        ds.write_parquet(data_root, partition_cols=["shard"])
+
+        stats = _shard_stats(
+            [os.path.join(data_root, f"shard={_shard_of_path(p)}") for p in pending],
+            id_col=id_col,
+        ) if id_col else {}
+        for path in pending:
+            shard = _shard_of_path(path)
+            shard_dir = os.path.join(data_root, f"shard={shard}")
+            n_in = pq.read_metadata(path).num_rows
+            n_out, ck = stats.get(shard, (0, 0))
+            if n_out != n_in:
+                raise RuntimeError(
+                    f"shard {shard}: wrote {n_out} rows, expected {n_in}"
+                )
+            manifest[shard] = {
+                "rows_in": n_in,
+                "rows_out": n_out,
+                "id_checksum": ck,
+                "bytes": sum(
+                    os.path.getsize(os.path.join(shard_dir, f))
+                    for f in os.listdir(shard_dir)
+                ),
+            }
+            n_rows_written += n_out
+        save_manifest(out_dir, manifest)
+
+    return {
+        "shards_total": len(files),
+        "shards_processed_this_run": len(pending),
+        "rows": int(sum(m["rows_out"] for m in manifest.values())),
+        "seconds": round(time.perf_counter() - t0, 3),
+        "rows_written_this_run": int(n_rows_written),
     }
 
 

@@ -78,3 +78,43 @@ def test_image_invariant_psnr_and_captions(images_dir, ray_session):
     assert res["rows"] == 2000
     assert res["pixels_ok"] == 2000  # lossless exact + lossy ≥ 40 dB
     assert res["min_psnr_lossy"] >= 40.0
+
+
+def test_write_resumable_generic(images_dir, ray_session, tmp_path):
+    import glob as _glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops, pipeline
+
+    files = sorted(_glob.glob(os.path.join(images_dir, "*.parquet")))
+    out = str(tmp_path / "sink")
+
+    def transform(ds):
+        return ops.add_cell_column(ds, level=10, parent_level=4)
+
+    s1 = pipeline.write_resumable(
+        files, out, transform, columns=["image_id", "geotag"]
+    )
+    assert s1["shards_processed_this_run"] == len(files)
+    total = s1["rows"]
+    assert total > 0
+
+    # rerun: everything skipped, same totals
+    s2 = pipeline.write_resumable(
+        files, out, transform, columns=["image_id", "geotag"]
+    )
+    assert s2["shards_processed_this_run"] == 0 and s2["rows"] == total
+
+    # crash simulation: remove one shard from the manifest; only it reruns
+    m = pipeline.load_manifest(out)
+    victim = sorted(m)[0]
+    del m[victim]
+    pipeline.save_manifest(out, m)
+    s3 = pipeline.write_resumable(
+        files, out, transform, columns=["image_id", "geotag"]
+    )
+    assert s3["shards_processed_this_run"] == 1 and s3["rows"] == total
+    back = pq.read_table(os.path.join(out, "data"))
+    assert back.num_rows == total and "cell" in back.column_names
