@@ -199,6 +199,58 @@ def box_agg(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
     )
 
 
+def grouped_box_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str = "geotag",
+) -> ray.data.Dataset:
+    """Per-key bounds (grouped ``box_agg`` — dissolve-to-bbox by key):
+    each batch emits one (key, xmin, ymin, xmax, ymax) partial per key
+    present (lexsort+reduceat on point coords), merged by a combine tree
+    with per-column min/max reducers. Point geometries; null/empty
+    points are skipped (rows whose key has only empties get ±Inf bounds,
+    matching the reference's EMPTY box convention)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, col)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        xs = np.where(ok, lon, np.inf)
+        ys = np.where(ok, lat, np.inf)
+        xs2 = np.where(ok, lon, -np.inf)
+        ys2 = np.where(ok, lat, -np.inf)
+        (ks,), outs = _group_reduce(
+            [k],
+            {"xmin": xs, "ymin": ys, "xmax": xs2, "ymax": ys2},
+            ufunc={
+                "xmin": np.minimum, "ymin": np.minimum,
+                "xmax": np.maximum, "ymax": np.maximum,
+            },
+        )
+        return pa.table(
+            {
+                key: pa.array(ks),
+                "xmin": pa.array(outs["xmin"], pa.float64()),
+                "ymin": pa.array(outs["ymin"], pa.float64()),
+                "xmax": pa.array(outs["xmax"], pa.float64()),
+                "ymax": pa.array(outs["ymax"], pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_reduce(
+        parts,
+        key,
+        {"xmin": "xmin", "ymin": "ymin", "xmax": "xmax", "ymax": "ymax"},
+        ufunc={
+            "xmin": np.minimum, "ymin": np.minimum,
+            "xmax": np.maximum, "ymax": np.maximum,
+        },
+    )
+
+
 def unique_geometry_types(ds: ray.data.Dataset, col: str, source: GeoType | None = None):
     """unique_geometry_types_agg (kernel 7): per-batch bitmask, OR-merged."""
 

@@ -720,6 +720,22 @@ SELECT p_partkey, s_suppkey, knn_rank FROM ranked WHERE knn_rank <= {KNN_K}
 """
 
 
+def q_grouped_bounds(sf_dir: str):
+    """Per-returnflag bounding box of the lineitem geotags (grouped
+    box_agg: per-batch keyed partials, min/max combine tree)."""
+    ds = lineitem_points(sf_dir, extra_cols=["l_returnflag"])
+    return ops.grouped_box_agg(ds, "l_returnflag", "geotag")
+
+
+SQL_GROUPED_BOUNDS = f"""
+SELECT l_returnflag,
+       MIN(lon) AS xmin, MIN(lat) AS ymin,
+       MAX(lon) AS xmax, MAX(lat) AS ymax
+FROM (SELECT l_returnflag, {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem)
+GROUP BY l_returnflag
+"""
+
+
 def q_wkt_csv_source(sf_dir: str):
     """End-to-end external-format ingest: part centroids formatted as
     WKT by the engine's Ryu-compatible writer into a CSV, read back
@@ -2120,6 +2136,7 @@ QUERIES = {
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
     "wkt_csv_source": q_wkt_csv_source,
+    "grouped_bounds": q_grouped_bounds,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
     "dedup_docs": q_dedup_docs,
@@ -2177,6 +2194,7 @@ ORACLE = {
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
+    "grouped_bounds": SQL_GROUPED_BOUNDS,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,

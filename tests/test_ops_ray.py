@@ -695,3 +695,31 @@ def test_radius_join_count_matches_brute(images_dir, ray_session):
         if n:
             exp[ids[i]] = n
     assert got == exp and len(exp) > 0
+
+
+def test_grouped_box_agg_matches_pandas(images_dir, ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet(images_dir)
+    got = (
+        ops.grouped_box_agg(ds, "fmt", "geotag")
+        .to_pandas().set_index("fmt").sort_index()
+    )
+    src = pq.read_table(images_dir)
+    v = native.view(src["geotag"].combine_chunks())
+    lon = v.coords[:, 0].copy()
+    lat = v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    import pandas as pd
+
+    df = pd.DataFrame({"fmt": src["fmt"].to_pylist(), "lon": lon, "lat": lat})
+    ok = np.isfinite(df["lon"])
+    want = df[ok].groupby("fmt").agg(
+        xmin=("lon", "min"), ymin=("lat", "min"),
+        xmax=("lon", "max"), ymax=("lat", "max"),
+    ).sort_index()
+    assert list(got.index) == list(want.index)
+    for c in ("xmin", "ymin", "xmax", "ymax"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
