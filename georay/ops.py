@@ -931,6 +931,46 @@ def profile_columns(
     )
 
 
+def pivot_count(
+    ds: ray.data.Dataset,
+    key: str,
+    cat_col: str,
+    categories: list[str],
+) -> ray.data.Dataset:
+    """Crosstab: one row per key, one count column per category
+    (``n_<cat>``; values outside ``categories`` are ignored). Per-batch
+    partials via ``pc.index_in`` category codes + one lexsort/bincount
+    pass per batch, merged by the combine tree — the categories are a
+    FIXED small set (pivot semantics), only keys × |categories| ints
+    move."""
+    cat_arr = pa.array(categories, pa.string())
+    names = [f"n_{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        code = np.asarray(
+            pc.index_in(
+                batch[cat_col].combine_chunks()
+                if isinstance(batch[cat_col], pa.ChunkedArray)
+                else batch[cat_col],
+                value_set=cat_arr,
+            ).fill_null(-1)
+        ).astype(np.int64)
+        vals = {
+            name: (code == i).astype(np.int64) for i, name in enumerate(names)
+        }
+        (ks,), outs = _group_reduce([k], vals)
+        cols = {key: pa.array(ks)}
+        for name in names:
+            cols[name] = pa.array(outs[name], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_reduce(parts, key, {n: n for n in names})
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str,

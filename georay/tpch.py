@@ -720,6 +720,24 @@ SELECT p_partkey, s_suppkey, knn_rank FROM ranked WHERE knn_rank <= {KNN_K}
 """
 
 
+def q_pivot(sf_dir: str):
+    """Crosstab: lineitem counts per returnflag × linestatus, widened to
+    one column per status (fixed category set, combine-tree merge)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_linestatus"]
+    )
+    return ops.pivot_count(ds, "l_returnflag", "l_linestatus", ["O", "F"])
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_grouped_bounds(sf_dir: str):
     """Per-returnflag bounding box of the lineitem geotags (grouped
     box_agg: per-batch keyed partials, min/max combine tree)."""
@@ -2137,6 +2155,7 @@ QUERIES = {
     "radius_join": q_radius_join,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
+    "pivot": q_pivot,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
     "dedup_docs": q_dedup_docs,
@@ -2195,6 +2214,7 @@ ORACLE = {
     "radius_join": SQL_RADIUS_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
+    "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
     "dedup_docs": SQL_DEDUP_DOCS,

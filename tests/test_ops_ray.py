@@ -723,3 +723,24 @@ def test_grouped_box_agg_matches_pandas(images_dir, ray_session):
     assert list(got.index) == list(want.index)
     for c in ("xmin", "ymin", "xmax", "ymax"):
         assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
+def test_pivot_count_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(61)
+    t = pa.table({
+        "k": pa.array([f"k{int(x)}" for x in rng.integers(0, 6, 2000)]),
+        "c": pa.array([["a", "b", "c", "zz"][i] for i in rng.integers(0, 4, 2000)]),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    got = (
+        ops.pivot_count(ds, "k", "c", ["a", "b", "c"])
+        .to_pandas().set_index("k").sort_index()
+    )
+    df = t.to_pandas()
+    want = df.pivot_table(index="k", columns="c", aggfunc="size", fill_value=0)
+    for cat in ("a", "b", "c"):
+        assert np.array_equal(got[f"n_{cat}"].to_numpy(), want[cat].to_numpy()), cat
+    # out-of-set category 'zz' ignored
+    assert "n_zz" not in got.columns
