@@ -931,6 +931,130 @@ def profile_columns(
     )
 
 
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    phi: float,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """EXACT φ-heavy hitters (all values with frequency > φ·N) via a
+    Misra-Gries sketch + exact recount — the scale path when the value
+    domain does NOT fit one worker (unlike ``exact_quantiles`` /
+    ``token_histogram``, which assume it does):
+
+    1. per-batch MG summary with k = ⌈1/φ⌉ counters (exact per-batch
+       counts via ``pc.value_counts``, truncated by subtracting the
+       (k+1)-th largest — the classic mergeable summary);
+    2. combine-tree merge (group-sum then re-truncate) — merged
+       summaries keep every value with global frequency > N/(k+1) ≤ φ·N
+       (candidate-superset guarantee), so nothing real is lost;
+    3. the ≤ k surviving candidates broadcast back for an exact
+       streaming recount; the driver filters by the true threshold.
+
+    Two passes over the data, O(1/φ) state anywhere. Output:
+    (col, n) exact counts for the true heavy hitters.
+    """
+    k = int(np.ceil(1.0 / phi))
+
+    def truncate(values: pa.Array, counts: np.ndarray) -> pa.Table:
+        if counts.shape[0] > k:
+            order = np.argsort(-counts, kind="stable")
+            keep = order[:k]
+            dec = counts[order[k]]
+            newc = counts[keep] - dec
+            pos = newc > 0
+            values = values.take(pa.array(keep[pos]))
+            counts = newc[pos]
+        return pa.table(
+            {col: values, "mg_count": pa.array(counts, pa.int64())}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr)
+        return truncate(
+            vc.field("values"),
+            vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(col).aggregate([("mg_count", "sum")])
+        vals = g[col].combine_chunks() if isinstance(g[col], pa.ChunkedArray) else g[col]
+        return truncate(
+            vals, g["mg_count_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    comb = parts.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    )
+    cand_tbl = pa.concat_tables(
+        comb.map_batches(
+            combine, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1 << 40, num_cpus=0.9,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cand = cand_tbl[col].combine_chunks() if isinstance(
+        cand_tbl[col], pa.ChunkedArray) else cand_tbl[col]
+    ref = ray.put(cand)
+    cache: dict = {}
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cset = cache.setdefault("c", ray.get(ref))
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        pos = pc.index_in(arr, value_set=cset)
+        codes = np.asarray(pos.fill_null(-1)).astype(np.int64)
+        cnt = np.bincount(codes[codes >= 0], minlength=len(cset))
+        total = len(arr)
+        nz = np.nonzero(cnt)[0]
+        # a sentinel -1 row carries this batch's row count so N is exact
+        # even when a batch matches no candidate
+        return pa.table(
+            {
+                "_code": pa.array(np.concatenate([[-1], nz]), pa.int64()),
+                "partial_n": pa.array(
+                    np.concatenate([[0], cnt[nz]]), pa.int64()
+                ),
+                "partial_total": pa.array(
+                    np.concatenate([[total], np.zeros(nz.shape[0], np.int64)]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    merged = pa.concat_tables(
+        tree_sum(
+            ds.map_batches(
+                recount, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "_code",
+            {"partial_n": "n", "partial_total": "total"},
+            int_cols=("partial_n", "partial_total"),
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    n_total = int(pc.sum(merged["total"]).as_py() or 0)
+    counts = merged["n"].to_numpy(zero_copy_only=False)
+    codes = merged["_code"].to_numpy(zero_copy_only=False)
+    hit = (counts > phi * n_total) & (codes >= 0)
+    out = pa.table(
+        {
+            col: cand.take(pa.array(codes[hit])),
+            count_alias: pa.array(counts[hit], pa.int64()),
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(out)
+
+
 def pivot_count(
     ds: ray.data.Dataset,
     key: str,

@@ -499,6 +499,41 @@ SELECT l_returnflag, q, v FROM (
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """φ-heavy hitters over the token stream (Misra-Gries summaries +
+    exact recount — O(1/φ) state, no vocabulary-fits-a-worker
+    assumption): every token with frequency > 2% of all tokens."""
+    from georay.stages.text import _tokenize_flat
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, _ = _tokenize_flat(txt)
+        return pa.table({"token": flat})
+
+    toks = ds.map_batches(
+        flatten, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.heavy_hitters(toks, "token", phi=0.02)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH toks AS (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT token, COUNT(*) AS n
+FROM toks CROSS JOIN tot
+GROUP BY token, tot.n
+HAVING COUNT(*) > 0.02 * tot.n
+"""
+
+
 def q_tfidf_top(sf_dir: str):
     """Per-document top TF-IDF token (argmax of tf·ln(N/df), token
     tiebreak): distributed DF pass + broadcast IDF + vectorized per-doc
@@ -2142,6 +2177,7 @@ QUERIES = {
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
     "tfidf_top": q_tfidf_top,
+    "heavy_hitters": q_heavy_hitters,
     "quantiles": q_quantiles,
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
@@ -2201,6 +2237,7 @@ ORACLE = {
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "tfidf_top": SQL_TFIDF_TOP,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
     "quantiles": SQL_QUANTILES,
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,

@@ -744,3 +744,23 @@ def test_pivot_count_matches_pandas(ray_session):
         assert np.array_equal(got[f"n_{cat}"].to_numpy(), want[cat].to_numpy()), cat
     # out-of-set category 'zz' ignored
     assert "n_zz" not in got.columns
+
+
+def test_heavy_hitters_exact(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(71)
+    vals = np.concatenate([
+        np.repeat([7, 42, 99], [3000, 2500, 1200]),
+        rng.integers(1000, 40000, 12000),
+    ])
+    rng.shuffle(vals)
+    t = pa.table({"v": pa.array(vals.astype(np.int64))})
+    ds = rd.from_arrow(t).repartition(9)
+    c = collections.Counter(vals.tolist())
+    for phi in (0.05, 0.1):
+        got = {r["v"]: r["n"] for r in ops.heavy_hitters(ds, "v", phi).take_all()}
+        want = {k: n for k, n in c.items() if n > phi * len(vals)}
+        assert got == want, phi
