@@ -499,6 +499,23 @@ SELECT l_returnflag, q, v FROM (
 """
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Streaming first-seen dedup (the shared-mutable-state tier:
+    sharded seen-set actors, rows stream out incrementally — no
+    shuffle). The surviving KEY SET is deterministic (= distinct keys),
+    which the oracle pins as a count."""
+    from georay.state import StreamingDedup
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    f = StreamingDedup(n_shards=4)
+    out = f.filter(ds, "n_chars")
+    n = out.count()
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+SQL_STREAMING_DEDUP = "SELECT COUNT(DISTINCT n_chars) AS n_distinct FROM documents"
+
+
 def q_heavy_hitters(sf_dir: str):
     """φ-heavy hitters over the token stream (Misra-Gries summaries +
     exact recount — O(1/φ) state, no vocabulary-fits-a-worker
@@ -2178,6 +2195,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "tfidf_top": q_tfidf_top,
     "heavy_hitters": q_heavy_hitters,
+    "streaming_dedup": q_streaming_dedup,
     "quantiles": q_quantiles,
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
@@ -2238,6 +2256,7 @@ ORACLE = {
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "tfidf_top": SQL_TFIDF_TOP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
     "quantiles": SQL_QUANTILES,
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
