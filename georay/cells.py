@@ -378,3 +378,48 @@ def tile_key(tx: np.ndarray, ty: np.ndarray, zoom: int) -> np.ndarray:
         | (np.asarray(tx, dtype=np.int64) << np.int64(29))
         | np.asarray(ty, dtype=np.int64)
     )
+
+
+# ------------------------------------------------------------- geohash
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BYTES = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+
+
+def geohash(lon_deg, lat_deg, precision: int = 6) -> np.ndarray:
+    """Standard base32 geohash strings, fully vectorized (one interleave
+    + one (n, p) byte-matrix view per call; no per-row Python). Even
+    ``precision`` only (equal lon/lat bit counts — keeps the SQL replica
+    a single Morton OR-chain). Non-finite coords → the all-'0' cell.
+
+    The arithmetic (floor-scale → clamp → Morton interleave MSB-first
+    lon-first → base32) is replicated digit-for-digit by
+    ``tpch._geohash_sql`` for the DuckDB oracle.
+    """
+    if precision % 2 or not (0 < precision <= 12):
+        raise ValueError("precision must be even, in (0, 12]")
+    bits = 5 * precision // 2  # per axis
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    scale = np.int64(1) << np.int64(bits)
+    ix = np.floor((np.where(ok, lon, -180.0) + 180.0) / 360.0 * scale).astype(np.int64)
+    iy = np.floor((np.where(ok, lat, -90.0) + 90.0) / 180.0 * scale).astype(np.int64)
+    ix = np.clip(ix, 0, scale - 1)
+    iy = np.clip(iy, 0, scale - 1)
+    v = np.zeros(lon.shape, dtype=np.int64)
+    for b in range(bits):
+        v |= ((ix >> b) & 1) << (2 * b + 1)
+        v |= ((iy >> b) & 1) << (2 * b)
+    n = lon.shape[0]
+    chars = np.empty((n, precision), dtype=np.uint8)
+    for i in range(precision):
+        chars[:, i] = _GH_BYTES[(v >> (5 * (precision - 1 - i))) & 31]
+    chars[~ok] = _GH_BYTES[0]
+    flat = chars.reshape(-1)
+    import pyarrow as _pa
+
+    offs = np.arange(0, (n + 1) * precision, precision, dtype=np.int32)
+    return _pa.StringArray.from_buffers(
+        n, _pa.py_buffer(offs.tobytes()), _pa.py_buffer(flat.tobytes())
+    )

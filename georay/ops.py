@@ -83,6 +83,23 @@ def add_grid_column(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def add_geohash_column(
+    ds: ray.data.Dataset,
+    geom_col: str = "geotag",
+    precision: int = 6,
+    out: str = "geohash",
+) -> ray.data.Dataset:
+    """Base32 geohash cell key (cells.geohash — SQL-replicated)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, geom_col)
+        return batch.append_column(out, cells.geohash(lon, lat, precision))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def add_tile_columns(
     ds: ray.data.Dataset,
     geom_col: str = "geotag",

@@ -294,6 +294,44 @@ GROUP BY a.grid_cell
 """
 
 
+def _geohash_sql(precision: int, src: str) -> str:
+    """ANSI-SQL replica of ``cells.geohash`` (floor-scale → clamp →
+    MSB-first lon-first Morton interleave → base32 digits): digit-for-
+    digit identical to the numpy codec. ``src`` must yield lon/lat."""
+    bits = 5 * precision // 2
+    scale = 1 << bits
+    morton = " | ".join(
+        f"(((ix >> {b}) & 1) << {2 * b + 1}) | (((iy >> {b}) & 1) << {2 * b})"
+        for b in range(bits)
+    )
+    digits = " || ".join(
+        f"substr('{cells.GEOHASH_ALPHABET}', "
+        f"CAST(((v >> {5 * (precision - 1 - i)}) & 31) AS INT) + 1, 1)"
+        for i in range(precision)
+    )
+    return f"""
+WITH pts AS ({src}),
+scaled AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((lon + 180)/360.0 * {scale}) AS BIGINT), 0), {scale - 1}) AS ix,
+         LEAST(GREATEST(CAST(FLOOR((lat + 90)/180.0 * {scale}) AS BIGINT), 0), {scale - 1}) AS iy
+  FROM pts
+),
+morton AS (SELECT ({morton}) AS v FROM scaled)
+SELECT ({digits}) AS geohash, COUNT(*) AS n FROM morton GROUP BY 1
+"""
+
+
+def q_geohash_count(sf_dir: str):
+    """Geohash-6 histogram over the lineitem points (third cell system
+    beside S2-style and the equirect grid; codec replicated in SQL)."""
+    ds = lineitem_points(sf_dir)
+    ds = ops.add_geohash_column(ds, precision=6)
+    return ops.salted_count(ds, "geohash", count_alias="n")
+
+
+SQL_GEOHASH_COUNT = _geohash_sql(6, f"SELECT {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem")
+
+
 def q_bounds(sf_dir: str):
     """box_agg kernel over the whole table (never-null global bounds)."""
     ds = lineitem_points(sf_dir)
@@ -2185,6 +2223,7 @@ QUERIES = {
     "dct_image_neardup": q_dct_image_neardup,
     "av_pipeline": q_av_pipeline,
     "grid_cell_count": q_grid_cell_count,
+    "geohash_count": q_geohash_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
     "pip_box_join": q_pip_box_join,
@@ -2246,6 +2285,7 @@ ORACLE = {
     "ann_topk": SQL_ANN_TOPK,
     "ivf_ann": SQL_IVF_ANN,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
+    "geohash_count": SQL_GEOHASH_COUNT,
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
     "pip_box_join": SQL_PIP_BOX_JOIN,

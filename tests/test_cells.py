@@ -153,3 +153,24 @@ def test_grid_cell_nan_maps_to_sentinel():
     assert got[1] == cells.GRID_NULL
     assert got[2] == cells.GRID_NULL
     assert got[3] == cells.GRID_NULL
+
+
+def test_geohash_known_values_and_nulls():
+    import numpy as np
+
+    from georay import cells
+
+    g = cells.geohash(
+        np.array([-5.6, 13.361389, -74.006, np.nan]),
+        np.array([42.6, 38.115556, 40.7128, 1.0]),
+        6,
+    ).to_pylist()
+    # pinned against the public geohash algorithm (precision-6 prefixes)
+    assert g[0] == "ezs42e"
+    assert g[1] == "sqc8b4"
+    assert g[2].startswith("dr5reg"[:4])
+    assert g[3] == "000000"  # non-finite → sentinel cell
+
+    # prefix property: precision 4 is a prefix of precision 6
+    g4 = cells.geohash(np.array([-5.6]), np.array([42.6]), 4).to_pylist()[0]
+    assert g[0].startswith(g4)
