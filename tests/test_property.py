@@ -160,3 +160,59 @@ def test_s2_sql_replica_matches_numpy(pts):
     sql = _s2_parent_sql(6, "SELECT lon, lat FROM pts_tbl")
     got = con.execute(f"SELECT cell_parent FROM ({sql})").df()["cell_parent"].to_numpy()
     assert np.array_equal(got, expect), (lon[got != expect], lat[got != expect])
+
+
+def _geohash_ref(lon: float, lat: float, precision: int) -> str:
+    """Textbook bisection geohash (public algorithm) as the oracle."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        v = 0
+        for b in bits[5 * i : 5 * i + 5]:
+            v = (v << 1) | b
+        out.append(alphabet[v])
+    return "".join(out)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.tuples(
+        st.floats(min_value=-180.0, max_value=179.999999),
+        st.floats(min_value=-90.0, max_value=89.999999),
+    )
+)
+def test_geohash_matches_bisection_reference(pt):
+    lon, lat = pt
+    from georay import cells as c
+
+    got = c.geohash(np.array([lon]), np.array([lat]), 6).to_pylist()[0]
+    want = _geohash_ref(lon, lat, 6)
+    # floor-scale and bisection agree except exactly on cell boundaries
+    # hit by float rounding; the scaled-integer formulation is the
+    # engine's (and the SQL oracle's) canonical definition
+    ix_exact = (lon + 180.0) / 360.0 * (1 << 15)
+    iy_exact = (lat + 90.0) / 180.0 * (1 << 15)
+    on_edge = ix_exact == np.floor(ix_exact) or iy_exact == np.floor(iy_exact)
+    if not on_edge:
+        assert got == want
