@@ -396,3 +396,46 @@ def validate_images(images_dir: str, concurrency=(2, 8)) -> dict:
         if np.isfinite(pdf["psnr"]).any()
         else None,
     }
+
+
+def write_spatial(
+    ds: rd.Dataset,
+    out_dir: str,
+    geom_col: str = "geotag",
+    parent_level: int = 4,
+) -> list[str]:
+    """Spatially partitioned sink: rows land in one parquet directory per
+    S2-style parent cell (``cell_prefix=<id>/``), so downstream readers
+    prune whole key ranges at the filesystem level (read ONE city's
+    partition out of a planet-scale table without touching the rest) and
+    a failed run can re-emit individual cell partitions. The partition
+    key is the engine's prefix-parent cell — the same key every join /
+    aggregate in the engine shuffles on, so locality carries end-to-end.
+
+    Returns the list of partition directories written.
+    """
+    from georay import cells as _c
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        cid = _c.cell_from_lonlat(lon, lat, _c.DEFAULT_LEVEL)
+        par = _c.to_i64(_c.cell_parent(cid, parent_level))
+        return batch.append_column("cell_prefix", pa.array(par, pa.int64()))
+
+    out = ds.map_batches(
+        add_prefix, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out.write_parquet(out_dir, partition_cols=["cell_prefix"])
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("cell_prefix=")
+    )
+
+
+def read_spatial_partition(out_dir: str, cell_prefix: int, columns=None) -> rd.Dataset:
+    """Partition-pruned read: only the named cell partition's files are
+    opened (filesystem-level pruning — nothing else leaves storage)."""
+    return rd.read_parquet(
+        os.path.join(out_dir, f"cell_prefix={cell_prefix}"), columns=columns
+    )

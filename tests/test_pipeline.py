@@ -118,3 +118,37 @@ def test_write_resumable_generic(images_dir, ray_session, tmp_path):
     assert s3["shards_processed_this_run"] == 1 and s3["rows"] == total
     back = pq.read_table(os.path.join(out, "data"))
     assert back.num_rows == total and "cell" in back.column_names
+
+
+def test_write_spatial_partition_pruning(images_dir, ray_session, tmp_path):
+    import numpy as np
+    import ray.data as rd
+
+    from georay import cells, pipeline
+    from georay.codecs import native as nat
+
+    out = str(tmp_path / "spatial")
+    ds = rd.read_parquet(images_dir, columns=["image_id", "geotag"])
+    parts = pipeline.write_spatial(ds, out, parent_level=2)
+    assert len(parts) > 1
+
+    # every row in a partition actually belongs to that cell prefix
+    victim = parts[0]
+    prefix = int(victim.split("cell_prefix=")[1])
+    back = pipeline.read_spatial_partition(out, prefix).take_all()
+    assert len(back) > 0
+    import pyarrow as pa
+
+    got = pa.Table.from_pylist(back)
+    v = nat.view(got["geotag"].combine_chunks())
+    lon, lat = v.coords[:, 0].copy(), v.coords[:, 1].copy()
+    if v.valid is not None:
+        lon[~v.valid] = np.nan
+        lat[~v.valid] = np.nan
+    cid = cells.cell_from_lonlat(lon, lat, cells.DEFAULT_LEVEL)
+    par = cells.to_i64(cells.cell_parent(cid, 2))
+    assert np.all(par == prefix)
+
+    # totals preserved across partitions
+    total = sum(pq.read_table(p).num_rows for p in parts)
+    assert total == pq.read_table(images_dir).num_rows
