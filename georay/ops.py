@@ -1964,6 +1964,92 @@ def interval_join_count(
     )
 
 
+def interval_join_count_partitioned(
+    ds: ray.data.Dataset,
+    right: ray.data.Dataset,
+    probe_ts: str,
+    start_col: str,
+    width_us: int,
+    bucket_us: int | None = None,
+    payload: list[str] | None = None,
+    out: str = "n_matches",
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE range join (the scale twin of
+    ``interval_join_count``, completing the broadcast/partitioned pair
+    matrix with pip/knn/asof): probes key by their time bucket, each
+    fixed-width interval explodes to every bucket it overlaps
+    (≤ 1 + width/bucket µs copies), ONE ``groupby(bucket)`` co-shuffle,
+    and the bucket-local count uses the same sorted-starts searchsorted
+    kernel. Each probe lives in exactly one bucket and sees each
+    overlapping interval copy exactly once, so counts are complete
+    locally — bit-identical to the broadcast plan.
+
+    ``bucket_us`` defaults to ``width_us`` (amplification ≤ 2×); raise
+    it when intervals are narrow relative to the time span.
+    """
+    B = np.int64(bucket_us or width_us)
+    W = np.int64(width_us)
+    pay = list(payload or [])
+    probe_schema = ds.schema().base_schema
+    pay_types = [probe_schema.field(c).type for c in pay]
+
+    def key_probe(batch: pa.Table) -> pa.Table:
+        ts = batch[probe_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {
+            "bucket": pa.array(ts // B),
+            "side": pa.array(np.zeros(len(batch), np.int8)),
+            "t": pa.array(ts),
+        }
+        for i, c in enumerate(pay):
+            cols[f"p{i}"] = batch[c].cast(pay_types[i])
+        return pa.table(cols)
+
+    def key_interval(batch: pa.Table) -> pa.Table:
+        s = batch[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b_lo = s // B
+        b_hi = (s + W - 1) // B  # last bucket the half-open window touches
+        cnts = (b_hi - b_lo + 1).astype(np.int64)
+        from georay.index import _ragged_ranges
+
+        owner, within = _ragged_ranges(cnts)
+        cols = {
+            "bucket": pa.array(b_lo[owner] + within),
+            "side": pa.array(np.ones(owner.shape[0], np.int8)),
+            "t": pa.array(s[owner]),
+        }
+        for i, c in enumerate(pay):
+            cols[f"p{i}"] = pa.nulls(owner.shape[0], pay_types[i])
+        return pa.table(cols)
+
+    lk = ds.map_batches(
+        key_probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    rk = right.map_batches(
+        key_interval, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        probes = group.filter(pa.array(side == 0))
+        ivals = group.filter(pa.array(side == 1))
+        ts = probes["t"].to_numpy(zero_copy_only=False)
+        s = np.sort(ivals["t"].to_numpy(zero_copy_only=False))
+        hi = np.searchsorted(s, ts, side="right")
+        lo = np.searchsorted(s, ts - W, side="right")
+        cols = {}
+        for i, c in enumerate(pay):
+            cols[c] = probes[f"p{i}"]
+        cols[probe_ts] = pa.array(ts, pa.int64())
+        cols[out] = pa.array(hi - lo, pa.int64())
+        return pa.table(cols)
+
+    return (
+        lk.union(rk)
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,

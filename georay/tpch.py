@@ -2007,6 +2007,22 @@ GROUP BY e.event_id
 """
 
 
+def q_interval_partitioned(sf_dir: str):
+    """The SAME range join as interval_join, executed by the
+    both-sides-large time-bucket co-shuffle (no broadcast) — the two
+    physical plans must agree bit-for-bit."""
+    events = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    out = ops.interval_join_count_partitioned(
+        events, orders, "ts", "o_orderdate",
+        width_us=7 * 86400 * 1_000_000, payload=["event_id"], out="n_orders",
+    )
+    return out.select_columns(["event_id", "n_orders"])
+
+
+SQL_INTERVAL_PARTITIONED = SQL_INTERVAL_JOIN
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: each event matched to the customer's latest order at
     or before the event time (broadcast rank-compressed right side)."""
@@ -2198,6 +2214,7 @@ QUERIES = {
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "interval_partitioned": q_interval_partitioned,
     "asof_partitioned": q_asof_partitioned,
     "sessionize": q_sessionize,
     "sliding_window": q_sliding_window,
@@ -2268,6 +2285,7 @@ ORACLE = {
     "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,
+    "interval_partitioned": SQL_INTERVAL_PARTITIONED,
     "asof_partitioned": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "sliding_window": SQL_SLIDING_WINDOW,

@@ -209,3 +209,30 @@ def test_window_cumsum_matches_pandas(ray_session):
     df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
     df["running_sum"] = df.groupby("u")["val"].cumsum()
     assert np.array_equal(got["running_sum"].to_numpy(), df["running_sum"].to_numpy())
+
+
+def test_interval_partitioned_matches_broadcast(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(83)
+    n_e, n_i = 2000, 400
+    ets = rng.integers(0, 1_000_000, n_e).astype(np.int64)
+    t_e = pa.table({"eid": pa.array(np.arange(n_e), pa.int64()),
+                    "ts": pa.array(ets)})
+    starts = rng.integers(-50_000, 1_000_000, n_i).astype(np.int64)
+    t_i = pa.table({"start": pa.array(starts)})
+    W = 30_000
+
+    bc = (ops.interval_join_count(rd.from_arrow(t_e).repartition(5), t_i, "ts", "start", width_us=W)
+          .to_pandas().sort_values("eid").reset_index(drop=True))
+    for bucket in (None, 7_000, 500_000):
+        part = (ops.interval_join_count_partitioned(
+                    rd.from_arrow(t_e).repartition(5),
+                    rd.from_arrow(t_i).repartition(3),
+                    "ts", "start", width_us=W, bucket_us=bucket, payload=["eid"])
+                .to_pandas().sort_values("eid").reset_index(drop=True))
+        assert np.array_equal(part["eid"].to_numpy(), bc["eid"].to_numpy())
+        assert np.array_equal(part["n_matches"].to_numpy(), bc["n_matches"].to_numpy()), bucket
