@@ -794,9 +794,12 @@ def focal_sum(
     shuffle. For rasters too fine to broadcast, explode + ``tree_sum``
     by neighbor key is the partitioned twin (same numbers, one shuffle).
     """
-    tbl = pa.concat_tables(
-        [b for b in hist.select_columns([cell_col, val_col]).iter_batches(
-            batch_format="pyarrow", batch_size=None)]
+    batches = [
+        b for b in hist.select_columns([cell_col, val_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+    ]
+    tbl = pa.concat_tables(batches) if batches else pa.table(
+        {cell_col: pa.array([], pa.int64()), val_col: pa.array([], pa.int64())}
     )
     c = tbl[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
     v = tbl[val_col].to_numpy(zero_copy_only=False)
@@ -1010,12 +1013,22 @@ def heavy_hitters(
         combine, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
     )
-    cand_tbl = pa.concat_tables(
+    cand_batches = list(
         comb.map_batches(
             combine, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=1 << 40, num_cpus=0.9,
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    if not cand_batches:  # empty input: no candidates, no hitters
+        import ray.data as _rd
+
+        col_type = ds.schema().base_schema.field(col).type
+        return _rd.from_arrow(
+            pa.table(
+                {col: pa.array([], col_type), count_alias: pa.array([], pa.int64())}
+            )
+        )
+    cand_tbl = pa.concat_tables(cand_batches)
     cand = cand_tbl[col].combine_chunks() if isinstance(
         cand_tbl[col], pa.ChunkedArray) else cand_tbl[col]
     ref = ray.put(cand)
