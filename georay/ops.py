@@ -834,7 +834,8 @@ def profile_columns(
     wide, nothing driver-side.
 
     Exact sums require integer-valued doubles (order-independence); min/
-    max/counts are always exact.
+    max/counts are always exact. A dataset with zero batches produces
+    zero output rows (there is nothing to profile).
     """
     schema = ds.schema().base_schema
     numeric = {
