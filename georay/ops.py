@@ -381,7 +381,13 @@ def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray | None:
         col = batch[k]
         typ = col.type
         if pa.types.is_integer(typ):
-            arr = col.to_numpy(zero_copy_only=False)
+            # fill nulls before the numpy cast (NaN→int is undefined);
+            # all nulls share value-0's BUCKET, which only affects load,
+            # never grouping — the boundary checks are null-aware
+            filled = pc.fill_null(col, 0)
+            if isinstance(filled, pa.ChunkedArray):
+                filled = filled.combine_chunks()
+            arr = filled.to_numpy(zero_copy_only=False)
             hk = _mix64(arr.astype(np.int64).view(np.uint64).copy())
         elif (
             pa.types.is_string(typ)
