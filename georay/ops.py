@@ -1274,7 +1274,11 @@ def group_top_k(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             enc = pc.dictionary_encode(col)
-            codes.append(np.asarray(enc.indices).astype(np.int64))
+            # nulls encode as null indices: fill with -1 (their own group;
+            # a NaN→int cast would be undefined)
+            codes.append(
+                np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+            )
         sort_arrays.extend(codes)
         order = np.lexsort(tuple(sort_arrays))
         kc = [c[order] for c in codes]
