@@ -2155,8 +2155,16 @@ def sessionize(
 
     if pa.types.is_integer(key_type):
 
+        def _keys_i64(col) -> np.ndarray:
+            # nulls → INT64_MIN sentinel (their own session key, like
+            # SQL's null group; a NaN→int cast would be undefined)
+            filled = pc.fill_null(col, np.iinfo(np.int64).min)
+            if isinstance(filled, pa.ChunkedArray):
+                filled = filled.combine_chunks()
+            return filled.to_numpy(zero_copy_only=False).astype(np.int64)
+
         def add_bucket(batch: pa.Table) -> pa.Table:
-            k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _keys_i64(batch[key])
             h = k.astype(np.uint64)
             h ^= h >> np.uint64(33)
             h *= np.uint64(0xFF51AFD7ED558CCD)
@@ -2166,7 +2174,7 @@ def sessionize(
             )
 
         def per_bucket(group: pa.Table) -> pa.Table:
-            k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _keys_i64(group[key])
             t = group[ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
             n = k.shape[0]
             if order_tiebreak:
@@ -2182,7 +2190,10 @@ def sessionize(
             ends = starts + run_len - 1
             return pa.table(
                 {
-                    key: pa.array(ks[starts]).cast(key_type),
+                    key: pa.array(
+                        ks[starts],
+                        mask=ks[starts] == np.iinfo(np.int64).min,
+                    ).cast(key_type),
                     "session_start": pa.array(tss[starts], pa.int64()),
                     "session_end": pa.array(tss[ends], pa.int64()),
                     "n_events": pa.array(run_len, pa.int64()),
