@@ -1677,14 +1677,16 @@ def equi_join_partitioned(
     ``Dataset.join`` to sidestep the Ray 2.49 empty-partition schema
     loss (ROUND_NOTES) and to reuse the engine's one partitioning key.
 
-    ``how``: "inner" or "left". Non-key column names must be disjoint
-    across sides. Duplicate keys produce full per-key pairs (true join
-    semantics) — a single hot key concentrates in one bucket, so salt
-    upstream if a key's match set exceeds a worker's heap.
-    ``n_buckets`` sizes tasks, it is not a parallelism cap.
+    ``how``: "inner", "left", or "outer" (full outer — unmatched rows of
+    EITHER side survive with the other side nulled; keys coalesce).
+    Non-key column names must be disjoint across sides. Duplicate keys
+    produce full per-key pairs (true join semantics) — a single hot key
+    concentrates in one bucket, so salt upstream if a key's match set
+    exceeds a worker's heap. ``n_buckets`` sizes tasks, it is not a
+    parallelism cap.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be inner|left|outer, got {how!r}")
     rkey = right_on or on
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -1738,11 +1740,8 @@ def equi_join_partitioned(
         side = group["_side"].to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(l_cols)
         rt = group.filter(pa.array(side == 1)).select([on] + r_cols)
-        joined = lt.join(
-            rt,
-            keys=on,
-            join_type="inner" if how == "inner" else "left outer",
-        )
+        jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
+        joined = lt.join(rt, keys=on, join_type=jt)
         return joined.select(l_cols + r_cols)
 
     return (

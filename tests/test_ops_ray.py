@@ -764,3 +764,22 @@ def test_heavy_hitters_exact(ray_session):
         got = {r["v"]: r["n"] for r in ops.heavy_hitters(ds, "v", phi).take_all()}
         want = {k: n for k, n in c.items() if n > phi * len(vals)}
         assert got == want, phi
+
+
+def test_equi_join_partitioned_full_outer(ray_session):
+    import ray.data as rd
+
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                   "lval": pa.array([10, 20, 30], pa.int64())})
+    rt = pa.table({"rk": pa.array([2, 3, 4], pa.int64()),
+                   "rval": pa.array(["b", "c", "d"])})
+    got = (
+        ops.equi_join_partitioned(
+            rd.from_arrow(lt).repartition(2), rd.from_arrow(rt).repartition(2),
+            on="k", right_on="rk", how="outer", n_buckets=3,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["lval"].fillna(-1).tolist() == [10, 20, 30, -1]
+    assert got["rval"].fillna("~").tolist() == ["~", "b", "c", "d"]
