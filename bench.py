@@ -125,6 +125,25 @@ def run_bench() -> dict:
     timed("ann_topk", lambda: tpch.q_ann_topk(SF_DIR).num_rows)
 
     total = round(sum(timings.values()), 3)
+
+    # extended operator families (round 2+): timed for visibility but
+    # EXCLUDED from the headline total so `value` stays comparable
+    # round-over-round with the original 9-query set
+    ext: dict[str, float] = {}
+
+    def timed_ext(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        ext[name] = round(time.perf_counter() - t0, 3)
+
+    timed_ext("zonal_stats", lambda: tpch.q_zonal_stats(SF_DIR).count())
+    timed_ext("equi_join", lambda: tpch.q_equi_join(SF_DIR).count())
+    timed_ext("group_topk", lambda: tpch.q_group_topk(SF_DIR).count())
+    timed_ext("token_histogram", lambda: tpch.q_token_histogram(SF_DIR).count())
+    timed_ext("kmeans_assign", lambda: tpch.q_kmeans_assign(SF_DIR).count())
+    timed_ext("geohash_count", lambda: tpch.q_geohash_count(SF_DIR).count())
+    timed_ext("window_lag", lambda: tpch.q_window_lag(SF_DIR).count())
+    timed_ext("interval_partitioned", lambda: tpch.q_interval_partitioned(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
@@ -139,6 +158,8 @@ def run_bench() -> dict:
         "flagship_images_rows_per_sec": round(
             IMAGES_N / max(timings["flagship_images"], 1e-9), 1
         ),
+        "extended_queries": ext,
+        "extended_total": round(sum(ext.values()), 3),
     }
     ray.shutdown()
     return result
