@@ -410,6 +410,55 @@ class KNNJoiner:
         return out
 
 
+def rect_intersect_count(
+    rects: ray.data.Dataset,
+    polygons: pa.Table,
+    rect_cols: tuple = ("xmin", "ymin", "xmax", "ymax"),
+    id_col: str = "rect_id",
+    geometry_col: str = "geometry",
+    poly_id_col: str = "polygon_id",
+    res: float | None = None,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Rect↔polygon INTERSECTS join, counted per rect: for every
+    streaming rectangle, the number of broadcast polygons whose interior
+    overlaps it (exact rect–polygon decomposition —
+    ``PolygonIndex.intersects_rect``). Per-rect counts are complete
+    inside each batch, so there is NO shuffle; the polygon side ships
+    once via ``ray.put``. Rects with zero matches are dropped.
+    """
+    index = PolygonIndex.build(
+        polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
+    )
+    ref = ray.put(index)
+    cache: dict = {}
+    cx0, cy0, cx1, cy1 = rect_cols
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        ridx, _poly = idx.intersects_rect(
+            batch[cx0].to_numpy(zero_copy_only=False),
+            batch[cy0].to_numpy(zero_copy_only=False),
+            batch[cx1].to_numpy(zero_copy_only=False),
+            batch[cy1].to_numpy(zero_copy_only=False),
+        )
+        counts = np.bincount(ridx, minlength=len(batch))
+        nz = np.nonzero(counts)[0]
+        rid = batch[id_col]
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        return pa.table(
+            {
+                id_col: rid.take(pa.array(nz)),
+                count_alias: pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    return rects.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def radius_join_count(
     probes: ray.data.Dataset,
     ref_lon: np.ndarray,

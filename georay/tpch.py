@@ -891,6 +891,54 @@ GROUP BY 1
 """
 
 
+def q_intersect_join(sf_dir: str):
+    """Rect↔polygon INTERSECTS join: supplier query rectangles counted
+    against the part box polygons (exact rect–polygon decomposition,
+    batch-local counts, no shuffle)."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import rect_intersect_count
+
+    sx, sy, sk = supplier_points(sf_dir)
+    rects = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "xmin": pa.array(sx - 1.3),
+                "ymin": pa.array(sy - 0.7),
+                "xmax": pa.array(sx + 1.3),
+                "ymax": pa.array(sy + 0.7),
+            }
+        )
+    )
+    polys = part_box_polygons(sf_dir)
+    return rect_intersect_count(
+        rects, polys, id_col="s_suppkey",
+        geometry_col="geometry", poly_id_col="p_partkey",
+    )
+
+
+SQL_INTERSECT_JOIN = f"""
+WITH rects AS (
+  SELECT s_suppkey,
+         {SUPP_SX} - 1.3 AS rxmin, {SUPP_SY} - 0.7 AS rymin,
+         {SUPP_SX} + 1.3 AS rxmax, {SUPP_SY} + 0.7 AS rymax
+  FROM supplier
+),
+boxes AS (
+  SELECT p_partkey,
+         {PART_CX} - ({PART_W}) AS bxmin, {PART_CY} - ({PART_H}) AS bymin,
+         {PART_CX} + ({PART_W}) AS bxmax, {PART_CY} + ({PART_H}) AS bymax
+  FROM part
+)
+SELECT r.s_suppkey AS s_suppkey, COUNT(*) AS n
+FROM rects r JOIN boxes b
+  ON r.rxmin < b.bxmax AND b.bxmin < r.rxmax
+ AND r.rymin < b.bymax AND b.bymin < r.rymax
+GROUP BY r.s_suppkey
+"""
+
+
 RADIUS_D = 2.5
 
 
@@ -2263,6 +2311,7 @@ QUERIES = {
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
+    "intersect_join": q_intersect_join,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
     "pivot": q_pivot,
@@ -2326,6 +2375,7 @@ ORACLE = {
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
+    "intersect_join": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
     "pivot": SQL_PIVOT,

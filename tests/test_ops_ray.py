@@ -783,3 +783,36 @@ def test_equi_join_partitioned_full_outer(ray_session):
     assert got["k"].tolist() == [1, 2, 3, 4]
     assert got["lval"].fillna(-1).tolist() == [10, 20, 30, -1]
     assert got["rval"].fillna("~").tolist() == ["~", "b", "c", "d"]
+
+
+def test_rect_intersect_count_matches_brute(polygons_table, ray_session):
+    import ray.data as rd
+
+    from georay.codecs import native as nat
+    from georay.joins import rect_intersect_count
+    from georay.index import PolygonIndex
+
+    ids = pa.array(np.arange(polygons_table.num_rows), pa.int64())
+    polys = polygons_table.set_column(0, pa.field("polygon_id", pa.int64()), ids)
+    rng = np.random.default_rng(91)
+    n = 400
+    cx = rng.uniform(-175, 175, n)
+    cy = rng.uniform(-80, 80, n)
+    rects = pa.table({
+        "rect_id": pa.array(np.arange(n), pa.int64()),
+        "xmin": pa.array(cx - 2.0), "ymin": pa.array(cy - 1.0),
+        "xmax": pa.array(cx + 2.0), "ymax": pa.array(cy + 1.0),
+    })
+    got = {
+        r["rect_id"]: r["n"]
+        for r in rect_intersect_count(
+            rd.from_arrow(rects).repartition(4), polys
+        ).take_all()
+    }
+    # oracle: single-process index over the full rect set at once
+    idx = PolygonIndex.build(polys)
+    ridx, _ = idx.intersects_rect(cx - 2.0, cy - 1.0, cx + 2.0, cy + 1.0)
+    import collections
+
+    exp = collections.Counter(ridx.tolist())
+    assert got == dict(exp) and len(got) > 0
