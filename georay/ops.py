@@ -958,6 +958,39 @@ def profile_columns(
     )
 
 
+def explode_list(
+    ds: ray.data.Dataset,
+    col: str,
+    value_out: str = "value",
+    pos_out: str | None = "pos",
+) -> ray.data.Dataset:
+    """UNNEST: one output row per list element, repeating the other
+    columns (SQL ``unnest`` with optional 0-based ordinality). Pure
+    offset arithmetic per batch — parent rows gather via one ``take``,
+    elements come from ``list_flatten`` (both Arrow C; no Python per
+    row/element). Null or empty lists emit no rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = pc.list_flatten(arr)
+        lens = pc.list_value_length(arr).fill_null(0)
+        counts = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+        from georay.index import _ragged_ranges
+
+        owner, within = _ragged_ranges(counts)
+        out = batch.drop_columns([col]).take(pa.array(owner))
+        out = out.append_column(value_out, flat)
+        if pos_out:
+            out = out.append_column(pos_out, pa.array(within, pa.int64()))
+        return out
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def heavy_hitters(
     ds: ray.data.Dataset,
     col: str,

@@ -1416,6 +1416,48 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
 """
 
 
+def q_explode(sf_dir: str):
+    """UNNEST the embedding list column to element rows, then exact
+    per-vector element stats (count/min/max — float-order-independent),
+    validating the explode offsets end-to-end."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    rows = ops.explode_list(ds, "embedding", value_out="x", pos_out=None)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        (ks,), outs = ops._group_reduce(
+            [vid],
+            {"partial_n": np.ones(vid.shape[0], np.int64), "vmin": x, "vmax": x},
+            ufunc={"partial_n": np.add, "vmin": np.minimum, "vmax": np.maximum},
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ks, pa.int64()),
+                "partial_n": pa.array(outs["partial_n"], pa.int64()),
+                "vmin": pa.array(outs["vmin"], pa.float64()),
+                "vmax": pa.array(outs["vmax"], pa.float64()),
+            }
+        )
+
+    parts = rows.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.tree_reduce(
+        parts, "vec_id",
+        {"partial_n": "n", "vmin": "vmin", "vmax": "vmax"},
+        ufunc={"partial_n": np.add, "vmin": np.minimum, "vmax": np.maximum},
+    )
+
+
+SQL_EXPLODE = """
+SELECT vec_id, COUNT(*) AS n,
+       MIN(x) AS vmin, MAX(x) AS vmax
+FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+GROUP BY vec_id
+"""
+
+
 KMEANS_K = 8
 
 
@@ -2304,6 +2346,7 @@ QUERIES = {
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans_assign": q_kmeans_assign,
+    "explode": q_explode,
     "profile": q_profile,
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
@@ -2368,6 +2411,7 @@ ORACLE = {
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
+    "explode": SQL_EXPLODE,
     "profile": SQL_PROFILE,
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,

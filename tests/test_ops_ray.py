@@ -816,3 +816,19 @@ def test_rect_intersect_count_matches_brute(polygons_table, ray_session):
 
     exp = collections.Counter(ridx.tolist())
     assert got == dict(exp) and len(got) > 0
+
+
+def test_explode_list_matches_manual(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "rid": pa.array([1, 2, 3, 4], pa.int64()),
+        "xs": pa.array([[10, 11], [], None, [12]], pa.list_(pa.int64())),
+    })
+    got = (
+        ops.explode_list(rd.from_arrow(t).repartition(2), "xs", value_out="x")
+        .to_pandas().sort_values(["rid", "pos"]).reset_index(drop=True)
+    )
+    assert got["rid"].tolist() == [1, 1, 4]
+    assert got["x"].tolist() == [10, 11, 12]
+    assert got["pos"].tolist() == [0, 1, 0]
