@@ -456,9 +456,11 @@ def dedup_exact(
             return g.filter(pa.array(first))
 
         return (
-            ds.map_batches(
-                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
+            shuffle_coalesce(
+                ds.map_batches(
+                    add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
             )
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pyarrow")
@@ -1359,7 +1361,9 @@ def group_top_k(
     ).map_batches(
         add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return pruned.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return shuffle_coalesce(pruned).groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
 
 
 # ----------------------------------------------------- vctr-level ops
@@ -1513,8 +1517,11 @@ def tile_assemble(
         )
 
     return (
-        ds.map_batches(
-            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
         )
         .groupby("_bucket")
         .map_groups(assemble_bucket, batch_format="pyarrow")
@@ -2196,9 +2203,11 @@ def sessionize(
             )
 
         return (
-            ds.map_batches(
-                add_bucket_str, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
+            shuffle_coalesce(
+                ds.map_batches(
+                    add_bucket_str, batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=None,
+                )
             )
             .groupby("_bucket")
             .map_groups(per_bucket_str, batch_format="pyarrow")
@@ -2252,8 +2261,11 @@ def sessionize(
             )
 
         return (
-            ds.map_batches(
-                add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            shuffle_coalesce(
+                ds.map_batches(
+                    add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
             )
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pyarrow")
@@ -2335,8 +2347,11 @@ def window_lag(
         return g.append_column(out_col, lag)
 
     return (
-        ds.map_batches(
-            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
         )
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
@@ -2391,8 +2406,11 @@ def window_cumsum(
         return g.append_column(out_col, pa.array(cum - base, pa.float64()))
 
     return (
-        ds.map_batches(
-            add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
         )
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
