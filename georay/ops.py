@@ -1279,6 +1279,31 @@ def grouped_quantiles(
     )
 
 
+def add_splitmix_column(
+    ds: ray.data.Dataset,
+    col: str,
+    out: str = "hash_order",
+) -> ray.data.Dataset:
+    """Deterministic pseudo-random order key: the murmur3 finalizer of an
+    integer column, emitted as an int64 whose SIGNED order equals the
+    hash's unsigned order (top bit flipped). With ``group_top_k`` this
+    gives stratified sampling — per-group keep-k in hash order — that is
+    reproducible across runs/engines and SQL-replicable (the finalizer
+    is xor/shift/wrap-multiply, exactly expressible in HUGEINT
+    arithmetic; see ``tpch.SQL_STRATIFIED_SAMPLE``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _mix64(v.view(np.uint64).copy())
+        return batch.append_column(
+            out, pa.array((h ^ np.uint64(1 << 63)).view(np.int64))
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def group_top_k(
     ds: ray.data.Dataset,
     key: str | list[str],

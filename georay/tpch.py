@@ -666,6 +666,59 @@ GROUP BY r.r_name
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: 50 line items per returnflag in
+    murmur-finalizer hash order of the (orderkey, linenumber) row id —
+    reproducible across runs AND engines (the hash is replicated in SQL
+    HUGEINT arithmetic), the property stable per-class training splits
+    need. Map-side prune + one key-hash shuffle (group_top_k)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_orderkey", "l_linenumber"]
+    )
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("rid", pa.array(ok * 8 + ln, pa.int64()))
+
+    ds = ds.map_batches(add_rid, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    ds = ops.add_splitmix_column(ds, "rid", out="h")
+    out = ops.group_top_k(ds, "l_returnflag", ["h", "rid"], 50, descending=False)
+    return out.select_columns(["l_returnflag", "l_orderkey", "l_linenumber"])
+
+
+# the engine's order key is mix64(rid) with the top bit flipped to make
+# the signed int64 order equal the unsigned hash order; the SQL replica
+# ranks by the raw unsigned hash in HUGEINT — identical order
+SQL_STRATIFIED_SAMPLE = """
+WITH ids AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) AS rid
+  FROM lineitem
+),
+s1 AS (
+  SELECT *, xor(rid, rid // 8589934592) AS h1 FROM ids
+),
+m1 AS (
+  SELECT *, ( (h1 % 4294967296) * 18397679294719823053
+            + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+            ) % 18446744073709551616 AS h2
+  FROM s1
+),
+hashed AS (
+  SELECT l_returnflag, l_orderkey, l_linenumber, rid,
+         xor(h2, h2 // 8589934592) AS h
+  FROM m1
+)
+SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, rid) AS rn
+  FROM hashed
+) WHERE rn <= 50
+"""
+
+
 def q_group_topk(sf_dir: str):
     """Per-group top-k (ROW_NUMBER <= k): each supplier's 3 priciest line
     items, total order via (price desc, orderkey, linenumber). Map-side
@@ -2337,6 +2390,7 @@ QUERIES = {
     "pip_partitioned": q_pip_partitioned,
     "zonal_stats": q_zonal_stats,
     "group_topk": q_group_topk,
+    "stratified_sample": q_stratified_sample,
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
     "tfidf_top": q_tfidf_top,
@@ -2402,6 +2456,7 @@ ORACLE = {
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "zonal_stats": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "tfidf_top": SQL_TFIDF_TOP,

@@ -832,3 +832,33 @@ def test_explode_list_matches_manual(ray_session):
     assert got["rid"].tolist() == [1, 1, 4]
     assert got["x"].tolist() == [10, 11, 12]
     assert got["pos"].tolist() == [0, 1, 0]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(101)
+    t = pa.table({
+        "cls": pa.array([f"c{int(x)}" for x in rng.integers(0, 4, 3000)]),
+        "rid": pa.array(rng.permutation(3000).astype(np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(5)
+    h = ops.add_splitmix_column(ds, "rid", out="h")
+    a = ops.group_top_k(h, "cls", ["h", "rid"], 10, descending=False).to_pandas()
+    # re-run with different partitioning: identical sample
+    ds2 = rd.from_arrow(t).repartition(11)
+    b = ops.group_top_k(
+        ops.add_splitmix_column(ds2, "rid", out="h"), "cls", ["h", "rid"], 10,
+        descending=False,
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["cls", "rid"]].values.tolist()))
+    assert key(a) == key(b)
+    assert len(a) == 40  # 10 per class
+    # every class holds a hash-order prefix: spot-check against numpy
+    from georay.ops import _mix64
+
+    df = t.to_pandas()
+    hh = _mix64(df["rid"].to_numpy().view(np.uint64).copy())
+    df["h"] = (hh ^ np.uint64(1 << 63)).view(np.int64)
+    want = df.sort_values(["h", "rid"]).groupby("cls").head(10)
+    assert key(a) == sorted(map(tuple, want[["cls", "rid"]].values.tolist()))
