@@ -666,6 +666,103 @@ GROUP BY r.r_name
 """
 
 
+def q_curate(sf_dir: str):
+    """END-TO-END curation pipeline over documents — the classic
+    web-corpus recipe as ONE streaming chain: language gate (en) →
+    quality floor (≥0.5) → exact dedup (md5 fingerprint, keep lowest
+    doc_id) → per-source stratified sample (20 docs, splitmix hash
+    order). Every stage is an existing oracled operator; the composition
+    itself hash-matches SQL end-to-end."""
+    from georay.stages import text as text_stage
+    from georay.stages.dedup import dedup_exact_text
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "source"]
+    )
+    ds = text_stage.add_language_id(ds)
+    ds = text_stage.add_quality(ds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.equal(batch["lang_pred"], "en"),
+            pc.greater_equal(batch["quality"], 0.5),
+        )
+        return batch.filter(ok)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    ds = text_stage.add_fingerprint(ds)
+    ds = ops.dedup_exact(ds, "fingerprint", keep_col="doc_id")
+    ds = ops.add_splitmix_column(ds, "doc_id", out="h")
+    out = ops.group_top_k(ds, "source", ["h", "doc_id"], 20, descending=False)
+    return out.select_columns(["doc_id", "source"])
+
+
+SQL_CURATE = r"""
+WITH s AS (
+  SELECT doc_id, source, text,
+    length(text)::DOUBLE AS n_chars,
+    len(regexp_extract_all(text, '\S+'))::DOUBLE AS n_tokens,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS n_digits,
+    len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::DOUBLE AS n_punct,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b'))::DOUBLE AS s_en,
+    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b'))::DOUBLE AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|un|des|dans|pour)\b'))::DOUBLE AS s_fr,
+    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|un|de|en|por)\b'))::DOUBLE AS s_es,
+    len(regexp_extract_all(lower(text), '[一-鿿]'))::DOUBLE * 2.0 AS s_zh
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, text,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+         WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+         WHEN s_es >= s_zh THEN 'es'
+         ELSE 'zh' END AS lang_pred,
+    round(least(greatest(
+        0.35 * least(greatest(n_tokens / 64.0, 0), 1)
+      + 0.25 * least(greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_digits / n_chars ELSE 0.0 END) * 5, 0), 1)
+      + 0.2  * least(greatest(1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5, 0), 1)
+      + 0.2  * least(greatest((CASE WHEN n_tokens > 0 THEN s_en / greatest(n_tokens, 1) ELSE 0.0 END) * 4, 0), 1)
+    , 0.0), 1.0), 6) AS quality
+  FROM s
+),
+kept AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+),
+deduped AS (
+  SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+hashed AS (
+  SELECT doc_id, source,
+         xor(h2, h2 // 8589934592) AS h, CAST(doc_id AS HUGEINT) AS rid
+  FROM (
+    SELECT doc_id, source,
+           ( (h1 % 4294967296) * 18397679294719823053
+           + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+           ) % 18446744073709551616 AS h2
+    FROM (
+      SELECT doc_id, source,
+             xor(CAST(doc_id AS HUGEINT), CAST(doc_id AS HUGEINT) // 8589934592) AS h1
+      FROM deduped
+    )
+  )
+)
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, rid) AS rn
+  FROM hashed
+) WHERE rn <= 20
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Stratified deterministic sample: 50 line items per returnflag in
     murmur-finalizer hash order of the (orderkey, linenumber) row id —
@@ -2391,6 +2488,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "group_topk": q_group_topk,
     "stratified_sample": q_stratified_sample,
+    "curate": q_curate,
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
     "tfidf_top": q_tfidf_top,
@@ -2457,6 +2555,7 @@ ORACLE = {
     "zonal_stats": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "curate": SQL_CURATE,
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "tfidf_top": SQL_TFIDF_TOP,
