@@ -26,6 +26,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from georay.codecs import native
 from georay.codecs.wkb import Node, build_native
@@ -211,6 +212,43 @@ def nodes_from_native(arr: pa.Array, geo: GeoType) -> list[Node | None]:
     return out
 
 
+def _format_double_fast(x: float) -> str:
+    """``format_double(x, 16)`` by a cheap repr path: Python repr IS the
+    shortest round-trip (Ryu d2d) form, so for the common shape — finite,
+    plain notation, ≤16 fractional digits — stripping a trailing ``.0``
+    is all the reference formatter does. Exotic shapes (scientific
+    notation, >16 fractional digits, zeros, non-finite) fall back to the
+    full decimal-quantize path. Equality with ``format_double`` is
+    property-tested."""
+    if x != x or x in (float("inf"), float("-inf")) or x == 0:
+        return format_double(x, 16)
+    s = repr(x)
+    dot = s.find(".")
+    if "e" in s or dot < 0 or len(s) - dot - 1 > 16:
+        return format_double(x, 16)
+    if s.endswith(".0"):
+        return s[:-2]
+    return s
+
+
+def _encode_points_fast(arr: pa.Array, geo: GeoType) -> pa.Array:
+    """POINT-XY fast lane for ``encode``: one vectorized view, then a
+    single lightweight f-string per feature (no Node tree, no decimal)."""
+    v = native.view(arr, geo)
+    coords = v.coords
+    empty = np.all(np.isnan(coords), axis=1) if coords.shape[0] else np.zeros(0, bool)
+    ff = _format_double_fast
+    out: list[str | None] = []
+    for i in range(v.length):
+        if v.valid is not None and not v.valid[i]:
+            out.append(None)
+        elif empty[i]:
+            out.append("POINT EMPTY")
+        else:
+            out.append(f"POINT ({ff(coords[i, 0])} {ff(coords[i, 1])})")
+    return pa.array(out, pa.string())
+
+
 def encode(
     arr: pa.Array | pa.ChunkedArray,
     geo: GeoType | None = None,
@@ -223,6 +261,14 @@ def encode(
         arr = arr.combine_chunks()
     if geo is None:
         geo = GeoType.from_field(pa.field("g", arr.type))
+    if (
+        not geo.serialized
+        and geo.geometry_type == GeometryType.POINT
+        and geo.dimensions == Dimensions.XY
+        and precision == 16
+        and max_element_size_bytes is None
+    ):
+        return _encode_points_fast(arr, geo)
     if geo.serialized:
         from georay.codecs import wkb as wkb_codec
 
@@ -451,6 +497,29 @@ def decode(
     arr: pa.Array | pa.ChunkedArray, target: GeoType | None = None
 ) -> tuple[pa.Array, GeoType]:
     arr = _string_values(arr)
+    # POINT-XY vectorized lane: when EVERY feature matches the exact
+    # 2-D ``POINT (x y)`` grammar, parse the whole column with Arrow C
+    # kernels (regex strip → split → cast) — no per-row tokenizer.
+    # Any other shape (nulls, EMPTY, other types, Z/M) falls through to
+    # the recursive-descent parser, whose semantics this lane matches by
+    # construction (the regex only admits strings float() round-trips).
+    if (
+        target is not None
+        and not target.serialized
+        and target.geometry_type == GeometryType.POINT
+        and target.dimensions == Dimensions.XY
+        and len(arr)
+        and arr.null_count == 0
+    ):
+        hit = pc.match_substring_regex(arr, _POINT_FAST_RE)
+        if pc.all(hit).as_py():
+            inner = pc.replace_substring_regex(
+                pc.replace_substring_regex(arr, r"^POINT \(", ""), r"\)$", ""
+            )
+            flat = pc.list_flatten(pc.split_pattern(inner, " "))
+            vals = flat.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            coords = vals.reshape(-1, 2)
+            return native.build_points(coords, target), target
     nodes = [parse_feature_wkt(v.as_py()) if v.is_valid else None for v in arr]
     if target is None:
         from georay.kernels import unique_types_finish
@@ -525,13 +594,26 @@ def unique_types_mask(arr) -> int:
     return mask
 
 
+# fast-lane grammar: exactly the 2-D POINT shapes the full parser accepts
+# with finite ordinates — anything NOT matching falls back to the real
+# parser, so the lane can only ever accept a subset of valid inputs
+_NUM = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+_POINT_FAST_RE = rf"^POINT \({_NUM} {_NUM}\)$"
+
+
 def validate(arr) -> int:
     """visit_void_agg: full parse, raising on malformed input
-    (src/geoarrow.c:1528-1540). Returns the number of valid features."""
+    (src/geoarrow.c:1528-1540). Returns the number of valid features.
+
+    Fast lane: strings matching the exact 2-D ``POINT (x y)`` grammar
+    (one compiled RE2 pass over the whole column via
+    ``pc.match_substring_regex``) are valid by construction and skip the
+    per-row parser; only the non-matching remainder takes the full
+    parse. On machine-written corpora the lane covers ~100% of rows."""
     arr = _string_values(arr)
-    n = 0
-    for v in arr:
-        if v.is_valid:
-            parse_feature_wkt(v.as_py())
-            n += 1
+    hit = pc.fill_null(pc.match_substring_regex(arr, _POINT_FAST_RE), False)
+    n = len(arr) - arr.null_count
+    rest = arr.filter(pc.and_(pc.invert(hit), pc.is_valid(arr)))
+    for v in rest:
+        parse_feature_wkt(v.as_py())
     return n

@@ -216,3 +216,11 @@ def test_geohash_matches_bisection_reference(pt):
     on_edge = ix_exact == np.floor(ix_exact) or iy_exact == np.floor(iy_exact)
     if not on_edge:
         assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(x=st.floats(allow_nan=True, allow_infinity=True))
+def test_format_double_fast_equals_slow(x):
+    from georay.codecs.wkt import _format_double_fast, format_double
+
+    assert _format_double_fast(x) == format_double(x, 16)
