@@ -459,6 +459,90 @@ def rect_intersect_count(
     )
 
 
+def rect_intersect_pairs(
+    rects: ray.data.Dataset,
+    polygons: pa.Table,
+    rect_cols: tuple = ("xmin", "ymin", "xmax", "ymax"),
+    id_col: str = "rect_id",
+    geometry_col: str = "geometry",
+    poly_id_col: str = "polygon_id",
+    res: float | None = None,
+) -> ray.data.Dataset:
+    """Pair-emitting twin of ``rect_intersect_count``: one output row per
+    intersecting (rect, polygon) pair. Same broadcast plan; use the
+    count variant when only cardinalities are needed (no pair
+    intermediate)."""
+    index = PolygonIndex.build(
+        polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
+    )
+    ref = ray.put(index)
+    cache: dict = {}
+    cx0, cy0, cx1, cy1 = rect_cols
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        ridx, poly = idx.intersects_rect(
+            batch[cx0].to_numpy(zero_copy_only=False),
+            batch[cy0].to_numpy(zero_copy_only=False),
+            batch[cx1].to_numpy(zero_copy_only=False),
+            batch[cy1].to_numpy(zero_copy_only=False),
+        )
+        rid = batch[id_col]
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        return pa.table(
+            {
+                id_col: rid.take(pa.array(ridx)),
+                poly_id_col: pa.array(idx.polygon_ids[poly].tolist()),
+            }
+        )
+
+    return rects.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def radius_join_pairs(
+    probes: ray.data.Dataset,
+    ref_lon: np.ndarray,
+    ref_lat: np.ndarray,
+    ref_ids: np.ndarray,
+    radius: float,
+    geom_col: str = "geotag",
+    probe_id_col: str = "p_partkey",
+    neighbor_out: str = "neighbor_id",
+    res: float | None = None,
+) -> ray.data.Dataset:
+    """Pair-emitting twin of ``radius_join_count``: one output row per
+    (probe, ref-within-radius) pair."""
+    if res is None:
+        res = float(np.clip(radius, 0.25, 30.0))
+    index = PointIndex.build(
+        np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64),
+        np.asarray(ref_ids), res,
+    )
+    ref = ray.put(index)
+    cache: dict = {}
+
+    def probe_pairs(batch: pa.Table) -> pa.Table:
+        idx: PointIndex = cache.setdefault("i", ray.get(ref))
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        P, R, _ = idx.within(lon, lat, radius)
+        pid = batch[probe_id_col]
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        return pa.table(
+            {
+                probe_id_col: pid.take(pa.array(P)),
+                neighbor_out: pa.array(idx.ref_ids[R].tolist()),
+            }
+        )
+
+    return probes.map_batches(
+        probe_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def radius_join_count(
     probes: ray.data.Dataset,
     ref_lon: np.ndarray,

@@ -1089,7 +1089,49 @@ GROUP BY r.s_suppkey
 """
 
 
+def q_radius_pairs(sf_dir: str):
+    """Pair-emitting radius join: every (part point, supplier within
+    2.5) pair as rows (the join itself, not just cardinalities)."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import radius_join_pairs
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table(
+            {"p_partkey": pa.array(pk)},
+            schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+        ).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo)
+        )
+    )
+    sx, sy, sk = supplier_points(sf_dir)
+    return radius_join_pairs(
+        probes, sx, sy, sk, radius=2.5, neighbor_out="s_suppkey"
+    )
+
+
+SQL_RADIUS_PAIRS = None  # assigned below once RADIUS_D exists
+
+
 RADIUS_D = 2.5
+
+SQL_RADIUS_PAIRS = f"""
+WITH probes AS (
+  SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
+),
+refs AS (
+  SELECT s_suppkey, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier
+)
+SELECT p.p_partkey AS p_partkey, r.s_suppkey AS s_suppkey
+FROM probes p JOIN refs r
+  ON (r.sx - p.px)*(r.sx - p.px) + (r.sy - p.py)*(r.sy - p.py)
+     <= {RADIUS_D} * {RADIUS_D}
+"""
 
 
 def q_radius_join(sf_dir: str):
@@ -2506,6 +2548,7 @@ QUERIES = {
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
+    "radius_pairs": q_radius_pairs,
     "intersect_join": q_intersect_join,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
@@ -2573,6 +2616,7 @@ ORACLE = {
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
+    "radius_pairs": SQL_RADIUS_PAIRS,
     "intersect_join": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,

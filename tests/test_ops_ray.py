@@ -862,3 +862,41 @@ def test_stratified_sample_deterministic(ray_session):
     df["h"] = (hh ^ np.uint64(1 << 63)).view(np.int64)
     want = df.sort_values(["h", "rid"]).groupby("cls").head(10)
     assert key(a) == sorted(map(tuple, want[["cls", "rid"]].values.tolist()))
+
+
+def test_pair_join_variants_consistent_with_counts(images_dir, polygons_table, ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from georay.joins import (
+        radius_join_count, radius_join_pairs,
+        rect_intersect_count, rect_intersect_pairs,
+    )
+
+    rng = np.random.default_rng(77)
+    rl, rt = rng.uniform(-180, 180, 200), rng.uniform(-85, 85, 200)
+    rid = np.arange(200)
+    ds = rd.read_parquet(images_dir)
+    counts = {r["image_id"]: r["n"] for r in radius_join_count(
+        ds, rl, rt, rid, radius=5.0, probe_id_col="image_id").take_all()}
+    pairs = radius_join_pairs(
+        ds, rl, rt, rid, radius=5.0, probe_id_col="image_id").take_all()
+    agg = collections.Counter(r["image_id"] for r in pairs)
+    assert dict(agg) == counts
+
+    ids = pa.array(np.arange(polygons_table.num_rows), pa.int64())
+    polys = polygons_table.set_column(0, pa.field("polygon_id", pa.int64()), ids)
+    rects = pa.table({
+        "rect_id": pa.array(np.arange(100), pa.int64()),
+        "xmin": pa.array(rng.uniform(-175, 170, 100)),
+        "ymin": pa.array(rng.uniform(-80, 75, 100)),
+    })
+    rects = rects.append_column("xmax", pa.array(rects["xmin"].to_numpy() + 4))
+    rects = rects.append_column("ymax", pa.array(rects["ymin"].to_numpy() + 3))
+    rds = rd.from_arrow(rects).repartition(3)
+    c2 = {r["rect_id"]: r["n"] for r in rect_intersect_count(rds, polys).take_all()}
+    p2 = collections.Counter(
+        r["rect_id"] for r in rect_intersect_pairs(rds, polys).take_all()
+    )
+    assert dict(p2) == c2 and len(c2) > 0
