@@ -892,8 +892,8 @@ def test_pair_join_variants_consistent_with_counts(images_dir, polygons_table, r
         "xmin": pa.array(rng.uniform(-175, 170, 100)),
         "ymin": pa.array(rng.uniform(-80, 75, 100)),
     })
-    rects = rects.append_column("xmax", pa.array(rects["xmin"].to_numpy() + 4))
-    rects = rects.append_column("ymax", pa.array(rects["ymin"].to_numpy() + 3))
+    rects = rects.append_column("xmax", pa.array(rects["xmin"].to_numpy() + 25))
+    rects = rects.append_column("ymax", pa.array(rects["ymin"].to_numpy() + 15))
     rds = rd.from_arrow(rects).repartition(3)
     c2 = {r["rect_id"]: r["n"] for r in rect_intersect_count(rds, polys).take_all()}
     p2 = collections.Counter(
