@@ -455,3 +455,26 @@ def void_agg_partial(arr) -> None:
 
 def void_agg_finish(_partials) -> pa.Array:
     return pa.nulls(1)
+
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(
+    lon1: np.ndarray, lat1: np.ndarray, lon2, lat2
+) -> np.ndarray:
+    """Great-circle distance in km (haversine, mean Earth radius) — the
+    geodesic companion to the planar metrics (the engine's joins are
+    planar by default, matching the reference's planar-only kernels; use
+    this column for geodesic filtering/scoring). Vectorized; the formula
+    is written exactly as its SQL replica so a DuckDB oracle agrees to
+    float ulp."""
+    rl1 = np.radians(np.asarray(lon1, np.float64))
+    rp1 = np.radians(np.asarray(lat1, np.float64))
+    rl2 = np.radians(np.asarray(lon2, np.float64))
+    rp2 = np.radians(np.asarray(lat2, np.float64))
+    a = (
+        np.sin((rp2 - rp1) / 2.0) ** 2
+        + np.cos(rp1) * np.cos(rp2) * np.sin((rl2 - rl1) / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(a, 1.0)))

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from georay import cells, ops
+from georay import cells, kernels, ops
 from georay.codecs import native, wkb, wkt
 from georay.joins import knn_join, pip_join
 from georay.types import GeoType
@@ -975,6 +975,75 @@ SELECT l_returnflag,
        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F
 FROM lineitem
 GROUP BY l_returnflag
+"""
+
+
+def q_geodesic_stats(sf_dir: str):
+    """Geodesic (haversine) distance kernel: per returnflag, the count
+    and max great-circle distance (km, 3 dp) of the lineitem geotags
+    from (0, 0). The engine formula is written term-for-term as the SQL
+    replica; 3-dp rounding absorbs libm ulp drift."""
+    ds = lineitem_points(sf_dir, extra_cols=["l_returnflag"])
+
+    def add_d(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        d = kernels.haversine_km(lon, lat, 0.0, 0.0)
+        d = np.floor(d * 1e3 + 0.5) / 1e3  # half-away, like SQL round()
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "partial_max": pa.array(d, pa.float64()),
+                "partial_n": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        add_d, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def reduce_b(batch: pa.Table) -> pa.Table:
+        k = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        (ks,), outs = ops._group_reduce(
+            [k],
+            {
+                "partial_max": batch["partial_max"].to_numpy(zero_copy_only=False),
+                "partial_n": batch["partial_n"].to_numpy(zero_copy_only=False),
+            },
+            ufunc={"partial_max": np.maximum, "partial_n": np.add},
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(ks),
+                "partial_max": pa.array(outs["partial_max"], pa.float64()),
+                "partial_n": pa.array(outs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = parts.map_batches(
+        reduce_b, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.tree_reduce(
+        parts, "l_returnflag",
+        {"partial_max": "max_km", "partial_n": "n"},
+        ufunc={"partial_max": np.maximum, "partial_n": np.add},
+    )
+
+
+SQL_GEODESIC_STATS = f"""
+WITH pts AS (
+  SELECT l_returnflag, radians({LI_LON}) AS rl, radians({LI_LAT}) AS rp
+  FROM lineitem
+),
+d AS (
+  SELECT l_returnflag,
+         round(2.0 * 6371.0088 * asin(sqrt(least(
+             sin((0.0 - rp) / 2.0) * sin((0.0 - rp) / 2.0)
+           + cos(rp) * cos(0.0) * sin((0.0 - rl) / 2.0) * sin((0.0 - rl) / 2.0)
+         , 1.0))), 3) AS km
+  FROM pts
+)
+SELECT l_returnflag, MAX(km) AS max_km, COUNT(*) AS n
+FROM d GROUP BY l_returnflag
 """
 
 
@@ -2552,6 +2621,7 @@ QUERIES = {
     "intersect_join": q_intersect_join,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
+    "geodesic_stats": q_geodesic_stats,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
@@ -2620,6 +2690,7 @@ ORACLE = {
     "intersect_join": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
+    "geodesic_stats": SQL_GEODESIC_STATS,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,

@@ -176,3 +176,23 @@ def test_length_multipoint_is_zero():
         GeoType.multipoint(),
     )
     assert kernels.length(nat, t).to_pylist() == [0.0, 0.0, None]
+
+
+def test_haversine_known_values():
+    import numpy as np
+
+    from georay.kernels import haversine_km
+
+    # London → Paris ≈ 343.5 km; equator degree ≈ 111.19 km; zero distance
+    d = haversine_km(
+        np.array([-0.1278, 0.0, 10.0]),
+        np.array([51.5074, 0.0, 20.0]),
+        np.array([2.3522, 1.0, 10.0]),
+        np.array([48.8566, 0.0, 20.0]),
+    )
+    assert 342.0 < d[0] < 345.0
+    assert abs(d[1] - 111.1950) < 0.01
+    assert d[2] == 0.0
+    # antipodal clamp stays finite
+    a = haversine_km(np.array([0.0]), np.array([0.0]), 180.0, 0.0)
+    assert abs(a[0] - np.pi * 6371.0088) < 0.5
