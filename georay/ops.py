@@ -1586,16 +1586,69 @@ def tile_polygon_assign(
 
 # ------------------------------------------------ filters & sketches
 
+_BLOOM_K = 4  # hash functions; FPR ≈ (1 - e^{-k·n/m})^k
+
+
+def bloom_build(values: np.ndarray, bits_per_key: int = 10) -> tuple[np.ndarray, int]:
+    """Packed Bloom filter over int64 keys: (uint64 word array, m_bits).
+    ~``bits_per_key``·n bits total (10 → FPR ≈ 0.8% with k=4) —
+    8·64/bits_per_key× smaller to broadcast than the sorted-key array.
+    Build and probe are fully vectorized (mix64 with per-hash seeds)."""
+    v = np.asarray(values, dtype=np.int64).view(np.uint64)
+    m_bits = int(max(64, 1 << int(np.ceil(np.log2(max(len(v), 1) * bits_per_key)))))
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for i in range(_BLOOM_K):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 64) - 1))
+        h = _mix64(v ^ seed) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (h >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (h & np.uint64(63)))
+    return words, m_bits
+
+
+def bloom_probe(words: np.ndarray, m_bits: int, keys: np.ndarray) -> np.ndarray:
+    """Membership mask (no false negatives; FPR per ``bloom_build``)."""
+    k = np.asarray(keys, dtype=np.int64).view(np.uint64)
+    hit = np.ones(k.shape[0], dtype=bool)
+    for i in range(_BLOOM_K):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 64) - 1))
+        h = _mix64(k ^ seed) % np.uint64(m_bits)
+        w = words[(h >> np.uint64(6)).astype(np.int64)]
+        hit &= (w >> (h & np.uint64(63))) & np.uint64(1) != 0
+    return hit
+
+
 def semi_join_filter(
     ds: ray.data.Dataset,
     key: str,
     keep_values: np.ndarray,
     anti: bool = False,
+    bloom_bits_per_key: int | None = None,
 ) -> ray.data.Dataset:
     """Broadcast semi/anti join: the (small) key set ships once via
     ``ray.put`` as a sorted array; each batch filters with one
-    searchsorted. At huge key-set sizes substitute a Bloom filter in the
-    same slot (accepting its false-positive semi rows)."""
+    searchsorted — exact.
+
+    ``bloom_bits_per_key`` switches the broadcast to a packed Bloom
+    filter (the 10⁹-key slot: ~50× less broadcast bytes at 10 bits/key).
+    Approximate: SEMI keeps ~FPR extra rows (never loses one); ANTI
+    would false-DROP, so Bloom+anti is rejected."""
+    if bloom_bits_per_key is not None:
+        if anti:
+            raise ValueError("Bloom filter is semi-only (anti would false-drop)")
+        words, m_bits = bloom_build(np.unique(np.asarray(keep_values)),
+                                    bloom_bits_per_key)
+        bref = ray.put(words)
+        bcache: dict = {}
+
+        def bloom_fn(batch: pa.Table) -> pa.Table:
+            w = bcache.setdefault("w", ray.get(bref))
+            k = batch[key].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(bloom_probe(w, m_bits, k)))
+
+        return ds.map_batches(
+            bloom_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+
     vals = np.unique(np.asarray(keep_values))
     ref = ray.put(vals)
     cache: dict = {}

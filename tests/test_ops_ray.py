@@ -900,3 +900,33 @@ def test_pair_join_variants_consistent_with_counts(images_dir, polygons_table, r
         r["rect_id"] for r in rect_intersect_pairs(rds, polys).take_all()
     )
     assert dict(p2) == c2 and len(c2) > 0
+
+
+def test_bloom_semi_join_superset_and_fpr(ray_session):
+    import ray.data as rd
+
+    from georay.ops import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(111)
+    keep = rng.choice(10_000_000, 5000, replace=False).astype(np.int64)
+    probe = rng.choice(10_000_000, 50_000, replace=False).astype(np.int64)
+    words, m = bloom_build(keep, bits_per_key=10)
+    hit = bloom_probe(words, m, probe)
+    true = np.isin(probe, keep)
+    # NO false negatives
+    assert np.all(hit[true])
+    # FPR within ~3x theory (k=4, 10 bits/key → <1%)
+    fpr = (hit & ~true).sum() / max((~true).sum(), 1)
+    assert fpr < 0.03, fpr
+
+    t = pa.table({"k": pa.array(probe)})
+    ds = rd.from_arrow(t).repartition(4)
+    out = ops.semi_join_filter(ds, "k", keep, bloom_bits_per_key=10).to_pandas()
+    exact = ops.semi_join_filter(ds, "k", keep).to_pandas()
+    assert set(exact["k"]) <= set(out["k"])
+    assert len(out) <= len(exact) + int(0.03 * len(probe))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.semi_join_filter(ds, "k", keep, anti=True, bloom_bits_per_key=10)
