@@ -930,3 +930,23 @@ def test_bloom_semi_join_superset_and_fpr(ray_session):
 
     with _pytest.raises(ValueError):
         ops.semi_join_filter(ds, "k", keep, anti=True, bloom_bits_per_key=10)
+
+
+def test_equi_join_hot_key_skew(ray_session):
+    """80% of the left side on ONE key: the bucket concentrates but the
+    join must stay exact (the documented skew contract)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(121)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.8, 7, rng.integers(0, 500, n)).astype(np.int64)
+    lt = pa.table({"k": pa.array(keys), "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"rk": pa.array(np.arange(0, 500, 1, dtype=np.int64)),
+                   "rv": pa.array(np.arange(500, dtype=np.int64) * 10)})
+    got = ops.equi_join_partitioned(
+        rd.from_arrow(lt).repartition(8), rd.from_arrow(rt).repartition(3),
+        on="k", right_on="rk", n_buckets=16,
+    )
+    assert got.count() == n  # unique right keys: one match per left row
+    s = got.to_pandas()
+    assert (s["rv"].to_numpy() == s["k"].to_numpy() * 10).all()

@@ -568,3 +568,16 @@ def test_ivf_distributed_train_recall(ray_session):
     # probe-all must be exact vs brute regardless of the trainer
     for k in bset:
         assert bset[k] == iset[k]
+
+
+def test_token_histogram_null_and_empty_texts(ray_session):
+    import ray.data as rd
+
+    from georay.stages.text import token_histogram
+
+    t = pa.table({"text": pa.array(["a b", None, "", "a"])})
+    got = {r["token"]: r["n"] for r in token_histogram(
+        rd.from_arrow(t).repartition(2)).take_all()}
+    # null drops (SQL unnest of NULL list yields nothing); "" yields one
+    # empty token (string_split('') semantics, both sides)
+    assert got == {"a": 2, "b": 1, "": 1}
