@@ -1805,6 +1805,7 @@ def equi_join_partitioned(
     right_on: str | None = None,
     how: str = "inner",
     n_buckets: int = 64,
+    n_salt: int = 1,
 ) -> ray.data.Dataset:
     """BOTH-SIDES-LARGE equality join (the scale twin of
     ``broadcast_join``, mirroring pip/knn/asof partitioned variants):
@@ -1821,9 +1822,18 @@ def equi_join_partitioned(
     concentrates in one bucket, so salt upstream if a key's match set
     exceeds a worker's heap. ``n_buckets`` sizes tasks, it is not a
     parallelism cap.
+
+    ``n_salt`` > 1 spreads each key over ``n_salt`` buckets: left rows
+    round-robin across salts, the right side is replicated ``n_salt``×
+    so every salt bucket holds a full copy of its keys' right rows —
+    exact for inner/left (outer would duplicate unmatched right rows,
+    so it is rejected). Use when ONE hot key's match set exceeds a
+    worker; costs right×n_salt.
     """
     if how not in ("inner", "left", "outer"):
         raise ValueError(f"how must be inner|left|outer, got {how!r}")
+    if n_salt > 1 and how == "outer":
+        raise ValueError("n_salt requires inner|left (outer would duplicate)")
     rkey = right_on or on
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
@@ -1839,8 +1849,10 @@ def equi_join_partitioned(
         h = _key_hash(batch, [on])
         if h is None:
             raise TypeError(f"unsupported join key type {l_types[on]}")
+        base = (h % np.uint64(n_buckets)).astype(np.int64)
+        salt = np.arange(len(batch), dtype=np.int64) % n_salt
         cols = {
-            "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "_bucket": pa.array(base * n_salt + salt),
             "_side": pa.array(np.zeros(len(batch), np.int8)),
         }
         for c in l_cols:
@@ -1853,8 +1865,17 @@ def equi_join_partitioned(
         h = _key_hash(batch, [rkey])
         if h is None:
             raise TypeError(f"unsupported join key type {r_schema.field(rkey).type}")
+        base = (h % np.uint64(n_buckets)).astype(np.int64)
+        n = len(batch)
+        if n_salt > 1:
+            idx = np.repeat(np.arange(n, dtype=np.int64), n_salt)
+            salt = np.tile(np.arange(n_salt, dtype=np.int64), n)
+            batch = batch.take(pa.array(idx))
+            bucket = base[idx] * n_salt + salt
+        else:
+            bucket = base
         cols = {
-            "_bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            "_bucket": pa.array(bucket),
             "_side": pa.array(np.ones(len(batch), np.int8)),
         }
         for c in l_cols:

@@ -950,3 +950,31 @@ def test_equi_join_hot_key_skew(ray_session):
     assert got.count() == n  # unique right keys: one match per left row
     s = got.to_pandas()
     assert (s["rv"].to_numpy() == s["k"].to_numpy() * 10).all()
+
+
+def test_equi_join_salted_matches_unsalted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(131)
+    n = 8000
+    keys = np.where(rng.random(n) < 0.7, 3, rng.integers(0, 100, n)).astype(np.int64)
+    lt = pa.table({"k": pa.array(keys), "lv": pa.array(np.arange(n, dtype=np.int64))})
+    rt = pa.table({"rk": pa.array(rng.integers(0, 100, 300).astype(np.int64)),
+                   "rv": pa.array(np.arange(300, dtype=np.int64))})
+    L, R = rd.from_arrow(lt).repartition(6), rd.from_arrow(rt).repartition(3)
+    plain = ops.equi_join_partitioned(L, R, on="k", right_on="rk").to_pandas()
+    for how in ("inner", "left"):
+        salted = ops.equi_join_partitioned(
+            L, R, on="k", right_on="rk", how=how, n_salt=4
+        ).to_pandas()
+        if how == "inner":
+            a = sorted(map(tuple, plain[["k", "lv", "rv"]].values.tolist()))
+            b = sorted(map(tuple, salted[["k", "lv", "rv"]].values.tolist()))
+            assert a == b
+        else:
+            assert len(salted) >= len(plain)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ops.equi_join_partitioned(L, R, on="k", right_on="rk", how="outer", n_salt=2)
