@@ -2457,6 +2457,65 @@ def window_lag(
     )
 
 
+def window_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    out_col: str = "rank",
+    descending: bool | list[bool] = False,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key ROW_NUMBER as a column (1-based): SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY order_cols)``. Same bucket plan as the
+    other window operators — one key-hash shuffle, whole-bucket
+    vectorized sort + boundary rank. Include a unique tiebreak in
+    ``order_cols`` for a total order."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    desc = (
+        [descending] * len(order_list)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_rank requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending")] + [
+            (c, "descending" if d else "ascending")
+            for c, d in zip(order_list, desc)
+        ]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        pos = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        return g.append_column(out_col, pa.array(pos - start + 1, pa.int64()))
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def window_cumsum(
     ds: ray.data.Dataset,
     key: str,

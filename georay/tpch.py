@@ -235,6 +235,23 @@ FROM events
 """
 
 
+def q_window_rank(sf_dir: str):
+    """Per-user event rank (1-based ROW_NUMBER over (ts, event_id)):
+    the windowed rank column over the bucket shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_rank(ds, key="user_id", order_cols=["ts", "event_id"])
+    return out.select_columns(["event_id", "user_id", "rank"])
+
+
+SQL_WINDOW_RANK = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+FROM events
+"""
+
+
 def q_window_cumsum(sf_dir: str):
     """Per-user running total of l_quantity-style integer values: running
     count of each user's events ordered by (ts, event_id) — segmented
@@ -2618,6 +2635,7 @@ QUERIES = {
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
     "window_cumsum": q_window_cumsum,
+    "window_rank": q_window_rank,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
@@ -2687,6 +2705,7 @@ ORACLE = {
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,
     "window_cumsum": SQL_WINDOW_CUMSUM,
+    "window_rank": SQL_WINDOW_RANK,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,

@@ -236,3 +236,26 @@ def test_interval_partitioned_matches_broadcast(ray_session):
                 .to_pandas().sort_values("eid").reset_index(drop=True))
         assert np.array_equal(part["eid"].to_numpy(), bc["eid"].to_numpy())
         assert np.array_equal(part["n_matches"].to_numpy(), bc["n_matches"].to_numpy()), bucket
+
+
+def test_window_rank_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(37)
+    n = 900
+    t = pa.table({
+        "u": pa.array([f"u{int(x)}" for x in rng.integers(0, 15, n)]),
+        "ts": pa.array(rng.integers(0, 5000, n).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = (
+        ops.window_rank(ds, "u", ["ts", "eid"], n_buckets=7)
+        .to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    df["rank"] = df.groupby("u").cumcount() + 1
+    assert np.array_equal(got["rank"].to_numpy(), df["rank"].to_numpy())
