@@ -2575,6 +2575,68 @@ def window_cumsum(
     )
 
 
+def window_moving_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str,
+    value_col: str,
+    window_rows: int,
+    out_col: str = "moving_sum",
+    order_tiebreak: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key moving sum over a row frame: SQL ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts, tiebreak ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)``. Same bucket plan as the
+    other window operators; the frame sum is a vectorized cumsum
+    difference with the frame start clamped to each key's first row —
+    exact for integer-valued doubles (the float-sum caveat of every
+    windowed sum here)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_moving_sum requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        cum = np.cumsum(v)
+        pos = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        lower = np.maximum(pos - window_rows + 1, start)
+        base = np.where(lower > 0, cum[np.maximum(lower - 1, 0)], 0.0)
+        # lower == 0 means the frame starts at the global first row
+        base = np.where(lower == 0, 0.0, base)
+        return g.append_column(out_col, pa.array(cum - base, pa.float64()))
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def apply_geo_kernel(
     ds: ray.data.Dataset,
     col: str,

@@ -235,6 +235,38 @@ FROM events
 """
 
 
+def q_window_moving(sf_dir: str):
+    """Per-user 5-row moving event count (ROWS 4 PRECEDING frame over
+    (ts, event_id)): segmented cumsum differences, exact for integer
+    values."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "one", pa.array(np.ones(len(batch), dtype=np.float64))
+        )
+
+    ds = ds.map_batches(add_one, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ops.window_moving_sum(
+        ds, key="user_id", ts="ts", value_col="one", window_rows=5,
+        out_col="moving_n", order_tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "moving_n"])
+
+
+SQL_WINDOW_MOVING = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS moving_n
+FROM events
+"""
+
+
 def q_window_rank(sf_dir: str):
     """Per-user event rank (1-based ROW_NUMBER over (ts, event_id)):
     the windowed rank column over the bucket shuffle."""
@@ -2636,6 +2668,7 @@ QUERIES = {
     "window_lag": q_window_lag,
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
+    "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
@@ -2706,6 +2739,7 @@ ORACLE = {
     "window_lag": SQL_WINDOW_LAG,
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
+    "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,

@@ -259,3 +259,30 @@ def test_window_rank_matches_pandas(ray_session):
     df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
     df["rank"] = df.groupby("u").cumcount() + 1
     assert np.array_equal(got["rank"].to_numpy(), df["rank"].to_numpy())
+
+
+def test_window_moving_sum_matches_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(43)
+    n = 1200
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 8000, n).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "val": pa.array(rng.integers(-5, 10, n).astype(np.float64)),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = (
+        ops.window_moving_sum(ds, "u", "ts", "val", 5, order_tiebreak="eid")
+        .to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    df["ms"] = (
+        df.groupby("u")["val"].rolling(5, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    assert np.array_equal(got["moving_sum"].to_numpy(), df["ms"].to_numpy())
