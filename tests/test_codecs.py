@@ -283,3 +283,34 @@ def test_wkb_validate_vectorized_lanes():
     forged = good[:5] + _s.pack("<I", 99) + good[5:]  # absurd trailing bytes
     with pytest.raises(Exception):
         wkb.validate(pa.array([forged], pa.binary()))
+
+
+def test_wkt_fast_lane_fallback_parity():
+    """The POINT fast lanes must agree with the recursive-descent parser
+    on mixed corpora and reject exactly what it rejects."""
+    import pyarrow as pa
+    import pytest
+
+    from georay.codecs import native, wkt
+    from georay.types import GeoType
+
+    mixed = pa.array([
+        "POINT (1 2)",            # fast-lane shape
+        "POINT (1.5e2 -0.25)",    # scientific
+        "POINT  (1 2)",           # double space → parser path (valid)
+        "POINT (1 2 3)",          # 3 ordinates vs XY target → parser error path
+    ])
+    # validate: first three valid, fourth raises through the parser
+    with pytest.raises(Exception):
+        wkt.validate(mixed)
+    assert wkt.validate(pa.array(["POINT (1 2)", "POINT  (3 4)", None])) == 2
+
+    # decode vector lane vs per-row parser on an all-fast corpus
+    fast = pa.array(["POINT (1 2)", "POINT (-3.5 4.25)", "POINT (1.5e2 -0.25)"])
+    a, t1 = wkt.decode(fast, GeoType.point())
+    # force the per-row path by appending a non-matching (but valid) row
+    slow_src = pa.array(list(fast.to_pylist()) + ["POINT  (9 9)"])
+    b, t2 = wkt.decode(slow_src, GeoType.point())
+    va, vb = native.view(a, t1), native.view(b, t2)
+    assert np.array_equal(va.coords, vb.coords[:3])
+    assert np.array_equal(vb.coords[3], [9.0, 9.0])
