@@ -1718,6 +1718,59 @@ def approx_distinct(ds: ray.data.Dataset, col: str) -> float:
     )
 
 
+def grouped_approx_distinct(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+) -> dict:
+    """Per-key approximate COUNT DISTINCT (grouped HLL): each batch emits
+    one (key, 4096-register sketch) row per key PRESENT; sketches merge
+    by element-wise max per key in one groupby of sketch rows — the
+    corpus never shuffles, only keys × 4 KB sketches. Assumes bounded
+    key cardinality (categorical keys), like every histogram-final here.
+
+    Returns {key_value: estimate} (~1.6% standard error)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karr = batch[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        enc = pc.dictionary_encode(karr)
+        codes = np.asarray(pc.fill_null(enc.indices, -1)).astype(np.int64)
+        vals = batch[col].to_numpy(zero_copy_only=False)
+        keys_out, regs_out = [], []
+        for code in np.unique(codes):
+            sel = codes == code
+            keys_out.append(
+                None if code < 0 else enc.dictionary[int(code)].as_py()
+            )
+            regs_out.append(hll_partial(vals[sel]).tobytes())
+        return pa.table(
+            {key: pa.array(keys_out), "regs": pa.array(regs_out, pa.binary())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+        for b in group["regs"].to_pylist():
+            np.maximum(regs, np.frombuffer(b, dtype=np.int8), out=regs)
+        return pa.table(
+            {key: group[key].slice(0, 1), "regs": pa.array([regs.tobytes()], pa.binary())}
+        )
+
+    merged = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )
+    return {
+        r[key]: hll_merge_estimate([np.frombuffer(r["regs"], dtype=np.int8)])
+        for r in merged
+    }
+
+
 def systematic_sample(
     ds: ray.data.Dataset,
     key_cols: list[str],

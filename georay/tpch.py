@@ -2529,6 +2529,36 @@ FROM lineitem
 """
 
 
+def q_grouped_distinct(sf_dir: str):
+    """Per-event-type distinct users: EXACT via two-stage dedup+count
+    (oracled) alongside the grouped-HLL estimate with a per-key 5%%
+    error flag (the mergeable-sketch pattern, grouped)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    uniq = ops.dedup_exact(ds, ["event_type", "user_id"], keep_col="user_id")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ops.salted_count(uniq, "event_type", count_alias="n").take_all()
+    }
+    approx = ops.grouped_approx_distinct(ds, "event_type", "user_id")
+    keys = sorted(exact)
+    return pa.table(
+        {
+            "event_type": pa.array(keys),
+            "n_distinct": pa.array([exact[k] for k in keys], pa.int64()),
+            "hll_within_5pct": pa.array(
+                [abs(approx[k] - exact[k]) / exact[k] < 0.05 for k in keys]
+            ),
+        }
+    )
+
+
+SQL_GROUPED_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 def q_sample(sf_dir: str):
     """Deterministic 10% content-hash sample of lineitem (stable
     held-out-split semantics; bit-identical to the SQL mirror)."""
@@ -2624,6 +2654,7 @@ QUERIES = {
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
+    "grouped_distinct": q_grouped_distinct,
     "sample": q_sample,
     "union_grid": q_union_grid,
     "cast_roundtrip_grid": q_cast_roundtrip_grid,
@@ -2703,6 +2734,7 @@ ORACLE = {
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
+    "grouped_distinct": SQL_GROUPED_DISTINCT,
     "sample": SQL_SAMPLE,
     "union_grid": SQL_UNION_GRID,
     "cast_roundtrip_grid": SQL_GRID_CELL_COUNT,

@@ -978,3 +978,21 @@ def test_equi_join_salted_matches_unsalted(ray_session):
 
     with _pytest.raises(ValueError):
         ops.equi_join_partitioned(L, R, on="k", right_on="rk", how="outer", n_salt=2)
+
+
+def test_grouped_approx_distinct_accuracy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(141)
+    n = 30_000
+    t = pa.table({
+        "g": pa.array([f"g{int(x)}" for x in rng.integers(0, 4, n)]),
+        "u": pa.array(rng.integers(0, 3000, n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    approx = ops.grouped_approx_distinct(ds, "g", "u")
+    df = t.to_pandas()
+    exact = df.groupby("g")["u"].nunique().to_dict()
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
