@@ -1186,6 +1186,42 @@ def pivot_count(
     return tree_reduce(parts, key, {n: n for n in names})
 
 
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    sample_rate: int = 100,
+) -> dict:
+    """Sampled quantiles for UNBOUNDED value domains (the approximate
+    twin of ``exact_quantiles``, which assumes the distinct-value
+    histogram fits a worker): every batch keeps a deterministic
+    1/``sample_rate`` systematic slice (position stride within the
+    batch — value-independent, so no quantile bias), the merged sample
+    is quantiled exactly. Standard error ≈ sqrt(q(1-q)·rate/n) in rank
+    space. Returns {q: value}; deterministic for a fixed input
+    partitioning."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(v[:: max(sample_rate, 1)], pa.float64())})
+
+    sample_batches = list(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not sample_batches:
+        return {float(q): float("nan") for q in qs}
+    v = np.sort(
+        pa.concat_tables(sample_batches)["v"].to_numpy(zero_copy_only=False)
+    )
+    out = {}
+    for q in qs:
+        idx = max(int(np.ceil(q * v.shape[0])) - 1, 0)
+        out[float(q)] = float(v[min(idx, v.shape[0] - 1)])
+    return out
+
+
 def grouped_quantiles(
     ds: ray.data.Dataset,
     key: str,

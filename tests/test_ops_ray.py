@@ -996,3 +996,19 @@ def test_grouped_approx_distinct_accuracy(ray_session):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (k, approx[k], exact[k])
+
+
+def test_approx_quantiles_error_bound(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(151)
+    n = 200_000
+    vals = rng.lognormal(0, 1.0, n)  # continuous, unbounded domain
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    got = ops.approx_quantiles(ds, "x", [0.1, 0.5, 0.9], sample_rate=50)
+    for q in (0.1, 0.5, 0.9):
+        true_v = np.quantile(vals, q)
+        # rank error within a few std errs → value within the local band
+        rank = (vals <= got[q]).mean()
+        assert abs(rank - q) < 0.02, (q, rank)
+        assert got[q] > 0 and np.isfinite(true_v)
