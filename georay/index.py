@@ -561,6 +561,44 @@ class PointIndex:
         keep = within < k
         return P[keep], R[keep], d2[keep]
 
+    def _disk_candidates(self, lon: np.ndarray, lat: np.ndarray, R: int):
+        """Deduped (probe_idx, ref_pos) candidate pairs from one fixed
+        Chebyshev cell disk of radius ``R`` around each probe. Non-finite
+        probes are dropped."""
+        m = lon.shape[0]
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        probe_cell = cells.grid_cell(
+            np.where(ok, lon, 0.0), np.where(ok, lat, 0.0), self.res
+        )
+        disk = cells.grid_disk(probe_cell, R, self.nx)  # (m, (2R+1)²)
+        flat = disk.reshape(-1)
+        owner = np.repeat(np.arange(m, dtype=np.int64), disk.shape[1])
+        ci, refs = csr_lookup(
+            self.cell_uniq, self.cell_offsets, self.cell_points, flat
+        )
+        if ci.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        P, Rf = owner[ci], refs
+        keep_ok = ok[P]
+        P, Rf = P[keep_ok], Rf[keep_ok]
+        # wrap duplicates: tiny disks near the antimeridian can revisit
+        PR = P * (self.ref_lon.shape[0] + 1) + Rf
+        _, ui = np.unique(PR, return_index=True)
+        return P[ui], Rf[ui]
+
+    def _order_pairs(self, P: np.ndarray, Rf: np.ndarray, d: np.ndarray):
+        """Deterministic (probe, distance, ref_id) ordering."""
+        order = np.lexsort(
+            (
+                self.ref_ids[Rf].astype("U")
+                if self.ref_ids.dtype == object
+                else self.ref_ids[Rf],
+                d,
+                P,
+            )
+        )
+        return P[order], Rf[order], d[order]
+
     def within(self, lon: np.ndarray, lat: np.ndarray, radius: float):
         """All (probe, ref) pairs with planar distance ≤ ``radius``.
 
@@ -569,41 +607,60 @@ class PointIndex:
         R·res ≥ radius), so no expansion loop — one vectorized CSR
         gather + exact filter. Returns (probe_idx, ref_pos, dist2)
         sorted by (probe_idx, dist2, ref_id)."""
-        m = lon.shape[0]
-        ok = np.isfinite(lon) & np.isfinite(lat)
-        probe_cell = cells.grid_cell(
-            np.where(ok, lon, 0.0), np.where(ok, lat, 0.0), self.res
-        )
-        R = int(np.ceil(radius / self.res))
-        disk = cells.grid_disk(probe_cell, R, self.nx)  # (m, (2R+1)²)
-        flat = disk.reshape(-1)
-        owner = np.repeat(np.arange(m, dtype=np.int64), disk.shape[1])
-        ci, refs = csr_lookup(
-            self.cell_uniq, self.cell_offsets, self.cell_points, flat
-        )
-        if ci.size == 0:
-            return (
-                np.empty(0, np.int64),
-                np.empty(0, np.int64),
-                np.empty(0, np.float64),
-            )
-        P, Rf = owner[ci], refs
-        keep_ok = ok[P]
-        P, Rf = P[keep_ok], Rf[keep_ok]
-        # wrap duplicates: tiny disks near the antimeridian can revisit
-        PR = P * (self.ref_lon.shape[0] + 1) + Rf
-        _, ui = np.unique(PR, return_index=True)
-        P, Rf = P[ui], Rf[ui]
+        P, Rf = self._disk_candidates(lon, lat, int(np.ceil(radius / self.res)))
+        if P.size == 0:
+            return P, Rf, np.empty(0, np.float64)
         d2 = (self.ref_lon[Rf] - lon[P]) ** 2 + (self.ref_lat[Rf] - lat[P]) ** 2
         hit = d2 <= radius * radius
-        P, Rf, d2 = P[hit], Rf[hit], d2[hit]
-        order = np.lexsort(
-            (
-                self.ref_ids[Rf].astype("U")
-                if self.ref_ids.dtype == object
-                else self.ref_ids[Rf],
-                d2,
-                P,
-            )
+        return self._order_pairs(P[hit], Rf[hit], d2[hit])
+
+    def within_geodesic(self, lon: np.ndarray, lat: np.ndarray, radius_km: float):
+        """All (probe, ref) pairs with great-circle (haversine) distance
+        ≤ ``radius_km`` km.
+
+        The degree grid still bounds the candidate set: ``radius_km``
+        spans at most ``radius_km / KM_PER_DEG`` degrees of latitude, and
+        at most ``radius_km / (KM_PER_DEG · cos φ)`` degrees of longitude
+        where φ is the poleward-most latitude reachable from any probe in
+        the batch. One conservative Chebyshev disk of that (batch-max)
+        degree radius covers all true matches; the exact haversine filter
+        runs per candidate. Near-polar probes (|φ| → 90°) degrade to a
+        wide disk — the planar metric has no such blow-up, which is why
+        planar stays the default. Returns (probe_idx, ref_pos, dist_km)
+        sorted by (probe_idx, dist_km, ref_id)."""
+        from georay.kernels import KM_PER_DEG, haversine_km
+
+        m = lon.shape[0]
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        deg_lat = radius_km / KM_PER_DEG
+        # Per-probe longitude span, evaluated at the poleward-most
+        # latitude the probe's circle reaches. A probe whose circle
+        # crosses the pole needs every longitude column; the cos floor
+        # makes its R cover the full row (disk dedup absorbs the wrap).
+        phi = np.minimum(np.abs(np.where(ok, lat, 0.0)) + deg_lat, 89.999)
+        deg_lon = radius_km / (
+            KM_PER_DEG * np.maximum(np.cos(np.radians(phi)), 1e-6)
         )
-        return P[order], Rf[order], d2[order]
+        r_probe = np.ceil(np.maximum(deg_lat, deg_lon) / self.res).astype(np.int64)
+        r_probe = np.maximum(r_probe, 1)
+        half_row = int(np.ceil(self.nx / 2)) + 1
+        r_probe = np.minimum(r_probe, half_row)
+        # Quantize to powers of two so one batch gathers O(log) disk
+        # sizes instead of one per distinct latitude cell.
+        r_q = np.int64(1) << np.int64(
+            np.ceil(np.log2(r_probe.astype(np.float64)))
+        )
+        r_q = np.minimum(np.maximum(r_q, r_probe), half_row)
+        P_all, Rf_all = [], []
+        for R in np.unique(r_q):
+            sel = np.nonzero(r_q == R)[0]
+            Pb, Rfb = self._disk_candidates(lon[sel], lat[sel], int(R))
+            P_all.append(sel[Pb])
+            Rf_all.append(Rfb)
+        P = np.concatenate(P_all) if P_all else np.empty(0, np.int64)
+        Rf = np.concatenate(Rf_all) if Rf_all else np.empty(0, np.int64)
+        if P.size == 0:
+            return P, Rf, np.empty(0, np.float64)
+        d = haversine_km(lon[P], lat[P], self.ref_lon[Rf], self.ref_lat[Rf])
+        hit = d <= radius_km
+        return self._order_pairs(P[hit], Rf[hit], d[hit])

@@ -502,6 +502,18 @@ def rect_intersect_pairs(
     )
 
 
+def _radius_res(radius: float, metric: str, res: float | None) -> float:
+    """Default cell size for the within-distance index: roughly one
+    radius per cell (clipped), converted from km to degrees first for
+    the geodesic metric."""
+    if res is not None:
+        return res
+    from georay.kernels import KM_PER_DEG
+
+    deg = radius / KM_PER_DEG if metric == "haversine" else radius
+    return float(np.clip(deg, 0.25, 30.0))
+
+
 def radius_join_pairs(
     probes: ray.data.Dataset,
     ref_lon: np.ndarray,
@@ -512,31 +524,52 @@ def radius_join_pairs(
     probe_id_col: str = "p_partkey",
     neighbor_out: str = "neighbor_id",
     res: float | None = None,
+    metric: str = "planar",
+    ref_payload: dict[str, np.ndarray] | None = None,
+    dist_out: str | None = None,
 ) -> ray.data.Dataset:
     """Pair-emitting twin of ``radius_join_count``: one output row per
-    (probe, ref-within-radius) pair."""
-    if res is None:
-        res = float(np.clip(radius, 0.25, 30.0))
-    index = PointIndex.build(
-        np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64),
-        np.asarray(ref_ids), res,
-    )
-    ref = ray.put(index)
+    (probe, ref-within-radius) pair.
+
+    ``metric`` — ``"planar"`` (degrees, the default, matching the
+    reference's planar-only kernels) or ``"haversine"`` (``radius`` in
+    km, great-circle). ``ref_payload`` — extra reference-side columns
+    (name → array aligned with ``ref_ids``) carried onto each pair, so
+    the join emits real payload rows, not just id pairs; the arrays ride
+    inside the one broadcast ``ray.put``. ``dist_out`` — optionally emit
+    the distance (squared degrees for planar, km for haversine)."""
+    res = _radius_res(radius, metric, res)
+    ref_lon = np.asarray(ref_lon, np.float64)
+    ref_lat = np.asarray(ref_lat, np.float64)
+    index = PointIndex.build(ref_lon, ref_lat, np.asarray(ref_ids), res)
+    # build() drops non-finite refs; ref_pos indexes the filtered arrays,
+    # so payload columns must be filtered by the same mask.
+    ok = np.isfinite(ref_lon) & np.isfinite(ref_lat)
+    payload = {
+        k: np.asarray(v)[ok] for k, v in (ref_payload or {}).items()
+    }
+    ref = ray.put((index, payload))
     cache: dict = {}
 
     def probe_pairs(batch: pa.Table) -> pa.Table:
-        idx: PointIndex = cache.setdefault("i", ray.get(ref))
+        idx, pay = cache.setdefault("i", ray.get(ref))
         lon, lat = ops.point_lonlat(batch, geom_col)
-        P, R, _ = idx.within(lon, lat, radius)
+        if metric == "haversine":
+            P, R, d = idx.within_geodesic(lon, lat, radius)
+        else:
+            P, R, d = idx.within(lon, lat, radius)
         pid = batch[probe_id_col]
         if isinstance(pid, pa.ChunkedArray):
             pid = pid.combine_chunks()
-        return pa.table(
-            {
-                probe_id_col: pid.take(pa.array(P)),
-                neighbor_out: pa.array(idx.ref_ids[R].tolist()),
-            }
-        )
+        cols = {
+            probe_id_col: pid.take(pa.array(P)),
+            neighbor_out: pa.array(idx.ref_ids[R].tolist()),
+        }
+        for name, arr in pay.items():
+            cols[name] = pa.array(arr[R].tolist())
+        if dist_out is not None:
+            cols[dist_out] = pa.array(d, pa.float64())
+        return pa.table(cols)
 
     return probes.map_batches(
         probe_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -553,18 +586,19 @@ def radius_join_count(
     probe_id_col: str = "p_partkey",
     res: float | None = None,
     count_alias: str = "n",
+    metric: str = "planar",
 ) -> ray.data.Dataset:
     """Within-distance (radius) join, counted per probe: for every probe
-    point, the number of broadcast reference points with planar distance
-    ≤ ``radius``. One fixed cell disk of Chebyshev radius
+    point, the number of broadcast reference points within ``radius``
+    (planar degrees by default; km great-circle with
+    ``metric="haversine"``). One fixed cell disk of Chebyshev radius
     ``ceil(radius/res)`` bounds the candidate set (no ring expansion
     loop, unlike kNN), the exact filter runs per batch, and because each
     probe lives in exactly one batch the per-probe counts are complete
     locally — NO shuffle at all. Probes with zero matches are dropped
     (inner-join counting semantics).
     """
-    if res is None:
-        res = float(np.clip(radius, 0.25, 30.0))
+    res = _radius_res(radius, metric, res)
     index = PointIndex.build(
         np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64),
         np.asarray(ref_ids), res,
@@ -575,7 +609,10 @@ def radius_join_count(
     def probe_count(batch: pa.Table) -> pa.Table:
         idx: PointIndex = cache.setdefault("i", ray.get(ref))
         lon, lat = ops.point_lonlat(batch, geom_col)
-        P, _, _ = idx.within(lon, lat, radius)
+        if metric == "haversine":
+            P, _, _ = idx.within_geodesic(lon, lat, radius)
+        else:
+            P, _, _ = idx.within(lon, lat, radius)
         counts = np.bincount(P, minlength=len(batch))
         nz = np.nonzero(counts)[0]
         pid = batch[probe_id_col]

@@ -458,6 +458,9 @@ def void_agg_finish(_partials) -> pa.Array:
 
 
 EARTH_RADIUS_KM = 6371.0088
+# km spanned by one degree of latitude on the haversine sphere (π·R/180);
+# one degree of longitude spans KM_PER_DEG · cos(lat).
+KM_PER_DEG = np.pi * EARTH_RADIUS_KM / 180.0
 
 
 def haversine_km(

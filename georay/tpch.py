@@ -1292,6 +1292,98 @@ GROUP BY p.p_partkey
 """
 
 
+RADIUS_KM = 300.0
+
+
+def _part_point_probes(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    return rd.from_arrow(
+        pa.table(
+            {"p_partkey": pa.array(pk)},
+            schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+        ).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo)
+        )
+    )
+
+
+def q_radius_geodesic(sf_dir: str):
+    """Geodesic within-distance join: suppliers within {RADIUS_KM} km
+    great-circle (haversine) of each part point, counted per part. Same
+    zero-shuffle fixed-disk plan as the planar twin; the candidate disk
+    is sized per probe from the poleward-most latitude its circle
+    reaches (see PointIndex.within_geodesic)."""
+    from georay.joins import radius_join_count
+
+    probes = _part_point_probes(sf_dir)
+    sx, sy, sk = supplier_points(sf_dir)
+    return radius_join_count(probes, sx, sy, sk, radius=RADIUS_KM, metric="haversine")
+
+
+SQL_RADIUS_GEODESIC = f"""
+WITH probes AS (
+  SELECT p_partkey, radians({PART_CX}) AS rl, radians({PART_CY}) AS rp FROM part
+),
+refs AS (
+  SELECT s_suppkey, radians({SUPP_SX}) AS rl, radians({SUPP_SY}) AS rp FROM supplier
+)
+SELECT p.p_partkey AS p_partkey, COUNT(*) AS n
+FROM probes p JOIN refs r
+  ON 2.0 * 6371.0088 * asin(sqrt(least(
+       sin((r.rp - p.rp) / 2.0) * sin((r.rp - p.rp) / 2.0)
+     + cos(p.rp) * cos(r.rp) * sin((r.rl - p.rl) / 2.0) * sin((r.rl - p.rl) / 2.0)
+     , 1.0))) <= {RADIUS_KM}
+GROUP BY p.p_partkey
+"""
+
+
+def q_radius_payload(sf_dir: str):
+    """Payload-carrying radius join: every (part, supplier within
+    {RADIUS_D}°) pair with the supplier's nationkey and the exact
+    squared distance as output columns — the join emits real payload
+    rows, not just id pairs. Payload arrays ride inside the one
+    broadcast ray.put of the index."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import radius_join_pairs
+
+    probes = _part_point_probes(sf_dir)
+    # One file-order read keeps key and payload columns aligned.
+    t = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    sk = t["s_suppkey"].to_numpy().astype(np.int64)
+    sx = ((sk * 41) % 3600) / 10.0 - 180.0 + 0.05
+    sy = ((sk * 59) % 1700) / 10.0 - 85.0 + 0.05
+    nationkey = t["s_nationkey"].to_numpy().astype(np.int64)
+    return radius_join_pairs(
+        probes, sx, sy, sk, radius=RADIUS_D,
+        neighbor_out="s_suppkey",
+        ref_payload={"s_nationkey": nationkey},
+        dist_out="dist2",
+    )
+
+
+SQL_RADIUS_PAYLOAD = f"""
+WITH probes AS (
+  SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
+),
+refs AS (
+  SELECT s_suppkey, s_nationkey, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier
+)
+SELECT p.p_partkey AS p_partkey, r.s_suppkey AS s_suppkey,
+       r.s_nationkey AS s_nationkey,
+       (r.sx - p.px)*(r.sx - p.px) + (r.sy - p.py)*(r.sy - p.py) AS dist2
+FROM probes p JOIN refs r
+  ON (r.sx - p.px)*(r.sx - p.px) + (r.sy - p.py)*(r.sy - p.py)
+     <= {RADIUS_D} * {RADIUS_D}
+"""
+
+
 def q_tile_counts(sf_dir: str):
     """Web-mercator tiling: per-tile image counts at zoom {TILE_ZOOM}."""
     ds = lineitem_points(sf_dir)
@@ -2704,6 +2796,8 @@ QUERIES = {
     "knn_partitioned": q_knn_partitioned,
     "radius_join": q_radius_join,
     "radius_pairs": q_radius_pairs,
+    "radius_geodesic": q_radius_geodesic,
+    "radius_payload": q_radius_payload,
     "intersect_join": q_intersect_join,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
@@ -2776,6 +2870,8 @@ ORACLE = {
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
     "radius_pairs": SQL_RADIUS_PAIRS,
+    "radius_geodesic": SQL_RADIUS_GEODESIC,
+    "radius_payload": SQL_RADIUS_PAYLOAD,
     "intersect_join": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,

@@ -1012,3 +1012,87 @@ def test_approx_quantiles_error_bound(ray_session):
         rank = (vals <= got[q]).mean()
         assert abs(rank - q) < 0.02, (q, rank)
         assert got[q] > 0 and np.isfinite(true_v)
+
+
+def test_radius_geodesic_matches_brute_including_polar(ray_session):
+    """within_geodesic vs brute-force haversine, with probes pushed to
+    lat 89 so the per-probe wide-disk (pole-adjacent) path is exercised
+    alongside the equatorial narrow-disk path."""
+    import ray.data as rd
+
+    from georay import kernels
+    from georay.joins import radius_join_count
+
+    rng = np.random.default_rng(93)
+    rl = rng.uniform(-180, 180, 400)
+    rt = rng.uniform(-89.5, 89.5, 400)
+    rid = np.arange(400)
+    plon = rng.uniform(-180, 180, 120)
+    plat = np.concatenate([
+        rng.uniform(-85, 85, 100),
+        rng.uniform(88.0, 89.0, 10),    # pole-adjacent probes
+        rng.uniform(-89.0, -88.0, 10),
+    ])
+    geo = GeoType.point()
+    probes = rd.from_arrow(
+        pa.table({"pid": pa.array(np.arange(120), pa.int64())}).append_column(
+            geo.field("geotag"),
+            native.build_points(np.column_stack([plon, plat]), geo),
+        )
+    )
+    got = {
+        r["pid"]: r["n"]
+        for r in radius_join_count(
+            probes, rl, rt, rid, radius=500.0,
+            probe_id_col="pid", metric="haversine",
+        ).take_all()
+    }
+    exp = {}
+    for i in range(120):
+        d = kernels.haversine_km(plon[i], plat[i], rl, rt)
+        n = int((d <= 500.0).sum())
+        if n:
+            exp[i] = n
+    assert got == exp and len(exp) > 5
+
+
+def test_radius_pairs_payload_and_distance(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from georay.joins import radius_join_pairs
+
+    rng = np.random.default_rng(94)
+    rl = rng.uniform(-30, 30, 150)
+    rt = rng.uniform(-30, 30, 150)
+    # plant a non-finite ref: payload must stay aligned after build() drops it
+    rl[7] = np.nan
+    rid = np.arange(150)
+    tag = rid * 10 + 3
+    geo = GeoType.point()
+    plon = rng.uniform(-30, 30, 80)
+    plat = rng.uniform(-30, 30, 80)
+    probes = rd.from_arrow(
+        pa.table({"pid": pa.array(np.arange(80), pa.int64())}).append_column(
+            geo.field("geotag"),
+            native.build_points(np.column_stack([plon, plat]), geo),
+        )
+    )
+    rows = radius_join_pairs(
+        probes, rl, rt, rid, radius=3.0,
+        probe_id_col="pid", neighbor_out="rid",
+        ref_payload={"tag": tag}, dist_out="d2",
+    ).take_all()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["tag"] == r["rid"] * 10 + 3
+        i, j = r["pid"], r["rid"]
+        d2 = (rl[j] - plon[i]) ** 2 + (rt[j] - plat[i]) ** 2
+        assert d2 == r["d2"] and d2 <= 9.0
+    # completeness vs brute force
+    agg = collections.Counter(r["pid"] for r in rows)
+    for i in range(80):
+        d2 = (rl - plon[i]) ** 2 + (rt - plat[i]) ** 2
+        n = int(np.nansum(d2 <= 9.0))
+        assert agg.get(i, 0) == n
