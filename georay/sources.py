@@ -68,3 +68,48 @@ def read_wkt_csv(
     return attach_geometry(
         ds, wkt_col, target=target, out_col=out_col, drop_source=True
     )
+
+
+def read_image_table(
+    path: str,
+    columns: list[str] | None = None,
+    fmt: str = "auto",
+    **read_kwargs,
+) -> rd.Dataset:
+    """Source for the engine's canonical image+caption table
+    (image_id, bytes, w, h, fmt, caption, phash [, geotag]) from either
+    a Lance dataset or parquet, with column pruning pushed to the read.
+
+    The production target is a Lance table (columnar + random-access,
+    the layout the north rule names); the sandbox has no ``lance``
+    wheel, so the Lance branch is gated behind an import-try and
+    parquet is the tested path — both return the identical Ray Dataset
+    shape, and everything downstream (decode stages, PIP joins, tiling)
+    is source-agnostic.
+
+    ``fmt``: ``"lance"``, ``"parquet"``, or ``"auto"`` (``.lance``
+    suffix or a ``_versions``/``data`` Lance layout under ``path``
+    selects lance, else parquet).
+    """
+    import os
+
+    if fmt == "auto":
+        is_lance = str(path).rstrip("/").endswith(".lance") or (
+            os.path.isdir(path)
+            and os.path.isdir(os.path.join(path, "_versions"))
+        )
+        fmt = "lance" if is_lance else "parquet"
+    if fmt == "lance":
+        try:
+            import lance  # noqa: F401  (ray.data.read_lance needs it)
+        except ImportError as exc:
+            raise ImportError(
+                "read_image_table(fmt='lance') needs the 'lance' package; "
+                "this environment does not ship it — materialize the table "
+                "as parquet and use fmt='parquet' (same schema, same "
+                "downstream pipeline)."
+            ) from exc
+        return rd.read_lance(path, columns=columns, **read_kwargs)
+    if fmt != "parquet":
+        raise ValueError(f"unknown image-table format: {fmt!r}")
+    return rd.read_parquet(path, columns=columns, **read_kwargs)

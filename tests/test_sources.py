@@ -64,3 +64,44 @@ def test_read_wkt_csv_roundtrip(ray_session, tmp_path):
     order = np.argsort(b["rid"].to_numpy())
     v = native.view(b["geotag"].combine_chunks())
     assert np.array_equal(v.coords[order], xy)
+
+
+@pytest.fixture(scope="module")
+def images_dir(tmp_path_factory, ray_session):
+    from georay import generate
+
+    d = tmp_path_factory.mktemp("images_src")
+    generate.write_images_dataset(str(d), 500, seed=42, rows_per_file=250)
+    return str(d)
+
+def test_read_image_table_parquet_pruned(images_dir, ray_session):
+    from georay.sources import read_image_table
+
+    ds = read_image_table(images_dir, columns=["image_id", "phash"])
+    assert set(ds.schema().names) == {"image_id", "phash"}
+    assert ds.count() > 0
+
+
+def test_read_image_table_lance_gated(images_dir, ray_session):
+    import pytest
+
+    from georay.sources import read_image_table
+
+    try:
+        import lance  # noqa: F401
+
+        have_lance = True
+    except ImportError:
+        have_lance = False
+    if have_lance:
+        pytest.skip("lance available; gate path not reachable")
+    with pytest.raises(ImportError, match="parquet"):
+        read_image_table("/tmp/whatever.lance", fmt="lance")
+
+
+def test_read_image_table_auto_dispatch(images_dir, ray_session):
+    from georay.sources import read_image_table
+
+    # a plain parquet dir auto-dispatches to parquet
+    ds = read_image_table(images_dir)
+    assert "bytes" in ds.schema().names
