@@ -375,3 +375,104 @@ def doc_top_tfidf(
     return ds.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ------------------------------------------------- repetition / redaction
+
+def repetition_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition signals per document, all vectorized:
+    token count, distinct-token count, top-token fraction, and the
+    fraction of 2-grams belonging to a repeated 2-gram type. Tokens are
+    dictionary-encoded per batch (exact, no hash collisions); per-doc
+    grouping is one np.unique over composite int64 keys."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    flat, counts = _tokenize_flat(text)
+    n = len(batch)
+    codes_arr = flat.dictionary_encode()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    K = np.int64(len(codes_arr.dictionary))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    # per-(doc, token) counts → distinct + top fraction
+    key = doc_idx * K + codes
+    uk, ucnt = np.unique(key, return_counts=True)
+    udoc = uk // K
+    n_distinct = np.bincount(udoc, minlength=n)
+    top_c = np.zeros(n, np.int64)
+    np.maximum.at(top_c, udoc, ucnt)
+    n_tok = counts
+    top_frac = top_c / n_tok  # counts ≥ 1 (empty doc → one empty token)
+
+    # adjacent 2-grams within each doc
+    same = doc_idx[1:] == doc_idx[:-1]
+    a, b, d2doc = codes[:-1][same], codes[1:][same], doc_idx[:-1][same]
+    assert int(K) * int(K) * max(n, 1) < 2**62, "2-gram key overflow"
+    pkey = (d2doc * K + a) * K + b
+    upk, upcnt = np.unique(pkey, return_counts=True)
+    updoc = upk // (K * K)
+    n2 = np.bincount(d2doc, minlength=n)
+    dup2 = np.zeros(n, np.int64)
+    rep = upcnt > 1
+    np.add.at(dup2, updoc[rep], upcnt[rep])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup2_frac = np.where(n2 > 0, dup2 / np.maximum(n2, 1), 0.0)
+
+    rnd = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # SQL round(): half-away
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids,
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "top_frac": pa.array(rnd(top_frac)),
+            "dup2_frac": pa.array(rnd(dup2_frac)),
+        }
+    )
+
+
+def add_repetition(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+REDACT_PATTERN = r"\b(key|hash|scan)\b"
+
+
+def redact_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    pattern: str = REDACT_PATTERN,
+    replacement: str = "<REDACTED>",
+    out_col: str = "redacted",
+    count_col: str = "n_redacted",
+) -> pa.Table:
+    """PII-style scrub: RE2 global replace + match count, both C-path
+    pyarrow kernels (pyarrow and DuckDB both use RE2, so a SQL
+    regexp_replace(..., 'g') oracle matches byte-for-byte)."""
+    text = batch[text_col]
+    red = pc.replace_substring_regex(text, pattern=pattern, replacement=replacement)
+    cnt = pc.count_substring_regex(text, pattern)
+    return batch.append_column(out_col, red).append_column(
+        count_col, cnt.cast(pa.int64())
+    )
+
+
+def add_redact(ds: ray.data.Dataset, text_col: str = "text", **kw) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: redact_batch(b, text_col, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -1610,6 +1610,60 @@ FROM documents
 """
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition filter signals per document (distinct
+    ratio inputs, top-token fraction, duplicate-2-gram coverage) —
+    exact dictionary-encoded token/2-gram counting, one pass."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.add_repetition(ds)
+
+
+SQL_REPETITION = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '), ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+t1 AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, MAX(c) AS top_c
+       FROM per_tok GROUP BY doc_id),
+pr AS (SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+       FROM d),
+per_pair AS (SELECT doc_id, z[1] AS a, z[2] AS b, COUNT(*) AS c
+             FROM pr GROUP BY doc_id, a, b),
+t2 AS (SELECT doc_id, SUM(c) AS n2,
+              COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup2
+       FROM per_pair GROUP BY doc_id)
+SELECT t1.doc_id AS doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       round(top_c / n_tok, 6) AS top_frac,
+       CASE WHEN COALESCE(n2, 0) > 0 THEN round(dup2 / n2, 6) ELSE 0.0 END AS dup2_frac
+FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+"""
+
+
+def q_redact(sf_dir: str):
+    """Regex scrub (PII-shaped): global RE2 replace of a token pattern
+    plus the per-doc match count, all C-path pyarrow kernels."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.add_redact(ds).select_columns(
+        ["doc_id", "redacted", "n_redacted"]
+    )
+
+
+SQL_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(key|hash|scan)\b', '<REDACTED>', 'g') AS redacted,
+       len(regexp_extract_all(text, '\b(key|hash|scan)\b')) AS n_redacted
+FROM documents
+"""
+
+
 def q_lang_quality(sf_dir: str):
     """Language-ID heuristic + composite quality score; the marker-count
     argmax and the score formula are replicated expression-for-expression
@@ -2754,6 +2808,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
     "doc_stats": q_doc_stats,
+    "repetition": q_repetition,
+    "redact": q_redact,
     "lang_quality": q_lang_quality,
     "minhash_neardup": q_minhash_neardup,
     "minhash_planted": q_minhash_planted,
@@ -2836,6 +2892,8 @@ ORACLE = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,
+    "repetition": SQL_REPETITION,
+    "redact": SQL_REDACT,
     "minhash_planted": SQL_MINHASH_PLANTED,
     "simhash_planted": SQL_SIMHASH_PLANTED,
     "ann_topk": SQL_ANN_TOPK,

@@ -581,3 +581,33 @@ def test_token_histogram_null_and_empty_texts(ray_session):
     # null drops (SQL unnest of NULL list yields nothing); "" yields one
     # empty token (string_split('') semantics, both sides)
     assert got == {"a": 2, "b": 1, "": 1}
+
+
+def test_repetition_batch_edges():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                ["a b a b c", "  x  ", "", "w w w w", "one two three"]
+            ),
+        }
+    )
+    out = text.repetition_batch(t).to_pydict()
+    assert out["n_tok"] == [5, 1, 1, 4, 3]
+    assert out["n_distinct"] == [3, 1, 1, 1, 3]
+    assert out["top_frac"] == [0.4, 1.0, 1.0, 1.0, pytest.approx(0.333333)]
+    # doc 1: 2-grams (a,b)(b,a)(a,b)(b,c): repeated type covers 2 of 4
+    assert out["dup2_frac"] == [0.5, 0.0, 0.0, 1.0, 0.0]
+
+
+def test_redact_batch_counts_and_text():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["the key and the hash key", "keys are not keyx"]),
+        }
+    )
+    out = text.redact_batch(t).to_pydict()
+    assert out["n_redacted"] == [3, 0]
+    assert out["redacted"][0] == "the <REDACTED> and the <REDACTED> <REDACTED>"
+    assert out["redacted"][1] == "keys are not keyx"
