@@ -2747,3 +2747,140 @@ def apply_geo_kernel(
     if concurrency is not None:
         kw["concurrency"] = concurrency
     return ds.map_batches(wrapper, **kw)
+
+
+def _window_over_buckets(
+    ds: ray.data.Dataset,
+    key: str,
+    order_list: list[str],
+    desc: list[bool],
+    n_buckets: int,
+    emit,
+    op_name: str,
+) -> ray.data.Dataset:
+    """Shared plan for per-key positional window functions: key-hash
+    bucket column → one groupby shuffle → whole-bucket vectorized sort,
+    then ``emit(sorted_table, first_of_key_mask, positions)`` returns
+    (col_name, pa.Array) appended to the bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError(f"{op_name} requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending")] + [
+            (c, "descending" if d else "ascending")
+            for c, d in zip(order_list, desc)
+        ]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(karr))
+            first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        pos = np.arange(n, dtype=np.int64)
+        name, col = emit(g, first, pos)
+        return g.append_column(name, col)
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def window_dense_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    out_col: str = "dense_rank",
+    descending: bool | list[bool] = False,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``DENSE_RANK() OVER (PARTITION BY key ORDER BY order_cols)``:
+    ties share a rank and ranks have no gaps. Change flags over the
+    sorted bucket, cumsum rebased at each key boundary."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    desc = (
+        [descending] * len(order_list)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        new_val = first.copy()
+        if n:
+            changed = np.zeros(n - 1, dtype=bool)
+            for c in order_list:
+                arr = g[c].combine_chunks() if isinstance(g[c], pa.ChunkedArray) else g[c]
+                neq = pc.fill_null(
+                    pc.not_equal(arr.slice(1), arr.slice(0, n - 1)), False
+                )
+                nul = np.asarray(pc.is_null(arr))
+                changed |= np.asarray(neq) | (nul[1:] != nul[:-1])
+            new_val[1:] |= changed
+        cs = np.cumsum(new_val)
+        base = np.maximum.accumulate(np.where(first, cs - 1, 0))
+        return out_col, pa.array(cs - base, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, order_list, desc, n_buckets, emit, "window_dense_rank"
+    )
+
+
+def window_ntile(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    n_tiles: int,
+    out_col: str = "tile",
+    descending: bool | list[bool] = False,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY order_cols)``:
+    each key's rows split into ``n`` tiles whose sizes differ by at most
+    one, the first ``cnt % n`` tiles taking the extra row. Include a
+    unique tiebreak in ``order_cols`` for a deterministic assignment."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    desc = (
+        [descending] * len(order_list)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array(np.empty(0, np.int64))
+        starts = pos[first]
+        seg_id = np.cumsum(first) - 1
+        seg_len = np.diff(np.append(starts, n))
+        cnt = seg_len[seg_id]
+        p = pos - starts[seg_id]  # 0-based within key
+        q, r = cnt // n_tiles, cnt % n_tiles
+        big = p < r * (q + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                big,
+                p // np.maximum(q + 1, 1),
+                r + (p - r * (q + 1)) // np.maximum(q, 1),
+            )
+        return out_col, pa.array(tile + 1, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, order_list, desc, n_buckets, emit, "window_ntile"
+    )

@@ -284,6 +284,42 @@ FROM events
 """
 
 
+def q_window_dense_rank(sf_dir: str):
+    """Per-user DENSE_RANK over ts (ties — simultaneous events — share a
+    rank with no gaps)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_dense_rank(ds, key="user_id", order_cols=["ts"])
+    return out.select_columns(["event_id", "user_id", "dense_rank"])
+
+
+SQL_WINDOW_DENSE_RANK = """
+SELECT event_id, user_id,
+       DENSE_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS dense_rank
+FROM events
+"""
+
+
+def q_window_ntile(sf_dir: str):
+    """Per-user NTILE(4) over (ts, event_id) — equi-depth position
+    quartiles per key."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_ntile(
+        ds, key="user_id", order_cols=["ts", "event_id"], n_tiles=4
+    )
+    return out.select_columns(["event_id", "user_id", "tile"])
+
+
+SQL_WINDOW_NTILE = """
+SELECT event_id, user_id,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
 def q_window_cumsum(sf_dir: str):
     """Per-user running total of l_quantity-style integer values: running
     count of each user's events ordered by (ts, event_id) — segmented
@@ -2847,6 +2883,8 @@ QUERIES = {
     "window_lag": q_window_lag,
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
+    "window_dense_rank": q_window_dense_rank,
+    "window_ntile": q_window_ntile,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
@@ -2923,6 +2961,8 @@ ORACLE = {
     "window_lag": SQL_WINDOW_LAG,
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
+    "window_dense_rank": SQL_WINDOW_DENSE_RANK,
+    "window_ntile": SQL_WINDOW_NTILE,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,

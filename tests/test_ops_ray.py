@@ -1096,3 +1096,43 @@ def test_radius_pairs_payload_and_distance(ray_session):
         d2 = (rl - plon[i]) ** 2 + (rt - plat[i]) ** 2
         n = int(np.nansum(d2 <= 9.0))
         assert agg.get(i, 0) == n
+
+
+def test_window_dense_rank_and_ntile_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 37, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 25, n).astype(np.int64)),  # many ties
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    got_d = ops.window_dense_rank(ds, key="k", order_cols=["v"]).to_pandas()
+    got_n = ops.window_ntile(ds, key="k", order_cols=["v", "rid"], n_tiles=5).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp_d = con.execute(
+        "SELECT rid, DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS dense_rank FROM t"
+    ).fetchdf()
+    exp_n = con.execute(
+        "SELECT rid, NTILE(5) OVER (PARTITION BY k ORDER BY v, rid) AS tile FROM t"
+    ).fetchdf()
+    gd = got_d.set_index("rid")["dense_rank"].to_dict()
+    ed = exp_d.set_index("rid")["dense_rank"].to_dict()
+    assert gd == ed
+    gn = got_n.set_index("rid")["tile"].to_dict()
+    en = exp_n.set_index("rid")["tile"].to_dict()
+    assert gn == en
+    # degenerate: one key with fewer rows than tiles
+    small = rd.from_arrow(pa.table({
+        "rid": pa.array([0, 1], pa.int64()),
+        "k": pa.array([9, 9], pa.int64()),
+        "v": pa.array([5, 3], pa.int64()),
+    }))
+    out = ops.window_ntile(small, key="k", order_cols=["v", "rid"], n_tiles=4).to_pandas()
+    assert sorted(out["tile"].tolist()) == [1, 2]
