@@ -2884,3 +2884,52 @@ def window_ntile(
     return _window_over_buckets(
         ds, key, order_list, desc, n_buckets, emit, "window_ntile"
     )
+
+
+def rollup_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "total",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)`` with SUM: totals at every prefix
+    granularity (k1..kn), (k1..kn-1), …, (), rolled-up key columns set
+    to NULL. One distributed pass produces the finest-level exact totals
+    (map-side combine + tree merge — no all-to-all shuffle); every
+    coarser level re-aggregates the SMALL finest table in one task, so
+    the wide input is read exactly once. Keys must be non-null (SQL
+    ROLLUP's NULL marker is otherwise ambiguous)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(karrs, {"_v": v})
+        cols = {k: pa.array(a) for k, a in zip(keys, ks)}
+        cols["_v"] = pa.array(vs["_v"])
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    finest = tree_sum(parts, keys, {"_v": out_col})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = [batch]
+        for lvl in range(len(keys) - 1, -1, -1):
+            kept, dropped = keys[:lvl], keys[lvl:]
+            if kept:
+                g = batch.group_by(kept).aggregate([(out_col, "sum")])
+                g = g.rename_columns(kept + [out_col])
+            else:
+                g = pa.table({out_col: pa.array(
+                    [pc.sum(batch[out_col]).as_py()],
+                    batch[out_col].type,
+                )})
+            for d in dropped:
+                g = g.append_column(d, pa.nulls(len(g), batch[d].type))
+            out.append(g.select(batch.column_names))
+        return pa.concat_tables(out)
+
+    return finest.repartition(1).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

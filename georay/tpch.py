@@ -1063,6 +1063,51 @@ GROUP BY l_returnflag
 """
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) SUM: totals at all
+    three granularities from ONE pass over the wide table (coarser
+    levels re-aggregate the small finest result)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.drop_columns(["l_quantity"]).append_column(
+            "qty", pa.array(q, pa.int64())
+        )
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ops.rollup_sum(
+        ds, keys=["l_returnflag", "l_linestatus"], value_col="qty",
+        out_col="sum_qty",
+    )
+
+    # NULL rollup markers → sentinel, so the driver's value hash is not
+    # at the mercy of None-vs-NaN representation in object columns.
+    def seal(batch: pa.Table) -> pa.Table:
+        for c in ("l_returnflag", "l_linestatus"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(
+                i, c, pc.fill_null(batch[c], "(all)")
+            )
+        return batch
+
+    return out.map_batches(seal, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+SQL_ROLLUP = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_geodesic_stats(sf_dir: str):
     """Geodesic (haversine) distance kernel: per returnflag, the count
     and max great-circle distance (km, 3 dp) of the lineitem geotags
@@ -2896,6 +2941,7 @@ QUERIES = {
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
     "geodesic_stats": q_geodesic_stats,
+    "rollup": q_rollup,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
@@ -2974,6 +3020,7 @@ ORACLE = {
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
     "geodesic_stats": SQL_GEODESIC_STATS,
+    "rollup": SQL_ROLLUP,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,

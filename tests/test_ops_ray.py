@@ -1136,3 +1136,34 @@ def test_window_dense_rank_and_ntile_vs_duckdb(ray_session):
     }))
     out = ops.window_ntile(small, key="k", order_cols=["v", "rid"], n_tiles=4).to_pandas()
     assert sorted(out["tile"].tolist()) == [1, 2]
+
+
+def test_rollup_sum_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], n)),
+            "b": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+            "v": pa.array(rng.integers(-50, 100, n).astype(np.int64)),
+        }
+    )
+    out = ops.rollup_sum(
+        rd.from_arrow(t).repartition(6), keys=["a", "b"], value_col="v"
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT a, b, CAST(SUM(v) AS BIGINT) AS total FROM t GROUP BY ROLLUP(a, b)"
+    ).fetchdf()
+    key = lambda df: sorted(
+        (str(r["a"]), str(r["b"]), int(r["total"]))
+        for _, r in df.astype({"total": "int64"}).iterrows()
+    )
+    # normalize NULL markers: engine emits pa nulls → pandas None/NaN
+    assert key(out.fillna("NULL").replace({"nan": "NULL"})) == \
+        key(exp.fillna("NULL"))
+    assert len(out) == len(exp)
