@@ -1957,6 +1957,50 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
 """
 
 
+ANN_FILTER_LABEL = 2
+
+
+def q_ann_filtered(sf_dir: str):
+    """Filtered vector search: the metadata predicate (label = 2) is a
+    vectorized batch filter UPSTREAM of the brute-force cosine top-k, so
+    the matmul only ever sees surviving rows — filter-then-search as
+    pipeline composition, not a post-filter over results."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding", "label"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.equal(batch["label"], ANN_FILTER_LABEL)
+        ).drop_columns(["label"])
+
+    ds = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    q, qids = _ann_queries(sf_dir)
+    out = embed_stage.ann_brute_topk(ds, q, qids, k=ANN_K)
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+SQL_ANN_FILTERED = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {ANN_NQ}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id AND e.label = {ANN_FILTER_LABEL}
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
+"""
+
+
 def q_explode(sf_dir: str):
     """UNNEST the embedding list column to element rows, then exact
     per-vector element stats (count/min/max — float-order-independent),
@@ -2897,6 +2941,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
+    "ann_filtered": q_ann_filtered,
     "ivf_ann": q_ivf_ann,
     "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
@@ -2981,6 +3026,7 @@ ORACLE = {
     "minhash_planted": SQL_MINHASH_PLANTED,
     "simhash_planted": SQL_SIMHASH_PLANTED,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_filtered": SQL_ANN_FILTERED,
     "ivf_ann": SQL_IVF_ANN,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "geohash_count": SQL_GEOHASH_COUNT,
