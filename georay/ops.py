@@ -2933,3 +2933,82 @@ def rollup_sum(
     return finest.repartition(1).map_batches(
         expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def cube_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "total",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys...)`` with SUM: totals at EVERY subset
+    of the keys (2^n grouping sets), rolled-up columns NULL. Same
+    physics as rollup_sum — one distributed pass to the finest level,
+    then each subset re-aggregates the small finest table in one task.
+    Keys must be non-null."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(karrs, {"_v": v})
+        cols = {k: pa.array(a) for k, a in zip(keys, ks)}
+        cols["_v"] = pa.array(vs["_v"])
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    finest = tree_sum(parts, keys, {"_v": out_col})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        n_sets = 1 << len(keys)
+        for mask in range(n_sets - 1, -1, -1):
+            kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+            dropped = [k for i, k in enumerate(keys) if not mask & (1 << i)]
+            if mask == n_sets - 1:
+                out.append(batch)
+                continue
+            if kept:
+                g = batch.group_by(kept).aggregate([(out_col, "sum")])
+                g = g.rename_columns(kept + [out_col])
+            else:
+                g = pa.table({out_col: pa.array(
+                    [pc.sum(batch[out_col]).as_py()], batch[out_col].type
+                )})
+            for d in dropped:
+                g = g.append_column(d, pa.nulls(len(g), batch[d].type))
+            out.append(g.select(batch.column_names))
+        return pa.concat_tables(out)
+
+    return finest.repartition(1).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def value_histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Fixed-bin histogram of a numeric column: bin = floor((x - lo) /
+    w) clipped to [0, n_bins-1] (SQL ``least(greatest(...))`` replica),
+    counted by map-side combine + tree merge — no shuffle of data rows,
+    only of ≤ n_bins partial rows per batch."""
+    w = (hi - lo) / n_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((x - lo) / w)
+        b = np.clip(b, 0, n_bins - 1).astype(np.int64)
+        b = b[np.isfinite(x)]
+        ks, vs = _group_reduce([b], {"_n": np.ones(b.shape[0], np.int64)})
+        return pa.table({"bin": pa.array(ks[0]), "_n": pa.array(vs["_n"])})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(parts, "bin", {"_n": count_alias})

@@ -1108,6 +1108,67 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) SUM — all four grouping
+    sets from one pass (subsets re-aggregate the small finest table)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.drop_columns(["l_quantity"]).append_column(
+            "qty", pa.array(q, pa.int64())
+        )
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ops.cube_sum(
+        ds, keys=["l_returnflag", "l_linestatus"], value_col="qty",
+        out_col="sum_qty",
+    )
+
+    def seal(batch: pa.Table) -> pa.Table:
+        for c in ("l_returnflag", "l_linestatus"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.fill_null(batch[c], "(all)"))
+        return batch
+
+    return out.map_batches(seal, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+SQL_CUBE = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 64
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-bin histogram of l_extendedprice: 64 bins over
+    [{HIST_LO}, {HIST_HI}), clipped at the edges."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    return ops.value_histogram(
+        ds, "l_extendedprice", lo=HIST_LO, hi=HIST_HI, n_bins=HIST_BINS
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT CAST(least(greatest(floor((l_extendedprice - {HIST_LO}) /
+            (({HIST_HI} - {HIST_LO}) / {HIST_BINS})), 0), {HIST_BINS - 1}) AS BIGINT) AS bin,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY bin
+"""
+
+
 def q_geodesic_stats(sf_dir: str):
     """Geodesic (haversine) distance kernel: per returnflag, the count
     and max great-circle distance (km, 3 dp) of the lineitem geotags
@@ -2987,6 +3048,8 @@ QUERIES = {
     "grouped_bounds": q_grouped_bounds,
     "geodesic_stats": q_geodesic_stats,
     "rollup": q_rollup,
+    "cube": q_cube,
+    "value_histogram": q_value_histogram,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
     "top_cells": q_top_cells,
@@ -3067,6 +3130,8 @@ ORACLE = {
     "grouped_bounds": SQL_GROUPED_BOUNDS,
     "geodesic_stats": SQL_GEODESIC_STATS,
     "rollup": SQL_ROLLUP,
+    "cube": SQL_CUBE,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,
     "top_cells": SQL_TOP_CELLS,
