@@ -144,6 +144,10 @@ def run_bench() -> dict:
     timed_ext("geohash_count", lambda: tpch.q_geohash_count(SF_DIR).count())
     timed_ext("window_lag", lambda: tpch.q_window_lag(SF_DIR).count())
     timed_ext("interval_partitioned", lambda: tpch.q_interval_partitioned(SF_DIR).count())
+    timed_ext("rollup", lambda: tpch.q_rollup(SF_DIR).count())
+    timed_ext("window_ntile", lambda: tpch.q_window_ntile(SF_DIR).count())
+    timed_ext("repetition", lambda: tpch.q_repetition(SF_DIR).count())
+    timed_ext("radius_geodesic", lambda: tpch.q_radius_geodesic(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
