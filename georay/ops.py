@@ -3012,3 +3012,243 @@ def value_histogram(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return tree_sum(parts, "bin", {"_n": count_alias})
+
+
+def _order_change_mask(g: pa.Table, order_list: list[str], n: int) -> np.ndarray:
+    """changed[i] (length n-1): row i+1 differs from row i on any order
+    column (nulls compared by validity)."""
+    changed = np.zeros(max(n - 1, 0), dtype=bool)
+    for c in order_list:
+        arr = g[c].combine_chunks() if isinstance(g[c], pa.ChunkedArray) else g[c]
+        neq = pc.fill_null(pc.not_equal(arr.slice(1), arr.slice(0, n - 1)), False)
+        nul = np.asarray(pc.is_null(arr))
+        changed |= np.asarray(neq) | (nul[1:] != nul[:-1])
+    return changed
+
+
+def window_percent_rank(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    out_col: str = "pct_rank",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY ...)``:
+    (rank - 1) / (cnt - 1) with RANK() tie semantics, 0 for single-row
+    keys. Integer rank and count are computed exactly; the one double
+    division is written identically to the SQL replica."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array(np.empty(0, np.float64))
+        runfirst = first.copy()
+        runfirst[1:] |= _order_change_mask(g, order_list, n)
+        key_start = np.maximum.accumulate(np.where(first, pos, 0))
+        run_start = np.maximum.accumulate(np.where(runfirst, pos, 0))
+        rank = run_start - key_start + 1
+        starts = pos[first]
+        seg_id = np.cumsum(first) - 1
+        cnt = np.diff(np.append(starts, n))[seg_id]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0)
+        return out_col, pa.array(pr, pa.float64())
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_percent_rank",
+    )
+
+
+def window_cume_dist(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    out_col: str = "cume_dist",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``CUME_DIST()``: (# peers with order value ≤ current) / cnt —
+    i.e. (global position of the current tie-run's END + 1 - key start)
+    / key count."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array(np.empty(0, np.float64))
+        runfirst = first.copy()
+        runfirst[1:] |= _order_change_mask(g, order_list, n)
+        key_start = np.maximum.accumulate(np.where(first, pos, 0))
+        # run end = next run's start - 1; compute per run then gather
+        run_id = np.cumsum(runfirst) - 1
+        run_starts = pos[runfirst]
+        run_ends = np.append(run_starts[1:], n) - 1
+        le = run_ends[run_id] - key_start + 1
+        starts = pos[first]
+        seg_id = np.cumsum(first) - 1
+        cnt = np.diff(np.append(starts, n))[seg_id]
+        cd = le / cnt
+        return out_col, pa.array(cd, pa.float64())
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_cume_dist",
+    )
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+) -> ray.data.Dataset:
+    """Per-key Pearson correlation in ONE pass: per-batch integer sums
+    (n, Σx, Σy, Σx², Σy², Σxy) combined by tree merge, final formula
+    computed once per key. Inputs must be integer-valued (cast upstream)
+    so every sum is exact and the single float expression matches a SQL
+    replica bit-for-bit; at larger magnitudes switch the sums to float
+    and drop the bit-exact claim (int64 products bound documented in the
+    query)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce(
+            [k],
+            {
+                "n": np.ones(x.shape[0], np.int64),
+                "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+            },
+        )
+        cols = {key: pa.array(ks[0])}
+        for name in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            cols[name] = pa.array(vs[name])
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sums = tree_sum(
+        parts, key, {c: c for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        syy = batch["syy"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        dx = np.sqrt((n * sxx - sx * sx).astype(np.float64))
+        dy = np.sqrt((n * syy - sy * sy).astype(np.float64))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = num / (dx * dy)
+        return pa.table(
+            {key: batch[key], "n": batch["n"], out_col: pa.array(r, pa.float64())}
+        )
+
+    return sums.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "mode",
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Per-key mode (most frequent value; ties → smallest value): one
+    distributed pass to (key, value) counts (map-side combine + tree
+    merge), then the small count table picks each key's winner in one
+    vectorized task."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce([k, v], {"_n": np.ones(v.shape[0], np.int64)})
+        return pa.table(
+            {key: pa.array(ks[0]), value_col: pa.array(ks[1]),
+             "_n": pa.array(vs["_n"])}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = tree_sum(parts, [key, value_col], {"_n": count_alias})
+
+    def pick(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        c = batch[count_alias].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -c, k))
+        ks, vs_, cs = k[order], v[order], c[order]
+        first = np.ones(ks.shape[0], dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        return pa.table(
+            {key: pa.array(ks[first]), out_col: pa.array(vs_[first]),
+             count_alias: pa.array(cs[first])}
+        )
+
+    return counts.repartition(1).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def set_op_distinct(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    keys: str | list[str],
+    op: str = "except",
+) -> ray.data.Dataset:
+    """Distributed SQL ``EXCEPT`` / ``INTERSECT`` (distinct semantics)
+    over key columns: tag each side, union the streams, one key-hash
+    bucket shuffle, then per bucket keep each distinct key present only
+    in A (except) or in both (intersect). Both inputs stream; only key
+    columns move."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if op not in ("except", "intersect"):
+        raise ValueError(f"unknown set op: {op!r}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(key_list)
+            h = _key_hash(batch, key_list)
+            if h is None:
+                raise TypeError("set_op_distinct requires int or string/binary keys")
+            return batch.append_column(
+                "_bucket", pa.array((h % np.uint64(256)).astype(np.int64))
+            ).append_column(
+                "_side", pa.array(np.full(len(batch), side, np.int64))
+            )
+        return fn
+
+    u = ds_a.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        ds_b.map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        karrs = [group[k].to_numpy(zero_copy_only=False) for k in key_list]
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(
+            karrs, {"mx": side, "mn": side},
+            ufunc={"mx": np.maximum, "mn": np.minimum},
+        )
+        if op == "except":
+            keep = vs["mx"] == 0
+        else:
+            keep = (vs["mn"] == 0) & (vs["mx"] == 1)
+        return pa.table({k: pa.array(a[keep]) for k, a in zip(key_list, ks)})
+
+    return shuffle_coalesce(u).groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -301,6 +301,39 @@ FROM events
 """
 
 
+def q_window_percent_rank(sf_dir: str):
+    """Per-user PERCENT_RANK over ts (RANK tie semantics; the single
+    double division replicated expression-for-expression)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_percent_rank(ds, key="user_id", order_cols=["ts"])
+    return out.select_columns(["event_id", "user_id", "pct_rank"])
+
+
+SQL_WINDOW_PERCENT_RANK = """
+SELECT event_id, user_id,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY ts) AS pct_rank
+FROM events
+"""
+
+
+def q_window_cume_dist(sf_dir: str):
+    """Per-user CUME_DIST over ts."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_cume_dist(ds, key="user_id", order_cols=["ts"])
+    return out.select_columns(["event_id", "user_id", "cume_dist"])
+
+
+SQL_WINDOW_CUME_DIST = """
+SELECT event_id, user_id,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY ts) AS cume_dist
+FROM events
+"""
+
+
 def q_window_ntile(sf_dir: str):
     """Per-user NTILE(4) over (ts, event_id) — equi-depth position
     quartiles per key."""
@@ -1166,6 +1199,108 @@ SELECT CAST(least(greatest(floor((l_extendedprice - {HIST_LO}) /
        COUNT(*) AS n
 FROM lineitem
 GROUP BY bin
+"""
+
+
+def q_except_distinct(sf_dir: str):
+    """Set difference (single-line orders): DISTINCT order keys with a
+    line 1 EXCEPT those with a line ≥ 2, as one tagged-union bucket
+    shuffle — both sides stream, only the key column moves."""
+    base = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def side(pred):
+        def fn(batch: pa.Table) -> pa.Table:
+            ln = batch["l_linenumber"]
+            return batch.filter(pred(ln)).select(["l_orderkey"])
+        return fn
+
+    a = base.map_batches(side(lambda ln: pc.equal(ln, 1)),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    b = base.map_batches(side(lambda ln: pc.greater_equal(ln, 2)),
+                         batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None)
+    return ops.set_op_distinct(a, b, keys="l_orderkey", op="except")
+
+
+SQL_EXCEPT_DISTINCT = """
+SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber = 1
+EXCEPT
+SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber >= 2
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of (l_quantity, 100·l_tax) in
+    one pass: exact int64 sums (products bounded ≪ 2^63 at this scale),
+    final float expression replicated term-for-term in SQL (DuckDB's
+    HUGEINT sums subtract exactly before one cast to DOUBLE, same as the
+    engine's int64 path)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_tax"]
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        t = batch["l_tax"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(q.astype(np.int64)),
+                "tax100": pa.array(np.floor(t * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return ops.grouped_corr(ds, key="l_returnflag", x_col="qty", y_col="tax100")
+
+
+SQL_GROUPED_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(q) AS sx, SUM(t) AS sy,
+         SUM(q*q) AS sxx, SUM(t*t) AS syy, SUM(q*t) AS sxy
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS t
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       AS corr
+FROM s
+"""
+
+
+def q_grouped_mode(sf_dir: str):
+    """Per-returnflag modal l_quantity (ties → smallest value)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"l_returnflag": batch["l_returnflag"], "qty": pa.array(q)}
+        )
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return ops.grouped_mode(ds, key="l_returnflag", value_col="qty")
+
+
+SQL_GROUPED_MODE = """
+SELECT l_returnflag, mode, n FROM (
+  SELECT l_returnflag, v AS mode, c AS n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c DESC, v) AS rn
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c
+        FROM lineitem GROUP BY l_returnflag, v)
+) WHERE rn = 1
 """
 
 
@@ -3035,6 +3170,8 @@ QUERIES = {
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
     "window_dense_rank": q_window_dense_rank,
+    "window_percent_rank": q_window_percent_rank,
+    "window_cume_dist": q_window_cume_dist,
     "window_ntile": q_window_ntile,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
@@ -3049,6 +3186,9 @@ QUERIES = {
     "geodesic_stats": q_geodesic_stats,
     "rollup": q_rollup,
     "cube": q_cube,
+    "grouped_corr": q_grouped_corr,
+    "grouped_mode": q_grouped_mode,
+    "except_distinct": q_except_distinct,
     "value_histogram": q_value_histogram,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
@@ -3117,6 +3257,8 @@ ORACLE = {
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
     "window_dense_rank": SQL_WINDOW_DENSE_RANK,
+    "window_percent_rank": SQL_WINDOW_PERCENT_RANK,
+    "window_cume_dist": SQL_WINDOW_CUME_DIST,
     "window_ntile": SQL_WINDOW_NTILE,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
@@ -3131,6 +3273,9 @@ ORACLE = {
     "geodesic_stats": SQL_GEODESIC_STATS,
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
+    "grouped_corr": SQL_GROUPED_CORR,
+    "grouped_mode": SQL_GROUPED_MODE,
+    "except_distinct": SQL_EXCEPT_DISTINCT,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,

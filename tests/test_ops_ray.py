@@ -1167,3 +1167,122 @@ def test_rollup_sum_vs_duckdb(ray_session):
     assert key(out.fillna("NULL").replace({"nan": "NULL"})) == \
         key(exp.fillna("NULL"))
     assert len(out) == len(exp)
+
+
+def test_window_percent_rank_cume_dist_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(29)
+    n = 2500
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 31, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 20, n).astype(np.int64)),  # heavy ties
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    got_p = ops.window_percent_rank(ds, key="k", order_cols=["v"]).to_pandas()
+    got_c = ops.window_cume_dist(ds, key="k", order_cols=["v"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp_p = con.execute(
+        "SELECT rid, PERCENT_RANK() OVER (PARTITION BY k ORDER BY v) AS pct_rank FROM t"
+    ).fetchdf()
+    exp_c = con.execute(
+        "SELECT rid, CUME_DIST() OVER (PARTITION BY k ORDER BY v) AS cume_dist FROM t"
+    ).fetchdf()
+    gp = got_p.set_index("rid")["pct_rank"].to_dict()
+    ep = exp_p.set_index("rid")["pct_rank"].to_dict()
+    assert all(gp[r] == ep[r] for r in ep)
+    gc = got_c.set_index("rid")["cume_dist"].to_dict()
+    ec = exp_c.set_index("rid")["cume_dist"].to_dict()
+    assert all(gc[r] == ec[r] for r in ec)
+    # single-row key: PERCENT_RANK is 0, CUME_DIST is 1
+    one = rd.from_arrow(pa.table({
+        "rid": pa.array([0], pa.int64()),
+        "k": pa.array([99], pa.int64()),
+        "v": pa.array([7], pa.int64()),
+    }))
+    assert ops.window_percent_rank(one, key="k", order_cols=["v"]).to_pandas()[
+        "pct_rank"
+    ].tolist() == [0.0]
+    assert ops.window_cume_dist(one, key="k", order_cols=["v"]).to_pandas()[
+        "cume_dist"
+    ].tolist() == [1.0]
+
+
+def test_grouped_corr_mode_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    x = rng.integers(0, 100, n).astype(np.int64)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n).astype(np.int64)),
+            "x": pa.array(x),
+            # correlated-with-noise so corr is non-degenerate
+            "y": pa.array(x * 2 + rng.integers(-30, 30, n).astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+    got_r = ops.grouped_corr(ds, key="k", x_col="x", y_col="y").to_pandas()
+    got_m = ops.grouped_mode(ds, key="k", value_col="x").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp_r = con.execute(
+        "SELECT k, corr(x, y) AS corr FROM t GROUP BY k"
+    ).fetchdf()
+    exp_m = con.execute(
+        """SELECT k, mode, n FROM (
+             SELECT k, x AS mode, COUNT(*) AS n,
+                    ROW_NUMBER() OVER (PARTITION BY k ORDER BY COUNT(*) DESC, x) rn
+             FROM t GROUP BY k, x) WHERE rn = 1"""
+    ).fetchdf()
+    gr = got_r.set_index("k")["corr"].to_dict()
+    er = exp_r.set_index("k")["corr"].to_dict()
+    assert set(gr) == set(er)
+    for k in er:
+        assert abs(gr[k] - er[k]) < 1e-12
+    gm = got_m.set_index("k")[["mode", "n"]].astype("int64")
+    em = exp_m.set_index("k")[["mode", "n"]].astype("int64")
+    assert gm.sort_index().values.tolist() == em.sort_index().values.tolist()
+    # constant column: corr undefined -> NaN on both sides
+    cst = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "x": pa.array([5, 5, 5], pa.int64()),
+        "y": pa.array([1, 2, 3], pa.int64()),
+    }))
+    r = ops.grouped_corr(cst, key="k", x_col="x", y_col="y").to_pandas()
+    assert np.isnan(r["corr"].iloc[0])
+
+
+def test_set_op_distinct_except_intersect(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(37)
+    a_keys = rng.integers(0, 500, 3000).astype(np.int64)
+    b_keys = rng.integers(250, 750, 3000).astype(np.int64)
+    da = rd.from_arrow(pa.table({"k": pa.array(a_keys)})).repartition(4)
+    db = rd.from_arrow(pa.table({"k": pa.array(b_keys)})).repartition(4)
+    got_e = sorted(ops.set_op_distinct(da, db, keys="k", op="except").to_pandas()["k"])
+    got_i = sorted(
+        ops.set_op_distinct(da, db, keys="k", op="intersect").to_pandas()["k"]
+    )
+    sa, sb = set(a_keys.tolist()), set(b_keys.tolist())
+    assert got_e == sorted(sa - sb)
+    assert got_i == sorted(sa & sb)
+    # composite string+int keys
+    da2 = rd.from_arrow(pa.table({
+        "s": pa.array(["a", "a", "b", "c"]),
+        "i": pa.array([1, 1, 2, 3], pa.int64()),
+    }))
+    db2 = rd.from_arrow(pa.table({
+        "s": pa.array(["a", "c"]),
+        "i": pa.array([1, 9], pa.int64()),
+    }))
+    out = ops.set_op_distinct(da2, db2, keys=["s", "i"], op="except").to_pandas()
+    assert sorted(map(tuple, out[["s", "i"]].values.tolist())) == [("b", 2), ("c", 3)]
