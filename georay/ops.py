@@ -1904,8 +1904,11 @@ def equi_join_partitioned(
     ``Dataset.join`` to sidestep the Ray 2.49 empty-partition schema
     loss (ROUND_NOTES) and to reuse the engine's one partitioning key.
 
-    ``how``: "inner", "left", or "outer" (full outer — unmatched rows of
-    EITHER side survive with the other side nulled; keys coalesce).
+    ``how``: "inner", "left", "outer" (full outer — unmatched rows of
+    EITHER side survive with the other side nulled; keys coalesce),
+    "semi" (left rows with ≥1 right match, emitted once), or "anti"
+    (left rows with NO right match). For semi/anti only the right KEY
+    column is shuffled (existence probe), never its payload.
     Non-key column names must be disjoint across sides. Duplicate keys
     produce full per-key pairs (true join semantics) — a single hot key
     concentrates in one bucket, so salt upstream if a key's match set
@@ -1919,15 +1922,19 @@ def equi_join_partitioned(
     so it is rejected). Use when ONE hot key's match set exceeds a
     worker; costs right×n_salt.
     """
-    if how not in ("inner", "left", "outer"):
-        raise ValueError(f"how must be inner|left|outer, got {how!r}")
+    if how not in ("inner", "left", "outer", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|outer|semi|anti, got {how!r}")
     if n_salt > 1 and how == "outer":
-        raise ValueError("n_salt requires inner|left (outer would duplicate)")
+        raise ValueError("n_salt requires inner|left|semi|anti (outer would duplicate)")
     rkey = right_on or on
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_cols = list(l_schema.names)
-    r_cols = [c for c in r_schema.names if c != rkey]
+    # semi/anti emit left rows only — the right side ships just its key
+    # column (existence probe), so no right payload bytes move at all.
+    r_cols = [] if how in ("semi", "anti") else [
+        c for c in r_schema.names if c != rkey
+    ]
     clash = set(l_cols) & set(r_cols)
     if clash:
         raise ValueError(f"non-key columns must be disjoint, shared: {sorted(clash)}")
@@ -1987,6 +1994,12 @@ def equi_join_partitioned(
         side = group["_side"].to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(l_cols)
         rt = group.filter(pa.array(side == 1)).select([on] + r_cols)
+        if how in ("semi", "anti"):
+            keys = rt[on]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            hit = pc.is_valid(pc.index_in(lt[on], value_set=keys))
+            return lt.filter(hit if how == "semi" else pc.invert(hit))
         jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
         joined = lt.join(rt, keys=on, join_type=jt)
         return joined.select(l_cols + r_cols)

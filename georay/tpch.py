@@ -1232,6 +1232,35 @@ SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linenumber >= 2
 """
 
 
+def q_anti_join(sf_dir: str):
+    """Orders with no 4th lineitem line (≈10% of orders at every scale)
+    — both-sides-large ANTI join: one key-hash bucket co-shuffle,
+    existence probe per bucket; only the lineitem KEY column moves (no
+    right payload bytes), pre-filtered at the read side."""
+    ords = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    lines = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["l_linenumber"], 4)).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return ops.equi_join_partitioned(
+        ords, lines, on="o_orderkey", right_on="l_orderkey", how="anti"
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o
+ANTI JOIN (SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 4) l
+ON o.o_orderkey = l.l_orderkey
+"""
+
+
 def q_grouped_corr(sf_dir: str):
     """Per-returnflag Pearson correlation of (l_quantity, 100·l_tax) in
     one pass: exact int64 sums (products bounded ≪ 2^63 at this scale),
@@ -3189,6 +3218,7 @@ QUERIES = {
     "grouped_corr": q_grouped_corr,
     "grouped_mode": q_grouped_mode,
     "except_distinct": q_except_distinct,
+    "anti_join": q_anti_join,
     "value_histogram": q_value_histogram,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
@@ -3276,6 +3306,7 @@ ORACLE = {
     "grouped_corr": SQL_GROUPED_CORR,
     "grouped_mode": SQL_GROUPED_MODE,
     "except_distinct": SQL_EXCEPT_DISTINCT,
+    "anti_join": SQL_ANTI_JOIN,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,

@@ -1286,3 +1286,39 @@ def test_set_op_distinct_except_intersect(ray_session):
     }))
     out = ops.set_op_distinct(da2, db2, keys=["s", "i"], op="except").to_pandas()
     assert sorted(map(tuple, out[["s", "i"]].values.tolist())) == [("b", 2), ("c", 3)]
+
+
+def test_equi_join_partitioned_semi_anti(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    lk = rng.integers(0, 300, 2000).astype(np.int64)
+    rk = rng.integers(150, 450, 1500).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk),
+        "lv": pa.array(np.arange(2000, dtype=np.int64)),
+    })).repartition(4)
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array(rk),
+        "rv": pa.array(np.arange(1500, dtype=np.int64)),
+    })).repartition(3)
+    got_s = ops.equi_join_partitioned(
+        left, right, on="k", right_on="k2", how="semi"
+    ).to_pandas()
+    got_a = ops.equi_join_partitioned(
+        left, right, on="k", right_on="k2", how="anti"
+    ).to_pandas()
+    rset = set(rk.tolist())
+    exp_s = sorted(int(v) for k, v in zip(lk, range(2000)) if int(k) in rset)
+    exp_a = sorted(int(v) for k, v in zip(lk, range(2000)) if int(k) not in rset)
+    assert sorted(got_s["lv"].tolist()) == exp_s
+    assert sorted(got_a["lv"].tolist()) == exp_a
+    # left rows emitted at most once regardless of right key multiplicity
+    assert len(got_s) + len(got_a) == 2000
+    # output schema is the left schema only
+    assert sorted(got_s.columns) == ["k", "lv"]
+    # salted semi/anti must match unsalted
+    got_s2 = ops.equi_join_partitioned(
+        left, right, on="k", right_on="k2", how="semi", n_salt=4
+    ).to_pandas()
+    assert sorted(got_s2["lv"].tolist()) == exp_s
