@@ -3265,3 +3265,152 @@ def set_op_distinct(
     return shuffle_coalesce(u).groupby("_bucket").map_groups(
         per_bucket, batch_format="pyarrow"
     )
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    order_cols: str | list[str],
+    sep: str = ",",
+    out_col: str = "agg",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``STRING_AGG(value, sep ORDER BY ...)`` per key: one key-hash
+    bucket shuffle, whole-bucket Arrow sort, then per-key list offsets +
+    a single ``pc.binary_join`` C call — no per-key Python. Null values
+    are dropped (as SQL does); a key whose values are ALL null is
+    omitted (SQL would emit the key with NULL — filter upstream if that
+    distinction matters). Per-key output strings must fit a worker heap
+    (they are the whole point of the op); key count is unbounded."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("grouped_string_agg requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        valid = pc.is_valid(group[value_col])
+        if not pc.all(valid).as_py():
+            group = group.filter(valid)
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        if n == 0:
+            return pa.table(
+                {key: karr, out_col: pa.array([], pa.string())}
+            )
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+        first[1:] = np.asarray(neq)
+        starts = np.flatnonzero(first)
+        offsets = pa.array(np.append(starts, n), pa.int64())
+        vals = g[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, vals), sep
+        )
+        return pa.table({key: karr.take(pa.array(starts)), out_col: joined})
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def time_gap_fill(
+    ds: ray.data.Dataset,
+    key: str,
+    bucket_col: str,
+    count_alias: str = "n",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key dense time series: counts per (key, integer time bucket),
+    then EVERY bucket between each key's min and max emitted — missing
+    buckets with count 0 (SQL generate_series + left join). Two stages:
+    map-side combined counts (``tree_sum`` — the wide input never
+    concentrates), then the small counts table is key-hash bucketed so
+    range generation stays distributed; per group the dense ranges are
+    built with one marker+cumsum expansion and existing counts are
+    scattered by direct index (no join). A key's full span must fit a
+    task (spans are output rows, so this is inherent to the result)."""
+    from georay.index import _ragged_ranges
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        b = batch[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce([k, b], {"_n": np.ones(b.shape[0], np.int64)})
+        return pa.table(
+            {key: pa.array(ks[0]), bucket_col: pa.array(ks[1]),
+             "_n": pa.array(vs["_n"])}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    counts = tree_sum(parts, [key, bucket_col], {"_n": count_alias})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("time_gap_fill requires int or string/binary keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    key_type = ds.schema().base_schema.field(key).type
+
+    def fill(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False)
+        b = group[bucket_col].to_numpy(zero_copy_only=False)
+        c = group[count_alias].to_numpy(zero_copy_only=False)
+        if k.shape[0] == 0:
+            return pa.table(
+                {key: pa.array([], key_type),
+                 bucket_col: pa.array([], pa.int64()),
+                 count_alias: pa.array([], pa.int64())}
+            )
+        order = np.lexsort((b, k))
+        k, b, c = k[order], b[order], c[order]
+        first = np.ones(k.shape[0], dtype=bool)
+        first[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(first) - 1
+        mn = b[first]
+        ends = np.append(np.flatnonzero(first)[1:], k.shape[0]) - 1
+        mx = b[ends]
+        lens = mx - mn + 1
+        owner, within = _ragged_ranges(lens)
+        out_k = k[first][owner]
+        out_b = mn[owner] + within
+        out_n = np.zeros(out_b.shape[0], np.int64)
+        starts = np.cumsum(lens) - lens
+        out_n[starts[seg_id] + (b - mn[seg_id])] = c
+        return pa.table(
+            {key: pa.array(out_k), bucket_col: pa.array(out_b),
+             count_alias: pa.array(out_n)}
+        )
+
+    return (
+        counts.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_bucket")
+        .map_groups(lambda g: fill(g.drop_columns(["_bucket"])),
+                    batch_format="pyarrow")
+    )

@@ -1261,6 +1261,63 @@ ON o.o_orderkey = l.l_orderkey
 """
 
 
+def q_string_agg(sf_dir: str):
+    """Per-customer order-priority journey: ordered STRING_AGG via one
+    bucket shuffle + per-key Arrow list offsets + one binary_join C
+    call (no per-key Python)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"],
+    )
+    return ops.grouped_string_agg(
+        ds, key="o_custkey", value_col="o_orderpriority",
+        order_cols=["o_orderdate", "o_orderkey"], sep=",", out_col="prio_seq",
+    )
+
+
+SQL_STRING_AGG = """
+SELECT o_custkey,
+       STRING_AGG(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey)
+         AS prio_seq
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+def q_gap_fill(sf_dir: str):
+    """Per-user dense daily event series: counts per (user, day) with
+    every missing day between the user's first and last day emitted as
+    0 — generate_series semantics, distributed (counts via combine
+    tree, range expansion per key-hash group)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"user_id": batch["user_id"],
+             "day": pa.array(t // 86_400_000_000)}
+        )
+
+    ds = ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    return ops.time_gap_fill(ds, key="user_id", bucket_col="day",
+                             count_alias="n")
+
+
+SQL_GAP_FILL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM b GROUP BY user_id
+), g AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx)) AS day FROM r
+)
+SELECT g.user_id, g.day, COALESCE(b.n, 0) AS n
+FROM g LEFT JOIN b USING (user_id, day)
+"""
+
+
 def q_grouped_corr(sf_dir: str):
     """Per-returnflag Pearson correlation of (l_quantity, 100·l_tax) in
     one pass: exact int64 sums (products bounded ≪ 2^63 at this scale),
@@ -3219,6 +3276,8 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "except_distinct": q_except_distinct,
     "anti_join": q_anti_join,
+    "string_agg": q_string_agg,
+    "gap_fill": q_gap_fill,
     "value_histogram": q_value_histogram,
     "pivot": q_pivot,
     "tile_counts": q_tile_counts,
@@ -3307,6 +3366,8 @@ ORACLE = {
     "grouped_mode": SQL_GROUPED_MODE,
     "except_distinct": SQL_EXCEPT_DISTINCT,
     "anti_join": SQL_ANTI_JOIN,
+    "string_agg": SQL_STRING_AGG,
+    "gap_fill": SQL_GAP_FILL,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "pivot": SQL_PIVOT,
     "tile_counts": SQL_TILE_COUNTS,

@@ -1322,3 +1322,59 @@ def test_equi_join_partitioned_semi_anti(ray_session):
         left, right, on="k", right_on="k2", how="semi", n_salt=4
     ).to_pandas()
     assert sorted(got_s2["lv"].tolist()) == exp_s
+
+
+def test_grouped_string_agg_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(43)
+    n = 3000
+    vals = np.array(["alpha", "bee", "ce", "dl", "e5"])[rng.integers(0, 5, n)]
+    # plant nulls: SQL STRING_AGG skips them
+    vals = vals.astype(object)
+    vals[rng.random(n) < 0.05] = None
+    t = pa.table(
+        {
+            "k": pa.array([f"key{int(i)}" for i in rng.integers(0, 97, n)]),
+            "v": pa.array(vals, pa.string()),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+        }
+    )
+    out = ops.grouped_string_agg(
+        rd.from_arrow(t).repartition(5), key="k", value_col="v",
+        order_cols=["o"], sep="|", out_col="s",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp = con.execute(
+        "SELECT k, STRING_AGG(v, '|' ORDER BY o) AS s FROM t "
+        "WHERE v IS NOT NULL GROUP BY k"
+    ).fetchdf()
+    assert out.set_index("k")["s"].to_dict() == exp.set_index("k")["s"].to_dict()
+
+
+def test_time_gap_fill_dense_ranges(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array([10, 10, 14, -3, -1, 7], pa.int64()),
+        }
+    )
+    out = (
+        ops.time_gap_fill(rd.from_arrow(t).repartition(3), key="k",
+                          bucket_col="b")
+        .to_pandas()
+        .sort_values(["k", "b"])
+        .reset_index(drop=True)
+    )
+    rows = list(map(tuple, out[["k", "b", "n"]].values.tolist()))
+    assert rows == [
+        (1, 10, 2), (1, 11, 0), (1, 12, 0), (1, 13, 0), (1, 14, 1),
+        (2, -3, 1), (2, -2, 0), (2, -1, 1),
+        (3, 7, 1),
+    ]
+    # totals preserved: filled zeros add nothing
+    assert out["n"].sum() == 6
