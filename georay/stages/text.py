@@ -476,3 +476,75 @@ def add_redact(ds: ray.data.Dataset, text_col: str = "text", **kw) -> ray.data.D
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def chunk_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 120,
+    stride: int = 90,
+) -> pa.Table:
+    """Sliding-window document chunking (the training-sample splitter):
+    each doc emits chunks starting at 0, stride, 2·stride, … while the
+    start is inside the doc; each chunk is ``size`` BYTES (== characters
+    for ASCII corpora — byte-based so the whole batch is one flat-buffer
+    gather, no per-row Python; multi-byte UTF-8 may split a codepoint at
+    a chunk edge). The last chunk may be shorter. Empty docs emit no
+    chunks. Per-row output: (id, chunk_idx, chunk).
+    """
+    from georay.index import _ragged_ranges
+
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = txt.cast(pa.large_binary())
+    # flat values buffer + per-doc offsets (honor a sliced array's offset)
+    buf = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8)
+    offs = np.frombuffer(
+        txt.buffers()[1], dtype=np.int64, count=txt.offset + len(txt) + 1
+    )[txt.offset:]
+    doc_start, doc_len = offs[:-1], np.diff(offs)
+    n_chunks = -(-doc_len // stride)  # ceil; 0-length docs -> 0 chunks
+    owner, idx = _ragged_ranges(n_chunks)
+    c_start = doc_start[owner] + idx * stride
+    c_len = np.minimum(size, doc_start[owner] + doc_len[owner] - c_start)
+    byte_owner, byte_within = _ragged_ranges(c_len)
+    gathered = buf[c_start[byte_owner] + byte_within]
+    out_offs = np.zeros(c_len.shape[0] + 1, dtype=np.int64)
+    np.cumsum(c_len, out=out_offs[1:])
+    chunks = pa.LargeStringArray.from_buffers(
+        c_len.shape[0],
+        pa.py_buffer(out_offs.tobytes()),
+        pa.py_buffer(gathered.tobytes()),
+    )
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(owner)),
+            "chunk_idx": pa.array(idx),
+            "chunk": chunks.cast(pa.string()),
+        }
+    )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 120,
+    stride: int = 90,
+) -> ray.data.Dataset:
+    """Distributed sliding-window chunker: a pure row-expanding
+    ``map_batches`` (≈ size/stride × input bytes out), no shuffle —
+    chunks stream straight into downstream dedup/tokenize stages."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    return ds.map_batches(
+        lambda b: chunk_batch(b, id_col, text_col, size, stride),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )

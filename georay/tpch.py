@@ -1929,6 +1929,28 @@ SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window training-sample chunking (size 120, stride 90):
+    pure row-expanding map_batches over flat Arrow string buffers, no
+    shuffle."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.chunk_documents(ds, size=120, stride=90)
+
+
+SQL_CHUNK_DOCS = """
+SELECT doc_id, chunk_idx,
+       substring(text, CAST(chunk_idx * 90 + 1 AS BIGINT), 120) AS chunk
+FROM (
+  SELECT doc_id, text,
+         UNNEST(generate_series(
+           0, CAST(ceil(length(text) / 90.0) AS BIGINT) - 1)) AS chunk_idx
+  FROM documents
+)
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Document fingerprinting (normalized-text md5)."""
     from georay.stages import text as text_stage
@@ -3212,6 +3234,7 @@ QUERIES = {
     "union_grid": q_union_grid,
     "cast_roundtrip_grid": q_cast_roundtrip_grid,
     "token_count": q_token_count,
+    "chunk_docs": q_chunk_docs,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
     "doc_stats": q_doc_stats,
@@ -3310,6 +3333,7 @@ ORACLE = {
     "union_grid": SQL_UNION_GRID,
     "cast_roundtrip_grid": SQL_GRID_CELL_COUNT,
     "token_count": SQL_TOKEN_COUNT,
+    "chunk_docs": SQL_CHUNK_DOCS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,

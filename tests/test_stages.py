@@ -611,3 +611,42 @@ def test_redact_batch_counts_and_text():
     assert out["n_redacted"] == [3, 0]
     assert out["redacted"][0] == "the <REDACTED> and the <REDACTED> <REDACTED>"
     assert out["redacted"][1] == "keys are not keyx"
+
+
+def test_chunk_batch_sliding_windows():
+    docs = ["abcdefghij", "", "x", "hello world this is a doc"]
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(docs)}
+    )
+    out = text.chunk_batch(t, size=5, stride=3)
+    for i, d in enumerate(docs):
+        exp = [(j, d[s:s + 5]) for j, s in enumerate(range(0, len(d), 3))]
+        got = [
+            (ci, ch)
+            for di, ci, ch in zip(
+                out["doc_id"].to_pylist(),
+                out["chunk_idx"].to_pylist(),
+                out["chunk"].to_pylist(),
+            )
+            if di == i + 1
+        ]
+        assert got == exp, (d, got, exp)
+    # sliced batch (nonzero Arrow array offset): same answer
+    out2 = text.chunk_batch(t.slice(1), size=5, stride=3)
+    assert out2["doc_id"].to_pylist()[0] == 3
+
+
+def test_chunk_documents_distributed(docs_ds):
+    got = text.chunk_documents(docs_ds, size=120, stride=90).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(
+        """SELECT doc_id, chunk_idx,
+                  substring(text, CAST(chunk_idx*90+1 AS BIGINT), 120) AS chunk
+           FROM (SELECT doc_id, text, UNNEST(generate_series(0,
+                   CAST(ceil(length(text)/90.0) AS BIGINT) - 1)) AS chunk_idx
+                 FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))"""
+    ).df()
+    m = got.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    e = exp.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert len(m) == len(e)
+    assert (m["chunk"] == e["chunk"]).all()
