@@ -3414,3 +3414,91 @@ def time_gap_fill(
         .map_groups(lambda g: fill(g.drop_columns(["_bucket"])),
                     batch_format="pyarrow")
     )
+
+
+def window_row_number(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    out_col: str = "row_number",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...)``:
+    position within the key, 1-based, ties broken by the bucket sort —
+    pass a unique tiebreak column for determinism."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        key_start = np.maximum.accumulate(np.where(first, pos, 0))
+        return out_col, pa.array(pos - key_start + 1, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_row_number",
+    )
+
+
+def window_lead(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    out_col: str = "lead_value",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``LEAD(value) OVER (PARTITION BY key ORDER BY ...)``: each
+    row gets the NEXT row's value within its key; the last row per key
+    gets null. Same one-shuffle bucket plan as ``window_lag``."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        varr = (
+            g[value_col].combine_chunks()
+            if isinstance(g[value_col], pa.ChunkedArray)
+            else g[value_col]
+        )
+        if n == 0:
+            return out_col, varr
+        lead = pa.concat_arrays([varr.slice(1), pa.nulls(1, varr.type)])
+        last = np.empty(n, dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        return out_col, pc.if_else(pa.array(~last), lead, pa.scalar(None, varr.type))
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_lead",
+    )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Wide→long melt (SQL UNPIVOT): each input row emits one output row
+    per value column. Pure row-expanding ``map_batches`` — the loop is
+    over COLUMNS (a handful), each iteration a zero-copy column select +
+    cast, so no shuffle and no per-row Python. Value columns are cast to
+    ``value_type`` (default float64) to share one output column."""
+    vt = value_type or pa.float64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        pieces = []
+        for c in value_cols:
+            cols = {ic: batch[ic] for ic in id_cols}
+            cols[var_name] = pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(n, np.int32)), pa.array([c], pa.string())
+            ).cast(pa.string())
+            cols[value_name] = batch[c].cast(vt)
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(
+        melt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

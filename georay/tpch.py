@@ -334,6 +334,63 @@ FROM events
 """
 
 
+def q_window_row_number(sf_dir: str):
+    """Per-user ROW_NUMBER over (ts, event_id) — unique tiebreak makes
+    it deterministic."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    out = ops.window_row_number(ds, key="user_id", order_cols=["ts", "event_id"])
+    return out.select_columns(["event_id", "user_id", "row_number"])
+
+
+SQL_WINDOW_ROW_NUMBER = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS row_number
+FROM events
+"""
+
+
+def q_window_lead(sf_dir: str):
+    """Per-user LEAD(value) over (ts, event_id)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = ops.window_lead(
+        ds, key="user_id", order_cols=["ts", "event_id"], value_col="value"
+    )
+    return out.select_columns(["event_id", "user_id", "lead_value"])
+
+
+SQL_WINDOW_LEAD = """
+SELECT event_id, user_id,
+       LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS lead_value
+FROM events
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Wide→long melt of part's numeric columns (SQL UNPIVOT as
+    UNION ALL replica) — pure row expansion, no shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return ops.unpivot(
+        ds, id_cols=["p_partkey"], value_cols=["p_size", "p_retailprice"]
+    )
+
+
+SQL_UNPIVOT = """
+SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value
+FROM part
+"""
+
+
 def q_window_ntile(sf_dir: str):
     """Per-user NTILE(4) over (ts, event_id) — equi-depth position
     quartiles per key."""
@@ -3281,6 +3338,9 @@ QUERIES = {
     "window_dense_rank": q_window_dense_rank,
     "window_percent_rank": q_window_percent_rank,
     "window_cume_dist": q_window_cume_dist,
+    "window_row_number": q_window_row_number,
+    "window_lead": q_window_lead,
+    "unpivot": q_unpivot,
     "window_ntile": q_window_ntile,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
@@ -3372,6 +3432,9 @@ ORACLE = {
     "window_dense_rank": SQL_WINDOW_DENSE_RANK,
     "window_percent_rank": SQL_WINDOW_PERCENT_RANK,
     "window_cume_dist": SQL_WINDOW_CUME_DIST,
+    "window_row_number": SQL_WINDOW_ROW_NUMBER,
+    "window_lead": SQL_WINDOW_LEAD,
+    "unpivot": SQL_UNPIVOT,
     "window_ntile": SQL_WINDOW_NTILE,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,

@@ -1378,3 +1378,56 @@ def test_time_gap_fill_dense_ranges(ray_session):
     ]
     # totals preserved: filled zeros add nothing
     assert out["n"].sum() == 6
+
+
+def test_window_row_number_lead_unpivot_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 29, n).astype(np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    got_rn = ops.window_row_number(ds, key="k", order_cols=["o"]).to_pandas()
+    got_ld = ops.window_lead(ds, key="k", order_cols=["o"], value_col="v").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    exp_rn = con.execute(
+        "SELECT rid, ROW_NUMBER() OVER (PARTITION BY k ORDER BY o) AS rn FROM t"
+    ).fetchdf()
+    exp_ld = con.execute(
+        "SELECT rid, LEAD(v) OVER (PARTITION BY k ORDER BY o) AS ld FROM t"
+    ).fetchdf()
+    assert got_rn.set_index("rid")["row_number"].to_dict() == \
+        exp_rn.set_index("rid")["rn"].to_dict()
+    gl = got_ld.set_index("rid")["lead_value"]
+    el = exp_ld.set_index("rid")["ld"]
+    for r in el.index:
+        a, b = gl[r], el[r]
+        assert (pd_isna(a) and pd_isna(b)) or a == b
+    # unpivot: wide -> long, ints cast to double
+    t2 = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, 20], pa.int32()),
+        "b": pa.array([1.5, 2.5]),
+    })
+    out = ops.unpivot(
+        rd.from_arrow(t2), id_cols=["id"], value_cols=["a", "b"]
+    ).to_pandas()
+    rows = sorted(map(tuple, out[["id", "variable", "value"]].values.tolist()))
+    assert rows == [
+        (1, "a", 10.0), (1, "b", 1.5), (2, "a", 20.0), (2, "b", 2.5)
+    ]
+
+
+def pd_isna(x):
+    import pandas as _pd
+
+    return _pd.isna(x)
