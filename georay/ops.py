@@ -3502,3 +3502,83 @@ def unpivot(
     return ds.map_batches(
         melt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_shards: int = 256,
+    pack_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> ray.data.Dataset:
+    """GPT-style sequence packing (concat-and-chunk): documents are laid
+    end-to-end in a deterministic pseudo-random global order — the
+    murmur-finalizer hash of ``id_col`` (SQL-replicable, see
+    ``add_splitmix_column``) — and cut into fixed ``budget``-token
+    packs. Each doc gets (pack_id, pack_offset) = divmod(its exclusive
+    prefix sum, budget); docs may straddle pack boundaries, exactly as
+    pretraining packing splits them.
+
+    Distributed global prefix sum in two passes over the (id, len)
+    projection: (1) per-SHARD length totals via the combine tree —
+    shards are contiguous hash ranges (top byte of the order key), so
+    the ~``n_shards`` totals give each shard's exclusive base, computed
+    on the driver (tiny) and broadcast; (2) one bucket shuffle by shard,
+    each shard sorted by (hash, id) and locally prefix-summed + base.
+    Only (id, len) columns move; pass a pruned 2-column dataset."""
+    hcol, scol = "_pack_h", "_pack_shard"
+    keyed = add_splitmix_column(ds, id_col, out=hcol)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = batch[hcol].to_numpy(zero_copy_only=False)
+        # arithmetic shift of the signed order key is monotone in it
+        return batch.append_column(scol, pa.array(h >> 56))
+
+    keyed = keyed.map_batches(
+        add_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[scol].to_numpy(zero_copy_only=False)
+        ln = batch[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce([s], {"_t": ln})
+        return pa.table({scol: pa.array(ks[0]), "_t": pa.array(vs["_t"])})
+
+    totals = (
+        keyed.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .materialize()
+    )
+    rows = tree_sum(totals, scol, {"_t": "_t"}).take_all()
+    shards = sorted((r[scol], r["_t"]) for r in rows)
+    base = {}
+    acc = 0
+    for sid, tot in shards:
+        base[sid] = acc
+        acc += int(tot)
+    base_ref = ray.put(base)
+    cache: dict = {}
+
+    def per_shard(group: pa.Table) -> pa.Table:
+        bases = cache.setdefault("b", ray.get(base_ref))
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[(hcol, "ascending"),
+                                              (id_col, "ascending")])
+        )
+        ln = g[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sid = int(g[scol][0].as_py()) if len(g) else 0
+        off = np.cumsum(ln) - ln + bases.get(sid, 0)
+        g = g.drop_columns([hcol, scol])
+        return g.append_column(
+            pack_col, pa.array(off // budget, pa.int64())
+        ).append_column(offset_col, pa.array(off % budget, pa.int64()))
+
+    return (
+        shuffle_coalesce(keyed)
+        .groupby(scol)
+        .map_groups(per_shard, batch_format="pyarrow")
+    )

@@ -991,6 +991,50 @@ SELECT l_returnflag, l_orderkey, l_linenumber FROM (
 """
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: documents laid end-to-end in
+    deterministic hash order and cut into 2048-char packs; each doc gets
+    (pack_id, pack_offset) from a distributed global prefix sum (shard
+    totals broadcast, per-shard local cumsum — only (id, len) moves)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out = ops.pack_sequences(ds, id_col="doc_id", len_col="n_chars",
+                             budget=2048)
+    return out.select_columns(["doc_id", "pack_id", "pack_offset"])
+
+
+# same murmur-finalizer HUGEINT chain as SQL_STRATIFIED_SAMPLE: the
+# engine orders docs by mix64(doc_id); the replica ranks by the raw
+# unsigned hash — identical order, then one windowed prefix sum
+SQL_PACK_SEQUENCES = """
+WITH ids AS (
+  SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS rid FROM documents
+),
+s1 AS (
+  SELECT *, xor(rid, rid // 8589934592) AS h1 FROM ids
+),
+m1 AS (
+  SELECT *, ( (h1 % 4294967296) * 18397679294719823053
+            + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+            ) % 18446744073709551616 AS h2
+  FROM s1
+),
+hashed AS (
+  SELECT doc_id, n_chars, xor(h2, h2 // 8589934592) AS h FROM m1
+),
+pfx AS (
+  SELECT doc_id,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(off // 2048 AS BIGINT) AS pack_id,
+       CAST(off % 2048 AS BIGINT) AS pack_offset
+FROM pfx
+"""
+
+
 def q_group_topk(sf_dir: str):
     """Per-group top-k (ROW_NUMBER <= k): each supplier's 3 priciest line
     items, total order via (price desc, orderkey, linenumber). Map-side
@@ -3292,6 +3336,7 @@ QUERIES = {
     "cast_roundtrip_grid": q_cast_roundtrip_grid,
     "token_count": q_token_count,
     "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
     "doc_stats": q_doc_stats,
@@ -3394,6 +3439,7 @@ ORACLE = {
     "cast_roundtrip_grid": SQL_GRID_CELL_COUNT,
     "token_count": SQL_TOKEN_COUNT,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,

@@ -1431,3 +1431,37 @@ def pd_isna(x):
     import pandas as _pd
 
     return _pd.isna(x)
+
+
+def test_pack_sequences_tiles_the_stream(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    lens = rng.integers(1, 900, n).astype(np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "n_tok": pa.array(lens)}
+    )
+    out = ops.pack_sequences(
+        rd.from_arrow(t).repartition(7), id_col="doc_id", len_col="n_tok",
+        budget=4096,
+    ).to_pandas()
+    assert len(out) == n
+    # reconstruct global offsets: docs must tile [0, sum(lens)) exactly
+    goff = (out["pack_id"] * 4096 + out["pack_offset"]).to_numpy()
+    order = np.argsort(goff)
+    goff_s = goff[order]
+    lens_s = out["n_tok"].to_numpy()[order]
+    assert goff_s[0] == 0
+    assert (np.diff(goff_s) == lens_s[:-1]).all()
+    assert goff_s[-1] + lens_s[-1] == lens.sum()
+    # deterministic across runs
+    out2 = ops.pack_sequences(
+        rd.from_arrow(t).repartition(3), id_col="doc_id", len_col="n_tok",
+        budget=4096,
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pack_id"] == b["pack_id"]).all()
+    assert (a["pack_offset"] == b["pack_offset"]).all()
