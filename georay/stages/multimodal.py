@@ -261,3 +261,83 @@ class VideoFrameSampler:
 # Pre-codec names, kept for compatibility.
 AudioFeatureStub = AudioFeatures
 VideoFrameSampleStub = VideoFrameSampler
+
+
+class PatchImages:
+    """ViT-style patch extraction: decode → crop to a multiple of P →
+    emit the non-overlapping P×P patch grid, one row per patch with its
+    raw bytes and mean intensity. The per-image patchify is ONE numpy
+    reshape/transpose (no per-patch Python); decode is inherently
+    per-image. Output: (image_id, patch_row, patch_col, patch_bytes,
+    patch_mean) — the image analogue of the text chunker, feeding
+    patch-level dedup / embedding stages."""
+
+    def __init__(self, patch: int = 8):
+        self.patch = patch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.patch
+        plen = p * p * 3
+        ids, prow, pcol, flats, pmean = [], [], [], [], []
+        for img_id, data, fmt, w, h in zip(
+            batch["image_id"].to_pylist(),
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+        ):
+            pix = im.decode_image(data, fmt, w, h)
+            hh, ww, _ = pix.shape
+            gr, gc = hh // p, ww // p
+            if gr == 0 or gc == 0:
+                continue
+            crop = pix[: gr * p, : gc * p]
+            # (gr, p, gc, p, 3) -> (gr, gc, p, p, 3): one transpose
+            grid = crop.reshape(gr, p, gc, p, 3).transpose(0, 2, 1, 3, 4)
+            flat = np.ascontiguousarray(grid).reshape(gr * gc, plen)
+            ids.extend([img_id] * (gr * gc))
+            rr, cc = np.divmod(np.arange(gr * gc), gc)
+            prow.append(rr)
+            pcol.append(cc)
+            flats.append(flat)
+            pmean.append(flat.mean(axis=1))
+        n = len(ids)
+        # one contiguous buffer -> fixed-size-binary, no per-patch tobytes
+        allbytes = (
+            np.concatenate(flats).reshape(-1)
+            if flats else np.empty(0, np.uint8)
+        )
+        pbytes = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(plen), n, [None, pa.py_buffer(allbytes.tobytes())]
+        ).cast(pa.binary())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "patch_row": pa.array(
+                    np.concatenate(prow) if prow else np.empty(0, np.int64)
+                ),
+                "patch_col": pa.array(
+                    np.concatenate(pcol) if pcol else np.empty(0, np.int64)
+                ),
+                "patch_bytes": pbytes,
+                "patch_mean": pa.array(
+                    np.concatenate(pmean) if pmean else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+
+def patch_images(
+    ds: ray.data.Dataset, patch: int = 8, concurrency=(2, 8)
+) -> ray.data.Dataset:
+    """Actor-pool patch-extraction stage (decoder per actor). Row- and
+    byte-EXPANDING (≈1× pixel bytes out as patch bytes) — keep
+    batch_size modest so batch × concurrency fits the worker heap."""
+    return ds.map_batches(
+        PatchImages(patch) if concurrency is None else PatchImages,
+        fn_constructor_kwargs=None if concurrency is None else {"patch": patch},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=concurrency,
+    )

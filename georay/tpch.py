@@ -2766,6 +2766,73 @@ SQL_IMAGE_PIPELINE = (
 )
 
 
+def q_image_patches(sf_dir: str):
+    """ViT-style patch extraction over the deterministic image table:
+    decode → 8×8 patch grid (actor-pool stage) → groupby(image) grid
+    verification (complete row/col lattice, uniform byte length) —
+    totals must equal the metadata-only count Σ (w//8)·(h//8), an
+    independent engine path. Constant oracle (generator fixed-seed)."""
+    import tempfile
+
+    from georay import generate
+    from georay.stages import multimodal
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    patches = multimodal.patch_images(
+        rd.read_parquet(
+            cache, columns=["image_id", "bytes", "fmt", "w", "h"]
+        ),
+        patch=8, concurrency=2,
+    )
+
+    def verify_grid(group: pa.Table) -> pa.Table:
+        r = group["patch_row"].to_numpy(zero_copy_only=False)
+        c = group["patch_col"].to_numpy(zero_copy_only=False)
+        gr, gc = int(r.max()) + 1, int(c.max()) + 1
+        lens = pc.binary_length(group["patch_bytes"]).to_numpy()
+        ok = (
+            len(group) == gr * gc
+            and len(np.unique(r * gc + c)) == gr * gc
+            and (lens == 8 * 8 * 3).all()
+        )
+        return pa.table(
+            {
+                "n_patches": pa.array([len(group)], pa.int64()),
+                "grid_ok": pa.array([int(ok)], pa.int64()),
+            }
+        )
+
+    per_img = patches.groupby("image_id").map_groups(
+        verify_grid, batch_format="pyarrow"
+    ).to_pandas()
+    # independent metadata-only count: no decode involved
+    meta = rd.read_parquet(cache, columns=["w", "h"]).map_batches(
+        lambda b: pa.table({"np": pa.array([int((
+            (b["w"].to_numpy(zero_copy_only=False).astype(np.int64) // 8)
+            * (b["h"].to_numpy(zero_copy_only=False).astype(np.int64) // 8)
+        ).sum())], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).to_pandas()
+    return pa.table(
+        {
+            "n_images": pa.array([len(per_img)], pa.int64()),
+            "n_patches": pa.array([int(per_img["n_patches"].sum())], pa.int64()),
+            "n_grids_ok": pa.array([int(per_img["grid_ok"].sum())], pa.int64()),
+            "n_patches_meta": pa.array([int(meta["np"].sum())], pa.int64()),
+        }
+    )
+
+
+SQL_IMAGE_PATCHES = (
+    "SELECT 1000 AS n_images, 20132 AS n_patches, 1000 AS n_grids_ok, "
+    "20132 AS n_patches_meta"
+)
+
+
 def q_image_neardup(sf_dir: str):
     """Near-duplicate IMAGE dedup by perceptual-hash Hamming banding
     (``hash64_band_candidates`` over the phash column — the same banded
@@ -3353,6 +3420,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
     "image_neardup": q_image_neardup,
+    "image_patches": q_image_patches,
     "dct_image_neardup": q_dct_image_neardup,
     "av_pipeline": q_av_pipeline,
     "grid_cell_count": q_grid_cell_count,
@@ -3512,6 +3580,7 @@ ORACLE = {
     "lang_quality": SQL_LANG_QUALITY,
     "embed_planted": SQL_EMBED_PLANTED,
     "image_neardup": SQL_IMAGE_NEARDUP,
+    "image_patches": SQL_IMAGE_PATCHES,
     "dct_image_neardup": SQL_DCT_IMAGE_NEARDUP,
     "av_pipeline": SQL_AV_PIPELINE,
 }

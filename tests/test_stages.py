@@ -650,3 +650,47 @@ def test_chunk_documents_distributed(docs_ds):
     e = exp.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
     assert len(m) == len(e)
     assert (m["chunk"] == e["chunk"]).all()
+
+
+def test_patch_images_exact_reconstruction(ray_session):
+    import ray.data as rd
+
+    from georay import images as im
+    from georay.stages.multimodal import PatchImages, patch_images
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i, (w, h, fmt) in enumerate(
+        [(16, 24, "ppm"), (32, 16, "bmp"), (64, 64, "rawrgb"), (8, 8, "ppm")]
+    ):
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append((f"img{i}", im.encode_image(pix, fmt), fmt, w, h, pix))
+    t = pa.table(
+        {
+            "image_id": pa.array([r[0] for r in rows]),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "fmt": pa.array([r[2] for r in rows]),
+            "w": pa.array([r[3] for r in rows], pa.int32()),
+            "h": pa.array([r[4] for r in rows], pa.int32()),
+        }
+    )
+    out = patch_images(rd.from_arrow(t).repartition(2), patch=8,
+                       concurrency=2).to_pandas()
+    for rid, _, fmt, w, h, pix in rows:
+        sub = out[out["image_id"] == rid]
+        gr, gc = h // 8, w // 8
+        assert len(sub) == gr * gc
+        rec = np.zeros((gr * 8, gc * 8, 3), np.uint8)
+        for _, prow in sub.iterrows():
+            r, c = int(prow["patch_row"]), int(prow["patch_col"])
+            rec[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = np.frombuffer(
+                prow["patch_bytes"], np.uint8
+            ).reshape(8, 8, 3)
+        if fmt == "qoil":
+            continue  # lossy
+        assert (rec == pix[: gr * 8, : gc * 8]).all()
+    # patch_mean matches the bytes
+    b0 = out.iloc[0]
+    assert abs(
+        np.frombuffer(b0["patch_bytes"], np.uint8).mean() - b0["patch_mean"]
+    ) < 1e-12
