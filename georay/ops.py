@@ -13,6 +13,8 @@ Design rules (SURVEY.md §4, ray_guide):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3581,4 +3583,40 @@ def pack_sequences(
         shuffle_coalesce(keyed)
         .groupby(scol)
         .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+def json_extract_scalar(
+    ds: ray.data.Dataset,
+    col: str,
+    key: str,
+    out_col: str | None = None,
+    as_type: str = "int",
+) -> ray.data.Dataset:
+    """Extract one scalar field from a JSON-string column — the
+    schema-on-read pattern for semi-structured payload columns —
+    entirely inside Arrow's RE2 kernel (``pc.extract_regex``), no JSON
+    parser and no per-row Python. Missing key / null input → null.
+    ``as_type``: "int", "double" (bare numbers) or "string" (quoted
+    values, no escape handling — document fields with embedded quotes
+    need a real parser upstream)."""
+    out = out_col or key
+    esc = re.escape(key)
+    if as_type in ("int", "double"):
+        pattern = rf'"{esc}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
+        target = pa.int64() if as_type == "int" else pa.float64()
+    elif as_type == "string":
+        pattern = rf'"{esc}"\s*:\s*"(?P<v>[^"]*)"'
+        target = pa.string()
+    else:
+        raise ValueError(f"as_type must be int|double|string, got {as_type!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[col], pattern)
+        return batch.append_column(
+            out, pc.cast(pc.struct_field(ex, "v"), target)
+        )
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

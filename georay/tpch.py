@@ -391,6 +391,26 @@ FROM part
 """
 
 
+def q_json_extract(sf_dir: str):
+    """Schema-on-read over the semi-structured props column: extract the
+    integer field k from each event's JSON payload inside Arrow's RE2
+    kernel (no JSON parser, no per-row Python), then a per-k salted
+    count."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "props"])
+    ds = ops.json_extract_scalar(ds, col="props", key="k", as_type="int")
+    return ops.salted_count(
+        ds.select_columns(["k"]), "k", count_alias="n"
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
 def q_window_ntile(sf_dir: str):
     """Per-user NTILE(4) over (ts, event_id) — equi-depth position
     quartiles per key."""
@@ -3454,6 +3474,7 @@ QUERIES = {
     "window_row_number": q_window_row_number,
     "window_lead": q_window_lead,
     "unpivot": q_unpivot,
+    "json_extract": q_json_extract,
     "window_ntile": q_window_ntile,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
@@ -3549,6 +3570,7 @@ ORACLE = {
     "window_row_number": SQL_WINDOW_ROW_NUMBER,
     "window_lead": SQL_WINDOW_LEAD,
     "unpivot": SQL_UNPIVOT,
+    "json_extract": SQL_JSON_EXTRACT,
     "window_ntile": SQL_WINDOW_NTILE,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,

@@ -1465,3 +1465,29 @@ def test_pack_sequences_tiles_the_stream(ray_session):
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert (a["pack_id"] == b["pack_id"]).all()
     assert (a["pack_offset"] == b["pack_offset"]).all()
+
+
+def test_json_extract_scalar_types_and_nulls(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "j": pa.array([
+            '{"k": 87, "s": "ab", "f": 1.5}',
+            '{"k": -5}',
+            '{"other": 1}',
+            None,
+            '{ "k" : 12 , "s" : "c d" }',
+        ]),
+    })
+    ds = rd.from_arrow(t)
+    got_i = ops.json_extract_scalar(ds, "j", "k", as_type="int").to_pandas()
+    got_s = ops.json_extract_scalar(ds, "j", "s", as_type="string").to_pandas()
+    got_f = ops.json_extract_scalar(ds, "j", "f", as_type="double").to_pandas()
+    ki = got_i.set_index("id")["k"]
+    assert ki[1] == 87 and ki[2] == -5 and ki[5] == 12
+    assert pd_isna(ki[3]) and pd_isna(ki[4])
+    ks = got_s.set_index("id")["s"]
+    assert ks[1] == "ab" and ks[5] == "c d" and pd_isna(ks[2])
+    kf = got_f.set_index("id")["f"]
+    assert kf[1] == 1.5 and pd_isna(kf[2])
