@@ -3620,3 +3620,57 @@ def json_extract_scalar(
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def exact_quantiles_cont(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Interpolated exact quantiles (``quantile_cont`` /
+    PERCENTILE_CONT semantics: linear interpolation at rank q·(n-1))
+    over the same bounded-cardinality value-histogram plan as
+    ``exact_quantiles`` — only (distinct value, count) rows move. The
+    interpolation expression mirrors DuckDB's (lo + frac·(hi − lo),
+    frac = q·(n−1) − floor) so results hash-match bit-for-bit."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr)
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.float64()),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_sum(parts, "v", {"partial_n": "n"}, int_cols=("partial_n",))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if cum.shape[0] else 0
+        out_q, out_v = [], []
+        for q in qs:
+            h = q * (total - 1)
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            v_lo = float(v[np.searchsorted(cum, lo + 1, side="left")])
+            v_hi = float(v[np.searchsorted(cum, hi + 1, side="left")])
+            out_q.append(float(q))
+            out_v.append(v_lo + (h - lo) * (v_hi - v_lo))
+        return pa.table(
+            {"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())}
+        )
+
+    return hist.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40,
+        num_cpus=0.9,
+    )

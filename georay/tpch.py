@@ -678,6 +678,31 @@ SELECT q, v FROM (
 """
 
 
+def q_quantiles_cont(sf_dir: str):
+    """Interpolated exact quantiles (PERCENTILE_CONT semantics) of
+    l_quantity — same value-histogram plan, DuckDB-matched linear
+    interpolation."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity"])
+    return ops.exact_quantiles_cont(
+        ds, "l_quantity", [0.01, 0.25, 0.5, 0.9, 0.99]
+    )
+
+
+SQL_QUANTILES_CONT = """
+SELECT q, v FROM (
+  SELECT 0.01 AS q, quantile_cont(CAST(l_quantity AS DOUBLE), 0.01) AS v FROM lineitem
+  UNION ALL
+  SELECT 0.25, quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) FROM lineitem
+  UNION ALL
+  SELECT 0.5, quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) FROM lineitem
+  UNION ALL
+  SELECT 0.9, quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) FROM lineitem
+  UNION ALL
+  SELECT 0.99, quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) FROM lineitem
+)
+"""
+
+
 def q_profile(sf_dir: str):
     """Data-profiling pass over lineitem: per-column n/n_null/min/max/sum
     in ONE streaming pass (per-batch partial row per column, combine-tree
@@ -3459,6 +3484,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "streaming_dedup": q_streaming_dedup,
     "quantiles": q_quantiles,
+    "quantiles_cont": q_quantiles_cont,
     "equi_join": q_equi_join,
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans_assign": q_kmeans_assign,
@@ -3555,6 +3581,7 @@ ORACLE = {
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "quantiles": SQL_QUANTILES,
+    "quantiles_cont": SQL_QUANTILES_CONT,
     "equi_join": SQL_EQUI_JOIN,
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,

@@ -1491,3 +1491,23 @@ def test_json_extract_scalar_types_and_nulls(ray_session):
     assert ks[1] == "ab" and ks[5] == "c d" and pd_isna(ks[2])
     kf = got_f.set_index("id")["f"]
     assert kf[1] == 1.5 and pd_isna(kf[2])
+
+
+def test_exact_quantiles_cont_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(59)
+    vals = rng.integers(0, 200, 5000).astype(np.int64)
+    t = pa.table({"v": pa.array(vals)})
+    qs = [0.0, 0.1, 0.5, 0.777, 0.99, 1.0]
+    out = ops.exact_quantiles_cont(
+        rd.from_arrow(t).repartition(6), "v", qs
+    ).to_pandas().set_index("q")["v"]
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    for q in qs:
+        exp = con.execute(
+            f"SELECT quantile_cont(CAST(v AS DOUBLE), {q}) FROM t"
+        ).fetchone()[0]
+        assert out[q] == exp, (q, out[q], exp)
