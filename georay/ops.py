@@ -745,6 +745,30 @@ def top_k(
     )
 
 
+def _value_histogram(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """(v float64, n int64) distinct-value histogram of one column via
+    per-batch ``pc.value_counts`` partials + combine-tree merge. NULLs
+    are dropped (SQL aggregate semantics). Shared by the disc/cont exact
+    quantile operators."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = pc.value_counts(arr.drop_null())
+        return pa.table(
+            {
+                "v": vc.field("values").cast(pa.float64()),
+                "partial_n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(parts, "v", {"partial_n": "n"}, int_cols=("partial_n",))
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     col: str,
@@ -762,23 +786,7 @@ def exact_quantiles(
 
     Output: one row per q — (q float64, v float64).
     """
-
-    def partial(batch: pa.Table) -> pa.Table:
-        arr = batch[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        vc = pc.value_counts(arr)
-        return pa.table(
-            {
-                "v": vc.field("values").cast(pa.float64()),
-                "partial_n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    hist = tree_sum(parts, "v", {"partial_n": "n"}, int_cols=("partial_n",))
+    hist = _value_histogram(ds, col)
 
     def pick(batch: pa.Table) -> pa.Table:
         v = batch["v"].to_numpy(zero_copy_only=False)
@@ -789,9 +797,12 @@ def exact_quantiles(
         total = int(cum[-1]) if cum.shape[0] else 0
         out_q, out_v = [], []
         for q in qs:
+            out_q.append(float(q))
+            if total == 0:
+                out_v.append(None)
+                continue
             idx = max(int(np.ceil(q * total)) - 1, 0)
             pos = np.searchsorted(cum, idx + 1, side="left")
-            out_q.append(float(q))
             out_v.append(float(v[pos]))
         return pa.table(
             {"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())}
@@ -2000,7 +2011,14 @@ def equi_join_partitioned(
             keys = rt[on]
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
-            hit = pc.is_valid(pc.index_in(lt[on], value_set=keys))
+            # skip_nulls: SQL equality never matches NULL = NULL, so a
+            # NULL-key left row is dropped by semi and kept by anti
+            hit = pc.is_valid(
+                pc.index_in(
+                    lt[on],
+                    options=pc.SetLookupOptions(value_set=keys, skip_nulls=True),
+                )
+            )
             return lt.filter(hit if how == "semi" else pc.invert(hit))
         jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
         joined = lt.join(rt, keys=on, join_type=jt)
@@ -2839,15 +2857,7 @@ def window_dense_rank(
         n = len(g)
         new_val = first.copy()
         if n:
-            changed = np.zeros(n - 1, dtype=bool)
-            for c in order_list:
-                arr = g[c].combine_chunks() if isinstance(g[c], pa.ChunkedArray) else g[c]
-                neq = pc.fill_null(
-                    pc.not_equal(arr.slice(1), arr.slice(0, n - 1)), False
-                )
-                nul = np.asarray(pc.is_null(arr))
-                changed |= np.asarray(neq) | (nul[1:] != nul[:-1])
-            new_val[1:] |= changed
+            new_val[1:] |= _order_change_mask(g, order_list, n)
         cs = np.cumsum(new_val)
         base = np.maximum.accumulate(np.where(first, cs - 1, 0))
         return out_col, pa.array(cs - base, pa.int64())
@@ -3252,17 +3262,28 @@ def set_op_distinct(
     )
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        karrs = [group[k].to_numpy(zero_copy_only=False) for k in key_list]
-        side = group["_side"].to_numpy(zero_copy_only=False)
-        ks, vs = _group_reduce(
-            karrs, {"mx": side, "mn": side},
-            ufunc={"mx": np.maximum, "mn": np.minimum},
+        # Arrow-native sort + boundary segmentation: preserves key types
+        # exactly (no numpy float promotion for nullable ints) and
+        # groups all NULL keys as ONE distinct key, as SQL set ops do.
+        g = group.take(
+            pc.sort_indices(group, sort_keys=[(k, "ascending") for k in key_list])
         )
-        if op == "except":
-            keep = vs["mx"] == 0
-        else:
-            keep = (vs["mn"] == 0) & (vs["mx"] == 1)
-        return pa.table({k: pa.array(a[keep]) for k, a in zip(key_list, ks)})
+        n = len(g)
+        if n == 0:
+            return g.select(key_list)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in key_list:
+            a = g[k].combine_chunks() if isinstance(g[k], pa.ChunkedArray) else g[k]
+            neq = pc.fill_null(pc.not_equal(a.slice(1), a.slice(0, n - 1)), False)
+            nul = np.asarray(pc.is_null(a))
+            first[1:] |= np.asarray(neq) | (nul[1:] != nul[:-1])
+        starts = np.flatnonzero(first)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        mn = np.minimum.reduceat(side, starts)
+        mx = np.maximum.reduceat(side, starts)
+        keep = mx == 0 if op == "except" else (mn == 0) & (mx == 1)
+        return g.select(key_list).take(pa.array(starts[keep]))
 
     return shuffle_coalesce(u).groupby("_bucket").map_groups(
         per_bucket, batch_format="pyarrow"
@@ -3311,7 +3332,8 @@ def grouped_string_agg(
         first = np.zeros(n, dtype=bool)
         first[0] = True
         neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
-        first[1:] = np.asarray(neq)
+        nul = np.asarray(pc.is_null(karr))
+        first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
         starts = np.flatnonzero(first)
         offsets = pa.array(np.append(starts, n), pa.int64())
         vals = g[value_col]
@@ -3487,6 +3509,8 @@ def unpivot(
     over COLUMNS (a handful), each iteration a zero-copy column select +
     cast, so no shuffle and no per-row Python. Value columns are cast to
     ``value_type`` (default float64) to share one output column."""
+    if not value_cols:
+        raise ValueError("unpivot requires at least one value column")
     vt = value_type or pa.float64()
 
     def melt(batch: pa.Table) -> pa.Table:
@@ -3530,6 +3554,8 @@ def pack_sequences(
     on the driver (tiny) and broadcast; (2) one bucket shuffle by shard,
     each shard sorted by (hash, id) and locally prefix-summed + base.
     Only (id, len) columns move; pass a pruned 2-column dataset."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     hcol, scol = "_pack_h", "_pack_shard"
     keyed = add_splitmix_column(ds, id_col, out=hcol)
 
@@ -3597,14 +3623,17 @@ def json_extract_scalar(
     schema-on-read pattern for semi-structured payload columns —
     entirely inside Arrow's RE2 kernel (``pc.extract_regex``), no JSON
     parser and no per-row Python. Missing key / null input → null.
-    ``as_type``: "int", "double" (bare numbers) or "string" (quoted
-    values, no escape handling — document fields with embedded quotes
-    need a real parser upstream)."""
+    ``as_type``: "int" (fractional values round half-away like SQL
+    CAST(x AS BIGINT); |x| must fit a double exactly, < 2^53), "double"
+    (bare numbers) or "string" (quoted values). Limitations, by design
+    of the regex path: no escape handling inside strings, and a
+    same-named key inside a NESTED object also matches — flat payload
+    objects only; feed anything richer through a real parser upstream."""
     out = out_col or key
     esc = re.escape(key)
     if as_type in ("int", "double"):
         pattern = rf'"{esc}"\s*:\s*(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
-        target = pa.int64() if as_type == "int" else pa.float64()
+        target = pa.float64()
     elif as_type == "string":
         pattern = rf'"{esc}"\s*:\s*"(?P<v>[^"]*)"'
         target = pa.string()
@@ -3613,9 +3642,13 @@ def json_extract_scalar(
 
     def fn(batch: pa.Table) -> pa.Table:
         ex = pc.extract_regex(batch[col], pattern)
-        return batch.append_column(
-            out, pc.cast(pc.struct_field(ex, "v"), target)
-        )
+        v = pc.cast(pc.struct_field(ex, "v"), target)
+        if as_type == "int":
+            # SQL CAST(double AS BIGINT) rounds half away from zero
+            v = pc.cast(
+                pc.round(v, round_mode="half_towards_infinity"), pa.int64()
+            )
+        return batch.append_column(out, v)
 
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
@@ -3632,24 +3665,9 @@ def exact_quantiles_cont(
     over the same bounded-cardinality value-histogram plan as
     ``exact_quantiles`` — only (distinct value, count) rows move. The
     interpolation expression mirrors DuckDB's (lo + frac·(hi − lo),
-    frac = q·(n−1) − floor) so results hash-match bit-for-bit."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        arr = batch[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        vc = pc.value_counts(arr)
-        return pa.table(
-            {
-                "v": vc.field("values").cast(pa.float64()),
-                "partial_n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    hist = tree_sum(parts, "v", {"partial_n": "n"}, int_cols=("partial_n",))
+    frac = q·(n−1) − floor) so results hash-match bit-for-bit. NULLs are
+    ignored (as SQL does); an empty/all-null column yields null v."""
+    hist = _value_histogram(ds, col)
 
     def pick(batch: pa.Table) -> pa.Table:
         v = batch["v"].to_numpy(zero_copy_only=False)
@@ -3660,11 +3678,14 @@ def exact_quantiles_cont(
         total = int(cum[-1]) if cum.shape[0] else 0
         out_q, out_v = [], []
         for q in qs:
+            out_q.append(float(q))
+            if total == 0:
+                out_v.append(None)
+                continue
             h = q * (total - 1)
             lo, hi = int(np.floor(h)), int(np.ceil(h))
             v_lo = float(v[np.searchsorted(cum, lo + 1, side="left")])
             v_hi = float(v[np.searchsorted(cum, hi + 1, side="left")])
-            out_q.append(float(q))
             out_v.append(v_lo + (h - lo) * (v_hi - v_lo))
         return pa.table(
             {"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())}

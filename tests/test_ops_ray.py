@@ -1511,3 +1511,76 @@ def test_exact_quantiles_cont_matches_duckdb(ray_session):
             f"SELECT quantile_cont(CAST(v AS DOUBLE), {q}) FROM t"
         ).fetchone()[0]
         assert out[q] == exp, (q, out[q], exp)
+
+
+def test_null_key_semantics_semi_anti_setop_stringagg(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    # semi/anti: SQL equality never matches NULL = NULL
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3, None], pa.int64()),
+        "lv": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k2": pa.array([1, None], pa.int64()),
+    }))
+    semi = ops.equi_join_partitioned(
+        left, right, on="k", right_on="k2", how="semi"
+    ).to_pandas()
+    anti = ops.equi_join_partitioned(
+        left, right, on="k", right_on="k2", how="anti"
+    ).to_pandas()
+    assert sorted(semi["lv"].tolist()) == [10]
+    assert sorted(anti["lv"].tolist()) == [20, 30, 40]
+    # set ops: NULL keys are ONE distinct key (SQL EXCEPT/INTERSECT),
+    # and key dtype survives (no numpy float promotion)
+    a = rd.from_arrow(pa.table({"k": pa.array([1, None, None, 2], pa.int64())}))
+    b = rd.from_arrow(pa.table({"k": pa.array([2, None], pa.int64())}))
+    ex = ops.set_op_distinct(a, b, keys="k", op="except").to_pandas()
+    ix = ops.set_op_distinct(a, b, keys="k", op="intersect").to_pandas()
+    assert ex["k"].tolist() == [1]
+    assert str(ex["k"].dtype) in ("int64", "Int64")
+    got_ix = {("N" if pd_isna(v) else int(v)) for v in ix["k"]}
+    assert got_ix == {2, "N"}
+    # string_agg: NULL keys form their own group, not merged into the prior key
+    t = pa.table({
+        "k": pa.array([1, None, None], pa.int64()),
+        "v": pa.array(["a", "b", "c"]),
+        "o": pa.array([0, 1, 2], pa.int64()),
+    })
+    out = ops.grouped_string_agg(
+        rd.from_arrow(t), key="k", value_col="v", order_cols=["o"]
+    ).to_pandas()
+    by = {("N" if pd_isna(r["k"]) else int(r["k"])): r["agg"]
+          for _, r in out.iterrows()}
+    assert by == {1: "a", "N": "b,c"}
+
+
+def test_quantiles_ignore_nulls_and_json_int_rounding(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    t = pa.table({"v": pa.array([1.0, 2.0, None, None])})
+    ds = rd.from_arrow(t)
+    disc = ops.exact_quantiles(ds, "v", [0.5]).to_pandas()
+    cont = ops.exact_quantiles_cont(ds, "v", [0.5]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    assert disc["v"].iloc[0] == con.execute(
+        "SELECT quantile_disc(v, 0.5) FROM t"
+    ).fetchone()[0]
+    assert cont["v"].iloc[0] == con.execute(
+        "SELECT quantile_cont(v, 0.5) FROM t"
+    ).fetchone()[0]
+    # empty input -> empty or null result, never a crash
+    empty = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    res = ops.exact_quantiles_cont(empty, "v", [0.5]).to_pandas()
+    assert len(res) == 0 or pd_isna(res["v"].iloc[0])
+    # json int: fractional value rounds half-away like CAST(x AS BIGINT)
+    j = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "p": pa.array(['{"k": 1.5}', '{"k": -2.5}', '{"k": 7}']),
+    }))
+    got = ops.json_extract_scalar(j, "p", "k", as_type="int").to_pandas()
+    assert got.set_index("id")["k"].tolist() == [2, -3, 7]
