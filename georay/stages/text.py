@@ -548,3 +548,103 @@ def chunk_documents(
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+def doc_rare_bigrams(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 1,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Corpus-novelty quality signal (the integer-exact core of n-gram
+    LM filtering à la CCNet): per document, the number of its bigrams
+    whose GLOBAL corpus frequency is ≤ ``rare_max``, plus its total
+    bigram count. ONE shuffle, one pass: the bigram stream is hash-
+    bucketed by bigram, so a bucket group holds every occurrence of its
+    bigrams — global frequency is the in-group segment size — and each
+    bucket emits per-doc (total, rare) partials merged by the combine
+    tree. No bigram table is materialized and no join runs.
+
+    Output: (id, n_bigrams, n_rare) for every doc with ≥ 1 bigram."""
+    from georay.index import _ragged_ranges
+    from georay.ops import _bytes_hash, _group_reduce, shuffle_coalesce, tree_sum
+
+    def to_bigrams(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks, counts = _tokenize_flat(txt)
+        n = len(toks)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if n < 2:
+            return pa.table(
+                {id_col: ids.slice(0, 0), "bg": pa.array([], pa.string()),
+                 "_bucket": pa.array([], pa.int64())}
+            )
+        owner, _ = _ragged_ranges(counts)
+        ln = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        # adjacent pairs inside one doc; empty tokens (empty doc -> [""])
+        # produce no bigrams, matching regexp_extract_all('\S+') = []
+        valid = (owner[1:] == owner[:-1]) & (ln[:-1] > 0) & (ln[1:] > 0)
+        mask = pa.array(valid)
+        left = toks.slice(0, n - 1).filter(mask)
+        right = toks.slice(1).filter(mask)
+        bg = pc.binary_join_element_wise(left, right, " ")
+        h = _bytes_hash(bg)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(owner[:-1][valid])),
+                "bg": bg,
+                "_bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    stream = ds.map_batches(
+        to_bigrams, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        order = pc.sort_indices(group, sort_keys=[("bg", "ascending")])
+        g = group.take(order)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {id_col: g[id_col], "tot": pa.array([], pa.int64()),
+                 "rare": pa.array([], pa.int64())}
+            )
+        bg = g["bg"].combine_chunks() if isinstance(g["bg"], pa.ChunkedArray) else g["bg"]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = np.asarray(
+            pc.not_equal(bg.slice(1), bg.slice(0, n - 1))
+        )
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        rare_row = (sizes <= rare_max)[seg_id]
+        k = g[id_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(
+            [k],
+            {"tot": np.ones(n, np.int64), "rare": rare_row.astype(np.int64)},
+        )
+        return pa.table(
+            {id_col: pa.array(ks[0]), "tot": pa.array(vs["tot"]),
+             "rare": pa.array(vs["rare"])}
+        )
+
+    parts = (
+        shuffle_coalesce(stream)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_sum(
+        parts, id_col, {"tot": "n_bigrams", "rare": "n_rare"},
+        int_cols=("tot", "rare"),
+    )

@@ -2075,6 +2075,38 @@ SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
 """
 
 
+def q_rare_bigrams(sf_dir: str):
+    """Corpus-novelty signal (n-gram LM filtering core): per doc, its
+    bigram count and how many of its bigrams are globally rare (corpus
+    frequency ≤ 1). One bigram-hash shuffle; frequency = in-group
+    segment size, so no bigram table materializes and no join runs."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.doc_rare_bigrams(ds, rare_max=1)
+
+
+SQL_RARE_BIGRAMS = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, arr[i] AS t, i
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+bigrams AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+counts AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg)
+SELECT bigrams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM bigrams JOIN counts USING (bg)
+GROUP BY bigrams.doc_id
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-sample chunking (size 120, stride 90):
     pure row-expanding map_batches over flat Arrow string buffers, no
@@ -3449,6 +3481,7 @@ QUERIES = {
     "token_count": q_token_count,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
+    "rare_bigrams": q_rare_bigrams,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
     "doc_stats": q_doc_stats,
@@ -3555,6 +3588,7 @@ ORACLE = {
     "token_count": SQL_TOKEN_COUNT,
     "chunk_docs": SQL_CHUNK_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "rare_bigrams": SQL_RARE_BIGRAMS,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,

@@ -694,3 +694,31 @@ def test_patch_images_exact_reconstruction(ray_session):
     assert abs(
         np.frombuffer(b0["patch_bytes"], np.uint8).mean() - b0["patch_mean"]
     ) < 1e-12
+
+
+def test_doc_rare_bigrams_planted(ray_session):
+    import ray.data as rd
+
+    # repeated phrase across docs => common bigrams; one doc carries a
+    # unique phrase => its bigrams are rare
+    docs = [
+        "the quick brown fox jumps",
+        "the quick brown fox sleeps",
+        "the quick brown fox jumps",
+        "zyx wvu tsr qpo",        # all 3 bigrams globally unique
+        "solo",                    # 1 token -> no bigrams -> absent
+        "",                        # empty -> absent
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })
+    out = text.doc_rare_bigrams(
+        rd.from_arrow(t).repartition(3)
+    ).to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 1, 2, 3}
+    assert out.loc[3, "n_bigrams"] == 3 and out.loc[3, "n_rare"] == 3
+    # 'fox jumps' occurs twice (docs 0,2) -> not rare; 'fox sleeps' once -> rare
+    assert out.loc[1, "n_rare"] == 1
+    assert out.loc[0, "n_rare"] == 0 and out.loc[2, "n_rare"] == 0
+    assert (out["n_bigrams"].loc[[0, 1, 2]] == 4).all()
