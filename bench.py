@@ -148,6 +148,10 @@ def run_bench() -> dict:
     timed_ext("window_ntile", lambda: tpch.q_window_ntile(SF_DIR).count())
     timed_ext("repetition", lambda: tpch.q_repetition(SF_DIR).count())
     timed_ext("radius_geodesic", lambda: tpch.q_radius_geodesic(SF_DIR).count())
+    timed_ext("pack_sequences", lambda: tpch.q_pack_sequences(SF_DIR).count())
+    timed_ext("string_agg", lambda: tpch.q_string_agg(SF_DIR).count())
+    timed_ext("rare_bigrams", lambda: tpch.q_rare_bigrams(SF_DIR).count())
+    timed_ext("pretrain_prep", lambda: tpch.q_pretrain_prep(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -2075,6 +2075,117 @@ SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
 """
 
 
+def q_pretrain_prep(sf_dir: str):
+    """END-TO-END pretraining data prep, composing this round's new
+    operators as ONE chain: corpus-rare-bigram novelty gate (keep docs
+    with ≤10% rare bigrams — drops boilerplate-free noise) → semi join
+    back to the corpus (partitioned existence probe) → sliding-window
+    chunking (256/256 disjoint) → exact chunk dedup (keep lowest rid) →
+    GPT-style sequence packing (budget 1024). Every stage is an oracled
+    operator; the composition hash-matches SQL end-to-end."""
+    from georay.stages import text as text_stage
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    stats = text_stage.doc_rare_bigrams(docs, rare_max=1)
+
+    def passing(batch: pa.Table) -> pa.Table:
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False)
+        nr = batch["n_rare"].to_numpy(zero_copy_only=False)
+        return pa.table({"ok_id": batch["doc_id"].filter(pa.array(nr * 10 <= nb))})
+
+    ok = stats.map_batches(passing, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    kept = ops.equi_join_partitioned(
+        docs, ok, on="doc_id", right_on="ok_id", how="semi"
+    )
+    chunks = text_stage.chunk_documents(kept, size=256, stride=256)
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ci = batch["chunk_idx"].to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(batch["chunk"]).cast(pa.int64())
+        return pa.table(
+            {"rid": pa.array(did * 8 + ci), "chunk": batch["chunk"],
+             "n_chars": ln}
+        )
+
+    chunks = chunks.map_batches(add_rid, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    uniq = ops.dedup_exact(chunks, "chunk", keep_col="rid")
+    packed = ops.pack_sequences(
+        uniq.select_columns(["rid", "n_chars"]), id_col="rid",
+        len_col="n_chars", budget=1024,
+    )
+    return packed.select_columns(["rid", "pack_id", "pack_offset"])
+
+
+SQL_PRETRAIN_PREP = r"""
+WITH arrs AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, arr[i] AS t, i
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+bigrams AS (
+  SELECT a.doc_id, a.t || ' ' || b.t AS bg
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+bgc AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg),
+stats AS (
+  SELECT bigrams.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS n_rare
+  FROM bigrams JOIN bgc USING (bg) GROUP BY bigrams.doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  SEMI JOIN (SELECT doc_id FROM stats WHERE n_rare * 10 <= n_bigrams) s
+  ON d.doc_id = s.doc_id
+),
+chunks AS (
+  SELECT doc_id * 8 + chunk_idx AS rid,
+         substring(text, CAST(chunk_idx * 256 + 1 AS BIGINT), 256) AS chunk
+  FROM (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+             0, CAST(ceil(length(text) / 256.0) AS BIGINT) - 1)) AS chunk_idx
+    FROM kept
+  )
+),
+uniq AS (
+  SELECT rid, length(chunk) AS n_chars FROM (
+    SELECT rid, chunk,
+           ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY rid) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+hashed AS (
+  SELECT rid, n_chars,
+         xor(h2, h2 // 8589934592) AS h
+  FROM (
+    SELECT *, ( (h1 % 4294967296) * 18397679294719823053
+              + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+              ) % 18446744073709551616 AS h2
+    FROM (SELECT rid, n_chars,
+                 xor(CAST(rid AS HUGEINT), CAST(rid AS HUGEINT) // 8589934592) AS h1
+          FROM uniq)
+  )
+),
+pfx AS (
+  SELECT rid,
+         COALESCE(SUM(n_chars) OVER (
+           ORDER BY h, rid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM hashed
+)
+SELECT rid,
+       CAST(off // 1024 AS BIGINT) AS pack_id,
+       CAST(off % 1024 AS BIGINT) AS pack_offset
+FROM pfx
+"""
+
+
 def q_rare_bigrams(sf_dir: str):
     """Corpus-novelty signal (n-gram LM filtering core): per doc, its
     bigram count and how many of its bigrams are globally rare (corpus
@@ -3482,6 +3593,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
     "rare_bigrams": q_rare_bigrams,
+    "pretrain_prep": q_pretrain_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
     "doc_stats": q_doc_stats,
@@ -3589,6 +3701,7 @@ ORACLE = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
+    "pretrain_prep": SQL_PRETRAIN_PREP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,
     "doc_stats": SQL_DOC_STATS,
