@@ -1328,6 +1328,59 @@ def grouped_quantiles(
     )
 
 
+def mixture_rate_threshold(rate: float) -> int:
+    """Quantized keep-threshold for ``mixture_sample``: rate is rounded
+    to 1/2^20 granularity and scaled to the uint64 hash domain, so the
+    SAME integer literal is exactly expressible in SQL HUGEINT (no
+    float-near-the-boundary ambiguity)."""
+    q = int(round(min(max(rate, 0.0), 1.0) * (1 << 20)))
+    return q << 44
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Domain-mixture sampling — the per-source reweighting step of a
+    pretraining data recipe (keep 100% of books, 30% of web, ...):
+    keep a row iff ``mix64(key) < rate(group) * 2^64``. Deterministic
+    per-domain Bernoulli with NO RNG state, reproducible across runs,
+    engines and partitionings, and disjoint-union-stable: raising a
+    domain's rate only ADDS rows (nested samples), the property mixture
+    tuning sweeps rely on. Embarrassingly parallel — one hash + one
+    table lookup per batch, no shuffle.
+
+    ``rates`` maps group value → keep fraction (quantized to 1/2^20 by
+    ``mixture_rate_threshold``); unlisted groups use ``default_rate``.
+    SQL twin: the splitmix HUGEINT replica + a CASE over the same
+    integer thresholds (``tpch.SQL_MIXTURE_SAMPLE``)."""
+    groups = list(rates)
+    gset = pa.array(groups, pa.string())
+    thr = np.array(
+        [mixture_rate_threshold(rates[g]) for g in groups]
+        + [mixture_rate_threshold(default_rate)],
+        dtype=np.float64,  # 2^64 overflows uint64; exact (≤2^20 mantissa)
+    )
+    keep_all = thr >= float(1 << 64)
+    thr_u = np.minimum(thr, float((1 << 64) - (1 << 11))).astype(np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _mix64(v.view(np.uint64).copy())
+        code = pc.fill_null(
+            pc.index_in(batch[group_col], value_set=gset), len(groups)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = keep_all[code] | (h < thr_u[code])
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def add_splitmix_column(
     ds: ray.data.Dataset,
     col: str,

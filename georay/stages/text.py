@@ -648,3 +648,108 @@ def doc_rare_bigrams(
         parts, id_col, {"tot": "n_bigrams", "rare": "n_rare"},
         int_cols=("tot", "rare"),
     )
+
+
+def _flat_ngrams(txt: pa.Array, n: int):
+    """Flat word n-grams over a batch: ``(ngram strings, owner doc
+    index, per-doc n-gram counts)``. Tokenization is the engine canon
+    (``_tokenize_flat`` ≡ SQL ``regexp_extract_all(lower(text),
+    '\\S+')``); a doc with t tokens yields max(t-n+1, 0) n-grams joined
+    by single spaces. One slice+filter per position, one
+    ``binary_join_element_wise`` C call — no per-row Python."""
+    from georay.index import _ragged_ranges
+
+    toks, counts = _tokenize_flat(txt)
+    ntok = len(toks)
+    ndoc = counts.shape[0]
+    if ntok < n:
+        return (
+            pa.array([], pa.string()),
+            np.zeros(0, np.int64),
+            np.zeros(ndoc, np.int64),
+        )
+    owner, _ = _ragged_ranges(counts)
+    ln = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+    nz = ln > 0  # empty docs normalize to one "" token -> no n-grams
+    m = ntok - n + 1
+    ok = owner[:m] == owner[n - 1:]
+    for j in range(n):
+        ok = ok & nz[j:j + m]
+    mask = pa.array(ok)
+    parts = [toks.slice(j, m).filter(mask) for j in range(n)]
+    ng = pc.binary_join_element_wise(*parts, " ")
+    own = owner[:m][ok]
+    return ng, own, np.bincount(own, minlength=ndoc)
+
+
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> ray.data.Dataset:
+    """Benchmark decontamination — the eval-overlap gate every large
+    pretraining pipeline runs (GPT-3 appendix C / Gopher / Llama style):
+    per corpus document, its word n-gram count and how many of those
+    n-grams occur ANYWHERE in the benchmark corpus; callers drop or
+    flag docs whose hit ratio crosses a threshold.
+
+    Scale shape: eval benchmarks are small by construction (thousands
+    of docs, not the 100-TB corpus), so the distinct benchmark n-grams
+    are reduced per-batch FIRST (only unique strings leave each task),
+    unioned once on the driver, and broadcast via ``ray.put`` — read
+    once per worker, not per batch. The corpus side streams: ONE
+    ``pc.is_in`` C probe per batch, no shuffle, no join, nothing
+    materialized. Output: ``(id_col, n_ngrams, n_hits)`` for every doc
+    with ≥ 1 n-gram.
+    """
+    bench_text_col = bench_text_col or text_col
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[bench_text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ng, _, _ = _flat_ngrams(txt, n)
+        return pa.table({"ng": pc.unique(ng)})
+
+    batches = [
+        b
+        for b in bench.map_batches(
+            bench_partial,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if batches:
+        vocab = pc.unique(pa.concat_tables(batches)["ng"].combine_chunks())
+    else:
+        vocab = pa.array([], pa.string())
+    ref = ray.put(vocab)
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        vs = cache.setdefault("v", ray.get(ref))
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ng, own, per_doc = _flat_ngrams(txt, n)
+        hit = pc.is_in(ng, value_set=vs).to_numpy(zero_copy_only=False)
+        hits = np.bincount(own[hit], minlength=per_doc.shape[0])
+        keep = pa.array(per_doc > 0)
+        return pa.table(
+            {
+                id_col: ids.filter(keep),
+                "n_ngrams": pa.array(per_doc).filter(keep),
+                "n_hits": pa.array(hits).filter(keep),
+            }
+        )
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -2218,6 +2218,88 @@ GROUP BY bigrams.doc_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (eval-overlap gate): docs with
+    doc_id % 20 == 0 stand in for the held-out benchmark; every other
+    doc reports its word-trigram count and how many of its trigrams
+    appear anywhere in the benchmark. Benchmark trigrams broadcast once
+    via ray.put; the corpus streams with one pc.is_in probe per batch
+    — no shuffle, no join."""
+    from georay.stages import text as text_stage
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _split(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = (did % 20 == 0) if keep_bench else (did % 20 != 0)
+        return batch.filter(pa.array(m))
+
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    bench = docs.map_batches(lambda b: _split(b, True), **kw)
+    corpus = docs.map_batches(lambda b: _split(b, False), **kw)
+    return text_stage.decontaminate(corpus, bench, n=3)
+
+
+SQL_DECONTAMINATE = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+tri AS (
+  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS ng
+  FROM arrs, UNNEST(generate_series(1, len(arr) - 2)) AS g(i)
+),
+bench AS (SELECT DISTINCT ng FROM tri WHERE doc_id % 20 = 0)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits
+FROM (SELECT * FROM tri WHERE doc_id % 20 <> 0) t
+LEFT JOIN bench b ON t.ng = b.ng
+GROUP BY t.doc_id
+"""
+
+
+def q_mixture_sample(sf_dir: str):
+    """Domain-mixture sampling (pretraining recipe weights): keep 100%
+    of de, 50% of fr, 25% of en, 0% of zh, 12.5% of everything else —
+    deterministic per-language Bernoulli on mix64(doc_id), no RNG, no
+    shuffle. Nested: raising a rate only adds rows."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    out = ops.mixture_sample(
+        ds, "doc_id", "lang",
+        rates={"en": 0.25, "de": 1.0, "fr": 0.5, "zh": 0.0},
+        default_rate=0.125,
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+# thresholds = mixture_rate_threshold(rate): rate quantized to 1/2^20
+# then scaled by 2^44 — en 2^62, de 2^64 (keep all), fr 2^63, zh 0,
+# default 2^61; the hash chain replicates ops._mix64 in HUGEINT.
+SQL_MIXTURE_SAMPLE = """
+WITH s1 AS (
+  SELECT doc_id, lang, CAST(doc_id AS HUGEINT) AS rid FROM documents
+),
+m1 AS (SELECT doc_id, lang, xor(rid, rid // 8589934592) AS h1 FROM s1),
+m2 AS (
+  SELECT doc_id, lang,
+         ( (h1 % 4294967296) * 18397679294719823053
+         + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+           * 4294967296
+         ) % 18446744073709551616 AS h2
+  FROM m1
+),
+hashed AS (SELECT doc_id, lang, xor(h2, h2 // 8589934592) AS h FROM m2)
+SELECT doc_id, lang FROM hashed
+WHERE h < CASE lang
+  WHEN 'en' THEN 4611686018427387904
+  WHEN 'de' THEN 18446744073709551616
+  WHEN 'fr' THEN 9223372036854775808
+  WHEN 'zh' THEN 0
+  ELSE 2305843009213693952 END
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Sliding-window training-sample chunking (size 120, stride 90):
     pure row-expanding map_batches over flat Arrow string buffers, no
@@ -3593,6 +3675,8 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
     "rare_bigrams": q_rare_bigrams,
+    "decontaminate": q_decontaminate,
+    "mixture_sample": q_mixture_sample,
     "pretrain_prep": q_pretrain_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -3701,6 +3785,8 @@ ORACLE = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "mixture_sample": SQL_MIXTURE_SAMPLE,
     "pretrain_prep": SQL_PRETRAIN_PREP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

@@ -1584,3 +1584,31 @@ def test_quantiles_ignore_nulls_and_json_int_rounding(ray_session):
     }))
     got = ops.json_extract_scalar(j, "p", "k", as_type="int").to_pandas()
     assert got.set_index("id")["k"].tolist() == [2, -3, 7]
+
+
+def test_mixture_sample_rates_and_nesting(ray_session):
+    import ray.data as rd
+
+    n = 4000
+    rows = [
+        {"k": i, "grp": ["web", "books", "code", "junk"][i % 4]}
+        for i in range(n)
+    ]
+    ds = rd.from_items(rows)
+    lo = ops.mixture_sample(
+        ds, "k", "grp", {"web": 0.25, "books": 1.0, "junk": 0.0},
+        default_rate=0.5,
+    ).to_pandas()
+    # exact domains: books all kept, junk all dropped
+    assert (lo["grp"] == "books").sum() == n // 4
+    assert (lo["grp"] == "junk").sum() == 0
+    # fractional domains land near their rate (hash-uniform, n/4=1000)
+    web = (lo["grp"] == "web").sum()
+    code = (lo["grp"] == "code").sum()  # unlisted -> default 0.5
+    assert 180 < web < 320 and 400 < code < 600, (web, code)
+    # nested property: raising web's rate only ADDS rows
+    hi = ops.mixture_sample(
+        ds, "k", "grp", {"web": 0.75, "books": 1.0, "junk": 0.0},
+        default_rate=0.5,
+    ).to_pandas()
+    assert set(lo["k"]) <= set(hi["k"])

@@ -722,3 +722,33 @@ def test_doc_rare_bigrams_planted(ray_session):
     assert out.loc[1, "n_rare"] == 1
     assert out.loc[0, "n_rare"] == 0 and out.loc[2, "n_rare"] == 0
     assert (out["n_bigrams"].loc[[0, 1, 2]] == 4).all()
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray.data as rd
+
+    # benchmark doc shares one exact 5-token span with corpus doc 10;
+    # corpus doc 11 is fully novel; doc 12 IS the benchmark text.
+    bench = rd.from_items(
+        [{"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta"}]
+    )
+    corpus = rd.from_items(
+        [
+            {"doc_id": 10, "text": "xx alpha beta gamma delta epsilon yy"},
+            {"doc_id": 11, "text": "one two three four five"},
+            {"doc_id": 12, "text": "alpha beta gamma delta epsilon zeta"},
+            {"doc_id": 13, "text": "tiny"},  # < 3 tokens -> no row
+        ]
+    )
+    out = (
+        text.decontaminate(corpus, bench, n=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [10, 11, 12]
+    # doc 10: 5 trigrams, 3 of which ("alpha beta gamma" .. "gamma
+    # delta epsilon") are benchmark trigrams
+    assert out.loc[10, "n_ngrams"] == 5 and out.loc[10, "n_hits"] == 3
+    assert out.loc[11, "n_ngrams"] == 3 and out.loc[11, "n_hits"] == 0
+    assert out.loc[12, "n_ngrams"] == 4 and out.loc[12, "n_hits"] == 4
