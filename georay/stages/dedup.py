@@ -22,6 +22,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -726,4 +727,121 @@ def hash64_band_candidates(
 
     return ops.tree_reduce(
         pairs, ["id_a", "id_b"], {"hamming": "hamming"}, ufunc=np.minimum
+    )
+
+
+# ------------------------------------------------- exact substring spans
+
+def doc_duplicate_spans(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 40,
+    stride: int = 20,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Exact substring-duplication signal — the grid-quantized core of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per document, its
+    number of sampled character windows (``width`` chars every
+    ``stride``) and how many of those windows occur byte-identical
+    ANYWHERE else in the corpus (other docs or other positions). A
+    duplicated span of length ≥ width+stride-1 always covers at least
+    one sampled window on each copy, so boilerplate/licence blocks and
+    copy-paste spans are caught without materializing a suffix array.
+
+    Scale shape: one row-expanding ``map_batches`` (flat-buffer gather,
+    ~width/stride × bytes out), ONE groupby shuffle hash-bucketed by
+    window content — global frequency is the in-group sorted-segment
+    size, like ``doc_rare_bigrams`` — then per-doc partials merged by
+    the combine tree. No join, nothing on the driver.
+
+    Byte-based windows (== characters for ASCII corpora; multi-byte
+    UTF-8 would need the utf8→offset map first). Output:
+    ``(id_col, n_spans, n_dup)`` for every doc with ≥ 1 window
+    (len(text) ≥ width)."""
+    from georay.index import _ragged_ranges
+    from georay.ops import _bytes_hash, _group_reduce, shuffle_coalesce, tree_sum
+
+    if width <= 0 or stride <= 0:
+        raise ValueError("width and stride must be positive")
+
+    def to_windows(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = txt.cast(pa.large_binary())
+        buf = np.frombuffer(txt.buffers()[2] or b"", dtype=np.uint8)
+        offs = np.frombuffer(
+            txt.buffers()[1], dtype=np.int64, count=txt.offset + len(txt) + 1
+        )[txt.offset:]
+        doc_start, doc_len = offs[:-1], np.diff(offs)
+        n_win = np.maximum((doc_len - width) // stride + 1, 0)
+        owner, idx = _ragged_ranges(n_win)
+        w_start = doc_start[owner] + idx * stride
+        m = w_start.shape[0]
+        # fixed-width gather: (m, width) index grid in one vectorized op
+        gathered = buf[w_start[:, None] + np.arange(width)[None, :]] \
+            if m else np.zeros((0, width), np.uint8)
+        out_offs = np.arange(m + 1, dtype=np.int64) * width
+        grams = pa.LargeStringArray.from_buffers(
+            m, pa.py_buffer(out_offs.tobytes()),
+            pa.py_buffer(gathered.tobytes()),
+        ).cast(pa.string())
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _bytes_hash(grams)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(owner)),
+                "gram": grams,
+                "_bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64)
+                ),
+            }
+        )
+
+    stream = ds.map_batches(
+        to_windows, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        order = pc.sort_indices(group, sort_keys=[("gram", "ascending")])
+        g = group.take(order)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {id_col: g[id_col], "tot": pa.array([], pa.int64()),
+                 "dup": pa.array([], pa.int64())}
+            )
+        gr = g["gram"].combine_chunks() if isinstance(
+            g["gram"], pa.ChunkedArray) else g["gram"]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = np.asarray(pc.not_equal(gr.slice(1), gr.slice(0, n - 1)))
+        seg_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, n))
+        dup_row = (sizes > 1)[seg_id]
+        k = g[id_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(
+            [k],
+            {"tot": np.ones(n, np.int64), "dup": dup_row.astype(np.int64)},
+        )
+        return pa.table(
+            {id_col: pa.array(ks[0]), "tot": pa.array(vs["tot"]),
+             "dup": pa.array(vs["dup"])}
+        )
+
+    parts = (
+        shuffle_coalesce(stream)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_sum(
+        parts, id_col, {"tot": "n_spans", "dup": "n_dup"},
+        int_cols=("tot", "dup"),
     )

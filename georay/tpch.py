@@ -2259,6 +2259,38 @@ GROUP BY t.doc_id
 """
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact substring-duplication signal (suffix-array dedup core,
+    grid-quantized): per doc, its 40-char windows sampled every 20
+    chars and how many occur byte-identical anywhere else in the
+    corpus. One content-bucketed shuffle, frequency = in-group segment
+    size — no join, no suffix array materialized."""
+    from georay.stages import dedup as dedup_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_stage.doc_duplicate_spans(ds, width=40, stride=20)
+
+
+SQL_DUP_SPANS = """
+WITH g AS (
+  SELECT doc_id,
+         substring(text, CAST(p * 20 + 1 AS BIGINT), 40) AS gram
+  FROM (
+    SELECT doc_id, text,
+           UNNEST(generate_series(
+             0, CAST(floor((length(text) - 40) / 20.0) AS BIGINT))) AS p
+    FROM documents WHERE length(text) >= 40
+  )
+),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM g JOIN c USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Domain-mixture sampling (pretraining recipe weights): keep 100%
     of de, 50% of fr, 25% of en, 0% of zh, 12.5% of everything else —
@@ -3677,6 +3709,7 @@ QUERIES = {
     "rare_bigrams": q_rare_bigrams,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
+    "dup_spans": q_dup_spans,
     "pretrain_prep": q_pretrain_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -3787,6 +3820,7 @@ ORACLE = {
     "rare_bigrams": SQL_RARE_BIGRAMS,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
+    "dup_spans": SQL_DUP_SPANS,
     "pretrain_prep": SQL_PRETRAIN_PREP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

@@ -752,3 +752,30 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out.loc[10, "n_ngrams"] == 5 and out.loc[10, "n_hits"] == 3
     assert out.loc[11, "n_ngrams"] == 3 and out.loc[11, "n_hits"] == 0
     assert out.loc[12, "n_ngrams"] == 4 and out.loc[12, "n_hits"] == 4
+
+
+def test_doc_duplicate_spans_planted(ray_session):
+    import ray.data as rd
+
+    boiler = "B" * 59  # >= width+stride-1 = 29 -> guaranteed window hit
+    rows = [
+        {"doc_id": 0, "text": "x" * 7 + boiler + "u" * 23},
+        {"doc_id": 1, "text": "q" * 13 + boiler + "v" * 31},
+        {"doc_id": 2, "text": "totally unique text with no repeats at all."},
+        {"doc_id": 3, "text": "short"},  # < width -> no row
+    ]
+    out = (
+        dedup.doc_duplicate_spans(
+            rd.from_items(rows), width=20, stride=10, n_buckets=8
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [0, 1, 2]
+    # the shared 59-char boilerplate block is caught on BOTH copies
+    assert out.loc[0, "n_dup"] > 0 and out.loc[1, "n_dup"] > 0
+    # doc 0 itself also repeats 20-char runs of 'B' at several offsets;
+    # the unique doc registers nothing
+    assert out.loc[2, "n_dup"] == 0
+    assert (out["n_spans"] >= out["n_dup"]).all()
