@@ -400,6 +400,10 @@ def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray | None:
             hk = _bytes_hash(
                 col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             )
+        elif pa.types.is_null(typ):
+            # an all-null block (e.g. from_items schema inference): same
+            # bucket as integer null (value-0's hash) — load-only effect
+            hk = _mix64(np.zeros(len(batch), np.uint64))
         else:
             return None
         h = _mix64(h * np.uint64(0x100000001B3) + hk)
@@ -1956,8 +1960,8 @@ def broadcast_join(
 def equi_join_partitioned(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
-    right_on: str | None = None,
+    on: str | list[str],
+    right_on: str | list[str] | None = None,
     how: str = "inner",
     n_buckets: int = 64,
     n_salt: int = 1,
@@ -1987,30 +1991,41 @@ def equi_join_partitioned(
     exact for inner/left (outer would duplicate unmatched right rows,
     so it is rejected). Use when ONE hot key's match set exceeds a
     worker; costs right×n_salt.
+
+    ``on`` / ``right_on`` accept a LIST for composite keys (rows match
+    when every key column is equal; any NULL key never matches, SQL
+    semantics) — the bucket hash covers all key columns, still one
+    shuffle.
     """
     if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"how must be inner|left|outer|semi|anti, got {how!r}")
     if n_salt > 1 and how == "outer":
         raise ValueError("n_salt requires inner|left|semi|anti (outer would duplicate)")
-    rkey = right_on or on
+    lon = [on] if isinstance(on, str) else list(on)
+    ron = lon if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if len(lon) != len(ron):
+        raise ValueError("on and right_on must name the same number of columns")
     l_schema = left.schema().base_schema
     r_schema = right.schema().base_schema
     l_cols = list(l_schema.names)
     # semi/anti emit left rows only — the right side ships just its key
-    # column (existence probe), so no right payload bytes move at all.
+    # column(s) (existence probe), so no right payload bytes move at all.
     r_cols = [] if how in ("semi", "anti") else [
-        c for c in r_schema.names if c != rkey
+        c for c in r_schema.names if c not in ron
     ]
     clash = set(l_cols) & set(r_cols)
     if clash:
         raise ValueError(f"non-key columns must be disjoint, shared: {sorted(clash)}")
     l_types = {c: l_schema.field(c).type for c in l_cols}
     r_types = {c: r_schema.field(c).type for c in r_cols}
+    r_of_l = dict(zip(lon, ron))
 
     def key_left(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch, [on])
+        h = _key_hash(batch, lon)
         if h is None:
-            raise TypeError(f"unsupported join key type {l_types[on]}")
+            raise TypeError(f"unsupported join key type among {lon}")
         base = (h % np.uint64(n_buckets)).astype(np.int64)
         salt = np.arange(len(batch), dtype=np.int64) % n_salt
         cols = {
@@ -2018,15 +2033,17 @@ def equi_join_partitioned(
             "_side": pa.array(np.zeros(len(batch), np.int8)),
         }
         for c in l_cols:
-            cols[c] = batch[c]
+            v = batch[c]
+            # unify block-local types (e.g. an all-null block) to schema
+            cols[c] = v if v.type == l_types[c] else v.cast(l_types[c])
         for c in r_cols:
             cols[c] = pa.nulls(len(batch), r_types[c])
         return pa.table(cols)
 
     def key_right(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch, [rkey])
+        h = _key_hash(batch, ron)
         if h is None:
-            raise TypeError(f"unsupported join key type {r_schema.field(rkey).type}")
+            raise TypeError(f"unsupported join key type among {ron}")
         base = (h % np.uint64(n_buckets)).astype(np.int64)
         n = len(batch)
         if n_salt > 1:
@@ -2041,12 +2058,13 @@ def equi_join_partitioned(
             "_side": pa.array(np.ones(len(batch), np.int8)),
         }
         for c in l_cols:
-            if c == on:
-                cols[c] = batch[rkey].cast(l_types[on])
+            if c in r_of_l:
+                cols[c] = batch[r_of_l[c]].cast(l_types[c])
             else:
                 cols[c] = pa.nulls(len(batch), l_types[c])
         for c in r_cols:
-            cols[c] = batch[c]
+            v = batch[c]
+            cols[c] = v if v.type == r_types[c] else v.cast(r_types[c])
         return pa.table(cols)
 
     lk = left.map_batches(
@@ -2059,22 +2077,29 @@ def equi_join_partitioned(
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group["_side"].to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(l_cols)
-        rt = group.filter(pa.array(side == 1)).select([on] + r_cols)
+        rt = group.filter(pa.array(side == 1)).select(lon + r_cols)
         if how in ("semi", "anti"):
-            keys = rt[on]
-            if isinstance(keys, pa.ChunkedArray):
-                keys = keys.combine_chunks()
-            # skip_nulls: SQL equality never matches NULL = NULL, so a
-            # NULL-key left row is dropped by semi and kept by anti
-            hit = pc.is_valid(
-                pc.index_in(
-                    lt[on],
-                    options=pc.SetLookupOptions(value_set=keys, skip_nulls=True),
+            if len(lon) == 1:
+                keys = rt[lon[0]]
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
+                # skip_nulls: SQL equality never matches NULL = NULL, so a
+                # NULL-key left row is dropped by semi and kept by anti
+                hit = pc.is_valid(
+                    pc.index_in(
+                        lt[lon[0]],
+                        options=pc.SetLookupOptions(
+                            value_set=keys, skip_nulls=True
+                        ),
+                    )
                 )
-            )
-            return lt.filter(hit if how == "semi" else pc.invert(hit))
+                return lt.filter(hit if how == "semi" else pc.invert(hit))
+            # composite keys: Arrow's own semi/anti hash join (NULL keys
+            # never match, matching left rows emit once — SQL semantics)
+            jt = "left semi" if how == "semi" else "left anti"
+            return lt.join(rt, keys=lon, join_type=jt).select(l_cols)
         jt = {"inner": "inner", "left": "left outer", "outer": "full outer"}[how]
-        joined = lt.join(rt, keys=on, join_type=jt)
+        joined = lt.join(rt, keys=lon, join_type=jt)
         return joined.select(l_cols + r_cols)
 
     return (

@@ -2259,6 +2259,61 @@ GROUP BY t.doc_id
 """
 
 
+def q_composite_join(sf_dir: str):
+    """Composite-key decorated join: per-(l_partkey, l_suppkey) totals
+    joined back onto every lineitem row — exercises the both-sides-
+    large equality join on a TWO-COLUMN key (one combined hash covers
+    both columns; still one co-partitioning shuffle)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity"],
+    )
+    stats = ops.tree_sum(
+        li.map_batches(
+            lambda b: pa.table(
+                {
+                    "ps_partkey": b["l_partkey"],
+                    "ps_suppkey": b["l_suppkey"],
+                    "partial_n": pa.array(np.ones(len(b), np.int64)),
+                    "partial_qty": b["l_quantity"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ),
+        ["ps_partkey", "ps_suppkey"],
+        {"partial_n": "ps_n", "partial_qty": "ps_qty"},
+        int_cols=("partial_n", "partial_qty"),
+    )
+    out = ops.equi_join_partitioned(
+        li.select_columns(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+        ),
+        stats,
+        on=["l_partkey", "l_suppkey"],
+        right_on=["ps_partkey", "ps_suppkey"],
+        how="inner",
+    )
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+         "ps_n", "ps_qty"]
+    )
+
+
+SQL_COMPOSITE_JOIN = """
+WITH stats AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS ps_n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+       s.ps_n, s.ps_qty
+FROM lineitem l
+JOIN stats s ON l.l_partkey = s.ps_partkey AND l.l_suppkey = s.ps_suppkey
+"""
+
+
 def q_dup_spans(sf_dir: str):
     """Exact substring-duplication signal (suffix-array dedup core,
     grid-quantized): per doc, its 40-char windows sampled every 20
@@ -3710,6 +3765,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
     "dup_spans": q_dup_spans,
+    "composite_join": q_composite_join,
     "pretrain_prep": q_pretrain_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -3821,6 +3877,7 @@ ORACLE = {
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dup_spans": SQL_DUP_SPANS,
+    "composite_join": SQL_COMPOSITE_JOIN,
     "pretrain_prep": SQL_PRETRAIN_PREP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

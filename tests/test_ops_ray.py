@@ -1612,3 +1612,36 @@ def test_mixture_sample_rates_and_nesting(ray_session):
         default_rate=0.5,
     ).to_pandas()
     assert set(lo["k"]) <= set(hi["k"])
+
+
+def test_equi_join_partitioned_composite_keys(ray_session):
+    import ray.data as rd
+
+    left = rd.from_items(
+        [
+            {"a": 1, "b": 10, "lv": "x"},
+            {"a": 1, "b": 11, "lv": "y"},
+            {"a": 2, "b": 10, "lv": "z"},
+            {"a": None, "b": 10, "lv": "n"},  # NULL key never matches
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"ra": 1, "rb": 10, "rv": "R1"},
+            {"ra": 1, "rb": 10, "rv": "R2"},  # duplicate key -> fan-out
+            {"ra": 2, "rb": 99, "rv": "R3"},
+            {"ra": None, "rb": 10, "rv": "RN"},
+        ]
+    )
+    kw = dict(on=["a", "b"], right_on=["ra", "rb"], n_buckets=4)
+    inner = ops.equi_join_partitioned(left, right, how="inner", **kw).to_pandas()
+    assert sorted(inner["rv"]) == ["R1", "R2"]
+    assert (inner["lv"] == "x").all()
+    semi = ops.equi_join_partitioned(left, right, how="semi", **kw).to_pandas()
+    assert sorted(semi["lv"]) == ["x"]  # emitted ONCE despite 2 matches
+    anti = ops.equi_join_partitioned(left, right, how="anti", **kw).to_pandas()
+    assert sorted(anti["lv"]) == ["n", "y", "z"]  # NULL-key row kept
+    outer = ops.equi_join_partitioned(left, right, how="outer", **kw).to_pandas()
+    # 2 matches for x + 3 unmatched left + 2 unmatched right
+    assert len(outer) == 7
+    assert outer["rv"].notna().sum() == 4  # R1 R2 R3 RN all present
