@@ -410,3 +410,188 @@ def kmeans_fit(
         centers = centers.copy()
         centers[nz] = sums[nz] / n[nz, None]
     return centers
+
+
+# ------------------------------------------------- product quantization
+
+def pq_train(
+    train_vecs: np.ndarray, m: int = 8, ks: int = 16, iters: int = 10
+) -> np.ndarray:
+    """PQ codebooks ``(m, ks, d/m)``: the vector space is split into
+    ``m`` subspaces and each gets its own ``ks``-centroid Euclidean
+    k-means, trained driver-side on a BOUNDED sample (o(1) in table
+    size, like IVF training). Deterministic: init = first ``ks``
+    sample rows per subspace, plain Lloyd. Vectors are normalized
+    first, so PQ codes approximate the COSINE geometry the rest of the
+    embedding family uses."""
+    v = _normalize(np.asarray(train_vecs, dtype=np.float64))
+    d = v.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, min(ks, v.shape[0]), sub))
+    for s in range(m):
+        x = v[:, s * sub:(s + 1) * sub]
+        c = x[: books.shape[1]].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.float64)
+            nz = cnt > 0
+            c[nz] = sums[nz] / cnt[nz, None]  # empty cells keep position
+        books[s] = c
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per subspace, the nearest codebook entry by
+    Euclidean distance (argmin over a (n, ks) distance matrix — one
+    matmul-shaped op per subspace, no per-row Python)."""
+    m, ks, sub = books.shape
+    n = mat.shape[0]
+    codes = np.zeros((n, m), dtype=np.uint8)
+    for s in range(m):
+        x = mat[:, s * sub:(s + 1) * sub]
+        b = books[s]
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+        d2 = (b * b).sum(1)[None, :] - 2.0 * (x @ b.T)
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    keep_embedding: bool = True,
+) -> ray.data.Dataset:
+    """Streaming PQ encoder: adds a ``pq_code`` fixed-size-list<uint8>
+    column (m bytes per vector — 16× smaller than 32-dim float32).
+    Codebooks broadcast once via ``ray.put``. With
+    ``keep_embedding=False`` the output carries ONLY (id, code): the
+    shape a 100-TB index shard stores."""
+    ref = ray.put(books)
+    cache: dict = {}
+    mm = int(books.shape[0])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = cache.setdefault("b", ray.get(ref))
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        codes = _pq_codes(mat, b)
+        code_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.reshape(-1), pa.uint8()), mm
+        )
+        cols = {id_col: batch[id_col], "pq_code": code_arr}
+        if keep_embedding:
+            cols[emb_col] = batch[emb_col]
+        return pa.table(cols)
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def pq_ann_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    train_sample: int = 4096,
+    exclude_self: bool = True,
+) -> pa.Table:
+    """PQ ANN with asymmetric distance computation (ADC) + exact
+    re-rank — the memory-scale path of the ANN family (IVF cuts the
+    scanned FRACTION; PQ cuts the BYTES per scanned vector):
+
+    - TRAIN driver-side on a bounded sample (``pq_train``).
+    - ENCODE per batch (``pq_encode`` plumbing — one argmin per
+      subspace).
+    - SEARCH: per query, an ``(m, ks)`` look-up table of subvector dot
+      products; approx sim = sum of m LUT gathers per code — no float
+      vector is touched. The ADC top-``rerank`` (default 4k) shortlist
+      per (query, batch) is re-scored EXACTLY against the batch's own
+      float vectors, and ≤ k rows per (query, batch) leave the stage.
+    - MERGE: tiny driver-side sort, identical to IVF/brute.
+
+    At 100 TB the codes column (m bytes/vector) is what a probe shard
+    holds in RAM; the exact re-rank reads only the shortlist's float
+    rows. Recall is pinned by tests + the ``pq_ann`` driver query's
+    recall-vs-brute oracle."""
+    sample = ds.limit(int(train_sample)).to_pandas()
+    train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+    books = pq_train(train_vecs, m=m, ks=ks)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = qn.shape[0]
+    mm, kk, sub = books.shape
+    # luts[q, s, c] = dot(q_sub_s, book[s][c]);  ADC sim = sum_s lut gather
+    luts = np.einsum("qsd,scd->qsc", qn.reshape(nq, mm, sub), books)
+    R = int(rerank) if rerank is not None else 4 * k
+    ref = ray.put((qn, np.asarray(query_ids), books, luts))
+    cache: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q, qids, b, lt = cache.setdefault("s", ray.get(ref))
+        mat = _normalize(_embedding_matrix(batch, emb_col))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _pq_codes(mat, b)  # (n, m)
+        # gathered[n, s, q] -> ADC sims (n, q)
+        lt_t = lt.transpose(1, 2, 0)  # (m, ks, nq)
+        sims = lt_t[np.arange(mm)[None, :], codes].sum(axis=1)
+        if exclude_self:
+            sims = np.where(ids[:, None] == qids[None, :], -np.inf, sims)
+        n = mat.shape[0]
+        take = min(R, n)
+        short = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, nq)
+        out_q, out_id, out_sim = [], [], []
+        for j in range(q.shape[0]):
+            cand = short[:, j]
+            cand = cand[np.isfinite(sims[cand, j])]
+            if cand.shape[0] == 0:
+                continue
+            exact = mat[cand] @ q[j]  # exact re-rank of the shortlist
+            order = np.lexsort((ids[cand], -exact))[: min(k, cand.shape[0])]
+            out_q.append(np.full(order.shape[0], qids[j]))
+            out_id.append(ids[cand][order])
+            out_sim.append(exact[order])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "sim": pa.array(np.concatenate(out_sim)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts)
+    if len(df) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    df = df.sort_values(["query_id", "sim", id_col], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k].drop(columns=["rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

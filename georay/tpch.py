@@ -2898,6 +2898,44 @@ SELECT {ANN_NQ} AS n_queries, {ANN_K} AS k, TRUE AS recall_ok
 """
 
 
+PQ_RECALL_MIN = 0.8
+
+
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN (ADC + exact re-rank) recall@k against
+    the oracle-green brute-force top-k — the BYTES-scale path of the
+    ANN family (m uint8 codes per vector; here 8 B vs 256 B float32).
+    Deterministic train/search, so recall_ok is a stable oracle row."""
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q, qids = _ann_queries(sf_dir)
+    pq = embed_stage.pq_ann_topk(
+        ds, q, qids, k=ANN_K, exclude_self=False
+    ).to_pandas()
+    brute = embed_stage.ann_brute_topk(
+        ds, q, qids, k=ANN_K, exclude_self=False
+    ).to_pandas()
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        g = set(pq[pq["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & g) / max(len(b), 1))
+    recall = float(np.mean(recalls)) if recalls else 0.0
+    return pa.table(
+        {
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([ANN_K], pa.int64()),
+            "recall_ok": pa.array([bool(recall >= PQ_RECALL_MIN)]),
+        }
+    )
+
+
+SQL_PQ_ANN = f"""
+SELECT {ANN_NQ} AS n_queries, {ANN_K} AS k, TRUE AS recall_ok
+"""
+
+
 def q_embed_neardup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs via hyperplane LSH
     (rows-only; planted-duplicate recall pinned in tests and by the
@@ -3766,6 +3804,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "dup_spans": q_dup_spans,
     "composite_join": q_composite_join,
+    "pq_ann": q_pq_ann,
     "pretrain_prep": q_pretrain_prep,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_text_exact": q_dedup_text_exact,
@@ -3878,6 +3917,7 @@ ORACLE = {
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dup_spans": SQL_DUP_SPANS,
     "composite_join": SQL_COMPOSITE_JOIN,
+    "pq_ann": SQL_PQ_ANN,
     "pretrain_prep": SQL_PRETRAIN_PREP,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dedup_text_exact": SQL_DEDUP_TEXT_EXACT,

@@ -779,3 +779,33 @@ def test_doc_duplicate_spans_planted(ray_session):
     # the unique doc registers nothing
     assert out.loc[2, "n_dup"] == 0
     assert (out["n_spans"] >= out["n_dup"]).all()
+
+
+def test_pq_ann_recall_and_code_shape(embeddings_ds):
+    tbl = pa.Table.from_pandas(embeddings_ds.to_pandas())
+    vecs = embed._embedding_matrix(tbl)
+    ids = tbl["vec_id"].to_numpy()
+    q = vecs[10:20]
+    qids = ids[10:20]
+    brute = embed.ann_brute_topk(
+        embeddings_ds, q, qids, k=5, exclude_self=False
+    ).to_pandas()
+    pq = embed.pq_ann_topk(
+        embeddings_ds, q, qids, k=5, exclude_self=False
+    ).to_pandas()
+    recalls = []
+    for qid in qids:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        g = set(pq[pq["query_id"] == qid]["vec_id"])
+        recalls.append(len(b & g) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
+    # sims are EXACT (re-ranked): every reported sim matches brute where
+    # the same (query, vec) pair appears in both
+    merged = pq.merge(brute, on=["query_id", "vec_id"], suffixes=("_pq", "_br"))
+    assert np.allclose(merged["sim_pq"], merged["sim_br"])
+    # encode plumbing: m uint8 codes per vector, id-stable
+    books = embed.pq_train(vecs, m=8, ks=16)
+    enc = embed.pq_encode(embeddings_ds, books, keep_embedding=False)
+    sch = enc.schema().base_schema
+    assert sch.field("pq_code").type == pa.list_(pa.uint8(), 8)
+    assert enc.count() == len(ids)
