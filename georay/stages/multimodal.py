@@ -341,3 +341,87 @@ def patch_images(
         batch_size=512,
         concurrency=concurrency,
     )
+
+
+class Augment:
+    """Deterministic data augmentation (the training-time image
+    transform family: flip / rotate / brightness) as a streaming stage.
+
+    The transform for each image derives from a hash of
+    (image_id, seed) — NO RNG state, so the same row always gets the
+    same augmentation on any worker, any partitioning, any rerun (the
+    property a resumable 100-TB pipeline needs), and different seeds
+    give independent epochs. Geometric op ∈ {identity, hflip, vflip,
+    rot90} (rot90 swaps w/h) plus a brightness delta in ±24 applied in
+    int16 then clipped. Output: (image_id, aug_op, w, h, bytes) with
+    fmt implicitly 'rawrgb'."""
+
+    OPS = ("id", "hflip", "vflip", "rot90")
+
+    def __init__(self, seed: int = 0, brightness: int = 24):
+        self.seed = np.uint64(seed * 2 + 1)
+        self.brightness = int(brightness)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from georay.ops import _bytes_hash, _mix64
+
+        ids = batch["image_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _mix64(_bytes_hash(ids) * self.seed)
+        op_i = (h & np.uint64(3)).astype(np.int64)
+        # brightness in [-b, b], from the next hash bits
+        delta = (
+            ((h >> np.uint64(2)) % np.uint64(2 * self.brightness + 1))
+            .astype(np.int64) - self.brightness
+        )
+        out_b, out_w, out_h, out_op = [], [], [], []
+        for i, (data, fmt, w, hh) in enumerate(
+            zip(
+                batch["bytes"].to_pylist(),
+                batch["fmt"].to_pylist(),
+                batch["w"].to_pylist(),
+                batch["h"].to_pylist(),
+            )
+        ):
+            pix = im.decode_image(data, fmt, w, hh)
+            o = int(op_i[i])
+            if o == 1:
+                pix = pix[:, ::-1]
+            elif o == 2:
+                pix = pix[::-1]
+            elif o == 3:
+                pix = np.rot90(pix)
+            pix = np.clip(
+                pix.astype(np.int16) + delta[i], 0, 255
+            ).astype(np.uint8)
+            out_b.append(np.ascontiguousarray(pix).tobytes())
+            out_h.append(pix.shape[0])
+            out_w.append(pix.shape[1])
+            out_op.append(self.OPS[o])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "aug_op": pa.array(out_op, pa.string()),
+                "w": pa.array(np.array(out_w, np.int32)),
+                "h": pa.array(np.array(out_h, np.int32)),
+                "bytes": pa.array(out_b, pa.binary()),
+            }
+        )
+
+
+def augment_images(
+    ds: ray.data.Dataset, seed: int = 0, brightness: int = 24,
+    concurrency=(2, 8),
+) -> ray.data.Dataset:
+    """Actor-pool augmentation stage (decoder per actor); same-size
+    output bytes, so batch sizing follows the decode stages."""
+    return ds.map_batches(
+        Augment(seed, brightness) if concurrency is None else Augment,
+        fn_constructor_kwargs=None if concurrency is None
+        else {"seed": seed, "brightness": brightness},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=concurrency,
+    )

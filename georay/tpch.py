@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from georay import cells, kernels, ops
+from georay import cells, images, kernels, ops
 from georay.codecs import native, wkb, wkt
 from georay.joins import knn_join, pip_join
 from georay.types import GeoType
@@ -3460,6 +3460,114 @@ SQL_AV_PIPELINE = (
 )
 
 
+def q_augment(sf_dir: str):
+    """Deterministic augmentation pipeline: 300 id-seeded synthetic
+    images → actor-pool Augment stage (hash-derived flip/rot90/
+    brightness per image) → partitioned join back to the source table →
+    a SECOND, independent recompute per row verifies byte-exact
+    equality (catches any partitioning/ordering/actor-state bug in the
+    distributed pass). Closed-form oracle: n, deterministic count, and
+    dim conservation (rot90 swaps w/h, flips keep them)."""
+    from georay.stages.multimodal import Augment, augment_images
+
+    n = 300
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        out_id, out_b, out_w, out_h = [], [], [], []
+        for i in ids:
+            rng = np.random.default_rng(int(i))
+            w, h = 12 + int(i) % 9, 10 + int(i) % 7
+            pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            out_id.append(f"img{int(i):05d}")
+            out_b.append(images.encode_ppm(pix))
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "bytes": pa.array(out_b, pa.binary()),
+                "fmt": pa.array(["ppm"] * len(out_id), pa.string()),
+                "w": pa.array(np.array(out_w, np.int32)),
+                "h": pa.array(np.array(out_h, np.int32)),
+            }
+        )
+
+    src = rd.range(n).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+    )
+    aug = augment_images(src, seed=3, concurrency=(2, 4)).map_batches(
+        lambda b: pa.table(
+            {
+                "image_id": b["image_id"], "aug_op": b["aug_op"],
+                "aw": b["w"], "ah": b["h"], "abytes": b["bytes"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    joined = ops.equi_join_partitioned(
+        aug, src, on="image_id", n_buckets=8
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        redo = Augment(seed=3)(
+            pa.table(
+                {
+                    "image_id": batch["image_id"], "bytes": batch["bytes"],
+                    "fmt": batch["fmt"], "w": batch["w"], "h": batch["h"],
+                }
+            )
+        )
+        same = np.array(
+            [a == b for a, b in zip(
+                batch["abytes"].to_pylist(), redo["bytes"].to_pylist())],
+            dtype=np.int64,
+        )
+        op = batch["aug_op"].to_numpy(zero_copy_only=False)
+        aw = batch["aw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ah = batch["ah"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dims_ok = np.where(op == "rot90", (aw == h) & (ah == w),
+                           (aw == w) & (ah == h)).astype(np.int64)
+        return pa.table(
+            {
+                "partial_n": pa.array(np.ones(len(batch), np.int64)),
+                "partial_det": pa.array(same),
+                "partial_dims": pa.array(dims_ok),
+            }
+        )
+
+    parts = joined.map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "partial_n": pa.array([pc.sum(b["partial_n"]).as_py() or 0]),
+                "partial_det": pa.array([pc.sum(b["partial_det"]).as_py() or 0]),
+                "partial_dims": pa.array([pc.sum(b["partial_dims"]).as_py() or 0]),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    out = ops.tree_sum(
+        parts, "k",
+        {"partial_n": "n_images", "partial_det": "n_deterministic",
+         "partial_dims": "n_dims_ok"},
+        int_cols=("partial_n", "partial_det", "partial_dims"),
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["k"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_AUGMENT = (
+    "SELECT 300 AS n_images, 300 AS n_deterministic, 300 AS n_dims_ok"
+)
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -3825,6 +3933,7 @@ QUERIES = {
     "image_patches": q_image_patches,
     "dct_image_neardup": q_dct_image_neardup,
     "av_pipeline": q_av_pipeline,
+    "augment": q_augment,
     "grid_cell_count": q_grid_cell_count,
     "geohash_count": q_geohash_count,
     "bounds": q_bounds,
@@ -3996,4 +4105,5 @@ ORACLE = {
     "image_patches": SQL_IMAGE_PATCHES,
     "dct_image_neardup": SQL_DCT_IMAGE_NEARDUP,
     "av_pipeline": SQL_AV_PIPELINE,
+    "augment": SQL_AUGMENT,
 }

@@ -809,3 +809,45 @@ def test_pq_ann_recall_and_code_shape(embeddings_ds):
     sch = enc.schema().base_schema
     assert sch.field("pq_code").type == pa.list_(pa.uint8(), 8)
     assert enc.count() == len(ids)
+
+
+def test_augment_deterministic_and_invariants(ray_session):
+    import ray.data as rd
+
+    from georay import images as im
+    from georay.stages.multimodal import Augment, augment_images
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(24):
+        w, h = (16, 12) if i % 2 else (10, 10)
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append(
+            {"image_id": f"img{i:04d}", "bytes": im.encode_ppm(pix),
+             "fmt": "ppm", "w": w, "h": h}
+        )
+    ds = rd.from_items(rows)
+    a1 = augment_images(ds, seed=1, concurrency=None).to_pandas()
+    a2 = augment_images(ds, seed=1, concurrency=None).to_pandas()
+    # deterministic: identical bytes on a rerun
+    m = a1.sort_values("image_id").reset_index(drop=True)
+    n = a2.sort_values("image_id").reset_index(drop=True)
+    assert (m["aug_op"] == n["aug_op"]).all()
+    assert all(x == y for x, y in zip(m["bytes"], n["bytes"]))
+    # a different seed produces a different epoch somewhere
+    b = augment_images(ds, seed=2, concurrency=None).to_pandas()
+    assert not (b.sort_values("image_id")["aug_op"].to_numpy() == m["aug_op"].to_numpy()).all() \
+        or not all(x == y for x, y in zip(b.sort_values("image_id")["bytes"], m["bytes"]))
+    # geometric invariants: rot90 swaps dims; flips preserve pixel
+    # multiset (delta shifts all values equally before clipping)
+    src = {r["image_id"]: r for r in rows}
+    ops_seen = set()
+    for _, row in m.iterrows():
+        s = src[row["image_id"]]
+        ops_seen.add(row["aug_op"])
+        if row["aug_op"] == "rot90":
+            assert (row["w"], row["h"]) == (s["h"], s["w"])
+        else:
+            assert (row["w"], row["h"]) == (s["w"], s["h"])
+        assert len(row["bytes"]) == row["w"] * row["h"] * 3
+    assert len(ops_seen) >= 3  # hash spreads ops across the batch
