@@ -152,6 +152,9 @@ def run_bench() -> dict:
     timed_ext("string_agg", lambda: tpch.q_string_agg(SF_DIR).count())
     timed_ext("rare_bigrams", lambda: tpch.q_rare_bigrams(SF_DIR).count())
     timed_ext("pretrain_prep", lambda: tpch.q_pretrain_prep(SF_DIR).count())
+    timed_ext("decontaminate", lambda: tpch.q_decontaminate(SF_DIR).count())
+    timed_ext("dup_spans", lambda: tpch.q_dup_spans(SF_DIR).count())
+    timed_ext("composite_join", lambda: tpch.q_composite_join(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

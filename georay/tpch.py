@@ -851,6 +851,59 @@ def q_token_histogram(sf_dir: str):
     return token_histogram(ds)
 
 
+def q_vocab_profile(sf_dir: str):
+    """Corpus vocabulary profile (tokenizer-training sizing facts):
+    distinct-token count, total token count, and hapax-legomenon count
+    (tokens seen once — the long-tail mass a vocab cut drops). One
+    pass over the (token, n) histogram partials; the corpus itself
+    never shuffles."""
+    from georay.stages.text import token_histogram
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    hist = token_histogram(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "partial_vocab": pa.array([int(n.shape[0])]),
+                "partial_tokens": pa.array([int(n.sum())]),
+                "partial_hapax": pa.array([int((n == 1).sum())]),
+            }
+        )
+
+    parts = hist.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.tree_sum(
+        parts, "k",
+        {"partial_vocab": "n_vocab", "partial_tokens": "n_tokens",
+         "partial_hapax": "n_hapax"},
+        int_cols=("partial_vocab", "partial_tokens", "partial_hapax"),
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["k"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_VOCAB_PROFILE = r"""
+WITH hist AS (
+  SELECT token, COUNT(*) AS n
+  FROM (
+    SELECT unnest(string_split(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+  ) GROUP BY token
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM hist
+"""
+
+
 SQL_TOKEN_HISTOGRAM = r"""
 SELECT token, COUNT(*) AS n
 FROM (
@@ -3946,6 +3999,7 @@ QUERIES = {
     "curate": q_curate,
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
+    "vocab_profile": q_vocab_profile,
     "tfidf_top": q_tfidf_top,
     "heavy_hitters": q_heavy_hitters,
     "streaming_dedup": q_streaming_dedup,
@@ -4050,6 +4104,7 @@ ORACLE = {
     "curate": SQL_CURATE,
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "vocab_profile": SQL_VOCAB_PROFILE,
     "tfidf_top": SQL_TFIDF_TOP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,
