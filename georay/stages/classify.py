@@ -1,0 +1,136 @@
+"""Distributed classifier training for quality filtering — the
+fastText/CCNet-style step that trains a lightweight model on labeled
+documents and scores the whole corpus with it.
+
+Shape: full-batch logistic regression by gradient descent. Each
+iteration is ONE streaming pass: the current weights broadcast via
+``ray.put``, every batch emits a (d+2)-float partial (gradient sums,
+loss, count), a tiny driver-side merge updates the weights. The corpus
+never concentrates anywhere; per-iteration driver state is O(d).
+Deterministic — full-batch gradients have no sample order, so the fit
+is bit-reproducible across runs and partitionings. At 100 TB you train
+on a labeled SAMPLE (classifier labels are scarce anyway) and run only
+``logreg_predict`` over the full corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _features(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    return np.column_stack(
+        [
+            batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ]
+    )
+
+
+def logreg_fit(
+    ds: ray.data.Dataset,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 30,
+    lr: float = 1.0,
+    l2: float = 1e-4,
+    standardize: bool = True,
+) -> dict:
+    """Fit w, b by full-batch GD. Returns ``{"w", "b", "mean", "scale",
+    "losses"}`` — mean/scale standardize features (computed in one extra
+    streaming pass; identity when ``standardize=False``), ``losses`` is
+    the per-iteration mean log-loss trace (monotone for a sane lr)."""
+    d = len(feature_cols)
+
+    if standardize:
+        def stat_partial(batch: pa.Table) -> pa.Table:
+            x = _features(batch, feature_cols)
+            return pa.table(
+                {
+                    "n": pa.array([float(x.shape[0])]),
+                    "s": pa.array([x.sum(0).tobytes()], pa.binary()),
+                    "s2": pa.array([(x * x).sum(0).tobytes()], pa.binary()),
+                }
+            )
+
+        rows = ds.map_batches(
+            stat_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).take_all()
+        n = sum(r["n"] for r in rows)
+        s = np.sum([np.frombuffer(r["s"]) for r in rows], axis=0)
+        s2 = np.sum([np.frombuffer(r["s2"]) for r in rows], axis=0)
+        mean = s / n
+        var = np.maximum(s2 / n - mean * mean, 1e-12)
+        scale = 1.0 / np.sqrt(var)
+    else:
+        mean = np.zeros(d)
+        scale = np.ones(d)
+
+    w = np.zeros(d)
+    b = 0.0
+    losses: list[float] = []
+    for _ in range(n_iter):
+        ref = ray.put((w, b, mean, scale))
+        cache: dict = {}
+
+        def grad_partial(batch: pa.Table) -> pa.Table:
+            ww, bb, mu, sc = cache.setdefault("s", ray.get(ref))
+            x = (_features(batch, feature_cols) - mu) * sc
+            y = batch[label_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            z = x @ ww + bb
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            # log-loss via logaddexp (overflow-safe)
+            ll = np.logaddexp(0.0, z) - y * z
+            return pa.table(
+                {
+                    "n": pa.array([float(x.shape[0])]),
+                    "gw": pa.array([(x * err[:, None]).sum(0).tobytes()],
+                                   pa.binary()),
+                    "gb": pa.array([float(err.sum())]),
+                    "loss": pa.array([float(ll.sum())]),
+                }
+            )
+
+        rows = ds.map_batches(
+            grad_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).take_all()
+        n = sum(r["n"] for r in rows)
+        gw = np.sum([np.frombuffer(r["gw"]) for r in rows], axis=0) / n
+        gb = sum(r["gb"] for r in rows) / n
+        losses.append(sum(r["loss"] for r in rows) / n)
+        w -= lr * (gw + l2 * w)
+        b -= lr * gb
+    return {"w": w, "b": b, "mean": mean, "scale": scale, "losses": losses}
+
+
+def logreg_predict(
+    ds: ray.data.Dataset,
+    model: dict,
+    feature_cols: list[str],
+    out: str = "score",
+) -> ray.data.Dataset:
+    """Streaming scorer: appends P(label=1) — the corpus-wide quality
+    score pass. Model broadcast once via ``ray.put``."""
+    ref = ray.put(
+        (model["w"], model["b"], model["mean"], model["scale"])
+    )
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w, b, mu, sc = cache.setdefault("m", ray.get(ref))
+        x = (_features(batch, feature_cols) - mu) * sc
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        return batch.append_column(out, pa.array(p, pa.float64()))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

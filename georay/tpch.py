@@ -851,6 +851,94 @@ def q_token_histogram(sf_dir: str):
     return token_histogram(ds)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Distributed quality-classifier training (the CCNet/fastText-style
+    learned filter): logistic regression by full-batch GD where each
+    iteration is ONE streaming pass emitting O(d) gradient partials —
+    the corpus never concentrates. Features are real quality signals
+    (mean word length, token count); the label is a planted linear
+    concept over them (200·chars > 1097·tokens, the corpus-median word
+    length) so recovery is checkable: the trained model must reach 90%
+    training accuracy and a decreasing loss. n_docs and n_pos tie the
+    featurization to SQL; the booleans pin the trainer."""
+    from georay.stages import classify
+    from georay.stages.text import token_count_batch
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        nt = token_count_batch(batch)["n_tokens"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        nc = pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = (200.0 * nc > 1097.0 * nt).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "f_wordlen": pa.array(nc / np.maximum(nt, 1.0)),
+                "f_tokens": pa.array(nt),
+                "y": pa.array(y),
+            }
+        )
+
+    fds = docs.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    feats = ["f_wordlen", "f_tokens"]
+    model = classify.logreg_fit(fds, feats, "y", n_iter=25, lr=2.0)
+    scored = classify.logreg_predict(fds, model, feats)
+
+    def acc_partial(batch: pa.Table) -> pa.Table:
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        p = batch["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "partial_n": pa.array([len(batch)], pa.int64()),
+                "partial_pos": pa.array([int(y.sum())]),
+                "partial_ok": pa.array([int(((p > 0.5) == (y == 1)).sum())]),
+            }
+        )
+
+    parts = scored.map_batches(
+        acc_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    tot = ops.tree_sum(
+        parts, "k",
+        {"partial_n": "n_docs", "partial_pos": "n_pos", "partial_ok": "ok"},
+        int_cols=("partial_n", "partial_pos", "partial_ok"),
+    )
+    loss_down = bool(model["losses"][-1] < model["losses"][0])
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy(zero_copy_only=False)
+        ok = batch["ok"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": batch["n_docs"],
+                "n_pos": batch["n_pos"],
+                "acc_ok": pa.array(ok * 10 >= n * 9),
+                "loss_decreased": pa.array(np.full(len(batch), loss_down)),
+            }
+        )
+
+    return tot.map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_QUALITY_CLASSIFIER = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN 200 * length(text) >
+                          1097 * len(regexp_extract_all(text, '\S+'))
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       TRUE AS acc_ok, TRUE AS loss_decreased
+FROM documents
+"""
+
+
 def q_vocab_profile(sf_dir: str):
     """Corpus vocabulary profile (tokenizer-training sizing facts):
     distinct-token count, total token count, and hapax-legomenon count
@@ -4000,6 +4088,7 @@ QUERIES = {
     "dim_join": q_dim_join,
     "token_histogram": q_token_histogram,
     "vocab_profile": q_vocab_profile,
+    "quality_classifier": q_quality_classifier,
     "tfidf_top": q_tfidf_top,
     "heavy_hitters": q_heavy_hitters,
     "streaming_dedup": q_streaming_dedup,
@@ -4105,6 +4194,7 @@ ORACLE = {
     "dim_join": SQL_DIM_JOIN,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
     "vocab_profile": SQL_VOCAB_PROFILE,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "tfidf_top": SQL_TFIDF_TOP,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "streaming_dedup": SQL_STREAMING_DEDUP,

@@ -851,3 +851,31 @@ def test_augment_deterministic_and_invariants(ray_session):
             assert (row["w"], row["h"]) == (s["w"], s["h"])
         assert len(row["bytes"]) == row["w"] * row["h"] * 3
     assert len(ops_seen) >= 3  # hash spreads ops across the batch
+
+
+def test_logreg_fit_separable_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from georay.stages import classify
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    x1 = rng.standard_normal(n) + np.where(np.arange(n) % 2 == 0, 2.0, -2.0)
+    x2 = rng.standard_normal(n)
+    y = (np.arange(n) % 2 == 0).astype(np.int64)
+    ds = rd.from_items(
+        [{"f1": float(a), "f2": float(b), "y": int(c)}
+         for a, b, c in zip(x1, x2, y)]
+    )
+    m1 = classify.logreg_fit(ds, ["f1", "f2"], "y", n_iter=25, lr=1.0)
+    m2 = classify.logreg_fit(ds, ["f1", "f2"], "y", n_iter=25, lr=1.0)
+    # full-batch GD: bit-reproducible across runs
+    assert np.array_equal(m1["w"], m2["w"]) and m1["b"] == m2["b"]
+    # converging: loss decreases and ends well under chance (ln 2)
+    assert m1["losses"][-1] < m1["losses"][0]
+    assert m1["losses"][-1] < 0.3
+    scored = classify.logreg_predict(ds, m1, ["f1", "f2"]).to_pandas()
+    acc = ((scored["score"] > 0.5).astype(int) == scored["y"]).mean()
+    assert acc >= 0.9, acc
+    # the informative feature dominates
+    assert abs(m1["w"][0]) > 3 * abs(m1["w"][1])
