@@ -3645,6 +3645,11 @@ def pack_sequences(
     keyed = keyed.map_batches(
         add_shard, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+    # both passes below consume `keyed`; materialize the pruned
+    # (id, len, hash, shard) projection ONCE (distributed, ~24 B/row) so
+    # a long upstream chain (e.g. the pretrain_prep composition) is not
+    # re-executed for the second pass
+    keyed = keyed.materialize()
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch[scol].to_numpy(zero_copy_only=False)
