@@ -43,8 +43,14 @@ def logreg_fit(
     """Fit w, b by full-batch GD. Returns ``{"w", "b", "mean", "scale",
     "losses"}`` — mean/scale standardize features (computed in one extra
     streaming pass; identity when ``standardize=False``), ``losses`` is
-    the per-iteration mean log-loss trace (monotone for a sane lr)."""
+    the per-iteration mean log-loss trace (monotone for a sane lr).
+
+    The (features, label) projection is materialized ONCE (distributed,
+    (d+1)×8 B/row) so the n_iter+1 passes don't re-execute a long
+    upstream featurization chain — labeled training sets are
+    sample-sized, so this always fits the object store."""
     d = len(feature_cols)
+    ds = ds.select_columns(feature_cols + [label_col]).materialize()
 
     if standardize:
         def stat_partial(batch: pa.Table) -> pa.Table:
