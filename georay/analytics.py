@@ -1,0 +1,462 @@
+"""Event-log and graph analytics over Ray Data.
+
+The reference engine (geoarrow-r) has no event or graph layer; these
+operators extend the engine the same way the temporal/window families do
+— every stage is a vectorized Arrow batch transform, wide steps are the
+ONE hash-bucket shuffle per logical pass the partitioned joins use, and
+every output is SQL-expressible so the driver's DuckDB oracle pins it
+bit-for-bit.
+
+Scale notes per operator live on their docstrings; the common pattern:
+per-user / per-node state never leaves its hash bucket, so each operator
+is one `groupby(bucket).map_groups` over vectorized sort+reduceat work,
+not per-entity Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from georay.index import _ragged_ranges
+from georay.ops import (
+    _group_reduce,
+    _key_hash,
+    shuffle_coalesce,
+    tree_sum,
+)
+
+INT64_MAX = np.iinfo(np.int64).max
+
+
+def _bucketed(ds: ray.data.Dataset, keys: list[str], n_buckets: int):
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, keys)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    return shuffle_coalesce(
+        ds.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    ).groupby("_bucket")
+
+
+def _group_starts(*key_arrs: np.ndarray, group_keys: int | None = None):
+    """(order, starts, gid): lexsort the rows by ALL key columns, then
+    group boundaries over the first ``group_keys`` of them (default all)
+    — e.g. ``(user, ts, group_keys=1)`` = per-user groups, ts-sorted
+    within. ``gid`` is the per-row group id in sorted order."""
+    n = key_arrs[0].shape[0]
+    order = np.lexsort(tuple(reversed(key_arrs)))
+    first = np.zeros(n, dtype=bool)
+    if n:
+        first[0] = True
+    for k in key_arrs[: group_keys if group_keys is not None else len(key_arrs)]:
+        ks = k[order]
+        first[1:] |= ks[1:] != ks[:-1]
+    starts = np.nonzero(first)[0]
+    gid = np.cumsum(first) - 1
+    return order, starts, gid
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered conversion funnel: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY LATER, then ``steps[2]`` strictly later
+    than that, … Returns ``(step int64 1-based, step_name, n_users)``.
+
+    One shuffle: users are hash-bucketed (a user's whole history lands
+    in one bucket), each bucket resolved by one lexsort + |steps|
+    masked ``minimum.reduceat`` passes — per-user chained first-times
+    with zero per-row Python. Partial step counts merge through the
+    combine tree. SQL twin: chained ``MIN(ts) ... WHERE ts > prev``
+    joins."""
+    proj = ds.select_columns([user_col, ts_col, type_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        typ = group[type_col]
+        typ = typ.combine_chunks() if isinstance(typ, pa.ChunkedArray) else typ
+        order, starts, gid = _group_starts(u)
+        ts_s, gid_s = ts[order], gid
+        counts = np.zeros(len(steps), dtype=np.int64)
+        n_groups = starts.shape[0]
+        t_prev = np.full(n_groups, np.int64(-INT64_MAX), dtype=np.int64)
+        code = pc.index_in(typ, value_set=pa.array(steps, pa.string()))
+        code = pc.fill_null(code, -1).to_numpy(zero_copy_only=False)[order]
+        for s in range(len(steps)):
+            mask = (code == s) & (ts_s > t_prev[gid_s])
+            vals = np.where(mask, ts_s, INT64_MAX)
+            t_s = (
+                np.minimum.reduceat(vals, starts)
+                if n_groups
+                else np.empty(0, np.int64)
+            )
+            counts[s] = int((t_s != INT64_MAX).sum())
+            t_prev = t_s
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+                "partial_n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    merged = tree_sum(
+        parts, ["step"], {"partial_n": "n_users"}, int_cols=("partial_n",)
+    )
+    names = pa.array(steps, pa.string())
+
+    def add_names(batch: pa.Table) -> pa.Table:
+        idx = batch["step"].to_numpy(zero_copy_only=False) - 1
+        return batch.append_column("step_name", names.take(pa.array(idx)))
+
+    return merged.map_batches(
+        add_names, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    period_us: int,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (``epoch_us // period_us``, epochs assumed ≥ 0)
+    and counted once per (cohort, period-offset) they were active in.
+    Returns ``(cohort int64, offset int64, n_users int64)``.
+
+    One shuffle: a user's history is confined to its hash bucket, so
+    per-bucket first-event periods, offsets, and the user-distinct
+    (cohort, offset) pairs all come from one lexsort — a user counted
+    in a bucket is counted nowhere else, making the partial counts
+    globally exact. Combine-tree merge; the event log itself never
+    re-shuffles."""
+    proj = ds.select_columns([user_col, ts_col])
+    per_us = np.int64(period_us)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order, starts, gid = _group_starts(u, ts, group_keys=1)
+        period = ts[order] // per_us
+        n = period.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "cohort": pa.array([], pa.int64()),
+                    "offset": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        cohort = period[starts][gid]
+        offset = period - cohort
+        # ts-sorted within user ⇒ offset is non-decreasing: distinct
+        # (user, offset) = first occurrences
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        first[1:] |= offset[1:] != offset[:-1]
+        ks, vs = _group_reduce(
+            [cohort[first], offset[first]],
+            {"partial_n": np.ones(int(first.sum()), np.int64)},
+        )
+        return pa.table(
+            {
+                "cohort": pa.array(ks[0], pa.int64()),
+                "offset": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    return tree_sum(
+        parts, ["cohort", "offset"], {"partial_n": "n_users"},
+        int_cols=("partial_n",),
+    )
+
+
+# ----------------------------------------------------------------- graphs
+
+
+def _pairs_within_groups(starts: np.ndarray, n: int):
+    """(i, j) global index pairs (i < j positionally) within each sorted
+    group given group start offsets over ``n`` rows. Vectorized via the
+    marker-cumsum ragged enumerator; output size Σ m·(m−1)/2."""
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    gstart = np.zeros(n, dtype=np.int64)
+    gstart[starts] = starts
+    np.maximum.accumulate(gstart, out=gstart)
+    within = np.arange(n, dtype=np.int64) - gstart
+    owner, t = _ragged_ranges(within)  # element repeated (its within-pos) times
+    j = owner
+    i = gstart[owner] + t
+    return i, j
+
+
+def cooccurrence_edges(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    n_buckets: int = 64,
+    max_group_size: int | None = None,
+    min_support: int = 1,
+    final: str = "tree",
+) -> ray.data.Dataset:
+    """Distinct undirected co-occurrence edges ``(a < b)`` between items
+    sharing a group (market-basket / co-purchase graph), with SUPPORT
+    filtering: keep an edge only if the pair co-occurs in at least
+    ``min_support`` distinct groups — the standard basket threshold, and
+    the sparsifier that keeps downstream triangle/wedge work bounded
+    (random co-occurrence is support-1; support ≥ 2 keeps signal).
+
+    One wide pass: (1) groups hash-bucketed, per-bucket item lists
+    deduped and expanded to pairs with one lexsort + the ragged pair
+    enumerator (zero per-group Python — a pair occurrence per distinct
+    group is counted at most once); (2) pair-occurrence counts merge
+    through the combine tree (``final="shuffle"`` for unbounded pair
+    cardinality) and the support filter drops the long random tail.
+    Groups larger than ``max_group_size`` are DROPPED (their pair count
+    is quadratic — replicate in SQL with ``HAVING count(*) <= cap``)."""
+    proj = ds.select_columns([group_col, item_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, gid = _group_starts(g, it)
+        g_s, it_s = g[order], it[order]
+        n = g_s.shape[0]
+        # distinct items per group
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (g_s[1:] != g_s[:-1]) | (it_s[1:] != it_s[:-1])
+        g_d, it_d = g_s[keep], it_s[keep]
+        m = g_d.shape[0]
+        first = np.zeros(m, dtype=bool)
+        if m:
+            first[0] = True
+            first[1:] = g_d[1:] != g_d[:-1]
+        starts_d = np.nonzero(first)[0]
+        if max_group_size is not None and m:
+            sizes = np.diff(np.append(starts_d, m))
+            gid_d = np.cumsum(first) - 1
+            ok = sizes[gid_d] <= max_group_size
+            g_d, it_d = g_d[ok], it_d[ok]
+            m = g_d.shape[0]
+            first = np.zeros(m, dtype=bool)
+            if m:
+                first[0] = True
+                first[1:] = g_d[1:] != g_d[:-1]
+            starts_d = np.nonzero(first)[0]
+        i, j = _pairs_within_groups(starts_d, m)
+        ks, vs = _group_reduce(
+            [it_d[i], it_d[j]], {"partial_n": np.ones(i.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "a": pa.array(ks[0], pa.int64()),
+                "b": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    pairs = _bucketed(proj, [group_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    counted = tree_sum(
+        pairs, ["a", "b"], {"partial_n": "support"}, int_cols=("partial_n",),
+        final=final,
+    )
+    if min_support > 1:
+        counted = counted.filter(
+            expr=f"support >= {int(min_support)}"
+        )
+    return counted.select_columns(["a", "b"])
+
+
+def degree_distribution(
+    edges: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Degree histogram of an undirected ``(a, b)`` edge list:
+    ``(degree int64, n_nodes int64)``. Two combine-tree aggregations of
+    partials (node→degree, degree→count) — the edge list itself never
+    shuffles; only vocabulary-sized partial tables move."""
+    degrees = degree_table(edges)
+
+    def deg_counts(batch: pa.Table) -> pa.Table:
+        d = batch["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce([d], {"partial_n": np.ones(d.shape[0], np.int64)})
+        return pa.table(
+            {
+                "degree": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts2 = degrees.map_batches(
+        deg_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(parts2, ["degree"], {"partial_n": "n_nodes"},
+                    int_cols=("partial_n",))
+
+
+def triangle_count(
+    edges: ray.data.Dataset,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact triangle count of an undirected distinct ``(a, b)`` edge
+    list, as a 1-row ``(n_triangles int64)`` table.
+
+    Degree-ordered node-iterator (the MapReduce-classic plan): every
+    edge is oriented from its lower-(degree, id) endpoint to the higher,
+    bounding out-degrees by O(√m) so total wedges are O(m^1.5) even on
+    power-law graphs — the id-ordered variant is quadratic at hub nodes.
+    Plan: (1) degree table via combine tree (edge list doesn't move);
+    (2) degrees broadcast once via ``ray.put`` (searchsorted lookup per
+    batch — node table ≪ edge bytes; swap in the partitioned equality
+    join for billion-node graphs); (3) wedges generated per oriented
+    source bucket; (4) wedges ∩ edges counted by one co-partitioned
+    hash-bucket probe. The triangle COUNT is orientation-invariant, so
+    the SQL oracle may use the simple ``a<b`` 3-way self-join."""
+    degrees = degree_table(edges)
+    tbl = pa.concat_tables([ray.get(r) for r in degrees.to_arrow_refs()])
+    nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = tbl["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes_ref = ray.put(nodes[o])
+    degs_ref = ray.put(degs[o])
+
+    def orient(batch: pa.Table) -> pa.Table:
+        ns, dg = ray.get(nodes_ref), ray.get(degs_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dg[np.searchsorted(ns, a)]
+        db = dg[np.searchsorted(ns, b)]
+        fwd = (da < db) | ((da == db) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        return pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+
+    oriented = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # wedges from each source's out-neighborhood; key them like edges so
+    # the final probe co-partitions wedges with oriented edges
+    def wedges_per_bucket(group: pa.Table) -> pa.Table:
+        s = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, gid = _group_starts(s, d, group_keys=1)
+        s_s, d_s = s[order], d[order]
+        i, j = _pairs_within_groups(starts, s_s.shape[0])
+        # out-neighbors sorted by dst id; orient the wedge pair by the
+        # GLOBAL edge orientation so it matches a stored (src,dst) edge
+        ns, dg = ray.get(nodes_ref), ray.get(degs_ref)
+        v, w = d_s[i], d_s[j]
+        dv = dg[np.searchsorted(ns, v)]
+        dw = dg[np.searchsorted(ns, w)]
+        fwd = (dv < dw) | ((dv == dw) & (v < w))
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, v, w), pa.int64()),
+                "dst": pa.array(np.where(fwd, w, v), pa.int64()),
+            }
+        )
+
+    wedges = _bucketed(oriented, ["src"], n_buckets).map_groups(
+        wedges_per_bucket, batch_format="pyarrow"
+    )
+
+    def tag(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_is_edge", pa.array(np.full(len(batch), which, np.int8))
+            )
+
+        return fn
+
+    unioned = oriented.map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        wedges.map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def count_matches(group: pa.Table) -> pa.Table:
+        s = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = group["_is_edge"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, gid = _group_starts(s, d)
+        e_s = e[order]
+        # within each (src,dst) group: wedge instances × edge flag (0/1)
+        n_groups = starts.shape[0]
+        if n_groups == 0:
+            total = 0
+        else:
+            sums = np.add.reduceat(e_s, starts)  # edges per key (0 or 1)
+            cnts = np.diff(np.append(starts, e_s.shape[0]))
+            total = int(((cnts - sums) * sums).sum())
+        return pa.table({"partial_n": pa.array([total], pa.int64())})
+
+    parts = _bucketed(unioned, ["src", "dst"], n_buckets).map_groups(
+        count_matches, batch_format="pyarrow"
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        v = batch["partial_n"].to_numpy(zero_copy_only=False)
+        return pa.table({"n_triangles": pa.array([int(v.sum())], pa.int64())})
+
+    return parts.map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40,
+        num_cpus=0.9,
+    )
+
+
+def degree_table(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, degree) from a distinct undirected edge list — combine-tree
+    aggregation of per-batch endpoint counts (edge list never shuffles)."""
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        ks, vs = _group_reduce(
+            [node], {"partial_deg": np.ones(node.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "partial_deg": pa.array(vs["partial_deg"], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(
+        endpoint_counts, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return tree_sum(parts, ["node"], {"partial_deg": "degree"},
+                    int_cols=("partial_deg",))

@@ -3778,3 +3778,128 @@ def exact_quantiles_cont(
         pick, batch_format="pyarrow", zero_copy_batch=True, batch_size=1 << 40,
         num_cpus=0.9,
     )
+
+
+# ------------------------------------------------- weighted sampling / CDC
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    priority_col: str = "priority",
+) -> ray.data.Dataset:
+    """Priority sampling (Duffield–Lund–Thorup): a weight-proportional
+    without-replacement sample of ``k`` rows — each row gets priority
+    ``w / u`` with ``u = (mix64(key)+1) / 2^64`` and the ``k`` largest
+    priorities win. Deterministic and RNG-free: the same row set comes
+    out regardless of run, engine, or partitioning, and the priorities
+    are pure IEEE ``*``/``/`` over exact integers, so a SQL twin is
+    bit-identical (no transcendental functions — numpy ``log`` and
+    DuckDB ``ln`` differ at ulp level on this host).
+
+    One stateless map pass + the combine-tree ``top_k`` — the corpus
+    never shuffles; only ``k``-row partials merge. Weights must be
+    positive (priority is unbounded at w→∞, excluded at w=0). Note
+    mix64(0)=0, so key 0 gets u=2^-64 (near-certain selection) — use
+    nonzero keys."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = _mix64(v.view(np.uint64).copy())
+        u = (h.astype(np.float64) + 1.0) / float(1 << 64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(priority_col, pa.array(w / u, pa.float64()))
+
+    pr = ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return top_k(pr, [priority_col, key_col], k, descending=[True, False])
+
+
+def merge_upsert(
+    base: ray.data.Dataset,
+    updates: ray.data.Dataset,
+    key: str | list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_marker: str = "D",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """CDC merge (Delta/Iceberg ``MERGE INTO`` semantics): apply an
+    updates table to a base table by key. An update row SUPERSEDES the
+    base row with the same key regardless of version; among several
+    updates to one key the largest ``version_col`` wins (stable sort —
+    pass a unique tiebreak inside version for full determinism); a
+    winning update whose ``op_col`` equals ``delete_marker`` removes the
+    key. Keys present only in updates are inserts.
+
+    Both sides are LARGE: no broadcast — each side is tagged with a
+    source rank, unioned, hash-bucketed on the key (the same vectorized
+    ``_key_hash`` the partitioned joins use), and resolved per bucket
+    with ONE Arrow sort + boundary pass (no per-key Python). One
+    shuffle of (key, version, payload); at 100 TB this is the same
+    plan an incremental lakehouse compaction runs.
+
+    ``updates`` must carry ``base``'s columns plus ``op_col``; the
+    output schema is ``base``'s."""
+    keys = [key] if isinstance(key, str) else list(key)
+    base_cols = [f.name for f in base.schema().base_schema]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        batch = batch.append_column(op_col, pa.nulls(n, pa.string()))
+        return batch.append_column("_src", pa.array(np.zeros(n, np.int8)))
+
+    def tag_upd(batch: pa.Table) -> pa.Table:
+        batch = batch.select(base_cols + [op_col])
+        return batch.append_column(
+            "_src", pa.array(np.ones(len(batch), np.int8))
+        )
+
+    tagged = base.map_batches(
+        tag_base, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        updates.map_batches(
+            tag_upd, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, keys)
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(k, "ascending") for k in keys] + [
+            ("_src", "descending"),
+            (version_col, "descending"),
+        ]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+        for k in keys:
+            a = g[k].combine_chunks() if isinstance(g[k], pa.ChunkedArray) else g[k]
+            neq = pc.fill_null(pc.not_equal(a.slice(1), a.slice(0, n - 1)), False)
+            first[1:] |= np.asarray(neq)
+            nul = np.asarray(pc.is_null(a))
+            first[1:] |= nul[1:] != nul[:-1]
+        live = first & ~np.asarray(
+            pc.fill_null(pc.equal(g[op_col], delete_marker), False)
+        )
+        return g.filter(pa.array(live)).select(base_cols)
+
+    return (
+        shuffle_coalesce(
+            tagged.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

@@ -4025,6 +4025,232 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ------------------------------------------ analytics: funnel / cohort
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel(sf_dir: str):
+    """Ordered conversion funnel over the event log: users reaching
+    signup, then view/click/purchase each STRICTLY later — one user-
+    bucket shuffle, per-bucket chained masked reduceat (analytics.funnel)."""
+    from georay import analytics
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    return analytics.funnel(ds, "user_id", "ts", "event_type", FUNNEL_STEPS)
+
+
+SQL_FUNNEL = """
+WITH s1 AS (SELECT user_id, MIN(ts) t FROM events WHERE event_type='signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) t FROM events e JOIN s1 USING(user_id)
+       WHERE e.event_type='view' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) t FROM events e JOIN s2 USING(user_id)
+       WHERE e.event_type='click' AND e.ts > s2.t GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, MIN(e.ts) t FROM events e JOIN s3 USING(user_id)
+       WHERE e.event_type='purchase' AND e.ts > s3.t GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+  UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+  UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4)
+"""
+
+
+COHORT_PERIOD_US = 86_400_000_000  # 1 day
+
+
+def q_cohort(sf_dir: str):
+    """Cohort retention: users cohorted by first-event day, counted once
+    per (cohort, day-offset) active — one user-bucket shuffle
+    (analytics.cohort_retention)."""
+    from georay import analytics
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return analytics.cohort_retention(ds, "user_id", "ts", COHORT_PERIOD_US)
+
+
+SQL_COHORT = f"""
+WITH per AS (SELECT user_id, epoch_us(ts) // {COHORT_PERIOD_US} AS p FROM events),
+fst AS (SELECT user_id, MIN(p) AS c FROM per GROUP BY user_id)
+SELECT c AS cohort, p - c AS "offset", COUNT(DISTINCT per.user_id) AS n_users
+FROM per JOIN fst USING (user_id) GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------- weighted / CDC operators
+
+
+def q_weighted_sample(sf_dir: str):
+    """Priority sampling (Duffield–Lund–Thorup): 100 lineitems drawn
+    proportionally to l_quantity — priority = w/u on mix64(rid),
+    RNG-free, transcendental-free, so SQL is bit-identical. One map
+    pass + combine-tree top-k; the table never shuffles."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rid",
+            pc.add(
+                pc.multiply(batch["l_orderkey"], 8),
+                pc.cast(batch["l_linenumber"], pa.int64()),
+            ),
+        )
+
+    keyed = ds.map_batches(
+        add_rid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.weighted_sample(keyed, "rid", "l_quantity", 100)
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "priority"])
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH s1 AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                   CAST(l_orderkey*8 + l_linenumber AS HUGEINT) AS rid FROM lineitem),
+m1 AS (SELECT *, xor(rid, rid // 8589934592) AS h1 FROM s1),
+m2 AS (SELECT * EXCLUDE(h1),
+              ( (h1 % 4294967296) * 18397679294719823053
+              + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296 ) % 18446744073709551616 AS h2
+       FROM m1),
+hx AS (SELECT * EXCLUDE(h2), xor(h2, h2 // 8589934592) AS h FROM m2)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_quantity / ((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0) AS priority
+FROM hx ORDER BY priority DESC, rid LIMIT 100
+"""
+
+
+def q_merge_upsert(sf_dir: str):
+    """CDC merge (lakehouse MERGE INTO): a deterministic update stream —
+    orders with mix64(o_orderkey)%4==1 re-priced (+100, version 1),
+    %4==2 deleted — applied to the full orders base by key. Both sides
+    large: tag → union → one key-bucket shuffle → per-bucket Arrow sort
+    resolve (ops.merge_upsert)."""
+    base = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def add_version(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "version", pa.array(np.zeros(len(batch), np.int64))
+        )
+
+    base = base.map_batches(
+        add_version, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        from georay.ops import _mix64
+
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(ok.view(np.uint64).copy()) % np.uint64(4)
+        upd = h == 1
+        dele = h == 2
+        keep = upd | dele
+        sub = batch.filter(pa.array(keep))
+        price = pc.add(sub["o_totalprice"], 100.0)
+        n = len(sub)
+        return pa.table(
+            {
+                "o_orderkey": sub["o_orderkey"],
+                "o_custkey": sub["o_custkey"],
+                "o_totalprice": price,
+                "version": pa.array(np.ones(n, np.int64)),
+                "op": pc.if_else(
+                    pa.array(dele[keep]), pa.scalar("D"), pa.scalar("U")
+                ),
+            }
+        )
+
+    updates = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        make_updates, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.merge_upsert(base, updates, "o_orderkey", "version")
+
+
+SQL_MERGE_UPSERT = """
+WITH m1 AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                   xor(CAST(o_orderkey AS HUGEINT),
+                       CAST(o_orderkey AS HUGEINT) // 8589934592) AS h1
+            FROM orders),
+m2 AS (SELECT * EXCLUDE(h1),
+              ( (h1 % 4294967296) * 18397679294719823053
+              + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296 ) % 18446744073709551616 AS h2
+       FROM m1),
+hx AS (SELECT * EXCLUDE(h2), xor(h2, h2 // 8589934592) % 4 AS h FROM m2)
+SELECT o_orderkey, o_custkey,
+       CASE WHEN h = 1 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+       CAST(CASE WHEN h = 1 THEN 1 ELSE 0 END AS BIGINT) AS version
+FROM hx WHERE h != 2
+"""
+
+
+# ------------------------------------------------------ graph analytics
+
+# distinct co-purchased part pairs within an order, support >= 2 orders
+SQL_COPURCHASE_EDGES = """
+p0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM p0 a JOIN p0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+"""
+
+
+def _copurchase_edges(sf_dir: str):
+    from georay import analytics
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    return analytics.cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """Degree histogram of the co-purchase part graph (edges = part
+    pairs sharing ≥2 orders): pair expansion in order buckets + two
+    combine-tree aggregations — the lineitem table shuffles once, edges
+    never do (analytics.cooccurrence_edges / degree_distribution)."""
+    from georay import analytics
+
+    return analytics.degree_distribution(_copurchase_edges(sf_dir))
+
+
+SQL_DEGREE_HIST = f"""
+WITH {SQL_COPURCHASE_EDGES},
+deg AS (SELECT node, COUNT(*) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count of the co-purchase graph via the degree-
+    ordered node-iterator (wedges bounded O(m^1.5); see
+    analytics.triangle_count). Count is orientation-invariant, so the
+    oracle uses the plain a<b three-way self-join."""
+    from georay import analytics
+
+    return analytics.triangle_count(_copurchase_edges(sf_dir))
+
+
+SQL_TRIANGLES = f"""
+WITH {SQL_COPURCHASE_EDGES}
+SELECT COUNT(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -4038,6 +4264,12 @@ QUERIES = {
     "interval_partitioned": q_interval_partitioned,
     "asof_partitioned": q_asof_partitioned,
     "sessionize": q_sessionize,
+    "funnel": q_funnel,
+    "cohort": q_cohort,
+    "weighted_sample": q_weighted_sample,
+    "merge_upsert": q_merge_upsert,
+    "degree_hist": q_degree_hist,
+    "triangles": q_triangles,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -4154,6 +4386,12 @@ ORACLE = {
     "interval_partitioned": SQL_INTERVAL_PARTITIONED,
     "asof_partitioned": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
+    "funnel": SQL_FUNNEL,
+    "cohort": SQL_COHORT,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "degree_hist": SQL_DEGREE_HIST,
+    "triangles": SQL_TRIANGLES,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,

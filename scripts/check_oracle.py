@@ -2,7 +2,9 @@
 entry and its oracle_sql() on the same sf dir, compare row count, schema
 (column names) and order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+(with query names given, only those queries run and the entry smoke is
+skipped)
 """
 
 from __future__ import annotations
@@ -85,6 +87,9 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -116,8 +121,9 @@ def main():
             print(m[bad].head(3))
             print(e[bad].head(3))
     # entry smoke
-    res = to_pandas(entrymod.entry())
-    print(f"[entry] {len(res)} rows, cols={list(res.columns)}")
+    if not only:
+        res = to_pandas(entrymod.entry())
+        print(f"[entry] {len(res)} rows, cols={list(res.columns)}")
     ray.shutdown()
     sys.exit(1 if failures else 0)
 

@@ -1,0 +1,191 @@
+"""Unit tests for georay.analytics (funnel, cohort, graph) and the
+weighted-sample / CDC-merge operators, against hand-built oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from georay import analytics, ops
+
+
+def _ds(tbl: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+# ------------------------------------------------------------- funnel
+
+def test_funnel_strict_ordering(ray_session):
+    # user 1 completes A->B->C; user 2 does B before A (B must not count);
+    # user 3 does A and B at the SAME timestamp (strictly-later fails)
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30, 5, 50, 7, 7], pa.timestamp("us")),
+            "t": pa.array(["A", "B", "C", "B", "A", "A", "B"]),
+        }
+    )
+    out = (
+        analytics.funnel(_ds(tbl), "u", "ts", "t", ["A", "B", "C"], n_buckets=4)
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert out["n_users"].tolist() == [3, 1, 1]
+    assert out["step_name"].tolist() == ["A", "B", "C"]
+
+
+def test_funnel_retrograde_step_recovers(ray_session):
+    # user does A, B, then another B is irrelevant; C arrives last
+    tbl = pa.table(
+        {
+            "u": pa.array([9, 9, 9, 9], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            "t": pa.array(["A", "B", "B", "C"]),
+        }
+    )
+    out = (
+        analytics.funnel(_ds(tbl), "u", "ts", "t", ["A", "B", "C"], n_buckets=2)
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert out["n_users"].tolist() == [1, 1, 1]
+
+
+# ------------------------------------------------------------- cohort
+
+def test_cohort_retention_hand():
+    import ray.data as rd  # noqa: F401  (ray via fixture in callers)
+
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            # user 1: periods 0,0,2 -> cohort 0 offsets {0,2}
+            # user 2: periods 1,3   -> cohort 1 offsets {0,2}
+            "ts": pa.array([5, 9, 25, 12, 35], pa.timestamp("us")),
+        }
+    )
+    out = (
+        analytics.cohort_retention(_ds(tbl), "u", "ts", 10, n_buckets=4)
+        .to_pandas()
+        .sort_values(["cohort", "offset"])
+        .reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[0, 0, 1], [0, 2, 1], [1, 0, 1], [1, 2, 1]]
+
+
+# ----------------------------------------------------- weighted sample
+
+def test_weighted_sample_matches_numpy_oracle(ray_session):
+    n = 500
+    rid = np.arange(n, dtype=np.int64)
+    w = (rid % 7 + 1).astype(np.float64)
+    tbl = pa.table({"rid": pa.array(rid), "w": pa.array(w)})
+    out = ops.weighted_sample(_ds(tbl), "rid", "w", 20).to_pandas()
+    h = ops._mix64(rid.view(np.uint64).copy())
+    pri = w / ((h.astype(np.float64) + 1.0) / float(1 << 64))
+    order = np.lexsort((rid, -pri))[:20]
+    assert out["rid"].tolist() == rid[order].tolist()
+    assert np.array_equal(
+        out["priority"].to_numpy().view(np.int64), pri[order].view(np.int64)
+    )
+
+
+def test_weighted_sample_bias(ray_session):
+    # one row with overwhelming weight always wins (rid starts at 1:
+    # mix64(0)=0 gives u=2^-64, the known degenerate zero-key priority)
+    rid = np.arange(1, 101, dtype=np.int64)
+    w = np.ones(100)
+    w[37] = 1e12
+    tbl = pa.table({"rid": pa.array(rid), "w": pa.array(w)})
+    out = ops.weighted_sample(_ds(tbl), "rid", "w", 5).to_pandas()
+    assert out["rid"].iloc[0] == 38
+
+
+# --------------------------------------------------------- merge_upsert
+
+def test_merge_upsert_semantics(ray_session):
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+            "version": pa.array([5, 5, 5, 5], pa.int64()),
+        }
+    )
+    # k=2 updated twice (version 2 wins over 1 even though base had 5:
+    # updates supersede base regardless of version); k=3 deleted;
+    # k=9 inserted
+    upd = pa.table(
+        {
+            "k": pa.array([2, 2, 3, 9], pa.int64()),
+            "v": pa.array([21.0, 22.0, 0.0, 90.0]),
+            "version": pa.array([1, 2, 1, 1], pa.int64()),
+            "op": pa.array(["U", "U", "D", "U"]),
+        }
+    )
+    out = (
+        ops.merge_upsert(_ds(base), _ds(upd), "k", "version", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 4, 9]
+    assert out["v"].tolist() == [10.0, 22.0, 40.0, 90.0]
+    assert list(out.columns) == ["k", "v", "version"]
+
+
+# --------------------------------------------------------------- graphs
+
+def test_pairs_within_groups():
+    # groups of sizes 3, 1, 2 -> 3 + 0 + 1 pairs
+    starts = np.array([0, 3, 4])
+    i, j = analytics._pairs_within_groups(starts, 6)
+    pairs = sorted(zip(i.tolist(), j.tolist()))
+    assert pairs == [(0, 1), (0, 2), (1, 2), (4, 5)]
+
+
+def test_cooccurrence_support_filter(ray_session):
+    # items (1,2) share groups 10 and 20; (1,3) only group 10
+    tbl = pa.table(
+        {
+            "g": pa.array([10, 10, 10, 20, 20], pa.int64()),
+            "i": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        }
+    )
+    e1 = (
+        analytics.cooccurrence_edges(_ds(tbl), "g", "i", n_buckets=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert e1.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+    e2 = analytics.cooccurrence_edges(
+        _ds(tbl), "g", "i", n_buckets=4, min_support=2
+    ).to_pandas()
+    assert e2.values.tolist() == [[1, 2]]
+
+
+def test_triangle_count_k4(ray_session):
+    # K4 has 4 triangles; attach a pendant edge (no new triangle)
+    a = pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64())
+    b = pa.array([2, 3, 4, 3, 4, 4, 5], pa.int64())
+    edges = _ds(pa.table({"a": a, "b": b}))
+    out = analytics.triangle_count(edges, n_buckets=4).to_pandas()
+    assert out["n_triangles"].tolist() == [4]
+    deg = (
+        analytics.degree_distribution(edges)
+        .to_pandas().sort_values("degree").reset_index(drop=True)
+    )
+    # node 5 deg 1; nodes 1..4 have deg 3 except node 4 has deg 4
+    assert deg.values.tolist() == [[1, 1], [3, 3], [4, 1]]
+
+
+def test_max_group_size_drops_large_groups(ray_session):
+    tbl = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "i": pa.array([7, 8, 9, 7, 8], pa.int64()),
+        }
+    )
+    e = analytics.cooccurrence_edges(
+        _ds(tbl), "g", "i", n_buckets=4, max_group_size=2
+    ).to_pandas()
+    assert e.values.tolist() == [[7, 8]]
