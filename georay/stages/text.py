@@ -753,3 +753,246 @@ def decontaminate(
     return ds.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ------------------------------------------------- BM25 / language model
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """Distributed BM25 search: top-``k`` documents for a fixed bag of
+    query terms. Two streaming passes: (1) corpus stats — N, Σdl and one
+    df per query term, reduced per batch to a SINGLE partial row (a few
+    ints; the corpus never moves) and tree-merged; (2) scoring — per-
+    batch tf per term via one ``pc.index_in`` + ``bincount``, the BM25
+    sum accumulated term-by-term (fixed order), then the combine-tree
+    ``top_k``. No shuffle anywhere.
+
+    The idf is the RATIONAL Robertson idf (N − df + 0.5)/(df + 0.5)
+    WITHOUT the log: per-term ranking is identical (ln is monotone) and
+    every operation stays IEEE +|−|×|÷ over exact integers, so the
+    DuckDB oracle hash-matches bit-for-bit (numpy ``log`` and DuckDB
+    ``ln`` differ at ulp level on this host). Constants mirror the SQL
+    literally: 2.2e0 = k1+1, 0.25e0 = 1−b.
+
+    Output: (id_col, score) — docs containing no query term are
+    excluded (their score is exactly 0)."""
+    terms = pa.array(list(query_terms), pa.string())
+    n_terms = len(query_terms)
+    from georay.index import _ragged_ranges
+    from georay.ops import top_k
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize_flat(txt)
+        owner, _ = _ragged_ranges(counts)
+        codes = pc.fill_null(
+            pc.index_in(flat, value_set=terms), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "n_docs": pa.array([counts.shape[0]], pa.int64()),
+            "sum_dl": pa.array([int(counts.sum())], pa.int64()),
+        }
+        for t in range(n_terms):
+            docs_with = np.unique(owner[codes == t]).shape[0]
+            cols[f"df_{t}"] = pa.array([docs_with], pa.int64())
+        return pa.table(cols)
+
+    def stats_merge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: pa.array([int(batch[c].to_numpy(zero_copy_only=False).sum())],
+                         pa.int64())
+             for c in batch.column_names}
+        )
+
+    from georay.ops import COMBINE_TARGET_ROWS
+
+    stats_ds = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).map_batches(
+        stats_merge, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    ).map_batches(
+        stats_merge, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+    stats = stats_ds.take_all()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["sum_dl"]) / float(n_docs)
+    idf = np.array(
+        [
+            (float(n_docs - int(stats[f"df_{t}"])) + 0.5)
+            / (float(int(stats[f"df_{t}"])) + 0.5)
+            for t in range(n_terms)
+        ]
+    )
+    k1 = float(k1)
+    one_minus_b = 1.0 - float(b)
+    bb = float(b)
+    k1p1 = k1 + 1.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize_flat(txt)
+        owner, _ = _ragged_ranges(counts)
+        codes = pc.fill_null(
+            pc.index_in(flat, value_set=terms), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = counts.shape[0]
+        dl = counts.astype(np.float64)
+        rat = dl / avgdl
+        s = np.zeros(n, dtype=np.float64)
+        any_tf = np.zeros(n, dtype=bool)
+        for t in range(n_terms):
+            tf = np.bincount(owner[codes == t], minlength=n).astype(np.float64)
+            denom = tf + k1 * (one_minus_b + bb * rat)
+            s = s + (idf[t] * (tf * k1p1)) / denom
+            any_tf |= tf > 0
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = pa.array(any_tf)
+        return pa.table(
+            {id_col: ids, "score": pa.array(s, pa.float64())}
+        ).filter(keep)
+
+    scored = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return top_k(scored, ["score", id_col], k, descending=[True, False])
+
+
+def lm_score(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Bigram language-model likelihood scoring — the classic
+    perplexity-style quality signal: train bigram conditionals on the
+    corpus itself, then score each document by the sum of its bigram
+    probabilities ``p(w2|w1) = c(w1,w2) / c(w1·)``.
+
+    Each probability is quantized to ``floor(p · 2^scale_bits)`` —
+    power-of-two scaling is EXACT in IEEE doubles and the per-doc sum
+    becomes order-free int64 arithmetic, so the DuckDB oracle
+    hash-matches (a float log-prob sum would be summation-order
+    dependent; quantized-likelihood keeps the ranking signal). Higher
+    ``lm_q / n_bigrams`` = more predictable text.
+
+    Plan: (1) bigram counts via per-batch Arrow hash-group partials +
+    combine tree (bigram vocabulary merges, the corpus doesn't);
+    (2) the (w1,w2)→q table is built on the driver (vectorized) and
+    broadcast once via ``ray.put``; (3) scoring is one ``index_in`` +
+    ``reduceat`` per batch. For an unbounded bigram vocabulary swap
+    stage (2-3) for the partitioned equality join on (w1,w2).
+
+    Output: (id_col, n_bigrams, lm_q) — one row per input document
+    (docs with < 2 tokens get zeros)."""
+    from georay.index import _ragged_ranges
+    from georay.ops import COMBINE_TARGET_ROWS
+
+    def _bigrams(txt: pa.Array):
+        flat, counts = _tokenize_flat(txt)
+        owner, within = _ragged_ranges(counts)
+        valid = within < (counts[owner] - 1)
+        idx = np.flatnonzero(valid)
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        return w1, w2, owner[idx], counts.shape[0]
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        w1, w2, _, _ = _bigrams(txt)
+        t = pa.table(
+            {"w1": w1, "w2": w2,
+             "partial_n": pa.array(np.ones(len(w1), np.int64))}
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([("partial_n", "sum")])
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "partial_n": g["partial_n_sum"]}
+        )
+
+    def count_combine(batch: pa.Table, out: str) -> pa.Table:
+        g = batch.group_by(["w1", "w2"]).aggregate([("partial_n", "sum")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], out: g["partial_n_sum"]})
+
+    parts = ds.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).map_batches(
+        lambda t: count_combine(t, "partial_n"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS, num_cpus=0.5,
+    ).map_batches(
+        lambda t: count_combine(t, "c2"),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+    bt = pa.concat_tables(
+        parts.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    # c1(w1) = Σ_w2 c2 (first-position unigram totals)
+    g1 = bt.group_by("w1").aggregate([("c2", "sum")])
+    w1_arr = bt["w1"].combine_chunks() if isinstance(bt["w1"], pa.ChunkedArray) else bt["w1"]
+    w2_arr = bt["w2"].combine_chunks() if isinstance(bt["w2"], pa.ChunkedArray) else bt["w2"]
+    c2 = bt["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c1_codes = pc.index_in(w1_arr, value_set=g1["w1"].combine_chunks() if isinstance(g1["w1"], pa.ChunkedArray) else g1["w1"])
+    c1v = g1["c2_sum"].to_numpy(zero_copy_only=False).astype(np.float64)[
+        c1_codes.to_numpy(zero_copy_only=False).astype(np.int64)
+    ]
+    scale = float(1 << scale_bits)
+    q = np.floor((c2 / c1v) * scale).astype(np.int64)
+    key = pc.binary_join_element_wise(w1_arr, w2_arr, " ")
+    import ray as _ray
+
+    bcast = _ray.put((key, q))
+    cache: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, qv = cache.setdefault("m", _ray.get(bcast))
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        w1, w2, owner, n = _bigrams(txt)
+        bg = pc.binary_join_element_wise(w1, w2, " ")
+        codes = pc.index_in(bg, value_set=keys).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        qs = qv[codes]
+        sums = np.zeros(n, dtype=np.int64)
+        nb = np.bincount(owner, minlength=n).astype(np.int64)
+        if owner.size:
+            # bigrams are emitted in doc order ⇒ owner is sorted:
+            # one reduceat instead of buffered add.at
+            firsts = np.ones(owner.size, dtype=bool)
+            firsts[1:] = owner[1:] != owner[:-1]
+            starts = np.flatnonzero(firsts)
+            sums[owner[starts]] = np.add.reduceat(qs, starts)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids,
+                "n_bigrams": pa.array(nb, pa.int64()),
+                "lm_q": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

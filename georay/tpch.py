@@ -4193,6 +4193,107 @@ FROM hx WHERE h != 2
 """
 
 
+# ------------------------------------------------- BM25 / LM scoring
+
+BM25_TERMS = ["spark", "hash", "window", "sort"]
+BM25_K = 25
+
+_TOKS_CTE = (
+    r"SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text),"
+    r" '\s+', ' ', 'g')), ' ')) AS token FROM documents"
+)
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-k search over documents for a fixed query (rational
+    Robertson idf — transcendental-free, bit-exact vs SQL; see
+    stages.text.bm25_topk). Two streaming passes + combine-tree top-k,
+    zero shuffles."""
+    from georay.stages.text import bm25_topk
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_topk(ds, BM25_TERMS, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    t_ix = range(len(BM25_TERMS))
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in zip(t_ix, BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"COUNT(DISTINCT doc_id) FILTER (WHERE token = '{t}') AS df{i}"
+        for i, t in zip(t_ix, BM25_TERMS)
+    )
+    avgdl = "(CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    contribs = []
+    for i in t_ix:
+        idf = (
+            f"((CAST(st.n - df.df{i} AS DOUBLE) + 0.5e0)"
+            f" / (CAST(df.df{i} AS DOUBLE) + 0.5e0))"
+        )
+        denom = (
+            f"(tf.tf{i} + 1.2e0 * (0.25e0 + 0.75e0 *"
+            f" (CAST(dl.dl AS DOUBLE) / {avgdl})))"
+        )
+        contribs.append(f"(({idf} * (tf.tf{i} * (1.2e0 + 1.0e0))) / {denom})")
+    score = " + ".join(contribs)
+    any_tf = " + ".join(f"tf.tf{i}" for i in t_ix)
+    return f"""
+WITH toks AS ({_TOKS_CTE}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+tf AS (SELECT doc_id, {tf_cols} FROM toks GROUP BY doc_id),
+df AS (SELECT {df_cols} FROM toks)
+SELECT tf.doc_id, {score} AS score
+FROM tf JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN df
+WHERE {any_tf} > 0
+ORDER BY score DESC, tf.doc_id LIMIT {BM25_K}
+"""
+
+
+SQL_BM25 = _bm25_sql()
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram-LM likelihood scoring (quantized-integer probabilities —
+    order-free exact sums; see stages.text.lm_score): corpus-trained
+    conditionals, broadcast once, one index_in + reduceat per batch."""
+    from georay.stages.text import lm_score
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return lm_score(ds)
+
+
+SQL_LM_SCORE = r"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+  FROM docs, UNNEST(generate_series(1, len(l) - 1)) AS g(i)
+),
+cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM cnt GROUP BY 1),
+q AS (
+  SELECT w1, w2,
+         CAST(floor((CAST(c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)) * 1048576e0)
+              AS BIGINT) AS q
+  FROM cnt JOIN c1 USING (w1)
+),
+persum AS (
+  SELECT doc_id, COUNT(*) AS nb, SUM(q.q) AS s
+  FROM bg JOIN q USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(nb, 0) AS n_bigrams,
+       CAST(COALESCE(s, 0) AS BIGINT) AS lm_q
+FROM documents d LEFT JOIN persum USING (doc_id)
+"""
+
+
 # ------------------------------------------------------ graph analytics
 
 # distinct co-purchased part pairs within an order, support >= 2 orders
@@ -4270,6 +4371,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
+    "bm25": q_bm25,
+    "lm_score": q_lm_score,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -4392,6 +4495,8 @@ ORACLE = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
+    "bm25": SQL_BM25,
+    "lm_score": SQL_LM_SCORE,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,

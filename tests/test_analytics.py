@@ -189,3 +189,67 @@ def test_max_group_size_drops_large_groups(ray_session):
         _ds(tbl), "g", "i", n_buckets=4, max_group_size=2
     ).to_pandas()
     assert e.values.tolist() == [[7, 8]]
+
+
+# --------------------------------------------------------- bm25 / lm
+
+
+def test_bm25_ranks_term_dense_doc_first(ray_session):
+    from georay.stages.text import bm25_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark spark spark run",
+                    "spark run run run",
+                    "run run run run",
+                    "walk walk",
+                ]
+            ),
+        }
+    )
+    out = bm25_topk(_ds(docs), ["spark"], k=10).to_pandas()
+    # doc 3 and 4 contain no query term -> excluded; doc 1 beats doc 2
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["score"].iloc[0] > out["score"].iloc[1] > 0
+
+
+def test_bm25_length_normalization(ray_session):
+    from georay.stages.text import bm25_topk
+
+    # same tf, shorter doc wins under b=0.75
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["spark run", "spark run run run run run run"]),
+        }
+    )
+    out = bm25_topk(_ds(docs), ["spark"], k=2).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+
+
+def test_lm_score_hand_corpus(ray_session):
+    from georay.stages.text import lm_score
+
+    # corpus bigrams: "a b" x2, "b a" x1, "a c" x1
+    # c1: a->3 (a b twice, a c once), b->1
+    # p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1/1
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a c", "a b", "x"]),
+        }
+    )
+    out = (
+        lm_score(_ds(docs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    s = 1 << 20
+    import math
+
+    q_ab = math.floor((2 / 3) * s)
+    q_ba = math.floor(1.0 * s)
+    q_ac = math.floor((1 / 3) * s)
+    assert out["n_bigrams"].tolist() == [3, 1, 0]
+    assert out["lm_q"].tolist() == [q_ab + q_ba + q_ac, q_ab, 0]
