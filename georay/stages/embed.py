@@ -595,3 +595,121 @@ def pq_ann_topk(
     df["rank"] = df.groupby("query_id").cumcount() + 1
     df = df[df["rank"] <= k].drop(columns=["rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ----------------------------------------------------------------- PCA
+
+def gram_quantized(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Quantized-integer Gram matrix of an embedding column, long-form
+    ``(i, j, g)`` for i ≤ j, plus coordinate sums ``(i, -1, Σxq_i)`` and
+    the row count ``(-1, -1, n)`` — everything a driver-side covariance/
+    PCA needs, in ONE streaming pass.
+
+    Vectors are quantized ``xq = floor(x · 2^scale_bits)`` — float32 →
+    float64 is exact, the power-of-two scale is exact, floor is
+    deterministic — so partial Gram sums are EXACT int64 (order-free,
+    engine-independent) and the SQL oracle hash-matches. Bound: |x| ≤
+    0.5, d=64, rows ≤ 2^23 keeps Σ|xq_i·xq_j| < 2^63 (raise scale_bits
+    only with that bound in mind; at petascale drop to float partials
+    and give up the exactness gate). Per-batch work is one d×d int
+    matmul; partials (d² rows) merge through the combine tree — the
+    table never shuffles."""
+    from georay.ops import tree_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _embedding_matrix(batch, emb_col)
+        xq = np.floor(x * float(1 << scale_bits)).astype(np.int64)
+        d = xq.shape[1]
+        g = xq.T @ xq
+        iu, ju = np.triu_indices(d)
+        s = xq.sum(axis=0)
+        i = np.concatenate([iu, np.arange(d), [-1]])
+        j = np.concatenate([ju, np.full(d, -1), [-1]])
+        v = np.concatenate([g[iu, ju], s, [xq.shape[0]]])
+        return pa.table(
+            {
+                "i": pa.array(i, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "partial_g": pa.array(v, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(parts, ["i", "j"], {"partial_g": "g"}, int_cols=("partial_g",))
+
+
+def pca_fit(
+    ds: ray.data.Dataset,
+    n_components: int = 8,
+    emb_col: str = "embedding",
+    scale_bits: int = 20,
+) -> dict:
+    """Distributed PCA fit: the exact quantized Gram/sums/count from
+    ``gram_quantized`` (one streaming pass), then a d×d driver-side
+    eigendecomposition — the classic covariance-method split: O(d²)
+    state per batch, O(d³) once on the driver, never materializing the
+    table. Returns ``{"mean", "components" (d,k), "explained_variance",
+    "scale"}`` in ORIGINAL units. Deterministic: sign fixed so each
+    component's largest-|coeff| entry is positive."""
+    tbl = pa.concat_tables(
+        ray.get(gram_quantized(ds, emb_col, scale_bits).to_arrow_refs())
+    )
+    i = tbl["i"].to_numpy(zero_copy_only=False)
+    j = tbl["j"].to_numpy(zero_copy_only=False)
+    g = tbl["g"].to_numpy(zero_copy_only=False)
+    n = int(g[(i == -1) & (j == -1)][0])
+    smask = (j == -1) & (i >= 0)
+    d = int(smask.sum())
+    s = np.zeros(d)
+    s[i[smask]] = g[smask]
+    gm = np.zeros((d, d))
+    umask = (i >= 0) & (j >= 0)
+    gm[i[umask], j[umask]] = g[umask]
+    gm[j[umask], i[umask]] = g[umask]
+    scale = float(1 << scale_bits)
+    mean_q = s / n
+    cov = (gm - np.outer(s, s) / n) / (n - 1) / (scale * scale)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    return {
+        "mean": mean_q / scale,
+        "components": comps,
+        "explained_variance": evals[order],
+        "scale": scale,
+    }
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    model: dict,
+    emb_col: str = "embedding",
+    out_col: str = "pc",
+) -> ray.data.Dataset:
+    """Project embeddings onto fitted components: one broadcast of the
+    (d,k) matrix via ``ray.put``, one matmul per batch — stateless,
+    shuffle-free, streaming."""
+    ref = ray.put((model["mean"], model["components"]))
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mean, comps = cache.setdefault("m", ray.get(ref))
+        x = _embedding_matrix(batch, emb_col)
+        p = (x - mean) @ comps
+        k = p.shape[1]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(p.reshape(-1), pa.float64()), k
+        )
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

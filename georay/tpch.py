@@ -4294,6 +4294,38 @@ FROM documents d LEFT JOIN persum USING (doc_id)
 """
 
 
+# --------------------------------------------------------------- PCA
+
+GRAM_DIMS = 8
+
+
+def q_gram_matrix(sf_dir: str):
+    """Quantized-integer embedding Gram matrix (the one-pass distributed
+    state behind pca_fit) — oracle checks the first 8×8 upper triangle;
+    the engine computes all 64 dims in the same pass."""
+    from georay.stages.embed import gram_quantized
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+    g = gram_quantized(ds)
+    return g.filter(
+        expr=f"i >= 0 and j >= 0 and i < {GRAM_DIMS} and j < {GRAM_DIMS}"
+    )
+
+
+SQL_GRAM_MATRIX = f"""
+SELECT s.i, t.j,
+       CAST(SUM(
+         CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1048576e0) AS BIGINT)
+         * CAST(floor(CAST(embedding[t.j + 1] AS DOUBLE) * 1048576e0) AS BIGINT)
+       ) AS BIGINT) AS g
+FROM embeddings,
+     UNNEST(generate_series(0, {GRAM_DIMS - 1})) AS s(i),
+     UNNEST(generate_series(0, {GRAM_DIMS - 1})) AS t(j)
+WHERE t.j >= s.i
+GROUP BY s.i, t.j
+"""
+
+
 # ------------------------------------------------------ graph analytics
 
 # distinct co-purchased part pairs within an order, support >= 2 orders
@@ -4373,6 +4405,7 @@ QUERIES = {
     "triangles": q_triangles,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
+    "gram_matrix": q_gram_matrix,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -4497,6 +4530,7 @@ ORACLE = {
     "triangles": SQL_TRIANGLES,
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
+    "gram_matrix": SQL_GRAM_MATRIX,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,

@@ -253,3 +253,53 @@ def test_lm_score_hand_corpus(ray_session):
     q_ac = math.floor((1 / 3) * s)
     assert out["n_bigrams"].tolist() == [3, 1, 0]
     assert out["lm_q"].tolist() == [q_ab + q_ba + q_ac, q_ab, 0]
+
+
+# ------------------------------------------------------------------ pca
+
+
+def _emb_table(n=300, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    # anisotropic data with a known dominant direction
+    base = rng.normal(size=(n, d)) * 0.01
+    base[:, 2] += rng.normal(size=n) * 0.2
+    base[:, 5] += rng.normal(size=n) * 0.1
+    flat = pa.array(base.astype(np.float32).reshape(-1), pa.float32())
+    emb = pa.FixedSizeListArray.from_arrays(flat, d).cast(pa.list_(pa.float32()))
+    return pa.table(
+        {"vec_id": pa.array(np.arange(n, dtype=np.int64)), "embedding": emb}
+    ), base.astype(np.float32).astype(np.float64)
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    from georay.stages.embed import pca_fit
+
+    tbl, x = _emb_table()
+    model = pca_fit(_ds(tbl), n_components=3)
+    # numpy oracle on the SAME quantization
+    xq = np.floor(x * (1 << 20)) / (1 << 20)
+    cov = np.cov(xq, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:3]]
+    # components span the same subspace (|cos| ~ 1 per axis)
+    cos = np.abs((model["components"] * top).sum(axis=0))
+    assert np.all(cos > 0.999), cos
+    assert np.all(np.diff(model["explained_variance"]) <= 1e-12)
+    # dominant direction is axis 2
+    assert np.abs(model["components"][2, 0]) > 0.9
+
+
+def test_pca_project_roundtrip(ray_session):
+    from georay.stages.embed import pca_fit, pca_project
+
+    tbl, x = _emb_table(n=200, d=8, seed=3)
+    model = pca_fit(_ds(tbl), n_components=8)
+    out = pca_project(_ds(tbl), model).to_pandas()
+    p = np.stack(out["pc"].to_numpy())
+    # full-rank projection preserves centered data: reconstruct
+    recon = p @ model["components"].T + model["mean"]
+    assert np.allclose(recon, x, atol=2e-6)
+    # sign convention: largest-|coeff| entry positive
+    c = model["components"]
+    idx = np.abs(c).argmax(axis=0)
+    assert np.all(c[idx, np.arange(c.shape[1])] >= 0)
