@@ -460,3 +460,90 @@ def degree_table(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
     return tree_sum(parts, ["node"], {"partial_deg": "degree"},
                     int_cols=("partial_deg",))
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale_bits: int = 30,
+) -> ray.data.Dataset:
+    """Integer-exact PageRank over an undirected ``(a, b)`` edge list
+    (symmetrized to a directed graph), ``n_iter`` fixed power
+    iterations. Ranks live in fixed-point units of ``2^-scale_bits``
+    and EVERY operation is integer (init ``2^s // n``, per-edge
+    contribution ``rank // deg``, update ``base + (85·Σ) // 100``) — no
+    float summation order, no transcendentals — so a chained-CTE SQL
+    twin reproduces the result bit-for-bit. The usual float PageRank is
+    this with the quantization dropped.
+
+    Plan per iteration: per-node contributions (rank // deg) are
+    computed driver-side on the o(nodes) label table and broadcast via
+    ``ray.put``; ONE streaming pass over the edge list emits per-batch
+    partial destination sums that merge through the combine tree. The
+    edge list never shuffles and is read ``n_iter`` times — pass a
+    materialized edge Dataset. Node table fits the driver (same bound
+    as ``triangle_count``); at billion-node scale swap the broadcast
+    for the partitioned equality join.
+
+    Returns ``(node int64, rank_q int64)``; Σ rank_q ≈ 2^scale_bits
+    (floor losses make it slightly less)."""
+    import ray as _ray
+
+    degs = degree_table(edges)
+    tbl = pa.concat_tables(_ray.get(degs.to_arrow_refs()))
+    nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg = tbl["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes, deg = nodes[o], deg[o]
+    n = nodes.shape[0]
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank_q": pa.array([], pa.int64())})
+        )
+    scale = 1 << scale_bits
+    base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+    rank = np.full(n, scale // n, dtype=np.int64)
+
+    for _ in range(n_iter):
+        contrib = rank // deg
+        ref = _ray.put((nodes, contrib))
+        cache: dict = {}
+
+        def emit(batch: pa.Table, _ref=ref) -> pa.Table:
+            ns, cv = cache.setdefault("m", _ray.get(_ref))
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = np.concatenate([b, a])
+            src = np.concatenate([a, b])
+            c = cv[np.searchsorted(ns, src)]
+            ks, vs = _group_reduce([dst], {"partial_c": c})
+            return pa.table(
+                {
+                    "node": pa.array(ks[0], pa.int64()),
+                    "partial_c": pa.array(vs["partial_c"], pa.int64()),
+                }
+            )
+
+        sums_ds = tree_sum(
+            edges.map_batches(
+                emit, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["node"], {"partial_c": "c"}, int_cols=("partial_c",),
+        )
+        st = pa.concat_tables(_ray.get(sums_ds.to_arrow_refs()))
+        c_nodes = st["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c_sums = st["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        sums[np.searchsorted(nodes, c_nodes)] = c_sums
+        rank = base_q + (damping_num * sums) // damping_den
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(nodes, pa.int64()),
+             "rank_q": pa.array(rank, pa.int64())}
+        )
+    )

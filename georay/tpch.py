@@ -4384,6 +4384,74 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+PAGERANK_ITERS = 3
+
+
+def q_pagerank(sf_dir: str):
+    """Integer-exact PageRank (3 fixed-point power iterations) over the
+    co-purchase graph — every update is integer arithmetic
+    (analytics.pagerank), so the chained-CTE SQL twin is bit-identical.
+    One streaming edge pass + combine-tree per iteration."""
+    from georay import analytics
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    return analytics.pagerank(edges, n_iter=PAGERANK_ITERS)
+
+
+def _pagerank_sql() -> str:
+    scale = 1 << 30
+    parts = [
+        f"WITH {SQL_COPURCHASE_EDGES.strip()}",
+        ",\nsym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e)",
+        ",\ndeg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s)",
+        ",\nnn AS (SELECT COUNT(*) AS n FROM deg)",
+        f",\nr0 AS (SELECT node, {scale} // nn.n AS rq FROM deg CROSS JOIN nn)",
+    ]
+    for it in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f""",
+s{it} AS (SELECT s.d AS node, SUM(r.rq // dg.deg) AS c
+       FROM sym s JOIN {prev} r ON r.node = s.s
+       JOIN deg dg ON dg.node = s.s GROUP BY s.d),
+r{it} AS (SELECT deg.node,
+              (15 * CAST({scale} AS BIGINT)) // (100 * nn.n)
+              + (85 * COALESCE(s{it}.c, 0)) // 100 AS rq
+       FROM deg CROSS JOIN nn LEFT JOIN s{it} ON s{it}.node = deg.node)"""
+        )
+    # final rq is HUGEINT (SUM promotes) — cast so pandas keeps int64
+    parts.append(
+        f"\nSELECT node, CAST(rq AS BIGINT) AS rank_q FROM r{PAGERANK_ITERS}"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+def q_components(sf_dir: str):
+    """Connected components of the co-purchase graph: distributed
+    min-label propagation + driver pointer jumping
+    (stages.components.connected_components; the small-edge-list local
+    fast path takes over below 2M edges). Label = component-min node."""
+    from georay.stages.components import connected_components
+
+    return connected_components(_copurchase_edges(sf_dir), id_a="a", id_b="b")
+
+
+SQL_COMPONENTS = f"""
+WITH RECURSIVE
+{SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+reach(n, m) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.n, s.d FROM reach r JOIN sym s ON s.s = r.m
+)
+SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -4406,6 +4474,8 @@ QUERIES = {
     "bm25": q_bm25,
     "lm_score": q_lm_score,
     "gram_matrix": q_gram_matrix,
+    "components": q_components,
+    "pagerank": q_pagerank,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -4531,6 +4601,8 @@ ORACLE = {
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
     "gram_matrix": SQL_GRAM_MATRIX,
+    "components": SQL_COMPONENTS,
+    "pagerank": SQL_PAGERANK,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,

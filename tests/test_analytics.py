@@ -303,3 +303,58 @@ def test_pca_project_roundtrip(ray_session):
     c = model["components"]
     idx = np.abs(c).argmax(axis=0)
     assert np.all(c[idx, np.arange(c.shape[1])] >= 0)
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_hand_graph(ray_session):
+    # star: center 1 connected to 2,3,4 — center outranks leaves;
+    # isolated pair 5-6 get equal ranks
+    a = pa.array([1, 1, 1, 5], pa.int64())
+    b = pa.array([2, 3, 4, 6], pa.int64())
+    edges = _ds(pa.table({"a": a, "b": b})).materialize()
+    out = (
+        analytics.pagerank(edges, n_iter=3)
+        .to_pandas().set_index("node")["rank_q"]
+    )
+    assert out[1] > out[2] == out[3] == out[4]
+    assert out[5] == out[6]
+    # rank mass conserved up to floor losses
+    total = out.sum()
+    assert 0.95 * (1 << 30) < total <= (1 << 30)
+
+
+def test_pagerank_matches_float_pagerank(ray_session):
+    # quantized fixed-point tracks the float power iteration closely
+    rng = np.random.default_rng(11)
+    m = 60
+    aa = rng.integers(1, 30, m)
+    bb = rng.integers(1, 30, m)
+    keep = aa != bb
+    aa, bb = aa[keep], bb[keep]
+    lo, hi = np.minimum(aa, bb), np.maximum(aa, bb)
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    edges = _ds(
+        pa.table({"a": pa.array(e[:, 0], pa.int64()), "b": pa.array(e[:, 1], pa.int64())})
+    ).materialize()
+    out = (
+        analytics.pagerank(edges, n_iter=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    nodes = np.unique(e)
+    n = nodes.size
+    deg = np.zeros(n)
+    ia = np.searchsorted(nodes, e[:, 0])
+    ib = np.searchsorted(nodes, e[:, 1])
+    np.add.at(deg, ia, 1)
+    np.add.at(deg, ib, 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        c = r / deg
+        s = np.zeros(n)
+        np.add.at(s, ib, c[ia])
+        np.add.at(s, ia, c[ib])
+        r = 0.15 / n + 0.85 * s
+    got = out["rank_q"].to_numpy() / (1 << 30)
+    assert np.allclose(got, r, atol=1e-6)
