@@ -155,6 +155,14 @@ def run_bench() -> dict:
     timed_ext("decontaminate", lambda: tpch.q_decontaminate(SF_DIR).count())
     timed_ext("dup_spans", lambda: tpch.q_dup_spans(SF_DIR).count())
     timed_ext("composite_join", lambda: tpch.q_composite_join(SF_DIR).count())
+    timed_ext("funnel", lambda: tpch.q_funnel(SF_DIR).count())
+    timed_ext("merge_upsert", lambda: tpch.q_merge_upsert(SF_DIR).count())
+    timed_ext("weighted_sample", lambda: tpch.q_weighted_sample(SF_DIR).count())
+    timed_ext("bm25", lambda: tpch.q_bm25(SF_DIR).count())
+    timed_ext("lm_score", lambda: tpch.q_lm_score(SF_DIR).count())
+    timed_ext("triangles", lambda: tpch.q_triangles(SF_DIR).count())
+    timed_ext("pagerank", lambda: tpch.q_pagerank(SF_DIR).count())
+    timed_ext("gram_matrix", lambda: tpch.q_gram_matrix(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -4025,6 +4025,302 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------- classic TPC-H compositions
+#
+# Money sums are quantized to integers (cents / 1e-4 units) BEFORE
+# aggregation: floor(x·scale + 0.5) is deterministic on both engines
+# and integer-valued float64 partial sums stay exact below 2^53, so
+# hash-matching float "SUM(price)" (whose rounding is order-dependent)
+# is never attempted. avg = exact-sum / exact-count, one double divide.
+
+_Q1_CUTOFF_US = 905_731_200_000_000  # 1998-09-02
+
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary (quantized money): one pruned read →
+    stateless quantize map → skew-safe grouped sums (map-side combine +
+    combine tree) — the canonical one-pass aggregate pipeline."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ship <= _Q1_CUTOFF_US))
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        t = sub["l_tax"].to_numpy(zero_copy_only=False)
+        disc_price = p * (1.0 - d)
+        return pa.table(
+            {
+                "l_returnflag": sub["l_returnflag"],
+                "l_linestatus": sub["l_linestatus"],
+                "qty": sub["l_quantity"],
+                "base_c": pa.array(np.floor(p * 100.0 + 0.5)),
+                "disc_t": pa.array(np.floor(disc_price * 10000.0 + 0.5)),
+                "charge_t": pa.array(
+                    np.floor(disc_price * (1.0 + t) * 10000.0 + 0.5)
+                ),
+            }
+        )
+
+    prepped = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = ops.salted_count(
+        prepped,
+        ["l_returnflag", "l_linestatus"],
+        agg_cols={"qty": "sum", "base_c": "sum", "disc_t": "sum", "charge_t": "sum"},
+        count_alias="count_order",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column("avg_qty", pa.array(s / n, pa.float64()))
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT)) AS DOUBLE) AS sum_base_c,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)) AS DOUBLE) AS sum_disc_t,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * (1.0e0 + l_tax) * 10000.0e0 + 0.5e0) AS BIGINT)) AS DOUBLE) AS sum_charge_t,
+       CAST(SUM(l_quantity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+FROM lineitem
+WHERE epoch_us(l_shipdate) <= 905731200000000
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3_DATE_US = 795_225_600_000_000  # 1995-03-15
+_DAY_US = 86_400_000_000
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping priority (quantized revenue): BUILDING
+    customers broadcast into orders (map-side probe), unshipped
+    lineitems co-shuffled against the filtered orders with the
+    partitioned equality join, grouped revenue, combine-tree top-10."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING")).select(
+        ["c_custkey"]
+    )
+    # add a probe-marker column so the inner broadcast join can filter
+    cust = cust.append_column("seg_ok", pa.array(np.ones(len(cust), np.int8)))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(od < _Q3_DATE_US))
+        od2 = sub["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": sub["o_orderkey"],
+                "o_custkey": sub["o_custkey"],
+                "o_orderday": pa.array(od2 // _DAY_US, pa.int64()),
+            }
+        )
+
+    orders = orders.map_batches(
+        ord_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    orders = ops.broadcast_join(orders, cust, on="o_custkey", dim_on="c_custkey")
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ship > _Q3_DATE_US))
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "rev_t": pa.array(
+                    np.floor(p * (1.0 - d) * 10000.0 + 0.5)
+                ),
+            }
+        )
+
+    li = li.map_batches(
+        li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    # physical projection (not select_columns): the logical Project is
+    # not reflected in Dataset.schema() under some parallelism, and
+    # equi_join_partitioned derives its column plan from schema()
+    orders = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderday"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    joined = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = ops.salted_count(
+        joined, ["l_orderkey", "o_orderday"],
+        agg_cols={"rev_t": "sum"}, count_alias="n_lines",
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        r = batch["sum_rev_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.set_column(
+            batch.schema.get_field_index("sum_rev_t"), "revenue_t",
+            pa.array(r, pa.int64()),
+        ).drop_columns(["n_lines"])
+
+    agg = agg.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.top_k(
+        agg, ["revenue_t", "o_orderday", "l_orderkey"], 10,
+        descending=[True, False, False],
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) // {_DAY_US} AS o_orderday,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_t
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND epoch_us(o.o_orderdate) < {_Q3_DATE_US}
+  AND epoch_us(l.l_shipdate) > {_Q3_DATE_US}
+GROUP BY 1, 2
+ORDER BY revenue_t DESC, o_orderday, l_orderkey
+LIMIT 10
+"""
+
+_Q5_LO_US = 820_454_400_000_000  # 1996-01-01
+_Q5_HI_US = 852_076_800_000_000  # 1997-01-01
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume (quantized revenue): the dim
+    chain region→nation→customer is broadcast into orders, the order
+    keys co-shuffle against lineitem (partitioned join), supplier
+    nations attach map-side, and only same-nation pairs count.
+    One wide shuffle total."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey", "n_name"]
+    )
+    rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rk.combine_chunks()))
+    nat = nat.select(["n_nationkey", "n_name"])
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(
+        pc.is_in(cust["c_nationkey"], value_set=nat["n_nationkey"].combine_chunks())
+    )
+
+    supp = pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (od >= _Q5_LO_US) & (od < _Q5_HI_US)
+        return batch.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(
+        ord_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    orders = ops.broadcast_join(orders, cust, on="o_custkey", dim_on="c_custkey")
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev_t": pa.array(np.floor(p * (1.0 - d) * 10000.0 + 0.5)),
+            }
+        )
+
+    li = li.map_batches(
+        li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = ops.broadcast_join(li, supp, on="l_suppkey", dim_on="s_suppkey")
+    # physical projection — see q_tpch_q3 note on select_columns/schema()
+    orders = orders.map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    joined = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+    )
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nationkey"], batch["c_nationkey"])
+        return batch.filter(pc.fill_null(keep, False))
+
+    joined = joined.map_batches(
+        same_nation, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    joined = ops.broadcast_join(
+        joined, nat, on="c_nationkey", dim_on="n_nationkey"
+    )
+    agg = ops.salted_count(
+        joined, ["n_name"], agg_cols={"rev_t": "sum"}, count_alias="n_lines"
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        r = batch["sum_rev_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"n_name": batch["n_name"], "revenue_t": pa.array(r, pa.int64())}
+        )
+
+    return agg.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_t
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND epoch_us(o.o_orderdate) >= {_Q5_LO_US}
+  AND epoch_us(o.o_orderdate) < {_Q5_HI_US}
+GROUP BY n.n_name
+"""
+
+
 # ------------------------------------------ analytics: funnel / cohort
 
 
@@ -4476,6 +4772,9 @@ QUERIES = {
     "gram_matrix": q_gram_matrix,
     "components": q_components,
     "pagerank": q_pagerank,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -4603,6 +4902,9 @@ ORACLE = {
     "gram_matrix": SQL_GRAM_MATRIX,
     "components": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
