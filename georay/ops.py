@@ -3903,3 +3903,56 @@ def merge_upsert(
         .groupby("_bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def tile_pyramid(
+    ds: ray.data.Dataset,
+    geom_col: str = "geotag",
+    zoom: int = 8,
+    levels: int = 4,
+) -> ray.data.Dataset:
+    """Multi-zoom tile pyramid in ONE pass: per-tile point counts at
+    ``zoom, zoom-1, …, zoom-levels+1`` — the map-serving rollup that
+    normally runs as ``levels`` separate groupbys. Parent tiles are the
+    child coordinates shifted right (slippy-map prefix property, same
+    idea as the S2 prefix parent), so each batch emits its partials for
+    every level from the SAME base tile computation and everything
+    merges through one combine tree keyed ``(zoom, tx, ty)``. Output:
+    ``(zoom, tile_x, tile_y, n)``; the input never shuffles."""
+    from georay import cells as _cells
+
+    zooms = [zoom - i for i in range(levels)]
+    if zooms[-1] < 0:
+        raise ValueError("levels exceeds zoom")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat = point_lonlat(batch, geom_col)
+        tx, ty = _cells.mercator_tile(lon, lat, zoom)
+        zs, xs, ys = [], [], []
+        for z in zooms:
+            shift = zoom - z
+            xs.append(tx >> shift)
+            ys.append(ty >> shift)
+            zs.append(np.full(tx.shape[0], z, np.int64))
+        zc = np.concatenate(zs)
+        xc = np.concatenate(xs)
+        yc = np.concatenate(ys)
+        ks, vs = _group_reduce(
+            [zc, xc, yc], {"partial_n": np.ones(zc.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "zoom": pa.array(ks[0], pa.int64()),
+                "tile_x": pa.array(ks[1], pa.int64()),
+                "tile_y": pa.array(ks[2], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(
+        parts, ["zoom", "tile_x", "tile_y"], {"partial_n": "n"},
+        int_cols=("partial_n",),
+    )

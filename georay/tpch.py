@@ -2075,6 +2075,42 @@ GROUP BY 1, 2
 """
 
 
+PYRAMID_ZOOM = 8
+PYRAMID_LEVELS = 4
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Multi-zoom tile pyramid (zooms 8..5) in ONE pass — per-batch
+    partials for every level from the same base tile, one combine tree
+    (ops.tile_pyramid); the map-serving rollup without per-level
+    groupbys."""
+    ds = lineitem_points(sf_dir)
+    return ops.tile_pyramid(
+        ds, zoom=PYRAMID_ZOOM, levels=PYRAMID_LEVELS
+    )
+
+
+def _tile_pyramid_sql() -> str:
+    n_tiles = 1 << PYRAMID_ZOOM
+    base = f"""
+SELECT CAST(FLOOR((lon + 180)/360*{n_tiles}) AS BIGINT) AS bx,
+       CAST(FLOOR((1 - LN(TAN(RADIANS(lat)) + 1/COS(RADIANS(lat)))/PI())/2*{n_tiles}) AS BIGINT) AS by
+FROM ({_LI_POINT_SQL})
+"""
+    levels = []
+    for i in range(PYRAMID_LEVELS):
+        z = PYRAMID_ZOOM - i
+        s = 1 << i
+        levels.append(
+            f"SELECT {z} AS zoom, bx // {s} AS tile_x, by // {s} AS tile_y,"
+            f" COUNT(*) AS n FROM base GROUP BY 1, 2, 3"
+        )
+    return f"WITH base AS ({base})\n" + "\nUNION ALL\n".join(levels)
+
+
+SQL_TILE_PYRAMID = _tile_pyramid_sql()
+
+
 def q_top_cells(sf_dir: str):
     """Global top-k densest grid cells (partial top-k + combine-tree
     merge, no Sort barrier; ties broken by cell id)."""
@@ -4772,6 +4808,7 @@ QUERIES = {
     "gram_matrix": q_gram_matrix,
     "components": q_components,
     "pagerank": q_pagerank,
+    "tile_pyramid": q_tile_pyramid,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -4902,6 +4939,7 @@ ORACLE = {
     "gram_matrix": SQL_GRAM_MATRIX,
     "components": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
+    "tile_pyramid": SQL_TILE_PYRAMID,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,

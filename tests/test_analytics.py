@@ -358,3 +358,37 @@ def test_pagerank_matches_float_pagerank(ray_session):
         r = 0.15 / n + 0.85 * s
     got = out["rank_q"].to_numpy() / (1 << 30)
     assert np.allclose(got, r, atol=1e-6)
+
+
+# --------------------------------------------------------- tile pyramid
+
+
+def test_tile_pyramid_parent_children_consistency(ray_session):
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    pt = native.build_points(np.column_stack([lon, lat]), GeoType.point())
+    tbl = pa.table({"i": pa.array(np.arange(2000, dtype=np.int64))})
+    tbl = tbl.append_column(GeoType.point().field("geotag"), pt)
+    out = (
+        ops.tile_pyramid(_ds(tbl), zoom=6, levels=3)
+        .to_pandas()
+    )
+    # every zoom level's total equals the point count
+    assert (out.groupby("zoom")["n"].sum() == 2000).all()
+    # each parent's count equals the sum of its (up to 4) children
+    for z in (6, 5):
+        child = out[out["zoom"] == z]
+        parent = out[out["zoom"] == z - 1]
+        rolled = (
+            child.assign(px=child["tile_x"] // 2, py=child["tile_y"] // 2)
+            .groupby(["px", "py"])["n"].sum().reset_index()
+        )
+        merged = rolled.merge(
+            parent, left_on=["px", "py"], right_on=["tile_x", "tile_y"]
+        )
+        assert len(merged) == len(parent)
+        assert (merged["n_x"] == merged["n_y"]).all()
