@@ -324,6 +324,7 @@ def degree_distribution(
 def triangle_count(
     edges: ray.data.Dataset,
     n_buckets: int = 64,
+    local_edge_cutoff: int = 100_000,
 ) -> ray.data.Dataset:
     """Exact triangle count of an undirected distinct ``(a, b)`` edge
     list, as a 1-row ``(n_triangles int64)`` table.
@@ -339,6 +340,24 @@ def triangle_count(
     source bucket; (4) wedges ∩ edges counted by one co-partitioned
     hash-bucket probe. The triangle COUNT is orientation-invariant, so
     the SQL oracle may use the simple ``a<b`` 3-way self-join."""
+    # small-edge-list fast path (same policy as connected_components):
+    # the support-filtered edge list is usually o(the node table this
+    # function materializes for broadcast anyway). Below the cutoff run
+    # the IDENTICAL degree-ordered algorithm locally — every distributed
+    # round here is pure scheduling barrier, not data. Cutoff keeps the
+    # O(m^1.5) wedge array within one worker's heap.
+    n_edges = edges.count()
+    if n_edges <= local_edge_cutoff:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = _triangle_count_local(a, b)
+        return ray.data.from_arrow(
+            pa.table({"n_triangles": pa.array([total], pa.int64())})
+        )
+
     degrees = degree_table(edges)
     tbl = pa.concat_tables([ray.get(r) for r in degrees.to_arrow_refs()])
     nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -468,6 +487,7 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     scale_bits: int = 30,
+    local_edge_cutoff: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Integer-exact PageRank over an undirected ``(a, b)`` edge list
     (symmetrized to a directed graph), ``n_iter`` fixed power
@@ -488,8 +508,45 @@ def pagerank(
     for the partitioned equality join.
 
     Returns ``(node int64, rank_q int64)``; Σ rank_q ≈ 2^scale_bits
-    (floor losses make it slightly less)."""
+    (floor losses make it slightly less). Below ``local_edge_cutoff``
+    edges the identical integer iteration runs in-memory (same policy
+    as connected_components: the edge list is already o(the node table
+    this function materializes), and each distributed round is pure
+    scheduling barrier at that size)."""
     import ray as _ray
+
+    n_edges = edges.count()
+    if n_edges <= local_edge_cutoff:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.shape[0] == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "rank_q": pa.array([], pa.int64())})
+            )
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: a.shape[0]], inv[a.shape[0]:]
+        n = nodes.shape[0]
+        deg = np.bincount(ia, minlength=n) + np.bincount(ib, minlength=n)
+        scale = 1 << scale_bits
+        base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+        rank = np.full(n, scale // n, dtype=np.int64)
+        for _ in range(n_iter):
+            contrib = rank // deg
+            sums = np.bincount(ib, weights=contrib[ia].astype(np.float64),
+                               minlength=n)
+            sums += np.bincount(ia, weights=contrib[ib].astype(np.float64),
+                                minlength=n)
+            # float64 bincount is exact: contributions are < 2^30 and a
+            # node's incoming sum < 2^scale_bits ≪ 2^53
+            rank = base_q + (damping_num * sums.astype(np.int64)) // damping_den
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "rank_q": pa.array(rank, pa.int64())})
+        )
 
     degs = degree_table(edges)
     tbl = pa.concat_tables(_ray.get(degs.to_arrow_refs()))
@@ -547,3 +604,43 @@ def pagerank(
              "rank_q": pa.array(rank, pa.int64())}
         )
     )
+
+
+def _triangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact triangle count of a distinct (a<b) edge list, in-memory —
+    the same degree-ordered node-iterator as the distributed plan, all
+    numpy: orient by (degree, id), enumerate out-neighbor pairs with the
+    ragged pair enumerator, membership-test wedges against the oriented
+    edge set via one sorted searchsorted."""
+    if a.shape[0] == 0:
+        return 0
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: a.shape[0]], inv[a.shape[0]:]
+    deg = np.bincount(ia, minlength=nodes.shape[0]) + np.bincount(
+        ib, minlength=nodes.shape[0]
+    )
+    # total order: (degree, node index)
+    rank = np.lexsort((np.arange(nodes.shape[0]), deg))
+    order_of = np.empty_like(rank)
+    order_of[rank] = np.arange(rank.shape[0])
+    oa, ob = order_of[ia], order_of[ib]
+    src = np.where(oa < ob, oa, ob)
+    dst = np.where(oa < ob, ob, oa)
+    # sort by (src, dst) for grouped pair enumeration + membership probe
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    first = np.ones(src.shape[0], dtype=bool)
+    first[1:] = src[1:] != src[:-1]
+    starts = np.nonzero(first)[0]
+    i, j = _pairs_within_groups(starts, src.shape[0])
+    if i.shape[0] == 0:
+        return 0
+    v, w = dst[i], dst[j]
+    lo, hi = np.minimum(v, w), np.maximum(v, w)
+    n = np.int64(nodes.shape[0])
+    ekey = src.astype(np.int64) * n + dst
+    wkey = lo.astype(np.int64) * n + hi
+    ekey.sort()
+    pos = np.searchsorted(ekey, wkey)
+    pos = np.clip(pos, 0, ekey.shape[0] - 1)
+    return int((ekey[pos] == wkey).sum())

@@ -392,3 +392,31 @@ def test_tile_pyramid_parent_children_consistency(ray_session):
         )
         assert len(merged) == len(parent)
         assert (merged["n_x"] == merged["n_y"]).all()
+
+
+def test_graph_local_and_distributed_paths_agree(ray_session):
+    rng = np.random.default_rng(21)
+    m = 120
+    aa = rng.integers(1, 40, m)
+    bb = rng.integers(1, 40, m)
+    keep = aa != bb
+    lo = np.minimum(aa[keep], bb[keep])
+    hi = np.maximum(aa[keep], bb[keep])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    edges = _ds(
+        pa.table({"a": pa.array(e[:, 0], pa.int64()), "b": pa.array(e[:, 1], pa.int64())})
+    ).materialize()
+    t_loc = analytics.triangle_count(edges).to_pandas()["n_triangles"][0]
+    t_dist = analytics.triangle_count(edges, local_edge_cutoff=0).to_pandas()[
+        "n_triangles"
+    ][0]
+    assert t_loc == t_dist
+    p_loc = (
+        analytics.pagerank(edges, n_iter=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    p_dist = (
+        analytics.pagerank(edges, n_iter=3, local_edge_cutoff=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert p_loc.values.tolist() == p_dist.values.tolist()
