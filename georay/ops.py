@@ -3803,6 +3803,19 @@ def weighted_sample(
     positive (priority is unbounded at w→∞, excluded at w=0). Note
     mix64(0)=0, so key 0 gets u=2^-64 (near-certain selection) — use
     nonzero keys."""
+    pr = add_priority_column(ds, key_col, weight_col, priority_col)
+    return top_k(pr, [priority_col, key_col], k, descending=[True, False])
+
+
+def add_priority_column(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    priority_col: str = "priority",
+) -> ray.data.Dataset:
+    """The priority-sampling key ``w / ((mix64(key)+1)/2^64)`` as a
+    column — shared by ``weighted_sample`` (global top-k) and
+    ``weighted_sample_grouped`` (per-group top-k)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         v = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -3811,10 +3824,29 @@ def weighted_sample(
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return batch.append_column(priority_col, pa.array(w / u, pa.float64()))
 
-    pr = ds.map_batches(
+    return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    return top_k(pr, [priority_col, key_col], k, descending=[True, False])
+
+
+def weighted_sample_grouped(
+    ds: ray.data.Dataset,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    priority_col: str = "priority",
+) -> ray.data.Dataset:
+    """Per-GROUP weighted sampling without replacement: ``k`` rows per
+    group, weight-proportional within the group (priority sampling per
+    stratum — the weighted version of the stratified hash sample). Same
+    deterministic transcendental-free priority as ``weighted_sample``,
+    finished by ``group_top_k``'s map-side-pruned shuffle: each batch
+    contributes at most k rows per group to the exchange."""
+    pr = add_priority_column(ds, key_col, weight_col, priority_col)
+    return group_top_k(
+        pr, group_col, [priority_col, key_col], k, descending=[True, False]
+    )
 
 
 def merge_upsert(

@@ -4455,6 +4455,36 @@ FROM hx ORDER BY priority DESC, rid LIMIT 100
 """
 
 
+def q_weighted_grouped(sf_dir: str):
+    """Per-group weighted sampling: 20 documents per language, drawn
+    proportionally to n_chars (priority sampling per stratum —
+    ops.weighted_sample_grouped; map-side-pruned group shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    out = ops.weighted_sample_grouped(ds, "doc_id", "lang", "n_chars", 20)
+    return out.select_columns(["doc_id", "lang", "n_chars", "priority"])
+
+
+SQL_WEIGHTED_GROUPED = """
+WITH s1 AS (SELECT doc_id, lang, n_chars, CAST(doc_id AS HUGEINT) AS rid FROM documents),
+m1 AS (SELECT *, xor(rid, rid // 8589934592) AS h1 FROM s1),
+m2 AS (SELECT * EXCLUDE(h1),
+              ( (h1 % 4294967296) * 18397679294719823053
+              + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296 ) % 18446744073709551616 AS h2
+       FROM m1),
+hx AS (SELECT * EXCLUDE(h2), xor(h2, h2 // 8589934592) AS h FROM m2),
+pr AS (SELECT doc_id, lang, n_chars,
+              n_chars / ((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0) AS priority
+       FROM hx)
+SELECT doc_id, lang, n_chars, priority FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+  FROM pr
+) WHERE rn <= 20
+"""
+
+
 def q_merge_upsert(sf_dir: str):
     """CDC merge (lakehouse MERGE INTO): a deterministic update stream —
     orders with mix64(o_orderkey)%4==1 re-priced (+100, version 1),
@@ -4800,6 +4830,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "weighted_sample": q_weighted_sample,
+    "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
@@ -4931,6 +4962,7 @@ ORACLE = {
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,

@@ -420,3 +420,23 @@ def test_graph_local_and_distributed_paths_agree(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     assert p_loc.values.tolist() == p_dist.values.tolist()
+
+
+def test_weighted_sample_grouped_per_group_k(ray_session):
+    rng = np.random.default_rng(2)
+    n = 300
+    rid = np.arange(1, n + 1, dtype=np.int64)
+    grp = rng.integers(0, 3, n)
+    w = rng.uniform(0.5, 5.0, n)
+    tbl = pa.table(
+        {"rid": pa.array(rid), "g": pa.array(grp, pa.int64()), "w": pa.array(w)}
+    )
+    out = ops.weighted_sample_grouped(_ds(tbl), "rid", "g", "w", 7).to_pandas()
+    assert (out.groupby("g").size() == 7).all()
+    # matches the numpy oracle per group
+    h = ops._mix64(rid.view(np.uint64).copy())
+    pri = w / ((h.astype(np.float64) + 1.0) / float(1 << 64))
+    for g in range(3):
+        m = grp == g
+        order = np.lexsort((rid[m], -pri[m]))[:7]
+        assert sorted(out[out["g"] == g]["rid"]) == sorted(rid[m][order])
