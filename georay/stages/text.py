@@ -996,3 +996,150 @@ def lm_score(
     return ds.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# --------------------------------------------------------- BPE tokenizer
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int = 200,
+    text_col: str = "text",
+    end_of_word: str = "▁",
+) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges (Sennrich et al. 2016) on a
+    corpus — the standard tokenizer-training recipe, distributed the
+    way real trainers are: ONE streaming wordcount pass reduces the
+    corpus to its word-frequency table (``token_histogram`` — the
+    corpus never concentrates; only the vocabulary does), then the
+    merge loop runs over that o(vocab) table on the driver. Ties in
+    pair frequency break lexicographically, so training is
+    deterministic across runs/partitionings.
+
+    Returns the ordered merge list (earlier = higher priority). Words
+    are char sequences with ``end_of_word`` appended to the last char
+    (classic word-boundary marker)."""
+    wc = pa.concat_tables(
+        token_histogram(ds, text_col).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    words = wc["token"].to_pylist()
+    counts = wc["n"].to_pylist()
+    seqs: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in zip(words, counts):
+        if not w:
+            continue
+        s = list(w)
+        s[-1] = s[-1] + end_of_word
+        seqs.append(s)
+        freqs.append(int(c))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for s, c in zip(seqs, freqs):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        # deterministic tie-break: highest count, then lexicographically
+        # smallest pair
+        best_count = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == best_count)
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for s in seqs:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == a and s[i + 1] == b:
+                    s[i] = ab
+                    del s[i + 1]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict[tuple[str, str], int], end_of_word: str) -> int:
+    """Number of BPE tokens for one word under the trained merges
+    (greedy lowest-rank-first, the standard decode order)."""
+    s = list(word)
+    if not s:
+        return 0
+    s[-1] = s[-1] + end_of_word
+    while len(s) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(s) - 1):
+            r = ranks.get((s[i], s[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        s[best_i] = s[best_i] + s[best_i + 1]
+        del s[best_i + 1]
+    return len(s)
+
+
+class BpeTokenCounter:
+    """Actor-pool stage: per-document BPE token counts under a trained
+    merge list. The merge ranks dict builds ONCE per actor
+    (``__init__``); per batch, only the batch's UNIQUE words are
+    BPE-segmented (dictionary-encode first) and results accumulate in a
+    per-actor word→len cache, so steady-state cost is a dictionary
+    lookup per unique word — the corpus-frequency (Zipf) distribution
+    makes the cache hit rate ≈ 1. This is the canonical 'stateful
+    setup in __init__, vectorized probe in __call__' shape."""
+
+    def __init__(self, merges: list[tuple[str, str]], text_col: str = "text",
+                 end_of_word: str = "▁"):
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col = text_col
+        self.eow = end_of_word
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, counts = _tokenize_flat(txt)
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary.to_pylist()
+        lens = np.empty(len(vocab), dtype=np.int64)
+        for i, w in enumerate(vocab):
+            v = self.cache.get(w)
+            if v is None:
+                v = _bpe_apply(w, self.ranks, self.eow)
+                self.cache[w] = v
+            lens[i] = v
+        codes = np.asarray(enc.indices).astype(np.int64)
+        per_token = lens[codes]
+        from georay.index import _ragged_ranges
+
+        owner, _ = _ragged_ranges(counts)
+        n = counts.shape[0]
+        sums = np.zeros(n, dtype=np.int64)
+        if owner.size:
+            firsts = np.ones(owner.size, dtype=bool)
+            firsts[1:] = owner[1:] != owner[:-1]
+            starts = np.flatnonzero(firsts)
+            sums[owner[starts]] = np.add.reduceat(per_token, starts)
+        return batch.append_column("n_bpe_tokens", pa.array(sums, pa.int64()))
+
+
+def add_bpe_token_count(
+    ds: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    concurrency=None,
+) -> ray.data.Dataset:
+    """Attach per-doc BPE token counts (see ``BpeTokenCounter``)."""
+    return ds.map_batches(
+        BpeTokenCounter,
+        fn_constructor_kwargs={"merges": merges, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=concurrency or (1, 8),
+    )

@@ -4656,6 +4656,46 @@ FROM documents d LEFT JOIN persum USING (doc_id)
 """
 
 
+# --------------------------------------------------------- BPE tokenizer
+
+BPE_MERGES = 100
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE tokenizer trained on the corpus (distributed wordcount →
+    driver merge loop over the o(vocab) table, the standard recipe)
+    then per-doc BPE token counts via the cached actor-pool encoder.
+    No SQL twin for learned merges — correctness pinned by pytest
+    (classic Sennrich example) plus the 0-merge oracled twin
+    ``bpe_base``."""
+    from georay.stages.text import add_bpe_token_count, bpe_train
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=BPE_MERGES)
+    out = add_bpe_token_count(ds, merges)
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def q_bpe_base(sf_dir: str):
+    """Oracled twin of ``bpe_tokens``: with ZERO merges every word is
+    its characters, so the count is the normalized text's non-space
+    codepoint count — pins the whole tokenize → segment → per-doc
+    reduce plumbing in SQL."""
+    from georay.stages.text import add_bpe_token_count
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = add_bpe_token_count(ds, merges=[])
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_BPE_BASE = r"""
+SELECT doc_id,
+       length(replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', ''))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------- PCA
 
 GRAM_DIMS = 8
@@ -4837,6 +4877,8 @@ QUERIES = {
     "bm25": q_bm25,
     "lm_score": q_lm_score,
     "gram_matrix": q_gram_matrix,
+    "bpe_tokens": q_bpe_tokens,
+    "bpe_base": q_bpe_base,
     "components": q_components,
     "pagerank": q_pagerank,
     "tile_pyramid": q_tile_pyramid,
@@ -4969,6 +5011,7 @@ ORACLE = {
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
     "gram_matrix": SQL_GRAM_MATRIX,
+    "bpe_base": SQL_BPE_BASE,
     "components": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "tile_pyramid": SQL_TILE_PYRAMID,

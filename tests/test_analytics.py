@@ -440,3 +440,53 @@ def test_weighted_sample_grouped_per_group_k(ray_session):
         m = grp == g
         order = np.lexsort((rid[m], -pri[m]))[:7]
         assert sorted(out[out["g"] == g]["rid"]) == sorted(rid[m][order])
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_train_classic_example(ray_session):
+    from georay.stages.text import bpe_train, _bpe_apply
+
+    # Sennrich et al. toy corpus: most frequent pair is (e, s) from
+    # newest(6) + widest(3); tie with (s, t▁) broken lexicographically
+    docs = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+    merges = bpe_train(_ds(tbl), n_merges=4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t▁")
+    # enough merges collapse the most frequent word to one token
+    merges_full = bpe_train(_ds(tbl), n_merges=50)
+    ranks = {tuple(m): i for i, m in enumerate(merges_full)}
+    assert _bpe_apply("newest", ranks, "▁") == 1
+    # unseen word stays segmented but never errors
+    assert _bpe_apply("zzz", ranks, "▁") == 3
+
+
+def test_bpe_token_count_monotone_and_cached(ray_session):
+    from georay.stages.text import add_bpe_token_count, bpe_train
+
+    docs = ["the cat sat", "the cat", "a dog and the cat sat down"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+    m0 = add_bpe_token_count(_ds(tbl), merges=[]).to_pandas().sort_values("doc_id")
+    # zero merges: token count = non-space chars
+    assert m0["n_bpe_tokens"].tolist() == [
+        len(d.replace(" ", "")) for d in docs
+    ]
+    merges = bpe_train(_ds(tbl), n_merges=10)
+    m1 = (
+        add_bpe_token_count(_ds(tbl), merges=merges)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert (m1["n_bpe_tokens"].values <= m0["n_bpe_tokens"].values).all()
+    assert (m1["n_bpe_tokens"].values >= 1).all()
