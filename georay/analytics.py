@@ -644,3 +644,145 @@ def _triangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
     pos = np.searchsorted(ekey, wkey)
     pos = np.clip(pos, 0, ekey.shape[0] - 1)
     return int((ekey[pos] == wkey).sum())
+
+
+# ------------------------------------------------- trajectories / OD
+
+def trajectory_stats(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    tiebreak_col: str | None = None,
+    scale_bits: int = 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity movement statistics over a timestamped point stream:
+    ``(user, n_points, path_q, net_q)`` where path = Σ planar leg
+    lengths between consecutive fixes and net = start→end displacement.
+
+    Each leg is ``sqrt(dx² + dy²)`` — IEEE sqrt is CORRECTLY ROUNDED
+    (verified bit-equal numpy vs DuckDB on this host), so quantizing
+    each leg to ``floor(leg · 2^scale_bits + 0.5)`` is deterministic
+    and the per-user int64 sums are order-free → the SQL LAG twin
+    hash-matches exactly. (A float sum of haversine legs would be both
+    summation-order dependent AND asin-ulp fragile; use planar degrees
+    for the oracle gate, haversine for the geodesic variant.)
+
+    One user-bucket shuffle; per-bucket one lexsort + vectorized diffs."""
+    cols = [user_col, ts_col, lon_col, lat_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+    scale = float(1 << scale_bits)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        n = lon.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                    "path_q": pa.array([], pa.int64()),
+                    "net_q": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        dx = np.empty(n)
+        dy = np.empty(n)
+        dx[1:] = lon[1:] - lon[:-1]
+        dy[1:] = lat[1:] - lat[:-1]
+        dx[first] = 0.0
+        dy[first] = 0.0
+        leg_q = np.floor(np.sqrt(dx * dx + dy * dy) * scale + 0.5).astype(np.int64)
+        path = np.add.reduceat(leg_q, starts)
+        ends = np.append(starts[1:], n) - 1
+        ndx = lon[ends] - lon[starts]
+        ndy = lat[ends] - lat[starts]
+        net = np.floor(np.sqrt(ndx * ndx + ndy * ndy) * scale + 0.5).astype(np.int64)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                user_col: pa.array(u[order][starts], pa.int64()),
+                "n_points": pa.array(counts, pa.int64()),
+                "path_q": pa.array(path, pa.int64()),
+                "net_q": pa.array(net, pa.int64()),
+            }
+        )
+
+    return _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def od_matrix(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    cell_col: str,
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Origin–destination matrix: counts of consecutive-fix transitions
+    between cells across all entities — ``(cell_from, cell_to, n)``,
+    self-transitions included. One user-bucket shuffle (a user's track
+    never splits), per-bucket lexsort + shifted compare, partial counts
+    through the combine tree. SQL twin: LAG over (user ORDER BY ts)."""
+    cols = [user_col, ts_col, cell_col] + ([tiebreak_col] if tiebreak_col else [])
+    proj = ds.select_columns(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        cell = group[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        n = cell.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "cell_from": pa.array([], pa.int64()),
+                    "cell_to": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep = ~first
+        frm = np.empty(n, dtype=np.int64)
+        frm[1:] = cell[:-1]
+        ks, vs = _group_reduce(
+            [frm[keep], cell[keep]],
+            {"partial_n": np.ones(int(keep.sum()), np.int64)},
+        )
+        return pa.table(
+            {
+                "cell_from": pa.array(ks[0], pa.int64()),
+                "cell_to": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    return tree_sum(
+        parts, ["cell_from", "cell_to"], {"partial_n": "n"},
+        int_cols=("partial_n",),
+    )

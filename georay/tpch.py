@@ -4061,6 +4061,114 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --------------------------------------------- trajectories / OD matrix
+
+EV_LON = "((user_id*37 + event_id*13) % 3600)/10.0 - 180.0 + 0.05"
+EV_LAT = "((user_id*53 + event_id*29) % 1700)/10.0 - 85.0 + 0.05"
+
+
+def _event_points(sf_dir: str) -> rd.Dataset:
+    """events with deterministic synthetic lon/lat (mirrors EV_LON/LAT)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    def add_pt(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((u * 37 + e * 13) % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((u * 53 + e * 29) % 1700) / 10.0 - 85.0 + 0.05
+        return batch.append_column("lon", pa.array(lon)).append_column(
+            "lat", pa.array(lat)
+        )
+
+    return ds.map_batches(
+        add_pt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_trajectory(sf_dir: str):
+    """Per-user movement stats over the event stream (path length +
+    net displacement, legs quantized via correctly-rounded sqrt so the
+    SQL LAG twin is bit-exact — analytics.trajectory_stats)."""
+    from georay import analytics
+
+    return analytics.trajectory_stats(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        tiebreak_col="event_id",
+    )
+
+
+SQL_TRAJECTORY = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         CASE WHEN rn = 1 THEN 0
+              ELSE CAST(floor(sqrt((lon - plon)*(lon - plon)
+                                 + (lat - plat)*(lat - plat)) * 1048576e0
+                              + 0.5e0) AS BIGINT) END AS leg_q
+  FROM seq
+),
+agg AS (SELECT user_id, COUNT(*) AS n_points,
+               CAST(SUM(leg_q) AS BIGINT) AS path_q FROM legs GROUP BY user_id),
+f AS (SELECT user_id, lon AS flon, lat AS flat FROM seq WHERE rn = 1),
+l AS (SELECT s.user_id, s.lon AS llon, s.lat AS llat
+      FROM seq s JOIN (SELECT user_id, MAX(rn) AS mrn FROM seq GROUP BY 1) m
+        ON s.user_id = m.user_id AND s.rn = m.mrn)
+SELECT agg.user_id, agg.n_points, agg.path_q,
+       CAST(floor(sqrt((llon - flon)*(llon - flon)
+                     + (llat - flat)*(llat - flat)) * 1048576e0 + 0.5e0)
+            AS BIGINT) AS net_q
+FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
+"""
+
+
+def q_od_matrix(sf_dir: str):
+    """Origin–destination transition matrix between 1° grid cells over
+    the event stream (analytics.od_matrix; one user-bucket shuffle +
+    combine tree)."""
+    from georay import analytics
+
+    pts = _event_points(sf_dir)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cell = (np.floor(lon).astype(np.int64) + 180) * 400 + (
+            np.floor(lat).astype(np.int64) + 90
+        )
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    pts = pts.map_batches(
+        add_cell, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return analytics.od_matrix(
+        pts, "user_id", "ts", "cell", tiebreak_col="event_id"
+    )
+
+
+SQL_OD_MATRIX = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (CAST(floor({EV_LON}) AS BIGINT) + 180) * 400
+         + (CAST(floor({EV_LAT}) AS BIGINT) + 90) AS cell
+  FROM events
+),
+seq AS (
+  SELECT user_id, cell, LAG(cell) OVER w AS pcell,
+         ROW_NUMBER() OVER w AS rn
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT pcell AS cell_from, cell AS cell_to, COUNT(*) AS n
+FROM seq WHERE rn > 1 GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------- classic TPC-H compositions
 #
 # Money sums are quantized to integers (cents / 1e-4 units) BEFORE
@@ -4869,6 +4977,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "cohort": q_cohort,
+    "trajectory": q_trajectory,
+    "od_matrix": q_od_matrix,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5003,6 +5113,8 @@ ORACLE = {
     "sessionize": SQL_SESSIONIZE,
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
+    "trajectory": SQL_TRAJECTORY,
+    "od_matrix": SQL_OD_MATRIX,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

@@ -490,3 +490,45 @@ def test_bpe_token_count_monotone_and_cached(ray_session):
     )
     assert (m1["n_bpe_tokens"].values <= m0["n_bpe_tokens"].values).all()
     assert (m1["n_bpe_tokens"].values >= 1).all()
+
+
+# -------------------------------------------------------- trajectories
+
+
+def test_trajectory_stats_hand(ray_session):
+    # user 1: (0,0) -> (3,4) -> (3,4): path = 5 + 0, net = 5
+    # user 2: single fix: path 0, net 0
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 9], pa.timestamp("us")),
+            "e": pa.array([10, 11, 12, 13], pa.int64()),
+            "lon": pa.array([0.0, 3.0, 3.0, 7.0]),
+            "lat": pa.array([0.0, 4.0, 4.0, 7.0]),
+        }
+    )
+    out = (
+        analytics.trajectory_stats(
+            _ds(tbl), "u", "ts", "lon", "lat", tiebreak_col="e", n_buckets=4
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    s = 1 << 20
+    assert out.values.tolist() == [[1, 3, 5 * s, 5 * s], [2, 1, 0, 0]]
+
+
+def test_od_matrix_hand(ray_session):
+    # user 1 visits cells 5 -> 7 -> 7 -> 5; user 2: 7 -> 5
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 1, 2], pa.timestamp("us")),
+            "e": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "cell": pa.array([5, 7, 7, 5, 7, 5], pa.int64()),
+        }
+    )
+    out = (
+        analytics.od_matrix(_ds(tbl), "u", "ts", "cell", tiebreak_col="e", n_buckets=4)
+        .to_pandas().sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[5, 7, 1], [7, 5, 2], [7, 7, 1]]
