@@ -786,3 +786,110 @@ def od_matrix(
         parts, ["cell_from", "cell_to"], {"partial_n": "n"},
         int_cols=("partial_n",),
     )
+
+
+# ------------------------------------------------------- convex hulls
+
+def _convex_hull_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull in counter-clockwise order (Andrew's
+    monotone chain; collinear points dropped). O(n log n) per group."""
+    n = x.shape[0]
+    order = np.lexsort((y, x))
+    pts = np.arange(n)[order]
+
+    def half(indices):
+        out: list[int] = []
+        for i in indices:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                cross = (x[a] - x[o]) * (y[i] - y[o]) - (y[a] - y[o]) * (x[i] - x[o])
+                if cross <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def grouped_convex_hull(
+    ds: ray.data.Dataset,
+    key_col: str,
+    lon_col: str,
+    lat_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group convex hull (dissolve-to-hull): ``(key, hull_wkt,
+    n_vertices, area)`` — hull as a closed CCW POLYGON through the
+    engine's own native builder + WKT writer, shoelace area.
+
+    One key-bucket shuffle; within a bucket groups are separated by one
+    lexsort, then each group runs monotone chain (O(m log m); the
+    per-group Python loop is over GROUPS, sized for coarse keys —
+    regions, flags, coarse cells. No SQL twin exists for hulls, so this
+    is pinned by geometry pytest invariants (hull ⊆ input, all points
+    inside, known-square case) rather than the oracle gate."""
+    from georay.codecs import native, wkt
+    from georay.types import GeoType
+
+    proj = ds.select_columns([key_col, lon_col, lat_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = group[lon_col].to_numpy(zero_copy_only=False)
+        y = group[lat_col].to_numpy(zero_copy_only=False)
+        order, starts, gid = _group_starts(k)
+        xs, ys, ks = x[order], y[order], k[order]
+        n = xs.shape[0]
+        keys_out: list[int] = []
+        wkts: list[str] = []
+        nv: list[int] = []
+        areas: list[float] = []
+        bounds = np.append(starts, n)
+        for gi in range(starts.shape[0]):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            gx, gy = xs[lo:hi], ys[lo:hi]
+            hull = _convex_hull_xy(gx, gy)
+            if hull.shape[0] < 3:
+                # degenerate (point/segment): emit an empty polygon
+                keys_out.append(int(ks[lo]))
+                wkts.append("POLYGON EMPTY")
+                nv.append(int(hull.shape[0]))
+                areas.append(0.0)
+                continue
+            hx, hy = gx[hull], gy[hull]
+            ring = np.column_stack(
+                [np.append(hx, hx[0]), np.append(hy, hy[0])]
+            )
+            geo = GeoType.polygon()
+            arr = native.build_nested(
+                ring,
+                [np.array([0, 1]), np.array([0, ring.shape[0]])],
+                geo,
+            )
+            wkts.append(wkt.encode(arr, geo)[0].as_py())
+            keys_out.append(int(ks[lo]))
+            nv.append(int(hull.shape[0]))
+            areas.append(
+                float(
+                    0.5
+                    * np.abs(
+                        np.dot(hx, np.roll(hy, -1)) - np.dot(hy, np.roll(hx, -1))
+                    )
+                )
+            )
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, pa.int64()),
+                "hull_wkt": pa.array(wkts, pa.string()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    return _bucketed(proj, [key_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -4061,6 +4061,32 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_convex_hulls(sf_dir: str):
+    """Per-group convex hulls (dissolve-to-hull) of the lineitem
+    geotags grouped by linenumber — hull WKT through the engine's own
+    native builder + WKT writer (analytics.grouped_convex_hull).
+    No SQL twin exists for hulls (rows-only); pinned by geometry
+    pytest invariants."""
+    from georay import analytics
+
+    pts = lineitem_points(sf_dir, extra_cols=["l_linenumber"])
+
+    def lonlat(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        return pa.table(
+            {
+                "l_linenumber": batch["l_linenumber"].cast(pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = pts.map_batches(
+        lonlat, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return analytics.grouped_convex_hull(pts, "l_linenumber", "lon", "lat")
+
+
 # --------------------------------------------- trajectories / OD matrix
 
 EV_LON = "((user_id*37 + event_id*13) % 3600)/10.0 - 180.0 + 0.05"
@@ -4979,6 +5005,7 @@ QUERIES = {
     "cohort": q_cohort,
     "trajectory": q_trajectory,
     "od_matrix": q_od_matrix,
+    "convex_hulls": q_convex_hulls,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,

@@ -532,3 +532,62 @@ def test_od_matrix_hand(ray_session):
         .to_pandas().sort_values(["cell_from", "cell_to"]).reset_index(drop=True)
     )
     assert out.values.tolist() == [[5, 7, 1], [7, 5, 2], [7, 7, 1]]
+
+
+# --------------------------------------------------------- convex hull
+
+
+def test_grouped_convex_hull_square_and_containment(ray_session):
+    rng = np.random.default_rng(9)
+    # group 1: unit square corners + interior points -> hull = square
+    inner = rng.uniform(0.1, 0.9, (50, 2))
+    g1 = np.vstack([[[0, 0], [1, 0], [1, 1], [0, 1]], inner])
+    # group 2: random cloud
+    g2 = rng.normal(size=(80, 2))
+    pts = np.vstack([g1, g2])
+    key = np.concatenate([np.ones(len(g1), np.int64), np.full(len(g2), 2, np.int64)])
+    tbl = pa.table(
+        {
+            "k": pa.array(key),
+            "lon": pa.array(pts[:, 0]),
+            "lat": pa.array(pts[:, 1]),
+        }
+    )
+    out = (
+        analytics.grouped_convex_hull(_ds(tbl), "k", "lon", "lat", n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    sq = out.iloc[0]
+    assert sq["n_vertices"] == 4 and abs(sq["area"] - 1.0) < 1e-12
+    assert sq["hull_wkt"].startswith("POLYGON ((")
+    # containment: every group-2 point inside or on its hull
+    from georay.codecs import wkt as wkt_codec
+    from georay.types import GeoType
+
+    row = out.iloc[1]
+    arr, hull_geo = wkt_codec.decode(pa.array([row["hull_wkt"]]), GeoType.polygon())
+    from georay.codecs import native
+
+    v = native.view(arr, hull_geo)
+    ring = v.coords[:-1]  # closed ring, drop repeat
+    hx, hy = ring[:, 0], ring[:, 1]
+    ex, ey = np.roll(hx, -1) - hx, np.roll(hy, -1) - hy
+    for px, py in g2:
+        cross = ex * (py - hy) - ey * (px - hx)
+        assert (cross >= -1e-9).all()
+
+
+def test_grouped_convex_hull_degenerate(ray_session):
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "lon": pa.array([0.0, 1.0, 5.0]),
+            "lat": pa.array([0.0, 0.0, 5.0]),
+        }
+    )
+    out = (
+        analytics.grouped_convex_hull(_ds(tbl), "k", "lon", "lat", n_buckets=2)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["hull_wkt"].tolist() == ["POLYGON EMPTY", "POLYGON EMPTY"]
+    assert out["area"].tolist() == [0.0, 0.0]
