@@ -163,6 +163,10 @@ def run_bench() -> dict:
     timed_ext("triangles", lambda: tpch.q_triangles(SF_DIR).count())
     timed_ext("pagerank", lambda: tpch.q_pagerank(SF_DIR).count())
     timed_ext("gram_matrix", lambda: tpch.q_gram_matrix(SF_DIR).count())
+    timed_ext("tile_pyramid", lambda: tpch.q_tile_pyramid(SF_DIR).count())
+    timed_ext("tpch_q3", lambda: tpch.q_tpch_q3(SF_DIR).count())
+    timed_ext("trajectory", lambda: tpch.q_trajectory(SF_DIR).count())
+    timed_ext("bpe_tokens", lambda: tpch.q_bpe_tokens(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -124,6 +124,16 @@ def funnel(
     names = pa.array(steps, pa.string())
 
     def add_names(batch: pa.Table) -> pa.Table:
+        if "step" not in batch.column_names:
+            # empty input: no bucket ever emitted partials (empty blocks
+            # can arrive schema-less) — typed empty result
+            return pa.table(
+                {
+                    "step": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                    "step_name": pa.array([], pa.string()),
+                }
+            )
         idx = batch["step"].to_numpy(zero_copy_only=False) - 1
         return batch.append_column("step_name", names.take(pa.array(idx)))
 

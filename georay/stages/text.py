@@ -942,9 +942,15 @@ def lm_score(
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40, num_cpus=0.9,
     )
-    bt = pa.concat_tables(
-        parts.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    batches = list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        batches = [
+            pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "c2": pa.array([], pa.int64())}
+            )
+        ]
+    bt = pa.concat_tables(batches)
     # c1(w1) = Σ_w2 c2 (first-position unigram totals)
     g1 = bt.group_by("w1").aggregate([("c2", "sum")])
     w1_arr = bt["w1"].combine_chunks() if isinstance(bt["w1"], pa.ChunkedArray) else bt["w1"]

@@ -591,3 +591,47 @@ def test_grouped_convex_hull_degenerate(ray_session):
     )
     assert out["hull_wkt"].tolist() == ["POLYGON EMPTY", "POLYGON EMPTY"]
     assert out["area"].tolist() == [0.0, 0.0]
+
+
+# ------------------------------------------------------------ edge cases
+
+
+def test_new_ops_empty_inputs(ray_session):
+    from georay.stages.text import bm25_topk, lm_score
+
+    empty_ev = pa.table(
+        {
+            "u": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "t": pa.array([], pa.string()),
+        }
+    )
+    f = analytics.funnel(_ds(empty_ev), "u", "ts", "t", ["A", "B"], n_buckets=2)
+    assert len(f.to_pandas()) == 0  # empty input -> empty result
+    c = analytics.cohort_retention(
+        _ds(empty_ev.select(["u", "ts"])), "u", "ts", 10, n_buckets=2
+    )
+    assert len(c.to_pandas()) == 0
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0]),
+            "version": pa.array([0, 0], pa.int64()),
+        }
+    )
+    upd = pa.table(
+        {
+            "k": pa.array([], pa.int64()),
+            "v": pa.array([], pa.float64()),
+            "version": pa.array([], pa.int64()),
+            "op": pa.array([], pa.string()),
+        }
+    )
+    m = ops.merge_upsert(_ds(base), _ds(upd), "k", "version", n_buckets=2)
+    assert sorted(m.to_pandas()["k"]) == [1, 2]
+
+    empty_docs = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert len(lm_score(_ds(empty_docs)).to_pandas()) == 0
