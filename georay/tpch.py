@@ -4061,6 +4061,107 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_geo_curate(sf_dir: str):
+    """END-TO-END geo-curation chain, the spatial sibling of
+    ``pretrain_prep`` — every stage an already-oracled operator, the
+    WHOLE chain hash-matched against one SQL query:
+
+      geotag points → broadcast PIP SEMI gate (inside ≥1 part box)
+      → equirect grid cell → domain-mixture sampling by returnflag
+      (keep A=100%, R=50%, N=25%) → per-cell weighted sample (3 rows
+      per cell, l_quantity-proportional priority sampling).
+
+    One broadcast (the polygon index), zero corpus shuffles until the
+    map-side-pruned per-cell top-k."""
+    from georay.joins import pip_join
+
+    pts = lineitem_points(sf_dir, extra_cols=["l_returnflag", "l_quantity"])
+    pts = pip_join(
+        pts, part_box_polygons(sf_dir), geometry_col="geometry",
+        id_col="p_partkey", mode="semi",
+    )
+    pts = ops.add_grid_column(pts)
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rid",
+            pc.add(
+                pc.multiply(batch["l_orderkey"], 8),
+                pc.cast(batch["l_linenumber"], pa.int64()),
+            ),
+        )
+
+    pts = pts.map_batches(
+        add_rid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    pts = ops.mixture_sample(
+        pts, "rid", "l_returnflag", {"A": 1.0, "R": 0.5, "N": 0.25},
+        default_rate=0.0,
+    )
+    out = ops.weighted_sample_grouped(pts, "rid", "grid_cell", "l_quantity", 3)
+    return out.select_columns(
+        ["grid_cell", "l_returnflag", "l_orderkey", "l_linenumber",
+         "l_quantity", "priority"]
+    )
+
+
+def _mix_thr(rate: float) -> int:
+    return ops.mixture_rate_threshold(rate)
+
+
+SQL_GEO_CURATE = f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         {LI_LON} AS lon, {LI_LAT} AS lat
+  FROM lineitem
+),
+boxes AS (
+  SELECT {PART_CX} AS cx, {PART_CY} AS cy, {PART_W} AS w, {PART_H} AS h
+  FROM part
+),
+inbox AS (
+  SELECT p.* FROM pts p
+  WHERE EXISTS (
+    SELECT 1 FROM boxes b
+    WHERE p.lon >= b.cx - b.w AND p.lon < b.cx + b.w
+      AND p.lat >= b.cy - b.h AND p.lat < b.cy + b.h)
+),
+cellp AS (
+  SELECT *, CAST(FLOOR((lon + 180)/1.0) AS BIGINT)*100000
+          + CAST(FLOOR((lat + 90)/1.0) AS BIGINT) AS grid_cell,
+         CAST(l_orderkey*8 + l_linenumber AS HUGEINT) AS rid
+  FROM inbox
+),
+m1 AS (SELECT *, xor(rid, rid // 8589934592) AS h1 FROM cellp),
+m2 AS (SELECT * EXCLUDE(h1),
+              ( (h1 % 4294967296) * 18397679294719823053
+              + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296 ) % 18446744073709551616 AS h2
+       FROM m1),
+hx AS (SELECT * EXCLUDE(h2), xor(h2, h2 // 8589934592) AS h FROM m2),
+mixed AS (
+  SELECT * FROM hx
+  WHERE h < CASE l_returnflag
+    WHEN 'A' THEN {_mix_thr(1.0)}
+    WHEN 'R' THEN {_mix_thr(0.5)}
+    WHEN 'N' THEN {_mix_thr(0.25)}
+    ELSE 0 END
+),
+pri AS (
+  SELECT grid_cell, l_returnflag, l_orderkey, l_linenumber, l_quantity, rid,
+         l_quantity / ((CAST(h AS DOUBLE) + 1.0) / 18446744073709551616.0)
+           AS priority
+  FROM mixed
+)
+SELECT grid_cell, l_returnflag, l_orderkey, l_linenumber, l_quantity, priority
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY grid_cell ORDER BY priority DESC, rid) AS rn
+  FROM pri
+) WHERE rn <= 3
+"""
+
+
 def q_convex_hulls(sf_dir: str):
     """Per-group convex hulls (dissolve-to-hull) of the lineitem
     geotags grouped by linenumber — hull WKT through the engine's own
@@ -5006,6 +5107,7 @@ QUERIES = {
     "trajectory": q_trajectory,
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
+    "geo_curate": q_geo_curate,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5142,6 +5244,7 @@ ORACLE = {
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
     "od_matrix": SQL_OD_MATRIX,
+    "geo_curate": SQL_GEO_CURATE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
