@@ -2117,16 +2117,21 @@ def asof_join_broadcast(
     right_key: str,
     right_ts: str,
     out_ts: str = "matched_ts",
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """As-of join (each left row ↔ greatest right ts ≤ left ts per key),
-    Ray Data lacking a built-in: broadcast the (small) right side sorted
-    by (key, ts) with rank-compressed timestamps, probe per batch with two
-    ``np.searchsorted`` calls — no shuffle of the big side. Inner join;
-    ``out_ts`` carries the matched right timestamp (µs).
+    """As-of join, Ray Data lacking a built-in: broadcast the (small)
+    right side sorted by (key, ts) with rank-compressed timestamps,
+    probe per batch with two ``np.searchsorted`` calls — no shuffle of
+    the big side. Inner join; ``out_ts`` carries the matched right
+    timestamp (µs). ``direction``: "backward" (default — greatest right
+    ts ≤ left ts per key, DuckDB/pandas asof semantics) or "forward"
+    (smallest right ts ≥ left ts per key).
 
     For a LARGE right side the same kernel runs per key-hash bucket after
     bucketing both sides (partitioned asof) — documented scale path.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     rk = right[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
     rt = right[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
     order = np.lexsort((rt, rk))
@@ -2146,13 +2151,25 @@ def asof_join_broadcast(
         )
         lk = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
         lt = batch[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # greatest right rank with ts ≤ left ts
-        r_up = np.searchsorted(u_ts, lt, side="right") - 1
-        probe_comp = (lk << np.int64(sh)) | np.maximum(r_up, 0)
-        pos = np.searchsorted(comp_r, probe_comp, side="right") - 1
-        ok = (pos >= 0) & (r_up >= 0)
-        pos_c = np.clip(pos, 0, len(comp_r) - 1)
-        ok &= rk_sorted[pos_c] == lk  # landed inside this key's run
+        if direction == "backward":
+            # greatest right rank with ts ≤ left ts
+            r_up = np.searchsorted(u_ts, lt, side="right") - 1
+            probe_comp = (lk << np.int64(sh)) | np.maximum(r_up, 0)
+            pos = np.searchsorted(comp_r, probe_comp, side="right") - 1
+            ok = (pos >= 0) & (r_up >= 0)
+            pos_c = np.clip(pos, 0, len(comp_r) - 1)
+            ok &= rk_sorted[pos_c] == lk  # landed inside this key's run
+        else:
+            # smallest right rank with ts ≥ left ts
+            r_lo = np.searchsorted(u_ts, lt, side="left")
+            in_range = r_lo < len(u_ts)
+            probe_comp = (lk << np.int64(sh)) | np.minimum(
+                r_lo, max(len(u_ts) - 1, 0)
+            )
+            pos = np.searchsorted(comp_r, probe_comp, side="left")
+            ok = in_range & (pos < len(comp_r))
+            pos_c = np.clip(pos, 0, len(comp_r) - 1)
+            ok &= rk_sorted[pos_c] == lk
         out = batch.filter(pa.array(ok))
         matched = rt_sorted[pos_c[ok]]
         return out.append_column(out_ts, pa.array(matched, pa.int64()))

@@ -3870,6 +3870,30 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def q_asof_forward(sf_dir: str):
+    """FORWARD as-of join: each order matched to the customer's first
+    event at or after the order date (direction="forward" on the same
+    rank-compressed broadcast kernel)."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = pq.read_table(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out = ops.asof_join_broadcast(
+        ds, events, "o_custkey", "o_orderdate", "user_id", "ts",
+        out_ts="first_event_ts", direction="forward",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "first_event_ts"])
+
+
+SQL_ASOF_FORWARD = """
+SELECT o.o_orderkey, o.o_custkey, epoch_us(e.ts) AS first_event_ts
+FROM orders o ASOF JOIN events e
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+"""
+
+
 def q_cast_roundtrip_grid(sf_dir: str):
     """Dataset-level as_geoarrow cast chain: native point → WKB → native,
     then the grid histogram — hash-equal to grid_cell_count iff the cast
@@ -5108,6 +5132,7 @@ QUERIES = {
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
+    "asof_forward": q_asof_forward,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5245,6 +5270,7 @@ ORACLE = {
     "trajectory": SQL_TRAJECTORY,
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
+    "asof_forward": SQL_ASOF_FORWARD,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

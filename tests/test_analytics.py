@@ -635,3 +635,31 @@ def test_new_ops_empty_inputs(ray_session):
         {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
     )
     assert len(lm_score(_ds(empty_docs)).to_pandas()) == 0
+
+
+# ------------------------------------------------------------ asof forward
+
+
+def test_asof_forward_direction(ray_session):
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([5, 10, 100, 5], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2], pa.int64()),
+            "rts": pa.array([7, 10, 3], pa.timestamp("us")),
+        }
+    )
+    out = (
+        ops.asof_join_broadcast(
+            _ds(left), right, "k", "ts", "rk", "rts",
+            out_ts="m", direction="forward",
+        )
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    # k=1: ts 5 -> 7, ts 10 -> 10 (>= is inclusive), ts 100 -> no match
+    # k=2: ts 5 -> no match (right has only 3)
+    assert out[["k", "m"]].values.tolist() == [[1, 7], [1, 10]]
