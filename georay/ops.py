@@ -4005,3 +4005,72 @@ def tile_pyramid(
         parts, ["zoom", "tile_x", "tile_y"], {"partial_n": "n"},
         int_cols=("partial_n",),
     )
+
+
+def window_first_value(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    out_col: str = "first_value",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``FIRST_VALUE(value) OVER (PARTITION BY key ORDER BY ...)``:
+    every row gets its key's first value in the total order. Same
+    one-shuffle bucket plan as the other positional windows."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        varr = (
+            g[value_col].combine_chunks()
+            if isinstance(g[value_col], pa.ChunkedArray)
+            else g[value_col]
+        )
+        n = len(g)
+        if n == 0:
+            return out_col, varr
+        key_start = np.maximum.accumulate(np.where(first, pos, 0))
+        return out_col, varr.take(pa.array(key_start))
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_first_value",
+    )
+
+
+def window_last_value(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    out_col: str = "last_value",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``LAST_VALUE(value) OVER (PARTITION BY key ORDER BY ... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` — the whole-
+    partition frame (SQL's confusing default frame would return the
+    CURRENT row; this is the variant people actually want)."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        varr = (
+            g[value_col].combine_chunks()
+            if isinstance(g[value_col], pa.ChunkedArray)
+            else g[value_col]
+        )
+        n = len(g)
+        if n == 0:
+            return out_col, varr
+        # last row of each key: positions before the NEXT key's first row
+        last_of_key = np.empty(n, dtype=np.int64)
+        boundaries = np.flatnonzero(first)
+        ends = np.append(boundaries[1:], n) - 1
+        # broadcast each key's end position to its rows
+        key_id = np.cumsum(first) - 1
+        last_of_key = ends[key_id]
+        return out_col, varr.take(pa.array(last_of_key))
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_last_value",
+    )

@@ -235,6 +235,33 @@ FROM events
 """
 
 
+def q_window_first_last(sf_dir: str):
+    """FIRST_VALUE + LAST_VALUE (whole-partition frame) per user over
+    the event log in one pass each (shared bucket-window plan)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    out = ops.window_first_value(
+        ds, key="user_id", order_cols=["event_id"], value_col="value",
+        out_col="first_v",
+    )
+    out = ops.window_last_value(
+        out, key="user_id", order_cols=["event_id"], value_col="value",
+        out_col="last_v",
+    )
+    return out.select_columns(["event_id", "user_id", "value", "first_v", "last_v"])
+
+
+SQL_WINDOW_FIRST_LAST = """
+SELECT event_id, user_id, value,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
 def q_window_moving(sf_dir: str):
     """Per-user 5-row moving event count (ROWS 4 PRECEDING frame over
     (ts, event_id)): segmented cumsum differences, exact for integer
@@ -5133,6 +5160,7 @@ QUERIES = {
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
     "asof_forward": q_asof_forward,
+    "window_first_last": q_window_first_last,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5271,6 +5299,7 @@ ORACLE = {
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,
+    "window_first_last": SQL_WINDOW_FIRST_LAST,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

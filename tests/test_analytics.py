@@ -663,3 +663,66 @@ def test_asof_forward_direction(ray_session):
     # k=1: ts 5 -> 7, ts 10 -> 10 (>= is inclusive), ts 100 -> no match
     # k=2: ts 5 -> no match (right has only 3)
     assert out[["k", "m"]].values.tolist() == [[1, 7], [1, 10]]
+
+
+# ------------------------------------------------------------ properties
+
+
+def test_weighted_sample_scale_invariance(ray_session):
+    # priority sampling selection is invariant to scaling ALL weights
+    rng = np.random.default_rng(4)
+    rid = np.arange(1, 201, dtype=np.int64)
+    w = rng.uniform(0.1, 9.0, 200)
+    t1 = pa.table({"rid": pa.array(rid), "w": pa.array(w)})
+    t2 = pa.table({"rid": pa.array(rid), "w": pa.array(w * 1000.0)})
+    s1 = ops.weighted_sample(_ds(t1), "rid", "w", 25).to_pandas()["rid"].tolist()
+    s2 = ops.weighted_sample(_ds(t2), "rid", "w", 25).to_pandas()["rid"].tolist()
+    assert s1 == s2
+
+
+def test_merge_upsert_idempotent(ray_session):
+    base = pa.table(
+        {
+            "k": pa.array(np.arange(50, dtype=np.int64)),
+            "v": pa.array(np.arange(50, dtype=np.float64)),
+            "version": pa.array(np.zeros(50, np.int64)),
+        }
+    )
+    upd = pa.table(
+        {
+            "k": pa.array([3, 7, 11], pa.int64()),
+            "v": pa.array([33.0, 77.0, 0.0]),
+            "version": pa.array([1, 1, 1], pa.int64()),
+            "op": pa.array(["U", "U", "D"]),
+        }
+    )
+    once = (
+        ops.merge_upsert(_ds(base), _ds(upd), "k", "version", n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    twice = (
+        ops.merge_upsert(
+            ops.merge_upsert(_ds(base), _ds(upd), "k", "version", n_buckets=4),
+            _ds(upd), "k", "version", n_buckets=4,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert once.values.tolist() == twice.values.tolist()
+    assert 11 not in once["k"].tolist() and once.loc[once["k"] == 3, "v"].iloc[0] == 33.0
+
+
+def test_pagerank_rank_sum_and_monotonicity(ray_session):
+    # adding an edge to a node cannot DECREASE its 1-iteration in-flow;
+    # also rank mass stays within floor losses
+    a = pa.array([1, 2, 3], pa.int64())
+    b = pa.array([2, 3, 4], pa.int64())
+    e1 = _ds(pa.table({"a": a, "b": b})).materialize()
+    out1 = analytics.pagerank(e1, n_iter=1).to_pandas().set_index("node")["rank_q"]
+    e2 = _ds(
+        pa.table({"a": pa.array([1, 2, 3, 1], pa.int64()),
+                  "b": pa.array([2, 3, 4, 4], pa.int64())})
+    ).materialize()
+    out2 = analytics.pagerank(e2, n_iter=1).to_pandas().set_index("node")["rank_q"]
+    assert out2[4] >= out1[4]
+    for o in (out1, out2):
+        assert 0.9 * (1 << 30) < o.sum() <= (1 << 30)
