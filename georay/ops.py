@@ -4074,3 +4074,197 @@ def window_last_value(
         ds, key, order_list, [False] * len(order_list), n_buckets, emit,
         "window_last_value",
     )
+
+
+def window_range_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int,
+    out_col: str = "range_sum",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``SUM(value) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    range_us PRECEDING AND CURRENT ROW)`` — the TIME-window frame
+    (a rows-frame moving sum is ``window_moving_sum``). SQL RANGE peer
+    semantics: rows with EQUAL ts are all included.
+
+    One key-bucket shuffle; per bucket a segmented prefix sum + two
+    ``searchsorted`` calls give every row its frame sum in O(n log n).
+    Use an integer-valued value column when an exact SQL twin matters
+    (float prefix-diff and SQL's accumulation round differently)."""
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if n == 0:
+            return out_col, pa.array([], pa.int64())
+        cum = np.cumsum(v)
+        starts = np.flatnonzero(first)
+        key_id = np.cumsum(first) - 1
+        # one GLOBAL searchsorted over key-offset timestamps (no per-key
+        # Python): shift each key's segment onto its own disjoint range
+        t0 = np.int64(ts.min())
+        span = np.int64(int(ts.max()) - int(t0) + int(range_us) + 2)
+        if int(starts.shape[0]) * int(span) < (1 << 62):
+            packed = key_id * span + (ts - t0)
+            lo = np.searchsorted(packed, key_id * span + (ts - t0 - range_us),
+                                 side="left")
+            hi = np.searchsorted(packed, packed, side="right")
+        else:  # degenerate span — per-key segments (rare)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, np.append(starts[1:], n)):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, ts[s:e] - range_us, "left")
+                hi[s:e] = s + np.searchsorted(seg, ts[s:e], "right")
+        total = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        return out_col, pa.array(total, pa.int64())
+
+    order_list = [ts_col]
+    return _window_over_buckets(
+        ds, key, order_list, [False], n_buckets, emit, "window_range_sum"
+    )
+
+
+def ohlc_bars(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> ray.data.Dataset:
+    """Time-series resampling to OHLC bars: per (key, period) the
+    open/high/low/close of ``value_col`` plus count — the market-data /
+    telemetry downsampling primitive. Open/close tie rule: among rows
+    sharing the period's min (max) timestamp, the SMALLEST value wins —
+    deterministic and SQL-expressible (``MIN(value) FILTER (ts = …)``).
+
+    TWO streaming passes, ZERO corpus shuffles: (1) per-batch partials
+    (min/max ts, min/max value, count) merge through the combine tree;
+    (2) the small bars table is broadcast and a second scan picks the
+    open/close values at the recorded boundary timestamps (only
+    boundary rows emit partials). Bars (key × period) must fit a
+    worker — the same bound every combine-tree aggregate here has."""
+    import ray as _ray
+
+    per = np.int64(bucket_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        period = ts // per
+        ks, vs = _group_reduce(
+            [k, period],
+            {
+                "min_ts": ts, "max_ts": ts,
+                "low": v, "high": v,
+                "partial_n": np.ones(k.shape[0], np.int64),
+            },
+            ufunc={
+                "min_ts": np.minimum, "max_ts": np.maximum,
+                "low": np.minimum, "high": np.maximum,
+                "partial_n": np.add,
+            },
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "period": pa.array(ks[1], pa.int64()),
+                "min_ts": pa.array(vs["min_ts"], pa.int64()),
+                "max_ts": pa.array(vs["max_ts"], pa.int64()),
+                "low": pa.array(vs["low"], pa.float64()),
+                "high": pa.array(vs["high"], pa.float64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    bars = tree_reduce(
+        parts,
+        [key, "period"],
+        {"min_ts": "min_ts", "max_ts": "max_ts", "low": "low",
+         "high": "high", "partial_n": "n"},
+        ufunc={
+            "min_ts": np.minimum, "max_ts": np.maximum,
+            "low": np.minimum, "high": np.maximum, "partial_n": np.add,
+        },
+    )
+    bt = pa.concat_tables(_ray.get(bars.to_arrow_refs()))
+    bk = bt[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    bp = bt["period"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bmin = bt["min_ts"].to_numpy(zero_copy_only=False)
+    bmax = bt["max_ts"].to_numpy(zero_copy_only=False)
+    # pack (key, period) for the probe; periods are epoch_us//bucket_us
+    # (< 2^31 for microsecond epochs and sane buckets)
+    pack = bk * np.int64(1 << 31) + bp
+    o = np.argsort(pack, kind="stable")
+    pack_s, bmin_s, bmax_s = pack[o], bmin[o], bmax[o]
+    ref = _ray.put((pack_s, bmin_s, bmax_s))
+    cache: dict = {}
+
+    def boundary_partial(batch: pa.Table) -> pa.Table:
+        ps, mn, mx = cache.setdefault("m", _ray.get(ref))
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        period = ts // per
+        pk = k * np.int64(1 << 31) + period
+        pos = np.searchsorted(ps, pk)
+        is_open = ts == mn[pos]
+        is_close = ts == mx[pos]
+        sel = is_open | is_close
+        inf = np.inf
+        opens = np.where(is_open[sel], v[sel], inf)
+        closes = np.where(is_close[sel], v[sel], inf)
+        ks, vs = _group_reduce(
+            [k[sel], period[sel]],
+            {"open": opens, "close": closes},
+            ufunc={"open": np.minimum, "close": np.minimum},
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "period": pa.array(ks[1], pa.int64()),
+                "open": pa.array(vs["open"], pa.float64()),
+                "close": pa.array(vs["close"], pa.float64()),
+            }
+        )
+
+    oc = tree_reduce(
+        ds.map_batches(
+            boundary_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [key, "period"],
+        {"open": "open", "close": "close"},
+        ufunc={"open": np.minimum, "close": np.minimum},
+    )
+    oct_ = pa.concat_tables(_ray.get(oc.to_arrow_refs()))
+    # align the two small tables on (key, period) — driver-side, o(bars)
+    opack = (
+        oct_[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        * np.int64(1 << 31)
+        + oct_["period"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    oo = np.argsort(opack, kind="stable")
+    pos = np.searchsorted(opack[oo], pack_s)
+    open_v = oct_["open"].to_numpy(zero_copy_only=False)[oo][pos]
+    close_v = oct_["close"].to_numpy(zero_copy_only=False)[oo][pos]
+    out = pa.table(
+        {
+            key: pa.array(bk[o], pa.int64()),
+            "period": pa.array(bp[o], pa.int64()),
+            "open": pa.array(open_v, pa.float64()),
+            "high": pa.array(bt["high"].to_numpy(zero_copy_only=False)[o]),
+            "low": pa.array(bt["low"].to_numpy(zero_copy_only=False)[o]),
+            "close": pa.array(close_v, pa.float64()),
+            "n": pa.array(bt["n"].to_numpy(zero_copy_only=False)[o], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -262,6 +262,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 """
 
 
+def q_range_sum(sf_dir: str):
+    """Time-RANGE window: per-user 1-hour trailing sum of (quantized)
+    value — the time-window twin of the rows-frame moving sum
+    (ops.window_range_sum: segmented prefix sum + one global
+    searchsorted over key-offset timestamps)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "value_q", pa.array(np.floor(v * 1000.0 + 0.5).astype(np.int64))
+        )
+
+    ds = ds.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.window_range_sum(
+        ds, key="user_id", ts_col="ts", value_col="value_q",
+        range_us=3_600_000_000, out_col="range_sum",
+    )
+    return out.select_columns(["event_id", "user_id", "value_q", "range_sum"])
+
+
+SQL_RANGE_SUM = """
+SELECT event_id, user_id,
+       CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS value_q,
+       CAST(SUM(CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS range_sum
+FROM events
+"""
+
+
+OHLC_PERIOD_US = 86_400_000_000
+
+
+def q_ohlc(sf_dir: str):
+    """Per-(user, day) OHLC bars of the event value — time-series
+    resampling in TWO streaming passes with zero corpus shuffles
+    (ops.ohlc_bars: combine-tree boundary stats, then a broadcast
+    boundary-row pick)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    return ops.ohlc_bars(ds, "user_id", "ts", "value", OHLC_PERIOD_US)
+
+
+SQL_OHLC = f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) // {OHLC_PERIOD_US} AS period,
+         epoch_us(ts) AS tu, value
+  FROM events
+),
+b AS (
+  SELECT user_id, period, MIN(tu) AS mn, MAX(tu) AS mx,
+         MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n
+  FROM base GROUP BY 1, 2
+),
+oc AS (
+  SELECT x.user_id, x.period,
+         MIN(CASE WHEN x.tu = b.mn THEN x.value END) AS open,
+         MIN(CASE WHEN x.tu = b.mx THEN x.value END) AS close
+  FROM base x JOIN b USING (user_id, period) GROUP BY 1, 2
+)
+SELECT user_id, period, open, high, low, close, n
+FROM b JOIN oc USING (user_id, period)
+"""
+
+
 def q_window_moving(sf_dir: str):
     """Per-user 5-row moving event count (ROWS 4 PRECEDING frame over
     (ts, event_id)): segmented cumsum differences, exact for integer
@@ -5161,6 +5233,8 @@ QUERIES = {
     "geo_curate": q_geo_curate,
     "asof_forward": q_asof_forward,
     "window_first_last": q_window_first_last,
+    "range_sum": q_range_sum,
+    "ohlc": q_ohlc,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5300,6 +5374,8 @@ ORACLE = {
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
+    "range_sum": SQL_RANGE_SUM,
+    "ohlc": SQL_OHLC,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

@@ -726,3 +726,43 @@ def test_pagerank_rank_sum_and_monotonicity(ray_session):
     assert out2[4] >= out1[4]
     for o in (out1, out2):
         assert 0.9 * (1 << 30) < o.sum() <= (1 << 30)
+
+
+# ------------------------------------------------- range sum / ohlc
+
+
+def test_window_range_sum_hand(ray_session):
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 5, 20, 3], pa.timestamp("us")),
+            "v": pa.array([1, 10, 100, 7], pa.int64()),
+        }
+    )
+    out = (
+        ops.window_range_sum(_ds(tbl), "k", "ts", "v", range_us=10, n_buckets=4)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    # k=1: ts0 -> 1; ts5 -> 1+10; ts20 -> 100 (frame [10,20] excludes 0,5)
+    assert out["range_sum"].tolist() == [1, 11, 100, 7]
+
+
+def test_ohlc_bars_hand(ray_session):
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([5, 1, 9, 12, 3], pa.timestamp("us")),
+            "v": pa.array([50.0, 10.0, 90.0, 40.0, 7.0]),
+        }
+    )
+    out = (
+        ops.ohlc_bars(_ds(tbl), "k", "ts", "v", bucket_us=10)
+        .to_pandas().sort_values(["k", "period"]).reset_index(drop=True)
+    )
+    # k=1 period 0: rows ts 1,5,9 -> open 10 (ts1), close 90 (ts9),
+    # low 10, high 90, n 3; period 1: single row 40; k=2: single row 7
+    assert out.values.tolist() == [
+        [1, 0, 10.0, 90.0, 10.0, 90.0, 3],
+        [1, 1, 40.0, 40.0, 40.0, 40.0, 1],
+        [2, 0, 7.0, 7.0, 7.0, 7.0, 1],
+    ]
