@@ -3993,6 +3993,40 @@ FROM orders o ASOF JOIN events e
 """
 
 
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase matched to the user's
+    most recent preceding click (self as-of over the event log —
+    streaming purchase side, broadcast click side)."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        )
+
+    left = ds.map_batches(
+        purchases, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    ev = pq.read_table(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+    clicks = ev.filter(pc.equal(ev["event_type"], "click")).select(["user_id", "ts"])
+    out = ops.asof_join_broadcast(
+        left, clicks, "user_id", "ts", "user_id", "ts", out_ts="click_ts"
+    )
+    return out.select_columns(["event_id", "user_id", "click_ts"])
+
+
+SQL_ATTRIBUTION = """
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_cast_roundtrip_grid(sf_dir: str):
     """Dataset-level as_geoarrow cast chain: native point → WKB → native,
     then the grid histogram — hash-equal to grid_cell_count iff the cast
@@ -4181,6 +4215,64 @@ s AS (
 SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
        COUNT(*) AS n_events
 FROM s GROUP BY user_id, sid
+"""
+
+
+CLUSTER_RADIUS = 5.0
+
+
+def q_spatial_clusters(sf_dir: str):
+    """DBSCAN-style spatial clustering of supplier points: link every
+    pair within {CLUSTER_RADIUS}° (the engine's zero-shuffle radius
+    pair join), then connected components — cluster label = min member
+    id. Noise points (no neighbor within radius) are excluded, DBSCAN
+    convention. Oracle: SQL distance self-join + recursive-CTE closure."""
+    from georay.joins import radius_join_pairs
+    from georay.stages.components import connected_components
+
+    sx, sy, sk = supplier_points(sf_dir)
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table({"s_a": pa.array(sk)}).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([sx, sy]), geo)
+        )
+    )
+    pairs = radius_join_pairs(
+        probes, sx, sy, sk, CLUSTER_RADIUS,
+        probe_id_col="s_a", neighbor_out="s_b",
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        a = batch["s_a"].to_numpy(zero_copy_only=False)
+        b = batch["s_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table(
+            {"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])}
+        )
+
+    edges = pairs.map_batches(
+        ordered, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return connected_components(edges)
+
+
+SQL_SPATIAL_CLUSTERS = f"""
+WITH RECURSIVE
+refs AS (SELECT s_suppkey, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier),
+e AS (
+  SELECT a.s_suppkey AS x, b.s_suppkey AS y
+  FROM refs a JOIN refs b
+    ON a.s_suppkey < b.s_suppkey
+   AND (b.sx - a.sx)*(b.sx - a.sx) + (b.sy - a.sy)*(b.sy - a.sy)
+       <= {CLUSTER_RADIUS} * {CLUSTER_RADIUS}
+),
+sym AS (SELECT x AS s, y AS d FROM e UNION ALL SELECT y, x FROM e),
+reach(n, m) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.n, s.d FROM reach r JOIN sym s ON s.s = r.m
+)
+SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
 """
 
 
@@ -5235,6 +5327,8 @@ QUERIES = {
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
     "ohlc": q_ohlc,
+    "spatial_clusters": q_spatial_clusters,
+    "attribution": q_attribution,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5376,6 +5470,8 @@ ORACLE = {
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,
     "ohlc": SQL_OHLC,
+    "spatial_clusters": SQL_SPATIAL_CLUSTERS,
+    "attribution": SQL_ATTRIBUTION,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
