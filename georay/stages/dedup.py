@@ -845,3 +845,60 @@ def doc_duplicate_spans(
         parts, id_col, {"tot": "n_spans", "dup": "n_dup"},
         int_cols=("tot", "dup"),
     )
+
+
+# ---------------------------------------------------------- edit distance
+
+def edit_distance_batch(a: pa.Array, b: pa.Array) -> np.ndarray:
+    """(n,) int64 Levenshtein distances between aligned string arrays —
+    VECTORIZED ACROSS PAIRS: one DP row per character of the longest b
+    string, each row a few numpy ops over the (pairs × max_len_a)
+    matrix. The insertion term's left-to-right dependency is folded
+    into a min-plus prefix scan (``D[j][i] = i + min_{k≤i}(T[k] − k)``
+    = ``minimum.accumulate``), so there is no per-pair Python.
+
+    This is the exact-verify primitive for fuzzy dedup: run it on LSH /
+    MinHash candidate pairs, never all-pairs. Byte-level distances
+    (UTF-8 bytes, matching DuckDB ``levenshtein`` for ASCII corpora)."""
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, np.int64)
+
+    def padded(arr: pa.Array):
+        lb = arr.cast(pa.large_binary())
+        offs = np.frombuffer(lb.buffers()[1], dtype=np.int64, count=len(lb) + 1,
+                             offset=lb.offset * 8)
+        data = np.frombuffer(lb.buffers()[2], dtype=np.uint8)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        m = int(lens.max()) if lens.shape[0] else 0
+        out = np.zeros((len(lb), m), dtype=np.uint8)
+        from georay.index import _ragged_ranges
+
+        owner, within = _ragged_ranges(lens)
+        out[owner, within] = data[
+            np.repeat(offs[:-1], lens) + within
+        ]
+        return out, lens
+
+    A, la = padded(a)
+    B, lb_ = padded(b)
+    max_a = A.shape[1]
+    idx = np.arange(max_a + 1, dtype=np.int64)
+    prev = np.broadcast_to(idx, (n, max_a + 1)).copy()
+    ans = la.copy()  # pairs with len_b == 0
+    max_b = B.shape[1]
+    rows = np.arange(n)
+    for j in range(1, max_b + 1):
+        bj = B[:, j - 1][:, None]
+        cost = (A != bj).astype(np.int64)
+        T = np.empty_like(prev)
+        T[:, 0] = j
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=T[:, 1:])
+        cur = np.minimum.accumulate(T - idx, axis=1) + idx
+        take = lb_ == j
+        if take.any():
+            ans[take] = cur[rows[take], la[take]]
+        prev = cur
+    return ans

@@ -5106,6 +5106,53 @@ FROM documents d LEFT JOIN persum USING (doc_id)
 """
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Exact edit distance over candidate pairs (the fuzzy-dedup verify
+    primitive): consecutive-doc-id pairs co-shuffled with the
+    partitioned equality join, then the pair-vectorized Levenshtein
+    (stages.dedup.edit_distance_batch — min-plus prefix-scan DP, no
+    per-pair Python). DuckDB ``levenshtein`` twin is exact."""
+    from georay.stages.dedup import edit_distance_batch
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def left_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "next_id": pc.add(batch["doc_id"], 1),
+                "text_a": batch["text"],
+            }
+        )
+
+    def right_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"rid": batch["doc_id"], "text_b": batch["text"]})
+
+    left = docs.map_batches(
+        left_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    right = docs.map_batches(
+        right_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    joined = ops.equi_join_partitioned(left, right, on="next_id", right_on="rid")
+
+    def dist(batch: pa.Table) -> pa.Table:
+        d = edit_distance_batch(batch["text_a"], batch["text_b"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "dist": pa.array(d, pa.int64())}
+        )
+
+    return joined.map_batches(
+        dist, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.doc_id, levenshtein(a.text, b.text) AS dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
 # --------------------------------------------------------- BPE tokenizer
 
 BPE_MERGES = 100
@@ -5329,6 +5376,7 @@ QUERIES = {
     "ohlc": q_ohlc,
     "spatial_clusters": q_spatial_clusters,
     "attribution": q_attribution,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5472,6 +5520,7 @@ ORACLE = {
     "ohlc": SQL_OHLC,
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
     "attribution": SQL_ATTRIBUTION,
+    "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

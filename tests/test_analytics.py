@@ -766,3 +766,16 @@ def test_ohlc_bars_hand(ray_session):
         [1, 1, 40.0, 40.0, 40.0, 40.0, 1],
         [2, 0, 7.0, 7.0, 7.0, 7.0, 1],
     ]
+
+
+# ---------------------------------------------------------- edit distance
+
+
+def test_edit_distance_batch_known_values():
+    from georay.stages.dedup import edit_distance_batch
+
+    a = pa.array(["kitten", "flaw", "", "abc", "same"])
+    b = pa.array(["sitting", "lawn", "xyz", "", "same"])
+    assert edit_distance_batch(a, b).tolist() == [3, 2, 3, 3, 0]
+    # symmetric
+    assert edit_distance_batch(b, a).tolist() == [3, 2, 3, 3, 0]
