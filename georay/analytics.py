@@ -356,6 +356,7 @@ def triangle_count(
     # the IDENTICAL degree-ordered algorithm locally — every distributed
     # round here is pure scheduling barrier, not data. Cutoff keeps the
     # O(m^1.5) wedge array within one worker's heap.
+    edges = edges.materialize()  # count + (fast path | 4 downstream scans)
     n_edges = edges.count()
     if n_edges <= local_edge_cutoff:
         t = pa.concat_tables(
@@ -525,6 +526,7 @@ def pagerank(
     scheduling barrier at that size)."""
     import ray as _ray
 
+    edges = edges.materialize()  # count + (local pull | n_iter scans)
     n_edges = edges.count()
     if n_edges <= local_edge_cutoff:
         t = pa.concat_tables(
