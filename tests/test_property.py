@@ -224,3 +224,69 @@ def test_format_double_fast_equals_slow(x):
     from georay.codecs.wkt import _format_double_fast, format_double
 
     assert _format_double_fast(x) == format_double(x, 16)
+
+
+# ------------------------------------------------- session-4 kernels
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook Levenshtein (reference oracle for the vectorized DP)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcXY 01", max_size=24),
+            st.text(alphabet="abcXY 01", max_size=24),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_edit_distance_batch_matches_reference(pairs):
+    from georay.stages.dedup import edit_distance_batch
+
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    got = edit_distance_batch(a, b).tolist()
+    assert got == [_lev_ref(x, y) for x, y in pairs]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=0, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_convex_hull_invariants(xs):
+    from georay.analytics import _convex_hull_xy
+
+    rng = np.random.default_rng(0)
+    x = np.asarray(xs, dtype=np.float64)
+    y = (x * 7 % 11) + rng.standard_normal(x.shape[0]) * 0  # deterministic
+    if x.shape[0] == 0:
+        return
+    hull = _convex_hull_xy(x, y)
+    # hull vertices are input points; every point is inside or on hull
+    if hull.shape[0] >= 3:
+        hx, hy = x[hull], y[hull]
+        ex, ey = np.roll(hx, -1) - hx, np.roll(hy, -1) - hy
+        for px, py in zip(x, y):
+            cross = ex * (py - hy) - ey * (px - hx)
+            assert (cross >= -1e-9).all()
+    else:
+        # degenerate hull (<3 vertices) ⟺ all points collinear
+        if x.shape[0] >= 2:
+            i0 = int(np.lexsort((y, x))[0])
+            dx, dy = x - x[i0], y - y[i0]
+            j = int(np.argmax(dx * dx + dy * dy))
+            cross = dx * dy[j] - dy * dx[j]
+            assert np.allclose(cross, 0.0, atol=1e-9)
