@@ -1244,16 +1244,24 @@ def grouped_quantiles(
     key: str,
     col: str,
     qs: list[float],
+    interp: str = "disc",
 ) -> ray.data.Dataset:
-    """Per-group exact quantiles (``quantile_disc`` semantics per key):
-    the same value-histogram plan as ``exact_quantiles`` but keyed —
-    per-batch Arrow-groupby ``(key, value) → count`` partials, a combine
-    tree, then ONE tiny task that walks every key's cumulative counts in
-    one vectorized searchsorted (no per-key Python loop). Exact whenever
-    keys × distinct values fit one worker.
+    """Per-group exact quantiles: the same value-histogram plan as
+    ``exact_quantiles`` but keyed — per-batch Arrow-groupby
+    ``(key, value) → count`` partials, a combine tree, then ONE tiny
+    task that walks every key's cumulative counts in one vectorized
+    searchsorted (no per-key Python loop). Exact whenever keys ×
+    distinct values fit one worker.
+
+    ``interp``: "disc" (SQL ``quantile_disc`` — a data value) or
+    "cont" (``quantile_cont`` / PERCENTILE_CONT — linear interpolation
+    at rank ``q·(n−1)``, same arithmetic as the oracled global
+    ``quantiles_cont``).
 
     Output: one row per (key, q) — (key, q float64, v float64).
     """
+    if interp not in ("disc", "cont"):
+        raise ValueError(f"interp must be disc|cont, got {interp!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([key, col]).append_column(
@@ -1310,11 +1318,24 @@ def grouped_quantiles(
         n_k = cum[seg_end] - base
         out_keys, out_q, out_v = [], [], []
         for q in qs:
-            target = base + np.maximum(np.ceil(q * n_k).astype(np.int64), 1)
-            pos = np.searchsorted(cum, target, side="left")
+            if interp == "disc":
+                target = base + np.maximum(np.ceil(q * n_k).astype(np.int64), 1)
+                pos = np.searchsorted(cum, target, side="left")
+                vals = v[pos]
+            else:
+                h = q * (n_k - 1).astype(np.float64)
+                lo = np.floor(h).astype(np.int64)
+                hi = np.ceil(h).astype(np.int64)
+                p_lo = np.searchsorted(cum, base + lo + 1, side="left")
+                p_hi = np.searchsorted(cum, base + hi + 1, side="left")
+                v_lo, v_hi = v[p_lo], v[p_hi]
+                # DuckDB's interpolation form lo·(1−f) + hi·f (verified
+                # bit-exact; lo + f·(hi−lo) differs at ulp level)
+                frac = h - lo
+                vals = v_lo * (1.0 - frac) + v_hi * frac
             out_keys.append(karr.take(pa.array(seg)))
             out_q.append(np.full(seg.shape[0], float(q)))
-            out_v.append(v[pos])
+            out_v.append(vals)
         if not out_keys:
             return pa.table({key: karr.slice(0, 0), "q": pa.array([], pa.float64()),
                              "v": pa.array([], pa.float64())})
@@ -3786,7 +3807,9 @@ def exact_quantiles_cont(
             lo, hi = int(np.floor(h)), int(np.ceil(h))
             v_lo = float(v[np.searchsorted(cum, lo + 1, side="left")])
             v_hi = float(v[np.searchsorted(cum, hi + 1, side="left")])
-            out_v.append(v_lo + (h - lo) * (v_hi - v_lo))
+            # DuckDB's interpolation form lo·(1−f) + hi·f (bit-exact)
+            frac = h - lo
+            out_v.append(v_lo * (1.0 - frac) + v_hi * frac)
         return pa.table(
             {"q": pa.array(out_q, pa.float64()), "v": pa.array(out_v, pa.float64())}
         )

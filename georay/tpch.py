@@ -842,6 +842,31 @@ def q_grouped_quantiles(sf_dir: str):
     return ops.grouped_quantiles(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.99])
 
 
+def q_grouped_quantiles_cont(sf_dir: str):
+    """Per-returnflag PERCENTILE_CONT (linear interpolation at rank
+    q·(n−1)) — the continuous twin, same keyed-histogram plan."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+    return ops.grouped_quantiles(
+        ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9], interp="cont"
+    )
+
+
+SQL_GROUPED_QUANTILES_CONT = """
+SELECT l_returnflag, q, v FROM (
+  SELECT l_returnflag, 0.25 AS q, quantile_cont(l_extendedprice, 0.25) AS v
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.5, quantile_cont(l_extendedprice, 0.5)
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT l_returnflag, 0.9, quantile_cont(l_extendedprice, 0.9)
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
 SQL_GROUPED_QUANTILES = """
 SELECT l_returnflag, q, v FROM (
   SELECT l_returnflag, 0.25 AS q, quantile_disc(l_quantity, 0.25) AS v
@@ -5377,6 +5402,7 @@ QUERIES = {
     "spatial_clusters": q_spatial_clusters,
     "attribution": q_attribution,
     "fuzzy_pairs": q_fuzzy_pairs,
+    "grouped_quantiles_cont": q_grouped_quantiles_cont,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5521,6 +5547,7 @@ ORACLE = {
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
     "attribution": SQL_ATTRIBUTION,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
+    "grouped_quantiles_cont": SQL_GROUPED_QUANTILES_CONT,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
