@@ -825,11 +825,14 @@ def focal_sum(
     k: int = 1,
     nx: int = 360,
     out_col: str = "focal_n",
+    stat: str = "sum",
 ) -> ray.data.Dataset:
-    """Raster focal (neighborhood) sum: for every grid cell in the
-    histogram, the sum of ``val_col`` over its (2k+1)² neighbor cells
-    (lon wraps modulo ``nx`` columns; rows don't wrap past the poles) —
-    the classic raster-smoothing kernel over the engine's grid keys.
+    """Raster focal (neighborhood) statistic: for every grid cell in
+    the histogram, the ``stat`` ("sum" | "max" | "mean" over PRESENT
+    neighbor cells) of ``val_col`` over its (2k+1)² neighbors (lon
+    wraps modulo ``nx`` columns; rows don't wrap past the poles) — the
+    classic raster-smoothing/dilation kernels over the engine's grid
+    keys.
 
     Scale shape: the input is the already-aggregated CELL histogram
     (bounded by the raster size, not the point corpus — ≤ 360·180/res²
@@ -858,8 +861,19 @@ def focal_sum(
         pos = np.searchsorted(cs, nb)
         pos_c = np.minimum(pos, cs.shape[0] - 1)
         hit = cs[pos_c] == nb
-        sums = np.where(hit, vs[pos_c], 0).sum(axis=1)
-        return batch.append_column(out_col, pa.array(sums, pa.int64()))
+        if stat == "sum":
+            out = np.where(hit, vs[pos_c], 0).sum(axis=1)
+            col = pa.array(out, pa.int64())
+        elif stat == "max":
+            out = np.where(hit, vs[pos_c], np.iinfo(np.int64).min).max(axis=1)
+            col = pa.array(out, pa.int64())
+        elif stat == "mean":
+            s = np.where(hit, vs[pos_c], 0).sum(axis=1).astype(np.float64)
+            c_ = hit.sum(axis=1).astype(np.float64)  # ≥1 (cell itself)
+            col = pa.array(s / c_, pa.float64())
+        else:
+            raise ValueError(f"stat must be sum|max|mean, got {stat!r}")
+        return batch.append_column(out_col, col)
 
     return hist.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None

@@ -588,6 +588,34 @@ GROUP BY a.grid_cell
 """
 
 
+def q_focal_max(sf_dir: str):
+    """Raster focal 3×3 MAX (morphological dilation) over the per-cell
+    histogram — same broadcast searchsorted probe as focal_sum."""
+    hist = q_grid_cell_count(sf_dir)
+    return ops.focal_sum(
+        hist, "grid_cell", "n", k=1, nx=360, out_col="focal_max", stat="max"
+    )
+
+
+SQL_FOCAL_MAX = f"""
+WITH h AS ({SQL_GRID_CELL_COUNT}),
+g AS (
+  SELECT grid_cell, n,
+         grid_cell // 100000 AS gx, grid_cell % 100000 AS gy
+  FROM h
+),
+o(d) AS (VALUES (-1), (0), (1))
+SELECT a.grid_cell AS grid_cell,
+       CAST(ANY_VALUE(a.n) AS BIGINT) AS n,
+       CAST(MAX(b.n) AS BIGINT) AS focal_max
+FROM g a
+CROSS JOIN o ox CROSS JOIN o oy
+JOIN g b
+  ON b.gx = (a.gx + ox.d + 360) % 360 AND b.gy = a.gy + oy.d
+GROUP BY a.grid_cell
+"""
+
+
 def _geohash_sql(precision: int, src: str) -> str:
     """ANSI-SQL replica of ``cells.geohash`` (floor-scale → clamp →
     MSB-first lon-first Morton interleave → base32 digits): digit-for-
@@ -5403,6 +5431,7 @@ QUERIES = {
     "attribution": q_attribution,
     "fuzzy_pairs": q_fuzzy_pairs,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
+    "focal_max": q_focal_max,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5548,6 +5577,7 @@ ORACLE = {
     "attribution": SQL_ATTRIBUTION,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "grouped_quantiles_cont": SQL_GROUPED_QUANTILES_CONT,
+    "focal_max": SQL_FOCAL_MAX,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
