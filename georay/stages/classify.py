@@ -50,7 +50,15 @@ def logreg_fit(
     upstream featurization chain — labeled training sets are
     sample-sized, so this always fits the object store."""
     d = len(feature_cols)
-    ds = ds.select_columns(feature_cols + [label_col]).materialize()
+    # fixed-count repartition BEFORE materializing: partial-sum block
+    # boundaries become deterministic (row-count splits), keeping the
+    # fit bit-reproducible — materialize alone may split blocks
+    # differently run-to-run, regrouping the float partials at ulp level
+    ds = (
+        ds.select_columns(feature_cols + [label_col])
+        .repartition(32)
+        .materialize()
+    )
 
     if standardize:
         def stat_partial(batch: pa.Table) -> pa.Table:
@@ -67,9 +75,14 @@ def logreg_fit(
             stat_partial, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         ).take_all()
-        n = sum(r["n"] for r in rows)
-        s = np.sum([np.frombuffer(r["s"]) for r in rows], axis=0)
-        s2 = np.sum([np.frombuffer(r["s2"]) for r in rows], axis=0)
+        # SORT partials before summing: float addition isn't associative,
+        # so a canonical order makes the reduction independent of block
+        # arrival order — the bit-reproducibility contract
+        n = sum(sorted(r["n"] for r in rows))
+        s = np.sum([np.frombuffer(b_) for b_ in sorted(r["s"] for r in rows)],
+                   axis=0)
+        s2 = np.sum([np.frombuffer(b_) for b_ in sorted(r["s2"] for r in rows)],
+                    axis=0)
         mean = s / n
         var = np.maximum(s2 / n - mean * mean, 1e-12)
         scale = 1.0 / np.sqrt(var)
@@ -109,10 +122,13 @@ def logreg_fit(
             grad_partial, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
         ).take_all()
-        n = sum(r["n"] for r in rows)
-        gw = np.sum([np.frombuffer(r["gw"]) for r in rows], axis=0) / n
-        gb = sum(r["gb"] for r in rows) / n
-        losses.append(sum(r["loss"] for r in rows) / n)
+        # sorted partial merge — see the stats pass note
+        n = sum(sorted(r["n"] for r in rows))
+        gw = np.sum(
+            [np.frombuffer(b_) for b_ in sorted(r["gw"] for r in rows)], axis=0
+        ) / n
+        gb = sum(sorted(r["gb"] for r in rows)) / n
+        losses.append(sum(sorted(r["loss"] for r in rows)) / n)
         w -= lr * (gw + l2 * w)
         b -= lr * gb
     return {"w": w, "b": b, "mean": mean, "scale": scale, "losses": losses}
