@@ -825,7 +825,13 @@ def bm25_topk(
         stats_merge, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40, num_cpus=0.9,
     )
-    stats = stats_ds.take_all()[0]
+    stat_rows = stats_ds.take_all()
+    if not stat_rows or int(stat_rows[0]["n_docs"]) == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    stats = stat_rows[0]
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["sum_dl"]) / float(n_docs)
     idf = np.array(
