@@ -4305,3 +4305,68 @@ def ohlc_bars(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def target_encode(
+    ds: ray.data.Dataset,
+    cat_col: str,
+    target_q_col: str,
+    m: float = 10.0,
+    out_col: str = "te",
+) -> ray.data.Dataset:
+    """Smoothed target encoding — the classic categorical ML feature:
+    ``te(c) = (Σ_c target + m·prior) / (n_c + m)`` with the global mean
+    as prior. Pass an INTEGER-QUANTIZED target column (exact partial
+    sums → deterministic doubles → bit-exact SQL twin; see the money
+    quantization note on the TPC-H compositions).
+
+    Plan: per-category (sum, count) via the combine tree (the category
+    table is the small side by definition), encoded table broadcast
+    back with a map-side ``pc.index_in`` probe — one streaming pass
+    plus a vocabulary-sized reduce, no corpus shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                cat_col: batch[cat_col],
+                "partial_sum": batch[target_q_col].cast(pa.int64()),
+                "partial_n": pa.array(np.ones(len(batch), np.int64)),
+            }
+        )
+        g = t.group_by(cat_col).aggregate(
+            [("partial_sum", "sum"), ("partial_n", "sum")]
+        )
+        return pa.table(
+            {
+                cat_col: g[cat_col],
+                "partial_sum": g["partial_sum_sum"],
+                "partial_n": g["partial_n_sum"],
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    enc = tree_sum(
+        parts, [cat_col], {"partial_sum": "s", "partial_n": "n"},
+        int_cols=("partial_sum", "partial_n"),
+    )
+    et = pa.concat_tables(ray.get(enc.to_arrow_refs()))
+    s = et["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cnt = et["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    prior = float(s.sum()) / float(cnt.sum())
+    te = (s + m * prior) / (cnt + m)
+    cats = et[cat_col].combine_chunks() if isinstance(
+        et[cat_col], pa.ChunkedArray) else et[cat_col]
+    ref = ray.put((cats, te))
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cv, tv = cache.setdefault("m", ray.get(ref))
+        pos = pc.index_in(batch[cat_col], value_set=cv)
+        vals = tv[pos.to_numpy(zero_copy_only=False).astype(np.int64)]
+        return batch.append_column(out_col, pa.array(vals, pa.float64()))
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

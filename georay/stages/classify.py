@@ -156,3 +156,80 @@ def logreg_predict(
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def ridge_fit(
+    ds: ray.data.Dataset,
+    feature_cols: list[str],
+    target_col: str,
+    l2: float = 1e-6,
+) -> dict:
+    """Closed-form ridge regression: ONE streaming pass accumulates the
+    (d+1)×(d+1) normal-equation blocks (XᵀX, Xᵀy, Σx, Σy, n) as
+    per-batch partials, the d×d solve runs on the driver — the linear
+    sibling of ``pca_fit``'s covariance split; the corpus never
+    concentrates. Partials are merged in SORTED order (float addition
+    is not associative) so the fit is bit-reproducible like
+    ``logreg_fit``. Returns ``{"w", "b"}`` (intercept fitted via
+    centering)."""
+    d = len(feature_cols)
+    ds = (
+        ds.select_columns(feature_cols + [target_col])
+        .repartition(32)
+        .materialize()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _features(batch, feature_cols)
+        y = batch[target_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(x.shape[0])]),
+                "xtx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+                "xty": pa.array([(x.T @ y).tobytes()], pa.binary()),
+                "sx": pa.array([x.sum(0).tobytes()], pa.binary()),
+                "sy": pa.array([float(y.sum())]),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    n = sum(sorted(r["n"] for r in rows))
+    xtx = np.sum(
+        [np.frombuffer(b).reshape(d, d) for b in sorted(r["xtx"] for r in rows)],
+        axis=0,
+    )
+    xty = np.sum(
+        [np.frombuffer(b) for b in sorted(r["xty"] for r in rows)], axis=0
+    )
+    sx = np.sum([np.frombuffer(b) for b in sorted(r["sx"] for r in rows)], axis=0)
+    sy = sum(sorted(r["sy"] for r in rows))
+    mx = sx / n
+    my = sy / n
+    # centered normal equations: (XᵀX − n·mx mxᵀ + λI) w = Xᵀy − n·mx·my
+    a = xtx - n * np.outer(mx, mx) + l2 * np.eye(d)
+    rhs = xty - n * mx * my
+    w = np.linalg.solve(a, rhs)
+    b = my - float(mx @ w)
+    return {"w": w, "b": b}
+
+
+def ridge_predict(
+    ds: ray.data.Dataset,
+    model: dict,
+    feature_cols: list[str],
+    out_col: str = "pred",
+) -> ray.data.Dataset:
+    """Streaming scoring pass: one matvec per batch (broadcast model)."""
+    ref = ray.put((model["w"], model["b"]))
+    cache: dict = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w, b = cache.setdefault("m", ray.get(ref))
+        x = _features(batch, feature_cols)
+        return batch.append_column(out_col, pa.array(x @ w + b, pa.float64()))
+
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

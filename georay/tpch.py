@@ -1091,6 +1091,109 @@ FROM documents
 """
 
 
+def q_target_encode(sf_dir: str):
+    """Smoothed target encoding of p_brand by (quantized) retail price
+    — the categorical-ML feature op (ops.target_encode: vocabulary-
+    sized combine tree + broadcast probe, no corpus shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        p = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "price_c", pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))
+        )
+
+    ds = ds.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.target_encode(ds, "p_brand", "price_c", m=10.0)
+    return out.select_columns(["p_partkey", "p_brand", "te"])
+
+
+SQL_TARGET_ENCODE = """
+WITH q AS (
+  SELECT p_partkey, p_brand,
+         CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS pq
+  FROM part
+),
+agg AS (SELECT p_brand, CAST(SUM(pq) AS DOUBLE) AS s,
+               CAST(COUNT(*) AS DOUBLE) AS n FROM q GROUP BY 1),
+pr AS (SELECT CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS prior FROM q)
+SELECT q.p_partkey, q.p_brand,
+       (agg.s + 10.0e0 * pr.prior) / (agg.n + 10.0e0) AS te
+FROM q JOIN agg USING (p_brand) CROSS JOIN pr
+"""
+
+
+def q_ridge(sf_dir: str):
+    """Distributed closed-form ridge regression (one streaming normal-
+    equation pass + driver solve, stages.classify.ridge_fit): a planted
+    linear target over lineitem columns must be recovered — n_rows ties
+    the pass to SQL; the booleans pin coefficient recovery and R²."""
+    from georay.stages import classify
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_quantity", "l_discount", "l_linenumber"],
+    )
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        # planted target: 3·q − 40·d + 0.5·ln + 7 (deterministic)
+        y = 3.0 * q - 40.0 * d + 0.5 * ln + 7.0
+        return pa.table(
+            {"f_q": pa.array(q), "f_d": pa.array(d), "f_ln": pa.array(ln),
+             "y": pa.array(y)}
+        )
+
+    fds = ds.map_batches(
+        featurize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    model = classify.ridge_fit(fds, ["f_q", "f_d", "f_ln"], "y")
+    w, b = model["w"], model["b"]
+    coef_ok = bool(
+        np.allclose(w, [3.0, -40.0, 0.5], atol=1e-6) and abs(b - 7.0) < 1e-5
+    )
+    scored = classify.ridge_predict(fds, model, ["f_q", "f_d", "f_ln"])
+
+    def resid(batch: pa.Table) -> pa.Table:
+        r = (
+            batch["pred"].to_numpy(zero_copy_only=False)
+            - batch["y"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(batch)], pa.int64()),
+                "sse": pa.array([float((r * r).sum())]),
+            }
+        )
+
+    rows = scored.map_batches(
+        resid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    n = sum(r["n"] for r in rows)
+    sse = sum(r["sse"] for r in rows)
+    return pa.table(
+        {
+            "n_rows": pa.array([int(n)], pa.int64()),
+            "coef_ok": pa.array([coef_ok]),
+            "fit_ok": pa.array([bool(sse / max(n, 1) < 1e-10)]),
+        }
+    )
+
+
+SQL_RIDGE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS coef_ok, TRUE AS fit_ok
+FROM lineitem
+"""
+
+
 def q_vocab_profile(sf_dir: str):
     """Corpus vocabulary profile (tokenizer-training sizing facts):
     distinct-token count, total token count, and hapax-legomenon count
@@ -5432,6 +5535,8 @@ QUERIES = {
     "fuzzy_pairs": q_fuzzy_pairs,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
     "focal_max": q_focal_max,
+    "target_encode": q_target_encode,
+    "ridge": q_ridge,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5578,6 +5683,8 @@ ORACLE = {
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "grouped_quantiles_cont": SQL_GROUPED_QUANTILES_CONT,
     "focal_max": SQL_FOCAL_MAX,
+    "target_encode": SQL_TARGET_ENCODE,
+    "ridge": SQL_RIDGE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

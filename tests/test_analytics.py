@@ -779,3 +779,40 @@ def test_edit_distance_batch_known_values():
     assert edit_distance_batch(a, b).tolist() == [3, 2, 3, 3, 0]
     # symmetric
     assert edit_distance_batch(b, a).tolist() == [3, 2, 3, 3, 0]
+
+
+# ---------------------------------------------------- ridge / encoding
+
+
+def test_ridge_fit_recovers_plant_and_reproducible(ray_session):
+    from georay.stages import classify
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    x1 = rng.standard_normal(n)
+    x2 = rng.standard_normal(n) * 2
+    y = 5.0 * x1 - 1.5 * x2 + 2.0 + rng.standard_normal(n) * 0.01
+    tbl = pa.table({"a": pa.array(x1), "b": pa.array(x2), "y": pa.array(y)})
+    m1 = classify.ridge_fit(_ds(tbl), ["a", "b"], "y")
+    m2 = classify.ridge_fit(_ds(tbl), ["a", "b"], "y")
+    assert np.array_equal(m1["w"], m2["w"]) and m1["b"] == m2["b"]
+    assert np.allclose(m1["w"], [5.0, -1.5], atol=0.01)
+    assert abs(m1["b"] - 2.0) < 0.01
+    scored = classify.ridge_predict(_ds(tbl), m1, ["a", "b"]).to_pandas()
+    assert np.abs(scored["pred"] - scored["y"]).max() < 0.1
+
+
+def test_target_encode_smoothing(ray_session):
+    # category A: values {10,10}; B: {0}; prior = 20/3
+    tbl = pa.table(
+        {
+            "c": pa.array(["A", "A", "B"]),
+            "t": pa.array([10, 10, 0], pa.int64()),
+        }
+    )
+    out = ops.target_encode(_ds(tbl), "c", "t", m=1.0).to_pandas()
+    prior = 20.0 / 3.0
+    te_a = (20.0 + prior) / 3.0
+    te_b = (0.0 + prior) / 2.0
+    got = dict(zip(out["c"], out["te"]))
+    assert abs(got["A"] - te_a) < 1e-12 and abs(got["B"] - te_b) < 1e-12
