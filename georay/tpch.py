@@ -4667,6 +4667,113 @@ FROM seq WHERE rn > 1 GROUP BY 1, 2
 """
 
 
+def q_geofence(sf_dir: str):
+    """Geofence enter/exit detection over the event stream: per-event
+    inside-any-part-box flag (broadcast PIP index probe), per-user LAG
+    on the flag (one bucket shuffle), transition counts — the
+    spatio-temporal alerting primitive (PIP × window composition)."""
+    from georay.index import PolygonIndex
+
+    polys = part_box_polygons(sf_dir)
+    index = PolygonIndex.build(polys, geometry_col="geometry", id_col="p_partkey")
+    import ray as _ray
+
+    ref = _ray.put(index)
+    cache: dict = {}
+
+    pts = _event_points(sf_dir)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        idx = cache.setdefault("i", _ray.get(ref))
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pidx, _poly = idx.contains(lon, lat)
+        f = np.zeros(len(batch), dtype=np.int64)
+        f[np.unique(pidx)] = 1
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "in_fence": pa.array(f, pa.int64()),
+            }
+        )
+
+    flagged = pts.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    lagged = ops.window_lag(
+        flagged, key="user_id", ts="ts", value_col="in_fence",
+        out_col="prev", order_tiebreak="event_id",
+    )
+
+    def count_transitions(batch: pa.Table) -> pa.Table:
+        f = batch["in_fence"].to_numpy(zero_copy_only=False)
+        pv = pc.fill_null(batch["prev"], -1).to_numpy(zero_copy_only=False)
+        enters = int(((f == 1) & (pv == 0)).sum())
+        exits = int(((f == 0) & (pv == 1)).sum())
+        return pa.table(
+            {
+                "transition": pa.array(["enter", "exit"]),
+                "partial_n": pa.array([enters, exits], pa.int64()),
+            }
+        )
+
+    parts = lagged.map_batches(
+        count_transitions, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch["transition"]
+        n = batch["partial_n"].to_numpy(zero_copy_only=False)
+        is_enter = pc.equal(t, "enter").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "transition": pa.array(["enter", "exit"]),
+                "n": pa.array(
+                    [int(n[is_enter].sum()), int(n[~is_enter].sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return parts.map_batches(
+        merge, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+
+
+SQL_GEOFENCE = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+boxes AS (
+  SELECT {PART_CX} AS cx, {PART_CY} AS cy, {PART_W} AS w, {PART_H} AS h
+  FROM part
+),
+f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM boxes b
+           WHERE p.lon >= b.cx - b.w AND p.lon < b.cx + b.w
+             AND p.lat >= b.cy - b.h AND p.lat < b.cy + b.h)
+         THEN 1 ELSE 0 END AS in_fence
+  FROM pts p
+),
+lagged AS (
+  SELECT *, LAG(in_fence) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM f
+)
+SELECT * FROM (
+  SELECT 'enter' AS transition, COUNT(*) AS n FROM lagged
+   WHERE in_fence = 1 AND prev = 0
+  UNION ALL
+  SELECT 'exit', COUNT(*) FROM lagged WHERE in_fence = 0 AND prev = 1)
+"""
+
+
 # ---------------------------------------- classic TPC-H compositions
 #
 # Money sums are quantized to integers (cents / 1e-4 units) BEFORE
@@ -5537,6 +5644,7 @@ QUERIES = {
     "focal_max": q_focal_max,
     "target_encode": q_target_encode,
     "ridge": q_ridge,
+    "geofence": q_geofence,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5685,6 +5793,7 @@ ORACLE = {
     "focal_max": SQL_FOCAL_MAX,
     "target_encode": SQL_TARGET_ENCODE,
     "ridge": SQL_RIDGE,
+    "geofence": SQL_GEOFENCE,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,
