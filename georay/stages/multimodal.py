@@ -425,3 +425,74 @@ def augment_images(
         batch_size=512,
         concurrency=concurrency,
     )
+
+
+class ChannelStatsPartial:
+    """CORPUS-wide per-channel pixel statistics — the normalization
+    constants (mean/std per RGB channel) every vision-pretraining
+    pipeline computes over its dataset before training. Each batch
+    decodes its images and emits ONE exact integer partial row
+    (Σ pixel, Σ pixel², pixel count per channel — uint8 pixels keep
+    int64 sums exact up to ~3.6·10¹⁴ pixels per partial); partials
+    merge through the combine tree, the driver finishes two divides."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = np.zeros(3, np.int64)
+        s2 = np.zeros(3, np.int64)
+        n = 0
+        for data, fmt, w, h in zip(
+            batch["bytes"].to_pylist(),
+            batch["fmt"].to_pylist(),
+            batch["w"].to_pylist(),
+            batch["h"].to_pylist(),
+        ):
+            pix = im.decode_image(data, fmt, w, h).astype(np.int64)
+            s += pix.sum(axis=(0, 1))
+            s2 += (pix * pix).sum(axis=(0, 1))
+            n += pix.shape[0] * pix.shape[1]
+        return pa.table(
+            {
+                "channel": pa.array([0, 1, 2], pa.int64()),
+                "partial_s": pa.array(s, pa.int64()),
+                "partial_s2": pa.array(s2, pa.int64()),
+                "partial_n": pa.array(np.full(3, n, np.int64)),
+            }
+        )
+
+
+def corpus_channel_stats(
+    ds: ray.data.Dataset, concurrency=(2, 8)
+) -> "pa.Table":
+    """(channel, mean, std, n_pixels) over the whole image corpus — one
+    streaming decode pass, exact integer partials, combine-tree merge.
+    Deterministic bit-for-bit (integer sums are order-free)."""
+    from georay.ops import tree_sum
+
+    parts = ds.map_batches(
+        ChannelStatsPartial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=concurrency,
+    )
+    merged = tree_sum(
+        parts, ["channel"],
+        {"partial_s": "s", "partial_s2": "s2", "partial_n": "n"},
+        int_cols=("partial_s", "partial_s2", "partial_n"),
+    )
+    t = pa.concat_tables(
+        merged.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("channel")
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = s / n
+    std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+    return pa.table(
+        {
+            "channel": t["channel"],
+            "mean": pa.array(mean, pa.float64()),
+            "std": pa.array(std, pa.float64()),
+            "n_pixels": t["n"],
+        }
+    )

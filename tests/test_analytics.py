@@ -816,3 +816,36 @@ def test_target_encode_smoothing(ray_session):
     te_b = (0.0 + prior) / 2.0
     got = dict(zip(out["c"], out["te"]))
     assert abs(got["A"] - te_a) < 1e-12 and abs(got["B"] - te_b) < 1e-12
+
+
+# --------------------------------------------------- image channel stats
+
+
+def test_corpus_channel_stats_exact(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from georay import generate, images as im
+    from georay.stages.multimodal import corpus_channel_stats
+
+    d = str(tmp_path / "imgs")
+    generate.write_images_dataset(d, 200, seed=11, rows_per_file=100)
+    out = corpus_channel_stats(rd.read_parquet(d)).to_pandas()
+    # numpy oracle over the same decoded pixels
+    src = pq.read_table(d)
+    s = np.zeros(3)
+    s2 = np.zeros(3)
+    n = 0
+    for data, fmt, w, h in zip(
+        src["bytes"].to_pylist(), src["fmt"].to_pylist(),
+        src["w"].to_pylist(), src["h"].to_pylist(),
+    ):
+        pix = im.decode_image(data, fmt, w, h).astype(np.float64)
+        s += pix.sum(axis=(0, 1))
+        s2 += (pix * pix).sum(axis=(0, 1))
+        n += pix.shape[0] * pix.shape[1]
+    mean = s / n
+    std = np.sqrt(s2 / n - mean * mean)
+    assert out["n_pixels"].tolist() == [n, n, n]
+    assert np.allclose(out["mean"].values, mean, rtol=0, atol=1e-9)
+    assert np.allclose(out["std"].values, std, rtol=0, atol=1e-9)
