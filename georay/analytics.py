@@ -359,6 +359,10 @@ def triangle_count(
     edges = edges.materialize()  # count + (fast path | 4 downstream scans)
     n_edges = edges.count()
     if n_edges <= local_edge_cutoff:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.table({"n_triangles": pa.array([0], pa.int64())})
+            )
         t = pa.concat_tables(
             edges.iter_batches(batch_format="pyarrow", batch_size=None)
         )
@@ -529,6 +533,11 @@ def pagerank(
     edges = edges.materialize()  # count + (local pull | n_iter scans)
     n_edges = edges.count()
     if n_edges <= local_edge_cutoff:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "rank_q": pa.array([], pa.int64())})
+            )
         t = pa.concat_tables(
             edges.iter_batches(batch_format="pyarrow", batch_size=None)
         )

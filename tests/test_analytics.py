@@ -849,3 +849,47 @@ def test_corpus_channel_stats_exact(ray_session, tmp_path):
     assert out["n_pixels"].tolist() == [n, n, n]
     assert np.allclose(out["mean"].values, mean, rtol=0, atol=1e-9)
     assert np.allclose(out["std"].values, std, rtol=0, atol=1e-9)
+
+
+# ------------------------------------------------------------ more edges
+
+
+def test_merge_upsert_string_keys(ray_session):
+    base = pa.table(
+        {
+            "k": pa.array(["a", "b"]),
+            "v": pa.array([1.0, 2.0]),
+            "version": pa.array([0, 0], pa.int64()),
+        }
+    )
+    upd = pa.table(
+        {
+            "k": pa.array(["b", "c"]),
+            "v": pa.array([20.0, 30.0]),
+            "version": pa.array([1, 1], pa.int64()),
+            "op": pa.array(["U", "U"]),
+        }
+    )
+    out = (
+        ops.merge_upsert(_ds(base), _ds(upd), "k", "version", n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["v"].tolist() == [1.0, 20.0, 30.0]
+
+
+def test_weighted_sample_k_exceeds_n(ray_session):
+    tbl = pa.table(
+        {"rid": pa.array([1, 2, 3], pa.int64()), "w": pa.array([1.0, 2.0, 3.0])}
+    )
+    out = ops.weighted_sample(_ds(tbl), "rid", "w", 10).to_pandas()
+    assert sorted(out["rid"]) == [1, 2, 3]
+
+
+def test_graph_ops_empty_edges(ray_session):
+    empty = _ds(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ).materialize()
+    assert analytics.triangle_count(empty).to_pandas()["n_triangles"].tolist() == [0]
+    assert len(analytics.pagerank(empty).to_pandas()) == 0
+    assert len(analytics.degree_distribution(empty).to_pandas()) == 0
