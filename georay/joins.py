@@ -986,3 +986,129 @@ def knn_join_partitioned(
             "knn_rank": pa.array(rank, pa.int64()),
         }
     )
+
+
+def radius_join_count_partitioned(
+    probes: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    radius: float,
+    geom_col: str = "geotag",
+    probe_id_col: str = "p_partkey",
+    ref_lon_col: str = "lon",
+    ref_lat_col: str = "lat",
+    res: float | None = None,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE within-distance join, counted per probe — the
+    scale twin of ``radius_join_count``, completing the broadcast/
+    partitioned matrix (PIP, kNN, as-of, equality, range, radius). No
+    broadcast: references key by their single grid cell, probes
+    replicate to the exact grid cover of their ``±radius`` box (the
+    same `_cover_bboxes_grid` key function, so every (probe, ref)
+    candidate meets in EXACTLY one bucket — a ref's one cell), ONE
+    ``groupby(cell)`` co-shuffle, and each bucket builds a local
+    ``PointIndex`` over its refs and probes its probes with the same
+    exact kernel the broadcast plan uses. Per-probe partial counts from
+    different buckets merge through the combine tree. Planar metric
+    (degrees); bit-identical counts to the broadcast plan.
+
+    Pick ``res`` (default ≈ radius) so one cell's refs fit a worker;
+    probe replication is the disk cover (~9 cells at res = radius)."""
+    res = _radius_res(radius, "planar", res)
+    from georay import cells as c
+    from georay.index import _cover_bboxes_grid
+
+    def key_probes(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, geom_col)
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        bbox = np.column_stack([lon - radius, lat - radius,
+                                lon + radius, lat + radius])
+        keys, pidx = _cover_bboxes_grid(bbox, ok, res)
+        pid = batch[probe_id_col]
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        n = keys.shape[0]
+        return pa.table(
+            {
+                "cell": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "pid": pid.take(pa.array(pidx)).cast(pa.int64()),
+                "lon": pa.array(lon[pidx]),
+                "lat": pa.array(lat[pidx]),
+            }
+        )
+
+    def key_refs(batch: pa.Table) -> pa.Table:
+        lon = batch[ref_lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[ref_lat_col].to_numpy(zero_copy_only=False)
+        cell = c.grid_cell(lon, lat, res)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "side": pa.array(np.ones(len(batch), np.int8)),
+                "pid": pa.array([None] * len(batch), pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    keyed = probes.map_batches(
+        key_probes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        refs.map_batches(
+            key_refs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        p = group.filter(pa.array(side == 0))
+        r = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "pid": pa.array([], pa.int64()),
+                "partial_n": pa.array([], pa.int64()),
+            }
+        )
+        if len(p) == 0 or len(r) == 0:
+            return empty
+        idx = PointIndex.build(
+            r["lon"].to_numpy(zero_copy_only=False),
+            r["lat"].to_numpy(zero_copy_only=False),
+            np.arange(len(r), dtype=np.int64),
+            res,
+        )
+        # within() candidates come from the ref grid; refs here are only
+        # this bucket's cell, so candidates are exact for its probes
+        P, _, _ = idx.within(
+            p["lon"].to_numpy(zero_copy_only=False),
+            p["lat"].to_numpy(zero_copy_only=False),
+            radius,
+        )
+        counts = np.bincount(P, minlength=len(p))
+        nz = np.nonzero(counts)[0]
+        pid = p["pid"].combine_chunks() if isinstance(
+            p["pid"], pa.ChunkedArray) else p["pid"]
+        return pa.table(
+            {
+                "pid": pid.take(pa.array(nz)),
+                "partial_n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    partials = (
+        ops.shuffle_coalesce(keyed)
+        .groupby("cell")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+    out = ops.tree_sum(
+        partials, ["pid"], {"partial_n": count_alias}, int_cols=("partial_n",)
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([probe_id_col, count_alias])
+
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

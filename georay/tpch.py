@@ -2182,6 +2182,38 @@ def q_radius_join(sf_dir: str):
     return radius_join_count(probes, sx, sy, sk, radius=RADIUS_D)
 
 
+def q_radius_partitioned(sf_dir: str):
+    """The SAME within-distance count as radius_join, executed by the
+    BOTH-SIDES-LARGE co-partitioned strategy (probes replicate to their
+    radius-box grid cover, refs key by cell, one groupby(cell) shuffle,
+    per-bucket PointIndex) — completes the broadcast/partitioned twin
+    matrix; must agree with the broadcast plan bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import radius_join_count_partitioned
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table(
+            {"p_partkey": pa.array(pk)},
+            schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+        ).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo)
+        )
+    )
+    sx, sy, sk = supplier_points(sf_dir)
+    refs = rd.from_arrow(
+        pa.table({"lon": pa.array(sx), "lat": pa.array(sy)})
+    )
+    return radius_join_count_partitioned(
+        probes, refs, RADIUS_D, probe_id_col="p_partkey"
+    )
+
+
 SQL_RADIUS_JOIN = f"""
 WITH probes AS (
   SELECT p_partkey, {PART_CX} AS px, {PART_CY} AS py FROM part
@@ -5645,6 +5677,7 @@ QUERIES = {
     "target_encode": q_target_encode,
     "ridge": q_ridge,
     "geofence": q_geofence,
+    "radius_partitioned": q_radius_partitioned,
     "weighted_sample": q_weighted_sample,
     "weighted_grouped": q_weighted_grouped,
     "merge_upsert": q_merge_upsert,
@@ -5794,6 +5827,7 @@ ORACLE = {
     "target_encode": SQL_TARGET_ENCODE,
     "ridge": SQL_RIDGE,
     "geofence": SQL_GEOFENCE,
+    "radius_partitioned": SQL_RADIUS_JOIN,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "weighted_grouped": SQL_WEIGHTED_GROUPED,
     "merge_upsert": SQL_MERGE_UPSERT,

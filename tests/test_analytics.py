@@ -893,3 +893,38 @@ def test_graph_ops_empty_edges(ray_session):
     assert analytics.triangle_count(empty).to_pandas()["n_triangles"].tolist() == [0]
     assert len(analytics.pagerank(empty).to_pandas()) == 0
     assert len(analytics.degree_distribution(empty).to_pandas()) == 0
+
+
+def test_radius_partitioned_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from georay.codecs import native
+    from georay.joins import radius_join_count, radius_join_count_partitioned
+    from georay.types import GeoType
+
+    rng = np.random.default_rng(8)
+    n_p, n_r = 400, 300
+    plon = rng.uniform(-170, 170, n_p)
+    plat = rng.uniform(-80, 80, n_p)
+    rlon = rng.uniform(-170, 170, n_r)
+    rlat = rng.uniform(-80, 80, n_r)
+    geo = GeoType.point()
+    probes = rd.from_arrow(
+        pa.table({"p_partkey": pa.array(np.arange(n_p, dtype=np.int64))})
+        .append_column(
+            geo.field("geotag"),
+            native.build_points(np.column_stack([plon, plat]), geo),
+        )
+    )
+    bc = (
+        radius_join_count(
+            probes, rlon, rlat, np.arange(n_r, dtype=np.int64), 6.0
+        )
+        .to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    )
+    refs = rd.from_arrow(pa.table({"lon": pa.array(rlon), "lat": pa.array(rlat)}))
+    pt = (
+        radius_join_count_partitioned(probes, refs, 6.0)
+        .to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    )
+    assert bc.values.tolist() == pt.values.tolist()
