@@ -167,6 +167,10 @@ def run_bench() -> dict:
     timed_ext("tpch_q3", lambda: tpch.q_tpch_q3(SF_DIR).count())
     timed_ext("trajectory", lambda: tpch.q_trajectory(SF_DIR).count())
     timed_ext("bpe_tokens", lambda: tpch.q_bpe_tokens(SF_DIR).count())
+    timed_ext("geo_curate", lambda: tpch.q_geo_curate(SF_DIR).count())
+    timed_ext("geofence", lambda: tpch.q_geofence(SF_DIR).count())
+    timed_ext("radius_partitioned", lambda: tpch.q_radius_partitioned(SF_DIR).count())
+    timed_ext("ohlc", lambda: tpch.q_ohlc(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
