@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -197,6 +198,12 @@ def pip_zonal_stats(
 
     def probe_stats(batch: pa.Table) -> pa.Table:
         idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        # SQL aggregate semantics skip NULLs: drop null-value rows before
+        # the reduce (astype would turn them into NaN and poison
+        # sum/min/max/avg for the whole polygon)
+        vcol = batch[value_col]
+        if vcol.null_count:
+            batch = batch.filter(pc.is_valid(vcol))
         lon, lat = ops.point_lonlat(batch, geom_col)
         vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         bad = ~(np.isfinite(lon) & np.isfinite(lat))

@@ -337,10 +337,18 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _bytes_hash(arr: pa.Array) -> np.ndarray:
-    """(n,) uint64 polynomial hash of a string/binary Arrow array — one
+    """(n,) uint64 multilinear hash of a string/binary Arrow array — one
     vectorized pass over the flat data buffer (no per-row Python). Nulls
-    and empty strings hash to 0."""
-    from georay.stages.dedup import _POW_TABLE
+    and empty strings hash to 0.
+
+    Each byte at within-row position i is weighted by ``mix64(i+1)`` — a
+    bijection, so every position gets a DISTINCT 64-bit coefficient at
+    ANY key length (a capped power table would alias positions past the
+    cap and silently collide long keys that differ only in their tails).
+    The row length is folded in before the final mix so keys differing
+    only by trailing NUL bytes (whose byte terms are zero) stay distinct.
+    Pairwise collision odds ~2^-64 for arbitrary-length keys.
+    """
 
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     lb = arr.cast(pa.large_binary())
@@ -364,10 +372,12 @@ def _bytes_hash(arr: pa.Array) -> np.ndarray:
     # reduceat quirk: an empty segment returns the element at its start
     # index (and start==len(blob) would be out of range) — clamp, then
     # zero empties below
+    coeff = _mix64(within.astype(np.uint64) + np.uint64(1))
     h = np.add.reduceat(
-        blob * _POW_TABLE[np.minimum(within, 4095)],
+        blob * coeff,
         np.minimum(seg_starts, blob.shape[0] - 1),
     )
+    h += np.uint64(0x9E3779B97F4A7C15) * lens.astype(np.uint64)
     h[lens == 0] = 0
     if lb.null_count:
         valid = np.asarray(lb.is_valid())
@@ -3074,6 +3084,9 @@ def rollup_sum(
             kept, dropped = keys[:lvl], keys[lvl:]
             if kept:
                 g = batch.group_by(kept).aggregate([(out_col, "sum")])
+                # select by the generated aggregate name, not position —
+                # pyarrow's key-column ordering is version-dependent
+                g = g.select(kept + [f"{out_col}_sum"])
                 g = g.rename_columns(kept + [out_col])
             else:
                 g = pa.table({out_col: pa.array(
@@ -3126,6 +3139,9 @@ def cube_sum(
                 continue
             if kept:
                 g = batch.group_by(kept).aggregate([(out_col, "sum")])
+                # select by the generated aggregate name, not position —
+                # pyarrow's key-column ordering is version-dependent
+                g = g.select(kept + [f"{out_col}_sum"])
                 g = g.rename_columns(kept + [out_col])
             else:
                 g = pa.table({out_col: pa.array(
@@ -4238,7 +4254,19 @@ def ohlc_bars(
     bmin = bt["min_ts"].to_numpy(zero_copy_only=False)
     bmax = bt["max_ts"].to_numpy(zero_copy_only=False)
     # pack (key, period) for the probe; periods are epoch_us//bucket_us
-    # (< 2^31 for microsecond epochs and sane buckets)
+    # (< 2^31 for microsecond epochs and sane buckets). The pack is only
+    # injective inside those bounds — enforce them here (the bars table
+    # contains every (key, period) the probe will see, so this one
+    # o(bars) check guards the probe side too) rather than silently
+    # colliding keys ≥ 2^32 or negative periods across distinct bars.
+    if bp.size:
+        if bp.min() < 0 or bp.max() >= (1 << 31):
+            raise ValueError(
+                "ohlc_bars: period out of packable range [0, 2^31) — "
+                "negative timestamps or too-fine bucket_us"
+            )
+        if np.abs(bk).max() >= (1 << 32):
+            raise ValueError("ohlc_bars: |key| must be < 2^32 to pack")
     pack = bk * np.int64(1 << 31) + bp
     o = np.argsort(pack, kind="stable")
     pack_s, bmin_s, bmax_s = pack[o], bmin[o], bmax[o]

@@ -357,8 +357,13 @@ def _verify_pairs_broadcast(
     )
 
     def verify_part(group: pa.Table) -> pa.Table:
-        """All pairs of one slot-partition: sort rows by slot, pair up
-        adjacent (slot, side 0/1) rows, numpy set-intersect per pair."""
+        """All pairs of one slot-partition: sort rows by slot, then pair
+        the first side-0 row with the first side-1 row of each slot and
+        numpy set-intersect per pair. A corpus with DUPLICATED doc ids
+        emits >1 row per (slot, side); pairing strictly across sides
+        means we never compare two copies of the same doc and label it
+        the cross pair (which copy represents a duplicated id is
+        arrival-order-dependent — inherent when ids are not unique)."""
         slot = group["slot"].to_numpy(zero_copy_only=False)
         side = group["side"].to_numpy(zero_copy_only=False)
         sh = group["shingles"].to_pylist()
@@ -366,11 +371,22 @@ def _verify_pairs_broadcast(
         ia, ib, jac = [], [], []
         i = 0
         n = order.shape[0]
-        while i + 1 < n:
-            r0, r1 = order[i], order[i + 1]
-            if slot[r0] != slot[r1]:
-                i += 1  # orphan side (doc missing) — drop
-                continue
+        while i < n:
+            s_val = slot[order[i]]
+            g_end = i
+            while g_end < n and slot[order[g_end]] == s_val:
+                g_end += 1
+            rows = order[i:g_end]
+            i = g_end
+            r0 = r1 = -1
+            for r in rows:
+                if side[r] == 0:
+                    if r0 < 0:
+                        r0 = r
+                elif r1 < 0:
+                    r1 = r
+            if r0 < 0 or r1 < 0:
+                continue  # orphan side (doc missing) — drop
             sa = np.asarray(sh[r0], dtype=np.int64)
             sb = np.asarray(sh[r1], dtype=np.int64)
             if sa.size == 0 and sb.size == 0:
@@ -381,11 +397,10 @@ def _verify_pairs_broadcast(
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 j = inter / (sa.size + sb.size - inter)
             if j >= threshold:
-                s = int(slot[r0])
+                s = int(s_val)
                 ia.append(int(pair_a[s]))
                 ib.append(int(pair_b[s]))
                 jac.append(j)
-            i += 2
         return pa.table(
             {
                 "id_a": pa.array(np.asarray(ia, dtype=np.int64)),

@@ -63,9 +63,11 @@ class StreamingDedup:
     in this filter's lifetime. Survives across multiple datasets — pass
     the same instance to filter an entire ingest session incrementally.
 
-    64-bit key hashes stand in for keys (collision odds ~n²/2⁶⁵ —
-    negligible below ~10⁹ keys per filter; shard count bounds per-actor
-    memory). Use ``ops.dedup_exact`` when a one-shot shuffle is
+    64-bit key hashes stand in for keys (``ops._bytes_hash`` gives every
+    byte position a distinct mix64 coefficient at any key length, so
+    collision odds are ~n²/2⁶⁵ for arbitrary-length keys — negligible
+    below ~10⁹ keys per filter; shard count bounds per-actor memory).
+    Use ``ops.dedup_exact`` when a one-shot shuffle is
     acceptable; use this when rows must stream out incrementally.
     """
 

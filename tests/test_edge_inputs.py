@@ -46,3 +46,64 @@ def test_operators_on_degenerate_inputs(tbl, expect, ray_session):
     # profile emits one row per column; an all-empty dataset produces no
     # batches, hence no rows (documented)
     assert ops.profile_columns(ds, ["k", "v", "s"]).count() == (3 if expect else 0)
+
+
+def test_bytes_hash_long_keys_distinct():
+    """Keys sharing a >4 KiB prefix with permuted tails must hash apart
+    (a capped power table aliased positions past 4095 and collided
+    them), and trailing NUL bytes must change the hash (length fold)."""
+    import pyarrow as pa
+
+    from georay.ops import _bytes_hash
+
+    arr = pa.array(
+        [
+            b"x" * 4096 + b"ab",
+            b"x" * 4096 + b"ba",
+            b"hello",
+            b"hello",
+            b"",
+            None,
+            b"ab",
+            b"ab\x00",
+            b"ab\x00\x00",
+        ],
+        pa.binary(),
+    )
+    h = _bytes_hash(arr)
+    assert h[0] != h[1]
+    assert h[2] == h[3]
+    assert h[4] == 0 and h[5] == 0
+    assert len({int(h[6]), int(h[7]), int(h[8])}) == 3
+    # no collisions over a few thousand random long keys
+    rng = np.random.default_rng(7)
+    keys = [rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes() for _ in range(2000)]
+    hh = _bytes_hash(pa.array(keys, pa.binary()))
+    assert len(set(hh.tolist())) == 2000
+
+
+def test_ohlc_bars_rejects_unpackable_keys(ray_session):
+    """(key, period) packing is only injective for |key| < 2^32 and
+    0 <= period < 2^31 — out-of-range inputs must raise, not collide."""
+    import ray.data as rd
+
+    big = pa.table(
+        {
+            "k": pa.array([1 << 33], pa.int64()),
+            "ts": pa.array([1_000_000], pa.int64()),
+            "v": pa.array([1.0], pa.float64()),
+        }
+    )
+    with pytest.raises(Exception, match="pack"):
+        ops.ohlc_bars(
+            rd.from_arrow(big), key="k", ts_col="ts", value_col="v",
+            bucket_us=1_000_000,
+        ).count()
+    neg = big.set_column(0, "k", pa.array([1], pa.int64())).set_column(
+        1, "ts", pa.array([-5_000_000], pa.int64())
+    )
+    with pytest.raises(Exception, match="pack"):
+        ops.ohlc_bars(
+            rd.from_arrow(neg), key="k", ts_col="ts", value_col="v",
+            bucket_us=1_000_000,
+        ).count()

@@ -1645,3 +1645,38 @@ def test_equi_join_partitioned_composite_keys(ray_session):
     # 2 matches for x + 3 unmatched left + 2 unmatched right
     assert len(outer) == 7
     assert outer["rv"].notna().sum() == 4  # R1 R2 R3 RN all present
+
+
+def test_pip_zonal_stats_skips_null_values(ray_session):
+    """SQL aggregates skip NULLs: a null value row inside a polygon must
+    not poison sum/min/max/avg (astype would have made it NaN)."""
+    import ray.data as rd
+
+    from georay import joins
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    geo = GeoType.point(crs="OGC:CRS84")
+    pt = native.build_points(
+        np.array([[0.5, 0.5], [0.6, 0.6], [0.7, 0.7]]), geo
+    )
+    pts = pa.table(
+        {"image_id": pa.array([1, 2, 3], pa.int64()),
+         "val": pa.array([10.0, None, 30.0], pa.float64())}
+    ).append_column(geo.field("geotag"), pt)
+    # one unit-square polygon containing all three points
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    pg = GeoType.polygon(crs="OGC:CRS84")
+    poly = native.build_nested(
+        ring, [np.array([0, 1]), np.array([0, 5])], pg
+    )
+    polys = pa.table({"polygon_id": pa.array([7], pa.int64())}).append_column(
+        pg.field("geometry"), poly
+    )
+    out = joins.pip_zonal_stats(
+        rd.from_arrow(pts), polys, value_col="val"
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] == 2 and r["v_sum"] == 40.0
+    assert r["v_min"] == 10.0 and r["v_max"] == 30.0 and r["v_avg"] == 20.0

@@ -879,3 +879,25 @@ def test_logreg_fit_separable_and_deterministic(ray_session):
     assert acc >= 0.9, acc
     # the informative feature dominates
     assert abs(m1["w"][0]) > 3 * abs(m1["w"][1])
+
+
+def test_verify_pairs_duplicated_doc_ids_no_same_side_match(ray_session):
+    """ADVICE regression: with a DUPLICATED doc id in the corpus, the
+    slot walk must pair strictly across sides — never compare two copies
+    of the same doc and emit the cross pair as verified."""
+    import ray.data as rd
+
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": same},
+            {"doc_id": 1, "text": same},   # duplicated id
+            {"doc_id": 2, "text": other},
+        ]
+    )
+    cand = rd.from_items([{"id_a": 1, "id_b": 2}])
+    out = dedup.verify_pairs_distributed(ds, cand, threshold=0.8).take_all()
+    # the old adjacent walk compared copy-vs-copy of doc 1 (jaccard 1.0)
+    # and emitted (1, 2); the true cross jaccard is ~0
+    assert out == []
