@@ -166,7 +166,7 @@ def run_bench() -> dict:
     timed_ext("tile_pyramid", lambda: tpch.q_tile_pyramid(SF_DIR).count())
     timed_ext("tpch_q3", lambda: tpch.q_tpch_q3(SF_DIR).count())
     timed_ext("trajectory", lambda: tpch.q_trajectory(SF_DIR).count())
-    timed_ext("bpe_tokens", lambda: tpch.q_bpe_tokens(SF_DIR).count())
+    timed_ext("bpe_trained", lambda: tpch.q_bpe_trained(SF_DIR).count())
     timed_ext("geo_curate", lambda: tpch.q_geo_curate(SF_DIR).count())
     timed_ext("geofence", lambda: tpch.q_geofence(SF_DIR).count())
     timed_ext("radius_partitioned", lambda: tpch.q_radius_partitioned(SF_DIR).count())

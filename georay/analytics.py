@@ -914,3 +914,84 @@ def grouped_convex_hull(
     return _bucketed(proj, [key_col], n_buckets).map_groups(
         per_bucket, batch_format="pyarrow"
     )
+
+def grouped_hull_stats(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group convex-hull DERIVED SCALARS over integer-grid coords:
+    ``(key, n_vertices, area2, perim_q)`` — the oracle-friendly twin of
+    ``grouped_convex_hull`` (whose WKT output has no SQL equivalent).
+
+    Semantics (over the group's DISTINCT points, so duplicated inputs
+    cannot double-count a corner):
+
+    - ``n_vertices``: strict hull corners (collinear boundary points
+      dropped — Andrew chain with ``cross <= 0`` pop); a single point
+      gives 0, an all-collinear group gives 2 (the chain's endpoints).
+    - ``area2``: twice the signed CCW shoelace area — exact when coords
+      are integers (|cross| sums < 2^53 stay integer in float64).
+    - ``perim_q``: per-edge Euclidean lengths quantized to
+      ``floor(len * 1e6 + 0.5)`` int64 THEN summed, so the total is
+      association-free and bit-replicable in SQL (sqrt is correctly
+      rounded for integer squared lengths on this host — see
+      trajectory_stats).
+
+    Same bucket-shuffle shape as grouped_convex_hull: one key-bucket
+    groupby; the per-group Python loop is over GROUPS (coarse keys).
+    """
+    proj = ds.select_columns([key_col, x_col, y_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = group[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = group[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order, starts, gid = _group_starts(k)
+        xs, ys, ks = x[order], y[order], k[order]
+        n = xs.shape[0]
+        keys_out: list[int] = []
+        nv: list[int] = []
+        area2: list[int] = []
+        perim: list[int] = []
+        bounds = np.append(starts, n)
+        for gi in range(starts.shape[0]):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            pts = np.unique(
+                np.column_stack([xs[lo:hi], ys[lo:hi]]), axis=0
+            )
+            gx, gy = pts[:, 0], pts[:, 1]
+            keys_out.append(int(ks[lo]))
+            if gx.shape[0] == 1:
+                nv.append(0)
+                area2.append(0)
+                perim.append(0)
+                continue
+            hull = _convex_hull_xy(gx, gy)
+            if hull.shape[0] < 3:
+                nv.append(2)
+                area2.append(0)
+                perim.append(0)
+                continue
+            hx, hy = gx[hull], gy[hull]
+            nx, ny = np.roll(hx, -1), np.roll(hy, -1)
+            a2 = float(np.dot(hx, ny) - np.dot(hy, nx))
+            legs = np.sqrt((nx - hx) ** 2 + (ny - hy) ** 2)
+            pq = int(np.floor(legs * 1e6 + 0.5).astype(np.int64).sum())
+            nv.append(int(hull.shape[0]))
+            area2.append(int(a2))
+            perim.append(pq)
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, pa.int64()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area2": pa.array(area2, pa.int64()),
+                "perim_q": pa.array(perim, pa.int64()),
+            }
+        )
+
+    return _bucketed(proj, [key_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

@@ -4565,12 +4565,13 @@ FROM (
 """
 
 
-def q_convex_hulls(sf_dir: str):
+def q_convex_hull_wkt(sf_dir: str):
     """Per-group convex hulls (dissolve-to-hull) of the lineitem
     geotags grouped by linenumber — hull WKT through the engine's own
     native builder + WKT writer (analytics.grouped_convex_hull).
-    No SQL twin exists for hulls (rows-only); pinned by geometry
-    pytest invariants."""
+    No SQL twin exists for WKT hulls; pinned by geometry pytest
+    invariants and exercised by bench. The ORACLED hull query is
+    ``convex_hulls`` (derived scalars)."""
     from georay import analytics
 
     pts = lineitem_points(sf_dir, extra_cols=["l_linenumber"])
@@ -4589,6 +4590,79 @@ def q_convex_hulls(sf_dir: str):
         lonlat, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     return analytics.grouped_convex_hull(pts, "l_linenumber", "lon", "lat")
+
+
+def q_convex_hulls(sf_dir: str):
+    """Per-nation convex hulls of the supplier locations, as ORACLED
+    derived scalars (vertex count, exact 2×shoelace area, quantized
+    perimeter — analytics.grouped_hull_stats). Coordinates are the
+    supplier lattice scaled ×20 to integers (ix = 20·lon exactly), so
+    cross products and squared lengths are integer-exact on both sides;
+    the SQL twin computes the hull edge set directly (an ordered pair
+    is a CCW hull edge iff every other point is strictly left or on the
+    closed segment — exact integer arithmetic, O(m³) per group, fine
+    for coarse groups). Degenerate groups match the monotone-chain
+    semantics: 1 point → 0 vertices, all-collinear → 2."""
+    from georay import analytics
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+
+    def scaled(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = 2 * ((sk * 41) % 3600) - 3599
+        iy = 2 * ((sk * 59) % 1700) - 1699
+        return pa.table(
+            {
+                "s_nationkey": pa.array(nk, pa.int64()),
+                "ix": pa.array(ix.astype(np.float64)),
+                "iy": pa.array(iy.astype(np.float64)),
+            }
+        )
+
+    pts = ds.map_batches(
+        scaled, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return analytics.grouped_hull_stats(pts, "s_nationkey", "ix", "iy")
+
+
+SQL_CONVEX_HULLS = """
+WITH pts AS (
+  SELECT DISTINCT s_nationkey AS g,
+         2*((s_suppkey*41)%3600) - 3599 AS x,
+         2*((s_suppkey*59)%1700) - 1699 AS y
+  FROM supplier
+),
+cnt AS (SELECT g, COUNT(*) AS m FROM pts GROUP BY g),
+tri AS (
+  SELECT DISTINCT a.g FROM pts a JOIN pts b ON a.g=b.g JOIN pts c ON a.g=c.g
+  WHERE (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) > 0
+),
+edges AS (
+  SELECT a.g AS g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+  FROM pts a JOIN pts b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+  WHERE a.g IN (SELECT g FROM tri)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts c WHERE c.g = a.g AND (
+        (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) < 0
+        OR ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) = 0
+            AND NOT ((c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y) >= 0
+                     AND (c.x-b.x)*(a.x-b.x) + (c.y-b.y)*(a.y-b.y) >= 0))
+      )
+    )
+),
+hs AS (
+  SELECT g, COUNT(*) AS nv,
+         SUM(ax*by_ - bx*ay) AS area2,
+         SUM(CAST(floor(sqrt(CAST((bx-ax)*(bx-ax) + (by_-ay)*(by_-ay) AS DOUBLE))*1e6 + 0.5) AS BIGINT)) AS perim_q
+  FROM edges GROUP BY g
+)
+SELECT c.g AS s_nationkey,
+       CAST(CASE WHEN c.m = 1 THEN 0 WHEN h.nv IS NULL THEN 2 ELSE h.nv END AS BIGINT) AS n_vertices,
+       CAST(COALESCE(h.area2, 0) AS BIGINT) AS area2,
+       CAST(COALESCE(h.perim_q, 0) AS BIGINT) AS perim_q
+FROM cnt c LEFT JOIN hs h ON c.g = h.g
+"""
 
 
 # --------------------------------------------- trajectories / OD matrix
@@ -5453,19 +5527,64 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 BPE_MERGES = 100
 
 
-def q_bpe_tokens(sf_dir: str):
+def q_bpe_trained(sf_dir: str):
     """BPE tokenizer trained on the corpus (distributed wordcount →
     driver merge loop over the o(vocab) table, the standard recipe)
     then per-doc BPE token counts via the cached actor-pool encoder.
-    No SQL twin for learned merges — correctness pinned by pytest
-    (classic Sennrich example) plus the 0-merge oracled twin
-    ``bpe_base``."""
+    No SQL twin for LEARNED merges — correctness pinned by pytest
+    (classic Sennrich example); the oracled encode queries are
+    ``bpe_base`` (0 merges) and ``bpe_tokens`` (fixed vocab)."""
     from georay.stages.text import add_bpe_token_count, bpe_train
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     merges = bpe_train(ds, n_merges=BPE_MERGES)
     out = add_bpe_token_count(ds, merges)
     return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+# the production encode shape: a FIXED vocab (training happens once,
+# offline — q_bpe_trained) applied at corpus scale. Fixed merges make
+# the greedy rank-by-rank BPE encode SQL-replicable: each chained
+# replace() is exactly one rank's leftmost-non-overlapping merge pass,
+# and the end-of-word marker (fused into the last char) is handled by
+# restricting matches to the word's first len-1 chars.
+BPE_FIXED_MERGES = [("t", "h"), ("th", "e")]
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Per-doc BPE token counts under the FIXED two-merge vocab
+    ``th``, ``the`` via the cached actor-pool encoder
+    (stages/text.py BpeTokenCounter). Token count per word =
+    chars − merge applications; the SQL twin counts applications with
+    chained replace() over the word's first len-1 chars (the last char
+    carries the end-of-word marker and can never match)."""
+    from georay.stages.text import add_bpe_token_count
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = add_bpe_token_count(ds, merges=BPE_FIXED_MERGES)
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_BPE_TOKENS = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+  FROM documents
+),
+wt AS (
+  SELECT doc_id,
+         length(w)
+         - (length(substr(w, 1, length(w)-1))
+            - length(replace(substr(w, 1, length(w)-1), 'th', chr(1))))
+         - (length(replace(substr(w, 1, length(w)-1), 'th', chr(1)))
+            - length(replace(replace(substr(w, 1, length(w)-1), 'th', chr(1)), chr(1)||'e', chr(2))))
+           AS toks
+  FROM words WHERE w <> ''
+)
+SELECT d.doc_id AS doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(toks) AS n FROM wt GROUP BY doc_id) s ON d.doc_id = s.doc_id
+"""
 
 
 def q_bpe_base(sf_dir: str):
@@ -5717,14 +5836,11 @@ QUERIES = {
     "repetition": q_repetition,
     "redact": q_redact,
     "lang_quality": q_lang_quality,
-    "minhash_neardup": q_minhash_neardup,
     "minhash_planted": q_minhash_planted,
-    "simhash_neardup": q_simhash_neardup,
     "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
     "ann_filtered": q_ann_filtered,
     "ivf_ann": q_ivf_ann,
-    "embed_neardup": q_embed_neardup,
     "embed_planted": q_embed_planted,
     "image_neardup": q_image_neardup,
     "image_patches": q_image_patches,
@@ -5867,6 +5983,8 @@ ORACLE = {
     "redact": SQL_REDACT,
     "minhash_planted": SQL_MINHASH_PLANTED,
     "simhash_planted": SQL_SIMHASH_PLANTED,
+    "convex_hulls": SQL_CONVEX_HULLS,
+    "bpe_tokens": SQL_BPE_TOKENS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_filtered": SQL_ANN_FILTERED,
     "ivf_ann": SQL_IVF_ANN,

@@ -928,3 +928,31 @@ def test_radius_partitioned_matches_broadcast(ray_session):
         .to_pandas().sort_values("p_partkey").reset_index(drop=True)
     )
     assert bc.values.tolist() == pt.values.tolist()
+
+
+def test_grouped_hull_stats_square_and_degenerate(ray_session):
+    # group 1: unit square ×20 grid + interior + collinear boundary point
+    # group 2: single point -> 0 vertices; group 3: collinear -> 2
+    tbl = pa.table(
+        {
+            "k": pa.array([1] * 7 + [2] + [3, 3, 3], pa.int64()),
+            "x": pa.array(
+                [0.0, 20, 20, 0, 10, 10, 0, 5.0, 0.0, 10, 20], pa.float64()
+            ),
+            "y": pa.array(
+                [0.0, 0, 20, 20, 10, 0, 10, 5.0, 0.0, 10, 20], pa.float64()
+            ),
+        }
+    )
+    out = (
+        analytics.grouped_hull_stats(_ds(tbl), "k", "x", "y", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    # square: 4 strict corners (collinear midpoints (10,0),(0,10) dropped),
+    # area2 = 2*400, perimeter 80 -> 80e6
+    assert out["n_vertices"].tolist() == [4, 0, 2]
+    assert out["area2"].tolist() == [800, 0, 0]
+    assert out["perim_q"].tolist() == [80_000_000, 0, 0]
