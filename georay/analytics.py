@@ -335,6 +335,7 @@ def triangle_count(
     edges: ray.data.Dataset,
     n_buckets: int = 64,
     local_edge_cutoff: int = 100_000,
+    degree_strategy: str = "broadcast",
 ) -> ray.data.Dataset:
     """Exact triangle count of an undirected distinct ``(a, b)`` edge
     list, as a 1-row ``(n_triangles int64)`` table.
@@ -344,12 +345,21 @@ def triangle_count(
     bounding out-degrees by O(√m) so total wedges are O(m^1.5) even on
     power-law graphs — the id-ordered variant is quadratic at hub nodes.
     Plan: (1) degree table via combine tree (edge list doesn't move);
-    (2) degrees broadcast once via ``ray.put`` (searchsorted lookup per
-    batch — node table ≪ edge bytes; swap in the partitioned equality
-    join for billion-node graphs); (3) wedges generated per oriented
-    source bucket; (4) wedges ∩ edges counted by one co-partitioned
-    hash-bucket probe. The triangle COUNT is orientation-invariant, so
-    the SQL oracle may use the simple ``a<b`` 3-way self-join."""
+    (2) the orientation pass attaches ``deg_dst`` to every oriented edge
+    so the wedge stage needs NO degree table at all; (3) wedges
+    generated per oriented source bucket; (4) wedges ∩ edges counted by
+    one co-partitioned hash-bucket probe. The triangle COUNT is
+    orientation-invariant, so the SQL oracle may use the simple
+    ``a<b`` 3-way self-join.
+
+    ``degree_strategy``: how step (2) reads degrees —
+
+    - ``"broadcast"`` (default): degree table collected once and
+      ``ray.put`` (searchsorted per batch; node table ≪ edge bytes).
+    - ``"partitioned"``: degrees attached by TWO hash-bucket co-shuffle
+      joins (``_attach_lookup`` by ``a`` then by ``b``) — the node
+      table never lands on the driver; the billion-node scale path.
+    """
     # small-edge-list fast path (same policy as connected_components):
     # the support-filtered edge list is usually o(the node table this
     # function materializes for broadcast anyway). Below the cutoff run
@@ -374,44 +384,77 @@ def triangle_count(
         )
 
     degrees = degree_table(edges)
-    tbl = pa.concat_tables([ray.get(r) for r in degrees.to_arrow_refs()])
-    nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    degs = tbl["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.argsort(nodes, kind="stable")
-    nodes_ref = ray.put(nodes[o])
-    degs_ref = ray.put(degs[o])
 
-    def orient(batch: pa.Table) -> pa.Table:
-        ns, dg = ray.get(nodes_ref), ray.get(degs_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        da = dg[np.searchsorted(ns, a)]
-        db = dg[np.searchsorted(ns, b)]
-        fwd = (da < db) | ((da == db) & (a < b))
-        src = np.where(fwd, a, b)
-        dst = np.where(fwd, b, a)
-        return pa.table(
-            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+    if degree_strategy == "partitioned":
+        # node table never on the driver: two co-shuffle joins attach
+        # deg(a) then deg(b), a stateless pass orients
+        with_da = _attach_lookup(
+            edges, ["a", "b"], "a", degrees, "node", "degree", "da", n_buckets
+        )
+        with_db = _attach_lookup(
+            with_da, ["a", "b", "da"], "b", degrees, "node", "degree", "db",
+            n_buckets,
         )
 
-    oriented = edges.map_batches(
-        orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+        def orient_attached(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            da = batch["da"].to_numpy(zero_copy_only=False)
+            db = batch["db"].to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {
+                    "src": pa.array(np.where(fwd, a, b), pa.int64()),
+                    "dst": pa.array(np.where(fwd, b, a), pa.int64()),
+                    "deg_dst": pa.array(np.where(fwd, db, da), pa.int64()),
+                }
+            )
+
+        oriented = with_db.map_batches(
+            orient_attached, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    else:
+        tbl = pa.concat_tables([ray.get(r) for r in degrees.to_arrow_refs()])
+        nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        degs = tbl["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(nodes, kind="stable")
+        nodes_ref = ray.put(nodes[o])
+        degs_ref = ray.put(degs[o])
+
+        def orient(batch: pa.Table) -> pa.Table:
+            ns, dg = ray.get(nodes_ref), ray.get(degs_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            da = dg[np.searchsorted(ns, a)]
+            db = dg[np.searchsorted(ns, b)]
+            fwd = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {
+                    "src": pa.array(np.where(fwd, a, b), pa.int64()),
+                    "dst": pa.array(np.where(fwd, b, a), pa.int64()),
+                    "deg_dst": pa.array(np.where(fwd, db, da), pa.int64()),
+                }
+            )
+
+        oriented = edges.map_batches(
+            orient, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
 
     # wedges from each source's out-neighborhood; key them like edges so
-    # the final probe co-partitions wedges with oriented edges
+    # the final probe co-partitions wedges with oriented edges. Wedge
+    # orientation reads the ATTACHED deg_dst — no degree table here.
     def wedges_per_bucket(group: pa.Table) -> pa.Table:
         s = group["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         d = group["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = group["deg_dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         order, starts, gid = _group_starts(s, d, group_keys=1)
-        s_s, d_s = s[order], d[order]
+        s_s, d_s, dd_s = s[order], d[order], dd[order]
         i, j = _pairs_within_groups(starts, s_s.shape[0])
-        # out-neighbors sorted by dst id; orient the wedge pair by the
-        # GLOBAL edge orientation so it matches a stored (src,dst) edge
-        ns, dg = ray.get(nodes_ref), ray.get(degs_ref)
+        # orient the wedge pair by the GLOBAL edge orientation so it
+        # matches a stored (src,dst) edge
         v, w = d_s[i], d_s[j]
-        dv = dg[np.searchsorted(ns, v)]
-        dw = dg[np.searchsorted(ns, w)]
+        dv, dw = dd_s[i], dd_s[j]
         fwd = (dv < dw) | ((dv == dw) & (v < w))
         return pa.table(
             {
@@ -426,8 +469,15 @@ def triangle_count(
 
     def tag(which: int):
         def fn(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "_is_edge", pa.array(np.full(len(batch), which, np.int8))
+            # physical projection (schema-safe under Ray 2.49's logical
+            # select quirk) so both union sides are exactly (src, dst,
+            # _is_edge)
+            return pa.table(
+                {
+                    "src": batch["src"],
+                    "dst": batch["dst"],
+                    "_is_edge": pa.array(np.full(len(batch), which, np.int8)),
+                }
             )
 
         return fn
@@ -994,4 +1044,266 @@ def grouped_hull_stats(
 
     return _bucketed(proj, [key_col], n_buckets).map_groups(
         per_bucket, batch_format="pyarrow"
+    )
+
+def _attach_lookup(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    key_col: str,
+    lk_ds: ray.data.Dataset,
+    lk_key: str,
+    lk_val: str,
+    out_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Attach ``lk_val`` (looked up by ``key_col = lk_key``) to every row
+    of ``ds`` via a hash-bucket CO-SHUFFLE — both sides sharded by
+    ``hash(key) % n_buckets``, no driver materialization, no broadcast.
+    The partitioned-equality-join primitive the graph family uses when
+    the lookup table (e.g. node degrees) exceeds the broadcast cutoff.
+    All named columns must be int64; every key must be present in the
+    lookup (callers pass complete node tables)."""
+    from georay import ops
+
+    nb = np.uint64(n_buckets)
+    ki = cols.index(key_col)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    def tag_main(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"_b": pa.array(_bucket(k), pa.int64()),
+               "kind": pa.array(np.ones(len(batch), np.int8))}
+        for i, c in enumerate(cols):
+            out[f"c{i}"] = batch[c].cast(pa.int64())
+        out["v"] = pa.array(np.zeros(len(batch), np.int64))
+        return pa.table(out)
+
+    def tag_lk(batch: pa.Table) -> pa.Table:
+        k = batch[lk_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"_b": pa.array(_bucket(k), pa.int64()),
+               "kind": pa.array(np.zeros(len(batch), np.int8))}
+        for i, c in enumerate(cols):
+            out[f"c{i}"] = (
+                batch[lk_key].cast(pa.int64()) if i == ki
+                else pa.array(np.zeros(len(batch), np.int64))
+            )
+        out["v"] = batch[lk_val].cast(pa.int64())
+        return pa.table(out)
+
+    both = ds.map_batches(
+        tag_main, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        lk_ds.map_batches(
+            tag_lk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        is_lk = kind == 0
+        keys = group[f"c{ki}"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lk, lv = keys[is_lk], vals[is_lk]
+        order = np.argsort(lk, kind="stable")
+        lk, lv = lk[order], lv[order]
+        main = ~is_lk
+        out = {}
+        for i, c in enumerate(cols):
+            out[c] = pa.array(
+                group[f"c{i}"].to_numpy(zero_copy_only=False)[main], pa.int64()
+            )
+        mk = keys[main]
+        out[out_col] = pa.array(
+            lv[np.searchsorted(lk, mk)] if lk.size else mk, pa.int64()
+        )
+        return pa.table(out)
+
+    return both.groupby("_b").map_groups(attach, batch_format="pyarrow")
+
+def degree_table_partitioned(
+    edges: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """(node, degree) with the final reduce SHARDED by hash(node) bucket
+    instead of tree_sum's single merge task — the node table stays
+    distributed end-to-end (billion-node scale path)."""
+    from georay import ops
+
+    nb = np.uint64(n_buckets)
+
+    def endpoint_counts(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        ks, vs = _group_reduce(
+            [node], {"partial_deg": np.ones(node.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "_b": pa.array(
+                    (ops._mix64(ks[0].view(np.uint64).copy()) % nb).astype(np.int64)
+                ),
+                "node": pa.array(ks[0], pa.int64()),
+                "partial_deg": pa.array(vs["partial_deg"], pa.int64()),
+            }
+        )
+
+    def sum_per_node(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        pd_ = group["partial_deg"].to_numpy(zero_copy_only=False)
+        (keys,), outs = _group_reduce([node], {"d": pd_})
+        return pa.table(
+            {
+                "node": pa.array(keys, pa.int64()),
+                "degree": pa.array(outs["d"], pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(
+            endpoint_counts, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(sum_per_node, batch_format="pyarrow")
+    )
+
+
+def pagerank_partitioned(
+    edges: ray.data.Dataset,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale_bits: int = 30,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned-state twin of ``pagerank``: the (node, degree, rank)
+    table is never collected on the driver or broadcast. Each power
+    iteration is TWO hash-bucket groupbys (same fused co-shuffle shape
+    as ``connected_components_partitioned``): (1) state and symmetric
+    edges co-shuffled by hash(src) — contributions ``rank // degree``
+    scatter to destinations; (2) candidates re-shuffled by hash(dst) —
+    per-node integer sum + the damping update. Identical fixed-point
+    integer arithmetic, so it is bit-equal to the broadcast twin and
+    shares its chained-CTE SQL oracle. Driver state: one scalar (node
+    count, for the teleport base)."""
+    from georay import ops
+
+    nb = np.uint64(n_buckets)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    state = degree_table_partitioned(edges, n_buckets).materialize()
+    n = state.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank_q": pa.array([], pa.int64())})
+        )
+    scale = 1 << scale_bits
+    base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+    init_rank = scale // n
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(len(batch), init_rank, np.int64))
+        )
+
+    state = state.map_batches(
+        add_rank, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def sym_edges(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(src), pa.int64()),
+                "kind": pa.array(np.ones(src.shape[0], np.int8)),
+                "x": pa.array(src, pa.int64()),
+                "y": pa.array(dst, pa.int64()),
+                "z": pa.array(np.zeros(src.shape[0], np.int64)),
+            }
+        )
+
+    ed_tagged = edges.map_batches(
+        sym_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node), pa.int64()),
+                "kind": pa.array(np.zeros(len(batch), np.int8)),
+                "x": batch["node"],
+                "y": batch["degree"],
+                "z": batch["rank"],
+            }
+        )
+
+    def scatter(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        x = group["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = group["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = group["z"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_st = kind == 0
+        sn, sd, sr = x[is_st], y[is_st], z[is_st]
+        order = np.argsort(sn, kind="stable")
+        sn, sd, sr = sn[order], sd[order], sr[order]
+        contrib = sr // sd
+        src, dst = x[~is_st], y[~is_st]
+        c = contrib[np.searchsorted(sn, src)] if sn.size else src
+        node = np.concatenate([dst, sn])
+        s = np.concatenate([c, np.zeros(sn.shape[0], np.int64)])
+        deg = np.concatenate([np.zeros(dst.shape[0], np.int64), sd])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    def gather(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        deg = group["deg"].to_numpy(zero_copy_only=False)
+        (keys,), outs = _group_reduce(
+            [node], {"s": s, "deg": deg},
+            ufunc={"s": np.add, "deg": np.maximum},
+        )
+        rank = base_q + (damping_num * outs["s"]) // damping_den
+        return pa.table(
+            {
+                "node": pa.array(keys, pa.int64()),
+                "degree": pa.array(outs["deg"], pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    for _ in range(n_iter):
+        tagged = state.map_batches(
+            tag_state, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        state = (
+            tagged.union(ed_tagged)
+            .groupby("_b")
+            .map_groups(scatter, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(gather, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "rank_q": batch["rank"]})
+
+    return state.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -155,3 +155,175 @@ def connected_components(
     return pa.table(
         {"node": pa.array(nodes, pa.int64()), "label": pa.array(labels, pa.int64())}
     )
+
+def connected_components_partitioned(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned-label twin of ``connected_components``: the
+    (node → label) table is NEVER collected on the driver or broadcast.
+    Each round co-shuffles the label table (bucketed by hash(node)) with
+    the edge list (bucketed by hash(src)) — inside a bucket every edge's
+    src label is present, so propagation is one vectorized searchsorted —
+    then re-buckets the (dst, candidate) stream by hash(dst) for a
+    per-bucket min-reduce. Two bucket groupbys per round; driver state
+    per round is TWO SCALARS (sum + count of labels) for the convergence
+    test (labels are elementwise non-increasing, so an unchanged sum
+    means an unchanged table).
+
+    This is the scale path for graphs whose node table exceeds the
+    broadcast cutoff (billions of nodes at 100 TB): memory per task is
+    o(nodes / n_buckets). No driver-side pointer jumping — rounds equal
+    the component diameter (the dedup candidate generators bound it by
+    construction; see module docstring). Result is identical to the
+    broadcast twin: label = min node id of the component.
+    """
+    from georay import ops
+
+    nb = np.uint64(n_buckets)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(src), pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def _min_per_node(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        cand = group["cand"].to_numpy(zero_copy_only=False)
+        (keys,), outs = ops._group_reduce([node], {"cand": cand}, ufunc=np.minimum)
+        return pa.table(
+            {
+                "node": pa.array(keys, pa.int64()),
+                "label": pa.array(outs["cand"], pa.int64()),
+            }
+        )
+
+    def _rebucket_cand(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.set_column(
+            batch.column_names.index("_b"), "_b", pa.array(_bucket(node), pa.int64())
+        )
+
+    # round 0: label(x) = min(x, neighbors(x)) — candidates straight off
+    # the edge list, no label table yet
+    def emit0(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([dst, src])
+        cand = np.concatenate([src, src])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node.astype(np.int64)), pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "cand": pa.array(cand, pa.int64()),
+            }
+        )
+
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())})
+        )
+
+    labels = (
+        edges.map_batches(
+            emit0, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("_b")
+        .map_groups(_min_per_node, batch_format="pyarrow")
+        .materialize()
+    )
+
+    from ray.data.aggregate import Sum
+
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node), pa.int64()),
+                "kind": pa.array(np.zeros(len(batch), np.int64)),
+                "a": batch["node"],
+                "c": batch["label"],
+            }
+        )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_b": batch["_b"],
+                "kind": pa.array(np.ones(len(batch), np.int64)),
+                "a": batch["src"],
+                "c": batch["dst"],
+            }
+        )
+
+    def propagate(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_lab = kind == 0
+        ln, ll = a[is_lab], c[is_lab]
+        order = np.argsort(ln, kind="stable")
+        ln, ll = ln[order], ll[order]
+        src, dst = a[~is_lab], c[~is_lab]
+        # every src in this bucket hashes here, so its label row is here
+        lab_src = ll[np.searchsorted(ln, src)] if ln.size else src
+        node = np.concatenate([dst, ln])
+        cand = np.concatenate([lab_src, ll])
+        return pa.table(
+            {
+                "_b": pa.array(np.zeros(node.shape[0], np.int64)),
+                "node": pa.array(node, pa.int64()),
+                "cand": pa.array(cand, pa.int64()),
+            }
+        )
+
+    ed_tagged = edges.map_batches(
+        tag_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    for _ in range(max_rounds):
+        lab_tagged = labels.map_batches(
+            tag_labels, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        cand = (
+            lab_tagged.union(ed_tagged)
+            .groupby("_b")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            cand.map_batches(
+                _rebucket_cand, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_b")
+            .map_groups(_min_per_node, batch_format="pyarrow")
+            .materialize()
+        )
+        new_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+
+    return labels

@@ -5711,6 +5711,33 @@ def q_pagerank(sf_dir: str):
     return analytics.pagerank(edges, n_iter=PAGERANK_ITERS)
 
 
+def q_pagerank_partitioned(sf_dir: str):
+    """Partitioned-state twin of ``pagerank``: the (node, degree, rank)
+    table never lands on the driver — two fused hash-bucket co-shuffles
+    per power iteration (analytics.pagerank_partitioned). Identical
+    fixed-point integers, so it shares the chained-CTE oracle. The
+    billion-node scale path."""
+    from georay import analytics
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    return analytics.pagerank_partitioned(edges, n_iter=PAGERANK_ITERS)
+
+
+def q_triangles_partitioned(sf_dir: str):
+    """Degree-partitioned twin of ``triangles``: degrees reach the
+    orientation pass through two hash-bucket co-shuffle joins
+    (analytics._attach_lookup) instead of a driver broadcast, and the
+    wedge stage reads the attached deg_dst column — the node table
+    never materializes anywhere central. Count is identical, so it
+    shares the a<b three-way self-join oracle."""
+    from georay import analytics
+
+    return analytics.triangle_count(
+        _copurchase_edges(sf_dir), local_edge_cutoff=0,
+        degree_strategy="partitioned",
+    )
+
+
 def _pagerank_sql() -> str:
     scale = 1 << 30
     parts = [
@@ -5765,6 +5792,22 @@ SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
 """
 
 
+def q_components_partitioned(sf_dir: str):
+    """Partitioned-label twin of ``components``: same co-purchase graph,
+    but the (node → label) table stays DISTRIBUTED — co-shuffled with the
+    edge list into hash buckets each round, per-bucket min-reduce, driver
+    sees only the two convergence scalars
+    (stages.components.connected_components_partitioned). The scale path
+    for graphs whose node table exceeds the broadcast cutoff; must be
+    bit-equal to the broadcast plan, so it shares the recursive-CTE
+    oracle."""
+    from georay.stages.components import connected_components_partitioned
+
+    return connected_components_partitioned(
+        _copurchase_edges(sf_dir), id_a="a", id_b="b"
+    )
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -5802,13 +5845,16 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
+    "triangles_partitioned": q_triangles_partitioned,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
     "gram_matrix": q_gram_matrix,
     "bpe_tokens": q_bpe_tokens,
     "bpe_base": q_bpe_base,
     "components": q_components,
+    "components_partitioned": q_components_partitioned,
     "pagerank": q_pagerank,
+    "pagerank_partitioned": q_pagerank_partitioned,
     "tile_pyramid": q_tile_pyramid,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -5949,12 +5995,15 @@ ORACLE = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
+    "triangles_partitioned": SQL_TRIANGLES,
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
     "gram_matrix": SQL_GRAM_MATRIX,
     "bpe_base": SQL_BPE_BASE,
     "components": SQL_COMPONENTS,
+    "components_partitioned": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
+    "pagerank_partitioned": SQL_PAGERANK,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,

@@ -956,3 +956,49 @@ def test_grouped_hull_stats_square_and_degenerate(ray_session):
     assert out["n_vertices"].tolist() == [4, 0, 2]
     assert out["area2"].tolist() == [800, 0, 0]
     assert out["perim_q"].tolist() == [80_000_000, 0, 0]
+
+
+def test_pagerank_partitioned_matches_broadcast(ray_session):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 300, size=800).astype(np.int64)
+    b = rng.integers(0, 300, size=800).astype(np.int64)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    tbl = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+    import pandas as pd
+
+    edges = _ds(
+        pa.Table.from_pandas(
+            tbl.to_pandas().drop_duplicates(), preserve_index=False
+        )
+    ).materialize()
+    want = (
+        analytics.pagerank(edges, n_iter=3, local_edge_cutoff=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    got = (
+        analytics.pagerank_partitioned(edges, n_iter=3, n_buckets=8)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_triangle_count_partitioned_matches_broadcast(ray_session):
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 120, size=900).astype(np.int64)
+    b = rng.integers(0, 120, size=900).astype(np.int64)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    tbl = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+    edges = _ds(
+        pa.Table.from_pandas(
+            tbl.to_pandas().drop_duplicates(), preserve_index=False
+        )
+    ).materialize()
+    want = analytics.triangle_count(edges, local_edge_cutoff=1 << 30).take_all()
+    bc = analytics.triangle_count(edges, local_edge_cutoff=0).take_all()
+    pt = analytics.triangle_count(
+        edges, local_edge_cutoff=0, degree_strategy="partitioned"
+    ).take_all()
+    assert want == bc == pt
+    assert want[0]["n_triangles"] > 0

@@ -901,3 +901,37 @@ def test_verify_pairs_duplicated_doc_ids_no_same_side_match(ray_session):
     # the old adjacent walk compared copy-vs-copy of doc 1 (jaccard 1.0)
     # and emitted (1, 2); the true cross jaccard is ~0
     assert out == []
+
+
+def test_connected_components_partitioned_matches_broadcast(ray_session):
+    """The partitioned-label twin (labels never on the driver) must be
+    bit-equal to the broadcast plan — random graph plus a long path
+    (multiple propagation rounds) plus singleton-free isolated edges."""
+    import ray.data as rd
+
+    from georay.stages.components import (
+        connected_components,
+        connected_components_partitioned,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 400, size=600).astype(np.int64)
+    b = rng.integers(0, 400, size=600).astype(np.int64)
+    # a 30-node path through high ids forces >1 round without jumping
+    path = np.arange(1000, 1030, dtype=np.int64)
+    ia = np.concatenate([a, path[:-1]])
+    ib = np.concatenate([b, path[1:]])
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
+    )
+    want = connected_components(pairs, local_edge_cutoff=0)
+    got = (
+        connected_components_partitioned(pairs, n_buckets=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    wantp = want.to_pandas().sort_values("node").reset_index(drop=True)
+    assert got.equals(wantp)
+    # path collapsed to one component labeled by its min node
+    assert (got[got["node"].isin(path)]["label"] == 1000).all()
