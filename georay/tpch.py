@@ -3362,6 +3362,76 @@ SELECT {ANN_NQ} AS n_queries, {ANN_K} AS k, TRUE AS recall_ok
 """
 
 
+IVF_PRUNED_NQ = 2
+IVF_PRUNED_NPROBE = 4
+
+
+def q_ivf_pruned(sf_dir: str):
+    """Partition-PRUNED IVF search: vectors are written physically
+    bucketed by inverted-list id (embed.ivf_build_index — the
+    write_spatial sink shape) and the search opens ONLY the probed
+    partitions (embed.ivf_search_index), so I/O scales with
+    n_probe/n_list instead of table size — the actual IVF win at
+    100 TB, vs the masking scan of ``ivf_ann``. With 2 queries × 4
+    probes over 16 lists the scanned union is ≤ 8 lists, so
+    ``pruned`` is structurally TRUE; recall is gated against the
+    oracle-green brute-force top-k like ``ivf_ann``."""
+    import shutil
+    import tempfile
+
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q, qids = _ann_queries(sf_dir)
+    q, qids = q[:IVF_PRUNED_NQ], qids[:IVF_PRUNED_NQ]
+    idx_dir = tempfile.mkdtemp(prefix="georay_ivf_", dir="/tmp")
+    try:
+        embed_stage.ivf_build_index(ds, idx_dir, n_list=16)
+        got, stats = embed_stage.ivf_search_index(
+            idx_dir, q, qids, k=ANN_K, n_probe=IVF_PRUNED_NPROBE,
+            exclude_self=False, return_stats=True,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    got = got.to_pandas().reset_index(drop=True)
+    # gate: identical rows to the masking IVF scan (same centroids, same
+    # probes — pruning changes I/O, never results), AND the scan actually
+    # pruned (structural: 2 queries × 4 probes ≤ 8 of 16 lists)
+    masked = embed_stage.ivf_ann_topk(
+        ds, q, qids, k=ANN_K, n_list=16, n_probe=IVF_PRUNED_NPROBE,
+        exclude_self=False,
+    ).to_pandas().reset_index(drop=True)
+    same = bool(
+        len(got) == len(masked)
+        and (got["query_id"] == masked["query_id"]).all()
+        and (got["vec_id"] == masked["vec_id"]).all()
+        # sims agree to 1e-12: BLAS reduction order differs with batch
+        # SHAPE (pruned read batches ≠ full-scan batches), so the last
+        # ulp may differ while ids/ranks are identical
+        and np.allclose(
+            got["sim"].to_numpy(), masked["sim"].to_numpy(),
+            rtol=0, atol=1e-12,
+        )
+    )
+    return pa.table(
+        {
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([ANN_K], pa.int64()),
+            "same_as_masked": pa.array([same]),
+            "pruned": pa.array(
+                [bool(stats["lists_scanned"] < stats["lists_total"]
+                      and stats["bytes_scanned"] < stats["bytes_total"])]
+            ),
+        }
+    )
+
+
+SQL_IVF_PRUNED = f"""
+SELECT {IVF_PRUNED_NQ} AS n_queries, {ANN_K} AS k,
+       TRUE AS same_as_masked, TRUE AS pruned
+"""
+
+
 PQ_RECALL_MIN = 0.8
 
 
@@ -5887,6 +5957,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_filtered": q_ann_filtered,
     "ivf_ann": q_ivf_ann,
+    "ivf_pruned": q_ivf_pruned,
     "embed_planted": q_embed_planted,
     "image_neardup": q_image_neardup,
     "image_patches": q_image_patches,
@@ -6037,6 +6108,7 @@ ORACLE = {
     "ann_topk": SQL_ANN_TOPK,
     "ann_filtered": SQL_ANN_FILTERED,
     "ivf_ann": SQL_IVF_ANN,
+    "ivf_pruned": SQL_IVF_PRUNED,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "geohash_count": SQL_GEOHASH_COUNT,
     "bounds": SQL_BOUNDS,

@@ -935,3 +935,39 @@ def test_connected_components_partitioned_matches_broadcast(ray_session):
     assert got.equals(wantp)
     # path collapsed to one component labeled by its min node
     assert (got[got["node"].isin(path)]["label"] == 1000).all()
+
+
+def test_ivf_index_pruned_search_matches_masked(ray_session, tmp_path):
+    """Partition-pruned IVF search must return the same ids/ranks as the
+    masking scan (same centroids, same probes) while reading strictly
+    fewer partitions and bytes."""
+    import ray.data as rd
+
+    from georay.stages import embed as es
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 16
+    vecs = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    q = vecs[[5, 77, 300]]
+    qids = np.array([5, 77, 300], dtype=np.int64)
+    idx = str(tmp_path / "ivf")
+    es.ivf_build_index(ds, idx, n_list=16)
+    got, stats = es.ivf_search_index(
+        idx, q, qids, k=5, n_probe=4, exclude_self=True, return_stats=True
+    )
+    masked = es.ivf_ann_topk(
+        ds, q, qids, k=5, n_list=16, n_probe=4, exclude_self=True
+    )
+    g, m = got.to_pandas(), masked.to_pandas()
+    assert g["query_id"].tolist() == m["query_id"].tolist()
+    assert g["vec_id"].tolist() == m["vec_id"].tolist()
+    assert np.allclose(g["sim"], m["sim"], rtol=0, atol=1e-12)
+    assert stats["lists_scanned"] < stats["lists_total"]
+    assert 0 < stats["bytes_scanned"] < stats["bytes_total"]
