@@ -86,6 +86,16 @@ class GeometryExtensionType(pa.ExtensionType):
     def __arrow_ext_serialize__(self) -> bytes:
         return self._geo.metadata_json().encode("utf-8")
 
+    def __hash__(self) -> int:
+        # pa.ExtensionType defines __eq__ (C level) without __hash__, so
+        # subclasses are unhashable by Python rules — which breaks
+        # pa.Schema.__hash__ and with it Ray Data's schema dedup
+        # (unify_schemas' set(schemas) early-exit). Hash the identity
+        # triple the C-level __eq__ compares.
+        return hash(
+            (self._EXT_NAME, str(self.storage_type), self.__arrow_ext_serialize__())
+        )
+
     @classmethod
     def __arrow_ext_deserialize__(cls, storage_type, serialized):
         geo = _parse_storage(cls._EXT_NAME, storage_type)

@@ -2444,6 +2444,71 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_wkb_endianness(sf_dir: str):
+    """Big-endian WKB decode at the DRIVER gate (the both-endian
+    contract of the reference reader, src/geoarrow.c:4508): supplier
+    points are encoded little-endian by the engine's writer, byte-swapped
+    to big-endian XDR (byte order 0, code + doubles reversed), decoded
+    through the engine's general WKB reader (the big-endian branch —
+    the LE point fast lane cannot take these), and the decoded coords
+    are emitted as exact lattice integers the oracle recomputes from
+    s_suppkey. Previously pytest-only."""
+    from georay.codecs import wkb as _wkb
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+
+    def swap_decode(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((sk * 41) % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((sk * 59) % 1700) / 10.0 - 85.0 + 0.05
+        geo = GeoType.point(crs="OGC:CRS84")
+        nat = native.build_points(np.column_stack([lon, lat]), geo)
+        le = _wkb.encode(nat, GeoType.point())
+        n = len(le)
+        offs = np.frombuffer(le.buffers()[1], dtype=np.int32)[
+            le.offset : le.offset + n + 1
+        ]
+        buf = np.frombuffer(le.buffers()[2], dtype=np.uint8)
+        flat = buf[offs[0] : offs[0] + 21 * n].reshape(n, 21).copy()
+        assert np.all(np.diff(offs) == 21) and np.all(flat[:, 0] == 1)
+        be = np.empty_like(flat)
+        be[:, 0] = 0  # XDR byte order
+        be[:, 1:5] = flat[:, 1:5][:, ::-1]
+        be[:, 5:13] = flat[:, 5:13][:, ::-1]
+        be[:, 13:21] = flat[:, 13:21][:, ::-1]
+        be_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(np.arange(0, 21 * (n + 1), 21, dtype=np.int32)),
+             pa.py_buffer(be.tobytes())],
+        )
+        dec, _ = _wkb.decode(be_arr, GeoType.point())
+        v = native.view(dec, GeoType.point())
+        ilon = np.round(v.coords[:, 0] * 20.0).astype(np.int64)
+        ilat = np.round(v.coords[:, 1] * 20.0).astype(np.int64)
+        # bit-exactness of the decode itself (swap is an involution on
+        # IEEE bytes): decoded doubles must equal the originals exactly
+        ok = (v.coords[:, 0] == lon) & (v.coords[:, 1] == lat)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "ilon20": pa.array(np.where(ok, ilon, np.int64(-(10 ** 9)))),
+                "ilat20": pa.array(np.where(ok, ilat, np.int64(-(10 ** 9)))),
+            }
+        )
+
+    return ds.map_batches(
+        swap_decode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_WKB_ENDIANNESS = """
+SELECT s_suppkey,
+       2*((s_suppkey*41)%3600) - 3599 AS ilon20,
+       2*((s_suppkey*59)%1700) - 1699 AS ilat20
+FROM supplier
+"""
+
+
 def q_wkt_roundtrip(sf_dir: str):
     """Codec conformance over synthesized points: native → WKT → native →
     WKB → native. The WKB legs must round-trip BIT-identically; the WKT
@@ -6026,6 +6091,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "events_window": q_events_window,
     "wkt_roundtrip": q_wkt_roundtrip,
+    "wkb_endianness": q_wkb_endianness,
     "s2_cell_count": q_s2_cell_count,
 }
 
@@ -6036,6 +6102,7 @@ ORACLE = {
     "infer_schema": SQL_INFER_SCHEMA,
     "validate_wkt": SQL_VALIDATE_WKT,
     "wkt_roundtrip": SQL_WKT_ROUNDTRIP,
+    "wkb_endianness": SQL_WKB_ENDIANNESS,
     "image_pipeline": SQL_IMAGE_PIPELINE,
     "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
