@@ -5311,6 +5311,194 @@ GROUP BY n.n_name
 """
 
 
+# ---- TPC-H Q6 / Q4 / Q14 (adapted to the driver tables' columns)
+
+_Y96_LO_US = 820_454_400_000_000   # 1996-01-01
+_Y96_FEB_US = 823_132_800_000_000  # 1996-02-01
+_Y96_Q2_US = 828_316_800_000_000   # 1996-04-01
+_Y97_LO_US = 852_076_800_000_000   # 1997-01-01
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue change: pure pruned-read →
+    stateless filter → one global quantized sum (no shuffle at all —
+    per-batch partials through one Sum aggregate). The canonical
+    predicate-pushdown showcase: only 4 of lineitem's 11 columns leave
+    storage."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        m = (
+            (ship >= _Y96_LO_US) & (ship < _Y97_LO_US)
+            & (d >= 0.05) & (d <= 0.07) & (q < 24.0)
+        )
+        rev = np.floor(p[m] * d[m] * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "partial_rev": pa.array([int(rev.sum())], pa.int64()),
+                "partial_n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = parts.aggregate(
+        Sum("partial_rev", alias_name="revenue_t"),
+        Sum("partial_n", alias_name="n_rows"),
+    )
+    return pa.table(
+        {
+            "revenue_t": pa.array([agg["revenue_t"]], pa.int64()),
+            "n_rows": pa.array([agg["n_rows"]], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_t,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Y96_LO_US} AND epoch_us(l_shipdate) < {_Y97_LO_US}
+  AND l_discount BETWEEN 0.05e0 AND 0.07e0 AND l_quantity < 24.0e0
+"""
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 order-priority checking, adapted to the driver schema:
+    count Q1-1996 orders having AT LEAST ONE returned lineitem
+    (l_returnflag = 'R' standing in for the reference's
+    commitdate < receiptdate, which the synthetic lineitem lacks).
+    Shape preserved exactly: big-side semi join (right ships only its
+    distinct key column through the bucket co-shuffle) → grouped
+    count."""
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((od >= _Y96_LO_US) & (od < _Y96_Q2_US)))
+        return pa.table(
+            {"o_orderkey": sub["o_orderkey"],
+             "o_orderpriority": sub["o_orderpriority"]}
+        )
+
+    orders = orders.map_batches(
+        ofilter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def lfilter(batch: pa.Table) -> pa.Table:
+        rf = batch["l_returnflag"]
+        sub = batch.filter(pc.equal(rf, "R"))
+        return pa.table({"l_orderkey": sub["l_orderkey"]})
+
+    li = li.map_batches(
+        lfilter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hit = ops.equi_join_partitioned(
+        orders, li, on="o_orderkey", right_on="l_orderkey", how="semi"
+    )
+    return ops.salted_count(hit, ["o_orderpriority"], count_alias="order_count")
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_Y96_LO_US} AND epoch_us(o_orderdate) < {_Y96_Q2_US}
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 promo-revenue ratio, adapted: p_type = 'ECONOMY'
+    stands in for LIKE 'PROMO%%' (the synthetic p_type is a single
+    word). Shape preserved: month-filtered lineitem stream, part
+    dimension BROADCAST (ray.put once, pc.index_in probe per batch),
+    conditional quantized sums, one-row ratio from two exact
+    integers."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    is_promo = pc.equal(part["p_type"], "ECONOMY").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk, kind="stable")
+    ref = _ray.put((pk[order], is_promo[order]))
+    cache: dict = {}
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        keys, promo = cache.setdefault("p", _rayw.get(ref))
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= _Y96_LO_US) & (ship < _Y96_FEB_US)
+        sub = batch.filter(pa.array(m))
+        lp = sub["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+        pr = promo[np.searchsorted(keys, lp)]
+        return pa.table(
+            {
+                "partial_promo": pa.array([int(rev[pr].sum())], pa.int64()),
+                "partial_total": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = parts.aggregate(
+        Sum("partial_promo", alias_name="p"), Sum("partial_total", alias_name="t")
+    )
+    promo_t, total_t = int(agg["p"]), int(agg["t"])
+    ratio = 100.0 * promo_t / total_t if total_t else 0.0
+    return pa.table(
+        {
+            "promo_revenue_t": pa.array([promo_t], pa.int64()),
+            "total_revenue_t": pa.array([total_t], pa.int64()),
+            "promo_ratio": pa.array([ratio], pa.float64()),
+        }
+    )
+
+
+SQL_TPCH_Q14 = f"""
+WITH m AS (
+  SELECT CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT) AS rev,
+         (p_type = 'ECONOMY') AS promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE epoch_us(l_shipdate) >= {_Y96_LO_US} AND epoch_us(l_shipdate) < {_Y96_FEB_US}
+)
+SELECT CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT) AS promo_revenue_t,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue_t,
+       100.0e0 * CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS promo_ratio
+FROM m
+"""
+
+
 # ------------------------------------------ analytics: funnel / cohort
 
 
@@ -5994,6 +6182,9 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q14": q_tpch_q14,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -6146,6 +6337,9 @@ ORACLE = {
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q6": SQL_TPCH_Q6,
+    "tpch_q4": SQL_TPCH_Q4,
+    "tpch_q14": SQL_TPCH_Q14,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
