@@ -4182,6 +4182,135 @@ def window_range_sum(
     )
 
 
+def window_range_minmax(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int,
+    stat: str = "min",
+    out_col: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """SQL ``MIN/MAX(value) OVER (PARTITION BY key ORDER BY ts RANGE
+    BETWEEN range_us PRECEDING AND CURRENT ROW)`` — the time-window
+    extreme (``window_range_sum`` covers SUM; a prefix-difference trick
+    doesn't exist for min/max, so this builds a SPARSE TABLE per bucket:
+    O(n log n) build, every row's variable-width frame answered by two
+    table lookups). RANGE peer semantics: equal-ts rows are all in the
+    frame. Exact for floats (no accumulation), so the SQL twin is
+    bit-identical without quantization."""
+    ufunc = np.minimum if stat == "min" else np.maximum
+    out_name = out_col or f"range_{stat}"
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if n == 0:
+            return out_name, pa.array([], pa.float64())
+        starts = np.flatnonzero(first)
+        key_id = np.cumsum(first) - 1
+        t0 = np.int64(ts.min())
+        span = np.int64(int(ts.max()) - int(t0) + int(range_us) + 2)
+        if int(starts.shape[0]) * int(span) < (1 << 62):
+            packed = key_id * span + (ts - t0)
+            lo = np.searchsorted(packed, key_id * span + (ts - t0 - range_us),
+                                 side="left")
+            hi = np.searchsorted(packed, packed, side="right")
+        else:  # degenerate span — per-key segments (rare)
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, np.append(starts[1:], n)):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, ts[s:e] - range_us, "left")
+                hi[s:e] = s + np.searchsorted(seg, ts[s:e], "right")
+        # sparse table: sp[k][i] = reduce over v[i : i + 2^k)
+        sp = [v]
+        k = 1
+        while (1 << k) <= n:
+            prev = sp[-1]
+            half = 1 << (k - 1)
+            sp.append(ufunc(prev[: prev.shape[0] - half], prev[half:]))
+            k += 1
+        m = hi - lo  # ≥ 1 (own row always in frame)
+        kq = np.floor(np.log2(m)).astype(np.int64)
+        out = np.empty(n, dtype=np.float64)
+        for lev in np.unique(kq):
+            idx = np.flatnonzero(kq == lev)
+            w = 1 << int(lev)
+            t = sp[int(lev)]
+            out[idx] = ufunc(t[lo[idx]], t[hi[idx] - w])
+        return out_name, pa.array(out, pa.float64())
+
+    return _window_over_buckets(
+        ds, key, [ts_col], [False], n_buckets, emit, "window_range_minmax"
+    )
+
+
+def skyline2(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    maximize_a: bool = False,
+    maximize_b: bool = False,
+    keep_cols: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Two-criteria SKYLINE (Pareto front): rows not dominated by any
+    other row — r dominates s when r is ≤ s on both criteria (after
+    orientation) and strictly better on at least one. Equal pairs never
+    dominate each other, so exact duplicates all survive (matching the
+    SQL ``NOT EXISTS`` domination twin).
+
+    Distributed by the skyline algebra: the front of a union is the
+    front of the union of per-part fronts, so each block reduces to its
+    LOCAL front in the map stage (vectorized: lexsort + group-min +
+    strict-prefix cummin — no per-row Python) and one final task reduces
+    the union of fronts (o(front), typically ≪ table; worst case —
+    everything Pareto-optimal — degenerates to the input, the same
+    bound every combine-tree aggregate here has)."""
+    cols = list(keep_cols or [])
+    for c in (col_a, col_b):
+        if c not in cols:
+            cols.append(c)
+
+    def local_front(batch: pa.Table) -> pa.Table:
+        a = batch[col_a].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch[col_b].to_numpy(zero_copy_only=False).astype(np.float64)
+        if maximize_a:
+            a = -a
+        if maximize_b:
+            b = -b
+        n = a.shape[0]
+        if n == 0:
+            return batch.select(cols)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = a_s[1:] != a_s[:-1]
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        # within an equal-a group only rows at the group's min b survive
+        gmin = b_s[starts][gid]
+        # strict-prefix min of b over smaller-a groups
+        grp_min = np.minimum.reduceat(b_s, starts)
+        prev = np.concatenate(([np.inf], np.minimum.accumulate(grp_min)[:-1]))
+        keep_s = (b_s == gmin) & (b_s < prev[gid])
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_s
+        return batch.select(cols).filter(pa.array(keep))
+
+    fronts = ds.map_batches(
+        local_front, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    # final reduce: one task over the union of local fronts
+    return fronts.map_batches(
+        local_front, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+
+
 def ohlc_bars(
     ds: ray.data.Dataset,
     key: str,

@@ -298,6 +298,59 @@ FROM events
 """
 
 
+def q_range_min(sf_dir: str):
+    """Time-RANGE window MIN over the event stream (1-hour frame,
+    peer-inclusive): no prefix-difference trick exists for extremes, so
+    the engine answers every variable-width frame from a per-bucket
+    sparse table (ops.window_range_minmax — O(n log n) build, two
+    lookups per row). Float-exact, so the SQL twin needs no
+    quantization."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = ops.window_range_minmax(
+        ds, key="user_id", ts_col="ts", value_col="value",
+        range_us=3_600_000_000, stat="min",
+    )
+    return out.select_columns(["event_id", "user_id", "value", "range_min"])
+
+
+SQL_RANGE_MIN = """
+SELECT event_id, user_id, value,
+       MIN(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS range_min
+FROM events
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Two-criteria SKYLINE of the part table: parts where no other
+    part is both cheaper-or-equal and larger-or-equal (strictly better
+    on one) — minimize p_retailprice, maximize p_size. Distributed by
+    the skyline algebra (front of union = front of union of per-block
+    fronts; ops.skyline2); the SQL twin is the NOT EXISTS domination
+    query."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    return ops.skyline2(
+        ds, "p_retailprice", "p_size", maximize_a=False, maximize_b=True,
+        keep_cols=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+
+SQL_SKYLINE = """
+SELECT m.p_partkey, m.p_retailprice, m.p_size
+FROM part m
+WHERE NOT EXISTS (
+  SELECT 1 FROM part o
+  WHERE o.p_retailprice <= m.p_retailprice AND o.p_size >= m.p_size
+    AND (o.p_retailprice < m.p_retailprice OR o.p_size > m.p_size)
+)
+"""
+
+
 OHLC_PERIOD_US = 86_400_000_000
 
 
@@ -6153,6 +6206,8 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
+    "range_min": q_range_min,
+    "skyline": q_skyline,
     "ohlc": q_ohlc,
     "spatial_clusters": q_spatial_clusters,
     "attribution": q_attribution,
@@ -6309,6 +6364,8 @@ ORACLE = {
     "asof_forward": SQL_ASOF_FORWARD,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,
+    "range_min": SQL_RANGE_MIN,
+    "skyline": SQL_SKYLINE,
     "ohlc": SQL_OHLC,
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
     "attribution": SQL_ATTRIBUTION,

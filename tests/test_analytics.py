@@ -1002,3 +1002,53 @@ def test_triangle_count_partitioned_matches_broadcast(ray_session):
     ).take_all()
     assert want == bc == pt
     assert want[0]["n_triangles"] > 0
+
+
+def test_window_range_minmax_matches_pandas(ray_session):
+    rng = np.random.default_rng(13)
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n) * 1000, pa.int64()),
+            "v": pa.array(rng.normal(size=n), pa.float64()),
+        }
+    )
+    W = 500_000
+    for stat in ("min", "max"):
+        got = (
+            ops.window_range_minmax(_ds(tbl), "k", "ts", "v", W, stat=stat)
+            .to_pandas()
+            .sort_values(["k", "ts", "v"])
+            .reset_index(drop=True)
+        )
+        df = tbl.to_pandas()
+        f = min if stat == "min" else max
+        exp = []
+        for _, r in df.iterrows():
+            w = df[(df["k"] == r["k"]) & (df["ts"] >= r["ts"] - W) & (df["ts"] <= r["ts"])]
+            exp.append(f(w["v"]))
+        df[f"range_{stat}"] = exp
+        want = df.sort_values(["k", "ts", "v"]).reset_index(drop=True)
+        assert np.array_equal(
+            got[f"range_{stat}"].to_numpy(), want[f"range_{stat}"].to_numpy()
+        ), stat
+
+
+def test_skyline2_duplicates_and_orientation(ray_session):
+    # duplicates on the front survive together; dominated rows drop
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "price": pa.array([1.0, 1.0, 2.0, 2.0, 3.0, 0.5], pa.float64()),
+            "size": pa.array([5, 5, 9, 4, 9, 1], pa.int64()),
+        }
+    )
+    out = (
+        ops.skyline2(_ds(tbl), "price", "size", maximize_b=True,
+                     keep_cols=["id", "price", "size"])
+        .to_pandas().sort_values("id")
+    )
+    # id6 (0.5,1) front; ids 1,2 (1,5) duplicates both front; id3 (2,9)
+    # front; id4 (2,4) dominated by 1/2; id5 (3,9) dominated by 3
+    assert out["id"].tolist() == [1, 2, 3, 6]
