@@ -2169,14 +2169,18 @@ def asof_join_broadcast(
     probe per batch with two ``np.searchsorted`` calls — no shuffle of
     the big side. Inner join; ``out_ts`` carries the matched right
     timestamp (µs). ``direction``: "backward" (default — greatest right
-    ts ≤ left ts per key, DuckDB/pandas asof semantics) or "forward"
-    (smallest right ts ≥ left ts per key).
+    ts ≤ left ts per key, DuckDB/pandas asof semantics), "forward"
+    (smallest right ts ≥ left ts per key), or "nearest" (minimum
+    |Δts|; ties break BACKWARD, i.e. to the smaller right ts —
+    deterministic and SQL-expressible as ORDER BY abs(Δ), ts LIMIT 1).
 
     For a LARGE right side the same kernel runs per key-hash bucket after
     bucketing both sides (partitioned asof) — documented scale path.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     rk = right[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
     rt = right[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
     order = np.lexsort((rt, rk))
@@ -2196,7 +2200,8 @@ def asof_join_broadcast(
         )
         lk = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
         lt = batch[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if direction == "backward":
+
+        def match_backward():
             # greatest right rank with ts ≤ left ts
             r_up = np.searchsorted(u_ts, lt, side="right") - 1
             probe_comp = (lk << np.int64(sh)) | np.maximum(r_up, 0)
@@ -2204,7 +2209,9 @@ def asof_join_broadcast(
             ok = (pos >= 0) & (r_up >= 0)
             pos_c = np.clip(pos, 0, len(comp_r) - 1)
             ok &= rk_sorted[pos_c] == lk  # landed inside this key's run
-        else:
+            return ok, pos_c
+
+        def match_forward():
             # smallest right rank with ts ≥ left ts
             r_lo = np.searchsorted(u_ts, lt, side="left")
             in_range = r_lo < len(u_ts)
@@ -2215,6 +2222,21 @@ def asof_join_broadcast(
             ok = in_range & (pos < len(comp_r))
             pos_c = np.clip(pos, 0, len(comp_r) - 1)
             ok &= rk_sorted[pos_c] == lk
+            return ok, pos_c
+
+        if direction == "backward":
+            ok, pos_c = match_backward()
+        elif direction == "forward":
+            ok, pos_c = match_forward()
+        else:  # nearest: min |Δts|, tie → backward (smaller right ts)
+            ok_b, pos_b = match_backward()
+            ok_f, pos_f = match_forward()
+            big = np.int64(np.iinfo(np.int64).max)
+            db = np.where(ok_b, lt - rt_sorted[pos_b], big)
+            df = np.where(ok_f, rt_sorted[pos_f] - lt, big)
+            use_b = ok_b & (~ok_f | (db <= df))
+            ok = ok_b | ok_f
+            pos_c = np.where(use_b, pos_b, pos_f)
         out = batch.filter(pa.array(ok))
         matched = rt_sorted[pos_c[ok]]
         return out.append_column(out_ts, pa.array(matched, pa.int64()))
@@ -4526,4 +4548,153 @@ def target_encode(
 
     return ds.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+def interval_union_length(
+    ds: ray.data.Dataset,
+    key: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "covered",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key total length of the UNION of [start, end) intervals
+    (coverage / uptime / overlap-collapsed duration). One key-bucket
+    shuffle; inside a bucket one lexsort by (key, start, end) and a
+    single running-max sweep: each interval contributes
+    ``max(0, end - max(start, max_prev_end))``. The per-key reset of
+    the running max is FREE via key-offset packing (key ids ascend, so
+    offsetting both bounds by key_id·span makes one global
+    ``np.maximum.accumulate`` respect segment boundaries). Integer
+    arithmetic end-to-end — the SQL window twin is bit-exact."""
+    proj = ds.select_columns([key, start_col, end_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("interval_union_length requires int/string keys")
+        return batch.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = group[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = group[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = k.shape[0]
+        if n == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        order = np.lexsort((e, s, k))
+        k_s, s_s, e_s = k[order], s[order], e[order]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k_s[1:] != k_s[:-1]
+        kid = np.cumsum(first) - 1
+        lo = min(int(s_s.min()), int(e_s.min()))
+        hi = max(int(s_s.max()), int(e_s.max()))
+        span = np.int64(hi - lo + 2)
+        sp = kid * span + (s_s - lo)
+        ep = kid * span + (e_s - lo)
+        runmax = np.maximum.accumulate(ep)
+        prev = np.concatenate(([np.int64(-1)], runmax[:-1]))
+        covered = np.maximum(ep - np.maximum(sp, prev), 0)
+        starts = np.flatnonzero(first)
+        totals = np.add.reduceat(covered, starts)
+        return pa.table(
+            {
+                key: pa.array(k_s[starts], pa.int64()),
+                out_col: pa.array(totals, pa.int64()),
+            }
+        )
+
+    return (
+        proj.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    scale: float = 1000.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key TIME-WEIGHTED average of a step signal (telemetry /
+    pricing: each value holds until the next sample): Σ vᵢ·(tᵢ₊₁−tᵢ)
+    over (t_last − t_first). Values quantize to ``floor(v·scale+0.5)``
+    ints so the weighted sum is order-free and the SQL LEAD twin is
+    bit-exact; the final average is ONE int/int division. Keys whose
+    samples all share one timestamp (zero duration) are dropped, like
+    SQL's ``HAVING den > 0``. Ties in ts order by quantized value (both
+    sides), making the held value at a tied timestamp deterministic.
+
+    One key-bucket shuffle; per bucket one lexsort + diff + reduceat.
+    Output: (key, twa_num int64, twa_den int64, twa float64)."""
+    proj = ds.select_columns([key, ts_col, value_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("time_weighted_avg requires int/string keys")
+        return batch.append_column(
+            "_b", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = group[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        vq = np.floor(v * scale + 0.5).astype(np.int64)
+        n = k.shape[0]
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "twa_num": pa.array([], pa.int64()),
+                "twa_den": pa.array([], pa.int64()),
+                "twa": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((vq, t, k))
+        k_s, t_s, v_s = k[order], t[order], vq[order]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(first)
+        last = np.append(starts[1:], n) - 1
+        # dt to the NEXT row within the key; last row of a key gets 0
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = t_s[1:] - t_s[:-1]
+        dt[last] = 0
+        num = np.add.reduceat(v_s * dt, starts)
+        den = t_s[last] - t_s[starts]
+        keep = den > 0
+        return pa.table(
+            {
+                key: pa.array(k_s[starts][keep], pa.int64()),
+                "twa_num": pa.array(num[keep], pa.int64()),
+                "twa_den": pa.array(den[keep], pa.int64()),
+                "twa": pa.array(
+                    num[keep].astype(np.float64) / den[keep].astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        proj.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

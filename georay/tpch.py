@@ -4369,6 +4369,108 @@ FROM orders o ASOF JOIN events e
 """
 
 
+def q_asof_nearest(sf_dir: str):
+    """NEAREST as-of join: each order matched to the customer's event
+    with the minimum |Δts| (ties to the earlier event) — the third
+    direction on the rank-compressed broadcast kernel (backward and
+    forward candidates compared per row). SQL twin: LATERAL
+    ORDER BY abs(Δ), ts LIMIT 1."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = pq.read_table(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    out = ops.asof_join_broadcast(
+        ds, events, "o_custkey", "o_orderdate", "user_id", "ts",
+        out_ts="nearest_ts", direction="nearest",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "nearest_ts"])
+
+
+SQL_ASOF_NEAREST = """
+SELECT o.o_orderkey, o.o_custkey, x.nearest_ts
+FROM orders o, LATERAL (
+  SELECT epoch_us(e.ts) AS nearest_ts
+  FROM events e WHERE e.user_id = o.o_custkey
+  ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)), epoch_us(e.ts)
+  LIMIT 1
+) x
+"""
+
+
+def q_interval_cover(sf_dir: str):
+    """Per-user UNION-of-intervals coverage (uptime with overlaps
+    collapsed): each event opens a deterministic 10–70-minute interval
+    (length from event_id) and overlapping intervals count once —
+    one running-max sweep per key bucket (ops.interval_union_length),
+    integer-exact against the SQL window twin."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def mk_iv(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (eid % 7 + 1) * np.int64(600_000_000)
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "s": pa.array(t, pa.int64()),
+                "e": pa.array(t + dur, pa.int64()),
+            }
+        )
+
+    iv = ds.map_batches(
+        mk_iv, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.interval_union_length(iv, "user_id", "s", "e")
+
+
+SQL_INTERVAL_COVER = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 600000000 AS e
+  FROM events
+),
+x AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pm, s)), 0)) AS BIGINT) AS covered
+FROM x GROUP BY user_id
+"""
+
+
+def q_twa(sf_dir: str):
+    """Per-user TIME-WEIGHTED average of the event value (step signal:
+    each sample holds until the next) — quantized integer weighted sum
+    over the held durations, one int/int division at the end
+    (ops.time_weighted_avg); bit-exact vs the SQL LEAD twin."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    return ops.time_weighted_avg(ds, "user_id", "ts", "value")
+
+
+SQL_TWA = """
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 1000.0e0 + 0.5e0) AS BIGINT) AS vq
+  FROM events
+),
+l AS (
+  SELECT user_id, t, vq,
+         COALESCE(LEAD(t) OVER (PARTITION BY user_id ORDER BY t, vq) - t, 0) AS dt
+  FROM q
+)
+SELECT user_id,
+       CAST(SUM(vq * dt) AS BIGINT) AS twa_num,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS twa_den,
+       CAST(SUM(vq * dt) AS DOUBLE) / CAST(MAX(t) - MIN(t) AS DOUBLE) AS twa
+FROM l GROUP BY user_id HAVING MAX(t) - MIN(t) > 0
+"""
+
+
 def q_attribution(sf_dir: str):
     """Last-touch attribution: every purchase matched to the user's
     most recent preceding click (self as-of over the event log —
@@ -6204,6 +6306,9 @@ QUERIES = {
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
     "asof_forward": q_asof_forward,
+    "asof_nearest": q_asof_nearest,
+    "interval_cover": q_interval_cover,
+    "twa": q_twa,
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
     "range_min": q_range_min,
@@ -6362,6 +6467,9 @@ ORACLE = {
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,
+    "asof_nearest": SQL_ASOF_NEAREST,
+    "interval_cover": SQL_INTERVAL_COVER,
+    "twa": SQL_TWA,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,
     "range_min": SQL_RANGE_MIN,
