@@ -4698,3 +4698,112 @@ def time_weighted_avg(
         .groupby("_b")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+def compact_cells(
+    ds: ray.data.Dataset,
+    cell_col: str = "cell",
+    from_level: int = 12,
+    min_level: int = 4,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """S2/H3-style cell-set COMPACTION: given the distinct cells at
+    ``from_level``, iteratively replace every complete sibling quartet
+    by its parent, down to ``min_level`` — the standard representation
+    shrink for coverage sets (a fully-covered city block collapses to
+    one coarse cell). Returns ``(cell int64, level int64)``.
+
+    One hash-bucket groupby per level, fully distributed: siblings
+    share their parent's hash bucket, so each bucket decides
+    promote-vs-keep with one vectorized sort + reduceat — no broadcast,
+    no driver set. Promotions CASCADE (16 grandchildren → 4 parents →
+    1 grandparent) because each round's parents re-enter the next
+    round's candidate level. Input cells must all be at ``from_level``
+    (distinct-ness is enforced here with one exact dedup)."""
+    from georay import cells as _c
+
+    cur = dedup_exact(ds.select_columns([cell_col]), cell_col)
+
+    def add_level(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch[cell_col],
+                "level": pa.array(
+                    np.full(len(batch), from_level, np.int64)
+                ),
+            }
+        )
+
+    cur = cur.map_batches(
+        add_level, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    for lvl in range(from_level - 1, min_level - 1, -1):
+        child_lvl = lvl + 1
+
+        def split_bucket(batch: pa.Table, _lvl=lvl, _cl=child_lvl) -> pa.Table:
+            cells_i = batch["cell"].to_numpy(zero_copy_only=False)
+            level = batch["level"].to_numpy(zero_copy_only=False)
+            cand = level == _cl
+            par = np.zeros(len(batch), dtype=np.int64)
+            if cand.any():
+                par[cand] = _c.to_i64(
+                    _c.cell_parent(_c.to_u64(cells_i[cand]), _lvl)
+                )
+            h = _mix64(par.view(np.uint64).copy()) % np.uint64(n_buckets)
+            # non-candidates pass through bucket 0 tagged done
+            return pa.table(
+                {
+                    "_b": pa.array(
+                        np.where(cand, h.astype(np.int64), np.int64(0))
+                    ),
+                    "cell": batch["cell"],
+                    "level": batch["level"],
+                    "parent": pa.array(par, pa.int64()),
+                    "cand": pa.array(cand),
+                }
+            )
+
+        def promote(group: pa.Table, _lvl=lvl) -> pa.Table:
+            cand = group["cand"].to_numpy(zero_copy_only=False)
+            cells_i = group["cell"].to_numpy(zero_copy_only=False)
+            level = group["level"].to_numpy(zero_copy_only=False)
+            par = group["parent"].to_numpy(zero_copy_only=False)
+            keep_cells = [cells_i[~cand]]
+            keep_levels = [level[~cand]]
+            cc, pp = cells_i[cand], par[cand]
+            if cc.shape[0]:
+                order = np.argsort(pp, kind="stable")
+                pp_s, cc_s = pp[order], cc[order]
+                first = np.zeros(pp_s.shape[0], dtype=bool)
+                first[0] = True
+                first[1:] = pp_s[1:] != pp_s[:-1]
+                starts = np.flatnonzero(first)
+                sizes = np.diff(np.append(starts, pp_s.shape[0]))
+                full = sizes == 4
+                gid = np.cumsum(first) - 1
+                promoted = pp_s[starts[full]]
+                keep_mask = ~full[gid]
+                keep_cells.append(cc_s[keep_mask])
+                keep_levels.append(
+                    np.full(int(keep_mask.sum()), _lvl + 1, np.int64)
+                )
+                keep_cells.append(promoted)
+                keep_levels.append(np.full(promoted.shape[0], _lvl, np.int64))
+            return pa.table(
+                {
+                    "cell": pa.array(np.concatenate(keep_cells), pa.int64()),
+                    "level": pa.array(np.concatenate(keep_levels), pa.int64()),
+                }
+            )
+
+        cur = (
+            cur.map_batches(
+                split_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_b")
+            .map_groups(promote, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return cur

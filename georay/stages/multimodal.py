@@ -496,3 +496,67 @@ def corpus_channel_stats(
             "n_pixels": t["n"],
         }
     )
+
+class LaplacianSharpness:
+    """Image sharpness scoring (blur detection) — the standard
+    variance-of-Laplacian measure, EXACT-integer form: per image the
+    4-neighbor Laplacian of the channel-sum plane (int32), and the
+    variance as the integer pair ``(n·Σx² − (Σx)², n²)`` so the score
+    is a rational with no float accumulation — distribution-ordering
+    and thresholding are bit-reproducible across partitionings.
+
+    Actor-pool stage (decode tables live per actor): input rows need
+    (image_id, bytes, fmt[, w, h]); output appends ``lap_var_num``
+    (int64 numerator; 0 ⇔ perfectly smooth / linear gradient) and
+    ``lap_n`` (interior-pixel count; variance = num / (3·n)² per
+    channel-sum plane). Images smaller than 3×3 score (0, 0)."""
+
+    def __init__(self, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from georay import images as _img
+
+        blobs = batch[self.bytes_col].to_pylist()
+        fmts = batch[self.fmt_col].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False) if "w" in batch.column_names else [None] * len(blobs)
+        hs = batch["h"].to_numpy(zero_copy_only=False) if "h" in batch.column_names else [None] * len(blobs)
+        nums = np.zeros(len(blobs), dtype=np.int64)
+        cnts = np.zeros(len(blobs), dtype=np.int64)
+        for i, (b, f) in enumerate(zip(blobs, fmts)):
+            pix = _img.decode_image(
+                b, f,
+                int(ws[i]) if ws[i] is not None else None,
+                int(hs[i]) if hs[i] is not None else None,
+            )
+            g = pix.astype(np.int64).sum(axis=2)  # channel-sum plane
+            if g.shape[0] < 3 or g.shape[1] < 3:
+                continue
+            lap = (
+                4 * g[1:-1, 1:-1]
+                - g[:-2, 1:-1] - g[2:, 1:-1] - g[1:-1, :-2] - g[1:-1, 2:]
+            )
+            n = lap.size
+            s1 = int(lap.sum())
+            s2 = int((lap * lap).sum())
+            nums[i] = n * s2 - s1 * s1
+            cnts[i] = n
+        return batch.append_column(
+            "lap_var_num", pa.array(nums, pa.int64())
+        ).append_column("lap_n", pa.array(cnts, pa.int64()))
+
+
+def add_sharpness(
+    ds, bytes_col: str = "bytes", fmt_col: str = "fmt", concurrency=None
+):
+    """Attach exact-integer variance-of-Laplacian sharpness columns
+    (see ``LaplacianSharpness``)."""
+    return ds.map_batches(
+        LaplacianSharpness,
+        fn_constructor_kwargs={"bytes_col": bytes_col, "fmt_col": fmt_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=concurrency or (1, 8),
+    )

@@ -196,6 +196,51 @@ FROM (
 """
 
 
+def _parent_i64_sql(col: str, lvl: int) -> str:
+    """SQL replica of ``cells.cell_parent`` on an int64-wrapped id:
+    unwrap to HUGEINT, clear bits below the level's sentinel (floor
+    division), set the sentinel, wrap back."""
+    s = 1 << (60 - 2 * lvl)
+    m = 2 * s
+    u = (
+        f"(CASE WHEN {col} < 0 THEN CAST({col} AS HUGEINT) + "
+        f"18446744073709551616::HUGEINT ELSE CAST({col} AS HUGEINT) END)"
+    )
+    # NB: DuckDB '/' on integers is FLOAT division — '//' is integral
+    pu = f"(({u} // {m}::HUGEINT) * {m}::HUGEINT + {s}::HUGEINT)"
+    return (
+        f"CAST(CASE WHEN {pu} >= 9223372036854775808::HUGEINT "
+        f"THEN {pu} - 18446744073709551616::HUGEINT ELSE {pu} END AS BIGINT)"
+    )
+
+
+def q_compact(sf_dir: str):
+    """S2/H3-style cell-set compaction of the lineitem coverage: the
+    distinct level-12 cells, with every complete sibling quartet
+    replaced by its parent down to level 10 (ops.compact_cells — one
+    hash-bucket groupby per level, promotions cascade, nothing on the
+    driver). SQL twin: two chained GROUP BY rounds on the HUGEINT
+    parent-truncation replica."""
+    pts = lineitem_points(sf_dir)
+    ds = ops.add_cell_column(pts, level=9)
+    return ops.compact_cells(ds, "cell", from_level=9, min_level=7)
+
+
+SQL_COMPACT = f"""
+WITH src AS ({_s2_parent_sql(9, _LI_POINT_SQL)}),
+c9 AS (SELECT DISTINCT cell_parent AS cell FROM src),
+p8 AS (SELECT {_parent_i64_sql('cell', 8)} AS p, COUNT(*) AS nc FROM c9 GROUP BY 1),
+k9 AS (SELECT c9.cell FROM c9 JOIN p8 ON {_parent_i64_sql('c9.cell', 8)} = p8.p WHERE p8.nc < 4),
+l8 AS (SELECT p AS cell FROM p8 WHERE nc = 4),
+p7 AS (SELECT {_parent_i64_sql('cell', 7)} AS p, COUNT(*) AS nc FROM l8 GROUP BY 1),
+k8 AS (SELECT l8.cell FROM l8 JOIN p7 ON {_parent_i64_sql('l8.cell', 7)} = p7.p WHERE p7.nc < 4),
+l7 AS (SELECT p AS cell FROM p7 WHERE nc = 4)
+SELECT cell, CAST(9 AS BIGINT) AS level FROM k9
+UNION ALL SELECT cell, CAST(8 AS BIGINT) FROM k8
+UNION ALL SELECT cell, CAST(7 AS BIGINT) FROM l7
+"""
+
+
 # ------------------------------------------------------------- queries
 
 def q_grid_cell_count(sf_dir: str):
@@ -4220,6 +4265,89 @@ SQL_AUGMENT = (
 )
 
 
+def q_blur_detect(sf_dir: str):
+    """Image sharpness scoring / blur detection (data-curation quality
+    gate): 300 id-seeded synthetic images — odd ids are exact linear
+    gradients (the channel-sum plane is affine, so the integer
+    Laplacian is IDENTICALLY zero), even ids are seeded noise — scored
+    by the exact-integer variance-of-Laplacian actor stage
+    (stages/multimodal.LaplacianSharpness). The blur class therefore
+    scores num = 0 and the sharp class num > 0 BY CONSTRUCTION, making
+    the class counts a closed-form oracle (the augment pattern)."""
+    from georay.stages.multimodal import add_sharpness
+
+    n = 300
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        out_id, out_b, out_w, out_h = [], [], [], []
+        for i in ids:
+            w, h = 12 + int(i) % 8, 10 + int(i) % 6
+            if int(i) % 2 == 1:  # blurred: exact linear gradient
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                pix = (2 * x + y + c).astype(np.uint8)  # max 56 < 256
+                pix = np.broadcast_to(pix, (h, w, 3)).copy()
+            else:  # sharp: seeded noise
+                rng = np.random.default_rng(int(i))
+                pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            out_id.append(int(i))
+            out_b.append(images.encode_ppm(pix))
+            out_w.append(w)
+            out_h.append(h)
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.int64()),
+                "bytes": pa.array(out_b, pa.binary()),
+                "fmt": pa.array(["ppm"] * len(out_id), pa.string()),
+                "w": pa.array(np.array(out_w, np.int32)),
+                "h": pa.array(np.array(out_h, np.int32)),
+            }
+        )
+
+    src = rd.range(n).map_batches(
+        gen, batch_format="pyarrow", zero_copy_batch=True, batch_size=64
+    )
+    scored = add_sharpness(src)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        num = batch["lap_var_num"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"].to_numpy(zero_copy_only=False)
+        sharp = num > 0
+        # construction check: sharpness class must equal id parity
+        agree = int((sharp == (ids % 2 == 0)).sum())
+        return pa.table(
+            {
+                "p_n": pa.array([len(batch)], pa.int64()),
+                "p_sharp": pa.array([int(sharp.sum())], pa.int64()),
+                "p_agree": pa.array([agree], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = scored.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).aggregate(
+        Sum("p_n", alias_name="n_images"),
+        Sum("p_sharp", alias_name="n_sharp"),
+        Sum("p_agree", alias_name="n_class_ok"),
+    )
+    return pa.table(
+        {
+            "n_images": pa.array([agg["n_images"]], pa.int64()),
+            "n_sharp": pa.array([agg["n_sharp"]], pa.int64()),
+            "n_class_ok": pa.array([agg["n_class_ok"]], pa.int64()),
+        }
+    )
+
+
+SQL_BLUR_DETECT = (
+    "SELECT 300 AS n_images, 150 AS n_sharp, 300 AS n_class_ok"
+)
+
+
 def q_tile_assign(sf_dir: str):
     """Raster-tile → vector assignment: every mercator tile observed in
     the lineitem points intersected (exact rect–polygon test) against the
@@ -6380,7 +6508,9 @@ QUERIES = {
     "dct_image_neardup": q_dct_image_neardup,
     "av_pipeline": q_av_pipeline,
     "augment": q_augment,
+    "blur_detect": q_blur_detect,
     "grid_cell_count": q_grid_cell_count,
+    "compact": q_compact,
     "geohash_count": q_geohash_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -6536,6 +6666,7 @@ ORACLE = {
     "ivf_ann": SQL_IVF_ANN,
     "ivf_pruned": SQL_IVF_PRUNED,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
+    "compact": SQL_COMPACT,
     "geohash_count": SQL_GEOHASH_COUNT,
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
@@ -6605,4 +6736,5 @@ ORACLE = {
     "dct_image_neardup": SQL_DCT_IMAGE_NEARDUP,
     "av_pipeline": SQL_AV_PIPELINE,
     "augment": SQL_AUGMENT,
+    "blur_detect": SQL_BLUR_DETECT,
 }

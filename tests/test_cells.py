@@ -174,3 +174,36 @@ def test_geohash_known_values_and_nulls():
     # prefix property: precision 4 is a prefix of precision 6
     g4 = cells.geohash(np.array([-5.6]), np.array([42.6]), 4).to_pylist()[0]
     assert g[0].startswith(g4)
+
+
+def test_compact_cells_quartets_and_cascade(ray_session):
+    """A complete sibling quartet promotes; 16 grandchildren CASCADE to
+    one grandparent; incomplete quartets stay put."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import cells, ops
+
+    # pick an arbitrary level-10 cell; derive its 16 level-12 descendants
+    base = cells.cell_from_lonlat(np.array([12.3]), np.array([45.6]), 10)
+    s10 = np.uint64(1 << (60 - 20))
+    s12 = np.uint64(1 << (60 - 24))
+    lo = base[0] - s10 + s12
+    grandkids = lo + np.arange(16, dtype=np.uint64) * (np.uint64(2) * s12)
+    assert np.all(cells.cell_level(grandkids) == 12)
+    assert np.all(cells.cell_parent(grandkids, 10) == base[0])
+    # plus 3 of 4 children of a DIFFERENT parent (incomplete)
+    other = cells.cell_from_lonlat(np.array([-30.0]), np.array([10.0]), 11)
+    lo2 = other[0] - np.uint64(1 << (60 - 22)) + s12
+    trio = lo2 + np.arange(3, dtype=np.uint64) * (np.uint64(2) * s12)
+    all_cells = cells.to_i64(np.concatenate([grandkids, trio]))
+    ds = rd.from_arrow(pa.table({"cell": pa.array(all_cells, pa.int64())}))
+    out = (
+        ops.compact_cells(ds, "cell", from_level=12, min_level=10)
+        .to_pandas().sort_values(["level", "cell"]).reset_index(drop=True)
+    )
+    # quartet-of-quartets collapsed to the single level-10 ancestor;
+    # the trio survives at level 12
+    assert out["level"].tolist() == [10, 12, 12, 12]
+    assert out["cell"].iloc[0] == cells.to_i64(base)[0]
+    assert set(out[out["level"] == 12]["cell"]) == set(cells.to_i64(trio).tolist())
