@@ -4807,3 +4807,38 @@ def compact_cells(
         )
 
     return cur
+
+def uncompact_cells(
+    ds: ray.data.Dataset,
+    to_level: int,
+    cell_col: str = "cell",
+    level_col: str = "level",
+) -> ray.data.Dataset:
+    """Inverse of ``compact_cells``: expand a mixed-level cell set to
+    uniform ``to_level`` cells. Pure per-row arithmetic — a cell's
+    level-T descendants form one arithmetic progression
+    (``first = c - s_l + s_T``, step ``2·s_T``, count ``4^(T-l)``,
+    because position ids inside a parent's range are contiguous) — so
+    the whole expansion is one stateless vectorized ``map_batches``
+    with the ragged-range enumerator; no shuffle, no driver state.
+    ``uncompact(compact(S), L) == S`` for any level-L cell set S (the
+    round-trip the oracle pins)."""
+    from georay import cells as _c
+    from georay.index import _ragged_ranges
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = _c.to_u64(batch[cell_col].to_numpy(zero_copy_only=False))
+        lvl = batch[level_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if np.any(lvl > to_level):
+            raise ValueError("uncompact_cells: rows deeper than to_level")
+        s_t = np.uint64(1 << (60 - 2 * to_level))
+        lsb = cell & (~cell + np.uint64(1))  # own sentinel = s_l
+        first = cell - lsb + s_t
+        counts = (np.int64(1) << (2 * (to_level - lvl))).astype(np.int64)
+        owner, within = _ragged_ranges(counts)
+        out = first[owner] + np.uint64(2) * s_t * within.astype(np.uint64)
+        return pa.table({cell_col: pa.array(_c.to_i64(out), pa.int64())})
+
+    return ds.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

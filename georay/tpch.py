@@ -241,6 +241,23 @@ UNION ALL SELECT cell, CAST(7 AS BIGINT) FROM l7
 """
 
 
+def q_uncompact(sf_dir: str):
+    """compact → UNCOMPACT round trip: the mixed-level compaction of
+    the lineitem level-9 coverage re-expanded to uniform level 9
+    (ops.uncompact_cells — per-row arithmetic-progression descendants,
+    stateless map). Must reproduce EXACTLY the original distinct
+    level-9 cell set, which is the whole (simple) oracle."""
+    pts = lineitem_points(sf_dir)
+    ds = ops.add_cell_column(pts, level=9)
+    comp = ops.compact_cells(ds, "cell", from_level=9, min_level=7)
+    return ops.uncompact_cells(comp, to_level=9)
+
+
+SQL_UNCOMPACT = f"""
+SELECT DISTINCT cell_parent AS cell FROM ({_s2_parent_sql(9, _LI_POINT_SQL)})
+"""
+
+
 # ------------------------------------------------------------- queries
 
 def q_grid_cell_count(sf_dir: str):
@@ -6511,6 +6528,7 @@ QUERIES = {
     "blur_detect": q_blur_detect,
     "grid_cell_count": q_grid_cell_count,
     "compact": q_compact,
+    "uncompact": q_uncompact,
     "geohash_count": q_geohash_count,
     "bounds": q_bounds,
     "centroid_by_flag": q_centroid_by_flag,
@@ -6667,6 +6685,7 @@ ORACLE = {
     "ivf_pruned": SQL_IVF_PRUNED,
     "grid_cell_count": SQL_GRID_CELL_COUNT,
     "compact": SQL_COMPACT,
+    "uncompact": SQL_UNCOMPACT,
     "geohash_count": SQL_GEOHASH_COUNT,
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,

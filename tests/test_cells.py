@@ -207,3 +207,34 @@ def test_compact_cells_quartets_and_cascade(ray_session):
     assert out["level"].tolist() == [10, 12, 12, 12]
     assert out["cell"].iloc[0] == cells.to_i64(base)[0]
     assert set(out[out["level"] == 12]["cell"]) == set(cells.to_i64(trio).tolist())
+
+
+def test_uncompact_inverts_compact(ray_session):
+    """uncompact(compact(S), L) == S for a level-L cell set with both a
+    promotable quartet-of-quartets and stragglers; expanding a cell
+    deeper than to_level raises."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import cells, ops
+
+    base = cells.cell_from_lonlat(np.array([12.3]), np.array([45.6]), 10)
+    s10 = np.uint64(1 << (60 - 20))
+    s12 = np.uint64(1 << (60 - 24))
+    lo = base[0] - s10 + s12
+    grandkids = lo + np.arange(16, dtype=np.uint64) * (np.uint64(2) * s12)
+    other = cells.cell_from_lonlat(np.array([-30.0]), np.array([10.0]), 11)
+    lo2 = other[0] - np.uint64(1 << (60 - 22)) + s12
+    trio = lo2 + np.arange(3, dtype=np.uint64) * (np.uint64(2) * s12)
+    orig = set(cells.to_i64(np.concatenate([grandkids, trio])).tolist())
+    ds = rd.from_arrow(
+        pa.table({"cell": pa.array(sorted(orig), pa.int64())})
+    )
+    comp = ops.compact_cells(ds, "cell", from_level=12, min_level=10)
+    back = ops.uncompact_cells(comp, to_level=12).to_pandas()
+    assert set(back["cell"]) == orig
+    assert len(back) == len(orig)  # no duplicate descendants
+
+    # a level-12 row cannot be "expanded" to level 11
+    with pytest.raises(Exception):
+        ops.uncompact_cells(comp, to_level=11).to_pandas()
