@@ -5799,6 +5799,178 @@ FROM m
 """
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 returned-item reporting (quantized revenue): returned
+    ('R') lineitems of Q1-1996 orders, revenue grouped per customer,
+    top 20. Join order minimizes shuffle width: the per-customer
+    aggregate (bounded by #customers, 2 columns) is what co-shuffles
+    against customer — never the lineitem stream — and nation attaches
+    via broadcast. No driver-side merge anywhere."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "rev_t": pa.array(np.floor(p * (1.0 - d) * 10000.0 + 0.5)),
+            }
+        )
+
+    li = li.map_batches(
+        li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array((od >= _Y96_LO_US) & (od < _Y96_Q2_US)))
+        return pa.table(
+            {"o_orderkey": sub["o_orderkey"], "o_custkey": sub["o_custkey"]}
+        )
+
+    orders = orders.map_batches(
+        ord_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    joined = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+    agg = ops.salted_count(
+        joined, ["o_custkey"], agg_cols={"rev_t": "sum"}, count_alias="nl"
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        r = batch["sum_rev_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "revenue_t": pa.array(r, pa.int64())}
+        )
+
+    agg = agg.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    agg = ops.equi_join_partitioned(
+        agg, cust, on="o_custkey", right_on="c_custkey"
+    )
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nation = nation.set_column(
+        0, "n_nationkey", nation["n_nationkey"].cast(pa.int32())
+    )
+    agg = ops.broadcast_join(agg, nation, on="c_nationkey", dim_on="n_nationkey")
+    agg = agg.map_batches(
+        lambda b: b.drop_columns(["c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return ops.top_k(agg, ["revenue_t", "o_custkey"], 20, descending=[True, False])
+
+
+SQL_TPCH_Q10 = f"""
+SELECT o.o_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0e0 - l.l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_t
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE epoch_us(o.o_orderdate) >= {_Y96_LO_US} AND epoch_us(o.o_orderdate) < {_Y96_Q2_US}
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_t DESC, o.o_custkey
+LIMIT 20
+"""
+
+_Q18_QTY = 300.0
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 large-volume customer: orders whose total quantity
+    exceeds 300, with customer name and order facts, top 100 by price.
+    The HAVING gate runs FIRST (map-side combine + tree merge over
+    lineitem, then a vectorized filter), so only the tiny surviving
+    order set flows through the two co-partitioned joins; the final
+    per-order sum is the already-computed gate aggregate (orders are
+    unique on o_orderkey), matching the spec's re-group exactly."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    )
+    sums = ops.salted_count(
+        li, ["l_orderkey"], agg_cols={"l_quantity": "sum"}, count_alias="nl"
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = batch["sum_l_quantity"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(q > _Q18_QTY))
+        return pa.table(
+            {"l_orderkey": sub["l_orderkey"], "sum_qty": sub["sum_l_quantity"]}
+        )
+
+    sums = sums.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderday": pa.array(od // _DAY_US, pa.int64()),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    orders = orders.map_batches(
+        ord_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hit = ops.equi_join_partitioned(
+        orders, sums, on="o_orderkey", right_on="l_orderkey"
+    )
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name"]
+    )
+    hit = ops.equi_join_partitioned(
+        hit, cust, on="o_custkey", right_on="c_custkey"
+    )
+    return ops.top_k(
+        hit, ["o_totalprice", "o_orderday", "o_orderkey"], 100,
+        descending=[True, False, False],
+    )
+
+
+SQL_TPCH_Q18 = f"""
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+       epoch_us(o.o_orderdate) // {_DAY_US} AS o_orderday,
+       o.o_totalprice, t.sum_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > {_Q18_QTY!r}
+) t
+JOIN orders o ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o_orderday, o.o_orderkey
+LIMIT 100
+"""
+
+
 # ------------------------------------------ analytics: funnel / cohort
 
 
@@ -6490,6 +6662,8 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q4": q_tpch_q4,
     "tpch_q14": q_tpch_q14,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q18": q_tpch_q18,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -6653,6 +6827,8 @@ ORACLE = {
     "tpch_q6": SQL_TPCH_Q6,
     "tpch_q4": SQL_TPCH_Q4,
     "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q18": SQL_TPCH_Q18,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
