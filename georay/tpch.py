@@ -5166,6 +5166,63 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+_CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
+
+
+def q_clip_rect(sf_dir: str):
+    """Per-user track length INSIDE a geofence rectangle: every
+    consecutive-fix leg parametric-slab-clipped to the rect, quantized
+    clipped lengths summed per user (analytics.trajectory_clip_rect —
+    one user-bucket shuffle, vectorized clip, IEEE ops replicated
+    term-for-term in the SQL LAG twin)."""
+    from georay import analytics
+
+    return analytics.trajectory_clip_rect(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        rect=_CLIP_RECT, tiebreak_col="event_id",
+    )
+
+
+def _clip_sql() -> str:
+    xmin, ymin, xmax, ymax = (f"{v!r}e0" for v in _CLIP_RECT)
+    # shared subexpressions, spelled identically to the numpy kernel
+    dx, dy = "(lon - x0)", "(lat - y0)"
+    lo_x = f"CASE WHEN {dx} = 0 THEN 0.0e0 ELSE LEAST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    hi_x = f"CASE WHEN {dx} = 0 THEN 1.0e0 ELSE GREATEST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    lo_y = f"CASE WHEN {dy} = 0 THEN 0.0e0 ELSE LEAST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    hi_y = f"CASE WHEN {dy} = 0 THEN 1.0e0 ELSE GREATEST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    empty = (
+        f"({dx} = 0 AND (x0 < {xmin} OR x0 > {xmax})) "
+        f"OR ({dy} = 0 AND (y0 < {ymin} OR y0 > {ymax}))"
+    )
+    frac = (
+        f"CASE WHEN {empty} THEN 0.0e0 ELSE GREATEST(0.0e0, "
+        f"LEAST(1.0e0, {hi_x}, {hi_y}) - GREATEST(0.0e0, {lo_x}, {lo_y})) END"
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt({dx}*{dx} + {dy}*{dy}) * ({frac})
+                        * 1048576e0 + 0.5e0) AS BIGINT) END AS clip_q
+  FROM seq
+)
+SELECT user_id, COUNT(*) AS n_points,
+       CAST(SUM(clip_q) AS BIGINT) AS clip_q
+FROM legs GROUP BY user_id
+"""
+
+
+SQL_CLIP_RECT = _clip_sql()
+
 
 def q_od_matrix(sf_dir: str):
     """Origin–destination transition matrix between 1° grid cells over
@@ -6619,6 +6676,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "trajectory": q_trajectory,
+    "clip_rect": q_clip_rect,
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
@@ -6786,6 +6844,7 @@ ORACLE = {
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
+    "clip_rect": SQL_CLIP_RECT,
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,

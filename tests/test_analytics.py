@@ -517,6 +517,32 @@ def test_trajectory_stats_hand(ray_session):
     assert out.values.tolist() == [[1, 3, 5 * s, 5 * s], [2, 1, 0, 0]]
 
 
+def test_trajectory_clip_rect_hand(ray_session):
+    # rect [0,10]x[0,10].
+    # user 1: (-5,5)->(5,5): horizontal crossing, 5 of 10 inside;
+    #         then (5,5)->(5,15): vertical (dx==0) leaving, 5 of 10 in.
+    # user 2: (20,20)->(30,20): wholly outside, dy==0 branch -> 0.
+    # user 3: (2,2)->(4,2): wholly inside -> full leg 2.
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 2, 1, 2], pa.timestamp("us")),
+            "e": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "lon": pa.array([-5.0, 5.0, 5.0, 20.0, 30.0, 2.0, 4.0]),
+            "lat": pa.array([5.0, 5.0, 15.0, 20.0, 20.0, 2.0, 2.0]),
+        }
+    )
+    out = (
+        analytics.trajectory_clip_rect(
+            _ds(tbl), "u", "ts", "lon", "lat",
+            rect=(0.0, 0.0, 10.0, 10.0), tiebreak_col="e", n_buckets=4,
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    s = 1 << 20
+    assert out.values.tolist() == [[1, 3, 10 * s], [2, 2, 0], [3, 2, 2 * s]]
+
+
 def test_od_matrix_hand(ray_session):
     # user 1 visits cells 5 -> 7 -> 7 -> 5; user 2: 7 -> 5
     tbl = pa.table(
