@@ -1119,3 +1119,94 @@ def radius_join_count_partitioned(
     return out.map_batches(
         rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def nearest_segment_join(
+    points: ray.data.Dataset,
+    segments: pa.Table,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    seg_cols: tuple[str, str, str, str, str] = (
+        "seg_id", "ax", "ay", "bx", "by"
+    ),
+    out_seg: str = "seg_id",
+    out_d2: str = "d2_q",
+    scale_bits: int = 20,
+    point_chunk: int = 8192,
+    seg_chunk: int = 512,
+) -> ray.data.Dataset:
+    """Snap every probe point to its NEAREST polyline segment (map-
+    matching / road-snapping primitive): for each point, the segment
+    minimizing the clamped point-to-segment squared distance, ties
+    broken by ascending seg_id. Output = point columns + ``seg_id`` +
+    ``floor(d2 · 2^scale_bits + 0.5)``.
+
+    Execution shape 1 (broadcast): the segment table ships once via
+    ``ray.put`` and is probed per batch with a blocked running-min —
+    point slices × segment chunks, each inner block a pure numpy
+    broadcast (≤ point_chunk·seg_chunk doubles live at once), so memory
+    stays bounded regardless of block size. Chunks walk seg_id
+    ascending and update on STRICT improvement, which reproduces the
+    SQL ``ORDER BY d2, seg_id`` tie-break exactly; every arithmetic
+    step (dot, divide, clamp, square) is an IEEE correctly-rounded
+    double op an ANSI-SQL twin replicates term-for-term. For a
+    segment corpus too big to broadcast, bucket segments by covering
+    cell and co-shuffle (the ``radius_join_partitioned`` plan) —
+    this entry is the exact baseline the bucketed variant verifies
+    against."""
+    sid_c, ax_c, ay_c, bx_c, by_c = seg_cols
+    seg = segments.combine_chunks()
+    order = pc.sort_indices(seg[sid_c])
+    seg = seg.take(order)
+    sid = seg[sid_c].to_numpy(zero_copy_only=False).astype(np.int64)
+    ax = seg[ax_c].to_numpy(zero_copy_only=False).astype(np.float64)
+    ay = seg[ay_c].to_numpy(zero_copy_only=False).astype(np.float64)
+    bx = seg[bx_c].to_numpy(zero_copy_only=False).astype(np.float64)
+    by = seg[by_c].to_numpy(zero_copy_only=False).astype(np.float64)
+    dxs = bx - ax
+    dys = by - ay
+    len2 = dxs * dxs + dys * dys
+    if np.any(len2 == 0.0):
+        raise ValueError("nearest_segment_join: zero-length segment")
+    ref = ray.put((sid, ax, ay, dxs, dys, len2))
+    cache: dict = {}
+    scale = float(1 << scale_bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        sid, ax, ay, dxs, dys, len2 = cache.setdefault("s", ray.get(ref))
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = px.shape[0]
+        best_seg = np.empty(n, np.int64)
+        best_d2 = np.empty(n, np.float64)
+        for p0 in range(0, n, point_chunk):
+            p1 = min(p0 + point_chunk, n)
+            qx = px[p0:p1, None]
+            qy = py[p0:p1, None]
+            bd = np.full(p1 - p0, np.inf)
+            bs = np.zeros(p1 - p0, np.int64)
+            for s0 in range(0, sid.shape[0], seg_chunk):
+                s1 = min(s0 + seg_chunk, sid.shape[0])
+                tr = (
+                    (qx - ax[s0:s1]) * dxs[s0:s1]
+                    + (qy - ay[s0:s1]) * dys[s0:s1]
+                ) / len2[s0:s1]
+                t = np.minimum(1.0, np.maximum(0.0, tr))
+                ex = qx - (ax[s0:s1] + t * dxs[s0:s1])
+                ey = qy - (ay[s0:s1] + t * dys[s0:s1])
+                d2 = ex * ex + ey * ey
+                j = np.argmin(d2, axis=1)
+                dmin = d2[np.arange(p1 - p0), j]
+                upd = dmin < bd
+                bd[upd] = dmin[upd]
+                bs[upd] = sid[s0:s1][j[upd]]
+            best_d2[p0:p1] = bd
+            best_seg[p0:p1] = bs
+        d2q = np.floor(best_d2 * scale + 0.5).astype(np.int64)
+        return batch.append_column(out_seg, pa.array(best_seg)).append_column(
+            out_d2, pa.array(d2q)
+        )
+
+    return points.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -5224,6 +5224,120 @@ FROM legs GROUP BY user_id
 SQL_CLIP_RECT = _clip_sql()
 
 
+def _supplier_segments(sf_dir: str) -> pa.Table:
+    """Synthetic polyline network: consecutive suppliers (by s_suppkey)
+    chained into segments, zero-length pairs dropped; seg_id = the
+    lower supplier key. Mirrors the LEAD-window SQL in SQL_SNAP_JOIN."""
+    sx, sy, sk = supplier_points(sf_dir)
+    order = np.argsort(sk, kind="stable")
+    sx, sy, sk = sx[order], sy[order], sk[order]
+    ax, ay, bx, by = sx[:-1], sy[:-1], sx[1:], sy[1:]
+    keep = ~((ax == bx) & (ay == by))
+    return pa.table(
+        {
+            "seg_id": pa.array(sk[:-1][keep], pa.int64()),
+            "ax": pa.array(ax[keep]),
+            "ay": pa.array(ay[keep]),
+            "bx": pa.array(bx[keep]),
+            "by": pa.array(by[keep]),
+        }
+    )
+
+
+def q_snap_join(sf_dir: str):
+    """Map-matching: every first-line lineitem point snapped to the
+    nearest segment of the supplier polyline chain
+    (joins.nearest_segment_join — broadcast segments, blocked
+    running-min probe, no shuffle). Ties by ascending seg_id; the SQL
+    twin is a cross join + ROW_NUMBER argmin over the identical IEEE
+    distance expression."""
+    from georay import joins
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_linenumber"], 1))
+        ok = sub["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = sub["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = sub["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = sub["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _li_lonlat(ok, pk, sk, ln)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "l_partkey": sub["l_partkey"],
+                "l_suppkey": sub["l_suppkey"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = joins.nearest_segment_join(pts, _supplier_segments(sf_dir))
+    return out.map_batches(
+        lambda b: b.drop_columns(["lon", "lat"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_SNAP_JOIN = f"""
+WITH sp AS (
+  SELECT s_suppkey,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05 AS sx,
+         ((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05 AS sy
+  FROM supplier
+),
+seq AS (
+  SELECT s_suppkey, sx, sy,
+         LEAD(s_suppkey) OVER w AS nk,
+         LEAD(sx) OVER w AS nx, LEAD(sy) OVER w AS ny
+  FROM sp WINDOW w AS (ORDER BY s_suppkey)
+),
+segs AS (
+  SELECT s_suppkey AS seg_id, sx AS ax, sy AS ay, nx AS bx, ny AS by
+  FROM seq WHERE nk IS NOT NULL AND NOT (nx = sx AND ny = sy)
+),
+pts AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, {LI_LON} AS px, {LI_LAT} AS py
+  FROM lineitem WHERE l_linenumber = 1
+),
+cand AS (
+  SELECT p.l_orderkey, p.l_partkey, p.l_suppkey, s.seg_id,
+         (p.px - (s.ax + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.bx - s.ax)))
+         * (p.px - (s.ax + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.bx - s.ax)))
+         + (p.py - (s.ay + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.by - s.ay)))
+         * (p.py - (s.ay + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.by - s.ay))) AS d2
+  FROM pts p CROSS JOIN segs s
+),
+best AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, seg_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey
+                            ORDER BY d2, seg_id) AS rn
+  FROM cand
+)
+SELECT l_orderkey, l_partkey, l_suppkey, seg_id,
+       CAST(floor(d2 * 1048576e0 + 0.5e0) AS BIGINT) AS d2_q
+FROM best WHERE rn = 1
+"""
+
+
 def q_od_matrix(sf_dir: str):
     """Origin–destination transition matrix between 1° grid cells over
     the event stream (analytics.od_matrix; one user-bucket shuffle +
@@ -6677,6 +6791,7 @@ QUERIES = {
     "cohort": q_cohort,
     "trajectory": q_trajectory,
     "clip_rect": q_clip_rect,
+    "snap_join": q_snap_join,
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
@@ -6845,6 +6960,7 @@ ORACLE = {
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
     "clip_rect": SQL_CLIP_RECT,
+    "snap_join": SQL_SNAP_JOIN,
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,

@@ -1680,3 +1680,53 @@ def test_pip_zonal_stats_skips_null_values(ray_session):
     r = out.iloc[0]
     assert r["n"] == 2 and r["v_sum"] == 40.0
     assert r["v_min"] == 10.0 and r["v_max"] == 30.0 and r["v_avg"] == 20.0
+
+
+def test_nearest_segment_join_hand(ray_session):
+    """Interior projection, endpoint clamp, exact tie (lower seg_id
+    wins), and a probe far past both chunk boundaries."""
+    import ray.data as rd
+
+    from georay import joins
+
+    segs = pa.table(
+        {
+            # seg 1: x-axis from (0,0) to (10,0); seg 2: vertical x=20
+            "seg_id": pa.array([1, 2], pa.int64()),
+            "ax": pa.array([0.0, 20.0]),
+            "ay": pa.array([0.0, -5.0]),
+            "bx": pa.array([10.0, 20.0]),
+            "by": pa.array([0.0, 5.0]),
+        }
+    )
+    pts = pa.table(
+        {
+            "pid": pa.array([0, 1, 2, 3], pa.int64()),
+            # interior proj onto seg 1 (d=3); clamp to seg-1 endpoint
+            # (10,0) from (13,4) (d=5); equidistant from both (tie ->
+            # seg 1); nearest to seg 2 interior (d=1)
+            "lon": pa.array([4.0, 13.0, 15.0, 21.0]),
+            "lat": pa.array([3.0, 4.0, 0.0, 0.0]),
+        }
+    )
+    out = (
+        joins.nearest_segment_join(
+            rd.from_arrow(pts), segs, x_col="lon", y_col="lat",
+            point_chunk=2, seg_chunk=1,
+        )
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    s = 1 << 20
+    assert out["seg_id"].tolist() == [1, 1, 1, 2]
+    assert out["d2_q"].tolist() == [9 * s, 25 * s, 25 * s, 1 * s]
+
+    # zero-length segments are rejected
+    bad = pa.table(
+        {
+            "seg_id": pa.array([9], pa.int64()),
+            "ax": pa.array([1.0]), "ay": pa.array([1.0]),
+            "bx": pa.array([1.0]), "by": pa.array([1.0]),
+        }
+    )
+    with pytest.raises(ValueError):
+        joins.nearest_segment_join(rd.from_arrow(pts), bad)
