@@ -892,6 +892,104 @@ def trajectory_clip_rect(
     )
 
 
+def trajectory_midpoint(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    tiebreak_col: str | None = None,
+    scale_bits: int = 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity point at HALF the cumulative path length (linear
+    interpolation along the track) — ``(user, mid_x_q, mid_y_q)``.
+
+    Legs quantize to int64 FIRST (``floor(leg·2^scale_bits + 0.5)``),
+    so the running sum is integer and therefore independent of the SQL
+    window implementation's addition order (a float running sum would
+    diverge from DuckDB's segment-tree accumulation). The target is
+    ``total // 2`` in exact integer arithmetic; the carrying leg is the
+    first with ``leg_q > 0 AND cum_q >= target``, and the within-leg
+    fraction ``(target - (cum_q - leg_q)) / leg_q`` plus the final lerp
+    are IEEE double ops replicated term-for-term in SQL. Zero-length
+    tracks (single fix / stationary) emit their first fix. Same
+    dataflow as ``trajectory_stats``: one user-bucket shuffle,
+    per-bucket lexsort + segmented vectorized scan."""
+    cols = [user_col, ts_col, lon_col, lat_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+    scale = float(1 << scale_bits)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        n = lon.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "mid_x_q": pa.array([], pa.int64()),
+                    "mid_y_q": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        dx = np.empty(n); dy = np.empty(n)
+        dx[1:] = lon[1:] - lon[:-1]
+        dy[1:] = lat[1:] - lat[:-1]
+        dx[first] = 0.0
+        dy[first] = 0.0
+        leg_q = np.floor(np.sqrt(dx * dx + dy * dy) * scale + 0.5).astype(np.int64)
+        c = np.cumsum(leg_q)
+        base = c[starts] - leg_q[starts]
+        cum = c - base[gid]
+        ends = np.append(starts[1:], n) - 1
+        tot = cum[ends]
+        target = tot // 2
+        hit = (leg_q > 0) & (cum >= target[gid])
+        idx = np.where(hit, np.arange(n), n)
+        sel = np.minimum.reduceat(idx, starts)
+        moved = tot > 0
+        g = np.arange(starts.shape[0])
+        out_x = np.empty(starts.shape[0])
+        out_y = np.empty(starts.shape[0])
+        if np.any(moved):
+            i = sel[moved]
+            s = (target[moved] - (cum[i] - leg_q[i])).astype(np.float64) / leg_q[
+                i
+            ].astype(np.float64)
+            out_x[moved] = lon[i - 1] + s * (lon[i] - lon[i - 1])
+            out_y[moved] = lat[i - 1] + s * (lat[i] - lat[i - 1])
+        still = ~moved
+        out_x[still] = lon[starts[still]]
+        out_y[still] = lat[starts[still]]
+        return pa.table(
+            {
+                user_col: pa.array(u[order][starts], pa.int64()),
+                "mid_x_q": pa.array(
+                    np.floor(out_x * scale + 0.5).astype(np.int64), pa.int64()
+                ),
+                "mid_y_q": pa.array(
+                    np.floor(out_y * scale + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
 def od_matrix(
     ds: ray.data.Dataset,
     user_col: str,

@@ -5224,6 +5224,66 @@ FROM legs GROUP BY user_id
 SQL_CLIP_RECT = _clip_sql()
 
 
+def q_path_midpoint(sf_dir: str):
+    """Per-user linear-interpolated point at HALF the cumulative track
+    length (analytics.trajectory_midpoint — integer-quantized legs so
+    the running sum is window-implementation-independent, then an IEEE
+    lerp the SQL twin replicates exactly)."""
+    from georay import analytics
+
+    return analytics.trajectory_midpoint(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        tiebreak_col="event_id",
+    )
+
+
+SQL_PATH_MIDPOINT = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, rn, lon, lat, x0, y0,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt((lon - x0)*(lon - x0)
+                                 + (lat - y0)*(lat - y0)) * 1048576e0
+                              + 0.5e0) AS BIGINT) END AS leg_q
+  FROM seq
+),
+cums AS (
+  SELECT *,
+         SUM(leg_q) OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS cum_q,
+         SUM(leg_q) OVER (PARTITION BY user_id) AS tot_q
+  FROM legs
+),
+sel AS (
+  SELECT user_id,
+         MIN(rn) FILTER (leg_q > 0 AND cum_q >= tot_q // 2) AS pick
+  FROM cums GROUP BY user_id
+),
+firsts AS (
+  SELECT user_id, lon AS fx, lat AS fy FROM cums WHERE rn = 1
+)
+SELECT c.user_id,
+       CAST(floor((CASE WHEN s.pick IS NULL THEN f.fx
+             ELSE c.x0 + ((c.tot_q // 2 - (c.cum_q - c.leg_q)) / c.leg_q)
+                  * (c.lon - c.x0) END) * 1048576e0 + 0.5e0) AS BIGINT)
+         AS mid_x_q,
+       CAST(floor((CASE WHEN s.pick IS NULL THEN f.fy
+             ELSE c.y0 + ((c.tot_q // 2 - (c.cum_q - c.leg_q)) / c.leg_q)
+                  * (c.lat - c.y0) END) * 1048576e0 + 0.5e0) AS BIGINT)
+         AS mid_y_q
+FROM sel s
+JOIN firsts f ON f.user_id = s.user_id
+JOIN cums c ON c.user_id = s.user_id AND c.rn = COALESCE(s.pick, 1)
+"""
+
+
 def _supplier_segments(sf_dir: str) -> pa.Table:
     """Synthetic polyline network: consecutive suppliers (by s_suppkey)
     chained into segments, zero-length pairs dropped; seg_id = the
@@ -6792,6 +6852,7 @@ QUERIES = {
     "trajectory": q_trajectory,
     "clip_rect": q_clip_rect,
     "snap_join": q_snap_join,
+    "path_midpoint": q_path_midpoint,
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
@@ -6961,6 +7022,7 @@ ORACLE = {
     "trajectory": SQL_TRAJECTORY,
     "clip_rect": SQL_CLIP_RECT,
     "snap_join": SQL_SNAP_JOIN,
+    "path_midpoint": SQL_PATH_MIDPOINT,
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,

@@ -1078,3 +1078,31 @@ def test_skyline2_duplicates_and_orientation(ray_session):
     # id6 (0.5,1) front; ids 1,2 (1,5) duplicates both front; id3 (2,9)
     # front; id4 (2,4) dominated by 1/2; id5 (3,9) dominated by 3
     assert out["id"].tolist() == [1, 2, 3, 6]
+
+
+def test_trajectory_midpoint_hand(ray_session):
+    # user 1: (0,0)->(10,0)->(10,10): total 20, midpoint at arc 10 ->
+    # exactly the corner (10,0) (carrying leg is the FIRST with
+    # cum >= 10). user 2: single fix -> its own coords.
+    # user 3: (0,0)->(4,0): midpoint (2,0) interior lerp.
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 1, 2], pa.timestamp("us")),
+            "e": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "lon": pa.array([0.0, 10.0, 10.0, -7.5, 0.0, 4.0]),
+            "lat": pa.array([0.0, 0.0, 10.0, 3.25, 0.0, 0.0]),
+        }
+    )
+    out = (
+        analytics.trajectory_midpoint(
+            _ds(tbl), "u", "ts", "lon", "lat", tiebreak_col="e", n_buckets=4
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    s = 1 << 20
+    assert out.values.tolist() == [
+        [1, 10 * s, 0],
+        [2, int(np.floor(-7.5 * s + 0.5)), int(np.floor(3.25 * s + 0.5))],
+        [3, 2 * s, 0],
+    ]
