@@ -6201,6 +6201,129 @@ ORDER BY o.o_totalprice DESC, o_orderday, o.o_orderkey
 LIMIT 100
 """
 
+_Q19_BRACKETS = [
+    ("Brand#12", 1.0, 11.0, 1, 5),
+    ("Brand#23", 10.0, 20.0, 1, 10),
+    ("Brand#3", 20.0, 30.0, 1, 15),
+]
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 discounted-revenue with disjunctive brackets, adapted
+    to the driver schema (brand + size + quantity brackets; the
+    synthetic lineitem lacks shipmode/shipinstruct). The part dimension
+    collapses to ONE int8 bracket id per partkey at build time
+    (broadcast once), so the probe is a searchsorted + two vectorized
+    compares per batch and the whole query is a single lineitem scan
+    with a one-row combine — no shuffle at all."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    brand = part["p_brand"].to_pylist()
+    size = part["p_size"].to_numpy().astype(np.int64)
+    bracket = np.full(len(pk), -1, np.int8)
+    for bi, (bname, _qlo, _qhi, slo, shi) in enumerate(_Q19_BRACKETS):
+        m = np.array([b == bname for b in brand]) & (size >= slo) & (size <= shi)
+        bracket[m] = bi
+    order = np.argsort(pk, kind="stable")
+    ref = _ray.put((pk[order], bracket[order]))
+    qlo = np.array([b[1] for b in _Q19_BRACKETS])
+    qhi = np.array([b[2] for b in _Q19_BRACKETS])
+    cache: dict = {}
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        keys, br = cache.setdefault("p", _rayw.get(ref))
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        b = br[np.searchsorted(keys, lp)]
+        hit = (b >= 0) & (q >= qlo[np.maximum(b, 0)]) & (q <= qhi[np.maximum(b, 0)])
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+        rev = np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table({"partial": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = parts.aggregate(Sum("partial", alias_name="s"))
+    return pa.table({"revenue_t": pa.array([int(agg["s"])], pa.int64())})
+
+
+def _q19_pred() -> str:
+    terms = []
+    for bname, ql, qh, slo, shi in _Q19_BRACKETS:
+        terms.append(
+            f"(p_brand = '{bname}' AND p_size BETWEEN {slo} AND {shi} "
+            f"AND l_quantity >= {ql!r} AND l_quantity <= {qh!r})"
+        )
+    return " OR ".join(terms)
+
+
+SQL_TPCH_Q19 = f"""
+SELECT CAST(SUM(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS revenue_t
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_q19_pred()}
+"""
+
+_Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+_Q16_EXCL_BRAND = "Brand#5"
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 parts/supplier relationship, adapted: the synthetic
+    schema has no partsupp, so the part↔supplier pairs come from
+    lineitem (every (l_partkey, l_suppkey) that ever shipped). Part
+    attrs broadcast into the lineitem scan; the COUNT(DISTINCT
+    supplier) runs as exact dedup on (brand, type, size, suppkey)
+    (one hash-bucket shuffle of the already-attribute-pruned pairs)
+    followed by a combine-tree count."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    keep = pc.and_(
+        pc.not_equal(part["p_brand"], _Q16_EXCL_BRAND),
+        pc.is_in(part["p_size"], value_set=pa.array(_Q16_SIZES, pa.int32())),
+    )
+    part = part.filter(keep)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+    joined = ops.broadcast_join(li, part, on="l_partkey", dim_on="p_partkey")
+    joined = joined.map_batches(
+        lambda b: b.select(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    distinct = ops.dedup_exact(
+        joined, ["p_brand", "p_type", "p_size", "l_suppkey"]
+    )
+    return ops.salted_count(
+        distinct, ["p_brand", "p_type", "p_size"], count_alias="supplier_cnt"
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_size IN {_Q16_SIZES}
+GROUP BY p_brand, p_type, p_size
+"""
+
 
 # ------------------------------------------ analytics: funnel / cohort
 
@@ -6898,6 +7021,8 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q16": q_tpch_q16,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
     "distinct_parts": q_distinct_parts,
@@ -7066,6 +7191,8 @@ ORACLE = {
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q16": SQL_TPCH_Q16,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
