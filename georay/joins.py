@@ -1121,6 +1121,43 @@ def radius_join_count_partitioned(
     )
 
 
+def _blocked_nearest(
+    px, py, sid, ax, ay, dxs, dys, len2, point_chunk: int, seg_chunk: int
+):
+    """Blocked running-min point→segment argmin (shared by the
+    broadcast and partitioned snap joins). Segments MUST be sorted by
+    seg_id ascending: chunks walk in order and update on STRICT
+    improvement, so ties resolve to the lowest seg_id — the SQL
+    ``ORDER BY d2, seg_id`` contract."""
+    n = px.shape[0]
+    best_seg = np.empty(n, np.int64)
+    best_d2 = np.empty(n, np.float64)
+    for p0 in range(0, n, point_chunk):
+        p1 = min(p0 + point_chunk, n)
+        qx = px[p0:p1, None]
+        qy = py[p0:p1, None]
+        bd = np.full(p1 - p0, np.inf)
+        bs = np.zeros(p1 - p0, np.int64)
+        for s0 in range(0, sid.shape[0], seg_chunk):
+            s1 = min(s0 + seg_chunk, sid.shape[0])
+            tr = (
+                (qx - ax[s0:s1]) * dxs[s0:s1]
+                + (qy - ay[s0:s1]) * dys[s0:s1]
+            ) / len2[s0:s1]
+            t = np.minimum(1.0, np.maximum(0.0, tr))
+            ex = qx - (ax[s0:s1] + t * dxs[s0:s1])
+            ey = qy - (ay[s0:s1] + t * dys[s0:s1])
+            d2 = ex * ex + ey * ey
+            j = np.argmin(d2, axis=1)
+            dmin = d2[np.arange(p1 - p0), j]
+            upd = dmin < bd
+            bd[upd] = dmin[upd]
+            bs[upd] = sid[s0:s1][j[upd]]
+        best_d2[p0:p1] = bd
+        best_seg[p0:p1] = bs
+    return best_seg, best_d2
+
+
 def nearest_segment_join(
     points: ray.data.Dataset,
     segments: pa.Table,
@@ -1176,32 +1213,9 @@ def nearest_segment_join(
         sid, ax, ay, dxs, dys, len2 = cache.setdefault("s", ray.get(ref))
         px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = px.shape[0]
-        best_seg = np.empty(n, np.int64)
-        best_d2 = np.empty(n, np.float64)
-        for p0 in range(0, n, point_chunk):
-            p1 = min(p0 + point_chunk, n)
-            qx = px[p0:p1, None]
-            qy = py[p0:p1, None]
-            bd = np.full(p1 - p0, np.inf)
-            bs = np.zeros(p1 - p0, np.int64)
-            for s0 in range(0, sid.shape[0], seg_chunk):
-                s1 = min(s0 + seg_chunk, sid.shape[0])
-                tr = (
-                    (qx - ax[s0:s1]) * dxs[s0:s1]
-                    + (qy - ay[s0:s1]) * dys[s0:s1]
-                ) / len2[s0:s1]
-                t = np.minimum(1.0, np.maximum(0.0, tr))
-                ex = qx - (ax[s0:s1] + t * dxs[s0:s1])
-                ey = qy - (ay[s0:s1] + t * dys[s0:s1])
-                d2 = ex * ex + ey * ey
-                j = np.argmin(d2, axis=1)
-                dmin = d2[np.arange(p1 - p0), j]
-                upd = dmin < bd
-                bd[upd] = dmin[upd]
-                bs[upd] = sid[s0:s1][j[upd]]
-            best_d2[p0:p1] = bd
-            best_seg[p0:p1] = bs
+        best_seg, best_d2 = _blocked_nearest(
+            px, py, sid, ax, ay, dxs, dys, len2, point_chunk, seg_chunk
+        )
         d2q = np.floor(best_d2 * scale + 0.5).astype(np.int64)
         return batch.append_column(out_seg, pa.array(best_seg)).append_column(
             out_d2, pa.array(d2q)
@@ -1209,4 +1223,181 @@ def nearest_segment_join(
 
     return points.map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def nearest_segment_join_partitioned(
+    points: ray.data.Dataset,
+    segments: ray.data.Dataset,
+    max_radius: float,
+    point_id_col: str = "pid",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    seg_cols: tuple[str, str, str, str, str] = (
+        "seg_id", "ax", "ay", "bx", "by"
+    ),
+    res: float | None = None,
+    out_seg: str = "seg_id",
+    out_d2: str = "d2_q",
+    scale_bits: int = 20,
+    point_chunk: int = 8192,
+    seg_chunk: int = 512,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE nearest-segment snap join, bounded by
+    ``max_radius`` — the scale twin of ``nearest_segment_join``
+    (completing the broadcast/partitioned matrix alongside PIP, kNN,
+    equality, as-of, interval and radius). Points whose nearest
+    segment lies farther than ``max_radius`` are DROPPED (a bounded
+    search radius is what makes the problem partitionable without
+    ring iteration).
+
+    No broadcast: points replicate to the exact grid cover of their
+    ``±max_radius`` box, segments key by the grid cover of their own
+    bbox, so every (point, segment-within-radius) pair meets in ≥1
+    bucket (the segment has a point inside the probe's box; that
+    point's cell is in both covers). One ``groupby(cell)`` co-shuffle;
+    each bucket runs the same ``_blocked_nearest`` kernel over its
+    seg-id-sorted local segments, gates at ``max_radius²``, and emits
+    ``(pid, seg_id, d2_bits)`` partials. Duplicate meetings are
+    harmless: the global min per point is taken with ``group_top_k``
+    (k=1) on ``(d2_bits, seg_id)`` — non-negative doubles viewed as
+    int64 are order-isomorphic, so the lexicographic min reproduces
+    the broadcast twin's ``(d2, seg_id)`` tie-break bit-exactly.
+
+    Partitioning assumption: a segment replicates to its bbox cover —
+    near-degenerate for map-spanning segments (their bbox covers
+    everything); intended for locally-bounded segment corpora (road
+    networks), with ``res`` (default ≈ max_radius) sized so one cell's
+    segments fit a worker."""
+    from georay import cells as c
+    from georay.index import _cover_bboxes_grid
+
+    if res is None:
+        res = float(max_radius)
+    r2 = float(max_radius) * float(max_radius)
+    sid_c, ax_c, ay_c, bx_c, by_c = seg_cols
+    scale = float(1 << scale_bits)
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(px) & np.isfinite(py)
+        bbox = np.column_stack(
+            [px - max_radius, py - max_radius, px + max_radius, py + max_radius]
+        )
+        keys, idx = _cover_bboxes_grid(bbox, ok, res)
+        pid = batch[point_id_col]
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        return pa.table(
+            {
+                "cell": pa.array(keys, pa.int64()),
+                "side": pa.array(np.zeros(keys.shape[0], np.int8)),
+                "id": pid.take(pa.array(idx)).cast(pa.int64()),
+                "x0": pa.array(px[idx]),
+                "y0": pa.array(py[idx]),
+                "x1": pa.array(np.zeros(keys.shape[0])),
+                "y1": pa.array(np.zeros(keys.shape[0])),
+            }
+        )
+
+    def key_segs(batch: pa.Table) -> pa.Table:
+        ax = batch[ax_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        ay = batch[ay_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        bx = batch[bx_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        by = batch[by_c].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.any((ax == bx) & (ay == by)):
+            raise ValueError("nearest_segment_join_partitioned: zero-length segment")
+        bbox = np.column_stack(
+            [np.minimum(ax, bx), np.minimum(ay, by),
+             np.maximum(ax, bx), np.maximum(ay, by)]
+        )
+        ok = np.ones(ax.shape[0], bool)
+        keys, idx = _cover_bboxes_grid(bbox, ok, res)
+        sid = batch[sid_c]
+        if isinstance(sid, pa.ChunkedArray):
+            sid = sid.combine_chunks()
+        return pa.table(
+            {
+                "cell": pa.array(keys, pa.int64()),
+                "side": pa.array(np.ones(keys.shape[0], np.int8)),
+                "id": sid.take(pa.array(idx)).cast(pa.int64()),
+                "x0": pa.array(ax[idx]),
+                "y0": pa.array(ay[idx]),
+                "x1": pa.array(bx[idx]),
+                "y1": pa.array(by[idx]),
+            }
+        )
+
+    keyed = points.map_batches(
+        key_points, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        segments.map_batches(
+            key_segs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        p = group.filter(pa.array(side == 0))
+        s = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "pid": pa.array([], pa.int64()),
+                out_seg: pa.array([], pa.int64()),
+                "d2_bits": pa.array([], pa.int64()),
+            }
+        )
+        if len(p) == 0 or len(s) == 0:
+            return empty
+        sid = s["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sid, kind="stable")
+        sid = sid[order]
+        ax = s["x0"].to_numpy(zero_copy_only=False)[order]
+        ay = s["y0"].to_numpy(zero_copy_only=False)[order]
+        bx = s["x1"].to_numpy(zero_copy_only=False)[order]
+        by = s["y1"].to_numpy(zero_copy_only=False)[order]
+        dxs = bx - ax
+        dys = by - ay
+        len2 = dxs * dxs + dys * dys
+        px = p["x0"].to_numpy(zero_copy_only=False)
+        py = p["y0"].to_numpy(zero_copy_only=False)
+        best_seg, best_d2 = _blocked_nearest(
+            px, py, sid, ax, ay, dxs, dys, len2, point_chunk, seg_chunk
+        )
+        keep = best_d2 <= r2
+        return pa.table(
+            {
+                "pid": pa.array(
+                    p["id"].to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+                out_seg: pa.array(best_seg[keep], pa.int64()),
+                "d2_bits": pa.array(best_d2[keep].view(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        ops.shuffle_coalesce(keyed)
+        .groupby("cell")
+        .map_groups(bucket, batch_format="pyarrow")
+    )
+    best = ops.group_top_k(
+        partials, "pid", ["d2_bits", out_seg], 1, descending=False
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d2 = batch["d2_bits"].to_numpy(zero_copy_only=False).view(np.float64)
+        return pa.table(
+            {
+                point_id_col: batch["pid"],
+                out_seg: batch[out_seg],
+                out_d2: pa.array(
+                    np.floor(d2 * scale + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return best.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )

@@ -5397,6 +5397,104 @@ SELECT l_orderkey, l_partkey, l_suppkey, seg_id,
 FROM best WHERE rn = 1
 """
 
+_SNAP_RADIUS = 30.0
+
+
+def q_snap_partitioned(sf_dir: str):
+    """Both-sides-large snap join: first-line lineitem points against
+    per-supplier stub segments (short, locally bounded — the
+    partitioned plan's intended corpus shape), bounded search radius
+    (joins.nearest_segment_join_partitioned — grid co-shuffle, bucket
+    blocked argmin, group-top-1 merge on (d2 bits, seg_id)). Points
+    whose nearest stub is beyond the radius drop on BOTH sides. The
+    probe id packs the unique lineitem triple so the SQL twin can
+    reproduce it."""
+    from georay import joins
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_linenumber"], 1))
+        ok = sub["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = sub["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = sub["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = sub["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _li_lonlat(ok, pk, sk, ln)
+        pid = (ok * 100000 + pk) * 10000 + sk
+        return pa.table(
+            {
+                "pid": pa.array(pid, pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sx, sy, sk = supplier_points(sf_dir)
+    segs = pa.table(
+        {
+            "seg_id": pa.array(sk, pa.int64()),
+            "ax": pa.array(sx),
+            "ay": pa.array(sy),
+            "bx": pa.array(sx + 0.5),
+            "by": pa.array(sy + (sk % 3) * 0.4 - 0.4),
+        }
+    )
+    return joins.nearest_segment_join_partitioned(
+        pts, rd.from_arrow(segs), _SNAP_RADIUS, point_id_col="pid"
+    )
+
+
+SQL_SNAP_PARTITIONED = f"""
+WITH segs AS (
+  SELECT s_suppkey AS seg_id,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05 AS ax,
+         ((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05 AS ay,
+         ((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05 + 0.5 AS bx,
+         ((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05
+           + (s_suppkey % 3) * 0.4 - 0.4 AS by
+  FROM supplier
+),
+pts AS (
+  SELECT (l_orderkey * 100000 + l_partkey) * 10000 + l_suppkey AS pid,
+         {LI_LON} AS px, {LI_LAT} AS py
+  FROM lineitem WHERE l_linenumber = 1
+),
+cand AS (
+  SELECT p.pid, s.seg_id,
+         (p.px - (s.ax + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.bx - s.ax)))
+         * (p.px - (s.ax + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.bx - s.ax)))
+         + (p.py - (s.ay + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.by - s.ay)))
+         * (p.py - (s.ay + LEAST(1.0e0, GREATEST(0.0e0,
+             ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+             / ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+           )) * (s.by - s.ay))) AS d2
+  FROM pts p CROSS JOIN segs s
+),
+best AS (
+  SELECT pid, seg_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, seg_id) AS rn
+  FROM cand WHERE d2 <= {_SNAP_RADIUS!r} * {_SNAP_RADIUS!r}
+)
+SELECT pid, seg_id,
+       CAST(floor(d2 * 1048576e0 + 0.5e0) AS BIGINT) AS d2_q
+FROM best WHERE rn = 1
+"""
+
 
 def q_od_matrix(sf_dir: str):
     """Origin–destination transition matrix between 1° grid cells over
@@ -6975,6 +7073,7 @@ QUERIES = {
     "trajectory": q_trajectory,
     "clip_rect": q_clip_rect,
     "snap_join": q_snap_join,
+    "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
     "od_matrix": q_od_matrix,
     "convex_hulls": q_convex_hulls,
@@ -7147,6 +7246,7 @@ ORACLE = {
     "trajectory": SQL_TRAJECTORY,
     "clip_rect": SQL_CLIP_RECT,
     "snap_join": SQL_SNAP_JOIN,
+    "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,
     "od_matrix": SQL_OD_MATRIX,
     "geo_curate": SQL_GEO_CURATE,

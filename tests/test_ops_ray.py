@@ -1730,3 +1730,51 @@ def test_nearest_segment_join_hand(ray_session):
     )
     with pytest.raises(ValueError):
         joins.nearest_segment_join(rd.from_arrow(pts), bad)
+
+
+def test_nearest_segment_partitioned_matches_broadcast(ray_session):
+    """Partitioned twin == broadcast twin (seg id, quantized d2) for
+    every point whose nearest segment is within max_radius; points
+    beyond the radius are dropped."""
+    import ray.data as rd
+
+    from georay import joins
+
+    rng = np.random.default_rng(7)
+    ns, npts = 60, 500
+    ax = rng.uniform(-170, 160, ns)
+    ay = rng.uniform(-80, 70, ns)
+    segs = pa.table(
+        {
+            "seg_id": pa.array(np.arange(ns, dtype=np.int64)),
+            "ax": pa.array(ax),
+            "ay": pa.array(ay),
+            "bx": pa.array(ax + rng.uniform(0.1, 3.0, ns)),
+            "by": pa.array(ay + rng.uniform(-3.0, 3.0, ns)),
+        }
+    )
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(npts, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-175, 170, npts)),
+            "lat": pa.array(rng.uniform(-85, 80, npts)),
+        }
+    )
+    radius = 25.0
+    brd = (
+        joins.nearest_segment_join(rd.from_arrow(pts), segs)
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    part = (
+        joins.nearest_segment_join_partitioned(
+            rd.from_arrow(pts), rd.from_arrow(segs), radius,
+            point_id_col="pid", res=10.0,
+        )
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    s = 1 << 20
+    within = brd[brd["d2_q"] <= int(radius * radius * s)]
+    assert len(part) == len(within) > 0.3 * npts
+    assert part["pid"].tolist() == within["pid"].tolist()
+    assert part["seg_id"].tolist() == within["seg_id"].tolist()
+    assert part["d2_q"].tolist() == within["d2_q"].tolist()
