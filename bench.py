@@ -175,6 +175,10 @@ def run_bench() -> dict:
     timed_ext("geofence", lambda: tpch.q_geofence(SF_DIR).count())
     timed_ext("radius_partitioned", lambda: tpch.q_radius_partitioned(SF_DIR).count())
     timed_ext("ohlc", lambda: tpch.q_ohlc(SF_DIR).count())
+    timed_ext("tpch_q10", lambda: tpch.q_tpch_q10(SF_DIR).count())
+    timed_ext("snap_join", lambda: tpch.q_snap_join(SF_DIR).count())
+    timed_ext("snap_partitioned", lambda: tpch.q_snap_partitioned(SF_DIR).count())
+    timed_ext("clip_rect", lambda: tpch.q_clip_rect(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
