@@ -3029,6 +3029,39 @@ def window_dense_rank(
     )
 
 
+def window_share(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_col: str = "share_q",
+    scale_bits: int = 20,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Percent-of-total window in EXACT integer arithmetic: per row,
+    ``floor(value · 2^scale_bits / per-key total)`` — SQL
+    ``(CAST(value AS BIGINT) * 2^bits) // SUM(CAST(value AS BIGINT))
+    OVER (PARTITION BY key)``. ``value_col`` must be integer-valued
+    (the cast truncates); integer division makes the result independent
+    of summation order, so the row-preserving output hash-matches the
+    SQL twin exactly. Same one-shuffle bucket plan as the positional
+    window functions (the whole-partition frame needs no ordering)."""
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(g):
+            starts = np.nonzero(first)[0]
+            sums = np.add.reduceat(v, starts)
+            gid = np.cumsum(first) - 1
+            share = (v << scale_bits) // sums[gid]
+        else:
+            share = np.empty(0, np.int64)
+        return out_col, pa.array(share, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, [], [], n_buckets, emit, "window_share"
+    )
+
+
 def window_ntile(
     ds: ray.data.Dataset,
     key: str,

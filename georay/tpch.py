@@ -644,6 +644,28 @@ FROM events
 """
 
 
+def q_window_share(sf_dir: str):
+    """Per-supplier share of each lineitem's quantity (percent-of-total
+    window, exact integer arithmetic — ops.window_share)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"],
+    )
+    out = ops.window_share(ds, key="l_suppkey", value_col="l_quantity")
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_suppkey", "share_q"]
+    )
+
+
+SQL_WINDOW_SHARE = """
+SELECT l_orderkey, l_linenumber, l_suppkey,
+       CAST((CAST(l_quantity AS BIGINT) * 1048576)
+         // SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey)
+         AS BIGINT) AS share_q
+FROM lineitem
+"""
+
+
 def q_window_cumsum(sf_dir: str):
     """Per-user running total of l_quantity-style integer values: running
     count of each user's events ordered by (ts, event_id) — segmented
@@ -7196,6 +7218,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "json_extract": q_json_extract,
     "window_ntile": q_window_ntile,
+    "window_share": q_window_share,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
@@ -7361,6 +7384,7 @@ ORACLE = {
     "unpivot": SQL_UNPIVOT,
     "json_extract": SQL_JSON_EXTRACT,
     "window_ntile": SQL_WINDOW_NTILE,
+    "window_share": SQL_WINDOW_SHARE,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,

@@ -286,3 +286,23 @@ def test_window_moving_sum_matches_pandas(ray_session):
         .reset_index(level=0, drop=True)
     )
     assert np.array_equal(got["moving_sum"].to_numpy(), df["ms"].to_numpy())
+
+
+def test_window_share_exact_integer(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 5.0, 0.0]),
+        }
+    )
+    out = (
+        ops.window_share(rd.from_arrow(tbl), "k", "v", scale_bits=4, n_buckets=2)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    # key 1 total 6: floor(16v/6) = 2, 5, 8; key 2 total 5: 0, 16
+    assert out["share_q"].tolist() == [2, 5, 8, 0, 16]
