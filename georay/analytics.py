@@ -990,6 +990,92 @@ def trajectory_midpoint(
     )
 
 
+def _dp_keep(x: np.ndarray, y: np.ndarray, eps2: float) -> np.ndarray:
+    """Douglas–Peucker keep mask for ONE track (segment-distance
+    variant: deviation measured to the clamped anchor chord, robust
+    for backtracking tracks). Iterative explicit stack, vectorized
+    max-deviation scan per split — Python work is O(retained points),
+    numpy work O(n log n) expected."""
+    n = x.shape[0]
+    keep = np.zeros(n, bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        dx = x[j] - x[i]
+        dy = y[j] - y[i]
+        L2 = dx * dx + dy * dy
+        sx = x[i + 1:j]
+        sy = y[i + 1:j]
+        if L2 == 0.0:
+            d2 = (sx - x[i]) ** 2 + (sy - y[i]) ** 2
+        else:
+            t = np.clip(((sx - x[i]) * dx + (sy - y[i]) * dy) / L2, 0.0, 1.0)
+            d2 = (sx - (x[i] + t * dx)) ** 2 + (sy - (y[i] + t * dy)) ** 2
+        m = int(np.argmax(d2))
+        if d2[m] > eps2:
+            k = i + 1 + m
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_tracks(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    epsilon: float,
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity Douglas–Peucker polyline simplification: drop every
+    fix that deviates less than ``epsilon`` from the chord between its
+    surviving neighbors (classic trajectory compression — keeps turn
+    points, drops straight-run filler). Output = the INPUT rows of the
+    retained fixes (first and last fix of every entity always survive).
+
+    Same dataflow as the other trajectory ops: one user-bucket shuffle;
+    per bucket, a lexsort then one `_dp_keep` recursion per track —
+    inherently per-feature (the split choice is data-dependent), like
+    the reference's per-feature geometry visitors; everything inside a
+    split is vectorized. Not SQL-expressible (recursive), so pinned by
+    hand-built unit tests rather than an oracle entry."""
+    cols = [user_col, ts_col, lon_col, lat_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+    eps2 = float(epsilon) * float(epsilon)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        n = lon.shape[0]
+        keep = np.zeros(n, bool)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            keep[s:e] = _dp_keep(lon[s:e], lat[s:e], eps2)
+        return group.take(pa.array(order[keep]))
+
+    return _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
 def od_matrix(
     ds: ray.data.Dataset,
     user_col: str,

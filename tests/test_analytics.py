@@ -1106,3 +1106,38 @@ def test_trajectory_midpoint_hand(ray_session):
         [2, int(np.floor(-7.5 * s + 0.5)), int(np.floor(3.25 * s + 0.5))],
         [3, 2 * s, 0],
     ]
+
+
+def test_simplify_tracks_dp(ray_session):
+    # user 1: straight run with a spike at x=2 -> keeps ends + spike;
+    # user 2: perfectly straight -> endpoints only;
+    # user 3: single fix survives.
+    tbl = pa.table(
+        {
+            "u": pa.array([1] * 5 + [2] * 4 + [3], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4, 5, 1, 2, 3, 4, 1], pa.timestamp("us")),
+            "e": pa.array(list(range(10)), pa.int64()),
+            "lon": pa.array([0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0, 2.0, 3.0, 9.0]),
+            "lat": pa.array([0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 1.0, 2.0, 3.0, 9.0]),
+        }
+    )
+    out = (
+        analytics.simplify_tracks(
+            _ds(tbl), "u", "ts", "lon", "lat", epsilon=1.0,
+            tiebreak_col="e", n_buckets=4,
+        )
+        .to_pandas().sort_values(["u", "ts"]).reset_index(drop=True)
+    )
+    per_user = out.groupby("u")["e"].apply(list).to_dict()
+    assert per_user[1] == [0, 2, 4]     # spike at e=2 retained
+    assert per_user[2] == [5, 8]        # collinear interior dropped
+    assert per_user[3] == [9]
+    # epsilon larger than the spike: user 1 collapses to endpoints
+    out2 = (
+        analytics.simplify_tracks(
+            _ds(tbl), "u", "ts", "lon", "lat", epsilon=6.0,
+            tiebreak_col="e", n_buckets=4,
+        )
+        .to_pandas()
+    )
+    assert sorted(out2[out2["u"] == 1]["e"].tolist()) == [0, 4]
