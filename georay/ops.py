@@ -1053,6 +1053,83 @@ def explode_list(
     )
 
 
+_CMS_INC = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def count_min_sketch(
+    ds: ray.data.Dataset,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 2,
+) -> ray.data.Dataset:
+    """Mergeable COUNT-MIN sketch over an int key column: ``depth``
+    independent hash rows of ``width`` counters (width must be a power
+    of two — the slot is a mask, dodging numpy's slow uint64 modulo).
+    Row r's hash is ``mix64(k + r·splitmix_inc) & (width-1)`` — the
+    same murmur-finalizer the sampling ops already replicate in SQL
+    HUGEINT arithmetic, so the ENTIRE sketch (every counter) is
+    SQL-reproducible, unlike a seeded-random CMS.
+
+    Returns the sketch as a ``(r, slot, n)`` Dataset (≤ depth·width
+    rows): per batch a bincount per row emits nonzero partial slots,
+    the combine tree merges them — counter arrays never concentrate
+    until the final ≤ depth·width-row result. Estimate lookups:
+    ``cms_estimate``."""
+    if width & (width - 1):
+        raise ValueError("count_min_sketch: width must be a power of two")
+    mask = np.uint64(width - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[key_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        outs = []
+        for r in range(depth):
+            h = _mix64(k + np.uint64(r) * _CMS_INC)
+            slot = (h & mask).astype(np.int64)
+            cnt = np.bincount(slot, minlength=width)
+            nz = np.nonzero(cnt)[0]
+            outs.append(
+                pa.table(
+                    {
+                        "r": pa.array(np.full(nz.shape[0], r, np.int64)),
+                        "slot": pa.array(nz, pa.int64()),
+                        "partial_n": pa.array(cnt[nz], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(partials, ["r", "slot"], {"partial_n": "n"}, int_cols=("partial_n",))
+
+
+def cms_estimate(
+    sketch: pa.Table, keys: np.ndarray, width: int, depth: int
+) -> np.ndarray:
+    """Point-frequency estimates from a ``count_min_sketch`` table:
+    ``min over rows r of counter[r][h_r(k)]`` (the classic one-sided
+    overestimate). The sketch is ≤ depth·width rows — a driver-side
+    lookup over it is bounded by the sketch size, never the corpus."""
+    mask = np.uint64(width - 1)
+    r_arr = sketch["r"].to_numpy(zero_copy_only=False)
+    s_arr = sketch["slot"].to_numpy(zero_copy_only=False)
+    n_arr = sketch["n"].to_numpy(zero_copy_only=False)
+    dense = np.zeros((depth, width), np.int64)
+    dense[r_arr, s_arr] = n_arr
+    k = np.asarray(keys, np.int64).view(np.uint64)
+    est = np.full(k.shape[0], np.iinfo(np.int64).max, np.int64)
+    for r in range(depth):
+        h = _mix64(k + np.uint64(r) * _CMS_INC)
+        est = np.minimum(est, dense[r, (h & mask).astype(np.int64)])
+    return est
+
+
 def heavy_hitters(
     ds: ray.data.Dataset,
     col: str,

@@ -644,6 +644,67 @@ FROM events
 """
 
 
+def q_cms(sf_dir: str):
+    """Count-min sketch point estimates: frequency of every partkey ≤ 50
+    from a 2×1024 CMS over the lineitem partkey stream
+    (ops.count_min_sketch — bincount partials + combine tree; the
+    sketch, ≤ 2048 rows, is the ONLY thing that lands on the driver).
+    The murmur-finalizer hash rows are replicated in SQL HUGEINT
+    arithmetic, so every counter — and thus every estimate, collisions
+    included — hash-matches exactly."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+    sketch_ds = ops.count_min_sketch(li, "l_partkey", width=1024, depth=2)
+    sketch = pa.Table.from_pandas(sketch_ds.to_pandas(), preserve_index=False)
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["l_partkey"], 50))
+
+    probes = (
+        ops.dedup_exact(
+            li.map_batches(
+                probe_filter, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "l_partkey",
+        )
+        .to_pandas()["l_partkey"]
+        .to_numpy()
+    )
+    probes = np.sort(probes.astype(np.int64))
+    est = ops.cms_estimate(sketch, probes, width=1024, depth=2)
+    return pa.table(
+        {"k": pa.array(probes, pa.int64()), "cms_est": pa.array(est, pa.int64())}
+    )
+
+
+def _cms_sql_chain(tag: str, add_const: int) -> str:
+    """One mix64 hash-row chain over the per-key count table ``kc``
+    (same HUGEINT replica as SQL_STRATIFIED_SAMPLE): w{tag} = per-key
+    slot, s{tag} = per-slot summed counts."""
+    return f"""
+x{tag} AS (SELECT k, c, (k + {add_const}) % 18446744073709551616 AS x FROM kc),
+y{tag} AS (SELECT k, c, xor(x, x // 8589934592) AS h1 FROM x{tag}),
+z{tag} AS (SELECT k, c, ((h1 % 4294967296) * 18397679294719823053
+        + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+        ) % 18446744073709551616 AS h2 FROM y{tag}),
+w{tag} AS (SELECT k, c, xor(h2, h2 // 8589934592) % 1024 AS slot FROM z{tag}),
+s{tag} AS (SELECT slot, CAST(SUM(c) AS BIGINT) AS n FROM w{tag} GROUP BY slot)"""
+
+
+SQL_CMS = f"""
+WITH kc AS (
+  SELECT CAST(l_partkey AS HUGEINT) AS k, COUNT(*) AS c
+  FROM lineitem GROUP BY l_partkey
+),{_cms_sql_chain("0", 0)},{_cms_sql_chain("1", 11400714819323198485)}
+SELECT CAST(p0.k AS BIGINT) AS k, LEAST(s0.n, s1.n) AS cms_est
+FROM w0 p0
+JOIN s0 ON s0.slot = p0.slot
+JOIN w1 p1 ON p1.k = p0.k
+JOIN s1 ON s1.slot = p1.slot
+WHERE p0.k <= 50
+"""
+
+
 def q_window_share(sf_dir: str):
     """Per-supplier share of each lineitem's quantity (percent-of-total
     window, exact integer arithmetic — ops.window_share)."""
@@ -7219,6 +7280,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "window_ntile": q_window_ntile,
     "window_share": q_window_share,
+    "cms": q_cms,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
@@ -7385,6 +7447,7 @@ ORACLE = {
     "json_extract": SQL_JSON_EXTRACT,
     "window_ntile": SQL_WINDOW_NTILE,
     "window_share": SQL_WINDOW_SHARE,
+    "cms": SQL_CMS,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,

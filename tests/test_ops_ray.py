@@ -1778,3 +1778,38 @@ def test_nearest_segment_partitioned_matches_broadcast(ray_session):
     assert part["pid"].tolist() == within["pid"].tolist()
     assert part["seg_id"].tolist() == within["seg_id"].tolist()
     assert part["d2_q"].tolist() == within["d2_q"].tolist()
+
+
+def test_count_min_sketch_overestimate_and_exact(ray_session):
+    """CMS estimates are one-sided (>= exact count) and exact for every
+    key when width far exceeds the key domain (no collisions); width
+    must be a power of two."""
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 40, 5000).astype(np.int64)
+    tbl = pa.table({"k": pa.array(keys)})
+    ds = rd.from_arrow(tbl).repartition(4)
+    sk = pa.Table.from_pandas(
+        ops.count_min_sketch(ds, "k", width=4096, depth=3).to_pandas(),
+        preserve_index=False,
+    )
+    probe = np.arange(40, dtype=np.int64)
+    est = ops.cms_estimate(sk, probe, width=4096, depth=3)
+    exact = np.bincount(keys, minlength=40)
+    assert np.all(est >= exact)
+    assert np.array_equal(est, exact)  # 40 keys into 4096 slots x3 rows
+
+    # narrow sketch: still an overestimate, never an underestimate
+    sk2 = pa.Table.from_pandas(
+        ops.count_min_sketch(ds, "k", width=16, depth=2).to_pandas(),
+        preserve_index=False,
+    )
+    est2 = ops.cms_estimate(sk2, probe, width=16, depth=2)
+    assert np.all(est2 >= exact)
+    assert est2.sum() > exact.sum()  # collisions must exist at width 16
+
+    with pytest.raises(ValueError):
+        ops.count_min_sketch(ds, "k", width=1000)
