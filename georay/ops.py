@@ -1053,6 +1053,36 @@ def explode_list(
     )
 
 
+def add_regex_extract(
+    ds: ray.data.Dataset,
+    col: str,
+    pattern: str,
+    out_col: str,
+    cast: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Row-preserving regex field extraction (the ETL parse primitive —
+    pulling a typed field out of a semi-structured string column like
+    JSON-ish event props or log lines). ``pattern`` must contain ONE
+    named group ``(?P<v>…)``; non-matching rows yield null. Runs on
+    Arrow's C++ RE2 engine (``pc.extract_regex``) — compiled once per
+    call site inside Arrow, zero per-row Python. Optional ``cast``
+    parses the captured text (e.g. ``pa.int64()``)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        m = pc.extract_regex(arr, pattern=pattern)
+        v = pc.struct_field(m, "v")
+        if cast is not None:
+            v = pc.cast(v, cast)
+        return batch.append_column(out_col, v)
+
+    return ds.map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 _CMS_INC = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
 
 

@@ -644,6 +644,58 @@ FROM events
 """
 
 
+def q_extract_props(sf_dir: str):
+    """Typed field extraction from the semi-structured event props
+    column (ops.add_regex_extract — Arrow C++ RE2, row-preserving),
+    then per-event-type stats of the extracted value: (type, n,
+    k_sum) with a null-safe sum."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "props"]
+    )
+    ds = ops.add_regex_extract(
+        ds, "props", r'"k":\s*(?P<v>-?\d+)', "k_val", cast=pa.int64()
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        kv = batch["k_val"]
+        filled = pc.fill_null(kv, 0)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k_fill": filled,
+            }
+        )
+
+    ds = ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.salted_count(
+        ds, ["event_type"], agg_cols={"k_fill": "sum"}, count_alias="n"
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum_k_fill"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": batch["n"],
+                "k_sum": pa.array(s, pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_EXTRACT_PROPS = r"""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(COALESCE(TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                              AS BIGINT), 0)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type
+"""
+
+
 def q_cms(sf_dir: str):
     """Count-min sketch point estimates: frequency of every partkey ≤ 50
     from a 2×1024 CMS over the lineitem partkey stream
@@ -7281,6 +7333,7 @@ QUERIES = {
     "window_ntile": q_window_ntile,
     "window_share": q_window_share,
     "cms": q_cms,
+    "extract_props": q_extract_props,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
@@ -7448,6 +7501,7 @@ ORACLE = {
     "window_ntile": SQL_WINDOW_NTILE,
     "window_share": SQL_WINDOW_SHARE,
     "cms": SQL_CMS,
+    "extract_props": SQL_EXTRACT_PROPS,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,

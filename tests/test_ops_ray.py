@@ -1813,3 +1813,24 @@ def test_count_min_sketch_overestimate_and_exact(ray_session):
 
     with pytest.raises(ValueError):
         ops.count_min_sketch(ds, "k", width=1000)
+
+
+def test_add_regex_extract_typed_and_null(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "s": pa.array(['{"k": 42}', '{"k": -7}', "no match", None]),
+        }
+    )
+    out = (
+        ops.add_regex_extract(
+            rd.from_arrow(tbl), "s", r'"k":\s*(?P<v>-?\d+)', "v",
+            cast=pa.int64(),
+        )
+        .to_pandas()
+    )
+    assert out["v"].tolist()[:2] == [42, -7]
+    assert out["v"].isna().tolist() == [False, False, True, True]
