@@ -990,6 +990,102 @@ def trajectory_midpoint(
     )
 
 
+def movement_rose(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity compass rose: counts of movement legs per 45° octant
+    — ``(user, octant 0..7, n)``, octant 0 = east-northeast spoke,
+    counterclockwise. The sector decision is PURE COMPARISONS on
+    (dx, dy) — no atan2, whose last-ulp rounding ANSI SQL does not
+    pin — via an ordered first-match condition chain replicated as a
+    SQL CASE chain, so boundary legs (exact diagonals, axis-parallel)
+    land in the same octant on both engines. Zero-length legs and each
+    track's first fix are excluded. Same dataflow as
+    ``trajectory_stats``; per-user partial counts merge in the
+    grouped aggregate downstream (the bucket shuffle already
+    co-locates a user's whole track, so counts here are final)."""
+    cols = [user_col, ts_col, lon_col, lat_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        n = lon.shape[0]
+        empty = pa.table(
+            {
+                user_col: pa.array([], pa.int64()),
+                "octant": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        dx = np.empty(n); dy = np.empty(n)
+        dx[1:] = lon[1:] - lon[:-1]
+        dy[1:] = lat[1:] - lat[:-1]
+        dx[first] = 0.0
+        dy[first] = 0.0
+        moving = ~first & ((dx != 0.0) | (dy != 0.0))
+        if not np.any(moving):
+            return empty
+        dx = dx[moving]; dy = dy[moving]
+        octant = np.select(
+            [
+                (dx > 0) & (dy >= 0) & (dx >= dy),
+                (dy > 0) & (dx >= 0),
+                (dy > 0) & (-dx <= dy),
+                (dy >= 0),
+                (dx < 0) & (-dx >= -dy),
+                (dx <= 0),
+                (dx > 0) & (dx <= -dy),
+            ],
+            [0, 1, 2, 3, 4, 5, 6],
+            default=7,
+        ).astype(np.int64)
+        uu = u[order][moving]
+        ks, vs = _agg_pairs(uu, octant)
+        return pa.table(
+            {
+                user_col: pa.array(ks[0], pa.int64()),
+                "octant": pa.array(ks[1], pa.int64()),
+                "n": pa.array(vs, pa.int64()),
+            }
+        )
+
+    return _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def _agg_pairs(a: np.ndarray, b: np.ndarray):
+    """Grouped count over two int64 key arrays: ([keys_a, keys_b], counts)."""
+    order = np.lexsort((b, a))
+    sa = a[order]; sb = b[order]
+    new = np.ones(sa.shape[0], bool)
+    new[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, sa.shape[0]))
+    return [sa[starts], sb[starts]], counts
+
+
 def _dp_keep(x: np.ndarray, y: np.ndarray, eps2: float) -> np.ndarray:
     """Douglas–Peucker keep mask for ONE track (segment-distance
     variant: deviation measured to the clamped anchor chord, robust

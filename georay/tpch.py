@@ -5301,6 +5301,45 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+def q_movement_rose(sf_dir: str):
+    """Per-user compass rose over the event stream: movement-leg counts
+    per 45° octant (analytics.movement_rose — comparison-only sector
+    decision, no atan2, mirrored as a SQL CASE chain)."""
+    from georay import analytics
+
+    return analytics.movement_rose(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        tiebreak_col="event_id",
+    )
+
+
+SQL_MOVEMENT_ROSE = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, (lon - x0) AS dx, (lat - y0) AS dy
+  FROM seq WHERE rn > 1 AND NOT (lon - x0 = 0 AND lat - y0 = 0)
+)
+SELECT user_id,
+       CASE
+         WHEN dx > 0 AND dy >= 0 AND dx >= dy THEN 0
+         WHEN dy > 0 AND dx >= 0 THEN 1
+         WHEN dy > 0 AND -dx <= dy THEN 2
+         WHEN dy >= 0 THEN 3
+         WHEN dx < 0 AND -dx >= -dy THEN 4
+         WHEN dx <= 0 THEN 5
+         WHEN dx > 0 AND dx <= -dy THEN 6
+         ELSE 7 END AS octant,
+       COUNT(*) AS n
+FROM legs GROUP BY 1, 2
+"""
+
 _CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -7207,6 +7246,7 @@ QUERIES = {
     "cohort": q_cohort,
     "trajectory": q_trajectory,
     "clip_rect": q_clip_rect,
+    "movement_rose": q_movement_rose,
     "snap_join": q_snap_join,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
@@ -7383,6 +7423,7 @@ ORACLE = {
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
     "clip_rect": SQL_CLIP_RECT,
+    "movement_rose": SQL_MOVEMENT_ROSE,
     "snap_join": SQL_SNAP_JOIN,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,

@@ -1141,3 +1141,41 @@ def test_simplify_tracks_dp(ray_session):
         .to_pandas()
     )
     assert sorted(out2[out2["u"] == 1]["e"].tolist()) == [0, 4]
+
+
+def test_movement_rose_octants(ray_session):
+    # one user, 8 legs one per octant, plus an exact diagonal (dx==dy>0
+    # -> octant 0 by the >= rule) and a stationary leg (excluded)
+    moves = [
+        (2.0, 0.5),    # octant 0 (E, shallow)
+        (1.0, 2.0),    # octant 1
+        (-0.5, 2.0),   # octant 2
+        (-2.0, 0.5),   # octant 3
+        (-2.0, -1.0),  # octant 4
+        (-0.5, -2.0),  # octant 5
+        (0.5, -2.0),   # octant 6
+        (2.0, -0.5),   # octant 7
+        (1.0, 1.0),    # exact diagonal -> octant 0
+        (0.0, 0.0),    # stationary -> excluded
+    ]
+    lon = [0.0]; lat = [0.0]
+    for dx, dy in moves:
+        lon.append(lon[-1] + dx); lat.append(lat[-1] + dy)
+    n = len(lon)
+    tbl = pa.table(
+        {
+            "u": pa.array([1] * n, pa.int64()),
+            "ts": pa.array(list(range(n)), pa.timestamp("us")),
+            "e": pa.array(list(range(n)), pa.int64()),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+    out = (
+        analytics.movement_rose(
+            _ds(tbl), "u", "ts", "lon", "lat", tiebreak_col="e", n_buckets=4
+        )
+        .to_pandas().sort_values("octant").reset_index(drop=True)
+    )
+    assert out["octant"].tolist() == list(range(8))
+    assert out["n"].tolist() == [2, 1, 1, 1, 1, 1, 1, 1]
