@@ -5301,6 +5301,72 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+_RASTER_RES = 10.0
+
+
+def q_rasterize(sf_dir: str):
+    """Area-weighted footprint raster: part boxes rasterized onto a 10°
+    grid — per cell, overlapping-box count + summed exact intersection
+    area (ops.rasterize_boxes — ragged cell expansion, combine-tree
+    merge; SQL twin enumerates the same cells with
+    unnest(generate_series))."""
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+
+    def bounds(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+        cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+        w = (sz % 10) / 2.0 + 0.5
+        h = (sz % 7) / 2.0 + 0.5
+        return pa.table(
+            {
+                "xmin": pa.array(cx - w),
+                "ymin": pa.array(cy - h),
+                "xmax": pa.array(cx + w),
+                "ymax": pa.array(cy + h),
+            }
+        )
+
+    boxes = part.map_batches(
+        bounds, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.rasterize_boxes(
+        boxes, "xmin", "ymin", "xmax", "ymax", res=_RASTER_RES
+    )
+
+
+SQL_RASTERIZE = f"""
+WITH boxes AS (
+  SELECT ({PART_CX}) - ({PART_W}) AS xmin,
+         ({PART_CY}) - ({PART_H}) AS ymin,
+         ({PART_CX}) + ({PART_W}) AS xmax,
+         ({PART_CY}) + ({PART_H}) AS ymax
+  FROM part
+),
+rng AS (
+  SELECT *,
+         CAST(floor((xmin + 180.0) / 10.0) AS BIGINT) AS gx0,
+         CAST(floor((xmax + 180.0) / 10.0) AS BIGINT) AS gx1,
+         CAST(floor((ymin + 90.0) / 10.0) AS BIGINT) AS gy0,
+         CAST(floor((ymax + 90.0) / 10.0) AS BIGINT) AS gy1
+  FROM boxes
+),
+ex AS (SELECT *, unnest(generate_series(gx0, gx1)) AS gx FROM rng),
+exy AS (SELECT *, unnest(generate_series(gy0, gy1)) AS gy FROM ex),
+cells AS (
+  SELECT gx, gy,
+         LEAST(xmax, gx * 10.0 - 180.0 + 10.0) - GREATEST(xmin, gx * 10.0 - 180.0) AS ow,
+         LEAST(ymax, gy * 10.0 - 90.0 + 10.0) - GREATEST(ymin, gy * 10.0 - 90.0) AS oh
+  FROM exy
+)
+SELECT gx, gy, COUNT(*) AS n_boxes,
+       CAST(SUM(CAST(floor(ow * oh * 1048576e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS area_q
+FROM cells WHERE ow > 0 AND oh > 0
+GROUP BY gx, gy
+"""
+
+
 def q_movement_rose(sf_dir: str):
     """Per-user compass rose over the event stream: movement-leg counts
     per 45° octant (analytics.movement_rose — comparison-only sector
@@ -7247,6 +7313,7 @@ QUERIES = {
     "trajectory": q_trajectory,
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
+    "rasterize": q_rasterize,
     "snap_join": q_snap_join,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
@@ -7424,6 +7491,7 @@ ORACLE = {
     "trajectory": SQL_TRAJECTORY,
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
+    "rasterize": SQL_RASTERIZE,
     "snap_join": SQL_SNAP_JOIN,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,

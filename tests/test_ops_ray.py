@@ -1834,3 +1834,36 @@ def test_add_regex_extract_typed_and_null(ray_session):
     )
     assert out["v"].tolist()[:2] == [42, -7]
     assert out["v"].isna().tolist() == [False, False, True, True]
+
+
+def test_rasterize_boxes_exact_areas(ray_session):
+    """A box spanning 4 cells splits its area exactly; a cell-interior
+    box lands whole in one cell; a box whose edge sits ON a grid line
+    contributes no zero-width cell."""
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            # box A: [-5,5]x[-5,5] on a 10-deg grid -> 4 corner cells, 25 each
+            # box B: [1,3]x[2,4] -> one cell, area 4
+            # box C: [0,10]x[0,10] -> exactly cell (18,9), area 100
+            "xmin": pa.array([-5.0, 1.0, 0.0]),
+            "ymin": pa.array([-5.0, 2.0, 0.0]),
+            "xmax": pa.array([5.0, 3.0, 10.0]),
+            "ymax": pa.array([5.0, 4.0, 10.0]),
+        }
+    )
+    out = (
+        ops.rasterize_boxes(rd.from_arrow(tbl), "xmin", "ymin", "xmax", "ymax", 10.0)
+        .to_pandas().sort_values(["gx", "gy"]).reset_index(drop=True)
+    )
+    s = 1 << 20
+    rows = {(r.gx, r.gy): (r.n_boxes, r.area_q) for r in out.itertuples()}
+    assert rows[(17, 8)] == (1, 25 * s)
+    assert rows[(17, 9)] == (1, 25 * s)
+    assert rows[(18, 8)] == (1, 25 * s)
+    # cell (18,9) gets A's quarter + B (area 4) + C (area 100)
+    assert rows[(18, 9)] == (3, (25 + 4 + 100) * s)
+    assert len(rows) == 4  # no zero-width edge cells from box C
