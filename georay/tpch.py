@@ -5776,6 +5776,62 @@ SELECT pcell AS cell_from, cell AS cell_to, COUNT(*) AS n
 FROM seq WHERE rn > 1 GROUP BY 1, 2
 """
 
+_EVENT_TYPE_IDS = {"signup": 0, "view": 1, "click": 2, "purchase": 3, "error": 4}
+
+
+def q_event_flow(sf_dir: str):
+    """Process-mining direct-follow matrix: counts of consecutive
+    event-type transitions per the user timeline — the od_matrix
+    machinery applied to the TYPE dimension (a fixed dictionary maps
+    the five types to ids; the SQL twin uses the same CASE map)."""
+    from georay import analytics
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    tset = pa.array(list(_EVENT_TYPE_IDS), pa.string())
+    tids = pa.array(list(_EVENT_TYPE_IDS.values()), pa.int64())
+
+    def encode(batch: pa.Table) -> pa.Table:
+        pos = pc.index_in(batch["event_type"], value_set=tset)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "cell": pc.take(tids, pos),
+            }
+        )
+
+    enc = ds.map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = analytics.od_matrix(enc, "user_id", "ts", "cell", tiebreak_col="event_id")
+    return out.map_batches(
+        lambda b: b.rename_columns(["type_from", "type_to", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def _type_case(col: str) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {col} = '{t}' THEN {i}" for t, i in _EVENT_TYPE_IDS.items()
+        ) + " END"
+    )
+
+
+SQL_EVENT_FLOW = f"""
+WITH seq AS (
+  SELECT user_id, {_type_case('event_type')} AS t,
+         LAG({_type_case('event_type')}) OVER w AS pt,
+         ROW_NUMBER() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT pt AS type_from, t AS type_to, COUNT(*) AS n
+FROM seq WHERE rn > 1 GROUP BY 1, 2
+"""
+
 
 def q_geofence(sf_dir: str):
     """Geofence enter/exit detection over the event stream: per-event
@@ -7318,6 +7374,7 @@ QUERIES = {
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
     "od_matrix": q_od_matrix,
+    "event_flow": q_event_flow,
     "convex_hulls": q_convex_hulls,
     "geo_curate": q_geo_curate,
     "asof_forward": q_asof_forward,
@@ -7496,6 +7553,7 @@ ORACLE = {
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,
     "od_matrix": SQL_OD_MATRIX,
+    "event_flow": SQL_EVENT_FLOW,
     "geo_curate": SQL_GEO_CURATE,
     "asof_forward": SQL_ASOF_FORWARD,
     "asof_nearest": SQL_ASOF_NEAREST,
