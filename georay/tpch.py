@@ -6427,10 +6427,24 @@ FROM m
 def q_tpch_q10(sf_dir: str):
     """TPC-H Q10 returned-item reporting (quantized revenue): returned
     ('R') lineitems of Q1-1996 orders, revenue grouped per customer,
-    top 20. Join order minimizes shuffle width: the per-customer
-    aggregate (bounded by #customers, 2 columns) is what co-shuffles
-    against customer — never the lineitem stream — and nation attaches
-    via broadcast. No driver-side merge anywhere."""
+    top 20. Join order minimizes shuffle width twice over: the
+    DATE-FILTERED orders (a 3-month window — the bounded dim side, the
+    same broadcast precedent as Q3's segment-filtered customers) probe
+    map-side into the lineitem scan, so the corpus never shuffles for
+    the first join; then the per-customer aggregate (bounded by
+    #customers, 2 columns) is all that co-shuffles against customer,
+    and nation attaches via broadcast. No driver-side merge anywhere;
+    were the date window unbounded, the partitioned first-join twin is
+    one `equi_join_partitioned` swap away."""
+    import pyarrow.parquet as _opq
+
+    otbl = _opq.read_table(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    od = otbl["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    keep = (od >= _Y96_LO_US) & (od < _Y96_Q2_US)
+    odim = otbl.filter(pa.array(keep)).select(["o_orderkey", "o_custkey"])
+
     li = rd.read_parquet(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
@@ -6450,24 +6464,7 @@ def q_tpch_q10(sf_dir: str):
     li = li.map_batches(
         li_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-
-    orders = rd.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-
-    def ord_prep(batch: pa.Table) -> pa.Table:
-        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array((od >= _Y96_LO_US) & (od < _Y96_Q2_US)))
-        return pa.table(
-            {"o_orderkey": sub["o_orderkey"], "o_custkey": sub["o_custkey"]}
-        )
-
-    orders = orders.map_batches(
-        ord_prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    joined = ops.equi_join_partitioned(
-        li, orders, on="l_orderkey", right_on="o_orderkey"
-    )
+    joined = ops.broadcast_join(li, odim, on="l_orderkey", dim_on="o_orderkey")
     agg = ops.salted_count(
         joined, ["o_custkey"], agg_cols={"rev_t": "sum"}, count_alias="nl"
     )
