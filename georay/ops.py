@@ -2347,6 +2347,7 @@ def asof_join_broadcast(
     right_ts: str,
     out_ts: str = "matched_ts",
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> ray.data.Dataset:
     """As-of join, Ray Data lacking a built-in: broadcast the (small)
     right side sorted by (key, ts) with rank-compressed timestamps,
@@ -2357,6 +2358,10 @@ def asof_join_broadcast(
     (smallest right ts ≥ left ts per key), or "nearest" (minimum
     |Δts|; ties break BACKWARD, i.e. to the smaller right ts —
     deterministic and SQL-expressible as ORDER BY abs(Δ), ts LIMIT 1).
+    ``tolerance`` (µs, pandas merge_asof parity): matches with
+    |Δts| > tolerance are dropped — applied AFTER the directional pick,
+    so a left row whose only in-direction match is too far is dropped,
+    not rematched.
 
     For a LARGE right side the same kernel runs per key-hash bucket after
     bucketing both sides (partitioned asof) — documented scale path.
@@ -2421,6 +2426,9 @@ def asof_join_broadcast(
             use_b = ok_b & (~ok_f | (db <= df))
             ok = ok_b | ok_f
             pos_c = np.where(use_b, pos_b, pos_f)
+        if tolerance is not None:
+            pos_cc = np.clip(pos_c, 0, len(rt_sorted) - 1)
+            ok &= np.abs(lt - rt_sorted[pos_cc]) <= np.int64(tolerance)
         out = batch.filter(pa.array(ok))
         matched = rt_sorted[pos_c[ok]]
         return out.append_column(out_ts, pa.array(matched, pa.int64()))

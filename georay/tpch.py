@@ -4625,6 +4625,49 @@ FROM events e ASOF JOIN orders o
 """
 
 
+_ASOF_TOL_US = 6 * 3_600_000_000  # 6 hours in µs
+
+
+def q_asof_tolerance(sf_dir: str):
+    """As-of join with a max-gap TOLERANCE (pandas merge_asof parity):
+    each purchase matched to the same user's latest preceding click,
+    dropped when that click is more than 6 hours stale — the staleness
+    gate freshness-sensitive feature/attribution joins need."""
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return sub.select(["event_id", "user_id", "ts"])
+
+    left = ds.map_batches(
+        purchases, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    ev = pq.read_table(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    clicks = ev.filter(pc.equal(ev["event_type"], "click")).select(
+        ["user_id", "ts"]
+    ).rename_columns(["c_user", "c_ts"])
+    out = ops.asof_join_broadcast(
+        left, clicks, "user_id", "ts", "c_user", "c_ts",
+        out_ts="click_ts", tolerance=_ASOF_TOL_US,
+    )
+    return out.select_columns(["event_id", "user_id", "click_ts"])
+
+
+SQL_ASOF_TOLERANCE = f"""
+SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+WHERE epoch_us(p.ts) - epoch_us(c.ts) <= {_ASOF_TOL_US}
+"""
+
+
 def q_asof_forward(sf_dir: str):
     """FORWARD as-of join: each order matched to the customer's first
     event at or after the order date (direction="forward" on the same
@@ -7357,6 +7400,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "tile_assign": q_tile_assign,
     "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
     "interval_join": q_interval_join,
     "interval_partitioned": q_interval_partitioned,
     "asof_partitioned": q_asof_partitioned,
@@ -7536,6 +7580,7 @@ ORACLE = {
     "image_pipeline": SQL_IMAGE_PIPELINE,
     "tile_assign": SQL_TILE_ASSIGN,
     "asof_join": SQL_ASOF_JOIN,
+    "asof_tolerance": SQL_ASOF_TOLERANCE,
     "interval_join": SQL_INTERVAL_JOIN,
     "interval_partitioned": SQL_INTERVAL_PARTITIONED,
     "asof_partitioned": SQL_ASOF_JOIN,

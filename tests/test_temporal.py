@@ -306,3 +306,34 @@ def test_window_share_exact_integer(ray_session):
     )
     # key 1 total 6: floor(16v/6) = 2, 5, 8; key 2 total 5: 0, 16
     assert out["share_q"].tolist() == [2, 5, 8, 0, 16]
+
+
+def test_asof_tolerance_gate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([100, 200, 100], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2], pa.int64()),
+            "rts": pa.array([95, 50, 10], pa.timestamp("us")),
+        }
+    )
+    # without tolerance: all three match backward (95, 95, 10)
+    base = ops.asof_join_broadcast(
+        rd.from_arrow(left), right, "k", "ts", "rk", "rts"
+    ).to_pandas().sort_values(["k", "ts"])
+    assert base["matched_ts"].tolist() == [95, 95, 10]
+    # tolerance 20us: (1,200)->95 is 105 stale -> dropped, NOT rematched
+    # to the even-staler 50; (2,100)->10 is 90 stale -> dropped
+    tol = ops.asof_join_broadcast(
+        rd.from_arrow(left), right, "k", "ts", "rk", "rts", tolerance=20
+    ).to_pandas()
+    assert tol["matched_ts"].tolist() == [95]
