@@ -990,6 +990,83 @@ def trajectory_midpoint(
     )
 
 
+def lttb_downsample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Largest-Triangle-Three-Buckets downsampling per key: reduce each
+    key's time series to ``n_out`` points while preserving visual shape
+    (spikes and inflections survive; the classic dashboard/telemetry
+    compressor). First and last point always survive; each interior
+    bucket keeps the point maximizing the triangle area with the
+    previously-kept point and the next bucket's centroid.
+
+    One key-hash bucket shuffle; per series the bucket loop is Python
+    O(n_out) with a vectorized area scan per bucket (the LTTB
+    recurrence is inherently sequential — each pick depends on the
+    previous). Series with ≤ n_out points pass through unchanged.
+    Pinned by unit tests (spike survival, passthrough, endpoint
+    invariants) — the data-dependent pick chain has no SQL form."""
+    if n_out < 3:
+        raise ValueError("lttb_downsample: n_out must be ≥ 3")
+    cols = [key_col, ts_col, value_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+
+    def lttb_one(ts: np.ndarray, v: np.ndarray) -> np.ndarray:
+        n = ts.shape[0]
+        if n <= n_out:
+            return np.arange(n)
+        # n_out-2 interior buckets over points 1..n-2
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        keep = np.empty(n_out, np.int64)
+        keep[0] = 0
+        a = 0
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (n if b == n_out - 3 else edges[b + 2])
+            cx = ts[nlo:nhi].mean()
+            cy = v[nlo:nhi].mean()
+            # area of triangle (a, candidate, centroid) ∝ |cross product|
+            area = np.abs(
+                (ts[a] - cx) * (v[lo:hi] - v[a])
+                - (ts[a] - ts[lo:hi]) * (cy - v[a])
+            )
+            a = lo + int(np.argmax(area))
+            keep[b + 1] = a
+        keep[-1] = n - 1
+        return keep
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [k, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, gid = _group_starts(*keys, group_keys=1)
+        v = group[value_col].to_numpy(zero_copy_only=False)[order]
+        tss = ts[order].astype(np.float64)
+        ends = np.append(starts[1:], k.shape[0])
+        picks = [
+            s + lttb_one(tss[s:e], v[s:e].astype(np.float64))
+            for s, e in zip(starts, ends)
+        ]
+        sel = np.concatenate(picks) if picks else np.empty(0, np.int64)
+        return group.take(pa.array(order[sel]))
+
+    return _bucketed(proj, [key_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
 def movement_rose(
     ds: ray.data.Dataset,
     user_col: str,

@@ -1179,3 +1179,32 @@ def test_movement_rose_octants(ray_session):
     )
     assert out["octant"].tolist() == list(range(8))
     assert out["n"].tolist() == [2, 1, 1, 1, 1, 1, 1, 1]
+
+
+def test_lttb_downsample_invariants(ray_session):
+    # 100-point sine-ish series with one huge spike; downsample to 12:
+    # endpoints survive, the spike survives, output is ts-sorted and
+    # exactly n_out long. A short series passes through unchanged.
+    n = 100
+    ts = np.arange(n, dtype=np.int64)
+    v = np.sin(ts / 7.0)
+    v[41] = 25.0  # spike
+    tbl = pa.table(
+        {
+            "k": pa.array(np.r_[np.full(n, 1), [2, 2]], pa.int64()),
+            "ts": pa.array(np.r_[ts, [5, 9]], pa.timestamp("us")),
+            "v": pa.array(np.r_[v, [1.0, 2.0]]),
+        }
+    )
+    out = (
+        analytics.lttb_downsample(_ds(tbl), "k", "ts", "v", 12, n_buckets=4)
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    s1 = out[out["k"] == 1]
+    assert len(s1) == 12
+    assert s1["ts"].iloc[0].value // 1000 == 0 and s1["ts"].iloc[-1].value // 1000 == 99
+    assert 25.0 in s1["v"].tolist()          # spike survived
+    assert len(out[out["k"] == 2]) == 2      # short series passthrough
+
+    with pytest.raises(ValueError):
+        analytics.lttb_downsample(_ds(tbl), "k", "ts", "v", 2)
