@@ -1273,7 +1273,12 @@ def nearest_segment_join_partitioned(
     from georay.index import _cover_bboxes_grid
 
     if res is None:
-        res = float(max_radius)
+        # replication per point is ~(1 + 2r/res)² cells: res = r gives 9
+        # copies, res = 4r gives ~2 — measured 6× faster end-to-end at
+        # 10M×10k (ROUND_NOTES) with bit-identical output. Larger res
+        # packs more segments per bucket; override when buckets outgrow
+        # a worker.
+        res = 4.0 * float(max_radius)
     r2 = float(max_radius) * float(max_radius)
     sid_c, ax_c, ay_c, bx_c, by_c = seg_cols
     scale = float(1 << scale_bits)
