@@ -1053,6 +1053,80 @@ def explode_list(
     )
 
 
+def k_anonymity_stats(
+    ds: ray.data.Dataset,
+    quasi_cols: list[str],
+    k: int,
+) -> ray.data.Dataset:
+    """Privacy profiling: k-anonymity of a quasi-identifier tuple —
+    one row ``(n_small_groups, n_rows_at_risk)`` counting equivalence
+    classes smaller than ``k`` and the rows inside them (rows whose
+    quasi-identifier combination is too rare to hide in a crowd).
+    Map-side combine + tree merge for the class sizes (the groupby
+    never ships raw rows), then a one-row reduction — the final result
+    is two scalars regardless of corpus size."""
+    sizes = salted_count(ds, quasi_cols, count_alias="class_n")
+
+    def risk(batch: pa.Table) -> pa.Table:
+        n = batch["class_n"].to_numpy(zero_copy_only=False)
+        small = n < k
+        return pa.table(
+            {
+                "partial_groups": pa.array([int(small.sum())], pa.int64()),
+                "partial_rows": pa.array([int(n[small].sum())], pa.int64()),
+            }
+        )
+
+    partials = sizes.map_batches(
+        risk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    from ray.data.aggregate import Sum
+
+    agg = partials.aggregate(
+        Sum("partial_groups", alias_name="g"), Sum("partial_rows", alias_name="r")
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_small_groups": pa.array([int(agg["g"] or 0)], pa.int64()),
+                "n_rows_at_risk": pa.array([int(agg["r"] or 0)], pa.int64()),
+            }
+        )
+    )
+
+
+def digit_histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """Benford profiling: leading-digit histogram of a positive int64
+    column — ``(digit 1..9, n)``. The digit comes from Arrow's C cast
+    to string + one-char slice (no float log10, whose boundary rounding
+    SQL wouldn't pin); per-batch partial counts merge in the combine
+    tree."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        first = pc.utf8_slice_codeunits(pc.cast(arr, pa.string()), 0, 1)
+        d = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = np.bincount(d, minlength=10)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "digit": pa.array(nz, pa.int64()),
+                "partial_n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(partials, ["digit"], {"partial_n": count_alias}, int_cols=("partial_n",))
+
+
 def rasterize_boxes(
     ds: ray.data.Dataset,
     xmin_col: str,

@@ -5344,6 +5344,56 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+_KANON_K = 5
+
+
+def q_k_anonymity(sf_dir: str):
+    """Privacy profile of the customer table: equivalence classes of
+    the quasi-identifier (nationkey, mktsegment) smaller than k=5, and
+    the rows inside them (ops.k_anonymity_stats — combine-tree class
+    sizes, two-scalar result)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey", "c_mktsegment"]
+    )
+    return ops.k_anonymity_stats(ds, ["c_nationkey", "c_mktsegment"], _KANON_K)
+
+
+SQL_K_ANONYMITY = f"""
+WITH classes AS (
+  SELECT COUNT(*) AS class_n FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) FILTER (class_n < {_KANON_K}) AS BIGINT) AS n_small_groups,
+       CAST(COALESCE(SUM(class_n) FILTER (class_n < {_KANON_K}), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM classes
+"""
+
+
+def q_benford(sf_dir: str):
+    """Leading-digit (Benford) histogram of order totals in exact cents
+    (ops.digit_histogram — Arrow string-cast digit, no float log10)."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))}
+        )
+
+    ds = ds.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.digit_histogram(ds, "cents")
+
+
+SQL_BENFORD = """
+SELECT CAST(left(CAST(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT)
+                 AS VARCHAR), 1) AS BIGINT) AS digit,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
 _RASTER_RES = 10.0
 
 
@@ -7411,6 +7461,8 @@ QUERIES = {
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
+    "k_anonymity": q_k_anonymity,
+    "benford": q_benford,
     "snap_join": q_snap_join,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
@@ -7591,6 +7643,8 @@ ORACLE = {
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "benford": SQL_BENFORD,
     "snap_join": SQL_SNAP_JOIN,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,

@@ -1867,3 +1867,27 @@ def test_rasterize_boxes_exact_areas(ray_session):
     # cell (18,9) gets A's quarter + B (area 4) + C (area 100)
     assert rows[(18, 9)] == (3, (25 + 4 + 100) * s)
     assert len(rows) == 4  # no zero-width edge cells from box C
+
+
+def test_k_anonymity_and_digit_histogram(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array(["x", "x", "x", "y", "y", "z"]),
+        }
+    )
+    out = ops.k_anonymity_stats(rd.from_arrow(tbl), ["a", "b"], k=3).to_pandas()
+    # classes: (1,x)=3 safe; (2,y)=2 and (3,z)=1 below k=3
+    assert out["n_small_groups"].tolist() == [2]
+    assert out["n_rows_at_risk"].tolist() == [3]
+
+    vals = pa.table({"v": pa.array([1, 19, 150, 2, 25, 9, 900], pa.int64())})
+    dh = (
+        ops.digit_histogram(rd.from_arrow(vals), "v")
+        .to_pandas().sort_values("digit").reset_index(drop=True)
+    )
+    assert dh.values.tolist() == [[1, 3], [2, 2], [9, 2]]
