@@ -5344,6 +5344,63 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+def q_out_of_order(sf_dir: str):
+    """Streaming-health metric: per user, events whose timestamp runs
+    BACKWARD relative to arrival order (event_id) — the late-data rate
+    a watermarking stage must absorb. One user-bucket shuffle, lexsort
+    by arrival, vectorized shifted compare."""
+    from georay.analytics import _bucketed, _group_starts
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_id", "ts"]
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order, starts, gid = _group_starts(u, e, group_keys=1)
+        tso = ts[order]
+        n = tso.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_late": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        late = np.zeros(n, dtype=np.int64)
+        late[1:] = (tso[1:] < tso[:-1]).astype(np.int64)
+        late[first] = 0
+        return pa.table(
+            {
+                "user_id": pa.array(u[order][starts], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(starts, n)), pa.int64()
+                ),
+                "n_late": pa.array(np.add.reduceat(late, starts), pa.int64()),
+            }
+        )
+
+    return _bucketed(ds, ["user_id"], 64).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+SQL_OUT_OF_ORDER = """
+WITH seq AS (
+  SELECT user_id, ts, LAG(ts) OVER w AS pts, ROW_NUMBER() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN rn > 1 AND ts < pts THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_late
+FROM seq GROUP BY user_id
+"""
+
 _KANON_K = 5
 
 
@@ -7461,6 +7518,7 @@ QUERIES = {
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
+    "out_of_order": q_out_of_order,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
     "snap_join": q_snap_join,
@@ -7643,6 +7701,7 @@ ORACLE = {
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
+    "out_of_order": SQL_OUT_OF_ORDER,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,
     "snap_join": SQL_SNAP_JOIN,
