@@ -52,6 +52,8 @@ PART_CY = "((p_partkey * 23) % 1700) / 10.0 - 85.0 + 0.05"
 PART_W = "(p_size % 10) / 2.0 + 0.5"
 PART_H = "(p_size % 7) / 2.0 + 0.5"
 
+_CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
+
 SUPP_SX = "((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05"
 SUPP_SY = "((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05"
 
@@ -5344,6 +5346,120 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
+def q_movement_report(sf_dir: str):
+    """END-TO-END movement analytics chain, hash-matched as ONE SQL
+    query: per-user path length AND in-rect clipped length (two
+    trajectory passes) → co-partitioned join → dwell gate (users
+    spending more than a sixth of their track inside the rect — just
+    above the rect's area share, exact integer compare) → semi-filter the event stream to those users → 1°-cell
+    origin–destination matrix of the survivors. The qualifying-user
+    set broadcasts as a sorted key array (bounded by the gate's
+    selectivity; the equi semi join is the unbounded twin)."""
+    from georay import analytics
+
+    pts = _event_points(sf_dir)
+    stats = analytics.trajectory_stats(
+        pts, "user_id", "ts", "lon", "lat", tiebreak_col="event_id"
+    )
+    clip = analytics.trajectory_clip_rect(
+        pts, "user_id", "ts", "lon", "lat", rect=_CLIP_RECT,
+        tiebreak_col="event_id",
+    )
+    clip = clip.map_batches(
+        lambda b: b.select(["user_id", "clip_q"]).rename_columns(
+            ["cu", "clip_q"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    joined = ops.equi_join_partitioned(stats, clip, on="user_id", right_on="cu")
+
+    def gate(batch: pa.Table) -> pa.Table:
+        path = batch["path_q"].to_numpy(zero_copy_only=False)
+        cq = batch["clip_q"].to_numpy(zero_copy_only=False)
+        keep = (path > 0) & (6 * cq > path)
+        return pa.table({"user_id": batch["user_id"].filter(pa.array(keep))})
+
+    sel = joined.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    users = np.sort(sel.to_pandas()["user_id"].to_numpy().astype(np.int64))
+    fpts = ops.semi_join_filter(pts, "user_id", users)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        cell = (np.floor(lon).astype(np.int64) + 180) * 400 + (
+            np.floor(lat).astype(np.int64) + 90
+        )
+        return batch.append_column("cell", pa.array(cell, pa.int64()))
+
+    fpts = fpts.map_batches(
+        add_cell, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return analytics.od_matrix(
+        fpts, "user_id", "ts", "cell", tiebreak_col="event_id"
+    )
+
+
+def _movement_report_sql() -> str:
+    xmin, ymin, xmax, ymax = (f"{v!r}e0" for v in _CLIP_RECT)
+    dx, dy = "(lon - x0)", "(lat - y0)"
+    lo_x = f"CASE WHEN {dx} = 0 THEN 0.0e0 ELSE LEAST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    hi_x = f"CASE WHEN {dx} = 0 THEN 1.0e0 ELSE GREATEST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    lo_y = f"CASE WHEN {dy} = 0 THEN 0.0e0 ELSE LEAST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    hi_y = f"CASE WHEN {dy} = 0 THEN 1.0e0 ELSE GREATEST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    empty = (
+        f"({dx} = 0 AND (x0 < {xmin} OR x0 > {xmax})) "
+        f"OR ({dy} = 0 AND (y0 < {ymin} OR y0 > {ymax}))"
+    )
+    frac = (
+        f"CASE WHEN {empty} THEN 0.0e0 ELSE GREATEST(0.0e0, "
+        f"LEAST(1.0e0, {hi_x}, {hi_y}) - GREATEST(0.0e0, {lo_x}, {lo_y})) END"
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt({dx}*{dx} + {dy}*{dy}) * 1048576e0
+                              + 0.5e0) AS BIGINT) END AS leg_q,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt({dx}*{dx} + {dy}*{dy}) * ({frac})
+                        * 1048576e0 + 0.5e0) AS BIGINT) END AS clip_q
+  FROM seq
+),
+agg AS (
+  SELECT user_id, SUM(leg_q) AS path_q, SUM(clip_q) AS clip_q
+  FROM legs GROUP BY user_id
+),
+sel AS (
+  SELECT user_id FROM agg WHERE path_q > 0 AND 6 * clip_q > path_q
+),
+fp AS (
+  SELECT p.user_id, p.ts, p.event_id,
+         (CAST(floor(p.lon) AS BIGINT) + 180) * 400
+         + (CAST(floor(p.lat) AS BIGINT) + 90) AS cell
+  FROM pts p JOIN sel USING (user_id)
+),
+fseq AS (
+  SELECT user_id, cell, LAG(cell) OVER w AS pcell, ROW_NUMBER() OVER w AS rn
+  FROM fp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT pcell AS cell_from, cell AS cell_to, COUNT(*) AS n
+FROM fseq WHERE rn > 1 GROUP BY 1, 2
+"""
+
+
+SQL_MOVEMENT_REPORT = _movement_report_sql()
+
+
 def q_out_of_order(sf_dir: str):
     """Streaming-health metric: per user, events whose timestamp runs
     BACKWARD relative to arrival order (event_id) — the late-data rate
@@ -5556,7 +5672,6 @@ SELECT user_id,
 FROM legs GROUP BY 1, 2
 """
 
-_CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
 
 
 def q_clip_rect(sf_dir: str):
@@ -7518,6 +7633,7 @@ QUERIES = {
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
+    "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
@@ -7701,6 +7817,7 @@ ORACLE = {
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
+    "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,
