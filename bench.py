@@ -179,6 +179,9 @@ def run_bench() -> dict:
     timed_ext("snap_join", lambda: tpch.q_snap_join(SF_DIR).count())
     timed_ext("snap_partitioned", lambda: tpch.q_snap_partitioned(SF_DIR).count())
     timed_ext("clip_rect", lambda: tpch.q_clip_rect(SF_DIR).count())
+    timed_ext("movement_report", lambda: tpch.q_movement_report(SF_DIR).count())
+    timed_ext("rasterize", lambda: tpch.q_rasterize(SF_DIR).count())
+    timed_ext("window_share", lambda: tpch.q_window_share(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

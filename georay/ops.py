@@ -1298,11 +1298,13 @@ def cms_estimate(
     overestimate). The sketch is ≤ depth·width rows — a driver-side
     lookup over it is bounded by the sketch size, never the corpus."""
     mask = np.uint64(width - 1)
-    r_arr = sketch["r"].to_numpy(zero_copy_only=False)
-    s_arr = sketch["slot"].to_numpy(zero_copy_only=False)
-    n_arr = sketch["n"].to_numpy(zero_copy_only=False)
     dense = np.zeros((depth, width), np.int64)
-    dense[r_arr, s_arr] = n_arr
+    # an all-empty corpus can round-trip as a 0-row, columnless frame
+    if sketch.num_rows and "r" in sketch.column_names:
+        r_arr = sketch["r"].to_numpy(zero_copy_only=False)
+        s_arr = sketch["slot"].to_numpy(zero_copy_only=False)
+        n_arr = sketch["n"].to_numpy(zero_copy_only=False)
+        dense[r_arr, s_arr] = n_arr
     k = np.asarray(keys, np.int64).view(np.uint64)
     est = np.full(k.shape[0], np.iinfo(np.int64).max, np.int64)
     for r in range(depth):

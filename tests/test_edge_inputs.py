@@ -107,3 +107,58 @@ def test_ohlc_bars_rejects_unpackable_keys(ray_session):
             rd.from_arrow(neg), key="k", ts_col="ts", value_col="v",
             bucket_us=1_000_000,
         ).count()
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_round3_ops_on_degenerate_inputs(n, ray_session):
+    """Empty and single-row inputs through the round-3 additions."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    tbl = pa.table(
+        {
+            "u": pa.array([7] * n, pa.int64()),
+            "ts": pa.array([100] * n, pa.timestamp("us")),
+            "e": pa.array([1] * n, pa.int64()),
+            "lon": pa.array([1.0] * n),
+            "lat": pa.array([2.0] * n),
+            "v": pa.array([3.0] * n),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    assert analytics.trajectory_clip_rect(
+        ds, "u", "ts", "lon", "lat", rect=(0, 0, 10, 10), tiebreak_col="e"
+    ).count() == n
+    assert analytics.trajectory_midpoint(
+        ds, "u", "ts", "lon", "lat", tiebreak_col="e"
+    ).count() == n
+    assert analytics.movement_rose(
+        ds, "u", "ts", "lon", "lat", tiebreak_col="e"
+    ).count() == 0  # a single fix has no legs
+    assert analytics.simplify_tracks(
+        ds, "u", "ts", "lon", "lat", epsilon=1.0, tiebreak_col="e"
+    ).count() == n
+    assert analytics.lttb_downsample(ds, "u", "ts", "v", 3).count() == n
+
+    box = rd.from_arrow(
+        pa.table(
+            {
+                "xmin": pa.array([0.0] * n), "ymin": pa.array([0.0] * n),
+                "xmax": pa.array([1.0] * n), "ymax": pa.array([1.0] * n),
+            }
+        )
+    )
+    assert ops.rasterize_boxes(box, "xmin", "ymin", "xmax", "ymax", 10.0).count() == n
+
+    kv = rd.from_arrow(pa.table({"k": pa.array([1] * n, pa.int64()),
+                                 "v": pa.array([2.0] * n)}))
+    assert ops.window_share(kv, "k", "v").count() == n
+    sk = pa.Table.from_pandas(
+        ops.count_min_sketch(kv, "k", width=16, depth=2).to_pandas(),
+        preserve_index=False,
+    )
+    est = ops.cms_estimate(sk, np.array([1], np.int64), width=16, depth=2)
+    assert est.tolist() == [n]
+    anon = ops.k_anonymity_stats(kv, ["k"], 5).to_pandas()
+    assert anon["n_rows_at_risk"].tolist() == [n]
