@@ -1053,6 +1053,69 @@ def explode_list(
     )
 
 
+def gini_exact(
+    ds: ray.data.Dataset,
+    col: str,
+    quantize: float = 100.0,
+) -> ray.data.Dataset:
+    """EXACT Gini concentration index of a numeric column as a
+    RATIONAL — one row ``(gini_num, gini_den)`` with
+    ``G = gini_num / gini_den = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)``
+    over the value-sorted sequence. Inequality profiling (revenue
+    concentration, token-frequency skew) without a single float op:
+    values quantize to integers, and the rank-weighted sum comes from
+    the VALUE HISTOGRAM instead of a global sort — a run of value v
+    with count c after R earlier rows contributes
+    ``v·(c·R + c(c+1)/2)`` — so the only data movement is the
+    combine-tree histogram merge (bounded by the value domain, not the
+    corpus; ties make the result order-independent by construction).
+    The final fold runs in Python arbitrary-precision ints on the
+    histogram — no intermediate overflow."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        ks, vs = _group_reduce([v], {"partial_c": np.ones(v.shape[0], np.int64)})
+        return pa.table(
+            {"v": pa.array(ks[0], pa.int64()), "partial_c": pa.array(vs["partial_c"])}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_sum(partials, ["v"], {"partial_c": "c"}, int_cols=("partial_c",))
+
+    df = hist.to_pandas()
+    if len(df) == 0:
+        out = pa.table(
+            {
+                "gini_num": pa.array([0], pa.int64()),
+                "gini_den": pa.array([0], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(out)
+    df = df.sort_values("v")
+    w = 0
+    s = 0
+    n = 0
+    for v, c in zip(df["v"].tolist(), df["c"].tolist()):
+        w += v * (c * n + c * (c + 1) // 2)
+        s += v * c
+        n += c
+    num = 2 * w - (n + 1) * s
+    den = n * s
+    if not (-(2**63) <= num < 2**63 and -(2**63) <= den < 2**63):
+        raise OverflowError("gini_exact: rational exceeds int64; rescale quantize")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "gini_num": pa.array([int(num)], pa.int64()),
+                "gini_den": pa.array([int(den)], pa.int64()),
+            }
+        )
+    )
+
+
 def k_anonymity_stats(
     ds: ray.data.Dataset,
     quasi_cols: list[str],

@@ -5517,6 +5517,35 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_gini(sf_dir: str):
+    """Exact Gini concentration of customer account balances in cents,
+    as a rational (ops.gini_exact — value-histogram combine tree, no
+    global sort, no float arithmetic)."""
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_acctbal"])
+    return ops.gini_exact(ds, "c_acctbal", quantize=100.0)
+
+
+SQL_GINI = """
+WITH vals AS (
+  SELECT CAST(floor(c_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS v FROM customer
+),
+hist AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+runs AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS rprev
+  FROM hist
+),
+agg AS (
+  SELECT SUM(v * (c * rprev + (c * (c + 1)) // 2)) AS w,
+         SUM(v * c) AS s, SUM(c) AS n
+  FROM runs
+)
+SELECT CAST(2 * w - (n + 1) * s AS BIGINT) AS gini_num,
+       CAST(n * s AS BIGINT) AS gini_den
+FROM agg
+"""
+
 _KANON_K = 5
 
 
@@ -7635,6 +7664,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "gini": q_gini,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
     "snap_join": q_snap_join,
@@ -7819,6 +7849,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "gini": SQL_GINI,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,
     "snap_join": SQL_SNAP_JOIN,

@@ -1891,3 +1891,24 @@ def test_k_anonymity_and_digit_histogram(ray_session):
         .to_pandas().sort_values("digit").reset_index(drop=True)
     )
     assert dh.values.tolist() == [[1, 3], [2, 2], [9, 2]]
+
+
+def test_gini_exact_known_values(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    # perfectly equal distribution -> G = 0
+    eq = rd.from_arrow(pa.table({"x": pa.array([5.0] * 10)}))
+    out = ops.gini_exact(eq, "x").to_pandas()
+    assert out["gini_num"].iloc[0] == 0
+
+    # [0,0,0,10]: G = (2*(4*1000) - 5*1000) / (4*1000) = 3/4
+    skew = rd.from_arrow(pa.table({"x": pa.array([0.0, 0.0, 0.0, 10.0])}))
+    out2 = ops.gini_exact(skew, "x").to_pandas()
+    assert out2["gini_num"].iloc[0] * 4 == out2["gini_den"].iloc[0] * 3
+
+    # empty input -> 0/0 sentinel row
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out3 = ops.gini_exact(empty, "x").to_pandas()
+    assert out3.values.tolist() == [[0, 0]]
