@@ -290,3 +290,89 @@ def test_convex_hull_invariants(xs):
             j = int(np.argmax(dx * dx + dy * dy))
             cross = dx * dy[j] - dy * dx[j]
             assert np.allclose(cross, 0.0, atol=1e-9)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100).map(lambda x: round(x, 3)),
+            st.floats(-100, 100).map(lambda x: round(x, 3)),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.floats(0.01, 5.0),
+)
+@settings(max_examples=60, deadline=None)
+def test_dp_keep_error_bound_property(pts, eps):
+    """Douglas–Peucker guarantee: every DROPPED point lies within eps
+    of the simplified polyline (distance to the chord between its
+    surrounding kept points)."""
+    from georay.analytics import _dp_keep
+
+    xy = np.asarray(pts, dtype=np.float64)
+    x, y = xy[:, 0], xy[:, 1]
+    keep = _dp_keep(x, y, eps * eps)
+    assert keep[0] and keep[-1]
+    kept = np.nonzero(keep)[0]
+    for i in np.nonzero(~keep)[0]:
+        a = kept[kept < i].max()
+        b = kept[kept > i].min()
+        dx, dy = x[b] - x[a], y[b] - y[a]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d2 = (x[i] - x[a]) ** 2 + (y[i] - y[a]) ** 2
+        else:
+            t = min(1.0, max(0.0, ((x[i] - x[a]) * dx + (y[i] - y[a]) * dy) / L2))
+            d2 = (x[i] - (x[a] + t * dx)) ** 2 + (y[i] - (y[a] + t * dy)) ** 2
+        assert d2 <= eps * eps + 1e-9
+
+
+@given(
+    st.integers(1, 200).map(lambda n: n),
+    st.integers(1, 40),
+    st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_blocked_nearest_matches_full_matrix(n_pts, n_segs, seed):
+    """The chunked running-min argmin is bit-identical to the
+    un-chunked full-matrix argmin for ANY chunk sizes."""
+    from georay.joins import _blocked_nearest
+
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(-50, 50, n_pts)
+    py = rng.uniform(-50, 50, n_pts)
+    sid = np.arange(n_segs, dtype=np.int64)
+    ax = rng.uniform(-50, 50, n_segs)
+    ay = rng.uniform(-50, 50, n_segs)
+    dxs = rng.uniform(0.1, 5.0, n_segs)
+    dys = rng.uniform(-5.0, 5.0, n_segs)
+    len2 = dxs * dxs + dys * dys
+    ref_seg, ref_d2 = _blocked_nearest(
+        px, py, sid, ax, ay, dxs, dys, len2, 10**9, 10**9
+    )
+    got_seg, got_d2 = _blocked_nearest(
+        px, py, sid, ax, ay, dxs, dys, len2, 3, 2
+    )
+    assert np.array_equal(ref_seg, got_seg)
+    assert np.array_equal(ref_d2.view(np.int64), got_d2.view(np.int64))
+
+
+@given(st.floats(-179, 179), st.floats(-84, 84), st.integers(4, 10))
+@settings(max_examples=60, deadline=None)
+def test_uncompact_arithmetic_enumerates_exact_descendants(lon, lat, lvl):
+    """The arithmetic-progression descendant formula (uncompact_cells)
+    enumerates EXACTLY the level-(l+2) cells whose parent is the cell —
+    first = c - s_l + s_T, step 2·s_T, count 4^(T-l)."""
+    from georay import cells
+
+    c = cells.cell_from_lonlat(np.array([lon]), np.array([lat]), lvl)[0]
+    T = lvl + 2
+    s_l = np.uint64(1 << (60 - 2 * lvl))
+    s_t = np.uint64(1 << (60 - 2 * T))
+    first = c - s_l + s_t
+    kids = first + np.uint64(2) * s_t * np.arange(16, dtype=np.uint64)
+    assert np.all(cells.cell_level(kids) == T)
+    assert np.all(cells.cell_parent(kids, lvl) == c)
+    # and they are all DISTINCT, i.e. the full 4^2 descendant set
+    assert len(set(kids.tolist())) == 16
