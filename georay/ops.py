@@ -1053,6 +1053,62 @@ def explode_list(
     )
 
 
+def except_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT ALL`` (bag/multiset difference): each row tuple
+    survives ``max(0, count_left − count_right)`` times. Both sides
+    collapse to per-tuple COUNTS map-side (a tuple moves once per
+    block, not once per row), the counts co-merge in ONE combine tree
+    keyed on the tuple, and survivors re-expand with the ragged-range
+    enumerator — so duplicates never shuffle and the wide step carries
+    two int64 columns regardless of multiplicity."""
+
+    def side_partial(sidemark: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            karrs = [
+                batch[c].to_numpy(zero_copy_only=False) for c in cols
+            ]
+            n = karrs[0].shape[0]
+            l = np.full(n, 1 - sidemark, np.int64)
+            r = np.full(n, sidemark, np.int64)
+            ks, vs = _group_reduce(karrs, {"partial_l": l, "partial_r": r})
+            out = {c: pa.array(a) for c, a in zip(cols, ks)}
+            out["partial_l"] = pa.array(vs["partial_l"])
+            out["partial_r"] = pa.array(vs["partial_r"])
+            return pa.table(out)
+
+        return partial
+
+    keyed = left.map_batches(
+        side_partial(0), batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        right.map_batches(
+            side_partial(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+    counts = tree_sum(
+        keyed, cols, {"partial_l": "l_n", "partial_r": "r_n"},
+        int_cols=("partial_l", "partial_r"),
+    )
+    from georay.index import _ragged_ranges
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ln = batch["l_n"].to_numpy(zero_copy_only=False)
+        rn = batch["r_n"].to_numpy(zero_copy_only=False)
+        k = np.maximum(ln - rn, 0)
+        owner, _ = _ragged_ranges(k)
+        return batch.select(cols).take(pa.array(owner))
+
+    return counts.map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def gini_exact(
     ds: ray.data.Dataset,
     col: str,

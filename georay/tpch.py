@@ -54,6 +54,12 @@ PART_H = "(p_size % 7) / 2.0 + 0.5"
 
 _CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
 
+_Q3_DATE_US = 795_225_600_000_000  # 1995-03-15
+_DAY_US = 86_400_000_000
+_Y96_LO_US = 820_454_400_000_000   # 1996-01-01
+_Y96_FEB_US = 823_132_800_000_000  # 1996-02-01
+_Y96_Q2_US = 828_316_800_000_000   # 1996-04-01
+
 SUPP_SX = "((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05"
 SUPP_SY = "((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05"
 
@@ -5517,6 +5523,46 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_except_all(sf_dir: str):
+    """SQL EXCEPT ALL (bag difference) between two lineitem slices:
+    early-shipped (partkey, suppkey) tuples minus returned ones, with
+    multiplicities (ops.except_all — counted-multiset plan; duplicates
+    never shuffle)."""
+    left = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def lf(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(sd < _Y96_LO_US))
+        return sub.select(["l_partkey", "l_suppkey"])
+
+    right = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def rf(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return sub.select(["l_partkey", "l_suppkey"])
+
+    return ops.except_all(
+        left.map_batches(lf, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None),
+        right.map_batches(rf, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None),
+        ["l_partkey", "l_suppkey"],
+    )
+
+
+SQL_EXCEPT_ALL = f"""
+SELECT l_partkey, l_suppkey FROM lineitem WHERE epoch_us(l_shipdate) < {_Y96_LO_US}
+EXCEPT ALL
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q_gini(sf_dir: str):
     """Exact Gini concentration of customer account balances in cents,
     as a rational (ops.gini_exact — value-histogram combine tree, no
@@ -6310,8 +6356,6 @@ WHERE epoch_us(l_shipdate) <= 905731200000000
 GROUP BY l_returnflag, l_linestatus
 """
 
-_Q3_DATE_US = 795_225_600_000_000  # 1995-03-15
-_DAY_US = 86_400_000_000
 
 
 def q_tpch_q3(sf_dir: str):
@@ -6532,9 +6576,6 @@ GROUP BY n.n_name
 
 # ---- TPC-H Q6 / Q4 / Q14 (adapted to the driver tables' columns)
 
-_Y96_LO_US = 820_454_400_000_000   # 1996-01-01
-_Y96_FEB_US = 823_132_800_000_000  # 1996-02-01
-_Y96_Q2_US = 828_316_800_000_000   # 1996-04-01
 _Y97_LO_US = 852_076_800_000_000   # 1997-01-01
 
 
@@ -7664,6 +7705,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "except_all": q_except_all,
     "gini": q_gini,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
@@ -7849,6 +7891,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "except_all": SQL_EXCEPT_ALL,
     "gini": SQL_GINI,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,

@@ -1912,3 +1912,18 @@ def test_gini_exact_known_values(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     out3 = ops.gini_exact(empty, "x").to_pandas()
     assert out3.values.tolist() == [[0, 0]]
+
+
+def test_except_all_multiplicities(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    left = pa.table({"k": pa.array([1, 1, 1, 2, 3], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2, 2, 4], pa.int64())})
+    out = (
+        ops.except_all(rd.from_arrow(left), rd.from_arrow(right), ["k"])
+        .to_pandas()["k"].sort_values().tolist()
+    )
+    # 1: 3-1=2 copies; 2: 1-2 -> 0; 3: 1-0=1; 4 only right -> absent
+    assert out == [1, 1, 3]
