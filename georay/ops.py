@@ -1065,6 +1065,26 @@ def except_all(
     keyed on the tuple, and survivors re-expand with the ragged-range
     enumerator — so duplicates never shuffle and the wide step carries
     two int64 columns regardless of multiplicity."""
+    return _bag_op(left, right, cols, "except")
+
+
+def intersect_all(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT ALL`` (bag/multiset intersection): each tuple
+    survives ``min(count_left, count_right)`` times — same
+    counted-multiset plan as ``except_all``."""
+    return _bag_op(left, right, cols, "intersect")
+
+
+def _bag_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    cols: list[str],
+    mode: str,
+) -> ray.data.Dataset:
 
     def side_partial(sidemark: int):
         def partial(batch: pa.Table) -> pa.Table:
@@ -1100,7 +1120,10 @@ def except_all(
     def expand(batch: pa.Table) -> pa.Table:
         ln = batch["l_n"].to_numpy(zero_copy_only=False)
         rn = batch["r_n"].to_numpy(zero_copy_only=False)
-        k = np.maximum(ln - rn, 0)
+        if mode == "except":
+            k = np.maximum(ln - rn, 0)
+        else:
+            k = np.minimum(ln, rn)
         owner, _ = _ragged_ranges(k)
         return batch.select(cols).take(pa.array(owner))
 

@@ -5563,6 +5563,45 @@ SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+def q_intersect_all(sf_dir: str):
+    """SQL INTERSECT ALL (bag intersection) between the same two
+    lineitem slices (ops.intersect_all — shared counted-multiset
+    plan)."""
+    left = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def lf(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(sd < _Y96_LO_US))
+        return sub.select(["l_partkey", "l_suppkey"])
+
+    right = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_returnflag"],
+    )
+
+    def rf(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        return sub.select(["l_partkey", "l_suppkey"])
+
+    return ops.intersect_all(
+        left.map_batches(lf, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None),
+        right.map_batches(rf, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None),
+        ["l_partkey", "l_suppkey"],
+    )
+
+
+SQL_INTERSECT_ALL = f"""
+SELECT l_partkey, l_suppkey FROM lineitem WHERE epoch_us(l_shipdate) < {_Y96_LO_US}
+INTERSECT ALL
+SELECT l_partkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q_gini(sf_dir: str):
     """Exact Gini concentration of customer account balances in cents,
     as a rational (ops.gini_exact — value-histogram combine tree, no
@@ -7706,6 +7745,7 @@ QUERIES = {
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
     "except_all": q_except_all,
+    "intersect_all": q_intersect_all,
     "gini": q_gini,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
@@ -7892,6 +7932,7 @@ ORACLE = {
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
     "except_all": SQL_EXCEPT_ALL,
+    "intersect_all": SQL_INTERSECT_ALL,
     "gini": SQL_GINI,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,

@@ -1927,3 +1927,10 @@ def test_except_all_multiplicities(ray_session):
     )
     # 1: 3-1=2 copies; 2: 1-2 -> 0; 3: 1-0=1; 4 only right -> absent
     assert out == [1, 1, 3]
+
+    inter = (
+        ops.intersect_all(rd.from_arrow(left), rd.from_arrow(right), ["k"])
+        .to_pandas()["k"].sort_values().tolist()
+    )
+    # 1: min(3,1)=1; 2: min(1,2)=1; 3 and 4: one side only -> absent
+    assert inter == [1, 2]
