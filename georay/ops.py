@@ -1053,6 +1053,62 @@ def explode_list(
     )
 
 
+def winsorize(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-group winsorization (outlier clamping): every value clips to
+    its group's ``[q_lo, q_hi]`` DISC quantiles — the standard
+    robust-cleaning step before training-statistics passes. Two
+    streaming phases: the per-group quantile bounds come from the
+    value-histogram plan (``grouped_quantiles``, exact data values, so
+    the clamp is a pick-not-compute and the output hash-matches SQL's
+    PERCENTILE_DISC), then the bounds broadcast (bounded by #groups)
+    and every row clamps map-side — the corpus itself never shuffles."""
+    out_col = out_col or f"{col}_w"
+    qtbl = grouped_quantiles(ds, key, col, [q_lo, q_hi], interp="disc")
+
+    def pivot_bounds(df: "pa.Table") -> pa.Table:
+        k = df[key].to_numpy(zero_copy_only=False)
+        q = df["q"].to_numpy(zero_copy_only=False)
+        v = df["v"].to_numpy(zero_copy_only=False)
+        lo_mask = q == q_lo
+        kl = k[lo_mask]
+        order = np.argsort(kl, kind="stable")
+        return pa.table(
+            {
+                key: pa.array(kl[order]),
+                "_lo": pa.array(v[lo_mask][order]),
+                "_hi": pa.array(v[~lo_mask][np.argsort(k[~lo_mask], kind="stable")]),
+            }
+        )
+
+    bounds = pivot_bounds(
+        pa.Table.from_pandas(qtbl.to_pandas(), preserve_index=False)
+    )
+    ref = ray.put(bounds)
+    cache: dict = {}
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        b: pa.Table = cache.setdefault("b", ray.get(ref))
+        bk = b[key].to_numpy(zero_copy_only=False)
+        lo = b["_lo"].to_numpy(zero_copy_only=False)
+        hi = b["_hi"].to_numpy(zero_copy_only=False)
+        k = batch[key].to_numpy(zero_copy_only=False)
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(bk, k)
+        clamped = np.minimum(np.maximum(x, lo[pos]), hi[pos])
+        return batch.append_column(out_col, pa.array(clamped, pa.float64()))
+
+    return ds.map_batches(
+        clamp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def except_all(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -5523,6 +5523,30 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_winsorize(sf_dir: str):
+    """Per-user winsorized event values (clamped to the user's
+    [5%, 95%] disc quantiles — ops.winsorize; histogram-exact bounds
+    broadcast, corpus clamps map-side, never shuffles)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+    out = ops.winsorize(ds, "user_id", "value", q_lo=0.05, q_hi=0.95)
+    return out.select_columns(["event_id", "user_id", "value_w"])
+
+
+SQL_WINSORIZE = """
+WITH b AS (
+  SELECT user_id,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+       LEAST(GREATEST(e.value, b.lo), b.hi) AS value_w
+FROM events e JOIN b USING (user_id)
+"""
+
+
 def q_except_all(sf_dir: str):
     """SQL EXCEPT ALL (bag difference) between two lineitem slices:
     early-shipped (partkey, suppkey) tuples minus returned ones, with
@@ -7744,6 +7768,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "winsorize": q_winsorize,
     "except_all": q_except_all,
     "intersect_all": q_intersect_all,
     "gini": q_gini,
@@ -7931,6 +7956,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "winsorize": SQL_WINSORIZE,
     "except_all": SQL_EXCEPT_ALL,
     "intersect_all": SQL_INTERSECT_ALL,
     "gini": SQL_GINI,

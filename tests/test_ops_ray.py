@@ -1934,3 +1934,26 @@ def test_except_all_multiplicities(ray_session):
     )
     # 1: min(3,1)=1; 2: min(1,2)=1; 3 and 4: one side only -> absent
     assert inter == [1, 2]
+
+
+def test_winsorize_clamps_to_group_quantiles(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    # key 1: values 1..10 -> disc q[0.1]=1? use q 0.2/0.8 -> lo=2, hi=8
+    tbl = pa.table(
+        {
+            "k": pa.array([1] * 10 + [2] * 3, pa.int64()),
+            "v": pa.array([float(i) for i in range(1, 11)] + [5.0, 6.0, 7.0]),
+        }
+    )
+    out = (
+        ops.winsorize(rd.from_arrow(tbl), "k", "v", q_lo=0.2, q_hi=0.8)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    g1 = out[out["k"] == 1]["v_w"].tolist()
+    assert min(g1) == 2.0 and max(g1) == 8.0
+    assert g1[2:8] == [3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    # group 2 untouched inside its own bounds
+    assert out[out["k"] == 2]["v_w"].tolist() == [5.0, 6.0, 7.0]
