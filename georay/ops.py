@@ -1109,6 +1109,73 @@ def winsorize(
     )
 
 
+def mad_outliers(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    k: float = 3.0,
+) -> ray.data.Dataset:
+    """Robust per-group outlier counting with the MEDIAN ABSOLUTE
+    DEVIATION: rows where ``|x − median| > k·MAD`` — the
+    heavy-tail-safe alternative to z-scores (one wild value cannot
+    inflate its own threshold). Output: ``(key, n, n_outliers)``.
+
+    Three streaming phases, corpus never shuffles: (1) per-group disc
+    medians via the value-histogram plan, broadcast; (2) per-group disc
+    MAD of ``|x − median|`` the same way (deviations are exact doubles,
+    disc medians are data values, so the SQL twin is bit-exact);
+    (3) one map-side flag + combine-tree count."""
+    med = grouped_quantiles(ds, key, col, [0.5], interp="disc")
+    mdf = med.to_pandas().sort_values(key)
+    mk = mdf[key].to_numpy()
+    mv = mdf["v"].to_numpy()
+    mref = ray.put((mk, mv))
+    cache: dict = {}
+
+    def add_dev(batch: pa.Table) -> pa.Table:
+        bk, bv = cache.setdefault("m", ray.get(mref))
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dev = np.abs(x - bv[np.searchsorted(bk, kk)])
+        return batch.append_column("_dev", pa.array(dev, pa.float64()))
+
+    devds = ds.map_batches(
+        add_dev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    mad = grouped_quantiles(devds, key, "_dev", [0.5], interp="disc")
+    adf = mad.to_pandas().sort_values(key)
+    aref = ray.put((adf[key].to_numpy(), adf["v"].to_numpy()))
+    cache2: dict = {}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ak, av = cache2.setdefault("a", ray.get(aref))
+        kk = batch[key].to_numpy(zero_copy_only=False)
+        dev = batch["_dev"].to_numpy(zero_copy_only=False)
+        out = (dev > k * av[np.searchsorted(ak, kk)]).astype(np.float64)
+        return pa.table(
+            {key: batch[key], "_flag": pa.array(out)}
+        )
+
+    flags = devds.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = salted_count(flags, [key], agg_cols={"_flag": "sum"}, count_alias="n")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        s = batch["sum__flag"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                key: batch[key],
+                "n": batch["n"],
+                "n_outliers": pa.array(s, pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def except_all(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

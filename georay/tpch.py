@@ -5523,6 +5523,33 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_mad_outliers(sf_dir: str):
+    """Per-user robust outlier counts: events whose value deviates more
+    than 3 MAD from the user's median (ops.mad_outliers — two
+    histogram-exact quantile passes + a map-side flag)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    return ops.mad_outliers(ds, "user_id", "value", k=3.0)
+
+
+SQL_MAD_OUTLIERS = """
+WITH m AS (
+  SELECT user_id, quantile_disc(value, 0.5) AS med FROM events GROUP BY user_id
+),
+d AS (
+  SELECT e.user_id, ABS(e.value - m.med) AS dev
+  FROM events e JOIN m USING (user_id)
+),
+md AS (
+  SELECT user_id, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY user_id
+)
+SELECT d.user_id, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.dev > 3.0e0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 def q_winsorize(sf_dir: str):
     """Per-user winsorized event values (clamped to the user's
     [5%, 95%] disc quantiles — ops.winsorize; histogram-exact bounds
@@ -7768,6 +7795,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "mad_outliers": q_mad_outliers,
     "winsorize": q_winsorize,
     "except_all": q_except_all,
     "intersect_all": q_intersect_all,
@@ -7956,6 +7984,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "winsorize": SQL_WINSORIZE,
     "except_all": SQL_EXCEPT_ALL,
     "intersect_all": SQL_INTERSECT_ALL,

@@ -1957,3 +1957,22 @@ def test_winsorize_clamps_to_group_quantiles(ray_session):
     assert g1[2:8] == [3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
     # group 2 untouched inside its own bounds
     assert out[out["k"] == 2]["v_w"].tolist() == [5.0, 6.0, 7.0]
+
+
+def test_mad_outliers_robust_to_single_wild_value(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    # 9 values near 10 plus one wild 1000: median 10, MAD small,
+    # only the wild value flags. A z-score threshold would have been
+    # inflated by the outlier itself.
+    tbl = pa.table(
+        {
+            "k": pa.array([1] * 10, pa.int64()),
+            "v": pa.array([9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 9.5, 1000.0]),
+        }
+    )
+    out = ops.mad_outliers(rd.from_arrow(tbl), "k", "v", k=3.0).to_pandas()
+    assert out["n"].tolist() == [10]
+    assert out["n_outliers"].tolist() == [1]
