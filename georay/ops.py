@@ -1053,6 +1053,106 @@ def explode_list(
     )
 
 
+def snapshot_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Table-version drift summary: one row ``(n_added, n_removed,
+    n_changed, n_unchanged)`` comparing two snapshots keyed by a UNIQUE
+    key — the data-ops health check before publishing a new table
+    version. Both sides co-shuffle ONCE by key hash (each side ships
+    only key + value), each bucket classifies its keys with a
+    vectorized sort + boundary scan, and the per-bucket partial counts
+    fold to a single row in the combine tree."""
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": batch[key],
+                    "v": batch[value_col].cast(pa.float64()),
+                    "side": pa.array(np.full(len(batch), side, np.int8)),
+                }
+            )
+
+        return f
+
+    both = old.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        new.map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, ["k"])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        s = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, k))
+        k, v, s = k[order], v[order], s[order]
+        n = k.shape[0]
+        first = np.ones(n, bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        if np.any(sizes > 2):
+            raise ValueError("snapshot_diff: key is not unique per side")
+        single = sizes == 1
+        added = int(np.sum(s[starts[single]] == 1))
+        removed = int(np.sum(s[starts[single]] == 0))
+        pair = starts[~single]
+        if np.any(s[pair] == s[pair + 1]):
+            raise ValueError("snapshot_diff: key is not unique per side")
+        changed = int(np.sum(v[pair] != v[pair + 1]))
+        unchanged = int(pair.shape[0] - changed)
+        return pa.table(
+            {
+                "partial_a": pa.array([added], pa.int64()),
+                "partial_r": pa.array([removed], pa.int64()),
+                "partial_c": pa.array([changed], pa.int64()),
+                "partial_u": pa.array([unchanged], pa.int64()),
+            }
+        )
+
+    partials = (
+        shuffle_coalesce(
+            both.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Sum
+
+    agg = partials.aggregate(
+        Sum("partial_a", alias_name="a"), Sum("partial_r", alias_name="r"),
+        Sum("partial_c", alias_name="c"), Sum("partial_u", alias_name="u"),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_added": pa.array([int(agg["a"] or 0)], pa.int64()),
+                "n_removed": pa.array([int(agg["r"] or 0)], pa.int64()),
+                "n_changed": pa.array([int(agg["c"] or 0)], pa.int64()),
+                "n_unchanged": pa.array([int(agg["u"] or 0)], pa.int64()),
+            }
+        )
+    )
+
+
 def winsorize(
     ds: ray.data.Dataset,
     key: str,

@@ -5523,6 +5523,62 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_snapshot_diff(sf_dir: str):
+    """Snapshot drift report between two deterministic versions of the
+    orders table: v2 drops orderkey % 10 == 0, bumps totalprice where
+    orderkey % 7 == 0, and inserts re-keyed copies of orderkey % 13 ==
+    0 (ops.snapshot_diff — one key co-shuffle, four-scalar result)."""
+    old = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def mk_new(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = ok % 10 != 0
+        k1 = ok[keep]
+        v1 = np.where(k1 % 7 == 0, tp[keep] + 1.0, tp[keep])
+        ins = ok % 13 == 0
+        k2 = ok[ins] + 1_000_000_000
+        v2 = tp[ins]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(np.concatenate([k1, k2]), pa.int64()),
+                "o_totalprice": pa.array(np.concatenate([v1, v2])),
+            }
+        )
+
+    new = old.map_batches(
+        mk_new, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.snapshot_diff(old, new, "o_orderkey", "o_totalprice")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH newv AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+oldv AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+j AS (
+  SELECT o.k AS ok, n.k AS nk, o.v AS ov, n.v AS nv
+  FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+)
+SELECT CAST(COUNT(*) FILTER (ok IS NULL) AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (nk IS NULL) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (ok IS NOT NULL AND nk IS NOT NULL AND ov <> nv)
+            AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (ok IS NOT NULL AND nk IS NOT NULL AND ov = nv)
+            AS BIGINT) AS n_unchanged
+FROM j
+"""
+
+
 def q_mad_outliers(sf_dir: str):
     """Per-user robust outlier counts: events whose value deviates more
     than 3 MAD from the user's median (ops.mad_outliers — two
@@ -7795,6 +7851,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "snapshot_diff": q_snapshot_diff,
     "mad_outliers": q_mad_outliers,
     "winsorize": q_winsorize,
     "except_all": q_except_all,
@@ -7984,6 +8041,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "winsorize": SQL_WINSORIZE,
     "except_all": SQL_EXCEPT_ALL,

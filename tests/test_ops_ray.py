@@ -1976,3 +1976,35 @@ def test_mad_outliers_robust_to_single_wild_value(ray_session):
     out = ops.mad_outliers(rd.from_arrow(tbl), "k", "v", k=3.0).to_pandas()
     assert out["n"].tolist() == [10]
     assert out["n_outliers"].tolist() == [1]
+
+
+def test_snapshot_diff_classification(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    old = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    # 1 unchanged, 2 changed, 3 removed, 5 added
+    new = pa.table(
+        {
+            "k": pa.array([1, 2, 4, 5], pa.int64()),
+            "v": pa.array([1.0, 2.5, 4.0, 9.0]),
+        }
+    )
+    out = ops.snapshot_diff(
+        rd.from_arrow(old), rd.from_arrow(new), "k", "v", n_buckets=4
+    ).to_pandas()
+    assert out[["n_added", "n_removed", "n_changed", "n_unchanged"]].values.tolist() == [
+        [1, 1, 1, 2]
+    ]
+
+    dup = pa.table({"k": pa.array([7, 7], pa.int64()), "v": pa.array([1.0, 2.0])})
+    with pytest.raises(Exception):
+        ops.snapshot_diff(
+            rd.from_arrow(dup), rd.from_arrow(new), "k", "v", n_buckets=2
+        ).to_pandas()
