@@ -5354,8 +5354,8 @@ FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 
 def q_movement_report(sf_dir: str):
     """END-TO-END movement analytics chain, hash-matched as ONE SQL
-    query: per-user path length AND in-rect clipped length (two
-    trajectory passes) → co-partitioned join → dwell gate (users
+    query: per-user path length AND in-rect clipped length (ONE fused
+    trajectory pass — trajectory_clip_stats) → dwell gate (users
     spending more than a sixth of their track inside the rect — just
     above the rect's area share, exact integer compare) → semi-filter the event stream to those users → 1°-cell
     origin–destination matrix of the survivors. The qualifying-user
@@ -5364,20 +5364,10 @@ def q_movement_report(sf_dir: str):
     from georay import analytics
 
     pts = _event_points(sf_dir)
-    stats = analytics.trajectory_stats(
-        pts, "user_id", "ts", "lon", "lat", tiebreak_col="event_id"
-    )
-    clip = analytics.trajectory_clip_rect(
+    joined = analytics.trajectory_clip_stats(
         pts, "user_id", "ts", "lon", "lat", rect=_CLIP_RECT,
         tiebreak_col="event_id",
     )
-    clip = clip.map_batches(
-        lambda b: b.select(["user_id", "clip_q"]).rename_columns(
-            ["cu", "clip_q"]
-        ),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
-    )
-    joined = ops.equi_join_partitioned(stats, clip, on="user_id", right_on="cu")
 
     def gate(batch: pa.Table) -> pa.Table:
         path = batch["path_q"].to_numpy(zero_copy_only=False)

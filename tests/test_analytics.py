@@ -1208,3 +1208,42 @@ def test_lttb_downsample_invariants(ray_session):
 
     with pytest.raises(ValueError):
         analytics.lttb_downsample(_ds(tbl), "k", "ts", "v", 2)
+
+
+def test_trajectory_clip_stats_fuses_both_passes(ray_session):
+    """Fused kernel == trajectory_stats ⨝ trajectory_clip_rect."""
+    rng = np.random.default_rng(11)
+    n = 300
+    tbl = pa.table(
+        {
+            "u": pa.array(rng.integers(1, 9, n), pa.int64()),
+            "ts": pa.array(rng.permutation(n).astype("int64"), pa.timestamp("us")),
+            "e": pa.array(np.arange(n), pa.int64()),
+            "lon": pa.array(rng.uniform(-90, 90, n)),
+            "lat": pa.array(rng.uniform(-50, 50, n)),
+        }
+    )
+    rect = (-30.0, -20.0, 30.0, 20.0)
+    fused = (
+        analytics.trajectory_clip_stats(
+            _ds(tbl), "u", "ts", "lon", "lat", rect=rect, tiebreak_col="e",
+            n_buckets=4,
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    stats = (
+        analytics.trajectory_stats(
+            _ds(tbl), "u", "ts", "lon", "lat", tiebreak_col="e", n_buckets=4
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    clip = (
+        analytics.trajectory_clip_rect(
+            _ds(tbl), "u", "ts", "lon", "lat", rect=rect, tiebreak_col="e",
+            n_buckets=4,
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert fused["path_q"].tolist() == stats["path_q"].tolist()
+    assert fused["clip_q"].tolist() == clip["clip_q"].tolist()
+    assert fused["n_points"].tolist() == stats["n_points"].tolist()
