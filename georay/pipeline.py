@@ -439,3 +439,108 @@ def read_spatial_partition(out_dir: str, cell_prefix: int, columns=None) -> rd.D
     return rd.read_parquet(
         os.path.join(out_dir, f"cell_prefix={cell_prefix}"), columns=columns
     )
+
+
+def write_bucketed(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str,
+    n_buckets: int = 64,
+) -> list[str]:
+    """Hash-bucketed table layout (the warehouse "bucketed table"):
+    rows land in one parquet directory per key-hash bucket, computed
+    with the SAME ``_key_hash`` every runtime co-shuffle in the engine
+    uses — so two tables bucketed on their join key align
+    bucket-for-bucket and join with NO runtime shuffle
+    (``bucketed_join``). The 100-TB amortization: pay the exchange
+    once at write time, reuse it across every downstream join /
+    aggregate on that key. Returns the partition directories."""
+    from georay.ops import _key_hash
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("write_bucketed requires int or string/binary keys")
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    out = ds.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out.write_parquet(out_dir, partition_cols=["bucket"])
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=")
+    )
+
+
+def bucketed_join(
+    left_dir: str,
+    right_dir: str,
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = 64,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+) -> rd.Dataset:
+    """SHUFFLE-FREE equality join between two ``write_bucketed`` tables
+    laid out with the same key hash and bucket count: one task per
+    bucket reads the matching partition of each side and joins locally
+    with Arrow's hash join — no runtime exchange at all; the shuffle
+    was paid once at write time. Buckets stream through the executor
+    like any other task pool. ``how``: "inner" or "left" (a bucket
+    missing on the right emits the left rows null-extended)."""
+    rkey = right_on or on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+
+    def empty_result() -> pa.Table:
+        lt = pq.read_table(_any_bucket(left_dir), columns=left_columns).slice(0, 0)
+        rt = pq.read_table(_any_bucket(right_dir), columns=right_columns).slice(0, 0)
+        return lt.join(rt, keys=[on], right_keys=[rkey], join_type="left outer")
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["b"].to_pylist():
+            lp = os.path.join(left_dir, f"bucket={b}")
+            rp = os.path.join(right_dir, f"bucket={b}")
+            if not os.path.isdir(lp):
+                continue
+            lt = pq.read_table(lp, columns=left_columns)
+            if os.path.isdir(rp):
+                rt = pq.read_table(rp, columns=right_columns)
+            elif how == "left":
+                # null-extend against an empty right side (schema from
+                # any existing right bucket)
+                rt = pq.read_table(
+                    _any_bucket(right_dir), columns=right_columns
+                ).slice(0, 0)
+            else:
+                continue
+            out.append(
+                lt.join(
+                    rt, keys=[on], right_keys=[rkey],
+                    join_type="inner" if how == "inner" else "left outer",
+                )
+            )
+        if not out:
+            return empty_result()
+        return pa.concat_tables(out, promote_options="default")
+
+    ids = rd.from_arrow(
+        pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64))})
+    ).repartition(n_buckets)
+    joined = ids.map_batches(
+        join_bucket, batch_format="pyarrow", batch_size=None
+    )
+    return joined
+
+
+def _any_bucket(table_dir: str) -> str:
+    for d in sorted(os.listdir(table_dir)):
+        if d.startswith("bucket="):
+            return os.path.join(table_dir, d)
+    raise FileNotFoundError(f"no bucket partitions under {table_dir}")

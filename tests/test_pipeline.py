@@ -152,3 +152,53 @@ def test_write_spatial_partition_pruning(images_dir, ray_session, tmp_path):
     # totals preserved across partitions
     total = sum(pq.read_table(p).num_rows for p in parts)
     assert total == pq.read_table(images_dir).num_rows
+
+
+def test_write_bucketed_and_shuffle_free_join(ray_session, tmp_path):
+    """Two tables bucketed on the join key align bucket-for-bucket;
+    the per-bucket local join equals a regular equality join, with no
+    runtime exchange. Left join null-extends missing right buckets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    n = 5000
+    rng = np.random.default_rng(5)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 800, n), pa.int64()),
+            "lv": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(np.arange(0, 700, dtype=np.int64)),
+            "rv": pa.array(np.arange(0, 700, dtype=np.int64) * 10),
+        }
+    )
+    ld = str(tmp_path / "left")
+    rdir = str(tmp_path / "right")
+    parts = pipeline.write_bucketed(rd.from_arrow(left), ld, "k", n_buckets=16)
+    pipeline.write_bucketed(rd.from_arrow(right), rdir, "rk", n_buckets=16)
+    assert parts and all("bucket=" in p for p in parts)
+
+    got = (
+        pipeline.bucketed_join(ld, rdir, on="k", right_on="rk", n_buckets=16)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    exp = (
+        left.to_pandas().merge(
+            right.to_pandas(), left_on="k", right_on="rk", how="inner"
+        )
+        .drop(columns=["rk"]).sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].tolist() == exp["rv"].tolist()
+
+    lgot = pipeline.bucketed_join(
+        ld, rdir, on="k", right_on="rk", n_buckets=16, how="left"
+    ).to_pandas()
+    assert len(lgot) == n  # unmatched keys (700..799) survive nulled
+    assert lgot["rv"].isna().sum() == int((left["k"].to_numpy() >= 700).sum())
