@@ -1053,6 +1053,50 @@ def explode_list(
     )
 
 
+def split_dataset(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fracs: dict[str, float],
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test splitting: each row's split comes
+    from its CONTENT (murmur-finalizer hash of the id against exact
+    integer thresholds ``floor(cum_frac · 2⁶⁴)``), so the assignment is
+    reproducible across runs, engines, and row order, and new rows
+    never reshuffle old ones between splits — the stability contract
+    training pipelines need. Map-side only; the SQL twin replays the
+    same HUGEINT hash chain and thresholds."""
+    names = list(fracs)
+    cum = np.cumsum([fracs[k] for k in names])
+    if not np.isclose(cum[-1], 1.0):
+        raise ValueError("split_dataset: fractions must sum to 1")
+    thresholds = np.array(
+        [min(int(c * 2**64), 2**64 - 1) for c in cum[:-1]], dtype=np.uint64
+    )
+    label_arr = pa.array(names, pa.string())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(v.view(np.uint64).copy())
+        idx = np.searchsorted(thresholds, h, side="right")
+        return batch.append_column(
+            out_col, pc.take(label_arr, pa.array(idx.astype(np.int64)))
+        )
+
+    return ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def split_thresholds_sql(fracs: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive-upper-threshold) pairs matching
+    ``split_dataset`` — for rendering the SQL CASE twin."""
+    names = list(fracs)
+    cum = np.cumsum([fracs[k] for k in names])
+    ts = [min(int(c * 2**64), 2**64 - 1) for c in cum[:-1]]
+    return list(zip(names, ts + [2**64]))
+
+
 def snapshot_diff(
     old: ray.data.Dataset,
     new: ray.data.Dataset,

@@ -544,3 +544,47 @@ def _any_bucket(table_dir: str) -> str:
         if d.startswith("bucket="):
             return os.path.join(table_dir, d)
     raise FileNotFoundError(f"no bucket partitions under {table_dir}")
+
+
+def bucketed_aggregate(
+    table_dir: str,
+    key: str,
+    sum_cols: list[str] | None = None,
+    n_buckets: int = 64,
+    count_alias: str = "n",
+) -> rd.Dataset:
+    """SHUFFLE-FREE grouped count/sum over a ``write_bucketed`` table:
+    the layout already partitions keys, so each bucket's local Arrow
+    groupby is the FINAL answer for its keys — one task per bucket, no
+    exchange, results concatenate. The companion of ``bucketed_join``
+    for the aggregate side of the reused-partitioning-key story."""
+    sum_cols = sum_cols or []
+
+    def agg_bucket(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch["b"].to_pylist():
+            p = os.path.join(table_dir, f"bucket={b}")
+            if not os.path.isdir(p):
+                continue
+            t = pq.read_table(p, columns=[key] + sum_cols)
+            t = t.append_column("_one", pa.array(np.ones(len(t), np.int64)))
+            aggs = [("_one", "sum")] + [(c, "sum") for c in sum_cols]
+            g = t.group_by([key]).aggregate(aggs)
+            cols = {key: g[key], count_alias: g["_one_sum"]}
+            for c in sum_cols:
+                cols[f"sum_{c}"] = g[f"{c}_sum"]
+            out.append(pa.table(cols))
+        if not out:
+            t = pq.read_table(
+                _any_bucket(table_dir), columns=[key] + sum_cols
+            ).slice(0, 0)
+            cols = {key: t[key], count_alias: pa.array([], pa.int64())}
+            for c in sum_cols:
+                cols[f"sum_{c}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        return pa.concat_tables(out, promote_options="default")
+
+    ids = rd.from_arrow(
+        pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64))})
+    ).repartition(n_buckets)
+    return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=None)

@@ -5513,6 +5513,54 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split(sf_dir: str):
+    """Deterministic content-hash train/val/test split of lineitem rows
+    (80/10/10 via ops.split_dataset), reported as per-split counts —
+    the stable-split contract (row order and new data never move old
+    rows between splits)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"rid": pa.array(ok * 8 + ln, pa.int64())})
+
+    ds = ds.map_batches(
+        add_rid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.split_dataset(ds, "rid", _SPLIT_FRACS)
+    return ops.salted_count(out, ["split"], count_alias="n")
+
+
+def _split_sql() -> str:
+    pairs = ops.split_thresholds_sql(_SPLIT_FRACS)
+    case = "CASE " + " ".join(
+        f"WHEN h < {t}::HUGEINT THEN '{name}'" for name, t in pairs[:-1]
+    ) + f" ELSE '{pairs[-1][0]}' END"
+    return f"""
+WITH ids AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) AS rid FROM lineitem
+),
+s1 AS (SELECT xor(rid, rid // 8589934592) AS h1 FROM ids),
+m1 AS (
+  SELECT ( (h1 % 4294967296) * 18397679294719823053
+         + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+         ) % 18446744073709551616 AS h2
+  FROM s1
+),
+hashed AS (SELECT xor(h2, h2 // 8589934592) AS h FROM m1)
+SELECT {case} AS split, COUNT(*) AS n FROM hashed GROUP BY 1
+"""
+
+
+SQL_SPLIT = _split_sql()
+
+
 def q_snapshot_diff(sf_dir: str):
     """Snapshot drift report between two deterministic versions of the
     orders table: v2 drops orderkey % 10 == 0, bumps totalprice where
@@ -7841,6 +7889,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "split": q_split,
     "snapshot_diff": q_snapshot_diff,
     "mad_outliers": q_mad_outliers,
     "winsorize": q_winsorize,
@@ -8031,6 +8080,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "split": SQL_SPLIT,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "winsorize": SQL_WINSORIZE,

@@ -2008,3 +2008,25 @@ def test_snapshot_diff_classification(ray_session):
         ops.snapshot_diff(
             rd.from_arrow(dup), rd.from_arrow(new), "k", "v", n_buckets=2
         ).to_pandas()
+
+
+def test_split_dataset_stability_and_proportions(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    ids = pa.table({"rid": pa.array(np.arange(1, 20001, dtype=np.int64))})
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = ops.split_dataset(rd.from_arrow(ids), "rid", fr).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    # stability: a subset keeps its assignments (new data never moves old rows)
+    sub = ops.split_dataset(
+        rd.from_arrow(ids.slice(0, 5000)), "rid", fr
+    ).to_pandas()
+    full = out.set_index("rid").loc[sub["rid"]]["split"].tolist()
+    assert full == sub["split"].tolist()
+
+    with pytest.raises(ValueError):
+        ops.split_dataset(rd.from_arrow(ids), "rid", {"a": 0.5, "b": 0.4})

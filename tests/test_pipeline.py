@@ -202,3 +202,32 @@ def test_write_bucketed_and_shuffle_free_join(ray_session, tmp_path):
     ).to_pandas()
     assert len(lgot) == n  # unmatched keys (700..799) survive nulled
     assert lgot["rv"].isna().sum() == int((left["k"].to_numpy() >= 700).sum())
+
+
+def test_bucketed_aggregate_no_shuffle(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    n = 3000
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "v": pa.array(rng.integers(1, 5, n).astype(np.float64)),
+        }
+    )
+    d = str(tmp_path / "t")
+    pipeline.write_bucketed(rd.from_arrow(t), d, "k", n_buckets=8)
+    got = (
+        pipeline.bucketed_aggregate(d, "k", sum_cols=["v"], n_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas().groupby("k").agg(n=("v", "size"), sum_v=("v", "sum"))
+        .reset_index()
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["sum_v"].tolist() == exp["sum_v"].tolist()
