@@ -1197,6 +1197,94 @@ def snapshot_diff(
     )
 
 
+def snapshot_changes(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Row-level change-data feed between two snapshots keyed by a
+    UNIQUE key: one ``(key, change)`` row per drifted key with
+    ``change ∈ {added, removed, changed}`` (unchanged keys emit
+    nothing) — the CDC stream a downstream consumer replays. Same
+    one-co-shuffle bucket plan as ``snapshot_diff``."""
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "k": batch[key],
+                    "v": batch[value_col].cast(pa.float64()),
+                    "side": pa.array(np.full(len(batch), side, np.int8)),
+                }
+            )
+
+        return f
+
+    both = old.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).union(
+        new.map_batches(
+            tag(1), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, ["k"])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    label = pa.array(["added", "removed", "changed"], pa.string())
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        s = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, k))
+        k, v, s = k[order], v[order], s[order]
+        n = k.shape[0]
+        first = np.ones(n, bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        if np.any(sizes > 2):
+            raise ValueError("snapshot_changes: key is not unique per side")
+        single = sizes == 1
+        pair = starts[~single]
+        if np.any(s[pair] == s[pair + 1]):
+            raise ValueError("snapshot_changes: key is not unique per side")
+        out_k = []
+        out_c = []
+        sm = starts[single]
+        out_k.append(k[sm])
+        out_c.append(np.where(s[sm] == 1, 0, 1).astype(np.int64))
+        ch = pair[v[pair] != v[pair + 1]]
+        out_k.append(k[ch])
+        out_c.append(np.full(ch.shape[0], 2, np.int64))
+        kk = np.concatenate(out_k)
+        cc = np.concatenate(out_c)
+        return pa.table(
+            {
+                key: pa.array(kk),
+                "change": pc.take(label, pa.array(cc)),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            both.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def winsorize(
     ds: ray.data.Dataset,
     key: str,

@@ -5592,6 +5592,58 @@ def q_snapshot_diff(sf_dir: str):
     return ops.snapshot_diff(old, new, "o_orderkey", "o_totalprice")
 
 
+def q_snapshot_changes(sf_dir: str):
+    """Row-level CDC feed for the same two synthetic order-table
+    versions as snapshot_diff: one (key, change) row per drifted key
+    (ops.snapshot_changes)."""
+    old = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def mk_new(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = ok % 10 != 0
+        k1 = ok[keep]
+        v1 = np.where(k1 % 7 == 0, tp[keep] + 1.0, tp[keep])
+        ins = ok % 13 == 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([k1, ok[ins] + 1_000_000_000]), pa.int64()
+                ),
+                "o_totalprice": pa.array(np.concatenate([v1, tp[ins]])),
+            }
+        )
+
+    new = old.map_batches(
+        mk_new, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.snapshot_changes(old, new, "o_orderkey", "o_totalprice")
+
+
+SQL_SNAPSHOT_CHANGES = """
+WITH newv AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0e0
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+oldv AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+j AS (
+  SELECT COALESCE(o.k, n.k) AS o_orderkey,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.v <> n.v THEN 'changed' END AS change
+  FROM oldv o FULL OUTER JOIN newv n ON o.k = n.k
+)
+SELECT o_orderkey, change FROM j WHERE change IS NOT NULL
+"""
+
+
 SQL_SNAPSHOT_DIFF = """
 WITH newv AS (
   SELECT o_orderkey AS k,
@@ -7891,6 +7943,7 @@ QUERIES = {
     "out_of_order": q_out_of_order,
     "split": q_split,
     "snapshot_diff": q_snapshot_diff,
+    "snapshot_changes": q_snapshot_changes,
     "mad_outliers": q_mad_outliers,
     "winsorize": q_winsorize,
     "except_all": q_except_all,
@@ -8082,6 +8135,7 @@ ORACLE = {
     "out_of_order": SQL_OUT_OF_ORDER,
     "split": SQL_SPLIT,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "snapshot_changes": SQL_SNAPSHOT_CHANGES,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "winsorize": SQL_WINSORIZE,
     "except_all": SQL_EXCEPT_ALL,

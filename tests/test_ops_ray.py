@@ -2030,3 +2030,22 @@ def test_split_dataset_stability_and_proportions(ray_session):
 
     with pytest.raises(ValueError):
         ops.split_dataset(rd.from_arrow(ids), "rid", {"a": 0.5, "b": 0.4})
+
+
+def test_snapshot_changes_rows(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    old = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([1.0, 2.0, 3.0])}
+    )
+    new = pa.table(
+        {"k": pa.array([1, 2, 9], pa.int64()), "v": pa.array([1.0, 9.9, 5.0])}
+    )
+    out = (
+        ops.snapshot_changes(rd.from_arrow(old), rd.from_arrow(new), "k", "v",
+                             n_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[2, "changed"], [3, "removed"], [9, "added"]]
