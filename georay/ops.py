@@ -1053,6 +1053,51 @@ def explode_list(
     )
 
 
+def grouped_moments(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    quantize: float = 100.0,
+) -> ray.data.Dataset:
+    """Per-group first and second moments in EXACT int64 arithmetic:
+    ``(key, n, sum_q, sumsq_q)`` over values quantized to integers —
+    mean and variance derive exactly downstream (``var = (sumsq/n −
+    (sum/n)²)``) with no float-summation order dependence anywhere.
+    Map-side combine + int64 tree merge. Caller owns the overflow
+    budget: ``Σ v_q²`` must stay below 2⁶³ (raise ``quantize`` down or
+    pre-scale for wide-domain columns)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        ks, vs = _group_reduce(
+            [k],
+            {
+                "partial_n": np.ones(v.shape[0], np.int64),
+                "partial_s": v,
+                "partial_s2": v * v,
+            },
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0]),
+                "partial_n": pa.array(vs["partial_n"]),
+                "partial_s": pa.array(vs["partial_s"]),
+                "partial_s2": pa.array(vs["partial_s2"]),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_sum(
+        partials, [key],
+        {"partial_n": "n", "partial_s": "sum_q", "partial_s2": "sumsq_q"},
+        int_cols=("partial_n", "partial_s", "partial_s2"),
+    )
+
+
 def split_dataset(
     ds: ray.data.Dataset,
     id_col: str,

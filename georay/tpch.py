@@ -5513,6 +5513,28 @@ SELECT user_id, COUNT(*) AS n_events,
 FROM seq GROUP BY user_id
 """
 
+def q_grouped_moments(sf_dir: str):
+    """Per-mktsegment exact moments of customer balances in cents
+    (ops.grouped_moments — int64 sum and sum-of-squares through the
+    combine tree; variance derives exactly downstream)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_mktsegment", "c_acctbal"]
+    )
+    return ops.grouped_moments(ds, "c_mktsegment", "c_acctbal", quantize=100.0)
+
+
+SQL_GROUPED_MOMENTS = """
+WITH v AS (
+  SELECT c_mktsegment,
+         CAST(floor(c_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS vq
+  FROM customer
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(vq) AS BIGINT) AS sum_q,
+       CAST(SUM(vq * vq) AS BIGINT) AS sumsq_q
+FROM v GROUP BY c_mktsegment
+"""
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -7941,6 +7963,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
+    "grouped_moments": q_grouped_moments,
     "split": q_split,
     "snapshot_diff": q_snapshot_diff,
     "snapshot_changes": q_snapshot_changes,
@@ -8133,6 +8156,7 @@ ORACLE = {
     "rasterize": SQL_RASTERIZE,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
+    "grouped_moments": SQL_GROUPED_MOMENTS,
     "split": SQL_SPLIT,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "snapshot_changes": SQL_SNAPSHOT_CHANGES,

@@ -2049,3 +2049,22 @@ def test_snapshot_changes_rows(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert out.values.tolist() == [[2, "changed"], [3, "removed"], [9, "added"]]
+
+
+def test_grouped_moments_exact(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"], ),
+            "v": pa.array([1.5, 2.5, -3.0]),
+        }
+    )
+    out = (
+        ops.grouped_moments(rd.from_arrow(tbl), "k", "v", quantize=10.0)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # a: vq 15, 25 -> n 2, sum 40, sumsq 850; b: vq -30 -> sum -30, sumsq 900
+    assert out.values.tolist() == [["a", 2, 40, 850], ["b", 1, -30, 900]]
