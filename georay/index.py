@@ -664,3 +664,137 @@ class PointIndex:
         d = haversine_km(lon[P], lat[P], self.ref_lon[Rf], self.ref_lat[Rf])
         hit = d <= radius_km
         return self._order_pairs(P[hit], Rf[hit], d[hit])
+
+
+@dataclass
+class STRPolygonIndex:
+    """STR-packed polygon R-tree (Sort-Tile-Recursive bulk load) — the
+    north star's literal index shape, as an alternative broadcast
+    candidate generator to ``PolygonIndex``'s grid buckets. Leaf order
+    comes from the classic STR pack: sort by bbox center x, cut into
+    ⌈√(n/leaf)⌉ vertical slices, sort each slice by center y; levels
+    above pack every ``fanout`` consecutive nodes, so child ranges are
+    IMPLICIT (node i covers children [i·f, (i+1)·f)) and the whole
+    tree is four flat numpy arrays per level — zero pointers, zero
+    Python objects, broadcastable via ``ray.put`` like the grid index.
+
+    Probing descends all levels at once per batch: (point, node)
+    candidate pairs expand by fanout and filter by bbox containment at
+    each level (vectorized ``_ragged_ranges`` + compares). The EXACT
+    even-odd test and the geometry storage are shared with
+    ``PolygonIndex`` (``_pip_pairs``), so both indexes return identical
+    match sets — pinned by a parity test."""
+
+    base: PolygonIndex
+    levels: list  # top-down list of (n_nodes, 4) bbox arrays; [-1] = leaves
+    slot_to_poly: np.ndarray  # leaf slot -> polygon index
+    fanout: int
+
+    @property
+    def polygon_ids(self) -> np.ndarray:
+        return self.base.polygon_ids
+
+    @property
+    def n_polygons(self) -> int:
+        return self.base.n_polygons
+
+    @staticmethod
+    def build(
+        polygons: pa.Table,
+        geometry_col: str = "geometry",
+        id_col: str = "polygon_id",
+        leaf_size: int = 16,
+        fanout: int = 8,
+    ) -> "STRPolygonIndex":
+        base = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=id_col
+        )
+        bbox = base.bbox
+        ok = np.isfinite(bbox[:, 0]) & (bbox[:, 2] >= bbox[:, 0])
+        valid = np.nonzero(ok)[0]
+        n = valid.shape[0]
+        if n == 0:
+            return STRPolygonIndex(
+                base=base, levels=[np.empty((0, 4))],
+                slot_to_poly=np.empty(0, np.int64), fanout=fanout,
+            )
+        cx = (bbox[valid, 0] + bbox[valid, 2]) * 0.5
+        cy = (bbox[valid, 1] + bbox[valid, 3]) * 0.5
+        n_slices = max(int(np.ceil(np.sqrt(n / leaf_size))), 1)
+        slice_rows = int(np.ceil(n / n_slices))
+        by_x = np.argsort(cx, kind="stable")
+        order = np.empty(n, np.int64)
+        for s in range(n_slices):
+            seg = by_x[s * slice_rows:(s + 1) * slice_rows]
+            seg = seg[np.argsort(cy[seg], kind="stable")]
+            order[s * slice_rows:s * slice_rows + seg.shape[0]] = seg
+        slot_to_poly = valid[order]
+        leaves = bbox[slot_to_poly]
+        levels = [leaves]
+        while levels[0].shape[0] > fanout:
+            child = levels[0]
+            m = child.shape[0]
+            n_up = int(np.ceil(m / fanout))
+            up = np.empty((n_up, 4))
+            pad = n_up * fanout - m
+            lo = np.vstack([child[:, :2], np.full((pad, 2), np.inf)])
+            hi = np.vstack([child[:, 2:], np.full((pad, 2), -np.inf)])
+            up[:, :2] = lo.reshape(n_up, fanout, 2).min(axis=1)
+            up[:, 2:] = hi.reshape(n_up, fanout, 2).max(axis=1)
+            levels.insert(0, up)
+        return STRPolygonIndex(
+            base=base, levels=levels, slot_to_poly=slot_to_poly, fanout=fanout
+        )
+
+    def candidates(self, lon: np.ndarray, lat: np.ndarray):
+        """(point_idx, poly_idx) bbox-filtered pairs via tree descent."""
+        npts = lon.shape[0]
+        top = self.levels[0]
+        if top.shape[0] == 0 or npts == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        # seed: every point against every top node (≤ fanout of them)
+        pidx = np.repeat(np.arange(npts, dtype=np.int64), top.shape[0])
+        node = np.tile(np.arange(top.shape[0], dtype=np.int64), npts)
+
+        def prune(level_bbox, pidx, node):
+            keep = (
+                (lon[pidx] >= level_bbox[node, 0])
+                & (lat[pidx] >= level_bbox[node, 1])
+                & (lon[pidx] <= level_bbox[node, 2])
+                & (lat[pidx] <= level_bbox[node, 3])
+            )
+            return pidx[keep], node[keep]
+
+        pidx, node = prune(top, pidx, node)
+        for lvl in self.levels[1:]:
+            m = lvl.shape[0]
+            first = node * self.fanout
+            cnt = np.minimum(first + self.fanout, m) - first
+            owner, within = _ragged_ranges(cnt)
+            pidx = pidx[owner]
+            node = first[owner] + within
+            pidx, node = prune(lvl, pidx, node)
+        # leaf slots -> polygon indices, probe-major order for _pip_pairs
+        poly = self.slot_to_poly[node]
+        order = np.lexsort((poly, pidx))
+        return pidx[order], poly[order]
+
+    def contains(self, lon: np.ndarray, lat: np.ndarray):
+        pidx, poly = self.candidates(lon, lat)
+        if pidx.size == 0:
+            return pidx, poly
+        inside = self.base._pip_pairs(pidx, poly, lon, lat)
+        return pidx[inside], poly[inside]
+
+    def contains_first(self, lon: np.ndarray, lat: np.ndarray):
+        """First (lowest-index) matching polygon per point, -1 if none."""
+        n = lon.shape[0]
+        first = np.full(n, -1, dtype=np.int64)
+        pidx, poly = self.contains(lon, lat)
+        if pidx.size == 0:
+            return first
+        # candidates() emits probe-major, poly-ascending: first per probe
+        new = np.ones(pidx.shape[0], dtype=bool)
+        new[1:] = pidx[1:] != pidx[:-1]
+        first[pidx[new]] = poly[new]
+        return first

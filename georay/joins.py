@@ -79,9 +79,18 @@ def pip_join(
     batch_size=None,
     num_cpus: float = 1.0,
     actor_pool: bool = False,
+    index: str = "grid",
 ) -> ray.data.Dataset:
     """B5: broadcast PIP join. ``polygons`` must be the SMALL side (it is
     materialized once per worker); the points Dataset streams through.
+
+    ``index``: "grid" (default — exact-cover grid buckets) or "str"
+    (STR-packed R-tree, ``STRPolygonIndex`` — the north star's literal
+    index shape); both share the exact even-odd kernel and return
+    identical match sets (parity-pinned), differing only in candidate
+    generation cost profile (grid wins on uniform small polygons, the
+    R-tree on wildly mixed extents where one grid resolution fits
+    nobody).
 
     Two execution shapes:
     - ``actor_pool=False`` (default): stateless tasks + ``ray.put``
@@ -92,10 +101,17 @@ def pip_join(
       actor pool — right when the index is huge (load it exactly
       ``concurrency`` times) or probes need GPU/heavy per-actor state.
     """
-    index = PolygonIndex.build(
-        polygons, geometry_col=geometry_col, id_col=id_col, res=res
-    )
-    ref = ray.put(index)
+    if index == "str":
+        from georay.index import STRPolygonIndex
+
+        idx = STRPolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=id_col
+        )
+    else:
+        idx = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=id_col, res=res
+        )
+    ref = ray.put(idx)
     if actor_pool:
         return points.map_batches(
             PIPJoiner,

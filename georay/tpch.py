@@ -990,6 +990,25 @@ def q_pip_box_join(sf_dir: str):
     return pip_count(pts, polys, geometry_col="geometry", id_col="p_partkey")
 
 
+def q_pip_str(sf_dir: str):
+    """The SAME per-polygon PIP counts through the STR-packed R-tree
+    broadcast index (joins.pip_join(index="str") → probe-side count
+    partials + combine tree) — must hash-match pip_box_join exactly
+    (shared even-odd kernel, different candidate generation)."""
+    from georay.joins import pip_join
+
+    polys = part_box_polygons(sf_dir)
+    pts = lineitem_points(sf_dir).select_columns(["geotag"])
+    joined = pip_join(
+        pts, polys, geometry_col="geometry", id_col="p_partkey",
+        mode="inner", index="str",
+    )
+    return ops.salted_count(joined, ["polygon_id"], count_alias="n").map_batches(
+        lambda b: b.rename_columns(["p_partkey", "n"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
 SQL_PIP_BOX_JOIN = f"""
 WITH pts AS ({_LI_POINT_SQL}),
 boxes AS (
@@ -8069,6 +8088,7 @@ QUERIES = {
     "centroid_by_flag": q_centroid_by_flag,
     "pip_box_join": q_pip_box_join,
     "pip_partitioned": q_pip_partitioned,
+    "pip_str": q_pip_str,
     "zonal_stats": q_zonal_stats,
     "group_topk": q_group_topk,
     "stratified_sample": q_stratified_sample,
@@ -8253,6 +8273,7 @@ ORACLE = {
     "bounds": SQL_BOUNDS,
     "centroid_by_flag": SQL_CENTROID_BY_FLAG,
     "pip_box_join": SQL_PIP_BOX_JOIN,
+    "pip_str": SQL_PIP_BOX_JOIN,
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "zonal_stats": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,

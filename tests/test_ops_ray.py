@@ -2068,3 +2068,41 @@ def test_grouped_moments_exact(ray_session):
     )
     # a: vq 15, 25 -> n 2, sum 40, sumsq 850; b: vq -30 -> sum -30, sumsq 900
     assert out.values.tolist() == [["a", 2, 40, 850], ["b", 1, -30, 900]]
+
+
+def test_str_rtree_matches_grid_index(images_dir, ray_session):
+    """STR-packed R-tree returns the IDENTICAL PIP match set as the
+    grid index (shared exact kernel, different candidate generation),
+    through both the raw index API and pip_join end-to-end."""
+    import ray.data as rd
+
+    from georay import generate
+    from georay.index import PolygonIndex, STRPolygonIndex
+    from georay.joins import pip_join
+
+    polys = generate.make_polygons_table(300, seed=7)
+    grid = PolygonIndex.build(polys)
+    st = STRPolygonIndex.build(polys)
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-85, 85, 4000)
+    gp, gy = grid.contains(lon, lat)
+    sp, sy = st.contains(lon, lat)
+    assert sorted(zip(gp.tolist(), gy.tolist())) == sorted(
+        zip(sp.tolist(), sy.tolist())
+    )
+    # multi-level descent actually exercised (300 polys, fanout 8)
+    assert len(st.levels) >= 3
+
+    ds = rd.read_parquet(images_dir)
+    a = (
+        pip_join(ds, polys, mode="inner")
+        .to_pandas().sort_values(["image_id", "polygon_id"]).reset_index(drop=True)
+    )
+    ds2 = rd.read_parquet(images_dir)
+    b = (
+        pip_join(ds2, polys, mode="inner", index="str")
+        .to_pandas().sort_values(["image_id", "polygon_id"]).reset_index(drop=True)
+    )
+    assert a["image_id"].tolist() == b["image_id"].tolist()
+    assert a["polygon_id"].tolist() == b["polygon_id"].tolist()
