@@ -49,13 +49,30 @@ def _parse(buf: memoryview, pos: int) -> tuple[Node, int]:
     fmt_u32 = "<I" if order == 1 else ">I"
     fmt_f8 = "<f8" if order == 1 else ">f8"
     (code,) = struct.unpack_from(fmt_u32, buf, pos + 1)
-    geom = GeometryType(code % 1000)
-    dimcode = code // 1000
-    if dimcode not in _NDIM:
-        raise ValueError(f"invalid WKB type code {code}")
+    pos += 5
+    # EWKB high bits (reference accepts ISO *or* EWKB — geoarrow.h:1424,
+    # flag handling src/geoarrow.c:4573-4589): Z/M flags, embedded SRID
+    # read-and-ignored ("hard to work around if a user somehow has
+    # embedded srid but still wants the data").
+    has_z = bool(code & 0x80000000)
+    has_m = bool(code & 0x40000000)
+    if code & 0x20000000:
+        pos += 4  # skip SRID
+    code &= 0xFFFF
+    # ISO X000 thousands (composable with EWKB flags, as the reference)
+    if code >= 3000:
+        code -= 3000
+        has_z = has_m = True
+    elif code >= 2000:
+        code -= 2000
+        has_m = True
+    elif code >= 1000:
+        code -= 1000
+        has_z = True
+    geom = GeometryType(code)
+    dimcode = (2 if has_m else 0) + (1 if has_z else 0)
     ndim = _NDIM[dimcode]
     dims = _DIMS_ENUM[dimcode]
-    pos += 5
     if geom == GeometryType.POINT:
         c = np.frombuffer(buf, dtype=fmt_f8, count=ndim, offset=pos).astype(np.float64)
         return Node(geom, dims, coords=c.reshape(1, ndim)), pos + 8 * ndim

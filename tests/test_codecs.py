@@ -314,3 +314,40 @@ def test_wkt_fast_lane_fallback_parity():
     va, vb = native.view(a, t1), native.view(b, t2)
     assert np.array_equal(va.coords, vb.coords[:3])
     assert np.array_equal(vb.coords[3], [9.0, 9.0])
+
+
+def test_ewkb_decode_parity():
+    """EWKB high bits (reference contract: ISO *or* EWKB reader,
+    src/geoarrow.c:4573-4589): Z/M flags set the dimensions, the
+    embedded SRID is read and ignored, both endiannesses, and EWKB
+    mixes freely with ISO features in one batch."""
+    import struct
+
+    import pyarrow as pa
+
+    from georay.codecs import wkb
+
+    Z, M, S = 0x80000000, 0x40000000, 0x20000000
+    pt_srid = struct.pack("<BIIdd", 1, 1 | S, 4326, 1.5, 2.5)
+    pt_z = struct.pack("<BIddd", 1, 1 | Z, 1.0, 2.0, 3.0)
+    ls_zms = struct.pack("<BIII" + "d" * 8, 1, 2 | Z | M | S, 31370, 2,
+                         0, 0, 0, 0, 1, 1, 1, 1)
+    pt_be = struct.pack(">BIIdd", 0, 1 | S, 4326, 9.0, 8.0)
+    iso = struct.pack("<BIdd", 1, 1, 7.0, 7.0)
+
+    n = wkb.parse_feature(pt_srid)
+    assert int(n.geom) == 1 and n.coords.tolist() == [[1.5, 2.5]]
+    n = wkb.parse_feature(pt_z)
+    assert n.coords.shape == (1, 3)
+    n = wkb.parse_feature(ls_zms)
+    assert n.coords.shape == (2, 4)
+    n = wkb.parse_feature(pt_be)
+    assert n.coords.tolist() == [[9.0, 8.0]]
+
+    # validation walks EWKB features without error; garbage still raises
+    assert wkb.validate(pa.array([pt_srid, pt_z, pt_be, iso], pa.binary())) == 4
+    bad = struct.pack("<BIdd", 1, 5000, 0.0, 0.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wkb.parse_feature(bad)
