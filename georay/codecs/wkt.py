@@ -292,7 +292,11 @@ def encode(
 # ------------------------------------------------------------------ parse
 
 _TOKEN_RE = re.compile(
-    r"\s*([A-Za-z]+|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?|\(|\)|,)"
+    # signed inf/infinity/nan are single ordinate tokens (the reference's
+    # fast_float from_chars accepts them case-insensitively with a sign;
+    # bare words still match the keyword branch and float() both ways)
+    r"\s*([-+]?[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[-+]?[nN][aA][nN]"
+    r"|[A-Za-z]+|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?|\(|\)|,)"
 )
 
 

@@ -351,3 +351,16 @@ def test_ewkb_decode_parity():
 
     with _pt.raises(ValueError):
         wkb.parse_feature(bad)
+
+
+def test_wkt_signed_inf_nan_ordinates():
+    """fast_float parity: signed/case-insensitive inf, infinity and nan
+    ordinates parse (the reference's from_chars accepts them)."""
+    from georay.codecs import wkt as W
+
+    n = W.parse_feature_wkt("POINT (inf -inf)")
+    assert n.coords[0, 0] == float("inf") and n.coords[0, 1] == float("-inf")
+    n = W.parse_feature_wkt("POINT (-Infinity NAN)")
+    assert n.coords[0, 0] == float("-inf") and np.isnan(n.coords[0, 1])
+    n = W.parse_feature_wkt("LINESTRING (+inf 1, 2 +nan)")
+    assert n.coords[0, 0] == float("inf") and np.isnan(n.coords[1, 1])
