@@ -306,6 +306,18 @@ class PolygonIndex:
         ridx, poly = ridx[keep], poly[keep]
         if ridx.size == 0:
             return ridx, poly
+        hit = self._rect_pairs_exact(ridx, poly, rxmin, rymin, rxmax, rymax)
+        return ridx[hit], poly[hit]
+
+    def _rect_pairs_exact(
+        self, ridx: np.ndarray, poly: np.ndarray,
+        rxmin: np.ndarray, rymin: np.ndarray,
+        rxmax: np.ndarray, rymax: np.ndarray,
+    ) -> np.ndarray:
+        """Exact rect–polygon overlap per candidate pair (vertex-in-rect,
+        corner-in-polygon, proper edge crossing) → bool per pair. Shared
+        by the grid and STR candidate generators."""
+        bbox = np.column_stack([rxmin, rymin, rxmax, rymax])
         hit = np.zeros(ridx.shape[0], dtype=bool)
 
         # (a) any polygon vertex strictly inside the rect
@@ -372,7 +384,7 @@ class PolygonIndex:
             np.logical_or.at(hit2, pair2[crossed], True)
             hit[todo[hit2]] = True
 
-        return ridx[hit], poly[hit]
+        return hit
 
     def _pip_pairs_points(self, poly: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Even-odd test for (pair i → point (px[i], py[i]) vs poly[i])."""
@@ -798,3 +810,50 @@ class STRPolygonIndex:
         new[1:] = pidx[1:] != pidx[:-1]
         first[pidx[new]] = poly[new]
         return first
+
+    def intersects_rect(
+        self,
+        rxmin: np.ndarray,
+        rymin: np.ndarray,
+        rxmax: np.ndarray,
+        rymax: np.ndarray,
+    ):
+        """(rect_idx, poly_idx) interior-overlap pairs via R-tree
+        descent (strict bbox-overlap pruning — the same filter the grid
+        path applies) + the shared exact decomposition."""
+        rxmin = np.asarray(rxmin, np.float64)
+        rymin = np.asarray(rymin, np.float64)
+        rxmax = np.asarray(rxmax, np.float64)
+        rymax = np.asarray(rymax, np.float64)
+        n_rect = rxmin.shape[0]
+        top = self.levels[0]
+        if top.shape[0] == 0 or n_rect == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        ridx = np.repeat(np.arange(n_rect, dtype=np.int64), top.shape[0])
+        node = np.tile(np.arange(top.shape[0], dtype=np.int64), n_rect)
+
+        def prune(level_bbox, ridx, node):
+            keep = (
+                (level_bbox[node, 0] < rxmax[ridx])
+                & (level_bbox[node, 2] > rxmin[ridx])
+                & (level_bbox[node, 1] < rymax[ridx])
+                & (level_bbox[node, 3] > rymin[ridx])
+            )
+            return ridx[keep], node[keep]
+
+        ridx, node = prune(top, ridx, node)
+        for lvl in self.levels[1:]:
+            m = lvl.shape[0]
+            first = node * self.fanout
+            cnt = np.minimum(first + self.fanout, m) - first
+            owner, within = _ragged_ranges(cnt)
+            ridx = ridx[owner]
+            node = first[owner] + within
+            ridx, node = prune(lvl, ridx, node)
+        poly = self.slot_to_poly[node]
+        order = np.lexsort((poly, ridx))
+        ridx, poly = ridx[order], poly[order]
+        if ridx.size == 0:
+            return ridx, poly
+        hit = self.base._rect_pairs_exact(ridx, poly, rxmin, rymin, rxmax, rymax)
+        return ridx[hit], poly[hit]

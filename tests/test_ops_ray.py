@@ -2106,3 +2106,24 @@ def test_str_rtree_matches_grid_index(images_dir, ray_session):
     )
     assert a["image_id"].tolist() == b["image_id"].tolist()
     assert a["polygon_id"].tolist() == b["polygon_id"].tolist()
+
+
+def test_str_rtree_rect_intersect_matches_grid(ray_session):
+    from georay import generate
+    from georay.index import PolygonIndex, STRPolygonIndex
+
+    polys = generate.make_polygons_table(250, seed=17)
+    grid = PolygonIndex.build(polys)
+    st = STRPolygonIndex.build(polys)
+    rng = np.random.default_rng(4)
+    cx = rng.uniform(-170, 170, 800)
+    cy = rng.uniform(-80, 80, 800)
+    w = rng.uniform(0.5, 8.0, 800)
+    h = rng.uniform(0.5, 8.0, 800)
+    args = (cx - w, cy - h, cx + w, cy + h)
+    gr, gp = grid.intersects_rect(*args)
+    sr, sp = st.intersects_rect(*args)
+    assert sorted(zip(gr.tolist(), gp.tolist())) == sorted(
+        zip(sr.tolist(), sp.tolist())
+    )
+    assert len(gr) > 0
