@@ -7127,6 +7127,89 @@ ORDER BY revenue_t DESC, o.o_custkey
 LIMIT 20
 """
 
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shipping-mode priority counts, adapted to the driver
+    schema: l_linestatus stands in for shipmode (the synthetic lineitem
+    has no shipmode), 1996 ship dates for the receipt window. Shape
+    preserved exactly: order priorities broadcast into the lineitem
+    scan as a 2-valued dim column, conditional counts combine
+    map-side — one wide op total."""
+    import pyarrow.parquet as _pq
+
+    import ray as _ray
+
+    orders = _pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    ok = orders["o_orderkey"].to_numpy().astype(np.int64)
+    pri = orders["o_orderpriority"].to_pylist()
+    high = np.array([p in ("1-URGENT", "2-HIGH") for p in pri])
+    order = np.argsort(ok, kind="stable")
+    ref = _ray.put((ok[order], high[order]))
+    cache: dict = {}
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        keys, hi = cache.setdefault("p", _rayw.get(ref))
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (ship >= _Y96_LO_US) & (ship < _Y96_LO_US + 366 * _DAY_US)
+        sub = batch.filter(pa.array(m))
+        lk = sub["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = hi[np.searchsorted(keys, lk)]
+        ls = sub["l_linestatus"].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce_tpch(
+            ls, {"partial_high": h.astype(np.int64),
+                 "partial_low": (~h).astype(np.int64)}
+        )
+        return pa.table(
+            {
+                "l_linestatus": pa.array(ks),
+                "partial_high": pa.array(vs["partial_high"]),
+                "partial_low": pa.array(vs["partial_low"]),
+            }
+        )
+
+    parts = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.tree_sum(
+        parts, ["l_linestatus"],
+        {"partial_high": "high_line_count", "partial_low": "low_line_count"},
+        int_cols=("partial_high", "partial_low"),
+    )
+
+
+def _group_reduce_tpch(keys, vals: dict):
+    """One-key grouped integer sums (numpy object/str keys ok)."""
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new = np.ones(sk.shape[0], bool)
+    new[1:] = sk[1:] != sk[:-1]
+    starts = np.nonzero(new)[0]
+    out = {}
+    for name, v in vals.items():
+        out[name] = np.add.reduceat(v[order], starts)
+    return sk[starts], out
+
+
+SQL_TPCH_Q12 = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_us(l_shipdate) >= {_Y96_LO_US}
+  AND epoch_us(l_shipdate) < {_Y96_LO_US} + 366 * {_DAY_US}
+GROUP BY l_linestatus
+"""
+
 _Q18_QTY = 300.0
 
 
@@ -8042,6 +8125,7 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q12": q_tpch_q12,
     "tpch_q19": q_tpch_q19,
     "tpch_q16": q_tpch_q16,
     "sliding_window": q_sliding_window,
@@ -8234,6 +8318,7 @@ ORACLE = {
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
+    "tpch_q12": SQL_TPCH_Q12,
     "tpch_q19": SQL_TPCH_Q19,
     "tpch_q16": SQL_TPCH_Q16,
     "sliding_window": SQL_SLIDING_WINDOW,
