@@ -290,6 +290,7 @@ def pip_join_partitioned(
     id_col: str = "polygon_id",
     point_id_col: str = "image_id",
     res: float = 2.0,
+    value_col: str | None = None,
 ) -> ray.data.Dataset:
     """BOTH-SIDES-LARGE PIP join: no broadcast. Each side is keyed by the
     same grid cell (points: their cell; polygons: every cell of their
@@ -298,7 +299,9 @@ def pip_join_partitioned(
     kernel. Duplicate matches from multi-cell polygons are impossible:
     a point's single cell meets each covering polygon exactly once.
 
-    Output: inner-join pairs (point id columns + polygon id). Pick ``res``
+    Output: inner-join pairs (point id columns + polygon id;
+    ``value_col`` rides along as ``pval`` when given, enabling
+    zonal-stats composition without a second shuffle). Pick ``res``
     so a bucket's polygons fit a worker's heap (document the skew: a
     dense city cell = one map_groups task; split res finer to shard it).
     """
@@ -322,6 +325,11 @@ def pip_join_partitioned(
                 "lat": pa.array(lat),
                 id_col: pa.array([None] * len(batch), pa.int64()),
                 "wkb": pa.array([None] * len(batch), pa.binary()),
+                "pval": (
+                    batch[value_col].cast(pa.float64())
+                    if value_col is not None
+                    else pa.array([None] * len(batch), pa.float64())
+                ),
             }
         )
 
@@ -350,6 +358,7 @@ def pip_join_partitioned(
                 "lat": pa.array(np.full(n, np.nan)),
                 id_col: pa.array(ids[poly_idx], pa.int64()),
                 "wkb": wkb_col.take(pa.array(poly_idx)),
+                "pval": pa.array(np.full(n, np.nan)),
             }
         )
 
@@ -365,12 +374,13 @@ def pip_join_partitioned(
         side = group["side"].to_numpy(zero_copy_only=False)
         pts = group.filter(pa.array(side == 0))
         pls = group.filter(pa.array(side == 1))
-        empty = pa.table(
-            {
-                "pt_id": pa.array([], pts.column("pt_id").type),
-                id_col: pa.array([], pa.int64()),
-            }
-        )
+        ecols = {
+            "pt_id": pa.array([], pts.column("pt_id").type),
+            id_col: pa.array([], pa.int64()),
+        }
+        if value_col is not None:
+            ecols["pval"] = pa.array([], pa.float64())
+        empty = pa.table(ecols)
         if len(pts) == 0 or len(pls) == 0:
             return empty
         from georay.index import PolygonIndex
@@ -394,12 +404,13 @@ def pip_join_partitioned(
         cell_here = group["cell"][0].as_py()
         own_cell = c.grid_cell(lon, lat, res) == cell_here
         pidx, poly = idx.contains(np.where(own_cell, lon, 1e9), np.where(own_cell, lat, 1e9))
-        return pa.table(
-            {
-                "pt_id": pts["pt_id"].take(pa.array(pidx)),
-                id_col: pa.array(idx.polygon_ids[poly].astype(np.int64), pa.int64()),
-            }
-        )
+        out = {
+            "pt_id": pts["pt_id"].take(pa.array(pidx)),
+            id_col: pa.array(idx.polygon_ids[poly].astype(np.int64), pa.int64()),
+        }
+        if value_col is not None:
+            out["pval"] = pts["pval"].take(pa.array(pidx))
+        return pa.table(out)
 
     return both.groupby("cell").map_groups(join_bucket, batch_format="pyarrow")
 

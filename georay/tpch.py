@@ -1801,6 +1801,75 @@ def q_zonal_stats(sf_dir: str):
     )
 
 
+def q_zonal_partitioned(sf_dir: str):
+    """BOTH-SIDES-LARGE zonal statistics — the scale twin of
+    zonal_stats: the co-partitioned PIP join carries the value column
+    through the one cell shuffle (pip_join_partitioned value_col), per-
+    batch partials reduce with per-column ufuncs, and the combine tree
+    merges. Must hash-match the broadcast plan's SQL exactly."""
+    from georay.joins import pip_join_partitioned
+
+    polys = part_box_polygons(sf_dir)
+    pts = lineitem_points(sf_dir, extra_cols=["l_quantity"])
+    pairs = pip_join_partitioned(
+        pts, rd.from_arrow(polys), geometry_col="geometry",
+        id_col="p_partkey", point_id_col="l_orderkey",
+        value_col="l_quantity",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        v = batch["pval"].to_numpy(zero_copy_only=False)
+        ks, vs = ops._group_reduce(
+            [pk],
+            {
+                "partial_n": np.ones(v.shape[0], np.int64),
+                "partial_sum": v,
+                "partial_min": v,
+                "partial_max": v,
+            },
+            ufunc={
+                "partial_n": np.add,
+                "partial_sum": np.add,
+                "partial_min": np.minimum,
+                "partial_max": np.maximum,
+            },
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"]),
+                "partial_sum": pa.array(vs["partial_sum"]),
+                "partial_min": pa.array(vs["partial_min"]),
+                "partial_max": pa.array(vs["partial_max"]),
+            }
+        )
+
+    parts = pairs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    agg = ops.tree_reduce(
+        parts, ["p_partkey"],
+        {
+            "partial_n": "n", "partial_sum": "v_sum",
+            "partial_min": "v_min", "partial_max": "v_max",
+        },
+        ufunc={
+            "partial_n": np.add, "partial_sum": np.add,
+            "partial_min": np.minimum, "partial_max": np.maximum,
+        },
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["v_sum"].to_numpy(zero_copy_only=False)
+        return batch.append_column("v_avg", pa.array(s / n, pa.float64()))
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 SQL_ZONAL_STATS = f"""
 WITH pts AS (
   SELECT l_quantity, {LI_LON} AS lon, {LI_LAT} AS lat FROM lineitem
@@ -8174,6 +8243,7 @@ QUERIES = {
     "pip_partitioned": q_pip_partitioned,
     "pip_str": q_pip_str,
     "zonal_stats": q_zonal_stats,
+    "zonal_partitioned": q_zonal_partitioned,
     "group_topk": q_group_topk,
     "stratified_sample": q_stratified_sample,
     "curate": q_curate,
@@ -8361,6 +8431,7 @@ ORACLE = {
     "pip_str": SQL_PIP_BOX_JOIN,
     "pip_partitioned": SQL_PIP_PARTITIONED,
     "zonal_stats": SQL_ZONAL_STATS,
+    "zonal_partitioned": SQL_ZONAL_STATS,
     "group_topk": SQL_GROUP_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "curate": SQL_CURATE,
