@@ -305,6 +305,45 @@ FROM events
 """
 
 
+def q_gap_histogram(sf_dir: str):
+    """Inter-arrival-time distribution: per-user event gaps bucketed to
+    whole minutes, counted corpus-wide — the burstiness fingerprint of
+    a telemetry stream (pure composition: window_lag → exact integer
+    bucket → combine-tree count)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    lagd = ops.window_lag(
+        ds, key="user_id", ts="ts", value_col="ts",
+        out_col="prev_ts", order_tiebreak="event_id",
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        prev = batch["prev_ts"]
+        ok = pc.is_valid(prev)
+        sub = batch.filter(ok)
+        ts = sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pv = sub["prev_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gap_min = (ts - pv) // 60_000_000
+        return pa.table({"gap_min": pa.array(gap_min, pa.int64())})
+
+    gaps = lagd.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.salted_count(gaps, ["gap_min"], count_alias="n")
+
+
+SQL_GAP_HISTOGRAM = """
+WITH seq AS (
+  SELECT ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT (epoch_us(ts) - epoch_us(prev_ts)) // 60000000 AS gap_min, COUNT(*) AS n
+FROM seq WHERE prev_ts IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_window_first_last(sf_dir: str):
     """FIRST_VALUE + LAST_VALUE (whole-partition frame) per user over
     the event log in one pass each (shared bucket-window plan)."""
@@ -8263,6 +8302,7 @@ QUERIES = {
     "profile": q_profile,
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
+    "gap_histogram": q_gap_histogram,
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
     "window_dense_rank": q_window_dense_rank,
@@ -8451,6 +8491,7 @@ ORACLE = {
     "profile": SQL_PROFILE,
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,
+    "gap_histogram": SQL_GAP_HISTOGRAM,
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
     "window_dense_rank": SQL_WINDOW_DENSE_RANK,

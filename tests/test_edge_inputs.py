@@ -162,3 +162,35 @@ def test_round3_ops_on_degenerate_inputs(n, ray_session):
     assert est.tolist() == [n]
     anon = ops.k_anonymity_stats(kv, ["k"], 5).to_pandas()
     assert anon["n_rows_at_risk"].tolist() == [n]
+
+
+def test_snap_partitioned_no_matches(ray_session):
+    """All probe points farther than max_radius from every segment:
+    empty result with the right schema, no crash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import joins
+
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "pid": pa.array([1, 2], pa.int64()),
+                "lon": pa.array([-170.0, -160.0]),
+                "lat": pa.array([-80.0, -70.0]),
+            }
+        )
+    )
+    segs = rd.from_arrow(
+        pa.table(
+            {
+                "seg_id": pa.array([1], pa.int64()),
+                "ax": pa.array([170.0]), "ay": pa.array([80.0]),
+                "bx": pa.array([171.0]), "by": pa.array([81.0]),
+            }
+        )
+    )
+    out = joins.nearest_segment_join_partitioned(
+        pts, segs, max_radius=1.0, point_id_col="pid"
+    ).to_pandas()
+    assert len(out) == 0
