@@ -1433,3 +1433,69 @@ def nearest_segment_join_partitioned(
     return best.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def nearest_geodesic_join(
+    points: ray.data.Dataset,
+    ref_lon: np.ndarray,
+    ref_lat: np.ndarray,
+    ref_ids: np.ndarray,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    out_id: str = "ref_id",
+    out_d: str = "d_mkm",
+    ref_chunk: int = 1024,
+    point_chunk: int = 8192,
+) -> ray.data.Dataset:
+    """GEODESIC nearest-neighbor join: each probe point snaps to the
+    reference point minimizing the great-circle (haversine) distance —
+    the spherical companion of the planar kNN k=1. Blocked running-min
+    over the broadcast reference set (same memory-bounded shape as the
+    snap join). The decision metric is the distance QUANTIZED to
+    integer milli-km (``floor(km·1000 + 0.5)``), ties by ascending ref
+    id: asin/sin differ from an oracle engine's in the last ulp, so
+    comparing raw doubles would make near-ties engine-dependent; at
+    ~1 m resolution both engines see identical integers except on
+    astronomically unlikely boundary straddles. Output rows carry the
+    chosen ref id and the quantized distance."""
+    from georay.kernels import haversine_km
+
+    order = np.argsort(ref_ids, kind="stable")
+    rlon = np.asarray(ref_lon, np.float64)[order]
+    rlat = np.asarray(ref_lat, np.float64)[order]
+    rid = np.asarray(ref_ids, np.int64)[order]
+    ref = ray.put((rlon, rlat, rid))
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        rlon, rlat, rid = cache.setdefault("r", ray.get(ref))
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = px.shape[0]
+        best_id = np.empty(n, np.int64)
+        best_d = np.empty(n, np.int64)
+        for p0 in range(0, n, point_chunk):
+            p1 = min(p0 + point_chunk, n)
+            bd = np.full(p1 - p0, np.iinfo(np.int64).max, np.int64)
+            bi = np.zeros(p1 - p0, np.int64)
+            for s0 in range(0, rid.shape[0], ref_chunk):
+                s1 = min(s0 + ref_chunk, rid.shape[0])
+                km = haversine_km(
+                    px[p0:p1, None], py[p0:p1, None],
+                    rlon[None, s0:s1], rlat[None, s0:s1],
+                )
+                mkm = np.floor(km * 1000.0 + 0.5).astype(np.int64)
+                j = np.argmin(mkm, axis=1)
+                dmin = mkm[np.arange(p1 - p0), j]
+                upd = dmin < bd
+                bd[upd] = dmin[upd]
+                bi[upd] = rid[s0:s1][j[upd]]
+            best_d[p0:p1] = bd
+            best_id[p0:p1] = bi
+        return batch.append_column(out_id, pa.array(best_id)).append_column(
+            out_d, pa.array(best_d)
+        )
+
+    return points.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

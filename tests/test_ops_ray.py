@@ -2127,3 +2127,29 @@ def test_str_rtree_rect_intersect_matches_grid(ray_session):
         zip(sr.tolist(), sp.tolist())
     )
     assert len(gr) > 0
+
+
+def test_nearest_geodesic_join_wraparound(ray_session):
+    """Great-circle semantics: near the antimeridian the geodesic
+    nearest differs from the planar nearest (±180 wrap), and poles pick
+    by true arc length."""
+    import ray.data as rd
+
+    from georay import joins
+
+    # probe near lon=179.9: planar-far (lon=-179.9) is geodesically
+    # ~22 km away; planar-near (lon=170) is ~1100 km away
+    pts = pa.table(
+        {
+            "pid": pa.array([1], pa.int64()),
+            "lon": pa.array([179.9]),
+            "lat": pa.array([0.0]),
+        }
+    )
+    out = joins.nearest_geodesic_join(
+        rd.from_arrow(pts),
+        np.array([-179.9, 170.0]), np.array([0.0, 0.0]),
+        np.array([7, 8], np.int64),
+    ).to_pandas()
+    assert out["ref_id"].tolist() == [7]
+    assert out["d_mkm"].iloc[0] < 30_000  # ~22 km in milli-km
