@@ -6435,6 +6435,78 @@ SELECT l_orderkey, l_partkey, l_suppkey,
 FROM best WHERE rn = 1
 """
 
+def q_knn_geodesic(sf_dir: str):
+    """Geodesic 3-nearest suppliers per first-line lineitem point
+    (joins.knn_geodesic_join — packed (quantized-distance, id) order
+    keys make the top-k engine-stable)."""
+    from georay import joins
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_linenumber"], 1))
+        ok = sub["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = sub["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = sub["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = sub["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _li_lonlat(ok, pk, sk, ln)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "l_partkey": sub["l_partkey"],
+                "l_suppkey": sub["l_suppkey"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = ds.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sx, sy, sk = supplier_points(sf_dir)
+    out = joins.knn_geodesic_join(
+        pts, sx, sy, sk, k=3, out_id="nearest_supp", out_d="d_mkm"
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["lon", "lat"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_KNN_GEODESIC = f"""
+WITH sp AS (
+  SELECT s_suppkey,
+         radians(((s_suppkey * 41) % 3600) / 10.0 - 180.0 + 0.05) AS rl2,
+         radians(((s_suppkey * 59) % 1700) / 10.0 - 85.0 + 0.05) AS rp2
+  FROM supplier
+),
+pts AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         radians({LI_LON}) AS rl1, radians({LI_LAT}) AS rp1
+  FROM lineitem WHERE l_linenumber = 1
+),
+cand AS (
+  SELECT p.l_orderkey, p.l_partkey, p.l_suppkey, s.s_suppkey,
+         CAST(floor(2.0 * 6371.0088 * asin(sqrt(least(
+             sin((s.rp2 - p.rp1) / 2.0) * sin((s.rp2 - p.rp1) / 2.0)
+           + cos(p.rp1) * cos(s.rp2)
+             * sin((s.rl2 - p.rl1) / 2.0) * sin((s.rl2 - p.rl1) / 2.0)
+         , 1.0))) * 1000.0e0 + 0.5e0) AS BIGINT) AS d_mkm
+  FROM pts p CROSS JOIN sp s
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey
+                               ORDER BY d_mkm, s_suppkey) AS rank
+  FROM cand
+)
+SELECT l_orderkey, l_partkey, l_suppkey,
+       s_suppkey AS nearest_supp, d_mkm, rank
+FROM best WHERE rank <= 3
+"""
+
 _SNAP_RADIUS = 30.0
 
 
@@ -8259,6 +8331,7 @@ QUERIES = {
     "benford": q_benford,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
+    "knn_geodesic": q_knn_geodesic,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
     "od_matrix": q_od_matrix,
@@ -8457,6 +8530,7 @@ ORACLE = {
     "benford": SQL_BENFORD,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
+    "knn_geodesic": SQL_KNN_GEODESIC,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,
     "od_matrix": SQL_OD_MATRIX,

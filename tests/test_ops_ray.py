@@ -2153,3 +2153,38 @@ def test_nearest_geodesic_join_wraparound(ray_session):
     ).to_pandas()
     assert out["ref_id"].tolist() == [7]
     assert out["d_mkm"].iloc[0] < 30_000  # ~22 km in milli-km
+
+
+def test_knn_geodesic_ranks_and_k1_consistency(ray_session):
+    import ray.data as rd
+
+    from georay import joins
+
+    rng = np.random.default_rng(12)
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(50, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-170, 170, 50)),
+            "lat": pa.array(rng.uniform(-80, 80, 50)),
+        }
+    )
+    rl = rng.uniform(-170, 170, 30)
+    rp = rng.uniform(-80, 80, 30)
+    rid = np.arange(100, 130, dtype=np.int64)
+    k3 = (
+        joins.knn_geodesic_join(rd.from_arrow(pts), rl, rp, rid, k=3)
+        .to_pandas().sort_values(["pid", "rank"]).reset_index(drop=True)
+    )
+    assert len(k3) == 150
+    # ranks are 1..3 with nondecreasing distances per pid
+    for _, g in k3.groupby("pid"):
+        assert g["rank"].tolist() == [1, 2, 3]
+        assert g["d_mkm"].is_monotonic_increasing
+    # rank-1 equals the dedicated nearest join
+    k1 = (
+        joins.nearest_geodesic_join(rd.from_arrow(pts), rl, rp, rid)
+        .to_pandas().sort_values("pid").reset_index(drop=True)
+    )
+    top = k3[k3["rank"] == 1].sort_values("pid").reset_index(drop=True)
+    assert top["ref_id"].tolist() == k1["ref_id"].tolist()
+    assert top["d_mkm"].tolist() == k1["d_mkm"].tolist()
