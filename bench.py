@@ -184,6 +184,8 @@ def run_bench() -> dict:
     timed_ext("window_share", lambda: tpch.q_window_share(SF_DIR).count())
     timed_ext("pip_str", lambda: tpch.q_pip_str(SF_DIR).count())
     timed_ext("tpch_q12", lambda: tpch.q_tpch_q12(SF_DIR).count())
+    timed_ext("nearest_geodesic", lambda: tpch.q_nearest_geodesic(SF_DIR).count())
+    timed_ext("zonal_partitioned", lambda: tpch.q_zonal_partitioned(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -1048,7 +1048,6 @@ def trajectory_midpoint(
         idx = np.where(hit, np.arange(n), n)
         sel = np.minimum.reduceat(idx, starts)
         moved = tot > 0
-        g = np.arange(starts.shape[0])
         out_x = np.empty(starts.shape[0])
         out_y = np.empty(starts.shape[0])
         if np.any(moved):
