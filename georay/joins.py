@@ -150,15 +150,24 @@ def pip_count(
     id_col: str = "polygon_id",
     res: float | None = None,
     count_alias: str = "n",
+    index: str = "grid",
 ) -> ray.data.Dataset:
     """PIP join + per-polygon COUNT with the aggregation pushed INTO the
     probe stage: each batch emits one (polygon, partial count) row per
     matched polygon instead of materializing every joined row — the
-    join-then-aggregate pattern with no wide intermediate. Exact."""
-    index = PolygonIndex.build(
-        polygons, geometry_col=geometry_col, id_col=id_col, res=res
-    )
-    ref = ray.put(index)
+    join-then-aggregate pattern with no wide intermediate. Exact.
+    ``index``: "grid" or "str" (same selector as ``pip_join``)."""
+    if index == "str":
+        from georay.index import STRPolygonIndex
+
+        idx0 = STRPolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=id_col
+        )
+    else:
+        idx0 = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=id_col, res=res
+        )
+    ref = ray.put(idx0)
     cache: dict = {}
 
     def probe_count(batch: pa.Table) -> pa.Table:

@@ -1031,20 +1031,15 @@ def q_pip_box_join(sf_dir: str):
 
 def q_pip_str(sf_dir: str):
     """The SAME per-polygon PIP counts through the STR-packed R-tree
-    broadcast index (joins.pip_join(index="str") → probe-side count
-    partials + combine tree) — must hash-match pip_box_join exactly
-    (shared even-odd kernel, different candidate generation)."""
-    from georay.joins import pip_join
+    broadcast index (joins.pip_count(index="str") — the identical
+    pushed-count plan as pip_box_join, only the candidate generator
+    differs) — must hash-match pip_box_join exactly."""
+    from georay.joins import pip_count
 
     polys = part_box_polygons(sf_dir)
-    pts = lineitem_points(sf_dir).select_columns(["geotag"])
-    joined = pip_join(
-        pts, polys, geometry_col="geometry", id_col="p_partkey",
-        mode="inner", index="str",
-    )
-    return ops.salted_count(joined, ["polygon_id"], count_alias="n").map_batches(
-        lambda b: b.rename_columns(["p_partkey", "n"]),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    pts = lineitem_points(sf_dir)
+    return pip_count(
+        pts, polys, geometry_col="geometry", id_col="p_partkey", index="str"
     )
 
 
