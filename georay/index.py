@@ -718,8 +718,19 @@ class STRPolygonIndex:
         leaf_size: int = 16,
         fanout: int = 8,
     ) -> "STRPolygonIndex":
+        from dataclasses import replace
+
         base = PolygonIndex.build(
             polygons, geometry_col=geometry_col, id_col=id_col
+        )
+        # the STR tree replaces the grid candidate generator entirely —
+        # drop the CSR cell cover so the broadcast payload ships only
+        # geometry + bboxes
+        base = replace(
+            base,
+            cell_uniq=np.empty(0, np.int64),
+            cell_offsets=np.zeros(1, np.int64),
+            cell_polys=np.empty(0, np.int64),
         )
         bbox = base.bbox
         ok = np.isfinite(bbox[:, 0]) & (bbox[:, 2] >= bbox[:, 0])
