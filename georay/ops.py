@@ -1750,26 +1750,41 @@ def add_regex_extract(
     ds: ray.data.Dataset,
     col: str,
     pattern: str,
-    out_col: str,
+    out_col: str | None = None,
     cast: pa.DataType | None = None,
+    groups: dict[str, pa.DataType | None] | None = None,
 ) -> ray.data.Dataset:
     """Row-preserving regex field extraction (the ETL parse primitive —
-    pulling a typed field out of a semi-structured string column like
-    JSON-ish event props or log lines). ``pattern`` must contain ONE
-    named group ``(?P<v>…)``; non-matching rows yield null. Runs on
-    Arrow's C++ RE2 engine (``pc.extract_regex``) — compiled once per
-    call site inside Arrow, zero per-row Python. Optional ``cast``
-    parses the captured text (e.g. ``pa.int64()``)."""
+    pulling typed fields out of a semi-structured string column like
+    JSON-ish event props or log lines). Non-matching rows yield nulls.
+    Runs on Arrow's C++ RE2 engine (``pc.extract_regex``) — compiled
+    once per call site inside Arrow, zero per-row Python.
+
+    Two shapes:
+    - single field: ``pattern`` has one named group ``(?P<v>…)``,
+      emitted as ``out_col`` with optional ``cast``;
+    - multi field: ``groups={"group_name": dtype|None, …}`` emits one
+      column per named group in ONE regex pass (a log line → several
+      typed columns)."""
+    if groups is None:
+        if out_col is None:
+            raise ValueError("add_regex_extract: out_col required without groups")
+        groups = {"v": cast}
+        names = {"v": out_col}
+    else:
+        names = {g: g for g in groups}
 
     def extract(batch: pa.Table) -> pa.Table:
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         m = pc.extract_regex(arr, pattern=pattern)
-        v = pc.struct_field(m, "v")
-        if cast is not None:
-            v = pc.cast(v, cast)
-        return batch.append_column(out_col, v)
+        for g, dtype in groups.items():
+            v = pc.struct_field(m, g)
+            if dtype is not None:
+                v = pc.cast(v, dtype)
+            batch = batch.append_column(names[g], v)
+        return batch
 
     return ds.map_batches(
         extract, batch_format="pyarrow", zero_copy_batch=True, batch_size=None

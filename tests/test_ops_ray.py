@@ -2188,3 +2188,34 @@ def test_knn_geodesic_ranks_and_k1_consistency(ray_session):
     top = k3[k3["rank"] == 1].sort_values("pid").reset_index(drop=True)
     assert top["ref_id"].tolist() == k1["ref_id"].tolist()
     assert top["d_mkm"].tolist() == k1["d_mkm"].tolist()
+
+
+def test_add_regex_extract_multi_group(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    logs = pa.table(
+        {
+            "line": pa.array(
+                [
+                    "GET /a 200 12ms",
+                    "POST /b 503 840ms",
+                    "garbage",
+                ]
+            )
+        }
+    )
+    out = (
+        ops.add_regex_extract(
+            rd.from_arrow(logs), "line",
+            r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<code>\d{3}) (?P<ms>\d+)ms",
+            groups={"verb": None, "path": None, "code": pa.int64(),
+                    "ms": pa.int64()},
+        )
+        .to_pandas()
+    )
+    assert out["verb"].tolist()[:2] == ["GET", "POST"]
+    assert out["code"].tolist()[:2] == [200, 503]
+    assert out["ms"].tolist()[:2] == [12, 840]
+    assert out["code"].isna().tolist() == [False, False, True]
