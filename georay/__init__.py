@@ -29,4 +29,4 @@ __all__ = [
     "geo_fields",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
