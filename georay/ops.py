@@ -1053,6 +1053,59 @@ def explode_list(
     )
 
 
+def dataset_checksum(
+    ds: ray.data.Dataset,
+    cols: list[str],
+) -> ray.data.Dataset:
+    """Order-insensitive content fingerprint: one row ``(n_rows,
+    checksum)`` where checksum = Σ mix64(row key) mod 2⁶⁴ over the
+    chosen columns — compare two runs / two replicas / two cluster
+    sizes for identical content without sorting anything (the same
+    device the scaling harness uses to prove determinism across
+    parallelism levels). Commutative sum ⇒ block order, partitioning
+    and execution schedule cannot change it; map-side partials fold in
+    the combine tree. The row hash is the engine's ``_key_hash``
+    (murmur-finalizer chain), SQL-replicable in HUGEINT arithmetic."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, cols)
+        if h is None:
+            raise TypeError("dataset_checksum requires int or string/binary cols")
+        # sum mod 2^64 via int64 wraparound (bit-identical to HUGEINT % 2^64)
+        s = np.int64(0)
+        with np.errstate(over="ignore"):
+            s = h.view(np.int64).sum()
+        return pa.table(
+            {
+                "partial_n": pa.array([h.shape[0]], pa.int64()),
+                "partial_sum": pa.array([int(s)], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    from ray.data.aggregate import Sum
+
+    # int64 sums wrap identically regardless of grouping: fold via two
+    # scalars (Ray Sum on int64 may promote; fold exactly on the driver
+    # over the tiny partial rows instead)
+    rows = partials.take_all()
+    n = sum(r["partial_n"] for r in rows)
+    acc = np.int64(0)
+    with np.errstate(over="ignore"):
+        for r in rows:
+            acc = np.int64(acc + np.int64(r["partial_sum"]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([int(n)], pa.int64()),
+                "checksum": pa.array([int(acc)], pa.int64()),
+            }
+        )
+    )
+
+
 def grouped_moments(
     ds: ray.data.Dataset,
     key: str,

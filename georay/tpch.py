@@ -305,6 +305,56 @@ FROM events
 """
 
 
+_CHK_C0 = (0x9E3779B97F4A7C15 * 0x100000001B3) % 2**64
+
+
+def q_checksum(sf_dir: str):
+    """Order-insensitive content fingerprint of the lineitem key set
+    (ops.dataset_checksum — Σ mix64(row key) mod 2⁶⁴; block order,
+    partitioning and schedule cannot change it, which is exactly how
+    the scaling harness proves determinism across parallelism
+    levels)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"rid": pa.array(ok * 8 + ln, pa.int64())})
+
+    ds = ds.map_batches(
+        add_rid, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.dataset_checksum(ds, ["rid"])
+
+
+SQL_CHECKSUM = f"""
+WITH ids AS (
+  SELECT CAST(l_orderkey * 8 + l_linenumber AS HUGEINT) AS rid FROM lineitem
+),
+-- mix64(rid)
+a1 AS (SELECT xor(rid, rid // 8589934592) AS h1 FROM ids),
+a2 AS (SELECT ((h1 % 4294967296) * 18397679294719823053
+             + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+             ) % 18446744073709551616 AS h2 FROM a1),
+a3 AS (SELECT xor(h2, h2 // 8589934592) AS hk FROM a2),
+-- mix64((C0 + hk) mod 2^64), C0 = seed * FNV prime mod 2^64
+b0 AS (SELECT ({_CHK_C0} + hk) % 18446744073709551616 AS x FROM a3),
+b1 AS (SELECT xor(x, x // 8589934592) AS h1 FROM b0),
+b2 AS (SELECT ((h1 % 4294967296) * 18397679294719823053
+             + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+             ) % 18446744073709551616 AS h2 FROM b1),
+b3 AS (SELECT xor(h2, h2 // 8589934592) AS h FROM b2),
+s AS (SELECT COUNT(*) AS n, SUM(h) % 18446744073709551616::HUGEINT AS c FROM b3)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN c >= 9223372036854775808::HUGEINT
+                 THEN c - 18446744073709551616::HUGEINT ELSE c END AS BIGINT)
+         AS checksum
+FROM s
+"""
+
+
 def q_gap_histogram(sf_dir: str):
     """Inter-arrival-time distribution: per-user event gaps bucketed to
     whole minutes, counted corpus-wide — the burstiness fingerprint of
@@ -8445,6 +8495,7 @@ QUERIES = {
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
     "gap_histogram": q_gap_histogram,
+    "checksum": q_checksum,
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
     "window_dense_rank": q_window_dense_rank,
@@ -8636,6 +8687,7 @@ ORACLE = {
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,
     "gap_histogram": SQL_GAP_HISTOGRAM,
+    "checksum": SQL_CHECKSUM,
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
     "window_dense_rank": SQL_WINDOW_DENSE_RANK,

@@ -2219,3 +2219,23 @@ def test_add_regex_extract_multi_group(ray_session):
     assert out["code"].tolist()[:2] == [200, 503]
     assert out["ms"].tolist()[:2] == [12, 840]
     assert out["code"].isna().tolist() == [False, False, True]
+
+
+def test_dataset_checksum_order_invariant(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    vals = np.arange(1, 5001, dtype=np.int64)
+    a = rd.from_arrow(pa.table({"k": pa.array(vals)})).repartition(7)
+    rng = np.random.default_rng(1)
+    b = rd.from_arrow(
+        pa.table({"k": pa.array(rng.permutation(vals))})
+    ).repartition(3)
+    ca = ops.dataset_checksum(a, ["k"]).to_pandas()
+    cb = ops.dataset_checksum(b, ["k"]).to_pandas()
+    assert ca.values.tolist() == cb.values.tolist()
+    # any single-row change flips the checksum
+    c = rd.from_arrow(pa.table({"k": pa.array(np.r_[vals[:-1], [9999999]])}))
+    cc = ops.dataset_checksum(c, ["k"]).to_pandas()
+    assert cc["checksum"].iloc[0] != ca["checksum"].iloc[0]
