@@ -735,6 +735,8 @@ def top_k(
         for c, d in zip(col_list, desc):
             a = batch[c].to_numpy(zero_copy_only=False)
             if d:
+                if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
+                    a = a.view(np.int64)
                 a = np.invert(a) if a.dtype.kind in "iub" else -a
             keys.append(a)
         order = np.lexsort(tuple(reversed(keys)))[:k]
@@ -2366,6 +2368,8 @@ def group_top_k(
         for c, d in zip(reversed(order_list), reversed(desc)):
             a = batch[c].to_numpy(zero_copy_only=False)
             if d:
+                if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
+                    a = a.view(np.int64)
                 a = np.invert(a) if a.dtype.kind in "iub" else -a
             sort_arrays.append(a)
         codes = []

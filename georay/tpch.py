@@ -305,6 +305,32 @@ FROM events
 """
 
 
+def q_dedup_latest(sf_dir: str):
+    """SCD-1 snapshot: the LATEST event per user (group_top_k k=1 over
+    (ts, event_id) descending — map-side prune means each batch ships
+    at most one row per user)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    out = ops.group_top_k(
+        ds, "user_id", ["ts", "event_id"], 1, descending=True
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "event_type"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 _CHK_C0 = (0x9E3779B97F4A7C15 * 0x100000001B3) % 2**64
 
 
@@ -8496,6 +8522,7 @@ QUERIES = {
     "window_lag": q_window_lag,
     "gap_histogram": q_gap_histogram,
     "checksum": q_checksum,
+    "dedup_latest": q_dedup_latest,
     "window_cumsum": q_window_cumsum,
     "window_rank": q_window_rank,
     "window_dense_rank": q_window_dense_rank,
@@ -8688,6 +8715,7 @@ ORACLE = {
     "window_lag": SQL_WINDOW_LAG,
     "gap_histogram": SQL_GAP_HISTOGRAM,
     "checksum": SQL_CHECKSUM,
+    "dedup_latest": SQL_DEDUP_LATEST,
     "window_cumsum": SQL_WINDOW_CUMSUM,
     "window_rank": SQL_WINDOW_RANK,
     "window_dense_rank": SQL_WINDOW_DENSE_RANK,

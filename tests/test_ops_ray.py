@@ -2239,3 +2239,24 @@ def test_dataset_checksum_order_invariant(ray_session):
     c = rd.from_arrow(pa.table({"k": pa.array(np.r_[vals[:-1], [9999999]])}))
     cc = ops.dataset_checksum(c, ["k"]).to_pandas()
     assert cc["checksum"].iloc[0] != ca["checksum"].iloc[0]
+
+
+def test_group_top_k_descending_timestamp(ray_session):
+    """Descending order on a datetime64 column (the SCD-1 latest-per-key
+    pattern) — previously crashed in the negation fast path."""
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([10, 30, 20, 5], pa.timestamp("us")),
+            "v": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    out = (
+        ops.group_top_k(rd.from_arrow(tbl), "k", ["ts"], 1, descending=True)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["v"].tolist() == ["b", "c"]
