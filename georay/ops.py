@@ -737,7 +737,11 @@ def top_k(
             if d:
                 if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
                     a = a.view(np.int64)
-                a = np.invert(a) if a.dtype.kind in "iub" else -a
+                if a.dtype.kind in "OUS":  # strings: dense-rank then negate
+                    _, inv = np.unique(a, return_inverse=True)
+                    a = -inv.astype(np.int64)
+                else:
+                    a = np.invert(a) if a.dtype.kind in "iub" else -a
             keys.append(a)
         order = np.lexsort(tuple(reversed(keys)))[:k]
         return batch.take(pa.array(order))
@@ -2370,7 +2374,11 @@ def group_top_k(
             if d:
                 if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
                     a = a.view(np.int64)
-                a = np.invert(a) if a.dtype.kind in "iub" else -a
+                if a.dtype.kind in "OUS":  # strings: dense-rank then negate
+                    _, inv = np.unique(a, return_inverse=True)
+                    a = -inv.astype(np.int64)
+                else:
+                    a = np.invert(a) if a.dtype.kind in "iub" else -a
             sort_arrays.append(a)
         codes = []
         for c in reversed(keys):

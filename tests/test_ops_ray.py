@@ -2260,3 +2260,27 @@ def test_group_top_k_descending_timestamp(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert out["v"].tolist() == ["b", "c"]
+
+
+def test_group_top_k_descending_string(ray_session):
+    """Descending order on a STRING column (alphabetical last-per-key):
+    dense-rank inversion per batch — local orders suffice because the
+    map-side prune only needs within-batch ranks and each key's bucket
+    finisher sees the whole key in one batch."""
+    import ray.data as rd
+
+    from georay import ops
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "s": pa.array(["apple", "pear", "fig", "yam", "kiwi"]),
+        }
+    )
+    out = (
+        ops.group_top_k(
+            rd.from_arrow(tbl).repartition(3), "k", ["s"], 1, descending=True
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["s"].tolist() == ["pear", "yam"]
