@@ -194,3 +194,30 @@ def test_snap_partitioned_no_matches(ray_session):
         pts, segs, max_radius=1.0, point_id_col="pid"
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_equi_join_partitioned_null_keys(ray_session):
+    """SQL null semantics: NULL keys join NOTHING (inner), survive
+    null-extended in a left join — even though the bucket hash sends
+    all nulls to value-0's bucket."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table(
+        {"k": pa.array([1, None, 2], pa.int64()),
+         "lv": pa.array([10, 20, 30], pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, None, 3], pa.int64()),
+         "rv": pa.array([100, 200, 300], pa.int64())}
+    )
+    inner = ops.equi_join_partitioned(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk"
+    ).to_pandas()
+    assert inner["lv"].tolist() == [10]
+    lo = ops.equi_join_partitioned(
+        rd.from_arrow(left), rd.from_arrow(right), on="k", right_on="rk",
+        how="left",
+    ).to_pandas()
+    assert len(lo) == 3
+    assert lo[lo["k"].isna()]["rv"].isna().all()
