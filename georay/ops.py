@@ -533,7 +533,15 @@ def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     new = np.zeros(n, dtype=bool)
     new[0] = True
     for k in ks:
-        new[1:] |= k[1:] != k[:-1]
+        diff = k[1:] != k[:-1]
+        if k.dtype.kind == "f":
+            # SQL GROUP BY: all NULLs are ONE group. Null int/ts keys
+            # surface here as NaN (Arrow→numpy) and NaN != NaN would
+            # split every null row into its own group; lexsort already
+            # made the NaN run contiguous, so just unmark NaN pairs.
+            both_nan = np.isnan(k[1:]) & np.isnan(k[:-1])
+            diff &= ~both_nan
+        new[1:] |= diff
     starts = np.nonzero(new)[0]
     uf = ufunc if isinstance(ufunc, dict) else {name: ufunc for name in val_arrs}
     outs = {

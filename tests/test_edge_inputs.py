@@ -221,3 +221,15 @@ def test_equi_join_partitioned_null_keys(ray_session):
     ).to_pandas()
     assert len(lo) == 3
     assert lo[lo["k"].isna()]["rv"].isna().all()
+
+
+def test_salted_count_null_keys_one_group(ray_session):
+    """SQL GROUP BY semantics: all NULL keys form ONE group (NaN != NaN
+    would otherwise split every null row into its own group)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([1, None, None, 2], pa.int64())})
+    out = ops.salted_count(rd.from_arrow(t), ["k"], count_alias="n").to_pandas()
+    assert len(out) == 3
+    assert int(out[out["k"].isna()]["n"].iloc[0]) == 2
