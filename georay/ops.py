@@ -528,8 +528,23 @@ def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     n = key_arrs[0].shape[0]
     if n == 0:
         return key_arrs, val_arrs
-    order = np.lexsort(tuple(reversed(key_arrs)))
-    ks = [k[order] for k in key_arrs]
+    # object (string) keys: np.lexsort cannot compare None with str, so
+    # factorize null-aware first (codes are equality-preserving, which
+    # is all grouping needs) and restore original values at the end
+    proc = []
+    restore = []
+    for k in key_arrs:
+        if k.dtype.kind == "O":
+            import pandas as _pd
+
+            codes, uniques = _pd.factorize(k, use_na_sentinel=True)
+            proc.append(codes.astype(np.int64))
+            restore.append(np.asarray(uniques, dtype=object))
+        else:
+            proc.append(k)
+            restore.append(None)
+    order = np.lexsort(tuple(reversed(proc)))
+    ks = [k[order] for k in proc]
     new = np.zeros(n, dtype=bool)
     new[0] = True
     for k in ks:
@@ -547,7 +562,18 @@ def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     outs = {
         name: uf[name].reduceat(v[order], starts) for name, v in val_arrs.items()
     }
-    return [k[starts] for k in ks], outs
+    out_keys = []
+    for k, uniques in zip(ks, restore):
+        g = k[starts]
+        if uniques is None:
+            out_keys.append(g)
+        else:
+            vals = np.empty(g.shape[0], dtype=object)
+            hit = g >= 0
+            vals[hit] = uniques[g[hit]]
+            vals[~hit] = None
+            out_keys.append(vals)
+    return out_keys, outs
 
 
 def tree_reduce(

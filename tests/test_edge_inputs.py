@@ -233,3 +233,15 @@ def test_salted_count_null_keys_one_group(ray_session):
     out = ops.salted_count(rd.from_arrow(t), ["k"], count_alias="n").to_pandas()
     assert len(out) == 3
     assert int(out[out["k"].isna()]["n"].iloc[0]) == 2
+
+
+def test_salted_count_null_string_keys(ray_session):
+    """Null STRING group keys: np.lexsort cannot compare None with str;
+    the factorize path groups them as SQL does (one NULL group)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(["a", None, None, "b"])})
+    out = ops.salted_count(rd.from_arrow(t), ["k"], count_alias="n").to_pandas()
+    assert len(out) == 3
+    assert int(out[out["k"].isna()]["n"].iloc[0]) == 2
