@@ -1653,8 +1653,19 @@ def _attach_lookup(
                 group[f"c{i}"].to_numpy(zero_copy_only=False)[main], pa.int64()
             )
         mk = keys[main]
+        # callers rely on complete-lookup semantics: a main key missing
+        # from the lookup side must raise, not read a neighbor's value
+        # (searchsorted returns the insertion point on a miss) or fall
+        # back to the key itself when a bucket has no lookup rows.
+        pos = np.searchsorted(lk, mk) if lk.size else np.zeros(mk.shape, np.int64)
+        if not lk.size or np.any(lk[np.minimum(pos, lk.size - 1)] != mk):
+            if mk.size:
+                raise KeyError(
+                    "_attach_lookup: main key missing from lookup table "
+                    "(callers must pass a complete lookup)"
+                )
         out[out_col] = pa.array(
-            lv[np.searchsorted(lk, mk)] if lk.size else mk, pa.int64()
+            lv[pos] if lk.size else mk.astype(np.int64), pa.int64()
         )
         return pa.table(out)
 

@@ -734,6 +734,35 @@ def salted_count(
     )
 
 
+def _order_key(batch: pa.Table, c: str, d: bool) -> np.ndarray:
+    """Numpy sort key for one ORDER BY column (``d``=descending),
+    null-safe. Strings are dense-ranked via ``pc.rank`` (local ranks
+    suffice: the map-side prune needs only within-batch order and the
+    final merge sees all survivors in one batch); NULL strings rank
+    AFTER every value in either direction (SQL NULLS LAST): ascending
+    ranks place nulls at_end, descending ranks place them at_start so
+    the negation lands them last again. Descending ints flip via
+    bitwise NOT (overflow-free); null ints/floats surface as NaN from
+    ``to_numpy`` and lexsort places NaN last in both directions (NULLS
+    LAST again)."""
+    a = batch[c].to_numpy(zero_copy_only=False)
+    if a.dtype.kind in "OUS":  # strings: null-safe dense rank
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a = pc.rank(
+            col, sort_keys="ascending",
+            null_placement="at_start" if d else "at_end",
+            tiebreaker="dense",
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return -a if d else a
+    if not d:
+        return a
+    if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
+        a = a.view(np.int64)
+    return np.invert(a) if a.dtype.kind in "iub" else -a
+
+
 def top_k(
     ds: ray.data.Dataset,
     cols: str | list[str],
@@ -765,18 +794,7 @@ def top_k(
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) <= 0:
             return batch
-        keys = []
-        for c, d in zip(col_list, desc):
-            a = batch[c].to_numpy(zero_copy_only=False)
-            if d:
-                if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
-                    a = a.view(np.int64)
-                if a.dtype.kind in "OUS":  # strings: dense-rank then negate
-                    _, inv = np.unique(a, return_inverse=True)
-                    a = -inv.astype(np.int64)
-                else:
-                    a = np.invert(a) if a.dtype.kind in "iub" else -a
-            keys.append(a)
+        keys = [_order_key(batch, c, d) for c, d in zip(col_list, desc)]
         order = np.lexsort(tuple(reversed(keys)))[:k]
         return batch.take(pa.array(order))
 
@@ -1248,7 +1266,10 @@ def snapshot_diff(
     version. Both sides co-shuffle ONCE by key hash (each side ships
     only key + value), each bucket classifies its keys with a
     vectorized sort + boundary scan, and the per-bucket partial counts
-    fold to a single row in the combine tree."""
+    fold to a single row in the combine tree. NULL values surface as
+    NaN after the float64 cast; a key NULL in BOTH snapshots counts as
+    unchanged (SQL ``IS NOT DISTINCT FROM``), NULL vs non-NULL as
+    changed."""
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -1296,7 +1317,12 @@ def snapshot_diff(
         pair = starts[~single]
         if np.any(s[pair] == s[pair + 1]):
             raise ValueError("snapshot_diff: key is not unique per side")
-        changed = int(np.sum(v[pair] != v[pair + 1]))
+        # NaN != NaN would flag a both-NULL key as changed every run;
+        # IS NOT DISTINCT FROM semantics: both-NaN pairs are unchanged.
+        neq = (v[pair] != v[pair + 1]) & ~(
+            np.isnan(v[pair]) & np.isnan(v[pair + 1])
+        )
+        changed = int(np.sum(neq))
         unchanged = int(pair.shape[0] - changed)
         return pa.table(
             {
@@ -1346,7 +1372,8 @@ def snapshot_changes(
     UNIQUE key: one ``(key, change)`` row per drifted key with
     ``change ∈ {added, removed, changed}`` (unchanged keys emit
     nothing) — the CDC stream a downstream consumer replays. Same
-    one-co-shuffle bucket plan as ``snapshot_diff``."""
+    one-co-shuffle bucket plan and NULL convention as ``snapshot_diff``
+    (both-NULL = unchanged, IS NOT DISTINCT FROM)."""
 
     def tag(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -1399,7 +1426,10 @@ def snapshot_changes(
         sm = starts[single]
         out_k.append(k[sm])
         out_c.append(np.where(s[sm] == 1, 0, 1).astype(np.int64))
-        ch = pair[v[pair] != v[pair + 1]]
+        neq = (v[pair] != v[pair + 1]) & ~(
+            np.isnan(v[pair]) & np.isnan(v[pair + 1])
+        )
+        ch = pair[neq]
         out_k.append(k[ch])
         out_c.append(np.full(ch.shape[0], 2, np.int64))
         kk = np.concatenate(out_k)
@@ -2402,18 +2432,11 @@ def group_top_k(
         n = len(batch)
         if n == 0:
             return batch
-        sort_arrays = []  # least-significant first for np.lexsort
-        for c, d in zip(reversed(order_list), reversed(desc)):
-            a = batch[c].to_numpy(zero_copy_only=False)
-            if d:
-                if a.dtype.kind in "Mm":  # datetime/timedelta: order-isomorphic int64 view
-                    a = a.view(np.int64)
-                if a.dtype.kind in "OUS":  # strings: dense-rank then negate
-                    _, inv = np.unique(a, return_inverse=True)
-                    a = -inv.astype(np.int64)
-                else:
-                    a = np.invert(a) if a.dtype.kind in "iub" else -a
-            sort_arrays.append(a)
+        # least-significant first for np.lexsort
+        sort_arrays = [
+            _order_key(batch, c, d)
+            for c, d in zip(reversed(order_list), reversed(desc))
+        ]
         codes = []
         for c in reversed(keys):
             col = batch[c]
@@ -3968,13 +3991,30 @@ def window_share(
     (the cast truncates); integer division makes the result independent
     of summation order, so the row-preserving output hash-matches the
     SQL twin exactly. Same one-shuffle bucket plan as the positional
-    window functions (the whole-partition frame needs no ordering)."""
+    window functions (the whole-partition frame needs no ordering).
+
+    Overflow budget: values must satisfy ``|v| < 2^(63-scale_bits)``
+    (≈8.8e12 at the default 20 bits) — the shift raises otherwise
+    rather than silently wrapping negative. A key whose total is 0
+    (all-zero values) raises too: the SQL twin divides by zero there,
+    so there is no hash-compatible answer to emit."""
 
     def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
         v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(g):
+            if v.size and int(np.abs(v).max()) >= (1 << (63 - scale_bits)):
+                raise OverflowError(
+                    f"window_share: |{value_col}| max {np.abs(v).max()} "
+                    f"overflows int64 at scale_bits={scale_bits}; lower "
+                    "scale_bits or pre-scale the column"
+                )
             starts = np.nonzero(first)[0]
             sums = np.add.reduceat(v, starts)
+            if np.any(sums == 0):
+                raise ZeroDivisionError(
+                    "window_share: a key's total is 0 — the SQL twin "
+                    "divides by zero; filter zero-total keys first"
+                )
             gid = np.cumsum(first) - 1
             share = (v << scale_bits) // sums[gid]
         else:
@@ -5549,15 +5589,27 @@ def interval_union_length(
         first[0] = True
         first[1:] = k_s[1:] != k_s[:-1]
         kid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
         lo = min(int(s_s.min()), int(e_s.min()))
         hi = max(int(s_s.max()), int(e_s.max()))
         span = np.int64(hi - lo + 2)
-        sp = kid * span + (s_s - lo)
-        ep = kid * span + (e_s - lo)
-        runmax = np.maximum.accumulate(ep)
-        prev = np.concatenate(([np.int64(-1)], runmax[:-1]))
-        covered = np.maximum(ep - np.maximum(sp, prev), 0)
-        starts = np.flatnonzero(first)
+        # key-offset packing overflows int64 when n_keys × span grows
+        # (e.g. ~40k keys × years-in-µs); same guard + per-key-segment
+        # fallback as window_range_minmax above.
+        if int(starts.shape[0]) * int(span) < (1 << 62):
+            sp = kid * span + (s_s - lo)
+            ep = kid * span + (e_s - lo)
+            runmax = np.maximum.accumulate(ep)
+            prev = np.concatenate(([np.int64(-1)], runmax[:-1]))
+            covered = np.maximum(ep - np.maximum(sp, prev), 0)
+        else:  # degenerate span — per-key segments (rare)
+            covered = np.empty(n, dtype=np.int64)
+            sentinel = np.int64(np.iinfo(np.int64).min // 2)
+            for a, b in zip(starts, np.append(starts[1:], n)):
+                runmax = np.maximum.accumulate(e_s[a:b])
+                prev = np.concatenate(([sentinel], runmax[: b - a - 1]))
+                covered[a:b] = np.maximum(
+                    e_s[a:b] - np.maximum(s_s[a:b], prev), 0)
         totals = np.add.reduceat(covered, starts)
         return pa.table(
             {

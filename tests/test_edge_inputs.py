@@ -245,3 +245,113 @@ def test_salted_count_null_string_keys(ray_session):
     out = ops.salted_count(rd.from_arrow(t), ["k"], count_alias="n").to_pandas()
     assert len(out) == 3
     assert int(out[out["k"].isna()]["n"].iloc[0]) == 2
+
+
+def test_top_k_null_strings_both_directions(ray_session):
+    """ADVICE r3: descending string keys with NULLs crashed np.unique
+    (None < str). NULL strings now rank LAST in BOTH directions (SQL
+    NULLS LAST, DuckDB default)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {"s": pa.array(["b", None, "a", "c", None]),
+         "i": pa.array([1, 2, 3, 4, 5], pa.int64())}
+    )
+    d = ops.top_k(rd.from_arrow(t), "s", 5, descending=True).to_pandas()
+    assert d["s"].tolist()[:3] == ["c", "b", "a"]
+    assert d["s"].isna().tolist() == [False, False, False, True, True]
+    a = ops.top_k(rd.from_arrow(t), "s", 5, descending=False).to_pandas()
+    assert a["s"].tolist()[:3] == ["a", "b", "c"]
+    assert a["s"].isna().tolist() == [False, False, False, True, True]
+
+
+def test_group_top_k_null_strings(ray_session):
+    """Same null hardening for the grouped variant's order columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+         "s": pa.array(["b", None, "a", None, "z"])}
+    )
+    out = ops.group_top_k(
+        rd.from_arrow(t), "g", "s", 1, descending=True
+    ).to_pandas().sort_values("g")
+    assert out["s"].tolist() == ["b", "z"]
+
+
+def test_interval_union_length_wide_span_fallback(ray_session):
+    """ADVICE r3: kid*span packing overflows int64 for many keys x a
+    wide timestamp span; the per-key-segment fallback must agree with
+    the packed path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    span = (1 << 61)  # one key's span alone forces the fallback branch
+    t = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()),
+         "s": pa.array([0, 5, span - 10], pa.int64()),
+         "e": pa.array([10, 20, span - 1], pa.int64())}
+    )
+    out = ops.interval_union_length(
+        rd.from_arrow(t), "k", "s", "e", n_buckets=2
+    ).to_pandas().sort_values("k")
+    assert out["covered"].tolist() == [20, 9]
+
+    # same intervals through the packed fast path (narrow span)
+    t2 = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()),
+         "s": pa.array([0, 5, 100], pa.int64()),
+         "e": pa.array([10, 20, 109], pa.int64())}
+    )
+    out2 = ops.interval_union_length(
+        rd.from_arrow(t2), "k", "s", "e", n_buckets=2
+    ).to_pandas().sort_values("k")
+    assert out2["covered"].tolist() == [20, 9]
+
+
+def test_window_share_overflow_and_zero_total_raise(ray_session):
+    """ADVICE r3: the shift used to wrap silently negative and a
+    zero-total key hit numpy's divide-by-zero warning; both raise now."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    big = pa.table(
+        {"k": pa.array([1, 1], pa.int64()),
+         "v": pa.array([1 << 44, 1], pa.int64())}
+    )
+    with pytest.raises(Exception):
+        ops.window_share(rd.from_arrow(big), "k", "v").to_pandas()
+    zero = pa.table(
+        {"k": pa.array([1, 1], pa.int64()),
+         "v": pa.array([0, 0], pa.int64())}
+    )
+    with pytest.raises(Exception):
+        ops.window_share(rd.from_arrow(zero), "k", "v").to_pandas()
+
+
+def test_snapshot_diff_both_null_unchanged(ray_session):
+    """ADVICE r3: a key NULL in both snapshots was 'changed' every run
+    (NaN != NaN); IS NOT DISTINCT FROM semantics pin it as unchanged."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    old = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "v": pa.array([None, 5, None], pa.int64())}
+    )
+    new = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()),
+         "v": pa.array([None, 6, 7], pa.int64())}
+    )
+    d = ops.snapshot_diff(
+        rd.from_arrow(old), rd.from_arrow(new), "k", "v"
+    ).to_pandas()
+    assert int(d["n_unchanged"].iloc[0]) == 1  # both-null key 1
+    assert int(d["n_changed"].iloc[0]) == 2    # 5->6 and NULL->7
+    ch = ops.snapshot_changes(
+        rd.from_arrow(old), rd.from_arrow(new), "k", "v"
+    ).to_pandas()
+    assert sorted(ch["k"].tolist()) == [2, 3]
