@@ -454,6 +454,11 @@ class PointIndex:
     the DuckDB oracle expression exactly. Ring bound: a point whose grid
     cell is at Chebyshev ring > r is farther than ``r·res`` in that
     metric, so expansion can stop once the kth-best distance ≤ r·res.
+    (The planar metric does NOT wrap, so the narrow antimeridian wrap
+    column is harmless here: a cross-seam ref aliases into the ring but
+    its planar Δlon is ~360−ε, never closer than the bound. The
+    GEODESIC methods below DO need the seam-slack correction — haversine
+    Δλ is circular.)
     """
 
     res: float
@@ -616,9 +621,10 @@ class PointIndex:
 
         One fixed disk of Chebyshev radius ``ceil(radius/res)``
         guarantees coverage (a ref in ring > R is farther than
-        R·res ≥ radius), so no expansion loop — one vectorized CSR
-        gather + exact filter. Returns (probe_idx, ref_pos, dist2)
-        sorted by (probe_idx, dist2, ref_id)."""
+        R·res ≥ radius in the non-wrapping planar metric), so no
+        expansion loop — one vectorized CSR gather + exact filter.
+        Returns (probe_idx, ref_pos, dist2) sorted by
+        (probe_idx, dist2, ref_id)."""
         P, Rf = self._disk_candidates(lon, lat, int(np.ceil(radius / self.res)))
         if P.size == 0:
             return P, Rf, np.empty(0, np.float64)
@@ -653,7 +659,10 @@ class PointIndex:
         deg_lon = radius_km / (
             KM_PER_DEG * np.maximum(np.cos(np.radians(phi)), 1e-6)
         )
-        r_probe = np.ceil(np.maximum(deg_lat, deg_lon) / self.res).astype(np.int64)
+        slack = self.nx * self.res - 360.0
+        r_probe = np.ceil(
+            (np.maximum(deg_lat, deg_lon) + slack) / self.res
+        ).astype(np.int64)
         r_probe = np.maximum(r_probe, 1)
         half_row = int(np.ceil(self.nx / 2)) + 1
         r_probe = np.minimum(r_probe, half_row)
@@ -676,6 +685,145 @@ class PointIndex:
         d = haversine_km(lon[P], lat[P], self.ref_lon[Rf], self.ref_lat[Rf])
         hit = d <= radius_km
         return self._order_pairs(P[hit], Rf[hit], d[hit])
+
+    def knn_geodesic(
+        self, lon: np.ndarray, lat: np.ndarray, k: int,
+        max_ring: int | None = None,
+    ):
+        """For each probe → up to k nearest refs by GREAT-CIRCLE
+        distance, ring expansion with a pole-safe stopping bound.
+
+        A ref outside Chebyshev ring ``r`` differs by > r·res° in
+        latitude OR by > r·res − seam_slack° in longitude (the wrap
+        column is narrower than res when res ∤ 360). The latitude case
+        lower-bounds distance by ``r·res·KM_PER_DEG`` (meridian arc ≤
+        haversine). The longitude case is NOT pole-safe alone
+        (meridians converge), but such a ref sits inside the probe's
+        latitude band ``|Δφ| < (r+1)·res``, so ``cos φ_ref ≥ cos φ_max``
+        with ``φ_max = |φ_probe| + (r+1)·res`` and haversine ≥
+        2R·asin(√(cos φ_probe·cos φ_max)·sin(Δλ/2)). Once the ring
+        covers every longitude column the lon case is empty and the
+        latitude bound alone applies; at ``full_cover`` the disk spans
+        the globe and whatever a probe holds is exact.
+
+        The stop test compares QUANTIZED milli-km (kth_mkm <
+        bound_mkm, strictly): quantization is monotone, so an outside
+        ref can neither displace the kth candidate nor steal its
+        ref-id tie-break — bit-identical to the brute scan.
+
+        Returns (probe_idx, ref_pos, d_mkm int64) sorted by
+        (probe_idx, d_mkm, ref_id)."""
+        from georay.kernels import EARTH_RADIUS_KM, KM_PER_DEG, haversine_km
+
+        m = lon.shape[0]
+        ok0 = np.isfinite(lon) & np.isfinite(lat)
+        probe_cell = cells.grid_cell(
+            np.where(ok0, lon, 0.0), np.where(ok0, lat, 0.0), self.res
+        )
+        ny = int(np.ceil(180.0 / self.res))
+        half_row = int(np.ceil(self.nx / 2)) + 1
+        full_cover = max(half_row, ny) + 1
+        if max_ring is None:
+            max_ring = full_cover
+        acc_p: list[np.ndarray] = []
+        acc_r: list[np.ndarray] = []
+        active = np.arange(m, dtype=np.int64)[ok0]
+        n_found = np.zeros(m, dtype=np.int64)
+
+        for r in range(max_ring + 1):
+            if active.size == 0:
+                break
+            if r == 0:
+                ring_cells = probe_cell[active][:, None]
+            else:
+                disk = cells.grid_disk(probe_cell[active], r, self.nx)
+                side = 2 * r + 1
+                g = disk.reshape(active.size, side, side)
+                border_mask = np.zeros((side, side), bool)
+                border_mask[0, :] = border_mask[-1, :] = True
+                border_mask[:, 0] = border_mask[:, -1] = True
+                ring_cells = g[:, border_mask]
+            flat = ring_cells.reshape(-1)
+            owner = np.repeat(active, ring_cells.shape[1])
+            ci, refs = csr_lookup(
+                self.cell_uniq, self.cell_offsets, self.cell_points, flat
+            )
+            if ci.size:
+                acc_p.append(owner[ci])
+                acc_r.append(refs)
+                np.add.at(n_found, owner[ci], 1)
+
+            if r >= full_cover:
+                break  # globe covered — every surviving probe is exact
+            if not acc_p:
+                continue
+            enough = n_found >= k
+            check = active[enough[active]]
+            if check.size == 0:
+                continue
+            P = np.concatenate(acc_p)
+            R = np.concatenate(acc_r)
+            sel = np.isin(P, check)
+            Ps, Rs = P[sel], R[sel]
+            # dedup wrap revisits so duplicate candidates can't shrink
+            # the apparent kth distance below the true distinct kth
+            PR = Ps * (self.ref_lon.shape[0] + 1) + Rs
+            _, ui = np.unique(PR, return_index=True)
+            Ps, Rs = Ps[ui], Rs[ui]
+            km = haversine_km(lon[Ps], lat[Ps], self.ref_lon[Rs], self.ref_lat[Rs])
+            mkm = np.floor(km * 1000.0 + 0.5).astype(np.int64)
+            order = np.lexsort((mkm, Ps))
+            Ps_s, mkm_s = Ps[order], mkm[order]
+            uniqp, starts = np.unique(Ps_s, return_index=True)
+            run_len = np.diff(np.append(starts, Ps_s.shape[0]))
+            within = np.arange(Ps_s.shape[0]) - np.repeat(starts, run_len)
+            is_kth = within == k - 1
+            kth_mkm = np.full(m, np.iinfo(np.int64).max)
+            kth_mkm[Ps_s[is_kth]] = mkm_s[is_kth]
+            r_res = r * self.res
+            slack = self.nx * self.res - 360.0
+            lat_bound = r_res * KM_PER_DEG
+            if r < half_row:
+                phi1 = np.abs(lat[active])
+                phi_max = np.minimum(phi1 + (r + 1) * self.res, 90.0)
+                lon_sep = max(r_res - slack, 0.0)
+                arg = np.sqrt(
+                    np.maximum(
+                        np.cos(np.radians(phi1)) * np.cos(np.radians(phi_max)),
+                        0.0,
+                    )
+                ) * np.sin(np.radians(min(lon_sep, 180.0)) / 2.0)
+                lon_bound = (
+                    2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(arg, 1.0))
+                )
+                d_min = np.minimum(lat_bound, lon_bound)
+            else:
+                d_min = np.full(active.size, lat_bound)
+            bound_mkm = np.floor(d_min * 1000.0 + 0.5).astype(np.int64)
+            done = kth_mkm[active] < bound_mkm
+            active = active[~done]
+
+        # finalize: per probe sort candidates by (mkm, ref_id), take k
+        if not acc_p:
+            return (
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
+        P = np.concatenate(acc_p)
+        R = np.concatenate(acc_r)
+        PR = P * (self.ref_lon.shape[0] + 1) + R
+        _, ui = np.unique(PR, return_index=True)
+        P, R = P[ui], R[ui]
+        km = haversine_km(lon[P], lat[P], self.ref_lon[R], self.ref_lat[R])
+        mkm = np.floor(km * 1000.0 + 0.5).astype(np.int64)
+        order = np.lexsort((self.ref_ids[R], mkm, P))
+        P, R, mkm = P[order], R[order], mkm[order]
+        uniqp, starts = np.unique(P, return_index=True)
+        run_len = np.diff(np.append(starts, P.shape[0]))
+        within = np.arange(P.shape[0]) - np.repeat(starts, run_len)
+        keep = within < k
+        return P[keep], R[keep], mkm[keep]
 
 
 @dataclass

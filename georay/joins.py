@@ -731,30 +731,34 @@ def _topk_reduce(batch: pa.Table, k: int) -> pa.Table:
     """Keep the k smallest-(d2, rid) candidates per probe and sum the
     per-probe candidate counts — one lexsort + boundary pass; associative,
     so it serves as both the combine and the final stage of the top-k
-    merge tree (dedups (pid, rid) repeats from wrap-around disks)."""
+    merge tree (dedups (pid, rid) repeats from wrap-around disks). The
+    probe's ring (``pr``) rides along like plon/plat (constant per pid)."""
     pid = batch["pid"].to_numpy(zero_copy_only=False)
     rid = batch["rid"].to_numpy(zero_copy_only=False)
     d2 = batch["d2"].to_numpy(zero_copy_only=False)
     nc = batch["nc"].to_numpy(zero_copy_only=False)
     plon = batch["plon"].to_numpy(zero_copy_only=False)
     plat = batch["plat"].to_numpy(zero_copy_only=False)
+    pr = batch["pr"].to_numpy(zero_copy_only=False)
     if pid.shape[0] == 0:
         return batch
     # dedup (pid, rid) pairs first (a ref can reach a probe through two
     # buckets only via longitude wrap); counts follow the dedup
     order = np.lexsort((rid, pid))
-    pid, rid, d2, nc, plon, plat = (
-        a[order] for a in (pid, rid, d2, nc, plon, plat)
+    pid, rid, d2, nc, plon, plat, pr = (
+        a[order] for a in (pid, rid, d2, nc, plon, plat, pr)
     )
     first = np.ones(pid.shape[0], dtype=bool)
     first[1:] = (pid[1:] != pid[:-1]) | (rid[1:] != rid[:-1])
-    pid, rid, d2, plon, plat = (a[first] for a in (pid, rid, d2, plon, plat))
+    pid, rid, d2, plon, plat, pr = (
+        a[first] for a in (pid, rid, d2, plon, plat, pr)
+    )
     # candidate-count partials: within a (pid, rid) dup run only the
     # first row's count survives (they describe the same candidate)
     nc = nc[first]
     order = np.lexsort((rid, d2, pid))
-    pid, rid, d2, nc, plon, plat = (
-        a[order] for a in (pid, rid, d2, nc, plon, plat)
+    pid, rid, d2, nc, plon, plat, pr = (
+        a[order] for a in (pid, rid, d2, nc, plon, plat, pr)
     )
     uniq, starts = np.unique(pid, return_index=True)
     run_len = np.diff(np.append(starts, pid.shape[0]))
@@ -770,6 +774,7 @@ def _topk_reduce(batch: pa.Table, k: int) -> pa.Table:
             "nc": pa.array(nc_kept, pa.int64()),
             "plon": pa.array(plon[keep], pa.float64()),
             "plat": pa.array(plat[keep], pa.float64()),
+            "pr": pa.array(pr[keep], pa.int64()),
         }
     )
 
@@ -784,29 +789,42 @@ def knn_join_partitioned(
     ref_id_col: str = "s_suppkey",
     res: float | None = None,
     max_ring: int = 16,
-) -> "pa.Table":
-    """BOTH-SIDES-LARGE kNN join: no broadcast index. Both sides are
-    keyed by the same grid cell; each round co-shuffles the unresolved
-    probes' ring-r disks with the refs via ONE ``groupby(cell)``, scores
-    candidates bucket-locally, and merges exact per-probe top-k with the
-    combine-tree reduce (``_topk_reduce`` — no per-probe map_groups). A
+    n_pid_buckets: int = 64,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE kNN join: no broadcast index, NO DRIVER STATE.
+    Both sides are keyed by the same grid cell; each round co-shuffles
+    the unresolved probes' ring-r disks with the refs via ONE
+    ``groupby(cell)``, scores candidates bucket-locally, batch-combines
+    with ``_topk_reduce``, then finishes with a ``groupby(hash(pid))``
+    that merges each probe's exact top-k, tests the ring bound, assigns
+    ranks, and re-emits still-unresolved probes as next-round state. A
     probe resolves when it holds ≥k candidates whose kth distance ≤
     (r·res)² (the same ring-bound guarantee as ``PointIndex.knn``), else
     its ring grows. Most probes resolve in ≤2 rounds at a sane ``res``.
 
     Partitioning assumption (documented per the custom-operator rule):
-    per-round state is bounded by k·|unresolved| rows — output-sized, the
-    same boundedness class as the top-k result itself.
+    the unresolved-probe set is a DATASET (pid, lon, lat, ring) — the
+    driver holds only its row count per round; per-round candidate
+    volume is bounded by k·|unresolved|·cells-per-disk rows, sharded
+    across ``n_pid_buckets`` merge groups. Every probe flows through the
+    merge via a sentinel row (rid=-1, d2=∞), so empty-disk probes keep
+    growing instead of vanishing.
 
-    Returns (probe_id_col, ref_id_col, knn_rank) — identical rows to the
-    broadcast ``knn_join`` plan.
+    Returns a Dataset of (probe_id_col, ref_id_col, knn_rank) —
+    identical rows to the broadcast ``knn_join`` plan.
     """
+    import ray.data as rd
+
     from georay import cells as c
 
     if res is None:
         n = max(refs.count(), 1)
         res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
     nx = int(np.ceil(360.0 / res))
+    # at ``full_cover`` the probe's disk spans the whole grid, so
+    # whatever it holds is exact by construction
+    full_cover = int(max(np.ceil(nx / 2.0), np.ceil(180.0 / res))) + 1
+    nb = np.uint64(n_pid_buckets)
 
     def key_refs(batch: pa.Table) -> pa.Table:
         lon, lat = ops.point_lonlat(batch, ref_geom_col)
@@ -821,6 +839,7 @@ def knn_join_partitioned(
                 "rid": sub[ref_id_col].cast(pa.int64()),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
+                "pr": pa.array(np.full(len(sub), -1), pa.int64()),
             }
         )
 
@@ -837,41 +856,28 @@ def knn_join_partitioned(
                 "pid": sub[probe_id_col].cast(pa.int64()),
                 "lon": pa.array(lon[okm]),
                 "lat": pa.array(lat[okm]),
+                "r": pa.array(np.zeros(int(okm.sum()), np.int64)),
             }
         )
 
-    unresolved = (
-        probes.map_batches(
-            probe_tbl, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-        )
-        .take_all()
-    )
-    un_pid = np.asarray([r["pid"] for r in unresolved], np.int64)
-    un_lon = np.asarray([r["lon"] for r in unresolved], np.float64)
-    un_lat = np.asarray([r["lat"] for r in unresolved], np.float64)
-    # keep the probe-state arrays sorted by pid (searchsorted lookups)
-    o = np.argsort(un_pid)
-    un_pid, un_lon, un_lat = un_pid[o], un_lon[o], un_lat[o]
+    # Dataset-resident probe state: (pid, lon, lat, r)
+    un = probes.map_batches(
+        probe_tbl, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    n_un = un.count()
 
-    import ray.data as rd
-
-    # per-probe adaptive radius: geometric growth while a probe has <k
-    # candidates, then a JUMP straight to the proven-sufficient radius
-    # ceil(sqrt(kth)/res) — a straggler in an empty region converges in
-    # O(log(needed_ring)) rounds instead of needed_ring rounds. At
-    # ``full_cover`` the probe's disk spans the whole grid, so whatever it
-    # holds is exact by construction.
-    full_cover = int(max(np.ceil(nx / 2.0), np.ceil(180.0 / res))) + 1
-    un_r = np.zeros(un_pid.size, dtype=np.int64)
-    results: list[pa.Table] = []
-    rounds = 0
-    while un_pid.size and rounds <= max_ring:
-        rounds += 1
-        probe_cells = c.grid_cell(un_lon, un_lat, res)
+    def expand(batch: pa.Table) -> pa.Table:
+        """Probe state → its ring-r disk message rows, vectorized per
+        distinct ring value within the batch."""
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        rr = batch["r"].to_numpy(zero_copy_only=False)
+        cells_ = c.grid_cell(lon, lat, res)
         parts = []
-        for rv in np.unique(un_r):
-            m = un_r == rv
-            disk = c.grid_disk(probe_cells[m], int(rv), nx)
+        for rv in np.unique(rr):
+            m = rr == rv
+            disk = c.grid_disk(cells_[m], int(rv), nx)
             width = disk.shape[1]
             npm = int(m.sum())
             parts.append(
@@ -879,155 +885,290 @@ def knn_join_partitioned(
                     {
                         "cell": pa.array(disk.reshape(-1), pa.int64()),
                         "side": pa.array(np.zeros(npm * width, np.int8)),
-                        "pid": pa.array(np.repeat(un_pid[m], width), pa.int64()),
+                        "pid": pa.array(np.repeat(pid[m], width), pa.int64()),
                         "rid": pa.array(np.full(npm * width, -1), pa.int64()),
-                        "lon": pa.array(np.repeat(un_lon[m], width)),
-                        "lat": pa.array(np.repeat(un_lat[m], width)),
+                        "lon": pa.array(np.repeat(lon[m], width)),
+                        "lat": pa.array(np.repeat(lat[m], width)),
+                        "pr": pa.array(
+                            np.full(npm * width, rv, np.int64)
+                        ),
                     }
                 )
             )
-        msgs = pa.concat_tables(parts)
-
-        def bucket_score(group: pa.Table) -> pa.Table:
-            side = group["side"].to_numpy(zero_copy_only=False)
-            prb = group.filter(pa.array(side == 0))
-            rf = group.filter(pa.array(side == 1))
-            empty = pa.table(
-                {
-                    "pid": pa.array([], pa.int64()),
-                    "rid": pa.array([], pa.int64()),
-                    "d2": pa.array([], pa.float64()),
-                    "nc": pa.array([], pa.int64()),
-                    "plon": pa.array([], pa.float64()),
-                    "plat": pa.array([], pa.float64()),
-                }
-            )
-            if len(prb) == 0 or len(rf) == 0:
-                return empty
-            plon = prb["lon"].to_numpy(zero_copy_only=False)
-            plat = prb["lat"].to_numpy(zero_copy_only=False)
-            rlon = rf["lon"].to_numpy(zero_copy_only=False)
-            rlat = rf["lat"].to_numpy(zero_copy_only=False)
-            rids = rf["rid"].to_numpy(zero_copy_only=False)
-            pids = prb["pid"].to_numpy(zero_copy_only=False)
-            # refs sorted by rid so the STABLE d2 argsort below breaks
-            # exact-distance ties by rid ascending — the same total order
-            # as _topk_reduce and the broadcast plan. argpartition would
-            # drop an arbitrary member of a tie class straddling the kth
-            # boundary before the merge ever sees it (one-in-60k at
-            # sf0.1, caught by the broadcast-parity gate).
-            ro = np.argsort(rids)
-            rlon, rlat, rids = rlon[ro], rlat[ro], rids[ro]
-            d2 = (plon[:, None] - rlon[None, :]) ** 2 + (
-                plat[:, None] - rlat[None, :]
-            ) ** 2
-            take = min(k, rlon.shape[0])
-            top = np.argsort(d2, axis=1, kind="stable")[:, :take]
-            rows = np.repeat(np.arange(pids.shape[0]), take)
-            cols = top.reshape(-1)
+        if not parts:
             return pa.table(
                 {
-                    "pid": pa.array(pids[rows], pa.int64()),
-                    "rid": pa.array(rids[cols], pa.int64()),
-                    "d2": pa.array(d2[rows, cols], pa.float64()),
-                    "nc": pa.array(
-                        np.full(rows.shape[0], rlon.shape[0], np.int64)
-                    ),
-                    "plon": pa.array(plon[rows], pa.float64()),
-                    "plat": pa.array(plat[rows], pa.float64()),
+                    "cell": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "pid": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                    "pr": pa.array([], pa.int64()),
                 }
             )
+        return pa.concat_tables(parts)
 
+    def sentinel(batch: pa.Table) -> pa.Table:
+        """One presence row per live probe (rid=-1, d2=∞, nc=0) so a
+        probe with zero candidates still reaches the pid-bucket merge
+        and grows its ring there."""
+        n = len(batch)
+        return pa.table(
+            {
+                "pid": batch["pid"],
+                "rid": pa.array(np.full(n, -1), pa.int64()),
+                "d2": pa.array(np.full(n, np.inf), pa.float64()),
+                "nc": pa.array(np.zeros(n, np.int64)),
+                "plon": batch["lon"],
+                "plat": batch["lat"],
+                "pr": batch["r"],
+            }
+        )
+
+    def bucket_score(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        prb = group.filter(pa.array(side == 0))
+        rf = group.filter(pa.array(side == 1))
+        empty = pa.table(
+            {
+                "pid": pa.array([], pa.int64()),
+                "rid": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+                "nc": pa.array([], pa.int64()),
+                "plon": pa.array([], pa.float64()),
+                "plat": pa.array([], pa.float64()),
+                "pr": pa.array([], pa.int64()),
+            }
+        )
+        if len(prb) == 0 or len(rf) == 0:
+            return empty
+        plon = prb["lon"].to_numpy(zero_copy_only=False)
+        plat = prb["lat"].to_numpy(zero_copy_only=False)
+        ppr = prb["pr"].to_numpy(zero_copy_only=False)
+        rlon = rf["lon"].to_numpy(zero_copy_only=False)
+        rlat = rf["lat"].to_numpy(zero_copy_only=False)
+        rids = rf["rid"].to_numpy(zero_copy_only=False)
+        pids = prb["pid"].to_numpy(zero_copy_only=False)
+        # refs sorted by rid so the STABLE d2 argsort below breaks
+        # exact-distance ties by rid ascending — the same total order
+        # as _topk_reduce and the broadcast plan. argpartition would
+        # drop an arbitrary member of a tie class straddling the kth
+        # boundary before the merge ever sees it (one-in-60k at
+        # sf0.1, caught by the broadcast-parity gate).
+        ro = np.argsort(rids)
+        rlon, rlat, rids = rlon[ro], rlat[ro], rids[ro]
+        d2 = (plon[:, None] - rlon[None, :]) ** 2 + (
+            plat[:, None] - rlat[None, :]
+        ) ** 2
+        take = min(k, rlon.shape[0])
+        top = np.argsort(d2, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(pids.shape[0]), take)
+        cols = top.reshape(-1)
+        return pa.table(
+            {
+                "pid": pa.array(pids[rows], pa.int64()),
+                "rid": pa.array(rids[cols], pa.int64()),
+                "d2": pa.array(d2[rows, cols], pa.float64()),
+                "nc": pa.array(
+                    np.full(rows.shape[0], rlon.shape[0], np.int64)
+                ),
+                "plon": pa.array(plon[rows], pa.float64()),
+                "plat": pa.array(plat[rows], pa.float64()),
+                "pr": pa.array(ppr[rows], pa.int64()),
+            }
+        )
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._mix64(pid.view(np.uint64).copy())
+        return batch.append_column(
+            "_pb", pa.array((h % nb).astype(np.int64))
+        )
+
+    _fin_schema = {
+        "flag": pa.int8(), "pid": pa.int64(), "rid": pa.int64(),
+        "rank": pa.int64(), "lon": pa.float64(), "lat": pa.float64(),
+        "r": pa.int64(),
+    }
+
+    def _fin_empty() -> pa.Table:
+        return pa.table({n_: pa.array([], t_) for n_, t_ in _fin_schema.items()})
+
+    def make_finish(final_round: bool):
+        def finish(group: pa.Table) -> pa.Table:
+            g = _topk_reduce(group.drop_columns(["_pb"]), k)
+            pid = g["pid"].to_numpy(zero_copy_only=False)
+            if pid.shape[0] == 0:
+                return _fin_empty()
+            rid = g["rid"].to_numpy(zero_copy_only=False)
+            d2 = g["d2"].to_numpy(zero_copy_only=False)
+            nc = g["nc"].to_numpy(zero_copy_only=False)
+            plon = g["plon"].to_numpy(zero_copy_only=False)
+            plat = g["plat"].to_numpy(zero_copy_only=False)
+            pr = g["pr"].to_numpy(zero_copy_only=False)
+            # probe coords/ring per pid: prefer a probe-originated row
+            # (sentinel or candidate — both carry them; ref rows never
+            # reach here). Rows are sorted by (pid, d2, rid).
+            real = rid != -1
+            rp, rd2, rrid, rnc = pid[real], d2[real], rid[real], nc[real]
+            rlon_, rlat_, rpr = plon[real], plat[real], pr[real]
+            all_pid, all_first = np.unique(pid, return_index=True)
+            a_lon, a_lat = plon[all_first], plat[all_first]
+            a_r = pr[all_first]
+            out_parts = []
+            resolved_pids = np.empty(0, np.int64)
+            if rp.size:
+                uq, st = np.unique(rp, return_index=True)
+                rl = np.diff(np.append(st, rp.shape[0]))
+                kth = rd2[st + rl - 1]
+                nfound = rnc[st]
+                pos = np.searchsorted(all_pid, uq)
+                r_of = a_r[pos]
+                bound = (r_of * res) ** 2
+                have_k = (nfound >= k) & (rl >= np.minimum(k, nfound))
+                resolved = (have_k & (kth <= bound)) | (r_of >= full_cover)
+                if final_round:
+                    resolved = np.ones(uq.shape[0], bool)  # best effort
+                resolved_pids = uq[resolved]
+                if resolved_pids.size:
+                    sel = np.isin(rp, resolved_pids)
+                    # ranks: rows already ordered (d2, rid) within pid
+                    within = np.arange(rp.shape[0]) - np.repeat(st, rl)
+                    nsel = int(sel.sum())
+                    out_parts.append(
+                        pa.table(
+                            {
+                                "flag": pa.array(np.ones(nsel, np.int8)),
+                                "pid": pa.array(rp[sel], pa.int64()),
+                                "rid": pa.array(rrid[sel], pa.int64()),
+                                "rank": pa.array(within[sel] + 1, pa.int64()),
+                                "lon": pa.array(rlon_[sel], pa.float64()),
+                                "lat": pa.array(rlat_[sel], pa.float64()),
+                                "r": pa.array(rpr[sel], pa.int64()),
+                            }
+                        )
+                    )
+                # ring growth for unresolved-but-kth-known probes: jump
+                # straight to the proven-sufficient radius
+                need = np.maximum(a_r * 2, a_r + 1)
+                known = have_k & ~resolved
+                if known.any():
+                    jump = np.ceil(np.sqrt(kth[known]) / res).astype(np.int64)
+                    posk = np.searchsorted(all_pid, uq[known])
+                    need[posk] = np.maximum(a_r[posk] + 1, jump)
+            else:
+                need = np.maximum(a_r * 2, a_r + 1)
+            still = ~np.isin(all_pid, resolved_pids)
+            if final_round:
+                still &= np.zeros(all_pid.shape[0], bool)  # drop stragglers
+            if still.any():
+                out_parts.append(
+                    pa.table(
+                        {
+                            "flag": pa.array(
+                                np.zeros(int(still.sum()), np.int8)
+                            ),
+                            "pid": pa.array(all_pid[still], pa.int64()),
+                            "rid": pa.array(
+                                np.full(int(still.sum()), -1), pa.int64()
+                            ),
+                            "rank": pa.array(
+                                np.zeros(int(still.sum()), np.int64)
+                            ),
+                            "lon": pa.array(a_lon[still], pa.float64()),
+                            "lat": pa.array(a_lat[still], pa.float64()),
+                            "r": pa.array(
+                                np.minimum(need[still], full_cover),
+                                pa.int64(),
+                            ),
+                        }
+                    )
+                )
+            if not out_parts:
+                return _fin_empty()
+            return pa.concat_tables(out_parts)
+
+        return finish
+
+    results: list[ray.data.Dataset] = []
+    rounds = 0
+    while n_un and rounds <= max_ring:
+        rounds += 1
+        msgs = un.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        sent = un.map_batches(
+            sentinel, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
         cand = (
-            rd.from_arrow(msgs)
-            .union(refs_keyed)
+            msgs.union(refs_keyed)
             .groupby("cell")
             .map_groups(bucket_score, batch_format="pyarrow")
         )
-        combined = cand.map_batches(
+        combined = cand.union(sent).map_batches(
             lambda b: _topk_reduce(b, k),
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=ops.COMBINE_TARGET_ROWS,
             num_cpus=0.5,
         )
-        merged = combined.map_batches(
-            lambda b: _topk_reduce(b, k),
+        fin = (
+            combined.map_batches(
+                add_pb, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_pb")
+            .map_groups(
+                make_finish(rounds > max_ring), batch_format="pyarrow"
+            )
+        ).materialize()
+        results.append(
+            fin.map_batches(
+                lambda b: b.filter(pc.equal(b["flag"], 1)).select(
+                    ["pid", "rid", "rank"]
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        un = fin.map_batches(
+            lambda b: b.filter(pc.equal(b["flag"], 0)).select(
+                ["pid", "lon", "lat", "r"]
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=1 << 40,
-            num_cpus=0.9,
-        ).take_all()
+            batch_size=None,
+        ).materialize()
+        n_un = un.count()
 
-        mp = np.asarray([m["pid"] for m in merged], np.int64)
-        md = np.asarray([m["d2"] for m in merged], np.float64)
-        mn = np.asarray([m["nc"] for m in merged], np.int64)
-        uniq = np.empty(0, np.int64)
-        if mp.size:
-            uniq, starts = np.unique(mp, return_index=True)
-            run_len = np.diff(np.append(starts, mp.shape[0]))
-            kth = md[starts + run_len - 1]
-            nfound = mn[starts]
-            # per-probe bound: (r_i * res)^2; full-cover probes are exact
-            pos = np.searchsorted(un_pid, uniq)
-            r_of = un_r[pos]
-            bound = (r_of * res) ** 2
-            have_k = (nfound >= k) & (run_len >= np.minimum(k, nfound))
-            resolved = (have_k & (kth <= bound)) | (r_of >= full_cover)
-            ok_p = uniq[resolved]
-            if rounds > max_ring:
-                ok_p = uniq  # best effort at the round cap
-            if ok_p.size:
-                sel = np.isin(mp, ok_p)
-                results.append(
-                    pa.table(
-                        {
-                            "pid": pa.array(mp[sel], pa.int64()),
-                            "rid": pa.array(
-                                np.asarray([m["rid"] for m in merged], np.int64)[sel],
-                                pa.int64(),
-                            ),
-                            "d2": pa.array(md[sel], pa.float64()),
-                        }
-                    )
-                )
-            # grow the radius of unresolved probes: jump to the
-            # sufficient ring when the kth candidate is known, else double
-            need = np.maximum(un_r * 2, un_r + 1)
-            known = uniq[have_k & ~resolved]
-            if known.size:
-                jump = np.ceil(np.sqrt(kth[have_k & ~resolved]) / res).astype(np.int64)
-                posk = np.searchsorted(un_pid, known)
-                need[posk] = np.maximum(un_r[posk] + 1, jump)
-            still = ~np.isin(un_pid, ok_p) if ok_p.size else np.ones(un_pid.size, bool)
-            un_pid, un_lon, un_lat = un_pid[still], un_lon[still], un_lat[still]
-            un_r = np.minimum(need[still], full_cover)
-        else:
-            un_r = np.minimum(np.maximum(un_r * 2, un_r + 1), full_cover)
-
-    if not results:
+    def rename(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                probe_id_col: pa.array([], pa.int64()),
-                ref_id_col: pa.array([], pa.int64()),
-                "knn_rank": pa.array([], pa.int64()),
+                probe_id_col: b["pid"],
+                ref_id_col: b["rid"],
+                "knn_rank": b["rank"],
             }
         )
-    out = pa.concat_tables(results)
-    pid = out["pid"].to_numpy(zero_copy_only=False)
-    rid = out["rid"].to_numpy(zero_copy_only=False)
-    d2 = out["d2"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((rid, d2, pid))
-    pid, rid = pid[order], rid[order]
-    uniq, starts = np.unique(pid, return_index=True)
-    run_len = np.diff(np.append(starts, pid.shape[0]))
-    rank = np.arange(pid.shape[0]) - np.repeat(starts, run_len) + 1
-    return pa.table(
-        {
-            probe_id_col: pa.array(pid, pa.int64()),
-            ref_id_col: pa.array(rid, pa.int64()),
-            "knn_rank": pa.array(rank, pa.int64()),
-        }
+
+    if not results:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    probe_id_col: pa.array([], pa.int64()),
+                    ref_id_col: pa.array([], pa.int64()),
+                    "knn_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = results[0]
+    for extra in results[1:]:
+        out = out.union(extra)
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 
@@ -1455,26 +1596,56 @@ def nearest_geodesic_join(
     out_d: str = "d_mkm",
     ref_chunk: int = 1024,
     point_chunk: int = 8192,
+    brute_cutoff: int = 2048,
+    res: float | None = None,
 ) -> ray.data.Dataset:
     """GEODESIC nearest-neighbor join: each probe point snaps to the
     reference point minimizing the great-circle (haversine) distance —
-    the spherical companion of the planar kNN k=1. Blocked running-min
-    over the broadcast reference set (same memory-bounded shape as the
-    snap join). The decision metric is the distance QUANTIZED to
-    integer milli-km (``floor(km·1000 + 0.5)``), ties by ascending ref
-    id: asin/sin differ from an oracle engine's in the last ulp, so
-    comparing raw doubles would make near-ties engine-dependent; at
-    ~1 m resolution both engines see identical integers except on
-    astronomically unlikely boundary straddles. Output rows carry the
-    chosen ref id and the quantized distance."""
+    the spherical companion of the planar kNN k=1. The decision metric
+    is the distance QUANTIZED to integer milli-km
+    (``floor(km·1000 + 0.5)``), ties by ascending ref id: asin/sin
+    differ from an oracle engine's in the last ulp, so comparing raw
+    doubles would make near-ties engine-dependent; at ~1 m resolution
+    both engines see identical integers except on astronomically
+    unlikely boundary straddles.
+
+    Two plans, same output bit-for-bit: refs below ``brute_cutoff``
+    use the blocked running-min over the broadcast set (O(n·m), cheap
+    for dimension-table refs); larger sets broadcast a grid
+    ``PointIndex`` and prune candidates with the pole-safe geodesic
+    ring expansion (``PointIndex.knn_geodesic``, k=1) — per-probe work
+    scales with local density instead of |refs|."""
     from georay.kernels import haversine_km
 
     order = np.argsort(ref_ids, kind="stable")
     rlon = np.asarray(ref_lon, np.float64)[order]
     rlat = np.asarray(ref_lat, np.float64)[order]
     rid = np.asarray(ref_ids, np.int64)[order]
-    ref = ray.put((rlon, rlat, rid))
     cache: dict = {}
+    use_index = rid.shape[0] >= brute_cutoff
+    if use_index:
+        if res is None:
+            n = max(rid.shape[0], 1)
+            res = float(
+                np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0)
+            )
+        ref = ray.put(PointIndex.build(rlon, rlat, rid, res))
+    else:
+        ref = ray.put((rlon, rlat, rid))
+
+    def probe_index(batch: pa.Table) -> pa.Table:
+        idx: PointIndex = cache.setdefault("r", ray.get(ref))
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = px.shape[0]
+        best_id = np.zeros(n, np.int64)
+        best_d = np.full(n, np.iinfo(np.int64).max, np.int64)
+        P, R, mkm = idx.knn_geodesic(px, py, 1)
+        best_id[P] = idx.ref_ids[R]
+        best_d[P] = mkm
+        return batch.append_column(out_id, pa.array(best_id)).append_column(
+            out_d, pa.array(best_d)
+        )
 
     def probe(batch: pa.Table) -> pa.Table:
         rlon, rlat, rid = cache.setdefault("r", ray.get(ref))
@@ -1506,7 +1677,8 @@ def nearest_geodesic_join(
         )
 
     return points.map_batches(
-        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        probe_index if use_index else probe,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
 
 
@@ -1523,16 +1695,20 @@ def knn_geodesic_join(
     out_rank: str = "rank",
     ref_chunk: int = 1024,
     point_chunk: int = 4096,
+    brute_cutoff: int = 2048,
+    res: float | None = None,
 ) -> ray.data.Dataset:
     """Geodesic k-NEAREST-neighbor join: k reference points per probe
     by great-circle distance, rank 1..k — generalizing
-    ``nearest_geodesic_join`` with a per-chunk top-k merge. Candidates
-    accumulate as (B, k+chunk) quantized-distance arrays and a STABLE
-    lexsort on (d_mkm, ref_id) keeps the k best — the tie rule is a
-    total order (ROUND_NOTES: argpartition drops arbitrary tie members;
-    never feed it into an exact gate), so output is engine-stable at
-    ~1 m resolution. Emits k rows per probe (fewer if the reference
-    set is smaller)."""
+    ``nearest_geodesic_join``. The tie rule is a total order on
+    (quantized d_mkm, ref_id) (ROUND_NOTES: argpartition drops
+    arbitrary tie members; never feed it into an exact gate), so output
+    is engine-stable at ~1 m resolution. Emits k rows per probe (fewer
+    if the reference set is smaller).
+
+    Same two plans as ``nearest_geodesic_join``: blocked brute top-k
+    merge below ``brute_cutoff`` refs, pole-safe geodesic ring
+    expansion over a broadcast grid index above it — identical rows."""
     from georay.kernels import haversine_km
 
     order = np.argsort(ref_ids, kind="stable")
@@ -1541,9 +1717,37 @@ def knn_geodesic_join(
     rid = np.asarray(ref_ids, np.int64)[order]
     if rid.size and (rid.min() < 0 or rid.max() >= 1 << 32):
         raise ValueError("knn_geodesic_join: ref ids must fit uint32 (packed order key)")
-    ref = ray.put((rlon, rlat, rid))
     cache: dict = {}
     big = np.iinfo(np.int64).max
+    use_index = rid.shape[0] >= brute_cutoff
+    if use_index:
+        if res is None:
+            n = max(rid.shape[0], 1)
+            res = float(
+                np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0)
+            )
+        ref = ray.put(PointIndex.build(rlon, rlat, rid, res))
+    else:
+        ref = ray.put((rlon, rlat, rid))
+
+    def probe_index(batch: pa.Table) -> pa.Table:
+        idx: PointIndex = cache.setdefault("r", ray.get(ref))
+        px = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        py = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        P, R, mkm = idx.knn_geodesic(px, py, k)
+        # P is sorted (runs per probe, rows ordered (mkm, rid)) → ranks
+        # are positions within each run
+        uniqp, starts = np.unique(P, return_index=True)
+        run_len = np.diff(np.append(starts, P.shape[0]))
+        ranks = (
+            np.arange(P.shape[0]) - np.repeat(starts, run_len) + 1
+        ).astype(np.int64)
+        out = batch.take(pa.array(P))
+        return (
+            out.append_column(out_id, pa.array(idx.ref_ids[R], pa.int64()))
+            .append_column(out_d, pa.array(mkm, pa.int64()))
+            .append_column(out_rank, pa.array(ranks))
+        )
 
     def probe(batch: pa.Table) -> pa.Table:
         rlon, rlat, rid = cache.setdefault("r", ray.get(ref))
@@ -1592,5 +1796,6 @@ def knn_geodesic_join(
         )
 
     return points.map_batches(
-        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        probe_index if use_index else probe,
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )

@@ -343,11 +343,12 @@ def test_knn_join_partitioned_matches_broadcast(ray_session):
     bc = knn_join(
         rd.from_arrow(probes_tbl), rlon, rlat, rids, k=3, res=4.0, id_out="s_suppkey"
     ).take_all()
+    pdf = part.to_pandas()
     a = sorted(
         zip(
-            part["p_partkey"].to_pylist(),
-            part["knn_rank"].to_pylist(),
-            part["s_suppkey"].to_pylist(),
+            pdf["p_partkey"].tolist(),
+            pdf["knn_rank"].tolist(),
+            pdf["s_suppkey"].tolist(),
         )
     )
     b = sorted((r["p_partkey"], r["knn_rank"], r["s_suppkey"]) for r in bc)
@@ -2284,3 +2285,78 @@ def test_group_top_k_descending_string(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert out["s"].tolist() == ["pear", "yam"]
+
+
+def test_geodesic_index_path_matches_brute(ray_session):
+    """r4: the pole-safe ring-expansion plan (PointIndex.knn_geodesic,
+    used above brute_cutoff) must reproduce the blocked brute scan
+    bit-for-bit — including polar probes (meridian convergence breaks a
+    naive longitude ring bound), the antimeridian wrap, and quantized
+    distance ties broken by ascending ref id."""
+    import ray.data as rd
+
+    from georay import joins
+
+    rng = np.random.default_rng(23)
+    nref = 4000
+    rl = rng.uniform(-180, 180, nref)
+    rp = rng.uniform(-89, 89, nref)
+    # a polar cluster + antimeridian cluster to stress the bounds
+    rl[:50] = rng.uniform(-180, 180, 50)
+    rp[:50] = rng.uniform(88.5, 89.9, 50)
+    rl[50:100] = rng.uniform(179.0, 180.0, 50)
+    rp[50:100] = rng.uniform(-10, 10, 50)
+    rid = np.arange(nref, dtype=np.int64)
+    pl = np.concatenate([rng.uniform(-180, 180, 300), [179.95, 0.0, -180.0], [10.0], [0.0]])
+    pp = np.concatenate([rng.uniform(-89, 89, 300), [5.0, 89.7, -89.5], [89.9], [-89.99]])
+    pts = pa.table(
+        {"pid": pa.array(np.arange(pl.shape[0]), pa.int64()),
+         "lon": pa.array(pl), "lat": pa.array(pp)}
+    )
+
+    for k in (1, 3):
+        idx_out = joins.knn_geodesic_join(
+            rd.from_arrow(pts), rl, rp, rid, k=k, brute_cutoff=1
+        ).to_pandas().sort_values(["pid", "rank"]).reset_index(drop=True)
+        brute_out = joins.knn_geodesic_join(
+            rd.from_arrow(pts), rl, rp, rid, k=k, brute_cutoff=1 << 30
+        ).to_pandas().sort_values(["pid", "rank"]).reset_index(drop=True)
+        assert idx_out["ref_id"].tolist() == brute_out["ref_id"].tolist()
+        assert idx_out["d_mkm"].tolist() == brute_out["d_mkm"].tolist()
+
+    n_idx = joins.nearest_geodesic_join(
+        rd.from_arrow(pts), rl, rp, rid, brute_cutoff=1
+    ).to_pandas().sort_values("pid").reset_index(drop=True)
+    n_brt = joins.nearest_geodesic_join(
+        rd.from_arrow(pts), rl, rp, rid, brute_cutoff=1 << 30
+    ).to_pandas().sort_values("pid").reset_index(drop=True)
+    assert n_idx["ref_id"].tolist() == n_brt["ref_id"].tolist()
+    assert n_idx["d_mkm"].tolist() == n_brt["d_mkm"].tolist()
+
+def test_geodesic_seam_slack_bound():
+    """r4 seam fix (geodesic only — haversine Δλ is circular): with
+    res ∤ 360 the wrap column is narrower than res, so circular cell
+    distance r+1 across the antimeridian only guarantees
+    Δλ > r·res − slack. A probe near the seam whose kth geodesic
+    neighbor sits across it must not lose that ref to the old
+    r·res-based longitude bound."""
+    from georay.index import PointIndex
+
+    res = 8.05  # nx = 45 → slack = 45·8.05 − 360 = 2.25°
+    # probe at lon 173 (column 43); ref A across the seam at −179.9
+    # (column 0, circular distance 2): Δλ = 7.1° geodesic. ref B same
+    # side at Δλ = 7.9° (column 44 → distance 1, inside ring 1). Old
+    # bound at r=1: kth(B) = 7.9°·111.2 ≈ 878 km < 1·res·111.2 ≈ 895 km
+    # → stop at ring 1 and miss A (7.1° ≈ 790 km).
+    rl = np.array([-179.9, 173.0 + 7.9])
+    rp = np.array([0.0, 0.0])
+    rid = np.array([1, 2], np.int64)
+    idx = PointIndex.build(rl, rp, rid, res)
+    P, R, mkm = idx.knn_geodesic(np.array([173.0]), np.array([0.0]), 1)
+    assert idx.ref_ids[R].tolist() == [1]  # the cross-seam ref wins
+
+    # brute haversine agrees
+    from georay.kernels import haversine_km
+
+    km = haversine_km(np.full(2, 173.0), np.zeros(2), rl, rp)
+    assert int(np.floor(km.min() * 1000 + 0.5)) == mkm[0]
