@@ -23,6 +23,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -378,6 +379,13 @@ class ImageValidator:
 
 
 def validate_images(images_dir: str, concurrency=(2, 8)) -> dict:
+    """Corpus-wide image invariant, STREAMING: the per-row validation
+    output never reaches the driver — each batch folds to ONE
+    (rows, pixels_ok, min_psnr) partial right behind the decode actors,
+    and the partials merge through a two-stage combine tree (the same
+    shape as ``_shard_stats``). The driver receives exactly one row, so
+    the check holds at any corpus size (r3 verdict: ``out.to_pandas()``
+    of one row per image was a driver OOM at scale)."""
     ds = rd.read_parquet(images_dir)
     out = ds.map_batches(
         ImageValidator,
@@ -386,15 +394,66 @@ def validate_images(images_dir: str, concurrency=(2, 8)) -> dict:
         batch_size=1024,
         concurrency=concurrency,
     )
-    import pandas as pd
 
-    pdf = out.to_pandas()
+    def fold(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "partial_rows": pa.array([], pa.int64()),
+                    "partial_ok": pa.array([], pa.int64()),
+                    "partial_minpsnr": pa.array([], pa.float64()),
+                }
+            )
+        if "partial_rows" in batch.column_names:
+            # combine stage: partials fold associatively
+            return pa.table(
+                {
+                    "partial_rows": pa.array(
+                        [int(pc.sum(batch["partial_rows"]).as_py() or 0)]
+                    ),
+                    "partial_ok": pa.array(
+                        [int(pc.sum(batch["partial_ok"]).as_py() or 0)]
+                    ),
+                    "partial_minpsnr": pa.array(
+                        [float(pc.min(batch["partial_minpsnr"]).as_py())]
+                    ),
+                }
+            )
+        psnr = batch["psnr"].to_numpy(zero_copy_only=False)
+        fin = psnr[np.isfinite(psnr)]
+        ok = batch["pixels_ok"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "partial_rows": pa.array([len(batch)], pa.int64()),
+                "partial_ok": pa.array([int(ok.sum())], pa.int64()),
+                "partial_minpsnr": pa.array(
+                    [float(fin.min()) if fin.size else np.inf], pa.float64()
+                ),
+            }
+        )
+
+    one = (
+        out.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=ops.COMBINE_TARGET_ROWS, num_cpus=0.5,
+        )
+        .map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1 << 40, num_cpus=0.9,
+        )
+        .take_all()
+    )
+    rows = sum(int(r["partial_rows"]) for r in one)
+    okc = sum(int(r["partial_ok"]) for r in one)
+    mp = min((float(r["partial_minpsnr"]) for r in one), default=np.inf)
     return {
-        "rows": len(pdf),
-        "pixels_ok": int(pdf["pixels_ok"].sum()),
-        "min_psnr_lossy": float(pdf["psnr"][np.isfinite(pdf["psnr"])].min())
-        if np.isfinite(pdf["psnr"]).any()
-        else None,
+        "rows": rows,
+        "pixels_ok": okc,
+        "min_psnr_lossy": float(mp) if np.isfinite(mp) else None,
     }
 
 

@@ -5550,15 +5550,19 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
 
-def q_movement_report(sf_dir: str):
+def q_movement_report(sf_dir: str, gate_broadcast_max: int = 2_000_000):
     """END-TO-END movement analytics chain, hash-matched as ONE SQL
     query: per-user path length AND in-rect clipped length (ONE fused
     trajectory pass — trajectory_clip_stats) → dwell gate (users
     spending more than a sixth of their track inside the rect — just
-    above the rect's area share, exact integer compare) → semi-filter the event stream to those users → 1°-cell
-    origin–destination matrix of the survivors. The qualifying-user
-    set broadcasts as a sorted key array (bounded by the gate's
-    selectivity; the equi semi join is the unbounded twin)."""
+    above the rect's area share, exact integer compare) → semi-filter
+    the event stream to those users → 1°-cell origin–destination
+    matrix of the survivors. Below ``gate_broadcast_max`` qualifying
+    users the set broadcasts as a sorted key array; above it the
+    filter auto-switches to ``equi_join_partitioned(how="semi")``
+    (only the gated keys shuffle, never the event payload) — the same
+    bounded-broadcast/shuffle-fallback pattern as the minhash verify
+    stage (stages/dedup.py)."""
     from georay import analytics
 
     pts = _event_points(sf_dir)
@@ -5575,9 +5579,12 @@ def q_movement_report(sf_dir: str):
 
     sel = joined.map_batches(
         gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
-    users = np.sort(sel.to_pandas()["user_id"].to_numpy().astype(np.int64))
-    fpts = ops.semi_join_filter(pts, "user_id", users)
+    ).materialize()
+    if sel.count() <= gate_broadcast_max:
+        users = np.sort(sel.to_pandas()["user_id"].to_numpy().astype(np.int64))
+        fpts = ops.semi_join_filter(pts, "user_id", users)
+    else:
+        fpts = ops.equi_join_partitioned(pts, sel, on="user_id", how="semi")
 
     def add_cell(batch: pa.Table) -> pa.Table:
         lon = batch["lon"].to_numpy(zero_copy_only=False)

@@ -2360,3 +2360,21 @@ def test_geodesic_seam_slack_bound():
 
     km = haversine_km(np.full(2, 173.0), np.zeros(2), rl, rp)
     assert int(np.floor(km.min() * 1000 + 0.5)) == mkm[0]
+
+
+def test_movement_report_gate_fallback_matches_broadcast(ray_session):
+    """r4: q_movement_report's dwell-gate user list auto-switches from a
+    driver broadcast to equi_join_partitioned(how='semi') above the
+    threshold; forcing the shuffle path must reproduce the broadcast
+    result exactly."""
+    from georay import tpch
+
+    sf = "/root/testdata/sf0.001"
+    a = tpch.q_movement_report(sf).to_pandas()
+    b = tpch.q_movement_report(sf, gate_broadcast_max=0).to_pandas()
+    key = ["user_id", "o_cell", "d_cell"] if "o_cell" in a.columns else list(a.columns)
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b[a.columns])
