@@ -462,6 +462,7 @@ def rect_intersect_count(
     poly_id_col: str = "polygon_id",
     res: float | None = None,
     count_alias: str = "n",
+    index: str = "grid",
 ) -> ray.data.Dataset:
     """Rect↔polygon INTERSECTS join, counted per rect: for every
     streaming rectangle, the number of broadcast polygons whose interior
@@ -469,16 +470,25 @@ def rect_intersect_count(
     ``PolygonIndex.intersects_rect``). Per-rect counts are complete
     inside each batch, so there is NO shuffle; the polygon side ships
     once via ``ray.put``. Rects with zero matches are dropped.
+    ``index``: "grid" bbox-cover buckets or "str" R-tree descent —
+    identical pairs (shared exact decomposition), parity-pinned.
     """
-    index = PolygonIndex.build(
-        polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
-    )
-    ref = ray.put(index)
+    if index == "str":
+        from georay.index import STRPolygonIndex
+
+        idx0 = STRPolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col
+        )
+    else:
+        idx0 = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
+        )
+    ref = ray.put(idx0)
     cache: dict = {}
     cx0, cy0, cx1, cy1 = rect_cols
 
     def probe(batch: pa.Table) -> pa.Table:
-        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        idx = cache.setdefault("i", ray.get(ref))
         ridx, _poly = idx.intersects_rect(
             batch[cx0].to_numpy(zero_copy_only=False),
             batch[cy0].to_numpy(zero_copy_only=False),
@@ -510,20 +520,28 @@ def rect_intersect_pairs(
     geometry_col: str = "geometry",
     poly_id_col: str = "polygon_id",
     res: float | None = None,
+    index: str = "grid",
 ) -> ray.data.Dataset:
     """Pair-emitting twin of ``rect_intersect_count``: one output row per
-    intersecting (rect, polygon) pair. Same broadcast plan; use the
-    count variant when only cardinalities are needed (no pair
-    intermediate)."""
-    index = PolygonIndex.build(
-        polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
-    )
-    ref = ray.put(index)
+    intersecting (rect, polygon) pair. Same broadcast plan (and the
+    same "grid"/"str" index choice); use the count variant when only
+    cardinalities are needed (no pair intermediate)."""
+    if index == "str":
+        from georay.index import STRPolygonIndex
+
+        idx0 = STRPolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col
+        )
+    else:
+        idx0 = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
+        )
+    ref = ray.put(idx0)
     cache: dict = {}
     cx0, cy0, cx1, cy1 = rect_cols
 
     def probe(batch: pa.Table) -> pa.Table:
-        idx: PolygonIndex = cache.setdefault("i", ray.get(ref))
+        idx = cache.setdefault("i", ray.get(ref))
         ridx, poly = idx.intersects_rect(
             batch[cx0].to_numpy(zero_copy_only=False),
             batch[cy0].to_numpy(zero_copy_only=False),
@@ -686,19 +704,34 @@ def knn_join(
     batch_size=None,
     num_cpus: float = 1.0,
     actor_pool: bool = False,
+    index: str = "grid",
 ) -> ray.data.Dataset:
     """B6: broadcast kNN join: each probe row fans out to ≤k result rows
     (neighbor id, squared planar distance, rank). Same stateless-task vs
-    actor-pool tradeoff as ``pip_join``."""
+    actor-pool tradeoff as ``pip_join``. ``index``: "grid" (uniform
+    cell ring expansion — wins on evenly spread refs) or "str"
+    (STR-packed R-tree radius doubling — wins on wildly mixed-density
+    refs); identical output, parity-pinned."""
+    if index not in ("grid", "str"):
+        raise ValueError("knn_join: index must be 'grid' or 'str'")
     if res is None:
         # aim for ~a few refs per cell: res ≈ sqrt(area/ n_ref) over the
         # lon/lat rectangle, clamped to sane bounds
         n = max(len(ref_ids), 1)
         res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
-    index = PointIndex.build(
-        np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64), ref_ids, res
-    )
-    ref = ray.put(index)
+    if index == "str":
+        from georay.index import STRPointIndex
+
+        idx = STRPointIndex.build(
+            np.asarray(ref_lon, np.float64),
+            np.asarray(ref_lat, np.float64), np.asarray(ref_ids), r0=res,
+        )
+    else:
+        idx = PointIndex.build(
+            np.asarray(ref_lon, np.float64), np.asarray(ref_lat, np.float64),
+            ref_ids, res,
+        )
+    ref = ray.put(idx)
     if actor_pool:
         return probes.map_batches(
             KNNJoiner,

@@ -2547,6 +2547,61 @@ def q_intersect_join(sf_dir: str):
     )
 
 
+def q_intersect_str(sf_dir: str):
+    """The SAME rect↔polygon intersect counts through the STR R-tree
+    candidate generator (rect_intersect_count(index="str") — shared
+    exact decomposition, different pruning) — must hash-match
+    intersect_join exactly (the pip_str pattern for rect probes)."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import rect_intersect_count
+
+    sx, sy, sk = supplier_points(sf_dir)
+    rects = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "xmin": pa.array(sx - 1.3),
+                "ymin": pa.array(sy - 0.7),
+                "xmax": pa.array(sx + 1.3),
+                "ymax": pa.array(sy + 0.7),
+            }
+        )
+    )
+    polys = part_box_polygons(sf_dir)
+    return rect_intersect_count(
+        rects, polys, id_col="s_suppkey",
+        geometry_col="geometry", poly_id_col="p_partkey", index="str",
+    )
+
+
+def q_knn_str(sf_dir: str):
+    """The SAME kNN join as knn_part_supplier through the STR-packed
+    point R-tree (joins.knn_join(index="str"): per-probe radius
+    doubling instead of grid ring expansion) — must hash-match the
+    grid plan and the SQL oracle exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    probe = pa.table(
+        {"p_partkey": pa.array(pk)},
+        schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+    ).append_column(
+        geo.field("geotag"), native.build_points(np.column_stack([cx, cy]), geo)
+    )
+    probes = rd.from_arrow(probe)
+    sx, sy, sk = supplier_points(sf_dir)
+    out = knn_join(
+        probes, sx, sy, sk, k=KNN_K, id_out="s_suppkey",
+        concurrency=(1, 4), index="str",
+    )
+    return out.select_columns(["p_partkey", "s_suppkey", "knn_rank"])
+
+
 SQL_INTERSECT_JOIN = f"""
 WITH rects AS (
   SELECT s_suppkey,
@@ -8546,11 +8601,13 @@ QUERIES = {
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
     "knn_partitioned": q_knn_partitioned,
+    "knn_str": q_knn_str,
     "radius_join": q_radius_join,
     "radius_pairs": q_radius_pairs,
     "radius_geodesic": q_radius_geodesic,
     "radius_payload": q_radius_payload,
     "intersect_join": q_intersect_join,
+    "intersect_str": q_intersect_str,
     "wkt_csv_source": q_wkt_csv_source,
     "grouped_bounds": q_grouped_bounds,
     "geodesic_stats": q_geodesic_stats,
@@ -8738,12 +8795,14 @@ ORACLE = {
     "extract_props": SQL_EXTRACT_PROPS,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,
+    "knn_str": SQL_KNN_PART_SUPPLIER,
     "knn_partitioned": SQL_KNN_PART_SUPPLIER,
     "radius_join": SQL_RADIUS_JOIN,
     "radius_pairs": SQL_RADIUS_PAIRS,
     "radius_geodesic": SQL_RADIUS_GEODESIC,
     "radius_payload": SQL_RADIUS_PAYLOAD,
     "intersect_join": SQL_INTERSECT_JOIN,
+    "intersect_str": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
     "geodesic_stats": SQL_GEODESIC_STATS,

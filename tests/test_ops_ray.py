@@ -2378,3 +2378,90 @@ def test_movement_report_gate_fallback_matches_broadcast(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_str_point_index_knn_matches_grid(ray_session):
+    """r4: STRPointIndex radius-doubling kNN must return the identical
+    (neighbor, dist2, rank) set as PointIndex ring expansion — raw
+    index API on a wildly mixed-density ref set, and knn_join
+    end-to-end with index='str'."""
+    import ray.data as rd
+
+    from georay import joins
+    from georay.codecs import native
+    from georay.index import PointIndex, STRPointIndex
+    from georay.types import GeoType
+
+    rng = np.random.default_rng(31)
+    # dense city cluster + sparse global scatter + antimeridian strip
+    rl = np.concatenate(
+        [rng.normal(10, 0.2, 2000), rng.uniform(-180, 180, 300),
+         rng.uniform(178, 180, 50)]
+    )
+    rp = np.concatenate(
+        [rng.normal(45, 0.2, 2000), rng.uniform(-85, 85, 300),
+         rng.uniform(-5, 5, 50)]
+    )
+    rid = np.arange(rl.shape[0], dtype=np.int64)
+    pl = np.concatenate([rng.normal(10, 0.5, 200), rng.uniform(-180, 180, 100)])
+    pp = np.concatenate([rng.normal(45, 0.5, 200), rng.uniform(-85, 85, 100)])
+
+    grid = PointIndex.build(rl, rp, rid, res=2.0)
+    st = STRPointIndex.build(rl, rp, rid)
+    for k in (1, 5):
+        gP, gR, gD = grid.knn(pl, pp, k)
+        sP, sR, sD = st.knn(pl, pp, k)
+        assert gP.tolist() == sP.tolist()
+        assert grid.ref_ids[gR].tolist() == st.ref_ids[sR].tolist()
+        assert np.allclose(gD, sD)
+    assert len(st.levels) >= 3  # multi-level descent exercised
+
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = pa.table(
+        {"p_partkey": pa.array(np.arange(pl.shape[0]), pa.int64())},
+    ).append_column(
+        geo.field("geotag"), native.build_points(np.column_stack([pl, pp]), geo)
+    )
+    a = joins.knn_join(
+        rd.from_arrow(probes), rl, rp, rid, k=3, id_out="s_suppkey"
+    ).to_pandas().sort_values(["p_partkey", "knn_rank"]).reset_index(drop=True)
+    b = joins.knn_join(
+        rd.from_arrow(probes), rl, rp, rid, k=3, id_out="s_suppkey", index="str"
+    ).to_pandas().sort_values(["p_partkey", "knn_rank"]).reset_index(drop=True)
+    assert a["s_suppkey"].tolist() == b["s_suppkey"].tolist()
+    assert np.allclose(a["knn_dist2"], b["knn_dist2"])
+
+
+def test_rect_intersect_str_index_end_to_end(ray_session):
+    """r4: rect_intersect_count/pairs with index='str' match the grid
+    plan through the Dataset API."""
+    import ray.data as rd
+
+    from georay import generate, joins
+
+    polys = generate.make_polygons_table(200, seed=5)
+    rng = np.random.default_rng(9)
+    n = 500
+    cx = rng.uniform(-170, 170, n)
+    cy = rng.uniform(-80, 80, n)
+    rects = rd.from_arrow(
+        pa.table(
+            {
+                "rect_id": pa.array(np.arange(n, dtype=np.int64)),
+                "xmin": pa.array(cx - 2), "ymin": pa.array(cy - 2),
+                "xmax": pa.array(cx + 2), "ymax": pa.array(cy + 2),
+            }
+        )
+    )
+    a = joins.rect_intersect_count(rects, polys).to_pandas().sort_values(
+        "rect_id").reset_index(drop=True)
+    rects2 = rd.from_arrow(rects.take_all() and pa.Table.from_pandas(
+        rects.to_pandas()))
+    b = joins.rect_intersect_count(rects2, polys, index="str").to_pandas(
+    ).sort_values("rect_id").reset_index(drop=True)
+    assert a.values.tolist() == b.values.tolist()
+    p1 = joins.rect_intersect_pairs(rects, polys).to_pandas()
+    p2 = joins.rect_intersect_pairs(rects, polys, index="str").to_pandas()
+    assert sorted(map(tuple, p1.values.tolist())) == sorted(
+        map(tuple, p2.values.tolist())
+    )
