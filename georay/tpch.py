@@ -3115,14 +3115,21 @@ SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
 """
 
 
-def q_pretrain_prep(sf_dir: str):
+def q_pretrain_prep(sf_dir: str, gate_broadcast_max: int = 2_000_000):
     """END-TO-END pretraining data prep, composing this round's new
     operators as ONE chain: corpus-rare-bigram novelty gate (keep docs
     with ≤10% rare bigrams — drops boilerplate-free noise) → semi join
-    back to the corpus (partitioned existence probe) → sliding-window
-    chunking (256/256 disjoint) → exact chunk dedup (keep lowest rid) →
-    GPT-style sequence packing (budget 1024). Every stage is an oracled
-    operator; the composition hash-matches SQL end-to-end."""
+    back to the corpus → sliding-window chunking (256/256 disjoint) →
+    exact chunk dedup (keep lowest rid) → GPT-style sequence packing
+    (budget 1024). Every stage is an oracled operator; the composition
+    hash-matches SQL end-to-end.
+
+    The semi join auto-switches (the movement_report pattern): below
+    ``gate_broadcast_max`` passing ids the gate broadcasts as a sorted
+    key array and the corpus — the chain's heaviest payload — never
+    shuffles; above it the partitioned existence probe runs (only doc
+    ids shuffle on the right, but the text column pays one bucket
+    shuffle on the left)."""
     from georay.stages import text as text_stage
 
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -3134,10 +3141,14 @@ def q_pretrain_prep(sf_dir: str):
         return pa.table({"ok_id": batch["doc_id"].filter(pa.array(nr * 10 <= nb))})
 
     ok = stats.map_batches(passing, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None)
-    kept = ops.equi_join_partitioned(
-        docs, ok, on="doc_id", right_on="ok_id", how="semi"
-    )
+                           zero_copy_batch=True, batch_size=None).materialize()
+    if ok.count() <= gate_broadcast_max:
+        ids = np.sort(ok.to_pandas()["ok_id"].to_numpy().astype(np.int64))
+        kept = ops.semi_join_filter(docs, "doc_id", ids)
+    else:
+        kept = ops.equi_join_partitioned(
+            docs, ok, on="doc_id", right_on="ok_id", how="semi"
+        )
     chunks = text_stage.chunk_documents(kept, size=256, stride=256)
 
     def add_rid(batch: pa.Table) -> pa.Table:

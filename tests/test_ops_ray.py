@@ -2465,3 +2465,18 @@ def test_rect_intersect_str_index_end_to_end(ray_session):
     assert sorted(map(tuple, p1.values.tolist())) == sorted(
         map(tuple, p2.values.tolist())
     )
+
+
+def test_pretrain_prep_gate_fallback_matches_broadcast(ray_session):
+    """r4: q_pretrain_prep's novelty-gate semi join auto-switches
+    between key broadcast and the partitioned existence probe; both
+    paths must emit identical packs."""
+    import pandas as pd
+
+    from georay import tpch
+
+    sf = "/root/testdata/sf0.001"
+    a = tpch.q_pretrain_prep(sf).to_pandas().sort_values("rid").reset_index(drop=True)
+    b = tpch.q_pretrain_prep(sf, gate_broadcast_max=0).to_pandas().sort_values(
+        "rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
