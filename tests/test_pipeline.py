@@ -231,3 +231,30 @@ def test_bucketed_aggregate_no_shuffle(ray_session, tmp_path):
     )
     assert got["n"].tolist() == exp["n"].tolist()
     assert got["sum_v"].tolist() == exp["sum_v"].tolist()
+
+
+def test_flagship_bucketed_cells_identical_output(images_dir, polygons, ray_session, tmp_path):
+    """r4: bucketed_cells=True persists the assignment table hash-
+    bucketed by cell_parent and aggregates cells shuffle-free per
+    bucket; summary, top-cells and tile histogram must be identical to
+    the flat layout."""
+    import pandas as pd
+
+    from georay import pipeline
+
+    a_dir = str(tmp_path / "flat")
+    b_dir = str(tmp_path / "bucketed")
+    sa = pipeline.run_flagship(images_dir, a_dir, polygons, zoom=6, concurrency=2)
+    sb = pipeline.run_flagship(
+        images_dir, b_dir, polygons, zoom=6, concurrency=2,
+        bucketed_cells=True,
+    )
+    assert sa["rows"] == sb["rows"] and sa["tiles"] == sb["tiles"]
+    ta = pd.read_parquet(f"{a_dir}/top_cells.parquet").reset_index(drop=True)
+    tb = pd.read_parquet(f"{b_dir}/top_cells.parquet").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ta, tb[ta.columns])
+    ha = pd.read_parquet(f"{a_dir}/tile_histogram.parquet").sort_values(
+        "tile_key").reset_index(drop=True)
+    hb = pd.read_parquet(f"{b_dir}/tile_histogram.parquet").sort_values(
+        "tile_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(ha, hb[ha.columns])
