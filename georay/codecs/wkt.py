@@ -157,6 +157,162 @@ def write_node(node: Node, precision: int = 16, flat_multipoint: bool = True) ->
     raise ValueError(f"cannot write {g}")
 
 
+class _BudgetReached(Exception):
+    """Serialization budget hit — the reference's EAGAIN parse-abort
+    (src/geoarrow.c:1484-1494): stop emitting mid-feature instead of
+    formatting the whole geometry and cutting afterwards."""
+
+
+class _BudgetSink:
+    def __init__(self, budget: int):
+        self.parts: list[str] = []
+        self.n = 0
+        self.budget = budget
+
+    def write(self, s: str) -> None:
+        self.parts.append(s)
+        self.n += len(s)
+        if self.n >= self.budget:
+            raise _BudgetReached
+
+    def text(self) -> str:
+        s = "".join(self.parts)
+        return s[: self.budget] if len(s) > self.budget else s
+
+
+def _coords_to(sink: "_BudgetSink", c: np.ndarray, precision: int,
+               block: int = 64) -> None:
+    """Stream a coord sequence into the sink in row blocks so a giant
+    ring aborts after ~block rows past the budget, not at the end."""
+    for i0 in range(0, c.shape[0], block):
+        txt = _coords_text(c[i0:i0 + block], precision)
+        sink.write(", " + txt if i0 else txt)
+
+
+def _write_node_to(sink: "_BudgetSink", node: Node, precision: int,
+                   flat_multipoint: bool) -> None:
+    """Budget-aborting twin of ``write_node`` — emits the IDENTICAL
+    fragment stream (pinned by the prefix-parity test), raising
+    ``_BudgetReached`` from inside the sink once the budget fills."""
+    name = _GEOM_NAME[node.geom] + _DIMS_TAG[node.dims]
+    g = node.geom
+    if g == GeometryType.POINT:
+        if node.coords.shape[0] == 0 or np.all(np.isnan(node.coords)):
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        _coords_to(sink, node.coords, precision)
+        sink.write(")")
+        return
+    if g == GeometryType.LINESTRING:
+        if node.coords.shape[0] == 0:
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        _coords_to(sink, node.coords, precision)
+        sink.write(")")
+        return
+    if g == GeometryType.POLYGON:
+        if not node.rings:
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        for j, r in enumerate(node.rings):
+            sink.write(", (" if j else "(")
+            _coords_to(sink, r, precision)
+            sink.write(")")
+        sink.write(")")
+        return
+    if g == GeometryType.MULTIPOINT:
+        if not node.children:
+            sink.write(f"{name} EMPTY")
+            return
+        if flat_multipoint and all(
+            ch.coords is not None and ch.coords.shape[0] == 1
+            and not np.all(np.isnan(ch.coords))
+            for ch in node.children
+        ):
+            sink.write(f"{name} (")
+            for j, ch in enumerate(node.children):
+                if j:
+                    sink.write(", ")
+                _coords_to(sink, ch.coords, precision)
+            sink.write(")")
+            return
+        sink.write(f"{name} (")
+        for j, ch in enumerate(node.children):
+            if j:
+                sink.write(", ")
+            if ch.coords.shape[0] == 0 or np.all(np.isnan(ch.coords)):
+                sink.write("EMPTY")
+            else:
+                sink.write("(")
+                _coords_to(sink, ch.coords, precision)
+                sink.write(")")
+        sink.write(")")
+        return
+    if g == GeometryType.MULTILINESTRING:
+        if not node.children:
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        for j, ch in enumerate(node.children):
+            if j:
+                sink.write(", ")
+            if ch.coords.shape[0] == 0:
+                sink.write("EMPTY")
+            else:
+                sink.write("(")
+                _coords_to(sink, ch.coords, precision)
+                sink.write(")")
+        sink.write(")")
+        return
+    if g == GeometryType.MULTIPOLYGON:
+        if not node.children:
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        for j, ch in enumerate(node.children):
+            if j:
+                sink.write(", ")
+            if not ch.rings:
+                sink.write("EMPTY")
+            else:
+                sink.write("(")
+                for i, r in enumerate(ch.rings):
+                    sink.write(", (" if i else "(")
+                    _coords_to(sink, r, precision)
+                    sink.write(")")
+                sink.write(")")
+        sink.write(")")
+        return
+    if g == GeometryType.GEOMETRYCOLLECTION:
+        if not node.children:
+            sink.write(f"{name} EMPTY")
+            return
+        sink.write(f"{name} (")
+        for j, ch in enumerate(node.children):
+            if j:
+                sink.write(", ")
+            _write_node_to(sink, ch, precision, flat_multipoint)
+        sink.write(")")
+        return
+    raise ValueError(f"cannot write {g}")
+
+
+def write_node_limited(node: Node, precision: int, flat_multipoint: bool,
+                       budget: int) -> str:
+    """``write_node`` capped at ``budget`` bytes, aborting serialization
+    once the budget fills (reference parity, src/geoarrow.c:1484-1494)
+    — identical output to ``write_node(...)[:budget]``."""
+    sink = _BudgetSink(budget)
+    try:
+        _write_node_to(sink, node, precision, flat_multipoint)
+    except _BudgetReached:
+        pass
+    return sink.text()
+
+
 def nodes_from_native(arr: pa.Array, geo: GeoType) -> list[Node | None]:
     """Per-feature Node trees from a native array (loop over offsets)."""
     v = native.view(arr, geo)
@@ -282,9 +438,12 @@ def encode(
         if nd is None:
             out.append(None)
             continue
-        s = write_node(nd, precision, flat_multipoint)
-        if max_element_size_bytes is not None and len(s) > max_element_size_bytes:
-            s = s[:max_element_size_bytes]
+        if max_element_size_bytes is not None:
+            s = write_node_limited(
+                nd, precision, flat_multipoint, max_element_size_bytes
+            )
+        else:
+            s = write_node(nd, precision, flat_multipoint)
         out.append(s)
     return pa.array(out, pa.string())
 

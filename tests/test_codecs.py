@@ -364,3 +364,51 @@ def test_wkt_signed_inf_nan_ordinates():
     assert n.coords[0, 0] == float("-inf") and np.isnan(n.coords[0, 1])
     n = W.parse_feature_wkt("LINESTRING (+inf 1, 2 +nan)")
     assert n.coords[0, 0] == float("inf") and np.isnan(n.coords[1, 1])
+
+
+def test_wkt_budget_abort_prefix_parity():
+    """r4 reference parity (src/geoarrow.c:1484-1494 EAGAIN abort): the
+    budget-aborting writer must emit EXACTLY write_node(...)[:budget]
+    for every geometry type and every budget — while doing bounded work
+    (giant ring aborts ~one block past the budget)."""
+    from georay.codecs import wkt as W
+    from georay.types import GeoType
+
+    samples = [
+        "POINT (1 2)",
+        "POINT EMPTY",
+        "LINESTRING (0 0, 1.5 2.25, 3 4, 5 6)",
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 1))",
+        "MULTIPOINT (1 2, 3 4, 5 6)",
+        "MULTIPOINT ((1 2), EMPTY, (5 6))",
+        "MULTILINESTRING ((0 0, 1 1), EMPTY, (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), EMPTY, ((2 2, 3 2, 3 3, 2 2)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1), "
+        "GEOMETRYCOLLECTION (POINT (9 9)))",
+        "GEOMETRYCOLLECTION EMPTY",
+        "POINT ZM (1 2 3 4)",
+        "LINESTRING Z (0 0 1, 2 2 2)",
+    ]
+    for s in samples:
+        nd = W.parse_feature_wkt(s)
+        full = W.write_node(nd, 16, True)
+        for b in list(range(1, min(len(full) + 3, 40))) + [len(full), len(full) + 10, 1 << 20]:
+            got = W.write_node_limited(nd, 16, True, b)
+            assert got == full[:b], (s, b, got, full[:b])
+
+    # giant linestring: bounded work — the sink aborts within one block
+    import numpy as np
+
+    from georay.types import Dimensions, GeometryType
+
+    big = W.Node(
+        geom=GeometryType.LINESTRING, dims=Dimensions.XY,
+        coords=np.arange(2_000_000, dtype=np.float64).reshape(-1, 2),
+    )
+    import time
+
+    t0 = time.perf_counter()
+    small = W.write_node_limited(big, 16, True, 100)
+    dt = time.perf_counter() - t0
+    assert len(small) == 100
+    assert dt < 0.5  # full serialization of 1M points would take seconds
