@@ -319,6 +319,16 @@ def pip_join_partitioned(
     from georay.codecs import wkb as wkb_codec
     from georay.types import GeoType
 
+    # polygon ids transport in their own dtype (r4: string ids — the
+    # broadcast plan's make_polygons_table shape — used to crash the
+    # int64-hardcoded union schema); the union schema is fixed at plan
+    # time from the polygon side's metadata
+    _pid_type = polygons.schema().base_schema.field(id_col).type
+    id_is_str = pa.types.is_string(_pid_type) or pa.types.is_large_string(
+        _pid_type
+    )
+    transport = pa.string() if id_is_str else pa.int64()
+
     def key_points(batch: pa.Table) -> pa.Table:
         lon, lat = ops.point_lonlat(batch, geom_col)
         bad = ~(np.isfinite(lon) & np.isfinite(lat))
@@ -332,7 +342,7 @@ def pip_join_partitioned(
                 "pt_id": batch[point_id_col].cast(pa.string()),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
-                id_col: pa.array([None] * len(batch), pa.int64()),
+                id_col: pa.array([None] * len(batch), transport),
                 "wkb": pa.array([None] * len(batch), pa.binary()),
                 "pval": (
                     batch[value_col].cast(pa.float64())
@@ -356,7 +366,9 @@ def pip_join_partitioned(
 
         keys, poly_idx = _cover_bboxes_grid(bbox, ok, res)
         wkb_col = wkb_codec.encode(batch[geometry_col], geo)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         n = keys.shape[0]
         return pa.table(
             {
@@ -365,7 +377,7 @@ def pip_join_partitioned(
                 "pt_id": pa.array([None] * n, pa.string()),
                 "lon": pa.array(np.full(n, np.nan)),
                 "lat": pa.array(np.full(n, np.nan)),
-                id_col: pa.array(ids[poly_idx], pa.int64()),
+                id_col: ids.cast(transport).take(pa.array(poly_idx)),
                 "wkb": wkb_col.take(pa.array(poly_idx)),
                 "pval": pa.array(np.full(n, np.nan)),
             }
@@ -385,7 +397,7 @@ def pip_join_partitioned(
         pls = group.filter(pa.array(side == 1))
         ecols = {
             "pt_id": pa.array([], pts.column("pt_id").type),
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], transport),
         }
         if value_col is not None:
             ecols["pval"] = pa.array([], pa.float64())
@@ -403,7 +415,7 @@ def pip_join_partitioned(
         )
         tbl = pa.table(
             {id_col: pls[id_col]},
-            schema=pa.schema([pa.field(id_col, pa.int64())]),
+            schema=pa.schema([pa.field(id_col, transport)]),
         ).append_column(GeoType.multipolygon().field(geometry_col), nat_poly)
         idx = PolygonIndex.build(tbl, geometry_col=geometry_col, id_col=id_col, res=res)
         lon = pts["lon"].to_numpy(zero_copy_only=False)
@@ -413,9 +425,13 @@ def pip_join_partitioned(
         cell_here = group["cell"][0].as_py()
         own_cell = c.grid_cell(lon, lat, res) == cell_here
         pidx, poly = idx.contains(np.where(own_cell, lon, 1e9), np.where(own_cell, lat, 1e9))
+        matched = idx.polygon_ids[poly]
         out = {
             "pt_id": pts["pt_id"].take(pa.array(pidx)),
-            id_col: pa.array(idx.polygon_ids[poly].astype(np.int64), pa.int64()),
+            id_col: pa.array(
+                matched.tolist() if id_is_str else matched.astype(np.int64),
+                transport,
+            ),
         }
         if value_col is not None:
             out["pval"] = pts["pval"].take(pa.array(pidx))

@@ -355,3 +355,116 @@ def test_snapshot_diff_both_null_unchanged(ray_session):
         rd.from_arrow(old), rd.from_arrow(new), "k", "v"
     ).to_pandas()
     assert sorted(ch["k"].tolist()) == [2, 3]
+
+
+def _pts_tbl(n, idc="pt_id"):
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    geo = GeoType.point(crs="OGC:CRS84")
+    if n == 0:
+        t = pa.table({idc: pa.array([], pa.int64())})
+        return t.append_column(
+            geo.field("geotag"), native.build_points(np.empty((0, 2)), geo)
+        )
+    rng = np.random.default_rng(1)
+    t = pa.table({idc: pa.array(np.arange(n, dtype=np.int64))})
+    return t.append_column(
+        geo.field("geotag"),
+        native.build_points(
+            np.column_stack([rng.uniform(-10, 10, n), rng.uniform(-10, 10, n)]),
+            geo,
+        ),
+    )
+
+
+def test_empty_inputs_through_partitioned_twins(ray_session):
+    """r4 robustness sweep: every partitioned join twin must run (and
+    return the right empty shape) with an empty probe side, an empty
+    reference side, or both."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import generate, joins
+
+    def D(t):
+        return rd.from_arrow(t)
+
+    polys = generate.make_polygons_table(10, seed=3)
+    assert joins.pip_join_partitioned(
+        D(_pts_tbl(0)), D(polys), res=4.0, point_id_col="pt_id"
+    ).count() == 0
+    assert joins.pip_join_partitioned(
+        D(_pts_tbl(5)), D(polys.slice(0, 0)), res=4.0, point_id_col="pt_id"
+    ).count() == 0
+    assert joins.knn_join_partitioned(
+        D(_pts_tbl(0, "p_partkey")), D(_pts_tbl(5, "s_suppkey")), k=2,
+        probe_id_col="p_partkey", ref_id_col="s_suppkey", res=5.0,
+    ).count() == 0
+    assert joins.knn_join_partitioned(
+        D(_pts_tbl(5, "p_partkey")), D(_pts_tbl(0, "s_suppkey")), k=2,
+        probe_id_col="p_partkey", ref_id_col="s_suppkey", res=5.0, max_ring=4,
+    ).count() == 0
+    refs_empty = pa.table(
+        {"lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64())}
+    )
+    assert joins.radius_join_count_partitioned(
+        D(_pts_tbl(5, "p_partkey")), D(refs_empty), radius=2.0
+    ).count() == 0
+    ts_empty = pa.table(
+        {"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64())}
+    )
+    rt = pa.table({"rk": pa.array([1], pa.int64()), "rts": pa.array([4], pa.int64())})
+    assert ops.asof_join_partitioned(
+        rd.from_arrow(ts_empty), rd.from_arrow(rt),
+        left_key="k", left_ts="ts", right_key="rk", right_ts="rts",
+    ).count() == 0
+    assert ops.asof_join_partitioned(
+        rd.from_arrow(rt.rename_columns(["k", "ts"])),
+        rd.from_arrow(rt.slice(0, 0)),
+        left_key="k", left_ts="ts", right_key="rk", right_ts="rts",
+    ).count() == 0
+
+
+def test_pip_partitioned_string_polygon_ids(ray_session):
+    """r4 probe find: pip_join_partitioned hardcoded int64 polygon ids
+    while the broadcast plan accepts strings (make_polygons_table's
+    shape). Both plans must now agree on string ids, dtype preserved."""
+    import ray.data as rd
+
+    from georay import generate, joins
+
+    import numpy as np
+    import pyarrow as pa
+
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    polys = generate.make_polygons_table(200, seed=3)  # string polygon_id
+    rng = np.random.default_rng(7)
+    geo = GeoType.point(crs="OGC:CRS84")
+    pts = pa.table(
+        {"pt_id": pa.array(np.arange(500, dtype=np.int64))}
+    ).append_column(
+        geo.field("geotag"),
+        native.build_points(
+            np.column_stack(
+                [rng.uniform(-180, 180, 500), rng.uniform(-85, 85, 500)]
+            ),
+            geo,
+        ),
+    )
+    part = joins.pip_join_partitioned(
+        rd.from_arrow(pts), rd.from_arrow(polys), res=4.0, point_id_col="pt_id"
+    ).to_pandas()
+    bc = joins.pip_join(
+        rd.from_arrow(pts), polys, mode="inner", geom_col="geotag"
+    ).to_pandas()
+    a = sorted(zip(part["pt_id"].astype(str), part["polygon_id"]))
+    b = sorted(zip(bc["pt_id"].astype(str), bc["polygon_id"]))
+    assert a == b and len(a) > 0
+    assert part["polygon_id"].map(type).eq(str).all()
