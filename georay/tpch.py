@@ -8440,6 +8440,466 @@ def q_components_partitioned(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- TPC-H r4
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 customer order-count distribution, adapted: the
+    left-join predicate o_orderstatus <> 'F' stands in for the
+    reference's NOT LIKE comment filter (the synthetic orders table has
+    no comment column). Shape preserved exactly: orders pre-aggregate
+    to (custkey, n) partials BEFORE the join (map-side combine — the
+    big side never ships raw rows), LEFT-attach to customers through
+    the partitioned bucket join so order-less customers keep c_count=0,
+    then the tiny (c_count → custdist) histogram folds in the combine
+    tree."""
+    cust = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+    )
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.invert(pc.equal(batch["o_orderstatus"], "F")))
+        return pa.table({"o_custkey": sub["o_custkey"]})
+
+    per_cust = ops.salted_count(
+        orders.map_batches(
+            ofilter, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "o_custkey", count_alias="c_count",
+    )
+    joined = ops.equi_join_partitioned(
+        cust, per_cust, on="c_custkey", right_on="o_custkey", how="left"
+    )
+
+    def fill0(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_count": pc.fill_null(batch["c_count"], 0).cast(pa.int64())}
+        )
+
+    counts = joined.map_batches(
+        fill0, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.salted_count(counts, "c_count", count_alias="custdist")
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 top supplier(s) by quarterly revenue: per-supplier
+    quantized revenue over 1996Q1 (map-side combine + tree merge), the
+    one-row global max broadcast back, and the equality filter keeps
+    ALL tied suppliers (the spec's revenue = max(total_revenue)
+    correlated view). Revenue quantizes per row to
+    floor(price·(1−disc)·10000+0.5) so the max compare is exact
+    integer arithmetic on both engines."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(
+            pa.array((ship >= _Y96_LO_US) & (ship < _Y96_Q2_US))
+        )
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_suppkey": sub["l_suppkey"], "rev_q": pa.array(rev)}
+        )
+
+    rev = ops.salted_count(
+        li.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "l_suppkey", agg_cols={"rev_q": "sum"}, count_alias="_n",
+    )
+    top = ops.top_k(rev, "sum_rev_q", 1).take_all()  # one row — bounded
+    best = int(top[0]["sum_rev_q"]) if top else 0
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["sum_rev_q"], best))
+        return pa.table(
+            {"s_suppkey": sub["l_suppkey"].cast(pa.int64()),
+             "total_revenue": sub["sum_rev_q"]}
+        )
+
+    return rev.map_batches(
+        keep_max, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0
+                        + 0.5e0) AS BIGINT)) AS total_revenue
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_Y96_LO_US}
+    AND epoch_us(l_shipdate) < {_Y96_Q2_US}
+  GROUP BY l_suppkey
+)
+SELECT supplier_no AS s_suppkey, total_revenue
+FROM revenue
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 small-quantity-order revenue, adapted: p_brand =
+    'Brand#1' + p_size < 10 stand in for the reference's brand +
+    container pair (the synthetic part has no container). Shape
+    preserved: per-part quantity sums pre-aggregate map-side, the
+    filtered part dimension BROADCASTS with its (sum, count) stats,
+    and the correlated l_quantity < 0.2·avg(l_quantity) predicate
+    evaluates as the EXACT integer cross-multiplication
+    5·qty_q·cnt < sum_q (no float division on either engine). One-row
+    output: quantized yearly revenue."""
+    import ray as _ray
+
+    part = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+
+    def pfilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["p_brand"], "Brand#1"),
+            pc.less(batch["p_size"], 10),
+        )
+        return pa.table({"p_partkey": batch.filter(keep)["p_partkey"]})
+
+    pk = np.sort(
+        part.map_batches(
+            pfilter, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).to_pandas()["p_partkey"].to_numpy().astype(np.int64)
+    )  # filtered dimension — bounded by |part|
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qprep(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(pk, k)
+        ok = (hit < pk.size) & (pk[np.minimum(hit, max(pk.size - 1, 0))] == k) if pk.size else np.zeros(k.shape[0], bool)
+        sub = batch.filter(pa.array(ok))
+        q = sub["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": sub["l_partkey"],
+                "qty_q": pa.array(
+                    np.floor(q * 100.0 + 0.5).astype(np.int64)
+                ),
+                "l_extendedprice": sub["l_extendedprice"],
+            }
+        )
+
+    hits = li.map_batches(
+        qprep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    stats = ops.salted_count(
+        hits.select_columns(["l_partkey", "qty_q"]),
+        "l_partkey", agg_cols={"qty_q": "sum"}, count_alias="cnt",
+    ).to_pandas()  # one row per FILTERED part — dimension-bounded
+    sk = stats["l_partkey"].to_numpy().astype(np.int64)
+    so = np.argsort(sk)
+    sk = sk[so]
+    ssum = stats["sum_qty_q"].to_numpy().astype(np.int64)[so]
+    scnt = stats["cnt"].to_numpy().astype(np.int64)[so]
+    ref = _ray.put((sk, ssum, scnt))
+    cache: dict = {}
+
+    def small(batch: pa.Table) -> pa.Table:
+        sk, ssum, scnt = cache.setdefault("r", _ray.get(ref))
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(sk, k)
+        q = batch["qty_q"].to_numpy(zero_copy_only=False)
+        # 5·qty·cnt < sum  <=>  qty < 0.2·avg (all int64, exact)
+        keep = 5 * q * scnt[pos] < ssum[pos]
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(p * 10000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"partial_rev": pa.array([int(rev.sum())], pa.int64())}
+        )
+
+    partials = hits.map_batches(
+        small, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partial_rev": pa.array(
+                    [int(pc.sum(batch["partial_rev"]).as_py() or 0)],
+                    pa.int64(),
+                )
+            }
+        )
+
+    one = partials.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40, num_cpus=0.9,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = int(pc.sum(batch["partial_rev"]).as_py() or 0)
+        return pa.table({"avg_yearly_q": pa.array([t // 7], pa.int64())})
+
+    return one.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 10000.0e0 + 0.5e0) AS BIGINT))
+            // 7 AS BIGINT) AS avg_yearly_q
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 10
+  AND 5 * CAST(floor(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+      < (SELECT SUM(CAST(floor(l2.l_quantity * 100.0e0 + 0.5e0) AS BIGINT))
+         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 suppliers-who-kept-orders-waiting, adapted:
+    l_returnflag = 'R' stands in for the reference's
+    l_receiptdate > l_commitdate, and the order-status filter is
+    o_orderstatus = 'F'. Shape preserved exactly — the EXISTS (another
+    supplier in the order) and NOT EXISTS (another LATE supplier)
+    correlations collapse into ONE bucket co-shuffle of lineitem keyed
+    by order: a per-order vectorized segment pass computes distinct
+    suppliers, distinct late suppliers, and emits the blamed supplier
+    when exactly one supplier is late and others exist; per-supplier
+    counts then fold in the combine tree with the supplier name
+    broadcast-attached."""
+    import ray as _ray
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({"fk": sub["o_orderkey"]})
+
+    fo = orders.map_batches(
+        ofilter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    li = ops.equi_join_partitioned(li, fo, on="l_orderkey", right_on="fk", how="semi")
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        late = pc.equal(batch["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "o": batch["l_orderkey"].cast(pa.int64()),
+                "s": batch["l_suppkey"].cast(pa.int64()),
+                "late": pa.array(late.astype(np.int8)),
+            }
+        )
+
+    pairs = li.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    nb = np.uint64(64)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        o = batch["o"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._mix64(o.view(np.uint64).copy())
+        return batch.append_column("_b", pa.array((h % nb).astype(np.int64)))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        o = group["o"].to_numpy(zero_copy_only=False)
+        s = group["s"].to_numpy(zero_copy_only=False)
+        lt = group["late"].to_numpy(zero_copy_only=False).astype(bool)
+        if o.shape[0] == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        order = np.lexsort((s, o))
+        o, s, lt = o[order], s[order], lt[order]
+        # distinct (o, s) pairs; a pair is "late" if ANY of its rows is,
+        # and carries its LATE ROW COUNT (SQL counts each qualifying l1
+        # row, so a supplier late twice in one order counts twice)
+        first = np.ones(o.shape[0], bool)
+        first[1:] = (o[1:] != o[:-1]) | (s[1:] != s[:-1])
+        seg = np.cumsum(first) - 1
+        late_rows = np.bincount(seg, weights=lt).astype(np.int64)
+        pair_late = late_rows > 0
+        po, ps = o[first], s[first]
+        ofirst = np.ones(po.shape[0], bool)
+        ofirst[1:] = po[1:] != po[:-1]
+        oseg = np.cumsum(ofirst) - 1
+        n_supp = np.bincount(oseg)
+        n_late = np.bincount(oseg, weights=pair_late.astype(np.int64)).astype(np.int64)
+        # blamed: exactly one late supplier, at least one other supplier
+        ok_order = (n_late == 1) & (n_supp > 1)
+        hit = pair_late & ok_order[oseg]
+        blamed = np.repeat(ps[hit], late_rows[hit])
+        return pa.table({"s_suppkey": pa.array(blamed, pa.int64())})
+
+    blamed = (
+        ops.shuffle_coalesce(
+            pairs.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    counts = ops.salted_count(blamed, "s_suppkey", count_alias="numwait")
+    import pyarrow.parquet as _pq
+
+    sup = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name"])
+    return ops.broadcast_join(
+        counts, sup, on="s_suppkey", dim_on="s_suppkey"
+    ).select_columns(["s_name", "numwait"])
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 global-sales-opportunity, adapted: the country code is
+    the LAST key digit of c_name ('Customer#000000042' → '2' — the
+    leading digits are all zero at test scales), and the code list
+    filter keeps digits 1–5. Shape preserved exactly: the
+    positive-balance average is a one-row tree aggregate whose
+    (sum_q, cnt) pair broadcasts back so the acctbal > avg predicate
+    is the exact integer cross-multiplication bal_q·cnt > sum_q; the
+    no-orders condition is the partitioned ANTI join (right ships only
+    keys); the final (code, count, sum) histogram folds in the combine
+    tree."""
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        code = pc.utf8_slice_codeunits(batch["c_name"], 17, 18)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "cntrycode": code,
+                "bal_q": pa.array(
+                    np.floor(bal * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    cs = cust.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    def in_codes(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["cntrycode"], value_set=pa.array(list("12345")))
+        )
+
+    cs = cs.map_batches(
+        in_codes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bal_q"].to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table(
+            {
+                "partial_sum": pa.array([int(pos.sum())], pa.int64()),
+                "partial_cnt": pa.array([int(pos.size)], pa.int64()),
+            }
+        )
+
+    stats = cs.map_batches(
+        pos_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()  # a handful of partial rows — bounded by block count
+    sum_q = sum(int(r["partial_sum"]) for r in stats)
+    cnt = sum(int(r["partial_cnt"]) for r in stats)
+
+    def rich(batch: pa.Table) -> pa.Table:
+        b = batch["bal_q"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(b * cnt > sum_q))
+
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"]
+    )
+
+    def fstatus(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({"o_custkey": sub["o_custkey"]})
+
+    orders = orders.map_batches(
+        fstatus, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    # anti join first (cs is materialized, schema known), then the rich
+    # filter — left filters commute with the anti existence probe
+    noord = ops.equi_join_partitioned(
+        cs, orders, on="c_custkey", right_on="o_custkey", how="anti"
+    )
+    noord = noord.map_batches(
+        rich, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.salted_count(
+        noord.select_columns(["cntrycode", "bal_q"]),
+        "cntrycode", agg_cols={"bal_q": "sum"}, count_alias="numcust",
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH cs AS (
+  SELECT c_custkey, substring(c_name, 18, 1) AS cntrycode,
+         CAST(floor(c_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS bal_q
+  FROM customer
+  WHERE substring(c_name, 18, 1) IN ('1','2','3','4','5')
+)
+SELECT cntrycode, COUNT(*) AS numcust, SUM(bal_q) AS sum_bal_q
+FROM cs
+WHERE bal_q * (SELECT COUNT(*) FROM cs WHERE bal_q > 0)
+      > (SELECT SUM(bal_q) FROM cs WHERE bal_q > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY cntrycode
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -8525,6 +8985,11 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "tpch_q19": q_tpch_q19,
     "tpch_q16": q_tpch_q16,
     "sliding_window": q_sliding_window,
@@ -8726,6 +9191,11 @@ ORACLE = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q22": SQL_TPCH_Q22,
     "tpch_q19": SQL_TPCH_Q19,
     "tpch_q16": SQL_TPCH_Q16,
     "sliding_window": SQL_SLIDING_WINDOW,
