@@ -56,7 +56,12 @@ _CLIP_RECT = (-60.0, -40.0, 60.0, 40.0)
 
 _Q3_DATE_US = 795_225_600_000_000  # 1995-03-15
 _DAY_US = 86_400_000_000
+_Y95_LO_US = 788_918_400_000_000   # 1995-01-01
 _Y96_LO_US = 820_454_400_000_000   # 1996-01-01
+_Y98_LO_US = 883_612_800_000_000   # 1998-01-01
+_YEAR_US = 365 * 86_400_000_000    # fixed 365-day year bucket (both
+# engines use the identical integer expression, so the adapted o_year
+# label is bit-exact even though it is not a calendar year)
 _Y96_FEB_US = 823_132_800_000_000  # 1996-02-01
 _Y96_Q2_US = 828_316_800_000_000   # 1996-04-01
 
@@ -8900,6 +8905,636 @@ GROUP BY cntrycode
 """
 
 
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 volume shipping between two nation GROUPS (even ↔ odd
+    nationkey, both directions — single nations are too sparse at test
+    scales to produce rows), 1996–1997 ship years. Shape preserved
+    exactly: supplier→nation and customer→nation are BROADCAST
+    attaches (ray.put once, pc.index_in per batch); the one big-big
+    edge — lineitem↔orders on orderkey — takes the partitioned bucket
+    co-shuffle; revenue quantizes per row and the (supp_nation,
+    cust_nation, year) sums fold in the combine tree."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    sup = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    cus = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    s_nat = pa.table(
+        {"s_suppkey": sup["s_suppkey"],
+         "supp_nation": pa.array(
+             [f"GRP_{k % 2}" for k in sup["s_nationkey"].to_pylist()])}
+    )
+    c_nat = pa.table(
+        {"c_custkey": cus["c_custkey"],
+         "cust_nation": pa.array(
+             [f"GRP_{k % 2}" for k in cus["c_nationkey"].to_pylist()])}
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sub = batch.filter(
+            pa.array((ship >= _Y96_LO_US) & (ship < _Y98_LO_US))
+        )
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        ship2 = sub["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "l_suppkey": sub["l_suppkey"],
+                "rev_q": pa.array(
+                    np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+                ),
+                "l_year": pa.array(
+                    1996 + (ship2 >= _Y97_LO_US).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    li = li.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = ops.broadcast_join(li, s_nat, on="l_suppkey", dim_on="s_suppkey")
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+    j = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+    j = ops.broadcast_join(j, c_nat, on="o_custkey", dim_on="c_custkey")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        sn = batch["supp_nation"]
+        cn = batch["cust_nation"]
+        keep = pc.or_(
+            pc.and_(pc.equal(sn, "GRP_0"), pc.equal(cn, "GRP_1")),
+            pc.and_(pc.equal(sn, "GRP_1"), pc.equal(cn, "GRP_0")),
+        )
+        sub = batch.filter(keep)
+        return pa.table(
+            {"supp_nation": sub["supp_nation"], "cust_nation": sub["cust_nation"],
+             "l_year": sub["l_year"], "rev_q": sub["rev_q"]}
+        )
+
+    j = j.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.salted_count(
+        j, ["supp_nation", "cust_nation", "l_year"],
+        agg_cols={"rev_q": "sum"}, count_alias="n",
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year, COUNT(*) AS n,
+       SUM(rev_q) AS sum_rev_q
+FROM (
+  SELECT 'GRP_' || CAST(s_nationkey % 2 AS VARCHAR) AS supp_nation,
+         'GRP_' || CAST(c_nationkey % 2 AS VARCHAR) AS cust_nation,
+         CASE WHEN epoch_us(l_shipdate) >= {_Y97_LO_US} THEN 1997 ELSE 1996 END AS l_year,
+         CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT) AS rev_q
+  FROM supplier, lineitem, orders, customer
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND ((s_nationkey % 2 = 0 AND c_nationkey % 2 = 1)
+      OR (s_nationkey % 2 = 1 AND c_nationkey % 2 = 0))
+    AND epoch_us(l_shipdate) >= {_Y96_LO_US}
+    AND epoch_us(l_shipdate) < {_Y98_LO_US}
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 national market share, adapted: the share of NATION_3
+    suppliers in ECONOMY-part revenue to EUROPE-region customers, by
+    order year. Shape preserved: part/supplier/customer dims broadcast,
+    lineitem↔orders co-shuffles once, and the per-year market share is
+    the exact integer ``(nation_sum << 20) // total_sum`` (no float
+    division on either engine)."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(_t(sf_dir, "nation"))
+    reg = _pq.read_table(_t(sf_dir, "region"))
+    eu = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == "EUROPE"}
+    eu_nations = {
+        r["n_nationkey"] for r in nat.to_pylist() if r["n_regionkey"] in eu
+    }
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pk = part.filter(pc.equal(part["p_type"], "ECONOMY"))["p_partkey"]
+    pset = np.sort(pk.to_numpy().astype(np.int64))
+    sup = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_nat = pa.table(
+        {"s_suppkey": sup["s_suppkey"],
+         "s_is_n3": pa.array(
+             pc.equal(sup["s_nationkey"], 3).to_numpy(zero_copy_only=False)
+             .astype(np.int64)
+         )}
+    )
+    cus = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    c_eu = pa.table(
+        {"c_custkey": cus["c_custkey"],
+         "c_is_eu": pa.array(
+             np.isin(cus["c_nationkey"].to_numpy(), sorted(eu_nations))
+             .astype(np.int64)
+         )}
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(pset, k)
+        ok = (
+            (hit < pset.size)
+            & (pset[np.minimum(hit, max(pset.size - 1, 0))] == k)
+            if pset.size else np.zeros(k.shape[0], bool)
+        )
+        sub = batch.filter(pa.array(ok))
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": sub["l_orderkey"],
+                "l_suppkey": sub["l_suppkey"],
+                "rev_q": pa.array(
+                    np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    li = li.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = ops.broadcast_join(li, s_nat, on="l_suppkey", dim_on="s_suppkey")
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_year": pa.array(
+                    1995 + np.minimum((od - _Y95_LO_US) // _YEAR_US, 6),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = orders.map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+    j = ops.broadcast_join(j, c_eu, on="o_custkey", dim_on="c_custkey")
+
+    def volumes(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["c_is_eu"], 1))
+        rev = sub["rev_q"].to_numpy(zero_copy_only=False)
+        n3 = sub["s_is_n3"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_year": sub["o_year"],
+                "rev_q": pa.array(rev),
+                "n3_rev_q": pa.array(rev * n3),
+            }
+        )
+
+    vols = j.map_batches(
+        volumes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sums = ops.salted_count(
+        vols, "o_year", agg_cols={"rev_q": "sum", "n3_rev_q": "sum"},
+        count_alias="n",
+    )
+
+    def share(batch: pa.Table) -> pa.Table:
+        tot = batch["sum_rev_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n3 = batch["sum_n3_rev_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mkt = np.where(tot > 0, (n3 << np.int64(20)) // np.maximum(tot, 1), 0)
+        return pa.table(
+            {"o_year": batch["o_year"],
+             "mkt_share_q": pa.array(mkt, pa.int64())}
+        )
+
+    return sums.map_batches(
+        share, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_TPCH_Q8 = f"""
+WITH vols AS (
+  SELECT 1995 + LEAST(CAST((epoch_us(o_orderdate) - {_Y95_LO_US}) // {_YEAR_US} AS BIGINT), 6) AS o_year,
+         CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT) AS rev_q,
+         CASE WHEN s_nationkey = 3 THEN 1 ELSE 0 END AS is_n3
+  FROM lineitem, orders, customer, supplier, part, nation, region
+  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'ECONOMY'
+)
+SELECT o_year,
+       CAST((SUM(rev_q * is_n3) << 20) // GREATEST(SUM(rev_q), 1) AS BIGINT) AS mkt_share_q
+FROM vols GROUP BY o_year
+"""
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 product-type profit, adapted: profit =
+    l_extendedprice·(1−l_discount) − 0.5·p_retailprice·l_quantity
+    (p_retailprice stands in for the missing partsupp supplycost) over
+    PROMO parts, grouped by (supplier nation, order year). Shape
+    preserved: part (filter + retailprice) and supplier→nation
+    broadcast; lineitem↔orders co-shuffles once; per-row quantized
+    profit folds in the combine tree."""
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nk = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    sup = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s_nat = pa.table(
+        {"s_suppkey": sup["s_suppkey"],
+         "nation": pa.array([nk[k] for k in sup["s_nationkey"].to_pylist()])}
+    )
+    part = _pq.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_type", "p_retailprice"]
+    )
+    psel = part.filter(pc.equal(part["p_type"], "PROMO"))
+    p_dim = pa.table(
+        {"p_partkey": psel["p_partkey"], "p_retailprice": psel["p_retailprice"]}
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    li = ops.broadcast_join(li, p_dim, on="l_partkey", dim_on="p_partkey")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        rp = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        amount = (
+            np.floor(p * (1.0 - d) * 10000.0 + 0.5).astype(np.int64)
+            - np.floor(0.5 * rp * q * 10000.0 + 0.5).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "amount_q": pa.array(amount),
+            }
+        )
+
+    li = li.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    li = ops.broadcast_join(li, s_nat, on="l_suppkey", dim_on="s_suppkey")
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_year": pa.array(
+                    1995 + np.minimum((od - _Y95_LO_US) // _YEAR_US, 6),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = orders.map_batches(
+        oprep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    j = ops.equi_join_partitioned(
+        li, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+    return ops.salted_count(
+        j.select_columns(["nation", "o_year", "amount_q"]),
+        ["nation", "o_year"], agg_cols={"amount_q": "sum"},
+        count_alias="n",
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT nation, o_year, COUNT(*) AS n, SUM(amount_q) AS sum_amount_q
+FROM (
+  SELECT n_name AS nation,
+         1995 + LEAST(CAST((epoch_us(o_orderdate) - {_Y95_LO_US}) // {_YEAR_US} AS BIGINT), 6) AS o_year,
+         CAST(floor(l_extendedprice * (1.0e0 - l_discount) * 10000.0e0 + 0.5e0) AS BIGINT)
+         - CAST(floor(0.5e0 * p_retailprice * l_quantity * 10000.0e0 + 0.5e0) AS BIGINT) AS amount_q
+  FROM lineitem, orders, supplier, part, nation
+  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+    AND l_partkey = p_partkey AND s_nationkey = n_nationkey
+    AND p_type = 'PROMO'
+)
+GROUP BY nation, o_year
+"""
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 important stock identification, adapted to lineitem
+    value (the synthetic schema has no partsupp): per-part quantized
+    value sum(l_extendedprice·l_quantity) restricted to even-
+    nationkey suppliers (single nations are empty at test scales),
+    keeping parts whose value exceeds 0.1% of the total.
+    Shape preserved exactly: grouped sums pre-aggregate map-side, the
+    scalar total is ONE tree-folded row broadcast back, and the
+    threshold compare is exact integer cross-multiplication
+    value·1000 > total."""
+    import pyarrow.parquet as _pq
+
+    sup = _pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    s0 = np.sort(
+        sup["s_suppkey"].to_numpy().astype(np.int64)[
+            sup["s_nationkey"].to_numpy() % 2 == 0
+        ]
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(s0, k)
+        ok = (
+            (hit < s0.size) & (s0[np.minimum(hit, max(s0.size - 1, 0))] == k)
+            if s0.size else np.zeros(k.shape[0], bool)
+        )
+        sub = batch.filter(pa.array(ok))
+        p = sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+        q = sub["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": sub["l_partkey"],
+                "val_q": pa.array(
+                    np.floor(p * q * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    vals = li.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    per_part = ops.salted_count(
+        vals, "l_partkey", agg_cols={"val_q": "sum"}, count_alias="_n"
+    ).materialize()
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"t": pa.array(
+                [int(pc.sum(batch["sum_val_q"]).as_py() or 0)], pa.int64()
+            )}
+        )
+
+    rows = per_part.map_batches(
+        tot_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()  # block-count partials — bounded
+    total = sum(int(r["t"]) for r in rows)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["sum_val_q"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(v * 1000 > total))
+        return pa.table(
+            {"p_partkey": sub["l_partkey"].cast(pa.int64()),
+             "value_q": sub["sum_val_q"]}
+        )
+
+    return per_part.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) AS value_q
+  FROM lineitem, supplier
+  WHERE l_suppkey = s_suppkey AND s_nationkey % 2 = 0
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_q
+FROM pv
+WHERE value_q * 1000 > (SELECT SUM(value_q) FROM pv)
+"""
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 potential part promotion, adapted: odd-nationkey
+    suppliers (single nations are empty at test scales) who shipped MORE THAN 50 units of some ECONOMY part in
+    1996 (the grouped-HAVING stands in for the partsupp availqty
+    subquery the synthetic schema lacks). Shape preserved: grouped
+    (supplier, part) quantity sums pre-aggregate map-side, the
+    qualifying supplier keys flow through the partitioned SEMI join
+    into the nation-filtered supplier dimension."""
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_type"])
+    pset = np.sort(
+        part.filter(pc.equal(part["p_type"], "ECONOMY"))["p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(pset, k)
+        okp = (
+            (hit < pset.size)
+            & (pset[np.minimum(hit, max(pset.size - 1, 0))] == k)
+            if pset.size else np.zeros(k.shape[0], bool)
+        )
+        sub = batch.filter(
+            pa.array(okp & (ship >= _Y96_LO_US) & (ship < _Y97_LO_US))
+        )
+        q = sub["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": sub["l_suppkey"],
+                "l_partkey": sub["l_partkey"],
+                "qty_q": pa.array(
+                    np.floor(q * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    qty = ops.salted_count(
+        li.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_suppkey", "l_partkey"], agg_cols={"qty_q": "sum"},
+        count_alias="_n",
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        v = batch["sum_qty_q"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(v > 5000))  # 50 units at scale 100
+        return pa.table({"qual_supp": sub["l_suppkey"].cast(pa.int64())})
+
+    qual = qty.map_batches(
+        having, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sup = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+
+    def sfilter(batch: pa.Table) -> pa.Table:
+        nk = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(nk % 2 == 1))
+        return pa.table({"s_suppkey": sub["s_suppkey"], "s_name": sub["s_name"]})
+
+    sup = sup.map_batches(
+        sfilter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.equi_join_partitioned(
+        sup, qual, on="s_suppkey", right_on="qual_supp", how="semi"
+    )
+
+
+SQL_TPCH_Q20 = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey % 2 = 1
+  AND EXISTS (
+    SELECT 1 FROM lineitem, part
+    WHERE l_suppkey = s_suppkey AND l_partkey = p_partkey
+      AND p_type = 'ECONOMY'
+      AND epoch_us(l_shipdate) >= {_Y96_LO_US}
+      AND epoch_us(l_shipdate) < {_Y97_LO_US}
+    GROUP BY l_partkey
+    HAVING SUM(CAST(floor(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) > 5000
+  )
+"""
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 minimum-cost supplier, adapted: for each size-15 part,
+    the EUROPE-region supplier(s) who shipped it with the MINIMUM
+    account balance (s_acctbal stands in for the missing partsupp
+    supplycost; 'shipped it' = has a lineitem for it). Shape preserved
+    exactly: distinct (part, supplier) pairs dedup through one content
+    bucket shuffle, supplier/nation/region attach by broadcast, the
+    per-part minimum folds in the combine tree (min-ufunc tree_reduce),
+    and the correlated ``= min`` filter is a broadcast probe that keeps
+    ties."""
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(_t(sf_dir, "nation"))
+    reg = _pq.read_table(_t(sf_dir, "region"))
+    eu = {r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == "EUROPE"}
+    eu_nations = sorted(
+        r["n_nationkey"] for r in nat.to_pylist() if r["n_regionkey"] in eu
+    )
+    sup = _pq.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=pa.array(eu_nations)))
+    bal = np.floor(
+        sup["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+    ).astype(np.int64)
+    s_dim = pa.table(
+        {"s_suppkey": sup["s_suppkey"], "s_name": sup["s_name"],
+         "bal_q": pa.array(bal)}
+    )
+    part = _pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    p15 = np.sort(
+        part.filter(pc.equal(part["p_size"], 15))["p_partkey"]
+        .to_numpy().astype(np.int64)
+    )
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = np.searchsorted(p15, k)
+        ok = (
+            (hit < p15.size) & (p15[np.minimum(hit, max(p15.size - 1, 0))] == k)
+            if p15.size else np.zeros(k.shape[0], bool)
+        )
+        sub = batch.filter(pa.array(ok))
+        return pa.table(
+            {"l_partkey": sub["l_partkey"], "l_suppkey": sub["l_suppkey"]}
+        )
+
+    pairs = ops.dedup_exact(
+        li.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_partkey", "l_suppkey"],
+    )
+    pairs = ops.broadcast_join(
+        pairs, s_dim, on="l_suppkey", dim_on="s_suppkey"
+    ).materialize()  # inner: drops non-EUROPE suppliers
+    mins = ops.tree_reduce(
+        pairs.select_columns(["l_partkey", "bal_q"]),
+        "l_partkey", {"bal_q": "min_bal"}, ufunc=np.minimum,
+    ).to_pandas()  # one row per size-15 part — dimension-bounded
+    mk = mins["l_partkey"].to_numpy().astype(np.int64)
+    mo = np.argsort(mk)
+    mk, mv = mk[mo], mins["min_bal"].to_numpy().astype(np.int64)[mo]
+    ref = _ray.put((mk, mv))
+    cache: dict = {}
+
+    def keep_min(batch: pa.Table) -> pa.Table:
+        mk, mv = cache.setdefault("m", _ray.get(ref))
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["bal_q"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(mk, k)
+        sub = batch.filter(pa.array(b == mv[pos]))
+        return pa.table(
+            {"p_partkey": sub["l_partkey"].cast(pa.int64()),
+             "s_suppkey": sub["l_suppkey"].cast(pa.int64()),
+             "s_name": sub["s_name"], "bal_q": sub["bal_q"]}
+        )
+
+    return pairs.map_batches(
+        keep_min, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+),
+ps AS (
+  SELECT l_partkey, l_suppkey, s_name,
+         CAST(floor(s_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS bal_q
+  FROM pairs, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, bal_q
+FROM ps
+WHERE bal_q = (SELECT MIN(bal_q) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -8985,7 +9620,13 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
     "tpch_q13": q_tpch_q13,
+    "tpch_q20": q_tpch_q20,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
     "tpch_q21": q_tpch_q21,
@@ -9191,7 +9832,13 @@ ORACLE = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q12": SQL_TPCH_Q12,
+    "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q9": SQL_TPCH_Q9,
+    "tpch_q11": SQL_TPCH_Q11,
     "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q20": SQL_TPCH_Q20,
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q17": SQL_TPCH_Q17,
     "tpch_q21": SQL_TPCH_Q21,
