@@ -917,3 +917,146 @@ def edit_distance_batch(a: pa.Array, b: pa.Array) -> np.ndarray:
             ans[take] = cur[rows[take], la[take]]
         prev = cur
     return ans
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    scale_bits: int = 20,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Word n-gram SET Jaccard for deterministic doc pairs — the direct
+    n-gram-Jaccard member of the near-dup family (exact / MinHash+LSH /
+    SimHash / embedding): docs pair as (2k, 2k+1) by id, each doc's
+    word n-grams (canonical tokenization, ' '-joined) form a SET, and
+    the pair's similarity is the EXACT integer
+    ``floor(|A∩B|·2^bits / |A∪B|)`` (both-empty ⇒ 2^bits).
+
+    One bucket co-shuffle of (pair, side, ngram_hash64) int rows — the
+    texts never shuffle; per-doc sentinel rows carry presence so
+    n-gram-free docs still pair, and pairs missing a doc are dropped.
+    Set elements are 64-bit n-gram hashes (collision odds ~|set|²/2⁶⁵
+    per pair — far below the oracle's resolution).
+
+    Output: (pair_id, jaccard_q int64)."""
+    from georay import ops
+    from georay.index import _ragged_ranges
+    from georay.stages.text import _tokenize_flat
+
+    shift = np.int64(scale_bits)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks, counts = _tokenize_flat(txt)
+        m = len(toks)
+        owner, _ = _ragged_ranges(counts)
+        parts_pair: list[np.ndarray] = []
+        parts_side: list[np.ndarray] = []
+        parts_hash: list[np.ndarray] = []
+        if m >= n:
+            ln = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+            w = m - (n - 1)
+            valid = np.ones(w, dtype=bool)
+            for j in range(n):
+                valid &= ln[j : w + j] > 0
+            # all n tokens must belong to one doc (owners ascend, so
+            # first == last suffices)
+            valid &= owner[n - 1 :] == owner[:w]
+            if np.any(valid):
+                pieces = [toks.slice(j, m - (n - 1)) for j in range(n)]
+                mask = pa.array(valid)
+                joined = pc.binary_join_element_wise(
+                    *[p.filter(mask) for p in pieces], " "
+                )
+                h = ops._bytes_hash(joined).view(np.int64)
+                own = owner[: m - (n - 1)][valid]
+                # per-doc set: unique (owner, hash)
+                order = np.lexsort((h, own))
+                ho, oo = h[order], own[order]
+                first = np.ones(ho.shape[0], bool)
+                first[1:] = (oo[1:] != oo[:-1]) | (ho[1:] != ho[:-1])
+                ho, oo = ho[first], oo[first]
+                did = ids[oo]
+                parts_pair.append(did >> np.int64(1))
+                parts_side.append((did & np.int64(1)).astype(np.int8))
+                parts_hash.append(ho)
+        # presence sentinels (one per doc; side+2 marks them — hash
+        # values are full-range int64 so a hash-based marker would
+        # swallow real n-grams)
+        parts_pair.append(ids >> np.int64(1))
+        parts_side.append(((ids & np.int64(1)) + 2).astype(np.int8))
+        parts_hash.append(np.zeros(ids.shape[0], np.int64))
+        pairs = np.concatenate(parts_pair)
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.int64()),
+                "side": pa.array(np.concatenate(parts_side), pa.int8()),
+                "h": pa.array(np.concatenate(parts_hash), pa.int64()),
+                "_b": pa.array(
+                    (
+                        ops._mix64(pairs.view(np.uint64).copy())
+                        % np.uint64(n_buckets)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        pair = group["pair"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        if pair.shape[0] == 0:
+            return pa.table(
+                {"pair_id": pa.array([], pa.int64()),
+                 "jaccard_q": pa.array([], pa.int64())}
+            )
+        sent = side >= 2
+        # pair completeness from sentinels
+        sp, ss = pair[sent], side[sent] - 2
+        po = np.lexsort((ss, sp))
+        sp, ss = sp[po], ss[po]
+        pf = np.ones(sp.shape[0], bool)
+        pf[1:] = sp[1:] != sp[:-1]
+        pseg = np.cumsum(pf) - 1
+        have0 = np.bincount(pseg, weights=(ss == 0)) > 0
+        have1 = np.bincount(pseg, weights=(ss == 1)) > 0
+        p_ids = sp[pf]
+        complete = p_ids[have0 & have1]
+        # set arithmetic over real rows
+        rp, rh = pair[~sent], h[~sent]
+        ro = np.lexsort((rh, rp))
+        rp, rh = rp[ro], rh[ro]
+        rf = np.ones(rp.shape[0], bool)
+        rf[1:] = (rp[1:] != rp[:-1]) | (rh[1:] != rh[:-1])
+        # an ngram present in both sides appears twice per (pair, hash)
+        seg_ids = np.cumsum(rf) - 1
+        dup = ~rf
+        uniq_pair = rp[rf]
+        up, ui = np.unique(uniq_pair, return_inverse=True)
+        union = np.bincount(ui, minlength=up.shape[0])
+        inter = np.bincount(ui[seg_ids[dup]], minlength=up.shape[0]) if dup.any() else np.zeros(up.shape[0], np.int64)
+        jpos = np.searchsorted(up, complete)
+        hasng = (jpos < up.shape[0])
+        jq = np.full(complete.shape[0], np.int64(1) << shift)
+        hit = hasng & (np.where(hasng, up[np.minimum(jpos, max(up.shape[0] - 1, 0))], -1) == complete)
+        u = union[jpos[hit]]
+        i = inter[jpos[hit]].astype(np.int64)
+        jq[hit] = (i << shift) // np.maximum(u, 1)
+        return pa.table(
+            {"pair_id": pa.array(complete, pa.int64()),
+             "jaccard_q": pa.array(jq, pa.int64())}
+        )
+
+    stream = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return (
+        ops.shuffle_coalesce(stream)
+        .groupby("_b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -9535,6 +9535,52 @@ WHERE bal_q = (SELECT MIN(bal_q) FROM ps p2 WHERE p2.l_partkey = ps.l_partkey)
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Direct n-gram-Jaccard near-dup signal (the fourth member of the
+    dedup family next to exact / MinHash+LSH / SimHash / embedding):
+    word-trigram SET Jaccard for deterministic (2k, 2k+1) doc pairs,
+    quantized to ``floor(|A∩B|·2^20 / |A∪B|)``. One bucket co-shuffle
+    of (pair, side, hash) int rows — texts never shuffle."""
+    from georay.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS t(i)
+),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM ng GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.doc_id // 2 AS pair_id
+  FROM documents a JOIN documents b
+    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+),
+inter AS (
+  SELECT p.pair_id, COUNT(*) AS i
+  FROM pairs p
+  JOIN ng x ON x.doc_id = p.da
+  JOIN ng y ON y.doc_id = p.db AND y.g = x.g
+  GROUP BY p.pair_id
+)
+SELECT p.pair_id,
+       CASE WHEN COALESCE(ca.c, 0) + COALESCE(cb.c, 0) - COALESCE(i.i, 0) = 0
+            THEN 1048576
+            ELSE (COALESCE(i.i, 0) * 1048576)
+                 // (COALESCE(ca.c, 0) + COALESCE(cb.c, 0) - COALESCE(i.i, 0))
+       END AS jaccard_q
+FROM pairs p
+LEFT JOIN cnt ca ON ca.doc_id = p.da
+LEFT JOIN cnt cb ON cb.doc_id = p.db
+LEFT JOIN inter i ON i.pair_id = p.pair_id
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -9620,6 +9666,7 @@ QUERIES = {
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "tpch_q12": q_tpch_q12,
+    "ngram_jaccard": q_ngram_jaccard,
     "tpch_q2": q_tpch_q2,
     "tpch_q7": q_tpch_q7,
     "tpch_q8": q_tpch_q8,
@@ -9832,6 +9879,7 @@ ORACLE = {
     "tpch_q10": SQL_TPCH_Q10,
     "tpch_q18": SQL_TPCH_Q18,
     "tpch_q12": SQL_TPCH_Q12,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "tpch_q2": SQL_TPCH_Q2,
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q8": SQL_TPCH_Q8,
