@@ -186,6 +186,11 @@ def run_bench() -> dict:
     timed_ext("tpch_q12", lambda: tpch.q_tpch_q12(SF_DIR).count())
     timed_ext("nearest_geodesic", lambda: tpch.q_nearest_geodesic(SF_DIR).count())
     timed_ext("zonal_partitioned", lambda: tpch.q_zonal_partitioned(SF_DIR).count())
+    timed_ext("knn_partitioned", lambda: tpch.q_knn_partitioned(SF_DIR).count())
+    timed_ext("ngram_jaccard", lambda: tpch.q_ngram_jaccard(SF_DIR).count())
+    timed_ext("tpch_q7", lambda: tpch.q_tpch_q7(SF_DIR).count())
+    timed_ext("tpch_q9", lambda: tpch.q_tpch_q9(SF_DIR).count())
+    timed_ext("tpch_q21", lambda: tpch.q_tpch_q21(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
