@@ -3759,7 +3759,12 @@ def window_cumsum(
     """Per-key running total: SQL ``SUM(value) OVER (PARTITION BY key
     ORDER BY ts, tiebreak ROWS UNBOUNDED PRECEDING)``. Same bucket plan
     as ``window_lag`` — one key-hash shuffle, whole-bucket vectorized
-    sort + segmented cumsum (global cumsum minus each key's base)."""
+    sort + segmented cumsum (global cumsum minus each key's base).
+
+    NULL payloads follow SQL SUM: skipped from the total, and the
+    running sum itself is NULL until the frame holds ≥1 non-null value.
+    A non-null NaN still poisons the sum from its row on (SQL float
+    arithmetic does the same)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch, [key])
@@ -3777,7 +3782,13 @@ def window_cumsum(
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         n = len(g)
         karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        isnull = np.asarray(pc.is_null(varr)) if n else np.zeros(0, bool)
+        v = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        if isnull.any():
+            v = np.where(isnull, 0.0, v)
         first = np.zeros(n, dtype=bool)
         if n:
             first[0] = True
@@ -3792,7 +3803,14 @@ def window_cumsum(
         pos = np.arange(n, dtype=np.int64)
         start = np.maximum.accumulate(np.where(first, pos, 0))
         base = cum[start] - v[start]
-        return g.append_column(out_col, pa.array(cum - base, pa.float64()))
+        out = cum - base
+        if isnull.any():  # SQL: NULL until the frame has a non-null value
+            nn = np.cumsum(~isnull)
+            cnt = nn - (nn[start] - (~isnull)[start])
+            res = pa.array(out, pa.float64(), mask=(cnt == 0))
+        else:
+            res = pa.array(out, pa.float64())
+        return g.append_column(out_col, res)
 
     return (
         shuffle_coalesce(
@@ -3822,7 +3840,8 @@ def window_moving_sum(
     other window operators; the frame sum is a vectorized cumsum
     difference with the frame start clamped to each key's first row —
     exact for integer-valued doubles (the float-sum caveat of every
-    windowed sum here)."""
+    windowed sum here). NULL payloads follow SQL SUM: skipped, and the
+    frame sum is NULL when every row in the frame is NULL."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch, [key])
@@ -3840,7 +3859,13 @@ def window_moving_sum(
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         n = len(g)
         karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        isnull = np.asarray(pc.is_null(varr)) if n else np.zeros(0, bool)
+        v = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        if isnull.any():
+            v = np.where(isnull, 0.0, v)
         first = np.zeros(n, dtype=bool)
         if n:
             first[0] = True
@@ -3854,7 +3879,15 @@ def window_moving_sum(
         base = np.where(lower > 0, cum[np.maximum(lower - 1, 0)], 0.0)
         # lower == 0 means the frame starts at the global first row
         base = np.where(lower == 0, 0.0, base)
-        return g.append_column(out_col, pa.array(cum - base, pa.float64()))
+        out = cum - base
+        if isnull.any():  # SQL: NULL when the whole frame is NULL
+            nn = np.cumsum(~isnull)
+            nbase = np.where(lower > 0, nn[np.maximum(lower - 1, 0)], 0)
+            nbase = np.where(lower == 0, 0, nbase)
+            res = pa.array(out, pa.float64(), mask=(nn - nbase == 0))
+        else:
+            res = pa.array(out, pa.float64())
+        return g.append_column(out_col, res)
 
     return (
         shuffle_coalesce(
@@ -5165,11 +5198,17 @@ def window_range_sum(
     One key-bucket shuffle; per bucket a segmented prefix sum + two
     ``searchsorted`` calls give every row its frame sum in O(n log n).
     Use an integer-valued value column when an exact SQL twin matters
-    (float prefix-diff and SQL's accumulation round differently)."""
+    (float prefix-diff and SQL's accumulation round differently).
+    NULL payloads follow SQL SUM: skipped, NULL result when the whole
+    frame is NULL."""
 
     def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
         n = len(g)
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        isnull = np.asarray(pc.is_null(varr)) if n else np.zeros(0, bool)
+        v = pc.fill_null(varr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         if n == 0:
             return out_col, pa.array([], pa.int64())
@@ -5193,6 +5232,10 @@ def window_range_sum(
                 lo[s:e] = s + np.searchsorted(seg, ts[s:e] - range_us, "left")
                 hi[s:e] = s + np.searchsorted(seg, ts[s:e], "right")
         total = cum[hi - 1] - np.where(lo > 0, cum[lo - 1], 0)
+        if isnull.any():  # SQL: NULL when the whole frame is NULL
+            nn = np.cumsum(~isnull)
+            cnt = nn[hi - 1] - np.where(lo > 0, nn[lo - 1], 0)
+            return out_col, pa.array(total, pa.int64(), mask=(cnt == 0))
         return out_col, pa.array(total, pa.int64())
 
     order_list = [ts_col]
@@ -5218,13 +5261,34 @@ def window_range_minmax(
     O(n log n) build, every row's variable-width frame answered by two
     table lookups). RANGE peer semantics: equal-ts rows are all in the
     frame. Exact for floats (no accumulation), so the SQL twin is
-    bit-identical without quantization."""
-    ufunc = np.minimum if stat == "min" else np.maximum
+    bit-identical without quantization.
+
+    NULL payloads are skipped (SQL MIN/MAX), the result is NULL when
+    the whole frame is NULL, and a non-null NaN orders GREATER than
+    every value (DuckDB's float total order) — all via the bit-exact
+    IEEE-754 order-key transform, so NaN payloads round-trip."""
     out_name = out_col or f"range_{stat}"
+    ufunc = np.minimum if stat == "min" else np.maximum
 
     def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
         n = len(g)
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        isnull = np.asarray(pc.is_null(varr)) if n else np.zeros(0, bool)
+        vf = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        # monotone float64 → uint64 order keys (-NaN < -inf < … < +inf
+        # < +NaN); nulls get the losing sentinel so they never win, and
+        # all-null frames are masked below
+        u = np.ascontiguousarray(vf).view(np.uint64)
+        neg = (u >> np.uint64(63)).astype(bool)
+        v = np.where(neg, ~u, u | np.uint64(1 << 63))
+        if isnull.any():
+            v = np.where(
+                isnull,
+                np.uint64(0xFFFFFFFFFFFFFFFF) if stat == "min" else np.uint64(0),
+                v,
+            )
         ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         if n == 0:
             return out_name, pa.array([], pa.float64())
@@ -5254,12 +5318,20 @@ def window_range_minmax(
             k += 1
         m = hi - lo  # ≥ 1 (own row always in frame)
         kq = np.floor(np.log2(m)).astype(np.int64)
-        out = np.empty(n, dtype=np.float64)
+        outk = np.empty(n, dtype=np.uint64)
         for lev in np.unique(kq):
             idx = np.flatnonzero(kq == lev)
             w = 1 << int(lev)
             t = sp[int(lev)]
-            out[idx] = ufunc(t[lo[idx]], t[hi[idx] - w])
+            outk[idx] = ufunc(t[lo[idx]], t[hi[idx] - w])
+        # inverse order-key transform back to float64 (bit-exact)
+        pos_bit = (outk >> np.uint64(63)).astype(bool)
+        uo = np.where(pos_bit, outk ^ np.uint64(1 << 63), ~outk)
+        out = uo.view(np.float64)
+        if isnull.any():  # SQL: NULL when the whole frame is NULL
+            nn = np.cumsum(~isnull)
+            cnt = nn[hi - 1] - np.where(lo > 0, nn[lo - 1], 0)
+            return out_name, pa.array(out, pa.float64(), mask=(cnt == 0))
         return out_name, pa.array(out, pa.float64())
 
     return _window_over_buckets(

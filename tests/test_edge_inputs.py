@@ -468,3 +468,107 @@ def test_pip_partitioned_string_polygon_ids(ray_session):
     b = sorted(zip(bc["pt_id"].astype(str), bc["polygon_id"]))
     assert a == b and len(a) > 0
     assert part["polygon_id"].map(type).eq(str).all()
+
+
+def _sorted_pylist(ds, cols):
+    import pandas as pd
+
+    df = ds.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    return [df[c].tolist() for c in cols]
+
+
+def test_window_sum_family_null_payloads(ray_session):
+    """SQL SUM window semantics with NULL payloads: NULLs are skipped
+    from the total and the frame sum is NULL only while the frame holds
+    zero non-null values; a non-null NaN still poisons float sums
+    (verified against DuckDB in the round-4 probe — testdata has no
+    null payloads, so the oracle sweep can't see this)."""
+    import math
+
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        "v": pa.array([1.0, None, float("nan"), None, 5.0, None], pa.float64()),
+        "vi": pa.array([1, None, 7, None, 5, None], pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+
+    (rs,) = _sorted_pylist(ops.window_cumsum(ds, "k", "ts", "v"), ["running_sum"])
+    assert rs[0] == 1.0 and rs[1] == 1.0 and math.isnan(rs[2])
+    assert rs[3] != rs[3] or rs[3] is None or np.isnan(rs[3])  # NULL → NaN in pandas
+    assert rs[4] == 5.0
+
+    (ms,) = _sorted_pylist(
+        ops.window_moving_sum(ds, "k", "ts", "v", 2), ["moving_sum"]
+    )
+    # k=2 row1 frame {NULL} → NULL; row2 frame {NULL, 5.0} → 5.0
+    assert np.isnan(ms[3]) and ms[4] == 5.0
+
+    out = ops.window_range_sum(ds, "k", "ts", "vi", 1).to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    got = out["range_sum"].tolist()
+    # k=1: [1, 1(Null skipped), 7]; k=2: [NULL, 5]; k=3: [NULL]
+    assert got[0] == 1 and got[1] == 1 and got[2] == 7
+    assert np.isnan(got[3]) and got[4] == 5 and np.isnan(got[5])
+
+
+def test_window_range_minmax_nan_and_null(ray_session):
+    """MIN/MAX window over NaN/NULL payloads: NULL skipped (NULL result
+    only for all-NULL frames), NaN orders GREATER than every float
+    (DuckDB total order) and round-trips bit-exactly through the
+    order-key transform — ±inf included."""
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1] * 6 + [2] * 3, pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 6, 1, 2, 3], pa.int64()),
+        "v": pa.array(
+            [-2.5, float("nan"), float("-inf"), 0.0, float("inf"), None,
+             float("nan"), float("nan"), None], pa.float64()),
+    })
+    ds = rd.from_arrow(t)
+    mn = ops.window_range_minmax(ds, "k", "ts", "v", 2, "min").to_pandas()
+    mn = mn.sort_values(["k", "ts"]).reset_index(drop=True)["range_min"].tolist()
+    # k=1 framewise mins: [-2.5, -2.5, -inf, -inf, -inf, 0.0]
+    assert mn[:6] == [-2.5, -2.5, float("-inf"), float("-inf"), float("-inf"), 0.0]
+    # k=2: all-NaN frames stay NaN, trailing NULL row's frame still has NaNs
+    assert all(x != x for x in mn[6:])
+    mx = ops.window_range_minmax(ds, "k", "ts", "v", 2, "max").to_pandas()
+    mx = mx.sort_values(["k", "ts"]).reset_index(drop=True)["range_max"].tolist()
+    # NaN > inf in the total order, so every k=1 frame containing the
+    # ts=2 NaN maxes to NaN; afterwards +inf wins
+    assert mx[0] == -2.5
+    assert all(x != x for x in mx[1:4])
+    assert mx[4] == float("inf") and mx[5] == float("inf")
+
+
+def test_window_family_single_row_groups(ray_session):
+    """Every key exactly one row: rank family emits 1/0-style floors,
+    lag/lead emit NULL, sums equal the value (probed vs DuckDB in
+    round 4 — single-row groups are reduceat edge cases)."""
+    import ray.data as rd
+
+    n = 5
+    t = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 10),
+        "v": pa.array(np.arange(n, dtype=np.int64) * 3 + 1),
+    })
+    ds = rd.from_arrow(t)
+    pr = ops.window_percent_rank(ds, "k", "ts").to_pandas()["pct_rank"]
+    assert (pr == 0.0).all()
+    cd = ops.window_cume_dist(ds, "k", "ts").to_pandas()["cume_dist"]
+    assert (cd == 1.0).all()
+    lg = ops.window_lag(ds, "k", "ts", "v").to_pandas()["lag_value"]
+    assert lg.isna().all()
+    ld = ops.window_lead(ds, "k", "ts", "v").to_pandas()["lead_value"]
+    assert ld.isna().all()
+    nt = ops.window_ntile(ds, "k", "ts", 4).to_pandas()["tile"]
+    assert (nt == 1).all()
+    cs = ops.window_cumsum(ds, "k", "ts", "v").to_pandas()
+    assert (
+        cs.sort_values("k")["running_sum"].to_numpy()
+        == t["v"].to_numpy().astype(np.float64)
+    ).all()
