@@ -469,6 +469,9 @@ class PointIndex:
     ref_lon: np.ndarray
     ref_lat: np.ndarray
     ref_ids: np.ndarray
+    # lazy lat-sorted view for the geodesic polar-stall band finish
+    _lat_order: np.ndarray | None = None
+    _lat_sorted: np.ndarray | None = None
 
     @staticmethod
     def build(lon: np.ndarray, lat: np.ndarray, ids: np.ndarray, res: float) -> "PointIndex":
@@ -711,6 +714,17 @@ class PointIndex:
         ref can neither displace the kth candidate nor steal its
         ref-id tie-break — bit-identical to the brute scan.
 
+        POLAR STALL (r4): a probe whose ``φ_max`` pins at 90° has a
+        dead longitude bound (cos 90° = 0) and would otherwise ring-
+        expand to ``half_row`` rounds with O(r²) disk cells each — the
+        measured failure mode was 1% polar probes costing 100+ GB-scale
+        rounds. Once such a probe holds ≥k candidates it is finished
+        EXACTLY by brute-scanning the latitude band
+        ``|Δφ| ≤ (kth_mkm+1)/1000/KM_PER_DEG`` (meridian arc lower-
+        bounds haversine, and the +1 mkm slack keeps quantized ties
+        from being excluded), lat-sorted refs + two searchsorted calls,
+        chunked to bound memory.
+
         Returns (probe_idx, ref_pos, d_mkm int64) sorted by
         (probe_idx, d_mkm, ref_id)."""
         from georay.kernels import EARTH_RADIUS_KM, KM_PER_DEG, haversine_km
@@ -783,6 +797,7 @@ class PointIndex:
             r_res = r * self.res
             slack = self.nx * self.res - 360.0
             lat_bound = r_res * KM_PER_DEG
+            polar = np.zeros(active.size, dtype=bool)
             if r < half_row:
                 phi1 = np.abs(lat[active])
                 phi_max = np.minimum(phi1 + (r + 1) * self.res, 90.0)
@@ -797,10 +812,46 @@ class PointIndex:
                     2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(arg, 1.0))
                 )
                 d_min = np.minimum(lat_bound, lon_bound)
+                if r >= 1:
+                    polar = phi_max >= 90.0
             else:
                 d_min = np.full(active.size, lat_bound)
             bound_mkm = np.floor(d_min * 1000.0 + 0.5).astype(np.int64)
             done = kth_mkm[active] < bound_mkm
+            # polar stall: dead lon bound + kth known → exact lat-band
+            # brute finish (see docstring)
+            stalled = polar & ~done & (
+                kth_mkm[active] < np.iinfo(np.int64).max
+            )
+            if np.any(stalled):
+                if self._lat_order is None:
+                    self._lat_order = np.argsort(self.ref_lat, kind="stable")
+                    self._lat_sorted = self.ref_lat[self._lat_order]
+                sp = active[stalled]
+                dlat = ((kth_mkm[sp] + 1) / 1000.0) / KM_PER_DEG + 1e-12
+                lo_b = np.searchsorted(self._lat_sorted, lat[sp] - dlat, "left")
+                hi_b = np.searchsorted(self._lat_sorted, lat[sp] + dlat, "right")
+                cnt = hi_b - lo_b
+                # chunk the ragged band materialization to bound memory
+                CH = 1 << 25
+                pos0 = 0
+                while pos0 < sp.shape[0]:
+                    csum = np.cumsum(cnt[pos0:])
+                    take = int(np.searchsorted(csum, CH, "left")) + 1
+                    pos1 = min(pos0 + take, sp.shape[0])
+                    c = cnt[pos0:pos1]
+                    tot = int(c.sum())
+                    if tot:
+                        off = np.concatenate(([0], np.cumsum(c)[:-1]))
+                        idx = (
+                            np.repeat(lo_b[pos0:pos1], c)
+                            + np.arange(tot)
+                            - np.repeat(off, c)
+                        )
+                        acc_p.append(np.repeat(sp[pos0:pos1], c))
+                        acc_r.append(self._lat_order[idx])
+                    pos0 = pos1
+                done = done | stalled
             active = active[~done]
 
         # finalize: per probe sort candidates by (mkm, ref_id), take k
