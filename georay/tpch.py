@@ -5043,6 +5043,71 @@ FROM x GROUP BY user_id
 """
 
 
+def q_dissolve_area(sf_dir: str):
+    """Per-group area of the UNION of axis-aligned boxes (GIS dissolve,
+    ops.dissolve_area): deterministic integer rects derived from part
+    (deci-degree units, widths from p_size), 97 groups so rects overlap
+    within a group — overlapping area counts ONCE. Exact int64 slab
+    sweep, bit-identical to the SQL slab+window twin."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+
+    def mk_rect(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = (pk * 17) % 3600
+        y1 = (pk * 23) % 1700
+        return pa.table(
+            {
+                "g": pa.array(pk % 97, pa.int64()),
+                "x1": pa.array(x1, pa.int64()),
+                "y1": pa.array(y1, pa.int64()),
+                "x2": pa.array(x1 + (sz % 10) + 1, pa.int64()),
+                "y2": pa.array(y1 + (sz % 7) + 1, pa.int64()),
+            }
+        )
+
+    rects = ds.map_batches(
+        mk_rect, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.dissolve_area(rects, "g", "x1", "y1", "x2", "y2")
+
+
+SQL_DISSOLVE_AREA = """
+WITH r AS (
+  SELECT p_partkey % 97 AS g,
+         (p_partkey * 17) % 3600 AS x1,
+         (p_partkey * 23) % 1700 AS y1,
+         (p_partkey * 17) % 3600 + (p_size % 10) + 1 AS x2,
+         (p_partkey * 23) % 1700 + (p_size % 7) + 1 AS y2
+  FROM part
+),
+e AS (
+  SELECT DISTINCT g, x1 AS x FROM r
+  UNION
+  SELECT DISTINCT g, x2 FROM r
+),
+s0 AS (
+  SELECT g, x AS x0, LEAD(x) OVER (PARTITION BY g ORDER BY x) AS x1e FROM e
+),
+s AS (SELECT g, x0, x1e FROM s0 WHERE x1e IS NOT NULL),
+cov AS (
+  SELECT s.g, s.x0, s.x1e, r.y1, r.y2
+  FROM s JOIN r ON r.g = s.g AND r.x1 <= s.x0 AND r.x2 >= s.x1e
+),
+sw AS (
+  SELECT g, x0, x1e, y1, y2,
+         MAX(y2) OVER (PARTITION BY g, x0 ORDER BY y1, y2
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM cov
+)
+SELECT g,
+       CAST(SUM((x1e - x0) *
+                GREATEST(y2 - GREATEST(y1, COALESCE(pm, y1)), 0)) AS BIGINT)
+         AS union_area
+FROM sw GROUP BY g
+"""
+
+
 def q_twa(sf_dir: str):
     """Per-user TIME-WEIGHTED average of the event value (step signal:
     each sample holds until the next) — quantized integer weighted sum
@@ -9626,6 +9691,7 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "asof_nearest": q_asof_nearest,
     "interval_cover": q_interval_cover,
+    "dissolve_area": q_dissolve_area,
     "twa": q_twa,
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
@@ -9840,6 +9906,7 @@ ORACLE = {
     "asof_forward": SQL_ASOF_FORWARD,
     "asof_nearest": SQL_ASOF_NEAREST,
     "interval_cover": SQL_INTERVAL_COVER,
+    "dissolve_area": SQL_DISSOLVE_AREA,
     "twa": SQL_TWA,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,

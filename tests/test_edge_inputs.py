@@ -572,3 +572,36 @@ def test_window_family_single_row_groups(ray_session):
         cs.sort_values("k")["running_sum"].to_numpy()
         == t["v"].to_numpy().astype(np.float64)
     ).all()
+
+
+def test_dissolve_area_edges(ray_session):
+    """Union-of-rects dissolve: overlap counts once, contained rects
+    add nothing, disjoint rects add up, degenerate (min>=max) rects are
+    EMPTY boxes (reference src/geoarrow.c:2986-3016), string keys work,
+    empty input yields an empty typed table."""
+    import ray.data as rd
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "x1": pa.array([0, 5, 2, 0, 10, 3], pa.int64()),
+        "y1": pa.array([0, 5, 2, 0, 10, 3], pa.int64()),
+        "x2": pa.array([10, 15, 4, 10, 20, 3], pa.int64()),
+        "y2": pa.array([10, 15, 4, 10, 20, 3], pa.int64()),
+    })
+    out = (
+        ops.dissolve_area(rd.from_arrow(t), "g", "x1", "y1", "x2", "y2")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    # a: two 10x10 overlapping on [5,10)^2 (area 175) + contained 2x2 → 175
+    # b: two disjoint 10x10 → 200; c: degenerate only → absent
+    assert out["g"].tolist() == ["a", "b"]
+    assert out["union_area"].tolist() == [175, 200]
+
+    empty = pa.table({
+        "g": pa.array([], pa.int64()),
+        "x1": pa.array([], pa.int64()), "y1": pa.array([], pa.int64()),
+        "x2": pa.array([], pa.int64()), "y2": pa.array([], pa.int64()),
+    })
+    assert ops.dissolve_area(
+        rd.from_arrow(empty), "g", "x1", "y1", "x2", "y2"
+    ).count() == 0
