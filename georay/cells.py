@@ -423,3 +423,64 @@ def geohash(lon_deg, lat_deg, precision: int = 6) -> np.ndarray:
     return _pa.StringArray.from_buffers(
         n, _pa.py_buffer(offs.tobytes()), _pa.py_buffer(flat.tobytes())
     )
+
+
+def hex_cell(x, y, size: float) -> np.ndarray:
+    """Pointy-top HEXAGONAL bin id (H3-style axial coordinates, the
+    4th cell system — hexes are the movement-analytics standard because
+    all 6 neighbors are equidistant, unlike squares). Planar (x, y) →
+    fractional axial (q, r) → cube rounding (round each of q, r,
+    s = −q−r to the nearest integer, then fix the axis with the largest
+    rounding error so q+r+s == 0 — the classic exact algorithm) →
+    packed int64 ``(q+OFF) * 2^21 + (r+OFF)``.
+
+    Every float step is written as the SAME IEEE-754 expression the SQL
+    twin uses (sqrt(3)/3 constant folded identically, floor(v+0.5)
+    rounding instead of round-half-even), so numpy and DuckDB quantize
+    boundary points to the same hex bit-for-bit — the same discipline as
+    the geohash/S2 oracles. Non-finite coords → id −1."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    ok = np.isfinite(x) & np.isfinite(y)
+    xs = np.where(ok, x, 0.0)
+    ys = np.where(ok, y, 0.0)
+    k = np.sqrt(3.0) / 3.0
+    qf = (k * xs - ys / 3.0) / size
+    rf = (ys * (2.0 / 3.0)) / size
+    sf = -qf - rf
+    rq = np.floor(qf + 0.5)
+    rr = np.floor(rf + 0.5)
+    rs = np.floor(sf + 0.5)
+    dq = np.abs(rq - qf)
+    dr = np.abs(rr - rf)
+    ds = np.abs(rs - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    rq = np.where(fix_q, -rr - rs, rq)
+    rr = np.where(fix_r, -rq - rs, rr)
+    OFF = np.int64(1 << 20)
+    qid = rq.astype(np.int64) + OFF
+    rid = rr.astype(np.int64) + OFF
+    out = qid * np.int64(1 << 21) + rid
+    return np.where(ok, out, np.int64(-1))
+
+
+def hex_disk(ids: np.ndarray, k: int = 1) -> np.ndarray:
+    """All hex ids within hex-grid distance ``k`` of each input id
+    (the (2k+1)²−k(k+1) axial disk, |dq|≤k, |dr|≤k, |dq+dr|≤k) —
+    the ring-expansion primitive for hex kNN. Returns (n, cells)
+    int64."""
+    OFF = np.int64(1 << 20)
+    B = np.int64(1 << 21)
+    q = ids // B - OFF
+    r = ids % B - OFF
+    dq, dr = np.meshgrid(
+        np.arange(-k, k + 1, dtype=np.int64),
+        np.arange(-k, k + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    keep = np.abs(dq + dr) <= k
+    dq, dr = dq[keep], dr[keep]
+    qq = q[:, None] + dq[None, :]
+    rr = r[:, None] + dr[None, :]
+    return (qq + OFF) * B + (rr + OFF)

@@ -290,6 +290,61 @@ GROUP BY 1
 """
 
 
+def q_hex_cell_count(sf_dir: str):
+    """Hexagonal-bin histogram (cells.hex_cell, the 4th cell system:
+    pointy-top axial hex with exact cube rounding) over the lineitem
+    points — same skew-safe two-stage aggregate as the square-grid
+    twin. Every float step is the identical IEEE expression in numpy
+    and DuckDB (sqrt(3)/3 constant, floor(v+0.5) rounding), so boundary
+    points bin identically and the hash matches bit-for-bit."""
+    from georay import cells as _cells
+
+    ds = lineitem_points(sf_dir)
+
+    def add_hex(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        return pa.table(
+            {"hex_cell": pa.array(_cells.hex_cell(lon, lat, 2.5), pa.int64())}
+        )
+
+    hexed = ds.map_batches(
+        add_hex, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.salted_count(hexed, "hex_cell", count_alias="n")
+
+
+SQL_HEX_CELL_COUNT = f"""
+WITH p AS ({_LI_POINT_SQL}),
+h0 AS (
+  SELECT ((sqrt(3.0e0)/3.0e0) * lon - lat / 3.0e0) / 2.5e0 AS qf,
+         (lat * (2.0e0/3.0e0)) / 2.5e0 AS rf
+  FROM p
+),
+h1 AS (SELECT qf, rf, -qf - rf AS sf FROM h0),
+h2 AS (
+  SELECT qf, rf, sf,
+         FLOOR(qf + 0.5e0) AS rq, FLOOR(rf + 0.5e0) AS rr,
+         FLOOR(sf + 0.5e0) AS rs
+  FROM h1
+),
+h3 AS (
+  SELECT rq, rr, rs,
+         ABS(rq - qf) AS da, ABS(rr - rf) AS db, ABS(rs - sf) AS dc
+  FROM h2
+),
+h4 AS (
+  SELECT CASE WHEN da > db AND da > dc THEN -rr - rs ELSE rq END AS q2,
+         CASE WHEN NOT (da > db AND da > dc) AND db > dc
+              THEN -rq - rs ELSE rr END AS r2
+  FROM h3
+)
+SELECT (CAST(q2 AS BIGINT) + 1048576) * 2097152
+     + (CAST(r2 AS BIGINT) + 1048576) AS hex_cell,
+       COUNT(*) AS n
+FROM h4 GROUP BY 1
+"""
+
+
 def q_window_lag(sf_dir: str):
     """Per-user LAG(ts) over the event log ((ts, event_id) total order)
     — one key-hash shuffle, whole-bucket vectorized sort+shift."""
@@ -9692,6 +9747,7 @@ QUERIES = {
     "asof_nearest": q_asof_nearest,
     "interval_cover": q_interval_cover,
     "dissolve_area": q_dissolve_area,
+    "hex_cell_count": q_hex_cell_count,
     "twa": q_twa,
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
@@ -9907,6 +9963,7 @@ ORACLE = {
     "asof_nearest": SQL_ASOF_NEAREST,
     "interval_cover": SQL_INTERVAL_COVER,
     "dissolve_area": SQL_DISSOLVE_AREA,
+    "hex_cell_count": SQL_HEX_CELL_COUNT,
     "twa": SQL_TWA,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,

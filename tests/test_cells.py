@@ -238,3 +238,32 @@ def test_uncompact_inverts_compact(ray_session):
     # a level-12 row cannot be "expanded" to level 11
     with pytest.raises(Exception):
         ops.uncompact_cells(comp, to_level=11).to_pandas()
+
+
+def test_hex_cell_properties():
+    """Hex binning invariants: disk sizes are the centered hexagonal
+    numbers (1, 7, 19, 37), every point's cell center is within one
+    hex circumradius, cube rounding keeps q+r+s == 0, non-finite
+    coords map to -1."""
+    import numpy as np
+
+    from georay.cells import hex_cell, hex_disk
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-180, 180, 20000)
+    y = rng.uniform(-90, 90, 20000)
+    size = 2.5
+    ids = hex_cell(x, y, size)
+    assert ids.min() >= 0
+    # invert the packing to axial centers and check distance bound
+    OFF, B = 1 << 20, 1 << 21
+    q = ids // B - OFF
+    r = ids % B - OFF
+    cx = size * np.sqrt(3.0) * (q + r / 2.0)
+    cy = size * 1.5 * r
+    d = np.hypot(x - cx, y - cy)
+    assert d.max() <= size + 1e-9  # circumradius = size
+    for k, want in [(0, 1), (1, 7), (2, 19), (3, 37)]:
+        assert hex_disk(ids[:3], k).shape == (3, want)
+    bad = hex_cell(np.array([np.nan, np.inf]), np.array([0.0, 0.0]), size)
+    assert (bad == -1).all()
