@@ -780,50 +780,51 @@ def _topk_reduce(batch: pa.Table, k: int) -> pa.Table:
     """Keep the k smallest-(d2, rid) candidates per probe and sum the
     per-probe candidate counts — one lexsort + boundary pass; associative,
     so it serves as both the combine and the final stage of the top-k
-    merge tree (dedups (pid, rid) repeats from wrap-around disks). The
-    probe's ring (``pr``) rides along like plon/plat (constant per pid)."""
+    merge tree (dedups (pid, rid) repeats from wrap-around disks).
+
+    Rows with rid < 0 are PROBE-STATE rows (r4 slim schema: rid=-1
+    carries the ring in nc, rid=-2 carries lon in d2 / lat bit-cast in
+    nc) — they pass through unconditionally (dedup by (pid, rid); the
+    copies are identical) and never enter the top-k ranking, so the hot
+    candidate stream stays 4 columns × 32 bytes/row."""
     pid = batch["pid"].to_numpy(zero_copy_only=False)
     rid = batch["rid"].to_numpy(zero_copy_only=False)
     d2 = batch["d2"].to_numpy(zero_copy_only=False)
     nc = batch["nc"].to_numpy(zero_copy_only=False)
-    plon = batch["plon"].to_numpy(zero_copy_only=False)
-    plat = batch["plat"].to_numpy(zero_copy_only=False)
-    pr = batch["pr"].to_numpy(zero_copy_only=False)
     if pid.shape[0] == 0:
         return batch
     # dedup (pid, rid) pairs first (a ref can reach a probe through two
-    # buckets only via longitude wrap); counts follow the dedup
+    # buckets only via longitude wrap; state-row copies are identical)
     order = np.lexsort((rid, pid))
-    pid, rid, d2, nc, plon, plat, pr = (
-        a[order] for a in (pid, rid, d2, nc, plon, plat, pr)
-    )
+    pid, rid, d2, nc = (a[order] for a in (pid, rid, d2, nc))
     first = np.ones(pid.shape[0], dtype=bool)
     first[1:] = (pid[1:] != pid[:-1]) | (rid[1:] != rid[:-1])
-    pid, rid, d2, plon, plat, pr = (
-        a[first] for a in (pid, rid, d2, plon, plat, pr)
-    )
-    # candidate-count partials: within a (pid, rid) dup run only the
-    # first row's count survives (they describe the same candidate)
-    nc = nc[first]
+    pid, rid, d2, nc = (a[first] for a in (pid, rid, d2, nc))
+    special = rid < 0
+    s_pid, s_rid, s_d2, s_nc = pid[special], rid[special], d2[special], nc[special]
+    pid, rid, d2, nc = pid[~special], rid[~special], d2[~special], nc[~special]
     order = np.lexsort((rid, d2, pid))
-    pid, rid, d2, nc, plon, plat, pr = (
-        a[order] for a in (pid, rid, d2, nc, plon, plat, pr)
-    )
-    uniq, starts = np.unique(pid, return_index=True)
-    run_len = np.diff(np.append(starts, pid.shape[0]))
-    within = np.arange(pid.shape[0]) - np.repeat(starts, run_len)
-    keep = within < k
-    totals = np.add.reduceat(nc, starts)
-    nc_kept = np.repeat(totals, np.minimum(run_len, k))
+    pid, rid, d2, nc = (a[order] for a in (pid, rid, d2, nc))
+    if pid.shape[0]:
+        uniq, starts = np.unique(pid, return_index=True)
+        run_len = np.diff(np.append(starts, pid.shape[0]))
+        within = np.arange(pid.shape[0]) - np.repeat(starts, run_len)
+        keep = within < k
+        totals = np.add.reduceat(nc, starts)
+        nc_kept = np.repeat(totals, np.minimum(run_len, k))
+    else:
+        keep = np.zeros(0, dtype=bool)
+        nc_kept = np.zeros(0, dtype=np.int64)
+    pid = np.concatenate([pid[keep], s_pid])
+    rid = np.concatenate([rid[keep], s_rid])
+    d2 = np.concatenate([d2[keep], s_d2])
+    nc_kept = np.concatenate([nc_kept, s_nc])
     return pa.table(
         {
-            "pid": pa.array(pid[keep], pa.int64()),
-            "rid": pa.array(rid[keep], pa.int64()),
-            "d2": pa.array(d2[keep], pa.float64()),
+            "pid": pa.array(pid, pa.int64()),
+            "rid": pa.array(rid, pa.int64()),
+            "d2": pa.array(d2, pa.float64()),
             "nc": pa.array(nc_kept, pa.int64()),
-            "plon": pa.array(plon[keep], pa.float64()),
-            "plat": pa.array(plat[keep], pa.float64()),
-            "pr": pa.array(pr[keep], pa.int64()),
         }
     )
 
@@ -888,7 +889,6 @@ def knn_join_partitioned(
                 "rid": sub[ref_id_col].cast(pa.int64()),
                 "lon": pa.array(lon),
                 "lat": pa.array(lat),
-                "pr": pa.array(np.full(len(sub), -1), pa.int64()),
             }
         )
 
@@ -938,9 +938,6 @@ def knn_join_partitioned(
                         "rid": pa.array(np.full(npm * width, -1), pa.int64()),
                         "lon": pa.array(np.repeat(lon[m], width)),
                         "lat": pa.array(np.repeat(lat[m], width)),
-                        "pr": pa.array(
-                            np.full(npm * width, rv, np.int64)
-                        ),
                     }
                 )
             )
@@ -953,25 +950,38 @@ def knn_join_partitioned(
                     "rid": pa.array([], pa.int64()),
                     "lon": pa.array([], pa.float64()),
                     "lat": pa.array([], pa.float64()),
-                    "pr": pa.array([], pa.int64()),
                 }
             )
         return pa.concat_tables(parts)
 
     def sentinel(batch: pa.Table) -> pa.Table:
-        """One presence row per live probe (rid=-1, d2=∞, nc=0) so a
-        probe with zero candidates still reaches the pid-bucket merge
-        and grows its ring there."""
+        """TWO probe-state rows per live probe in the slim 4-column
+        schema (a probe with zero candidates still reaches the
+        pid-bucket merge and grows its ring there):
+        rid=-1 → presence + ring (nc = -(r+1), never a candidate count);
+        rid=-2 → coords (d2 = lon, nc = lat bit-cast to int64)."""
         n = len(batch)
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "pid": batch["pid"],
-                "rid": pa.array(np.full(n, -1), pa.int64()),
-                "d2": pa.array(np.full(n, np.inf), pa.float64()),
-                "nc": pa.array(np.zeros(n, np.int64)),
-                "plon": batch["lon"],
-                "plat": batch["lat"],
-                "pr": batch["r"],
+                "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
+                "rid": pa.array(
+                    np.concatenate(
+                        [np.full(n, -1, np.int64), np.full(n, -2, np.int64)]
+                    )
+                ),
+                "d2": pa.array(
+                    np.concatenate([np.full(n, np.inf), lon]), pa.float64()
+                ),
+                "nc": pa.array(
+                    np.concatenate(
+                        [-(r + 1), np.ascontiguousarray(lat).view(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -985,16 +995,12 @@ def knn_join_partitioned(
                 "rid": pa.array([], pa.int64()),
                 "d2": pa.array([], pa.float64()),
                 "nc": pa.array([], pa.int64()),
-                "plon": pa.array([], pa.float64()),
-                "plat": pa.array([], pa.float64()),
-                "pr": pa.array([], pa.int64()),
             }
         )
         if len(prb) == 0 or len(rf) == 0:
             return empty
         plon = prb["lon"].to_numpy(zero_copy_only=False)
         plat = prb["lat"].to_numpy(zero_copy_only=False)
-        ppr = prb["pr"].to_numpy(zero_copy_only=False)
         rlon = rf["lon"].to_numpy(zero_copy_only=False)
         rlat = rf["lat"].to_numpy(zero_copy_only=False)
         rids = rf["rid"].to_numpy(zero_copy_only=False)
@@ -1022,9 +1028,6 @@ def knn_join_partitioned(
                 "nc": pa.array(
                     np.full(rows.shape[0], rlon.shape[0], np.int64)
                 ),
-                "plon": pa.array(plon[rows], pa.float64()),
-                "plat": pa.array(plat[rows], pa.float64()),
-                "pr": pa.array(ppr[rows], pa.int64()),
             }
         )
 
@@ -1053,18 +1056,19 @@ def knn_join_partitioned(
             rid = g["rid"].to_numpy(zero_copy_only=False)
             d2 = g["d2"].to_numpy(zero_copy_only=False)
             nc = g["nc"].to_numpy(zero_copy_only=False)
-            plon = g["plon"].to_numpy(zero_copy_only=False)
-            plat = g["plat"].to_numpy(zero_copy_only=False)
-            pr = g["pr"].to_numpy(zero_copy_only=False)
-            # probe coords/ring per pid: prefer a probe-originated row
-            # (sentinel or candidate — both carry them; ref rows never
-            # reach here). Rows are sorted by (pid, d2, rid).
-            real = rid != -1
+            # probe state from the slim-schema state rows (one of each
+            # per live probe, pid-sorted, identical pid sets): rid=-1
+            # ring row (nc = -(r+1)), rid=-2 coord row (d2 = lon,
+            # nc = lat bits). Real candidate rows (rid ≥ 0) come first,
+            # sorted by (pid, d2, rid).
+            real = rid >= 0
+            ring_m = rid == -1
+            coord_m = rid == -2
             rp, rd2, rrid, rnc = pid[real], d2[real], rid[real], nc[real]
-            rlon_, rlat_, rpr = plon[real], plat[real], pr[real]
-            all_pid, all_first = np.unique(pid, return_index=True)
-            a_lon, a_lat = plon[all_first], plat[all_first]
-            a_r = pr[all_first]
+            all_pid = pid[ring_m]
+            a_r = -nc[ring_m] - 1
+            a_lon = d2[coord_m]
+            a_lat = np.ascontiguousarray(nc[coord_m]).view(np.float64)
             out_parts = []
             resolved_pids = np.empty(0, np.int64)
             if rp.size:
@@ -1092,9 +1096,11 @@ def knn_join_partitioned(
                                 "pid": pa.array(rp[sel], pa.int64()),
                                 "rid": pa.array(rrid[sel], pa.int64()),
                                 "rank": pa.array(within[sel] + 1, pa.int64()),
-                                "lon": pa.array(rlon_[sel], pa.float64()),
-                                "lat": pa.array(rlat_[sel], pa.float64()),
-                                "r": pa.array(rpr[sel], pa.int64()),
+                                # resolved rows never feed state back —
+                                # downstream selects (pid, rid, rank)
+                                "lon": pa.array(np.zeros(nsel), pa.float64()),
+                                "lat": pa.array(np.zeros(nsel), pa.float64()),
+                                "r": pa.array(np.zeros(nsel, np.int64)),
                             }
                         )
                     )
@@ -1140,10 +1146,15 @@ def knn_join_partitioned(
 
         return finish
 
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("GEORAY_KNN_DEBUG"))
     results: list[ray.data.Dataset] = []
     rounds = 0
     while n_un and rounds <= max_ring:
         rounds += 1
+        _t0 = _time.time()
         msgs = un.map_batches(
             expand, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
@@ -1193,6 +1204,11 @@ def knn_join_partitioned(
             batch_size=None,
         ).materialize()
         n_un = un.count()
+        if _dbg:
+            print(
+                f"[knn_part] round {rounds}: {_time.time() - _t0:.1f}s, "
+                f"unresolved={n_un}", flush=True,
+            )
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table(
