@@ -1856,3 +1856,269 @@ def pagerank_partitioned(
     return state.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seed_pred,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_hops: int = 3,
+    local_edge_cutoff: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source shortest-hop BFS over an undirected edge list:
+    every graph node matching ``seed_pred`` (a vectorized
+    ``np.ndarray[int64] -> bool mask`` — a predicate, not a collected id
+    list, so the seed set never has to exist on the driver) starts at
+    hop 0; output is ``(node, hops)`` for every node reachable within
+    ``max_hops``, ``hops`` = minimum distance. The reachability /
+    blast-radius primitive (contamination spread, influence
+    neighborhoods) the rest of the graph family composes with.
+
+    Below ``local_edge_cutoff`` edges: one driver CSR + vectorized
+    level-synchronous BFS (ragged neighbor gather per level). Above:
+    ``bfs_hops_partitioned`` — the label table stays distributed.
+    Both plans emit identical rows; the SQL twin is a bounded-depth
+    recursive CTE over (node, hop) states."""
+    n_edges = edges.count()
+    if n_edges > local_edge_cutoff:
+        return bfs_hops_partitioned(
+            edges, seed_pred, id_a=id_a, id_b=id_b, max_hops=max_hops,
+            n_buckets=n_buckets,
+        )
+    import pyarrow as _pa
+
+    et = _pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    a = et[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    nodes = np.unique(src_s)
+    hop = np.full(nodes.shape[0], -1, np.int64)
+    seed_mask = np.asarray(seed_pred(nodes), bool)
+    hop[seed_mask] = 0
+    frontier = nodes[seed_mask]
+    from georay.index import _ragged_ranges
+
+    for h in range(1, max_hops + 1):
+        if frontier.shape[0] == 0:
+            break
+        lo = np.searchsorted(src_s, frontier, side="left")
+        hi = np.searchsorted(src_s, frontier, side="right")
+        owner, within = _ragged_ranges(hi - lo)
+        neigh = dst_s[lo[owner] + within] if owner.shape[0] else np.empty(0, np.int64)
+        cand = np.unique(neigh)
+        pos = np.searchsorted(nodes, cand)
+        new = cand[hop[pos] < 0]
+        hop[np.searchsorted(nodes, new)] = h
+        frontier = new
+    keep = hop >= 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[keep], pa.int64()),
+                "hops": pa.array(hop[keep], pa.int64()),
+            }
+        )
+    )
+
+
+def bfs_hops_partitioned(
+    edges: ray.data.Dataset,
+    seed_pred,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_hops: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed twin of ``bfs_hops``: the (node, hops) label table is
+    NEVER collected or broadcast. Level-synchronous frontier expansion,
+    two hash-bucket co-shuffles per hop (the ``pagerank_partitioned`` /
+    ``connected_components_partitioned`` shape):
+
+    1. frontier ⋈ edges on ``hash(src) % n_buckets`` — inside a bucket
+       every frontier node's incident edges are present, so candidate
+       generation is one sorted-membership filter;
+    2. candidates ⋈ labels on ``hash(node)`` — a candidate already
+       labeled is dropped, the rest join the table at hop h and form the
+       next frontier (carried IN the label table as a ``fresh`` flag —
+       no second state object).
+
+    Driver state per round: ONE scalar (the fresh count) for the
+    termination test. Memory per task is o(nodes / n_buckets); rounds
+    are bounded by ``max_hops``. Identical rows to the broadcast twin."""
+    from georay import ops as _ops
+
+    nb = np.uint64(n_buckets)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (_ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(src), pa.int64()),
+                "kind": pa.array(np.ones(src.shape[0], np.int8)),
+                "node": pa.array(src, pa.int64()),
+                "val": pa.array(dst, pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(
+        to_sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    # labels: (node, hops, fresh). Round 0: seeds straight off the edge
+    # endpoints (a node matching the predicate is a seed iff it is a
+    # graph node, and every graph node appears as some edge's src).
+    def seed0(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        m = np.asarray(seed_pred(node), bool)
+        sel = np.unique(node[m])
+        return pa.table(
+            {
+                "node": pa.array(sel, pa.int64()),
+                "hops": pa.array(np.zeros(sel.shape[0], np.int64)),
+                "fresh": pa.array(np.ones(sel.shape[0], np.int64)),
+            }
+        )
+
+    labels = (
+        sym.map_batches(
+            seed0, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .map_batches(
+            lambda b: b.append_column(
+                "_b",
+                pa.array(
+                    _bucket(b["node"].to_numpy(zero_copy_only=False).astype(np.int64)),
+                    pa.int64(),
+                ),
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: _dedup_label_rows(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    from ray.data.aggregate import Sum
+
+    n_fresh = labels.aggregate(Sum("fresh", alias_name="f"))["f"] or 0
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["fresh"], 1)
+        sub = batch.filter(m)
+        node = sub["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node), pa.int64()),
+                "kind": pa.array(np.zeros(node.shape[0], np.int8)),
+                "node": pa.array(node, pa.int64()),
+                "val": pa.array(np.zeros(node.shape[0], np.int64)),
+            }
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        node = group["node"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        is_fr = kind == 0
+        fr = np.unique(node[is_fr])
+        if fr.shape[0] == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        es, ed = node[~is_fr], val[~is_fr]
+        pos = np.searchsorted(fr, es)
+        hit = (pos < fr.shape[0]) & (fr[np.minimum(pos, fr.shape[0] - 1)] == es)
+        cand = np.unique(ed[hit])
+        return pa.table({"node": pa.array(cand, pa.int64())})
+
+    for h in range(1, max_hops + 1):
+        if not n_fresh:
+            break
+        cand = (
+            labels.map_batches(
+                tag_frontier, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .union(sym)
+            .groupby("_b")
+            .map_groups(expand, batch_format="pyarrow")
+        )
+
+        def tag_cand(batch: pa.Table, _h=h) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "_b": pa.array(_bucket(node), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "hops": pa.array(np.full(node.shape[0], _h, np.int64)),
+                    "fresh": pa.array(np.ones(node.shape[0], np.int64)),
+                }
+            )
+
+        def tag_lab(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "_b": pa.array(_bucket(node), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "hops": batch["hops"],
+                    "fresh": pa.array(np.zeros(node.shape[0], np.int64)),
+                }
+            )
+
+        labels = (
+            cand.map_batches(
+                tag_cand, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .union(
+                labels.map_batches(
+                    tag_lab, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
+            )
+            .groupby("_b")
+            .map_groups(
+                lambda g: _dedup_label_rows(g.drop_columns(["_b"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_fresh = labels.aggregate(Sum("fresh", alias_name="f"))["f"] or 0
+
+    return labels.map_batches(
+        lambda b: b.select(["node", "hops"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def _dedup_label_rows(g: pa.Table) -> pa.Table:
+    """Keep the min-hop row per node; a node present with fresh=0 keeps
+    its existing label (old rows always carry the smaller hop, and ties
+    prefer fresh=0 so an already-labeled node never re-enters the
+    frontier)."""
+    node = g["node"].to_numpy(zero_copy_only=False)
+    hops = g["hops"].to_numpy(zero_copy_only=False)
+    fresh = g["fresh"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((fresh, hops, node))
+    node, hops, fresh = node[order], hops[order], fresh[order]
+    first = np.ones(node.shape[0], bool)
+    first[1:] = node[1:] != node[:-1]
+    return pa.table(
+        {
+            "node": pa.array(node[first], pa.int64()),
+            "hops": pa.array(hops[first], pa.int64()),
+            "fresh": pa.array(fresh[first], pa.int64()),
+        }
+    )

@@ -6075,3 +6075,256 @@ def uncompact_cells(
     return ds.map_batches(
         expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def _div_trunc(num: int, den: int) -> int:
+    """Integer division TRUNCATED TOWARD ZERO — DuckDB's ``//`` (and C's
+    ``/``) semantics, not Python's floor. Every oracled rational that
+    can go negative must divide this way so both engines agree."""
+    q = abs(num) // abs(den)
+    return -q if (num < 0) != (den < 0) else q
+
+
+def roc_auc(
+    ds: ray.data.Dataset,
+    label_col: str,
+    score_col: str,
+    quantize: float | None = None,
+) -> ray.data.Dataset:
+    """EXACT ROC AUC of an integer score against a 0/1 label as a
+    RATIONAL — one row ``(auc_num, auc_den)`` with
+    ``AUC = auc_num / auc_den``, ties counted half (the Mann–Whitney U
+    convention, identical to sklearn's ``roc_auc_score``). The ranking
+    metric every quality-classifier gate needs, computed without a
+    global sort: per distinct score the (n_pos, n_neg) VALUE HISTOGRAM
+    merges through the combine tree (bounded by the score domain, not
+    the corpus), then one driver fold in arbitrary-precision ints:
+    a score run with ``p`` positives and ``n`` negatives above ``B``
+    lower-scored negatives contributes ``2·p·B + p·n`` to the doubled
+    numerator; ``auc_den = 2·n_pos·n_neg``. Pass ``quantize`` to bucket
+    a float score (``floor(x·q + 0.5)``); integer scores pass through."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        if quantize is not None:
+            s = np.floor(s.astype(np.float64) * quantize + 0.5).astype(np.int64)
+        else:
+            s = s.astype(np.int64)
+        ks, vs = _group_reduce(
+            [s], {"partial_p": y, "partial_n": (1 - y).astype(np.int64)}
+        )
+        return pa.table(
+            {
+                "s": pa.array(ks[0], pa.int64()),
+                "partial_p": pa.array(vs["partial_p"], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_sum(
+        partials, ["s"], {"partial_p": "p", "partial_n": "n"},
+        int_cols=("partial_p", "partial_n"),
+    )
+    df = hist.to_pandas().sort_values("s")
+    num = 0
+    below = 0
+    tot_p = 0
+    for p, n in zip(df["p"].tolist(), df["n"].tolist()):
+        num += 2 * p * below + p * n
+        below += n
+        tot_p += p
+    den = 2 * tot_p * below
+    if not (0 <= num < 2**63 and 0 <= den < 2**63):
+        raise OverflowError("roc_auc: rational exceeds int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "auc_num": pa.array([int(num)], pa.int64()),
+                "auc_den": pa.array([int(den)], pa.int64()),
+            }
+        )
+    )
+
+
+def cusum_alarms(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    drift_q: int,
+    threshold_q: int,
+    quantize: float = 100.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key one-sided CUSUM changepoint statistic, EXACT and fully
+    vectorized: over each key's (order_cols)-sorted sequence of
+    quantized values ``x_t``, the recurrence
+    ``s_t = max(0, s_{t-1} + x_t - drift_q)`` flags an alarm whenever
+    ``s_t > threshold_q``. Output one row per key:
+    ``(key, n_alarms, max_stat)``.
+
+    The sequential recurrence has the closed form
+    ``s_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the running sum of
+    ``(x - drift)`` — a segmented prefix sum plus a segmented running
+    min, both one numpy pass via the same key-offset packing as
+    ``interval_union_length`` (with the identical 2^62 overflow guard
+    and per-key-segment fallback). One key-hash bucket shuffle total;
+    the SQL twin is two window cumulatives, bit-exact in integers."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    proj = ds.select_columns([key, *order_list, value_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("cusum_alarms requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.floor(x * quantize + 0.5).astype(np.int64) - np.int64(drift_q)
+        n = k.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_alarms": pa.array([], pa.int64()),
+                    "max_stat": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        kid = np.cumsum(first) - 1
+        c = np.cumsum(d)
+        base = np.repeat(c[starts] - d[starts], np.diff(np.append(starts, n)))
+        P = c - base  # segmented prefix sum
+        lo, hi = int(P.min()), int(P.max())
+        span = np.int64(hi - lo + 2)
+        if int(starts.shape[0]) * int(span) < (1 << 62):
+            # MIN accumulate needs earlier segments packed ABOVE later
+            # ones (the mirror of interval_union_length's max packing):
+            # subtract kid·span so a previous key's values are strictly
+            # larger than anything in the current key's range and never
+            # win the running min across the boundary.
+            packed = (P - lo) - kid * span
+            runmin = np.minimum.accumulate(packed) + kid * span + lo
+        else:  # degenerate span — per-key segments (rare)
+            runmin = np.empty(n, np.int64)
+            for a, b in zip(starts, np.append(starts[1:], n)):
+                runmin[a:b] = np.minimum.accumulate(P[a:b])
+        s = P - np.minimum(runmin, 0)
+        alarm = (s > threshold_q).astype(np.int64)
+        ks, vs = _group_reduce(
+            [k],
+            {"n_alarms": alarm, "max_stat": s},
+            ufunc={"n_alarms": np.add, "max_stat": np.maximum},
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "n_alarms": pa.array(vs["n_alarms"], pa.int64()),
+                "max_stat": pa.array(vs["max_stat"], pa.int64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    keys: str | list[str],
+    x_col: str,
+    y_col: str,
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Per-key ordinary-least-squares line fit on INTEGER-QUANTIZED
+    columns, exact: one streaming pass accumulates the five integer
+    sufficient statistics ``(n, Σx, Σy, Σxy, Σx²)`` per key through the
+    combine tree, then a driver fold over the small per-key table forms
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` and
+    ``intercept = (Σy·D − N·Σx) / (n·D)`` in arbitrary-precision ints,
+    emitting both quantized to ``2^scale_bits`` with DuckDB's
+    truncate-toward-zero division (``_div_trunc``) so the HUGEINT SQL
+    twin is bit-identical. Keys whose x is constant (D = 0) are dropped
+    — the fit is undefined there (SQL twin filters them identically).
+    Quantize upstream so per-key Σxy stays under 2^62."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karrs = [batch[c].to_numpy(zero_copy_only=False) for c in key_list]
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce(
+            karrs,
+            {
+                "partial_n": np.ones(x.shape[0], np.int64),
+                "partial_sx": x,
+                "partial_sy": y,
+                "partial_sxy": x * y,
+                "partial_sxx": x * x,
+            },
+        )
+        cols = {c: pa.array(a) for c, a in zip(key_list, ks)}
+        for s in ("partial_n", "partial_sx", "partial_sy", "partial_sxy",
+                  "partial_sxx"):
+            cols[s] = pa.array(vs[s], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    sums = tree_sum(
+        partials,
+        key_list,
+        {
+            "partial_n": "n", "partial_sx": "sx", "partial_sy": "sy",
+            "partial_sxy": "sxy", "partial_sxx": "sxx",
+        },
+        int_cols=("partial_n", "partial_sx", "partial_sy", "partial_sxy",
+                  "partial_sxx"),
+    )
+    df = sums.to_pandas()
+    scale = 1 << scale_bits
+    out_keys: dict[str, list] = {c: [] for c in key_list}
+    n_out, slope_out, icept_out = [], [], []
+    for row in df.itertuples(index=False):
+        r = row._asdict()
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx = int(r["sxy"]), int(r["sxx"])
+        D = n * sxx - sx * sx
+        if D == 0:
+            continue
+        N = n * sxy - sx * sy
+        slope_q = _div_trunc(N * scale, D)
+        icept_q = _div_trunc((sy * D - N * sx) * scale, n * D)
+        if not (-(2**63) <= slope_q < 2**63 and -(2**63) <= icept_q < 2**63):
+            raise OverflowError("grouped_ols: quantized fit exceeds int64")
+        for c in key_list:
+            out_keys[c].append(r[c])
+        n_out.append(n)
+        slope_out.append(slope_q)
+        icept_out.append(icept_q)
+    cols: dict = {c: pa.array(out_keys[c]) for c in key_list}
+    cols["n"] = pa.array(n_out, pa.int64())
+    cols["slope_q"] = pa.array(slope_out, pa.int64())
+    cols["icept_q"] = pa.array(icept_out, pa.int64())
+    return ray.data.from_arrow(pa.table(cols))

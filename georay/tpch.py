@@ -9701,6 +9701,191 @@ LEFT JOIN inter i ON i.pair_id = p.pair_id
 """
 
 
+# ------------------------------------------- round-4: BFS / metrics / CUSUM
+
+_BFS_SEED_MOD = 97
+_BFS_MAX_HOPS = 3
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the co-purchase graph: every node ≡ 0
+    (mod 97) seeds at hop 0; (node, min-hops) for reach ≤ 3. Local CSR
+    fast path below 2M edges, else the partitioned frontier loop
+    (analytics.bfs_hops)."""
+    from georay import analytics
+
+    return analytics.bfs_hops(
+        _copurchase_edges(sf_dir),
+        lambda n: n % _BFS_SEED_MOD == 0,
+        max_hops=_BFS_MAX_HOPS,
+    )
+
+
+def q_bfs_partitioned(sf_dir: str):
+    """Distributed twin of ``bfs_hops``: the (node, hops) label table
+    stays sharded across hash buckets — two co-shuffles per hop, driver
+    sees one scalar per round (analytics.bfs_hops_partitioned). Must be
+    bit-equal to the broadcast plan, so it shares the recursive-CTE
+    oracle."""
+    from georay import analytics
+
+    return analytics.bfs_hops_partitioned(
+        _copurchase_edges(sf_dir),
+        lambda n: n % _BFS_SEED_MOD == 0,
+        max_hops=_BFS_MAX_HOPS,
+    )
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE
+{SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+walk(node, hop) AS (
+  SELECT DISTINCT s, 0 FROM sym WHERE s % {_BFS_SEED_MOD} = 0
+  UNION
+  SELECT s.d, w.hop + 1 FROM walk w JOIN sym s ON s.s = w.node
+  WHERE w.hop < {_BFS_MAX_HOPS}
+)
+SELECT node, MIN(hop) AS hops FROM walk GROUP BY node
+"""
+
+
+def q_auc(sf_dir: str):
+    """Exact ROC AUC of event value (cents) as a purchase-vs-rest
+    ranking score — one rational row via the score-value histogram
+    combine tree (ops.roc_auc; ties counted half, Mann–Whitney U)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.equal(batch["event_type"], "purchase")
+        return pa.table(
+            {
+                "label": pc.cast(y, pa.int64()),
+                "score": batch["value"],
+            }
+        )
+
+    ds = ev.map_batches(
+        lab, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.roc_auc(ds, "label", "score", quantize=100.0)
+
+
+SQL_AUC = """
+WITH x AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS s
+  FROM events
+),
+h AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS n FROM x GROUP BY s),
+r AS (
+  SELECT p, n,
+         COALESCE(SUM(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below
+  FROM h
+)
+SELECT CAST(SUM(2 * p * below + p * n) AS BIGINT) AS auc_num,
+       CAST(2 * (SELECT SUM(p) FROM h) * (SELECT SUM(n) FROM h) AS BIGINT)
+         AS auc_den
+FROM r
+"""
+
+_CUSUM_DRIFT = 15000
+_CUSUM_THRESH = 50000
+
+
+def q_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM drift alarms on event values (cents,
+    drift 150.00, threshold 500.00): the sequential max(0, ·) recurrence
+    vectorized as segmented-prefix-sum minus segmented-running-min —
+    one key-bucket shuffle (ops.cusum_alarms); SQL twin is two window
+    cumulatives."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return ops.cusum_alarms(
+        ev, "user_id", ["ts", "event_id"], "value",
+        drift_q=_CUSUM_DRIFT, threshold_q=_CUSUM_THRESH, quantize=100.0,
+    )
+
+
+SQL_CUSUM = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) - {_CUSUM_DRIFT} AS d
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id,
+         SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+  FROM x
+),
+m AS (
+  SELECT user_id,
+         pp - LEAST(0, MIN(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+  FROM p
+)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (s > {_CUSUM_THRESH}) AS BIGINT) AS n_alarms,
+       CAST(MAX(s) AS BIGINT) AS max_stat
+FROM m GROUP BY user_id
+"""
+
+
+def q_ols(sf_dir: str):
+    """Per-returnflag OLS fit of extendedprice (whole dollars) on
+    quantity — exact integer sufficient statistics through the combine
+    tree, rational slope/intercept quantized to 2^20 with
+    truncate-toward-zero division so the HUGEINT SQL twin is
+    bit-identical (ops.grouped_ols)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def quant(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "x": pa.array(np.floor(q + 0.5).astype(np.int64)),
+                "y": pa.array(np.floor(p).astype(np.int64)),
+            }
+        )
+
+    ds = li.map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.grouped_ols(ds, "l_returnflag", "x", "y", scale_bits=20)
+
+
+SQL_OLS = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity + 0.5e0) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM q GROUP BY l_returnflag
+),
+f AS (
+  SELECT l_returnflag, n, n * sxx - sx * sx AS dd, n * sxy - sx * sy AS nn,
+         sx, sy
+  FROM s WHERE n * sxx - sx * sx <> 0
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST((nn * 1048576) // dd AS BIGINT) AS slope_q,
+       CAST(((sy * dd - nn * sx) * 1048576) // (n * dd) AS BIGINT) AS icept_q
+FROM f
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -9734,6 +9919,11 @@ QUERIES = {
     "gini": q_gini,
     "k_anonymity": q_k_anonymity,
     "benford": q_benford,
+    "bfs_hops": q_bfs_hops,
+    "bfs_partitioned": q_bfs_partitioned,
+    "auc": q_auc,
+    "cusum": q_cusum,
+    "ols": q_ols,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -9951,6 +10141,11 @@ ORACLE = {
     "gini": SQL_GINI,
     "k_anonymity": SQL_K_ANONYMITY,
     "benford": SQL_BENFORD,
+    "bfs_hops": SQL_BFS_HOPS,
+    "bfs_partitioned": SQL_BFS_HOPS,
+    "auc": SQL_AUC,
+    "cusum": SQL_CUSUM,
+    "ols": SQL_OLS,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

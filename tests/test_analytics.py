@@ -1247,3 +1247,134 @@ def test_trajectory_clip_stats_fuses_both_passes(ray_session):
     assert fused["path_q"].tolist() == stats["path_q"].tolist()
     assert fused["clip_q"].tolist() == clip["clip_q"].tolist()
     assert fused["n_points"].tolist() == stats["n_points"].tolist()
+
+
+# ------------------------------------------- round-4: BFS / AUC / CUSUM / OLS
+
+def _bfs_naive(edges, seeds, max_hops):
+    import collections
+
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.update((a, b))
+    hop = {s: 0 for s in seeds if s in nodes}
+    frontier = set(hop)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in hop:
+                    hop[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return hop
+
+
+def test_bfs_hops_matches_naive_and_partitioned(ray_session):
+    # two components + a cycle; seeds = nodes divisible by 10
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (3, 10), (20, 21), (21, 22),
+             (30, 31), (5, 6)]
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    pred = lambda n: n % 10 == 0
+    want = _bfs_naive(edges, [n for n in range(0, 40) if n % 10 == 0], 3)
+    got = (
+        analytics.bfs_hops(_ds(tbl), pred, max_hops=3)
+        .to_pandas().sort_values("node")
+    )
+    assert dict(zip(got["node"], got["hops"])) == want
+    got_p = (
+        analytics.bfs_hops_partitioned(_ds(tbl), pred, max_hops=3, n_buckets=4)
+        .to_pandas().sort_values("node")
+    )
+    assert dict(zip(got_p["node"], got_p["hops"])) == want
+
+
+def test_bfs_hops_no_seeds(ray_session):
+    tbl = pa.table({"a": pa.array([1, 2], pa.int64()),
+                    "b": pa.array([2, 3], pa.int64())})
+    got = analytics.bfs_hops(_ds(tbl), lambda n: n < 0, max_hops=2).to_pandas()
+    assert len(got) == 0
+
+
+def test_roc_auc_exact(ray_session):
+    # scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)=1, (3>2)=1,
+    # (2>1)=1, (2==2)=0.5 -> AUC = 3.5/4
+    tbl = pa.table(
+        {
+            "label": pa.array([1, 1, 0, 0], pa.int64()),
+            "score": pa.array([3, 2, 1, 2], pa.int64()),
+        }
+    )
+    out = ops.roc_auc(_ds(tbl), "label", "score").to_pandas()
+    assert out["auc_num"][0] / out["auc_den"][0] == 3.5 / 4
+
+
+def test_cusum_matches_sequential_recurrence(ray_session):
+    rng = np.random.RandomState(7)
+    n = 500
+    k = rng.randint(0, 5, n).astype(np.int64)
+    ts = np.arange(n, dtype=np.int64)
+    v = rng.randint(-50, 200, n) / 100.0  # includes negatives
+    tbl = pa.table(
+        {
+            "k": pa.array(k),
+            "ts": pa.array(ts),
+            "v": pa.array(v, pa.float64()),
+        }
+    )
+    drift, thr = 60, 150
+    out = ops.cusum_alarms(
+        _ds(tbl), "k", "ts", "v", drift_q=drift, threshold_q=thr,
+        quantize=100.0, n_buckets=3,
+    ).to_pandas().set_index("k")
+    for key in np.unique(k):
+        s, mx, alarms = 0, -(1 << 62), 0
+        for t in ts[k == key]:
+            x = int(np.floor(v[t] * 100.0 + 0.5)) - drift
+            s = max(0, s + x)
+            mx = max(mx, s)
+            alarms += s > thr
+        assert out.loc[key, "n_alarms"] == alarms, key
+        assert out.loc[key, "max_stat"] == mx, key
+
+
+def test_grouped_ols_recovers_exact_line(ray_session):
+    # y = 3x + 7 exactly -> slope_q = 3 << 20, icept_q = 7 << 20
+    x = np.arange(1, 21, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "g": pa.array(np.ones(20, np.int64)),
+            "x": pa.array(x),
+            "y": pa.array(3 * x + 7),
+        }
+    )
+    out = ops.grouped_ols(_ds(tbl), "g", "x", "y").to_pandas()
+    assert out["slope_q"][0] == 3 << 20
+    assert out["icept_q"][0] == 7 << 20
+    # constant-x group is dropped (undefined fit)
+    tbl2 = pa.table(
+        {
+            "g": pa.array([1, 1], pa.int64()),
+            "x": pa.array([5, 5], pa.int64()),
+            "y": pa.array([1, 2], pa.int64()),
+        }
+    )
+    assert len(ops.grouped_ols(_ds(tbl2), "g", "x", "y").to_pandas()) == 0
+
+
+def test_div_trunc_matches_duckdb():
+    import duckdb
+
+    for a in (-7, 7, -8, 8, 0):
+        for b in (2, -2, 3, -3):
+            assert ops._div_trunc(a, b) == duckdb.sql(
+                f"SELECT {a} // {b}"
+            ).fetchone()[0]
