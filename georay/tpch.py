@@ -9885,6 +9885,91 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
 FROM f
 """
 
+_MORAN_RES = 10.0
+
+
+def q_morans(sf_dir: str):
+    """Global Moran's I of the lineitem point density on a 10° grid —
+    rook adjacency, exact rational quantized to 2^20 (ops.morans_i;
+    driver fold bounded by the 648-cell grid, not the data)."""
+    pts = lineitem_points(sf_dir)
+
+    def to_gxy(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        return pa.table(
+            {
+                "gx": pa.array(
+                    np.floor((lon + 180.0) / _MORAN_RES).astype(np.int64)
+                ),
+                "gy": pa.array(
+                    np.floor((lat + 90.0) / _MORAN_RES).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = pts.map_batches(
+        to_gxy, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.morans_i(ds, "gx", "gy", scale_bits=20)
+
+
+SQL_MORANS = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR((lon + 180) / {_MORAN_RES}) AS BIGINT) AS gx,
+         CAST(FLOOR((lat + 90) / {_MORAN_RES}) AS BIGINT) AS gy
+  FROM ({_LI_POINT_SQL})
+),
+cells AS (SELECT gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM cells),
+z AS (SELECT gx, gy, tot.n * c - tot.s AS z FROM cells CROSS JOIN tot),
+adj AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+agg AS (SELECT COUNT(*) AS w, SUM(za * zb) AS cr FROM adj),
+v AS (SELECT SUM(z * z) AS var FROM z)
+SELECT CAST(tot.n AS BIGINT) AS n_cells,
+       CAST(agg.w AS BIGINT) AS w_pairs,
+       CAST((tot.n * agg.cr * 1048576) // (agg.w * v.var) AS BIGINT)
+         AS morans_q
+FROM tot CROSS JOIN agg CROSS JOIN v
+"""
+
+
+def q_autocorr(sf_dir: str):
+    """Per-user lag-1 serial-correlation sufficient statistics of event
+    values in cents (ops.grouped_autocorr: one bucket shuffle, shifted
+    pair masks; cov_num / var_a / var_b exact ints — Pearson r is
+    cov/sqrt(va·vb) downstream)."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return ops.grouped_autocorr(
+        ev, "user_id", ["ts", "event_id"], "value", quantize=100.0
+    )
+
+
+SQL_AUTOCORR = """
+WITH x AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+         LAG(CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+),
+p AS (SELECT user_id, pv AS a, v AS b FROM x WHERE pv IS NOT NULL),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a * b) AS sab, SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM p GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sab - sa * sb AS BIGINT) AS cov_num,
+       CAST(n * saa - sa * sa AS BIGINT) AS var_a,
+       CAST(n * sbb - sb * sb AS BIGINT) AS var_b
+FROM s
+"""
+
 
 QUERIES = {
     "poly_measures": q_poly_measures,
@@ -9924,6 +10009,8 @@ QUERIES = {
     "auc": q_auc,
     "cusum": q_cusum,
     "ols": q_ols,
+    "morans": q_morans,
+    "autocorr": q_autocorr,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10146,6 +10233,8 @@ ORACLE = {
     "auc": SQL_AUC,
     "cusum": SQL_CUSUM,
     "ols": SQL_OLS,
+    "morans": SQL_MORANS,
+    "autocorr": SQL_AUTOCORR,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -1378,3 +1378,56 @@ def test_div_trunc_matches_duckdb():
             assert ops._div_trunc(a, b) == duckdb.sql(
                 f"SELECT {a} // {b}"
             ).fetchone()[0]
+
+
+def test_morans_i_checkerboard_negative(ray_session):
+    # perfect checkerboard -> strong negative autocorrelation (I < 0);
+    # uniform field -> all z = 0 -> I = 0
+    gx, gy, reps = [], [], []
+    for a in range(4):
+        for b in range(4):
+            gx.append(a)
+            gy.append(b)
+            reps.append(3 if (a + b) % 2 == 0 else 1)
+    tbl = pa.table(
+        {
+            "gx": pa.array(np.repeat(gx, reps).astype(np.int64)),
+            "gy": pa.array(np.repeat(gy, reps).astype(np.int64)),
+        }
+    )
+    out = ops.morans_i(_ds(tbl), "gx", "gy").to_pandas()
+    assert out["n_cells"][0] == 16
+    assert out["w_pairs"][0] == 2 * (2 * 4 * 3)  # directed rook pairs on 4x4
+    assert out["morans_q"][0] == -(1 << 20)  # perfect alternation -> I = -1
+    uni = pa.table(
+        {
+            "gx": pa.array(np.repeat(gx, 2).astype(np.int64)),
+            "gy": pa.array(np.repeat(gy, 2).astype(np.int64)),
+        }
+    )
+    with pytest.raises(ValueError, match="constant field"):
+        ops.morans_i(_ds(uni), "gx", "gy").to_pandas()
+
+
+def test_grouped_autocorr_matches_naive(ray_session):
+    rng = np.random.RandomState(11)
+    n = 300
+    k = rng.randint(0, 4, n).astype(np.int64)
+    ts = np.arange(n, dtype=np.int64)
+    v = rng.randint(0, 500, n) / 100.0
+    tbl = pa.table({"k": pa.array(k), "ts": pa.array(ts),
+                    "v": pa.array(v, pa.float64())})
+    out = ops.grouped_autocorr(
+        _ds(tbl), "k", "ts", "v", quantize=100.0, n_buckets=3
+    ).to_pandas().set_index("k")
+    for key in np.unique(k):
+        seq = np.floor(v[k == key] * 100.0 + 0.5).astype(np.int64)
+        if seq.shape[0] < 2:
+            assert key not in out.index
+            continue
+        a, b = seq[:-1].astype(object), seq[1:].astype(object)
+        m = len(a)
+        assert out.loc[key, "n_pairs"] == m
+        assert out.loc[key, "cov_num"] == m * (a * b).sum() - a.sum() * b.sum()
+        assert out.loc[key, "var_a"] == m * (a * a).sum() - a.sum() ** 2
+        assert out.loc[key, "var_b"] == m * (b * b).sum() - b.sum() ** 2
