@@ -2122,3 +2122,94 @@ def _dedup_label_rows(g: pa.Table) -> pa.Table:
             "fresh": pa.array(fresh[first], pa.int64()),
         }
     )
+
+
+def leg_crossings(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols,
+    x_col: str,
+    y_col: str,
+    edges_q: np.ndarray,
+    quantize: float = 20.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Border-crossing detector: per key, count trajectory LEGS
+    (consecutive (order_cols)-sorted positions) that PROPERLY cross any
+    fence edge in ``edges_q`` (an (E, 4) int array of quantized segment
+    endpoints x1,y1,x2,y2). The crossing test is the classic pair of
+    strict orientation sign flips — ``d1·d2 < 0 AND d3·d4 < 0`` with
+    d = integer cross products — EXACT in int64 (no epsilon), so the
+    cross-join SQL twin is bit-identical. Collinear/touching contacts
+    are NOT crossings by definition (strict inequality).
+
+    One key-hash bucket shuffle (the cusum/autocorr plan); the per-leg
+    test is vectorized over an (n_legs × E) broadcast — E is the fence
+    edge count, a constant. Output: (key, n_crossings) with keys that
+    have ≥1 leg (single-point keys emit nothing, like SQL's LAG)."""
+    from georay import ops as _ops
+
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    proj = ds.select_columns([key, *order_list, x_col, y_col])
+    e = np.asarray(edges_q, np.int64)
+    ex1, ey1, ex2, ey2 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _ops._key_hash(batch, [key])
+        if h is None:
+            raise TypeError("leg_crossings requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {key: pa.array([], pa.int64()), "n_crossings": pa.array([], pa.int64())}
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.shape[0] < 2:
+            return _empty
+        qx = np.floor(
+            g[x_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        qy = np.floor(
+            g[y_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        same = k[1:] == k[:-1]
+        ax, ay = qx[:-1][same], qy[:-1][same]
+        bx, by = qx[1:][same], qy[1:][same]
+        kk = k[1:][same]
+        if kk.shape[0] == 0:
+            return _empty
+        # orientation cross products, legs × edges
+        edx = (ex2 - ex1)[None, :]
+        edy = (ey2 - ey1)[None, :]
+        d1 = edx * (ay[:, None] - ey1[None, :]) - edy * (ax[:, None] - ex1[None, :])
+        d2 = edx * (by[:, None] - ey1[None, :]) - edy * (bx[:, None] - ex1[None, :])
+        abx = (bx - ax)[:, None]
+        aby = (by - ay)[:, None]
+        d3 = abx * (ey1[None, :] - ay[:, None]) - aby * (ex1[None, :] - ax[:, None])
+        d4 = abx * (ey2[None, :] - ay[:, None]) - aby * (ex2[None, :] - ax[:, None])
+        crossing = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+        per_leg = crossing.sum(axis=1).astype(np.int64)
+        ks, vs = _ops._group_reduce([kk], {"n_crossings": per_leg})
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "n_crossings": pa.array(vs["n_crossings"], pa.int64()),
+            }
+        )
+
+    return (
+        _ops.shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

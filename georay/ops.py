@@ -2402,9 +2402,17 @@ def group_top_k(
     k: int,
     descending: bool | list[bool] = True,
     n_buckets: int = 256,
+    ties: bool = False,
 ) -> ray.data.Dataset:
     """Per-group top-k (e.g. the K best-scored images per cell): exact
     ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_cols) <= k``.
+
+    ``ties=True`` switches to ``RANK() <= k`` semantics: rows tying on
+    every order column share a rank, so a tie straddling the kth place
+    keeps ALL its members (output may exceed k rows per group — SQL's
+    WITH TIES). The map-side prune stays valid: a row's within-batch
+    rank never exceeds its global rank, so pruning batch-rank > k can
+    only drop rows whose global rank is also > k.
 
     Scale shape: a map-side prune keeps each batch's own per-key top-k
     first (a batch can contribute at most k rows per key), so the one
@@ -2457,7 +2465,19 @@ def group_top_k(
             new[1:] |= c[1:] != c[:-1]
         pos = np.arange(n, dtype=np.int64)
         grp_start = np.maximum.accumulate(np.where(new, pos, 0))
-        rank = pos - grp_start
+        if ties:
+            # RANK(): rank = position of the first row of this tie run
+            # within the key group. Order keys are equality-preserving
+            # transforms (values, negations, or per-batch dense ranks),
+            # so comparing them detects ties exactly.
+            change = new.copy()
+            for oa in sort_arrays[: len(order_list)]:
+                oo = oa[order]
+                change[1:] |= oo[1:] != oo[:-1]
+            tie_start = np.maximum.accumulate(np.where(change, pos, 0))
+            rank = tie_start - grp_start
+        else:
+            rank = pos - grp_start
         return batch.take(pa.array(order[rank < k]))
 
     def add_bucket(batch: pa.Table) -> pa.Table:

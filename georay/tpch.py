@@ -9971,6 +9971,143 @@ FROM s
 """
 
 
+def q_freq_spectrum(sf_dir: str):
+    """Good–Turing frequency-of-frequencies over the corpus vocabulary:
+    (freq, n_types) — how many distinct tokens occur exactly c times.
+    The smoothing table every LM/calibration pipeline starts from.
+    Composition: distributed wordcount (token_histogram) → a second
+    combine-tree reduce keyed by count; the corpus never shuffles and
+    the spectrum is bounded by the max token frequency."""
+    from georay.stages.text import token_histogram
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    hist = token_histogram(docs)
+
+    def spec(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [n], {"partial_t": np.ones(n.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "freq": pa.array(ks[0], pa.int64()),
+                "partial_t": pa.array(vs["partial_t"], pa.int64()),
+            }
+        )
+
+    parts = hist.map_batches(
+        spec, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.tree_sum(parts, ["freq"], {"partial_t": "n_types"},
+                        int_cols=("partial_t",))
+
+
+SQL_FREQ_SPECTRUM = f"""
+SELECT n AS freq, COUNT(*) AS n_types
+FROM ({SQL_TOKEN_HISTOGRAM})
+GROUP BY n
+"""
+
+
+def q_group_topk_ties(sf_dir: str):
+    """Per-supplier top-2 by quantity WITH TIES (RANK() <= k — a tie
+    straddling the kth place keeps all members): the map-side prune of
+    group_top_k stays valid because a row's within-batch rank never
+    exceeds its global rank (ops.group_top_k(ties=True))."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_quantity", "l_orderkey", "l_linenumber"],
+    )
+    return ops.group_top_k(
+        ds, "l_suppkey", ["l_quantity"], k=2, descending=True, ties=True,
+    )
+
+
+SQL_GROUP_TOPK_TIES = """
+SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber
+FROM (
+  SELECT l_suppkey, l_quantity, l_orderkey, l_linenumber,
+         RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rk
+  FROM lineitem
+)
+WHERE rk <= 2
+"""
+
+# two fence rectangles; ×20 quantization makes every edge endpoint an
+# exact integer (event coords are odd multiples of 0.05)
+_FENCES = [(-60.0, -30.0, 0.0, 30.0), (30.0, -10.0, 120.0, 40.0)]
+_CROSS_Q = 20.0
+
+
+def _fence_edges_q() -> np.ndarray:
+    rows = []
+    for x1, y1, x2, y2 in _FENCES:
+        corners = [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+        for i in range(4):
+            p, r = corners[i], corners[(i + 1) % 4]
+            rows.append(
+                (p[0] * _CROSS_Q, p[1] * _CROSS_Q,
+                 r[0] * _CROSS_Q, r[1] * _CROSS_Q)
+            )
+    return np.asarray(rows, np.int64)
+
+
+def q_crossings(sf_dir: str):
+    """Per-user fence-boundary crossing counts: trajectory legs tested
+    against 8 fence edges with EXACT integer orientation sign flips
+    (analytics.leg_crossings — proper crossings only, no epsilon;
+    one key-bucket shuffle, legs × edges vectorized)."""
+    from georay import analytics
+
+    return analytics.leg_crossings(
+        _event_points(sf_dir), "user_id", ["ts", "event_id"],
+        "lon", "lat", _fence_edges_q(), quantize=_CROSS_Q,
+    )
+
+
+def _crossings_sql() -> str:
+    vals = ", ".join(
+        f"({int(a)}, {int(b)}, {int(c)}, {int(d)})"
+        for a, b, c, d in _fence_edges_q()
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(({EV_LON}) * {_CROSS_Q}e0 + 0.5e0) AS BIGINT) AS qx,
+         CAST(floor(({EV_LAT}) * {_CROSS_Q}e0 + 0.5e0) AS BIGINT) AS qy
+  FROM events
+),
+seq AS (
+  SELECT user_id, qx, qy, LAG(qx) OVER w AS px, LAG(qy) OVER w AS py
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, px AS ax, py AS ay, qx AS bxx, qy AS byy
+  FROM seq WHERE px IS NOT NULL
+),
+edges(ex1, ey1, ex2, ey2) AS (VALUES {vals}),
+t AS (
+  SELECT l.user_id,
+         (e.ex2 - e.ex1) * (l.ay - e.ey1)
+           - (e.ey2 - e.ey1) * (l.ax - e.ex1) AS d1,
+         (e.ex2 - e.ex1) * (l.byy - e.ey1)
+           - (e.ey2 - e.ey1) * (l.bxx - e.ex1) AS d2,
+         (l.bxx - l.ax) * (e.ey1 - l.ay)
+           - (l.byy - l.ay) * (e.ex1 - l.ax) AS d3,
+         (l.bxx - l.ax) * (e.ey2 - l.ay)
+           - (l.byy - l.ay) * (e.ex2 - l.ax) AS d4
+  FROM legs l CROSS JOIN edges e
+)
+SELECT user_id,
+       CAST(COUNT(*) FILTER (d1 * d2 < 0 AND d3 * d4 < 0) AS BIGINT)
+         AS n_crossings
+FROM t GROUP BY user_id
+"""
+
+
+SQL_CROSSINGS = _crossings_sql()
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10011,6 +10148,9 @@ QUERIES = {
     "ols": q_ols,
     "morans": q_morans,
     "autocorr": q_autocorr,
+    "freq_spectrum": q_freq_spectrum,
+    "group_topk_ties": q_group_topk_ties,
+    "crossings": q_crossings,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10235,6 +10375,9 @@ ORACLE = {
     "ols": SQL_OLS,
     "morans": SQL_MORANS,
     "autocorr": SQL_AUTOCORR,
+    "freq_spectrum": SQL_FREQ_SPECTRUM,
+    "group_topk_ties": SQL_GROUP_TOPK_TIES,
+    "crossings": SQL_CROSSINGS,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -1431,3 +1431,52 @@ def test_grouped_autocorr_matches_naive(ray_session):
         assert out.loc[key, "cov_num"] == m * (a * b).sum() - a.sum() * b.sum()
         assert out.loc[key, "var_a"] == m * (a * a).sum() - a.sum() ** 2
         assert out.loc[key, "var_b"] == m * (b * b).sum() - b.sum() ** 2
+
+
+def test_group_top_k_ties_keeps_straddling_tie(ray_session):
+    # key 1: values 9, 9, 5, 5, 5, 1 with k=2 -> RANK<=2 keeps both 9s
+    # only (ranks 1,1; the 5s have rank 3); key 2: 7, 7, 7 -> all kept
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+            "v": pa.array([9, 9, 5, 5, 5, 1, 7, 7, 7], pa.int64()),
+            "id": pa.array(list(range(9)), pa.int64()),
+        }
+    )
+    out = ops.group_top_k(
+        _ds(tbl), "k", ["v"], k=2, descending=True, ties=True, n_buckets=2
+    ).to_pandas().sort_values(["k", "id"])
+    assert out[out["k"] == 1]["id"].tolist() == [0, 1]
+    assert out[out["k"] == 2]["id"].tolist() == [6, 7, 8]
+    # ROW_NUMBER mode keeps exactly k
+    out2 = ops.group_top_k(
+        _ds(tbl), "k", ["v", "id"], k=2, descending=[True, False],
+        n_buckets=2,
+    ).to_pandas()
+    assert len(out2[out2["k"] == 2]) == 2
+
+
+def test_leg_crossings_proper_only(ray_session):
+    # unit square fence (0,0)-(10,10); user 1 crosses the left edge
+    # twice (in and out), user 2 only touches a corner (not proper),
+    # user 3 runs collinear along the bottom edge (not proper)
+    edges = np.asarray(
+        [(0, 0, 10, 0), (10, 0, 10, 10), (10, 10, 0, 10), (0, 10, 0, 0)],
+        np.int64,
+    )
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([1, 2, 3, 1, 2, 1, 2], pa.int64()),
+            "x": pa.array([-5.0, 5.0, -5.0, -5.0, 0.0, 2.0, 8.0]),
+            "y": pa.array([5.0, 5.0, 6.0, -5.0, 0.0, 0.0, 0.0]),
+        }
+    )
+    from georay import analytics
+
+    out = analytics.leg_crossings(
+        _ds(tbl), "u", "ts", "x", "y", edges, quantize=1.0, n_buckets=2
+    ).to_pandas().set_index("u")
+    assert out.loc[1, "n_crossings"] == 2
+    assert out.loc[2, "n_crossings"] == 0
+    assert out.loc[3, "n_crossings"] == 0
