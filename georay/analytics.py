@@ -2213,3 +2213,197 @@ def leg_crossings(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def kcore_peel(
+    edges: ray.data.Dataset,
+    k: int,
+    n_rounds: int = 3,
+    id_a: str = "a",
+    id_b: str = "b",
+    degree_strategy: str = "broadcast",
+    n_buckets: int = 64,
+):
+    """FIXED-ROUND k-core peeling: ``n_rounds`` times, drop every node
+    whose current degree is < k (and its edges), then report the
+    surviving subgraph's (node, degree) table. Fixed rounds instead of
+    peel-to-fixpoint keeps the SQL twin a finite chained CTE (the
+    PageRank precedent) — converged graphs are simply idempotent under
+    further rounds. The community-detection prefilter (dense-core
+    extraction) of the graph family.
+
+    Each round is one streaming degree pass (combine tree) + one edge
+    filter. ``degree_strategy="broadcast"`` ships the surviving node
+    set via ``ray.put`` (node tables are vocabulary-sized for the
+    co-purchase graphs here); ``"partitioned"`` routes the survival
+    flag through the two hash-bucket co-shuffles of
+    ``_attach_lookup`` — the billion-node path, bit-identical."""
+    from georay import ops as _ops
+
+    cur = _rename_edges(edges, id_a, id_b)
+    id_a, id_b = "a", "b"
+    _empty_deg = pa.table(
+        {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+    for _ in range(n_rounds):
+        # a fully-peeled graph is idempotent — and EMPTY Datasets lose
+        # their column schema through to_pandas in Ray 2.49
+        # (parallelism-dependent; ROUND_NOTES quirk), so the empty case
+        # returns a typed pyarrow Table directly (the
+        # connected_components fast-path precedent).
+        if cur.count() == 0:
+            return _empty_deg
+        deg = degree_table(cur)
+        if degree_strategy == "partitioned":
+            # attach survival flags through co-shuffles; drop the edge
+            # when either endpoint's degree is below k
+            flagged = _attach_lookup(
+                cur.map_batches(
+                    lambda b: pa.table(
+                        {"a": b[id_a].cast(pa.int64()),
+                         "b": b[id_b].cast(pa.int64())}
+                    ),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                ),
+                ["a", "b"], "a", deg, "node", "degree", "deg_a",
+                n_buckets=n_buckets,
+            )
+            flagged = _attach_lookup(
+                flagged, ["a", "b", "deg_a"], "b", deg, "node", "degree",
+                "deg_b", n_buckets=n_buckets,
+            )
+
+            def keep(batch: pa.Table, _k=k) -> pa.Table:
+                da = batch["deg_a"].to_numpy(zero_copy_only=False)
+                db = batch["deg_b"].to_numpy(zero_copy_only=False)
+                m = (da >= _k) & (db >= _k)
+                return pa.table(
+                    {
+                        id_a: batch["a"].filter(pa.array(m)),
+                        id_b: batch["b"].filter(pa.array(m)),
+                    }
+                )
+
+            cur = flagged.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ).materialize()
+        else:
+            import pyarrow as _pa
+
+            dt = _pa.concat_tables(ray.get(deg.to_arrow_refs()))
+            nodes = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+            surv = np.sort(nodes[dd >= k])
+            if surv.shape[0] == 0:  # everything peeled
+                return _empty_deg
+            ref = ray.put(surv)
+            cache: dict = {}
+
+            def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+                sv = cache.setdefault(id(_ref), ray.get(_ref))
+                a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+                b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+                pa_ = np.searchsorted(sv, a)
+                pb_ = np.searchsorted(sv, b)
+                ok_a = (pa_ < sv.shape[0]) & (
+                    sv[np.minimum(pa_, sv.shape[0] - 1)] == a
+                )
+                ok_b = (pb_ < sv.shape[0]) & (
+                    sv[np.minimum(pb_, sv.shape[0] - 1)] == b
+                )
+                return batch.filter(pa.array(ok_a & ok_b))
+
+            cur = cur.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ).materialize()
+    if cur.count() == 0:
+        return _empty_deg
+    return degree_table(cur)
+
+
+def _rename_edges(
+    edges: ray.data.Dataset, id_a: str, id_b: str
+) -> ray.data.Dataset:
+    """Project an edge list to the canonical (a, b) int64 columns."""
+    if id_a == "a" and id_b == "b":
+        return edges
+    return edges.map_batches(
+        lambda t: pa.table(
+            {"a": t[id_a].cast(pa.int64()), "b": t[id_b].cast(pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset, id_a: str = "a", id_b: str = "b"
+) -> ray.data.Dataset:
+    """Degree-assortativity sufficient statistics, exact: over the
+    SYMMETRIZED edge list (each undirected edge contributes both
+    directed pairs, the standard Newman convention), one row
+    ``(n_pairs, cov_num, var_a, var_b)`` of the (deg(src), deg(dst))
+    integer moments — Pearson r is ``cov_num / sqrt(var_a · var_b)``
+    downstream. One streaming degree pass (combine tree), the degree
+    table broadcast once via ``ray.put``, then one streaming edge pass
+    folding to a single partial row per batch — the edge list never
+    shuffles. Symmetry makes var_a = var_b by construction (kept
+    separate anyway — the SQL twin computes both)."""
+    edges = _rename_edges(edges, id_a, id_b)
+    id_a, id_b = "a", "b"
+    deg = degree_table(edges)
+    import pyarrow as _pa
+
+    dt = _pa.concat_tables(ray.get(deg.to_arrow_refs()))
+    nodes = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(nodes)
+    ref = ray.put((nodes[o], dd[o]))
+    cache: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nd, dg = cache.setdefault("m", ray.get(ref))
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        # both directions
+        x = np.concatenate([da, db]).astype(np.int64)
+        y = np.concatenate([db, da]).astype(np.int64)
+        return pa.table(
+            {
+                "partial_n": pa.array([x.shape[0]], pa.int64()),
+                "partial_sx": pa.array([int(x.sum())], pa.int64()),
+                "partial_sy": pa.array([int(y.sum())], pa.int64()),
+                "partial_sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "partial_sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "partial_syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = edges.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tot = parts.to_pandas().sum()
+    n = int(tot["partial_n"])
+    sx, sy = int(tot["partial_sx"]), int(tot["partial_sy"])
+    sxy = int(tot["partial_sxy"])
+    sxx, syy = int(tot["partial_sxx"]), int(tot["partial_syy"])
+    cov = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    for v in (cov, va, vb):
+        if not (-(2**63) <= v < 2**63):
+            raise OverflowError("degree_assortativity: moment exceeds int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([n], pa.int64()),
+                "cov_num": pa.array([cov], pa.int64()),
+                "var_a": pa.array([va], pa.int64()),
+                "var_b": pa.array([vb], pa.int64()),
+            }
+        )
+    )

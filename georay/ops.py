@@ -6514,3 +6514,150 @@ def grouped_autocorr(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def hoover_exact(
+    ds: ray.data.Dataset,
+    col: str,
+    quantize: float = 100.0,
+) -> ray.data.Dataset:
+    """EXACT Hoover (Robin Hood) inequality index as a RATIONAL — one
+    row ``(hoover_num, hoover_den)`` with
+    ``H = Σ|x_i − x̄| / (2·Σx) = Σ|n·x_i − S| / (2·n·S)`` — the share
+    of the total that would have to move to equalize everyone. The
+    gini_exact companion, same physics: values quantize to integers,
+    the VALUE HISTOGRAM merges through the combine tree (one streaming
+    pass; the mean never needs a second scan because the histogram
+    carries every value), and the driver folds the bounded-domain
+    histogram in arbitrary-precision ints."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        ks, vs = _group_reduce([v], {"partial_c": np.ones(v.shape[0], np.int64)})
+        return pa.table(
+            {"v": pa.array(ks[0], pa.int64()), "partial_c": pa.array(vs["partial_c"])}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    hist = tree_sum(partials, ["v"], {"partial_c": "c"}, int_cols=("partial_c",))
+    df = hist.to_pandas()
+    if len(df) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "hoover_num": pa.array([0], pa.int64()),
+                    "hoover_den": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    n = int(df["c"].sum())
+    s = int((df["v"].astype(object) * df["c"].astype(object)).sum())
+    num = sum(
+        int(c) * abs(n * int(v) - s)
+        for v, c in zip(df["v"].tolist(), df["c"].tolist())
+    )
+    den = 2 * n * s
+    if not (0 <= num < 2**63 and -(2**63) <= den < 2**63):
+        raise OverflowError("hoover_exact: rational exceeds int64; rescale")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "hoover_num": pa.array([int(num)], pa.int64()),
+                "hoover_den": pa.array([int(den)], pa.int64()),
+            }
+        )
+    )
+
+
+def idw_grid(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    val_col: str,
+    grid_res_deg: float = 30.0,
+    radius_deg: float = 25.0,
+    quantize: float = 20.0,
+    w_bits: int = 24,
+) -> ray.data.Dataset:
+    """Inverse-distance-weighted interpolation onto a regular grid,
+    EXACT: every grid-cell CENTER gets
+    ``idw_q = (Σ w·v) // (Σ w)`` over the sample points within
+    ``radius_deg``, with integer weights ``w = 2^w_bits // (1 + d²_q)``
+    (d² in quantized coordinate units) — the classic IDW surface with
+    the float-sum order-dependence engineered out, so the cross-join
+    SQL twin is bit-identical. Values must be non-negative ints (the
+    truncated division then equals floor on both engines).
+
+    One streaming pass: the query grid is a CONSTANT (lon/lat cells at
+    ``grid_res_deg``, centers quantized exactly), each batch scores its
+    points against all centers in one (n × G) vectorized distance
+    matrix and folds to per-center partials; the combine tree merges
+    G-sized rows. No shuffle, no materialization. Output:
+    (qi, qj, n_pts, idw_q) for centers with ≥1 sample in radius."""
+    nx = int(round(360.0 / grid_res_deg))
+    ny = int(round(180.0 / grid_res_deg))
+    cx = np.floor(
+        (-180.0 + (np.arange(nx) + 0.5) * grid_res_deg) * quantize + 0.5
+    ).astype(np.int64)
+    cy = np.floor(
+        (-90.0 + (np.arange(ny) + 0.5) * grid_res_deg) * quantize + 0.5
+    ).astype(np.int64)
+    gx = np.repeat(np.arange(nx, dtype=np.int64), ny)
+    gy = np.tile(np.arange(ny, dtype=np.int64), nx)
+    qx = np.repeat(cx, ny)
+    qy = np.tile(cy, nx)
+    r2 = np.int64(int(round(radius_deg * quantize)) ** 2)
+    wmax = np.int64(1 << w_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        px = np.floor(
+            batch[x_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        py = np.floor(
+            batch[y_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
+        inside = d2 <= r2
+        w = np.where(inside, wmax // (1 + d2), 0)
+        sw = w.sum(axis=0)
+        swv = (w * v[:, None]).sum(axis=0)
+        npts = inside.sum(axis=0).astype(np.int64)
+        keep = npts > 0
+        return pa.table(
+            {
+                "qi": pa.array(gx[keep], pa.int64()),
+                "qj": pa.array(gy[keep], pa.int64()),
+                "partial_n": pa.array(npts[keep], pa.int64()),
+                "partial_sw": pa.array(sw[keep], pa.int64()),
+                "partial_swv": pa.array(swv[keep], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tot = tree_sum(
+        parts, ["qi", "qj"],
+        {"partial_n": "n_pts", "partial_sw": "sw", "partial_swv": "swv"},
+        int_cols=("partial_n", "partial_sw", "partial_swv"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sw = batch["sw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        swv = batch["swv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "qi": batch["qi"],
+                "qj": batch["qj"],
+                "n_pts": batch["n_pts"],
+                "idw_q": pa.array(swv // sw, pa.int64()),
+            }
+        )
+
+    return tot.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -10107,6 +10107,252 @@ FROM t GROUP BY user_id
 
 SQL_CROSSINGS = _crossings_sql()
 
+_KCORE_K = 2  # k=3 peels the sf0.1 co-purchase graph to empty; k=2 keeps
+_KCORE_ROUNDS = 3  # a real core at every scale (13 nodes at sf0.1)
+
+
+def q_kcore(sf_dir: str):
+    """Fixed-round k-core peeling of the co-purchase graph (k=3,
+    3 rounds): iteratively drop degree<k nodes, return the surviving
+    (node, degree) table — analytics.kcore_peel, broadcast survivor
+    sets (vocabulary-sized node tables)."""
+    from georay import analytics
+
+    return analytics.kcore_peel(
+        _copurchase_edges(sf_dir), k=_KCORE_K, n_rounds=_KCORE_ROUNDS,
+    )
+
+
+def q_kcore_partitioned(sf_dir: str):
+    """Partitioned twin of ``kcore``: survival flags route through the
+    _attach_lookup hash-bucket co-shuffles instead of a broadcast — the
+    node table never lands anywhere central. Identical output, shared
+    chained-CTE oracle."""
+    from georay import analytics
+
+    return analytics.kcore_peel(
+        _copurchase_edges(sf_dir), k=_KCORE_K, n_rounds=_KCORE_ROUNDS,
+        degree_strategy="partitioned",
+    )
+
+
+def _kcore_sql() -> str:
+    parts = [f"WITH {SQL_COPURCHASE_EDGES.strip()},",
+             "\ne0 AS (SELECT a, b FROM e)"]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(f""",
+d{i} AS (SELECT node, COUNT(*) AS deg
+         FROM (SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i})
+         GROUP BY node),
+n{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i + 1} AS (SELECT a, b FROM e{i}
+             WHERE a IN (SELECT node FROM n{i})
+               AND b IN (SELECT node FROM n{i}))""")
+    r = _KCORE_ROUNDS
+    parts.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT a AS node FROM e{r} UNION ALL SELECT b FROM e{r})
+GROUP BY node""")
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql()
+
+
+def q_assort(sf_dir: str):
+    """Degree-assortativity moments of the co-purchase graph: exact
+    integer (deg(src), deg(dst)) sufficient statistics over the
+    symmetrized edge list (analytics.degree_assortativity — degree
+    table broadcast once, edges never shuffle)."""
+    from georay import analytics
+
+    return analytics.degree_assortativity(_copurchase_edges(sf_dir))
+
+
+SQL_ASSORT = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM sym JOIN deg da ON da.node = sym.s JOIN deg db ON db.node = sym.d
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS var_a,
+       CAST(n * syy - sy * sy AS BIGINT) AS var_b
+FROM m
+"""
+
+
+def q_hoover(sf_dir: str):
+    """Exact Hoover (Robin Hood) index of customer balances in cents,
+    as a rational (ops.hoover_exact — value-histogram combine tree, the
+    mean needs no second pass because the histogram carries every
+    value)."""
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_acctbal"])
+    return ops.hoover_exact(ds, "c_acctbal", quantize=100.0)
+
+
+SQL_HOOVER = """
+WITH vals AS (
+  SELECT CAST(floor(c_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS v FROM customer
+),
+h AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY v),
+t AS (SELECT SUM(c) AS n, SUM(v * c) AS s FROM h),
+agg AS (
+  SELECT SUM(c * abs(t.n * v - t.s)) AS num, 2 * MAX(t.n) * MAX(t.s) AS den
+  FROM h CROSS JOIN t
+)
+SELECT CAST(num AS BIGINT) AS hoover_num, CAST(den AS BIGINT) AS hoover_den
+FROM agg
+"""
+
+
+def q_component_sizes(sf_dir: str):
+    """Cluster-size histogram of the co-purchase connected components —
+    the dedup-audit summary every near-dup pipeline reports (how many
+    dup groups of each size). Components → per-label size → size
+    histogram, both reduces over the SMALL label table (combine
+    tree)."""
+    from georay.stages.components import connected_components
+
+    labels = connected_components(
+        _copurchase_edges(sf_dir), id_a="a", id_b="b"
+    )
+    if isinstance(labels, pa.Table):  # small-edge-list local fast path
+        labels = rd.from_arrow(labels)
+
+    def per_label(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [lab], {"partial_s": np.ones(lab.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "label": pa.array(ks[0], pa.int64()),
+                "partial_s": pa.array(vs["partial_s"], pa.int64()),
+            }
+        )
+
+    sizes = ops.tree_sum(
+        labels.map_batches(
+            per_label, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["label"], {"partial_s": "sz"}, int_cols=("partial_s",),
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        sz = batch["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [sz], {"partial_c": np.ones(sz.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "csize": pa.array(ks[0], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        sizes.map_batches(
+            hist, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["csize"], {"partial_c": "n_components"}, int_cols=("partial_c",),
+    )
+
+
+SQL_COMPONENT_SIZES = f"""
+WITH RECURSIVE
+{SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+reach(n, m) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.n, s.d FROM reach r JOIN sym s ON s.s = r.m
+),
+labels AS (SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n),
+sizes AS (SELECT label, COUNT(*) AS sz FROM labels GROUP BY label)
+SELECT sz AS csize, CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY sz
+"""
+
+_IDW_GRID_RES = 30.0
+_IDW_RADIUS = 25.0
+
+
+def q_idw(sf_dir: str):
+    """Inverse-distance-weighted quantity surface on a 30° grid with
+    exact integer weights ``2^24 // (1 + d²)`` over quantized
+    coordinates (ops.idw_grid — one streaming pass, per-batch (n × 72)
+    distance matrix, combine-tree partials, no shuffle)."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = _li_lonlat(ok, pk, sk, ln)
+        return pa.table(
+            {
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "qty": batch["l_quantity"].cast(pa.int64()),
+            }
+        )
+
+    pts = li.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.idw_grid(
+        pts, "lon", "lat", "qty",
+        grid_res_deg=_IDW_GRID_RES, radius_deg=_IDW_RADIUS, quantize=20.0,
+    )
+
+
+SQL_IDW = f"""
+WITH pts AS (
+  SELECT CAST(floor(({LI_LON}) * 20.0e0 + 0.5e0) AS BIGINT) AS px,
+         CAST(floor(({LI_LAT}) * 20.0e0 + 0.5e0) AS BIGINT) AS py,
+         CAST(l_quantity AS BIGINT) AS v
+  FROM lineitem
+),
+grid AS (
+  SELECT i.i AS qi, j.j AS qj,
+         CAST(floor((-180.0 + (i.i + 0.5) * {_IDW_GRID_RES})
+                    * 20.0e0 + 0.5e0) AS BIGINT) AS qx,
+         CAST(floor((-90.0 + (j.j + 0.5) * {_IDW_GRID_RES})
+                    * 20.0e0 + 0.5e0) AS BIGINT) AS qy
+  FROM (SELECT unnest(generate_series(0, {int(360 / _IDW_GRID_RES) - 1})) AS i) i
+  CROSS JOIN (SELECT unnest(generate_series(0, {int(180 / _IDW_GRID_RES) - 1})) AS j) j
+),
+cand AS (
+  SELECT g.qi, g.qj, p.v,
+         (p.px - g.qx) * (p.px - g.qx)
+           + (p.py - g.qy) * (p.py - g.qy) AS d2
+  FROM pts p CROSS JOIN grid g
+  WHERE (p.px - g.qx) * (p.px - g.qx)
+          + (p.py - g.qy) * (p.py - g.qy)
+        <= {int(round(_IDW_RADIUS * 20.0)) ** 2}
+)
+SELECT qi, qj, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM((16777216 // (1 + d2)) * v)
+            // SUM(16777216 // (1 + d2)) AS BIGINT) AS idw_q
+FROM cand GROUP BY qi, qj
+"""
+
 
 QUERIES = {
     "poly_measures": q_poly_measures,
@@ -10151,6 +10397,12 @@ QUERIES = {
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
     "crossings": q_crossings,
+    "kcore": q_kcore,
+    "kcore_partitioned": q_kcore_partitioned,
+    "assort": q_assort,
+    "hoover": q_hoover,
+    "component_sizes": q_component_sizes,
+    "idw": q_idw,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10378,6 +10630,12 @@ ORACLE = {
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
     "crossings": SQL_CROSSINGS,
+    "kcore": SQL_KCORE,
+    "kcore_partitioned": SQL_KCORE,
+    "assort": SQL_ASSORT,
+    "hoover": SQL_HOOVER,
+    "component_sizes": SQL_COMPONENT_SIZES,
+    "idw": SQL_IDW,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -1480,3 +1480,49 @@ def test_leg_crossings_proper_only(ray_session):
     assert out.loc[1, "n_crossings"] == 2
     assert out.loc[2, "n_crossings"] == 0
     assert out.loc[3, "n_crossings"] == 0
+
+
+def test_kcore_peel_hand_graph(ray_session):
+    # triangle 1-2-3 (each deg 2) + pendant 4-1: k=2 peels 4 first,
+    # then the triangle survives with degree 2 everywhere
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 1, 4], pa.int64()),
+        }
+    )
+    for strat in ("broadcast", "partitioned"):
+        out = (
+            analytics.kcore_peel(
+                _ds(tbl), k=2, n_rounds=3, degree_strategy=strat, n_buckets=4
+            )
+            .to_pandas().sort_values("node")
+        )
+        assert out["node"].tolist() == [1, 2, 3], strat
+        assert out["degree"].tolist() == [2, 2, 2], strat
+    # k=3 kills everything (each triangle node has deg 2 < 3)
+    out = analytics.kcore_peel(_ds(tbl), k=3, n_rounds=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_degree_assortativity_star_negative(ray_session):
+    # star graph: hub deg 4, leaves deg 1 -> perfectly disassortative
+    tbl = pa.table(
+        {
+            "a": pa.array([0, 0, 0, 0], pa.int64()),
+            "b": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = analytics.degree_assortativity(_ds(tbl)).to_pandas()
+    n, cov = out["n_pairs"][0], out["cov_num"][0]
+    va, vb = out["var_a"][0], out["var_b"][0]
+    assert n == 8
+    assert cov < 0 and va > 0 and vb == va
+    assert cov * cov == va * vb  # |r| = 1 exactly on a star
+
+
+def test_hoover_exact_known_value(ray_session):
+    # values 1, 3 -> mean 2, sum|x-mean| = 2, H = 2/(2*4) = 1/4
+    tbl = pa.table({"v": pa.array([0.01, 0.03], pa.float64())})
+    out = ops.hoover_exact(_ds(tbl), "v", quantize=100.0).to_pandas()
+    assert out["hoover_num"][0] / out["hoover_den"][0] == 0.25
