@@ -1864,3 +1864,88 @@ def knn_geodesic_join(
         probe_index if use_index else probe,
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
+
+
+def rect_overlap_area(
+    rects: ray.data.Dataset,
+    polygons: pa.Table,
+    rect_cols: tuple = ("xmin", "ymin", "xmax", "ymax"),
+    id_col: str = "rect_id",
+    geometry_col: str = "geometry",
+    poly_id_col: str = "polygon_id",
+    quantize: float = 20.0,
+    res: float | None = None,
+    out_col: str = "overlap_q",
+    index: str = "grid",
+) -> ray.data.Dataset:
+    """Per probe rect: TOTAL INTERSECTION AREA with the broadcast box
+    set, in exact quantized integer units — the coverage/zonal-overlap
+    aggregate (how much of each query window the reference footprints
+    cover, counting overlaps multiplicatively). Reference footprints
+    must be axis-aligned boxes stored as box→polygon rings (the
+    reference's box semantics, src/geoarrow.c:45-72): the area uses the
+    polygon BBOX, which for box rings IS the polygon.
+
+    Candidates come from the same grid / STR index descent as
+    ``rect_intersect_count`` (exact pair set, parity-pinned); the area
+    is then ``max(0, min(xmaxs)−max(xmins)) · max(0, …y…)`` on
+    coordinates quantized to integers (coords must be exact multiples
+    of 1/quantize for the SQL twin to hash-match). Per-rect sums are
+    complete inside each batch — no shuffle, zero-match rects dropped
+    (the SQL inner join drops them too)."""
+    if index == "str":
+        from georay.index import STRPolygonIndex
+
+        idx0 = STRPolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col
+        )
+    else:
+        idx0 = PolygonIndex.build(
+            polygons, geometry_col=geometry_col, id_col=poly_id_col, res=res
+        )
+    ref = ray.put(idx0)
+    cache: dict = {}
+    cx0, cy0, cx1, cy1 = rect_cols
+
+    def _q(a: np.ndarray) -> np.ndarray:
+        return np.floor(a * quantize + 0.5).astype(np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        idx = cache.setdefault("i", ray.get(ref))
+        rxmin = batch[cx0].to_numpy(zero_copy_only=False)
+        rymin = batch[cy0].to_numpy(zero_copy_only=False)
+        rxmax = batch[cx1].to_numpy(zero_copy_only=False)
+        rymax = batch[cy1].to_numpy(zero_copy_only=False)
+        ridx, poly = idx.intersects_rect(rxmin, rymin, rxmax, rymax)
+        rid = batch[id_col]
+        if isinstance(rid, pa.ChunkedArray):
+            rid = rid.combine_chunks()
+        if ridx.size == 0:
+            return pa.table(
+                {
+                    id_col: rid.slice(0, 0),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        bbox = idx.bbox if hasattr(idx, "bbox") else idx.base.bbox
+        bb = bbox[poly]
+        dx = np.minimum(_q(rxmax[ridx]), _q(bb[:, 2])) - np.maximum(
+            _q(rxmin[ridx]), _q(bb[:, 0])
+        )
+        dy = np.minimum(_q(rymax[ridx]), _q(bb[:, 3])) - np.maximum(
+            _q(rymin[ridx]), _q(bb[:, 1])
+        )
+        area = np.maximum(dx, 0) * np.maximum(dy, 0)
+        sums = np.zeros(len(batch), np.int64)
+        np.add.at(sums, ridx, area)
+        nz = np.nonzero(np.bincount(ridx, minlength=len(batch)))[0]
+        return pa.table(
+            {
+                id_col: rid.take(pa.array(nz)),
+                out_col: pa.array(sums[nz], pa.int64()),
+            }
+        )
+
+    return rects.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

@@ -6661,3 +6661,134 @@ def idw_grid(
     return tot.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def grouped_impurity(
+    ds: ray.data.Dataset,
+    key: str,
+    cat_col: str,
+) -> ray.data.Dataset:
+    """Per-key Gini IMPURITY sufficient statistics, EXACT: one row
+    ``(key, n, sum_c2)`` per key where ``n`` is the key's row count and
+    ``sum_c2 = Σ_categories count²`` — impurity is ``1 − sum_c2/n²``
+    downstream (the category-diversity score every curation pipeline
+    reports per source/user/domain). Entropy needs a log, so its float
+    sum is order-dependent; the Gini form is a RATIONAL of integer
+    moments, so the result hash-matches SQL bit-for-bit.
+
+    Plan: per-batch (key, category) counts fold map-side, merge once
+    through the combine tree (bounded by keys × categories), then a
+    second tiny tree folds each key's count vector into (n, Σc²) —
+    the corpus itself never shuffles."""
+    proj = ds.select_columns([key, cat_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        c = batch[cat_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(
+            [k, c], {"partial_c": np.ones(k.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0]),
+                cat_col: pa.array(ks[1]),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        proj.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [key, cat_col], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # Σc² stays exact while every count < 2^31 (Σ of squares below
+        # 2^62 per key would need ~2^31 categories on top — impossible
+        # for a merged histogram row set)
+        if c.size and int(c.max()) >= (1 << 31):
+            raise OverflowError(
+                "grouped_impurity: a (key, category) count ≥ 2^31 would "
+                "overflow the Σcount² accumulator"
+            )
+        ks, vs = _group_reduce([k], {"partial_n": c, "partial_c2": c * c})
+        return pa.table(
+            {
+                key: pa.array(ks[0]),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_c2": pa.array(vs["partial_c2"], pa.int64()),
+            }
+        )
+
+    return tree_sum(
+        hist.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [key], {"partial_n": "n", "partial_c2": "sum_c2"},
+        int_cols=("partial_n", "partial_c2"),
+    )
+
+
+def window_decayed_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    w: int = 16,
+    out_col: str = "decayed_q",
+    descending: bool | list[bool] = False,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Recency-weighted rolling score in EXACT integer arithmetic: per
+    row, ``Σ_{j=0}^{w-1} v[pos−j] >> j`` over the current and previous
+    ``w−1`` rows of the key's order — an exponential half-life window
+    (each lag halves) whose shift-truncation makes the result
+    independent of evaluation order, so it hash-matches the SQL
+    self-join twin (``SUM(b.v >> (a.rn − b.rn))`` over a ROW_NUMBER
+    band) bit-for-bit. ``value_col`` must be integer-valued and
+    NON-NEGATIVE (arithmetic vs logical shift semantics diverge on
+    negatives across engines — raise rather than guess).
+
+    Same one-shuffle bucket plan as the positional window functions;
+    inside the bucket the window is w vectorized shifted adds, not a
+    per-row loop."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    desc = (
+        [descending] * len(order_list)
+        if isinstance(descending, bool)
+        else list(descending)
+    )
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array(np.empty(0, np.int64))
+        if int(v.min()) < 0:
+            raise ValueError(
+                "window_decayed_sum: negative values — shift semantics "
+                "on negatives are engine-dependent; offset the column"
+            )
+        if int(v.max()) >= (1 << 61):
+            raise OverflowError(
+                "window_decayed_sum: value ≥ 2^61 could overflow the "
+                "windowed sum (bounded by 2·max at w lags)"
+            )
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        pik = pos - starts[seg]  # 0-based position within key
+        out = np.zeros(n, np.int64)
+        for j in range(min(w, n)):
+            contrib = v[: n - j] >> j
+            m = pik[j:] >= j  # lag-j row must belong to the same key
+            out[j:][m] += contrib[m]
+        return out_col, pa.array(out, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, order_list, desc, n_buckets, emit, "window_decayed_sum"
+    )

@@ -10354,6 +10354,123 @@ FROM cand GROUP BY qi, qj
 """
 
 
+def q_impurity(sf_dir: str):
+    """Per-user category diversity of event types as exact Gini-impurity
+    sufficient statistics (ops.grouped_impurity — (key, cat) counts fold
+    map-side, two tiny combine trees, the corpus never shuffles)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return ops.grouped_impurity(ds, "user_id", "event_type")
+
+
+SQL_IMPURITY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2
+FROM c GROUP BY user_id
+"""
+
+_DECAY_W = 16
+
+
+def q_decayed_sum(sf_dir: str):
+    """Recency-weighted per-user engagement score: for every event, the
+    exponential half-life sum of the last 16 event values in cents
+    (ops.window_decayed_sum — w shifted adds per bucket, shift
+    truncation keeps it order-independent and bit-exact vs the SQL
+    ROW_NUMBER-band self-join)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return batch.drop_columns(["value"]).append_column(
+            "v", pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))
+        )
+
+    ds = ds.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    out = ops.window_decayed_sum(
+        ds, key="user_id", order_cols=["ts", "event_id"], value_col="v",
+        w=_DECAY_W,
+    )
+    return out.select_columns(["event_id", "decayed_q"])
+
+
+SQL_DECAYED_SUM = f"""
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id,
+       CAST(SUM(b.v >> CAST(a.rn - b.rn AS INTEGER)) AS BIGINT) AS decayed_q
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_DECAY_W - 1} AND a.rn
+GROUP BY a.event_id
+"""
+
+
+def q_rect_overlap(sf_dir: str):
+    """Coverage join: per supplier query rectangle, the TOTAL
+    intersection area with the part box footprints in exact 0.05°
+    quantized units (joins.rect_overlap_area — same index descent as
+    intersect_join, batch-local integer clamp·clamp sums, no
+    shuffle)."""
+    from georay.joins import rect_overlap_area
+
+    sx, sy, sk = supplier_points(sf_dir)
+    rects = rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "xmin": pa.array(sx - 1.3),
+                "ymin": pa.array(sy - 0.7),
+                "xmax": pa.array(sx + 1.3),
+                "ymax": pa.array(sy + 0.7),
+            }
+        )
+    )
+    polys = part_box_polygons(sf_dir)
+    return rect_overlap_area(
+        rects, polys, id_col="s_suppkey",
+        geometry_col="geometry", poly_id_col="p_partkey", quantize=20.0,
+    )
+
+
+SQL_RECT_OVERLAP = f"""
+WITH rects AS (
+  SELECT s_suppkey,
+         CAST(floor(({SUPP_SX} - 1.3) * 20.0e0 + 0.5e0) AS BIGINT) AS rxmin,
+         CAST(floor(({SUPP_SY} - 0.7) * 20.0e0 + 0.5e0) AS BIGINT) AS rymin,
+         CAST(floor(({SUPP_SX} + 1.3) * 20.0e0 + 0.5e0) AS BIGINT) AS rxmax,
+         CAST(floor(({SUPP_SY} + 0.7) * 20.0e0 + 0.5e0) AS BIGINT) AS rymax
+  FROM supplier
+),
+boxes AS (
+  SELECT p_partkey,
+         CAST(floor(({PART_CX} - ({PART_W})) * 20.0e0 + 0.5e0) AS BIGINT) AS bxmin,
+         CAST(floor(({PART_CY} - ({PART_H})) * 20.0e0 + 0.5e0) AS BIGINT) AS bymin,
+         CAST(floor(({PART_CX} + ({PART_W})) * 20.0e0 + 0.5e0) AS BIGINT) AS bxmax,
+         CAST(floor(({PART_CY} + ({PART_H})) * 20.0e0 + 0.5e0) AS BIGINT) AS bymax
+  FROM part
+)
+SELECT r.s_suppkey,
+       CAST(SUM((LEAST(r.rxmax, b.bxmax) - GREATEST(r.rxmin, b.bxmin))
+              * (LEAST(r.rymax, b.bymax) - GREATEST(r.rymin, b.bymin)))
+            AS BIGINT) AS overlap_q
+FROM rects r JOIN boxes b
+  ON r.rxmin < b.bxmax AND b.bxmin < r.rxmax
+ AND r.rymin < b.bymax AND b.bymin < r.rymax
+GROUP BY r.s_suppkey
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10403,6 +10520,9 @@ QUERIES = {
     "hoover": q_hoover,
     "component_sizes": q_component_sizes,
     "idw": q_idw,
+    "impurity": q_impurity,
+    "decayed_sum": q_decayed_sum,
+    "rect_overlap": q_rect_overlap,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10636,6 +10756,9 @@ ORACLE = {
     "hoover": SQL_HOOVER,
     "component_sizes": SQL_COMPONENT_SIZES,
     "idw": SQL_IDW,
+    "impurity": SQL_IMPURITY,
+    "decayed_sum": SQL_DECAYED_SUM,
+    "rect_overlap": SQL_RECT_OVERLAP,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,
