@@ -6792,3 +6792,138 @@ def window_decayed_sum(
     return _window_over_buckets(
         ds, key, order_list, desc, n_buckets, emit, "window_decayed_sum"
     )
+
+
+def rolling_active_count(
+    ds: ray.data.Dataset,
+    entity_col: str,
+    ts_col: str,
+    window: int = 7,
+    bucket_us: int = 86_400_000_000,
+    out_col: str = "n_active",
+) -> ray.data.Dataset:
+    """Trailing-window distinct-entity count per time bucket — the
+    DAU/WAU/MAU family: for every OBSERVED day, how many distinct
+    entities were active in the last ``window`` days (inclusive).
+
+    Exact and shuffle-light: (1) the corpus folds map-side to distinct
+    (day, entity) pairs and merges once through the combine tree —
+    bounded by entities × active-days, not events; (2) each distinct
+    pair fans out to the ≤``window`` future days it keeps alive,
+    filtered against the broadcast OBSERVED-day set (calendar-sized);
+    (3) a second tree dedups (window_day, entity) — an entity active on
+    several source days counts once — and a final tiny tree folds the
+    per-day counts. The event stream itself never shuffles."""
+    proj = ds.select_columns([entity_col, ts_col])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False)
+        day = (t.view(np.int64) // bucket_us).astype(np.int64)
+        e = batch[entity_col].to_numpy(zero_copy_only=False)
+        ks, _ = _group_reduce(
+            [day, e], {"partial_c": np.ones(day.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "day": pa.array(ks[0], pa.int64()),
+                "ent": pa.array(ks[1]),
+                "partial_c": pa.array(
+                    np.ones(ks[0].shape[0], np.int64)
+                ),
+            }
+        )
+
+    pairs = tree_sum(
+        proj.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["day", "ent"], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+
+    # observed-day set: calendar-sized by construction — broadcast once
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = np.unique(batch["day"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "day": pa.array(d, pa.int64()),
+                "partial_c": pa.array(np.ones(d.shape[0], np.int64)),
+            }
+        )
+
+    days_t = pa.concat_tables(
+        ray.get(
+            tree_sum(
+                pairs.map_batches(
+                    day_partial, batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=None,
+                ),
+                ["day"], {"partial_c": "c"}, int_cols=("partial_c",),
+            ).to_arrow_refs()
+        )
+    )
+    obs = np.sort(days_t["day"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ref = ray.put(obs)
+    cache: dict = {}
+
+    def expand(batch: pa.Table, _w=window) -> pa.Table:
+        ov = cache.setdefault("d", ray.get(ref))
+        d = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["ent"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        outs = []
+        for j in range(_w):
+            wd = d + j
+            pos = np.searchsorted(ov, wd)
+            keep = (pos < ov.shape[0]) & (
+                ov[np.minimum(pos, ov.shape[0] - 1)] == wd
+            )
+            if not keep.any():
+                continue
+            outs.append(
+                pa.table(
+                    {
+                        "wday": pa.array(wd[keep], pa.int64()),
+                        "ent": e.filter(pa.array(keep)),
+                        "partial_c": pa.array(
+                            np.ones(int(keep.sum()), np.int64)
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "wday": pa.array([], pa.int64()),
+                    "ent": e.slice(0, 0),
+                    "partial_c": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    memb = tree_sum(
+        pairs.map_batches(
+            expand, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["wday", "ent"], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        d = batch["wday"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce([d], {"partial_n": np.ones(d.shape[0], np.int64)})
+        return pa.table(
+            {
+                "day": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    return tree_sum(
+        memb.map_batches(
+            fold, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["day"], {"partial_n": out_col}, int_cols=("partial_n",),
+    )

@@ -10470,6 +10470,31 @@ FROM rects r JOIN boxes b
 GROUP BY r.s_suppkey
 """
 
+_ROLL_W = 7
+
+
+def q_rolling_active(sf_dir: str):
+    """Trailing-7-day distinct active users per observed day (WAU
+    curve; ops.rolling_active_count — distinct (day, user) pairs fold
+    map-side, fan out to the ≤7 window days they keep alive against the
+    broadcast observed-day set, dedup once more, fold — the event
+    stream never shuffles)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ops.rolling_active_count(ds, "user_id", "ts", window=_ROLL_W)
+
+
+SQL_ROLLING_ACTIVE = f"""
+WITH a AS (
+  SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                  user_id
+  FROM events
+),
+d AS (SELECT DISTINCT day FROM a)
+SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM d JOIN a ON a.day BETWEEN d.day - {_ROLL_W - 1} AND d.day
+GROUP BY d.day
+"""
+
 
 QUERIES = {
     "poly_measures": q_poly_measures,
@@ -10523,6 +10548,7 @@ QUERIES = {
     "impurity": q_impurity,
     "decayed_sum": q_decayed_sum,
     "rect_overlap": q_rect_overlap,
+    "rolling_active": q_rolling_active,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10759,6 +10785,7 @@ ORACLE = {
     "impurity": SQL_IMPURITY,
     "decayed_sum": SQL_DECAYED_SUM,
     "rect_overlap": SQL_RECT_OVERLAP,
+    "rolling_active": SQL_ROLLING_ACTIVE,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -2561,3 +2561,28 @@ def test_rect_overlap_area_str_matches_grid(ray_session):
     pa_sort = lambda d: d.sort_values("rect_id").reset_index(drop=True)
     assert pa_sort(a).values.tolist() == pa_sort(b).values.tolist()
     assert (a["overlap_q"] > 0).all()
+
+
+def test_rolling_active_count_gap_days(ray_session):
+    import ray.data as rd
+
+    # users active on days 0, 1 and 10 (gap): day 1's trailing-7 window
+    # sees both day-0 and day-1 entities; day 10 sees only its own
+    # (days 2-9 unobserved and never reported)
+    us = 86_400_000_000
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 2, 2, 3, 1], pa.int64()),
+            "ts": pa.array(
+                np.array([0, 0, 1 * us, 1 * us, 10 * us], "datetime64[us]")
+            ),
+        }
+    )
+    out = (
+        ops.rolling_active_count(rd.from_arrow(tbl), "u", "ts", window=7)
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    assert out["day"].tolist() == [0, 1, 10]
+    # day 0: {1,2}; day 1: {1,2,3} (user 2 on both days counts once);
+    # day 10: {1}
+    assert out["n_active"].tolist() == [2, 3, 1]
