@@ -6928,78 +6928,3 @@ def rolling_active_count(
         ["day"], {"partial_n": out_col}, int_cols=("partial_n",),
     )
 
-
-def approx_distinct(
-    ds: ray.data.Dataset,
-    cols: str | list[str],
-    p: int = 14,
-    out_col: str = "approx_n",
-) -> ray.data.Dataset:
-    """HyperLogLog approximate distinct count — the 100-TB path where
-    an exact distinct (a full key shuffle or a combine tree bounded by
-    cardinality) is infeasible: state is 2^p one-byte registers
-    REGARDLESS of cardinality, partials merge with elementwise max
-    (associative, idempotent — re-execution safe), and the answer is
-    deterministic for a given input because the hash (``_key_hash``)
-    is seedless. Standard bias handling: linear counting below the
-    small-range threshold, the 2^64 large-range correction above.
-    Typical error ≈ 1.04/√2^p (~0.8 % at the default p=14).
-
-    Returns one row ``(approx_n,)``. Pinned by pytest against exact
-    distinct counts (no SQL oracle — DuckDB's approx_count_distinct is
-    a different estimator)."""
-    if not (4 <= p <= 18):
-        raise ValueError("approx_distinct: p must be in [4, 18]")
-    key_list = [cols] if isinstance(cols, str) else list(cols)
-    m = 1 << p
-    proj = ds.select_columns(key_list)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        h = _key_hash(batch, key_list)
-        if h is None:
-            raise TypeError("approx_distinct requires int/string/binary keys")
-        reg = (h >> np.uint64(64 - p)).astype(np.int64)
-        # low p bits set to 1 → rest is never 0 and rho caps at 64-p+1
-        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
-        # exact vectorized clz via two 32-bit halves: a uint32 fits the
-        # float64 mantissa, so frexp's exponent IS the bit length (the
-        # single-shot float64 path mis-rounds near power-of-two
-        # boundaries above 2^53)
-        hi = (rest >> np.uint64(32)).astype(np.float64)
-        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
-        clz_hi = 32 - np.frexp(hi)[1]  # hi == 0 → 32 (frexp exp 0)
-        clz_lo = 32 - np.frexp(lo)[1]
-        clz = np.where(hi > 0, clz_hi, 32 + clz_lo)
-        rho = (clz + 1).astype(np.int64)
-        ks, vs = _group_reduce(
-            [reg], {"partial_r": rho}, ufunc={"partial_r": np.maximum}
-        )
-        return pa.table(
-            {
-                "reg": pa.array(ks[0], pa.int64()),
-                "partial_r": pa.array(vs["partial_r"], pa.int64()),
-            }
-        )
-
-    regs = tree_reduce(
-        proj.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
-        ),
-        ["reg"], {"partial_r": "r"}, ufunc=np.maximum,
-    )
-    rt = pa.concat_tables(ray.get(regs.to_arrow_refs()))
-    M = np.zeros(m, np.float64)
-    M[rt["reg"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
-        rt["r"].to_numpy(zero_copy_only=False).astype(np.float64)
-    )
-    am = 0.7213 / (1.0 + 1.079 / m)  # standard alpha_m for m ≥ 128
-    e = am * m * m / np.sum(np.exp2(-M))
-    zeros = int(np.sum(M == 0))
-    if e <= 2.5 * m and zeros:
-        e = m * np.log(m / zeros)  # linear counting
-    elif e > (1 << 64) / 30.0:
-        e = -(2.0**64) * np.log1p(-e / 2.0**64)
-    return ray.data.from_arrow(
-        pa.table({out_col: pa.array([int(round(e))], pa.int64())})
-    )

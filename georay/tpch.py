@@ -10496,6 +10496,40 @@ GROUP BY d.day
 """
 
 
+def q_scd2(sf_dir: str):
+    """SCD-2 history build: each (user, event) becomes a validity
+    interval [ts, next ts) — valid_to NULL on the current row
+    (ops.window_lead composition; one bucket shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = ops.window_lead(
+        ds, key="user_id", order_cols=["ts", "event_id"], value_col="ts",
+        out_col="valid_to",
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "valid_from": batch["ts"],
+                "valid_to": batch["valid_to"],
+            }
+        )
+
+    return out.map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_SCD2 = """
+SELECT event_id, user_id, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM events
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10549,6 +10583,7 @@ QUERIES = {
     "decayed_sum": q_decayed_sum,
     "rect_overlap": q_rect_overlap,
     "rolling_active": q_rolling_active,
+    "scd2": q_scd2,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10786,6 +10821,7 @@ ORACLE = {
     "decayed_sum": SQL_DECAYED_SUM,
     "rect_overlap": SQL_RECT_OVERLAP,
     "rolling_active": SQL_ROLLING_ACTIVE,
+    "scd2": SQL_SCD2,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

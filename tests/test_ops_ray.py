@@ -2587,23 +2587,3 @@ def test_rolling_active_count_gap_days(ray_session):
     # day 10: {1}
     assert out["n_active"].tolist() == [2, 3, 1]
 
-
-def test_approx_distinct_error_bound(ray_session):
-    import ray.data as rd
-
-    # exact distinct 50,000 int keys; p=14 → typical error ~0.8%
-    keys = np.arange(50_000, dtype=np.int64)
-    ds = rd.from_arrow(
-        pa.table({"k": pa.array(np.concatenate([keys, keys[:10_000]]))})
-    )
-    est = int(ops.approx_distinct(ds, "k").to_pandas()["approx_n"][0])
-    assert abs(est - 50_000) / 50_000 < 0.03
-    # string keys route through _bytes_hash
-    sds = rd.from_arrow(
-        pa.table({"s": pa.array([f"doc-{i}" for i in range(5_000)])})
-    )
-    est_s = int(ops.approx_distinct(sds, "s").to_pandas()["approx_n"][0])
-    assert abs(est_s - 5_000) / 5_000 < 0.05
-    # determinism: same input, same estimate
-    est2 = int(ops.approx_distinct(ds, "k").to_pandas()["approx_n"][0])
-    assert est2 == est
