@@ -2407,3 +2407,168 @@ def degree_assortativity(
             }
         )
     )
+
+
+def edge_jaccard(
+    edges: ray.data.Dataset,
+    id_a: str = "a",
+    id_b: str = "b",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-edge EMBEDDEDNESS features — for every undirected edge
+    (a, b): ``common`` = |N(a) ∩ N(b)| (its triangle support) and
+    ``union_n`` = |N(a) ∪ N(b)|, the exact integer numerator and
+    denominator of the neighborhood-Jaccard link weight used for
+    link prediction and strong-tie detection.
+
+    Plan (two bounded co-shuffles, the graph's standard
+    triangle-volume data movement, no driver state): shuffle 1 keys the
+    symmetrized adjacency AND each edge's two endpoint probes by
+    ``hash(node)`` — each bucket emits one (a, b, nbr, side) row per
+    neighbor of each endpoint; shuffle 2 keys those rows by
+    ``hash(a, b)`` — inside a bucket, a lexsort on (a, b, nbr) makes
+    common neighbors adjacent with differing ``side`` (adjacency rows
+    are duplicate-free for a distinct edge list), and
+    ``union = rows − common`` per edge because |N(a)|+|N(b)| arrive
+    as one row each. Output: (a, b, common, union_n)."""
+    from georay import ops as _ops
+
+    nb = np.uint64(n_buckets)
+    edges = _rename_edges(edges, id_a, id_b)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (_ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    def msgs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = a.shape[0]
+        # adjacency rows (kind 0): node -> nbr, both directions
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        # probe rows (kind 1): edge endpoint lookups; other = far end,
+        # side 0 probes a's neighborhood, side 1 probes b's
+        pnode = np.concatenate([a, b])
+        pother = np.concatenate([b, a])
+        pside = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n, np.int8)]
+        )
+        return pa.table(
+            {
+                "_b": pa.array(
+                    np.concatenate([_bucket(node), _bucket(pnode)]),
+                    pa.int64(),
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(2 * n, np.int8), np.ones(2 * n, np.int8)]
+                    )
+                ),
+                "node": pa.array(np.concatenate([node, pnode]), pa.int64()),
+                "x": pa.array(np.concatenate([nbr, pother]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate([np.zeros(2 * n, np.int8), pside])
+                ),
+            }
+        )
+
+    def join_nbrs(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = group["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False).astype(np.int8)
+        adj = kind == 0
+        anode, anbr = node[adj], x[adj]
+        o = np.argsort(anode, kind="stable")
+        anode, anbr = anode[o], anbr[o]
+        starts = np.searchsorted(anode, node[~adj], side="left")
+        ends = np.searchsorted(anode, node[~adj], side="right")
+        cnt = ends - starts
+        pn, po, ps = node[~adj], x[~adj], side[~adj]
+        # ragged expand: each probe emits one row per neighbor
+        rep = np.repeat(np.arange(pn.shape[0]), cnt)
+        # vectorized ragged range: arange over the total, rebased per probe
+        tot = int(cnt.sum())
+        off = np.zeros(pn.shape[0] + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        idx = np.arange(tot, dtype=np.int64) - np.repeat(off[:-1], cnt) + np.repeat(
+            starts, cnt
+        )
+        a_out = np.where(ps[rep] == 0, pn[rep], po[rep])
+        b_out = np.where(ps[rep] == 0, po[rep], pn[rep])
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "nbr": pa.array(anbr[idx], pa.int64()),
+                "side": pa.array(side[~adj][rep], pa.int8()),
+            }
+        )
+
+    rows = (
+        edges.map_batches(
+            msgs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(join_nbrs, batch_format="pyarrow")
+    )
+
+    def pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _ops._mix64(
+            (a.view(np.uint64) * np.uint64(0x100000001B3)) ^ b.view(np.uint64)
+        )
+        return batch.append_column(
+            "_pb", pa.array((h % nb).astype(np.int64))
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbr = group["nbr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = a.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "common": pa.array([], pa.int64()),
+                    "union_n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((side, nbr, b, a))
+        a, b, nbr, side = a[order], b[order], nbr[order], side[order]
+        first = np.ones(n, bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        # common neighbor: consecutive rows with equal (a,b,nbr) and
+        # side 0 then 1 (adjacency is duplicate-free)
+        same_t = np.zeros(n, bool)
+        same_t[1:] = (
+            (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (nbr[1:] == nbr[:-1])
+        )
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        common = np.bincount(seg[same_t], minlength=starts.shape[0])
+        total = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "a": pa.array(a[starts], pa.int64()),
+                "b": pa.array(b[starts], pa.int64()),
+                "common": pa.array(common.astype(np.int64)),
+                "union_n": pa.array(
+                    (total - common).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        rows.map_batches(
+            pair_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_pb")
+        .map_groups(fold, batch_format="pyarrow")
+    )

@@ -10530,6 +10530,37 @@ FROM events
 """
 
 
+def q_edge_jaccard(sf_dir: str):
+    """Per-edge embeddedness of the co-purchase graph: common-neighbor
+    count (triangle support) and neighborhood-union size per edge — the
+    link-prediction feature pair (analytics.edge_jaccard; two bounded
+    co-shuffles, standard triangle data volume, no driver state)."""
+    from georay import analytics
+
+    return analytics.edge_jaccard(_copurchase_edges(sf_dir))
+
+
+SQL_EDGE_JACCARD = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s),
+inter AS (
+  SELECT e.a, e.b, COUNT(*) AS common
+  FROM e
+  JOIN sym x ON x.s = e.a
+  JOIN sym y ON y.s = e.b AND y.d = x.d
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b,
+       CAST(COALESCE(i.common, 0) AS BIGINT) AS common,
+       CAST(da.deg + db.deg - COALESCE(i.common, 0) AS BIGINT) AS union_n
+FROM e
+LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+JOIN deg da ON da.node = e.a
+JOIN deg db ON db.node = e.b
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10584,6 +10615,7 @@ QUERIES = {
     "rect_overlap": q_rect_overlap,
     "rolling_active": q_rolling_active,
     "scd2": q_scd2,
+    "edge_jaccard": q_edge_jaccard,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10822,6 +10854,7 @@ ORACLE = {
     "rect_overlap": SQL_RECT_OVERLAP,
     "rolling_active": SQL_ROLLING_ACTIVE,
     "scd2": SQL_SCD2,
+    "edge_jaccard": SQL_EDGE_JACCARD,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

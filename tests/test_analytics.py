@@ -1526,3 +1526,27 @@ def test_hoover_exact_known_value(ray_session):
     tbl = pa.table({"v": pa.array([0.01, 0.03], pa.float64())})
     out = ops.hoover_exact(_ds(tbl), "v", quantize=100.0).to_pandas()
     assert out["hoover_num"][0] / out["hoover_den"][0] == 0.25
+
+
+def test_edge_jaccard_hand_graph(ray_session):
+    # triangle 1-2-3 plus pendant 4-1:
+    #  edge (1,2): N(1)={2,3,4}, N(2)={1,3} -> common {3}=1, union {1,2,3,4}=4
+    #  edge (2,3): N(2)={1,3}, N(3)={1,2}   -> common {1}=1, union {1,2,3}=3
+    #  edge (3,1): common {2}=1, union 4;   edge (1,4): common 0, union 4
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 1, 4], pa.int64()),
+        }
+    )
+    out = (
+        analytics.edge_jaccard(_ds(tbl), n_buckets=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got = {(r.a, r.b): (r.common, r.union_n) for r in out.itertuples()}
+    assert got == {
+        (1, 2): (1, 4),
+        (2, 3): (1, 3),
+        (3, 1): (1, 4),
+        (1, 4): (0, 4),
+    }
