@@ -6928,3 +6928,96 @@ def rolling_active_count(
         ["day"], {"partial_n": out_col}, int_cols=("partial_n",),
     )
 
+
+
+def ks_statistic(
+    ds: ray.data.Dataset,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+    quantize: float = 100.0,
+) -> ray.data.Dataset:
+    """EXACT two-sample Kolmogorov–Smirnov statistic as a RATIONAL —
+    one row ``(d_num, n_a, n_b)`` with
+    ``D = max_v |F_a(v) − F_b(v)| = d_num / (n_a · n_b)`` — the
+    standard drift test between two cohorts' value distributions
+    (A/B gates, feature-drift monitors). Values quantize to integers;
+    the per-(value, side) histogram merges once through the combine
+    tree (bounded by distinct values, the corpus never shuffles) and
+    the final single-task sweep takes the running-max of
+    ``|cum_a·n_b − cum_b·n_a|`` over the sorted value domain —
+    integer end-to-end, so the SQL window twin hashes identically."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch[side_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        in_a = pc.equal(s, side_a)
+        in_b = pc.equal(s, side_b)
+        keep = pc.fill_null(pc.or_(in_a, in_b), False)
+        sub = batch.filter(keep)
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.int64()),
+                    "partial_a": pa.array([], pa.int64()),
+                    "partial_b": pa.array([], pa.int64()),
+                }
+            )
+        x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        sa = np.asarray(pc.fill_null(pc.equal(sub[side_col], side_a), False))
+        ks, vs = _group_reduce(
+            [v],
+            {
+                "partial_a": sa.astype(np.int64),
+                "partial_b": (~sa).astype(np.int64),
+            },
+        )
+        return pa.table(
+            {
+                "v": pa.array(ks[0], pa.int64()),
+                "partial_a": pa.array(vs["partial_a"], pa.int64()),
+                "partial_b": pa.array(vs["partial_b"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.select_columns([value_col, side_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["v"], {"partial_a": "ca", "partial_b": "cb"},
+        int_cols=("partial_a", "partial_b"),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = batch["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = batch["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(v)
+        ca, cb = ca[o], cb[o]
+        na, nb = int(ca.sum()), int(cb.sum())
+        if na and nb and max(na, nb) >= (1 << 31):
+            raise OverflowError(
+                "ks_statistic: cohort size ≥ 2^31 would overflow the "
+                "cross product; subsample or rescale first"
+            )
+        cum_a = np.cumsum(ca)
+        cum_b = np.cumsum(cb)
+        d = int(np.abs(cum_a * nb - cum_b * na).max()) if v.size else 0
+        return pa.table(
+            {
+                "d_num": pa.array([d], pa.int64()),
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+            }
+        )
+
+    # the combine tree's final merge is ONE task, so the sweep sees the
+    # complete histogram in a single batch
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )

@@ -10530,6 +10530,35 @@ FROM events
 """
 
 
+def q_ks(sf_dir: str):
+    """Exact two-sample KS drift statistic between click and purchase
+    value distributions, as a rational (ops.ks_statistic — quantized
+    value histogram through the combine tree, one-task integer
+    sweep)."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value", "event_type"])
+    return ops.ks_statistic(ds, "value", "event_type", "click", "purchase")
+
+
+SQL_KS = """
+WITH s AS (
+  SELECT CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+h AS (SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb FROM s GROUP BY v),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM h
+)
+SELECT CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS d_num,
+       CAST(MAX(t.na) AS BIGINT) AS n_a,
+       CAST(MAX(t.nb) AS BIGINT) AS n_b
+FROM c CROSS JOIN t
+"""
+
+
 def q_edge_jaccard(sf_dir: str):
     """Per-edge embeddedness of the co-purchase graph: common-neighbor
     count (triangle support) and neighborhood-union size per edge — the
@@ -10616,6 +10645,7 @@ QUERIES = {
     "rolling_active": q_rolling_active,
     "scd2": q_scd2,
     "edge_jaccard": q_edge_jaccard,
+    "ks_drift": q_ks,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10855,6 +10885,7 @@ ORACLE = {
     "rolling_active": SQL_ROLLING_ACTIVE,
     "scd2": SQL_SCD2,
     "edge_jaccard": SQL_EDGE_JACCARD,
+    "ks_drift": SQL_KS,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

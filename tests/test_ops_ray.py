@@ -2587,3 +2587,27 @@ def test_rolling_active_count_gap_days(ray_session):
     # day 10: {1}
     assert out["n_active"].tolist() == [2, 3, 1]
 
+
+
+def test_ks_statistic_known_value(ray_session):
+    import ray.data as rd
+
+    # A: {1, 2}, B: {2, 3} (quantized ints) -> CDF gap is max 1/2:
+    # d_num = max|cum_a*nb - cum_b*na| = 2, na = nb = 2
+    tbl = pa.table(
+        {
+            "v": pa.array([0.01, 0.02, 0.02, 0.03], pa.float64()),
+            "s": pa.array(["A", "A", "B", "B"]),
+        }
+    )
+    out = ops.ks_statistic(rd.from_arrow(tbl), "v", "s", "A", "B").to_pandas()
+    assert out.values.tolist() == [[2, 2, 2]]
+    # identical distributions -> D = 0
+    same = pa.table(
+        {
+            "v": pa.array([0.01, 0.02, 0.01, 0.02], pa.float64()),
+            "s": pa.array(["A", "A", "B", "B"]),
+        }
+    )
+    out2 = ops.ks_statistic(rd.from_arrow(same), "v", "s", "A", "B").to_pandas()
+    assert out2["d_num"][0] == 0
