@@ -2357,6 +2357,19 @@ def degree_assortativity(
     import pyarrow as _pa
 
     dt = _pa.concat_tables(ray.get(deg.to_arrow_refs()))
+    if dt.num_rows == 0 or "node" not in dt.column_names:
+        # empty graph: zero pairs, zero moments (empty blocks lose the
+        # column schema in Ray 2.49 — ROUND_NOTES quirk)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_pairs": pa.array([0], pa.int64()),
+                    "cov_num": pa.array([0], pa.int64()),
+                    "var_a": pa.array([0], pa.int64()),
+                    "var_b": pa.array([0], pa.int64()),
+                }
+            )
+        )
     nodes = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
     o = np.argsort(nodes)

@@ -6765,7 +6765,14 @@ def window_decayed_sum(
     )
 
     def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
-        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # NULL values contribute nothing to any window (SQL SUM skips
+        # NULLs) — fill with 0 BEFORE the numpy cast (NaN→int64 is
+        # undefined and surfaces as a bogus negative sentinel)
+        v = (
+            pc.fill_null(g[value_col], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         n = len(g)
         if n == 0:
             return out_col, pa.array(np.empty(0, np.int64))
@@ -6862,6 +6869,14 @@ def rolling_active_count(
             ).to_arrow_refs()
         )
     )
+    if days_t.num_rows == 0 or "day" not in days_t.column_names:
+        # EMPTY input loses its column schema through Ray 2.49's empty
+        # blocks (ROUND_NOTES quirk) — return the typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {"day": pa.array([], pa.int64()), out_col: pa.array([], pa.int64())}
+            )
+        )
     obs = np.sort(days_t["day"].to_numpy(zero_copy_only=False).astype(np.int64))
     ref = ray.put(obs)
     cache: dict = {}
@@ -6947,7 +6962,9 @@ def ks_statistic(
     tree (bounded by distinct values, the corpus never shuffles) and
     the final single-task sweep takes the running-max of
     ``|cum_a·n_b − cum_b·n_a|`` over the sorted value domain —
-    integer end-to-end, so the SQL window twin hashes identically."""
+    integer end-to-end, so the SQL window twin hashes identically.
+    Rows with a NULL value are EXCLUDED (no place for NULL on an
+    ordered CDF axis)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch[side_col]
@@ -6955,7 +6972,10 @@ def ks_statistic(
             s = s.combine_chunks()
         in_a = pc.equal(s, side_a)
         in_b = pc.equal(s, side_b)
-        keep = pc.fill_null(pc.or_(in_a, in_b), False)
+        keep = pc.and_(
+            pc.fill_null(pc.or_(in_a, in_b), False),
+            pc.is_valid(batch[value_col]),  # NULL values excluded (doc'd)
+        )
         sub = batch.filter(keep)
         if len(sub) == 0:
             return pa.table(

@@ -2611,3 +2611,54 @@ def test_ks_statistic_known_value(ray_session):
     )
     out2 = ops.ks_statistic(rd.from_arrow(same), "v", "s", "A", "B").to_pandas()
     assert out2["d_num"][0] == 0
+
+
+def test_round4_empty_and_null_edges(ray_session):
+    """Round-4 robustness pins: empty inputs return typed empty/zero
+    results; NULL payloads follow SQL semantics (SUM skips NULL; no
+    NULL on a CDF axis)."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    e = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    out = analytics.degree_assortativity(e).to_pandas()
+    assert out.values.tolist() == [[0, 0, 0, 0]]
+    ra = ops.rolling_active_count(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        ),
+        "u", "ts",
+    ).to_pandas()
+    # (column names are not asserted: empty Datasets lose their schema
+    # through to_pandas in Ray 2.49 — the ROUND_NOTES quirk)
+    assert len(ra) == 0
+    # NULL value in decayed sum contributes 0 (SQL SUM skips NULL)
+    t = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "t": pa.array([1, 2], pa.int64()),
+            "v": pa.array([8, None], pa.int64()),
+        }
+    )
+    d = (
+        ops.window_decayed_sum(rd.from_arrow(t), "k", ["t"], "v", w=4, n_buckets=2)
+        .to_pandas().sort_values("t")
+    )
+    assert d["decayed_q"].tolist() == [8, 4]
+    # NULL values excluded from the KS CDF
+    kt = pa.table(
+        {
+            "v": pa.array([1.0, None, 1.0], pa.float64()),
+            "s": pa.array(["A", "A", "B"]),
+        }
+    )
+    ks = ops.ks_statistic(rd.from_arrow(kt), "v", "s", "A", "B").to_pandas()
+    assert ks.values.tolist() == [[0, 1, 1]]
