@@ -191,6 +191,12 @@ def run_bench() -> dict:
     timed_ext("tpch_q7", lambda: tpch.q_tpch_q7(SF_DIR).count())
     timed_ext("tpch_q9", lambda: tpch.q_tpch_q9(SF_DIR).count())
     timed_ext("tpch_q21", lambda: tpch.q_tpch_q21(SF_DIR).count())
+    timed_ext("edge_jaccard", lambda: tpch.q_edge_jaccard(SF_DIR).count())
+    timed_ext("rolling_active", lambda: tpch.q_rolling_active(SF_DIR).count())
+    timed_ext("ks_drift", lambda: tpch.q_ks(SF_DIR).count())
+    timed_ext("kcore_partitioned", lambda: tpch.q_kcore_partitioned(SF_DIR).count())
+    timed_ext("decayed_sum", lambda: tpch.q_decayed_sum(SF_DIR).count())
+    timed_ext("idw", lambda: tpch.q_idw(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
