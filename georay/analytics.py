@@ -2427,6 +2427,7 @@ def edge_jaccard(
     id_a: str = "a",
     id_b: str = "b",
     n_buckets: int = 64,
+    ra_bits: int | None = None,
 ) -> ray.data.Dataset:
     """Per-edge EMBEDDEDNESS features — for every undirected edge
     (a, b): ``common`` = |N(a) ∩ N(b)| (its triangle support) and
@@ -2443,11 +2444,30 @@ def edge_jaccard(
     common neighbors adjacent with differing ``side`` (adjacency rows
     are duplicate-free for a distinct edge list), and
     ``union = rows − common`` per edge because |N(a)|+|N(b)| arrive
-    as one row each. Output: (a, b, common, union_n)."""
+    as one row each. Output: (a, b, common, union_n).
+
+    ``ra_bits``: when set, adds the RESOURCE-ALLOCATION index column
+    ``ra_q = Σ_{z ∈ N(a)∩N(b)} floor(2^ra_bits / deg(z))`` — the
+    degree-penalized link-prediction score (Adamic-Adar family, with
+    1/deg instead of 1/log deg so it stays an exact integer). The
+    degree table broadcasts once (node tables are vocabulary-sized
+    here; degree_table_partitioned is the billion-node alternative)."""
     from georay import ops as _ops
 
     nb = np.uint64(n_buckets)
     edges = _rename_edges(edges, id_a, id_b)
+
+    deg_ref = None
+    cache: dict = {}
+    if ra_bits is not None:
+        import pyarrow as _pa
+
+        dt = _pa.concat_tables(ray.get(degree_table(edges).to_arrow_refs()))
+        if dt.num_rows and "node" in dt.column_names:
+            dn = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(dn)
+            deg_ref = ray.put((dn[o], dd[o]))
 
     def _bucket(arr: np.ndarray) -> np.ndarray:
         return (_ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
@@ -2544,14 +2564,15 @@ def edge_jaccard(
         side = group["side"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = a.shape[0]
         if n == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "common": pa.array([], pa.int64()),
-                    "union_n": pa.array([], pa.int64()),
-                }
-            )
+            ecols = {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "common": pa.array([], pa.int64()),
+                "union_n": pa.array([], pa.int64()),
+            }
+            if ra_bits is not None:
+                ecols["ra_q"] = pa.array([], pa.int64())
+            return pa.table(ecols)
         order = np.lexsort((side, nbr, b, a))
         a, b, nbr, side = a[order], b[order], nbr[order], side[order]
         first = np.ones(n, bool)
@@ -2566,16 +2587,23 @@ def edge_jaccard(
         seg = np.cumsum(first) - 1
         common = np.bincount(seg[same_t], minlength=starts.shape[0])
         total = np.diff(np.append(starts, n))
-        return pa.table(
-            {
-                "a": pa.array(a[starts], pa.int64()),
-                "b": pa.array(b[starts], pa.int64()),
-                "common": pa.array(common.astype(np.int64)),
-                "union_n": pa.array(
-                    (total - common).astype(np.int64)
-                ),
-            }
-        )
+        cols = {
+            "a": pa.array(a[starts], pa.int64()),
+            "b": pa.array(b[starts], pa.int64()),
+            "common": pa.array(common.astype(np.int64)),
+            "union_n": pa.array((total - common).astype(np.int64)),
+        }
+        if ra_bits is not None:
+            ra = np.zeros(starts.shape[0], np.int64)
+            if deg_ref is not None and same_t.any():
+                dn, dd = cache.setdefault("deg", ray.get(deg_ref))
+                zn = nbr[same_t]
+                w = (np.int64(1) << np.int64(ra_bits)) // dd[
+                    np.searchsorted(dn, zn)
+                ]
+                np.add.at(ra, seg[same_t], w)
+            cols["ra_q"] = pa.array(ra, pa.int64())
+        return pa.table(cols)
 
     return (
         rows.map_batches(

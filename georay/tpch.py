@@ -10590,6 +10590,33 @@ JOIN deg db ON db.node = e.b
 """
 
 
+def q_edge_ra(sf_dir: str):
+    """Resource-allocation link-prediction score per co-purchase edge:
+    Σ floor(2^20/deg(z)) over common neighbors z (edge_jaccard with
+    ra_bits=20 — same two co-shuffles, degree table broadcast once)."""
+    from georay import analytics
+
+    out = analytics.edge_jaccard(_copurchase_edges(sf_dir), ra_bits=20)
+    return out.select_columns(["a", "b", "ra_q"])
+
+
+SQL_EDGE_RA = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s),
+ra AS (
+  SELECT e.a, e.b, SUM(1048576 // dz.deg) AS ra_q
+  FROM e
+  JOIN sym x ON x.s = e.a
+  JOIN sym y ON y.s = e.b AND y.d = x.d
+  JOIN deg dz ON dz.node = x.d
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b, CAST(COALESCE(r.ra_q, 0) AS BIGINT) AS ra_q
+FROM e LEFT JOIN ra r ON r.a = e.a AND r.b = e.b
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10645,6 +10672,7 @@ QUERIES = {
     "rolling_active": q_rolling_active,
     "scd2": q_scd2,
     "edge_jaccard": q_edge_jaccard,
+    "edge_ra": q_edge_ra,
     "ks_drift": q_ks,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
@@ -10885,6 +10913,7 @@ ORACLE = {
     "rolling_active": SQL_ROLLING_ACTIVE,
     "scd2": SQL_SCD2,
     "edge_jaccard": SQL_EDGE_JACCARD,
+    "edge_ra": SQL_EDGE_RA,
     "ks_drift": SQL_KS,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,

@@ -1550,3 +1550,22 @@ def test_edge_jaccard_hand_graph(ray_session):
         (3, 1): (1, 4),
         (1, 4): (0, 4),
     }
+
+
+def test_edge_jaccard_resource_allocation(ray_session):
+    # triangle 1-2-3 + pendant 4-1: edge (2,3)'s only common neighbor
+    # is node 1 with deg 3 -> ra_q = 2^20 // 3 = 349525
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 1, 4], pa.int64()),
+        }
+    )
+    out = (
+        analytics.edge_jaccard(_ds(tbl), n_buckets=4, ra_bits=20)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    got = {(r.a, r.b): r.ra_q for r in out.itertuples()}
+    assert got[(2, 3)] == (1 << 20) // 3
+    assert got[(1, 2)] == (1 << 20) // 2  # common {3}, deg(3)=2
+    assert got[(1, 4)] == 0
