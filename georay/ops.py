@@ -7041,3 +7041,122 @@ def ks_statistic(
         sweep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40,
     )
+
+
+def window_locf(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    out_col: str = "filled",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Forward fill (LOCF — last observation carried forward) per key:
+    SQL ``LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY key ORDER
+    BY ... ROWS UNBOUNDED PRECEDING)``. The sensor/tick-data gap
+    repair. Vectorized: one running max over last-valid positions, with
+    carries from the previous key masked off by the key-start bound
+    (no per-row loop, no per-key loop)."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        col = g[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(g)
+        if n == 0:
+            return out_col, col
+        valid = np.asarray(pc.is_valid(col))
+        lv = np.maximum.accumulate(np.where(valid, pos, np.int64(-1)))
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        has = lv >= starts[seg]  # a carry from an earlier key is stale
+        idx = pa.array(np.where(has, lv, 0), pa.int64())
+        filled = col.take(idx)
+        return out_col, pc.if_else(pa.array(has), filled, pa.scalar(None, col.type))
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_locf",
+    )
+
+
+def grouped_weighted_median(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    quantize: float = 100.0,
+    out_col: str = "wmedian",
+) -> ray.data.Dataset:
+    """Per-key EXACT lower weighted median: the smallest quantized
+    value v with ``2·cumweight(v) ≥ totalweight`` — the robust center
+    when rows carry importance weights (quantity-weighted price, size-
+    weighted latency). Values and weights quantize to integers; the
+    (key, value) weight histogram merges once through the combine tree
+    (bounded by keys × distinct values) and a single merge-task sweep
+    picks each key's median — integer end-to-end, bit-exact vs the SQL
+    window twin. NULL values or weights are excluded (SQL aggregate
+    semantics)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch[value_col]), pc.is_valid(batch[weight_col])
+        )
+        sub = batch.filter(keep)
+        k = sub[key].to_numpy(zero_copy_only=False)
+        x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        w = sub[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce([k, v], {"partial_w": w})
+        return pa.table(
+            {
+                key: pa.array(ks[0]),
+                "v": pa.array(ks[1], pa.int64()),
+                "partial_w": pa.array(vs["partial_w"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.select_columns([key, value_col, weight_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [key, "v"], {"partial_w": "w"}, int_cols=("partial_w",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = k.shape[0]
+        if n == 0:
+            return pa.table(
+                {key: batch[key], out_col: pa.array([], pa.int64())}
+            )
+        order = np.lexsort((v, k))
+        k, v, w = k[order], v[order], w[order]
+        first = np.ones(n, bool)
+        first[1:] = k[1:] != k[:-1]
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        cw = np.cumsum(w)
+        base = np.concatenate(([np.int64(0)], cw[starts[1:] - 1]))
+        cum = cw - base[seg]  # per-key cumulative weight
+        tot = np.add.reduceat(w, starts)
+        hit = 2 * cum >= tot[seg]
+        # first hit per key = the lower weighted median
+        hi = np.flatnonzero(hit)
+        pick = hi[np.searchsorted(seg[hi], np.arange(starts.shape[0]))]
+        return pa.table(
+            {
+                key: pa.array(k[starts]),
+                out_col: pa.array(v[pick], pa.int64()),
+            }
+        )
+
+    # the combine tree's final merge is one task → complete histogram
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )

@@ -10617,6 +10617,85 @@ FROM e LEFT JOIN ra r ON r.a = e.a AND r.b = e.b
 """
 
 
+def q_locf(sf_dir: str):
+    """Forward-fill gap repair: error events mask their value to NULL,
+    then LOCF per user ordered by (ts, event_id) carries the last good
+    reading forward (ops.window_locf — one bucket shuffle, running-max
+    fill, stale cross-key carries masked)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def mask(batch: pa.Table) -> pa.Table:
+        bad = pc.equal(batch["event_type"], "error")
+        v = pc.if_else(bad, pa.scalar(None, pa.float64()),
+                       batch["value"].cast(pa.float64()))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "v": v,
+            }
+        )
+
+    out = ops.window_locf(
+        ds.map_batches(
+            mask, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        key="user_id", order_cols=["ts", "event_id"], value_col="v",
+    )
+    return out.select_columns(["event_id", "filled"])
+
+
+SQL_LOCF = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+)
+SELECT event_id,
+       LAST_VALUE(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM m
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median extended price per return flag
+    (ops.grouped_weighted_median — (key, value) weight histogram
+    through the combine tree, one-task integer sweep)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return ops.grouped_weighted_median(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity", quantize=100.0,
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, v,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10674,6 +10753,8 @@ QUERIES = {
     "edge_jaccard": q_edge_jaccard,
     "edge_ra": q_edge_ra,
     "ks_drift": q_ks,
+    "locf": q_locf,
+    "weighted_median": q_weighted_median,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10915,6 +10996,8 @@ ORACLE = {
     "edge_jaccard": SQL_EDGE_JACCARD,
     "edge_ra": SQL_EDGE_RA,
     "ks_drift": SQL_KS,
+    "locf": SQL_LOCF,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

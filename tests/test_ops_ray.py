@@ -2662,3 +2662,45 @@ def test_round4_empty_and_null_edges(ray_session):
     )
     ks = ops.ks_statistic(rd.from_arrow(kt), "v", "s", "A", "B").to_pandas()
     assert ks.values.tolist() == [[0, 1, 1]]
+
+
+def test_window_locf_key_boundary(ray_session):
+    import ray.data as rd
+
+    # key 1: [null, 5, null, null] -> [null, 5, 5, 5]
+    # key 2 starts with null and must NOT inherit key 1's carry
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "t": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+            "v": pa.array([None, 5.0, None, None, None, 7.0], pa.float64()),
+        }
+    )
+    out = (
+        ops.window_locf(rd.from_arrow(tbl), "k", ["t"], "v", n_buckets=4)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    f = out["filled"].tolist()
+    assert f[0] != f[0] or f[0] is None  # NaN/None
+    assert f[1:4] == [5.0, 5.0, 5.0]
+    assert not (f[4] == f[4])  # key 2 first row stays null
+    assert f[5] == 7.0
+
+
+def test_grouped_weighted_median_exact(ray_session):
+    import ray.data as rd
+
+    # key a: values 1(w1), 2(w1), 3(w10) -> weighted median 3
+    # key b: values 1(w1), 2(w1)         -> lower median 1
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "a", "b", "b"]),
+            "v": pa.array([0.01, 0.02, 0.03, 0.01, 0.02], pa.float64()),
+            "w": pa.array([1, 1, 10, 1, 1], pa.int64()),
+        }
+    )
+    out = (
+        ops.grouped_weighted_median(rd.from_arrow(tbl), "k", "v", "w")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [["a", 3], ["b", 1]]
