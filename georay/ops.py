@@ -7160,3 +7160,66 @@ def grouped_weighted_median(
         sweep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40,
     )
+
+
+def survival_risk_table(
+    ds: ray.data.Dataset,
+    time_col: str,
+    event_col: str,
+) -> ray.data.Dataset:
+    """Kaplan–Meier RISK TABLE — the exact integer sufficient
+    statistics of the survival curve: per distinct (integer) time t,
+    ``d`` subjects with the event at t, ``c`` censored at t, and
+    ``n_risk`` = subjects still at risk (time ≥ t). The KM estimate
+    ``S(t) = Π (1 − d/n_risk)`` is a cumulative float product, so the
+    engine emits the rational risk table instead (bit-exact vs SQL) and
+    leaves the product to the caller. ``time_col`` must be integer;
+    ``event_col`` boolean (true = event, false = censored).
+
+    One combine tree over the per-time histogram (bounded by distinct
+    times), then a single merge-task reverse cumsum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = np.asarray(pc.fill_null(batch[event_col], False)).astype(np.int64)
+        ks, vs = _group_reduce(
+            [t], {"partial_d": ev, "partial_c": 1 - ev}
+        )
+        return pa.table(
+            {
+                "t": pa.array(ks[0], pa.int64()),
+                "partial_d": pa.array(vs["partial_d"], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.select_columns([time_col, event_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["t"], {"partial_d": "d", "partial_c": "c"},
+        int_cols=("partial_d", "partial_c"),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(t)[::-1]  # descending time
+        n_risk = np.cumsum(d[o] + c[o])
+        out = np.empty(t.shape[0], np.int64)
+        out[o] = n_risk
+        return pa.table(
+            {
+                "t": pa.array(t, pa.int64()),
+                "d": pa.array(d, pa.int64()),
+                "c": pa.array(c, pa.int64()),
+                "n_risk": pa.array(out, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )

@@ -10696,6 +10696,46 @@ FROM c WHERE 2 * cum >= tot GROUP BY l_returnflag
 """
 
 
+def q_survival(sf_dir: str):
+    """Kaplan–Meier risk table over ship-day index: per day, returned
+    lines (events), kept lines (censored), and lines still at risk
+    (ship day ≥ t) — the exact integer survival-curve sufficient
+    statistics (ops.survival_risk_table)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_shipdate", "l_returnflag"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array(us // 86_400_000_000, pa.int64()),
+                "ev": pc.equal(batch["l_returnflag"], "R"),
+            }
+        )
+
+    return ops.survival_risk_table(
+        ds.map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "t", "ev",
+    )
+
+
+SQL_SURVIVAL = """
+WITH s AS (
+  SELECT CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT) AS t,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+  FROM lineitem
+),
+h AS (SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM s GROUP BY t)
+SELECT t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+FROM h
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10755,6 +10795,7 @@ QUERIES = {
     "ks_drift": q_ks,
     "locf": q_locf,
     "weighted_median": q_weighted_median,
+    "survival": q_survival,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -10998,6 +11039,7 @@ ORACLE = {
     "ks_drift": SQL_KS,
     "locf": SQL_LOCF,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "survival": SQL_SURVIVAL,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

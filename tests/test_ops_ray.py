@@ -2704,3 +2704,20 @@ def test_grouped_weighted_median_exact(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert out.values.tolist() == [["a", 3], ["b", 1]]
+
+
+def test_survival_risk_table_known(ray_session):
+    import ray.data as rd
+
+    # t=1: 1 event; t=2: 1 censored; t=3: 1 event
+    tbl = pa.table(
+        {
+            "t": pa.array([1, 2, 3], pa.int64()),
+            "ev": pa.array([True, False, True]),
+        }
+    )
+    out = (
+        ops.survival_risk_table(rd.from_arrow(tbl), "t", "ev")
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, 1, 0, 3], [2, 0, 1, 2], [3, 1, 0, 1]]
