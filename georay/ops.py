@@ -7027,9 +7027,13 @@ def ks_statistic(
         cum_a = np.cumsum(ca)
         cum_b = np.cumsum(cb)
         d = int(np.abs(cum_a * nb - cum_b * na).max()) if v.size else 0
+        # total-variation companion (L1 over the same histogram):
+        # TV = tv_num / (2·n_a·n_b)
+        tv = int(np.abs(ca * nb - cb * na).sum()) if v.size else 0
         return pa.table(
             {
                 "d_num": pa.array([d], pa.int64()),
+                "tv_num": pa.array([tv], pa.int64()),
                 "n_a": pa.array([na], pa.int64()),
                 "n_b": pa.array([nb], pa.int64()),
             }

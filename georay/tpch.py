@@ -10553,6 +10553,8 @@ c AS (
   FROM h
 )
 SELECT CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT) AS d_num,
+       CAST((SELECT SUM(ABS(h.ca * t2.nb - h.cb * t2.na))
+             FROM h CROSS JOIN t t2) AS BIGINT) AS tv_num,
        CAST(MAX(t.na) AS BIGINT) AS n_a,
        CAST(MAX(t.nb) AS BIGINT) AS n_b
 FROM c CROSS JOIN t

@@ -2601,7 +2601,8 @@ def test_ks_statistic_known_value(ray_session):
         }
     )
     out = ops.ks_statistic(rd.from_arrow(tbl), "v", "s", "A", "B").to_pandas()
-    assert out.values.tolist() == [[2, 2, 2]]
+    # d_num 2; tv: |1*2-0*2| + |1*2-1*2| + |0*2-1*2| = 4
+    assert out.values.tolist() == [[2, 4, 2, 2]]
     # identical distributions -> D = 0
     same = pa.table(
         {
@@ -2661,7 +2662,7 @@ def test_round4_empty_and_null_edges(ray_session):
         }
     )
     ks = ops.ks_statistic(rd.from_arrow(kt), "v", "s", "A", "B").to_pandas()
-    assert ks.values.tolist() == [[0, 1, 1]]
+    assert ks.values.tolist() == [[0, 0, 1, 1]]
 
 
 def test_window_locf_key_boundary(ray_session):
