@@ -7227,3 +7227,92 @@ def survival_risk_table(
         sweep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40,
     )
+
+
+def window_distinct_count(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    w: int = 16,
+    out_col: str = "n_distinct",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per row: COUNT(DISTINCT value) over the current and previous
+    ``w−1`` rows of the key's order — behavioral-diversity windows
+    (distinct event types a user touched recently). EXACT for value
+    domains of ≤ 64 distinct values (raises above): the global value
+    vocabulary is collected once through a combine tree (vocabulary-
+    sized by assumption), broadcast as sorted bit positions, and the
+    window is ``w`` vectorized bitmask ORs + one popcount — the same
+    shifted-adds shape as ``window_decayed_sum``, no per-row loop.
+    NULL values carry no bit (SQL COUNT(DISTINCT) skips NULLs)."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.unique(col.drop_null())
+        return pa.table(
+            {"v": u, "partial_c": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    vt = pa.concat_tables(
+        ray.get(
+            tree_sum(
+                ds.select_columns([value_col]).map_batches(
+                    vocab_partial, batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=None,
+                ),
+                ["v"], {"partial_c": "c"}, int_cols=("partial_c",),
+            ).to_arrow_refs()
+        )
+    )
+    if vt.num_rows > 64:
+        raise ValueError(
+            f"window_distinct_count: {vt.num_rows} distinct values — the "
+            "bitmask window supports ≤ 64; bucket the column first"
+        )
+    vocab = vt["v"].combine_chunks() if vt.num_rows else pa.array([], pa.string())
+    if isinstance(vocab, pa.ChunkedArray):
+        vocab = vocab.combine_chunks()
+    ref = ray.put(vocab)
+    cache: dict = {}
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array(np.empty(0, np.int64))
+        vv = cache.setdefault("v", ray.get(ref))
+        col = g[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bitpos = pc.index_in(col, value_set=vv).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(bitpos)
+        bits = np.zeros(n, np.uint64)
+        bp = np.where(valid, bitpos, 0).astype(np.int64)
+        bits[valid] = np.uint64(1) << bp[valid].astype(np.uint64)
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1
+        pik = pos - starts[seg]
+        acc = bits.copy()
+        for j in range(1, min(w, n)):
+            m = pik[j:] >= j
+            sl = acc[j:]
+            sl[m] |= bits[: n - j][m]
+        # vectorized popcount over uint64
+        x = acc
+        cnt = np.zeros(n, np.int64)
+        for shift in range(0, 64, 8):
+            byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)
+            cnt += _POPCOUNT8[byte]
+        return out_col, pa.array(cnt, pa.int64())
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_distinct_count",
+    )
+
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], np.int64)

@@ -10738,6 +10738,38 @@ FROM h
 """
 
 
+_WDIST_W = 8
+
+
+def q_window_distinct(sf_dir: str):
+    """Behavioral diversity window: per event, the number of DISTINCT
+    event types its user touched in the last 8 events
+    (ops.window_distinct_count — broadcast ≤64-value vocabulary,
+    bitmask OR window + popcount, one bucket shuffle)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    out = ops.window_distinct_count(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        value_col="event_type", w=_WDIST_W,
+    )
+    return out.select_columns(["event_id", "n_distinct"])
+
+
+SQL_WINDOW_DISTINCT = f"""
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_id, CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS n_distinct
+FROM t a JOIN t b
+  ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - {_WDIST_W - 1} AND a.rn
+GROUP BY a.event_id
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10798,6 +10830,7 @@ QUERIES = {
     "locf": q_locf,
     "weighted_median": q_weighted_median,
     "survival": q_survival,
+    "window_distinct": q_window_distinct,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11042,6 +11075,7 @@ ORACLE = {
     "locf": SQL_LOCF,
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "survival": SQL_SURVIVAL,
+    "window_distinct": SQL_WINDOW_DISTINCT,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

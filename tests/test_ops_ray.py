@@ -2722,3 +2722,33 @@ def test_survival_risk_table_known(ray_session):
         .to_pandas().sort_values("t").reset_index(drop=True)
     )
     assert out.values.tolist() == [[1, 1, 0, 3], [2, 0, 1, 2], [3, 1, 0, 1]]
+
+
+def test_window_distinct_count_bitmask(ray_session):
+    import ray.data as rd
+
+    # key 1 sequence x, y, x, z with w=2: distinct in {curr, prev}:
+    # [1, 2, 2, 2]; null values carry no bit
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 1], pa.int64()),
+            "t": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["x", "y", "x", "z", None]),
+        }
+    )
+    out = (
+        ops.window_distinct_count(
+            rd.from_arrow(tbl), "k", ["t"], "v", w=2, n_buckets=4
+        )
+        .to_pandas().sort_values("t")
+    )
+    assert out["n_distinct"].tolist() == [1, 2, 2, 2, 1]
+    with pytest.raises(ValueError):
+        big = pa.table(
+            {
+                "k": pa.array(np.zeros(100, np.int64)),
+                "t": pa.array(np.arange(100, dtype=np.int64)),
+                "v": pa.array([f"v{i}" for i in range(100)]),
+            }
+        )
+        ops.window_distinct_count(rd.from_arrow(big), "k", ["t"], "v", w=4)
