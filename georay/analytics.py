@@ -2613,3 +2613,71 @@ def edge_jaccard(
         .groupby("_pb")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def negative_edge_samples(
+    edges: ray.data.Dataset,
+    id_a: str = "a",
+    id_b: str = "b",
+) -> ray.data.Dataset:
+    """Deterministic NEGATIVE SAMPLING for link-prediction training:
+    each edge (a, b) proposes one corrupted partner
+    ``b_neg = nodes[mix64(a·1000003 + b) mod |nodes|]`` (node table
+    sorted, broadcast once — vocabulary-sized), drops degenerate
+    proposals (b_neg ∈ {a, b}), and ANTI-joins the canonicalized
+    candidate against the edge set so only GENUINE non-edges survive —
+    the (anchor, positive, negative) triple generator, reproducible
+    across runs and engines (the mix64 chain is replicated in SQL
+    HUGEINT arithmetic, the pack_sequences precedent). Node ids must
+    stay below ~2^43 so ``a·1000003 + b`` cannot wrap int64 (raises)."""
+    from georay import ops as _ops
+
+    edges = _rename_edges(edges, id_a, id_b)
+    import pyarrow as _pa
+
+    dt = _pa.concat_tables(ray.get(degree_table(edges).to_arrow_refs()))
+    if dt.num_rows == 0 or "node" not in dt.column_names:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "b_neg": pa.array([], pa.int64()),
+                }
+            )
+        )
+    nodes = np.sort(dt["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if int(nodes[-1]) >= (1 << 43):
+        raise OverflowError(
+            "negative_edge_samples: node id ≥ 2^43 would wrap the "
+            "int64 seed a·1000003 + b"
+        )
+    ref = ray.put(nodes)
+    cache: dict = {}
+
+    def propose(batch: pa.Table) -> pa.Table:
+        nd = cache.setdefault("n", ray.get(ref))
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _ops._mix64((a * np.int64(1000003) + b).view(np.uint64).copy())
+        idx = (h % np.uint64(nd.shape[0])).astype(np.int64)
+        bn = nd[idx]
+        keep = (bn != a) & (bn != b)
+        a, b, bn = a[keep], b[keep], bn[keep]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "b_neg": pa.array(bn, pa.int64()),
+                "lo": pa.array(np.minimum(a, bn), pa.int64()),
+                "hi": pa.array(np.maximum(a, bn), pa.int64()),
+            }
+        )
+
+    cand = edges.map_batches(
+        propose, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    good = _ops.equi_join_partitioned(
+        cand, edges, on=["lo", "hi"], right_on=["a", "b"], how="anti"
+    )
+    return good.select_columns(["a", "b", "b_neg"])

@@ -10770,6 +10770,46 @@ GROUP BY a.event_id
 """
 
 
+def q_negative_samples(sf_dir: str):
+    """Link-prediction negative sampling over the co-purchase graph:
+    one deterministic corrupted partner per edge, degenerate proposals
+    dropped, candidates anti-joined against the edge set so only
+    genuine non-edges survive (analytics.negative_edge_samples)."""
+    from georay import analytics
+
+    return analytics.negative_edge_samples(_copurchase_edges(sf_dir))
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+nodes AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS idx
+  FROM (SELECT DISTINCT node
+        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e))
+),
+cnt AS (SELECT COUNT(*) AS n FROM nodes),
+s0 AS (SELECT a, b, CAST(a * 1000003 + b AS HUGEINT) AS rid FROM e),
+s1 AS (SELECT *, xor(rid, rid // 8589934592) AS h1 FROM s0),
+m1 AS (
+  SELECT *, ( (h1 % 4294967296) * 18397679294719823053
+            + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+              * 4294967296
+            ) % 18446744073709551616 AS h2
+  FROM s1
+),
+hashed AS (SELECT a, b, xor(h2, h2 // 8589934592) AS h FROM m1),
+prop AS (
+  SELECT h.a, h.b, o.node AS b_neg
+  FROM hashed h CROSS JOIN cnt
+  JOIN nodes o ON o.idx = CAST(h.h % cnt.n AS BIGINT)
+  WHERE o.node != h.a AND o.node != h.b
+)
+SELECT p.a, p.b, p.b_neg
+FROM prop p
+ANTI JOIN e ON LEAST(p.a, p.b_neg) = e.a AND GREATEST(p.a, p.b_neg) = e.b
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10831,6 +10871,7 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "survival": q_survival,
     "window_distinct": q_window_distinct,
+    "negative_samples": q_negative_samples,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11076,6 +11117,7 @@ ORACLE = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "survival": SQL_SURVIVAL,
     "window_distinct": SQL_WINDOW_DISTINCT,
+    "negative_samples": SQL_NEGATIVE_SAMPLES,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

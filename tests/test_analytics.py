@@ -1569,3 +1569,23 @@ def test_edge_jaccard_resource_allocation(ray_session):
     assert got[(2, 3)] == (1 << 20) // 3
     assert got[(1, 2)] == (1 << 20) // 2  # common {3}, deg(3)=2
     assert got[(1, 4)] == 0
+
+
+def test_negative_edge_samples_are_nonedges(ray_session):
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 4, 3], pa.int64()),
+        }
+    )
+    out = analytics.negative_edge_samples(_ds(tbl)).to_pandas()
+    edges = {(1, 2), (2, 3), (3, 4), (1, 3)}
+    for r in out.itertuples():
+        lo, hi = min(r.a, r.b_neg), max(r.a, r.b_neg)
+        assert (lo, hi) not in edges
+        assert r.b_neg != r.a and r.b_neg != r.b
+    # deterministic: second run identical
+    out2 = analytics.negative_edge_samples(_ds(tbl)).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, out2.values.tolist())
+    )
