@@ -1155,3 +1155,131 @@ def add_bpe_token_count(
         batch_size=None,
         concurrency=concurrency or (1, 8),
     )
+
+
+def pmi_collocations(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """COLLOCATION EXTRACTION — the top-k adjacent word pairs by
+    (quantized) pointwise mutual information:
+    ``pmi_q = ((c_xy << scale_bits) // c_x · N) // c_y`` where c_xy is
+    the bigram count, c_x/c_y unigram counts and N total tokens — the
+    staged integer division keeps every intermediate below 2^63 (c_xy
+    ≤ c_x bounds the first quotient by 2^scale_bits) and is replicated
+    verbatim in the SQL twin, so the ranking is bit-exact. Pairs below
+    ``min_count`` are dropped (PMI's low-frequency pathology); ties
+    break on (w1, w2) ascending for a deterministic top-k.
+
+    Plan: unigram and bigram histograms fold map-side and merge through
+    combine trees (vocabulary-sized — the corpus never shuffles); the
+    unigram table broadcasts once for the two ``index_in`` probes; the
+    final top-k is the standard per-block prune + single merge."""
+    from georay import ops as _ops
+    from georay.ops import COMBINE_TARGET_ROWS
+    from georay.index import _ragged_ranges
+
+    def _bigrams(txt: pa.Array):
+        flat, counts = _tokenize_flat(txt)
+        owner, within = _ragged_ranges(counts)
+        valid = within < (counts[owner] - 1)
+        idx = np.flatnonzero(valid)
+        return flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), flat
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat, _ = _tokenize_flat(txt)
+        t = pa.table(
+            {"t": flat, "partial_c": pa.array(np.ones(len(flat), np.int64))}
+        )
+        g = t.group_by("t").aggregate([("partial_c", "sum")])
+        return pa.table({"t": g["t"], "partial_c": g["partial_c_sum"]})
+
+    uni = _ops.tree_sum(
+        ds.select_columns([text_col]).map_batches(
+            uni_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["t"], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+    ut = pa.concat_tables(ray.get(uni.to_arrow_refs()))
+    if ut.num_rows == 0 or "t" not in ut.column_names:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_xy": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                }
+            )
+        )
+    toks = ut["t"].combine_chunks() if isinstance(ut["t"], pa.ChunkedArray) else ut["t"]
+    cnts = ut["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_total = int(cnts.sum())
+    ref = ray.put((toks, cnts))
+    cache: dict = {}
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        w1, w2, _ = _bigrams(txt)
+        t = pa.table(
+            {"w1": w1, "w2": w2,
+             "partial_n": pa.array(np.ones(len(w1), np.int64))}
+        )
+        g = t.group_by(["w1", "w2"]).aggregate([("partial_n", "sum")])
+        return pa.table(
+            {"w1": g["w1"], "w2": g["w2"], "partial_n": g["partial_n_sum"]}
+        )
+
+    bg = _ops.tree_sum(
+        ds.select_columns([text_col]).map_batches(
+            bg_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["w1", "w2"], {"partial_n": "c_xy"}, int_cols=("partial_n",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tv, tc = cache.setdefault("u", ray.get(ref))
+        cxy = batch["c_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cxy >= min_count
+        sub = batch.filter(pa.array(keep))
+        cxy = cxy[keep]
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "c_xy": pa.array([], pa.int64()),
+                    "pmi_q": pa.array([], pa.int64()),
+                }
+            )
+        p1 = pc.index_in(sub["w1"], value_set=tv).to_numpy(zero_copy_only=False)
+        p2 = pc.index_in(sub["w2"], value_set=tv).to_numpy(zero_copy_only=False)
+        cx = tc[p1.astype(np.int64)]
+        cy = tc[p2.astype(np.int64)]
+        q = ((cxy << np.int64(scale_bits)) // cx * np.int64(n_total)) // cy
+        return pa.table(
+            {
+                "w1": sub["w1"],
+                "w2": sub["w2"],
+                "c_xy": pa.array(cxy, pa.int64()),
+                "pmi_q": pa.array(q, pa.int64()),
+            }
+        )
+
+    scored = bg.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=COMBINE_TARGET_ROWS,
+    )
+    return _ops.top_k(
+        scored, ["pmi_q", "w1", "w2"], k, descending=[True, False, False]
+    )

@@ -10810,6 +10810,43 @@ ANTI JOIN e ON LEAST(p.a, p.b_neg) = e.a AND GREATEST(p.a, p.b_neg) = e.b
 """
 
 
+def q_pmi(sf_dir: str):
+    """Top-100 collocations (adjacent word pairs by quantized PMI,
+    count ≥ 5, ties lexicographic) — stages.text.pmi_collocations:
+    vocabulary-sized unigram/bigram combine trees, broadcast unigram
+    probe, staged integer division replicated in SQL."""
+    from georay.stages import text as text_stage
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return text_stage.pmi_collocations(docs, k=100, min_count=5)
+
+
+SQL_PMI = r"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+toks AS (
+  SELECT doc_id, arr[i] AS t, i
+  FROM arrs, UNNEST(generate_series(1, len(arr))) AS g(i)
+),
+uni AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM uni),
+bg AS (
+  SELECT a.t AS w1, b.t AS w2, COUNT(*) AS c_xy
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT bg.w1, bg.w2, CAST(bg.c_xy AS BIGINT) AS c_xy,
+       CAST((bg.c_xy * 1048576) // cx.c * tot.n // cy.c AS BIGINT) AS pmi_q
+FROM bg
+JOIN uni cx ON cx.t = bg.w1
+JOIN uni cy ON cy.t = bg.w2
+CROSS JOIN tot
+ORDER BY pmi_q DESC, bg.w1, bg.w2
+LIMIT 100
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10872,6 +10909,7 @@ QUERIES = {
     "survival": q_survival,
     "window_distinct": q_window_distinct,
     "negative_samples": q_negative_samples,
+    "pmi": q_pmi,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11118,6 +11156,7 @@ ORACLE = {
     "survival": SQL_SURVIVAL,
     "window_distinct": SQL_WINDOW_DISTINCT,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
+    "pmi": SQL_PMI,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

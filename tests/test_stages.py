@@ -971,3 +971,23 @@ def test_ivf_index_pruned_search_matches_masked(ray_session, tmp_path):
     assert np.allclose(g["sim"], m["sim"], rtol=0, atol=1e-12)
     assert stats["lists_scanned"] < stats["lists_total"]
     assert 0 < stats["bytes_scanned"] < stats["bytes_total"]
+
+
+def test_pmi_collocations_known_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay.stages.text import pmi_collocations
+
+    # "new york" appears 6x adjacent; "the the" 6x but 'the' is common
+    docs = ["new york " * 6 + "the cat " + "the dog " + "the fox " * 2,
+            "the end " * 2]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)}))
+    out = pmi_collocations(ds, min_count=3, k=5).to_pandas()
+    top = out.iloc[0]
+    assert (top["w1"], top["w2"]) == ("new", "york") or (
+        (top["w1"], top["w2"]) == ("york", "new")
+    )
+    # every returned pair meets the count floor, ranking is descending
+    assert (out["c_xy"] >= 3).all()
+    assert list(out["pmi_q"]) == sorted(out["pmi_q"], reverse=True)
