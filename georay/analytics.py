@@ -2681,3 +2681,55 @@ def negative_edge_samples(
         cand, edges, on=["lo", "hi"], right_on=["a", "b"], how="anti"
     )
     return good.select_columns(["a", "b", "b_neg"])
+
+
+def clustering_coeff(
+    edges: ray.data.Dataset,
+    id_a: str = "a",
+    id_b: str = "b",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-node LOCAL CLUSTERING COEFFICIENT sufficient statistics:
+    one row ``(node, tri2, degree)`` where ``tri2 = 2·triangles(node)``
+    (each triangle at v is seen by both of v's edges in it, so summing
+    per-edge common-neighbor counts over v's incident edges double-
+    counts exactly once) — the coefficient is
+    ``tri2 / (degree·(degree−1))`` downstream, an exact rational.
+
+    Plan: ``edge_jaccard``'s two co-shuffles produce per-edge common
+    counts; each edge then contributes its count to BOTH endpoints
+    through one combine tree (node-table-sized); degrees ride the same
+    tree. Nodes with degree 1 report tri2 = 0."""
+    from georay import ops as _ops
+
+    edges = _rename_edges(edges, id_a, id_b)
+    ej = edge_jaccard(edges, n_buckets=n_buckets)
+
+    def per_node(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        ks, vs = _group_reduce(
+            [node],
+            {
+                "partial_t": np.concatenate([c, c]),
+                "partial_d": np.ones(node.shape[0], np.int64),
+            },
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "partial_t": pa.array(vs["partial_t"], pa.int64()),
+                "partial_d": pa.array(vs["partial_d"], pa.int64()),
+            }
+        )
+
+    return _ops.tree_sum(
+        ej.map_batches(
+            per_node, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["node"], {"partial_t": "tri2", "partial_d": "degree"},
+        int_cols=("partial_t", "partial_d"),
+    )

@@ -10847,6 +10847,40 @@ LIMIT 100
 """
 
 
+def q_clustering(sf_dir: str):
+    """Per-node local clustering coefficient sufficient statistics of
+    the co-purchase graph: (node, 2·triangles, degree) — coefficient =
+    tri2/(deg·(deg−1)) downstream (analytics.clustering_coeff riding
+    edge_jaccard's co-shuffles + one node-table combine tree)."""
+    from georay import analytics
+
+    return analytics.clustering_coeff(_copurchase_edges(sf_dir))
+
+
+SQL_CLUSTERING = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+inter AS (
+  SELECT e.a, e.b, COUNT(*) AS common
+  FROM e
+  JOIN sym x ON x.s = e.a
+  JOIN sym y ON y.s = e.b AND y.d = x.d
+  GROUP BY e.a, e.b
+),
+pere AS (
+  SELECT e.a, e.b, COALESCE(i.common, 0) AS common
+  FROM e LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+),
+node_rows AS (
+  SELECT a AS node, common FROM pere
+  UNION ALL SELECT b, common FROM pere
+)
+SELECT node, CAST(SUM(common) AS BIGINT) AS tri2,
+       CAST(COUNT(*) AS BIGINT) AS degree
+FROM node_rows GROUP BY node
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10910,6 +10944,7 @@ QUERIES = {
     "window_distinct": q_window_distinct,
     "negative_samples": q_negative_samples,
     "pmi": q_pmi,
+    "clustering": q_clustering,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11157,6 +11192,7 @@ ORACLE = {
     "window_distinct": SQL_WINDOW_DISTINCT,
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "pmi": SQL_PMI,
+    "clustering": SQL_CLUSTERING,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

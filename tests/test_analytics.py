@@ -1589,3 +1589,19 @@ def test_negative_edge_samples_are_nonedges(ray_session):
     assert sorted(map(tuple, out.values.tolist())) == sorted(
         map(tuple, out2.values.tolist())
     )
+
+
+def test_clustering_coeff_hand_graph(ray_session):
+    # triangle 1-2-3 + pendant 4-1: node 1 deg 3 tri2 2; nodes 2,3
+    # deg 2 tri2 2; node 4 deg 1 tri2 0
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 1, 4], pa.int64()),
+        }
+    )
+    out = (
+        analytics.clustering_coeff(_ds(tbl), n_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, 2, 3], [2, 2, 2], [3, 2, 2], [4, 0, 1]]
