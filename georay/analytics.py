@@ -2733,3 +2733,91 @@ def clustering_coeff(
         ["node"], {"partial_t": "tri2", "partial_d": "degree"},
         int_cols=("partial_t", "partial_d"),
     )
+
+
+def event_sequences(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: list[str],
+    type_col: str,
+    n: int = 3,
+    k: int = 20,
+    sep: str = ">",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Behavioral SEQUENCE MINING: the top-k most frequent length-``n``
+    consecutive type paths (e.g. ``view>click>purchase``) across every
+    key's ordered event stream. One key-bucket shuffle builds the
+    n-gram strings vectorized (each key's rows are contiguous after the
+    bucket sort; windows crossing a key boundary are masked), the
+    n-gram histogram merges through a combine tree (bounded by
+    |types|^n), and the global top-k is the standard prune + merge —
+    ties break on the sequence string for determinism."""
+    from georay import ops as _ops
+
+    proj = ds.select_columns([key] + order_cols + [type_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _ops._key_hash(batch, [key])
+        if h is None:
+            raise TypeError("event_sequences requires int/string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending") for c in order_cols
+        ]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        m = len(g)
+        empty = pa.table(
+            {
+                "seq": pa.array([], pa.string()),
+                "partial_n": pa.array([], pa.int64()),
+            }
+        )
+        if m < n:
+            return empty
+        karr = g[key].combine_chunks() if isinstance(
+            g[key], pa.ChunkedArray) else g[key]
+        tarr = g[type_col].combine_chunks() if isinstance(
+            g[type_col], pa.ChunkedArray) else g[type_col]
+        first = np.zeros(m, dtype=bool)
+        first[0] = True
+        first[1:] = ~np.asarray(
+            pc.fill_null(pc.equal(karr.slice(1), karr.slice(0, m - 1)), False)
+        )
+        seg = np.cumsum(first) - 1
+        # a window starting at i stays in-key iff rows i..i+n-1 share seg
+        ok = seg[: m - n + 1] == seg[n - 1:]
+        if not ok.any():
+            return empty
+        parts = [tarr.slice(j, m - n + 1) for j in range(n)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, sep)
+        joined = joined.filter(pa.array(ok))
+        t = pa.table(
+            {
+                "seq": joined,
+                "partial_n": pa.array(np.ones(len(joined), np.int64)),
+            }
+        )
+        gg = t.group_by("seq").aggregate([("partial_n", "sum")])
+        return pa.table({"seq": gg["seq"], "partial_n": gg["partial_n_sum"]})
+
+    parts = (
+        _ops.shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    hist = _ops.tree_sum(
+        parts, ["seq"], {"partial_n": "n"}, int_cols=("partial_n",)
+    )
+    return _ops.top_k(hist, ["n", "seq"], k, descending=[True, False])

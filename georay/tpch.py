@@ -10881,6 +10881,42 @@ FROM node_rows GROUP BY node
 """
 
 
+def q_event_paths(sf_dir: str):
+    """Top-20 behavioral trigram paths (consecutive event-type
+    sequences per user, e.g. view>click>purchase) —
+    analytics.event_sequences: one user-bucket shuffle, vectorized
+    window strings, combine-tree histogram, deterministic top-k."""
+    from georay import analytics
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return analytics.event_sequences(
+        ds, key="user_id", order_cols=["ts", "event_id"],
+        type_col="event_type", n=3, k=20,
+    )
+
+
+SQL_EVENT_PATHS = """
+WITH t AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+tri AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS seq
+  FROM t a
+  JOIN t b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+  JOIN t c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+)
+SELECT seq, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY seq
+ORDER BY n DESC, seq
+LIMIT 20
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10945,6 +10981,7 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "pmi": q_pmi,
     "clustering": q_clustering,
+    "event_paths": q_event_paths,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11193,6 +11230,7 @@ ORACLE = {
     "negative_samples": SQL_NEGATIVE_SAMPLES,
     "pmi": SQL_PMI,
     "clustering": SQL_CLUSTERING,
+    "event_paths": SQL_EVENT_PATHS,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

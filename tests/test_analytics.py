@@ -1605,3 +1605,23 @@ def test_clustering_coeff_hand_graph(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     assert out.values.tolist() == [[1, 2, 3], [2, 2, 2], [3, 2, 2], [4, 0, 1]]
+
+
+def test_event_sequences_key_boundary(ray_session):
+    # user 1: x,y,z,x -> trigrams x>y>z, y>z>x; user 2 has only 2
+    # events (no trigram) and must not splice with user 1
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "t": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+            "e": pa.array(["x", "y", "z", "x", "q", "r"]),
+        }
+    )
+    out = (
+        analytics.event_sequences(
+            _ds(tbl), key="u", order_cols=["t"], type_col="e",
+            n=3, k=10, n_buckets=4,
+        )
+        .to_pandas().sort_values("seq").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [["x>y>z", 1], ["y>z>x", 1]]
