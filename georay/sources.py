@@ -113,3 +113,30 @@ def read_image_table(
     if fmt != "parquet":
         raise ValueError(f"unknown image-table format: {fmt!r}")
     return rd.read_parquet(path, columns=columns, **read_kwargs)
+
+
+def read_jsonl(
+    paths,
+    columns: list[str] | None = None,
+    **read_json_kwargs,
+) -> rd.Dataset:
+    """Line-delimited JSON (JSONL/NDJSON) source — the de-facto
+    interchange format for LLM document corpora. Wraps
+    ``ray.data.read_json`` (Arrow's streaming NDJSON reader — blocks
+    arrive as Arrow, zero-copy downstream) and applies column pruning
+    as a projection immediately behind the read (Arrow's JSON reader
+    has no column pushdown; the projection at least keeps pruned
+    columns out of the object store)."""
+    ds = rd.read_json(paths, **read_json_kwargs)
+    if columns is not None:
+        ds = ds.map_batches(
+            lambda b, _c=list(columns): b.select(_c),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+    return ds
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """JSONL sink: one shard file per block via ``Dataset.write_json``
+    (pandas-free, newline-delimited)."""
+    ds.write_json(out_dir)

@@ -10917,6 +10917,65 @@ LIMIT 20
 """
 
 
+def q_jsonl_source(sf_dir: str):
+    """JSONL ingest round-trip: documents materialized once as
+    newline-delimited JSON (cached per sf_dir), read back through
+    ``sources.read_jsonl`` (Arrow NDJSON, zero-copy blocks), then a
+    per-language doc-count/char-sum aggregate — the oracle reads the
+    original parquet, so the whole source path is hash-gated."""
+    import json as _json
+    import os
+
+    from georay import sources
+
+    path = os.path.join(
+        "/tmp", f"georay_docs_{abs(hash(os.path.abspath(sf_dir))) % (1 << 32)}.jsonl"
+    )
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+        )
+        with open(path + ".tmp", "w") as f:
+            for r in t.to_pylist():
+                f.write(_json.dumps(r) + "\n")
+        os.replace(path + ".tmp", path)
+
+    ds = sources.read_jsonl(path, columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [lang],
+            {"partial_n": np.ones(lang.shape[0], np.int64), "partial_ch": nch},
+        )
+        return pa.table(
+            {
+                "lang": pa.array(ks[0]),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_ch": pa.array(vs["partial_ch"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["lang"], {"partial_n": "n_docs", "partial_ch": "sum_chars"},
+        int_cols=("partial_n", "partial_ch"),
+    )
+
+
+SQL_JSONL_SOURCE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -10982,6 +11041,7 @@ QUERIES = {
     "pmi": q_pmi,
     "clustering": q_clustering,
     "event_paths": q_event_paths,
+    "jsonl_source": q_jsonl_source,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11231,6 +11291,7 @@ ORACLE = {
     "pmi": SQL_PMI,
     "clustering": SQL_CLUSTERING,
     "event_paths": SQL_EVENT_PATHS,
+    "jsonl_source": SQL_JSONL_SOURCE,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

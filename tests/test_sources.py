@@ -105,3 +105,28 @@ def test_read_image_table_auto_dispatch(images_dir, ray_session):
     # a plain parquet dir auto-dispatches to parquet
     ds = read_image_table(images_dir)
     assert "bytes" in ds.schema().names
+
+
+def test_jsonl_roundtrip(tmp_path, ray_session):
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import sources
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "fr", "text": f"t{i}\nx"}
+            for i in range(20)]
+    p = tmp_path / "docs.jsonl"
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = sources.read_jsonl(str(p), columns=["doc_id", "lang"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "lang"]
+    assert len(df) == 20 and df["lang"][1] == "en"
+    # sink round trip (embedded newlines survive JSON escaping)
+    out = tmp_path / "out"
+    sources.write_jsonl(rd.from_arrow(pa.table({"a": pa.array([1, 2])})), str(out))
+    back = sources.read_jsonl(str(out)).to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2]
