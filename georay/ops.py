@@ -7316,3 +7316,101 @@ def window_distinct_count(
 
 
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+
+def grouped_ks_vs_rest(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    quantize: float = 1.0,
+) -> ray.data.Dataset:
+    """Per-cohort drift scan: for EVERY group g, the exact two-sample
+    KS statistic of g's value distribution against the REST of the
+    corpus, as a rational — one row ``(group, d_num, n_g, n_rest)``
+    with ``D_g = d_num / (n_g · n_rest)``. The fleet-wide version of
+    ``ks_statistic`` (which outlier source/shard/day drifted?).
+
+    One (group, value) histogram through the combine tree (bounded by
+    groups × distinct values — the standing grouped-histogram
+    assumption), then a single merge-task sweep evaluates every group's
+    CDF gap at ALL global value steps (a step of either side can be the
+    argmax) via one searchsorted per group. NULL values excluded."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.is_valid(batch[value_col]))
+        g = sub[group_col].to_numpy(zero_copy_only=False)
+        x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        ks, vs = _group_reduce(
+            [g, v], {"partial_c": np.ones(g.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                group_col: pa.array(ks[0]),
+                "v": pa.array(ks[1], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [group_col, "v"], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    group_col: batch[group_col],
+                    "d_num": pa.array([], pa.int64()),
+                    "n_g": pa.array([], pa.int64()),
+                    "n_rest": pa.array([], pa.int64()),
+                }
+            )
+        # global value axis + cumulative totals
+        gv = np.unique(v)
+        tot = np.zeros(gv.shape[0], np.int64)
+        np.add.at(tot, np.searchsorted(gv, v), c)
+        cum_all = np.cumsum(tot)
+        n_all = int(cum_all[-1])
+        order = np.lexsort((v, g))
+        g, v, c = g[order], v[order], c[order]
+        first = np.ones(n, bool)
+        first[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], n)
+        out_g, out_d, out_ng = [], [], []
+        for s, e in zip(starts, ends):
+            ng = int(c[s:e].sum())
+            no = n_all - ng
+            # group CDF at every global step: step function via
+            # searchsorted into the group's own value list
+            pos = np.searchsorted(v[s:e], gv, side="right")
+            cumg_at = np.concatenate(([np.int64(0)], np.cumsum(c[s:e])))[pos]
+            cumo_at = cum_all - cumg_at
+            d = int(np.abs(cumg_at * no - cumo_at * ng).max()) if no else 0
+            out_g.append(g[s])
+            out_d.append(d)
+            out_ng.append(ng)
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "d_num": pa.array(out_d, pa.int64()),
+                "n_g": pa.array(out_ng, pa.int64()),
+                "n_rest": pa.array(
+                    [n_all - x for x in out_ng], pa.int64()
+                ),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )

@@ -10976,6 +10976,39 @@ FROM documents GROUP BY lang
 """
 
 
+def q_ks_by_source(sf_dir: str):
+    """Which source drifted? Per-source exact KS of the document-length
+    distribution vs the rest of the corpus (ops.grouped_ks_vs_rest —
+    one grouped histogram tree, all-steps sweep per group)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+    return ops.grouped_ks_vs_rest(ds, "source", "n_chars", quantize=1.0)
+
+
+SQL_KS_BY_SOURCE = """
+WITH h AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT v FROM h),
+grps AS (SELECT g, SUM(c) AS ng FROM h GROUP BY g),
+tot AS (SELECT SUM(c) AS n FROM h),
+cum AS (
+  SELECT g2.g, va.v,
+         COALESCE((SELECT SUM(c) FROM h WHERE h.g = g2.g AND h.v <= va.v), 0)
+           AS cumg,
+         (SELECT SUM(c) FROM h WHERE h.v <= va.v) AS cumall
+  FROM grps g2 CROSS JOIN vals va
+)
+SELECT c.g AS source,
+       CAST(MAX(ABS(c.cumg * (t.n - g2.ng)
+                    - (c.cumall - c.cumg) * g2.ng)) AS BIGINT) AS d_num,
+       CAST(MAX(g2.ng) AS BIGINT) AS n_g,
+       CAST(MAX(t.n - g2.ng) AS BIGINT) AS n_rest
+FROM cum c JOIN grps g2 ON g2.g = c.g CROSS JOIN tot t
+GROUP BY c.g
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11042,6 +11075,7 @@ QUERIES = {
     "clustering": q_clustering,
     "event_paths": q_event_paths,
     "jsonl_source": q_jsonl_source,
+    "ks_by_source": q_ks_by_source,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11292,6 +11326,7 @@ ORACLE = {
     "clustering": SQL_CLUSTERING,
     "event_paths": SQL_EVENT_PATHS,
     "jsonl_source": SQL_JSONL_SOURCE,
+    "ks_by_source": SQL_KS_BY_SOURCE,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

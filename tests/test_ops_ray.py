@@ -2752,3 +2752,24 @@ def test_window_distinct_count_bitmask(ray_session):
             }
         )
         ops.window_distinct_count(rd.from_arrow(big), "k", ["t"], "v", w=4)
+
+
+def test_grouped_ks_vs_rest_matches_pairwise(ray_session):
+    import ray.data as rd
+
+    # two groups: grouped-vs-rest must equal the pairwise two-sample KS
+    tbl = pa.table(
+        {
+            "g": pa.array(["A", "A", "B", "B", "B"]),
+            "v": pa.array([1.0, 2.0, 2.0, 3.0, 3.0], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    grouped = (
+        ops.grouped_ks_vs_rest(ds, "g", "v", quantize=1.0)
+        .to_pandas().set_index("g")
+    )
+    pair = ops.ks_statistic(ds, "v", "g", "A", "B", quantize=1.0).to_pandas()
+    assert grouped.loc["A", "d_num"] == pair["d_num"][0]
+    assert grouped.loc["B", "d_num"] == pair["d_num"][0]
+    assert grouped.loc["A", "n_g"] == 2 and grouped.loc["A", "n_rest"] == 3
