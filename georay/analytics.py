@@ -2821,3 +2821,530 @@ def event_sequences(
         parts, ["seq"], {"partial_n": "n"}, int_cols=("partial_n",)
     )
     return _ops.top_k(hist, ["n", "seq"], k, descending=[True, False])
+
+
+def market_basket(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    top_k: int = 50,
+    min_support: int = 2,
+    max_group_size: int | None = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Association-rule mining sufficient statistics: the ``top_k``
+    item pairs by basket co-occurrence, each with the exact integers
+    confidence and lift are rationals of —
+    ``(a, b, support, n_a, n_b, n_baskets, lift_num, lift_den)`` where
+    ``support`` counts distinct baskets containing both items,
+    ``n_a``/``n_b`` count baskets containing each item,
+    ``lift = lift_num/lift_den = support·n_baskets / (n_a·n_b)`` and
+    ``confidence(a→b) = support/n_a``. Deterministic selection: ordered
+    by ``(support DESC, a, b)``.
+
+    One basket-hash bucket shuffle; per bucket the (basket, item) pairs
+    dedupe with one lexsort and expand to pairs via the ragged pair
+    enumerator (zero per-basket Python). Pair counts, per-item basket
+    counts and the basket total ride ONE combine tree as tagged rows
+    (``b = -1`` marks an item-marginal row, ``a = b = -1`` the basket
+    count), so the corpus makes exactly one pass. Baskets larger than
+    ``max_group_size`` are dropped (their pair count is quadratic) and
+    excluded from every marginal — replicate in SQL with
+    ``HAVING COUNT(*) <= cap``. ``min_support`` trims the random tail
+    before the top-k. Overflow guard: requires ``n_baskets < 2^31``
+    (lift_num = support·n_baskets stays in int64)."""
+    proj = ds.select_columns([group_col, item_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, _, _ = _group_starts(g, it)
+        g_s, it_s = g[order], it[order]
+        n = g_s.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (g_s[1:] != g_s[:-1]) | (it_s[1:] != it_s[:-1])
+        g_d, it_d = g_s[keep], it_s[keep]
+        m = g_d.shape[0]
+        first = np.zeros(m, dtype=bool)
+        if m:
+            first[0] = True
+            first[1:] = g_d[1:] != g_d[:-1]
+        if max_group_size is not None and m:
+            starts_d = np.nonzero(first)[0]
+            sizes = np.diff(np.append(starts_d, m))
+            gid_d = np.cumsum(first) - 1
+            ok = sizes[gid_d] <= max_group_size
+            g_d, it_d = g_d[ok], it_d[ok]
+            m = g_d.shape[0]
+            first = np.zeros(m, dtype=bool)
+            if m:
+                first[0] = True
+                first[1:] = g_d[1:] != g_d[:-1]
+        starts_d = np.nonzero(first)[0]
+        i, j = _pairs_within_groups(starts_d, m)
+        # items are ascending within a basket after the lexsort → a < b
+        a = np.concatenate([it_d[i], it_d, np.array([-1], np.int64)])
+        b = np.concatenate(
+            [it_d[j], np.full(m, -1, np.int64), np.array([-1], np.int64)]
+        )
+        cnt = np.ones(a.shape[0], np.int64)
+        cnt[-1] = starts_d.shape[0]  # baskets kept in this bucket
+        ks, vs = _group_reduce([a, b], {"partial_n": cnt})
+        return pa.table(
+            {
+                "a": pa.array(ks[0], pa.int64()),
+                "b": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    counted = tree_sum(
+        _bucketed(proj, [group_col], n_buckets).map_groups(
+            per_bucket, batch_format="pyarrow"
+        ),
+        ["a", "b"], {"partial_n": "cnt"}, int_cols=("partial_n",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "support": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "n_baskets": pa.array([], pa.int64()),
+                "lift_num": pa.array([], pa.int64()),
+                "lift_den": pa.array([], pa.int64()),
+            }
+        )
+        base_m = (a == -1) & (b == -1)
+        n_baskets = int(n[base_m].sum())
+        if n_baskets >= (1 << 31):
+            raise OverflowError("market_basket: n_baskets >= 2^31")
+        im = (b == -1) & (a != -1)
+        items, item_n = a[im], n[im]
+        o = np.argsort(items, kind="stable")
+        items, item_n = items[o], item_n[o]
+        pm = b != -1
+        pa_, pb_, pn = a[pm], b[pm], n[pm]
+        sel = pn >= min_support
+        pa_, pb_, pn = pa_[sel], pb_[sel], pn[sel]
+        if pa_.shape[0] == 0:
+            return empty
+        o = np.lexsort((pb_, pa_, -pn))[:top_k]
+        pa_, pb_, pn = pa_[o], pb_[o], pn[o]
+        na = item_n[np.searchsorted(items, pa_)]
+        nb = item_n[np.searchsorted(items, pb_)]
+        return pa.table(
+            {
+                "a": pa.array(pa_, pa.int64()),
+                "b": pa.array(pb_, pa.int64()),
+                "support": pa.array(pn, pa.int64()),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "n_baskets": pa.array(
+                    np.full(pa_.shape[0], n_baskets), pa.int64()
+                ),
+                "lift_num": pa.array(pn * n_baskets, pa.int64()),
+                "lift_den": pa.array(na * nb, pa.int64()),
+            }
+        )
+
+    return counted.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def hits_scores(
+    edges: ray.data.Dataset,
+    n_iter: int = 2,
+    scale_bits: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> ray.data.Dataset:
+    """Integer-exact HITS hubs & authorities over a DIRECTED edge list,
+    ``n_iter`` fixed iterations. Scores live in fixed-point units of
+    ``2^-scale_bits`` and every operation is integer — init
+    ``scale // n_auth``, per-iteration raw sums over in/out edges, then
+    L1 renormalization ``q = raw·scale // Σraw`` done in arbitrary-
+    precision Python ints on the driver-resident node table (the same
+    o(nodes) driver bound ``pagerank`` documents; the edge list itself
+    never shuffles — per-batch partial sums merge through the combine
+    tree, one streaming pass per half-iteration). The SQL twin chains
+    the identical integer CTEs with HUGEINT intermediates, so results
+    are bit-identical. Returns ``(side, node, score_q)`` with side in
+    ``('hub', 'auth')``."""
+    import ray as _ray
+
+    edges = edges.materialize()
+
+    def ends(batch: pa.Table) -> pa.Table:
+        s = batch[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce(
+            [np.concatenate([s, d]),
+             np.concatenate([np.zeros(s.shape[0], np.int64),
+                             np.ones(d.shape[0], np.int64)])],
+            {"partial_one": np.ones(s.shape[0] + d.shape[0], np.int64)},
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "side": pa.array(ks[1], pa.int64()),
+                "partial_one": pa.array(vs["partial_one"], pa.int64()),
+            }
+        )
+
+    nt = tree_sum(
+        edges.map_batches(
+            ends, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["node", "side"], {"partial_one": "c"}, int_cols=("partial_one",),
+    )
+    tbl = pa.concat_tables(_ray.get(nt.to_arrow_refs()))
+    node_arr = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    side_arr = tbl["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hubs = np.sort(node_arr[side_arr == 0])
+    auths = np.sort(node_arr[side_arr == 1])
+    empty = pa.table(
+        {
+            "side": pa.array([], pa.string()),
+            "node": pa.array([], pa.int64()),
+            "score_q": pa.array([], pa.int64()),
+        }
+    )
+    if auths.shape[0] == 0 or hubs.shape[0] == 0:
+        return ray.data.from_arrow(empty)
+
+    scale = 1 << scale_bits
+    a_q = np.full(auths.shape[0], scale // auths.shape[0], dtype=np.int64)
+    h_q = np.zeros(hubs.shape[0], dtype=np.int64)
+
+    def _edge_sum(nodes_from, q_from, col_from, col_to, nodes_to):
+        ref = _ray.put((nodes_from, q_from))
+        cache: dict = {}
+
+        def emit(batch: pa.Table, _ref=ref) -> pa.Table:
+            ns, qv = cache.setdefault("m", _ray.get(_ref))
+            f = batch[col_from].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch[col_to].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = qv[np.searchsorted(ns, f)]
+            ks, vs = _group_reduce([t], {"partial_c": c})
+            return pa.table(
+                {
+                    "node": pa.array(ks[0], pa.int64()),
+                    "partial_c": pa.array(vs["partial_c"], pa.int64()),
+                }
+            )
+
+        sums_ds = tree_sum(
+            edges.map_batches(
+                emit, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["node"], {"partial_c": "c"}, int_cols=("partial_c",),
+        )
+        st = pa.concat_tables(_ray.get(sums_ds.to_arrow_refs()))
+        cn = st["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = st["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = np.zeros(nodes_to.shape[0], dtype=np.int64)
+        raw[np.searchsorted(nodes_to, cn)] = cs
+        return raw
+
+    def _normalize(raw: np.ndarray) -> np.ndarray:
+        tot = int(raw.sum())
+        if tot == 0:
+            return raw
+        # exact big-int renormalize; q <= scale so the result fits int64
+        return np.array(
+            [int(r) * scale // tot for r in raw.tolist()], dtype=np.int64
+        )
+
+    for _ in range(n_iter):
+        h_q = _normalize(_edge_sum(auths, a_q, dst, src, hubs))
+        a_q = _normalize(_edge_sum(hubs, h_q, src, dst, auths))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "side": pa.array(
+                    ["hub"] * hubs.shape[0] + ["auth"] * auths.shape[0],
+                    pa.string(),
+                ),
+                "node": pa.array(np.concatenate([hubs, auths]), pa.int64()),
+                "score_q": pa.array(np.concatenate([h_q, a_q]), pa.int64()),
+            }
+        )
+    )
+
+
+_SSSP_INF = np.int64(1) << 62
+
+
+def sssp_rounds(
+    edges: ray.data.Dataset,
+    seed_pred,
+    weight_fn,
+    rounds: int = 4,
+    id_a: str = "a",
+    id_b: str = "b",
+    local_edge_cutoff: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Multi-source single-source-shortest-path over an undirected
+    WEIGHTED edge list, ``rounds`` fixed Bellman–Ford relaxations:
+    output ``(node, dist)`` = the exact minimum path weight over paths
+    of at most ``rounds`` edges from any seed (so with rounds ≥ graph
+    diameter this is the full SSSP). ``seed_pred`` is a vectorized
+    ``ids -> bool mask``; ``weight_fn(a, b) -> int64 weights`` must be
+    symmetric and DERIVED from the endpoint ids so the SQL twin can
+    replicate it (ship a weight column instead when edges carry one —
+    the plan is identical).
+
+    Below ``local_edge_cutoff``: one-task CSR with ``np.minimum.at``
+    scatter-min per round. Above: the label-correcting partitioned
+    loop — (node, dist) labels stay hash-sharded, only IMPROVED nodes
+    (the frontier) ship through the per-round edge co-shuffle, the
+    driver sees one scalar per round (the ``bfs_hops_partitioned``
+    shape with hop counts generalized to weighted dists). Both plans
+    emit identical rows."""
+    n_edges = edges.count()
+    if n_edges > local_edge_cutoff:
+        return sssp_partitioned(
+            edges, seed_pred, weight_fn, rounds=rounds, id_a=id_a,
+            id_b=id_b, n_buckets=n_buckets,
+        )
+    et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    a = et[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    w1 = np.asarray(weight_fn(a, b), dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    w = np.concatenate([w1, w1])
+    nodes = np.unique(src)
+    if nodes.shape[0] == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+        )
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    dist = np.full(nodes.shape[0], _SSSP_INF, np.int64)
+    dist[np.asarray(seed_pred(nodes), bool)] = 0
+    for _ in range(rounds):
+        nd = dist[si] + w  # INF + w stays far below overflow
+        np.minimum.at(dist, di, nd)
+    keep = dist < _SSSP_INF
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes[keep], pa.int64()),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+    )
+
+
+def sssp_partitioned(
+    edges: ray.data.Dataset,
+    seed_pred,
+    weight_fn,
+    rounds: int = 4,
+    id_a: str = "a",
+    id_b: str = "b",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed twin of ``sssp_rounds`` — see there. Labels are
+    ``(node, dist, fresh)``; per round the fresh frontier co-shuffles
+    with the symmetrized weighted edges on ``hash(src)``, candidate
+    ``(dst, dist+w)`` rows min-merge with the label table on
+    ``hash(node)``, and a candidate survives only when it IMPROVES its
+    node's dist (ties keep the old label, so settled nodes never
+    re-enter the frontier)."""
+    from georay import ops as _ops
+
+    nb = np.uint64(n_buckets)
+
+    def _bucket(arr: np.ndarray) -> np.ndarray:
+        return (_ops._mix64(arr.view(np.uint64).copy()) % nb).astype(np.int64)
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        w1 = np.asarray(weight_fn(a, b), dtype=np.int64)
+        srcv = np.concatenate([a, b])
+        dstv = np.concatenate([b, a])
+        wv = np.concatenate([w1, w1])
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(srcv), pa.int64()),
+                "kind": pa.array(np.ones(srcv.shape[0], np.int8)),
+                "node": pa.array(srcv, pa.int64()),
+                "val": pa.array(dstv, pa.int64()),
+                "w": pa.array(wv, pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(
+        to_sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def seed0(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        sel = np.unique(node[np.asarray(seed_pred(node), bool)])
+        return pa.table(
+            {
+                "node": pa.array(sel, pa.int64()),
+                "dist": pa.array(np.zeros(sel.shape[0], np.int64)),
+                "fresh": pa.array(np.ones(sel.shape[0], np.int64)),
+            }
+        )
+
+    def _min_label_rows(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        fresh = g["fresh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((fresh, dist, node))
+        node, dist, fresh = node[order], dist[order], fresh[order]
+        first = np.ones(node.shape[0], bool)
+        first[1:] = node[1:] != node[:-1]
+        return pa.table(
+            {
+                "node": pa.array(node[first], pa.int64()),
+                "dist": pa.array(dist[first], pa.int64()),
+                "fresh": pa.array(fresh[first], pa.int64()),
+            }
+        )
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_b", pa.array(_bucket(node), pa.int64()))
+
+    labels = (
+        sym.map_batches(
+            seed0, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .map_batches(
+            add_node_bucket, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: _min_label_rows(g.drop_columns(["_b"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    from ray.data.aggregate import Sum
+
+    n_fresh = labels.aggregate(Sum("fresh", alias_name="f"))["f"] or 0
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["fresh"], 1))
+        node = sub["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "_b": pa.array(_bucket(node), pa.int64()),
+                "kind": pa.array(np.zeros(node.shape[0], np.int8)),
+                "node": pa.array(node, pa.int64()),
+                "val": sub["dist"],
+                "w": pa.array(np.zeros(node.shape[0], np.int64)),
+            }
+        )
+
+    def relax(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        node = group["node"].to_numpy(zero_copy_only=False)
+        val = group["val"].to_numpy(zero_copy_only=False)
+        w = group["w"].to_numpy(zero_copy_only=False)
+        is_fr = kind == 0
+        fn, fd = node[is_fr], val[is_fr]
+        if fn.shape[0] == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "cand": pa.array([], pa.int64())}
+            )
+        o = np.argsort(fn, kind="stable")
+        fn, fd = fn[o], fd[o]
+        es, ed, ew = node[~is_fr], val[~is_fr], w[~is_fr]
+        pos = np.searchsorted(fn, es)
+        hit = (pos < fn.shape[0]) & (fn[np.minimum(pos, fn.shape[0] - 1)] == es)
+        cd = fd[pos[hit]] + ew[hit]
+        ks, vs = _group_reduce(
+            [ed[hit]], {"cand": cd}, ufunc={"cand": np.minimum}
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "cand": pa.array(vs["cand"], pa.int64()),
+            }
+        )
+
+    for _ in range(rounds):
+        if not n_fresh:
+            break
+        cand = (
+            labels.map_batches(
+                tag_frontier, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .union(sym)
+            .groupby("_b")
+            .map_groups(relax, batch_format="pyarrow")
+        )
+
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "_b": pa.array(_bucket(node), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "dist": batch["cand"],
+                    "fresh": pa.array(np.ones(node.shape[0], np.int64)),
+                }
+            )
+
+        def tag_lab(batch: pa.Table) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "_b": pa.array(_bucket(node), pa.int64()),
+                    "node": pa.array(node, pa.int64()),
+                    "dist": batch["dist"],
+                    "fresh": pa.array(np.zeros(node.shape[0], np.int64)),
+                }
+            )
+
+        labels = (
+            cand.map_batches(
+                tag_cand, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .union(
+                labels.map_batches(
+                    tag_lab, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
+            )
+            .groupby("_b")
+            .map_groups(
+                lambda g: _min_label_rows(g.drop_columns(["_b"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        n_fresh = labels.aggregate(Sum("fresh", alias_name="f"))["f"] or 0
+
+    return labels.map_batches(
+        lambda b: b.select(["node", "dist"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )

@@ -7414,3 +7414,351 @@ def grouped_ks_vs_rest(
         sweep, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=1 << 40,
     )
+
+
+def pr_curve(
+    ds: ray.data.Dataset,
+    label_col: str,
+    score_col: str,
+    quantize: float | None = None,
+) -> ray.data.Dataset:
+    """EXACT precision–recall curve of an integer(-quantized) score
+    against a 0/1 label: one row per DISTINCT score threshold ``s`` with
+    the confusion counts when everything scoring ``>= s`` is predicted
+    positive — ``(s, tp, fp, fn)``, all int64 (precision = tp/(tp+fp),
+    recall = tp/(tp+fn) are left as rationals for the caller). The
+    companion to ``roc_auc`` for imbalanced gates (dedup verdicts,
+    quality filters) where ROC flatters the negative class.
+
+    Same plan as ``roc_auc``: per-batch ``(score → n_pos, n_neg)``
+    VALUE-HISTOGRAM partials merge through the combine tree (bounded by
+    the score domain, not the corpus), then ONE task sweeps the sorted
+    histogram with two cumulative sums. ``quantize`` buckets a float
+    score via ``floor(x·q + 0.5)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch[score_col].to_numpy(zero_copy_only=False)
+        if quantize is not None:
+            s = np.floor(s.astype(np.float64) * quantize + 0.5).astype(np.int64)
+        else:
+            s = s.astype(np.int64)
+        ks, vs = _group_reduce(
+            [s], {"partial_p": y, "partial_n": (1 - y).astype(np.int64)}
+        )
+        return pa.table(
+            {
+                "s": pa.array(ks[0], pa.int64()),
+                "partial_p": pa.array(vs["partial_p"], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["s"], {"partial_p": "p", "partial_n": "n"},
+        int_cols=("partial_p", "partial_n"),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(-s, kind="stable")  # descending threshold
+        s, p, n = s[o], p[o], n[o]
+        tp = np.cumsum(p)
+        fp = np.cumsum(n)
+        fn = (tp[-1] if tp.shape[0] else 0) - tp
+        return pa.table(
+            {
+                "s": pa.array(s, pa.int64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "fn": pa.array(fn, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def calibration_bins(
+    ds: ray.data.Dataset,
+    label_col: str,
+    score_col: str,
+    quantize: float = 100.0,
+    bin_width_q: int = 1000,
+) -> ray.data.Dataset:
+    """Reliability-diagram sufficient statistics, EXACT: scores are
+    quantized to integers (``floor(x·q + 0.5)``, must be NON-NEGATIVE —
+    raises otherwise so the floor-division bin key matches SQL's ``//``
+    on every engine) and bucketed into width-``bin_width_q`` bins; each
+    bin row carries ``(bin, n, n_pos, sum_score_q)`` so mean predicted
+    score (``sum_score_q / (n·q)``) vs empirical rate (``n_pos/n``) is a
+    pair of rationals. One combine tree over a bin-bounded histogram —
+    the corpus never shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = np.floor(x * quantize + 0.5).astype(np.int64)
+        if sq.shape[0] and int(sq.min()) < 0:
+            raise ValueError("calibration_bins: scores must be non-negative")
+        b = sq // np.int64(bin_width_q)
+        ks, vs = _group_reduce(
+            [b],
+            {
+                "partial_n": np.ones(b.shape[0], np.int64),
+                "partial_p": y,
+                "partial_s": sq,
+            },
+        )
+        return pa.table(
+            {
+                "bin": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_p": pa.array(vs["partial_p"], pa.int64()),
+                "partial_s": pa.array(vs["partial_s"], pa.int64()),
+            }
+        )
+
+    return tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["bin"],
+        {"partial_n": "n", "partial_p": "n_pos", "partial_s": "sum_score_q"},
+        int_cols=("partial_n", "partial_p", "partial_s"),
+    )
+
+
+def contingency_profile(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+) -> ray.data.Dataset:
+    """Exact contingency table of two categorical columns with the
+    independence deviations attached: per cell ``(r, c)`` emit
+    ``(obs, row_tot, col_tot, n, dev)`` where
+    ``dev = obs·n − row_tot·col_tot`` — the integer numerator of
+    ``obs − expected`` scaled by ``n`` (χ², mutual information, Cramér's
+    V are all functions of these five integers; the caller picks the
+    float recipe). Cell counts merge through the combine tree (bounded
+    by the category-domain product); marginals are a single sweep over
+    the finished cell table. Overflow guard: requires ``n < 2^31`` so
+    ``obs·n`` and ``row_tot·col_tot`` stay in int64 — beyond that drop
+    the ``dev`` column and compute it downstream in big ints."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        r = batch[row_col]
+        c = batch[col_col]
+        out = pa.table({"r": r, "c": c}).group_by(["r", "c"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["r", "c", "partial_n"])
+
+    cells_t = tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["r", "c"], {"partial_n": "obs"}, int_cols=("partial_n",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        obs = batch["obs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(obs.sum())
+        if n >= (1 << 31):
+            raise OverflowError(
+                "contingency_profile: n >= 2^31 — dev would overflow int64"
+            )
+        ur, ir = np.unique(r, return_inverse=True)
+        uc, ic = np.unique(c, return_inverse=True)
+        row_tot = np.bincount(ir, weights=obs).astype(np.int64)
+        col_tot = np.bincount(ic, weights=obs).astype(np.int64)
+        dev = obs * n - row_tot[ir] * col_tot[ic]
+        return pa.table(
+            {
+                row_col: pa.array(r),
+                col_col: pa.array(c),
+                "obs": pa.array(obs, pa.int64()),
+                "row_tot": pa.array(row_tot[ir], pa.int64()),
+                "col_tot": pa.array(col_tot[ic], pa.int64()),
+                "n": pa.array(np.full(obs.shape[0], n), pa.int64()),
+                "dev": pa.array(dev, pa.int64()),
+            }
+        )
+
+    return cells_t.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def activity_islands(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Gaps-and-islands per key over a timestamp stream: collapse each
+    key's events to DISTINCT ACTIVE DAYS, then group consecutive days
+    into islands (streaks). One row per key:
+    ``(key, n_days, n_islands, max_streak)`` — the retention/streak
+    shape every engagement pipeline computes.
+
+    Plan: one key-hash bucket shuffle; inside each bucket the
+    (key, epoch-day) pairs dedupe with one lexsort, island boundaries
+    are a vectorized ``diff != 1``, and island lengths fall out of two
+    ``reduceat``-style segment reductions (``_group_reduce`` with max).
+    No driver state, no per-key Python."""
+    proj = ds.select_columns([key, ts_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("activity_islands requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        d = ts.astype("datetime64[D]").astype(np.int64)
+        if k.shape[0] == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_days": pa.array([], pa.int64()),
+                    "n_islands": pa.array([], pa.int64()),
+                    "max_streak": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((d, k))
+        k, d = k[o], d[o]
+        keep = np.ones(k.shape[0], dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        k, d = k[keep], d[keep]
+        m = k.shape[0]
+        first = np.zeros(m, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        new_island = first.copy()
+        new_island[1:] |= d[1:] != d[:-1] + 1
+        iid = np.cumsum(new_island) - 1  # global island id (keys nest)
+        starts = np.flatnonzero(new_island)
+        ilen = np.diff(np.append(starts, m)).astype(np.int64)
+        ikey = k[starts]
+        ks, vs = _group_reduce(
+            [ikey],
+            {
+                "n_days": ilen,
+                "n_islands": np.ones(ilen.shape[0], np.int64),
+                "max_streak": ilen,
+            },
+            ufunc={
+                "n_days": np.add,
+                "n_islands": np.add,
+                "max_streak": np.maximum,
+            },
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "n_days": pa.array(vs["n_days"], pa.int64()),
+                "n_islands": pa.array(vs["n_islands"], pa.int64()),
+                "max_streak": pa.array(vs["max_streak"], pa.int64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def corr_pairs(
+    ds: ray.data.Dataset,
+    cols: dict[str, float],
+) -> ray.data.Dataset:
+    """Pairwise-Pearson sufficient statistics for every column pair in
+    ONE streaming pass, exact in quantized integers: ``cols`` maps each
+    numeric column to its quantizer ``q`` (value → ``floor(x·q+0.5)``);
+    for each unordered pair ``(cx < cy)`` emit
+    ``(cx, cy, n, sx, sy, sxx, syy, sxy)`` int64 — correlation, slope,
+    covariance are rationals of these. The corpus never shuffles: each
+    batch contributes one row per pair and the partials merge through
+    the combine tree.
+
+    Overflow budget (documented, same convention as ``grouped_moments``):
+    requires ``n · max|xq|·max|yq| < 2^63`` per pair — pick quantizers so
+    quantized magnitudes stay ≤ ~10^5 at 10^9 rows; beyond that split
+    the pass or move the merge to big-int columns."""
+    names = sorted(cols)
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qv = {}
+        for c, q in cols.items():
+            x = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            qv[c] = np.floor(x * q + 0.5).astype(np.int64)
+        rows = {"cx": [], "cy": [], "partial_n": [], "partial_sx": [],
+                "partial_sy": [], "partial_sxx": [], "partial_syy": [],
+                "partial_sxy": []}
+        for cx, cy in pairs:
+            x, y = qv[cx], qv[cy]
+            rows["cx"].append(cx)
+            rows["cy"].append(cy)
+            rows["partial_n"].append(x.shape[0])
+            rows["partial_sx"].append(int(x.sum()))
+            rows["partial_sy"].append(int(y.sum()))
+            rows["partial_sxx"].append(int((x * x).sum()))
+            rows["partial_syy"].append(int((y * y).sum()))
+            rows["partial_sxy"].append(int((x * y).sum()))
+        return pa.table(
+            {
+                "cx": pa.array(rows["cx"], pa.string()),
+                "cy": pa.array(rows["cy"], pa.string()),
+                **{
+                    k: pa.array(rows[k], pa.int64())
+                    for k in rows
+                    if k.startswith("partial_")
+                },
+            }
+        )
+
+    return tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["cx", "cy"],
+        {
+            "partial_n": "n", "partial_sx": "sx", "partial_sy": "sy",
+            "partial_sxx": "sxx", "partial_syy": "syy",
+            "partial_sxy": "sxy",
+        },
+        int_cols=(
+            "partial_n", "partial_sx", "partial_sy", "partial_sxx",
+            "partial_syy", "partial_sxy",
+        ),
+    )

@@ -11009,6 +11009,405 @@ GROUP BY c.g
 """
 
 
+# --------------------------------------------- round-4 batch 3: ML eval,
+# association rules, HITS, weighted SSSP, gaps-and-islands, correlation
+
+
+def q_market_basket(sf_dir: str):
+    """Association rules over order baskets: top-50 part pairs by
+    co-occurrence with the exact confidence/lift sufficient statistics
+    (analytics.market_basket — one basket-bucket shuffle, pair counts +
+    item marginals + basket total tagged through ONE combine tree)."""
+    from georay import analytics
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    return analytics.market_basket(
+        li, "l_orderkey", "l_partkey", top_k=50, min_support=2,
+        max_group_size=64,
+    )
+
+
+SQL_MARKET_BASKET = """
+WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+kept AS (SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= 64),
+bk AS (SELECT b0.g, b0.i FROM b0 JOIN kept USING (g)),
+nb AS (SELECT COUNT(DISTINCT g) AS n FROM bk),
+it AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY i),
+pr AS (
+  SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS support
+  FROM bk x JOIN bk y ON x.g = y.g AND x.i < y.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT pr.a, pr.b, pr.support, ia.cnt AS n_a, ib.cnt AS n_b,
+       CAST(nb.n AS BIGINT) AS n_baskets,
+       CAST(pr.support * nb.n AS BIGINT) AS lift_num,
+       CAST(ia.cnt * ib.cnt AS BIGINT) AS lift_den
+FROM pr JOIN it ia ON ia.i = pr.a JOIN it ib ON ib.i = pr.b CROSS JOIN nb
+ORDER BY pr.support DESC, pr.a, pr.b LIMIT 50
+"""
+
+
+_HITS_ITERS = 2
+_HITS_SCALE_BITS = 30
+
+
+def _purchase_edges(sf_dir: str):
+    """Distinct directed (customer → part) purchase edges: lineitem
+    gets o_custkey via a broadcast dim join on orderkey (orders is the
+    small side; swap for equi_join_partitioned when it is not), then
+    the pair set dedupes through one combine tree."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    ds = ops.broadcast_join(li, orders, on="l_orderkey", dim_on="o_orderkey")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        s = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        d = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        ks, vs = ops._group_reduce(
+            [s, d], {"partial_one": _np.ones(s.shape[0], _np.int64)}
+        )
+        return pa.table(
+            {
+                "src": pa.array(ks[0], pa.int64()),
+                "dst": pa.array(ks[1], pa.int64()),
+                "partial_one": pa.array(vs["partial_one"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        ds.map_batches(
+            pairs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["src", "dst"], {"partial_one": "c"}, int_cols=("partial_one",),
+    ).select_columns(["src", "dst"])
+
+
+def q_hits(sf_dir: str):
+    """Integer-exact HITS hubs & authorities over the bipartite
+    customer→part purchase graph, 2 fixed iterations
+    (analytics.hits_scores): fixed-point 2^-30 scores, L1-renormalized
+    with exact big-int division each half-iteration — the SQL twin
+    chains identical integer CTEs via HUGEINT, bit-for-bit."""
+    from georay import analytics
+
+    return analytics.hits_scores(
+        _purchase_edges(sf_dir), n_iter=_HITS_ITERS,
+        scale_bits=_HITS_SCALE_BITS,
+    )
+
+
+def _hits_sql() -> str:
+    scale = 1 << _HITS_SCALE_BITS
+    parts = [
+        """WITH e AS (SELECT DISTINCT o_custkey AS s, l_partkey AS d
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+na AS (SELECT COUNT(DISTINCT d) AS n FROM e),
+auths AS (SELECT DISTINCT d AS node FROM e),""",
+        f"\na0 AS (SELECT node, CAST({scale} // na.n AS BIGINT) AS q"
+        " FROM auths CROSS JOIN na)",
+    ]
+    prev_a = "a0"
+    for it in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+h{it}r AS (SELECT e.s AS node, SUM({prev_a}.q) AS raw
+        FROM e JOIN {prev_a} ON {prev_a}.node = e.d GROUP BY e.s),
+h{it}t AS (SELECT SUM(raw) AS t FROM h{it}r),
+h{it} AS (SELECT node, CAST(CAST(raw AS HUGEINT) * {scale} // t AS BIGINT)
+          AS q FROM h{it}r CROSS JOIN h{it}t),
+a{it}r AS (SELECT e.d AS node, SUM(h{it}.q) AS raw
+        FROM e JOIN h{it} ON h{it}.node = e.s GROUP BY e.d),
+a{it}t AS (SELECT SUM(raw) AS t FROM a{it}r),
+a{it} AS (SELECT node, CAST(CAST(raw AS HUGEINT) * {scale} // t AS BIGINT)
+          AS q FROM a{it}r CROSS JOIN a{it}t)"""
+        )
+        prev_a = f"a{it}"
+    parts.append(
+        f"""
+SELECT 'hub' AS side, node, q AS score_q FROM h{_HITS_ITERS}
+UNION ALL
+SELECT 'auth' AS side, node, q AS score_q FROM a{_HITS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+SQL_HITS = _hits_sql()
+
+
+_SSSP_ROUNDS = 4
+_SSSP_SEED_MOD = 97
+
+
+def _sssp_weight(a, b):
+    import numpy as _np
+
+    return 1 + (_np.asarray(a, _np.int64) + _np.asarray(b, _np.int64)) % 7
+
+
+def q_sssp(sf_dir: str):
+    """Multi-source weighted shortest paths (4 fixed Bellman–Ford
+    rounds) over the co-purchase graph, edge weight 1+(a+b)%7, seeds =
+    nodes ≡ 0 (mod 97). Local CSR scatter-min below 2M edges, else the
+    partitioned frontier loop (analytics.sssp_rounds)."""
+    from georay import analytics
+
+    return analytics.sssp_rounds(
+        _copurchase_edges(sf_dir).materialize(),
+        lambda n: n % _SSSP_SEED_MOD == 0,
+        _sssp_weight,
+        rounds=_SSSP_ROUNDS,
+    )
+
+
+def q_sssp_partitioned(sf_dir: str):
+    """Distributed twin of ``sssp``: (node, dist) labels stay
+    hash-sharded; only improved nodes ship through the per-round edge
+    co-shuffle; driver sees one scalar per round
+    (analytics.sssp_partitioned). Shares the chained-CTE oracle."""
+    from georay import analytics
+
+    return analytics.sssp_partitioned(
+        _copurchase_edges(sf_dir).materialize(),
+        lambda n: n % _SSSP_SEED_MOD == 0,
+        _sssp_weight,
+        rounds=_SSSP_ROUNDS,
+    )
+
+
+def _sssp_sql() -> str:
+    parts = [
+        f"WITH {SQL_COPURCHASE_EDGES.strip()}",
+        """,
+sym AS (SELECT a AS s, b AS d, 1 + (a + b) % 7 AS w FROM e
+        UNION ALL SELECT b, a, 1 + (a + b) % 7 FROM e),
+n0 AS (SELECT DISTINCT s AS node FROM sym),""",
+        f"""
+d0 AS (SELECT node, CASE WHEN node % {_SSSP_SEED_MOD} = 0
+                         THEN CAST(0 AS BIGINT) END AS dist FROM n0)""",
+    ]
+    for it in range(1, _SSSP_ROUNDS + 1):
+        prev = f"d{it - 1}"
+        parts.append(
+            f""",
+d{it} AS (
+  SELECT {prev}.node,
+         CASE WHEN {prev}.dist IS NULL THEN m.md
+              WHEN m.md IS NULL THEN {prev}.dist
+              ELSE LEAST({prev}.dist, m.md) END AS dist
+  FROM {prev} LEFT JOIN (
+    SELECT s.d AS node, MIN(p.dist + s.w) AS md
+    FROM sym s JOIN {prev} p ON p.node = s.s WHERE p.dist IS NOT NULL
+    GROUP BY s.d
+  ) m ON m.node = {prev}.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(dist AS BIGINT) AS dist
+FROM d{_SSSP_ROUNDS} WHERE dist IS NOT NULL"""
+    )
+    return "".join(parts)
+
+
+SQL_SSSP = _sssp_sql()
+
+
+def q_pr_curve(sf_dir: str):
+    """Exact precision–recall curve of event value (cents) as a
+    purchase-vs-rest score: one (s, tp, fp, fn) row per distinct
+    threshold via the score-histogram combine tree + one sweep task
+    (ops.pr_curve — the imbalanced-gate companion to roc_auc)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.equal(batch["event_type"], "purchase")
+        return pa.table(
+            {"label": pc.cast(y, pa.int64()), "score": batch["value"]}
+        )
+
+    ds = ev.map_batches(
+        lab, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.pr_curve(ds, "label", "score", quantize=100.0)
+
+
+SQL_PR_CURVE = """
+WITH x AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS s
+  FROM events
+),
+h AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS n FROM x GROUP BY s),
+tot AS (SELECT SUM(p) AS tp_all FROM h)
+SELECT s,
+       CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+       CAST(SUM(n) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+       CAST(tot.tp_all - SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS fn
+FROM h CROSS JOIN tot
+"""
+
+
+_CALIB_BIN_Q = 1000
+
+
+def q_calibration(sf_dir: str):
+    """Reliability-diagram bins for the purchase-vs-rest score: per
+    10.00-wide score bin the exact (n, n_pos, sum_score_q) sufficient
+    statistics (ops.calibration_bins — one bin-bounded combine tree)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    def lab(batch: pa.Table) -> pa.Table:
+        y = pc.equal(batch["event_type"], "purchase")
+        return pa.table(
+            {"label": pc.cast(y, pa.int64()), "score": batch["value"]}
+        )
+
+    ds = ev.map_batches(
+        lab, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.calibration_bins(
+        ds, "label", "score", quantize=100.0, bin_width_q=_CALIB_BIN_Q
+    )
+
+
+SQL_CALIBRATION = f"""
+WITH x AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS sq
+  FROM events
+)
+SELECT sq // {_CALIB_BIN_Q} AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos, CAST(SUM(sq) AS BIGINT) AS sum_score_q
+FROM x GROUP BY 1
+"""
+
+
+def q_contingency(sf_dir: str):
+    """Independence profile of market segment × order priority: exact
+    contingency cells with marginals and the scaled deviation
+    ``obs·n − row_tot·col_tot`` attached (ops.contingency_profile —
+    χ²/Cramér's V/MI are rationals of these five integers). Customer is
+    the broadcast dim side."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderpriority"]
+    )
+    ds = ops.broadcast_join(ds, cust, on="o_custkey", dim_on="c_custkey")
+    return ops.contingency_profile(ds, "c_mktsegment", "o_orderpriority")
+
+
+SQL_CONTINGENCY = """
+WITH j AS (
+  SELECT c_mktsegment AS r, o_orderpriority AS c2
+  FROM orders JOIN customer ON c_custkey = o_custkey
+),
+cells AS (SELECT r, c2, CAST(COUNT(*) AS BIGINT) AS obs FROM j GROUP BY 1, 2),
+rt AS (SELECT r, SUM(obs) AS row_tot FROM cells GROUP BY r),
+ct AS (SELECT c2, SUM(obs) AS col_tot FROM cells GROUP BY c2),
+nn AS (SELECT SUM(obs) AS n FROM cells)
+SELECT cells.r AS c_mktsegment, cells.c2 AS o_orderpriority, obs,
+       CAST(row_tot AS BIGINT) AS row_tot, CAST(col_tot AS BIGINT) AS col_tot,
+       CAST(nn.n AS BIGINT) AS n,
+       CAST(obs * nn.n - row_tot * col_tot AS BIGINT) AS dev
+FROM cells JOIN rt USING (r) JOIN ct USING (c2) CROSS JOIN nn
+"""
+
+
+def q_islands(sf_dir: str):
+    """Gaps-and-islands per user over the event stream: distinct active
+    days grouped into consecutive streaks — (user_id, n_days,
+    n_islands, max_streak), one key-bucket shuffle, fully vectorized
+    (ops.activity_islands)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ops.activity_islands(ev, "user_id", "ts")
+
+
+SQL_ISLANDS = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dd FROM events),
+r AS (
+  SELECT user_id, dd,
+         CAST(datediff('day', DATE '1970-01-01', dd) AS BIGINT)
+         - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dd) AS grp
+  FROM d
+),
+isl AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM isl GROUP BY user_id
+"""
+
+
+_CORR_EXPRS = {
+    "l_quantity": "CAST(floor(l_quantity * 1.0e0 + 0.5e0) AS BIGINT)",
+    "l_extendedprice":
+        "CAST(floor(l_extendedprice * 0.01e0 + 0.5e0) AS BIGINT)",
+    "l_discount": "CAST(floor(l_discount * 100.0e0 + 0.5e0) AS BIGINT)",
+    "l_tax": "CAST(floor(l_tax * 100.0e0 + 0.5e0) AS BIGINT)",
+}
+
+
+def q_corr_matrix(sf_dir: str):
+    """Pairwise-Pearson sufficient statistics of the four lineitem
+    numerics in ONE streaming pass (ops.corr_pairs): per pair the six
+    exact integers (n, Σx, Σy, Σx², Σy², Σxy) in quantized units
+    (quantity whole, price whole dollars, discount/tax percent)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return ops.corr_pairs(
+        ds,
+        {
+            "l_quantity": 1.0,
+            "l_extendedprice": 0.01,
+            "l_discount": 100.0,
+            "l_tax": 100.0,
+        },
+    )
+
+
+def _corr_matrix_sql() -> str:
+    names = sorted(_CORR_EXPRS)
+    sel = ",\n  ".join(f"{_CORR_EXPRS[c]} AS {c}" for c in names)
+    parts = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            x, y = names[i], names[j]
+            parts.append(
+                f"""SELECT '{x}' AS cx, '{y}' AS cy,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM({x}) AS BIGINT) AS sx, CAST(SUM({y}) AS BIGINT) AS sy,
+  CAST(SUM({x} * {x}) AS BIGINT) AS sxx,
+  CAST(SUM({y} * {y}) AS BIGINT) AS syy,
+  CAST(SUM({x} * {y}) AS BIGINT) AS sxy
+FROM qv"""
+            )
+    return (
+        f"WITH qv AS (SELECT {sel} FROM lineitem)\n"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+SQL_CORR_MATRIX = _corr_matrix_sql()
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11076,6 +11475,15 @@ QUERIES = {
     "event_paths": q_event_paths,
     "jsonl_source": q_jsonl_source,
     "ks_by_source": q_ks_by_source,
+    "market_basket": q_market_basket,
+    "hits": q_hits,
+    "sssp": q_sssp,
+    "sssp_partitioned": q_sssp_partitioned,
+    "pr_curve": q_pr_curve,
+    "calibration": q_calibration,
+    "contingency": q_contingency,
+    "islands": q_islands,
+    "corr_matrix": q_corr_matrix,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11327,6 +11735,15 @@ ORACLE = {
     "event_paths": SQL_EVENT_PATHS,
     "jsonl_source": SQL_JSONL_SOURCE,
     "ks_by_source": SQL_KS_BY_SOURCE,
+    "market_basket": SQL_MARKET_BASKET,
+    "hits": SQL_HITS,
+    "sssp": SQL_SSSP,
+    "sssp_partitioned": SQL_SSSP,
+    "pr_curve": SQL_PR_CURVE,
+    "calibration": SQL_CALIBRATION,
+    "contingency": SQL_CONTINGENCY,
+    "islands": SQL_ISLANDS,
+    "corr_matrix": SQL_CORR_MATRIX,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

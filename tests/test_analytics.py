@@ -1625,3 +1625,128 @@ def test_event_sequences_key_boundary(ray_session):
         .to_pandas().sort_values("seq").reset_index(drop=True)
     )
     assert out.values.tolist() == [["x>y>z", 1], ["y>z>x", 1]]
+
+
+# ------------------------------------------- round-4 batch 3 operators
+
+def test_market_basket_hand_counts(ray_session):
+    # baskets: {1,2,3}, {1,2}, {2,3}, {1,2} (dup item rows collapse)
+    tbl = pa.table(
+        {
+            "g": pa.array([10, 10, 10, 20, 20, 30, 30, 40, 40, 40], pa.int64()),
+            "i": pa.array([1, 2, 3, 1, 2, 2, 3, 1, 2, 2], pa.int64()),
+        }
+    )
+    out = (
+        analytics.market_basket(
+            _ds(tbl), "g", "i", top_k=10, min_support=2, n_buckets=4
+        )
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # pair supports: (1,2)=3, (1,3)=1 (dropped), (2,3)=2
+    got = {
+        (r.a, r.b): (r.support, r.n_a, r.n_b, r.n_baskets, r.lift_num, r.lift_den)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, 2): (3, 3, 4, 4, 12, 12),
+        (2, 3): (2, 4, 2, 4, 8, 8),
+    }
+
+
+def test_market_basket_max_group_size_drops_basket(ray_session):
+    # basket 10 has 3 items -> dropped at cap 2; marginals exclude it
+    tbl = pa.table(
+        {
+            "g": pa.array([10, 10, 10, 20, 20], pa.int64()),
+            "i": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        analytics.market_basket(
+            _ds(tbl), "g", "i", top_k=10, min_support=1, max_group_size=2,
+            n_buckets=4,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.a, r.b, r.support, r.n_a, r.n_b, r.n_baskets) == (1, 2, 1, 1, 1, 1)
+
+
+def test_hits_bipartite_known(ray_session):
+    # hubs {1,2} -> auths {10, 20}; hub 1 points at both, hub 2 at 10.
+    # a0 = scale//2 each; h1_raw: h1=scale//2*2, h2=scale//2 -> tot=3*(scale//2)
+    # h1_q = scale*2//3, h2_q = scale//3 (exact int division)
+    edges = pa.table(
+        {
+            "src": pa.array([1, 1, 2], pa.int64()),
+            "dst": pa.array([10, 20, 10], pa.int64()),
+        }
+    )
+    out = (
+        analytics.hits_scores(_ds(edges), n_iter=1, scale_bits=20)
+        .to_pandas()
+    )
+    scale = 1 << 20
+    half = scale // 2
+    h1_raw, h2_raw = 2 * half, half
+    tot = h1_raw + h2_raw
+    h1_q, h2_q = h1_raw * scale // tot, h2_raw * scale // tot
+    a10_raw, a20_raw = h1_q + h2_q, h1_q
+    atot = a10_raw + a20_raw
+    exp = {
+        ("hub", 1): h1_q,
+        ("hub", 2): h2_q,
+        ("auth", 10): a10_raw * scale // atot,
+        ("auth", 20): a20_raw * scale // atot,
+    }
+    got = {(r.side, r.node): r.score_q for r in out.itertuples()}
+    assert got == exp
+
+
+def test_sssp_local_vs_partitioned_parity(ray_session):
+    # path 0-1-2-3-4 with weights 5,1,1,1 plus shortcut 0-4 weight 9;
+    # seed node 0. 3 rounds: dist(4)=min(9, 8 via path needs 4 edges).
+    edges = pa.table(
+        {
+            "a": pa.array([0, 1, 2, 3, 0], pa.int64()),
+            "b": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        }
+    )
+    w = {(0, 1): 5, (1, 2): 1, (2, 3): 1, (3, 4): 1, (0, 4): 9}
+
+    def wf(a, b):
+        return np.array(
+            [w[(x, y)] if (x, y) in w else w[(y, x)]
+             for x, y in zip(a.tolist(), b.tolist())],
+            np.int64,
+        )
+
+    seed = lambda n: n == 0
+    loc = (
+        analytics.sssp_rounds(_ds(edges), seed, wf, rounds=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    part = (
+        analytics.sssp_partitioned(_ds(edges), seed, wf, rounds=3, n_buckets=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.values.tolist() == part.values.tolist()
+    got = dict(zip(loc["node"], loc["dist"]))
+    assert got == {0: 0, 1: 5, 2: 6, 3: 7, 4: 9}
+    # one more round reaches 4 via the cheap path
+    loc4 = analytics.sssp_rounds(_ds(edges), seed, wf, rounds=4).to_pandas()
+    assert dict(zip(loc4["node"], loc4["dist"]))[4] == 8
+
+
+def test_sssp_empty_edges(ray_session):
+    edges = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    out = analytics.sssp_rounds(
+        _ds(edges), lambda n: n == 0, lambda a, b: np.ones(0, np.int64)
+    ).to_pandas()
+    # (column names not asserted: empty Datasets lose their schema
+    # through to_pandas in Ray 2.49 — the ROUND_NOTES quirk)
+    assert len(out) == 0

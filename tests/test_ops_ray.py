@@ -2773,3 +2773,106 @@ def test_grouped_ks_vs_rest_matches_pairwise(ray_session):
     assert grouped.loc["A", "d_num"] == pair["d_num"][0]
     assert grouped.loc["B", "d_num"] == pair["d_num"][0]
     assert grouped.loc["A", "n_g"] == 2 and grouped.loc["A", "n_rest"] == 3
+
+
+# ------------------------------------------- round-4 batch 3 operators
+
+def _ds(tbl):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl)
+
+
+def test_pr_curve_known_counts(ray_session):
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "label": pa.array([1, 1, 0, 0, 1], pa.int64()),
+            "score": pa.array([3.0, 2.0, 2.0, 1.0, 1.0], pa.float64()),
+        }
+    )
+    out = (
+        ops.pr_curve(_ds(tbl), "label", "score", quantize=1.0)
+        .to_pandas().sort_values("s", ascending=False).reset_index(drop=True)
+    )
+    # thresholds 3,2,1: tp cum = 1,2,3 ; fp cum = 0,1,2 ; fn = 3-tp
+    assert out["s"].tolist() == [3, 2, 1]
+    assert out["tp"].tolist() == [1, 2, 3]
+    assert out["fp"].tolist() == [0, 1, 2]
+    assert out["fn"].tolist() == [2, 1, 0]
+
+
+def test_calibration_bins_rejects_negative_scores(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+
+    tbl = pa.table(
+        {
+            "label": pa.array([1, 0], pa.int64()),
+            "score": pa.array([1.0, -2.0], pa.float64()),
+        }
+    )
+    with _pytest.raises(Exception):
+        ops.calibration_bins(
+            _ds(tbl), "label", "score", quantize=1.0, bin_width_q=1
+        ).to_pandas()
+
+
+def test_contingency_profile_known_dev(ray_session):
+    import pyarrow as pa
+
+    # 2x2: obs = [[2,1],[1,2]]; n=6; row_tot=[3,3]; col_tot=[3,3]
+    # dev(cell) = obs*6 - 9 -> [[3,-3],[-3,3]]
+    tbl = pa.table(
+        {
+            "r": pa.array(["x", "x", "x", "y", "y", "y"]),
+            "c": pa.array(["p", "p", "q", "p", "q", "q"]),
+        }
+    )
+    out = ops.contingency_profile(_ds(tbl), "r", "c").to_pandas()
+    got = {(r.r, r.c): (r.obs, r.row_tot, r.col_tot, r.n, r.dev)
+           for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): (2, 3, 3, 6, 3),
+        ("x", "q"): (1, 3, 3, 6, -3),
+        ("y", "p"): (1, 3, 3, 6, -3),
+        ("y", "q"): (2, 3, 3, 6, 3),
+    }
+
+
+def test_activity_islands_streaks(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # user 1: days 0,1,2 then 5 -> 2 islands, max 3; repeated events on
+    # one day collapse. user 2: single day.
+    day = np.array([0, 0, 1, 2, 5, 7], "datetime64[D]")
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(day.astype("datetime64[us]")),
+        }
+    )
+    out = (
+        ops.activity_islands(_ds(tbl), "u", "ts", n_buckets=4)
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, 4, 2, 3], [2, 1, 1, 1]]
+
+
+def test_corr_pairs_exact_sums(ray_session):
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "x": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "y": pa.array([2.0, 4.0, 6.0], pa.float64()),
+        }
+    )
+    out = ops.corr_pairs(_ds(tbl), {"x": 1.0, "y": 1.0}).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.cx, r.cy, r.n, r.sx, r.sy, r.sxx, r.syy, r.sxy) == (
+        "x", "y", 3, 6, 12, 14, 56, 28,
+    )
