@@ -3348,3 +3348,81 @@ def sssp_partitioned(
         lambda b: b.select(["node", "dist"]),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
     )
+
+
+def avg_neighbor_degree(
+    edges: ray.data.Dataset,
+    id_a: str = "a",
+    id_b: str = "b",
+) -> ray.data.Dataset:
+    """Average-neighbor-degree sufficient statistics per node over an
+    undirected edge list, exact: ``(node, deg, sum_ndeg)`` with
+    ``avg = sum_ndeg / deg`` — the local assortativity profile
+    (hubs-connect-to-hubs vs hubs-connect-to-leaves) the global
+    ``degree_assortativity`` moment summarizes.
+
+    Two streaming edge passes: the degree table merges through one
+    combine tree, is broadcast once via ``ray.put`` (same o(nodes)
+    bound ``pagerank`` documents; swap for ``_attach_lookup``'s
+    hash-bucket co-shuffle at billion-node scale), then per-batch
+    partial Σ deg(neighbor) rows merge through a second tree."""
+    import ray as _ray
+
+    edges = edges.materialize()
+    degs = degree_table(edges)
+    tbl = pa.concat_tables(_ray.get(degs.to_arrow_refs()))
+    nodes = tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg = tbl["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes, deg = nodes[o], deg[o]
+    if nodes.shape[0] == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                    "sum_ndeg": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ref = _ray.put((nodes, deg))
+    cache: dict = {}
+
+    def emit(batch: pa.Table, _ref=ref) -> pa.Table:
+        ns, dv = cache.setdefault("m", _ray.get(_ref))
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        c = dv[np.searchsorted(ns, nb)]
+        ks, vs = _group_reduce([src], {"partial_s": c})
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "partial_s": pa.array(vs["partial_s"], pa.int64()),
+            }
+        )
+
+    sums = tree_sum(
+        edges.map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["node"], {"partial_s": "sum_ndeg"}, int_cols=("partial_s",),
+    )
+
+    def attach(batch: pa.Table, _ref=ref) -> pa.Table:
+        ns, dv = cache.setdefault("m", _ray.get(_ref))
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "deg": pa.array(dv[np.searchsorted(ns, node)], pa.int64()),
+                "sum_ndeg": batch["sum_ndeg"],
+            }
+        )
+
+    return sums.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -7762,3 +7762,290 @@ def corr_pairs(
             "partial_syy", "partial_sxy",
         ),
     )
+
+
+def cross_corr_daily(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    key_a,
+    key_b,
+    max_lag: int = 6,
+) -> ray.data.Dataset:
+    """Lagged cross-correlation sufficient statistics between two keys'
+    DAILY COUNT series, exact: for each lag ℓ in ``0..max_lag`` emit
+    ``(lag, dot, sa, sb, n_days)`` over the zero-filled day grid
+    ``[lo, hi]`` spanning both series — ``dot = Σ_d a(d)·b(d+ℓ)``,
+    ``sa``/``sb`` the window sums of each series on its side of the
+    overlap, ``n_days = hi-lo+1-ℓ``; Pearson-at-lag is a rational of
+    these plus the (cheap) squared sums. The lead/lag detector for
+    event streams (does A today predict B tomorrow?).
+
+    Plan: per-day counts for both keys merge through ONE combine tree
+    (histogram bounded by the calendar, not the corpus); one task
+    densifies the grid and sweeps the ≤ max_lag+1 shifted dot products
+    vectorized."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        d = (
+            batch[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        ma = k == key_a
+        mb = k == key_b
+        day = np.concatenate([d[ma], d[mb]])
+        side = np.concatenate(
+            [np.zeros(int(ma.sum()), np.int64), np.ones(int(mb.sum()), np.int64)]
+        )
+        ks, vs = _group_reduce(
+            [day, side], {"partial_n": np.ones(day.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "d": pa.array(ks[0], pa.int64()),
+                "side": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    hist = tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["d", "side"], {"partial_n": "n"}, int_cols=("partial_n",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = batch["side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "lag": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.int64()),
+                "sa": pa.array([], pa.int64()),
+                "sb": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+            }
+        )
+        if d.shape[0] == 0:
+            return empty
+        lo, hi = int(d.min()), int(d.max())
+        span = hi - lo + 1
+        a = np.zeros(span, np.int64)
+        b = np.zeros(span, np.int64)
+        am = side == 0
+        a[d[am] - lo] = n[am]
+        b[d[~am] - lo] = n[~am]
+        lags = np.arange(min(max_lag, span - 1) + 1, dtype=np.int64)
+        dot = np.array(
+            [int((a[: span - l] * b[l:]).sum()) for l in lags], np.int64
+        )
+        sa = np.array([int(a[: span - l].sum()) for l in lags], np.int64)
+        sb = np.array([int(b[l:].sum()) for l in lags], np.int64)
+        return pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "dot": pa.array(dot, pa.int64()),
+                "sa": pa.array(sa, pa.int64()),
+                "sb": pa.array(sb, pa.int64()),
+                "n_days": pa.array(span - lags, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def seasonal_dow_anomaly(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+) -> ray.data.Dataset:
+    """Day-of-week seasonal baseline + exact anomaly numerators: per
+    ``(key, date)`` emit the daily event count next to its key's
+    same-weekday aggregate over the GLOBAL calendar span —
+    ``(key, d, dow, daily_n, dow_total, dow_days, anom_num)`` with
+    ``anom_num = daily_n·dow_days − dow_total`` (positive ⇒ above the
+    weekday average; the average includes zero-activity weekdays, so
+    ``dow_days`` counts CALENDAR occurrences of that weekday in
+    ``[min_day, max_day]`` across the whole dataset). Weekday is
+    engine-defined as ``(epoch_days + 4) % 7`` (0 = Monday) so SQL
+    replicates it without library conventions.
+
+    One combine tree builds the (key, day) counts (calendar-bounded);
+    one task attaches the per-(key, dow) totals and the span counts —
+    the event stream never shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        d = (
+            batch[ts_col].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        ks, vs = _group_reduce(
+            [k, d], {"partial_n": np.ones(d.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                key_col: pa.array(ks[0]),
+                "d": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    daily = tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [key_col, "d"], {"partial_n": "daily_n"}, int_cols=("partial_n",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["daily_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+                "dow": pa.array([], pa.int64()),
+                "daily_n": pa.array([], pa.int64()),
+                "dow_total": pa.array([], pa.int64()),
+                "dow_days": pa.array([], pa.int64()),
+                "anom_num": pa.array([], pa.int64()),
+            }
+        )
+        if d.shape[0] == 0:
+            return empty
+        lo, hi = int(d.min()), int(d.max())
+        dow = (d + 4) % 7
+        # calendar occurrences of each weekday in [lo, hi]
+        all_dow = (np.arange(lo, hi + 1, dtype=np.int64) + 4) % 7
+        occ = np.bincount(all_dow, minlength=7).astype(np.int64)
+        uk, ik = np.unique(k, return_inverse=True)
+        cell = ik * 7 + dow
+        dow_tot = np.bincount(
+            cell, weights=n, minlength=uk.shape[0] * 7
+        ).astype(np.int64)
+        dt = dow_tot[cell]
+        dd = occ[dow]
+        return pa.table(
+            {
+                key_col: pa.array(k),
+                "d": pa.array(d, pa.int64()),
+                "dow": pa.array(dow, pa.int64()),
+                "daily_n": pa.array(n, pa.int64()),
+                "dow_total": pa.array(dt, pa.int64()),
+                "dow_days": pa.array(dd, pa.int64()),
+                "anom_num": pa.array(n * dd - dt, pa.int64()),
+            }
+        )
+
+    return daily.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def interarrival_stats(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key inter-arrival-time statistics over an event stream,
+    exact in int64 microseconds: ``(key, n_events, span_us, min_gap_us,
+    max_gap_us)`` where gaps are consecutive differences of the
+    ts-sorted sequence (ties ⇒ gap 0; keys with one event emit NULL
+    gaps; Σgaps = span telescopes, so the mean gap is
+    ``span_us/(n_events−1)``). One key-hash bucket shuffle, vectorized
+    diff with cross-key boundaries masked."""
+    proj = ds.select_columns([key, ts_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("interarrival_stats requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.shape[0] == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "span_us": pa.array([], pa.int64()),
+                    "min_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((ts, k))
+        k, ts = k[o], ts[o]
+        n = k.shape[0]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        gap = np.empty(n, np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        ks_n, vs_n = _group_reduce(
+            [k],
+            {
+                "n_events": np.ones(n, np.int64),
+                "t_min": ts,
+                "t_max": ts,
+            },
+            ufunc={"n_events": np.add, "t_min": np.minimum,
+                   "t_max": np.maximum},
+        )
+        kg = k[same]
+        gg = gap[same]
+        out_min = np.full(ks_n[0].shape[0], -1, np.int64)
+        out_max = np.full(ks_n[0].shape[0], -1, np.int64)
+        has_gap = np.zeros(ks_n[0].shape[0], dtype=bool)
+        if kg.shape[0]:
+            ks_g, vs_g = _group_reduce(
+                [kg], {"gmin": gg, "gmax": gg},
+                ufunc={"gmin": np.minimum, "gmax": np.maximum},
+            )
+            pos = np.searchsorted(ks_n[0], ks_g[0])
+            out_min[pos] = vs_g["gmin"]
+            out_max[pos] = vs_g["gmax"]
+            has_gap[pos] = True
+        return pa.table(
+            {
+                key: pa.array(ks_n[0], pa.int64()),
+                "n_events": pa.array(vs_n["n_events"], pa.int64()),
+                "span_us": pa.array(
+                    vs_n["t_max"] - vs_n["t_min"], pa.int64()
+                ),
+                "min_gap_us": pc.if_else(
+                    pa.array(has_gap), pa.array(out_min, pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+                "max_gap_us": pc.if_else(
+                    pa.array(has_gap), pa.array(out_max, pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -11408,6 +11408,137 @@ FROM qv"""
 SQL_CORR_MATRIX = _corr_matrix_sql()
 
 
+_XCORR_MAX_LAG = 6
+
+
+def q_cross_corr(sf_dir: str):
+    """Does browsing predict buying? Lag-0..6 cross-correlation
+    sufficient statistics between the view and purchase DAILY count
+    series (ops.cross_corr_daily — one calendar-bounded combine tree +
+    one vectorized shift sweep; exact integer dot products)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    return ops.cross_corr_daily(
+        ev, "event_type", "ts", "view", "purchase", max_lag=_XCORR_MAX_LAG
+    )
+
+
+SQL_CROSS_CORR = f"""
+WITH ad AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+bd AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi
+           FROM (SELECT d FROM ad UNION ALL SELECT d FROM bd)),
+lags AS (SELECT CAST(range AS BIGINT) AS lag
+         FROM range(0, {_XCORR_MAX_LAG + 1}))
+SELECT l.lag,
+  (SELECT CAST(COALESCE(SUM(a.n * b.n), 0) AS BIGINT)
+   FROM ad a JOIN bd b ON b.d = a.d + l.lag) AS dot,
+  (SELECT CAST(COALESCE(SUM(a.n), 0) AS BIGINT) FROM ad a
+   WHERE a.d <= bounds.hi - l.lag) AS sa,
+  (SELECT CAST(COALESCE(SUM(b.n), 0) AS BIGINT) FROM bd b
+   WHERE b.d >= bounds.lo + l.lag) AS sb,
+  CAST(bounds.hi - bounds.lo + 1 - l.lag AS BIGINT) AS n_days
+FROM lags l CROSS JOIN bounds
+"""
+
+
+def q_seasonal_dow(sf_dir: str):
+    """Weekday-seasonal anomaly numerators per event type: each
+    (type, date) daily count next to its type's same-weekday total and
+    the calendar count of that weekday — ``anom_num =
+    daily_n·dow_days − dow_total`` flags days above/below their weekday
+    baseline, all exact integers (ops.seasonal_dow_anomaly; weekday =
+    (epoch_days+4)%7 so SQL replicates without library conventions)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts"])
+    return ops.seasonal_dow_anomaly(ev, "event_type", "ts")
+
+
+SQL_SEASONAL_DOW = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS d,
+         CAST(COUNT(*) AS BIGINT) AS daily_n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+occ AS (
+  SELECT CAST(range AS BIGINT) AS dow,
+         CAST((hi - lo + 1) // 7
+              + CASE WHEN ((range - (lo + 4) % 7) % 7 + 7) % 7
+                     < (hi - lo + 1) % 7 THEN 1 ELSE 0 END AS BIGINT)
+           AS dow_days
+  FROM range(0, 7) CROSS JOIN bounds
+),
+dowt AS (
+  SELECT event_type, (d + 4) % 7 AS dow, CAST(SUM(daily_n) AS BIGINT)
+           AS dow_total
+  FROM daily GROUP BY 1, 2
+)
+SELECT daily.event_type, daily.d, (daily.d + 4) % 7 AS dow, daily.daily_n,
+       dowt.dow_total, occ.dow_days,
+       CAST(daily.daily_n * occ.dow_days - dowt.dow_total AS BIGINT)
+         AS anom_num
+FROM daily
+JOIN dowt ON dowt.event_type = daily.event_type
+         AND dowt.dow = (daily.d + 4) % 7
+JOIN occ ON occ.dow = (daily.d + 4) % 7
+"""
+
+
+def q_neighbor_degree(sf_dir: str):
+    """Per-node average-neighbor-degree sufficient statistics over the
+    co-purchase graph (analytics.avg_neighbor_degree — degree table
+    broadcast once, one more streaming edge pass; exact (deg,
+    sum_ndeg) pairs, the local view of assortativity)."""
+    from georay import analytics
+
+    return analytics.avg_neighbor_degree(_copurchase_edges(sf_dir))
+
+
+SQL_NEIGHBOR_DEGREE = f"""
+WITH {SQL_COPURCHASE_EDGES.strip()},
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM sym GROUP BY 1)
+SELECT s.s AS node, CAST(MAX(dg0.degree) AS BIGINT) AS deg,
+       CAST(SUM(dgn.degree) AS BIGINT) AS sum_ndeg
+FROM sym s JOIN deg dg0 ON dg0.node = s.s JOIN deg dgn ON dgn.node = s.d
+GROUP BY s.s
+"""
+
+
+def q_interarrival(sf_dir: str):
+    """Per-user inter-arrival statistics over the event stream, exact
+    int64 microseconds: (n_events, span_us, min/max gap) — single-event
+    users carry NULL gaps; Σgaps telescopes to span so mean gap needs
+    no extra column (ops.interarrival_stats, one key-bucket shuffle)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ops.interarrival_stats(ev, "user_id", "ts")
+
+
+SQL_INTERARRIVAL = """
+WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+g AS (
+  SELECT user_id, t,
+         t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM x
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY user_id
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11484,6 +11615,10 @@ QUERIES = {
     "contingency": q_contingency,
     "islands": q_islands,
     "corr_matrix": q_corr_matrix,
+    "cross_corr": q_cross_corr,
+    "seasonal_dow": q_seasonal_dow,
+    "neighbor_degree": q_neighbor_degree,
+    "interarrival": q_interarrival,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11744,6 +11879,10 @@ ORACLE = {
     "contingency": SQL_CONTINGENCY,
     "islands": SQL_ISLANDS,
     "corr_matrix": SQL_CORR_MATRIX,
+    "cross_corr": SQL_CROSS_CORR,
+    "seasonal_dow": SQL_SEASONAL_DOW,
+    "neighbor_degree": SQL_NEIGHBOR_DEGREE,
+    "interarrival": SQL_INTERARRIVAL,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -1750,3 +1750,21 @@ def test_sssp_empty_edges(ray_session):
     # (column names not asserted: empty Datasets lose their schema
     # through to_pandas in Ray 2.49 — the ROUND_NOTES quirk)
     assert len(out) == 0
+
+
+def test_avg_neighbor_degree_star(ray_session):
+    # star: center 1 with leaves 2,3,4 -> deg(1)=3, sum_ndeg(1)=3;
+    # each leaf deg=1, sum_ndeg=3
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 1], pa.int64()),
+            "b": pa.array([2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        analytics.avg_neighbor_degree(_ds(tbl))
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [
+        [1, 3, 3], [2, 1, 3], [3, 1, 3], [4, 1, 3],
+    ]

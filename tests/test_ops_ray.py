@@ -2876,3 +2876,78 @@ def test_corr_pairs_exact_sums(ray_session):
     assert (r.cx, r.cy, r.n, r.sx, r.sy, r.sxx, r.syy, r.sxy) == (
         "x", "y", 3, 6, 12, 14, 56, 28,
     )
+
+
+def test_cross_corr_daily_known_shift(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # A active on days 0,1; B active on days 1,2 (2 events day 2).
+    day = np.array([0, 1, 1, 2, 2], "datetime64[D]")
+    tbl = pa.table(
+        {
+            "k": pa.array(["A", "A", "B", "B", "B"]),
+            "ts": pa.array(day.astype("datetime64[us]")),
+        }
+    )
+    out = (
+        ops.cross_corr_daily(_ds(tbl), "k", "ts", "A", "B", max_lag=2)
+        .to_pandas().sort_values("lag").reset_index(drop=True)
+    )
+    # a=[1,1,0], b=[0,1,2]; dot(0)=1, dot(1)=1*1+1*2=3, dot(2)=2
+    assert out["lag"].tolist() == [0, 1, 2]
+    assert out["dot"].tolist() == [1, 3, 2]
+    assert out["sa"].tolist() == [2, 2, 1]
+    assert out["sb"].tolist() == [3, 3, 2]
+    assert out["n_days"].tolist() == [3, 2, 1]
+
+
+def test_seasonal_dow_anomaly_calendar_occurrences(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # span = 8 days starting Thursday 1970-01-01 (dow (0+4)%7 = 4):
+    # the starting weekday occurs twice (day 0 and 7), others once.
+    day = np.array([0, 0, 7], "datetime64[D]")
+    tbl = pa.table(
+        {
+            "k": pa.array(["x", "x", "x"]),
+            "ts": pa.array(day.astype("datetime64[us]")),
+        }
+    )
+    out = (
+        ops.seasonal_dow_anomaly(_ds(tbl), "k", "ts")
+        .to_pandas().sort_values("d").reset_index(drop=True)
+    )
+    # daily: d0 n=2, d7 n=1; dow=4 both; dow_total=3; dow_days=2
+    assert out["dow"].tolist() == [4, 4]
+    assert out["dow_days"].tolist() == [2, 2]
+    assert out["dow_total"].tolist() == [3, 3]
+    assert out["anom_num"].tolist() == [2 * 2 - 3, 1 * 2 - 3]
+
+
+def test_interarrival_single_event_null_gaps(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    ts = np.array([1_000_000, 3_000_000, 3_000_000, 9_000_000],
+                  "datetime64[us]")
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    out = (
+        ops.interarrival_stats(_ds(tbl), "u", "ts", n_buckets=4)
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    r1 = out.iloc[0]
+    assert (r1.n_events, r1.span_us, r1.min_gap_us, r1.max_gap_us) == (
+        3, 2_000_000, 0, 2_000_000,
+    )
+    r2 = out.iloc[1]
+    assert r2.n_events == 1 and r2.span_us == 0
+    import pandas as pd
+
+    assert pd.isna(r2.min_gap_us) and pd.isna(r2.max_gap_us)
