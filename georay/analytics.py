@@ -2856,6 +2856,7 @@ def market_basket(
     proj = ds.select_columns([group_col, item_col])
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()  # NULL basket/item rows are excluded
         g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         it = group[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
         order, _, _ = _group_starts(g, it)

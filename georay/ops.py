@@ -7437,6 +7437,7 @@ def pr_curve(
     score via ``floor(x·q + 0.5)``."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL label/score rows are excluded
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch[score_col].to_numpy(zero_copy_only=False)
         if quantize is not None:
@@ -7504,6 +7505,7 @@ def calibration_bins(
     the corpus never shuffles."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL label/score rows are excluded
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
         sq = np.floor(x * quantize + 0.5).astype(np.int64)
@@ -7556,6 +7558,7 @@ def contingency_profile(
     the ``dev`` column and compute it downstream in big ints."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL-category rows are excluded
         r = batch[row_col]
         c = batch[col_col]
         out = pa.table({"r": r, "c": c}).group_by(["r", "c"]).aggregate(
@@ -7631,6 +7634,7 @@ def activity_islands(
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()  # NULL key/ts rows are excluded
         k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group[ts_col].to_numpy(zero_copy_only=False)
         d = ts.astype("datetime64[D]").astype(np.int64)
@@ -7718,14 +7722,19 @@ def corr_pairs(
 
     def partial(batch: pa.Table) -> pa.Table:
         qv = {}
+        ok = {}
         for c, q in cols.items():
             x = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
-            qv[c] = np.floor(x * q + 0.5).astype(np.int64)
+            ok[c] = ~np.isnan(x)
+            qv[c] = np.floor(np.where(ok[c], x, 0.0) * q + 0.5).astype(np.int64)
         rows = {"cx": [], "cy": [], "partial_n": [], "partial_sx": [],
                 "partial_sy": [], "partial_sxx": [], "partial_syy": [],
                 "partial_sxy": []}
         for cx, cy in pairs:
-            x, y = qv[cx], qv[cy]
+            # pairwise-complete: a row enters a pair's stats only when
+            # BOTH columns are non-null (pandas corr convention)
+            m = ok[cx] & ok[cy]
+            x, y = qv[cx][m], qv[cy][m]
             rows["cx"].append(cx)
             rows["cy"].append(cy)
             rows["partial_n"].append(x.shape[0])
@@ -7787,6 +7796,7 @@ def cross_corr_daily(
     vectorized."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL key/ts rows are excluded
         k = batch[key_col].to_numpy(zero_copy_only=False)
         d = (
             batch[ts_col].to_numpy(zero_copy_only=False)
@@ -7882,6 +7892,7 @@ def seasonal_dow_anomaly(
     the event stream never shuffles."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL key/ts rows are excluded
         k = batch[key_col].to_numpy(zero_copy_only=False)
         d = (
             batch[ts_col].to_numpy(zero_copy_only=False)
@@ -7977,6 +7988,7 @@ def interarrival_stats(
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()  # NULL key/ts rows are excluded
         k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if k.shape[0] == 0:

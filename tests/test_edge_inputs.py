@@ -605,3 +605,52 @@ def test_dissolve_area_edges(ray_session):
     assert ops.dissolve_area(
         rd.from_arrow(empty), "g", "x1", "y1", "x2", "y2"
     ).count() == 0
+
+
+def test_round4_batch34_null_payloads(ray_session):
+    """NULL keys/timestamps/scores are EXCLUDED (documented) across the
+    round-4 batch-3/4 ops instead of corrupting the int casts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    # pr_curve: null score + null label rows dropped
+    t = pa.table(
+        {
+            "label": pa.array([1, None, 0, 1], pa.int64()),
+            "score": pa.array([2.0, 1.0, None, 1.0], pa.float64()),
+        }
+    )
+    out = ops.pr_curve(rd.from_arrow(t), "label", "score", quantize=1.0) \
+        .to_pandas().sort_values("s", ascending=False)
+    assert out["tp"].tolist() == [1, 2] and out["fp"].tolist() == [0, 0]
+
+    # corr_pairs: pairwise-complete exclusion
+    t = pa.table(
+        {
+            "x": pa.array([1.0, None, 3.0], pa.float64()),
+            "y": pa.array([2.0, 4.0, None], pa.float64()),
+        }
+    )
+    r = ops.corr_pairs(rd.from_arrow(t), {"x": 1.0, "y": 1.0}) \
+        .to_pandas().iloc[0]
+    assert (r.n, r.sx, r.sy, r.sxy) == (1, 1, 2, 2)
+
+    # islands / interarrival: null ts rows dropped
+    ts = pa.array([np.datetime64(0, "us"), None], pa.timestamp("us"))
+    t = pa.table({"u": pa.array([7, 7], pa.int64()), "ts": ts})
+    isl = ops.activity_islands(rd.from_arrow(t), "u", "ts", n_buckets=2) \
+        .to_pandas()
+    assert isl["n_days"].tolist() == [1]
+    ia = ops.interarrival_stats(rd.from_arrow(t), "u", "ts", n_buckets=2) \
+        .to_pandas()
+    assert ia["n_events"].tolist() == [1]
+
+    # contingency: null category rows dropped
+    t = pa.table(
+        {"r": pa.array(["a", None, "b"]), "c": pa.array(["x", "y", None])}
+    )
+    cp = ops.contingency_profile(rd.from_arrow(t), "r", "c").to_pandas()
+    assert cp["n"].tolist() == [1] and cp["obs"].tolist() == [1]
