@@ -2250,10 +2250,12 @@ def kcore_peel(
         # their column schema through to_pandas in Ray 2.49
         # (parallelism-dependent; ROUND_NOTES quirk), so the empty case
         # returns a typed pyarrow Table directly (the
-        # connected_components fast-path precedent).
-        if cur.count() == 0:
+        # connected_components fast-path precedent). The emptiness test
+        # rides the (small) degree table instead of a separate
+        # full-edge count pass: zero degree rows ⟺ zero edges.
+        deg = degree_table(cur).materialize()
+        if deg.count() == 0:
             return _empty_deg
-        deg = degree_table(cur)
         if degree_strategy == "partitioned":
             # attach survival flags through co-shuffles; drop the edge
             # when either endpoint's degree is below k
@@ -2319,9 +2321,10 @@ def kcore_peel(
                 keep, batch_format="pyarrow", zero_copy_batch=True,
                 batch_size=None,
             ).materialize()
-    if cur.count() == 0:
+    deg = degree_table(cur).materialize()
+    if deg.count() == 0:
         return _empty_deg
-    return degree_table(cur)
+    return deg
 
 
 def _rename_edges(
