@@ -8061,3 +8061,180 @@ def interarrival_stats(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def window_trend(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols: str | list[str],
+    value_col: str,
+    w: int = 5,
+    quantize: float = 100.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-row rolling TREND: the exact OLS slope of the quantized
+    value against within-key row position over the trailing ``w``-row
+    window — one row per event with the rational
+    ``slope = slope_num / slope_den`` where
+    ``slope_num = n·Σjv − Σj·Σv`` and ``slope_den = n·Σj² − (Σj)²``
+    (all int64; ``slope_den = 0`` for single-row windows). The
+    is-this-metric-rising primitive for alerting pipelines, exact so
+    the SQL twin (five window sums over ROWS BETWEEN w−1 PRECEDING) is
+    bit-identical.
+
+    One key-hash bucket shuffle; inside a bucket all five trailing sums
+    are segmented-cumsum differences — no per-row Python. Overflow
+    budget: requires ``w · max|v_q| · rows_per_key < 2^63``."""
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    proj = ds.select_columns([key, *order_list, value_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_trend requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()  # NULL key/order/value rows are excluded
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        n = k.shape[0]
+        if n == 0:
+            cols = {key: pa.array([], pa.int64())}
+            for c in order_list:
+                cols[c] = g[c]
+            cols["slope_num"] = pa.array([], pa.int64())
+            cols["slope_den"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.repeat(starts, np.diff(np.append(starts, n)))
+        j = np.arange(n, dtype=np.int64) - seg  # within-key position
+
+        def trailing(vals: np.ndarray) -> np.ndarray:
+            c = np.cumsum(vals)
+            base = np.repeat(c[starts] - vals[starts], np.diff(np.append(starts, n)))
+            P = c - base  # segmented inclusive prefix sum
+            out = P.copy()
+            far = j >= w  # window fully inside: subtract prefix at i-w
+            idx = np.arange(n, dtype=np.int64) - w
+            out[far] = P[far] - P[idx[far]]
+            return out
+
+        cnt = np.minimum(j + 1, w)
+        sx = trailing(j)
+        sy = trailing(v)
+        sxx = trailing(j * j)
+        sxy = trailing(j * v)
+        cols = {key: pa.array(k, pa.int64())}
+        for c in order_list:
+            cols[c] = g[c]
+        cols["slope_num"] = pa.array(cnt * sxy - sx * sy, pa.int64())
+        cols["slope_den"] = pa.array(cnt * sxx - sx * sx, pa.int64())
+        return pa.table(cols)
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def window_burst(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key BURST detection: the maximum number of events falling in
+    any trailing ``window_us``-microsecond time window —
+    ``(key, peak_count, n_events)``. Peers at the same timestamp all
+    count (SQL RANGE-frame semantics, so the
+    ``COUNT(*) OVER (... RANGE window_us−1 PRECEDING)`` twin is
+    bit-identical). The rate-limit / anomaly-burst primitive.
+
+    One key-hash bucket shuffle; inside a bucket the per-row window
+    count is TWO vectorized ``searchsorted`` calls over the
+    key-offset-packed timestamp array (the ``cusum_alarms`` packing,
+    same 2^62 guard with a per-key fallback), then a per-key max."""
+    proj = ds.select_columns([key, ts_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("window_burst requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()  # NULL key/ts rows are excluded
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = k.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "peak_count": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((ts, k))
+        k, ts = k[o], ts[o]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        kid = np.cumsum(first) - 1
+        lo, hi = int(ts.min()), int(ts.max())
+        span = np.int64(hi - lo + window_us + 2)
+        nkeys = int(first.sum())
+        if nkeys * int(span) < (1 << 62):
+            packed = (ts - lo) + kid * span
+            left = np.searchsorted(packed, packed - (window_us - 1), side="left")
+            right = np.searchsorted(packed, packed, side="right")
+            cnt = (right - left).astype(np.int64)
+        else:  # degenerate span — per-key segments (rare)
+            starts = np.flatnonzero(first)
+            cnt = np.empty(n, np.int64)
+            for a, b in zip(starts, np.append(starts[1:], n)):
+                t = ts[a:b]
+                l_ = np.searchsorted(t, t - (window_us - 1), side="left")
+                r_ = np.searchsorted(t, t, side="right")
+                cnt[a:b] = r_ - l_
+        ks, vs = _group_reduce(
+            [k],
+            {"peak_count": cnt, "n_events": np.ones(n, np.int64)},
+            ufunc={"peak_count": np.maximum, "n_events": np.add},
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "peak_count": pa.array(vs["peak_count"], pa.int64()),
+                "n_events": pa.array(vs["n_events"], pa.int64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

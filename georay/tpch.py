@@ -11539,6 +11539,71 @@ FROM g GROUP BY user_id
 """
 
 
+_TREND_W = 5
+
+
+def q_window_trend(sf_dir: str):
+    """Per-event rolling trend: exact OLS slope rational of value
+    (cents) against within-user row position over the trailing 5 rows
+    (ops.window_trend — five segmented-cumsum differences in one
+    key-bucket shuffle; SQL twin is five ROWS-frame window sums)."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return ops.window_trend(
+        ev, "user_id", ["ts", "event_id"], "value", w=_TREND_W, quantize=100.0
+    )
+
+
+SQL_WINDOW_TREND = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              - 1 AS BIGINT) AS j
+  FROM events
+)
+SELECT user_id, ts, event_id,
+  CAST(cnt * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(cnt * sxx - sx * sx AS BIGINT) AS slope_den
+FROM (
+  SELECT user_id, ts, event_id,
+    COUNT(*) OVER win AS cnt, SUM(j) OVER win AS sx, SUM(v) OVER win AS sy,
+    SUM(j * j) OVER win AS sxx, SUM(j * v) OVER win AS sxy
+  FROM x
+  WINDOW win AS (PARTITION BY user_id ORDER BY j
+                 ROWS BETWEEN {_TREND_W - 1} PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+_BURST_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def q_window_burst(sf_dir: str):
+    """Per-user burst detection: the max number of events in any
+    trailing 1-hour window (ops.window_burst — two packed searchsorted
+    sweeps per bucket; RANGE-frame peer semantics so the SQL twin is
+    bit-identical)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ops.window_burst(ev, "user_id", "ts", window_us=_BURST_WINDOW_US)
+
+
+SQL_WINDOW_BURST = f"""
+WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+c AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY t
+                        RANGE BETWEEN {_BURST_WINDOW_US - 1} PRECEDING
+                        AND CURRENT ROW) AS cnt
+  FROM x
+)
+SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS peak_count,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM c GROUP BY user_id
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11619,6 +11684,8 @@ QUERIES = {
     "seasonal_dow": q_seasonal_dow,
     "neighbor_degree": q_neighbor_degree,
     "interarrival": q_interarrival,
+    "window_trend": q_window_trend,
+    "window_burst": q_window_burst,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11883,6 +11950,8 @@ ORACLE = {
     "seasonal_dow": SQL_SEASONAL_DOW,
     "neighbor_degree": SQL_NEIGHBOR_DEGREE,
     "interarrival": SQL_INTERARRIVAL,
+    "window_trend": SQL_WINDOW_TREND,
+    "window_burst": SQL_WINDOW_BURST,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -2951,3 +2951,40 @@ def test_interarrival_single_event_null_gaps(ray_session):
     import pandas as pd
 
     assert pd.isna(r2.min_gap_us) and pd.isna(r2.max_gap_us)
+
+
+def test_window_trend_known_slope(ray_session):
+    import pyarrow as pa
+
+    # single key, values 10,20,30 with w=2: window sums over (j, v):
+    # row0: n=1 -> den=0; row1: j={0,1} v={10,20}: num=2*20-1*30=10, den=2*1-1=1
+    # row2: j={1,2} v={20,30}: num=2*(20+60)-3*50=10, den=2*5-9=1
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1], pa.int64()),
+            "t": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0], pa.float64()),
+        }
+    )
+    out = (
+        ops.window_trend(_ds(tbl), "k", ["t"], "v", w=2, quantize=1.0,
+                         n_buckets=2)
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    assert out["slope_num"].tolist() == [0, 10, 10]
+    assert out["slope_den"].tolist() == [0, 1, 1]
+
+
+def test_window_burst_peer_timestamps(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # key 1: events at t=0,5,5,100 with window 10 -> peak 3 (0,5,5);
+    # RANGE peers: the row at t=5 counts BOTH t=5 rows.
+    ts = np.array([0, 5, 5, 100], "datetime64[us]")
+    tbl = pa.table(
+        {"u": pa.array([1, 1, 1, 1], pa.int64()), "ts": pa.array(ts)}
+    )
+    out = ops.window_burst(_ds(tbl), "u", "ts", window_us=10, n_buckets=2) \
+        .to_pandas()
+    assert out.values.tolist() == [[1, 3, 4]]
