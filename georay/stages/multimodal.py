@@ -461,11 +461,14 @@ class ChannelStatsPartial:
 
 
 def corpus_channel_stats(
-    ds: ray.data.Dataset, concurrency=(2, 8)
+    ds: ray.data.Dataset, concurrency=(2, 8), raw: bool = False
 ) -> "pa.Table":
     """(channel, mean, std, n_pixels) over the whole image corpus — one
     streaming decode pass, exact integer partials, combine-tree merge.
-    Deterministic bit-for-bit (integer sums are order-free)."""
+    Deterministic bit-for-bit (integer sums are order-free).
+    ``raw=True`` skips the float finish and returns the exact integer
+    sufficient statistics ``(channel, s, s2, n)`` instead — the form
+    the constant oracle pins."""
     from georay.ops import tree_sum
 
     parts = ds.map_batches(
@@ -480,6 +483,10 @@ def corpus_channel_stats(
         {"partial_s": "s", "partial_s2": "s2", "partial_n": "n"},
         int_cols=("partial_s", "partial_s2", "partial_n"),
     )
+    if raw:
+        return pa.concat_tables(
+            merged.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("channel")
     t = pa.concat_tables(
         merged.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("channel")

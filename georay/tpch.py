@@ -11604,6 +11604,97 @@ FROM c GROUP BY user_id
 """
 
 
+def q_image_channel_stats(sf_dir: str):
+    """Corpus per-channel normalization constants (the mean/std every
+    vision-pretraining run computes) over the deterministic 1000-image
+    table, as EXACT integer sufficient statistics (channel, s, s2, n):
+    actor-pool decode partials + combine tree
+    (stages.multimodal.corpus_channel_stats raw form). Deterministic
+    input ⇒ constant oracle."""
+    import tempfile
+
+    from georay import generate
+    from georay.stages import multimodal
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    return multimodal.corpus_channel_stats(
+        rd.read_parquet(cache, columns=["bytes", "fmt", "w", "h"]),
+        concurrency=2, raw=True,
+    )
+
+
+def q_image_exact_dedup(sf_dir: str):
+    """Exact byte-level image dedup — the first rung of the image dedup
+    ladder (exact → phash banding ``image_neardup`` → DCT
+    ``dct_image_neardup``): md5-of-(fmt, bytes) fingerprint per row
+    (hash cost dominates the per-blob loop), then the standard
+    hash-partitioned first-seen dedup (ops.dedup_exact, keep lowest
+    id). The generator plants ~1% byte-identical duplicates (shared
+    content key + w/h/fmt), so the survivor count is a fixed constant.
+    Output one row: (n_rows, n_unique, n_dup_rows)."""
+    import hashlib
+    import tempfile
+
+    from georay import generate
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    ds = rd.read_parquet(cache, columns=["image_id", "bytes", "fmt"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], dtype=np.int64
+        )
+        fps = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(f.encode() + b"\x00" + d).digest()[:8],
+                    "little", signed=True,
+                )
+                for f, d in zip(
+                    batch["fmt"].to_pylist(), batch["bytes"].to_pylist()
+                )
+            ),
+            np.int64, count=ids.shape[0],
+        )
+        return pa.table(
+            {"rid": pa.array(ids), "fingerprint": pa.array(fps)}
+        )
+
+    fds = ds.map_batches(
+        fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    n_rows = 1000
+    n_unique = ops.dedup_exact(fds, "fingerprint", keep_col="rid").count()
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_unique": pa.array([n_unique], pa.int64()),
+            "n_dup_rows": pa.array([n_rows - n_unique], pa.int64()),
+        }
+    )
+
+
+# constant oracles: the image generator is fixed-seed deterministic
+# (same convention as SQL_IMAGE_PIPELINE / SQL_IMAGE_PATCHES)
+SQL_IMAGE_CHANNEL_STATS = """
+SELECT 0 AS channel, 163837562 AS s, 27862625610 AS s2, 1288448 AS n
+UNION ALL SELECT 1, 163842454, 27861631920, 1288448
+UNION ALL SELECT 2, 163706262, 27828850264, 1288448
+"""
+
+SQL_IMAGE_EXACT_DEDUP = (
+    "SELECT 1000 AS n_rows, 992 AS n_unique, 8 AS n_dup_rows"
+)
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11686,6 +11777,8 @@ QUERIES = {
     "interarrival": q_interarrival,
     "window_trend": q_window_trend,
     "window_burst": q_window_burst,
+    "image_channel_stats": q_image_channel_stats,
+    "image_exact_dedup": q_image_exact_dedup,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -11952,6 +12045,8 @@ ORACLE = {
     "interarrival": SQL_INTERARRIVAL,
     "window_trend": SQL_WINDOW_TREND,
     "window_burst": SQL_WINDOW_BURST,
+    "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
+    "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,
