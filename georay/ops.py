@@ -8238,3 +8238,148 @@ def window_burst(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def conversion_lag(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    from_type,
+    to_type,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Time-to-convert per key, exact int64 microseconds: the lag from
+    the key's FIRST ``from_type`` event to the first ``to_type`` event
+    STRICTLY AFTER it — one ``(key, lag_us)`` row per key that
+    converts (the funnel-latency companion to ``funnel``'s counts).
+
+    One key-hash bucket shuffle; inside a bucket both firsts are
+    ``_group_reduce`` mins (the to-side filtered by a searchsorted
+    attach of the from-side first) — no per-key Python."""
+    proj = ds.select_columns([key, ts_col, type_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("conversion_lag requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = group[type_col].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                key: pa.array([], pa.int64()),
+                "lag_us": pa.array([], pa.int64()),
+            }
+        )
+        ma = t == from_type
+        if not ma.any():
+            return empty
+        ka, va = _group_reduce([k[ma]], {"t0": ts[ma]}, ufunc={"t0": np.minimum})
+        a_keys, a_first = ka[0], va["t0"]
+        mb = t == to_type
+        kb, tb = k[mb], ts[mb]
+        pos = np.searchsorted(a_keys, kb)
+        hit = (pos < a_keys.shape[0]) & (
+            a_keys[np.minimum(pos, a_keys.shape[0] - 1)] == kb
+        )
+        after = np.zeros(kb.shape[0], dtype=bool)
+        after[hit] = tb[hit] > a_first[pos[hit]]
+        if not after.any():
+            return empty
+        kc, vc = _group_reduce(
+            [kb[after]], {"t1": tb[after]}, ufunc={"t1": np.minimum}
+        )
+        lag = vc["t1"] - a_first[np.searchsorted(a_keys, kc[0])]
+        return pa.table(
+            {
+                key: pa.array(kc[0], pa.int64()),
+                "lag_us": pa.array(lag, pa.int64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def debounce_count(
+    ds: ray.data.Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Debounce survivorship per key: an event is KEPT when it is the
+    key's first or arrives more than ``window_us`` after the PREVIOUS
+    EVENT (gap-based debounce — well-defined under timestamp ties, and
+    exactly SQL's ``gap IS NULL OR gap > w`` over a LAG window) —
+    output ``(key, n_events, n_kept)``. The dedup-noise estimator for
+    at-least-once event streams. One key-hash bucket shuffle,
+    vectorized diffs."""
+    proj = ds.select_columns([key, ts_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("debounce_count requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_null()
+        k = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = k.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        o = np.lexsort((ts, k))
+        k, ts = k[o], ts[o]
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        first[1:] = k[1:] != k[:-1]
+        gap = np.empty(n, np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        kept = (first | (gap > window_us)).astype(np.int64)
+        ks, vs = _group_reduce(
+            [k], {"n_events": np.ones(n, np.int64), "n_kept": kept}
+        )
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "n_events": pa.array(vs["n_events"], pa.int64()),
+                "n_kept": pa.array(vs["n_kept"], pa.int64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -11695,6 +11695,137 @@ SQL_IMAGE_EXACT_DEDUP = (
 )
 
 
+def q_conversion_lag(sf_dir: str):
+    """Funnel latency: per user, exact µs from the FIRST view to the
+    first purchase strictly after it (ops.conversion_lag — one
+    key-bucket shuffle, two vectorized first-reduces)."""
+    ev = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_type"]
+    )
+    return ops.conversion_lag(
+        ev, "user_id", "ts", "event_type", "view", "purchase"
+    )
+
+
+SQL_CONVERSION_LAG = """
+WITH a AS (
+  SELECT user_id, MIN(CAST(epoch_us(ts) AS BIGINT)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+b AS (
+  SELECT e.user_id, MIN(CAST(epoch_us(e.ts) AS BIGINT)) AS t
+  FROM events e JOIN a ON a.user_id = e.user_id
+   AND CAST(epoch_us(e.ts) AS BIGINT) > a.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT a.user_id, CAST(b.t - a.t AS BIGINT) AS lag_us
+FROM a JOIN b USING (user_id)
+"""
+
+
+_DEBOUNCE_US = 600_000_000  # 10 minutes
+
+
+def q_debounce(sf_dir: str):
+    """Debounce survivorship per user: events kept when >10 min after
+    the previous one (ops.debounce_count — gap-based, tie-safe; SQL
+    twin is one LAG window)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+    return ops.debounce_count(ev, "user_id", "ts", window_us=_DEBOUNCE_US)
+
+
+SQL_DEBOUNCE = f"""
+WITH x AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events),
+g AS (
+  SELECT user_id,
+         t - LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM x
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (gap IS NULL OR gap > {_DEBOUNCE_US}) AS BIGINT)
+         AS n_kept
+FROM g GROUP BY user_id
+"""
+
+
+def q_rfm(sf_dir: str):
+    """RFM customer profile, exact: per customer the recency (days
+    since their last order vs the corpus max date), order frequency and
+    monetary total in cents — one combine tree with per-column add/max
+    reducers, recency attached in the final one-task sweep."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(np.int64)
+        )
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            .astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [c],
+            {"partial_f": np.ones(c.shape[0], np.int64),
+             "partial_m": cents, "partial_d": d},
+            ufunc={"partial_f": np.add, "partial_m": np.add,
+                   "partial_d": np.maximum},
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(ks[0], pa.int64()),
+                "partial_f": pa.array(vs["partial_f"], pa.int64()),
+                "partial_m": pa.array(vs["partial_m"], pa.int64()),
+                "partial_d": pa.array(vs["partial_d"], pa.int64()),
+            }
+        )
+
+    merged = ops.tree_reduce(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_custkey"],
+        {"partial_f": "frequency", "partial_m": "monetary_cents",
+         "partial_d": "last_day"},
+        ufunc={"partial_f": np.add, "partial_m": np.add,
+               "partial_d": np.maximum},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch["last_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = int(last.max()) if last.shape[0] else 0
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "recency_days": pa.array(mx - last, pa.int64()),
+                "frequency": batch["frequency"],
+                "monetary_cents": batch["monetary_cents"],
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+SQL_RFM = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders)
+SELECT o_custkey,
+       CAST(datediff('day', MAX(CAST(o_orderdate AS DATE)), mx.m) AS BIGINT)
+         AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT))
+            AS BIGINT) AS monetary_cents
+FROM orders CROSS JOIN mx
+GROUP BY o_custkey, mx.m
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11779,6 +11910,9 @@ QUERIES = {
     "window_burst": q_window_burst,
     "image_channel_stats": q_image_channel_stats,
     "image_exact_dedup": q_image_exact_dedup,
+    "conversion_lag": q_conversion_lag,
+    "debounce": q_debounce,
+    "rfm": q_rfm,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -12047,6 +12181,9 @@ ORACLE = {
     "window_burst": SQL_WINDOW_BURST,
     "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
+    "conversion_lag": SQL_CONVERSION_LAG,
+    "debounce": SQL_DEBOUNCE,
+    "rfm": SQL_RFM,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -2988,3 +2988,36 @@ def test_window_burst_peer_timestamps(ray_session):
     out = ops.window_burst(_ds(tbl), "u", "ts", window_us=10, n_buckets=2) \
         .to_pandas()
     assert out.values.tolist() == [[1, 3, 4]]
+
+
+def test_conversion_lag_strictly_after(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # user 1: A at t=10, B at t=10 (tie — excluded) and t=30 -> lag 20.
+    # user 2: B before any A only -> no row. user 3: A only -> no row.
+    ts = np.array([10, 10, 30, 5, 8, 50], "datetime64[us]")
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array(ts),
+            "t": pa.array(["A", "B", "B", "B", "A", "A"]),
+        }
+    )
+    out = ops.conversion_lag(
+        _ds(tbl), "u", "ts", "t", "A", "B", n_buckets=4
+    ).to_pandas()
+    assert out.values.tolist() == [[1, 20]]
+
+
+def test_debounce_count_gap_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    # gaps: first kept; 5 <= w dropped; 11 > w kept; tie (0) dropped
+    ts = np.array([0, 5, 16, 16], "datetime64[us]")
+    tbl = pa.table({"u": pa.array([1, 1, 1, 1], pa.int64()),
+                    "ts": pa.array(ts)})
+    out = ops.debounce_count(_ds(tbl), "u", "ts", window_us=10,
+                             n_buckets=2).to_pandas()
+    assert out.values.tolist() == [[1, 4, 2]]
