@@ -197,6 +197,15 @@ def run_bench() -> dict:
     timed_ext("kcore_partitioned", lambda: tpch.q_kcore_partitioned(SF_DIR).count())
     timed_ext("decayed_sum", lambda: tpch.q_decayed_sum(SF_DIR).count())
     timed_ext("idw", lambda: tpch.q_idw(SF_DIR).count())
+    timed_ext("market_basket", lambda: tpch.q_market_basket(SF_DIR).count())
+    timed_ext("hits", lambda: tpch.q_hits(SF_DIR).count())
+    timed_ext(
+        "sssp_partitioned", lambda: tpch.q_sssp_partitioned(SF_DIR).count()
+    )
+    timed_ext("window_trend", lambda: tpch.q_window_trend(SF_DIR).count())
+    timed_ext("window_burst", lambda: tpch.q_window_burst(SF_DIR).count())
+    timed_ext("pr_curve", lambda: tpch.q_pr_curve(SF_DIR).count())
+    timed_ext("rfm", lambda: tpch.q_rfm(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
