@@ -3522,7 +3522,10 @@ def sessionize(
 
         def per_bucket_str(group: pa.Table) -> pa.Table:
             group = group.drop_columns(["_bucket"])
-            sort_keys = [(key, "ascending"), (ts, "ascending")]
+            sort_keys = [(key, "ascending")] + [
+                (c, "ascending")
+                for c in ([ts] if isinstance(ts, str) else list(ts))
+            ]
             if order_tiebreak:
                 sort_keys.append((order_tiebreak, "ascending"))
             g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
@@ -3648,7 +3651,7 @@ def sessionize(
 def window_lag(
     ds: ray.data.Dataset,
     key: str,
-    ts: str,
+    ts: str | list[str],
     value_col: str,
     out_col: str = "lag_value",
     order_tiebreak: str | None = None,
@@ -3674,7 +3677,10 @@ def window_lag(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_bucket"])
-        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending")
+            for c in ([ts] if isinstance(ts, str) else list(ts))
+        ]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
@@ -3770,7 +3776,7 @@ def window_rank(
 def window_cumsum(
     ds: ray.data.Dataset,
     key: str,
-    ts: str,
+    ts: str | list[str],
     value_col: str,
     out_col: str = "running_sum",
     order_tiebreak: str | None = None,
@@ -3796,7 +3802,10 @@ def window_cumsum(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_bucket"])
-        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending")
+            for c in ([ts] if isinstance(ts, str) else list(ts))
+        ]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
@@ -3847,7 +3856,7 @@ def window_cumsum(
 def window_moving_sum(
     ds: ray.data.Dataset,
     key: str,
-    ts: str,
+    ts: str | list[str],
     value_col: str,
     window_rows: int,
     out_col: str = "moving_sum",
@@ -3873,7 +3882,10 @@ def window_moving_sum(
 
     def per_bucket(group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_bucket"])
-        sort_keys = [(key, "ascending"), (ts, "ascending")]
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending")
+            for c in ([ts] if isinstance(ts, str) else list(ts))
+        ]
         if order_tiebreak:
             sort_keys.append((order_tiebreak, "ascending"))
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
