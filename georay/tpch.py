@@ -11826,6 +11826,143 @@ GROUP BY o_custkey, mx.m
 """
 
 
+_SKEW_TOP = 20
+
+
+def q_skew_profile(sf_dir: str):
+    """Shuffle-safety diagnostic for a join/groupby key: the top-20
+    hottest l_partkey values with their row counts, each row carrying
+    the corpus totals (n_total, n_distinct) — hot/total is the skew
+    ratio that decides between a plain co-shuffle and a salted or
+    broadcast plan. One combine tree + one sweep over the (bounded)
+    key histogram; deterministic selection (count DESC, key)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [k], {"partial_n": np.ones(k.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    hist = ops.tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_partkey"], {"partial_n": "n"}, int_cols=("partial_n",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = int(n.sum())
+        dis = int(k.shape[0])
+        o = np.lexsort((k, -n))[:_SKEW_TOP]
+        return pa.table(
+            {
+                "l_partkey": pa.array(k[o], pa.int64()),
+                "n": pa.array(n[o], pa.int64()),
+                "n_total": pa.array(np.full(o.shape[0], tot), pa.int64()),
+                "n_distinct": pa.array(np.full(o.shape[0], dis), pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+WITH h AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct FROM h)
+SELECT l_partkey, n, tot.n_total, tot.n_distinct
+FROM h CROSS JOIN tot
+ORDER BY n DESC, l_partkey LIMIT {_SKEW_TOP}
+"""
+
+
+_INCR_CUTOFF = "1995-01-01"
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental aggregate maintenance — the avoid-rescanning-the-
+    base pattern: a per-returnflag (count, quantity-sum) aggregate
+    'persisted' from the pre-cutoff base is UPDATED by merging the
+    post-cutoff delta's partials through the same combine tree, never
+    rescanning base rows (aggregate states union, then one tree_sum —
+    exactly how a 100 TB nightly feed maintains its rollups). Must
+    equal the full recompute, which is the oracle."""
+    cutoff_us = int(np.datetime64(_INCR_CUTOFF, "us").astype(np.int64))
+    li = lambda: rd.read_parquet(  # noqa: E731
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+    )
+
+    def partial_side(older: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            t = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            m = t < cutoff_us if older else t >= cutoff_us
+            f = batch["l_returnflag"].to_numpy(zero_copy_only=False)[m]
+            q = np.floor(
+                batch["l_quantity"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)[m] + 0.5
+            ).astype(np.int64)
+            ks, vs = ops._group_reduce(
+                [f],
+                {"partial_n": np.ones(q.shape[0], np.int64), "partial_q": q},
+            )
+            return pa.table(
+                {
+                    "l_returnflag": pa.array(ks[0]),
+                    "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                    "partial_q": pa.array(vs["partial_q"], pa.int64()),
+                }
+            )
+
+        return partial
+
+    def agg_states(older: bool):
+        return li().map_batches(
+            partial_side(older), batch_format="pyarrow",
+            zero_copy_batch=True, batch_size=None,
+        )
+
+    # the persisted base aggregate (small — materialized once, the
+    # stand-in for a stored rollup table)
+    base_state = ops.tree_sum(
+        agg_states(older=True), ["l_returnflag"],
+        {"partial_n": "partial_n", "partial_q": "partial_q"},
+        int_cols=("partial_n", "partial_q"),
+    ).materialize()
+    # incremental update: base STATE rows union the delta's partials —
+    # base data is never re-read
+    return ops.tree_sum(
+        base_state.union(agg_states(older=False)),
+        ["l_returnflag"],
+        {"partial_n": "n", "partial_q": "sum_qty"},
+        int_cols=("partial_n", "partial_q"),
+    )
+
+
+SQL_INCREMENTAL_AGG = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -11913,6 +12050,8 @@ QUERIES = {
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
+    "skew_profile": q_skew_profile,
+    "incremental_agg": q_incremental_agg,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -12184,6 +12323,8 @@ ORACLE = {
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
     "rfm": SQL_RFM,
+    "skew_profile": SQL_SKEW_PROFILE,
+    "incremental_agg": SQL_INCREMENTAL_AGG,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,
