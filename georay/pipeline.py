@@ -720,3 +720,113 @@ def bucketed_aggregate(
         pa.table({"b": pa.array(np.arange(n_buckets, dtype=np.int64))})
     ).repartition(n_buckets)
     return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=None)
+
+
+def write_sorted(
+    ds: rd.Dataset,
+    out_dir: str,
+    key: str,
+    n_ranges: int = 16,
+    key_to_int=None,
+) -> dict:
+    """Range-clustered table layout with ZONE MAPS: rows land in one
+    parquet directory per key range (equi-width splits over the global
+    [min, max] — swap in quantile splits for heavy skew), and a
+    manifest records each range's exact (min, max). A later range scan
+    (``read_range``) opens ONLY overlapping partitions — the file-skip
+    pruning every warehouse gets from clustering, here as a first-class
+    layout. ``key_to_int`` maps the key column to int64 (default: cast;
+    pass e.g. a timestamp→µs view for datetime keys).
+
+    Plan: one streaming min/max pass (combine tree of one row per
+    batch), split points broadcast into the partition-id map, one
+    partitioned write. Returns the manifest dict (also persisted as
+    ``_zonemap.json``)."""
+    import json
+
+    from georay.ops import tree_reduce
+
+    to_int = key_to_int or (
+        lambda col: col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        v = to_int(batch[key])
+        if v.shape[0] == 0:
+            return pa.table(
+                {"one": pa.array([], pa.int64()),
+                 "partial_lo": pa.array([], pa.int64()),
+                 "partial_hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "partial_lo": pa.array([int(v.min())], pa.int64()),
+                "partial_hi": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    mm = tree_reduce(
+        ds.map_batches(
+            mm_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["one"], {"partial_lo": "lo", "partial_hi": "hi"},
+        ufunc={"partial_lo": np.minimum, "partial_hi": np.maximum},
+    ).to_pandas()
+    if len(mm) == 0:
+        raise ValueError("write_sorted: empty input")
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        v = to_int(batch[key])
+        rid = np.clip((v - lo) // width, 0, n_ranges - 1)
+        return batch.append_column("krange", pa.array(rid, pa.int64()))
+
+    out = ds.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    out.write_parquet(out_dir, partition_cols=["krange"])
+    manifest = {
+        "key": key, "lo": lo, "hi": hi, "width": width,
+        "n_ranges": n_ranges,
+    }
+    with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_range(
+    out_dir: str,
+    lo: int,
+    hi: int,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, int, int]:
+    """Range scan over a ``write_sorted`` layout: opens ONLY the
+    partitions whose zone [min, max) overlaps ``[lo, hi)`` — I/O scales
+    with the selected range, not the table. Returns
+    ``(dataset, n_opened, n_total)`` so callers (and tests) can assert
+    the prune; rows still pass a residual exact filter (zone bounds are
+    coarse)."""
+    import glob as _glob
+    import json
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        m = json.load(f)
+    width, base = m["width"], m["lo"]
+    first = max(0, (lo - base) // width)
+    last = min(m["n_ranges"] - 1, (hi - 1 - base) // width)
+    dirs = [
+        d
+        for d in sorted(_glob.glob(os.path.join(out_dir, "krange=*")))
+        if first <= int(d.rsplit("=", 1)[1]) <= last
+    ]
+    n_total = len(_glob.glob(os.path.join(out_dir, "krange=*")))
+    files = sorted(
+        f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    ds = rd.read_parquet(files, columns=columns)
+    return ds, len(dirs), n_total

@@ -11963,6 +11963,76 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_sorted_range_scan(sf_dir: str):
+    """Zone-map pruned range scan: lineitem is written ONCE into the
+    range-clustered layout (pipeline.write_sorted on shipdate, 16
+    ranges + a min/max manifest), then the 1996 scan opens ONLY the
+    overlapping partitions (pipeline.read_range — I/O scales with the
+    selected range, not the table; prune asserted in pytest) with a
+    residual exact filter, and aggregates per returnflag. Must equal
+    the plain full-scan SQL."""
+    import tempfile
+
+    from georay import pipeline
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_sorted_lineitem_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(cache, "_zonemap.json")
+    if not os.path.exists(marker):
+        pipeline.write_sorted(
+            rd.read_parquet(
+                _t(sf_dir, "lineitem"),
+                columns=["l_returnflag", "l_quantity", "l_shipdate"],
+            ),
+            cache, "l_shipdate", n_ranges=16,
+        )
+    ds, n_opened, n_total = pipeline.read_range(
+        cache, _Y96_LO_US, _Y97_LO_US,
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (t >= _Y96_LO_US) & (t < _Y97_LO_US)  # residual exact filter
+        f = batch["l_returnflag"].to_numpy(zero_copy_only=False)[m]
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] + 0.5
+        ).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [f], {"partial_n": np.ones(q.shape[0], np.int64), "partial_q": q}
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(ks[0]),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_q": pa.array(vs["partial_q"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["l_returnflag"], {"partial_n": "n", "partial_q": "sum_qty"},
+        int_cols=("partial_n", "partial_q"),
+    )
+
+
+SQL_SORTED_RANGE_SCAN = f"""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Y96_LO_US}
+  AND epoch_us(l_shipdate) < {_Y97_LO_US}
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -12052,6 +12122,7 @@ QUERIES = {
     "rfm": q_rfm,
     "skew_profile": q_skew_profile,
     "incremental_agg": q_incremental_agg,
+    "sorted_range_scan": q_sorted_range_scan,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -12325,6 +12396,7 @@ ORACLE = {
     "rfm": SQL_RFM,
     "skew_profile": SQL_SKEW_PROFILE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

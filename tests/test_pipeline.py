@@ -258,3 +258,25 @@ def test_flagship_bucketed_cells_identical_output(images_dir, polygons, ray_sess
     hb = pd.read_parquet(f"{b_dir}/tile_histogram.parquet").sort_values(
         "tile_key").reset_index(drop=True)
     pd.testing.assert_frame_equal(ha, hb[ha.columns])
+
+
+def test_write_sorted_read_range_prunes(ray_session, tmp_path):
+    """Zone-map layout: a narrow range scan must open a strict subset
+    of partitions and still return exactly the rows in range."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    vals = np.arange(0, 1600, dtype=np.int64)
+    t = pa.table({"k": pa.array(vals), "payload": pa.array(vals * 2)})
+    out = str(tmp_path / "sorted")
+    m = pipeline.write_sorted(rd.from_arrow(t), out, "k", n_ranges=16)
+    assert m["lo"] == 0 and m["hi"] == 1599
+    ds, n_opened, n_total = pipeline.read_range(out, 200, 400)
+    assert n_total == 16 and 1 <= n_opened <= 3  # ~2 of 16 zones
+    got = ds.to_pandas()
+    # zones are coarse: the scan may return a superset of [200, 400)
+    ks = got["k"].to_numpy()
+    assert set(ks[(ks >= 200) & (ks < 400)]) == set(range(200, 400))
