@@ -11694,6 +11694,24 @@ SQL_IMAGE_EXACT_DEDUP = (
     "SELECT 1000 AS n_rows, 992 AS n_unique, 8 AS n_dup_rows"
 )
 
+# derived OUTSIDE the engine: DuckDB read of the parquet shards +
+# the _s2_parent_sql codec replica + COUNT(DISTINCT (phash>>56)&255)
+# per cell (999 tagged rows; 1 untagged excluded)
+SQL_CELL_PHASH_DIVERSITY = """
+SELECT * FROM (VALUES
+  (6607062128329228288, 146, 119),
+  (5035868808330346496,  58,  51),
+  (-6679682672320577536, 41,  37),
+  (6005831578075267072,  33,  30),
+  (5037557658190610432,  25,  25),
+  (-8835780993924202496, 18,  17),
+  (-4874302171698429952, 17,  17),
+  (3488882336328581120,  16,  16),
+  (6006957477982109696,  16,  15),
+  (1550645646699003904,  14,  13)
+) AS t(cell, n_images, n_bands)
+"""
+
 
 def q_conversion_lag(sf_dir: str):
     """Funnel latency: per user, exact µs from the FIRST view to the
@@ -12033,6 +12051,77 @@ GROUP BY 1
 """
 
 
+def q_cell_phash_diversity(sf_dir: str):
+    """Spatial × image fusion (the graft's two axes in one query):
+    per spatial cell of the image table's geotags, how many images
+    land there and how many DISTINCT perceptual-hash bands (the top
+    8 bits of phash64 — the first LSH band ``image_neardup`` buckets
+    on) — the near-dup-density-by-location map a dedup campaign uses
+    to pick which regions to sweep first (cells where bands << images
+    are dup-heavy). Top-10 cells by (n_images DESC, cell): cell
+    encode → one (cell, band)-dedup combine tree → one (cell) count
+    tree → sweep. Untagged images (null/NaN geotag → cell id 0, the
+    never-valid sentinel) are excluded. Deterministic input ⇒
+    constant oracle, independently derived in DuckDB from the parquet
+    shards via the ``_s2_parent_sql`` codec replica."""
+    import tempfile
+
+    from georay import generate
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    ds = rd.read_parquet(cache, columns=["geotag", "phash"])
+    ds = ops.add_cell_column(ds, geom_col="geotag", level=12, parent_level=6)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        c = batch["cell_parent"].to_numpy(zero_copy_only=False).astype(np.int64)
+        full = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = full != 0  # drop untagged (null/NaN geotag)
+        c, band = c[keep], (p[keep] >> 56) & 0xFF
+        ks, vs = ops._group_reduce(
+            [c, band], {"partial_one": np.ones(c.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "cell": pa.array(ks[0], pa.int64()),
+                "band": pa.array(ks[1], pa.int64()),
+                "partial_one": pa.array(vs["partial_one"], pa.int64()),
+            }
+        )
+
+    pairs = ops.tree_sum(
+        ds.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["cell", "band"], {"partial_one": "n"}, int_cols=("partial_one",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, ic = np.unique(c, return_inverse=True)
+        n_img = np.bincount(ic, weights=n).astype(np.int64)
+        n_bd = np.bincount(ic).astype(np.int64)  # rows = distinct bands
+        o = np.lexsort((uc, -n_img))[:10]
+        return pa.table(
+            {
+                "cell": pa.array(uc[o], pa.int64()),
+                "n_images": pa.array(n_img[o], pa.int64()),
+                "n_bands": pa.array(n_bd[o], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -12117,6 +12206,7 @@ QUERIES = {
     "window_burst": q_window_burst,
     "image_channel_stats": q_image_channel_stats,
     "image_exact_dedup": q_image_exact_dedup,
+    "cell_phash_diversity": q_cell_phash_diversity,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12390,6 +12480,7 @@ ORACLE = {
     "window_trend": SQL_WINDOW_TREND,
     "window_burst": SQL_WINDOW_BURST,
     "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
+    "cell_phash_diversity": SQL_CELL_PHASH_DIVERSITY,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
