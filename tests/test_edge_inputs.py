@@ -654,3 +654,83 @@ def test_round4_batch34_null_payloads(ray_session):
     )
     cp = ops.contingency_profile(rd.from_arrow(t), "r", "c").to_pandas()
     assert cp["n"].tolist() == [1] and cp["obs"].tolist() == [1]
+
+
+def test_empty_inputs_remaining_partitioned_twins(ray_session):
+    """r4 session-4 sweep: the partitioned twins the earlier empty-input
+    test did not cover (interval count, nearest-segment snap, equality
+    join in every how) must return the right empty/null-padded shape
+    with an empty probe side, an empty reference side, or both —
+    including payload columns surviving Ray 2.49's empty-partition
+    schema loss."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import joins
+
+    def D(t):
+        return rd.from_arrow(t)
+
+    probes = pa.table({"ts": pa.array([100, 200], pa.int64())})
+    iv = pa.table({"start": pa.array([90], pa.int64())})
+    assert ops.interval_join_count_partitioned(
+        D(probes.slice(0, 0)), D(iv), "ts", "start", width_us=50
+    ).count() == 0
+    rows = sorted(
+        ops.interval_join_count_partitioned(
+            D(probes), D(iv.slice(0, 0)), "ts", "start", width_us=50
+        ).take_all(),
+        key=lambda r: r["ts"],
+    )
+    assert [(r["ts"], r["n_matches"]) for r in rows] == [(100, 0), (200, 0)]
+    assert ops.interval_join_count_partitioned(
+        D(probes.slice(0, 0)), D(iv.slice(0, 0)), "ts", "start", width_us=50
+    ).count() == 0
+
+    pts = pa.table({
+        "pid": pa.array([1], pa.int64()),
+        "lon": pa.array([0.0]), "lat": pa.array([0.0]),
+    })
+    segs = pa.table({
+        "seg_id": pa.array([7], pa.int64()),
+        "ax": pa.array([0.0]), "ay": pa.array([1.0]),
+        "bx": pa.array([1.0]), "by": pa.array([1.0]),
+    })
+    for l, r in [
+        (pts.slice(0, 0), segs),
+        (pts, segs.slice(0, 0)),
+        (pts.slice(0, 0), segs.slice(0, 0)),
+    ]:
+        assert joins.nearest_segment_join_partitioned(
+            D(l), D(r), max_radius=2.0
+        ).count() == 0
+
+    lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "lv": pa.array([10, 20], pa.int64())})
+    rt = pa.table({"k": pa.array([2, 3], pa.int64()),
+                   "rv": pa.array([5, 6], pa.int64())})
+    for how, n_empty_left, n_empty_right in [
+        # outer keeps the unmatched RIGHT rows when the left is empty
+        ("inner", 0, 0), ("left", 0, 2), ("outer", 2, 2),
+        ("semi", 0, 0), ("anti", 0, 2),
+    ]:
+        got_l = ops.equi_join_partitioned(
+            D(lt.slice(0, 0)), D(rt), on="k", how=how
+        ).take_all()
+        assert len(got_l) == n_empty_left, how
+        if how == "outer":
+            assert sorted((r["k"], r["lv"], r["rv"]) for r in got_l) == [
+                (2, None, 5), (3, None, 6)
+            ]
+        got = ops.equi_join_partitioned(
+            D(lt), D(rt.slice(0, 0)), on="k", how=how
+        ).take_all()
+        assert len(got) == n_empty_right, how
+        if how in ("left", "outer"):
+            # right payload present and null-padded
+            assert sorted((r["k"], r["lv"], r["rv"]) for r in got) == [
+                (1, 10, None), (2, 20, None)
+            ], how
+        assert ops.equi_join_partitioned(
+            D(lt.slice(0, 0)), D(rt.slice(0, 0)), on="k", how=how
+        ).count() == 0
