@@ -519,6 +519,21 @@ def shuffle_coalesce(ds: ray.data.Dataset, target_blocks: int | None = None):
     return ds.repartition(target_blocks)
 
 
+def _quantize_i64(x: np.ndarray, quantize: float, op: str) -> np.ndarray:
+    """Exact int64 quantization shared by every integer-sufficient-stat
+    op: ``floor(x·q + 0.5)``. Raises on non-finite payloads — NaN/Inf →
+    int64 is UNDEFINED in numpy (surfaces as INT64_MIN) and would
+    silently corrupt the exact statistics downstream. Callers exclude
+    NULLs (SQL aggregate skip) BEFORE calling; a NaN that survives to
+    here is a genuine non-finite payload value."""
+    if not np.isfinite(x).all():
+        raise ValueError(
+            f"{op} requires finite values (NaN/Inf quantization to exact "
+            "int64 statistics is undefined)"
+        )
+    return np.floor(x * quantize + 0.5).astype(np.int64)
+
+
 def _group_reduce(key_arrs: list, val_arrs: dict, ufunc=np.add):
     """Vectorized grouped reduction: lexsort on the key columns + one
     ``ufunc.reduceat`` per value column (sum by default; any associative
@@ -1179,9 +1194,10 @@ def grouped_moments(
     pre-scale for wide-domain columns)."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[col]))  # SQL: NULLs skipped
         k = batch[key].to_numpy(zero_copy_only=False)
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "grouped_moments")
         ks, vs = _group_reduce(
             [k],
             {
@@ -1675,8 +1691,9 @@ def gini_exact(
     histogram — no intermediate overflow."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[col]))  # SQL: NULLs skipped
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "gini_exact")
         ks, vs = _group_reduce([v], {"partial_c": np.ones(v.shape[0], np.int64)})
         return pa.table(
             {"v": pa.array(ks[0], pa.int64()), "partial_c": pa.array(vs["partial_c"])}
@@ -3870,7 +3887,11 @@ def window_moving_sum(
     difference with the frame start clamped to each key's first row —
     exact for integer-valued doubles (the float-sum caveat of every
     windowed sum here). NULL payloads follow SQL SUM: skipped, and the
-    frame sum is NULL when every row in the frame is NULL."""
+    frame sum is NULL when every row in the frame is NULL. Non-finite
+    payloads follow SQL per-FRAME semantics: a frame containing a NaN
+    (or both +Inf and -Inf) sums to NaN, a frame containing only +Inf
+    (-Inf) sums to +Inf (-Inf) — frames PAST the non-finite row are
+    unaffected (a plain cumsum difference would poison them forever)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch, [key])
@@ -3898,6 +3919,12 @@ def window_moving_sum(
         v = varr.to_numpy(zero_copy_only=False).astype(np.float64)
         if isnull.any():
             v = np.where(isnull, 0.0, v)
+        nonfin = ~np.isfinite(v)
+        if nonfin.any():
+            isnan = np.isnan(v)
+            posinf = np.isposinf(v)
+            neginf = np.isneginf(v)
+            v = np.where(nonfin, 0.0, v)
         first = np.zeros(n, dtype=bool)
         if n:
             first[0] = True
@@ -3908,15 +3935,23 @@ def window_moving_sum(
         pos = np.arange(n, dtype=np.int64)
         start = np.maximum.accumulate(np.where(first, pos, 0))
         lower = np.maximum(pos - window_rows + 1, start)
+
+        def frame_count(flag: np.ndarray) -> np.ndarray:
+            c = np.cumsum(flag.astype(np.int64))
+            b = np.where(lower > 0, c[np.maximum(lower - 1, 0)], 0)
+            return c - np.where(lower == 0, 0, b)
+
         base = np.where(lower > 0, cum[np.maximum(lower - 1, 0)], 0.0)
         # lower == 0 means the frame starts at the global first row
         base = np.where(lower == 0, 0.0, base)
         out = cum - base
+        if nonfin.any():  # per-frame IEEE semantics, not cumsum poison
+            f_nan, f_pi, f_ni = map(frame_count, (isnan, posinf, neginf))
+            out = np.where(f_pi > 0, np.inf, out)
+            out = np.where(f_ni > 0, -np.inf, out)
+            out = np.where((f_nan > 0) | ((f_pi > 0) & (f_ni > 0)), np.nan, out)
         if isnull.any():  # SQL: NULL when the whole frame is NULL
-            nn = np.cumsum(~isnull)
-            nbase = np.where(lower > 0, nn[np.maximum(lower - 1, 0)], 0)
-            nbase = np.where(lower == 0, 0, nbase)
-            res = pa.array(out, pa.float64(), mask=(nn - nbase == 0))
+            res = pa.array(out, pa.float64(), mask=(frame_count(~isnull) == 0))
         else:
             res = pa.array(out, pa.float64())
         return g.append_column(out_col, res)
@@ -5240,7 +5275,13 @@ def window_range_sum(
         if isinstance(varr, pa.ChunkedArray):
             varr = varr.combine_chunks()
         isnull = np.asarray(pc.is_null(varr)) if n else np.zeros(0, bool)
-        v = pc.fill_null(varr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        vf = pc.fill_null(varr, 0).to_numpy(zero_copy_only=False)
+        if vf.dtype.kind == "f" and not np.isfinite(vf).all():
+            raise ValueError(
+                "window_range_sum requires finite values (exact integer "
+                "frame sums; NaN/Inf→int64 is undefined)"
+            )
+        v = vf.astype(np.int64)
         ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         if n == 0:
             return out_col, pa.array([], pa.int64())
@@ -6484,11 +6525,13 @@ def grouped_autocorr(
     )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # SQL skip: NULL-value rows leave the series (their neighbors pair)
+        group = group.filter(pc.is_valid(group[value_col]))
         sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         x = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "grouped_autocorr")
         if k.shape[0] < 2:
             return _empty
         same = k[1:] == k[:-1]
@@ -6544,8 +6587,9 @@ def hoover_exact(
     histogram in arbitrary-precision ints."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[col]))  # SQL: NULLs skipped
         x = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "hoover_exact")
         ks, vs = _group_reduce([v], {"partial_c": np.ones(v.shape[0], np.int64)})
         return pa.table(
             {"v": pa.array(ks[0], pa.int64()), "partial_c": pa.array(vs["partial_c"])}
@@ -6998,7 +7042,7 @@ def ks_statistic(
                 }
             )
         x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "ks_statistic")
         sa = np.asarray(pc.fill_null(pc.equal(sub[side_col], side_a), False))
         ks, vs = _group_reduce(
             [v],
@@ -7122,7 +7166,7 @@ def grouped_weighted_median(
         sub = batch.filter(keep)
         k = sub[key].to_numpy(zero_copy_only=False)
         x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "grouped_weighted_median")
         w = sub[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ks, vs = _group_reduce([k, v], {"partial_w": w})
         return pa.table(
@@ -7352,7 +7396,7 @@ def grouped_ks_vs_rest(
         sub = batch.filter(pc.is_valid(batch[value_col]))
         g = sub[group_col].to_numpy(zero_copy_only=False)
         x = sub[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "grouped_ks_vs_rest")
         ks, vs = _group_reduce(
             [g, v], {"partial_c": np.ones(g.shape[0], np.int64)}
         )
@@ -8114,7 +8158,7 @@ def window_trend(
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
         x = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = np.floor(x * quantize + 0.5).astype(np.int64)
+        v = _quantize_i64(x, quantize, "window_trend")
         n = k.shape[0]
         if n == 0:
             cols = {key: pa.array([], pa.int64())}

@@ -734,3 +734,70 @@ def test_empty_inputs_remaining_partitioned_twins(ray_session):
         assert ops.equi_join_partitioned(
             D(lt.slice(0, 0)), D(rt.slice(0, 0)), on="k", how=how
         ).count() == 0
+
+
+def test_nonfinite_payloads_window_and_quantized_ops(ray_session):
+    """r4 session-4 probe finds: (1) window_moving_sum used a plain
+    cumsum difference, so one NaN/Inf row poisoned every LATER frame —
+    SQL frame semantics poison only frames CONTAINING the row; (2) the
+    quantizing integer-sufficient-stat ops cast NaN→int64 (undefined,
+    INT64_MIN) silently — they now SQL-skip NULLs and raise on genuine
+    non-finite payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    nan, inf = float("nan"), float("inf")
+    t = pa.table({
+        "k": pa.array([1] * 7, pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 60, 70], pa.int64()),
+        "v": pa.array([1.0, nan, 2.0, inf, 4.0, -inf, 5.0]),
+    })
+    ms = (
+        ops.window_moving_sum(rd.from_arrow(t), "k", "ts", "v", window_rows=2)
+        .to_pandas().sort_values("ts")["moving_sum"].tolist()
+    )
+    # DuckDB: SUM OVER (ROWS 1 PRECEDING): per-frame IEEE, later frames clean
+    assert ms[0] == 1.0 and np.isnan(ms[1]) and np.isnan(ms[2])
+    assert ms[3] == inf and ms[4] == inf and ms[5] == -inf and ms[6] == -inf
+
+    # NULL/NaN mix: all-NULL frame → NULL; frame with NaN → NaN
+    t2 = pa.table({
+        "k": pa.array([1] * 4, pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([None, nan, None, 3.0], pa.float64()),
+    })
+    out = (
+        ops.window_moving_sum(rd.from_arrow(t2), "k", "ts", "v", window_rows=2)
+        .to_pandas().sort_values("ts")
+    )
+    col = out["moving_sum"]
+    assert col.iloc[3] == 3.0 and np.isnan(col.iloc[1]) and np.isnan(col.iloc[2])
+
+    # quantizing ops: NULL values SQL-skipped (were NaN-cast corruption)
+    t3 = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "v": pa.array([2.0, None, 4.0], pa.float64()),
+    })
+    gm = ops.grouped_moments(rd.from_arrow(t3), "k", "v").to_pandas()
+    assert gm["n"].tolist() == [2]
+    assert gm["sum_q"].tolist() == [600]  # quantize=100
+    g = ops.gini_exact(rd.from_arrow(t3), "v").to_pandas()
+    assert g["gini_den"].iloc[0] > 0  # folds only the 2 non-null values
+    h = ops.hoover_exact(rd.from_arrow(t3), "v").to_pandas()
+    assert h["hoover_num"].iloc[0] == 400  # |2·200−600| + |2·400−600|
+
+    # genuine NaN payload → loud error, not silent INT64_MIN
+    t4 = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1, 2], pa.int64()),
+        "v": pa.array([1.0, nan]),
+    })
+    with pytest.raises(Exception, match="finite"):
+        ops.grouped_moments(rd.from_arrow(t4), "k", "v").to_pandas()
+    with pytest.raises(Exception, match="finite"):
+        ops.window_trend(rd.from_arrow(t4), "k", "ts", "v", w=2).to_pandas()
+    with pytest.raises(Exception, match="finite"):
+        ops.window_range_sum(
+            rd.from_arrow(t4), "k", "ts", "v", range_us=10
+        ).to_pandas()
