@@ -2167,6 +2167,13 @@ def leg_crossings(
     )
 
     def per_bucket(group: pa.Table) -> pa.Table:
+        # NULL/NaN fixes drop; their neighbors become a direct leg (the
+        # movement-family convention — a crossing needs real endpoints)
+        fx = group[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = group[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(fx) & np.isfinite(fy)
+        if not fin.all():
+            group = group.filter(pa.array(fin))
         sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1908,6 +1908,11 @@ def rect_overlap_area(
     cx0, cy0, cx1, cy1 = rect_cols
 
     def _q(a: np.ndarray) -> np.ndarray:
+        if not np.isfinite(a).all():
+            raise ValueError(
+                "rect_overlap_area requires finite rect coordinates "
+                "(NaN/Inf quantization to int64 is undefined)"
+            )
         return np.floor(a * quantize + 0.5).astype(np.int64)
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -6178,11 +6178,16 @@ def roc_auc(
     a float score (``floor(x·q + 0.5)``); integer scores pass through."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()  # NULL label/score rows are excluded
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch[score_col].to_numpy(zero_copy_only=False)
         if quantize is not None:
-            s = np.floor(s.astype(np.float64) * quantize + 0.5).astype(np.int64)
+            s = _quantize_i64(s.astype(np.float64), quantize, "roc_auc")
         else:
+            if s.dtype.kind == "f" and not np.isfinite(s).all():
+                raise ValueError(
+                    "roc_auc requires finite scores (NaN/Inf→int64 undefined)"
+                )
             s = s.astype(np.int64)
         ks, vs = _group_reduce(
             [s], {"partial_p": y, "partial_n": (1 - y).astype(np.int64)}
@@ -6669,12 +6674,14 @@ def idw_grid(
     wmax = np.int64(1 << w_bits)
 
     def partial(batch: pa.Table) -> pa.Table:
-        px = np.floor(
-            batch[x_col].to_numpy(zero_copy_only=False) * quantize + 0.5
-        ).astype(np.int64)
-        py = np.floor(
-            batch[y_col].to_numpy(zero_copy_only=False) * quantize + 0.5
-        ).astype(np.int64)
+        x0 = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y0 = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.isfinite(x0) & np.isfinite(y0)  # NULL/NaN points excluded
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+            x0, y0 = x0[keep], y0[keep]
+        px = np.floor(x0 * quantize + 0.5).astype(np.int64)
+        py = np.floor(y0 * quantize + 0.5).astype(np.int64)
         v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
         d2 = (px[:, None] - qx[None, :]) ** 2 + (py[:, None] - qy[None, :]) ** 2
         inside = d2 <= r2
@@ -7497,8 +7504,12 @@ def pr_curve(
         y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
         s = batch[score_col].to_numpy(zero_copy_only=False)
         if quantize is not None:
-            s = np.floor(s.astype(np.float64) * quantize + 0.5).astype(np.int64)
+            s = _quantize_i64(s.astype(np.float64), quantize, "pr_curve")
         else:
+            if s.dtype.kind == "f" and not np.isfinite(s).all():
+                raise ValueError(
+                    "pr_curve requires finite scores (NaN/Inf→int64 undefined)"
+                )
             s = s.astype(np.int64)
         ks, vs = _group_reduce(
             [s], {"partial_p": y, "partial_n": (1 - y).astype(np.int64)}

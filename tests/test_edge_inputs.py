@@ -801,3 +801,59 @@ def test_nonfinite_payloads_window_and_quantized_ops(ray_session):
         ops.window_range_sum(
             rd.from_arrow(t4), "k", "ts", "v", range_us=10
         ).to_pandas()
+
+
+def test_nonfinite_scores_and_coords(ray_session):
+    """Companion sweep: roc_auc lacked pr_curve's drop_null (NULL rows
+    corrupted the histogram); both now raise on genuine NaN scores;
+    idw_grid and leg_crossings drop NULL/NaN points instead of
+    quantizing them to INT64_MIN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import analytics
+
+    nan = float("nan")
+    t = pa.table({
+        "y": pa.array([1, 0, None, 1], pa.int64()),
+        "s": pa.array([3.0, 1.0, 2.0, None], pa.float64()),
+    })
+    auc = ops.roc_auc(rd.from_arrow(t), "y", "s", quantize=1.0).to_pandas()
+    # only rows (y=1,s=3) and (y=0,s=1) survive: AUC = 1
+    assert (auc["auc_num"].iloc[0], auc["auc_den"].iloc[0]) == (2, 2)
+
+    bad = pa.table({
+        "y": pa.array([1, 0], pa.int64()),
+        "s": pa.array([1.0, nan]),
+    })
+    with pytest.raises(Exception, match="finite"):
+        ops.roc_auc(rd.from_arrow(bad), "y", "s", quantize=1.0).to_pandas()
+    with pytest.raises(Exception, match="finite"):
+        ops.pr_curve(rd.from_arrow(bad), "y", "s", quantize=1.0).to_pandas()
+
+    pts = pa.table({
+        "x": pa.array([0.0, nan, 0.1], pa.float64()),
+        "y": pa.array([0.0, 0.0, nan], pa.float64()),
+        "v": pa.array([5, 7, 9], pa.int64()),
+    })
+    g = ops.idw_grid(
+        rd.from_arrow(pts), "x", "y", "v", grid_res_deg=90.0, radius_deg=90.0
+    ).to_pandas()
+    # only the finite point contributes anywhere
+    assert (g["n_pts"] == 1).all() and len(g) > 0
+
+    tr = pa.table({
+        "u": pa.array([1] * 5, pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "x": pa.array([0.0, 2.0, nan, 0.0, 2.0]),
+        "y": pa.array([0.0, 2.0, 5.0, 2.0, 0.0]),
+    })
+    # one fence edge on the diagonal band x=1 (vertical line segment)
+    edges_q = np.array([[20, -20, 20, 60]], np.int64)  # x=1 quantized (q=20)
+    cr = analytics.leg_crossings(
+        rd.from_arrow(tr), "u", "ts", "x", "y", edges_q=edges_q
+    ).to_pandas()
+    # NaN fix dropped: legs (0,0)->(2,2), (2,2)->(0,2), (0,2)->(2,0);
+    # each properly crosses the x=1 fence once
+    assert cr["n_crossings"].tolist() == [3]
