@@ -11694,6 +11694,53 @@ SQL_IMAGE_EXACT_DEDUP = (
     "SELECT 1000 AS n_rows, 992 AS n_unique, 8 AS n_dup_rows"
 )
 
+# derived OUTSIDE the engine: DuckDB bit_count(xor(...)) over the
+# parquet shards, ROW_NUMBER() OVER (PARTITION BY probe ORDER BY dist,
+# rid) <= 5, probes = rids 0..4
+SQL_PHASH_KNN = """
+SELECT * FROM (VALUES
+  (0, 344, 20), (0, 984, 20), (0, 188, 21), (0, 312, 21), (0, 359, 21),
+  (1, 604, 21), (1, 898, 21), (1,   5, 22), (1,  43, 22), (1, 168, 22),
+  (2, 921, 19), (2, 166, 20), (2, 379, 20), (2, 606, 21), (2, 760, 21),
+  (3, 184, 19), (3, 671, 19), (3, 716, 19), (3,  78, 21), (3, 145, 21),
+  (4, 832, 18), (4, 710, 19), (4, 750, 19), (4, 718, 21), (4, 218, 22)
+) AS t(probe_id, rid, dist)
+"""
+
+# derived OUTSIDE the engine: DuckDB string_split of the normalized
+# captions joined to the _s2_parent_sql codec replica
+SQL_CAPTION_TERMS_BY_CELL = """
+SELECT * FROM (VALUES
+  (6607062128329228288, 'of', 61),
+  (6607062128329228288, 'a', 32),
+  (6607062128329228288, 'near', 32),
+  (6607062128329228288, 'photo', 32),
+  (6607062128329228288, 'straße', 31),
+  (6607062128329228288, 'überblick', 31),
+  (6607062128329228288, 'satellite', 29),
+  (6607062128329228288, 'tile', 29),
+  (6607062128329228288, 'view', 29),
+  (6607062128329228288, '—', 29)
+) AS t(cell, token, n)
+"""
+
+# derived OUTSIDE the engine: DuckDB octet_length/w·h sums joined to
+# the _s2_parent_sql codec replica, ORDER BY sum_bytes DESC, cell
+SQL_CELL_IMAGE_STATS = """
+SELECT * FROM (VALUES
+  (6607062128329228288, 146, 565422, 187648),
+  (5035868808330346496,  58, 223363,  74112),
+  (-6679682672320577536, 41, 148556,  49280),
+  (6005831578075267072,  33, 122696,  40704),
+  (5037557658190610432,  25, 103082,  34176),
+  (-8835780993924202496, 18,  96709,  32128),
+  (-4874302171698429952, 17,  89504,  29696),
+  (3488882336328581120,  16,  69341,  23040),
+  (1526438798701887488,  11,  61194,  20352),
+  (7121035435802886144,   8,  61170,  20352)
+) AS t(cell, n_images, sum_bytes, sum_pixels)
+"""
+
 # derived OUTSIDE the engine: DuckDB read of the parquet shards +
 # the _s2_parent_sql codec replica + COUNT(DISTINCT (phash>>56)&255)
 # per cell (999 tagged rows; 1 untagged excluded)
@@ -12122,6 +12169,201 @@ def q_cell_phash_diversity(sf_dir: str):
     )
 
 
+def _images_cache() -> str:
+    """The deterministic 1000-image table every image query shares
+    (seed 77, 2 shards); created once per host under /tmp."""
+    import tempfile
+
+    from georay import generate
+
+    cache = os.path.join(tempfile.gettempdir(), "georay_q_images_1000")
+    marker = os.path.join(cache, "_DONE")
+    if not os.path.exists(marker):
+        generate.write_images_dataset(cache, 1000, seed=77, rows_per_file=500)
+        open(marker, "w").write("ok")
+    return cache
+
+
+def q_phash_knn(sf_dir: str, k: int = 5, n_probes: int = 5):
+    """Bitwise approximate-nearest-neighbor on the image axis: for each
+    of ``n_probes`` probe images (the first image_ids — a fixed query
+    set, the ANN pattern), the ``k`` nearest OTHER images by phash64
+    Hamming distance (popcount of XOR — the metric ``image_neardup``
+    bands on). Brute-force exact baseline: the tiny probe phash matrix
+    broadcasts; each batch computes its popcount distance block
+    vectorized and ``group_top_k``'s map-side prune ships ≤ k rows per
+    (probe, batch) — the corpus never concentrates. Ties break on
+    (dist, rid). Deterministic input ⇒ constant oracle, derived in
+    DuckDB via bit_count(xor(...)) over the parquet shards."""
+    import pyarrow.parquet as _pq
+
+    from georay.stages.dedup import _popcount64
+
+    cache = _images_cache()
+    head = _pq.read_table(
+        os.path.join(cache, "images-00000.parquet"),
+        columns=["image_id", "phash"],
+    ).slice(0, n_probes)
+    probe_rid = np.array(
+        [int(s[3:]) for s in head["image_id"].to_pylist()], np.int64
+    )
+    probe_ph = head["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ds = rd.read_parquet(cache, columns=["image_id", "phash"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        rid = np.asarray(
+            [int(s[3:]) for s in batch["image_id"].to_pylist()], np.int64
+        )
+        ph = batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # (n, n_probes) popcount block
+        d = _popcount64(ph[:, None] ^ probe_ph[None, :])
+        pr = np.broadcast_to(probe_rid[None, :], d.shape).ravel()
+        rr = np.repeat(rid, probe_ph.shape[0])
+        dd = d.ravel()
+        keep = rr != pr  # a probe is not its own neighbour
+        return pa.table(
+            {
+                "probe_id": pa.array(pr[keep], pa.int64()),
+                "rid": pa.array(rr[keep], pa.int64()),
+                "dist": pa.array(dd[keep], pa.int64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.group_top_k(
+        cand, "probe_id", ["dist", "rid"], k, descending=False
+    )
+
+
+def q_caption_terms_by_cell(sf_dir: str):
+    """Text × geo fusion: the dominant caption vocabulary per spatial
+    cell — top-10 (cell, token) pairs by count (ties → smaller cell,
+    token) over level-6 cells of the image geotags, tokens in the
+    engine's canonical normalization (georay.stages.text._tokenize_flat
+    — the token_count oracle's regex). The what-do-people-photograph-
+    where signal a caption-conditioned curation pass keys on. One
+    (cell, token) combine tree; untagged images (cell id 0) excluded.
+    Constant oracle derived in DuckDB from the parquet shards via the
+    _s2_parent_sql codec replica + regexp token split."""
+    from georay.stages.text import _tokenize_flat
+
+    cache = _images_cache()
+    ds = rd.read_parquet(cache, columns=["geotag", "caption"])
+    ds = ops.add_cell_column(ds, geom_col="geotag", level=12, parent_level=6)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cap = batch["caption"]
+        if isinstance(cap, pa.ChunkedArray):
+            cap = cap.combine_chunks()
+        toks, counts = _tokenize_flat(cap)
+        cell = batch["cell_parent"].to_numpy(zero_copy_only=False)
+        full = batch["cell"].to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        t = toks.to_numpy(zero_copy_only=False)  # object array
+        c = cell[owner]
+        keep = (full[owner] != 0) & (np.char.str_len(t.astype(str)) > 0)
+        ks, vs = ops._group_reduce(
+            [c[keep], t[keep]],
+            {"partial_one": np.ones(int(keep.sum()), np.int64)},
+        )
+        return pa.table(
+            {
+                "cell": pa.array(ks[0], pa.int64()),
+                "token": pa.array(ks[1].astype(str)),
+                "partial_one": pa.array(vs["partial_one"], pa.int64()),
+            }
+        )
+
+    pairs = ops.tree_sum(
+        ds.map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["cell", "token"], {"partial_one": "n"}, int_cols=("partial_one",),
+    )
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["token"].to_numpy(zero_copy_only=False)
+        codes, uniq = _str_codes(t)
+        o = np.lexsort((codes, c, -n))[:10]
+        return pa.table(
+            {
+                "cell": pa.array(c[o], pa.int64()),
+                "token": pa.array(t[o].astype(str)),
+                "n": pa.array(n[o], pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+def _str_codes(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lexicographic integer codes for an object string array (sort
+    key for numpy lexsort without Python compares per pair)."""
+    uniq, codes = np.unique(t.astype(str), return_inverse=True)
+    return codes.astype(np.int64), uniq
+
+
+def q_cell_image_stats(sf_dir: str):
+    """Binary-payload × geo fusion: the per-cell storage/size profile a
+    tiling run capacity-plans with — per level-6 cell of the geotags:
+    image count, total ENCODED bytes (pc.binary_length on the opaque
+    blob — never decoded, the wide column never shuffles: only the
+    per-batch (cell, n, bytes, pixels) partials move) and total pixels
+    (w·h). Top-10 cells by (sum_bytes DESC, cell). Untagged images
+    excluded. Constant oracle derived in DuckDB (octet_length) via the
+    _s2_parent_sql codec replica."""
+    cache = _images_cache()
+    ds = rd.read_parquet(cache, columns=["geotag", "bytes", "w", "h"])
+    ds = ops.add_cell_column(ds, geom_col="geotag", level=12, parent_level=6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_parent"].to_numpy(zero_copy_only=False)
+        full = batch["cell"].to_numpy(zero_copy_only=False)
+        nb = pc.binary_length(batch["bytes"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = full != 0
+        ks, vs = ops._group_reduce(
+            [cell[keep]],
+            {
+                "partial_n": np.ones(int(keep.sum()), np.int64),
+                "partial_b": nb[keep],
+                "partial_p": (w * h)[keep],
+            },
+        )
+        return pa.table(
+            {
+                "cell": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_b": pa.array(vs["partial_b"], pa.int64()),
+                "partial_p": pa.array(vs["partial_p"], pa.int64()),
+            }
+        )
+
+    tot = ops.tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["cell"],
+        {"partial_n": "n_images", "partial_b": "sum_bytes",
+         "partial_p": "sum_pixels"},
+        int_cols=("partial_n", "partial_b", "partial_p"),
+    )
+    return ops.top_k(tot, ["sum_bytes", "cell"], 10,
+                     descending=[True, False])
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -12207,6 +12449,9 @@ QUERIES = {
     "image_channel_stats": q_image_channel_stats,
     "image_exact_dedup": q_image_exact_dedup,
     "cell_phash_diversity": q_cell_phash_diversity,
+    "phash_knn": q_phash_knn,
+    "caption_terms_by_cell": q_caption_terms_by_cell,
+    "cell_image_stats": q_cell_image_stats,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12481,6 +12726,9 @@ ORACLE = {
     "window_burst": SQL_WINDOW_BURST,
     "image_channel_stats": SQL_IMAGE_CHANNEL_STATS,
     "cell_phash_diversity": SQL_CELL_PHASH_DIVERSITY,
+    "phash_knn": SQL_PHASH_KNN,
+    "caption_terms_by_cell": SQL_CAPTION_TERMS_BY_CELL,
+    "cell_image_stats": SQL_CELL_IMAGE_STATS,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
