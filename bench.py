@@ -134,8 +134,13 @@ def run_bench() -> dict:
     # EXCLUDED from the headline total so `value` stays comparable
     # round-over-round with the original 9-query set
     ext: dict[str, float] = {}
+    # GEORAY_BENCH_SKIP_EXTENDED=1 runs only the 9 headline queries —
+    # for fast iteration on a contended host; the driver never sets it
+    skip_ext = os.environ.get("GEORAY_BENCH_SKIP_EXTENDED") == "1"
 
     def timed_ext(name, fn):
+        if skip_ext:
+            return
         t0 = time.perf_counter()
         fn()
         ext[name] = round(time.perf_counter() - t0, 3)

@@ -722,6 +722,142 @@ def bucketed_aggregate(
     return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=None)
 
 
+def write_postings(
+    ds: rd.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> list[str]:
+    """INVERTED-INDEX persistent layout: one (token, doc_id, tf) posting
+    per distinct token per document (canonical tokenizer —
+    ``stages.text._tokenize_flat``), hash-bucketed by TOKEN with the
+    engine's ``_key_hash`` and written one parquet directory per
+    bucket. The text-search sibling of ``write_bucketed``: a term
+    query's bucket set is computable from the terms alone, so
+    ``postings_search`` READS ONLY ≤ |terms| of the ``n_buckets``
+    partitions — at 100 TB the index scan cost is per-term, not
+    per-corpus. Tokenize + explode is one narrow ``map_batches`` (a
+    document's postings are built where its row lives; no pre-shuffle);
+    the one exchange is the write itself, paid once."""
+    from georay.ops import _group_reduce, _key_hash
+    from georay.stages.text import _tokenize_flat
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks, counts = _tokenize_flat(txt)
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        t = toks.to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        # distinct (doc, token) with term frequency — a doc lives in ONE
+        # row, so per-batch grouping is globally exact
+        ks, vs = _group_reduce(
+            [doc[owner][keep], t[keep]],
+            {"tf": np.ones(int(keep.sum()), np.int64)},
+        )
+        out = pa.table(
+            {
+                "token": pa.array(ks[1].astype(str)),
+                id_col: pa.array(ks[0]),
+                "tf": pa.array(vs["tf"], pa.int64()),
+            }
+        )
+        h = _key_hash(out, ["token"])
+        return out.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    post = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    post.write_parquet(out_dir, partition_cols=["bucket"])
+    # self-describing layout: a search MUST use the writer's bucket
+    # count and hash — a mismatched reader would silently miss terms
+    with open(os.path.join(out_dir, "_POSTINGS.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=")
+    )
+
+
+def postings_search(
+    postings_dir: str,
+    terms: list[str],
+    mode: str = "and",
+) -> rd.Dataset:
+    """Term search over a ``write_postings`` layout, reading ONLY the
+    buckets the query terms hash to (bucket-pruned scan — the layout's
+    payoff). ``mode="and"``: documents containing EVERY term (distinct
+    (doc, term) postings counted per doc, kept when the count equals
+    |set(terms)|); ``"or"``: documents containing any. Within each
+    pruned bucket the filter + partial runs vectorized; partials merge
+    through the combine tree — the corpus itself is never touched.
+    Bucket count and id column come from the layout's own
+    ``_POSTINGS.json`` manifest (a mismatched reader would silently
+    miss terms)."""
+    from georay.ops import _group_reduce, _key_hash, tree_sum
+
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be and|or, got {mode!r}")
+    with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
+        meta = json.load(f)
+    n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+    uniq_terms = sorted(set(terms))
+    tt = pa.table({"token": pa.array(uniq_terms, pa.string())})
+    tb = (_key_hash(tt, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+    files = [
+        f
+        for b in sorted(set(tb.tolist()))
+        for f in sorted(
+            glob.glob(os.path.join(postings_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    need = len(uniq_terms)
+
+    def empty() -> pa.Table:
+        st = pq.read_table(
+            _any_bucket(postings_dir), columns=[id_col]
+        ).slice(0, 0)
+        return pa.table({id_col: st[id_col]})
+
+    if not files:
+        return rd.from_arrow(empty())
+
+    scan = rd.read_parquet(files, columns=["token", id_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["token"], value_set=pa.array(uniq_terms))
+        sub = batch.filter(keep)
+        doc = sub[id_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce([doc], {"partial_t": np.ones(len(sub), np.int64)})
+        return pa.table(
+            {id_col: pa.array(ks[0]), "partial_t": pa.array(vs["partial_t"])}
+        )
+
+    totals = tree_sum(
+        scan.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [id_col], {"partial_t": "n_terms"}, int_cols=("partial_t",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if mode == "and":
+            batch = batch.filter(pc.equal(batch["n_terms"], need))
+        return batch.select([id_col])
+
+    return totals.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def write_sorted(
     ds: rd.Dataset,
     out_dir: str,

@@ -12364,6 +12364,39 @@ def q_cell_image_stats(sf_dir: str):
                      descending=[True, False])
 
 
+def q_postings_and(sf_dir: str):
+    """Conjunctive term search over the INVERTED-INDEX persistent
+    layout (pipeline.write_postings / postings_search): documents whose
+    text contains BOTH 'merge' AND 'window' (canonical tokenization).
+    The index is built once per sf dir (the pay-shuffle-once story for
+    text: the corpus is tokenized and bucketed by TOKEN hash at write
+    time); the search reads ONLY the ≤2 buckets the query terms hash
+    to — per-term scan cost, not per-corpus. Result: sorted doc_ids."""
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"georay_postings_{tag}")
+    marker = os.path.join(idx, "_POSTINGS.json")
+    if not os.path.exists(marker):
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+        pipeline.write_postings(docs, idx, n_buckets=16)
+    return pipeline.postings_search(idx, ["merge", "window"], mode="and")
+
+
+SQL_POSTINGS_AND = r"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+                      ' ') AS toks
+  FROM documents
+)
+WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "poly_centroid": q_poly_centroid,
@@ -12452,6 +12485,7 @@ QUERIES = {
     "phash_knn": q_phash_knn,
     "caption_terms_by_cell": q_caption_terms_by_cell,
     "cell_image_stats": q_cell_image_stats,
+    "postings_and": q_postings_and,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12729,6 +12763,7 @@ ORACLE = {
     "phash_knn": SQL_PHASH_KNN,
     "caption_terms_by_cell": SQL_CAPTION_TERMS_BY_CELL,
     "cell_image_stats": SQL_CELL_IMAGE_STATS,
+    "postings_and": SQL_POSTINGS_AND,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

