@@ -775,10 +775,62 @@ def write_postings(
         explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     post.write_parquet(out_dir, partition_cols=["bucket"])
+
+    # doclen side table, bucketed by DOC hash (candidate dl lookups in
+    # postings_bm25 co-read these partitions — only candidate rows ever
+    # shuffle), plus the two corpus scalars every BM25 query needs.
+    # dl follows bm25_topk's convention: raw _tokenize_flat counts (an
+    # empty doc contributes dl=1 via its single empty token), so the
+    # index-path scores are bit-identical to the full-scan path.
+    def doclen(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        _, counts = _tokenize_flat(txt)
+        out = pa.table(
+            {id_col: batch[id_col], "dl": pa.array(counts, pa.int64())}
+        )
+        h = _key_hash(out, [id_col])
+        return out.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    dl_ds = ds.map_batches(
+        doclen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    dl_dir = os.path.join(out_dir, "doclen")
+    dl_ds.write_parquet(dl_dir, partition_cols=["bucket"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "sum_dl": pa.array(
+                    [int(batch["dl"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    totals = dl_ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).take_all()
+    n_docs = int(sum(r["n_docs"] for r in totals))
+    sum_dl = int(sum(r["sum_dl"] for r in totals))
+
     # self-describing layout: a search MUST use the writer's bucket
     # count and hash — a mismatched reader would silently miss terms
     with open(os.path.join(out_dir, "_POSTINGS.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "id_col": id_col}, f)
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "id_col": id_col,
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+            },
+            f,
+        )
     return sorted(
         os.path.join(out_dir, d)
         for d in os.listdir(out_dir)
@@ -856,6 +908,165 @@ def postings_search(
     return totals.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def postings_bm25(
+    postings_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """BM25 top-k over a ``write_postings`` layout — the ranked twin of
+    ``postings_search`` and the INDEX path of ``stages.text.bm25_topk``
+    (same rational Robertson idf, same constants, same float operation
+    order), so both paths hash-match the same SQL oracle bit-for-bit.
+
+    Scale shape: the query terms' ≤|terms| buckets are the only index
+    partitions read (df per term = that bucket's posting count — the
+    postings are distinct (doc, token)); corpus N and Σdl come from the
+    manifest; the candidate rows (docs containing ≥1 term — the only
+    rows that can score > 0) co-shuffle ONCE by doc-hash bucket to pick
+    up their dl from the doclen partitions written alongside. Cost is
+    per-term postings volume, never per-corpus."""
+    from georay.ops import _group_reduce, _key_hash, top_k
+
+    with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
+        meta = json.load(f)
+    n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+    n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
+    if n_docs == 0:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    if len(set(query_terms)) != len(query_terms):
+        # bm25_topk would double-count a duplicated term; index_in maps
+        # to the first code, so the paths would silently diverge
+        raise ValueError("postings_bm25 requires distinct query terms")
+    terms = pa.array(list(query_terms), pa.string())
+    n_terms = len(query_terms)
+    tt = pa.table({"token": pa.array(sorted(set(query_terms)), pa.string())})
+    tb = (_key_hash(tt, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+    files = [
+        f
+        for bkt in sorted(set(tb.tolist()))
+        for f in sorted(
+            glob.glob(os.path.join(postings_dir, f"bucket={bkt}", "*.parquet"))
+        )
+    ]
+
+    def empty() -> rd.Dataset:
+        st = pq.read_table(
+            _any_bucket(postings_dir), columns=[id_col]
+        ).slice(0, 0)
+        return rd.from_arrow(
+            pa.table({id_col: st[id_col],
+                      "score": pa.array([], pa.float64())})
+        )
+
+    if not files:
+        return empty()
+
+    def cand(batch: pa.Table) -> pa.Table:
+        code = pc.fill_null(pc.index_in(batch["token"], value_set=terms), -1)
+        sub = batch.append_column("code", code.cast(pa.int64()))
+        sub = sub.filter(pc.greater_equal(sub["code"], 0))
+        out = pa.table(
+            {id_col: sub[id_col], "code": sub["code"], "tf": sub["tf"]}
+        )
+        h = _key_hash(out, [id_col])
+        return out.append_column(
+            "_dbucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    scan = rd.read_parquet(files, columns=["token", id_col, "tf"]).map_batches(
+        cand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()  # two consumers: df partials + the scoring shuffle
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = batch["code"].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce([c], {"partial_d": np.ones(len(batch), np.int64)})
+        return pa.table(
+            {"code": pa.array(ks[0]), "partial_d": pa.array(vs["partial_d"])}
+        )
+
+    from georay.ops import tree_sum
+
+    df_rows = tree_sum(
+        scan.map_batches(
+            df_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["code"], {"partial_d": "df"}, int_cols=("partial_d",),
+    ).take_all()
+    df = np.zeros(n_terms, np.int64)
+    for r in df_rows:
+        df[int(r["code"])] = int(r["df"])
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.array(
+        [
+            (float(n_docs - int(df[t])) + 0.5) / (float(int(df[t])) + 0.5)
+            for t in range(n_terms)
+        ]
+    )
+    k1 = float(k1)
+    one_minus_b = 1.0 - float(b)
+    bb = float(b)
+    k1p1 = k1 + 1.0
+    dl_dir = os.path.join(postings_dir, "doclen")
+
+    def score_bucket(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table(
+                {id_col: group[id_col],
+                 "score": pa.array([], pa.float64())}
+            )
+        bkt = int(group["_dbucket"][0].as_py())
+        dl_files = sorted(
+            glob.glob(os.path.join(dl_dir, f"bucket={bkt}", "*.parquet"))
+        )
+        dlt = pq.read_table(dl_files, columns=[id_col, "dl"])
+        # attach dl via Arrow hash join (candidates ⊆ doclen by
+        # construction; both sides bucketed with the same hash)
+        g = group.select([id_col, "code", "tf"]).join(
+            dlt, keys=[id_col], join_type="inner"
+        )
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        code = g["code"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = g["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # per-doc accumulation in TERM ORDER (bm25_topk adds terms
+        # t=0..T-1; absent terms add exactly 0.0, so summing present
+        # contributions in code order is bit-identical)
+        order = np.lexsort((code, doc))
+        doc, code, tf, dl = doc[order], code[order], tf[order], dl[order]
+        rat = dl / avgdl
+        denom = tf + k1 * (one_minus_b + bb * rat)
+        contrib = (idf[code] * (tf * k1p1)) / denom
+        n = doc.shape[0]
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            first[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        # accumulate per doc in TERM ORDER with one scalar add per
+        # (doc, term) — np.add.reduceat sums segments PAIRWISE, which
+        # is 1 ulp off bm25_topk's sequential s = s + contrib_t loop
+        s = np.zeros(starts.shape[0], np.float64)
+        for t in range(n_terms):
+            sel = code == t
+            s[seg[sel]] += contrib[sel]
+        return pa.table(
+            {id_col: pa.array(doc[starts]), "score": pa.array(s, pa.float64())}
+        )
+
+    scored = (
+        scan.groupby("_dbucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+    )
+    return top_k(scored, ["score", id_col], k, descending=[True, False])
 
 
 def write_sorted(

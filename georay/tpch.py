@@ -12372,6 +12372,17 @@ def q_postings_and(sf_dir: str):
     text: the corpus is tokenized and bucketed by TOKEN hash at write
     time); the search reads ONLY the ≤2 buckets the query terms hash
     to — per-term scan cost, not per-corpus. Result: sorted doc_ids."""
+    idx = _postings_cache(sf_dir)
+    from georay import pipeline
+
+    return pipeline.postings_search(idx, ["merge", "window"], mode="and")
+
+
+def _postings_cache(sf_dir: str) -> str:
+    """Shared per-sf-dir postings index under /tmp; rebuilt when the
+    manifest predates the current layout (missing corpus scalars)."""
+    import json
+    import shutil
     import tempfile
 
     from georay import pipeline
@@ -12379,11 +12390,30 @@ def q_postings_and(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(tempfile.gettempdir(), f"georay_postings_{tag}")
     marker = os.path.join(idx, "_POSTINGS.json")
-    if not os.path.exists(marker):
+    ok = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            ok = "n_docs" in json.load(f)
+    if not ok:
+        shutil.rmtree(idx, ignore_errors=True)
         docs = rd.read_parquet(_t(sf_dir, "documents"),
                                columns=["doc_id", "text"])
         pipeline.write_postings(docs, idx, n_buckets=16)
-    return pipeline.postings_search(idx, ["merge", "window"], mode="and")
+    return idx
+
+
+def q_bm25_indexed(sf_dir: str):
+    """BM25 through the INVERTED INDEX (pipeline.postings_bm25): the
+    same query, k, idf convention and float operation order as q_bm25's
+    full scan — the two paths share ONE oracle and must hash-match it
+    bit-for-bit. The scale difference: this path reads only the query
+    terms' postings buckets (df = bucket posting counts, corpus scalars
+    from the manifest) and co-shuffles only the candidate rows to pick
+    up their doc lengths — cost is per-term, never per-corpus."""
+    from georay import pipeline
+
+    return pipeline.postings_bm25(_postings_cache(sf_dir), BM25_TERMS,
+                                  k=BM25_K)
 
 
 SQL_POSTINGS_AND = r"""
@@ -12486,6 +12516,7 @@ QUERIES = {
     "caption_terms_by_cell": q_caption_terms_by_cell,
     "cell_image_stats": q_cell_image_stats,
     "postings_and": q_postings_and,
+    "bm25_indexed": q_bm25_indexed,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12764,6 +12795,7 @@ ORACLE = {
     "caption_terms_by_cell": SQL_CAPTION_TERMS_BY_CELL,
     "cell_image_stats": SQL_CELL_IMAGE_STATS,
     "postings_and": SQL_POSTINGS_AND,
+    "bm25_indexed": SQL_BM25,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

@@ -319,3 +319,45 @@ def test_postings_layout_roundtrip(ray_session, tmp_path):
     assert got(["merge", "window", "scan"], "or") == [1, 2, 3, 4]
     assert got(["nosuchterm"], "and") == []
     assert got(["nosuchterm"], "or") == []
+
+
+def test_postings_bm25_matches_full_scan(ray_session, tmp_path):
+    """The index path (postings_bm25) and the full-scan path
+    (stages.text.bm25_topk) must produce BIT-identical (doc_id, score)
+    top-k — same rational idf, same float operation order (reduceat's
+    pairwise summation was 1 ulp off and is deliberately avoided)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+    from georay.stages.text import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["spark", "hash", "window", "sort", "scan", "merge", "row"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 30)))
+        for _ in range(300)
+    ] + [""]  # empty doc: dl=1 via the empty token, never a candidate
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(301, dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    ds = rd.from_arrow(docs)
+    out = str(tmp_path / "idx")
+    pipeline.write_postings(ds, out, n_buckets=8)
+    terms = ["spark", "window", "merge"]
+    a = pd.DataFrame(bm25_topk(ds, terms, k=20).take_all()) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    b = pd.DataFrame(pipeline.postings_bm25(out, terms, k=20).take_all()) \
+        .sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert (
+        np.array(a["score"]).view(np.int64)
+        == np.array(b["score"]).view(np.int64)
+    ).all()
+    with pytest.raises(ValueError, match="distinct"):
+        pipeline.postings_bm25(out, ["spark", "spark"], k=5)
