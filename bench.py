@@ -168,6 +168,9 @@ def run_bench() -> dict:
     timed_ext("merge_upsert", lambda: tpch.q_merge_upsert(SF_DIR).count())
     timed_ext("weighted_sample", lambda: tpch.q_weighted_sample(SF_DIR).count())
     timed_ext("bm25", lambda: tpch.q_bm25(SF_DIR).count())
+    # index-path text search (first call pays the one-time index build)
+    timed_ext("bm25_indexed", lambda: tpch.q_bm25_indexed(SF_DIR).count())
+    timed_ext("postings_and", lambda: tpch.q_postings_and(SF_DIR).count())
     timed_ext("lm_score", lambda: tpch.q_lm_score(SF_DIR).count())
     timed_ext("triangles", lambda: tpch.q_triangles(SF_DIR).count())
     timed_ext("pagerank", lambda: tpch.q_pagerank(SF_DIR).count())
