@@ -826,6 +826,7 @@ def write_postings(
             {
                 "n_buckets": n_buckets,
                 "id_col": id_col,
+                "id_type": str(ds.schema().base_schema.field(id_col).type),
                 "n_docs": n_docs,
                 "sum_dl": sum_dl,
             },
@@ -872,14 +873,10 @@ def postings_search(
     ]
     need = len(uniq_terms)
 
-    def empty() -> pa.Table:
-        st = pq.read_table(
-            _any_bucket(postings_dir), columns=[id_col]
-        ).slice(0, 0)
-        return pa.table({id_col: st[id_col]})
-
     if not files:
-        return rd.from_arrow(empty())
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], _manifest_id_type(meta))})
+        )
 
     scan = rd.read_parquet(files, columns=["token", id_col])
 
@@ -910,6 +907,17 @@ def postings_search(
     )
 
 
+def _manifest_id_type(meta: dict) -> pa.DataType:
+    """Typed empty results for a postings layout with no bucket files
+    (empty corpus): the id dtype comes from the manifest, not from a
+    partition that may not exist."""
+    name = meta.get("id_type", "int64")
+    return {
+        "int64": pa.int64(), "int32": pa.int32(),
+        "string": pa.string(), "large_string": pa.large_string(),
+    }.get(name, pa.int64())
+
+
 def postings_bm25(
     postings_dir: str,
     query_terms: list[str],
@@ -937,7 +945,7 @@ def postings_bm25(
     n_docs, sum_dl = int(meta["n_docs"]), int(meta["sum_dl"])
     if n_docs == 0:
         return rd.from_arrow(
-            pa.table({id_col: pa.array([], pa.int64()),
+            pa.table({id_col: pa.array([], _manifest_id_type(meta)),
                       "score": pa.array([], pa.float64())})
         )
     if len(set(query_terms)) != len(query_terms):
@@ -956,17 +964,11 @@ def postings_bm25(
         )
     ]
 
-    def empty() -> rd.Dataset:
-        st = pq.read_table(
-            _any_bucket(postings_dir), columns=[id_col]
-        ).slice(0, 0)
+    if not files:
         return rd.from_arrow(
-            pa.table({id_col: st[id_col],
+            pa.table({id_col: pa.array([], _manifest_id_type(meta)),
                       "score": pa.array([], pa.float64())})
         )
-
-    if not files:
-        return empty()
 
     def cand(batch: pa.Table) -> pa.Table:
         code = pc.fill_null(pc.index_in(batch["token"], value_set=terms), -1)

@@ -361,3 +361,32 @@ def test_postings_bm25_matches_full_scan(ray_session, tmp_path):
     ).all()
     with pytest.raises(ValueError, match="distinct"):
         pipeline.postings_bm25(out, ["spark", "spark"], k=5)
+
+
+def test_postings_degenerate_corpora(ray_session, tmp_path):
+    """Empty corpus and string doc ids through the postings layout:
+    typed empty results come from the manifest (no bucket partition
+    exists to borrow a schema from)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    out = str(tmp_path / "empty")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    pipeline.write_postings(rd.from_arrow(empty), out, n_buckets=4)
+    assert pipeline.postings_search(out, ["x"], mode="and").take_all() == []
+    assert pipeline.postings_bm25(out, ["x"], k=3).take_all() == []
+
+    out2 = str(tmp_path / "strid")
+    docs = pa.table({"doc_id": pa.array(["a", "b"]),
+                     "text": pa.array(["x y", "y z"])})
+    pipeline.write_postings(rd.from_arrow(docs), out2, n_buckets=4)
+    assert sorted(
+        r["doc_id"]
+        for r in pipeline.postings_search(out2, ["y"], mode="and").take_all()
+    ) == ["a", "b"]
+    hits = pipeline.postings_bm25(out2, ["z"], k=3).take_all()
+    assert [r["doc_id"] for r in hits] == ["b"]
+    assert pipeline.postings_search(out2, ["qqq"], mode="and").take_all() == []
