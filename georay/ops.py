@@ -3230,6 +3230,98 @@ def asof_join_broadcast(
     )
 
 
+def asof_interpolate(
+    ds: ray.data.Dataset,
+    right: pa.Table,
+    left_key: str,
+    left_ts: str,
+    right_key: str,
+    right_ts: str,
+    right_val: str,
+    out_col: str = "interp",
+) -> ray.data.Dataset:
+    """Linear interpolation at query times from a bracketing sample
+    series (the sensor-alignment primitive a plain as-of join rounds
+    away): for each left row, the greatest right ts ≤ qt (backward) and
+    smallest right ts ≥ qt (forward) within the key bracket the query;
+    ``interp = bv + (fv − bv) · ((qt − bts) / (fts − bts))`` in exactly
+    that IEEE operation order (replicated verbatim in the SQL twin), or
+    ``bv`` when the brackets coincide (exact sample hit). INNER
+    semantics: rows without BOTH brackets are dropped. Duplicate right
+    timestamps per key are pre-reduced to MIN(value) inside the op
+    (deterministic, SQL ``MIN``), so the bracket value is well-defined.
+
+    Same scale shape as ``asof_join_broadcast``: the (small) series
+    broadcasts sorted + rank-compressed once; each batch probes with
+    two ``searchsorted`` calls — the big side never shuffles. For a
+    LARGE series run the same kernel per key-hash bucket (the
+    ``asof_join_partitioned`` plan)."""
+    rk0 = right[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+    rt0 = right[right_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rv0 = right[right_val].to_numpy(zero_copy_only=False).astype(np.float64)
+    # per-(key, ts) MIN(value): dedupe so each bracket has ONE value
+    order = np.lexsort((rv0, rt0, rk0))
+    rk1, rt1, rv1 = rk0[order], rt0[order], rv0[order]
+    first = np.ones(rk1.shape[0], dtype=bool)
+    if rk1.shape[0] > 1:
+        first[1:] = (rk1[1:] != rk1[:-1]) | (rt1[1:] != rt1[:-1])
+    # rows sorted by value within (key, ts): the first of each run IS
+    # the min
+    rk_s, rt_s, rv_s = rk1[first], rt1[first], rv1[first]
+    uniq_ts = np.unique(rt_s)
+    ranks = np.searchsorted(uniq_ts, rt_s)
+    shift = int(np.ceil(np.log2(max(len(uniq_ts), 2))))
+    comp = (rk_s << np.int64(shift)) | ranks.astype(np.int64)
+    payload = ray.put((comp, rt_s, rk_s, rv_s, uniq_ts, shift))
+
+    cache: dict = {}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        comp_r, rts, rks, rvs, u_ts, sh = cache.setdefault(
+            "p", ray.get(payload)
+        )
+        lk = batch[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = batch[left_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = lk.shape[0]
+        if n == 0 or len(comp_r) == 0:
+            return batch.slice(0, 0).append_column(
+                out_col, pa.array([], pa.float64())
+            )
+        # backward: greatest (key, ts-rank) ≤ (key, rank(qt))
+        r_up = np.searchsorted(u_ts, lt, side="right") - 1
+        pb = np.searchsorted(
+            comp_r, (lk << np.int64(sh)) | np.maximum(r_up, 0), side="right"
+        ) - 1
+        okb = (r_up >= 0) & (pb >= 0)
+        pbc = np.clip(pb, 0, len(comp_r) - 1)
+        okb &= (rks[pbc] == lk) & (rts[pbc] <= lt)
+        # forward: smallest (key, ts-rank) ≥ (key, rank(qt))
+        r_lo = np.searchsorted(u_ts, lt, side="left")
+        pf = np.searchsorted(
+            comp_r,
+            (lk << np.int64(sh)) | np.minimum(r_lo, max(len(u_ts) - 1, 0)),
+            side="left",
+        )
+        okf = (r_lo < len(u_ts)) & (pf < len(comp_r))
+        pfc = np.clip(pf, 0, len(comp_r) - 1)
+        okf &= (rks[pfc] == lk) & (rts[pfc] >= lt)
+        ok = okb & okf
+        bts, fts = rts[pbc[ok]], rts[pfc[ok]]
+        bv, fv = rvs[pbc[ok]], rvs[pfc[ok]]
+        qt = lt[ok]
+        same = fts == bts
+        den = np.where(same, 1, fts - bts).astype(np.float64)
+        ratio = (qt - bts).astype(np.float64) / den
+        v = np.where(same, bv, bv + (fv - bv) * ratio)
+        return batch.filter(pa.array(ok)).append_column(
+            out_col, pa.array(v, pa.float64())
+        )
+
+    return ds.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def asof_join_partitioned(
     ds: ray.data.Dataset,
     right: ray.data.Dataset,

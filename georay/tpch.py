@@ -12416,6 +12416,173 @@ def q_bm25_indexed(sf_dir: str):
                                   k=BM25_K)
 
 
+def q_areal_interp(sf_dir: str):
+    """AREAL INTERPOLATION (spatial disaggregation — the GIS transfer
+    of a value from source footprints to a target zoning): each
+    supplier's account balance (exact cents) spreads over the 30°
+    lat/lon grid proportionally to the overlap area of the supplier's
+    query rect (the rect_overlap footprints, 0.05° quantized units)
+    with each grid cell; per-cell totals are Σ trunc_div(bal_cents ·
+    overlap_q, rect_area_q) — truncate-toward-zero division per
+    (rect, cell) pair, matching DuckDB ``//`` so the oracle is
+    bit-exact. One narrow vectorized pass (the 72-cell target grid is
+    a compile-time constant — rects never shuffle) + one combine tree.
+    Output: non-zero cells (gi, gj, alloc_cents)."""
+    q = 20.0
+    gx = (np.arange(12, dtype=np.int64) * 600) - 3600  # 30°·20 units
+    gy = (np.arange(6, dtype=np.int64) * 600) - 1800
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bal = np.floor(
+            batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        sx = ((sk * 41) % 3600) / 10.0 - 180.0 + 0.05
+        sy = ((sk * 59) % 1700) / 10.0 - 85.0 + 0.05
+        rxmin = np.floor((sx - 1.3) * q + 0.5).astype(np.int64)
+        rymin = np.floor((sy - 0.7) * q + 0.5).astype(np.int64)
+        rxmax = np.floor((sx + 1.3) * q + 0.5).astype(np.int64)
+        rymax = np.floor((sy + 0.7) * q + 0.5).astype(np.int64)
+        area = (rxmax - rxmin) * (rymax - rymin)
+        # (n, 12) × (n, 6) clamp widths; outer-combine to (n, 72)
+        ow = np.maximum(
+            0,
+            np.minimum(rxmax[:, None], (gx + 600)[None, :])
+            - np.maximum(rxmin[:, None], gx[None, :]),
+        )
+        oh = np.maximum(
+            0,
+            np.minimum(rymax[:, None], (gy + 600)[None, :])
+            - np.maximum(rymin[:, None], gy[None, :]),
+        )
+        ovl = ow[:, :, None] * oh[:, None, :]  # (n, 12, 6)
+        num = bal[:, None, None] * ovl
+        den = area[:, None, None]
+        # truncate-toward-zero (DuckDB //): sign-aware floor division
+        mag = np.abs(num) // den
+        alloc = np.where(num < 0, -mag, mag)
+        cell_i = np.broadcast_to(
+            np.arange(12, dtype=np.int64)[None, :, None], alloc.shape
+        )
+        cell_j = np.broadcast_to(
+            np.arange(6, dtype=np.int64)[None, None, :], alloc.shape
+        )
+        nz = ovl > 0
+        ks, vs = ops._group_reduce(
+            [cell_i[nz], cell_j[nz]], {"partial_a": alloc[nz]}
+        )
+        return pa.table(
+            {
+                "gi": pa.array(ks[0], pa.int64()),
+                "gj": pa.array(ks[1], pa.int64()),
+                "partial_a": pa.array(vs["partial_a"], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"),
+                         columns=["s_suppkey", "s_acctbal"])
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.tree_sum(
+        parts, ["gi", "gj"], {"partial_a": "alloc_cents"},
+        int_cols=("partial_a",),
+    )
+
+
+SQL_AREAL_INTERP = f"""
+WITH rects AS (
+  SELECT CAST(floor(s_acctbal * 100.0e0 + 0.5e0) AS BIGINT) AS bal,
+         CAST(floor(({SUPP_SX} - 1.3) * 20.0e0 + 0.5e0) AS BIGINT) AS rxmin,
+         CAST(floor(({SUPP_SY} - 0.7) * 20.0e0 + 0.5e0) AS BIGINT) AS rymin,
+         CAST(floor(({SUPP_SX} + 1.3) * 20.0e0 + 0.5e0) AS BIGINT) AS rxmax,
+         CAST(floor(({SUPP_SY} + 0.7) * 20.0e0 + 0.5e0) AS BIGINT) AS rymax
+  FROM supplier
+),
+grid AS (
+  SELECT gi, gj, gi * 600 - 3600 AS gxmin, gj * 600 - 1800 AS gymin
+  FROM (SELECT UNNEST(generate_series(0, 11)) AS gi),
+       (SELECT UNNEST(generate_series(0, 5)) AS gj)
+),
+pairs AS (
+  SELECT g.gi, g.gj,
+         (LEAST(r.rxmax, g.gxmin + 600) - GREATEST(r.rxmin, g.gxmin))
+       * (LEAST(r.rymax, g.gymin + 600) - GREATEST(r.rymin, g.gymin)) AS ovl,
+         r.bal,
+         (r.rxmax - r.rxmin) * (r.rymax - r.rymin) AS area
+  FROM rects r JOIN grid g
+    ON r.rxmin < g.gxmin + 600 AND g.gxmin < r.rxmax
+   AND r.rymin < g.gymin + 600 AND g.gymin < r.rymax
+)
+SELECT gi, gj, CAST(SUM((bal * ovl) // area) AS BIGINT) AS alloc_cents
+FROM pairs GROUP BY gi, gj
+"""
+
+
+def q_asof_interp(sf_dir: str):
+    """Linearly interpolated purchase value at each view time
+    (ops.asof_interpolate — the sensor-alignment primitive): per user,
+    a view event's interp is the lerp between the bracketing purchase
+    samples; views outside the purchase envelope drop (inner). The
+    purchase series broadcasts once; the view stream never shuffles."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def views(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "view"))
+        return pa.table(
+            {"event_id": sub["event_id"], "user_id": sub["user_id"],
+             "ts": sub["ts"]}
+        )
+
+    q = ev.map_batches(views, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None)
+    import pyarrow.parquet as _pq
+
+    series = _pq.read_table(
+        _t(sf_dir, "events"), columns=["ts", "user_id", "event_type", "value"]
+    )
+    series = series.filter(pc.equal(series["event_type"], "purchase"))
+    out = ops.asof_interpolate(
+        q, series, left_key="user_id", left_ts="ts",
+        right_key="user_id", right_ts="ts", right_val="value",
+        out_col="interp",
+    )
+    return out.select_columns(["event_id", "interp"])
+
+
+SQL_ASOF_INTERP = """
+WITH series AS (
+  SELECT user_id, epoch_us(ts) AS ts, MIN(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)
+),
+q AS (
+  SELECT event_id, user_id, epoch_us(ts) AS qt
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT q.event_id, q.user_id, q.qt, MAX(s.ts) AS bts
+  FROM q JOIN series s ON s.user_id = q.user_id AND s.ts <= q.qt
+  GROUP BY q.event_id, q.user_id, q.qt
+),
+f AS (
+  SELECT q.event_id, MIN(s.ts) AS fts
+  FROM q JOIN series s ON s.user_id = q.user_id AND s.ts >= q.qt
+  GROUP BY q.event_id
+)
+SELECT b.event_id,
+       CASE WHEN f.fts = b.bts THEN sb.v
+            ELSE sb.v + (sf.v - sb.v)
+               * (CAST(b.qt - b.bts AS DOUBLE) / CAST(f.fts - b.bts AS DOUBLE))
+       END AS interp
+FROM b
+JOIN f USING (event_id)
+JOIN series sb ON sb.user_id = b.user_id AND sb.ts = b.bts
+JOIN series sf ON sf.user_id = b.user_id AND sf.ts = f.fts
+"""
+
+
 SQL_POSTINGS_AND = r"""
 SELECT doc_id FROM (
   SELECT doc_id,
@@ -12517,6 +12684,8 @@ QUERIES = {
     "cell_image_stats": q_cell_image_stats,
     "postings_and": q_postings_and,
     "bm25_indexed": q_bm25_indexed,
+    "areal_interp": q_areal_interp,
+    "asof_interp": q_asof_interp,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12796,6 +12965,8 @@ ORACLE = {
     "cell_image_stats": SQL_CELL_IMAGE_STATS,
     "postings_and": SQL_POSTINGS_AND,
     "bm25_indexed": SQL_BM25,
+    "areal_interp": SQL_AREAL_INTERP,
+    "asof_interp": SQL_ASOF_INTERP,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

@@ -3021,3 +3021,35 @@ def test_debounce_count_gap_rule(ray_session):
     out = ops.debounce_count(_ds(tbl), "u", "ts", window_us=10,
                              n_buckets=2).to_pandas()
     assert out.values.tolist() == [[1, 4, 2]]
+
+
+def test_asof_interpolate_brackets_and_ties(ray_session):
+    """Hand-checked lerp: exact sample hit returns the sample, interior
+    points lerp linearly, queries outside the envelope drop, duplicate
+    right timestamps reduce to MIN(value), NULL-free inner semantics."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    series = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([10, 20, 20, 30, 5], pa.int64()),
+        "v": pa.array([1.0, 9.0, 3.0, 7.0, 100.0]),
+    })
+    q = pa.table({
+        "qid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "k": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([10, 15, 20, 25, 35, 5], pa.int64()),
+    })
+    out = {
+        r["qid"]: r["interp"]
+        for r in ops.asof_interpolate(
+            rd.from_arrow(q), series, "k", "ts", "k", "ts", "v"
+        ).take_all()
+    }
+    # dup ts=20 -> MIN(9,3)=3; lerp 10->20 over (1,3); 20->30 over (3,7)
+    assert out[0] == 1.0          # exact hit
+    assert out[1] == 2.0          # 1 + (3-1)*0.5
+    assert out[2] == 3.0          # exact hit on deduped sample
+    assert out[3] == 5.0          # 3 + (7-3)*0.5
+    assert 5 in out and out[5] == 100.0  # single-sample key, exact hit
+    assert 4 not in out           # beyond the envelope: dropped
