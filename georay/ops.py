@@ -3591,6 +3591,70 @@ def interval_join_count_partitioned(
     )
 
 
+def late_event_stats(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    arrival_col: str,
+    window_us: int,
+    lateness_us: int,
+    out_window: str = "window_start",
+) -> ray.data.Dataset:
+    """Streaming late-data accounting (the Flink/Beam watermark
+    bookkeeping, as a batch-exact primitive): events fall into tumbling
+    EVENT-TIME windows ``floor(ts / window_us)``; an event is LATE when
+    its ARRIVAL time exceeds the window's close plus the allowed
+    lateness (``arrival > window_end + lateness_us`` — the moment a
+    watermark-driven executor would have sealed the pane). Per window:
+    total events, late events (the ones a streaming job would drop or
+    side-output), and the maximum arrival delay in µs (what the
+    watermark lag dashboard plots). One narrow vectorized pass + one
+    combine tree — the event stream never shuffles. NULL ts/arrival
+    rows are excluded (SQL aggregate skip). Timestamps must be
+    non-negative (numpy ``//`` floors, SQL ``//`` truncates — they
+    diverge before the epoch)."""
+    W = np.int64(window_us)
+    L = np.int64(lateness_us)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[ts_col]),
+                       pc.is_valid(batch[arrival_col]))
+        sub = batch.filter(keep)
+        ts = sub[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ar = sub[arrival_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // W) * W
+        late = ar > (win + W + L)
+        delay = ar - ts
+        ks, vs = _group_reduce(
+            [win],
+            {
+                "partial_n": np.ones(ts.shape[0], np.int64),
+                "partial_late": late.astype(np.int64),
+                "partial_maxd": delay,
+            },
+            ufunc={"partial_n": np.add, "partial_late": np.add,
+                   "partial_maxd": np.maximum},
+        )
+        return pa.table(
+            {
+                out_window: pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_late": pa.array(vs["partial_late"], pa.int64()),
+                "partial_maxd": pa.array(vs["partial_maxd"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return tree_reduce(
+        parts, [out_window],
+        {"partial_n": "n_events", "partial_late": "n_late",
+         "partial_maxd": "max_delay_us"},
+        ufunc={"partial_n": np.add, "partial_late": np.add,
+               "partial_maxd": np.maximum},
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key: str,

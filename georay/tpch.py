@@ -12583,6 +12583,54 @@ JOIN series sf ON sf.user_id = b.user_id AND sf.ts = f.fts
 """
 
 
+def q_late_events(sf_dir: str):
+    """Watermark/late-data accounting (ops.late_event_stats): events
+    fall into 1-hour EVENT-TIME tumbling windows; with a deterministic
+    synthetic arrival time (ts + (event_id·37 mod 600) seconds — the
+    events table carries no ingest timestamp) and 120 s allowed
+    lateness, per window: total, late count (what a streaming executor
+    would side-output after sealing the pane) and max arrival delay."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def arrive(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        delay = ((eid * 37) % 600) * 1_000_000
+        return pa.table(
+            {
+                "ts": ts,
+                "arrival": pa.array(
+                    ts.to_numpy(zero_copy_only=False) + delay, pa.int64()
+                ),
+            }
+        )
+
+    keyed = ev.map_batches(arrive, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return ops.late_event_stats(
+        keyed, "ts", "arrival", window_us=3_600_000_000,
+        lateness_us=120_000_000,
+    )
+
+
+SQL_LATE_EVENTS = """
+WITH e AS (
+  SELECT epoch_us(ts) AS ts,
+         epoch_us(ts) + ((event_id * 37) % 600) * 1000000 AS arrival
+  FROM events
+),
+w AS (
+  SELECT (ts // 3600000000) * 3600000000 AS window_start, ts, arrival FROM e
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN arrival > window_start + 3600000000 + 120000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(MAX(arrival - ts) AS BIGINT) AS max_delay_us
+FROM w GROUP BY window_start
+"""
+
+
 SQL_POSTINGS_AND = r"""
 SELECT doc_id FROM (
   SELECT doc_id,
@@ -12686,6 +12734,7 @@ QUERIES = {
     "bm25_indexed": q_bm25_indexed,
     "areal_interp": q_areal_interp,
     "asof_interp": q_asof_interp,
+    "late_events": q_late_events,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -12967,6 +13016,7 @@ ORACLE = {
     "bm25_indexed": SQL_BM25,
     "areal_interp": SQL_AREAL_INTERP,
     "asof_interp": SQL_ASOF_INTERP,
+    "late_events": SQL_LATE_EVENTS,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

@@ -3053,3 +3053,27 @@ def test_asof_interpolate_brackets_and_ties(ray_session):
     assert out[3] == 5.0          # 3 + (7-3)*0.5
     assert 5 in out and out[5] == 100.0  # single-sample key, exact hit
     assert 4 not in out           # beyond the envelope: dropped
+
+
+def test_late_event_stats_watermark(ray_session):
+    """Hand-checked watermark accounting: an event is late only when its
+    arrival exceeds window_end + lateness; NULL rows drop; max delay is
+    a max-merge (not a sum) through the combine tree."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    W, L = 100, 10
+    t = pa.table({
+        "ts": pa.array([5, 50, 150, 250, None], pa.int64()),
+        "arrival": pa.array([20, 160, 180, 380, 1], pa.int64()),
+    })
+    out = {
+        r["window_start"]: (r["n_events"], r["n_late"], r["max_delay_us"])
+        for r in ops.late_event_stats(
+            rd.from_arrow(t), "ts", "arrival", window_us=W, lateness_us=L
+        ).take_all()
+    }
+    # window 0 (end 100, seal 110): ts=5 arr=20 on-time; ts=50 arr=160 LATE
+    # window 100 (seal 210): ts=150 arr=180 on-time
+    # window 200 (seal 310): ts=250 arr=380 LATE
+    assert out == {0: (2, 1, 110), 100: (1, 0, 30), 200: (1, 1, 130)}
