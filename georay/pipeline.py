@@ -439,7 +439,13 @@ def validate_images(images_dir: str, concurrency=(2, 8)) -> dict:
     shape as ``_shard_stats``). The driver receives exactly one row, so
     the check holds at any corpus size (r3 verdict: ``out.to_pandas()``
     of one row per image was a driver OOM at scale)."""
-    ds = rd.read_parquet(images_dir)
+    # prune at the read: the validator touches 7 of the 9 columns
+    # (phash and geotag never leave storage)
+    ds = rd.read_parquet(
+        images_dir,
+        columns=["image_id", "bytes", "fmt", "w", "h", "content_key",
+                 "caption"],
+    )
     out = ds.map_batches(
         ImageValidator,
         batch_format="pyarrow",
