@@ -826,7 +826,9 @@ def write_postings(
     sum_dl = int(sum(r["sum_dl"] for r in totals))
 
     # self-describing layout: a search MUST use the writer's bucket
-    # count and hash — a mismatched reader would silently miss terms
+    # count and hash — a mismatched reader would silently miss terms.
+    # Written LAST: a crashed build leaves no manifest, every reader
+    # fails loudly, and the tpch._postings_cache rebuild kicks in.
     with open(os.path.join(out_dir, "_POSTINGS.json"), "w") as f:
         json.dump(
             {
