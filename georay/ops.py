@@ -3591,6 +3591,76 @@ def interval_join_count_partitioned(
     )
 
 
+def window_median(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str | list[str],
+    value_col: str,
+    window_rows: int,
+    out_col: str = "moving_median",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Exact per-key ROLLING MEDIAN over a trailing row frame: SQL
+    ``MEDIAN(value) OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN
+    window_rows−1 PRECEDING AND CURRENT ROW)`` — the robust rolling
+    baseline a spike-tolerant alert wants where a moving MEAN gets
+    dragged (``window_moving_sum``'s order-statistic sibling). One
+    key-bucket shuffle; inside a bucket every frame materializes as one
+    row of an (n, w) sentinel-padded sliding matrix, ONE vectorized
+    ``np.sort`` ranks all frames at once (no per-row Python), and the
+    median is the middle element — or the IEEE mean of the middle two,
+    matching DuckDB's even-count convention. Frames shorter than
+    ``window_rows`` (a key's first rows) use only the key's own rows.
+    NULL values are skipped (SQL); a frame of all NULLs is NULL.
+    Intended for small w (≤ ~64): cost is O(n·w log w) per bucket."""
+    if window_rows <= 0:
+        raise ValueError("window_rows must be positive")
+    w = int(window_rows)
+    order_list = [ts] if isinstance(ts, str) else list(ts)
+
+    def emit(g: pa.Table, first: np.ndarray, pos: np.ndarray):
+        n = len(g)
+        if n == 0:
+            return out_col, pa.array([], pa.float64())
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        isnull = np.asarray(pc.is_null(varr))
+        v = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(isnull, np.inf, v)  # NULLs sort to the sentinel end
+        if not np.isfinite(v[~isnull]).all():
+            raise ValueError(
+                "window_median requires finite values (the +inf sentinel "
+                "marks NULL/out-of-frame slots)"
+            )
+        # frame start per row: clamp to the key's first row
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        lower = np.maximum(pos - w + 1, start)
+        # pad w-1 sentinels in front so every frame is a fixed w-slice
+        pad = np.full(w - 1, np.inf)
+        vp = np.concatenate([pad, v])
+        win = np.lib.stride_tricks.sliding_window_view(vp, w).copy()
+        # mask positions before the frame start with the sentinel
+        off = np.arange(w, dtype=np.int64)[None, :]  # 0..w-1 → row i-w+1..i
+        idx = pos[:, None] - (w - 1) + off
+        win[idx < lower[:, None]] = np.inf
+        win.sort(axis=1)
+        # non-null count per frame via prefix sums
+        nn = np.cumsum(~isnull)
+        base = np.where(lower > 0, nn[np.maximum(lower - 1, 0)], 0)
+        cnt = nn - np.where(lower == 0, 0, base)
+        lo_i = np.maximum((cnt - 1) // 2, 0)
+        hi_i = np.maximum(cnt // 2, 0)
+        rows = np.arange(n)
+        med = (win[rows, lo_i] + win[rows, hi_i]) / 2.0
+        return out_col, pa.array(med, pa.float64(), mask=(cnt == 0))
+
+    return _window_over_buckets(
+        ds, key, order_list, [False] * len(order_list), n_buckets, emit,
+        "window_median",
+    )
+
+
 def late_event_stats(
     ds: ray.data.Dataset,
     ts_col: str,

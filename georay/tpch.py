@@ -12613,6 +12613,27 @@ def q_late_events(sf_dir: str):
     )
 
 
+def q_window_median(sf_dir: str):
+    """Rolling 7-row median of event values per user (ops.window_median
+    — the robust sibling of the moving sum; one sentinel-padded
+    vectorized sort per bucket). NULL values SQL-skipped."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = ops.window_median(ev, "user_id", ["ts", "event_id"], "value",
+                            window_rows=7)
+    return out.select_columns(["event_id", "moving_median"])
+
+
+SQL_WINDOW_MEDIAN = """
+SELECT event_id,
+       MEDIAN(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS moving_median
+FROM events
+"""
+
+
 SQL_LATE_EVENTS = """
 WITH e AS (
   SELECT epoch_us(ts) AS ts,
@@ -12735,6 +12756,7 @@ QUERIES = {
     "areal_interp": q_areal_interp,
     "asof_interp": q_asof_interp,
     "late_events": q_late_events,
+    "window_median": q_window_median,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13017,6 +13039,7 @@ ORACLE = {
     "areal_interp": SQL_AREAL_INTERP,
     "asof_interp": SQL_ASOF_INTERP,
     "late_events": SQL_LATE_EVENTS,
+    "window_median": SQL_WINDOW_MEDIAN,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

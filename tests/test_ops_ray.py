@@ -3077,3 +3077,37 @@ def test_late_event_stats_watermark(ray_session):
     # window 100 (seal 210): ts=150 arr=180 on-time
     # window 200 (seal 310): ts=250 arr=380 LATE
     assert out == {0: (2, 1, 110), 100: (1, 0, 30), 200: (1, 1, 130)}
+
+
+def test_window_median_nulls_and_partial_frames(ray_session):
+    """DuckDB-pinned rolling median: partial leading frames use only
+    the key's own rows, NULLs are skipped, an even non-null count
+    averages the middle two, an all-NULL frame is NULL, and non-finite
+    payloads raise (the +inf sentinel marks NULL/out-of-frame slots)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4, 5, 1, 2, 1], pa.int64()),
+        "v": pa.array([5.0, 1.0, None, 9.0, 2.0, 10.0, 20.0, None]),
+    })
+    out = {
+        (r["k"], r["ts"]): r["moving_median"]
+        for r in ops.window_median(
+            rd.from_arrow(t), "k", "ts", "v", window_rows=3
+        ).take_all()
+    }
+    assert out[(1, 1)] == 5.0 and out[(1, 2)] == 3.0
+    assert out[(1, 3)] == 3.0      # frame {5,1,NULL} -> median(1,5)
+    assert out[(1, 4)] == 5.0      # frame {1,NULL,9}
+    assert out[(1, 5)] == 5.5      # frame {NULL,9,2}
+    assert out[(2, 1)] == 10.0 and out[(2, 2)] == 15.0
+    assert out[(3, 1)] is None     # all-NULL frame
+
+    bad = pa.table({
+        "k": pa.array([1], pa.int64()), "ts": pa.array([1], pa.int64()),
+        "v": pa.array([float("inf")]),
+    })
+    with pytest.raises(Exception, match="finite"):
+        ops.window_median(rd.from_arrow(bad), "k", "ts", "v", 2).take_all()
