@@ -3591,6 +3591,126 @@ def interval_join_count_partitioned(
     )
 
 
+def grouped_spearman(
+    ds: ray.data.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    quantize_x: float = 100.0,
+    quantize_y: float = 1.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """EXACT per-key Spearman rank correlation sufficient statistics —
+    the monotonic-association detector (is this metric drifting with
+    time / load / size?) that Pearson misses on nonlinear trends. Both
+    columns quantize to integers, each key's values get DOUBLED
+    average ranks (``2·avg_rank = 2·RANK() + |peers| − 1`` — an
+    integer even through ties, replicated verbatim in the SQL twin),
+    and the output row per key carries ``(n_pairs, cov_num, var_x,
+    var_y)`` over those rank pairs: ``ρ = cov_num / √(var_x·var_y)``
+    with ``cov_num = n·Σxy − Σx·Σy`` etc. — every value int64-exact so
+    the oracle hash-matches. One key-bucket shuffle; ranks are ONE
+    lexsort + run-boundary scan per column (no per-key Python).
+    Overflow budget: ``4·n_key³ < 2^63`` (n_key ≲ 1.3M rows per key).
+    NULL x/y rows are excluded listwise."""
+    proj = ds.select_columns([key, x_col, y_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("grouped_spearman requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def rank2(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+        """Doubled average rank of v within each key (k pre-sorted rows
+        not required — returns aligned to input order)."""
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        n = ks.shape[0]
+        newkey = np.zeros(n, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = ks[1:] != ks[:-1]
+        keystart = np.maximum.accumulate(
+            np.where(newkey, np.arange(n), 0)
+        )
+        newrun = newkey.copy()
+        newrun[1:] |= vs[1:] != vs[:-1]
+        runstart = np.maximum.accumulate(np.where(newrun, np.arange(n), 0))
+        # run end (exclusive): next run's start
+        run_ids = np.cumsum(newrun) - 1
+        starts = np.flatnonzero(newrun)
+        ends = np.append(starts[1:], n)
+        runend = ends[run_ids]
+        # 1-based within-key first+last rank of the tie run
+        r2_sorted = (runstart - keystart + 1) + (runend - keystart)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = r2_sorted
+        return out
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        keep = pc.and_(pc.is_valid(group[x_col]), pc.is_valid(group[y_col]))
+        g = group.filter(keep)
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "cov_num": pa.array([], pa.int64()),
+                    "var_x": pa.array([], pa.int64()),
+                    "var_y": pa.array([], pa.int64()),
+                }
+            )
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _quantize_i64(
+            g[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_x, "grouped_spearman",
+        )
+        y = _quantize_i64(
+            g[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_y, "grouped_spearman",
+        )
+        rx = rank2(k, x)
+        ry = rank2(k, y)
+        ks, vs = _group_reduce(
+            [k],
+            {
+                "n": np.ones(n, np.int64), "sx": rx, "sy": ry,
+                "sxx": rx * rx, "syy": ry * ry, "sxy": rx * ry,
+            },
+        )
+        nk = vs["n"]
+        return pa.table(
+            {
+                key: pa.array(ks[0], pa.int64()),
+                "n_pairs": pa.array(nk, pa.int64()),
+                "cov_num": pa.array(
+                    nk * vs["sxy"] - vs["sx"] * vs["sy"], pa.int64()
+                ),
+                "var_x": pa.array(
+                    nk * vs["sxx"] - vs["sx"] * vs["sx"], pa.int64()
+                ),
+                "var_y": pa.array(
+                    nk * vs["syy"] - vs["sy"] * vs["sy"], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def window_median(
     ds: ray.data.Dataset,
     key: str,

@@ -12624,6 +12624,52 @@ def q_window_median(sf_dir: str):
     return out.select_columns(["event_id", "moving_median"])
 
 
+def q_spearman(sf_dir: str):
+    """Per-user Spearman rank correlation of event value against time
+    (ops.grouped_spearman — exact monotonic-drift sufficient stats;
+    doubled average ranks keep ties integer)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "t_us": batch["ts"].cast(pa.int64()).cast(pa.float64()),
+            }
+        )
+
+    keyed = ev.map_batches(epoch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return ops.grouped_spearman(keyed, "user_id", "value", "t_us",
+                                quantize_x=100.0, quantize_y=1.0)
+
+
+SQL_SPEARMAN = """
+WITH q AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS xq,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) * 1.0e0 + 0.5e0)
+              AS BIGINT) AS yq
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT user_id,
+    2*RANK() OVER (PARTITION BY user_id ORDER BY xq)
+      + COUNT(*) OVER (PARTITION BY user_id, xq) - 1 AS rx,
+    2*RANK() OVER (PARTITION BY user_id ORDER BY yq)
+      + COUNT(*) OVER (PARTITION BY user_id, yq) - 1 AS ry
+  FROM q
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(*)*SUM(rx*ry) - SUM(rx)*SUM(ry) AS BIGINT) AS cov_num,
+  CAST(COUNT(*)*SUM(rx*rx) - SUM(rx)*SUM(rx) AS BIGINT) AS var_x,
+  CAST(COUNT(*)*SUM(ry*ry) - SUM(ry)*SUM(ry) AS BIGINT) AS var_y
+FROM r GROUP BY user_id
+"""
+
+
 SQL_WINDOW_MEDIAN = """
 SELECT event_id,
        MEDIAN(value) OVER (
@@ -12757,6 +12803,7 @@ QUERIES = {
     "asof_interp": q_asof_interp,
     "late_events": q_late_events,
     "window_median": q_window_median,
+    "spearman": q_spearman,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13040,6 +13087,7 @@ ORACLE = {
     "asof_interp": SQL_ASOF_INTERP,
     "late_events": SQL_LATE_EVENTS,
     "window_median": SQL_WINDOW_MEDIAN,
+    "spearman": SQL_SPEARMAN,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

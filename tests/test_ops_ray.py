@@ -3111,3 +3111,33 @@ def test_window_median_nulls_and_partial_frames(ray_session):
     })
     with pytest.raises(Exception, match="finite"):
         ops.window_median(rd.from_arrow(bad), "k", "ts", "v", 2).take_all()
+
+
+def test_grouped_spearman_ties_and_nulls(ray_session):
+    """Hand-checked Spearman sufficient stats: perfect monotone key
+    gives rho=1, perfect reverse gives rho=-1, ties use doubled average
+    ranks, NULL rows drop listwise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1]*4 + [2]*4 + [3]*3, pa.int64()),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0,   4.0, 3.0, 2.0, 1.0,
+                       1.0, 1.0, None]),
+        "y": pa.array([10., 20., 30., 40.,   1., 2., 3., 4.,
+                       5., 5., 7.]),
+    })
+    out = {
+        r["k"]: r
+        for r in ops.grouped_spearman(
+            rd.from_arrow(t), "k", "x", "y", quantize_x=1.0, quantize_y=1.0
+        ).take_all()
+    }
+    r1 = out[1]
+    assert r1["cov_num"] == r1["var_x"] == r1["var_y"] > 0  # rho = +1
+    r2 = out[2]
+    assert -r2["cov_num"] == r2["var_x"] == r2["var_y"] > 0  # rho = -1
+    r3 = out[3]
+    assert r3["n_pairs"] == 2            # NULL x row dropped
+    assert r3["var_x"] == 0              # both x tie -> zero rank variance
