@@ -12646,6 +12646,125 @@ def q_spearman(sf_dir: str):
                                 quantize_x=100.0, quantize_y=1.0)
 
 
+def q_day_overlap(sf_dir: str):
+    """Day-over-day retention overlap: for each consecutive day pair
+    (d, d+1) sharing ≥1 user, the EXACT intersection and union sizes of
+    the two days' active-user sets (Jaccard = n_inter / n_union — the
+    stickiness curve). Plan: distinct (day, user) pairs fold map-side
+    and merge once (bounded by users × days, not events); the distinct
+    table then (1) key-bucket co-shuffles by USER so each user's day
+    list is consecutive-scanned for gap-1 pairs (one lexsort per
+    bucket), and (2) folds daily totals through a second tree; the
+    final one-task sweep joins inter with the two daily totals. The
+    event stream itself never shuffles."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def du_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = ts // 86_400_000_000
+        ks, vs = ops._group_reduce(
+            [day, u], {"partial_one": np.ones(day.shape[0], np.int64)}
+        )
+        return pa.table(
+            {"day": pa.array(ks[0], pa.int64()),
+             "user_id": pa.array(ks[1], pa.int64()),
+             "partial_one": pa.array(vs["partial_one"], pa.int64())}
+        )
+
+    du = ops.tree_sum(
+        ev.map_batches(du_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["day", "user_id"], {"partial_one": "_c"}, int_cols=("partial_one",),
+    ).select_columns(["day", "user_id"]).materialize()
+
+    # (1) per-user consecutive-day pairs -> intersection counts
+    def bucket_user(batch: pa.Table) -> pa.Table:
+        h = ops._key_hash(batch, ["user_id"])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def inter_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        d = group["day"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, u))
+        us, ds_ = u[o], d[o]
+        run = (us[1:] == us[:-1]) & (ds_[1:] == ds_[:-1] + 1)
+        ks, vs = ops._group_reduce(
+            [ds_[:-1][run]], {"partial_i": np.ones(int(run.sum()), np.int64)}
+        )
+        return pa.table(
+            {"day": pa.array(ks[0], pa.int64()),
+             "partial_i": pa.array(vs["partial_i"], pa.int64())}
+        )
+
+    inter = ops.tree_sum(
+        ops.shuffle_coalesce(
+            du.map_batches(bucket_user, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        ).groupby("_bucket").map_groups(inter_bucket, batch_format="pyarrow"),
+        ["day"], {"partial_i": "n_inter"}, int_cols=("partial_i",),
+    )
+
+    # (2) daily active totals
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        ks, vs = ops._group_reduce(
+            [d], {"partial_n": np.ones(d.shape[0], np.int64)}
+        )
+        return pa.table(
+            {"day": pa.array(ks[0], pa.int64()),
+             "partial_n": pa.array(vs["partial_n"], pa.int64())}
+        )
+
+    totals = ops.tree_sum(
+        du.map_batches(day_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["day"], {"partial_n": "n_day"}, int_cols=("partial_n",),
+    )
+    import ray as _ray
+
+    tot_tbl = pa.Table.from_pandas(totals.to_pandas(), preserve_index=False)
+    nd = {int(r["day"]): int(r["n_day"]) for r in tot_tbl.to_pylist()}
+    nd_ref = _ray.put(nd)
+    cache: dict = {}
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        m = cache.setdefault("m", _ray.get(nd_ref))
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        i = batch["n_inter"].to_numpy(zero_copy_only=False)
+        uni = np.array(
+            [m[int(x)] + m.get(int(x) + 1, 0) for x in d], np.int64
+        ) - i
+        return pa.table(
+            {"day": pa.array(d, pa.int64()),
+             "n_inter": pa.array(i, pa.int64()),
+             "n_union": pa.array(uni, pa.int64())}
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+
+
+SQL_DAY_OVERLAP = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+i AS (
+  SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+  GROUP BY a.day
+),
+n AS (SELECT day, COUNT(*) AS c FROM du GROUP BY day)
+SELECT i.day, i.n_inter,
+       CAST(na.c + nb.c - i.n_inter AS BIGINT) AS n_union
+FROM i JOIN n na ON na.day = i.day JOIN n nb ON nb.day = i.day + 1
+"""
+
+
 SQL_SPEARMAN = """
 WITH q AS (
   SELECT user_id,
@@ -12804,6 +12923,7 @@ QUERIES = {
     "late_events": q_late_events,
     "window_median": q_window_median,
     "spearman": q_spearman,
+    "day_overlap": q_day_overlap,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13088,6 +13208,7 @@ ORACLE = {
     "late_events": SQL_LATE_EVENTS,
     "window_median": SQL_WINDOW_MEDIAN,
     "spearman": SQL_SPEARMAN,
+    "day_overlap": SQL_DAY_OVERLAP,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
