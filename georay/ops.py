@@ -3711,6 +3711,127 @@ def grouped_spearman(
     )
 
 
+def grouped_kendall(
+    ds: ray.data.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    quantize_x: float = 100.0,
+    quantize_y: float = 1.0,
+    n_buckets: int = 256,
+    max_pairs_per_bucket: int = 50_000_000,
+) -> ray.data.Dataset:
+    """EXACT per-key Kendall concordance sufficient statistics — the
+    ``grouped_spearman`` companion whose tau-b is robust to the rank
+    arithmetic entirely: per key, over all C(n,2) observation pairs,
+    the counts ``(n_pairs, conc, disc, tie_x, tie_y, tie_xy)``
+    (``tau_b = (conc − disc) / √((n_pairs − tie_x − tie_xy)·(n_pairs −
+    tie_y − tie_xy))``). Both columns quantize to integers so pair
+    comparisons are tie-exact and the DuckDB pair-self-join twin
+    hash-matches.
+
+    QUADRATIC per key BY DESIGN (pair enumeration is the definition):
+    intended for bounded key sizes — pairs are generated fully
+    vectorized (segment-offset arithmetic, no Python loop) and a bucket
+    whose Σ n_k(n_k−1)/2 exceeds ``max_pairs_per_bucket`` raises rather
+    than silently OOMing; for large keys use ``grouped_spearman``
+    (O(n log n)) instead. NULL x/y rows are excluded listwise."""
+    proj = ds.select_columns([key, x_col, y_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("grouped_kendall requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {
+            key: pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "conc": pa.array([], pa.int64()),
+            "disc": pa.array([], pa.int64()),
+            "tie_x": pa.array([], pa.int64()),
+            "tie_y": pa.array([], pa.int64()),
+            "tie_xy": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        keep = pc.and_(pc.is_valid(group[x_col]), pc.is_valid(group[y_col]))
+        g = group.filter(keep)
+        n = len(g)
+        if n == 0:
+            return _empty
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _quantize_i64(
+            g[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_x, "grouped_kendall",
+        )
+        y = _quantize_i64(
+            g[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_y, "grouped_kendall",
+        )
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        idx = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(newkey, idx, 0))
+        starts = np.flatnonzero(newkey)
+        sizes = np.diff(np.append(starts, n))
+        m_per_row = sizes[np.cumsum(newkey) - 1]
+        loc = idx - seg_start
+        left_counts = m_per_row - 1 - loc
+        total = int(left_counts.sum())
+        if total > max_pairs_per_bucket:
+            raise ValueError(
+                f"grouped_kendall: {total} pairs in one bucket exceeds "
+                f"max_pairs_per_bucket={max_pairs_per_bucket}; use "
+                "grouped_spearman for large keys"
+            )
+        if total == 0:
+            return _empty
+        L = np.repeat(idx, left_counts)
+        pstart = np.cumsum(left_counts) - left_counts
+        R = L + 1 + (np.arange(total, dtype=np.int64)
+                     - np.repeat(pstart, left_counts))
+        dx = np.sign(x[R] - x[L])
+        dy = np.sign(y[R] - y[L])
+        prod = dx * dy
+        kp = k[L]
+        ks, vs = _group_reduce(
+            [kp],
+            {
+                "n_pairs": np.ones(total, np.int64),
+                "conc": (prod > 0).astype(np.int64),
+                "disc": (prod < 0).astype(np.int64),
+                "tie_x": ((dx == 0) & (dy != 0)).astype(np.int64),
+                "tie_y": ((dy == 0) & (dx != 0)).astype(np.int64),
+                "tie_xy": ((dx == 0) & (dy == 0)).astype(np.int64),
+            },
+        )
+        return pa.table(
+            {key: pa.array(ks[0], pa.int64())}
+            | {c: pa.array(vs[c], pa.int64())
+               for c in ("n_pairs", "conc", "disc", "tie_x", "tie_y",
+                         "tie_xy")}
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def window_median(
     ds: ray.data.Dataset,
     key: str,

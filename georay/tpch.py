@@ -12749,6 +12749,54 @@ def q_day_overlap(sf_dir: str):
                              zero_copy_batch=True, batch_size=None)
 
 
+def q_kendall(sf_dir: str):
+    """Per-user Kendall concordance counts of event value vs time
+    (ops.grouped_kendall — exact pairwise C/D/tie sufficient stats,
+    vectorized in-segment pair enumeration)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "t_us": batch["ts"].cast(pa.int64()).cast(pa.float64()),
+            }
+        )
+
+    keyed = ev.map_batches(epoch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return ops.grouped_kendall(keyed, "user_id", "value", "t_us",
+                               quantize_x=100.0, quantize_y=1.0)
+
+
+SQL_KENDALL = """
+WITH q AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER () AS rid,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS xq,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) * 1.0e0 + 0.5e0)
+              AS BIGINT) AS yq
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+)
+SELECT a.user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(CASE WHEN sign(b.xq - a.xq) * sign(b.yq - a.yq) > 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+  CAST(SUM(CASE WHEN sign(b.xq - a.xq) * sign(b.yq - a.yq) < 0
+       THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+  CAST(SUM(CASE WHEN b.xq = a.xq AND b.yq <> a.yq
+       THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+  CAST(SUM(CASE WHEN b.yq = a.yq AND b.xq <> a.xq
+       THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+  CAST(SUM(CASE WHEN b.xq = a.xq AND b.yq = a.yq
+       THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy
+FROM q a JOIN q b ON b.user_id = a.user_id AND b.rid > a.rid
+GROUP BY a.user_id
+"""
+
+
 SQL_DAY_OVERLAP = """
 WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
@@ -12924,6 +12972,7 @@ QUERIES = {
     "window_median": q_window_median,
     "spearman": q_spearman,
     "day_overlap": q_day_overlap,
+    "kendall": q_kendall,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13209,6 +13258,7 @@ ORACLE = {
     "window_median": SQL_WINDOW_MEDIAN,
     "spearman": SQL_SPEARMAN,
     "day_overlap": SQL_DAY_OVERLAP,
+    "kendall": SQL_KENDALL,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

@@ -3141,3 +3141,33 @@ def test_grouped_spearman_ties_and_nulls(ray_session):
     r3 = out[3]
     assert r3["n_pairs"] == 2            # NULL x row dropped
     assert r3["var_x"] == 0              # both x tie -> zero rank variance
+
+
+def test_grouped_kendall_hand_counts(ray_session):
+    """Hand-counted Kendall sufficient stats including every tie class,
+    plus the pair-budget guard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "x": pa.array([1.0, 2.0, 2.0, 3.0]),
+        "y": pa.array([1.0, 2.0, 2.0, 1.0]),
+    })
+    r = ops.grouped_kendall(
+        rd.from_arrow(t), "k", "x", "y", quantize_x=1.0, quantize_y=1.0
+    ).take_all()[0]
+    # pairs (x,y): (1,1)-(2,2) C, (1,1)-(2,2) C, (1,1)-(3,1) tie_y,
+    # (2,2)-(2,2) tie_xy, (2,2)-(3,1) D, (2,2)-(3,1) D
+    assert (r["n_pairs"], r["conc"], r["disc"]) == (6, 2, 2)
+    assert (r["tie_x"], r["tie_y"], r["tie_xy"]) == (0, 1, 1)
+
+    with pytest.raises(Exception, match="max_pairs_per_bucket"):
+        big = pa.table({
+            "k": pa.array([1] * 100, pa.int64()),
+            "x": pa.array([float(i) for i in range(100)]),
+            "y": pa.array([float(i) for i in range(100)]),
+        })
+        ops.grouped_kendall(
+            rd.from_arrow(big), "k", "x", "y", max_pairs_per_bucket=100
+        ).take_all()
