@@ -3832,6 +3832,121 @@ def grouped_kendall(
     )
 
 
+def grouped_theil_sen(
+    ds: ray.data.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    quantize_x: float = 1.0,
+    quantize_y: float = 100.0,
+    n_buckets: int = 256,
+    max_pairs_per_bucket: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Per-key THEIL–SEN robust slope: the median of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over pairs with distinct x — the
+    outlier-immune trend estimate (one wild point drags OLS, not the
+    pairwise median). Inputs quantize to integers so both engines
+    compute THE SAME float64 division per pair; the median is the
+    middle slope (IEEE mean of the two middles for even counts —
+    DuckDB MEDIAN convention), so the SQL pair-self-join twin
+    hash-matches bit-for-bit. Same vectorized pair enumeration and
+    quadratic-budget guard as ``grouped_kendall``. Keys with no
+    distinct-x pair are dropped. NULL x/y rows excluded listwise.
+
+    Output: (key, n_slopes, slope)."""
+    proj = ds.select_columns([key, x_col, y_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError("grouped_theil_sen requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {
+            key: pa.array([], pa.int64()),
+            "n_slopes": pa.array([], pa.int64()),
+            "slope": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        keep = pc.and_(pc.is_valid(group[x_col]), pc.is_valid(group[y_col]))
+        g = group.filter(keep)
+        n = len(g)
+        if n == 0:
+            return _empty
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _quantize_i64(
+            g[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_x, "grouped_theil_sen",
+        )
+        y = _quantize_i64(
+            g[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            quantize_y, "grouped_theil_sen",
+        )
+        order = np.argsort(k, kind="stable")
+        k, x, y = k[order], x[order], y[order]
+        idx = np.arange(n, dtype=np.int64)
+        newkey = np.ones(n, dtype=bool)
+        newkey[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(newkey, idx, 0))
+        starts = np.flatnonzero(newkey)
+        sizes = np.diff(np.append(starts, n))
+        m_per_row = sizes[np.cumsum(newkey) - 1]
+        left_counts = m_per_row - 1 - (idx - seg_start)
+        total = int(left_counts.sum())
+        if total > max_pairs_per_bucket:
+            raise ValueError(
+                f"grouped_theil_sen: {total} pairs in one bucket exceeds "
+                f"max_pairs_per_bucket={max_pairs_per_bucket}"
+            )
+        if total == 0:
+            return _empty
+        L = np.repeat(idx, left_counts)
+        pstart = np.cumsum(left_counts) - left_counts
+        R = L + 1 + (np.arange(total, dtype=np.int64)
+                     - np.repeat(pstart, left_counts))
+        dx = x[R] - x[L]
+        ok = dx != 0
+        kp, dx = k[L][ok], dx[ok]
+        dy = (y[R] - y[L])[ok]
+        slope = dy.astype(np.float64) / dx.astype(np.float64)
+        m = kp.shape[0]
+        if m == 0:
+            return _empty
+        o = np.lexsort((slope, kp))
+        kp, slope = kp[o], slope[o]
+        first = np.ones(m, dtype=bool)
+        first[1:] = kp[1:] != kp[:-1]
+        s0 = np.flatnonzero(first)
+        cnt = np.diff(np.append(s0, m))
+        lo = s0 + (cnt - 1) // 2
+        hi = s0 + cnt // 2
+        return pa.table(
+            {
+                key: pa.array(kp[s0], pa.int64()),
+                "n_slopes": pa.array(cnt, pa.int64()),
+                "slope": pa.array((slope[lo] + slope[hi]) / 2.0,
+                                  pa.float64()),
+            }
+        )
+
+    return (
+        shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def window_median(
     ds: ray.data.Dataset,
     key: str,

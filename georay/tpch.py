@@ -12771,6 +12771,49 @@ def q_kendall(sf_dir: str):
                                quantize_x=100.0, quantize_y=1.0)
 
 
+def q_theil_sen(sf_dir: str):
+    """Per-user Theil–Sen robust slope of event value vs time
+    (ops.grouped_theil_sen — median of pairwise slopes; OLS-dragging
+    outliers can't move it)."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "value": batch["value"],
+                "t_us": batch["ts"].cast(pa.int64()).cast(pa.float64()),
+            }
+        )
+
+    keyed = ev.map_batches(epoch, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    return ops.grouped_theil_sen(keyed, "user_id", "t_us", "value",
+                                 quantize_x=1.0, quantize_y=100.0)
+
+
+SQL_THEIL_SEN = """
+WITH q AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER () AS rid,
+         CAST(floor(CAST(epoch_us(ts) AS DOUBLE) * 1.0e0 + 0.5e0)
+              AS BIGINT) AS xq,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS yq
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+slopes AS (
+  SELECT a.user_id,
+         CAST(b.yq - a.yq AS DOUBLE) / CAST(b.xq - a.xq AS DOUBLE) AS s
+  FROM q a JOIN q b
+    ON b.user_id = a.user_id AND b.rid > a.rid AND b.xq <> a.xq
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_slopes,
+       MEDIAN(s) AS slope
+FROM slopes GROUP BY user_id
+"""
+
+
 SQL_KENDALL = """
 WITH q AS (
   SELECT user_id,
@@ -12973,6 +13016,7 @@ QUERIES = {
     "spearman": q_spearman,
     "day_overlap": q_day_overlap,
     "kendall": q_kendall,
+    "theil_sen": q_theil_sen,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13259,6 +13303,7 @@ ORACLE = {
     "spearman": SQL_SPEARMAN,
     "day_overlap": SQL_DAY_OVERLAP,
     "kendall": SQL_KENDALL,
+    "theil_sen": SQL_THEIL_SEN,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,

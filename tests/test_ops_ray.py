@@ -3171,3 +3171,35 @@ def test_grouped_kendall_hand_counts(ray_session):
         ops.grouped_kendall(
             rd.from_arrow(big), "k", "x", "y", max_pairs_per_bucket=100
         ).take_all()
+
+
+def test_grouped_theil_sen_outlier_immunity(ray_session):
+    """One wild outlier leaves the Theil-Sen slope at the true trend;
+    equal-x pairs are excluded; even slope counts average the middle
+    two."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # y = 2x except one wild point; 5 points -> 10 pairs, 6 involve the
+    # outlier, median of the 10 slopes is still 2
+    t = pa.table({
+        "k": pa.array([1] * 5, pa.int64()),
+        "x": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        "y": pa.array([2.0, 4.0, 6.0, 1000.0, 10.0]),
+    })
+    r = ops.grouped_theil_sen(
+        rd.from_arrow(t), "k", "x", "y", quantize_x=1.0, quantize_y=1.0
+    ).take_all()[0]
+    assert r["n_slopes"] == 10 and r["slope"] == 2.0
+
+    # equal-x pairs excluded: two points sharing x contribute nothing
+    t2 = pa.table({
+        "k": pa.array([1] * 3, pa.int64()),
+        "x": pa.array([1.0, 1.0, 2.0]),
+        "y": pa.array([0.0, 10.0, 5.0]),
+    })
+    r2 = ops.grouped_theil_sen(
+        rd.from_arrow(t2), "k", "x", "y", quantize_x=1.0, quantize_y=1.0
+    ).take_all()[0]
+    assert r2["n_slopes"] == 2  # (0->5) and (10->-5) slopes; x-tie dropped
+    assert r2["slope"] == 0.0   # (5 + -5)/2
