@@ -12793,6 +12793,62 @@ def q_theil_sen(sf_dir: str):
                                  quantize_x=1.0, quantize_y=100.0)
 
 
+def q_colocation(sf_dir: str):
+    """Multi-source spatial CO-AGGREGATION: per level-6 cell, how many
+    lineitem points and supplier points land together (cells where both
+    are present, n_colocated = n_li · n_supp exact pair count) — the
+    are-these-two-layers-correlated-in-space primitive behind supply
+    colocation scoring. Each source folds to its own cell histogram
+    through a combine tree (neither corpus shuffles); the two SMALL
+    histograms meet in one final task."""
+    li = lineitem_points(sf_dir)
+    li = ops.add_cell_column(li, level=12, parent_level=6)
+    h_li = ops.salted_count(li, "cell_parent", count_alias="n_li")
+
+    sx, sy, sk = supplier_points(sf_dir)
+    supp = rd.from_arrow(
+        pa.table({"s_suppkey": pa.array(sk, pa.int64())}).append_column(
+            GeoType.point(crs="OGC:CRS84").field("geotag"),
+            native.build_points(
+                np.column_stack([sx, sy]), GeoType.point(crs="OGC:CRS84")
+            ),
+        )
+    )
+    supp = ops.add_cell_column(supp, level=12, parent_level=6)
+    h_su = ops.salted_count(supp, "cell_parent", count_alias="n_supp")
+
+    t_li = pa.Table.from_pandas(h_li.to_pandas(), preserve_index=False)
+    t_su = pa.Table.from_pandas(h_su.to_pandas(), preserve_index=False)
+    j = t_li.join(t_su, keys=["cell_parent"], join_type="inner")
+    n_li = j["n_li"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_su = j["n_supp"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "cell_parent": j["cell_parent"],
+            "n_li": pa.array(n_li, pa.int64()),
+            "n_supp": pa.array(n_su, pa.int64()),
+            "n_colocated": pa.array(n_li * n_su, pa.int64()),
+        }
+    )
+
+
+SQL_COLOCATION = f"""
+WITH li AS (
+  SELECT cell_parent, COUNT(*) AS n_li
+  FROM ({_s2_parent_sql(6, _LI_POINT_SQL)}) GROUP BY cell_parent
+),
+su AS (
+  SELECT cell_parent, COUNT(*) AS n_supp
+  FROM ({_s2_parent_sql(6, f"SELECT {SUPP_SX} AS lon, {SUPP_SY} AS lat FROM supplier")})
+  GROUP BY cell_parent
+)
+SELECT li.cell_parent, CAST(li.n_li AS BIGINT) AS n_li,
+       CAST(su.n_supp AS BIGINT) AS n_supp,
+       CAST(li.n_li * su.n_supp AS BIGINT) AS n_colocated
+FROM li JOIN su USING (cell_parent)
+"""
+
+
 SQL_THEIL_SEN = """
 WITH q AS (
   SELECT user_id,
@@ -13017,6 +13073,7 @@ QUERIES = {
     "day_overlap": q_day_overlap,
     "kendall": q_kendall,
     "theil_sen": q_theil_sen,
+    "colocation": q_colocation,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13304,6 +13361,7 @@ ORACLE = {
     "day_overlap": SQL_DAY_OVERLAP,
     "kendall": SQL_KENDALL,
     "theil_sen": SQL_THEIL_SEN,
+    "colocation": SQL_COLOCATION,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
