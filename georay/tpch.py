@@ -12832,6 +12832,66 @@ def q_colocation(sf_dir: str):
     )
 
 
+def q_local_moran(sf_dir: str):
+    """LOCAL Moran (LISA) hotspot numerators per occupied grid cell —
+    the per-cell companion of the global ``morans`` statistic: with
+    times-N centering (``z_i = C·n_i − S`` over the C occupied cells,
+    division-free), each cell reports its own ``z_num`` and the exact
+    sum ``lag_num = Σ z_j`` over its rook neighbors (id ± 1, ± 100000 —
+    the grid key is gx·100000+gy) plus the neighbor count; the LISA
+    product z·lag is left to the consumer because it can exceed int64
+    (the two factors are each exact). Histogram folds through the
+    combine tree; the LISA sweep runs once on the SMALL cell table."""
+    li = lineitem_points(sf_dir)
+    ds = ops.add_grid_column(li, res=1.0)
+    hist = ops.salted_count(ds, "grid_cell", count_alias="n")
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        g = batch["grid_cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(g)
+        g, n = g[o], n[o]
+        C = np.int64(g.shape[0])
+        S = np.int64(n.sum())
+        z = C * n - S
+        lag = np.zeros(g.shape[0], np.int64)
+        cnt = np.zeros(g.shape[0], np.int64)
+        for d in (1, -1, 100000, -100000):
+            probe = g + np.int64(d)
+            pos = np.searchsorted(g, probe)
+            ok = (pos < g.shape[0]) & (g[np.minimum(pos, g.shape[0] - 1)]
+                                       == probe)
+            lag[ok] += z[pos[ok]]
+            cnt[ok] += 1
+        return pa.table(
+            {
+                "grid_cell": pa.array(g, pa.int64()),
+                "z_num": pa.array(z, pa.int64()),
+                "lag_num": pa.array(lag, pa.int64()),
+                "n_neighbors": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(
+        sweep, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
+SQL_LOCAL_MORAN = f"""
+WITH h AS ({{GRID_HIST}}),
+st AS (SELECT COUNT(*) AS c, SUM(n) AS s FROM h),
+z AS (SELECT h.grid_cell, st.c * h.n - st.s AS z FROM h, st)
+SELECT a.grid_cell, CAST(a.z AS BIGINT) AS z_num,
+       CAST(COALESCE(SUM(b.z), 0) AS BIGINT) AS lag_num,
+       CAST(COUNT(b.grid_cell) AS BIGINT) AS n_neighbors
+FROM z a LEFT JOIN z b
+  ON b.grid_cell IN (a.grid_cell + 1, a.grid_cell - 1,
+                     a.grid_cell + 100000, a.grid_cell - 100000)
+GROUP BY a.grid_cell, a.z
+""".replace("{GRID_HIST}", SQL_GRID_CELL_COUNT)
+
+
 SQL_COLOCATION = f"""
 WITH li AS (
   SELECT cell_parent, COUNT(*) AS n_li
@@ -13074,6 +13134,7 @@ QUERIES = {
     "kendall": q_kendall,
     "theil_sen": q_theil_sen,
     "colocation": q_colocation,
+    "local_moran": q_local_moran,
     "conversion_lag": q_conversion_lag,
     "debounce": q_debounce,
     "rfm": q_rfm,
@@ -13362,6 +13423,7 @@ ORACLE = {
     "kendall": SQL_KENDALL,
     "theil_sen": SQL_THEIL_SEN,
     "colocation": SQL_COLOCATION,
+    "local_moran": SQL_LOCAL_MORAN,
     "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP,
     "conversion_lag": SQL_CONVERSION_LAG,
     "debounce": SQL_DEBOUNCE,
