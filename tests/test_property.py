@@ -376,3 +376,104 @@ def test_uncompact_arithmetic_enumerates_exact_descendants(lon, lat, lvl):
     assert np.all(cells.cell_parent(kids, lvl) == c)
     # and they are all DISTINCT, i.e. the full 4^2 descendant set
     assert len(set(kids.tolist())) == 16
+
+
+# ---- rank-statistics cross-checks (random inputs vs brute force) ----
+
+def _brute_rank2(v):
+    """Doubled average rank, brute force."""
+    import numpy as np
+
+    v = np.asarray(v)
+    out = np.empty(len(v), dtype=np.int64)
+    for i, x in enumerate(v):
+        less = int((v < x).sum())
+        eq = int((v == x).sum())
+        # ranks less+1 .. less+eq ; doubled average = 2*less + eq + 1
+        out[i] = 2 * less + eq + 1
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_spearman_kendall_theilsen_vs_brute(rows):
+    """grouped_spearman / grouped_kendall / grouped_theil_sen against an
+    O(n²) brute-force reference on random small integer inputs (heavy
+    ties by construction)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    k = np.array([r[0] for r in rows], np.int64)
+    x = np.array([r[1] for r in rows], np.float64)
+    y = np.array([r[2] for r in rows], np.float64)
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    ds = rd.from_arrow(t)
+
+    sp = {r["k"]: r for r in ops.grouped_spearman(
+        ds, "k", "x", "y", quantize_x=1.0, quantize_y=1.0).take_all()}
+    kd = {r["k"]: r for r in ops.grouped_kendall(
+        ds, "k", "x", "y", quantize_x=1.0, quantize_y=1.0).take_all()}
+    tsn = {r["k"]: r for r in ops.grouped_theil_sen(
+        ds, "k", "x", "y", quantize_x=1.0, quantize_y=1.0).take_all()}
+
+    for kk in np.unique(k):
+        sel = k == kk
+        xs, ys = x[sel].astype(np.int64), y[sel].astype(np.int64)
+        n = int(sel.sum())
+        # spearman via brute doubled ranks
+        rx, ry = _brute_rank2(xs), _brute_rank2(ys)
+        r = sp[kk]
+        assert r["n_pairs"] == n
+        assert r["cov_num"] == n * int((rx * ry).sum()) - int(rx.sum()) * int(ry.sum())
+        assert r["var_x"] == n * int((rx * rx).sum()) - int(rx.sum()) ** 2
+        assert r["var_y"] == n * int((ry * ry).sum()) - int(ry.sum()) ** 2
+        # kendall via brute pairs
+        conc = disc = tx = ty = txy = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = int(xs[j] - xs[i]), int(ys[j] - ys[i])
+                if dx and dy:
+                    conc += (dx > 0) == (dy > 0)
+                    disc += (dx > 0) != (dy > 0)
+                elif dx == 0 and dy == 0:
+                    txy += 1
+                elif dx == 0:
+                    tx += 1
+                else:
+                    ty += 1
+                if dx:
+                    slopes.append(dy / dx)
+        if n >= 2:
+            kr = kd[kk]
+            assert (kr["conc"], kr["disc"]) == (conc, disc)
+            assert (kr["tie_x"], kr["tie_y"], kr["tie_xy"]) == (tx, ty, txy)
+        else:
+            assert kk not in kd  # no pairs -> key absent
+        if slopes:
+            s = sorted(slopes)
+            m = len(s)
+            exp = (s[(m - 1) // 2] + s[m // 2]) / 2.0
+            tr = tsn[kk]
+            assert tr["n_slopes"] == m and tr["slope"] == exp
+        else:
+            assert kk not in tsn
