@@ -717,6 +717,155 @@ def _triangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
     return int((ekey[pos] == wkey).sum())
 
 
+def _rectangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
+    """Exact 4-cycle (rectangle) count of a distinct (a<b) edge list,
+    in-memory: enumerate wedges (u, mid, w) from sorted adjacency, count
+    wedge multiplicity t per unordered endpoint pair, and sum C(t, 2).
+    Each rectangle {u, m1, w, m2} is seen at BOTH diagonal pairs
+    ((u,w) and (m1,m2)), hence the final halving."""
+    if a.shape[0] == 0:
+        return 0
+    src = np.concatenate([a, b]).astype(np.int64)
+    dst = np.concatenate([b, a]).astype(np.int64)
+    o = np.lexsort((dst, src))
+    s, d = src[o], dst[o]
+    first = np.ones(s.shape[0], dtype=bool)
+    first[1:] = s[1:] != s[:-1]
+    starts = np.nonzero(first)[0]
+    i, j = _pairs_within_groups(starts, s.shape[0])
+    if i.shape[0] == 0:
+        return 0
+    # dst ascending within each src group and i < j ⇒ d[i] < d[j]
+    _, vs = _group_reduce(
+        [d[i], d[j]], {"t": np.ones(i.shape[0], np.int64)}
+    )
+    t = vs["t"]
+    return int((t * (t - 1) // 2).sum() // 2)
+
+
+def rectangle_count(
+    edges: ray.data.Dataset,
+    n_buckets: int = 64,
+    local_edge_cutoff: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact 4-cycle (rectangle / quadrilateral) count of an undirected
+    distinct ``(a, b)`` edge list, as a 1-row ``(n_rectangles int64)``
+    table — the bipartite-cohesion ("butterfly") metric generalized to
+    unipartite graphs.
+
+    Identity: rectangles = Σ_{u<w} C(t_uw, 2) / 2 where ``t_uw`` is the
+    number of length-2 paths (wedges) between endpoints u and w; each
+    4-cycle contributes one C(2,2) at EACH of its two diagonal pairs,
+    hence the halving. Plan: (1) symmetrize edges into adjacency rows
+    keyed by the wedge MID node and hash-bucket co-shuffle on mid, so
+    each bucket enumerates its mids' neighbor pairs with the ragged
+    pair enumerator (zero per-node Python); (2) wedge multiplicities
+    merge through the combine tree; (3) per-batch partial Σ C(t,2)
+    reduces to one int64. Total wedge volume is Σ deg(mid)² — fine on
+    support-filtered co-occurrence graphs; for power-law inputs cap hub
+    degrees upstream (``cooccurrence_edges(max_group_size=...)``) or
+    sparsify before counting. Count is orientation-invariant, so the
+    SQL oracle may use the plain symmetric wedge self-join."""
+    from georay.ops import tree_reduce
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= local_edge_cutoff:
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.table({"n_rectangles": pa.array([0], pa.int64())})
+            )
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ray.data.from_arrow(
+            pa.table(
+                {"n_rectangles": pa.array(
+                    [_rectangle_count_local(a, b)], pa.int64()
+                )}
+            )
+        )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "mid": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    adj = edges.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def per_mid_wedges(group: pa.Table) -> pa.Table:
+        m = group["mid"].to_numpy(zero_copy_only=False)
+        nb = group["nbr"].to_numpy(zero_copy_only=False)
+        order, starts, _ = _group_starts(m, nb, group_keys=1)
+        nb_s = nb[order]
+        i, j = _pairs_within_groups(starts, nb_s.shape[0])
+        if i.shape[0] == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "partial_t": pa.array([], pa.int64()),
+                }
+            )
+        ks, vs = _group_reduce(
+            [nb_s[i], nb_s[j]], {"partial_t": np.ones(i.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "u": pa.array(ks[0], pa.int64()),
+                "w": pa.array(ks[1], pa.int64()),
+                "partial_t": pa.array(vs["partial_t"], pa.int64()),
+            }
+        )
+
+    wedges = _bucketed(adj, ["mid"], n_buckets).map_groups(
+        per_mid_wedges, batch_format="pyarrow"
+    )
+    t_tbl = tree_sum(wedges, ["u", "w"], {"partial_t": "t"},
+                     int_cols=("partial_t",))
+
+    def choose2_partial(batch: pa.Table) -> pa.Table:
+        t = batch["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "partial_c": pa.array([int((t * (t - 1) // 2).sum())],
+                                      pa.int64()),
+            }
+        )
+
+    tot = tree_reduce(
+        t_tbl.map_batches(
+            choose2_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["one"], {"partial_c": "c"},
+    ).materialize()  # 1 row; typed empty-wedge guard below
+    if tot.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"n_rectangles": pa.array([0], pa.int64())})
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        val = int(c[0]) // 2 if c.shape[0] else 0
+        return pa.table({"n_rectangles": pa.array([val], pa.int64())})
+
+    return tot.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 # ------------------------------------------------- trajectories / OD
 
 def trajectory_stats(
@@ -795,6 +944,152 @@ def trajectory_stats(
 
     return _bucketed(proj, [user_col], n_buckets).map_groups(
         per_bucket, batch_format="pyarrow"
+    )
+
+
+def hausdorff_pairs(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    group_fn,
+    tiebreak_col: str | None = None,
+    scale_bits: int = 20,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Discrete Hausdorff distance between every PAIR of entity point
+    sets that share a group (e.g. the coarse grid cell of each entity's
+    first fix): ``(user_a, user_b, hausdorff_q)`` with a < b, distance
+    quantized to ``floor(h · 2^scale_bits + 0.5)``.
+
+    The trajectory-similarity join: Hausdorff is a SET distance, so no
+    ordering ships — stage 1 hash-bucket co-shuffles points by entity
+    and packs each entity into ONE row (entity, group, lon list, lat
+    list), where group = ``group_fn(first_lon, first_lat)`` on the
+    (ts, tiebreak)-min fix; stage 2 co-shuffles the packed rows by
+    group and computes all within-group pairs vectorized: per entity
+    one (n_a × N_cell) squared-distance block, segmented column minima
+    via ``np.minimum.reduceat``, row-max → the directed h(a→·) row of
+    the group's H matrix; symmetrize with max. Exactness: min/max over
+    identically-computed doubles plus one correctly-rounded sqrt at the
+    end, so the SQL cross-join twin hash-matches bit-for-bit.
+
+    Partitioning assumption (document per SCALING.md): one entity's
+    track fits a row, and one GROUP's entities fit a task — choose the
+    group key so per-group membership is bounded (a coarse cell at city
+    granularity, a cohort id). All-pairs cost is per group, never
+    global."""
+    scale = float(1 << scale_bits)
+    proj = ds.select_columns(
+        [user_col, ts_col, lon_col, lat_col]
+        + ([tiebreak_col] if tiebreak_col else [])
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        order, starts, _ = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        n = lon.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    "user": pa.array([], pa.int64()),
+                    "grp": pa.array([], pa.int64()),
+                    "lons": pa.array([], pa.list_(pa.float64())),
+                    "lats": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        grp = np.asarray(
+            group_fn(lon[starts], lat[starts]), dtype=np.int64
+        )
+        offsets = np.append(starts, n).astype(np.int32)
+        return pa.table(
+            {
+                "user": pa.array(u[order][starts], pa.int64()),
+                "grp": pa.array(grp, pa.int64()),
+                "lons": pa.ListArray.from_arrays(offsets, pa.array(lon)),
+                "lats": pa.ListArray.from_arrays(offsets, pa.array(lat)),
+            }
+        )
+
+    packed = _bucketed(proj, [user_col], n_buckets).map_groups(
+        pack, batch_format="pyarrow"
+    )
+
+    def per_group_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "hausdorff_q": pa.array([], pa.int64()),
+            }
+        )
+        g = group["grp"].to_numpy(zero_copy_only=False)
+        u = group["user"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lons = group["lons"].combine_chunks()
+        lats = group["lats"].combine_chunks()
+        if isinstance(lons, pa.ChunkedArray):
+            lons = lons.chunk(0) if lons.num_chunks else pa.array(
+                [], pa.list_(pa.float64()))
+            lats = lats.chunk(0) if lats.num_chunks else pa.array(
+                [], pa.list_(pa.float64()))
+        flat_lon = np.asarray(lons.values)
+        flat_lat = np.asarray(lats.values)
+        offs = np.asarray(lons.offsets)
+        out_a, out_b, out_h = [], [], []
+        # rows may span multiple grp values inside one _bucket group
+        order = np.argsort(u, kind="stable")
+        for gval in np.unique(g):
+            rows = order[g[order] == gval]
+            if rows.shape[0] < 2:
+                continue
+            # gather this grp's entities into contiguous arrays
+            segs = [np.arange(offs[r], offs[r + 1]) for r in rows]
+            idx = np.concatenate(segs)
+            P = np.column_stack([flat_lon[idx], flat_lat[idx]])
+            sizes = np.array([s.shape[0] for s in segs], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            nU = rows.shape[0]
+            H = np.zeros((nU, nU))
+            for ai in range(nU):
+                a0, a1 = starts[ai], starts[ai] + sizes[ai]
+                A = P[a0:a1]
+                dx = A[:, 0:1] - P[:, 0][None, :]
+                dy = A[:, 1:2] - P[:, 1][None, :]
+                D = dx * dx + dy * dy
+                mins = np.minimum.reduceat(D, starts, axis=1)
+                H[ai, :] = mins.max(axis=0)
+            uu = u[rows]
+            ii, jj = np.triu_indices(nU, k=1)
+            h2 = np.maximum(H[ii, jj], H[jj, ii])
+            lo = np.minimum(uu[ii], uu[jj])
+            hi = np.maximum(uu[ii], uu[jj])
+            out_a.append(lo)
+            out_b.append(hi)
+            out_h.append(
+                np.floor(np.sqrt(h2) * scale + 0.5).astype(np.int64)
+            )
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "user_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "user_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hausdorff_q": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    return _bucketed(packed, ["grp"], n_buckets).map_groups(
+        per_group_pairs, batch_format="pyarrow"
     )
 
 

@@ -255,6 +255,118 @@ def _tokenize_flat(txt: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return pc.list_flatten(lists), counts
 
 
+def token_label_stats(
+    ds: ray.data.Dataset,
+    label_fn,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_docs_exact: int = 200_000,
+) -> ray.data.Dataset:
+    """χ² keyword selection sufficient stats: for every token with
+    document frequency ≥ ``min_df``, ``(token, df_pos, df_neg,
+    chi2_num)`` where df_pos/df_neg are the DISTINCT-document counts
+    among label-1 / label-0 docs and ``chi2_num = (n11·n00 − n10·n01)²``
+    is the integer χ² numerator (divide by the four marginals and
+    multiply by n to get the statistic — kept integral so the oracle is
+    exact). ``label_fn(batch) → 0/1 int array`` assigns each doc its
+    class (e.g. lang == 'en').
+
+    One streaming pass: per batch, tokens dictionary-encoded and
+    deduped per doc with one lexsort boundary (presence, not counts),
+    per-class partial dfs via two bincounts; vocabulary-sized combine
+    tree (same bound as ``token_histogram``); class totals (P, N) ride
+    a 2-int tree_reduce and broadcast into the finish map. Raises above
+    ``max_docs_exact`` docs — beyond that (n11·n00)² would overflow
+    int64; shard by label-stratified corpus splits and merge, or drop
+    to the float statistic."""
+    from georay.ops import tree_reduce, tree_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        y = np.asarray(label_fn(batch), dtype=np.int64)
+        flat, counts = _tokenize_flat(txt)
+        doc = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices)
+        vocab = enc.dictionary
+        order = np.lexsort((codes, doc))
+        dc, cc = doc[order], codes[order]
+        keep = np.ones(dc.shape[0], dtype=bool)
+        keep[1:] = (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])
+        cc_k, dc_k = cc[keep], dc[keep]
+        yd = y[dc_k]
+        nv = len(vocab)
+        pos = np.bincount(cc_k[yd == 1], minlength=nv)
+        neg = np.bincount(cc_k[yd == 0], minlength=nv)
+        return pa.table(
+            {
+                "token": vocab,
+                "partial_pos": pa.array(pos.astype(np.int64)),
+                "partial_neg": pa.array(neg.astype(np.int64)),
+            }
+        )
+
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        y = np.asarray(label_fn(batch), dtype=np.int64)
+        return pa.table(
+            {
+                "one": pa.array([1], pa.int64()),
+                "partial_p": pa.array([int(y.sum())], pa.int64()),
+                "partial_n": pa.array([int(y.shape[0] - y.sum())],
+                                      pa.int64()),
+            }
+        )
+
+    tot = tree_reduce(
+        ds.map_batches(
+            doc_totals, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["one"], {"partial_p": "p", "partial_n": "n"},
+    ).to_pandas()
+    P = int(tot["p"].iloc[0]) if len(tot) else 0
+    N = int(tot["n"].iloc[0]) if len(tot) else 0
+    if P + N > max_docs_exact:
+        raise ValueError(
+            f"token_label_stats: {P + N} docs exceeds the int64-exact "
+            f"χ² budget ({max_docs_exact}); shard the corpus or use the "
+            "float statistic"
+        )
+
+    dfs = tree_sum(
+        ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "token", {"partial_pos": "df_pos", "partial_neg": "df_neg"},
+        int_cols=("partial_pos", "partial_neg"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dp = batch["df_pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dn = batch["df_neg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = dp + dn >= min_df
+        dp, dn = dp[m], dn[m]
+        diff = dp * (N - dn) - dn * (P - dp)
+        return pa.table(
+            {
+                "token": batch["token"].filter(pa.array(m)),
+                "df_pos": pa.array(dp),
+                "df_neg": pa.array(dn),
+                "chi2_num": pa.array(diff * diff),
+            }
+        )
+
+    return dfs.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def doc_top_tfidf(
     ds: ray.data.Dataset,
     text_col: str = "text",

@@ -3297,6 +3297,54 @@ FROM pfx
 """
 
 
+def q_token_chi2(sf_dir: str):
+    """χ² keyword selection over documents: per token (df ≥ 2), the
+    distinct-doc frequency in English vs non-English docs plus the
+    integer χ² numerator (n11·n00 − n10·n01)² — the feature-selection
+    sufficient stats a classifier-training stage consumes
+    (stages.text.token_label_stats: per-batch doc-dedup + vocabulary
+    combine tree; class totals broadcast into the finish map)."""
+    from georay.stages.text import token_label_stats
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
+
+    def is_en(batch: pa.Table) -> np.ndarray:
+        return pc.equal(batch["lang"], "en").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    return token_label_stats(docs, is_en)
+
+
+SQL_TOKEN_CHI2 = r"""
+WITH lab AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text,
+         ROW_NUMBER() OVER () AS rid
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT rid, y,
+    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                             ' '), ' ')) AS token
+  FROM lab
+),
+tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+  FROM lab
+),
+s AS (
+  SELECT token, CAST(SUM(y) AS BIGINT) AS df_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS df_neg
+  FROM tok GROUP BY token HAVING COUNT(*) >= 2
+)
+SELECT token, df_pos, df_neg,
+       CAST((df_pos * (n - df_neg) - df_neg * (p - df_pos))
+          * (df_pos * (n - df_neg) - df_neg * (p - df_pos)) AS BIGINT)
+         AS chi2_num
+FROM s, tot
+"""
+
+
 def q_rare_bigrams(sf_dir: str):
     """Corpus-novelty signal (n-gram LM filtering core): per doc, its
     bigram count and how many of its bigrams are globally rare (corpus
@@ -5740,6 +5788,73 @@ SELECT agg.user_id, agg.n_points, agg.path_q,
             AS BIGINT) AS net_q
 FROM agg JOIN f USING (user_id) JOIN l USING (user_id)
 """
+
+def q_hausdorff(sf_dir: str):
+    """Trajectory-similarity join: discrete Hausdorff distance between
+    every pair of users whose FIRST fix lands in the same 90° grid cell
+    (analytics.hausdorff_pairs — packed-track co-shuffle by user, then
+    by cell; per-cell vectorized directed-H matrix). Quantized via the
+    correctly-rounded sqrt so the SQL cross-join twin is bit-exact."""
+    from georay import analytics
+
+    def cell90(lon0: np.ndarray, lat0: np.ndarray) -> np.ndarray:
+        return (
+            np.floor((lon0 + 180.0) / 90.0).astype(np.int64) * 10
+            + np.floor((lat0 + 90.0) / 90.0).astype(np.int64)
+        )
+
+    return analytics.hausdorff_pairs(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        group_fn=cell90, tiebreak_col="event_id",
+    )
+
+
+SQL_HAUSDORFF = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+f AS (
+  SELECT user_id, lon, lat FROM (
+    SELECT user_id, lon, lat,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM pts) WHERE rn = 1
+),
+cellof AS (
+  SELECT user_id,
+         CAST(floor((lon + 180e0) / 90e0) AS BIGINT) * 10
+       + CAST(floor((lat + 90e0) / 90e0) AS BIGINT) AS grp
+  FROM f
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM cellof a JOIN cellof b ON a.grp = b.grp AND a.user_id < b.user_id
+),
+dab AS (
+  SELECT p.ua, p.ub, pa.event_id AS pe,
+         MIN((pa.lon - pb.lon) * (pa.lon - pb.lon)
+           + (pa.lat - pb.lat) * (pa.lat - pb.lat)) AS mind
+  FROM pairs p
+  JOIN pts pa ON pa.user_id = p.ua
+  JOIN pts pb ON pb.user_id = p.ub
+  GROUP BY 1, 2, 3
+),
+hab AS (SELECT ua, ub, MAX(mind) AS h FROM dab GROUP BY 1, 2),
+dba AS (
+  SELECT p.ua, p.ub, pb.event_id AS pe,
+         MIN((pa.lon - pb.lon) * (pa.lon - pb.lon)
+           + (pa.lat - pb.lat) * (pa.lat - pb.lat)) AS mind
+  FROM pairs p
+  JOIN pts pa ON pa.user_id = p.ua
+  JOIN pts pb ON pb.user_id = p.ub
+  GROUP BY 1, 2, 3
+),
+hba AS (SELECT ua, ub, MAX(mind) AS h FROM dba GROUP BY 1, 2)
+SELECT hab.ua AS user_a, hab.ub AS user_b,
+       CAST(floor(sqrt(GREATEST(hab.h, hba.h)) * 1048576e0 + 0.5e0) AS BIGINT)
+         AS hausdorff_q
+FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub
+"""
+
 
 def q_movement_report(sf_dir: str, gate_broadcast_max: int = 2_000_000):
     """END-TO-END movement analytics chain, hash-matched as ONE SQL
@@ -8478,6 +8593,42 @@ def q_pagerank_partitioned(sf_dir: str):
 
     edges = _copurchase_edges(sf_dir).materialize()
     return analytics.pagerank_partitioned(edges, n_iter=PAGERANK_ITERS)
+
+
+def q_rectangles(sf_dir: str):
+    """Exact 4-cycle (rectangle) count of the co-purchase graph —
+    wedge multiplicities per endpoint pair through mid-node bucket
+    co-shuffle + combine tree, Σ C(t,2)/2 (analytics.rectangle_count).
+    Count is orientation-invariant, so the oracle is the symmetric
+    wedge self-join with the same choose-2 identity."""
+    from georay import analytics
+
+    return analytics.rectangle_count(_copurchase_edges(sf_dir))
+
+
+def q_rectangles_partitioned(sf_dir: str):
+    """Distributed-plan twin of ``rectangles`` (local_edge_cutoff=0):
+    the adjacency co-shuffle + combine-tree path runs even on the small
+    test graph, proving the partitioned plan produces the identical
+    count. Shares the wedge self-join oracle."""
+    from georay import analytics
+
+    return analytics.rectangle_count(
+        _copurchase_edges(sf_dir), local_edge_cutoff=0
+    )
+
+
+SQL_RECTANGLES = f"""
+WITH {SQL_COPURCHASE_EDGES},
+e2 AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b AS s, a AS d FROM e),
+w AS (
+  SELECT x.d AS u, y.d AS w, COUNT(*) AS t
+  FROM e2 x JOIN e2 y ON x.s = y.s AND x.d < y.d
+  GROUP BY 1, 2
+)
+SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) // 2 AS BIGINT)
+       AS n_rectangles FROM w
+"""
 
 
 def q_triangles_partitioned(sf_dir: str):
@@ -13052,6 +13203,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "trajectory": q_trajectory,
+    "hausdorff": q_hausdorff,
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
@@ -13175,6 +13327,8 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
+    "rectangles": q_rectangles,
+    "rectangles_partitioned": q_rectangles_partitioned,
     "triangles_partitioned": q_triangles_partitioned,
     "bm25": q_bm25,
     "lm_score": q_lm_score,
@@ -13220,6 +13374,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
     "rare_bigrams": q_rare_bigrams,
+    "token_chi2": q_token_chi2,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
     "dup_spans": q_dup_spans,
@@ -13342,6 +13497,7 @@ ORACLE = {
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
+    "hausdorff": SQL_HAUSDORFF,
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
@@ -13464,6 +13620,8 @@ ORACLE = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
+    "rectangles": SQL_RECTANGLES,
+    "rectangles_partitioned": SQL_RECTANGLES,
     "triangles_partitioned": SQL_TRIANGLES,
     "bm25": SQL_BM25,
     "lm_score": SQL_LM_SCORE,
@@ -13508,6 +13666,7 @@ ORACLE = {
     "chunk_docs": SQL_CHUNK_DOCS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
+    "token_chi2": SQL_TOKEN_CHI2,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dup_spans": SQL_DUP_SPANS,

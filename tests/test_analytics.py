@@ -1768,3 +1768,128 @@ def test_avg_neighbor_degree_star(ray_session):
     assert out.values.tolist() == [
         [1, 3, 3], [2, 1, 3], [3, 1, 3], [4, 1, 3],
     ]
+
+
+def test_rectangle_count_known(ray_session):
+    # C4 (one 4-cycle), K4 (3 rectangles: each pair of disjoint edges
+    # closes via the other two nodes), and a pendant edge adds none
+    c4 = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 1], pa.int64()),
+            "b": pa.array([2, 3, 4, 4], pa.int64()),
+        }
+    )
+    out = analytics.rectangle_count(_ds(c4)).to_pandas()
+    assert out["n_rectangles"].tolist() == [1]
+    k4 = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+            "b": pa.array([2, 3, 4, 3, 4, 4, 5], pa.int64()),
+        }
+    )
+    assert analytics.rectangle_count(_ds(k4)).to_pandas()[
+        "n_rectangles"
+    ].tolist() == [3]
+    # triangle alone has no 4-cycle
+    tri = pa.table(
+        {
+            "a": pa.array([1, 1, 2], pa.int64()),
+            "b": pa.array([2, 3, 3], pa.int64()),
+        }
+    )
+    assert analytics.rectangle_count(_ds(tri)).to_pandas()[
+        "n_rectangles"
+    ].tolist() == [0]
+
+
+def test_rectangle_count_local_vs_distributed(ray_session):
+    rng = np.random.default_rng(7)
+    aa = rng.integers(1, 30, 300)
+    bb = rng.integers(1, 30, 300)
+    keep = aa != bb
+    lo = np.minimum(aa[keep], bb[keep])
+    hi = np.maximum(aa[keep], bb[keep])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    edges = _ds(
+        pa.table(
+            {
+                "a": pa.array(e[:, 0], pa.int64()),
+                "b": pa.array(e[:, 1], pa.int64()),
+            }
+        )
+    ).materialize()
+    r_loc = analytics.rectangle_count(edges).to_pandas()["n_rectangles"][0]
+    r_dist = analytics.rectangle_count(edges, local_edge_cutoff=0).to_pandas()[
+        "n_rectangles"
+    ][0]
+    assert r_loc == r_dist
+    # brute force: count 4-node subsets joined in a cycle
+    es = {(int(x), int(y)) for x, y in e} | {(int(y), int(x)) for x, y in e}
+    nodes = sorted({n for p in es for n in p})
+    import itertools
+
+    brute = 0
+    for quad in itertools.combinations(nodes, 4):
+        for perm in itertools.permutations(quad[1:]):
+            ring = (quad[0],) + perm
+            if all(
+                (ring[i], ring[(i + 1) % 4]) in es for i in range(4)
+            ):
+                brute += 1
+    # each cycle counted twice per orientation and 4 rotations / ...
+    # fixing ring[0]=min leaves 3! perms; each undirected cycle seen twice
+    assert r_loc == brute // 2
+
+
+def test_rectangle_count_empty(ray_session):
+    empty = _ds(
+        pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    )
+    assert analytics.rectangle_count(empty).to_pandas()[
+        "n_rectangles"
+    ].tolist() == [0]
+
+
+def test_hausdorff_pairs_known(ray_session):
+    # two users in one group: A = {(0,0),(1,0)}, B = {(0,3),(4,0)}
+    # directed A->B: min dists from (0,0): min(3, 4)=3; from (1,0): min(sqrt(10),3)=3
+    #   -> h(A->B) = 3
+    # directed B->A: from (0,3): 3 (to (0,0)); from (4,0): 3 (to (1,0))
+    #   -> h(B->A) = 3 -> hausdorff = 3.0
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([1, 2, 1, 2], pa.int64()),
+            "eid": pa.array([1, 2, 3, 4], pa.int64()),
+            "lon": pa.array([0.0, 1.0, 0.0, 4.0]),
+            "lat": pa.array([0.0, 0.0, 3.0, 0.0]),
+        }
+    )
+    ds = _ds(tbl)
+    out = analytics.hausdorff_pairs(
+        ds, "u", "ts", "lon", "lat",
+        group_fn=lambda lon0, lat0: np.zeros(lon0.shape[0], np.int64),
+        tiebreak_col="eid", n_buckets=2,
+    ).to_pandas()
+    assert out.values.tolist() == [[1, 2, 3 * (1 << 20)]]
+
+
+def test_hausdorff_pairs_grouping(ray_session):
+    # users 1,2 share group 0; user 3 alone in group 1 -> exactly 1 pair
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([1, 1, 1], pa.int64()),
+            "eid": pa.array([1, 2, 3], pa.int64()),
+            "lon": pa.array([0.0, 1.0, 100.0]),
+            "lat": pa.array([0.0, 0.0, 0.0]),
+        }
+    )
+    out = analytics.hausdorff_pairs(
+        _ds(tbl), "u", "ts", "lon", "lat",
+        group_fn=lambda lon0, lat0: (lon0 > 50).astype(np.int64),
+        tiebreak_col="eid", n_buckets=2,
+    ).to_pandas()
+    assert out.values.tolist() == [[1, 2, 1 << 20]]

@@ -991,3 +991,53 @@ def test_pmi_collocations_known_corpus(ray_session):
     # every returned pair meets the count floor, ranking is descending
     assert (out["c_xy"] >= 3).all()
     assert list(out["pmi_q"]) == sorted(out["pmi_q"], reverse=True)
+
+
+def test_token_label_stats(ray_session):
+    import ray.data as rd
+
+    from georay.stages.text import token_label_stats
+
+    tbl = pa.table(
+        {
+            "text": pa.array(
+                ["cat dog", "cat cat bird", "dog dog", "bird cat"]
+            ),
+            "y": pa.array([1, 1, 0, 0], pa.int64()),
+        }
+    )
+    out = (
+        token_label_stats(
+            rd.from_arrow(tbl),
+            lambda b: b["y"].to_numpy(zero_copy_only=False),
+            min_df=2,
+        )
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    # doc presence: cat -> docs 1,2 (pos), 4 (neg); dog -> 1 (pos), 3 (neg);
+    # bird -> 2 (pos), 4 (neg). P=2, N=2.
+    # cat: n11=2 n10=1 -> diff = 2*(2-1) - 1*(2-2) = 2 -> 4
+    # dog: n11=1 n10=1 -> diff = 1*1 - 1*1 = 0
+    # bird: n11=1 n10=1 -> 0
+    assert out.values.tolist() == [
+        ["bird", 1, 1, 0],
+        ["cat", 2, 1, 4],
+        ["dog", 1, 1, 0],
+    ]
+
+
+def test_token_label_stats_exact_budget(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from georay.stages.text import token_label_stats
+
+    tbl = pa.table(
+        {"text": pa.array(["a", "b"]), "y": pa.array([1, 0], pa.int64())}
+    )
+    with _pytest.raises(ValueError, match="budget"):
+        token_label_stats(
+            rd.from_arrow(tbl),
+            lambda b: b["y"].to_numpy(zero_copy_only=False),
+            max_docs_exact=1,
+        ).to_pandas()
