@@ -1079,12 +1079,29 @@ def postings_bm25(
     return top_k(scored, ["score", id_col], k, descending=[True, False])
 
 
+def _bloom_positions(x: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: pos_i = (h1 + i·h2) mod
+    bits with two mix64 streams — the standard Kirsch–Mitzenmacher
+    construction, deterministic across build and probe."""
+    from georay.ops import _mix64
+
+    u = x.astype(np.uint64)
+    h1 = _mix64(u.copy())
+    h2 = _mix64(u ^ np.uint64(0x9E3779B97F4A7C15))
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % np.uint64(bits)).astype(np.int64)
+
+
 def write_sorted(
     ds: rd.Dataset,
     out_dir: str,
     key: str,
     n_ranges: int = 16,
     key_to_int=None,
+    bloom_col: str | None = None,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
 ) -> dict:
     """Range-clustered table layout with ZONE MAPS: rows land in one
     parquet directory per key range (equi-width splits over the global
@@ -1095,13 +1112,25 @@ def write_sorted(
     layout. ``key_to_int`` maps the key column to int64 (default: cast;
     pass e.g. a timestamp→µs view for datetime keys).
 
+    ``bloom_col`` additionally builds a per-partition BLOOM FILTER
+    sidecar over that (int64) column — the data-skipping index for
+    point lookups on a column the layout is NOT clustered by (range
+    zones can't prune an unordered id). Build stays distributed: each
+    batch emits its distinct ``(partition, bit position)`` pairs
+    (``bloom_k`` double-hashed positions per value), the pair table
+    dedups through the combine tree, and only the bounded
+    ``n_ranges × bloom_bits`` bitset reaches the driver/manifest. The
+    bloom pass re-executes the input pipeline pruned to two columns —
+    streaming-safe; pay it only when lookups will follow. Probe with
+    ``read_bloom_lookup``.
+
     Plan: one streaming min/max pass (combine tree of one row per
     batch), split points broadcast into the partition-id map, one
     partitioned write. Returns the manifest dict (also persisted as
     ``_zonemap.json``)."""
     import json
 
-    from georay.ops import tree_reduce
+    from georay.ops import tree_reduce, tree_sum
 
     to_int = key_to_int or (
         lambda col: col.cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1151,6 +1180,49 @@ def write_sorted(
         "key": key, "lo": lo, "hi": hi, "width": width,
         "n_ranges": n_ranges,
     }
+    if bloom_col is not None:
+        def bloom_pairs(batch: pa.Table) -> pa.Table:
+            v = to_int(batch[key])
+            rid = np.clip((v - lo) // width, 0, n_ranges - 1)
+            x = (batch[bloom_col].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+            pos = _bloom_positions(x, bloom_bits, bloom_k)
+            flat = (np.repeat(rid, bloom_k).astype(np.int64) * bloom_bits
+                    + pos.ravel())
+            flat = np.unique(flat)
+            return pa.table(
+                {
+                    "rp": pa.array(flat, pa.int64()),
+                    "partial_one": pa.array(
+                        np.ones(flat.shape[0], np.int64)
+                    ),
+                }
+            )
+
+        pairs = tree_sum(
+            ds.select_columns([key, bloom_col]).map_batches(
+                bloom_pairs, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "rp", {"partial_one": "n"}, int_cols=("partial_one",),
+        )
+        rp = pa.concat_tables(
+            pairs.iter_batches(batch_format="pyarrow", batch_size=None)
+        )["rp"].to_numpy(zero_copy_only=False)
+        bitmaps = {}
+        for r in range(n_ranges):
+            sel = rp[(rp >= r * bloom_bits) & (rp < (r + 1) * bloom_bits)]
+            bs = np.zeros(bloom_bits // 8, dtype=np.uint8)
+            if sel.shape[0]:
+                local = sel - r * bloom_bits
+                np.bitwise_or.at(
+                    bs, local // 8, (1 << (local % 8)).astype(np.uint8)
+                )
+            bitmaps[str(r)] = bs.tobytes().hex()
+        manifest["bloom"] = {
+            "col": bloom_col, "bits": bloom_bits, "k": bloom_k,
+            "bitmaps": bitmaps,
+        }
     with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -1187,3 +1259,67 @@ def read_range(
     )
     ds = rd.read_parquet(files, columns=columns)
     return ds, len(dirs), n_total
+
+
+def read_bloom_lookup(
+    out_dir: str,
+    values,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, int, int]:
+    """Point lookup over a ``write_sorted(..., bloom_col=...)`` layout:
+    opens ONLY the partitions whose bloom filter says MAYBE for at
+    least one probe value — I/O scales with the probe hit set, not the
+    table, even though the layout is clustered by a DIFFERENT key.
+    Rows still pass an exact ``is_in`` residual filter (blooms give
+    false positives, never false negatives). Returns
+    ``(dataset, n_opened, n_total)`` so callers and tests can assert
+    the prune. ``columns`` must include the bloom column (needed by the
+    residual filter)."""
+    import glob as _glob
+    import json
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        m = json.load(f)
+    b = m.get("bloom")
+    if b is None:
+        raise ValueError("read_bloom_lookup: layout has no bloom sidecar "
+                         "(write_sorted(..., bloom_col=...))")
+    vals = np.asarray(list(values), dtype=np.int64)
+    pos = _bloom_positions(vals, int(b["bits"]), int(b["k"]))
+    all_dirs = sorted(_glob.glob(os.path.join(out_dir, "krange=*")))
+    n_total = len(all_dirs)
+    hit_dirs = []
+    for d in all_dirs:
+        r = str(int(d.rsplit("=", 1)[1]))
+        bs = np.frombuffer(bytes.fromhex(b["bitmaps"][r]), dtype=np.uint8)
+        bit_set = (bs[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        if bool(bit_set.all(axis=1).any()):
+            hit_dirs.append(d)
+    files = sorted(
+        f for d in hit_dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    col = b["col"]
+    probe = pa.array(vals, pa.int64())
+    if not files:
+        # typed empty result: no partition can contain any probe value
+        empty = rd.read_parquet(
+            sorted(_glob.glob(os.path.join(all_dirs[0], "*.parquet"))),
+            columns=columns,
+        ).limit(0) if all_dirs else None
+        if empty is None:
+            raise ValueError("read_bloom_lookup: empty layout")
+        return empty, 0, n_total
+    ds = rd.read_parquet(files, columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[col].cast(pa.int64()), value_set=probe)
+        return batch.filter(keep)
+
+    return (
+        ds.map_batches(
+            exact, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        len(hit_dirs),
+        n_total,
+    )

@@ -12249,6 +12249,47 @@ GROUP BY 1
 """
 
 
+_BLOOM_PROBE_IDS = (3, 97, 205, 388, 414, 555, 640, 777, 801, 930)
+
+
+def q_bloom_lookup(sf_dir: str):
+    """Bloom-sidecar point lookup: events written ONCE into the
+    ts-range-clustered layout with a per-partition bloom filter over
+    event_id (pipeline.write_sorted(bloom_col=...)), then a 10-id probe
+    opens ONLY the partitions whose bloom says maybe
+    (pipeline.read_bloom_lookup — prune asserted in pytest; range zones
+    cannot prune an unordered id, the bloom can) with an exact is_in
+    residual. Must equal the plain full-scan IN (...) SQL."""
+    import tempfile
+
+    from georay import pipeline
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_bloom_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(cache, "_zonemap.json")
+    if not os.path.exists(marker):
+        pipeline.write_sorted(
+            rd.read_parquet(
+                _t(sf_dir, "events"),
+                columns=["event_id", "ts", "user_id", "event_type"],
+            ),
+            cache, "ts", n_ranges=16, bloom_col="event_id",
+        )
+    ds, n_opened, n_total = pipeline.read_bloom_lookup(
+        cache, _BLOOM_PROBE_IDS,
+        columns=["event_id", "user_id", "event_type"],
+    )
+    return ds.select_columns(["event_id", "user_id", "event_type"])
+
+
+SQL_BLOOM_LOOKUP = f"""
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id IN {_BLOOM_PROBE_IDS}
+"""
+
+
 def q_cell_phash_diversity(sf_dir: str):
     """Spatial × image fusion (the graft's two axes in one query):
     per spatial cell of the image table's geotags, how many images
@@ -13293,6 +13334,7 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "incremental_agg": q_incremental_agg,
     "sorted_range_scan": q_sorted_range_scan,
+    "bloom_lookup": q_bloom_lookup,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -13587,6 +13629,7 @@ ORACLE = {
     "skew_profile": SQL_SKEW_PROFILE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
+    "bloom_lookup": SQL_BLOOM_LOOKUP,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -390,3 +390,41 @@ def test_postings_degenerate_corpora(ray_session, tmp_path):
     hits = pipeline.postings_bm25(out2, ["z"], k=3).take_all()
     assert [r["doc_id"] for r in hits] == ["b"]
     assert pipeline.postings_search(out2, ["qqq"], mode="and").take_all() == []
+
+
+def test_bloom_lookup_prunes_and_matches(ray_session, tmp_path):
+    """Bloom-sidecar layout: a point lookup on a NON-clustered column
+    must open a strict subset of partitions (the probed ids live in few
+    ts ranges) and return exactly the probed rows; a probe of absent
+    ids returns zero rows; blooms never lose rows (no false
+    negatives)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    # ids shuffled so the clustered key (k) and the bloom key (id)
+    # disagree — the scenario zone maps cannot prune
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(2000).astype(np.int64)
+    k = np.arange(2000, dtype=np.int64)
+    t = pa.table({"k": pa.array(k), "id": pa.array(ids)})
+    out = str(tmp_path / "bloomed")
+    m = pipeline.write_sorted(
+        rd.from_arrow(t), out, "k", n_ranges=16, bloom_col="id"
+    )
+    assert set(m["bloom"]["bitmaps"]) == {str(i) for i in range(16)}
+    probe = [int(ids[3]), int(ids[777]), int(ids[1500])]
+    ds, n_opened, n_total = pipeline.read_bloom_lookup(
+        out, probe, columns=["k", "id"]
+    )
+    assert n_total == 16 and 1 <= n_opened < 16
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == sorted(probe)
+    # absent ids: bloom may false-positive a partition open, but the
+    # exact residual returns zero rows
+    ds2, n2, _ = pipeline.read_bloom_lookup(
+        out, [10**9, 10**9 + 1], columns=["k", "id"]
+    )
+    assert len(ds2.to_pandas()) == 0
