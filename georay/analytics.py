@@ -2517,6 +2517,117 @@ def leg_crossings(
     )
 
 
+def path_self_intersections(
+    ds: ray.data.Dataset,
+    key: str,
+    order_cols,
+    x_col: str,
+    y_col: str,
+    quantize: float = 20.0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Geometry QA over trajectories: per key, how many pairs of
+    NON-ADJACENT legs of the (order_cols)-sorted path PROPERLY
+    intersect — the self-intersection count a routing/validity gate
+    flags tangled tracks with. Proper = strict double orientation sign
+    flip (``d1·d2 < 0 AND d3·d4 < 0``, integer cross products over
+    ``floor(coord·quantize + 0.5)`` endpoints — EXACT in int64, no
+    epsilon), so the segment self-join SQL twin is bit-identical.
+    Touching / collinear overlap is NOT an intersection (strict
+    inequality), and adjacent legs (sharing a vertex) are skipped.
+    Emits EVERY key (zero-count rows included); NULL/NaN fixes drop
+    like the rest of the movement family.
+
+    One key-hash bucket shuffle; within a bucket, leg pairs are
+    enumerated per key with the ragged pair enumerator and the
+    orientation tests run on the flat pair arrays — no per-key Python.
+    O(legs²) per key: trajectories, not continent-length polylines
+    (cap per-key fixes upstream for adversarial inputs)."""
+    from georay import ops as _ops
+
+    order_list = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    proj = ds.select_columns([key, *order_list, x_col, y_col])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _ops._key_hash(batch, [key])
+        if h is None:
+            raise TypeError("path_self_intersections requires int or string keys")
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    _empty = pa.table(
+        {key: pa.array([], pa.int64()),
+         "n_self_crossings": pa.array([], pa.int64())}
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        fx = group[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = group[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(fx) & np.isfinite(fy)
+        if not fin.all():
+            group = group.filter(pa.array(fin))
+        sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_list]
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.shape[0] == 0:
+            return _empty
+        all_keys = np.unique(k)
+        totals = np.zeros(all_keys.shape[0], dtype=np.int64)
+        qx = np.floor(
+            g[x_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        qy = np.floor(
+            g[y_col].to_numpy(zero_copy_only=False) * quantize + 0.5
+        ).astype(np.int64)
+        same = k[1:] == k[:-1]
+        ax, ay = qx[:-1][same], qy[:-1][same]
+        bx, by = qx[1:][same], qy[1:][same]
+        kk = k[1:][same]
+        m = kk.shape[0]
+        if m:
+            first = np.ones(m, dtype=bool)
+            first[1:] = kk[1:] != kk[:-1]
+            starts = np.nonzero(first)[0]
+            i, j = _pairs_within_groups(starts, m)
+            nonadj = (j - i) >= 2
+            i, j = i[nonadj], j[nonadj]
+            if i.shape[0]:
+                d1 = (bx[i] - ax[i]) * (ay[j] - ay[i]) \
+                    - (by[i] - ay[i]) * (ax[j] - ax[i])
+                d2 = (bx[i] - ax[i]) * (by[j] - ay[i]) \
+                    - (by[i] - ay[i]) * (bx[j] - ax[i])
+                d3 = (bx[j] - ax[j]) * (ay[i] - ay[j]) \
+                    - (by[j] - ay[j]) * (ax[i] - ax[j])
+                d4 = (bx[j] - ax[j]) * (by[i] - ay[j]) \
+                    - (by[j] - ay[j]) * (bx[i] - ax[j])
+                hit = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+                if hit.any():
+                    ks, vs = _ops._group_reduce(
+                        [kk[i][hit]],
+                        {"n": np.ones(int(hit.sum()), np.int64)},
+                    )
+                    pos = np.searchsorted(all_keys, ks[0])
+                    totals[pos] += vs["n"]
+        return pa.table(
+            {
+                key: pa.array(all_keys, pa.int64()),
+                "n_self_crossings": pa.array(totals, pa.int64()),
+            }
+        )
+
+    return (
+        _ops.shuffle_coalesce(
+            proj.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def kcore_peel(
     edges: ray.data.Dataset,
     k: int,

@@ -4858,6 +4858,65 @@ def cube_sum(
     )
 
 
+def grouping_sets_sum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    value_col: str,
+    out_col: str = "total",
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (...)`` with SUM: totals at exactly
+    the requested grouping sets (each a subset of ``keys``), rolled-up
+    columns NULL. Same physics as rollup_sum / cube_sum — one
+    distributed pass to the finest level (map-side combine + tree
+    merge, no all-to-all shuffle), then each requested set
+    re-aggregates the SMALL finest table in one task. Keys must be
+    non-null; duplicate sets produce duplicate result rows (SQL bag
+    semantics)."""
+    keyset = set(keys)
+    for s in sets:
+        if not set(s) <= keyset:
+            raise ValueError(f"grouping_sets_sum: set {s} not within keys")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        karrs = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(karrs, {"_v": v})
+        cols = {k: pa.array(a) for k, a in zip(keys, ks)}
+        cols["_v"] = pa.array(vs["_v"])
+        return pa.table(cols)
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    finest = tree_sum(parts, keys, {"_v": out_col})
+
+    def expand(batch: pa.Table) -> pa.Table:
+        out = []
+        for s in sets:
+            kept = [k for k in keys if k in s]
+            dropped = [k for k in keys if k not in s]
+            if kept == keys:
+                out.append(batch)
+                continue
+            if kept:
+                g = batch.group_by(kept).aggregate([(out_col, "sum")])
+                g = g.select(kept + [f"{out_col}_sum"])
+                g = g.rename_columns(kept + [out_col])
+            else:
+                g = pa.table({out_col: pa.array(
+                    [pc.sum(batch[out_col]).as_py()], batch[out_col].type
+                )})
+            for d in dropped:
+                g = g.append_column(d, pa.nulls(len(g), batch[d].type))
+            out.append(g.select(batch.column_names))
+        return pa.concat_tables(out)
+
+    return finest.repartition(1).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def value_histogram(
     ds: ray.data.Dataset,
     value_col: str,

@@ -2239,6 +2239,48 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) SUM —
+    an arbitrary (non-rollup, non-cube) set list from the same one-pass
+    finest-level plan (ops.grouping_sets_sum)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.drop_columns(["l_quantity"]).append_column(
+            "qty", pa.array(q, pa.int64())
+        )
+
+    ds = ds.map_batches(to_int, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    out = ops.grouping_sets_sum(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        sets=[("l_returnflag",), ("l_linestatus",), ()],
+        value_col="qty", out_col="sum_qty",
+    )
+
+    def seal(batch: pa.Table) -> pa.Table:
+        for c in ("l_returnflag", "l_linestatus"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.fill_null(batch[c], "(all)"))
+        return batch
+
+    return out.map_batches(seal, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None)
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 64
 
 
@@ -5853,6 +5895,50 @@ SELECT hab.ua AS user_a, hab.ub AS user_b,
        CAST(floor(sqrt(GREATEST(hab.h, hba.h)) * 1048576e0 + 0.5e0) AS BIGINT)
          AS hausdorff_q
 FROM hab JOIN hba ON hab.ua = hba.ua AND hab.ub = hba.ub
+"""
+
+
+def q_path_selfintersect(sf_dir: str):
+    """Trajectory validity gate: per user, the count of PROPER
+    self-intersections between non-adjacent legs of the (ts, event_id)-
+    ordered path (analytics.path_self_intersections — integer cross
+    products over quantized endpoints, exact; strict sign flips, so
+    touching is not a crossing). Zero-count users included."""
+    from georay import analytics
+
+    return analytics.path_self_intersections(
+        _event_points(sf_dir), "user_id", ["ts", "event_id"], "lon", "lat",
+    )
+
+
+SQL_PATH_SELFINTERSECT = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT user_id,
+         CAST(floor(lon * 20e0 + 0.5e0) AS BIGINT) AS qx,
+         CAST(floor(lat * 20e0 + 0.5e0) AS BIGINT) AS qy,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM pts
+),
+seg AS (
+  SELECT a.user_id, a.rn AS i, a.qx AS ax, a.qy AS ay,
+         b.qx AS bx, b.qy AS b_y
+  FROM seq a JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+),
+x AS (
+  SELECT s.user_id, COUNT(*) AS n
+  FROM seg s JOIN seg t ON t.user_id = s.user_id AND t.i > s.i + 1
+  WHERE ((s.bx - s.ax) * (t.ay - s.ay) - (s.b_y - s.ay) * (t.ax - s.ax))
+      * ((s.bx - s.ax) * (t.b_y - s.ay) - (s.b_y - s.ay) * (t.bx - s.ax)) < 0
+    AND ((t.bx - t.ax) * (s.ay - t.ay) - (t.b_y - t.ay) * (s.ax - t.ax))
+      * ((t.bx - t.ax) * (s.b_y - t.ay) - (t.b_y - t.ay) * (s.bx - t.ax)) < 0
+  GROUP BY 1
+),
+u AS (SELECT DISTINCT user_id FROM pts)
+SELECT u.user_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_self_crossings
+FROM u LEFT JOIN x USING (user_id)
 """
 
 
@@ -13245,6 +13331,7 @@ QUERIES = {
     "cohort": q_cohort,
     "trajectory": q_trajectory,
     "hausdorff": q_hausdorff,
+    "path_selfintersect": q_path_selfintersect,
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
@@ -13503,6 +13590,7 @@ QUERIES = {
     "geodesic_stats": q_geodesic_stats,
     "rollup": q_rollup,
     "cube": q_cube,
+    "grouping_sets": q_grouping_sets,
     "grouped_corr": q_grouped_corr,
     "grouped_mode": q_grouped_mode,
     "except_distinct": q_except_distinct,
@@ -13540,6 +13628,7 @@ ORACLE = {
     "cohort": SQL_COHORT,
     "trajectory": SQL_TRAJECTORY,
     "hausdorff": SQL_HAUSDORFF,
+    "path_selfintersect": SQL_PATH_SELFINTERSECT,
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
@@ -13790,6 +13879,7 @@ ORACLE = {
     "geodesic_stats": SQL_GEODESIC_STATS,
     "rollup": SQL_ROLLUP,
     "cube": SQL_CUBE,
+    "grouping_sets": SQL_GROUPING_SETS,
     "grouped_corr": SQL_GROUPED_CORR,
     "grouped_mode": SQL_GROUPED_MODE,
     "except_distinct": SQL_EXCEPT_DISTINCT,

@@ -1893,3 +1893,42 @@ def test_hausdorff_pairs_grouping(ray_session):
         tiebreak_col="eid", n_buckets=2,
     ).to_pandas()
     assert out.values.tolist() == [[1, 2, 1 << 20]]
+
+
+def test_path_self_intersections_bowtie(ray_session):
+    # user 1: bowtie path (0,0)->(2,2)->(2,0)->(0,2): leg 1 and leg 3
+    # properly cross; user 2: straight line, no crossing; user 3: a
+    # single point (no legs) still emits a zero row
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2, 2, 2, 3], pa.int64()),
+            "t": pa.array([1, 2, 3, 4, 1, 2, 3, 1], pa.int64()),
+            "x": pa.array([0.0, 2.0, 2.0, 0.0, 0.0, 1.0, 2.0, 5.0]),
+            "y": pa.array([0.0, 2.0, 0.0, 2.0, 0.0, 0.0, 0.0, 5.0]),
+        }
+    )
+    out = (
+        analytics.path_self_intersections(
+            _ds(tbl), "u", "t", "x", "y", n_buckets=2
+        )
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out.values.tolist() == [[1, 1], [2, 0], [3, 0]]
+
+
+def test_path_self_intersections_touching_not_proper(ray_session):
+    # path that TOUCHES its first leg at a vertex but never crosses:
+    # (0,0)->(4,0)->(4,2)->(2,0) — leg 3 ends ON leg 1 (collinear
+    # touch), strict test counts nothing
+    tbl = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1], pa.int64()),
+            "t": pa.array([1, 2, 3, 4], pa.int64()),
+            "x": pa.array([0.0, 4.0, 4.0, 2.0]),
+            "y": pa.array([0.0, 0.0, 2.0, 0.0]),
+        }
+    )
+    out = analytics.path_self_intersections(
+        _ds(tbl), "u", "t", "x", "y", n_buckets=2
+    ).to_pandas()
+    assert out.values.tolist() == [[1, 0]]

@@ -3203,3 +3203,26 @@ def test_grouped_theil_sen_outlier_immunity(ray_session):
     ).take_all()[0]
     assert r2["n_slopes"] == 2  # (0->5) and (10->-5) slopes; x-tie dropped
     assert r2["slope"] == 0.0   # (5 + -5)/2
+
+
+def test_grouping_sets_sum_validates_and_duplicates(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="not within keys"):
+        ops.grouping_sets_sum(ds, ["a", "b"], [("z",)], "v")
+    # duplicate sets -> duplicate rows (SQL bag semantics); () = grand total
+    out = (
+        ops.grouping_sets_sum(ds, ["a", "b"], [(), ()], "v", out_col="s")
+        .to_pandas()
+    )
+    assert out["s"].tolist() == [7, 7]
