@@ -4858,6 +4858,143 @@ def cube_sum(
     )
 
 
+def analyze_table(
+    ds: ray.data.Dataset,
+    int_cols=(),
+    str_cols=(),
+) -> ray.data.Dataset:
+    """ANALYZE: per-column table statistics — ``(col, n, n_null,
+    n_distinct, min_v, max_v)`` with min/max rendered as strings
+    (numeric columns compare numerically, then cast — SQL
+    ``CAST(MIN(col) AS VARCHAR)`` parity; string columns compare
+    bytewise like DuckDB's default collation). The planner food for
+    every prune decision this engine makes (zone maps, bloom sizing,
+    broadcast-vs-shuffle thresholds).
+
+    Per column: one pruned single-column pass folds (n, n_null, min,
+    max) partials through the combine tree, and the EXACT distinct
+    count rides a per-column dedup tree (distinct values, not rows,
+    move — the ``token_histogram`` bound; swap in ``approx_distinct``
+    for 10⁹-distinct columns). Only the per-column scalar summary
+    reaches the driver."""
+
+    def one(col: str, is_int: bool) -> dict:
+        proj = ds.select_columns([col])
+        vtype = pa.int64() if is_int else pa.string()
+        _empty = pa.table(
+            {
+                "one": pa.array([], pa.int64()),
+                "partial_n": pa.array([], pa.int64()),
+                "partial_null": pa.array([], pa.int64()),
+                "partial_min": pa.array([], vtype),
+                "partial_max": pa.array([], vtype),
+            }
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            a = batch[col]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            n = len(a)
+            n_null = a.null_count
+            valid = a.drop_null()
+            if len(valid) == 0:
+                # count-only partial would lose n/n_null for all-null
+                # batches; carry them with a NULL min/max instead
+                if n == 0:
+                    return _empty
+                lo = hi = None
+            else:
+                lo = pc.min(valid).as_py()
+                hi = pc.max(valid).as_py()
+            return pa.table(
+                {
+                    "one": pa.array([1], pa.int64()),
+                    "partial_n": pa.array([n], pa.int64()),
+                    "partial_null": pa.array([n_null], pa.int64()),
+                    "partial_min": pa.array([lo], vtype),
+                    "partial_max": pa.array([hi], vtype),
+                }
+            )
+
+        # one partial row per batch — materializing is O(batches), and
+        # lets counts and min/max reduce without re-scanning the column
+        parts = proj.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
+        counts = tree_reduce(
+            parts.select_columns(["one", "partial_n", "partial_null"]),
+            ["one"], {"partial_n": "n", "partial_null": "n_null"},
+        ).to_pandas()
+
+        def drop_noval(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_valid(batch["partial_min"]))
+
+        # min/max merge: drop the all-null partials (their min/max is
+        # NULL); np.minimum/np.maximum reduce ints numerically and
+        # strings bytewise (object dtype) — both SQL MIN/MAX semantics
+        mm = tree_reduce(
+            parts.map_batches(
+                drop_noval, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ).select_columns(["one", "partial_min", "partial_max"]),
+            ["one"], {"partial_min": "min_v", "partial_max": "max_v"},
+            ufunc={"partial_min": np.minimum, "partial_max": np.maximum},
+        ).to_pandas()
+
+        def dpartial(batch: pa.Table) -> pa.Table:
+            a = batch[col]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            u = a.drop_null().unique()
+            return pa.table(
+                {"v": u, "partial_one": pa.array(
+                    np.ones(len(u), np.int64))}
+            )
+
+        nd = tree_sum(
+            proj.map_batches(
+                dpartial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "v", {"partial_one": "c"}, int_cols=("partial_one",),
+        ).count()
+        if len(counts) == 0:
+            return {"col": col, "n": 0, "n_null": 0, "n_distinct": 0,
+                    "min_v": None, "max_v": None}
+        r = counts.iloc[0]
+        if len(mm):
+            lo, hi = mm["min_v"].iloc[0], mm["max_v"].iloc[0]
+            lo_s = str(int(lo)) if is_int else str(lo)
+            hi_s = str(int(hi)) if is_int else str(hi)
+        else:
+            lo_s = hi_s = None
+        return {
+            "col": col, "n": int(r["n"]), "n_null": int(r["n_null"]),
+            "n_distinct": int(nd),
+            "min_v": lo_s,
+            "max_v": hi_s,
+        }
+
+    rows = [one(c, True) for c in int_cols] + \
+        [one(c, False) for c in str_cols]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "col": pa.array([r["col"] for r in rows], pa.string()),
+                "n": pa.array([r["n"] for r in rows], pa.int64()),
+                "n_null": pa.array([r["n_null"] for r in rows], pa.int64()),
+                "n_distinct": pa.array(
+                    [r["n_distinct"] for r in rows], pa.int64()
+                ),
+                "min_v": pa.array([r["min_v"] for r in rows], pa.string()),
+                "max_v": pa.array([r["max_v"] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
 def grouping_sets_sum(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -1261,6 +1261,136 @@ def read_range(
     return ds, len(dirs), n_total
 
 
+def _morton2d(ix: np.ndarray, iy: np.ndarray, bits: int) -> np.ndarray:
+    """MSB-compatible Morton interleave of two ``bits``-bit axes
+    (lon bits odd positions, lat even — the geohash convention,
+    georay/cells.py:389)."""
+    v = np.zeros(ix.shape, dtype=np.int64)
+    for b in range(bits):
+        v |= ((ix >> b) & 1) << (2 * b + 1)
+        v |= ((iy >> b) & 1) << (2 * b)
+    return v
+
+
+def write_zorder(
+    ds: rd.Dataset,
+    out_dir: str,
+    lon_col: str,
+    lat_col: str,
+    bits: int = 8,
+    n_ranges: int = 16,
+) -> dict:
+    """Z-ORDER clustered layout: rows are clustered by the Morton
+    interleave of their quantized (lon, lat) — the space-filling-curve
+    trick that lets ONE sort key serve TWO range dimensions, so a 2D
+    rect scan (``read_rect_zorder``) prunes partitions the way a 1D
+    range scan prunes ``write_sorted``. Build: one pass adds the
+    ``_z`` key (2^bits × 2^bits global grid, same floor-scale/clip
+    arithmetic as the geohash codec), then delegates partitioning +
+    zone maps to ``write_sorted``. The manifest carries the curve
+    parameters for the reader."""
+    import json
+
+    scale = np.int64(1) << np.int64(bits)
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        ix = np.clip(
+            np.floor((lon + 180.0) / 360.0 * scale).astype(np.int64),
+            0, scale - 1,
+        )
+        iy = np.clip(
+            np.floor((lat + 90.0) / 180.0 * scale).astype(np.int64),
+            0, scale - 1,
+        )
+        return batch.append_column(
+            "_z", pa.array(_morton2d(ix, iy, bits), pa.int64())
+        )
+
+    zds = ds.map_batches(
+        add_z, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    manifest = write_sorted(zds, out_dir, "_z", n_ranges=n_ranges)
+    manifest.update({"zorder": {"bits": bits, "lon_col": lon_col,
+                                "lat_col": lat_col}})
+    with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_rect_zorder(
+    out_dir: str,
+    lon_lo: float,
+    lon_hi: float,
+    lat_lo: float,
+    lat_hi: float,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, int, int]:
+    """2D rect scan over a ``write_zorder`` layout: enumerates the
+    Morton codes of the grid cells covering the rect (≤ 4^bits, tiny
+    for real rects), maps them through the zone manifest to the
+    partitions that could hold them, opens ONLY those, and applies the
+    exact ``[lo, hi)`` residual filter on both axes. I/O scales with
+    the rect's curve coverage, not the table — the 2D analogue of
+    ``read_range``. Returns ``(dataset, n_opened, n_total)``."""
+    import glob as _glob
+    import json
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        m = json.load(f)
+    z = m.get("zorder")
+    if z is None:
+        raise ValueError("read_rect_zorder: layout has no zorder manifest "
+                         "(write_zorder)")
+    bits = int(z["bits"])
+    scale = np.int64(1) << np.int64(bits)
+    ix0 = int(np.clip(np.floor((lon_lo + 180.0) / 360.0 * scale), 0, scale - 1))
+    ix1 = int(np.clip(np.floor((lon_hi + 180.0) / 360.0 * scale), 0, scale - 1))
+    iy0 = int(np.clip(np.floor((lat_lo + 90.0) / 180.0 * scale), 0, scale - 1))
+    iy1 = int(np.clip(np.floor((lat_hi + 90.0) / 180.0 * scale), 0, scale - 1))
+    gx, gy = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+    )
+    codes = _morton2d(gx.ravel(), gy.ravel(), bits)
+    width, base = m["width"], m["lo"]
+    parts = np.unique(np.clip((codes - base) // width, 0,
+                              m["n_ranges"] - 1))
+    all_dirs = sorted(_glob.glob(os.path.join(out_dir, "krange=*")))
+    n_total = len(all_dirs)
+    part_set = {int(p) for p in parts}
+    dirs = [d for d in all_dirs
+            if int(d.rsplit("=", 1)[1]) in part_set]
+    files = sorted(
+        f for d in dirs for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    lon_col, lat_col = z["lon_col"], z["lat_col"]
+    read_cols = columns
+    if read_cols is not None:
+        read_cols = list(dict.fromkeys(read_cols + [lon_col, lat_col]))
+    ds = rd.read_parquet(files, columns=read_cols)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        keep = (lon >= lon_lo) & (lon < lon_hi) \
+            & (lat >= lat_lo) & (lat < lat_hi)
+        out = batch.filter(pa.array(keep))
+        if columns is not None:
+            out = out.select(columns)
+        return out
+
+    return (
+        ds.map_batches(
+            exact, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        len(dirs),
+        n_total,
+    )
+
+
 def read_bloom_lookup(
     out_dir: str,
     values,

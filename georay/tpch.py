@@ -12335,6 +12335,83 @@ GROUP BY 1
 """
 
 
+def q_analyze(sf_dir: str):
+    """ANALYZE lineitem: per-column (n, n_null, exact n_distinct,
+    min, max) — the planner statistics every prune decision feeds on
+    (ops.analyze_table: pruned single-column passes, combine-tree
+    count/min/max partials, per-column distinct dedup trees; only the
+    scalar summary reaches the driver)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_returnflag", "l_linestatus"],
+    )
+    return ops.analyze_table(
+        ds,
+        int_cols=("l_orderkey", "l_partkey", "l_suppkey"),
+        str_cols=("l_returnflag", "l_linestatus"),
+    )
+
+
+def _analyze_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       CAST(MIN({col}) AS VARCHAR) AS min_v,
+       CAST(MAX({col}) AS VARCHAR) AS max_v
+FROM lineitem"""
+
+
+SQL_ANALYZE = " UNION ALL ".join(
+    _analyze_sql_one(c)
+    for c in ("l_orderkey", "l_partkey", "l_suppkey",
+              "l_returnflag", "l_linestatus")
+)
+
+
+_ZRECT = (-30.0, 30.0, 0.0, 45.0)  # lon_lo, lon_hi, lat_lo, lat_hi
+
+
+def q_zorder_rect(sf_dir: str):
+    """Z-order-clustered 2D rect scan: event points written ONCE into
+    the Morton-curve layout (pipeline.write_zorder — one sort key
+    serving both range dimensions), then a lon/lat rectangle scan opens
+    ONLY the partitions the rect's curve cover maps to
+    (pipeline.read_rect_zorder; prune asserted in pytest) with the
+    exact [lo, hi) residual on both axes. Must equal the plain
+    full-scan SQL rect filter."""
+    import tempfile
+
+    from georay import pipeline
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_zorder_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(cache, "_zonemap.json")
+    if not os.path.exists(marker):
+        pipeline.write_zorder(
+            _event_points(sf_dir), cache, "lon", "lat", bits=8, n_ranges=16,
+        )
+    lon_lo, lon_hi, lat_lo, lat_hi = _ZRECT
+    ds, n_opened, n_total = pipeline.read_rect_zorder(
+        cache, lon_lo, lon_hi, lat_lo, lat_hi,
+        columns=["event_id", "user_id"],
+    )
+    return ds
+
+
+SQL_ZORDER_RECT = f"""
+WITH pts AS (
+  SELECT event_id, user_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+)
+SELECT event_id, user_id FROM pts
+WHERE lon >= {_ZRECT[0]} AND lon < {_ZRECT[1]}
+  AND lat >= {_ZRECT[2]} AND lat < {_ZRECT[3]}
+"""
+
+
 _BLOOM_PROBE_IDS = (3, 97, 205, 388, 414, 555, 640, 777, 801, 930)
 
 
@@ -13422,6 +13499,8 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
+    "zorder_rect": q_zorder_rect,
+    "analyze": q_analyze,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -13719,6 +13798,8 @@ ORACLE = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
+    "zorder_rect": SQL_ZORDER_RECT,
+    "analyze": SQL_ANALYZE,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

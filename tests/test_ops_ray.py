@@ -3226,3 +3226,39 @@ def test_grouping_sets_sum_validates_and_duplicates(ray_session):
         .to_pandas()
     )
     assert out["s"].tolist() == [7, 7]
+
+
+def test_analyze_table_nulls_and_types(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table(
+        {
+            "i": pa.array([3, None, 10, 9, None], pa.int64()),
+            "s": pa.array(["b", "a", None, "c", "a"]),
+        }
+    )
+    out = (
+        ops.analyze_table(rd.from_arrow(t), int_cols=("i",), str_cols=("s",))
+        .to_pandas().sort_values("col").reset_index(drop=True)
+    )
+    # numeric min/max compare numerically (3 < 9 < 10), not bytewise
+    assert out.values.tolist() == [
+        ["i", 5, 2, 3, "3", "10"],
+        ["s", 5, 1, 3, "a", "c"],
+    ]
+
+
+def test_analyze_table_all_null_column(ray_session):
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({"i": pa.array([None, None], pa.int64())})
+    out = ops.analyze_table(rd.from_arrow(t), int_cols=("i",)).to_pandas()
+    r = out.iloc[0]
+    assert (
+        [r["n"], r["n_null"], r["n_distinct"]] == [2, 2, 0]
+        and r["min_v"] is None and r["max_v"] is None
+    )

@@ -428,3 +428,46 @@ def test_bloom_lookup_prunes_and_matches(ray_session, tmp_path):
         out, [10**9, 10**9 + 1], columns=["k", "id"]
     )
     assert len(ds2.to_pandas()) == 0
+
+
+def test_zorder_rect_prunes_and_matches(ray_session, tmp_path):
+    """Z-order layout: a 2D rect scan must open a strict subset of
+    partitions and return exactly the in-rect rows (brute-force
+    reference)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-90, 90, 4000)
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(4000, dtype=np.int64)),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        }
+    )
+    out = str(tmp_path / "zorder")
+    m = pipeline.write_zorder(
+        rd.from_arrow(t), out, "lon", "lat", bits=8, n_ranges=16
+    )
+    assert m["zorder"]["bits"] == 8
+    ds, n_opened, n_total = pipeline.read_rect_zorder(
+        out, 10.0, 40.0, -20.0, 10.0, columns=["rid"]
+    )
+    assert n_total == 16 and 1 <= n_opened < 16
+    got = sorted(ds.to_pandas()["rid"].tolist())
+    want = sorted(
+        np.nonzero(
+            (lon >= 10.0) & (lon < 40.0) & (lat >= -20.0) & (lat < 10.0)
+        )[0].tolist()
+    )
+    assert got == want
+    # degenerate rect fully outside any data still returns 0 rows
+    ds2, _, _ = pipeline.read_rect_zorder(
+        out, 179.99, 179.995, 89.99, 89.995, columns=["rid"]
+    )
+    assert len(ds2.to_pandas()) == 0
