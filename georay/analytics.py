@@ -987,6 +987,13 @@ def hausdorff_pairs(
     )
 
     def pack(group: pa.Table) -> pa.Table:
+        # NULL/NaN fixes drop (the movement-family convention — a set
+        # distance needs real positions; NaN would poison min/max)
+        fx = group[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fy = group[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(fx) & np.isfinite(fy)
+        if not fin.all():
+            group = group.filter(pa.array(fin))
         u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         keys = [u, ts]

@@ -1369,6 +1369,19 @@ def read_rect_zorder(
     read_cols = columns
     if read_cols is not None:
         read_cols = list(dict.fromkeys(read_cols + [lon_col, lat_col]))
+    if not files:
+        # typed empty result: inverted/degenerate rect maps to no
+        # partitions (e.g. lon_lo > lon_hi)
+        base = sorted(
+            f for d in all_dirs for f in _glob.glob(
+                os.path.join(d, "*.parquet"))
+        )
+        if not base:
+            raise ValueError("read_rect_zorder: empty layout")
+        empty = rd.read_parquet(base[:1], columns=read_cols).limit(0)
+        if columns is not None:
+            empty = empty.select_columns(columns)
+        return empty, 0, n_total
     ds = rd.read_parquet(files, columns=read_cols)
 
     def exact(batch: pa.Table) -> pa.Table:

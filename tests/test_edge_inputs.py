@@ -857,3 +857,70 @@ def test_nonfinite_scores_and_coords(ray_session):
     # NaN fix dropped: legs (0,0)->(2,2), (2,2)->(0,2), (0,2)->(2,0);
     # each properly crosses the x=1 fence once
     assert cr["n_crossings"].tolist() == [3]
+
+
+def test_session5_ops_edge_inputs(ray_session):
+    """r4 session-5 sweep: NaN fixes, empty inputs and degenerate
+    probes through this session's new operators."""
+    import ray.data as rd
+
+    from georay import analytics, ops
+    from georay.stages.text import token_label_stats
+
+    nan = float("nan")
+    # hausdorff: NaN fix dropped from the point set (movement-family
+    # convention) — distances computed over the remaining fixes only
+    tr = pa.table({
+        "u": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([1, 2, 1], pa.int64()),
+        "e": pa.array([1, 2, 3], pa.int64()),
+        "x": pa.array([0.0, nan, 3.0]),
+        "y": pa.array([0.0, 1.0, 0.0]),
+    })
+    out = analytics.hausdorff_pairs(
+        rd.from_arrow(tr), "u", "ts", "x", "y",
+        group_fn=lambda lon0, lat0: np.zeros(lon0.shape[0], np.int64),
+        tiebreak_col="e", n_buckets=2,
+    ).to_pandas()
+    assert out.values.tolist() == [[1, 2, 3 * (1 << 20)]]
+
+    # empty inputs: every new op returns 0 rows (or its typed scalar)
+    epts = pa.table({
+        "u": pa.array([], pa.int64()), "ts": pa.array([], pa.int64()),
+        "e": pa.array([], pa.int64()),
+        "x": pa.array([], pa.float64()), "y": pa.array([], pa.float64()),
+    })
+    assert len(analytics.hausdorff_pairs(
+        rd.from_arrow(epts), "u", "ts", "x", "y",
+        group_fn=lambda a, b: np.zeros(a.shape[0], np.int64),
+        tiebreak_col="e",
+    ).to_pandas()) == 0
+    assert len(analytics.path_self_intersections(
+        rd.from_arrow(epts), "u", "ts", "x", "y"
+    ).to_pandas()) == 0
+    edocs = pa.table({"text": pa.array([], pa.string())})
+    assert len(token_label_stats(
+        rd.from_arrow(edocs),
+        lambda b: np.zeros(len(b), np.int64),
+    ).to_pandas()) == 0
+    et = pa.table({"i": pa.array([], pa.int64())})
+    r = ops.analyze_table(rd.from_arrow(et), int_cols=("i",)).to_pandas()
+    assert r["n"].tolist() == [0] and r["n_distinct"].tolist() == [0]
+
+
+def test_zorder_inverted_rect_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from georay import pipeline
+
+    t = pa.table({
+        "rid": pa.array([1, 2], pa.int64()),
+        "lon": pa.array([0.0, 10.0]), "lat": pa.array([0.0, 10.0]),
+    })
+    out = str(tmp_path / "z2")
+    pipeline.write_zorder(rd.from_arrow(t), out, "lon", "lat",
+                          bits=4, n_ranges=4)
+    ds, n_opened, n_total = pipeline.read_rect_zorder(
+        out, 50.0, 40.0, 0.0, 10.0, columns=["rid"]
+    )
+    assert n_opened == 0 and len(ds.to_pandas()) == 0
