@@ -214,6 +214,20 @@ def run_bench() -> dict:
     timed_ext("window_burst", lambda: tpch.q_window_burst(SF_DIR).count())
     timed_ext("pr_curve", lambda: tpch.q_pr_curve(SF_DIR).count())
     timed_ext("rfm", lambda: tpch.q_rfm(SF_DIR).count())
+    timed_ext("hausdorff", lambda: tpch.q_hausdorff(SF_DIR).count())
+    timed_ext("rectangles", lambda: tpch.q_rectangles(SF_DIR).count())
+    timed_ext(
+        "path_selfintersect",
+        lambda: tpch.q_path_selfintersect(SF_DIR).count(),
+    )
+    timed_ext("token_chi2", lambda: tpch.q_token_chi2(SF_DIR).count())
+    timed_ext(
+        "source_overlap", lambda: tpch.q_source_overlap(SF_DIR).count()
+    )
+    # layout queries: first call pays the one-time build (cache per boot)
+    timed_ext("bloom_lookup", lambda: tpch.q_bloom_lookup(SF_DIR).count())
+    timed_ext("zorder_rect", lambda: tpch.q_zorder_rect(SF_DIR).count())
+    timed_ext("analyze", lambda: tpch.q_analyze(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

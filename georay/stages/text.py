@@ -794,6 +794,102 @@ def _flat_ngrams(txt: pa.Array, n: int):
     return ng, own, np.bincount(own, minlength=ndoc)
 
 
+def source_ngram_overlap(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+    n_buckets: int = 64,
+    final: str = "tree",
+) -> ray.data.Dataset:
+    """Cross-source contamination audit: for every pair of sources,
+    the number of DISTINCT word n-grams present in BOTH — the overlap
+    matrix a curation campaign reads before mixing corpora (two
+    crawls sharing most n-grams are the same crawl; a benchmark set
+    sharing n-grams with train data is a leak). Output
+    ``(src_a, src_b, n_shared)``, pairs with ≥ 1 shared n-gram.
+
+    Plan: (1) per batch, distinct (source, n-gram) presence pairs via
+    the flat n-gram kernel + one grouped reduction; (2) the presence
+    table dedups through the combine tree keyed by (source, gram) —
+    pass ``final="shuffle"`` when the distinct-n-gram universe exceeds
+    one worker; (3) one gram-hash bucket co-shuffle expands each gram's
+    source set to pairs (≤ C(n_sources, 2) per gram — sources are few,
+    grams are many: the classic small-item/large-group co-occurrence
+    shape), and the pair counts merge through a tiny tree. The corpus
+    text never shuffles; only (source, gram) keys move."""
+    from georay.analytics import _group_starts, _pairs_within_groups
+    from georay.ops import _group_reduce, tree_sum
+
+    proj = ds.select_columns([text_col, source_col])
+
+    def presence(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        grams, owner, _ = _flat_ngrams(txt, n)
+        g = grams.to_numpy(zero_copy_only=False)
+        s = src[owner]
+        ks, vs = _group_reduce(
+            [s, g], {"partial_one": np.ones(s.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "src": pa.array(ks[0], pa.string()),
+                "gram": pa.array(ks[1], pa.string()),
+                "partial_one": pa.array(
+                    np.ones(ks[0].shape[0], np.int64)
+                ),
+            }
+        )
+
+    pres = tree_sum(
+        proj.map_batches(
+            presence, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["src", "gram"], {"partial_one": "c"}, int_cols=("partial_one",),
+        final=final,
+    )
+
+    from georay.analytics import _bucketed
+
+    def per_gram_pairs(group: pa.Table) -> pa.Table:
+        g = group["gram"].to_numpy(zero_copy_only=False)
+        s = group["src"].to_numpy(zero_copy_only=False)
+        order, starts, _ = _group_starts(g, s, group_keys=1)
+        s_s = s[order]
+        i, j = _pairs_within_groups(starts, s_s.shape[0])
+        if i.shape[0] == 0:
+            return pa.table(
+                {
+                    "src_a": pa.array([], pa.string()),
+                    "src_b": pa.array([], pa.string()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        # sources sorted within each gram group ⇒ s_s[i] < s_s[j]
+        ks, vs = _group_reduce(
+            [s_s[i], s_s[j]], {"partial_n": np.ones(i.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "src_a": pa.array(ks[0], pa.string()),
+                "src_b": pa.array(ks[1], pa.string()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    pairs = _bucketed(pres, ["gram"], n_buckets).map_groups(
+        per_gram_pairs, batch_format="pyarrow"
+    )
+    return tree_sum(
+        pairs, ["src_a", "src_b"], {"partial_n": "n_shared"},
+        int_cols=("partial_n",),
+    )
+
+
 def decontaminate(
     ds: ray.data.Dataset,
     bench: ray.data.Dataset,

@@ -3339,6 +3339,33 @@ FROM pfx
 """
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source contamination audit: per source pair, the number of
+    distinct 3-grams present in both (stages.text.source_ngram_overlap
+    — presence dedup tree + gram-bucket pair expansion; text never
+    shuffles). The overlap matrix a corpus-mixing decision reads."""
+    from georay.stages.text import source_ngram_overlap
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["text", "source"])
+    return source_ngram_overlap(docs)
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '\S+') AS arr FROM documents
+),
+ng AS (
+  SELECT DISTINCT source, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS t(i)
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ng a JOIN ng b ON b.g = a.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_token_chi2(sf_dir: str):
     """χ² keyword selection over documents: per token (df ≥ 2), the
     distinct-doc frequency in English vs non-English docs plus the
@@ -13583,6 +13610,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "rare_bigrams": q_rare_bigrams,
     "token_chi2": q_token_chi2,
+    "source_overlap": q_source_overlap,
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
     "dup_spans": q_dup_spans,
@@ -13880,6 +13908,7 @@ ORACLE = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
     "token_chi2": SQL_TOKEN_CHI2,
+    "source_overlap": SQL_SOURCE_OVERLAP,
     "decontaminate": SQL_DECONTAMINATE,
     "mixture_sample": SQL_MIXTURE_SAMPLE,
     "dup_spans": SQL_DUP_SPANS,

@@ -1041,3 +1041,30 @@ def test_token_label_stats_exact_budget(ray_session):
             lambda b: b["y"].to_numpy(zero_copy_only=False),
             max_docs_exact=1,
         ).to_pandas()
+
+
+def test_source_ngram_overlap_known(ray_session):
+    import ray.data as rd
+
+    from georay.stages.text import source_ngram_overlap
+
+    tbl = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "a b c d",      # s1: grams {a b c, b c d}
+                    "a b c x",      # s2: grams {a b c, b c x}
+                    "b c d e",      # s3: grams {b c d, c d e}
+                    "a b c d",      # s1 dup doc: no new grams
+                    "",             # s2 empty doc: no grams
+                ]
+            ),
+            "source": pa.array(["s1", "s2", "s3", "s1", "s2"]),
+        }
+    )
+    out = (
+        source_ngram_overlap(rd.from_arrow(tbl), n_buckets=4)
+        .to_pandas().sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    )
+    # s1∩s2 = {a b c}; s1∩s3 = {b c d}; s2∩s3 = {} (no row)
+    assert out.values.tolist() == [["s1", "s2", 1], ["s1", "s3", 1]]
