@@ -12480,6 +12480,96 @@ WHERE event_id IN {_BLOOM_PROBE_IDS}
 """
 
 
+def q_tile_mosaic(sf_dir: str):
+    """Mosaic/coverage planning on the image×geo axes: for the top-10
+    level-6 cells by image count, the REPRESENTATIVE image a map tile
+    would render — the argmax by (pixels DESC, image_id ASC) among the
+    cell's geotagged images. One cell-bucket co-shuffle of per-batch
+    (count, best) partials computes count and argmax together (a batch
+    ships ≤ 1 row per cell — map-side prune; bytes never read). Top-10
+    by (n_images DESC, cell). Constant oracle derived INDEPENDENTLY in
+    DuckDB over the parquet shards via the _s2_parent_sql codec replica
+    + ROW_NUMBER argmax (untagged row excluded; 999 tagged)."""
+    cache = _images_cache()
+    ds = rd.read_parquet(cache, columns=["geotag", "image_id", "w", "h"])
+    ds = ops.add_cell_column(ds, geom_col="geotag", level=12, parent_level=6)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch["cell_parent"].to_numpy(zero_copy_only=False)
+        full = batch["cell"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iid = batch["image_id"].to_numpy(zero_copy_only=False)
+        keep = full != 0
+        cell, px, iid = cell[keep], (w * h)[keep], iid[keep]
+        # per-cell count + argmax(best pixels, tie min id) in one lexsort
+        order = np.lexsort((iid, -px, cell))
+        cs, ps, ids = cell[order], px[order], iid[order]
+        first = np.ones(cs.shape[0], dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.append(starts, cs.shape[0]))
+        return pa.table(
+            {
+                "cell": pa.array(cs[starts], pa.int64()),
+                "n_partial": pa.array(n, pa.int64()),
+                "best_px": pa.array(ps[starts], pa.int64()),
+                "best_id": pa.array(ids[starts], pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        cell = group["cell"].to_numpy(zero_copy_only=False)
+        n = group["n_partial"].to_numpy(zero_copy_only=False)
+        px = group["best_px"].to_numpy(zero_copy_only=False)
+        iid = group["best_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((iid, -px, cell))
+        cs, ns, ps, ids = cell[order], n[order], px[order], iid[order]
+        first = np.ones(cs.shape[0], dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(first)[0]
+        tot = np.add.reduceat(ns, starts)
+        return pa.table(
+            {
+                "cell": pa.array(cs[starts], pa.int64()),
+                "n_images": pa.array(tot, pa.int64()),
+                "rep_image": pa.array(ids[starts], pa.string()),
+                "rep_pixels": pa.array(ps[starts], pa.int64()),
+            }
+        )
+
+    from georay.analytics import _bucketed
+
+    merged = _bucketed(parts, ["cell"], 64).map_groups(
+        merge, batch_format="pyarrow"
+    )
+    return ops.top_k(merged, ["n_images", "cell"], 10,
+                     descending=[True, False])
+
+
+# derived OUTSIDE the engine: DuckDB read of the parquet shards +
+# the _s2_parent_sql codec replica + ROW_NUMBER argmax per cell
+SQL_TILE_MOSAIC = """
+SELECT * FROM (VALUES
+  (6607062128329228288, 146, 'img000000000026', 4096),
+  (5035868808330346496, 58, 'img000000000028', 4096),
+  (-6679682672320577536, 41, 'img000000000616', 4096),
+  (6005831578075267072, 33, 'img000000000107', 4096),
+  (5037557658190610432, 25, 'img000000000017', 4096),
+  (-8835780993924202496, 18, 'img000000000215', 4096),
+  (-4874302171698429952, 17, 'img000000000062', 4096),
+  (3488882336328581120, 16, 'img000000000449', 4096),
+  (6006957477982109696, 16, 'img000000000589', 4096),
+  (1550645646699003904, 14, 'img000000000850', 4096)
+) AS t(cell, n_images, rep_image, rep_pixels)
+"""
+
+
 def q_cell_phash_diversity(sf_dir: str):
     """Spatial × image fusion (the graft's two axes in one query):
     per spatial cell of the image table's geotags, how many images
@@ -13507,6 +13597,7 @@ QUERIES = {
     "phash_knn": q_phash_knn,
     "caption_terms_by_cell": q_caption_terms_by_cell,
     "cell_image_stats": q_cell_image_stats,
+    "tile_mosaic": q_tile_mosaic,
     "postings_and": q_postings_and,
     "bm25_indexed": q_bm25_indexed,
     "areal_interp": q_areal_interp,
@@ -13806,6 +13897,7 @@ ORACLE = {
     "phash_knn": SQL_PHASH_KNN,
     "caption_terms_by_cell": SQL_CAPTION_TERMS_BY_CELL,
     "cell_image_stats": SQL_CELL_IMAGE_STATS,
+    "tile_mosaic": SQL_TILE_MOSAIC,
     "postings_and": SQL_POSTINGS_AND,
     "bm25_indexed": SQL_BM25,
     "areal_interp": SQL_AREAL_INTERP,
