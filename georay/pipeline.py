@@ -1102,6 +1102,7 @@ def write_sorted(
     bloom_col: str | None = None,
     bloom_bits: int = 1 << 14,
     bloom_k: int = 4,
+    bounds: tuple[int, int] | None = None,
 ) -> dict:
     """Range-clustered table layout with ZONE MAPS: rows land in one
     parquet directory per key range (equi-width splits over the global
@@ -1152,17 +1153,23 @@ def write_sorted(
             }
         )
 
-    mm = tree_reduce(
-        ds.map_batches(
-            mm_partial, batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
-        ),
-        ["one"], {"partial_lo": "lo", "partial_hi": "hi"},
-        ufunc={"partial_lo": np.minimum, "partial_hi": np.maximum},
-    ).to_pandas()
-    if len(mm) == 0:
-        raise ValueError("write_sorted: empty input")
-    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    if bounds is not None:
+        # caller-aligned splits (co-clustering two tables for the
+        # shuffle-free sorted_merge_join); rows outside clamp into the
+        # edge ranges
+        lo, hi = int(bounds[0]), int(bounds[1])
+    else:
+        mm = tree_reduce(
+            ds.map_batches(
+                mm_partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["one"], {"partial_lo": "lo", "partial_hi": "hi"},
+            ufunc={"partial_lo": np.minimum, "partial_hi": np.maximum},
+        ).to_pandas()
+        if len(mm) == 0:
+            raise ValueError("write_sorted: empty input")
+        lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
     width = max(1, (hi - lo + n_ranges) // n_ranges)
 
     def add_range(batch: pa.Table) -> pa.Table:
@@ -1259,6 +1266,89 @@ def read_range(
     )
     ds = rd.read_parquet(files, columns=columns)
     return ds, len(dirs), n_total
+
+
+def sorted_merge_join(
+    dir_a: str,
+    dir_b: str,
+    on: str,
+    columns_a: list[str] | None = None,
+    columns_b: list[str] | None = None,
+) -> rd.Dataset:
+    """SHUFFLE-FREE equality join of two CO-CLUSTERED ``write_sorted``
+    layouts: both tables were written with the SAME splits
+    (``write_sorted(..., bounds=(lo, hi), n_ranges=N)``), so equal keys
+    live in the same ``krange`` partition on both sides and each
+    aligned partition pair joins LOCALLY in its own task (one pruned
+    read per side + one Arrow hash join per pair) — nothing moves
+    between partitions at query time. The range-clustered complement to
+    ``bucketed_join``: pay the clustering once at write, join for free
+    forever after, and keep zone-map range pruning on the same key.
+
+    Inner join; partition pairs where either side is absent produce no
+    rows and are skipped at plan time. Raises if the manifests'
+    (lo, width, n_ranges) disagree — a misaligned join would silently
+    drop matches."""
+    import glob as _glob
+    import json
+
+    import pyarrow.parquet as _pq
+
+    mans = []
+    for d in (dir_a, dir_b):
+        with open(os.path.join(d, "_zonemap.json")) as f:
+            mans.append(json.load(f))
+    ma, mb = mans
+    for fld in ("lo", "width", "n_ranges"):
+        if ma[fld] != mb[fld]:
+            raise ValueError(
+                f"sorted_merge_join: layouts disagree on {fld} "
+                f"({ma[fld]} vs {mb[fld]}) — rewrite with shared "
+                "bounds=(lo, hi) and n_ranges"
+            )
+
+    def files_of(d: str, r: int) -> list[str]:
+        return sorted(_glob.glob(os.path.join(d, f"krange={r}", "*.parquet")))
+
+    pairs = []
+    for r in range(int(ma["n_ranges"])):
+        fa, fb = files_of(dir_a, r), files_of(dir_b, r)
+        if fa and fb:
+            pairs.append({"fa": fa, "fb": fb})
+
+    def read_side(files: list[str], cols: list[str] | None) -> pa.Table:
+        want = None
+        if cols is not None:
+            want = list(dict.fromkeys(cols + [on]))
+        return pa.concat_tables(
+            _pq.read_table(f, columns=want) for f in files
+        )
+
+    if not pairs:
+        any_a = files_of(dir_a, 0) or [
+            f for r in range(int(ma["n_ranges"])) for f in files_of(dir_a, r)
+        ][:1]
+        any_b = files_of(dir_b, 0) or [
+            f for r in range(int(mb["n_ranges"])) for f in files_of(dir_b, r)
+        ][:1]
+        if not any_a or not any_b:
+            raise ValueError("sorted_merge_join: empty layout")
+        ea = read_side(any_a[:1], columns_a).slice(0, 0)
+        eb = read_side(any_b[:1], columns_b).slice(0, 0)
+        return rd.from_arrow(ea.join(eb, keys=on, join_type="inner"))
+
+    def join_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            ta = read_side(row["fa"], columns_a)
+            tb = read_side(row["fb"], columns_b)
+            out.append(ta.join(tb, keys=on, join_type="inner"))
+        return pa.concat_tables(out)
+
+    items = rd.from_items(pairs, override_num_blocks=len(pairs))
+    return items.map_batches(
+        join_pair, batch_format="pyarrow", batch_size=1,
+    )
 
 
 def _morton2d(ix: np.ndarray, iy: np.ndarray, bits: int) -> np.ndarray:

@@ -12397,6 +12397,95 @@ SQL_ANALYZE = " UNION ALL ".join(
 )
 
 
+def q_merge_join_layout(sf_dir: str):
+    """Shuffle-free co-clustered join: orders and lineitem are each
+    written ONCE into range-clustered layouts sharing the same orderkey
+    splits (write_sorted(bounds=...)), then the join zips aligned
+    partition pairs — one pruned read per side + one local Arrow hash
+    join per pair, ZERO exchange at query time
+    (pipeline.sorted_merge_join — the range complement to
+    bucketed_join). Aggregated per (o_orderpriority, l_returnflag)."""
+    import tempfile
+
+    from georay import pipeline
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    dir_o = os.path.join(tempfile.gettempdir(), f"georay_srt_orders_{base}")
+    dir_l = os.path.join(tempfile.gettempdir(), f"georay_srt_lineitem_{base}")
+    if not os.path.exists(os.path.join(dir_o, "_zonemap.json")):
+        pipeline.write_sorted(
+            rd.read_parquet(_t(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_orderpriority"]),
+            dir_o, "o_orderkey", n_ranges=16,
+        )
+    if not os.path.exists(os.path.join(dir_l, "_zonemap.json")):
+        import json as _json
+
+        with open(os.path.join(dir_o, "_zonemap.json")) as f:
+            mo = _json.load(f)
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "o_orderkey", batch["l_orderkey"].cast(pa.int64())
+            )
+
+        pipeline.write_sorted(
+            rd.read_parquet(
+                _t(sf_dir, "lineitem"),
+                columns=["l_orderkey", "l_returnflag", "l_quantity"],
+            ).map_batches(
+                add_key, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            dir_l, "o_orderkey", n_ranges=16,
+            bounds=(mo["lo"], mo["hi"]),
+        )
+    joined = pipeline.sorted_merge_join(
+        dir_o, dir_l, on="o_orderkey",
+        columns_a=["o_orderpriority"],
+        columns_b=["l_returnflag", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        f = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.float64) + 0.5
+        ).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [p, f], {"partial_n": np.ones(q.shape[0], np.int64),
+                     "partial_q": q}
+        )
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(ks[0], pa.string()),
+                "l_returnflag": pa.array(ks[1], pa.string()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_q": pa.array(vs["partial_q"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        joined.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["o_orderpriority", "l_returnflag"],
+        {"partial_n": "n", "partial_q": "sum_qty"},
+        int_cols=("partial_n", "partial_q"),
+    )
+
+
+SQL_MERGE_JOIN_LAYOUT = """
+SELECT o_orderpriority, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity + 0.5e0) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
 _ZRECT = (-30.0, 30.0, 0.0, 45.0)  # lon_lo, lon_hi, lat_lo, lat_hi
 
 
@@ -13619,6 +13708,7 @@ QUERIES = {
     "bloom_lookup": q_bloom_lookup,
     "zorder_rect": q_zorder_rect,
     "analyze": q_analyze,
+    "merge_join_layout": q_merge_join_layout,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -13920,6 +14010,7 @@ ORACLE = {
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zorder_rect": SQL_ZORDER_RECT,
     "analyze": SQL_ANALYZE,
+    "merge_join_layout": SQL_MERGE_JOIN_LAYOUT,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -471,3 +471,49 @@ def test_zorder_rect_prunes_and_matches(ray_session, tmp_path):
         out, 179.99, 179.995, 89.99, 89.995, columns=["rid"]
     )
     assert len(ds2.to_pandas()) == 0
+
+
+def test_sorted_merge_join_aligned_and_misaligned(ray_session, tmp_path):
+    """Co-clustered merge join: aligned layouts join with zero exchange
+    and reproduce the brute-force join; misaligned layouts raise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    ka = np.arange(0, 100, dtype=np.int64)
+    a = pa.table({"k": pa.array(ka), "va": pa.array(ka * 10)})
+    kb = np.arange(50, 150, dtype=np.int64)
+    b = pa.table({"k": pa.array(np.repeat(kb, 2)),
+                  "vb": pa.array(np.repeat(kb, 2) + 7)})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    pipeline.write_sorted(rd.from_arrow(a), da, "k", n_ranges=8,
+                          bounds=(0, 149))
+    pipeline.write_sorted(rd.from_arrow(b), db, "k", n_ranges=8,
+                          bounds=(0, 149))
+    out = (
+        pipeline.sorted_merge_join(da, db, on="k")
+        .to_pandas().sort_values(["k", "vb"]).reset_index(drop=True)
+    )
+    # overlap keys 50..99, each twice on the b side
+    assert len(out) == 100
+    assert out["k"].tolist() == sorted(np.repeat(np.arange(50, 100), 2).tolist())
+    assert (out["va"] == out["k"] * 10).all()
+    assert (out["vb"] == out["k"] + 7).all()
+    # misaligned: different bounds -> loud error
+    dc = str(tmp_path / "c")
+    pipeline.write_sorted(rd.from_arrow(b), dc, "k", n_ranges=8)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disagree"):
+        pipeline.sorted_merge_join(da, dc, on="k")
+    # disjoint key ranges -> typed empty result
+    dd = str(tmp_path / "d")
+    d = pa.table({"k": pa.array(np.arange(1000, 1010, dtype=np.int64)),
+                  "vb": pa.array(np.zeros(10, np.int64))})
+    pipeline.write_sorted(rd.from_arrow(d), dd, "k", n_ranges=8,
+                          bounds=(0, 149))
+    # keys clamp into the top range; a has no rows there -> empty join
+    out2 = pipeline.sorted_merge_join(da, dd, on="k").to_pandas()
+    assert len(out2) == 0
