@@ -228,6 +228,10 @@ def run_bench() -> dict:
     timed_ext("bloom_lookup", lambda: tpch.q_bloom_lookup(SF_DIR).count())
     timed_ext("zorder_rect", lambda: tpch.q_zorder_rect(SF_DIR).count())
     timed_ext("analyze", lambda: tpch.q_analyze(SF_DIR).count())
+    timed_ext(
+        "merge_join_layout",
+        lambda: tpch.q_merge_join_layout(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

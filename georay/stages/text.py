@@ -286,6 +286,13 @@ def token_label_stats(
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         y = np.asarray(label_fn(batch), dtype=np.int64)
+        # NULL text contributes no tokens (SQL: unnest of a NULL split
+        # yields no rows) but the doc still counts in the class totals
+        valid = pc.is_valid(txt)
+        if not pc.all(valid).as_py():
+            m = valid.to_numpy(zero_copy_only=False)
+            txt = txt.filter(valid)
+            y = y[m]
         flat, counts = _tokenize_flat(txt)
         doc = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
         enc = flat.dictionary_encode()
@@ -824,6 +831,12 @@ def source_ngram_overlap(
     proj = ds.select_columns([text_col, source_col])
 
     def presence(batch: pa.Table) -> pa.Table:
+        # NULL text or NULL source rows contribute nothing (SQL: NULL
+        # token arrays unnest to no rows; NULL sources join nothing)
+        keep = pc.and_(pc.is_valid(batch[text_col]),
+                       pc.is_valid(batch[source_col]))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()

@@ -3378,7 +3378,8 @@ def q_token_chi2(sf_dir: str):
     docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
 
     def is_en(batch: pa.Table) -> np.ndarray:
-        return pc.equal(batch["lang"], "en").to_numpy(
+        # NULL lang → class 0 (SQL CASE WHEN lang='en' THEN 1 ELSE 0)
+        return pc.fill_null(pc.equal(batch["lang"], "en"), False).to_numpy(
             zero_copy_only=False).astype(np.int64)
 
     return token_label_stats(docs, is_en)

@@ -924,3 +924,39 @@ def test_zorder_inverted_rect_empty(ray_session, tmp_path):
         out, 50.0, 40.0, 0.0, 10.0, columns=["rid"]
     )
     assert n_opened == 0 and len(ds.to_pandas()) == 0
+
+
+def test_text_ops_null_text_and_source(ray_session):
+    """NULL text contributes no tokens/n-grams (SQL unnest-of-NULL);
+    NULL sources contribute nothing; class totals still count all
+    docs."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from georay.stages.text import source_ngram_overlap, token_label_stats
+
+    t = pa.table({
+        "text": pa.array(["a b", None, "a c"]),
+        "y": pa.array([1, 0, 0], pa.int64()),
+    })
+    out = (
+        token_label_stats(
+            rd.from_arrow(t),
+            lambda b: b["y"].to_numpy(zero_copy_only=False),
+            min_df=1,
+        )
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    # P=1, N=2; 'a' in docs 0 (pos) and 2 (neg): diff = 1*(2-1) - 1*(1-1) = 1
+    # 'b' only pos: diff = 1*2 - 0 = 2 -> 4; 'c' only neg: diff = 0 - 1*1 -> 1
+    assert out.values.tolist() == [
+        ["a", 1, 1, 1], ["b", 1, 0, 4], ["c", 0, 1, 1],
+    ]
+    o = source_ngram_overlap(
+        rd.from_arrow(pa.table({
+            "text": pa.array(["a b c d", None, "a b c e", "a b c d"]),
+            "source": pa.array(["s1", "s2", None, "s2"]),
+        })),
+        n_buckets=2,
+    ).to_pandas()
+    assert o.values.tolist() == [["s1", "s2", 2]]
