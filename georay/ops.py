@@ -4858,6 +4858,78 @@ def cube_sum(
     )
 
 
+def semi_join_bloom(
+    left: ray.data.Dataset,
+    on: str,
+    right: ray.data.Dataset,
+    right_on: str,
+    bits: int = 1 << 20,
+    k: int = 4,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Bloom-prefiltered BOTH-SIDES-LARGE semi join: result identical
+    to ``equi_join_partitioned(how="semi")``, shuffle volume reduced to
+    the bloom's maybe-set. Plan: (1) the right key column folds to its
+    distinct bloom bit positions (same distributed bit-pair build as
+    the layout sidecar — only ≤ ``bits`` position ints ever move);
+    (2) the packed ``bits/8``-byte bitmap broadcasts once via
+    ``ray.put`` (128 KiB at 2²⁰ — constant, independent of right's
+    size); (3) a stateless map drops every left row the bloom rules
+    out (no false negatives, so nothing correct is lost); (4) the
+    surviving maybes — true matches plus the bloom's false-positive
+    trickle — go through the exact partitioned semi join. The standard
+    shuffle-volume optimization when the left side is much larger than
+    its match set; size ``bits`` ≈ 10× right's distinct keys to keep
+    the FP rate ~1%."""
+    from georay.pipeline import _bloom_positions
+
+    def right_positions(batch: pa.Table) -> pa.Table:
+        x = (batch[right_on].cast(pa.int64())
+             .to_numpy(zero_copy_only=False))
+        pos = np.unique(_bloom_positions(x, bits, k).ravel())
+        return pa.table(
+            {
+                "p": pa.array(pos, pa.int64()),
+                "partial_one": pa.array(np.ones(pos.shape[0], np.int64)),
+            }
+        )
+
+    pos_tbl = tree_sum(
+        right.select_columns([right_on]).map_batches(
+            right_positions, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "p", {"partial_one": "c"}, int_cols=("partial_one",),
+    )
+    pos_batches = list(
+        pos_tbl.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    pos = (
+        pa.concat_tables(pos_batches)["p"].to_numpy(zero_copy_only=False)
+        if pos_batches else np.empty(0, np.int64)
+    )
+    bitmap = np.zeros(bits // 8, dtype=np.uint8)
+    if pos.shape[0]:
+        np.bitwise_or.at(bitmap, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    ref = ray.put(bitmap)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        x = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = _bloom_positions(x, bits, k)
+        hit = ((bm[p // 8] >> (p % 8).astype(np.uint8)) & 1).all(axis=1)
+        return batch.filter(pa.array(hit))
+
+    maybes = left.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return equi_join_partitioned(
+        maybes, right.select_columns([right_on]), on=on, right_on=right_on,
+        how="semi", n_buckets=n_buckets,
+    )
+
+
 def analyze_table(
     ds: ray.data.Dataset,
     int_cols=(),

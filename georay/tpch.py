@@ -5402,6 +5402,20 @@ GROUP BY l_returnflag
 """
 
 
+def q_semi_bloom(sf_dir: str):
+    """Bloom-prefiltered partitioned semi join — the SAME result as
+    ``semi_join`` by a different physical plan (ops.semi_join_bloom:
+    128 KiB bitmap broadcast rules out non-matching lineitem rows
+    before the exact partitioned semi join, so only the maybe-set
+    shuffles). Shares the IN-subquery oracle."""
+    big = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+    big = big.filter(expr="p_size > 40").select_columns(["p_partkey"])
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_returnflag"])
+    out = ops.semi_join_bloom(ds, "l_partkey", big, "p_partkey")
+    return ops.salted_count(out, "l_returnflag", count_alias="n")
+
+
 def q_distinct_parts(sf_dir: str):
     """Exact distinct count (two-stage unique) + HLL approximation with
     its relative error — the mergeable-sketch pattern. The exact column
@@ -13782,6 +13796,7 @@ QUERIES = {
     "tpch_q16": q_tpch_q16,
     "sliding_window": q_sliding_window,
     "semi_join": q_semi_join,
+    "semi_bloom": q_semi_bloom,
     "distinct_parts": q_distinct_parts,
     "grouped_distinct": q_grouped_distinct,
     "sample": q_sample,
@@ -14082,6 +14097,7 @@ ORACLE = {
     "tpch_q16": SQL_TPCH_Q16,
     "sliding_window": SQL_SLIDING_WINDOW,
     "semi_join": SQL_SEMI_JOIN,
+    "semi_bloom": SQL_SEMI_JOIN,
     "distinct_parts": SQL_DISTINCT_PARTS,
     "grouped_distinct": SQL_GROUPED_DISTINCT,
     "sample": SQL_SAMPLE,

@@ -3262,3 +3262,28 @@ def test_analyze_table_all_null_column(ray_session):
         [r["n"], r["n_null"], r["n_distinct"]] == [2, 2, 0]
         and r["min_v"] is None and r["max_v"] is None
     )
+
+
+def test_semi_join_bloom_matches_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 1000, 5000)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "v": pa.array(np.arange(5000, dtype=np.int64)),
+    }))
+    rk = np.unique(rng.integers(0, 1000, 120))
+    right = rd.from_arrow(pa.table({"rk": pa.array(rk, pa.int64())}))
+    got = (
+        ops.semi_join_bloom(left, "k", right, "rk", bits=1 << 12)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    want = np.isin(lk, rk)
+    assert got["v"].tolist() == sorted(np.arange(5000)[want].tolist())
+    # empty right side -> empty result (bitmap all zero)
+    empty = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert len(ops.semi_join_bloom(left, "k", empty, "rk").to_pandas()) == 0
