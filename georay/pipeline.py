@@ -1268,6 +1268,102 @@ def read_range(
     return ds, len(dirs), n_total
 
 
+def write_versioned(out_dir: str, ds: rd.Dataset, key: str) -> int:
+    """Versioned table layout, version 1 (the time-travel/merge-on-read
+    pattern): rows land under ``v=1/`` stamped with ``_version`` and a
+    ``_deleted`` flag (0). Later ``append_version`` deltas upsert or
+    tombstone by ``key``; ``read_version(n)`` reconstructs any historic
+    snapshot by latest-version-wins per key — no rewrite of old data,
+    ever (the append-only contract object stores want). Keys must be
+    unique WITHIN a version (ties across versions resolve by version)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    _write_version_dir(out_dir, ds, 1)
+    with open(os.path.join(out_dir, "_versions.json"), "w") as f:
+        json.dump({"key": key, "latest": 1}, f)
+    return 1
+
+
+def _write_version_dir(out_dir: str, ds: rd.Dataset, v: int) -> None:
+    def stamp(batch: pa.Table) -> pa.Table:
+        if "_deleted" not in batch.column_names:
+            batch = batch.append_column(
+                "_deleted", pa.array(np.zeros(len(batch), np.int64))
+            )
+        return batch.append_column(
+            "_version", pa.array(np.full(len(batch), v, np.int64))
+        )
+
+    ds.map_batches(
+        stamp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).write_parquet(os.path.join(out_dir, f"v={v}"))
+
+
+def append_version(out_dir: str, delta: rd.Dataset) -> int:
+    """Append the next version to a ``write_versioned`` layout: rows
+    upsert by key; rows carrying ``_deleted = 1`` tombstone their key.
+    Only the delta is written — historic versions are immutable."""
+    import json
+
+    with open(os.path.join(out_dir, "_versions.json")) as f:
+        man = json.load(f)
+    v = int(man["latest"]) + 1
+    _write_version_dir(out_dir, delta, v)
+    man["latest"] = v
+    tmp = os.path.join(out_dir, "_versions.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(out_dir, "_versions.json"))
+    return v
+
+
+def read_version(
+    out_dir: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+) -> rd.Dataset:
+    """Time-travel read of a ``write_versioned`` layout: the table AS
+    OF ``version`` (default latest). Merge-on-read: versions ≤ v union
+    (pruned read), ONE key-bucket co-shuffle keeps each key's highest
+    version (``group_top_k`` k=1 — map-side prune ships ≤ 1 row per key
+    per batch), tombstones drop. History costs one extra small column
+    per row, not a rewrite."""
+    import glob as _glob
+    import json
+
+    from georay import ops as _ops
+
+    with open(os.path.join(out_dir, "_versions.json")) as f:
+        man = json.load(f)
+    v = int(man["latest"]) if version is None else int(version)
+    key = man["key"]
+    files = sorted(
+        f
+        for i in range(1, v + 1)
+        for f in _glob.glob(os.path.join(out_dir, f"v={i}", "*.parquet"))
+    )
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(
+            columns + [key, "_version", "_deleted"]
+        ))
+    ds = rd.read_parquet(files, columns=read_cols)
+    latest = _ops.group_top_k(ds, key, ["_version"], 1, descending=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        live = batch.filter(pc.equal(batch["_deleted"], 0))
+        keep = columns if columns is not None else [
+            c for c in live.column_names if c not in ("_version", "_deleted")
+        ]
+        return live.select(keep)
+
+    return latest.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def sorted_merge_join(
     dir_a: str,
     dir_b: str,

@@ -12501,6 +12501,66 @@ GROUP BY 1, 2
 """
 
 
+def q_time_travel(sf_dir: str):
+    """Versioned-table time travel (merge-on-read upserts +
+    tombstones): events written as version 1, then a deterministic
+    delta (event_id % 11 == 0 → tombstone; else % 7 == 0 → value
+    + 1000 upsert) appended as version 2 — reading AS OF v2
+    reconstructs the snapshot with ONE key-bucket latest-version-wins
+    pass; v1 stays immutable on disk (pipeline.write_versioned /
+    append_version / read_version; read_version(1) == base pinned in
+    pytest). Must equal the CASE/WHERE SQL over the base table."""
+    import tempfile
+
+    from georay import pipeline
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_versioned_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    marker = os.path.join(cache, "_versions.json")
+    if not os.path.exists(marker):
+        base = rd.read_parquet(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "value"],
+        )
+        pipeline.write_versioned(cache, base, key="event_id")
+
+        def make_delta(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            tomb = eid % 11 == 0
+            upd = (eid % 7 == 0) & ~tomb
+            m = tomb | upd
+            return pa.table(
+                {
+                    "event_id": pa.array(eid[m], pa.int64()),
+                    "user_id": batch["user_id"].filter(pa.array(m)),
+                    "value": pa.array(np.where(tomb[m], v[m], v[m] + 1000.0)),
+                    "_deleted": pa.array(tomb[m].astype(np.int64)),
+                }
+            )
+
+        delta = rd.read_parquet(
+            _t(sf_dir, "events"),
+            columns=["event_id", "user_id", "value"],
+        ).map_batches(
+            make_delta, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        pipeline.append_version(cache, delta)
+    return pipeline.read_version(
+        cache, 2, columns=["event_id", "user_id", "value"]
+    )
+
+
+SQL_TIME_TRAVEL = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 7 = 0 THEN value + 1000e0 ELSE value END AS value
+FROM events WHERE event_id % 11 <> 0
+"""
+
+
 _ZRECT = (-30.0, 30.0, 0.0, 45.0)  # lon_lo, lon_hi, lat_lo, lat_hi
 
 
@@ -13724,6 +13784,7 @@ QUERIES = {
     "zorder_rect": q_zorder_rect,
     "analyze": q_analyze,
     "merge_join_layout": q_merge_join_layout,
+    "time_travel": q_time_travel,
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
@@ -14027,6 +14088,7 @@ ORACLE = {
     "zorder_rect": SQL_ZORDER_RECT,
     "analyze": SQL_ANALYZE,
     "merge_join_layout": SQL_MERGE_JOIN_LAYOUT,
+    "time_travel": SQL_TIME_TRAVEL,
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,

@@ -517,3 +517,37 @@ def test_sorted_merge_join_aligned_and_misaligned(ray_session, tmp_path):
     # keys clamp into the top range; a has no rows there -> empty join
     out2 = pipeline.sorted_merge_join(da, dd, on="k").to_pandas()
     assert len(out2) == 0
+
+
+def test_versioned_layout_time_travel(ray_session, tmp_path):
+    """Versioned layout: v1 read is the immutable base; v2 applies
+    upserts and tombstones; reading latest defaults to v2."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    base = pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    out = str(tmp_path / "versioned")
+    assert pipeline.write_versioned(out, rd.from_arrow(base), key="k") == 1
+    delta = pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "v": pa.array([200, 30, 50], pa.int64()),
+        "_deleted": pa.array([0, 1, 0], pa.int64()),
+    })
+    assert pipeline.append_version(out, rd.from_arrow(delta)) == 2
+    v1 = (
+        pipeline.read_version(out, 1)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert v1.values.tolist() == [[1, 10], [2, 20], [3, 30], [4, 40]]
+    v2 = (
+        pipeline.read_version(out)  # latest
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # k=2 upserted, k=3 tombstoned, k=5 inserted
+    assert v2.values.tolist() == [[1, 10], [2, 200], [4, 40], [5, 50]]
