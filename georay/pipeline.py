@@ -1318,6 +1318,56 @@ def append_version(out_dir: str, delta: rd.Dataset) -> int:
     return v
 
 
+def compact_versions(out_dir: str) -> int:
+    """Compact a ``write_versioned`` layout: materialize the CURRENT
+    snapshot as a new full base version, so later reads start from it
+    instead of replaying the whole delta chain (merge-on-read cost is
+    reset to zero) and ``vacuum_versions`` may expire the old chain.
+    Historic versions stay readable until vacuumed. Returns the new
+    base version number."""
+    import json
+
+    with open(os.path.join(out_dir, "_versions.json")) as f:
+        man = json.load(f)
+    v = int(man["latest"]) + 1
+    snap = read_version(out_dir)
+    _write_version_dir(out_dir, snap, v)
+    man["latest"] = v
+    man["bases"] = sorted(set(man.get("bases", [1])) | {v})
+    tmp = os.path.join(out_dir, "_versions.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(out_dir, "_versions.json"))
+    return v
+
+
+def vacuum_versions(out_dir: str) -> int:
+    """Expire every version directory BEFORE the newest compacted base
+    — they are no longer needed to reconstruct any version ≥ that base.
+    Time travel to expired versions becomes unavailable (raises on
+    read); that is the retention trade every lakehouse vacuum makes.
+    Returns the number of directories removed."""
+    import glob as _glob
+    import json
+    import shutil
+
+    with open(os.path.join(out_dir, "_versions.json")) as f:
+        man = json.load(f)
+    bases = man.get("bases", [1])
+    keep_from = max(bases)
+    removed = 0
+    for d in _glob.glob(os.path.join(out_dir, "v=*")):
+        if int(d.rsplit("=", 1)[1]) < keep_from:
+            shutil.rmtree(d)
+            removed += 1
+    man["expired_before"] = keep_from
+    tmp = os.path.join(out_dir, "_versions.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, os.path.join(out_dir, "_versions.json"))
+    return removed
+
+
 def read_version(
     out_dir: str,
     version: int | None = None,
@@ -1338,9 +1388,17 @@ def read_version(
         man = json.load(f)
     v = int(man["latest"]) if version is None else int(version)
     key = man["key"]
+    if v < int(man.get("expired_before", 1)):
+        raise ValueError(
+            f"read_version: version {v} was expired by vacuum_versions "
+            f"(retained from {man['expired_before']})"
+        )
+    # start from the newest compacted base ≤ v: the chain before it is
+    # already folded in
+    start = max((b for b in man.get("bases", [1]) if b <= v), default=1)
     files = sorted(
         f
-        for i in range(1, v + 1)
+        for i in range(start, v + 1)
         for f in _glob.glob(os.path.join(out_dir, f"v={i}", "*.parquet"))
     )
     read_cols = None
@@ -1519,7 +1577,11 @@ def read_rect_zorder(
     partitions that could hold them, opens ONLY those, and applies the
     exact ``[lo, hi)`` residual filter on both axes. I/O scales with
     the rect's curve coverage, not the table — the 2D analogue of
-    ``read_range``. Returns ``(dataset, n_opened, n_total)``."""
+    ``read_range``. ``lon_lo > lon_hi`` means the rect CROSSES THE
+    ANTIMERIDIAN (the GeoJSON bbox convention): the cover splits into
+    two lon spans and the residual becomes ``lon >= lo OR lon < hi``.
+    An inverted LATITUDE range is genuinely empty (no wrap over the
+    poles). Returns ``(dataset, n_opened, n_total)``."""
     import glob as _glob
     import json
 
@@ -1531,14 +1593,23 @@ def read_rect_zorder(
                          "(write_zorder)")
     bits = int(z["bits"])
     scale = np.int64(1) << np.int64(bits)
-    ix0 = int(np.clip(np.floor((lon_lo + 180.0) / 360.0 * scale), 0, scale - 1))
-    ix1 = int(np.clip(np.floor((lon_hi + 180.0) / 360.0 * scale), 0, scale - 1))
+
+    def cell_of_lon(v: float) -> int:
+        return int(np.clip(np.floor((v + 180.0) / 360.0 * scale),
+                           0, scale - 1))
+
+    wrap = lon_lo > lon_hi
+    if wrap:
+        lon_spans = [(cell_of_lon(lon_lo), int(scale - 1)),
+                     (0, cell_of_lon(lon_hi))]
+    else:
+        lon_spans = [(cell_of_lon(lon_lo), cell_of_lon(lon_hi))]
     iy0 = int(np.clip(np.floor((lat_lo + 90.0) / 180.0 * scale), 0, scale - 1))
     iy1 = int(np.clip(np.floor((lat_hi + 90.0) / 180.0 * scale), 0, scale - 1))
-    gx, gy = np.meshgrid(
-        np.arange(ix0, ix1 + 1, dtype=np.int64),
-        np.arange(iy0, iy1 + 1, dtype=np.int64),
-    )
+    xs = np.concatenate([
+        np.arange(x0, x1 + 1, dtype=np.int64) for x0, x1 in lon_spans
+    ]) if lon_spans else np.empty(0, np.int64)
+    gx, gy = np.meshgrid(xs, np.arange(iy0, iy1 + 1, dtype=np.int64))
     codes = _morton2d(gx.ravel(), gy.ravel(), bits)
     width, base = m["width"], m["lo"]
     parts = np.unique(np.clip((codes - base) // width, 0,
@@ -1573,8 +1644,11 @@ def read_rect_zorder(
     def exact(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
         lat = batch[lat_col].to_numpy(zero_copy_only=False)
-        keep = (lon >= lon_lo) & (lon < lon_hi) \
-            & (lat >= lat_lo) & (lat < lat_hi)
+        if wrap:
+            in_lon = (lon >= lon_lo) | (lon < lon_hi)
+        else:
+            in_lon = (lon >= lon_lo) & (lon < lon_hi)
+        keep = in_lon & (lat >= lat_lo) & (lat < lat_hi)
         out = batch.filter(pa.array(keep))
         if columns is not None:
             out = out.select(columns)

@@ -908,22 +908,30 @@ def test_session5_ops_edge_inputs(ray_session):
     assert r["n"].tolist() == [0] and r["n_distinct"].tolist() == [0]
 
 
-def test_zorder_inverted_rect_empty(ray_session, tmp_path):
+def test_zorder_antimeridian_wrap_and_inverted_lat(ray_session, tmp_path):
     import ray.data as rd
 
     from georay import pipeline
 
     t = pa.table({
-        "rid": pa.array([1, 2], pa.int64()),
-        "lon": pa.array([0.0, 10.0]), "lat": pa.array([0.0, 10.0]),
+        "rid": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([170.0, -170.0, 0.0]),
+        "lat": pa.array([5.0, 5.0, 5.0]),
     })
     out = str(tmp_path / "z2")
     pipeline.write_zorder(rd.from_arrow(t), out, "lon", "lat",
                           bits=4, n_ranges=4)
+    # lon_lo > lon_hi = rect crosses the antimeridian (GeoJSON bbox):
+    # [160, 180] U [-180, -160) catches rids 1 and 2, not 3
     ds, n_opened, n_total = pipeline.read_rect_zorder(
-        out, 50.0, 40.0, 0.0, 10.0, columns=["rid"]
+        out, 160.0, -160.0, 0.0, 10.0, columns=["rid"]
     )
-    assert n_opened == 0 and len(ds.to_pandas()) == 0
+    assert sorted(ds.to_pandas()["rid"].tolist()) == [1, 2]
+    # inverted LATITUDE is genuinely empty (no wrap over the poles)
+    ds2, n2, _ = pipeline.read_rect_zorder(
+        out, -180.0, 180.0, 50.0, 40.0, columns=["rid"]
+    )
+    assert len(ds2.to_pandas()) == 0
 
 
 def test_text_ops_null_text_and_source(ray_session):

@@ -551,3 +551,51 @@ def test_versioned_layout_time_travel(ray_session, tmp_path):
     )
     # k=2 upserted, k=3 tombstoned, k=5 inserted
     assert v2.values.tolist() == [[1, 10], [2, 200], [4, 40], [5, 50]]
+
+
+def test_versioned_compact_and_vacuum(ray_session, tmp_path):
+    """Compaction folds the delta chain into a new base (identical
+    reads); vacuum expires the old chain — latest still reads, expired
+    versions raise."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from georay import pipeline
+
+    base = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = str(tmp_path / "vc")
+    pipeline.write_versioned(out, rd.from_arrow(base), key="k")
+    pipeline.append_version(out, rd.from_arrow(pa.table({
+        "k": pa.array([2, 4], pa.int64()),
+        "v": pa.array([200, 40], pa.int64()),
+        "_deleted": pa.array([0, 0], pa.int64()),
+    })))
+    before = (
+        pipeline.read_version(out)
+        .to_pandas().sort_values("k").values.tolist()
+    )
+    c = pipeline.compact_versions(out)  # -> version 3, a full base
+    assert c == 3
+    after = (
+        pipeline.read_version(out)
+        .to_pandas().sort_values("k").values.tolist()
+    )
+    assert before == after == [[1, 10], [2, 200], [3, 30], [4, 40]]
+    # a post-compaction delta chains off the new base
+    pipeline.append_version(out, rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "v": pa.array([0], pa.int64()),
+        "_deleted": pa.array([1], pa.int64()),
+    })))
+    assert pipeline.read_version(out).to_pandas().sort_values(
+        "k")["k"].tolist() == [2, 3, 4]
+    removed = pipeline.vacuum_versions(out)
+    assert removed == 2  # v=1, v=2 expired
+    assert pipeline.read_version(out).to_pandas().sort_values(
+        "k")["k"].tolist() == [2, 3, 4]
+    with _pytest.raises(ValueError, match="expired"):
+        pipeline.read_version(out, 2)
