@@ -4943,114 +4943,160 @@ def analyze_table(
     every prune decision this engine makes (zone maps, bloom sizing,
     broadcast-vs-shuffle thresholds).
 
-    Per column: one pruned single-column pass folds (n, n_null, min,
-    max) partials through the combine tree, and the EXACT distinct
-    count rides a per-column dedup tree (distinct values, not rows,
-    move — the ``token_histogram`` bound; swap in ``approx_distinct``
-    for 10⁹-distinct columns). Only the per-column scalar summary
-    reaches the driver."""
+    TWO passes total, whatever the column count: (1) one pruned scan
+    folds every column's (n, n_null, min, max) partials through a
+    single combine tree keyed by column name (numeric minima ride an
+    order-isomorphic padded-decimal encoding so one bytewise
+    np.minimum serves both type families); (2) one scan emits distinct
+    ``(col, value-string)`` presence pairs — stringification is
+    injective per column, so the dedup-tree count per column IS the
+    exact n_distinct (the ``token_histogram`` bound: distinct values,
+    not rows, move; swap ``approx_distinct`` for 10⁹-distinct ids).
+    Only the per-column scalar summary reaches the driver."""
+    int_cols = list(int_cols)
+    str_cols = list(str_cols)
+    cols = [(c, True) for c in int_cols] + [(c, False) for c in str_cols]
+    if not cols:
+        raise ValueError("analyze_table: no columns given")
+    names = [c for c, _ in cols]
+    proj = ds.select_columns(names)
+    # order-isomorphic string key for int64: zero-padded decimal of
+    # (v - INT64_MIN) — bytewise order == numeric order, 20 digits
+    _OFF = 1 << 63
+    _HI = "￿"  # sorts after every encoded/real value
 
-    def one(col: str, is_int: bool) -> dict:
-        proj = ds.select_columns([col])
-        vtype = pa.int64() if is_int else pa.string()
-        _empty = pa.table(
+    def _enc_int(v: int) -> str:
+        return str(v + _OFF).zfill(20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c, out_n, out_nu, out_lo, out_hi, out_has = [], [], [], [], [], []
+        for c, is_int in cols:
+            a = batch[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            n, n_null = len(a), a.null_count
+            if n == 0:
+                continue
+            valid = a.drop_null()
+            if len(valid):
+                # numeric min/max taken natively; only the two SCALARS
+                # get the order-isomorphic padded-decimal encoding
+                lo = pc.min(valid).as_py()
+                hi = pc.max(valid).as_py()
+                if is_int:
+                    lo, hi = _enc_int(int(lo)), _enc_int(int(hi))
+            else:
+                # identity sentinels (real values always win; the has
+                # flag disambiguates a real "" maximum at the end)
+                lo, hi = _HI, ""
+            out_c.append(c)
+            out_n.append(n)
+            out_nu.append(n_null)
+            out_lo.append(lo)
+            out_hi.append(hi)
+            out_has.append(int(len(valid) > 0))
+        return pa.table(
             {
-                "one": pa.array([], pa.int64()),
-                "partial_n": pa.array([], pa.int64()),
-                "partial_null": pa.array([], pa.int64()),
-                "partial_min": pa.array([], vtype),
-                "partial_max": pa.array([], vtype),
+                "col": pa.array(out_c, pa.string()),
+                "partial_n": pa.array(out_n, pa.int64()),
+                "partial_null": pa.array(out_nu, pa.int64()),
+                "partial_min": pa.array(out_lo, pa.string()),
+                "partial_max": pa.array(out_hi, pa.string()),
+                "partial_has": pa.array(out_has, pa.int64()),
             }
         )
 
-        def partial(batch: pa.Table) -> pa.Table:
-            a = batch[col]
-            if isinstance(a, pa.ChunkedArray):
-                a = a.combine_chunks()
-            n = len(a)
-            n_null = a.null_count
-            valid = a.drop_null()
-            if len(valid) == 0:
-                # count-only partial would lose n/n_null for all-null
-                # batches; carry them with a NULL min/max instead
-                if n == 0:
-                    return _empty
-                lo = hi = None
-            else:
-                lo = pc.min(valid).as_py()
-                hi = pc.max(valid).as_py()
-            return pa.table(
-                {
-                    "one": pa.array([1], pa.int64()),
-                    "partial_n": pa.array([n], pa.int64()),
-                    "partial_null": pa.array([n_null], pa.int64()),
-                    "partial_min": pa.array([lo], vtype),
-                    "partial_max": pa.array([hi], vtype),
-                }
-            )
-
-        # one partial row per batch — materializing is O(batches), and
-        # lets counts and min/max reduce without re-scanning the column
-        parts = proj.map_batches(
+    stats = tree_reduce(
+        proj.map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True,
             batch_size=None,
-        ).materialize()
-        counts = tree_reduce(
-            parts.select_columns(["one", "partial_n", "partial_null"]),
-            ["one"], {"partial_n": "n", "partial_null": "n_null"},
-        ).to_pandas()
+        ),
+        ["col"],
+        {"partial_n": "n", "partial_null": "n_null",
+         "partial_min": "min_v", "partial_max": "max_v",
+         "partial_has": "has"},
+        ufunc={"partial_n": np.add, "partial_null": np.add,
+               "partial_min": np.minimum, "partial_max": np.maximum,
+               "partial_has": np.maximum},
+    ).to_pandas()
 
-        def drop_noval(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_valid(batch["partial_min"]))
-
-        # min/max merge: drop the all-null partials (their min/max is
-        # NULL); np.minimum/np.maximum reduce ints numerically and
-        # strings bytewise (object dtype) — both SQL MIN/MAX semantics
-        mm = tree_reduce(
-            parts.map_batches(
-                drop_noval, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ).select_columns(["one", "partial_min", "partial_max"]),
-            ["one"], {"partial_min": "min_v", "partial_max": "max_v"},
-            ufunc={"partial_min": np.minimum, "partial_max": np.maximum},
-        ).to_pandas()
-
-        def dpartial(batch: pa.Table) -> pa.Table:
-            a = batch[col]
+    def dpartial(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for c, is_int in cols:
+            a = batch[c]
             if isinstance(a, pa.ChunkedArray):
                 a = a.combine_chunks()
             u = a.drop_null().unique()
-            return pa.table(
-                {"v": u, "partial_one": pa.array(
-                    np.ones(len(u), np.int64))}
-            )
+            if is_int:
+                v = u.cast(pa.string())
+            else:
+                v = u
+            out_c.append(pa.array([c] * len(v), pa.string()))
+            out_v.append(v)
+        return pa.table(
+            {
+                "col": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in out_c]
+                ),
+                "v": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                     else x for x in out_v]
+                ),
+                "partial_one": pa.array(
+                    np.ones(sum(len(x) for x in out_v), np.int64)
+                ),
+            }
+        )
 
-        nd = tree_sum(
-            proj.map_batches(
-                dpartial, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ),
-            "v", {"partial_one": "c"}, int_cols=("partial_one",),
-        ).count()
-        if len(counts) == 0:
-            return {"col": col, "n": 0, "n_null": 0, "n_distinct": 0,
-                    "min_v": None, "max_v": None}
-        r = counts.iloc[0]
-        if len(mm):
-            lo, hi = mm["min_v"].iloc[0], mm["max_v"].iloc[0]
-            lo_s = str(int(lo)) if is_int else str(lo)
-            hi_s = str(int(hi)) if is_int else str(hi)
+    nd_tbl = tree_sum(
+        proj.map_batches(
+            dpartial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        ["col", "v"], {"partial_one": "c"}, int_cols=("partial_one",),
+    )
+
+    def nd_count(batch: pa.Table) -> pa.Table:
+        c = batch["col"].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce([c], {"partial_nd": np.ones(c.shape[0],
+                                                           np.int64)})
+        return pa.table(
+            {"col": pa.array(ks[0], pa.string()),
+             "partial_nd": pa.array(vs["partial_nd"], pa.int64())}
+        )
+
+    nd = tree_sum(
+        nd_tbl.map_batches(
+            nd_count, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "col", {"partial_nd": "nd"}, int_cols=("partial_nd",),
+    ).to_pandas()
+    nd_map = dict(zip(nd["col"], nd["nd"])) if len(nd) else {}
+    st_map = {r["col"]: r for _, r in stats.iterrows()} if len(stats) else {}
+
+    def _dec_int(s: str) -> str:
+        return str(int(s) - _OFF)
+
+    rows = []
+    for c, is_int in cols:
+        r = st_map.get(c)
+        if r is None:
+            rows.append({"col": c, "n": 0, "n_null": 0, "n_distinct": 0,
+                         "min_v": None, "max_v": None})
+            continue
+        if int(r["has"]):
+            lo, hi = r["min_v"], r["max_v"]
+            if is_int:
+                lo, hi = _dec_int(lo), _dec_int(hi)
         else:
-            lo_s = hi_s = None
-        return {
-            "col": col, "n": int(r["n"]), "n_null": int(r["n_null"]),
-            "n_distinct": int(nd),
-            "min_v": lo_s,
-            "max_v": hi_s,
-        }
-
-    rows = [one(c, True) for c in int_cols] + \
-        [one(c, False) for c in str_cols]
+            lo = hi = None
+        rows.append(
+            {"col": c, "n": int(r["n"]), "n_null": int(r["n_null"]),
+             "n_distinct": int(nd_map.get(c, 0)),
+             "min_v": lo, "max_v": hi}
+        )
     return ray.data.from_arrow(
         pa.table(
             {
