@@ -477,3 +477,176 @@ def test_spearman_kendall_theilsen_vs_brute(rows):
             assert tr["n_slopes"] == m and tr["slope"] == exp
         else:
             assert kk not in tsn
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=12),
+            st.integers(min_value=1, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rectangle_count_vs_brute(pairs):
+    """rectangle_count (both plans) against an O(n⁴) brute 4-cycle
+    enumeration on random small graphs."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ray
+    from georay import analytics
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    e = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    a = np.array([p[0] for p in e], np.int64)
+    b = np.array([p[1] for p in e], np.int64)
+    ds = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+    got = analytics.rectangle_count(ds).to_pandas()["n_rectangles"][0]
+    got_dist = analytics.rectangle_count(
+        ds, local_edge_cutoff=0
+    ).to_pandas()["n_rectangles"][0]
+    es = set(e) | {(y, x) for x, y in e}
+    nodes = sorted({n for p in es for n in p})
+    brute = 0
+    for quad in itertools.combinations(nodes, 4):
+        for perm in itertools.permutations(quad[1:]):
+            ring = (quad[0],) + perm
+            if all((ring[i], ring[(i + 1) % 4]) in es for i in range(4)):
+                brute += 1
+    assert got == got_dist == brute // 2
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=-6, max_value=6),
+            st.integers(min_value=-6, max_value=6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_path_self_intersections_vs_brute(rows):
+    """path_self_intersections against a direct per-pair orientation
+    check on random small integer paths (heavy collinearity)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ray
+    from georay import analytics
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    k = np.array([r[0] for r in rows], np.int64)
+    x = np.array([r[1] for r in rows], np.float64)
+    y = np.array([r[2] for r in rows], np.float64)
+    ts = np.arange(len(rows), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(k), "t": pa.array(ts),
+        "x": pa.array(x), "y": pa.array(y),
+    }))
+    got = {
+        r["k"]: r["n_self_crossings"]
+        for r in analytics.path_self_intersections(
+            ds, "k", "t", "x", "y", n_buckets=2
+        ).take_all()
+    }
+
+    def cross(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    for kk in np.unique(k):
+        sel = np.nonzero(k == kk)[0]  # ts order == row order
+        qx = np.floor(x[sel] * 20.0 + 0.5).astype(np.int64)
+        qy = np.floor(y[sel] * 20.0 + 0.5).astype(np.int64)
+        segs = [
+            (qx[i], qy[i], qx[i + 1], qy[i + 1])
+            for i in range(len(sel) - 1)
+        ]
+        n = 0
+        for i in range(len(segs)):
+            for j in range(i + 2, len(segs)):
+                a0, a1, b0, b1 = segs[i]
+                c0, c1, d0, d1 = segs[j]
+                d1_ = cross(a0, a1, b0, b1, c0, c1)
+                d2_ = cross(a0, a1, b0, b1, d0, d1)
+                d3_ = cross(c0, c1, d0, d1, a0, a1)
+                d4_ = cross(c0, c1, d0, d1, b0, b1)
+                if d1_ * d2_ < 0 and d3_ * d4_ < 0:
+                    n += 1
+        assert got[kk] == n
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=-8, max_value=8),
+            st.integers(min_value=-8, max_value=8),
+        ),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hausdorff_pairs_vs_brute(rows):
+    """hausdorff_pairs (single group) against the direct double-loop
+    definition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import ray
+    from georay import analytics
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    k = np.array([r[0] for r in rows], np.int64)
+    x = np.array([r[1] for r in rows], np.float64)
+    y = np.array([r[2] for r in rows], np.float64)
+    ts = np.arange(len(rows), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(k), "t": pa.array(ts), "e": pa.array(ts),
+        "x": pa.array(x), "y": pa.array(y),
+    }))
+    got = {
+        (r["user_a"], r["user_b"]): r["hausdorff_q"]
+        for r in analytics.hausdorff_pairs(
+            ds, "k", "t", "x", "y",
+            group_fn=lambda a, b: np.zeros(a.shape[0], np.int64),
+            tiebreak_col="e", n_buckets=2,
+        ).take_all()
+    }
+    users = sorted(np.unique(k))
+
+    def directed(pa_, pb_):
+        return max(
+            min((ax - bx) ** 2 + (ay - by) ** 2 for bx, by in pb_)
+            for ax, ay in pa_
+        )
+
+    import itertools
+
+    for ua, ub in itertools.combinations(users, 2):
+        A = [(x[i], y[i]) for i in np.nonzero(k == ua)[0]]
+        B = [(x[i], y[i]) for i in np.nonzero(k == ub)[0]]
+        h2 = max(directed(A, B), directed(B, A))
+        exp = int(np.floor(np.sqrt(h2) * (1 << 20) + 0.5))
+        assert got[(ua, ub)] == exp
+    assert len(got) == len(users) * (len(users) - 1) // 2
