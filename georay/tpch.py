@@ -3781,6 +3781,34 @@ FROM s
 """
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID CONFUSION MATRIX — the detector-evaluation table a
+    curation run reads before trusting the language gate: per (labeled
+    lang, predicted lang), the document count. Detector = the engine's
+    marker-argmax language id; counts via the salted two-stage
+    aggregate. The SQL twin wraps the expression-for-expression
+    SQL_LANG_QUALITY replica in a GROUP BY."""
+    from georay.stages import text as text_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
+    ds = text_stage.add_language_id(ds)
+    return ops.salted_count(
+        ds.select_columns(["lang", "lang_pred"]), ["lang", "lang_pred"],
+        count_alias="n",
+    )
+
+
+def _sql_lang_confusion() -> str:
+    # reuse SQL_LANG_QUALITY's s-CTE + argmax CASE, grouped (rsplit:
+    # the CTE's inner SELECT also starts with "doc_id, lang")
+    cte, tail = SQL_LANG_QUALITY.rsplit("SELECT doc_id, lang,", 1)
+    case = tail.split("AS lang_pred", 1)[0]
+    return (
+        f"{cte}SELECT lang, {case} AS lang_pred, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1, 2"
+    )
+
+
 def q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-duplicate clustering (rows-only; recall pinned by
     tests/test_stages.py planted-duplicate checks)."""
@@ -13881,6 +13909,7 @@ QUERIES = {
     "repetition": q_repetition,
     "redact": q_redact,
     "lang_quality": q_lang_quality,
+    "lang_confusion": q_lang_confusion,
     "minhash_planted": q_minhash_planted,
     "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
@@ -14267,6 +14296,7 @@ ORACLE = {
     "s2_cell_count": SQL_S2_CELL_COUNT,
     "flagship": SQL_FLAGSHIP,
     "lang_quality": SQL_LANG_QUALITY,
+    "lang_confusion": _sql_lang_confusion(),
     "embed_planted": SQL_EMBED_PLANTED,
     "image_neardup": SQL_IMAGE_NEARDUP,
     "image_patches": SQL_IMAGE_PATCHES,
