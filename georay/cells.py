@@ -425,6 +425,53 @@ def geohash(lon_deg, lat_deg, precision: int = 6) -> np.ndarray:
     )
 
 
+def geohash_ij(lon_deg, lat_deg, precision: int = 6):
+    """The geohash cell's integer ``(ix, iy)`` on its 2^bits × 2^bits
+    grid — the arithmetic core of ``geohash`` (identical floor-scale +
+    clamp) WITHOUT the base32 rendering, for neighbor math and SQL
+    replicas. ``bits = 5·precision/2`` per axis (even precision only,
+    like ``geohash``). Non-finite coords map to cell (0, 0) — the same
+    all-'0' bucket the string encoder uses."""
+    if precision % 2 or not (0 < precision <= 12):
+        raise ValueError("precision must be even, in (0, 12]")
+    bits = 5 * precision // 2
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    scale = np.int64(1) << np.int64(bits)
+    ix = np.floor((np.where(ok, lon, -180.0) + 180.0) / 360.0 * scale).astype(np.int64)
+    iy = np.floor((np.where(ok, lat, -90.0) + 90.0) / 180.0 * scale).astype(np.int64)
+    return np.clip(ix, 0, scale - 1), np.clip(iy, 0, scale - 1)
+
+
+def geohash_neighbors(ix: np.ndarray, iy: np.ndarray, precision: int = 6):
+    """The 8 Moore neighbors of each geohash grid cell: longitude WRAPS
+    modulo the grid width (geohash columns are circular), latitude does
+    NOT (rows beyond the poles are dropped). Returns ``(owner, nix,
+    niy)`` flat arrays — owner is the input row index, ragged because
+    polar rows have 5 neighbors. The B4 ring primitive for the fourth
+    cell system (s2 rings, hex disks, grid disks being the others)."""
+    bits = 5 * precision // 2
+    n = np.int64(1) << np.int64(bits)
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    owners, nxs, nys = [], [], []
+    for dx, dy in offs:
+        jx = (ix + dx) % n
+        jy = iy + dy
+        keep = (jy >= 0) & (jy < n)
+        owners.append(np.nonzero(keep)[0])
+        nxs.append(jx[keep])
+        nys.append(jy[keep])
+    owner = np.concatenate(owners)
+    order = np.argsort(owner, kind="stable")
+    return (owner[order],
+            np.concatenate(nxs)[order],
+            np.concatenate(nys)[order])
+
+
 def hex_cell(x, y, size: float) -> np.ndarray:
     """Pointy-top HEXAGONAL bin id (H3-style axial coordinates, the
     4th cell system — hexes are the movement-analytics standard because

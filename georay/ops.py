@@ -4880,7 +4880,9 @@ def semi_join_bloom(
     trickle — go through the exact partitioned semi join. The standard
     shuffle-volume optimization when the left side is much larger than
     its match set; size ``bits`` ≈ 10× right's distinct keys to keep
-    the FP rate ~1%."""
+    the FP rate ~1%. INT64-castable keys only (the bloom hashes the
+    integer value; for string keys fingerprint upstream or use the
+    plain partitioned semi)."""
     from georay.pipeline import _bloom_positions
 
     def right_positions(batch: pa.Table) -> pa.Table:

@@ -3781,6 +3781,109 @@ FROM s
 """
 
 
+def q_geohash_smoothing(sf_dir: str):
+    """Occupancy smoothing on the geohash grid (the 4th cell system's
+    B4 ring primitive — cells.geohash_ij/geohash_neighbors): for every
+    OCCUPIED precision-2 cell of the lineitem points, how many of its 8
+    Moore neighbors are also occupied (lon wraps, lat does not — polar
+    rows have 5 neighbors). Distinct-occupancy dedup tree → neighbor
+    contribution rows → one tagged combine tree merges counts with the
+    occupancy flag; zero-neighbor cells emit 0."""
+    from georay import cells as _cells
+
+    ds = lineitem_points(sf_dir)
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        ix, iy = _cells.geohash_ij(lon, lat, precision=2)
+        key = ix * 1000 + iy
+        u = np.unique(key)
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "partial_one": pa.array(np.ones(u.shape[0], np.int64)),
+            }
+        )
+
+    occ = ops.tree_sum(
+        ds.map_batches(
+            occ_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "k", {"partial_one": "c"}, int_cols=("partial_one",),
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        ix, iy = k // 1000, k % 1000
+        _, nix, niy = _cells.geohash_neighbors(ix, iy, precision=2)
+        nk = nix * 1000 + niy
+        # tag streams: occupancy flag rides partial_occ, neighbor
+        # contributions ride partial_nbr — one merged tree
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k, nk]), pa.int64()),
+                "partial_occ": pa.array(np.concatenate(
+                    [np.ones(k.shape[0], np.int64),
+                     np.zeros(nk.shape[0], np.int64)]
+                )),
+                "partial_nbr": pa.array(np.concatenate(
+                    [np.zeros(k.shape[0], np.int64),
+                     np.ones(nk.shape[0], np.int64)]
+                )),
+            }
+        )
+
+    merged = ops.tree_sum(
+        occ.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "k", {"partial_occ": "occ", "partial_nbr": "n_nbrs"},
+        int_cols=("partial_occ", "partial_nbr"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch["occ"], 0))
+        k = sub["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ix": pa.array(k // 1000, pa.int64()),
+                "iy": pa.array(k % 1000, pa.int64()),
+                "n_nbrs": sub["n_nbrs"],
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+SQL_GEOHASH_SMOOTHING = f"""
+WITH pts AS ({_LI_POINT_SQL}),
+sc AS (
+  SELECT CAST(floor((lon + 180e0) / 360e0 * 32) AS BIGINT) AS ix,
+         CAST(floor((lat + 90e0) / 180e0 * 32) AS BIGINT) AS iy
+  FROM pts
+),
+cl AS (
+  SELECT LEAST(GREATEST(ix, 0), 31) AS ix,
+         LEAST(GREATEST(iy, 0), 31) AS iy
+  FROM sc
+),
+occ AS (SELECT DISTINCT ix, iy FROM cl),
+d(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+nb AS (
+  SELECT ((o.ix + d.dx) % 32 + 32) % 32 AS ix, o.iy + d.dy AS iy
+  FROM occ o CROSS JOIN d WHERE o.iy + d.dy BETWEEN 0 AND 31
+),
+cnt AS (SELECT ix, iy, COUNT(*) AS n FROM nb GROUP BY 1, 2)
+SELECT o.ix, o.iy, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_nbrs
+FROM occ o LEFT JOIN cnt c ON c.ix = o.ix AND c.iy = o.iy
+"""
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID CONFUSION MATRIX — the detector-evaluation table a
     curation run reads before trusting the language gate: per (labeled
@@ -13910,6 +14013,7 @@ QUERIES = {
     "redact": q_redact,
     "lang_quality": q_lang_quality,
     "lang_confusion": q_lang_confusion,
+    "geohash_smoothing": q_geohash_smoothing,
     "minhash_planted": q_minhash_planted,
     "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
@@ -14297,6 +14401,7 @@ ORACLE = {
     "flagship": SQL_FLAGSHIP,
     "lang_quality": SQL_LANG_QUALITY,
     "lang_confusion": _sql_lang_confusion(),
+    "geohash_smoothing": SQL_GEOHASH_SMOOTHING,
     "embed_planted": SQL_EMBED_PLANTED,
     "image_neardup": SQL_IMAGE_NEARDUP,
     "image_patches": SQL_IMAGE_PATCHES,

@@ -267,3 +267,48 @@ def test_hex_cell_properties():
         assert hex_disk(ids[:3], k).shape == (3, want)
     bad = hex_cell(np.array([np.nan, np.inf]), np.array([0.0, 0.0]), size)
     assert (bad == -1).all()
+
+
+def test_geohash_ij_matches_string_encoder():
+    # the ij core and the base32 encoder must agree: re-deriving the
+    # morton-interleaved value from (ix, iy) reproduces the string path
+    import numpy as np
+
+    from georay import cells
+
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    ix, iy = cells.geohash_ij(lon, lat, precision=4)
+    gh = cells.geohash(lon, lat, precision=4).to_pylist()
+    # decode the string back to (ix, iy) via base32 -> morton deinterleave
+    A = "0123456789bcdefghjkmnpqrstuvwxyz"
+    for s, x, y in zip(gh, ix, iy):
+        v = 0
+        for ch in s:
+            v = (v << 5) | A.index(ch)
+        dx = dy = 0
+        for b in range(10):
+            dx |= ((v >> (2 * b + 1)) & 1) << b
+            dy |= ((v >> (2 * b)) & 1) << b
+        assert (dx, dy) == (x, y)
+
+
+def test_geohash_neighbors_wrap_and_poles():
+    import numpy as np
+
+    from georay import cells
+
+    # precision 2 -> 5 bits -> 32x32 grid
+    ix = np.array([0, 31, 5], np.int64)
+    iy = np.array([0, 31, 10], np.int64)
+    owner, nx, ny = cells.geohash_neighbors(ix, iy, precision=2)
+    per = {i: set() for i in range(3)}
+    for o, a, b in zip(owner, nx, ny):
+        per[int(o)].add((int(a), int(b)))
+    # corner (0,0): lon wraps to 31, lat row -1 dropped -> 5 neighbors
+    assert per[0] == {(31, 0), (1, 0), (31, 1), (0, 1), (1, 1)}
+    # corner (31,31): wraps to 0, lat row 32 dropped -> 5 neighbors
+    assert per[1] == {(30, 31), (0, 31), (30, 30), (31, 30), (0, 30)}
+    # interior: full Moore 8
+    assert len(per[2]) == 8
