@@ -232,6 +232,12 @@ def run_bench() -> dict:
         "merge_join_layout",
         lambda: tpch.q_merge_join_layout(SF_DIR).count(),
     )
+    timed_ext("time_travel", lambda: tpch.q_time_travel(SF_DIR).count())
+    timed_ext("semi_bloom", lambda: tpch.q_semi_bloom(SF_DIR).count())
+    timed_ext(
+        "geohash_smoothing",
+        lambda: tpch.q_geohash_smoothing(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
