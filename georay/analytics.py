@@ -2665,7 +2665,89 @@ def kcore_peel(
     _empty_deg = pa.table(
         {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
     )
+    from georay.ops import tree_sum as _tree_sum
+
     for _ in range(n_rounds):
+        if degree_strategy == "partitioned":
+            # FUSED round (r4 session 5): ONE node-bucket co-shuffle
+            # computes each endpoint's degree in-bucket AND casts a
+            # survival VOTE for its incident edges; an edge survives
+            # the round iff it collects votes from BOTH endpoints
+            # (votes == 2). Replaces the former degree_table + two
+            # _attach_lookup co-shuffles per round — bit-identical
+            # semantics (degrees from the same current edge set), half
+            # the barriers. Emptiness rides the votes table.
+            def symmetrize(batch: pa.Table) -> pa.Table:
+                a = batch[id_a].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                b = batch[id_b].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                return pa.table(
+                    {
+                        "node": pa.array(np.concatenate([a, b]), pa.int64()),
+                        "ea": pa.array(np.concatenate([a, a]), pa.int64()),
+                        "eb": pa.array(np.concatenate([b, b]), pa.int64()),
+                    }
+                )
+
+            def vote(group: pa.Table, _k=k) -> pa.Table:
+                node = group["node"].to_numpy(zero_copy_only=False)
+                ea = group["ea"].to_numpy(zero_copy_only=False)
+                eb = group["eb"].to_numpy(zero_copy_only=False)
+                order = np.argsort(node, kind="stable")
+                ns = node[order]
+                n = ns.shape[0]
+                first = np.ones(n, dtype=bool)
+                if n:
+                    first[1:] = ns[1:] != ns[:-1]
+                starts = np.nonzero(first)[0]
+                sizes = np.diff(np.append(starts, n))
+                deg_row = np.repeat(sizes, sizes)
+                ok = deg_row >= _k
+                if not ok.any():
+                    return pa.table(
+                        {
+                            "a": pa.array([], pa.int64()),
+                            "b": pa.array([], pa.int64()),
+                            "partial_v": pa.array([], pa.int64()),
+                        }
+                    )
+                ia = ea[order][ok]
+                ib = eb[order][ok]
+                ks, vs = _ops._group_reduce(
+                    [ia, ib], {"partial_v": np.ones(ia.shape[0], np.int64)}
+                )
+                return pa.table(
+                    {
+                        "a": pa.array(ks[0], pa.int64()),
+                        "b": pa.array(ks[1], pa.int64()),
+                        "partial_v": pa.array(vs["partial_v"], pa.int64()),
+                    }
+                )
+
+            adj = cur.map_batches(
+                symmetrize, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            votes = _tree_sum(
+                _bucketed(adj, ["node"], n_buckets).map_groups(
+                    vote, batch_format="pyarrow"
+                ),
+                ["a", "b"], {"partial_v": "v"}, int_cols=("partial_v",),
+            ).materialize()
+            if votes.count() == 0:
+                return _empty_deg
+
+            def keep_voted(batch: pa.Table) -> pa.Table:
+                m = pc.equal(batch["v"], 2)
+                sub = batch.filter(m)
+                return pa.table({id_a: sub["a"], id_b: sub["b"]})
+
+            cur = votes.map_batches(
+                keep_voted, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            continue
         # a fully-peeled graph is idempotent — and EMPTY Datasets lose
         # their column schema through to_pandas in Ray 2.49
         # (parallelism-dependent; ROUND_NOTES quirk), so the empty case
@@ -2676,71 +2758,36 @@ def kcore_peel(
         deg = degree_table(cur).materialize()
         if deg.count() == 0:
             return _empty_deg
-        if degree_strategy == "partitioned":
-            # attach survival flags through co-shuffles; drop the edge
-            # when either endpoint's degree is below k
-            flagged = _attach_lookup(
-                cur.map_batches(
-                    lambda b: pa.table(
-                        {"a": b[id_a].cast(pa.int64()),
-                         "b": b[id_b].cast(pa.int64())}
-                    ),
-                    batch_format="pyarrow", zero_copy_batch=True,
-                    batch_size=None,
-                ),
-                ["a", "b"], "a", deg, "node", "degree", "deg_a",
-                n_buckets=n_buckets,
+        # broadcast strategy: surviving node set ships via ray.put
+        import pyarrow as _pa
+
+        dt = _pa.concat_tables(ray.get(deg.to_arrow_refs()))
+        nodes = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        surv = np.sort(nodes[dd >= k])
+        if surv.shape[0] == 0:  # everything peeled
+            return _empty_deg
+        ref = ray.put(surv)
+        cache: dict = {}
+
+        def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+            sv = cache.setdefault(id(_ref), ray.get(_ref))
+            a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+            pa_ = np.searchsorted(sv, a)
+            pb_ = np.searchsorted(sv, b)
+            ok_a = (pa_ < sv.shape[0]) & (
+                sv[np.minimum(pa_, sv.shape[0] - 1)] == a
             )
-            flagged = _attach_lookup(
-                flagged, ["a", "b", "deg_a"], "b", deg, "node", "degree",
-                "deg_b", n_buckets=n_buckets,
+            ok_b = (pb_ < sv.shape[0]) & (
+                sv[np.minimum(pb_, sv.shape[0] - 1)] == b
             )
+            return batch.filter(pa.array(ok_a & ok_b))
 
-            def keep(batch: pa.Table, _k=k) -> pa.Table:
-                da = batch["deg_a"].to_numpy(zero_copy_only=False)
-                db = batch["deg_b"].to_numpy(zero_copy_only=False)
-                m = (da >= _k) & (db >= _k)
-                return pa.table(
-                    {
-                        id_a: batch["a"].filter(pa.array(m)),
-                        id_b: batch["b"].filter(pa.array(m)),
-                    }
-                )
-
-            cur = flagged.map_batches(
-                keep, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ).materialize()
-        else:
-            import pyarrow as _pa
-
-            dt = _pa.concat_tables(ray.get(deg.to_arrow_refs()))
-            nodes = dt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dd = dt["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
-            surv = np.sort(nodes[dd >= k])
-            if surv.shape[0] == 0:  # everything peeled
-                return _empty_deg
-            ref = ray.put(surv)
-            cache: dict = {}
-
-            def keep(batch: pa.Table, _ref=ref) -> pa.Table:
-                sv = cache.setdefault(id(_ref), ray.get(_ref))
-                a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
-                b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
-                pa_ = np.searchsorted(sv, a)
-                pb_ = np.searchsorted(sv, b)
-                ok_a = (pa_ < sv.shape[0]) & (
-                    sv[np.minimum(pa_, sv.shape[0] - 1)] == a
-                )
-                ok_b = (pb_ < sv.shape[0]) & (
-                    sv[np.minimum(pb_, sv.shape[0] - 1)] == b
-                )
-                return batch.filter(pa.array(ok_a & ok_b))
-
-            cur = cur.map_batches(
-                keep, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ).materialize()
+        cur = cur.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ).materialize()
     deg = degree_table(cur).materialize()
     if deg.count() == 0:
         return _empty_deg

@@ -1932,3 +1932,21 @@ def test_path_self_intersections_touching_not_proper(ray_session):
         _ds(tbl), "u", "t", "x", "y", n_buckets=2
     ).to_pandas()
     assert out.values.tolist() == [[1, 0]]
+
+
+def test_kcore_partitioned_peels_to_empty(ray_session):
+    # path graph: every round peels the current leaves; k=2 on a path
+    # empties it — the fused vote plan's empty case must return the
+    # typed empty degree table
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array([2, 3, 4], pa.int64()),
+        }
+    )
+    out = analytics.kcore_peel(
+        _ds(tbl), k=2, n_rounds=3, degree_strategy="partitioned",
+        n_buckets=4,
+    ).to_pandas()
+    assert len(out) == 0
+    assert sorted(out.columns) == ["degree", "node"]
