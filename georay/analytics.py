@@ -957,6 +957,7 @@ def hausdorff_pairs(
     tiebreak_col: str | None = None,
     scale_bits: int = 20,
     n_buckets: int = 64,
+    n_chunks: int = 4,
 ) -> ray.data.Dataset:
     """Discrete Hausdorff distance between every PAIR of entity point
     sets that share a group (e.g. the coarse grid cell of each entity's
@@ -967,18 +968,21 @@ def hausdorff_pairs(
     ordering ships — stage 1 hash-bucket co-shuffles points by entity
     and packs each entity into ONE row (entity, group, lon list, lat
     list), where group = ``group_fn(first_lon, first_lat)`` on the
-    (ts, tiebreak)-min fix; stage 2 co-shuffles the packed rows by
-    group and computes all within-group pairs vectorized: per entity
-    one (n_a × N_cell) squared-distance block, segmented column minima
-    via ``np.minimum.reduceat``, row-max → the directed h(a→·) row of
-    the group's H matrix; symmetrize with max. Exactness: min/max over
-    identically-computed doubles plus one correctly-rounded sqrt at the
-    end, so the SQL cross-join twin hash-matches bit-for-bit.
+    (ts, tiebreak)-min fix; NULL/NaN fixes drop (the movement-family
+    convention). Stage 2 splits each group's PROBE entities over
+    ``n_chunks`` tasks (references replicate — packed tracks are tiny
+    next to the point table), computes the DIRECTED h(a→b)² per chunk
+    vectorized (one (n_a × N_refs) squared-distance block per entity,
+    segmented column minima via ``np.minimum.reduceat``, row-max), and
+    a max-merge combine tree folds the two directed halves of each
+    unordered pair. Exactness: max/min over identically-computed
+    doubles plus one correctly-rounded sqrt at the end, so the SQL
+    cross-join twin hash-matches bit-for-bit.
 
-    Partitioning assumption (document per SCALING.md): one entity's
-    track fits a row, and one GROUP's entities fit a task — choose the
-    group key so per-group membership is bounded (a coarse cell at city
-    granularity, a cohort id). All-pairs cost is per group, never
+    Partitioning assumption (SCALING.md): one entity's track fits a
+    row, and one GROUP's packed REFERENCE set fits a task (probe work
+    splits across ``group × n_chunks`` tasks, so parallelism is not
+    capped by the group count). All-pairs cost is per group, never
     global."""
     scale = float(1 << scale_bits)
     proj = ds.select_columns(
@@ -1032,15 +1036,46 @@ def hausdorff_pairs(
         pack, batch_format="pyarrow"
     )
 
-    def per_group_pairs(group: pa.Table) -> pa.Table:
+    nchunk = max(1, int(n_chunks))
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        # each entity: PROBE row in its own chunk, REFERENCE row in all
+        u = batch["user"].to_numpy(zero_copy_only=False)
+        cid = (u.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+               >> np.uint64(32)).astype(np.int64) % nchunk
+        parts = []
+        probe = batch.append_column(
+            "chunk", pa.array(cid, pa.int64())
+        ).append_column(
+            "role", pa.array(np.zeros(len(batch), np.int64))
+        )
+        parts.append(probe)
+        for j in range(nchunk):
+            parts.append(
+                batch.append_column(
+                    "chunk", pa.array(np.full(len(batch), j, np.int64))
+                ).append_column(
+                    "role", pa.array(np.ones(len(batch), np.int64))
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = packed.map_batches(
+        fan_out, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+    def directed_chunk(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "user_a": pa.array([], pa.int64()),
                 "user_b": pa.array([], pa.int64()),
-                "hausdorff_q": pa.array([], pa.int64()),
+                "partial_h": pa.array([], pa.float64()),
             }
         )
         g = group["grp"].to_numpy(zero_copy_only=False)
+        ck = group["chunk"].to_numpy(zero_copy_only=False)
+        role = group["role"].to_numpy(zero_copy_only=False)
         u = group["user"].to_numpy(zero_copy_only=False).astype(np.int64)
         lons = group["lons"].combine_chunks()
         lats = group["lats"].combine_chunks()
@@ -1053,50 +1088,88 @@ def hausdorff_pairs(
         flat_lat = np.asarray(lats.values)
         offs = np.asarray(lons.offsets)
         out_a, out_b, out_h = [], [], []
-        # rows may span multiple grp values inside one _bucket group
-        order = np.argsort(u, kind="stable")
-        for gval in np.unique(g):
-            rows = order[g[order] == gval]
-            if rows.shape[0] < 2:
+        # (grp, chunk) segments via lexsort boundaries — no composite
+        # id arithmetic (full-range int64 grp ids must not overflow)
+        seg_order = np.lexsort((ck, g))
+        gs, cs = g[seg_order], ck[seg_order]
+        nseg = gs.shape[0]
+        first = np.ones(nseg, dtype=bool)
+        if nseg:
+            first[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+        seg_starts = np.nonzero(first)[0]
+        seg_ends = np.append(seg_starts[1:], nseg)
+        for s0, s1 in zip(seg_starts, seg_ends):
+            rows = seg_order[s0:s1]
+            refs = rows[role[rows] == 1]
+            probes = rows[role[rows] == 0]
+            if refs.shape[0] < 2 or probes.shape[0] == 0:
                 continue
-            # gather this grp's entities into contiguous arrays
-            segs = [np.arange(offs[r], offs[r + 1]) for r in rows]
-            idx = np.concatenate(segs)
-            P = np.column_stack([flat_lon[idx], flat_lat[idx]])
-            sizes = np.array([s.shape[0] for s in segs], dtype=np.int64)
-            starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
-            nU = rows.shape[0]
-            H = np.zeros((nU, nU))
-            for ai in range(nU):
-                a0, a1 = starts[ai], starts[ai] + sizes[ai]
-                A = P[a0:a1]
+            rsegs = [np.arange(offs[r], offs[r + 1]) for r in refs]
+            ridx = np.concatenate(rsegs)
+            P = np.column_stack([flat_lon[ridx], flat_lat[ridx]])
+            sizes = np.array([x.shape[0] for x in rsegs], dtype=np.int64)
+            rstarts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            ru = u[refs]
+            order_p = probes[np.argsort(u[probes], kind="stable")]
+            # per-entity distance blocks on purpose: a (track × N_ref)
+            # block fits L2, so the column-reduceat streams from cache —
+            # batching multiple probes into one big block measured 3×
+            # SLOWER (51 MB blocks go memory-bound). Parallelism comes
+            # from the (group × chunk) task grid, not block size.
+            for a in order_p:
+                A = np.column_stack(
+                    [flat_lon[offs[a]:offs[a + 1]],
+                     flat_lat[offs[a]:offs[a + 1]]]
+                )
                 dx = A[:, 0:1] - P[:, 0][None, :]
                 dy = A[:, 1:2] - P[:, 1][None, :]
                 D = dx * dx + dy * dy
-                mins = np.minimum.reduceat(D, starts, axis=1)
-                H[ai, :] = mins.max(axis=0)
-            uu = u[rows]
-            ii, jj = np.triu_indices(nU, k=1)
-            h2 = np.maximum(H[ii, jj], H[jj, ii])
-            lo = np.minimum(uu[ii], uu[jj])
-            hi = np.maximum(uu[ii], uu[jj])
-            out_a.append(lo)
-            out_b.append(hi)
-            out_h.append(
-                np.floor(np.sqrt(h2) * scale + 0.5).astype(np.int64)
-            )
+                mins = np.minimum.reduceat(D, rstarts, axis=1)
+                h_row = mins.max(axis=0)  # directed h(a -> each ref)²
+                keep = ru != u[a]
+                out_a.append(np.full(int(keep.sum()), u[a], np.int64))
+                out_b.append(ru[keep])
+                out_h.append(h_row[keep])
         if not out_a:
             return empty
+        ua = np.concatenate(out_a)
+        ub = np.concatenate(out_b)
+        hh = np.concatenate(out_h)
+        lo = np.minimum(ua, ub)
+        hi = np.maximum(ua, ub)
         return pa.table(
             {
-                "user_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "user_b": pa.array(np.concatenate(out_b), pa.int64()),
-                "hausdorff_q": pa.array(np.concatenate(out_h), pa.int64()),
+                "user_a": pa.array(lo, pa.int64()),
+                "user_b": pa.array(hi, pa.int64()),
+                "partial_h": pa.array(hh, pa.float64()),
             }
         )
 
-    return _bucketed(packed, ["grp"], n_buckets).map_groups(
-        per_group_pairs, batch_format="pyarrow"
+    from georay.ops import tree_reduce
+
+    directed = _bucketed(fanned, ["grp", "chunk"], n_buckets).map_groups(
+        directed_chunk, batch_format="pyarrow"
+    )
+    merged = tree_reduce(
+        directed, ["user_a", "user_b"], {"partial_h": "h2"},
+        ufunc={"partial_h": np.maximum},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        h2 = batch["h2"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_a": batch["user_a"],
+                "user_b": batch["user_b"],
+                "hausdorff_q": pa.array(
+                    np.floor(np.sqrt(h2) * scale + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
     )
 
 
