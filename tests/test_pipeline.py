@@ -599,3 +599,25 @@ def test_versioned_compact_and_vacuum(ray_session, tmp_path):
         "k")["k"].tolist() == [2, 3, 4]
     with _pytest.raises(ValueError, match="expired"):
         pipeline.read_version(out, 2)
+
+
+def test_bloom_lookup_negative_ids(ray_session, tmp_path):
+    """Bloom hashing must be deterministic over the FULL int64 domain
+    (negative ids wrap through uint64 identically at build and
+    probe)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    ids = np.arange(-1000, 1000, dtype=np.int64)
+    t = pa.table({"k": pa.array(np.arange(2000, dtype=np.int64)),
+                  "id": pa.array(ids)})
+    out = str(tmp_path / "negbloom")
+    pipeline.write_sorted(rd.from_arrow(t), out, "k", n_ranges=8,
+                          bloom_col="id")
+    ds, opened, total = pipeline.read_bloom_lookup(
+        out, [-1000, -1, 0, 999], columns=["id"]
+    )
+    assert sorted(ds.to_pandas()["id"].tolist()) == [-1000, -1, 0, 999]
