@@ -1886,6 +1886,160 @@ def rasterize_boxes(
     )
 
 
+def polyfill_convex(
+    ds: ray.data.Dataset,
+    geometry_col: str = "geometry",
+    id_col: str = "polygon_id",
+    res: float = 1.0,
+    cell_alias: str = "grid_cell",
+    max_cells: int = 1 << 22,
+) -> ray.data.Dataset:
+    """H3/S2-style ``polyfill``: polygon → covering-cell pairs
+    ``(id, grid_cell)`` on the SQL-exact equirect grid — one row per
+    ``res``-degree cell whose CLOSED rectangle intersects the polygon's
+    CLOSED convex outer ring. Completes the B3 cell family (encode /
+    parent / disk / compact / uncompact live in georay/cells.py;
+    geoarrow-r itself has no cell ops — this is north-rule surface).
+
+    Distributed shape: a stateless ragged flat-map per polygon batch —
+    candidates never shuffle; the big side streams. Candidate cells are
+    the bbox's floor-arithmetic cover (identical to ``rasterize_boxes``
+    and to SQL ``generate_series``); a candidate is kept iff EVERY
+    outer-ring edge sees at least one rect corner on its interior side,
+    each corner tested with the verbatim IEEE expression
+    ``(bx−ax)·(py−ay) − (by−ay)·(px−ax)`` so an ANSI-SQL twin spelling
+    the same cross products decides every boundary cell bit-identically.
+    For a convex ring this is the exact SAT intersection test (the bbox
+    cover supplies the two rect axes; the edge normals are the
+    polygon's axes). Ring orientation is normalized via the shoelace
+    sign; holes are ignored (outer-ring contract, documented).
+    Degenerate (<3 distinct vertices), null and non-finite features
+    emit nothing. ``max_cells`` bounds one feature's expansion (a
+    storage-corrupt planet-sized ring would otherwise OOM the task)."""
+    from georay.index import _ragged_ranges
+    from georay.types import GeometryType
+
+    def cover(batch: pa.Table) -> pa.Table:
+        geo = GeoType.from_field(batch.schema.field(geometry_col))
+        if geo.geometry_type != GeometryType.POLYGON:
+            raise ValueError("polyfill_convex needs geoarrow.polygon")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        v = native.view(batch[geometry_col].combine_chunks(), geo)
+        poly_off, ring_off = v.offsets[0], v.offsets[1]
+        n = v.length
+        # outer ring per feature (features with zero rings are empty)
+        has_ring = poly_off[:-1] < poly_off[1:]
+        outer = np.where(has_ring, poly_off[:-1], 0)
+        vs = ring_off[outer]
+        ve = ring_off[outer + 1]  # exclusive; last vertex closes the ring
+        ecnt = np.where(has_ring, np.maximum(ve - vs - 1, 0), 0)
+        x, y = v.coords[:, 0], v.coords[:, 1]
+        # per-feature bbox over the outer ring (closing vertex included)
+        _, fw = _ragged_ranges(ve - vs)
+        vidx = np.repeat(vs, ve - vs) + fw
+        seg_starts = np.concatenate(([0], np.cumsum(ve - vs)))[:-1]
+        xmin = np.full(n, np.inf)
+        xmax = np.full(n, -np.inf)
+        ymin = np.full(n, np.inf)
+        ymax = np.full(n, -np.inf)
+        nz = (ve - vs) > 0
+        if np.any(nz):
+            xs, ys = x[vidx], y[vidx]
+            xmin[nz] = np.minimum.reduceat(xs, seg_starts[nz])
+            xmax[nz] = np.maximum.reduceat(xs, seg_starts[nz])
+            ymin[nz] = np.minimum.reduceat(ys, seg_starts[nz])
+            ymax[nz] = np.maximum.reduceat(ys, seg_starts[nz])
+        ok = (
+            (ecnt >= 3)
+            & np.isfinite(xmin) & np.isfinite(xmax)
+            & np.isfinite(ymin) & np.isfinite(ymax)
+        )
+        if v.valid is not None:
+            ok &= v.valid
+        # shoelace orientation sign per feature (+1 CCW, −1 CW)
+        sgn = np.ones(n)
+        if np.any(nz):
+            crossv = x[vidx] * np.roll(y[vidx], -1) - np.roll(x[vidx], -1) * y[vidx]
+            # roll leaks across segment boundaries only at each segment's
+            # last slot, which is the ring-closing wrap term we want —
+            # but it pairs with the NEXT segment's first vertex, so fix
+            # it explicitly: last slot of segment f pairs (last, first).
+            last = np.cumsum(ve - vs) - 1
+            first = seg_starts
+            crossv[last[nz]] = (
+                x[vidx[last[nz]]] * y[vidx[first[nz]]]
+                - x[vidx[first[nz]]] * y[vidx[last[nz]]]
+            )
+            area2 = np.add.reduceat(crossv, seg_starts[nz])
+            sgn[nz] = np.where(area2 < 0, -1.0, 1.0)
+
+        gx0 = np.floor((np.where(ok, xmin, 0.0) + 180.0) / res).astype(np.int64)
+        gx1 = np.floor((np.where(ok, xmax, 0.0) + 180.0) / res).astype(np.int64)
+        gy0 = np.floor((np.where(ok, ymin, 0.0) + 90.0) / res).astype(np.int64)
+        gy1 = np.floor((np.where(ok, ymax, 0.0) + 90.0) / res).astype(np.int64)
+        w = np.where(ok, gx1 - gx0 + 1, 0)
+        h = np.where(ok, gy1 - gy0 + 1, 0)
+        if np.any(w * h > max_cells):
+            raise ValueError(
+                f"polyfill_convex: a feature covers > {max_cells} cells "
+                f"at res={res} — corrupt geometry or wrong resolution"
+            )
+        owner, within = _ragged_ranges(w * h)
+        if owner.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array(ids[:0]),
+                    cell_alias: pa.array(
+                        np.empty(0, np.int64), pa.int64()
+                    ),
+                }
+            )
+        wr = w[owner]
+        gx = gx0[owner] + within % wr
+        gy = gy0[owner] + within // wr
+        cx0 = gx * res - 180.0
+        cy0 = gy * res - 90.0
+        cx1 = cx0 + res
+        cy1 = cy0 + res
+        # pair expansion: candidate × outer-ring edge
+        pe = ecnt[owner]
+        pown, pwith = _ragged_ranges(pe)
+        eidx = vs[owner][pown] + pwith
+        ax, ay = x[eidx], y[eidx]
+        bx, by = x[eidx + 1], y[eidx + 1]
+        dx, dy = bx - ax, by - ay
+        px0, py0 = cx0[pown], cy0[pown]
+        px1, py1 = cx1[pown], cy1[pown]
+        # sign applied PER CORNER (±1.0 multiply is IEEE-exact, so the
+        # CCW path stays bit-identical to a sign-free SQL twin; for CW
+        # rings max(s·c) is the correct inner-side max, unlike s·max(c))
+        sg = sgn[owner][pown]
+        m = np.maximum(
+            np.maximum(
+                sg * (dx * (py0 - ay) - dy * (px0 - ax)),
+                sg * (dx * (py0 - ay) - dy * (px1 - ax)),
+            ),
+            np.maximum(
+                sg * (dx * (py1 - ay) - dy * (px0 - ax)),
+                sg * (dx * (py1 - ay) - dy * (px1 - ax)),
+            ),
+        )
+        blk = np.concatenate(([0], np.cumsum(pe)))[:-1]
+        keep = np.minimum.reduceat(m, blk) >= 0.0
+        return pa.table(
+            {
+                id_col: pa.array(ids[owner[keep]]),
+                cell_alias: pa.array(
+                    gx[keep] * cells.GRID_MULT + gy[keep], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        cover, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def add_regex_extract(
     ds: ray.data.Dataset,
     col: str,

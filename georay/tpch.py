@@ -6736,6 +6736,105 @@ GROUP BY gx, gy
 """
 
 
+def part_diamond_polygons(sf_dir: str) -> rd.Dataset:
+    """CONVEX non-box polygons for the polyfill family: one CCW diamond
+    per part — vertices (cx±w, cy), (cx, cy±h) from the same
+    deterministic center/extent arithmetic as ``part_box_polygons``
+    (FIXTURES.md F6), built as geoarrow.polygon rings. A Dataset (not a
+    broadcast table): polyfill treats polygons as the BIG side."""
+    part = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sz = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+        cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+        w = (sz % 10) / 2.0 + 0.5
+        h = (sz % 7) / 2.0 + 0.5
+        n = len(pk)
+        ring = np.empty((n, 5, 2), dtype=np.float64)
+        ring[:, 0] = np.column_stack([cx + w, cy])
+        ring[:, 1] = np.column_stack([cx, cy + h])
+        ring[:, 2] = np.column_stack([cx - w, cy])
+        ring[:, 3] = np.column_stack([cx, cy - h])
+        ring[:, 4] = ring[:, 0]
+        geo = GeoType.polygon(crs="OGC:CRS84")
+        geom = native.build_nested(
+            ring.reshape(-1, 2),
+            [np.arange(n + 1, dtype=np.int64),
+             np.arange(0, 5 * n + 1, 5, dtype=np.int64)],
+            geo,
+        )
+        return pa.table(
+            {"p_partkey": pa.array(pk), "geometry": geom},
+            schema=pa.schema(
+                [pa.field("p_partkey", pa.int64()), geo.field("geometry")]
+            ),
+        )
+
+    return part.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def q_polyfill(sf_dir: str):
+    """H3-style polyfill coverage raster: every part diamond expanded to
+    its covering 1° cells (ops.polyfill_convex — exact SAT keep over the
+    bbox candidate range, stateless flat-map, polygons stream as the
+    big side) then a skew-safe per-cell cover count. The SQL twin
+    enumerates the same candidates with generate_series and spells the
+    identical four GREATEST-of-cross-products edge conditions."""
+    dia = part_diamond_polygons(sf_dir)
+    pairs = ops.polyfill_convex(
+        dia, geometry_col="geometry", id_col="p_partkey", res=1.0
+    )
+    return ops.salted_count(pairs, "grid_cell", count_alias="n")
+
+
+def _polyfill_edge_sql(ax: str, ay: str, bx: str, by: str) -> str:
+    """One edge's inner-side test: GREATEST over the 4 candidate-rect
+    corners of the verbatim cross product the engine computes."""
+    corners = [("x0", "y0"), ("x1", "y0"), ("x0", "y1"), ("x1", "y1")]
+    terms = ", ".join(
+        f"(({bx})-({ax}))*(({py})-({ay})) - (({by})-({ay}))*(({px})-({ax}))"
+        for px, py in corners
+    )
+    return f"GREATEST({terms}) >= 0"
+
+
+SQL_POLYFILL = f"""
+WITH dia AS (
+  SELECT ({PART_CX}) AS cx, ({PART_CY}) AS cy,
+         ({PART_W}) AS w, ({PART_H}) AS h
+  FROM part
+),
+rng AS (
+  SELECT *,
+         CAST(floor((cx - w + 180.0) / 1.0) AS BIGINT) AS gx0,
+         CAST(floor((cx + w + 180.0) / 1.0) AS BIGINT) AS gx1,
+         CAST(floor((cy - h + 90.0) / 1.0) AS BIGINT) AS gy0,
+         CAST(floor((cy + h + 90.0) / 1.0) AS BIGINT) AS gy1
+  FROM dia
+),
+ex AS (SELECT *, unnest(generate_series(gx0, gx1)) AS gx FROM rng),
+exy AS (SELECT *, unnest(generate_series(gy0, gy1)) AS gy FROM ex),
+cand AS (
+  SELECT gx, gy,
+         gx * 1.0 - 180.0 AS x0, gx * 1.0 - 180.0 + 1.0 AS x1,
+         gy * 1.0 - 90.0 AS y0, gy * 1.0 - 90.0 + 1.0 AS y1,
+         cx, cy, w, h
+  FROM exy
+)
+SELECT gx * 100000 + gy AS grid_cell, COUNT(*) AS n
+FROM cand
+WHERE {_polyfill_edge_sql('cx + w', 'cy', 'cx', 'cy + h')}
+  AND {_polyfill_edge_sql('cx', 'cy + h', 'cx - w', 'cy')}
+  AND {_polyfill_edge_sql('cx - w', 'cy', 'cx', 'cy - h')}
+  AND {_polyfill_edge_sql('cx', 'cy - h', 'cx + w', 'cy')}
+GROUP BY 1
+"""
+
+
 def q_movement_rose(sf_dir: str):
     """Per-user compass rose over the event stream: movement-leg counts
     per 45° octant (analytics.movement_rose — comparison-only sector
@@ -13824,6 +13923,7 @@ QUERIES = {
     "clip_rect": q_clip_rect,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
+    "polyfill": q_polyfill,
     "movement_report": q_movement_report,
     "out_of_order": q_out_of_order,
     "grouped_moments": q_grouped_moments,
@@ -14130,6 +14230,7 @@ ORACLE = {
     "clip_rect": SQL_CLIP_RECT,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
+    "polyfill": SQL_POLYFILL,
     "movement_report": SQL_MOVEMENT_REPORT,
     "out_of_order": SQL_OUT_OF_ORDER,
     "grouped_moments": SQL_GROUPED_MOMENTS,

@@ -3287,3 +3287,68 @@ def test_semi_join_bloom_matches_exact(ray_session):
     # empty right side -> empty result (bitmap all zero)
     empty = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
     assert len(ops.semi_join_bloom(left, "k", empty, "rk").to_pandas()) == 0
+
+
+def test_polyfill_convex_diamonds_vs_clamp_oracle(ray_session):
+    """polyfill_convex SAT keep must equal the independent separable
+    clamp-point predicate for diamonds (|clamp(c)−c|/w + ... ≤ 1),
+    for BOTH ring orientations; degenerate and null features emit
+    nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+    from georay.cells import GRID_MULT
+    from georay.codecs import native
+    from georay.types import GeoType
+
+    rng = np.random.default_rng(7)
+    n = 120
+    cx = rng.uniform(-170, 170, n)
+    cy = rng.uniform(-80, 80, n)
+    w = rng.uniform(0.3, 4.0, n)
+    h = rng.uniform(0.3, 3.0, n)
+    ring = np.empty((n, 5, 2))
+    ring[:, 0] = np.column_stack([cx + w, cy])
+    ring[:, 1] = np.column_stack([cx, cy + h])
+    ring[:, 2] = np.column_stack([cx - w, cy])
+    ring[:, 3] = np.column_stack([cx, cy - h])
+    ring[:, 4] = ring[:, 0]
+    cw = np.arange(n) % 2 == 1  # half the rings clockwise
+    ring[cw] = ring[cw][:, ::-1]
+    geo = GeoType.polygon(crs="OGC:CRS84")
+    # append a degenerate 2-vertex ring and a ringless (empty) feature
+    coords = np.concatenate(
+        [ring.reshape(-1, 2), [[0.0, 0.0], [1.0, 1.0]]]
+    )
+    ring_off = np.concatenate(
+        [np.arange(0, 5 * n + 1, 5), [5 * n + 2]]
+    ).astype(np.int64)
+    poly_off = np.concatenate(
+        [np.arange(n + 1), [n + 1, n + 1]]
+    ).astype(np.int64)
+    geom = native.build_nested(coords, [poly_off, ring_off], geo)
+    t = pa.table(
+        {"pid": pa.array(np.arange(n + 2, dtype=np.int64)),
+         "geometry": geom},
+        schema=pa.schema([pa.field("pid", pa.int64()),
+                          geo.field("geometry")]),
+    )
+    out = ops.polyfill_convex(
+        rd.from_arrow(t), id_col="pid", res=1.0
+    ).to_pandas()
+    got = set(zip(out["pid"], out["grid_cell"]))
+    exp = set()
+    for i in range(n):
+        gx0 = int(np.floor((cx[i] - w[i] + 180) / 1.0))
+        gx1 = int(np.floor((cx[i] + w[i] + 180) / 1.0))
+        gy0 = int(np.floor((cy[i] - h[i] + 90) / 1.0))
+        gy1 = int(np.floor((cy[i] + h[i] + 90) / 1.0))
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                px = min(max(cx[i], gx * 1.0 - 180), gx * 1.0 - 179)
+                py = min(max(cy[i], gy * 1.0 - 90), gy * 1.0 - 89)
+                if abs(px - cx[i]) / w[i] + abs(py - cy[i]) / h[i] <= 1.0:
+                    exp.add((i, gx * GRID_MULT + gy))
+    assert got == exp
