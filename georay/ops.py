@@ -2164,6 +2164,101 @@ def cms_estimate(
     return est
 
 
+# floor(alpha_256 · 256² · 2^57) with alpha_m = 0.7213/(1 + 1.079/m) —
+# the standard HLL bias constant, pre-scaled so the estimate is PURE
+# integer arithmetic (C // Σ 2^(57−r_j)); the SQL twin embeds the same
+# literal. Recompute for other m_bits before changing the default.
+_HLL_C_256 = 6783892839851034148864
+
+
+def hll_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    est_alias: str = "distinct_est",
+) -> ray.data.Dataset:
+    """Mergeable HyperLogLog distinct sketch over an int64 key column —
+    the streaming COUNT(DISTINCT) companion to ``count_min_sketch``
+    (frequencies) for key domains too large to materialize. 256
+    registers (m_bits=8, σ ≈ 1.04/√m ≈ 6.5%); register j holds the max
+    over its keys of ρ(w) = trailing-zero rank of the murmur-finalized
+    hash's top 56 bits — the same geometric observable as the classic
+    leading-zero form, chosen because the lowest-set-bit extraction
+    ``(w XOR (w−1) + 1) / 2`` is exact uint64/HUGEINT arithmetic on
+    BOTH engines (w = 0, possible only in the all-keys-hash-to-zero
+    bucket sense, wraps to rank 57 identically via two's-complement
+    overflow). Per batch: 256-row (bucket, max-rank) partials; combine
+    tree max-merges them — nothing bigger than 256 rows ever moves.
+
+    Output: all 256 rows ``(bucket, r)`` — the sketch itself, empty
+    registers included at r = 0 — plus two constant columns:
+    ``distinct_est`` (raw HLL estimate, exact integer
+    ``_HLL_C_256 // Σ 2^(57−r)``, capped at 2^62) and ``n_zero`` (empty
+    registers, so callers can apply the standard linear-counting
+    small-range correction ``m·ln(m/V)`` — kept OUT of the op because
+    its ln() is the one step libm implementations may round apart)."""
+    m = 256
+    maxr = 57  # (64 − 8) possible trailing zeros + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = (
+            batch[col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        h = _mix64(k.copy())
+        bucket = (h & np.uint64(m - 1)).astype(np.int64)
+        w = h >> np.uint64(8)
+        lsb = (np.bitwise_xor(w, w - np.uint64(1)) + np.uint64(1)) >> np.uint64(1)
+        # lsb is a single set bit ≤ 2^55 — exact in float64, so log2 is
+        # the integer bit position exactly
+        r = np.where(
+            lsb == 0,
+            np.int64(maxr),
+            np.log2(np.maximum(lsb, np.uint64(1)).astype(np.float64)).astype(np.int64) + 1,
+        )
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, bucket, r)
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "partial_r": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    merged = tree_reduce(parts, "bucket", {"partial_r": "r"}, ufunc=np.maximum)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        if batch.num_rows:
+            regs[batch["bucket"].to_numpy(zero_copy_only=False)] = batch[
+                "r"
+            ].to_numpy(zero_copy_only=False)
+        s = sum(1 << (maxr - int(r)) for r in regs)  # ≤ 256·2^57: python int
+        est = min(_HLL_C_256 // s, 1 << 62)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(m, dtype=np.int64)),
+                "r": pa.array(regs, pa.int64()),
+                est_alias: pa.array(np.full(m, est, np.int64)),
+                "n_zero": pa.array(
+                    np.full(m, int((regs == 0).sum()), np.int64)
+                ),
+            }
+        )
+
+    return merged.map_batches(
+        finalize,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1 << 40,
+    )
+
+
 def heavy_hitters(
     ds: ray.data.Dataset,
     col: str,

@@ -940,6 +940,47 @@ WHERE p0.k <= 50
 """
 
 
+def q_hll(sf_dir: str):
+    """HyperLogLog distinct sketch of l_partkey (ops.hll_distinct — 256
+    max-rank registers, combine-tree merged; the estimate is pure
+    integer arithmetic so the whole sketch, estimate included, is
+    SQL-reproducible). Returns all 256 registers + the raw estimate +
+    the empty-register count."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_partkey"])
+    return ops.hll_distinct(ds, "l_partkey")
+
+
+SQL_HLL = """
+WITH x AS (SELECT CAST(l_partkey AS HUGEINT) AS x FROM lineitem),
+h1t AS (SELECT xor(x, x // 8589934592) AS h1 FROM x),
+h2t AS (SELECT ((h1 % 4294967296) * 18397679294719823053
+      + ((h1 // 4294967296) * 18397679294719823053 % 4294967296) * 4294967296
+      ) % 18446744073709551616 AS h2 FROM h1t),
+ht AS (SELECT xor(h2, h2 // 8589934592) AS h FROM h2t),
+rk AS (SELECT h % 256 AS bucket,
+              CASE WHEN h // 256 = 0 THEN 57
+                   ELSE CAST(log2((xor(h // 256, h // 256 - 1) + 1) // 2)
+                             AS BIGINT) + 1 END AS r
+       FROM ht),
+reg AS (SELECT bucket, MAX(r) AS r FROM rk GROUP BY bucket),
+regs AS (
+  SELECT allb.bucket, COALESCE(reg.r, 0) AS r
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) allb
+  LEFT JOIN reg ON allb.bucket = reg.bucket
+),
+s AS (
+  SELECT SUM(CAST(CAST(1 AS BIGINT) << (57 - r) AS HUGEINT)) AS ssum,
+         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS nz
+  FROM regs
+)
+SELECT CAST(regs.bucket AS BIGINT) AS bucket, CAST(regs.r AS BIGINT) AS r,
+       CAST(LEAST(6783892839851034148864::HUGEINT // s.ssum,
+                  4611686018427387904::HUGEINT) AS BIGINT) AS distinct_est,
+       CAST(s.nz AS BIGINT) AS n_zero
+FROM regs, s
+"""
+
+
 def q_window_share(sf_dir: str):
     """Per-supplier share of each lineitem's quantity (percent-of-total
     window, exact integer arithmetic — ops.window_share)."""
@@ -14172,6 +14213,7 @@ QUERIES = {
     "window_ntile": q_window_ntile,
     "window_share": q_window_share,
     "cms": q_cms,
+    "hll": q_hll,
     "extract_props": q_extract_props,
     "window_moving": q_window_moving,
     "knn_part_supplier": q_knn_part_supplier,
@@ -14469,6 +14511,7 @@ ORACLE = {
     "window_ntile": SQL_WINDOW_NTILE,
     "window_share": SQL_WINDOW_SHARE,
     "cms": SQL_CMS,
+    "hll": SQL_HLL,
     "extract_props": SQL_EXTRACT_PROPS,
     "window_moving": SQL_WINDOW_MOVING,
     "knn_part_supplier": SQL_KNN_PART_SUPPLIER,

@@ -3352,3 +3352,32 @@ def test_polyfill_convex_diamonds_vs_clamp_oracle(ray_session):
                 if abs(px - cx[i]) / w[i] + abs(py - cy[i]) / h[i] <= 1.0:
                     exp.add((i, gx * GRID_MULT + gy))
     assert got == exp
+
+
+def test_hll_distinct_accuracy_and_mergeability(ray_session):
+    """hll_distinct: estimate within ~4σ of a known cardinality, and the
+    registers of a union equal the elementwise max of the halves'
+    registers (mergeability — the property that makes it a sketch)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    n = 20_000
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    dup = np.concatenate([keys, keys[: n // 2]])  # dups must not matter
+    full = ops.hll_distinct(
+        rd.from_arrow(pa.table({"k": pa.array(dup)})), "k"
+    ).to_pandas().sort_values("bucket")
+    est = int(full["distinct_est"].iloc[0])
+    assert abs(est - n) / n < 0.26  # 4σ at m=256 (σ≈6.5%)
+    assert int(full["n_zero"].iloc[0]) == int((full["r"] == 0).sum())
+
+    a = ops.hll_distinct(
+        rd.from_arrow(pa.table({"k": pa.array(keys[: n // 2])})), "k"
+    ).to_pandas().sort_values("bucket")["r"].to_numpy()
+    b = ops.hll_distinct(
+        rd.from_arrow(pa.table({"k": pa.array(keys[n // 2:])})), "k"
+    ).to_pandas().sort_values("bucket")["r"].to_numpy()
+    assert (np.maximum(a, b) == full["r"].to_numpy()).all()
