@@ -232,6 +232,7 @@ def cooccurrence_edges(
     max_group_size: int | None = None,
     min_support: int = 1,
     final: str = "tree",
+    keep_support: bool = False,
 ) -> ray.data.Dataset:
     """Distinct undirected co-occurrence edges ``(a < b)`` between items
     sharing a group (market-basket / co-purchase graph), with SUPPORT
@@ -302,7 +303,83 @@ def cooccurrence_edges(
         counted = counted.filter(
             expr=f"support >= {int(min_support)}"
         )
+    if keep_support:
+        return counted
     return counted.select_columns(["a", "b"])
+
+
+def link_prediction_cn(
+    edges: ray.data.Dataset,
+    min_cn: int = 2,
+    n_buckets: int = 64,
+    max_degree: int | None = None,
+    score_alias: str = "cn",
+) -> ray.data.Dataset:
+    """Common-neighbor link prediction over an undirected distinct
+    ``(a < b)`` edge list: every NON-adjacent pair at distance 2 with
+    ``|N(x) ∩ N(y)| ≥ min_cn``, scored by that count — the classic
+    CN baseline (Liben-Nowell & Kleinberg 2003). Two wide ops total:
+
+    1. wedge counting = co-occurrence over the (node → neighbor)
+       incidence (each edge contributes both directions), reusing
+       ``cooccurrence_edges``'s one bucket co-shuffle + ragged pair
+       expansion + combine tree — per-pair counts ARE the CN scores;
+    2. existing edges removed with the partitioned composite-key anti
+       join (keys-only shuffle on the right).
+
+    Wedge volume is Σ_v deg(v)² — inherent to exact CN. ``max_degree``
+    is the documented scale lever: super-hub nodes are dropped from
+    wedge generation (the same W-cap convention the minhash banding
+    stage uses); replicate in an oracle with a degree-capped incidence.
+    """
+    from georay import ops
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "n": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    inc = edges.map_batches(
+        incidence, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    cand = cooccurrence_edges(
+        inc, "v", "n", n_buckets=n_buckets, max_group_size=max_degree,
+        min_support=min_cn, keep_support=True,
+    )
+    if score_alias != "support":
+        cand = cand.map_batches(
+            lambda b: b.rename_columns(
+                [score_alias if n == "support" else n for n in b.column_names]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+    # schema anchor: a zero-candidate run drops every block (Ray 2.49
+    # discards empty blocks, so cand.schema() degrades to None and the
+    # downstream join cannot type its empty result — ROUND_NOTES quirk).
+    # Union with a typed 0-row dataset keeps the schema without
+    # materializing or adding a barrier. (Block-level rename above, not
+    # Dataset.rename_columns: the lazy projection and the union anchor
+    # disagree about which schema the join's key stage sees.)
+    anchor = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                score_alias: pa.array([], pa.int64()),
+            }
+        )
+    )
+    cand = anchor.union(cand)
+    return ops.equi_join_partitioned(
+        cand, edges.select_columns(["a", "b"]), on=["a", "b"], how="anti",
+        n_buckets=n_buckets,
+    )
 
 
 def degree_distribution(

@@ -3372,11 +3372,20 @@ def equi_join_partitioned(
         joined = lt.join(rt, keys=lon, join_type=jt)
         return joined.select(l_cols + r_cols)
 
-    return (
+    joined = (
         shuffle_coalesce(lk.union(rk))
         .groupby("_bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+    # typed-empty anchor: a zero-match join drops every block (Ray 2.49
+    # discards empty blocks → schema() degrades to None and a 0-row
+    # result loses its columns). The output schema is fully known here,
+    # so prepend a 0-row block carrying it — free, streaming-safe.
+    out_schema = pa.schema(
+        [pa.field(c, l_types[c]) for c in l_cols]
+        + [pa.field(c, r_types[c]) for c in r_cols]
+    )
+    return ray.data.from_arrow(out_schema.empty_table()).union(joined)
 
 
 def asof_join_broadcast(

@@ -8968,6 +8968,36 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+LINK_MIN_CN = 2
+
+
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction on the co-purchase graph:
+    non-adjacent part pairs with ≥2 shared neighbors, scored by the
+    count (analytics.link_prediction_cn — wedge counting reuses the
+    co-occurrence bucket co-shuffle; existing edges removed with the
+    composite-key partitioned anti join, keys-only on the right)."""
+    from georay import analytics
+
+    return analytics.link_prediction_cn(
+        _copurchase_edges(sf_dir), min_cn=LINK_MIN_CN
+    )
+
+
+SQL_LINK_PREDICT = f"""
+WITH {SQL_COPURCHASE_EDGES},
+inc AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b AS v, a AS n FROM e),
+cn AS (
+  SELECT x.n AS a, y.n AS b, COUNT(*) AS cn
+  FROM inc x JOIN inc y ON x.v = y.v AND x.n < y.n
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {LINK_MIN_CN}
+)
+SELECT cn.a, cn.b, cn.cn
+FROM cn ANTI JOIN e ON e.a = cn.a AND e.b = cn.b
+"""
+
+
 PAGERANK_ITERS = 3
 
 
@@ -14091,6 +14121,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
+    "link_predict": q_link_predict,
     "rectangles": q_rectangles,
     "rectangles_partitioned": q_rectangles_partitioned,
     "triangles_partitioned": q_triangles_partitioned,
@@ -14398,6 +14429,7 @@ ORACLE = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
+    "link_predict": SQL_LINK_PREDICT,
     "rectangles": SQL_RECTANGLES,
     "rectangles_partitioned": SQL_RECTANGLES,
     "triangles_partitioned": SQL_TRIANGLES,

@@ -3381,3 +3381,26 @@ def test_hll_distinct_accuracy_and_mergeability(ray_session):
         rd.from_arrow(pa.table({"k": pa.array(keys[n // 2:])})), "k"
     ).to_pandas().sort_values("bucket")["r"].to_numpy()
     assert (np.maximum(a, b) == full["r"].to_numpy()).all()
+
+
+def test_link_prediction_cn_hand_graph(ray_session):
+    """Common-neighbor link prediction: hand-checked scores on a known
+    graph, adjacency exclusion, and typed schema on an empty result
+    (the zero-candidate path must survive the partitioned anti join)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import analytics
+
+    # square 1-2-3-4-1 plus chord 1-3: non-adjacent pair (2,4) has
+    # common neighbors {1,3} → cn 2; everything else is adjacent.
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array([1, 2, 3, 1, 1], pa.int64()),
+        "b": pa.array([2, 3, 4, 4, 3], pa.int64()),
+    }))
+    got = analytics.link_prediction_cn(edges, min_cn=1).to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [(2, 4, 2)]
+
+    empty = analytics.link_prediction_cn(edges, min_cn=5)
+    assert [f.name for f in empty.schema().base_schema] == ["a", "b", "cn"]
+    assert empty.count() == 0
