@@ -3719,9 +3719,12 @@ def sssp_rounds(
     id_b: str = "b",
     local_edge_cutoff: int = 2_000_000,
     n_buckets: int = 64,
+    directed: bool = False,
 ) -> ray.data.Dataset:
     """Multi-source single-source-shortest-path over an undirected
-    WEIGHTED edge list, ``rounds`` fixed Bellman–Ford relaxations:
+    (``directed=True``: edges relax only a→b — the DAG/flow-graph
+    mode ``dag_layers`` builds on) WEIGHTED edge list, ``rounds``
+    fixed Bellman–Ford relaxations:
     output ``(node, dist)`` = the exact minimum path weight over paths
     of at most ``rounds`` edges from any seed (so with rounds ≥ graph
     diameter this is the full SSSP). ``seed_pred`` is a vectorized
@@ -3741,16 +3744,19 @@ def sssp_rounds(
     if n_edges > local_edge_cutoff:
         return sssp_partitioned(
             edges, seed_pred, weight_fn, rounds=rounds, id_a=id_a,
-            id_b=id_b, n_buckets=n_buckets,
+            id_b=id_b, n_buckets=n_buckets, directed=directed,
         )
     et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
     a = et[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
     b = et[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
     w1 = np.asarray(weight_fn(a, b), dtype=np.int64)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    w = np.concatenate([w1, w1])
-    nodes = np.unique(src)
+    if directed:
+        src, dst, w = a, b, w1
+    else:
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        w = np.concatenate([w1, w1])
+    nodes = np.unique(np.concatenate([src, dst]))
     if nodes.shape[0] == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
@@ -3782,6 +3788,7 @@ def sssp_partitioned(
     id_a: str = "a",
     id_b: str = "b",
     n_buckets: int = 64,
+    directed: bool = False,
 ) -> ray.data.Dataset:
     """Distributed twin of ``sssp_rounds`` — see there. Labels are
     ``(node, dist, fresh)``; per round the fresh frontier co-shuffles
@@ -3801,9 +3808,12 @@ def sssp_partitioned(
         a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
         w1 = np.asarray(weight_fn(a, b), dtype=np.int64)
-        srcv = np.concatenate([a, b])
-        dstv = np.concatenate([b, a])
-        wv = np.concatenate([w1, w1])
+        if directed:
+            srcv, dstv, wv = a, b, w1
+        else:
+            srcv = np.concatenate([a, b])
+            dstv = np.concatenate([b, a])
+            wv = np.concatenate([w1, w1])
         return pa.table(
             {
                 "_b": pa.array(_bucket(srcv), pa.int64()),
@@ -3819,7 +3829,12 @@ def sssp_partitioned(
     ).materialize()
 
     def seed0(batch: pa.Table) -> pa.Table:
-        node = batch["node"].to_numpy(zero_copy_only=False)
+        # scan BOTH endpoints: in directed mode pure sinks appear only
+        # in the val column but must still be seedable/labelable
+        node = np.concatenate([
+            batch["node"].to_numpy(zero_copy_only=False),
+            batch["val"].to_numpy(zero_copy_only=False),
+        ])
         sel = np.unique(node[np.asarray(seed_pred(node), bool)])
         return pa.table(
             {
@@ -3968,6 +3983,45 @@ def sssp_partitioned(
     return labels.map_batches(
         lambda b: b.select(["node", "dist"]),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+def dag_layers(
+    edges: ray.data.Dataset,
+    rounds: int = 12,
+    id_a: str = "a",
+    id_b: str = "b",
+    local_edge_cutoff: int = 2_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Topological layering / bounded critical path of a DAG (edges
+    ``a → b``): ``(node, layer)`` with layer = the longest path (edge
+    count) over paths of at most ``rounds`` edges ending at the node —
+    the scheduling-level assignment (ASAP schedule) of dataflow/dep
+    graphs, exact whenever ``rounds`` ≥ the DAG's critical-path length
+    (the fixed-iteration convention ``pagerank``/``sssp_rounds``
+    already use). Max-plus relaxation expressed as MIN-plus on negated
+    unit weights, so BOTH sssp plans (local scatter CSR and the
+    label-correcting partitioned loop) apply unchanged in directed
+    mode; acyclicity is what makes the negative weights safe (no
+    negative cycle). Every node seeds at 0 — sources stay layer 0."""
+
+    out = sssp_rounds(
+        edges,
+        seed_pred=lambda ids: np.ones(np.asarray(ids).shape[0], bool),
+        weight_fn=lambda a, b: np.full(np.asarray(a).shape[0], -1, np.int64),
+        rounds=rounds, id_a=id_a, id_b=id_b,
+        local_edge_cutoff=local_edge_cutoff, n_buckets=n_buckets,
+        directed=True,
+    )
+
+    def negate(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["node"], "layer": pc.negate(batch["dist"])}
+        )
+
+    return out.map_batches(
+        negate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
 

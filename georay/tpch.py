@@ -8968,6 +8968,33 @@ FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
 
 
+DAG_ROUNDS = 12
+
+
+def q_dag_layers(sf_dir: str):
+    """Topological layers of the co-purchase DAG (edges directed
+    low→high part key, so acyclicity is structural): longest path of
+    ≤12 edges ending at each node (analytics.dag_layers — max-plus
+    relaxation through the sssp machinery's directed mode). The SQL
+    twin is the depth-bounded recursive CTE with the same cap."""
+    from georay import analytics
+
+    return analytics.dag_layers(_copurchase_edges(sf_dir), rounds=DAG_ROUNDS)
+
+
+SQL_DAG_LAYERS = f"""
+WITH RECURSIVE {SQL_COPURCHASE_EDGES},
+nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+walk AS (
+  SELECT v, 0 AS d FROM nodes
+  UNION
+  SELECT e.b AS v, walk.d + 1 AS d FROM walk JOIN e ON e.a = walk.v
+  WHERE walk.d < {DAG_ROUNDS}
+)
+SELECT v AS node, MAX(d) AS layer FROM walk GROUP BY v
+"""
+
+
 LINK_MIN_CN = 2
 
 
@@ -14122,6 +14149,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
     "link_predict": q_link_predict,
+    "dag_layers": q_dag_layers,
     "rectangles": q_rectangles,
     "rectangles_partitioned": q_rectangles_partitioned,
     "triangles_partitioned": q_triangles_partitioned,
@@ -14430,6 +14458,7 @@ ORACLE = {
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
     "link_predict": SQL_LINK_PREDICT,
+    "dag_layers": SQL_DAG_LAYERS,
     "rectangles": SQL_RECTANGLES,
     "rectangles_partitioned": SQL_RECTANGLES,
     "triangles_partitioned": SQL_TRIANGLES,

@@ -3404,3 +3404,46 @@ def test_link_prediction_cn_hand_graph(ray_session):
     empty = analytics.link_prediction_cn(edges, min_cn=5)
     assert [f.name for f in empty.schema().base_schema] == ["a", "b", "cn"]
     assert empty.count() == 0
+
+
+def test_dag_layers_local_vs_partitioned_vs_brute(ray_session):
+    """dag_layers: both sssp plans (local CSR, directed partitioned
+    label-correcting) must equal the brute longest-path DP on a random
+    a<b DAG, including pure-sink nodes that appear only as edge
+    heads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import analytics
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 48, 150
+    a = rng.integers(0, n_nodes - 1, n_edges).astype(np.int64)
+    # min step 12 keeps the critical path ≤ 3 so the partitioned plan
+    # (a ~16 s materialized co-shuffle per round) converges in 4 rounds
+    b = (a + 12 + rng.integers(0, 5, n_edges).astype(np.int64)).clip(max=n_nodes - 1)
+    keep = a < b
+    a, b = a[keep], b[keep]
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+
+    # brute: DP over ascending node id (valid topological order for a<b)
+    layer = {}
+    for v in np.unique(np.concatenate([a, b])):
+        layer[int(v)] = 0
+    order = np.lexsort((b, a))
+    for i in order:  # relax repeatedly in topo order: one pass suffices
+        layer[int(b[i])] = max(layer[int(b[i])], layer[int(a[i])] + 1)
+    # second pass guards against same-source ordering subtleties
+    for i in order:
+        layer[int(b[i])] = max(layer[int(b[i])], layer[int(a[i])] + 1)
+
+    loc = analytics.dag_layers(edges, rounds=6).to_pandas()
+    got_loc = dict(zip(loc["node"], loc["layer"]))
+    assert got_loc == layer
+
+    part = analytics.dag_layers(
+        edges, rounds=6, local_edge_cutoff=0
+    ).to_pandas()
+    got_part = dict(zip(part["node"], part["layer"]))
+    assert got_part == layer
