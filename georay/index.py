@@ -619,20 +619,27 @@ class PointIndex:
         )
         return P[order], Rf[order], d[order]
 
-    def within(self, lon: np.ndarray, lat: np.ndarray, radius: float):
+    def within(self, lon: np.ndarray, lat: np.ndarray, radius: float,
+               radius2: float | None = None):
         """All (probe, ref) pairs with planar distance ≤ ``radius``.
 
         One fixed disk of Chebyshev radius ``ceil(radius/res)``
         guarantees coverage (a ref in ring > R is farther than
         R·res ≥ radius in the non-wrapping planar metric), so no
         expansion loop — one vectorized CSR gather + exact filter.
+        ``radius2`` — optional PRE-SQUARED threshold: the exact filter
+        compares ``d2 <= radius2`` instead of ``radius*radius``, so a
+        caller whose contract is expressed on squared distance (e.g. a
+        SQL twin with an exactly-representable eps²) avoids the
+        sqrt→square round-trip ulp; ``radius`` then only sizes the
+        candidate disk and must satisfy radius² ≥ radius2.
         Returns (probe_idx, ref_pos, dist2) sorted by
         (probe_idx, dist2, ref_id)."""
         P, Rf = self._disk_candidates(lon, lat, int(np.ceil(radius / self.res)))
         if P.size == 0:
             return P, Rf, np.empty(0, np.float64)
         d2 = (self.ref_lon[Rf] - lon[P]) ** 2 + (self.ref_lat[Rf] - lat[P]) ** 2
-        hit = d2 <= radius * radius
+        hit = d2 <= (radius * radius if radius2 is None else radius2)
         return self._order_pairs(P[hit], Rf[hit], d2[hit])
 
     def within_geodesic(self, lon: np.ndarray, lat: np.ndarray, radius_km: float):

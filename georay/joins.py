@@ -604,6 +604,8 @@ def radius_join_pairs(
     metric: str = "planar",
     ref_payload: dict[str, np.ndarray] | None = None,
     dist_out: str | None = None,
+    radius2: float | None = None,
+    count_out: str | None = None,
 ) -> ray.data.Dataset:
     """Pair-emitting twin of ``radius_join_count``: one output row per
     (probe, ref-within-radius) pair.
@@ -614,7 +616,15 @@ def radius_join_pairs(
     (name → array aligned with ``ref_ids``) carried onto each pair, so
     the join emits real payload rows, not just id pairs; the arrays ride
     inside the one broadcast ``ray.put``. ``dist_out`` — optionally emit
-    the distance (squared degrees for planar, km for haversine)."""
+    the distance (squared degrees for planar, km for haversine).
+    ``radius2`` (planar only) — PRE-SQUARED exact threshold: the exact
+    filter compares ``d2 <= radius2`` instead of ``radius*radius``, for
+    callers whose contract is expressed on squared distance (e.g. a SQL
+    twin with an exactly-representable eps² whose square root is not);
+    ``radius`` then only sizes the candidate disk and must satisfy
+    radius² ≥ radius2. ``count_out`` — optionally emit, on every pair
+    row, the probe's TOTAL within-radius neighbor count (complete
+    locally: each probe's candidates are resolved inside one batch)."""
     res = _radius_res(radius, metric, res)
     ref_lon = np.asarray(ref_lon, np.float64)
     ref_lat = np.asarray(ref_lat, np.float64)
@@ -634,7 +644,7 @@ def radius_join_pairs(
         if metric == "haversine":
             P, R, d = idx.within_geodesic(lon, lat, radius)
         else:
-            P, R, d = idx.within(lon, lat, radius)
+            P, R, d = idx.within(lon, lat, radius, radius2=radius2)
         pid = batch[probe_id_col]
         if isinstance(pid, pa.ChunkedArray):
             pid = pid.combine_chunks()
@@ -646,6 +656,9 @@ def radius_join_pairs(
             cols[name] = pa.array(arr[R].tolist())
         if dist_out is not None:
             cols[dist_out] = pa.array(d, pa.float64())
+        if count_out is not None:
+            counts = np.bincount(P, minlength=len(batch))
+            cols[count_out] = pa.array(counts[P], pa.int64())
         return pa.table(cols)
 
     return probes.map_batches(

@@ -5778,6 +5778,173 @@ SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
 """
 
 
+DBSCAN_EPS2 = 104.0  # eps = √104 ≈ 10.198° — NOT exactly representable
+DBSCAN_MINPTS = 3
+
+
+def q_dbscan(sf_dir: str):
+    """Full DBSCAN (minPts={DBSCAN_MINPTS}, eps²={DBSCAN_EPS2}) over
+    supplier points — the minPts generalization of ``spatial_clusters``
+    (which is DBSCAN with minPts=2). eps is given PRE-SQUARED via the
+    radius join's ``radius2`` contract so the exact filter compares
+    ``d² <= 104.0`` bit-for-bit with the SQL predicate (√104 has no
+    exact double; squaring its rounding would drift the boundary).
+
+    Semantics (all deterministic): neighborhood counts INCLUDE the
+    point itself (classical DBSCAN |N_eps(p)| ≥ minPts); clusters =
+    connected components of core points under the eps relation, label
+    = min core id in the component (isolated cores label themselves);
+    border points (non-core with ≥1 core neighbor) take the MIN
+    neighboring core label — the deterministic variant of DBSCAN's
+    scan-order-dependent border assignment; noise points are excluded.
+
+    Scale shape: one broadcast-grid radius pair join (each probe's
+    pairs AND its neighbor count resolve inside one batch — no count
+    shuffle); the core set, component labels and border partial-mins
+    are driver-held, all bounded by the broadcast REF-set size — the
+    same memory budget the broadcast PointIndex already pays. For a
+    both-sides-large DBSCAN swap in ``radius_join_count_partitioned``'s
+    cell co-shuffle and ``connected_components_partitioned``."""
+    import ray as _ray
+
+    from georay.joins import radius_join_pairs
+    from georay.stages.components import connected_components
+
+    sx, sy, sk = supplier_points(sf_dir)
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table({"s_a": pa.array(sk)}).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([sx, sy]), geo)
+        )
+    )
+    # disk-sizing radius one ulp above √eps² so radius² ≥ eps² always
+    eps = float(np.nextafter(np.sqrt(DBSCAN_EPS2), np.inf))
+    pairs = radius_join_pairs(
+        probes, sx, sy, sk, eps, radius2=DBSCAN_EPS2,
+        probe_id_col="s_a", neighbor_out="s_b", count_out="n_a",
+    ).materialize()
+
+    def core_ids(batch: pa.Table) -> pa.Table:
+        a = batch["s_a"].to_numpy(zero_copy_only=False)
+        n = batch["n_a"].to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.unique(a[n >= DBSCAN_MINPTS]), pa.int64())})
+
+    cores = np.unique(
+        np.concatenate(
+            [np.empty(0, np.int64)]
+            + [
+                b["id"].to_numpy()
+                for b in pairs.map_batches(
+                    core_ids, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    core_ref = _ray.put(cores)
+    cache: dict = {}
+
+    def core_edges(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        cs = cache.setdefault("c", _rayw.get(core_ref))
+        a = batch["s_a"].to_numpy(zero_copy_only=False)
+        b = batch["s_b"].to_numpy(zero_copy_only=False)
+        keep = (a < b) & np.isin(a, cs) & np.isin(b, cs)
+        return pa.table(
+            {"id_a": pa.array(a[keep], pa.int64()), "id_b": pa.array(b[keep], pa.int64())}
+        )
+
+    comp = connected_components(
+        pairs.map_batches(
+            core_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    )
+    node = comp["node"].to_numpy()
+    label = comp["label"].to_numpy()
+    iso = cores[~np.isin(cores, node)]  # cores with no core-core edge
+    node = np.concatenate([node, iso])
+    label = np.concatenate([label, iso])
+    order = np.argsort(node)
+    node, label = node[order], label[order]
+    lab_ref = _ray.put((cores, node, label))
+    cache2: dict = {}
+
+    def border_partials(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        cs, cn, cl = cache2.setdefault("c", _rayw.get(lab_ref))
+        a = batch["s_a"].to_numpy(zero_copy_only=False)
+        b = batch["s_b"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(a, cs) & np.isin(b, cs)
+        a, b = a[keep], b[keep]
+        lb = cl[np.searchsorted(cn, b)]
+        (ga,), outs = ops._group_reduce([a], {"label": lb}, ufunc=np.minimum)
+        return pa.table(
+            {"node": pa.array(ga, pa.int64()), "label": pa.array(outs["label"], pa.int64())}
+        )
+
+    bn, bl = [np.empty(0, np.int64)], [np.empty(0, np.int64)]
+    for b in pairs.map_batches(
+        border_partials, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        bn.append(b["node"].to_numpy())  # bounded: ≤1 row/non-core ref/block
+        bl.append(b["label"].to_numpy())
+    (bnode,), bouts = ops._group_reduce(
+        [np.concatenate(bn)], {"label": np.concatenate(bl)}, ufunc=np.minimum
+    )
+    blabel = bouts["label"]
+    return pa.table(
+        {
+            "node": pa.array(np.concatenate([node, bnode]), pa.int64()),
+            "label": pa.array(np.concatenate([label, blabel]), pa.int64()),
+            "core": pa.array(
+                np.concatenate(
+                    [np.ones(node.shape[0], np.int32), np.zeros(bnode.shape[0], np.int32)]
+                ),
+                pa.int32(),
+            ),
+        }
+    )
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE
+refs AS (SELECT s_suppkey AS id, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier),
+nbr AS (
+  SELECT a.id AS x, b.id AS y
+  FROM refs a JOIN refs b
+    ON (b.sx - a.sx)*(b.sx - a.sx) + (b.sy - a.sy)*(b.sy - a.sy)
+       <= {DBSCAN_EPS2}
+),
+core AS (SELECT x AS id FROM nbr GROUP BY x HAVING COUNT(*) >= {DBSCAN_MINPTS}),
+ce AS (
+  SELECT n.x, n.y FROM nbr n
+  JOIN core c1 ON n.x = c1.id JOIN core c2 ON n.y = c2.id
+  WHERE n.x <> n.y
+),
+reach(n, m) AS (
+  SELECT x, y FROM ce
+  UNION
+  SELECT r.n, e.y FROM reach r JOIN ce e ON e.x = r.m
+),
+corelab AS (
+  SELECT c.id, LEAST(c.id, COALESCE(MIN(r.m), c.id)) AS label
+  FROM core c LEFT JOIN reach r ON r.n = c.id GROUP BY c.id
+),
+border AS (
+  SELECT n.x AS id, MIN(cl.label) AS label
+  FROM nbr n JOIN corelab cl ON n.y = cl.id
+  WHERE n.x NOT IN (SELECT id FROM core)
+  GROUP BY n.x
+)
+SELECT id AS node, label, 1 AS core FROM corelab
+UNION ALL
+SELECT id AS node, label, 0 AS core FROM border
+"""
+
+
 def q_geo_curate(sf_dir: str):
     """END-TO-END geo-curation chain, the spatial sibling of
     ``pretrain_prep`` — every stage an already-oracled operator, the
@@ -14135,6 +14302,7 @@ QUERIES = {
     "skyline": q_skyline,
     "ohlc": q_ohlc,
     "spatial_clusters": q_spatial_clusters,
+    "dbscan": q_dbscan,
     "attribution": q_attribution,
     "fuzzy_pairs": q_fuzzy_pairs,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
@@ -14444,6 +14612,7 @@ ORACLE = {
     "skyline": SQL_SKYLINE,
     "ohlc": SQL_OHLC,
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
+    "dbscan": SQL_DBSCAN,
     "attribution": SQL_ATTRIBUTION,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "grouped_quantiles_cont": SQL_GROUPED_QUANTILES_CONT,

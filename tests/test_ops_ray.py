@@ -3447,3 +3447,39 @@ def test_dag_layers_local_vs_partitioned_vs_brute(ray_session):
     ).to_pandas()
     got_part = dict(zip(part["node"], part["layer"]))
     assert got_part == layer
+
+
+def test_radius_pairs_radius2_exact_boundary_and_counts(ray_session):
+    """radius2 (pre-squared threshold) is applied EXACTLY — a ref whose
+    d² equals radius2 is included, one ulp less excluded — and count_out
+    carries the probe's total neighbor count on every pair row."""
+    import ray.data as rd
+
+    from georay.joins import radius_join_pairs
+    from georay.types import GeoType
+
+    # probe at origin; refs on a 3-4-5 triangle scaled so d² has a
+    # representable-but-awkward value, plus a far ref
+    rl = np.array([0.3, -0.3, 0.0, 50.0])
+    rt = np.array([0.4, 0.4, 0.0, 50.0])
+    rid = np.arange(4, dtype=np.int64)
+    d2 = rl**2 + rt**2  # exact same expr as the kernel (ref - 0.0)
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table({"pid": pa.array([7], pa.int64())}).append_column(
+            geo.field("geotag"),
+            native.build_points(np.array([[0.0, 0.0]]), geo),
+        )
+    )
+
+    def pairs_at(radius2):
+        rows = radius_join_pairs(
+            probes, rl, rt, rid, radius=1.0, radius2=radius2,
+            probe_id_col="pid", neighbor_out="rid", count_out="n",
+        ).take_all()
+        return sorted(r["rid"] for r in rows), [r["n"] for r in rows]
+
+    got, counts = pairs_at(float(d2[0]))  # boundary INCLUDED
+    assert got == [0, 1, 2] and counts == [3, 3, 3]
+    got, counts = pairs_at(float(np.nextafter(d2[0], 0)))  # one ulp less
+    assert got == [2] and counts == [1]
