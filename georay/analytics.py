@@ -623,6 +623,124 @@ def degree_table(edges: ray.data.Dataset) -> ray.data.Dataset:
                     int_cols=("partial_deg",))
 
 
+def _lpa_mode_pick(node: np.ndarray, lab: np.ndarray, cnt: np.ndarray):
+    """Per-node modal label from (node, label, count) rows: max count,
+    ties to the SMALLER label. Returns (nodes, labels) — one row per
+    distinct node."""
+    order = np.lexsort((lab, -cnt, node))
+    nn, ll = node[order], lab[order]
+    first = np.ones(nn.shape[0], bool)
+    first[1:] = nn[1:] != nn[:-1]
+    return nn[first], ll[first]
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    rounds: int = 3,
+    local_edge_cutoff: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Synchronous deterministic label propagation (community
+    detection) over an undirected distinct ``(a, b)`` edge list: labels
+    initialize to the node id; each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLER label — the deterministic variant of LPA's random
+    tie-break, so a chained-CTE SQL twin reproduces it bit-for-bit.
+    ``rounds`` is fixed (sync LPA can oscillate on bipartite cores;
+    a fixed round count is the standard budget and what the oracle
+    pins).
+
+    Plan per round (broadcast): the o(nodes) label table is broadcast
+    via ``ray.put``; ONE streaming pass over the edge list emits
+    per-batch partial (dst, neighbor-label) counts into the combine
+    tree, and the modal pick folds driver-side on the merged count
+    table (≤ one row per distinct (node, neighbor-label) — bounded by
+    2·|edges|, the same order as the edge list a distributed pick
+    would shuffle). The edge list is read ``rounds`` times — pass a
+    materialized Dataset. Below ``local_edge_cutoff`` the identical
+    integer iteration runs in-memory (policy of ``pagerank`` /
+    ``connected_components``). For billion-edge graphs use
+    ``label_propagation_partitioned``. Returns ``(node, label)``."""
+    import ray as _ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+    if n_edges <= local_edge_cutoff:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        s = np.searchsorted(nodes, np.concatenate([a, b]))
+        d = np.searchsorted(nodes, np.concatenate([b, a]))
+        lab = nodes.copy()
+        for _ in range(rounds):
+            nl = lab[s]
+            (gd, gl), outs = _group_reduce(
+                [d, nl], {"c": np.ones(d.shape[0], np.int64)}
+            )
+            un, ul = _lpa_mode_pick(gd, gl, outs["c"])
+            nxt = lab.copy()
+            nxt[un] = ul  # un indexes nodes[] (d is positional)
+            lab = nxt
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "label": pa.array(lab, pa.int64())})
+        )
+
+    # distributed: driver-held o(nodes) labels, one edge pass per round
+    nodet = degree_table(edges).to_pandas()
+    nodes = np.sort(nodet["node"].to_numpy().astype(np.int64))
+    lab = nodes.copy()
+    for _ in range(rounds):
+        lab_ref = _ray.put((nodes, lab))
+        cache: dict = {}
+
+        def count_partial(batch: pa.Table) -> pa.Table:
+            import ray as _rayw
+
+            ns, ls = cache.setdefault("l", _rayw.get(lab_ref))
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = np.concatenate([b, a])
+            nl = ls[np.searchsorted(ns, np.concatenate([a, b]))]
+            (gd, gl), outs = _group_reduce(
+                [dst, nl], {"partial_c": np.ones(dst.shape[0], np.int64)}
+            )
+            return pa.table(
+                {
+                    "node": pa.array(gd, pa.int64()),
+                    "lab": pa.array(gl, pa.int64()),
+                    "partial_c": pa.array(outs["partial_c"], pa.int64()),
+                }
+            )
+
+        merged = tree_sum(
+            edges.map_batches(
+                count_partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["node", "lab"], {"partial_c": "c"}, int_cols=("partial_c",),
+        ).to_pandas()
+        un, ul = _lpa_mode_pick(
+            merged["node"].to_numpy().astype(np.int64),
+            merged["lab"].to_numpy().astype(np.int64),
+            merged["c"].to_numpy().astype(np.int64),
+        )
+        nxt = lab.copy()
+        nxt[np.searchsorted(nodes, un)] = ul
+        lab = nxt
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "label": pa.array(lab, pa.int64())})
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iter: int = 3,

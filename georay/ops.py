@@ -7644,6 +7644,85 @@ def morans_i(
     )
 
 
+def geary_c(
+    ds: ray.data.Dataset,
+    gx_col: str,
+    gy_col: str,
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Global Geary's C of per-cell point counts on an integer grid,
+    EXACT — the local-variation complement of ``morans_i`` (C ≈ 1
+    random, < 1 clustered, > 1 dispersed; C weights squared NEIGHBOR
+    DIFFERENCES where I weights cross-products, so C is the more
+    sensitive detector of local boundaries/edges in the field):
+    ``C = (n−1)·Σ_adj (x_i−x_j)² / (2W·Σ(x_i−x̄)²)`` over rook-adjacent
+    pairs. Same integerization as Moran: with ``z = n·c − Σc`` the n²
+    factors cancel, so ``geary_q = trunc((n−1)·Σ_adj (z_i−z_j)²·2^bits
+    / (2W·Σz²))`` in arbitrary-precision ints. Same scale shape too:
+    one streaming combine-tree cell-count pass; the driver fold is
+    bounded by the grid resolution, not the data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gx = batch[gx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        gy = batch[gy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce(
+            [gx, gy], {"partial_c": np.ones(gx.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "gx": pa.array(ks[0], pa.int64()),
+                "gy": pa.array(ks[1], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    cellt = tree_sum(
+        partials, ["gx", "gy"], {"partial_c": "c"}, int_cols=("partial_c",)
+    ).to_pandas()
+    n = len(cellt)
+    if n == 0:
+        raise ValueError("geary_c: no cells")
+    s = int(cellt["c"].sum())
+    z = {
+        (int(a), int(b)): n * int(c) - s
+        for a, b, c in zip(
+            cellt["gx"].to_numpy(), cellt["gy"].to_numpy(), cellt["c"].to_numpy()
+        )
+    }
+    sqdiff = 0
+    w = 0
+    for (a, b), zv in z.items():
+        for na, nb in ((a + 1, b), (a - 1, b), (a, b + 1), (a, b - 1)):
+            zn = z.get((na, nb))
+            if zn is not None:
+                d = zv - zn
+                sqdiff += d * d
+                w += 1
+    if w == 0:
+        raise ValueError("geary_c: no adjacent cell pairs (W = 0)")
+    var = sum(v * v for v in z.values())
+    if var == 0:
+        raise ValueError(
+            "geary_c: constant field — C is undefined; the SQL twin "
+            "divides by zero here too"
+        )
+    gq = _div_trunc((n - 1) * sqdiff * (1 << scale_bits), 2 * w * var)
+    if not (-(2**63) <= gq < 2**63):
+        raise OverflowError("geary_c: quantized C exceeds int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n], pa.int64()),
+                "w_pairs": pa.array([w], pa.int64()),
+                "geary_q": pa.array([int(gq)], pa.int64()),
+            }
+        )
+    )
+
+
 def grouped_autocorr(
     ds: ray.data.Dataset,
     key: str,

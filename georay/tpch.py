@@ -4164,6 +4164,89 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {ANN_K}
 """
 
 
+KNN_CLS_K = 7
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN majority-vote classifier over the embedding corpus: each
+    held-out query takes its {KNN_CLS_K} cosine-nearest neighbors
+    (exact brute top-k — the per-batch partial-top-k matmul plan of
+    ``ann_topk``) and predicts the majority neighbor label, ties
+    resolved deterministically (count DESC, label ASC). Neighbor labels
+    come from ONE streaming ``pc.is_in`` probe of the label column by
+    the nq·k hit set — the corpus itself never shuffles and no label
+    array is broadcast; the vote fold is driver-side over ≤ nq·k rows."""
+    import ray as _ray
+
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    q, qids = _ann_queries(sf_dir)
+    topk = embed_stage.ann_brute_topk(ds, q, qids, k=KNN_CLS_K)
+    hits = topk.select(["query_id", "vec_id"]).to_pandas()
+    hit_ref = _ray.put(np.unique(hits["vec_id"].to_numpy()))
+    cache: dict = {}
+
+    lab = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "label"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        hs = cache.setdefault("h", _rayw.get(hit_ref))
+        return batch.filter(pc.is_in(batch["vec_id"], pa.array(hs)))
+
+    pairs = lab.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()  # bounded: ≤ nq·k distinct neighbor ids
+    hits["label"] = hits["vec_id"].map(
+        dict(zip(pairs["vec_id"], pairs["label"]))
+    )
+    votes = (
+        hits.groupby(["query_id", "label"]).size().reset_index(name="c")
+        .sort_values(["query_id", "c", "label"], ascending=[True, False, True])
+    )
+    best = votes.groupby("query_id", as_index=False).head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(best["query_id"].to_numpy(), pa.int64()),
+            "pred_label": pa.array(
+                best["label"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {ANN_NQ}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id != q.query_id
+),
+votes AS (
+  SELECT s.query_id, e.label, COUNT(*) AS c
+  FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+  WHERE s.rank <= {KNN_CLS_K}
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY c DESC, label
+         ) AS rn
+  FROM votes
+)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label FROM best WHERE rn = 1
+"""
+
+
 def q_explode(sf_dir: str):
     """UNNEST the embedding list column to element rows, then exact
     per-vector element stats (count/min/max — float-order-independent),
@@ -9162,6 +9245,59 @@ SELECT v AS node, MAX(d) AS layer FROM walk GROUP BY v
 """
 
 
+LPA_ROUNDS = 3
+
+
+def q_label_prop(sf_dir: str):
+    """Deterministic synchronous label propagation (community
+    detection) on the co-purchase graph, {LPA_ROUNDS} fixed rounds:
+    every node simultaneously adopts its neighbors' modal label, ties
+    to the smaller label (analytics.label_propagation — per round one
+    streaming edge pass into the combine tree, labels broadcast)."""
+    from georay import analytics
+
+    return analytics.label_propagation(
+        _copurchase_edges(sf_dir), rounds=LPA_ROUNDS
+    )
+
+
+def q_label_prop_distributed(sf_dir: str):
+    """Distributed-plan twin of ``label_prop`` (local_edge_cutoff=0):
+    the per-round streaming-edge-pass + combine-tree + broadcast-label
+    path runs even on the small test graph, proving it produces the
+    identical communities. Shares the unrolled-CTE oracle."""
+    from georay import analytics
+
+    return analytics.label_propagation(
+        _copurchase_edges(sf_dir), rounds=LPA_ROUNDS, local_edge_cutoff=0
+    )
+
+
+def _lpa_sql(rounds: int) -> str:
+    ctes = ["l0 AS (SELECT node, node AS lab FROM nodes)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS (
+  SELECT node, lab FROM (
+    SELECT s.d AS node, l.lab, COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.d ORDER BY COUNT(*) DESC, l.lab
+           ) AS rn
+    FROM sym s JOIN l{r - 1} l ON l.node = s.s
+    GROUP BY s.d, l.lab)
+  WHERE rn = 1
+)""")
+    return (
+        f"WITH {SQL_COPURCHASE_EDGES},\n"
+        "sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),\n"
+        "nodes AS (SELECT DISTINCT s AS node FROM sym),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, lab AS label FROM l{rounds}"
+    )
+
+
+SQL_LABEL_PROP = _lpa_sql(LPA_ROUNDS)
+
+
 LINK_MIN_CN = 2
 
 
@@ -10706,6 +10842,55 @@ SELECT CAST(tot.n AS BIGINT) AS n_cells,
        CAST(agg.w AS BIGINT) AS w_pairs,
        CAST((tot.n * agg.cr * 1048576) // (agg.w * v.var) AS BIGINT)
          AS morans_q
+FROM tot CROSS JOIN agg CROSS JOIN v
+"""
+
+
+def q_geary(sf_dir: str):
+    """Global Geary's C of the lineitem point density on the same 10°
+    grid as ``morans`` (ops.geary_c; rook adjacency, exact rational
+    quantized to 2^20 — the squared-neighbor-difference complement of
+    Moran's I, more sensitive to local boundaries in the field)."""
+    pts = lineitem_points(sf_dir)
+
+    def to_gxy(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        return pa.table(
+            {
+                "gx": pa.array(
+                    np.floor((lon + 180.0) / _MORAN_RES).astype(np.int64)
+                ),
+                "gy": pa.array(
+                    np.floor((lat + 90.0) / _MORAN_RES).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = pts.map_batches(
+        to_gxy, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.geary_c(ds, "gx", "gy", scale_bits=20)
+
+
+SQL_GEARY = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR((lon + 180) / {_MORAN_RES}) AS BIGINT) AS gx,
+         CAST(FLOOR((lat + 90) / {_MORAN_RES}) AS BIGINT) AS gy
+  FROM ({_LI_POINT_SQL})
+),
+cells AS (SELECT gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM cells),
+z AS (SELECT gx, gy, tot.n * c - tot.s AS z FROM cells CROSS JOIN tot),
+adj AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM z a JOIN z b ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+agg AS (SELECT COUNT(*) AS w, SUM((za - zb) * (za - zb)) AS sq FROM adj),
+v AS (SELECT SUM(z * z) AS var FROM z)
+SELECT CAST(tot.n AS BIGINT) AS n_cells,
+       CAST(agg.w AS BIGINT) AS w_pairs,
+       CAST(((tot.n - 1) * agg.sq * 1048576) // (2 * agg.w * v.var)
+            AS BIGINT) AS geary_q
 FROM tot CROSS JOIN agg CROSS JOIN v
 """
 
@@ -14208,6 +14393,7 @@ QUERIES = {
     "cusum": q_cusum,
     "ols": q_ols,
     "morans": q_morans,
+    "geary": q_geary,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -14318,6 +14504,8 @@ QUERIES = {
     "triangles": q_triangles,
     "link_predict": q_link_predict,
     "dag_layers": q_dag_layers,
+    "label_prop": q_label_prop,
+    "label_prop_distributed": q_label_prop_distributed,
     "rectangles": q_rectangles,
     "rectangles_partitioned": q_rectangles_partitioned,
     "triangles_partitioned": q_triangles_partitioned,
@@ -14385,6 +14573,7 @@ QUERIES = {
     "minhash_planted": q_minhash_planted,
     "simhash_planted": q_simhash_planted,
     "ann_topk": q_ann_topk,
+    "knn_classify": q_knn_classify,
     "ann_filtered": q_ann_filtered,
     "ivf_ann": q_ivf_ann,
     "ivf_pruned": q_ivf_pruned,
@@ -14519,6 +14708,7 @@ ORACLE = {
     "cusum": SQL_CUSUM,
     "ols": SQL_OLS,
     "morans": SQL_MORANS,
+    "geary": SQL_GEARY,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
@@ -14628,6 +14818,8 @@ ORACLE = {
     "triangles": SQL_TRIANGLES,
     "link_predict": SQL_LINK_PREDICT,
     "dag_layers": SQL_DAG_LAYERS,
+    "label_prop": SQL_LABEL_PROP,
+    "label_prop_distributed": SQL_LABEL_PROP,
     "rectangles": SQL_RECTANGLES,
     "rectangles_partitioned": SQL_RECTANGLES,
     "triangles_partitioned": SQL_TRIANGLES,
@@ -14693,6 +14885,7 @@ ORACLE = {
     "convex_hulls": SQL_CONVEX_HULLS,
     "bpe_tokens": SQL_BPE_TOKENS,
     "ann_topk": SQL_ANN_TOPK,
+    "knn_classify": SQL_KNN_CLASSIFY,
     "ann_filtered": SQL_ANN_FILTERED,
     "ivf_ann": SQL_IVF_ANN,
     "ivf_pruned": SQL_IVF_PRUNED,
