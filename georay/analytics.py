@@ -741,6 +741,93 @@ def label_propagation(
     )
 
 
+def modularity(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Newman modularity of a node partition over an undirected
+    distinct ``(a, b)`` edge list, EXACT: one row
+    ``(m_edges, q_num)`` with ``Q = q_num / (4m²)`` —
+    ``q_num = Σ_c (4m·e_c − d_c²)`` where ``e_c`` counts
+    intra-community edges and ``d_c`` sums member degrees (the
+    integerized ``Σ_c (e_c/m − (d_c/2m)²)``; the 4m² factor clears both
+    denominators, so the SQL twin is bit-identical). The standard
+    quality gate for any community assignment (``label_propagation``,
+    components, externally supplied).
+
+    Plan: the o(nodes) label table broadcasts via ``ray.put``; ONE
+    streaming pass over the edge list emits per-batch partial
+    ``(community, intra-edge count, degree sum)`` rows into the combine
+    tree; the final Σ_c fold runs driver-side in arbitrary-precision
+    ints over the o(communities) table."""
+    import ray as _ray
+
+    labt = labels.to_pandas()
+    nodes = labt["node"].to_numpy().astype(np.int64)
+    labs = labt["label"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, labs = nodes[order], labs[order]
+    lab_ref = _ray.put((nodes, labs))
+    cache: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        ns, ls = cache.setdefault("l", _rayw.get(lab_ref))
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = ls[np.searchsorted(ns, a)]
+        cb = ls[np.searchsorted(ns, b)]
+        comm = np.concatenate([ca, cb])
+        intra = np.concatenate(
+            [(ca == cb).astype(np.int64), np.zeros(cb.shape[0], np.int64)]
+        )
+        ks, vs = _group_reduce(
+            [comm],
+            {
+                "partial_m": np.concatenate(
+                    [np.ones(ca.shape[0], np.int64), np.zeros(cb.shape[0], np.int64)]
+                ),
+                "partial_e": intra,
+                "partial_d": np.ones(comm.shape[0], np.int64),
+            },
+        )
+        return pa.table(
+            {
+                "comm": pa.array(ks[0], pa.int64()),
+                "partial_m": pa.array(vs["partial_m"], pa.int64()),
+                "partial_e": pa.array(vs["partial_e"], pa.int64()),
+                "partial_d": pa.array(vs["partial_d"], pa.int64()),
+            }
+        )
+
+    merged = tree_sum(
+        edges.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ),
+        ["comm"],
+        {"partial_m": "m_c", "partial_e": "e_c", "partial_d": "d_c"},
+        int_cols=("partial_m", "partial_e", "partial_d"),
+    ).to_pandas()
+    m = int(merged["m_c"].sum())
+    if m == 0:
+        raise ValueError("modularity: empty edge list")
+    q_num = sum(
+        4 * m * int(e) - int(d) * int(d)
+        for e, d in zip(merged["e_c"].to_numpy(), merged["d_c"].to_numpy())
+    )
+    if not (-(2**63) <= q_num < 2**63):
+        raise OverflowError("modularity: q_num exceeds int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m_edges": pa.array([m], pa.int64()),
+                "q_num": pa.array([int(q_num)], pa.int64()),
+            }
+        )
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iter: int = 3,

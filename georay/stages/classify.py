@@ -233,3 +233,96 @@ def ridge_predict(
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+def decision_stump(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    quant_scale: float = 16.0,
+    scale_bits: int = 40,
+) -> ray.data.Dataset:
+    """Exact best 1-level decision tree (stump) over a list<float>
+    feature column: the split ``dim, thr`` (rule ``floor(x_dim ·
+    quant_scale) <= thr``) maximizing the quantized Gini gain score
+
+        score_q = trunc((S_L·n_R + S_R·n_L) · 2^scale_bits / (n_L·n_R))
+
+    where ``S = Σ_c n_c²`` per side — the integerized
+    ``S_L/n_L + S_R/n_R`` whose maximization is exactly weighted-Gini
+    minimization. Thresholds are the quantized feature values, so the
+    candidate set (and therefore BOTH the distributed fold and the SQL
+    twin) is bounded by dims × quant buckets × classes, not by rows.
+    Ties break (score DESC, dim ASC, thr ASC) — fully deterministic.
+
+    Plan: one streaming pass emits per-batch (dim, bucket, label)
+    count partials (the feature matrix never leaves its batch) into
+    the combine tree; the argmax fold runs driver-side in exact Python
+    ints over the bounded count table. Returns one row
+    ``(dim, thr, score_q)``."""
+    from georay.ops import _group_reduce, tree_sum
+    from georay.stages.embed import _embedding_matrix
+
+    qs = float(quant_scale)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch, emb_col).astype(np.float64)
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = m.shape
+        xq = np.floor(m * qs).astype(np.int64).ravel()
+        dim = np.tile(np.arange(d, dtype=np.int64), n)
+        ll = np.repeat(lab, d)
+        ks, vs = _group_reduce(
+            [dim, xq, ll], {"partial_c": np.ones(dim.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "dim": pa.array(ks[0], pa.int64()),
+                "xq": pa.array(ks[1], pa.int64()),
+                "label": pa.array(ks[2], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    merged = tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["dim", "xq", "label"], {"partial_c": "c"}, int_cols=("partial_c",),
+    ).to_pandas()
+    if len(merged) == 0:
+        raise ValueError("decision_stump: empty input")
+    labels = np.sort(merged["label"].unique())
+    lpos = {int(v): i for i, v in enumerate(labels)}
+    best = None  # (score, dim, thr) with score max, dim/thr min
+    for dim, sub in merged.groupby("dim"):
+        sub = sub.sort_values("xq")
+        ts = np.sort(sub["xq"].unique())
+        cnt = np.zeros((ts.shape[0], labels.shape[0]), dtype=object)
+        ti = np.searchsorted(ts, sub["xq"].to_numpy())
+        for t, lb, c in zip(ti, sub["label"].to_numpy(), sub["c"].to_numpy()):
+            cnt[t, lpos[int(lb)]] += int(c)
+        left = np.cumsum(cnt, axis=0)
+        n_c = left[-1]  # per-label row totals (each row hits every dim once)
+        n = int(n_c.sum())
+        for i in range(ts.shape[0] - 1):  # last split leaves right empty
+            lrow = left[i]
+            n_l = int(lrow.sum())
+            n_r = n - n_l
+            s_l = int(sum(int(v) * int(v) for v in lrow))
+            s_r = int(sum(int(a - b) * int(a - b) for a, b in zip(n_c, lrow)))
+            score = ((s_l * n_r + s_r * n_l) << scale_bits) // (n_l * n_r)
+            key = (score, -int(dim), -int(ts[i]))
+            if best is None or key > best:
+                best = key
+    score, ndim, nthr = best
+    if not (-(2**63) <= score < 2**63):
+        raise OverflowError("decision_stump: score_q exceeds int64")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array([-ndim], pa.int64()),
+                "thr": pa.array([-nthr], pa.int64()),
+                "score_q": pa.array([int(score)], pa.int64()),
+            }
+        )
+    )

@@ -1358,6 +1358,167 @@ def q_grouped_quantiles(sf_dir: str):
     return ops.grouped_quantiles(ds, "l_returnflag", "l_quantity", [0.25, 0.5, 0.99])
 
 
+def q_dq_audit(sf_dir: str):
+    """Data-quality RULE audit — one ``(rule, n_bad)`` row per check,
+    the contract-enforcement layer a 100-TB ingest runs before
+    publishing a snapshot (``profile``/``analyze`` describe the data;
+    this op judges it):
+
+      fk_li_orders      lineitem.l_orderkey without an orders match
+                        (partitioned ANTI join — keys only shuffle)
+      fk_orders_cust    orders.o_custkey not in customer (dimension
+                        BROADCAST is_in probe, no shuffle)
+      pk_dup_orders     duplicate o_orderkey rows = n − exact distinct
+                        (combine-tree distinct — keys move once)
+      qty_hi            l_quantity > 45
+      disc_hi           l_discount > 0.08   } one shared streaming
+                        pass, two partial counters
+      ship_before_order l_shipdate earlier than its order's orderdate
+                        (partitioned equality join carrying ONE
+                        payload column, then a vectorized filter)
+    """
+    import ray as _ray
+
+    import pyarrow.parquet as _pq
+
+    # rules 4+5: ONE pruned lineitem scan, both counters per batch
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_quantity", "l_discount"]
+    )
+
+    def pred_partials(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "partial_qty": pa.array([int((q > 45).sum())], pa.int64()),
+                "partial_disc": pa.array([int((d > 0.08).sum())], pa.int64()),
+            }
+        )
+
+    pred = ops.tree_sum(
+        li.map_batches(pred_partials, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["k"], {"partial_qty": "qty_hi", "partial_disc": "disc_hi"},
+        int_cols=("partial_qty", "partial_disc"),
+    ).to_pandas()
+    qty_hi = int(pred["qty_hi"].iloc[0])
+    disc_hi = int(pred["disc_hi"].iloc[0])
+
+    # rule 1: both-sides-large FK orphan check — ANTI join, keys only
+    lik = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    ok = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    fk_li = ops.equi_join_partitioned(
+        lik, ok, on="l_orderkey", right_on="o_orderkey", how="anti"
+    ).count()
+
+    # rule 2: dimension FK — broadcast customer key set, is_in probe
+    ck = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])[
+        "c_custkey"
+    ].combine_chunks()
+    ck_ref = _ray.put(ck)
+    cache: dict = {}
+
+    def orphan_partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        keys = cache.setdefault("k", _rayw.get(ck_ref))
+        bad = pc.sum(
+            pc.invert(pc.is_in(batch["o_custkey"], value_set=keys))
+        ).as_py() or 0
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "partial_bad": pa.array([int(bad)], pa.int64())}
+        )
+
+    oc = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+    fk_cust = int(
+        ops.tree_sum(
+            oc.map_batches(orphan_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+            ["k"], {"partial_bad": "bad"}, int_cols=("partial_bad",),
+        ).to_pandas()["bad"].iloc[0]
+    )
+
+    # rule 3: PK uniqueness — n − exact distinct via the combine tree
+    okeys = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    n_orders = okeys.count()
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"o_orderkey": pa.array(np.unique(k), pa.int64()),
+                         "partial_one": pa.array(
+                             np.ones(np.unique(k).shape[0], np.int64))})
+
+    n_distinct = ops.tree_sum(
+        okeys.map_batches(key_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        ["o_orderkey"], {"partial_one": "c"}, int_cols=("partial_one",),
+    ).count()
+    pk_dup = n_orders - n_distinct
+
+    # rule 6: cross-table temporal sanity — partitioned join, 1 payload col
+    lis = rd.read_parquet(_t(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderdate"])
+    joined = ops.equi_join_partitioned(
+        lis, od, on="l_orderkey", right_on="o_orderkey", how="inner"
+    )
+
+    def early_partial(batch: pa.Table) -> pa.Table:
+        bad = pc.sum(
+            pc.less(batch["l_shipdate"], batch["o_orderdate"])
+        ).as_py() or 0
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "partial_bad": pa.array([int(bad)], pa.int64())}
+        )
+
+    early = int(
+        ops.tree_sum(
+            joined.map_batches(early_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None),
+            ["k"], {"partial_bad": "bad"}, int_cols=("partial_bad",),
+        ).to_pandas()["bad"].iloc[0]
+    )
+
+    return pa.table(
+        {
+            "rule": pa.array(
+                ["disc_hi", "fk_li_orders", "fk_orders_cust",
+                 "pk_dup_orders", "qty_hi", "ship_before_order"],
+                pa.string(),
+            ),
+            "n_bad": pa.array(
+                [disc_hi, fk_li, fk_cust, pk_dup, qty_hi, early], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_DQ_AUDIT = """
+SELECT 'fk_li_orders' AS rule, COUNT(*) AS n_bad
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'fk_orders_cust', COUNT(*)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'pk_dup_orders', COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'qty_hi', COUNT(*) FROM lineitem WHERE l_quantity > 45
+UNION ALL
+SELECT 'disc_hi', COUNT(*) FROM lineitem WHERE l_discount > 0.08
+UNION ALL
+SELECT 'ship_before_order', COUNT(*)
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+"""
+
+
 def q_grouped_quantiles_cont(sf_dir: str):
     """Per-returnflag PERCENTILE_CONT (linear interpolation at rank
     q·(n−1)) — the continuous twin, same keyed-histogram plan."""
@@ -4286,6 +4447,68 @@ SELECT vec_id, COUNT(*) AS n,
        MIN(x) AS vmin, MAX(x) AS vmax
 FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
 GROUP BY vec_id
+"""
+
+
+STUMP_SCALE_BITS = 40
+
+
+def q_decision_stump(sf_dir: str):
+    """Exact best decision stump over the embedding features vs label
+    (stages.classify.decision_stump): quantized-value thresholds keep
+    the candidate set bounded by dims × buckets, the split score is the
+    integerized Gini gain, ties fully deterministic."""
+    from georay.stages.classify import decision_stump
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    return decision_stump(ds, "embedding", "label", quant_scale=16.0,
+                          scale_bits=STUMP_SCALE_BITS)
+
+
+SQL_DECISION_STUMP = f"""
+WITH f AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 16) AS BIGINT) AS xq
+  FROM embeddings
+),
+cnt AS (SELECT dim, xq, label, COUNT(*) AS c FROM f GROUP BY 1, 2, 3),
+thr AS (
+  SELECT dim, xq AS t FROM (SELECT DISTINCT dim, xq FROM cnt) d
+  WHERE xq < (SELECT MAX(xq) FROM cnt c2 WHERE c2.dim = d.dim)
+),
+tot AS (SELECT label, COUNT(*) AS nc FROM f WHERE dim = 0 GROUP BY label),
+n AS (SELECT COUNT(*) AS n FROM embeddings),
+leftc AS (
+  SELECT th.dim, th.t, c.label, SUM(c.c) AS nl
+  FROM thr th JOIN cnt c ON c.dim = th.dim AND c.xq <= th.t
+  GROUP BY 1, 2, 3
+),
+sides AS (
+  SELECT dim, t, SUM(nl) AS n_l, SUM(nl * nl) AS s_l FROM leftc GROUP BY 1, 2
+),
+rights AS (
+  SELECT th.dim, th.t,
+         SUM((tot.nc - COALESCE(lc.nl, 0)) * (tot.nc - COALESCE(lc.nl, 0)))
+           AS s_r
+  FROM thr th CROSS JOIN tot
+  LEFT JOIN leftc lc ON lc.dim = th.dim AND lc.t = th.t
+    AND lc.label = tot.label
+  GROUP BY 1, 2
+),
+score AS (
+  SELECT s.dim, s.t AS thr,
+         CAST(((s.s_l * (n.n - s.n_l) + r.s_r * s.n_l)
+               * {1 << STUMP_SCALE_BITS})
+              // (s.n_l * (n.n - s.n_l)) AS BIGINT) AS score_q
+  FROM sides s JOIN rights r ON r.dim = s.dim AND r.t = s.t CROSS JOIN n
+  WHERE s.n_l > 0 AND s.n_l < n.n
+)
+SELECT dim, thr, score_q FROM (
+  SELECT dim, thr, score_q,
+         ROW_NUMBER() OVER (ORDER BY score_q DESC, dim, thr) AS rn
+  FROM score
+) WHERE rn = 1
 """
 
 
@@ -9273,7 +9496,10 @@ def q_label_prop_distributed(sf_dir: str):
     )
 
 
-def _lpa_sql(rounds: int) -> str:
+def _lpa_ctes(rounds: int) -> str:
+    """WITH-body producing ``l{rounds}(node, lab)`` — the unrolled
+    synchronous-LPA chain shared by the label_prop and modularity
+    oracles."""
     ctes = ["l0 AS (SELECT node, node AS lab FROM nodes)"]
     for r in range(1, rounds + 1):
         ctes.append(f"""l{r} AS (
@@ -9287,15 +9513,56 @@ def _lpa_sql(rounds: int) -> str:
   WHERE rn = 1
 )""")
     return (
-        f"WITH {SQL_COPURCHASE_EDGES},\n"
+        f"{SQL_COPURCHASE_EDGES},\n"
         "sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),\n"
         "nodes AS (SELECT DISTINCT s AS node FROM sym),\n"
         + ",\n".join(ctes)
-        + f"\nSELECT node, lab AS label FROM l{rounds}"
     )
 
 
-SQL_LABEL_PROP = _lpa_sql(LPA_ROUNDS)
+SQL_LABEL_PROP = (
+    f"WITH {_lpa_ctes(LPA_ROUNDS)}\n"
+    f"SELECT node, lab AS label FROM l{LPA_ROUNDS}"
+)
+
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the ``label_prop`` communities on the
+    co-purchase graph — exact integer numerator
+    ``q_num = Σ_c (4m·e_c − d_c²)`` so ``Q = q_num/(4m²)``
+    (analytics.modularity: labels broadcast, one streaming edge pass,
+    combine tree, o(communities) driver fold). The quality gate that
+    makes the LPA output actionable."""
+    from georay import analytics
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    labels = analytics.label_propagation(edges, rounds=LPA_ROUNDS)
+    return analytics.modularity(edges, labels)
+
+
+SQL_MODULARITY = f"""
+WITH {_lpa_ctes(LPA_ROUNDS)},
+lab AS (SELECT node, lab FROM l{LPA_ROUNDS}),
+m AS (SELECT COUNT(*) AS m FROM e),
+deg AS (SELECT s AS node, COUNT(*) AS k FROM sym GROUP BY s),
+dc AS (
+  SELECT l.lab, SUM(d.k) AS dsum
+  FROM deg d JOIN lab l ON l.node = d.node GROUP BY l.lab
+),
+ec AS (
+  SELECT la.lab, COUNT(*) AS intra
+  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+  WHERE la.lab = lb.lab GROUP BY la.lab
+),
+terms AS (
+  SELECT dc.lab, dc.dsum, COALESCE(ec.intra, 0) AS intra
+  FROM dc LEFT JOIN ec ON ec.lab = dc.lab
+)
+SELECT CAST(m.m AS BIGINT) AS m_edges,
+       CAST(SUM(4 * m.m * terms.intra - terms.dsum * terms.dsum) AS BIGINT)
+         AS q_num
+FROM terms CROSS JOIN m GROUP BY m.m
+"""
 
 
 LINK_MIN_CN = 2
@@ -14506,6 +14773,7 @@ QUERIES = {
     "dag_layers": q_dag_layers,
     "label_prop": q_label_prop,
     "label_prop_distributed": q_label_prop_distributed,
+    "modularity": q_modularity,
     "rectangles": q_rectangles,
     "rectangles_partitioned": q_rectangles_partitioned,
     "triangles_partitioned": q_triangles_partitioned,
@@ -14611,7 +14879,9 @@ QUERIES = {
     "grouped_quantiles": q_grouped_quantiles,
     "kmeans_assign": q_kmeans_assign,
     "explode": q_explode,
+    "decision_stump": q_decision_stump,
     "profile": q_profile,
+    "dq_audit": q_dq_audit,
     "focal_sum": q_focal_sum,
     "window_lag": q_window_lag,
     "gap_histogram": q_gap_histogram,
@@ -14820,6 +15090,7 @@ ORACLE = {
     "dag_layers": SQL_DAG_LAYERS,
     "label_prop": SQL_LABEL_PROP,
     "label_prop_distributed": SQL_LABEL_PROP,
+    "modularity": SQL_MODULARITY,
     "rectangles": SQL_RECTANGLES,
     "rectangles_partitioned": SQL_RECTANGLES,
     "triangles_partitioned": SQL_TRIANGLES,
@@ -14916,7 +15187,9 @@ ORACLE = {
     "grouped_quantiles": SQL_GROUPED_QUANTILES,
     "kmeans_assign": SQL_KMEANS_ASSIGN,
     "explode": SQL_EXPLODE,
+    "decision_stump": SQL_DECISION_STUMP,
     "profile": SQL_PROFILE,
+    "dq_audit": SQL_DQ_AUDIT,
     "focal_sum": SQL_FOCAL_SUM,
     "window_lag": SQL_WINDOW_LAG,
     "gap_histogram": SQL_GAP_HISTOGRAM,
