@@ -763,10 +763,16 @@ def modularity(
     import ray as _ray
 
     labt = labels.to_pandas()
-    nodes = labt["node"].to_numpy().astype(np.int64)
-    labs = labt["label"].to_numpy().astype(np.int64)
-    order = np.argsort(nodes)
-    nodes, labs = nodes[order], labs[order]
+    if "node" not in labt.columns or len(labt) == 0:
+        # empty labels (Ray 2.49 drops columns at 0 rows): valid only
+        # with an empty edge list — fall through to the m == 0 raise
+        nodes = np.empty(0, np.int64)
+        labs = np.empty(0, np.int64)
+    else:
+        nodes = labt["node"].to_numpy().astype(np.int64)
+        labs = labt["label"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes)
+        nodes, labs = nodes[order], labs[order]
     lab_ref = _ray.put((nodes, labs))
     cache: dict = {}
 
@@ -809,7 +815,7 @@ def modularity(
         {"partial_m": "m_c", "partial_e": "e_c", "partial_d": "d_c"},
         int_cols=("partial_m", "partial_e", "partial_d"),
     ).to_pandas()
-    m = int(merged["m_c"].sum())
+    m = 0 if "m_c" not in merged.columns else int(merged["m_c"].sum())
     if m == 0:
         raise ValueError("modularity: empty edge list")
     q_num = sum(

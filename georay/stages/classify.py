@@ -314,6 +314,11 @@ def decision_stump(
             key = (score, -int(dim), -int(ts[i]))
             if best is None or key > best:
                 best = key
+    if best is None:
+        raise ValueError(
+            "decision_stump: no valid split (every feature is constant "
+            "after quantization)"
+        )
     score, ndim, nthr = best
     if not (-(2**63) <= score < 2**63):
         raise OverflowError("decision_stump: score_q exceeds int64")

@@ -968,3 +968,69 @@ def test_text_ops_null_text_and_source(ray_session):
         n_buckets=2,
     ).to_pandas()
     assert o.values.tolist() == [["s1", "s2", 2]]
+
+
+def test_session6_ops_edge_inputs(ray_session):
+    """Edge pins for the session-6 operators: empty graphs, constant
+    features, and degenerate DBSCAN inputs."""
+    import pytest
+    import ray.data as rd
+
+    from georay import analytics
+    from georay.stages.classify import decision_stump
+
+    empty_edges = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    # LPA on an empty edge list: typed empty (node,label), no crash
+    # (assert on schema(): Dataset.to_pandas drops columns at 0 rows —
+    # the Ray 2.49 quirk ROUND_NOTES documents)
+    out = analytics.label_propagation(empty_edges)
+    assert out.schema().names == ["node", "label"] and out.count() == 0
+
+    # modularity on empty edges raises (Q undefined at m=0), matching
+    # the SQL twin's division by zero
+    with pytest.raises(ValueError, match="empty edge list"):
+        analytics.modularity(
+            empty_edges,
+            rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int64()),
+            })),
+        )
+
+    # one-edge graph: both nodes adopt the smaller endpoint's label
+    # after round 1 and stay; modularity of the 1-community partition
+    # is Q = 0 -> q_num = 4m*e - d^2 = 4*1*1 - 2*2 = 0
+    e1 = rd.from_arrow(pa.table({"a": pa.array([5], pa.int64()),
+                                 "b": pa.array([9], pa.int64())}))
+    # sync LPA on a single edge: each node adopts the OTHER's label
+    # every round -> after 3 (odd) rounds the labels are swapped
+    lp = analytics.label_propagation(e1).to_pandas().sort_values("node")
+    assert lp["node"].tolist() == [5, 9] and lp["label"].tolist() == [9, 5]
+    mod = analytics.modularity(
+        e1,
+        rd.from_arrow(pa.table({"node": pa.array([5, 9], pa.int64()),
+                                "label": pa.array([1, 1], pa.int64())})),
+    ).to_pandas()
+    assert mod["m_edges"].tolist() == [1] and mod["q_num"].tolist() == [0]
+
+    # decision stump: constant features -> no valid split, typed error
+    const = rd.from_arrow(pa.table({
+        "embedding": pa.array([[0.5, 0.5], [0.5, 0.5]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 1], pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="no valid split"):
+        decision_stump(const)
+
+    # perfectly separable single feature: split found, max score
+    sep = rd.from_arrow(pa.table({
+        "embedding": pa.array([[0.0], [0.0], [1.0], [1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1], pa.int64()),
+    }))
+    st = decision_stump(sep).to_pandas()
+    # pure sides: score = (S_L*n_R + S_R*n_L)/(n_L*n_R) = (4*2+4*2)/4 = 4
+    assert st["dim"].tolist() == [0] and st["thr"].tolist() == [0]
+    assert st["score_q"].tolist() == [4 << 40]
