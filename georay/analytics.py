@@ -308,6 +308,114 @@ def cooccurrence_edges(
     return counted.select_columns(["a", "b"])
 
 
+def item_similarity_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    k: int = 3,
+    min_support: int = 2,
+    scale_bits: int = 20,
+    max_group_size: int | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Item-item collaborative similarity (the classic co-occurrence
+    recommender): for every item, its ``k`` most-similar items by
+    bipartite cosine over the (group, item) incidence —
+    ``cos²(a,b) = sup(a,b)² / (n_a·n_b)`` with ``sup`` = co-occurring
+    distinct groups and ``n_x`` = distinct groups containing x.
+    Squaring keeps the score integer-exact:
+    ``score_q = trunc(sup²·2^scale_bits / (n_a·n_b))`` is
+    order-isomorphic to cosine (both sides nonnegative), so ranking,
+    ties (score DESC, neighbor ASC) and therefore the SQL twin are
+    bit-deterministic. Returns directed ``(src, dst, score_q)``, ≤ k
+    rows per src.
+
+    Plan: pair supports ride the co-occurrence bucket plan
+    (one group-hash shuffle + combine tree); per-item group counts are
+    one more combine-tree pass and broadcast as an o(items) lookup
+    (dimension-table bound, same as the label broadcasts); scoring is
+    a vectorized int64 batch map with an explicit overflow guard; the
+    final per-item cut reuses ``group_top_k``'s map-side-pruned
+    shuffle."""
+    import ray as _ray
+
+    from georay.ops import group_top_k
+
+    pairs = cooccurrence_edges(
+        ds, group_col, item_col, n_buckets=n_buckets,
+        max_group_size=max_group_size, min_support=min_support,
+        keep_support=True,
+    )
+    proj = ds.select_columns([group_col, item_col])
+
+    def occ_bucket(group: pa.Table) -> pa.Table:
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((it, g))
+        g_s, it_s = g[order], it[order]
+        n = g_s.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (g_s[1:] != g_s[:-1]) | (it_s[1:] != it_s[:-1])
+        ks, vs = _group_reduce(
+            [it_s[keep]], {"partial_n": np.ones(int(keep.sum()), np.int64)}
+        )
+        return pa.table(
+            {
+                "item": pa.array(ks[0], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    occ = tree_sum(
+        _bucketed(proj, [group_col], n_buckets).map_groups(
+            occ_bucket, batch_format="pyarrow"
+        ),
+        ["item"], {"partial_n": "n_g"}, int_cols=("partial_n",),
+    ).to_pandas()
+    items = occ["item"].to_numpy().astype(np.int64)
+    ng = occ["n_g"].to_numpy().astype(np.int64)
+    order = np.argsort(items)
+    items, ng = items[order], ng[order]
+    occ_ref = _ray.put((items, ng))
+    cache: dict = {}
+    shift = int(scale_bits)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        it, n_g = cache.setdefault("o", _rayw.get(occ_ref))
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sup = batch["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        s2 = np.concatenate([sup, sup])
+        if s2.size and int(s2.max()) ** 2 << shift >= 2**63:
+            raise OverflowError(
+                "item_similarity_topk: sup²·2^scale_bits exceeds int64 — "
+                "lower scale_bits"
+            )
+        na = n_g[np.searchsorted(it, src)]
+        nb = n_g[np.searchsorted(it, dst)]
+        sq = (s2 * s2 << shift) // (na * nb)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "score_q": pa.array(sq, pa.int64()),
+            }
+        )
+
+    scored = pairs.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return group_top_k(
+        scored, "src", ["score_q", "dst"], k, descending=[True, False]
+    )
+
+
 def link_prediction_cn(
     edges: ray.data.Dataset,
     min_cn: int = 2,

@@ -9565,6 +9565,52 @@ FROM terms CROSS JOIN m GROUP BY m.m
 """
 
 
+ITEM_SIM_K = 3
+
+
+def q_item_sim(sf_dir: str):
+    """Item-item co-purchase recommender: top-{ITEM_SIM_K} similar
+    parts per part by integer-exact bipartite cosine²
+    (analytics.item_similarity_topk — co-occurrence bucket plan +
+    o(items) count broadcast + map-side-pruned group_top_k)."""
+    from georay import analytics
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+    return analytics.item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=ITEM_SIM_K, min_support=2,
+        scale_bits=20,
+    )
+
+
+SQL_ITEM_SIM = f"""
+WITH p0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nx AS (SELECT l_partkey AS item, COUNT(*) AS n FROM p0 GROUP BY 1),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+  FROM p0 a JOIN p0 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+d AS (
+  SELECT a AS src, b AS dst, sup FROM e
+  UNION ALL SELECT b, a, sup FROM e
+),
+s AS (
+  SELECT d.src, d.dst,
+         CAST((d.sup * d.sup * 1048576) // (na.n * nb.n) AS BIGINT)
+           AS score_q
+  FROM d JOIN nx na ON na.item = d.src JOIN nx nb ON nb.item = d.dst
+)
+SELECT src, dst, score_q FROM (
+  SELECT src, dst, score_q,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY score_q DESC, dst)
+           AS rn
+  FROM s
+) WHERE rn <= {ITEM_SIM_K}
+"""
+
+
 LINK_MIN_CN = 2
 
 
@@ -11159,6 +11205,46 @@ SELECT CAST(tot.n AS BIGINT) AS n_cells,
        CAST(((tot.n - 1) * agg.sq * 1048576) // (2 * agg.w * v.var)
             AS BIGINT) AS geary_q
 FROM tot CROSS JOIN agg CROSS JOIN v
+"""
+
+
+def q_grid_gradient(sf_dir: str):
+    """Max rook-neighbor gradient of the lineitem density grid (same
+    10° cells as ``morans``/``geary``; ops.grid_gradient — absent
+    neighbors count 0, exact integer field)."""
+    pts = lineitem_points(sf_dir)
+
+    def to_gxy(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        return pa.table(
+            {
+                "gx": pa.array(
+                    np.floor((lon + 180.0) / _MORAN_RES).astype(np.int64)
+                ),
+                "gy": pa.array(
+                    np.floor((lat + 90.0) / _MORAN_RES).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = pts.map_batches(
+        to_gxy, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return ops.grid_gradient(ds, "gx", "gy")
+
+
+SQL_GRID_GRADIENT = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR((lon + 180) / {_MORAN_RES}) AS BIGINT) AS gx,
+         CAST(FLOOR((lat + 90) / {_MORAN_RES}) AS BIGINT) AS gy
+  FROM ({_LI_POINT_SQL})
+),
+cells AS (SELECT gx, gy, COUNT(*) AS c FROM pts GROUP BY 1, 2)
+SELECT a.gx, a.gy, CAST(MAX(ABS(a.c - COALESCE(b.c, 0))) AS BIGINT) AS grad
+FROM cells a
+CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+LEFT JOIN cells b ON b.gx = a.gx + d.dx AND b.gy = a.gy + d.dy
+GROUP BY a.gx, a.gy
 """
 
 
@@ -14661,6 +14747,7 @@ QUERIES = {
     "ols": q_ols,
     "morans": q_morans,
     "geary": q_geary,
+    "grid_gradient": q_grid_gradient,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -14770,6 +14857,7 @@ QUERIES = {
     "degree_hist": q_degree_hist,
     "triangles": q_triangles,
     "link_predict": q_link_predict,
+    "item_sim": q_item_sim,
     "dag_layers": q_dag_layers,
     "label_prop": q_label_prop,
     "label_prop_distributed": q_label_prop_distributed,
@@ -14979,6 +15067,7 @@ ORACLE = {
     "ols": SQL_OLS,
     "morans": SQL_MORANS,
     "geary": SQL_GEARY,
+    "grid_gradient": SQL_GRID_GRADIENT,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
@@ -15087,6 +15176,7 @@ ORACLE = {
     "degree_hist": SQL_DEGREE_HIST,
     "triangles": SQL_TRIANGLES,
     "link_predict": SQL_LINK_PREDICT,
+    "item_sim": SQL_ITEM_SIM,
     "dag_layers": SQL_DAG_LAYERS,
     "label_prop": SQL_LABEL_PROP,
     "label_prop_distributed": SQL_LABEL_PROP,
