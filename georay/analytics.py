@@ -949,6 +949,7 @@ def pagerank(
     damping_den: int = 100,
     scale_bits: int = 30,
     local_edge_cutoff: int = 2_000_000,
+    seeds: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """Integer-exact PageRank over an undirected ``(a, b)`` edge list
     (symmetrized to a directed graph), ``n_iter`` fixed power
@@ -968,6 +969,14 @@ def pagerank(
     as ``triangle_count``); at billion-node scale swap the broadcast
     for the partitioned equality join.
 
+    ``seeds`` — optional node ids for PERSONALIZED PageRank: the
+    teleport mass (both the init vector and the per-iteration base)
+    concentrates uniformly on the seed set instead of all nodes —
+    random walk with restart, the standard graph-proximity ranking for
+    recommendations. Seeds absent from the graph are ignored; an empty
+    effective seed set raises. Identical integer arithmetic, so the
+    chained-CTE twin extends with one CASE.
+
     Returns ``(node int64, rank_q int64)``; Σ rank_q ≈ 2^scale_bits
     (floor losses make it slightly less). Below ``local_edge_cutoff``
     edges the identical integer iteration runs in-memory (same policy
@@ -975,6 +984,30 @@ def pagerank(
     this function materializes), and each distributed round is pure
     scheduling barrier at that size)."""
     import ray as _ray
+
+    def _base_and_init(nodes_sorted: np.ndarray):
+        n = nodes_sorted.shape[0]
+        scale = 1 << scale_bits
+        if seeds is None:
+            base = np.full(
+                n,
+                ((damping_den - damping_num) * scale) // (damping_den * n),
+                np.int64,
+            )
+            rank0 = np.full(n, scale // n, np.int64)
+        else:
+            sd = np.unique(np.asarray(seeds, np.int64))
+            sd = sd[np.isin(sd, nodes_sorted)]
+            if sd.size == 0:
+                raise ValueError("pagerank: no seed node present in the graph")
+            pos = np.searchsorted(nodes_sorted, sd)
+            base = np.zeros(n, np.int64)
+            base[pos] = (
+                (damping_den - damping_num) * scale
+            ) // (damping_den * sd.size)
+            rank0 = np.zeros(n, np.int64)
+            rank0[pos] = scale // sd.size
+        return base, rank0
 
     edges = edges.materialize()  # count + (local pull | n_iter scans)
     n_edges = edges.count()
@@ -998,9 +1031,7 @@ def pagerank(
         ia, ib = inv[: a.shape[0]], inv[a.shape[0]:]
         n = nodes.shape[0]
         deg = np.bincount(ia, minlength=n) + np.bincount(ib, minlength=n)
-        scale = 1 << scale_bits
-        base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
-        rank = np.full(n, scale // n, dtype=np.int64)
+        base_q, rank = _base_and_init(nodes)
         for _ in range(n_iter):
             contrib = rank // deg
             sums = np.bincount(ib, weights=contrib[ia].astype(np.float64),
@@ -1027,9 +1058,7 @@ def pagerank(
             pa.table({"node": pa.array([], pa.int64()),
                       "rank_q": pa.array([], pa.int64())})
         )
-    scale = 1 << scale_bits
-    base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
-    rank = np.full(n, scale // n, dtype=np.int64)
+    base_q, rank = _base_and_init(nodes)
 
     for _ in range(n_iter):
         contrib = rank // deg

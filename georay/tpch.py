@@ -9749,6 +9749,60 @@ r{it} AS (SELECT deg.node,
 SQL_PAGERANK = _pagerank_sql()
 
 
+PPR_N_SEEDS = 3
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from the
+    {PPR_N_SEEDS} smallest part keys in the co-purchase graph — the
+    proximity ranking behind 'more like these' recommendations
+    (analytics.pagerank(seeds=...): teleport mass concentrated on the
+    seed set, identical integer fixed-point iteration)."""
+    from georay import analytics
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    nodes = analytics.degree_table(edges).to_pandas()["node"].to_numpy()
+    seeds = np.sort(nodes.astype(np.int64))[:PPR_N_SEEDS]
+    return analytics.pagerank(edges, n_iter=PAGERANK_ITERS, seeds=seeds)
+
+
+def _ppr_sql() -> str:
+    scale = 1 << 30
+    parts = [
+        f"WITH {SQL_COPURCHASE_EDGES.strip()}",
+        ",\nsym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e)",
+        ",\ndeg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s)",
+        f",\nsd AS (SELECT node FROM deg ORDER BY node LIMIT {PPR_N_SEEDS})",
+        ",\nns AS (SELECT COUNT(*) AS k FROM sd)",
+        f""",
+r0 AS (SELECT deg.node,
+              CASE WHEN deg.node IN (SELECT node FROM sd)
+                   THEN {scale} // ns.k ELSE 0 END AS rq
+       FROM deg CROSS JOIN ns)""",
+    ]
+    for it in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f""",
+s{it} AS (SELECT s.d AS node, SUM(r.rq // dg.deg) AS c
+       FROM sym s JOIN {prev} r ON r.node = s.s
+       JOIN deg dg ON dg.node = s.s GROUP BY s.d),
+r{it} AS (SELECT deg.node,
+              CASE WHEN deg.node IN (SELECT node FROM sd)
+                   THEN (15 * CAST({scale} AS BIGINT)) // (100 * ns.k)
+                   ELSE 0 END
+              + (85 * COALESCE(s{it}.c, 0)) // 100 AS rq
+       FROM deg CROSS JOIN ns LEFT JOIN s{it} ON s{it}.node = deg.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(rq AS BIGINT) AS rank_q FROM r{PAGERANK_ITERS}"
+    )
+    return "".join(parts)
+
+
+SQL_PPR = _ppr_sql()
+
+
 def q_components(sf_dir: str):
     """Connected components of the co-purchase graph: distributed
     min-label propagation + driver pointer jumping
@@ -11205,6 +11259,121 @@ SELECT CAST(tot.n AS BIGINT) AS n_cells,
        CAST(((tot.n - 1) * agg.sq * 1048576) // (2 * agg.w * v.var)
             AS BIGINT) AS geary_q
 FROM tot CROSS JOIN agg CROSS JOIN v
+"""
+
+
+def q_cell_trend(sf_dir: str):
+    """Emerging-hotspot detection: per 10° grid cell, the exact OLS
+    slope sufficient statistics of DAILY event counts vs epoch day —
+    ``(gx, gy, n_days, slope_num, slope_den)`` with
+    slope = slope_num/slope_den (n·Σxy − Σx·Σy over n·Σxx − Σx²), so a
+    rising cell has slope_num·sign(slope_den) > 0. Only OBSERVED days
+    enter the regression (no zero-fill — SQL twin identical). Two
+    combine-tree passes, both integer-exact: (cell, day) counts, then
+    per-cell Σ folds; the event stream never shuffles."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts"])
+
+    def day_cell(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = ((u * 37 + e * 13) % 3600) / 10.0 - 180.0 + 0.05
+        lat = ((u * 53 + e * 29) % 1700) / 10.0 - 85.0 + 0.05
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        gx = np.floor((lon + 180.0) / _MORAN_RES).astype(np.int64)
+        gy = np.floor((lat + 90.0) / _MORAN_RES).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [gx, gy, day], {"partial_c": np.ones(gx.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "gx": pa.array(ks[0], pa.int64()),
+                "gy": pa.array(ks[1], pa.int64()),
+                "day": pa.array(ks[2], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    daily = ops.tree_sum(
+        ev.map_batches(day_cell, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["gx", "gy", "day"], {"partial_c": "c"}, int_cols=("partial_c",),
+    )
+
+    def ols_partial(batch: pa.Table) -> pa.Table:
+        gx = batch["gx"].to_numpy(zero_copy_only=False)
+        gy = batch["gy"].to_numpy(zero_copy_only=False)
+        x = batch["day"].to_numpy(zero_copy_only=False)
+        y = batch["c"].to_numpy(zero_copy_only=False)
+        ks, vs = ops._group_reduce(
+            [gx, gy],
+            {
+                "pn": np.ones(gx.shape[0], np.int64),
+                "psx": x, "psy": y, "psxy": x * y, "psxx": x * x,
+            },
+        )
+        return pa.table(
+            {
+                "gx": pa.array(ks[0], pa.int64()),
+                "gy": pa.array(ks[1], pa.int64()),
+                "pn": pa.array(vs["pn"], pa.int64()),
+                "psx": pa.array(vs["psx"], pa.int64()),
+                "psy": pa.array(vs["psy"], pa.int64()),
+                "psxy": pa.array(vs["psxy"], pa.int64()),
+                "psxx": pa.array(vs["psxx"], pa.int64()),
+            }
+        )
+
+    sums = ops.tree_sum(
+        daily.map_batches(ols_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        ["gx", "gy"],
+        {"pn": "n_days", "psx": "sx", "psy": "sy", "psxy": "sxy",
+         "psxx": "sxx"},
+        int_cols=("pn", "psx", "psy", "psxy", "psxx"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_days"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": batch["gx"],
+                "gy": batch["gy"],
+                "n_days": batch["n_days"],
+                "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_CELL_TREND = f"""
+WITH pts AS (
+  SELECT CAST(FLOOR((({EV_LON}) + 180) / {_MORAN_RES}) AS BIGINT) AS gx,
+         CAST(FLOOR((({EV_LAT}) + 90) / {_MORAN_RES}) AS BIGINT) AS gy,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+daily AS (SELECT gx, gy, day, COUNT(*) AS c FROM pts GROUP BY 1, 2, 3),
+s AS (
+  SELECT gx, gy, COUNT(*) AS n, SUM(day) AS sx, SUM(c) AS sy,
+         SUM(day * c) AS sxy, SUM(day * day) AS sxx
+  FROM daily GROUP BY 1, 2
+)
+SELECT gx, gy, CAST(n AS BIGINT) AS n_days,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s
 """
 
 
@@ -14748,6 +14917,7 @@ QUERIES = {
     "morans": q_morans,
     "geary": q_geary,
     "grid_gradient": q_grid_gradient,
+    "cell_trend": q_cell_trend,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -14873,6 +15043,7 @@ QUERIES = {
     "components": q_components,
     "components_partitioned": q_components_partitioned,
     "pagerank": q_pagerank,
+    "ppr": q_ppr,
     "pagerank_partitioned": q_pagerank_partitioned,
     "tile_pyramid": q_tile_pyramid,
     "tpch_q1": q_tpch_q1,
@@ -15068,6 +15239,7 @@ ORACLE = {
     "morans": SQL_MORANS,
     "geary": SQL_GEARY,
     "grid_gradient": SQL_GRID_GRADIENT,
+    "cell_trend": SQL_CELL_TREND,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
@@ -15191,6 +15363,7 @@ ORACLE = {
     "components": SQL_COMPONENTS,
     "components_partitioned": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
+    "ppr": SQL_PPR,
     "pagerank_partitioned": SQL_PAGERANK,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "tpch_q1": SQL_TPCH_Q1,

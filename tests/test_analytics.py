@@ -1950,3 +1950,32 @@ def test_kcore_partitioned_peels_to_empty(ray_session):
     ).to_pandas()
     assert len(out) == 0
     assert sorted(out.columns) == ["degree", "node"]
+
+
+def test_personalized_pagerank_paths_and_mass(ray_session):
+    """Seeded PageRank: local and distributed paths bit-identical;
+    teleport mass stays near the seed (a seed outranks a node at
+    distance 2 on a path graph); absent seeds raise."""
+    import pytest
+    import ray.data as rd
+
+    from georay import analytics
+
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2, 3, 4], pa.int64()),
+                  "b": pa.array([2, 3, 4, 5], pa.int64())})
+    ).materialize()
+    seeds = np.array([1], np.int64)
+    loc = (
+        analytics.pagerank(edges, n_iter=4, seeds=seeds)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        analytics.pagerank(edges, n_iter=4, seeds=seeds, local_edge_cutoff=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.values.tolist() == dist.values.tolist()
+    rq = dict(zip(loc["node"], loc["rank_q"]))
+    assert rq[1] > rq[3] > rq[5]  # proximity to the seed orders ranks
+    with pytest.raises(ValueError, match="no seed node"):
+        analytics.pagerank(edges, seeds=np.array([99], np.int64))
