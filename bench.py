@@ -238,6 +238,20 @@ def run_bench() -> dict:
         "geohash_smoothing",
         lambda: tpch.q_geohash_smoothing(SF_DIR).count(),
     )
+    # session-6 additions
+    timed_ext("dbscan", lambda: tpch.q_dbscan(SF_DIR).num_rows)
+    timed_ext("label_prop", lambda: tpch.q_label_prop(SF_DIR).count())
+    timed_ext("modularity", lambda: tpch.q_modularity(SF_DIR).count())
+    timed_ext("item_sim", lambda: tpch.q_item_sim(SF_DIR).count())
+    timed_ext("cell_trend", lambda: tpch.q_cell_trend(SF_DIR).count())
+    timed_ext("dq_audit", lambda: tpch.q_dq_audit(SF_DIR).num_rows)
+    timed_ext("knn_classify", lambda: tpch.q_knn_classify(SF_DIR).num_rows)
+    timed_ext(
+        "decision_stump", lambda: tpch.q_decision_stump(SF_DIR).count()
+    )
+    timed_ext("geary", lambda: tpch.q_geary(SF_DIR).count())
+    timed_ext("grid_gradient", lambda: tpch.q_grid_gradient(SF_DIR).count())
+    timed_ext("ppr", lambda: tpch.q_ppr(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

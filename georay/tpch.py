@@ -1365,7 +1365,11 @@ def q_dq_audit(sf_dir: str):
     this op judges it):
 
       fk_li_orders      lineitem.l_orderkey without an orders match
-                        (partitioned ANTI join — keys only shuffle)
+      ship_before_order l_shipdate earlier than its order's orderdate
+                        } these two SHARE one partitioned left-outer
+                        join (unmatched row = orphan; matched rows
+                        feed the date predicate) — keys + one payload
+                        column shuffle once
       fk_orders_cust    orders.o_custkey not in customer (dimension
                         BROADCAST is_in probe, no shuffle)
       pk_dup_orders     duplicate o_orderkey rows = n − exact distinct
@@ -1373,9 +1377,6 @@ def q_dq_audit(sf_dir: str):
       qty_hi            l_quantity > 45
       disc_hi           l_discount > 0.08   } one shared streaming
                         pass, two partial counters
-      ship_before_order l_shipdate earlier than its order's orderdate
-                        (partitioned equality join carrying ONE
-                        payload column, then a vectorized filter)
     """
     import ray as _ray
 
@@ -1406,12 +1407,39 @@ def q_dq_audit(sf_dir: str):
     qty_hi = int(pred["qty_hi"].iloc[0])
     disc_hi = int(pred["disc_hi"].iloc[0])
 
-    # rule 1: both-sides-large FK orphan check — ANTI join, keys only
-    lik = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
-    ok = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
-    fk_li = ops.equi_join_partitioned(
-        lik, ok, on="l_orderkey", right_on="o_orderkey", how="anti"
-    ).count()
+    # rules 1+6 share ONE partitioned left-outer join (lineitem keys +
+    # shipdate vs orders keys + orderdate): an unmatched row is an FK
+    # orphan, a matched one feeds the temporal sanity predicate
+    lis = rd.read_parquet(_t(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderdate"])
+    joined = ops.equi_join_partitioned(
+        lis, od, on="l_orderkey", right_on="o_orderkey", how="left"
+    )
+
+    def li_rules_partial(batch: pa.Table) -> pa.Table:
+        matched = pc.is_valid(batch["o_orderdate"])
+        orphan = len(batch) - (pc.sum(matched).as_py() or 0)
+        early = pc.sum(
+            pc.and_kleene(
+                matched, pc.less(batch["l_shipdate"], batch["o_orderdate"])
+            )
+        ).as_py() or 0
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "partial_orphan": pa.array([int(orphan)], pa.int64()),
+             "partial_early": pa.array([int(early)], pa.int64())}
+        )
+
+    li_rules = ops.tree_sum(
+        joined.map_batches(li_rules_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        ["k"], {"partial_orphan": "orphan", "partial_early": "early"},
+        int_cols=("partial_orphan", "partial_early"),
+    ).to_pandas()
+    fk_li = int(li_rules["orphan"].iloc[0])
+    early = int(li_rules["early"].iloc[0])
 
     # rule 2: dimension FK — broadcast customer key set, is_in probe
     ck = _pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])[
@@ -1457,32 +1485,6 @@ def q_dq_audit(sf_dir: str):
         ["o_orderkey"], {"partial_one": "c"}, int_cols=("partial_one",),
     ).count()
     pk_dup = n_orders - n_distinct
-
-    # rule 6: cross-table temporal sanity — partitioned join, 1 payload col
-    lis = rd.read_parquet(_t(sf_dir, "lineitem"),
-                          columns=["l_orderkey", "l_shipdate"])
-    od = rd.read_parquet(_t(sf_dir, "orders"),
-                         columns=["o_orderkey", "o_orderdate"])
-    joined = ops.equi_join_partitioned(
-        lis, od, on="l_orderkey", right_on="o_orderkey", how="inner"
-    )
-
-    def early_partial(batch: pa.Table) -> pa.Table:
-        bad = pc.sum(
-            pc.less(batch["l_shipdate"], batch["o_orderdate"])
-        ).as_py() or 0
-        return pa.table(
-            {"k": pa.array([0], pa.int64()),
-             "partial_bad": pa.array([int(bad)], pa.int64())}
-        )
-
-    early = int(
-        ops.tree_sum(
-            joined.map_batches(early_partial, batch_format="pyarrow",
-                               zero_copy_batch=True, batch_size=None),
-            ["k"], {"partial_bad": "bad"}, int_cols=("partial_bad",),
-        ).to_pandas()["bad"].iloc[0]
-    )
 
     return pa.table(
         {
