@@ -6086,6 +6086,82 @@ SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
 """
 
 
+def q_nn_stats(sf_dir: str):
+    """Point-pattern analysis (Clark–Evans) sufficient statistics:
+    each supplier's nearest-OTHER-neighbor planar distance, quantized
+    with the movement family's correctly-rounded
+    ``floor(sqrt(d2)·2^20 + 0.5)`` convention, folded to ONE row
+    ``(n_points, sum_q, min_q, max_q)`` — mean NN distance vs the
+    ½/√density expectation is the standard clustered-vs-dispersed
+    test. Plan: broadcast kNN join (k=2 covers the self hit), the
+    per-probe min resolves inside its batch, scalar partials merge
+    through the combine tree."""
+    from georay.joins import knn_join
+
+    sx, sy, sk = supplier_points(sf_dir)
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table({"s_a": pa.array(sk)}).append_column(
+            geo.field("geotag"), native.build_points(np.column_stack([sx, sy]), geo)
+        )
+    )
+    pairs = knn_join(probes, sx, sy, sk, k=2, id_out="s_b")
+
+    def nn_partial(batch: pa.Table) -> pa.Table:
+        a = batch["s_a"].to_numpy(zero_copy_only=False)
+        b = batch["s_b"].to_numpy(zero_copy_only=False)
+        d2 = batch["knn_dist2"].to_numpy(zero_copy_only=False)
+        keep = a != b  # drop the self hit
+        a, d2 = a[keep], d2[keep]
+        if a.shape[0] == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()),
+                 "pn": pa.array([], pa.int64()),
+                 "ps": pa.array([], pa.int64()),
+                 "pmin": pa.array([], pa.int64()),
+                 "pmax": pa.array([], pa.int64())}
+            )
+        (_,), outs = ops._group_reduce([a], {"d2": d2}, ufunc=np.minimum)
+        q = np.floor(np.sqrt(outs["d2"]) * 1048576.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"k": pa.array([0], pa.int64()),
+             "pn": pa.array([q.shape[0]], pa.int64()),
+             "ps": pa.array([int(q.sum())], pa.int64()),
+             "pmin": pa.array([int(q.min())], pa.int64()),
+             "pmax": pa.array([int(q.max())], pa.int64())}
+        )
+
+    return ops.tree_reduce(
+        pairs.map_batches(nn_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        "k",
+        {"pn": "n_points", "ps": "sum_q", "pmin": "min_q", "pmax": "max_q"},
+        ufunc={"pn": np.add, "ps": np.add, "pmin": np.minimum,
+               "pmax": np.maximum},
+    ).map_batches(
+        lambda b: b.drop_columns(["k"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
+SQL_NN_STATS = f"""
+WITH refs AS (
+  SELECT s_suppkey AS id, {SUPP_SX} AS sx, {SUPP_SY} AS sy FROM supplier
+),
+d AS (
+  SELECT a.id,
+         MIN((b.sx - a.sx)*(b.sx - a.sx) + (b.sy - a.sy)*(b.sy - a.sy))
+           AS d2
+  FROM refs a JOIN refs b ON b.id != a.id GROUP BY a.id
+),
+q AS (SELECT CAST(floor(sqrt(d2) * 1048576e0 + 0.5e0) AS BIGINT) AS qd FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(qd) AS BIGINT) AS sum_q,
+       MIN(qd) AS min_q, MAX(qd) AS max_q
+FROM q
+"""
+
+
 DBSCAN_EPS2 = 104.0  # eps = √104 ≈ 10.198° — NOT exactly representable
 DBSCAN_MINPTS = 3
 
@@ -15015,6 +15091,7 @@ QUERIES = {
     "ohlc": q_ohlc,
     "spatial_clusters": q_spatial_clusters,
     "dbscan": q_dbscan,
+    "nn_stats": q_nn_stats,
     "attribution": q_attribution,
     "fuzzy_pairs": q_fuzzy_pairs,
     "grouped_quantiles_cont": q_grouped_quantiles_cont,
@@ -15336,6 +15413,7 @@ ORACLE = {
     "ohlc": SQL_OHLC,
     "spatial_clusters": SQL_SPATIAL_CLUSTERS,
     "dbscan": SQL_DBSCAN,
+    "nn_stats": SQL_NN_STATS,
     "attribution": SQL_ATTRIBUTION,
     "fuzzy_pairs": SQL_FUZZY_PAIRS,
     "grouped_quantiles_cont": SQL_GROUPED_QUANTILES_CONT,
