@@ -849,6 +849,93 @@ def label_propagation(
     )
 
 
+def label_propagation_partitioned(
+    edges: ray.data.Dataset,
+    rounds: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Billion-node twin of ``label_propagation``: labels NEVER land on
+    the driver — per round (1) the symmetric edge list equality-joins
+    the label Dataset on the source node (``equi_join_partitioned``:
+    one key-bucket co-shuffle, labels are the keys-plus-one-column
+    side), (2) per-batch map-side-combined (dst, label) count partials
+    co-shuffle ONCE by dst hash bucket, and each bucket merges its
+    counts and picks the modal label (count DESC, label ASC) in one
+    vectorized ``map_groups`` — TWO exchanges per round, every table
+    o(its bucket), no global aggregate. Identical deterministic
+    dynamics, same unrolled-CTE oracle."""
+    from georay.ops import equi_join_partitioned
+
+    def to_sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(np.concatenate([a, b]), pa.int64()),
+                "d": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(
+        to_sym, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+    if sym.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+
+    # initial labels = distinct endpoints, label = own id (distinct
+    # within a key bucket is globally distinct)
+    def distinct_nodes(group: pa.Table) -> pa.Table:
+        s = np.unique(group["s"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {"node": pa.array(s, pa.int64()), "label": pa.array(s, pa.int64())}
+        )
+
+    labels = _bucketed(sym, ["s"], n_buckets).map_groups(
+        distinct_nodes, batch_format="pyarrow"
+    ).materialize()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks, vs = _group_reduce(
+            [d, lb], {"partial_c": np.ones(d.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "lab": pa.array(ks[1], pa.int64()),
+                "partial_c": pa.array(vs["partial_c"], pa.int64()),
+            }
+        )
+
+    def merge_pick(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = group["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = group["partial_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        (gn, gl), outs = _group_reduce([node, lab], {"c": c})
+        un, ul = _lpa_mode_pick(gn, gl, outs["c"])
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "label": pa.array(ul, pa.int64())}
+        )
+
+    for _ in range(rounds):
+        j = equi_join_partitioned(
+            sym, labels, on="s", right_on="node", how="inner",
+            n_buckets=n_buckets,
+        )
+        partials = j.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        labels = _bucketed(partials, ["node"], n_buckets).map_groups(
+            merge_pick, batch_format="pyarrow"
+        ).materialize()
+    return labels
+
+
 def modularity(
     edges: ray.data.Dataset,
     labels: ray.data.Dataset,

@@ -9574,6 +9574,19 @@ def q_label_prop_distributed(sf_dir: str):
     )
 
 
+def q_label_prop_partitioned(sf_dir: str):
+    """Billion-node twin of ``label_prop``
+    (analytics.label_propagation_partitioned): labels stay a Dataset —
+    per round one partitioned equality join + shuffle aggregate +
+    map-side-pruned group_top_k modal pick. Shares the unrolled-CTE
+    oracle."""
+    from georay import analytics
+
+    return analytics.label_propagation_partitioned(
+        _copurchase_edges(sf_dir), rounds=LPA_ROUNDS
+    )
+
+
 def _lpa_ctes(rounds: int) -> str:
     """WITH-body producing ``l{rounds}(node, lab)`` — the unrolled
     synchronous-LPA chain shared by the label_prop and modularity
@@ -15110,6 +15123,7 @@ QUERIES = {
     "dag_layers": q_dag_layers,
     "label_prop": q_label_prop,
     "label_prop_distributed": q_label_prop_distributed,
+    "label_prop_partitioned": q_label_prop_partitioned,
     "modularity": q_modularity,
     "rectangles": q_rectangles,
     "rectangles_partitioned": q_rectangles_partitioned,
@@ -15432,6 +15446,7 @@ ORACLE = {
     "dag_layers": SQL_DAG_LAYERS,
     "label_prop": SQL_LABEL_PROP,
     "label_prop_distributed": SQL_LABEL_PROP,
+    "label_prop_partitioned": SQL_LABEL_PROP,
     "modularity": SQL_MODULARITY,
     "rectangles": SQL_RECTANGLES,
     "rectangles_partitioned": SQL_RECTANGLES,

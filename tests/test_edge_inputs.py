@@ -987,6 +987,8 @@ def test_session6_ops_edge_inputs(ray_session):
     # the Ray 2.49 quirk ROUND_NOTES documents)
     out = analytics.label_propagation(empty_edges)
     assert out.schema().names == ["node", "label"] and out.count() == 0
+    outp = analytics.label_propagation_partitioned(empty_edges)
+    assert outp.schema().names == ["node", "label"] and outp.count() == 0
 
     # modularity on empty edges raises (Q undefined at m=0), matching
     # the SQL twin's division by zero
