@@ -4830,6 +4830,48 @@ FROM part
 """
 
 
+def q_spherical_area(sf_dir: str):
+    """GEODESIC polygon area: the part boxes are lon/lat-aligned, so
+    the spherical area has the closed form
+    ``R²·Δλ_rad·(sin φmax − sin φmin)`` (km², R = 6371.0088 — the
+    engine's haversine radius). Runs on the real kernel path: native
+    polygon ring → ``box`` kernel → vectorized spherical formula,
+    rounded to 3 dp half-away like ``geodesic_stats`` so libm ulp
+    drift between numpy and DuckDB cannot flip the hash."""
+    polys = part_box_polygons(sf_dir)
+    ds = ops.add_box_column(rd.from_arrow(polys), "geometry")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        mins, maxes, _ = native.box_view(batch["bbox"].combine_chunks())
+        r = kernels.EARTH_RADIUS_KM
+        area = (
+            r * r
+            * np.radians(maxes[:, 0] - mins[:, 0])
+            * (np.sin(np.radians(maxes[:, 1])) - np.sin(np.radians(mins[:, 1])))
+        )
+        area = np.floor(area * 1e3 + 0.5) / 1e3
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "area_km2": pa.array(area, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_SPHERICAL_AREA = f"""
+SELECT p_partkey,
+       ROUND(6371.0088 * 6371.0088
+             * RADIANS((({PART_CX}) + ({PART_W})) - (({PART_CX}) - ({PART_W})))
+             * (SIN(RADIANS(({PART_CY}) + ({PART_H})))
+                - SIN(RADIANS(({PART_CY}) - ({PART_H})))), 3) AS area_km2
+FROM part
+"""
+
+
 def q_infer_schema(sf_dir: str):
     """unique_geometry_types_agg + MULTI-promotion inference over the
     polygon table, one row per observed ISO-WKB code. The codes and the
@@ -14966,6 +15008,7 @@ WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')
 
 QUERIES = {
     "poly_measures": q_poly_measures,
+    "spherical_area": q_spherical_area,
     "poly_centroid": q_poly_centroid,
     "poly_bbox": q_poly_bbox,
     "infer_schema": q_infer_schema,
@@ -15288,6 +15331,7 @@ QUERIES = {
 
 ORACLE = {
     "poly_measures": SQL_POLY_MEASURES,
+    "spherical_area": SQL_SPHERICAL_AREA,
     "poly_centroid": SQL_POLY_CENTROID,
     "poly_bbox": SQL_POLY_BBOX,
     "infer_schema": SQL_INFER_SCHEMA,
