@@ -1380,6 +1380,131 @@ def rectangle_count(
 
 # ------------------------------------------------- trajectories / OD
 
+def line_density(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    ix_col: str,
+    iy_col: str,
+    x_origin: int,
+    y_origin: int,
+    cell_units: int,
+    nx: int,
+    ny: int,
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Line-density raster: per grid cell, the number of trajectory
+    LEGS (consecutive per-entity fixes) whose closed segment intersects
+    the closed cell box — the road-usage / corridor heat map every
+    movement pipeline draws. EXACT: coordinates are INTEGER lattice
+    units (caller scales lon/lat), the finite grid is
+    ``[x_origin + cell_units·gx, ...] × nx × ny`` cells, and the
+    intersection test is bbox overlap + the separating-line corner
+    test (all four cell corners strictly on one side of the leg's
+    carrier line ⇒ miss) — pure int64 comparisons, replicated verbatim
+    in the SQL twin (boundary touches COUNT on both sides; a
+    zero-length leg counts its containing cell).
+
+    Plan: one user-bucket co-shuffle orders fixes into legs; each leg
+    ragged-expands to its bbox cell cover (±1 ring so boundary-touch
+    cells enter the exact predicate) vectorized; per-batch (gx, gy)
+    count partials merge through the combine tree. Candidate volume is
+    Σ per-leg bbox cover — bounded by leg LENGTH in cells, so keep the
+    grid resolution coarse enough that typical legs span O(1–100)
+    cells (at 100 TB, legs are short relative to any sane raster)."""
+    cols = [user_col, ts_col, ix_col, iy_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+    cu = int(cell_units)
+    ox, oy = int(x_origin), int(y_origin)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gx": pa.array([], pa.int64()),
+                "gy": pa.array([], pa.int64()),
+                "partial_n": pa.array([], pa.int64()),
+            }
+        )
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if u.shape[0] == 0:
+            return empty
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, _ = _group_starts(*keys, group_keys=1)
+        ix = group[ix_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        iy = group[iy_col].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        n = ix.shape[0]
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        keep_leg = ~first
+        x1 = np.empty(n, np.int64); y1 = np.empty(n, np.int64)
+        x1[1:] = ix[:-1]; y1[1:] = iy[:-1]
+        x2, y2 = ix[keep_leg], iy[keep_leg]
+        x1, y1 = x1[keep_leg], y1[keep_leg]
+        if x1.shape[0] == 0:
+            return empty
+        bx0 = np.minimum(x1, x2); bx1 = np.maximum(x1, x2)
+        by0 = np.minimum(y1, y2); by1 = np.maximum(y1, y2)
+        gx0 = np.floor_divide(bx0 - ox, cu) - 1
+        gx1 = np.floor_divide(bx1 - ox, cu) + 1
+        gy0 = np.floor_divide(by0 - oy, cu) - 1
+        gy1 = np.floor_divide(by1 - oy, cu) + 1
+        np.clip(gx0, 0, nx - 1, out=gx0); np.clip(gx1, 0, nx - 1, out=gx1)
+        np.clip(gy0, 0, ny - 1, out=gy0); np.clip(gy1, 0, ny - 1, out=gy1)
+        ngx = gx1 - gx0 + 1
+        ngy = gy1 - gy0 + 1
+        ncell = ngx * ngy
+        tot = int(ncell.sum())
+        if tot == 0:
+            return empty
+        li = np.repeat(np.arange(x1.shape[0]), ncell)
+        k = np.arange(tot) - np.repeat(np.cumsum(ncell) - ncell, ncell)
+        gy_n = ngy[li]
+        gx = gx0[li] + k // gy_n
+        gy = gy0[li] + k % gy_n
+        cx0 = ox + cu * gx; cx1 = cx0 + cu
+        cy0 = oy + cu * gy; cy1 = cy0 + cu
+        lx1, ly1, lx2, ly2 = x1[li], y1[li], x2[li], y2[li]
+        ok = (
+            (np.minimum(lx1, lx2) <= cx1) & (np.maximum(lx1, lx2) >= cx0)
+            & (np.minimum(ly1, ly2) <= cy1) & (np.maximum(ly1, ly2) >= cy0)
+        )
+        dx = lx2 - lx1; dy = ly2 - ly1
+        c00 = dx * (cy0 - ly1) - dy * (cx0 - lx1)
+        c01 = dx * (cy0 - ly1) - dy * (cx1 - lx1)
+        c10 = dx * (cy1 - ly1) - dy * (cx0 - lx1)
+        c11 = dx * (cy1 - ly1) - dy * (cx1 - lx1)
+        sep = ((c00 > 0) & (c01 > 0) & (c10 > 0) & (c11 > 0)) | (
+            (c00 < 0) & (c01 < 0) & (c10 < 0) & (c11 < 0)
+        )
+        ok &= ~sep
+        if not ok.any():
+            return empty
+        ks, vs = _group_reduce(
+            [gx[ok], gy[ok]], {"partial_n": np.ones(int(ok.sum()), np.int64)}
+        )
+        return pa.table(
+            {
+                "gx": pa.array(ks[0], pa.int64()),
+                "gy": pa.array(ks[1], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    parts = _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+    return tree_sum(parts, ["gx", "gy"], {"partial_n": "n_legs"},
+                    int_cols=("partial_n",))
+
+
 def trajectory_stats(
     ds: ray.data.Dataset,
     user_col: str,

@@ -11395,6 +11395,81 @@ FROM tot CROSS JOIN agg CROSS JOIN v
 """
 
 
+def q_line_density(sf_dir: str):
+    """Per-10°-cell trajectory-leg density (the corridor heat map):
+    analytics.line_density over the event fixes on the ×20 integer
+    lattice (lon·20 and lat·20 are exact odd integers for the
+    synthetic coordinates), closed-box ∩ closed-segment semantics via
+    pure int64 bbox + separating-line corner tests."""
+    from georay import analytics
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def to_lattice(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "ix": pa.array(2 * ((u * 37 + e * 13) % 3600) - 3599, pa.int64()),
+                "iy": pa.array(2 * ((u * 53 + e * 29) % 1700) - 1699, pa.int64()),
+            }
+        )
+
+    pts = ev.map_batches(
+        to_lattice, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return analytics.line_density(
+        pts, "user_id", "ts", "ix", "iy",
+        x_origin=-3600, y_origin=-1800, cell_units=200, nx=36, ny=18,
+        tiebreak_col="event_id",
+    )
+
+
+SQL_LINE_DENSITY = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         2*((user_id*37 + event_id*13) % 3600) - 3599 AS ix,
+         2*((user_id*53 + event_id*29) % 1700) - 1699 AS iy
+  FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(ix) OVER w AS px, LAG(iy) OVER w AS py
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (SELECT px AS x1, py AS y1, ix AS x2, iy AS y2 FROM seq WHERE rn > 1),
+cells AS (
+  SELECT gxs.gx, gys.gy,
+         -3600 + 200*gxs.gx AS cx0, -3600 + 200*(gxs.gx + 1) AS cx1,
+         -1800 + 200*gys.gy AS cy0, -1800 + 200*(gys.gy + 1) AS cy1
+  FROM (SELECT unnest(generate_series(0, 35)) AS gx) gxs
+  CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS gy) gys
+),
+hit AS (
+  SELECT c.gx, c.gy
+  FROM legs l JOIN cells c
+    ON LEAST(l.x1, l.x2) <= c.cx1 AND GREATEST(l.x1, l.x2) >= c.cx0
+   AND LEAST(l.y1, l.y2) <= c.cy1 AND GREATEST(l.y1, l.y2) >= c.cy0
+   AND NOT (
+     ( (l.x2-l.x1)*(c.cy0-l.y1) - (l.y2-l.y1)*(c.cx0-l.x1) > 0
+   AND (l.x2-l.x1)*(c.cy0-l.y1) - (l.y2-l.y1)*(c.cx1-l.x1) > 0
+   AND (l.x2-l.x1)*(c.cy1-l.y1) - (l.y2-l.y1)*(c.cx0-l.x1) > 0
+   AND (l.x2-l.x1)*(c.cy1-l.y1) - (l.y2-l.y1)*(c.cx1-l.x1) > 0 )
+    OR
+     ( (l.x2-l.x1)*(c.cy0-l.y1) - (l.y2-l.y1)*(c.cx0-l.x1) < 0
+   AND (l.x2-l.x1)*(c.cy0-l.y1) - (l.y2-l.y1)*(c.cx1-l.x1) < 0
+   AND (l.x2-l.x1)*(c.cy1-l.y1) - (l.y2-l.y1)*(c.cx0-l.x1) < 0
+   AND (l.x2-l.x1)*(c.cy1-l.y1) - (l.y2-l.y1)*(c.cx1-l.x1) < 0 )
+   )
+)
+SELECT gx, gy, COUNT(*) AS n_legs FROM hit GROUP BY 1, 2
+"""
+
+
 def q_cell_trend(sf_dir: str):
     """Emerging-hotspot detection: per 10° grid cell, the exact OLS
     slope sufficient statistics of DAILY event counts vs epoch day —
@@ -15052,6 +15127,7 @@ QUERIES = {
     "geary": q_geary,
     "grid_gradient": q_grid_gradient,
     "cell_trend": q_cell_trend,
+    "line_density": q_line_density,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -15377,6 +15453,7 @@ ORACLE = {
     "geary": SQL_GEARY,
     "grid_gradient": SQL_GRID_GRADIENT,
     "cell_trend": SQL_CELL_TREND,
+    "line_density": SQL_LINE_DENSITY,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,

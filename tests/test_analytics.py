@@ -1979,3 +1979,54 @@ def test_personalized_pagerank_paths_and_mass(ray_session):
     assert rq[1] > rq[3] > rq[5]  # proximity to the seed orders ranks
     with pytest.raises(ValueError, match="no seed node"):
         analytics.pagerank(edges, seeds=np.array([99], np.int64))
+
+
+def test_line_density_matches_brute_force(ray_session):
+    """line_density's ragged bbox-cover + separating-line plan equals
+    the direct O(legs x cells) predicate on random lattice tracks."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    rng = np.random.default_rng(123)
+    n = 400
+    u = rng.integers(0, 12, n)
+    ts = rng.integers(0, 10**9, n)
+    ix = rng.integers(-3600, 3601, n)
+    iy = rng.integers(-1800, 1801, n)
+    eid = np.arange(n)
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(u, pa.int64()), "ts": pa.array(ts).cast(pa.int64()),
+        "e": pa.array(eid, pa.int64()),
+        "ix": pa.array(ix, pa.int64()), "iy": pa.array(iy, pa.int64()),
+    }).set_column(1, "ts", pa.array(ts, pa.int64()).cast(pa.timestamp("us"))))
+    got = {
+        (r["gx"], r["gy"]): r["n_legs"]
+        for r in analytics.line_density(
+            ds, "u", "ts", "ix", "iy", x_origin=-3600, y_origin=-1800,
+            cell_units=200, nx=36, ny=18, tiebreak_col="e", n_buckets=4,
+        ).take_all()
+    }
+    # brute force over every (leg, cell)
+    order = np.lexsort((eid, ts, u))
+    uu, xx, yy = u[order], ix[order], iy[order]
+    want: dict = {}
+    for i in range(1, n):
+        if uu[i] != uu[i - 1]:
+            continue
+        x1, y1, x2, y2 = xx[i - 1], yy[i - 1], xx[i], yy[i]
+        for gx in range(36):
+            for gy in range(18):
+                cx0, cx1 = -3600 + 200 * gx, -3600 + 200 * (gx + 1)
+                cy0, cy1 = -1800 + 200 * gy, -1800 + 200 * (gy + 1)
+                if min(x1, x2) > cx1 or max(x1, x2) < cx0:
+                    continue
+                if min(y1, y2) > cy1 or max(y1, y2) < cy0:
+                    continue
+                dx, dy = x2 - x1, y2 - y1
+                cs = [dx * (cy - y1) - dy * (cx - x1)
+                      for cx in (cx0, cx1) for cy in (cy0, cy1)]
+                if all(c > 0 for c in cs) or all(c < 0 for c in cs):
+                    continue
+                want[(gx, gy)] = want.get((gx, gy), 0) + 1
+    assert got == want and len(want) > 50
