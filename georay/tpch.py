@@ -11429,8 +11429,8 @@ def q_line_density(sf_dir: str):
     )
 
 
-SQL_LINE_DENSITY = """
-WITH pts AS (
+_LINE_DENSITY_CTES = """
+pts AS (
   SELECT user_id, ts, event_id,
          2*((user_id*37 + event_id*13) % 3600) - 3599 AS ix,
          2*((user_id*53 + event_id*29) % 1700) - 1699 AS iy
@@ -11466,8 +11466,102 @@ hit AS (
    AND (l.x2-l.x1)*(c.cy1-l.y1) - (l.y2-l.y1)*(c.cx1-l.x1) < 0 )
    )
 )
-SELECT gx, gy, COUNT(*) AS n_legs FROM hit GROUP BY 1, 2
 """
+
+
+SQL_LINE_DENSITY = (
+    f"WITH {_LINE_DENSITY_CTES}"
+    "SELECT gx, gy, COUNT(*) AS n_legs FROM hit GROUP BY 1, 2"
+)
+
+
+_ROUTE_ROUNDS = 8
+
+
+def q_grid_route(sf_dir: str):
+    """Congestion-aware grid routing — the raster→graph composition:
+    the ``line_density`` corridor raster becomes edge weights
+    (``1 + dens(a) + dens(b)``, symmetric) on the rook-adjacent cell
+    graph, then {_ROUTE_ROUNDS} exact Bellman–Ford rounds from the
+    (0,0) corner cell (analytics.sssp_rounds) give the cheapest
+    ≤{_ROUTE_ROUNDS}-hop route cost to every reachable cell. The
+    density table is grid-bounded (648 cells), so the weight closure
+    is a broadcast-scale lookup; the cell graph itself is o(grid)."""
+    from georay import analytics
+
+    dens = q_line_density(sf_dir).to_pandas()
+    node = (dens["gx"].to_numpy() * 100 + dens["gy"].to_numpy()).astype(np.int64)
+    dval = dens["n_legs"].to_numpy().astype(np.int64)
+    order = np.argsort(node)
+    node, dval = node[order], dval[order]
+
+    gx, gy = np.meshgrid(np.arange(36), np.arange(18), indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    ids = gx * 100 + gy
+    right = gx < 35
+    up = gy < 17
+    ea = np.concatenate([ids[right], ids[up]])
+    eb = np.concatenate([ids[right] + 100, ids[up] + 1])
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+    ).materialize()
+
+    def weight(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        def look(x):
+            pos = np.searchsorted(node, x)
+            pos_c = np.clip(pos, 0, node.shape[0] - 1)
+            hit = node.shape[0] > 0
+            v = dval[pos_c] if hit else np.zeros(x.shape[0], np.int64)
+            return np.where(
+                hit & (pos < node.shape[0]) & (node[pos_c] == x), v, 0
+            )
+
+        return 1 + look(a) + look(b)
+
+    return analytics.sssp_rounds(
+        edges, lambda n: n == 0, weight, rounds=_ROUTE_ROUNDS
+    )
+
+
+SQL_GRID_ROUTE = (
+    f"WITH {_LINE_DENSITY_CTES}"
+    + """,
+dens AS (SELECT gx, gy, COUNT(*) AS n_legs FROM hit GROUP BY 1, 2),
+nodes AS (
+  SELECT gxs.gx * 100 + gys.gy AS node,
+         COALESCE(d.n_legs, 0) AS dens
+  FROM (SELECT unnest(generate_series(0, 35)) AS gx) gxs
+  CROSS JOIN (SELECT unnest(generate_series(0, 17)) AS gy) gys
+  LEFT JOIN dens d ON d.gx = gxs.gx AND d.gy = gys.gy
+),
+ge AS (
+  SELECT a.node AS a, b.node AS b, 1 + a.dens + b.dens AS w
+  FROM nodes a JOIN nodes b
+    ON (b.node = a.node + 100 AND a.node // 100 < 35)
+    OR (b.node = a.node + 1 AND a.node % 100 < 17)
+),
+gsym AS (SELECT a AS s, b AS d, w FROM ge UNION ALL SELECT b, a, w FROM ge),
+d0 AS (SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT) END AS dist
+       FROM nodes)"""
+    + "".join(
+        f""",
+d{it} AS (
+  SELECT d{it - 1}.node,
+         CASE WHEN d{it - 1}.dist IS NULL THEN m.md
+              WHEN m.md IS NULL THEN d{it - 1}.dist
+              ELSE LEAST(d{it - 1}.dist, m.md) END AS dist
+  FROM d{it - 1} LEFT JOIN (
+    SELECT s.d AS node, MIN(p.dist + s.w) AS md
+    FROM gsym s JOIN d{it - 1} p ON p.node = s.s WHERE p.dist IS NOT NULL
+    GROUP BY s.d
+  ) m ON m.node = d{it - 1}.node
+)"""
+        for it in range(1, _ROUTE_ROUNDS + 1)
+    )
+    + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist
+FROM d{_ROUTE_ROUNDS} WHERE dist IS NOT NULL"""
+)
 
 
 def q_cell_trend(sf_dir: str):
@@ -15128,6 +15222,7 @@ QUERIES = {
     "grid_gradient": q_grid_gradient,
     "cell_trend": q_cell_trend,
     "line_density": q_line_density,
+    "grid_route": q_grid_route,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -15454,6 +15549,7 @@ ORACLE = {
     "grid_gradient": SQL_GRID_GRADIENT,
     "cell_trend": SQL_CELL_TREND,
     "line_density": SQL_LINE_DENSITY,
+    "grid_route": SQL_GRID_ROUTE,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
