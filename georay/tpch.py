@@ -4830,6 +4830,46 @@ FROM part
 """
 
 
+def q_geojson_roundtrip(sf_dir: str):
+    """GeoJSON codec pin: part polygons → RFC 7946 geometry strings
+    (shortest-round-trip doubles) → parsed back to native → box kernel.
+    The bbox after the round trip must equal the direct SQL bbox
+    bit-for-bit, proving encode→decode is lossless on the real kernel
+    path (codecs/geojson.py; the reference reaches GeoJSON via sf,
+    R/pkg-sf.R)."""
+    from georay.codecs import geojson
+
+    polys = part_box_polygons(sf_dir)
+    geo = GeoType.polygon(crs="OGC:CRS84")
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        js = geojson.encode(batch["geometry"].combine_chunks(), geo)
+        back = geojson.decode(js, geo)
+        boxes = kernels.box(back, geo)
+        mins, maxes, _ = native.box_view(boxes)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "xmin": pa.array(mins[:, 0]),
+                "ymin": pa.array(mins[:, 1]),
+                "xmax": pa.array(maxes[:, 0]),
+                "ymax": pa.array(maxes[:, 1]),
+            }
+        )
+
+    return rd.from_arrow(polys).map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_GEOJSON_ROUNDTRIP = f"""
+SELECT p_partkey,
+       ({PART_CX}) - ({PART_W}) AS xmin, ({PART_CY}) - ({PART_H}) AS ymin,
+       ({PART_CX}) + ({PART_W}) AS xmax, ({PART_CY}) + ({PART_H}) AS ymax
+FROM part
+"""
+
+
 def q_spherical_area(sf_dir: str):
     """GEODESIC polygon area: the part boxes are lon/lat-aligned, so
     the spherical area has the closed form
@@ -15178,6 +15218,7 @@ WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')
 QUERIES = {
     "poly_measures": q_poly_measures,
     "spherical_area": q_spherical_area,
+    "geojson_roundtrip": q_geojson_roundtrip,
     "poly_centroid": q_poly_centroid,
     "poly_bbox": q_poly_bbox,
     "infer_schema": q_infer_schema,
@@ -15503,6 +15544,7 @@ QUERIES = {
 ORACLE = {
     "poly_measures": SQL_POLY_MEASURES,
     "spherical_area": SQL_SPHERICAL_AREA,
+    "geojson_roundtrip": SQL_GEOJSON_ROUNDTRIP,
     "poly_centroid": SQL_POLY_CENTROID,
     "poly_bbox": SQL_POLY_BBOX,
     "infer_schema": SQL_INFER_SCHEMA,

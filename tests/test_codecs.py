@@ -412,3 +412,50 @@ def test_wkt_budget_abort_prefix_parity():
     dt = time.perf_counter() - t0
     assert len(small) == 100
     assert dt < 0.5  # full serialization of 1M points would take seconds
+
+
+def test_geojson_codec_shapes_roundtrip():
+    """GeoJSON encode→decode is lossless across geometry types, XYZ,
+    and empties; M raises (RFC 7946 has no M)."""
+    import json
+
+    import pytest
+
+    from georay.codecs import geojson, wkt
+    from georay.types import Dimensions, GeoType
+
+    cases = [
+        ("POINT (1.5 2.5)", GeoType.point()),
+        ("POINT EMPTY", GeoType.point()),
+        ("POINT Z (1 2 3)", GeoType.point(dimensions=Dimensions.XYZ)),
+        ("LINESTRING (0 0, 0.1 0.2, 30 40)", GeoType.linestring()),
+        ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+         GeoType.polygon()),
+        ("MULTIPOINT (30 10, 10 30)", GeoType.multipoint()),
+        ("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+         GeoType.multilinestring()),
+        ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+         GeoType.multipolygon()),
+    ]
+    for wkt_str, geo in cases:
+        arr, _ = wkt.decode(pa.array([wkt_str, None]), geo)
+        js = geojson.encode(arr, geo)
+        assert js[1].as_py() is None
+        json.loads(js[0].as_py())  # valid JSON
+        back = geojson.decode(js, geo)
+        rt = wkt.encode(back, geo)
+        want = wkt.encode(arr, geo)
+        assert rt.to_pylist() == want.to_pylist(), wkt_str
+
+    # a double that needs 17 significant digits survives
+    x = 0.15000000000000413
+    arr, _ = wkt.decode(pa.array([f"POINT ({x!r} 2)"]), GeoType.point())
+    back = geojson.decode(geojson.encode(arr, GeoType.point()), GeoType.point())
+    # compare via geojson text (bit-exact repr)
+    assert repr(x) in geojson.encode(arr, GeoType.point())[0].as_py()
+    assert repr(x) in geojson.encode(back, GeoType.point())[0].as_py()
+
+    with pytest.raises(ValueError, match="M dimension"):
+        m_geo = GeoType.point(dimensions=Dimensions.XYM)
+        m_arr, _ = wkt.decode(pa.array(["POINT M (1 2 3)"]), m_geo)
+        geojson.encode(m_arr, m_geo)
