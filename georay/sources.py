@@ -140,3 +140,108 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
     """JSONL sink: one shard file per block via ``Dataset.write_json``
     (pandas-free, newline-delimited)."""
     ds.write_json(out_dir)
+
+
+def read_geojsonl(
+    paths,
+    target: GeoType,
+    out_col: str = "geometry",
+    properties: dict | None = None,
+    **read_text_kwargs,
+) -> rd.Dataset:
+    """Newline-delimited GeoJSON Feature source (GeoJSONSeq /
+    ``.geojsonl`` — the SPLITTABLE framing; a single FeatureCollection
+    document cannot be sharded, so at scale the corpus should be stored
+    one feature per line): ``ray.data.read_text`` streams lines, each
+    batch parses its features, projects the requested ``properties``
+    (column name → pyarrow type) and decodes geometry into the typed
+    native column (codecs/geojson.py). Null geometry stays null."""
+    import json
+
+    from georay.codecs import geojson as gj
+    from georay.codecs.wkb import build_native
+
+    props = dict(properties or {})
+
+    def parse(batch: pa.Table) -> pa.Table:
+        feats = [
+            json.loads(line)
+            for line in batch["text"].to_pylist()
+            if line.strip()
+        ]
+        cols = {
+            name: pa.array(
+                [f.get("properties", {}).get(name) for f in feats], typ
+            )
+            for name, typ in props.items()
+        }
+        nodes = [
+            gj._node_from_obj(f["geometry"])
+            if f.get("geometry") is not None else None
+            for f in feats
+        ]
+        geom = build_native(nodes, target)
+        out = pa.table(cols) if cols else pa.table(
+            {"_": pa.nulls(len(feats))}
+        ).drop_columns(["_"])
+        return out.append_column(target.field(out_col), geom)
+
+    return rd.read_text(paths, **read_text_kwargs).map_batches(
+        parse, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def write_geojsonl(
+    ds: rd.Dataset,
+    out_dir: str,
+    geom_col: str,
+    geo: GeoType,
+    property_cols: tuple = (),
+) -> rd.Dataset:
+    """Sharded GeoJSONSeq sink: every block serializes its rows as
+    ``{"type":"Feature","properties":{...},"geometry":{...}}`` lines and
+    writes ONE ``part-<contenthash>.geojsonl`` file from inside its own
+    task (no driver funnel; atomic tmp+rename, so reruns overwrite
+    identical content idempotently). Returns the manifest Dataset
+    ``(path, rows)`` — consume it to drive the write."""
+    import hashlib
+    import json
+    import os
+
+    from georay.codecs import geojson as gj
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()),
+                 "rows": pa.array([], pa.int64())}
+            )
+        geom = batch[geom_col]
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.combine_chunks()
+        js = gj.encode(geom, geo)
+        lines = []
+        for i in range(len(batch)):
+            props = {c: batch[c][i].as_py() for c in property_cols}
+            g = js[i].as_py()
+            lines.append(
+                '{"type":"Feature","properties":'
+                + json.dumps(props, sort_keys=True)
+                + ',"geometry":' + (g if g is not None else "null") + "}"
+            )
+        blob = "\n".join(lines) + "\n"
+        name = hashlib.sha1(blob.encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{name}.geojsonl")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "rows": pa.array([len(batch)], pa.int64())}
+        )
+
+    return ds.map_batches(
+        dump, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

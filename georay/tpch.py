@@ -2817,6 +2817,58 @@ def q_wkt_csv_source(sf_dir: str):
     return ops.salted_count(ds, "grid_cell", count_alias="n")
 
 
+def q_geojsonl_source(sf_dir: str):
+    """GeoJSONSeq ingest end-to-end: part centroids serialized as
+    newline-delimited Features by the engine's GeoJSON writer, read
+    back through the splittable text source (sources.read_geojsonl:
+    line parse + property projection + native decode), grid-binned and
+    counted — same cells-from-part oracle as the CSV source, pinning
+    the writer→parser round trip AND the source plumbing."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from georay import sources
+    from georay.codecs import geojson as gj
+    from georay.codecs import native as _nat
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    cx = ((pk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    cy = ((pk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    geo = GeoType.point(crs="OGC:CRS84")
+    pts = _nat.build_points(np.column_stack([cx, cy]), geo)
+    feats = gj.encode(pts, geo).to_pylist()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_gj_{len(pk)}_{int(pk[:16].sum())}.geojsonl",
+    )
+    if not os.path.exists(path):
+        with open(path + ".tmp", "w") as f:
+            for key, g in zip(pk.tolist(), feats):
+                f.write(
+                    '{"type":"Feature","properties":{"p_partkey":'
+                    f"{key}" '},"geometry":' + g + "}\n"
+                )
+        os.replace(path + ".tmp", path)
+
+    ds = sources.read_geojsonl(
+        path, target=GeoType.point(), out_col="geotag",
+        properties={"p_partkey": pa.int64()},
+    )
+    ds = ops.add_grid_column(ds, res=1.0, geom_col="geotag")
+    return ops.salted_count(ds, "grid_cell", count_alias="n")
+
+
+SQL_GEOJSONL_SOURCE = f"""
+SELECT CAST(FLOOR(({PART_CX} + 180)/1.0) AS BIGINT)*100000
+     + CAST(FLOOR(({PART_CY} + 90)/1.0) AS BIGINT) AS grid_cell,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1
+"""
+
+
 SQL_WKT_CSV_SOURCE = f"""
 SELECT CAST(FLOOR(({PART_CX} + 180)/1.0) AS BIGINT)*100000
      + CAST(FLOOR(({PART_CY} + 90)/1.0) AS BIGINT) AS grid_cell,
@@ -15519,6 +15571,7 @@ QUERIES = {
     "intersect_join": q_intersect_join,
     "intersect_str": q_intersect_str,
     "wkt_csv_source": q_wkt_csv_source,
+    "geojsonl_source": q_geojsonl_source,
     "grouped_bounds": q_grouped_bounds,
     "geodesic_stats": q_geodesic_stats,
     "rollup": q_rollup,
@@ -15837,6 +15890,7 @@ ORACLE = {
     "intersect_join": SQL_INTERSECT_JOIN,
     "intersect_str": SQL_INTERSECT_JOIN,
     "wkt_csv_source": SQL_WKT_CSV_SOURCE,
+    "geojsonl_source": SQL_GEOJSONL_SOURCE,
     "grouped_bounds": SQL_GROUPED_BOUNDS,
     "geodesic_stats": SQL_GEODESIC_STATS,
     "rollup": SQL_ROLLUP,
