@@ -1189,6 +1189,134 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    edges: ray.data.Dataset,
+    weight_fn,
+    n_iter: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale_bits: int = 30,
+    local_edge_cutoff: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Edge-WEIGHTED PageRank: a node splits its rank among neighbors
+    proportionally to edge weight — per directed edge u→v the
+    contribution is ``(rank_u · w_uv) // wdeg_u`` with
+    ``wdeg_u = Σ_v w_uv`` (integer floor per EDGE, so the chained-CTE
+    SQL twin is bit-identical). ``weight_fn(a, b) -> int64`` must be
+    symmetric, positive and derived from the endpoint ids (sssp's
+    convention — ship a weight column via a wrapper when edges carry
+    one). Same two plans as ``pagerank``: in-memory under the cutoff,
+    else per-iteration streaming edge pass + combine tree with the
+    o(nodes) (rank, wdeg) table broadcast."""
+    import ray as _ray
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "rank_q": pa.array([], pa.int64())}
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(empty)
+    scale = 1 << scale_bits
+    if n_edges <= local_edge_cutoff:
+        t = pa.concat_tables(
+            edges.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if a.shape[0] == 0:
+            return ray.data.from_arrow(empty)
+        w = np.asarray(weight_fn(a, b), np.int64)
+        if w.min() <= 0:
+            raise ValueError("pagerank_weighted: weights must be positive")
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: a.shape[0]], inv[a.shape[0]:]
+        n = nodes.shape[0]
+        wdeg = (
+            np.bincount(ia, weights=w.astype(np.float64), minlength=n)
+            + np.bincount(ib, weights=w.astype(np.float64), minlength=n)
+        ).astype(np.int64)
+        base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+        rank = np.full(n, scale // n, dtype=np.int64)
+        for _ in range(n_iter):
+            ca = (rank[ia] * w) // wdeg[ia]  # u=a → v=b
+            cb = (rank[ib] * w) // wdeg[ib]  # u=b → v=a
+            sums = np.bincount(ib, weights=ca.astype(np.float64), minlength=n)
+            sums += np.bincount(ia, weights=cb.astype(np.float64), minlength=n)
+            rank = base_q + (damping_num * sums.astype(np.int64)) // damping_den
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()),
+                      "rank_q": pa.array(rank, pa.int64())})
+        )
+
+    # distributed: o(nodes) (rank, wdeg) broadcast per iteration
+    def wdeg_partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.asarray(weight_fn(a, b), np.int64)
+        node = np.concatenate([a, b])
+        ks, vs = _group_reduce(
+            [node], {"partial_w": np.concatenate([w, w])}
+        )
+        return pa.table(
+            {
+                "node": pa.array(ks[0], pa.int64()),
+                "partial_w": pa.array(vs["partial_w"], pa.int64()),
+            }
+        )
+
+    degt = tree_sum(
+        edges.map_batches(wdeg_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        ["node"], {"partial_w": "wdeg"}, int_cols=("partial_w",),
+    ).to_pandas()
+    nodes = degt["node"].to_numpy().astype(np.int64)
+    wdeg = degt["wdeg"].to_numpy().astype(np.int64)
+    o = np.argsort(nodes, kind="stable")
+    nodes, wdeg = nodes[o], wdeg[o]
+    n = nodes.shape[0]
+    base_q = ((damping_den - damping_num) * scale) // (damping_den * n)
+    rank = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(n_iter):
+        ref = _ray.put((nodes, rank, wdeg))
+        cache: dict = {}
+
+        def emit(batch: pa.Table, _ref=ref) -> pa.Table:
+            ns, rk, wd = cache.setdefault("m", _ray.get(_ref))
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = np.asarray(weight_fn(a, b), np.int64)
+            pa_ = np.searchsorted(ns, a)
+            pb_ = np.searchsorted(ns, b)
+            ca = (rk[pa_] * w) // wd[pa_]
+            cb = (rk[pb_] * w) // wd[pb_]
+            dst = np.concatenate([b, a])
+            ks, vs = _group_reduce(
+                [dst], {"partial_c": np.concatenate([ca, cb])}
+            )
+            return pa.table(
+                {
+                    "node": pa.array(ks[0], pa.int64()),
+                    "partial_c": pa.array(vs["partial_c"], pa.int64()),
+                }
+            )
+
+        st = tree_sum(
+            edges.map_batches(emit, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None),
+            ["node"], {"partial_c": "c"}, int_cols=("partial_c",),
+        ).to_pandas()
+        sums = np.zeros(n, dtype=np.int64)
+        sums[np.searchsorted(nodes, st["node"].to_numpy().astype(np.int64))] = (
+            st["c"].to_numpy().astype(np.int64)
+        )
+        rank = base_q + (damping_num * sums) // damping_den
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(nodes, pa.int64()),
+                  "rank_q": pa.array(rank, pa.int64())})
+    )
+
+
 def _triangle_count_local(a: np.ndarray, b: np.ndarray) -> int:
     """Exact triangle count of a distinct (a<b) edge list, in-memory —
     the same degree-ordered node-iterator as the distributed plan, all
@@ -4001,6 +4129,101 @@ def event_sequences(
         parts, ["seq"], {"partial_n": "n"}, int_cols=("partial_n",)
     )
     return _ops.top_k(hist, ["n", "seq"], k, descending=[True, False])
+
+
+def frequent_triples(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_group_size: int = 64,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Frequent 3-itemsets (the Apriori level-3 table ``market_basket``
+    stops short of): distinct item triples ``a < b < c`` co-occurring
+    in ≥ ``min_support`` baskets. One basket-bucket shuffle; triples
+    enumerate VECTORIZED as pairs × suffix extension (for each in-group
+    pair (i,j), every k > j extends it — two ragged repeats, zero
+    per-basket Python); support counts merge through the combine tree.
+    Triple volume is Σ C(s,3) per basket — ``max_group_size`` is the
+    cubic-cost guard (baskets above it are DROPPED, mirrored by the SQL
+    twin's HAVING cap)."""
+    proj = ds.select_columns([group_col, item_col])
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = group[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, gid0 = _group_starts(g, it)
+        g_s, it_s = g[order], it[order]
+        n = g_s.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (g_s[1:] != g_s[:-1]) | (it_s[1:] != it_s[:-1])
+        g_d, it_d = g_s[keep], it_s[keep]
+        m = g_d.shape[0]
+        first = np.zeros(m, dtype=bool)
+        if m:
+            first[0] = True
+            first[1:] = g_d[1:] != g_d[:-1]
+        starts_d = np.nonzero(first)[0]
+        if m:
+            sizes = np.diff(np.append(starts_d, m))
+            gid = np.cumsum(first) - 1
+            ok = sizes[gid] <= max_group_size
+            g_d, it_d = g_d[ok], it_d[ok]
+            m = g_d.shape[0]
+            first = np.zeros(m, dtype=bool)
+            if m:
+                first[0] = True
+                first[1:] = g_d[1:] != g_d[:-1]
+            starts_d = np.nonzero(first)[0]
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+                "partial_n": pa.array([], pa.int64()),
+            }
+        )
+        if m == 0:
+            return empty
+        i, j = _pairs_within_groups(starts_d, m)
+        if i.shape[0] == 0:
+            return empty
+        gid = np.cumsum(first) - 1
+        ends = np.append(starts_d[1:], m)
+        n_ext = ends[gid[j]] - 1 - j  # k > j within the group
+        tot = int(n_ext.sum())
+        if tot == 0:
+            return empty
+        rep_i = np.repeat(i, n_ext)
+        rep_j = np.repeat(j, n_ext)
+        k = rep_j + 1 + (
+            np.arange(tot) - np.repeat(np.cumsum(n_ext) - n_ext, n_ext)
+        )
+        ks, vs = _group_reduce(
+            [it_d[rep_i], it_d[rep_j], it_d[k]],
+            {"partial_n": np.ones(tot, np.int64)},
+        )
+        return pa.table(
+            {
+                "a": pa.array(ks[0], pa.int64()),
+                "b": pa.array(ks[1], pa.int64()),
+                "c": pa.array(ks[2], pa.int64()),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+            }
+        )
+
+    counted = tree_sum(
+        _bucketed(proj, [group_col], n_buckets).map_groups(
+            per_bucket, batch_format="pyarrow"
+        ),
+        ["a", "b", "c"], {"partial_n": "support"}, int_cols=("partial_n",),
+    )
+    if min_support > 1:
+        counted = counted.filter(expr=f"support >= {int(min_support)}")
+    return counted
 
 
 def market_basket(

@@ -9974,6 +9974,52 @@ r{it} AS (SELECT deg.node,
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_pagerank_weighted(sf_dir: str):
+    """Edge-weighted PageRank on the co-purchase graph, weight
+    1 + (a+b)%7 (the sssp family's id-derived convention): rank splits
+    proportionally to edge weight, per-edge integer floor
+    (analytics.pagerank_weighted)."""
+    from georay import analytics
+
+    return analytics.pagerank_weighted(
+        _copurchase_edges(sf_dir).materialize(),
+        lambda a, b: 1 + (a + b) % 7,
+        n_iter=PAGERANK_ITERS,
+    )
+
+
+def _pagerank_weighted_sql() -> str:
+    scale = 1 << 30
+    parts = [
+        f"WITH {SQL_COPURCHASE_EDGES.strip()}",
+        """,
+sym AS (SELECT a AS s, b AS d, 1 + (a + b) % 7 AS w FROM e
+        UNION ALL SELECT b, a, 1 + (a + b) % 7 FROM e)""",
+        ",\ndeg AS (SELECT s AS node, SUM(w) AS wdeg FROM sym GROUP BY s)",
+        ",\nnn AS (SELECT COUNT(*) AS n FROM deg)",
+        f",\nr0 AS (SELECT node, {scale} // nn.n AS rq FROM deg CROSS JOIN nn)",
+    ]
+    for it in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(
+            f""",
+s{it} AS (SELECT s.d AS node, SUM((r.rq * s.w) // dg.wdeg) AS c
+       FROM sym s JOIN {prev} r ON r.node = s.s
+       JOIN deg dg ON dg.node = s.s GROUP BY s.d),
+r{it} AS (SELECT deg.node,
+              (15 * CAST({scale} AS BIGINT)) // (100 * nn.n)
+              + (85 * COALESCE(s{it}.c, 0)) // 100 AS rq
+       FROM deg CROSS JOIN nn LEFT JOIN s{it} ON s{it}.node = deg.node)"""
+        )
+    parts.append(
+        f"\nSELECT node, CAST(rq AS BIGINT) AS rank_q FROM r{PAGERANK_ITERS}"
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK_WEIGHTED = _pagerank_weighted_sql()
+
+
 PPR_N_SEEDS = 3
 
 
@@ -12904,6 +12950,32 @@ def q_market_basket(sf_dir: str):
     )
 
 
+def q_basket_triples(sf_dir: str):
+    """Frequent 3-itemsets over order baskets (analytics.
+    frequent_triples — pairs × suffix-extension ragged enumeration,
+    size-capped baskets, combine-tree supports)."""
+    from georay import analytics
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"]
+    )
+    return analytics.frequent_triples(
+        li, "l_orderkey", "l_partkey", min_support=2, max_group_size=64
+    )
+
+
+SQL_BASKET_TRIPLES = """
+WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+kept AS (SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= 64),
+bk AS (SELECT b0.g, b0.i FROM b0 JOIN kept USING (g))
+SELECT x.i AS a, y.i AS b, z.i AS c, CAST(COUNT(*) AS BIGINT) AS support
+FROM bk x
+JOIN bk y ON y.g = x.g AND y.i > x.i
+JOIN bk z ON z.g = y.g AND z.i > y.i
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+"""
+
+
 SQL_MARKET_BASKET = """
 WITH b0 AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
 kept AS (SELECT g FROM b0 GROUP BY g HAVING COUNT(*) <= 64),
@@ -15345,6 +15417,7 @@ QUERIES = {
     "jsonl_source": q_jsonl_source,
     "ks_by_source": q_ks_by_source,
     "market_basket": q_market_basket,
+    "basket_triples": q_basket_triples,
     "hits": q_hits,
     "sssp": q_sssp,
     "sssp_partitioned": q_sssp_partitioned,
@@ -15444,6 +15517,7 @@ QUERIES = {
     "components_partitioned": q_components_partitioned,
     "pagerank": q_pagerank,
     "ppr": q_ppr,
+    "pagerank_weighted": q_pagerank_weighted,
     "pagerank_partitioned": q_pagerank_partitioned,
     "tile_pyramid": q_tile_pyramid,
     "tpch_q1": q_tpch_q1,
@@ -15674,6 +15748,7 @@ ORACLE = {
     "jsonl_source": SQL_JSONL_SOURCE,
     "ks_by_source": SQL_KS_BY_SOURCE,
     "market_basket": SQL_MARKET_BASKET,
+    "basket_triples": SQL_BASKET_TRIPLES,
     "hits": SQL_HITS,
     "sssp": SQL_SSSP,
     "sssp_partitioned": SQL_SSSP,
@@ -15771,6 +15846,7 @@ ORACLE = {
     "components_partitioned": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "ppr": SQL_PPR,
+    "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
     "pagerank_partitioned": SQL_PAGERANK,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "tpch_q1": SQL_TPCH_Q1,

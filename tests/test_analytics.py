@@ -2030,3 +2030,45 @@ def test_line_density_matches_brute_force(ray_session):
                     continue
                 want[(gx, gy)] = want.get((gx, gy), 0) + 1
     assert got == want and len(want) > 50
+
+
+def test_pagerank_weighted_paths_and_degeneracy(ray_session):
+    """Weighted PageRank: local and distributed paths bit-identical;
+    uniform weights reproduce plain pagerank; nonpositive weights
+    raise."""
+    import pytest
+    import ray.data as rd
+
+    from georay import analytics
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 40, 120)
+    b = (a + 1 + rng.integers(0, 38, 120)) % 40
+    e = np.unique(np.stack([np.minimum(a, b), np.maximum(a, b)], 1), axis=0)
+    e = e[e[:, 0] != e[:, 1]]
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array(e[:, 0], pa.int64()),
+                  "b": pa.array(e[:, 1], pa.int64())})
+    ).materialize()
+    wfn = lambda x, y: 1 + (x * 3 + y) % 5
+    loc = (
+        analytics.pagerank_weighted(edges, wfn, n_iter=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        analytics.pagerank_weighted(edges, wfn, n_iter=3, local_edge_cutoff=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert loc.values.tolist() == dist.values.tolist()
+    # weight ≡ 1 degenerates to the unweighted iteration exactly
+    uni = (
+        analytics.pagerank_weighted(edges, lambda x, y: np.ones(x.shape[0], np.int64), n_iter=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    plain = (
+        analytics.pagerank(edges, n_iter=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert uni.values.tolist() == plain.values.tolist()
+    with pytest.raises(ValueError, match="positive"):
+        analytics.pagerank_weighted(edges, lambda x, y: np.zeros(x.shape[0], np.int64))
