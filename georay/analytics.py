@@ -1189,6 +1189,35 @@ def pagerank(
     )
 
 
+def ktruss_edges(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 3,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Fixed-round k-truss peeling: each round computes every surviving
+    edge's triangle support on the CURRENT edge set (``edge_jaccard``'s
+    two bounded co-shuffles) and drops edges with support < k−2; after
+    ``rounds`` rounds the surviving ``(a, b)`` set is returned (with
+    rounds ≥ the peel depth this is the exact k-truss — the same
+    fixed-round budget ``kcore_peel`` uses, and what the unrolled SQL
+    twin pins). The cohesive-subgraph detector one level stronger than
+    k-core: every surviving edge sits in ≥ k−2 triangles of survivors.
+    No driver state — the edge set stays a Dataset between rounds; the
+    driver sees one count per round (the loop guard)."""
+    cur = edges.materialize()
+    for _ in range(rounds):
+        if cur.count() == 0:
+            break
+        sup = edge_jaccard(cur, n_buckets=n_buckets)
+        cur = (
+            sup.filter(expr=f"common >= {int(k) - 2}")
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+    return cur
+
+
 def pagerank_weighted(
     edges: ray.data.Dataset,
     weight_fn,

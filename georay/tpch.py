@@ -9974,6 +9974,48 @@ r{it} AS (SELECT deg.node,
 SQL_PAGERANK = _pagerank_sql()
 
 
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 3
+
+
+def q_ktruss(sf_dir: str):
+    """{_KTRUSS_K}-truss of the co-purchase graph, {_KTRUSS_ROUNDS}
+    fixed peel rounds (analytics.ktruss_edges — per-round edge-support
+    recount via edge_jaccard's bounded co-shuffles, edge set stays a
+    Dataset)."""
+    from georay import analytics
+
+    return analytics.ktruss_edges(
+        _copurchase_edges(sf_dir), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+
+
+def _ktruss_sql() -> str:
+    parts = [
+        f"WITH {SQL_COPURCHASE_EDGES.strip()}",
+        ",\ne0 AS (SELECT a, b FROM e)",
+    ]
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        p = f"e{r - 1}"
+        parts.append(f""",
+sym{r} AS (SELECT a AS s, b AS d FROM {p} UNION ALL SELECT b, a FROM {p}),
+sup{r} AS (
+  SELECT e.a, e.b, COUNT(*) AS c FROM {p} e
+  JOIN sym{r} s1 ON s1.s = e.a JOIN sym{r} s2 ON s2.s = e.b AND s2.d = s1.d
+  GROUP BY e.a, e.b
+),
+e{r} AS (
+  SELECT e.a, e.b FROM {p} e
+  LEFT JOIN sup{r} c ON c.a = e.a AND c.b = e.b
+  WHERE COALESCE(c.c, 0) >= {_KTRUSS_K - 2}
+)""")
+    parts.append(f"\nSELECT a, b FROM e{_KTRUSS_ROUNDS}")
+    return "".join(parts)
+
+
+SQL_KTRUSS = _ktruss_sql()
+
+
 def q_pagerank_weighted(sf_dir: str):
     """Edge-weighted PageRank on the co-purchase graph, weight
     1 + (a+b)%7 (the sssp family's id-derived convention): rank splits
@@ -15518,6 +15560,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "ppr": q_ppr,
     "pagerank_weighted": q_pagerank_weighted,
+    "ktruss": q_ktruss,
     "pagerank_partitioned": q_pagerank_partitioned,
     "tile_pyramid": q_tile_pyramid,
     "tpch_q1": q_tpch_q1,
@@ -15847,6 +15890,7 @@ ORACLE = {
     "pagerank": SQL_PAGERANK,
     "ppr": SQL_PPR,
     "pagerank_weighted": SQL_PAGERANK_WEIGHTED,
+    "ktruss": SQL_KTRUSS,
     "pagerank_partitioned": SQL_PAGERANK,
     "tile_pyramid": SQL_TILE_PYRAMID,
     "tpch_q1": SQL_TPCH_Q1,
