@@ -847,6 +847,160 @@ def write_postings(
     )
 
 
+def write_postings_positional(
+    ds: rd.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> list[str]:
+    """POSITIONAL inverted-index layout: one ``(token, doc, pos)`` row
+    per token OCCURRENCE (0-based position in the canonical token
+    sequence), hash-bucketed by token like ``write_postings`` — the
+    layout phrase/proximity queries need (``postings_phrase``). Same
+    cost shape: occurrences are built where the document's row lives,
+    the one exchange is the bucketed write, and a query's scan is
+    bounded by its terms' buckets, not the corpus."""
+    from georay.ops import _key_hash
+    from georay.stages.text import _tokenize_flat
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks, counts = _tokenize_flat(txt)
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        tot = int(counts.sum())
+        pos = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        t = toks.to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        keep = ln > 0
+        out = pa.table(
+            {
+                "token": pa.array(t[keep].astype(str)),
+                id_col: pa.array(doc[owner][keep]),
+                "pos": pa.array(pos[keep], pa.int64()),
+            }
+        )
+        h = _key_hash(out, ["token"])
+        return out.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+    with open(os.path.join(out_dir, "_POSTINGS.json"), "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "id_col": id_col,
+                "id_type": str(ds.schema().base_schema.field(id_col).type),
+                "positional": True,
+            },
+            f,
+        )
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("bucket=")
+    )
+
+
+def postings_phrase(
+    postings_dir: str,
+    phrase: list[str],
+) -> rd.Dataset:
+    """EXACT PHRASE search over a ``write_postings_positional`` layout:
+    documents containing the terms at consecutive positions, with the
+    per-document occurrence count. Reads ONLY the phrase terms' buckets
+    (the layout's payoff); each batch re-keys every term-i occurrence
+    to its candidate phrase START (``pos − i``) and emits partial
+    counts; the combine tree sums per (doc, start), and a start matched
+    by ALL positions is one occurrence. Occurrence rows are
+    query-result-sized — the corpus never moves."""
+    from georay.ops import _group_reduce, _key_hash, tree_sum
+
+    if not phrase:
+        raise ValueError("postings_phrase: empty phrase")
+    with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise ValueError(
+            "postings_phrase needs a write_postings_positional layout "
+            "(this manifest has no positions)"
+        )
+    n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+    uniq = sorted(set(phrase))
+    tt = pa.table({"token": pa.array(uniq, pa.string())})
+    tb = (_key_hash(tt, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+    files = [
+        f
+        for b in sorted(set(tb.tolist()))
+        for f in sorted(
+            glob.glob(os.path.join(postings_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    empty = pa.table(
+        {id_col: pa.array([], _manifest_id_type(meta)),
+         "n_occ": pa.array([], pa.int64())}
+    )
+    if not files:
+        return rd.from_arrow(empty)
+    n_terms = len(phrase)
+
+    def starts_partial(batch: pa.Table) -> pa.Table:
+        tok = batch["token"]
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = batch["pos"].to_numpy(zero_copy_only=False)
+        docs, starts = [], []
+        for i, term in enumerate(phrase):
+            m = pc.equal(tok, term).to_numpy(zero_copy_only=False)
+            docs.append(doc[m])
+            starts.append(pos[m] - i)
+        d = np.concatenate(docs)
+        s = np.concatenate(starts)
+        ks, vs = _group_reduce(
+            [d, s], {"partial_m": np.ones(d.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ks[0]),
+                "start": pa.array(ks[1], pa.int64()),
+                "partial_m": pa.array(vs["partial_m"], pa.int64()),
+            }
+        )
+
+    matched = tree_sum(
+        rd.read_parquet(files, columns=["token", id_col, "pos"]).map_batches(
+            starts_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [id_col, "start"], {"partial_m": "m"}, int_cols=("partial_m",),
+    ).filter(expr=f"m >= {n_terms}")
+    # m == n_terms exactly (each (doc,term,pos) row is unique per i);
+    # >= guards nothing but keeps the filter monotone
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        doc = batch[id_col].to_numpy(zero_copy_only=False)
+        ks, vs = _group_reduce(
+            [doc], {"partial_o": np.ones(doc.shape[0], np.int64)}
+        )
+        return pa.table(
+            {id_col: pa.array(ks[0]),
+             "partial_o": pa.array(vs["partial_o"], pa.int64())}
+        )
+
+    return tree_sum(
+        matched.map_batches(
+            occ_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        [id_col], {"partial_o": "n_occ"}, int_cols=("partial_o",),
+    )
+
+
 def postings_search(
     postings_dir: str,
     terms: list[str],

@@ -14724,6 +14724,62 @@ def q_postings_and(sf_dir: str):
     return pipeline.postings_search(idx, ["merge", "window"], mode="and")
 
 
+PHRASE_TERMS = ["stream", "column"]
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact PHRASE search over the POSITIONAL inverted-index layout
+    (pipeline.write_postings_positional / postings_phrase): documents
+    containing "{' '.join(PHRASE_TERMS)}" as consecutive tokens, with
+    per-document occurrence counts. The search reads only the phrase
+    terms' buckets and re-keys occurrences to candidate starts
+    (pos − i) — an all-positions-matched start is one occurrence."""
+    from georay import pipeline
+
+    return pipeline.postings_phrase(
+        _postings_pos_cache(sf_dir), PHRASE_TERMS
+    )
+
+
+def _postings_pos_cache(sf_dir: str) -> str:
+    """Shared per-sf-dir POSITIONAL postings index under /tmp."""
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"georay_postings_pos_{tag}")
+    if not os.path.exists(os.path.join(idx, "_POSTINGS.json")):
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+        pipeline.write_postings_positional(docs, idx, n_buckets=16)
+    return idx
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS token,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM d
+),
+m AS (
+  SELECT doc_id, pos - 0 AS start FROM toks WHERE token = 'stream'
+  UNION ALL
+  SELECT doc_id, pos - 1 FROM toks WHERE token = 'column'
+),
+hit AS (
+  SELECT doc_id, start FROM m GROUP BY doc_id, start HAVING COUNT(*) = 2
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ FROM hit GROUP BY doc_id
+"""
+
+
 def _postings_cache(sf_dir: str) -> str:
     """Shared per-sf-dir postings index under /tmp; rebuilt when the
     manifest predates the current layout (missing corpus scalars)."""
@@ -15482,6 +15538,7 @@ QUERIES = {
     "cell_image_stats": q_cell_image_stats,
     "tile_mosaic": q_tile_mosaic,
     "postings_and": q_postings_and,
+    "phrase_search": q_phrase_search,
     "bm25_indexed": q_bm25_indexed,
     "areal_interp": q_areal_interp,
     "asof_interp": q_asof_interp,
@@ -15813,6 +15870,7 @@ ORACLE = {
     "cell_image_stats": SQL_CELL_IMAGE_STATS,
     "tile_mosaic": SQL_TILE_MOSAIC,
     "postings_and": SQL_POSTINGS_AND,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "bm25_indexed": SQL_BM25,
     "areal_interp": SQL_AREAL_INTERP,
     "asof_interp": SQL_ASOF_INTERP,

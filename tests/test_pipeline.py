@@ -289,6 +289,7 @@ def test_postings_layout_roundtrip(ray_session, tmp_path):
     including tokenizer normalization and a term absent from the
     corpus."""
     import pyarrow as pa
+    import pyarrow as pa
     import ray.data as rd
 
     from georay import pipeline
@@ -621,3 +622,37 @@ def test_bloom_lookup_negative_ids(ray_session, tmp_path):
         out, [-1000, -1, 0, 999], columns=["id"]
     )
     assert sorted(ds.to_pandas()["id"].tolist()) == [-1000, -1, 0, 999]
+
+
+def test_postings_phrase_repeated_terms_and_prune(ray_session, tmp_path):
+    """Positional phrase search: repeated-term phrases match only true
+    consecutive runs; occurrence counts exact; only the phrase terms'
+    buckets are read."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a a b c",        # "a a" once, "a b" once
+            "a b a a a",      # "a a" twice (positions 2,3), "a b" once
+            "b b b",          # none
+            "x a",            # none
+        ]),
+    })
+    idx = str(tmp_path / "pos")
+    pipeline.write_postings_positional(rd.from_arrow(docs), idx, n_buckets=8)
+
+    def res(phrase):
+        return {
+            r["doc_id"]: r["n_occ"]
+            for r in pipeline.postings_phrase(idx, phrase).take_all()
+        }
+
+    assert res(["a", "a"]) == {1: 1, 2: 2}
+    assert res(["a", "b"]) == {1: 1, 2: 1}
+    assert res(["a", "a", "a"]) == {2: 1}
+    assert res(["b", "c"]) == {1: 1}
+    assert res(["c", "a"]) == {}
