@@ -11655,6 +11655,97 @@ SQL_LINE_DENSITY = (
 )
 
 
+# fixed demo route on the ×20 lattice (5 vertices spanning the map)
+_ROUTE_VERTS = [(-3000, -1200), (-1000, 800), (500, -500), (2000, 1200),
+                (3400, -900)]
+_ROUTE_R = 40  # lattice units = 2°
+
+
+def q_route_exposure(sf_dir: str):
+    """Route-corridor exposure: per segment of a fixed polyline, the
+    number of event points within {_ROUTE_R} lattice units (2°) —
+    point-to-SEGMENT distance decided EXACTLY in int64 (projection
+    thirds: before A ⇒ |AP|²; past B ⇒ |BP|²; else the cross-multiplied
+    ``|AP|²·|AB|² − dot² ≤ r²·|AB|²``), so the CASE-arithmetic SQL twin
+    is bit-identical. The route broadcasts (5 segments); the predicate
+    is one vectorized pass per batch and the per-segment counts fold
+    through the combine tree — NO shuffle at all."""
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_id"])
+    vx = np.array([v[0] for v in _ROUTE_VERTS], np.int64)
+    vy = np.array([v[1] for v in _ROUTE_VERTS], np.int64)
+    ax, ay = vx[:-1], vy[:-1]
+    bx, by = vx[1:], vy[1:]
+    r2 = _ROUTE_R * _ROUTE_R
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = 2 * ((u * 37 + e * 13) % 3600) - 3599
+        py = 2 * ((u * 53 + e * 29) % 1700) - 1699
+        segs, counts = [], []
+        for s in range(ax.shape[0]):
+            apx = px - ax[s]
+            apy = py - ay[s]
+            abx = int(bx[s] - ax[s])
+            aby = int(by[s] - ay[s])
+            ab2 = abx * abx + aby * aby
+            dot = apx * abx + apy * aby
+            ap2 = apx * apx + apy * apy
+            bpx = px - bx[s]
+            bpy = py - by[s]
+            bp2 = bpx * bpx + bpy * bpy
+            mid = ap2 * ab2 - dot * dot <= r2 * ab2
+            hit = np.where(
+                dot <= 0, ap2 <= r2, np.where(dot >= ab2, bp2 <= r2, mid)
+            )
+            segs.append(s)
+            counts.append(int(hit.sum()))
+        return pa.table(
+            {
+                "seg": pa.array(segs, pa.int64()),
+                "partial_n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        ["seg"], {"partial_n": "n_points"}, int_cols=("partial_n",),
+    )
+
+
+def _route_exposure_sql() -> str:
+    cases = []
+    for s in range(len(_ROUTE_VERTS) - 1):
+        ax, ay = _ROUTE_VERTS[s]
+        bx, by = _ROUTE_VERTS[s + 1]
+        abx, aby = bx - ax, by - ay
+        ab2 = abx * abx + aby * aby
+        r2 = _ROUTE_R * _ROUTE_R
+        cases.append(f"""
+SELECT {s} AS seg, COUNT(*) AS n_points FROM pts
+WHERE CASE
+  WHEN (px - {ax})*{abx} + (py - {ay})*{aby} <= 0
+    THEN (px - {ax})*(px - {ax}) + (py - {ay})*(py - {ay}) <= {r2}
+  WHEN (px - {ax})*{abx} + (py - {ay})*{aby} >= {ab2}
+    THEN (px - {bx})*(px - {bx}) + (py - {by})*(py - {by}) <= {r2}
+  ELSE ((px - {ax})*(px - {ax}) + (py - {ay})*(py - {ay})) * {ab2}
+       - ((px - {ax})*{abx} + (py - {ay})*{aby})
+         * ((px - {ax})*{abx} + (py - {ay})*{aby})
+       <= {r2 * ab2}
+END""")
+    return (
+        "WITH pts AS (\n"
+        "  SELECT 2*((user_id*37 + event_id*13) % 3600) - 3599 AS px,\n"
+        "         2*((user_id*53 + event_id*29) % 1700) - 1699 AS py\n"
+        "  FROM events\n)"
+        + "\nUNION ALL".join(cases)
+    )
+
+
+SQL_ROUTE_EXPOSURE = _route_exposure_sql()
+
+
 _ROUTE_ROUNDS = 8
 
 
@@ -15486,6 +15577,7 @@ QUERIES = {
     "cell_trend": q_cell_trend,
     "line_density": q_line_density,
     "grid_route": q_grid_route,
+    "route_exposure": q_route_exposure,
     "autocorr": q_autocorr,
     "freq_spectrum": q_freq_spectrum,
     "group_topk_ties": q_group_topk_ties,
@@ -15819,6 +15911,7 @@ ORACLE = {
     "cell_trend": SQL_CELL_TREND,
     "line_density": SQL_LINE_DENSITY,
     "grid_route": SQL_GRID_ROUTE,
+    "route_exposure": SQL_ROUTE_EXPOSURE,
     "autocorr": SQL_AUTOCORR,
     "freq_spectrum": SQL_FREQ_SPECTRUM,
     "group_topk_ties": SQL_GROUP_TOPK_TIES,
