@@ -30,4 +30,20 @@ print("components:", len(set(labels["label"].to_pylist())))
 pr = analytics.pagerank(edges, n_iter=3).to_pandas()
 print("top pagerank:")
 print(pr.sort_values("rank_q", ascending=False).head())
+
+# session-6 family: communities, quality, cohesion, recommendations
+lpa = analytics.label_propagation(edges, rounds=3)
+mod = analytics.modularity(edges, lpa).to_pandas()
+print("LPA modularity: q_num =", int(mod["q_num"][0]),
+      "of 4m^2 =", 4 * int(mod["m_edges"][0]) ** 2)
+truss = analytics.ktruss_edges(edges, k=3, rounds=3)
+print("3-truss edges:", truss.count())
+import numpy as np  # noqa: E402
+seeds = np.sort(lpa.to_pandas()["node"].to_numpy())[:3]
+ppr = analytics.pagerank(edges, n_iter=3, seeds=seeds).to_pandas()
+print("personalized pagerank (3 seeds), top:")
+print(ppr.sort_values("rank_q", ascending=False).head(3))
+sim = analytics.item_similarity_topk(li, "l_orderkey", "l_partkey", k=3)
+print("item-item recommendations:")
+print(sim.to_pandas().head())
 ray.shutdown()
