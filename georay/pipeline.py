@@ -1001,6 +1001,105 @@ def postings_phrase(
     )
 
 
+def postings_near(
+    postings_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int,
+) -> rd.Dataset:
+    """PROXIMITY search over a positional postings layout: documents
+    where ``term_a`` and ``term_b`` occur within ``window`` tokens,
+    with the exact minimum gap — ``(doc, min_gap)``. Reads only the two
+    terms' buckets; the occurrence rows (term-bounded, query-sized)
+    co-shuffle ONCE by doc hash, and each bucket computes every doc's
+    min |posA − posB| fully vectorized: in the merged (doc, pos) sort,
+    the minimum cross-term gap is realized by some ADJACENT pair with
+    differing sides, so one lexsort + one masked diff finds it."""
+    from georay.ops import _group_reduce, _key_hash, tree_sum
+
+    with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise ValueError("postings_near needs a positional layout")
+    n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+    if term_a == term_b:
+        raise ValueError("postings_near: terms must differ")
+    tt = pa.table({"token": pa.array(sorted({term_a, term_b}), pa.string())})
+    tb = (_key_hash(tt, ["token"]) % np.uint64(n_buckets)).astype(np.int64)
+    files = [
+        f
+        for b in sorted(set(tb.tolist()))
+        for f in sorted(
+            glob.glob(os.path.join(postings_dir, f"bucket={b}", "*.parquet"))
+        )
+    ]
+    empty = pa.table(
+        {id_col: pa.array([], _manifest_id_type(meta)),
+         "min_gap": pa.array([], pa.int64())}
+    )
+    if not files:
+        return rd.from_arrow(empty)
+
+    def project(batch: pa.Table) -> pa.Table:
+        tok = batch["token"]
+        ma = pc.equal(tok, term_a).to_numpy(zero_copy_only=False)
+        mb = pc.equal(tok, term_b).to_numpy(zero_copy_only=False)
+        keep = ma | mb
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "pos": sub["pos"],
+                "side": pa.array(mb[keep].astype(np.int8)),
+            }
+        )
+
+    occ = rd.read_parquet(files, columns=["token", id_col, "pos"]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    from georay.ops import _key_hash as _kh
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _kh(batch, [id_col])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def min_gap(group: pa.Table) -> pa.Table:
+        doc = group[id_col].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        d, p, s = doc[order], pos[order], side[order]
+        if d.shape[0] < 2:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "min_gap": pa.array([], pa.int64())}
+            )
+        adj = (d[1:] == d[:-1]) & (s[1:] != s[:-1])
+        gaps = p[1:] - p[:-1]
+        kd, kg = d[1:][adj], gaps[adj]
+        if kd.shape[0] == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "min_gap": pa.array([], pa.int64())}
+            )
+        (gd,), outs = _group_reduce([kd], {"g": kg}, ufunc=np.minimum)
+        keep = outs["g"] <= window
+        return pa.table(
+            {id_col: pa.array(gd[keep], pa.int64()),
+             "min_gap": pa.array(outs["g"][keep], pa.int64())}
+        )
+
+    bucketed = occ.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    return bucketed.groupby("_bucket").map_groups(
+        min_gap, batch_format="pyarrow"
+    )
+
+
 def postings_search(
     postings_dir: str,
     terms: list[str],

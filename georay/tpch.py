@@ -14871,6 +14871,42 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ FROM hit GROUP BY doc_id
 """
 
 
+NEAR_WINDOW = 5
+
+
+def q_near_search(sf_dir: str):
+    """Proximity search over the positional index: documents where
+    'merge' and 'window' occur within {NEAR_WINDOW} tokens, with the
+    exact minimum gap (pipeline.postings_near — bucket-pruned scan, one
+    doc-hash co-shuffle of the query-sized occurrence rows, vectorized
+    adjacent-pair min)."""
+    from georay import pipeline
+
+    return pipeline.postings_near(
+        _postings_pos_cache(sf_dir), "merge", "window", NEAR_WINDOW
+    )
+
+
+SQL_NEAR_SEARCH = rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS token,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM d
+),
+a AS (SELECT doc_id, pos FROM toks WHERE token = 'merge'),
+b AS (SELECT doc_id, pos FROM toks WHERE token = 'window')
+SELECT a.doc_id, CAST(MIN(ABS(a.pos - b.pos)) AS BIGINT) AS min_gap
+FROM a JOIN b USING (doc_id)
+GROUP BY a.doc_id HAVING MIN(ABS(a.pos - b.pos)) <= {NEAR_WINDOW}
+"""
+
+
 def _postings_cache(sf_dir: str) -> str:
     """Shared per-sf-dir postings index under /tmp; rebuilt when the
     manifest predates the current layout (missing corpus scalars)."""
@@ -15631,6 +15667,7 @@ QUERIES = {
     "tile_mosaic": q_tile_mosaic,
     "postings_and": q_postings_and,
     "phrase_search": q_phrase_search,
+    "near_search": q_near_search,
     "bm25_indexed": q_bm25_indexed,
     "areal_interp": q_areal_interp,
     "asof_interp": q_asof_interp,
@@ -15964,6 +16001,7 @@ ORACLE = {
     "tile_mosaic": SQL_TILE_MOSAIC,
     "postings_and": SQL_POSTINGS_AND,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "near_search": SQL_NEAR_SEARCH,
     "bm25_indexed": SQL_BM25,
     "areal_interp": SQL_AREAL_INTERP,
     "asof_interp": SQL_ASOF_INTERP,
