@@ -374,6 +374,16 @@ def item_similarity_topk(
         ),
         ["item"], {"partial_n": "n_g"}, int_cols=("partial_n",),
     ).to_pandas()
+    if "item" not in occ.columns:  # empty input (Ray 2.49 schema loss)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "score_q": pa.array([], pa.int64()),
+                }
+            )
+        )
     items = occ["item"].to_numpy().astype(np.int64)
     ng = occ["n_g"].to_numpy().astype(np.int64)
     order = np.argsort(items)

@@ -1036,3 +1036,57 @@ def test_session6_ops_edge_inputs(ray_session):
     # pure sides: score = (S_L*n_R + S_R*n_L)/(n_L*n_R) = (4*2+4*2)/4 = 4
     assert st["dim"].tolist() == [0] and st["thr"].tolist() == [0]
     assert st["score_q"].tolist() == [4 << 40]
+
+
+def test_session6_batch2_empty_inputs(ray_session, tmp_path):
+    """Empty/degenerate inputs through the second session-6 batch."""
+    import ray.data as rd
+
+    from georay import analytics, ops, pipeline
+
+    empty_gi = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()), "it": pa.array([], pa.int64()),
+    }))
+    assert analytics.frequent_triples(empty_gi, "g", "it").count() == 0
+    assert analytics.item_similarity_topk(empty_gi, "g", "it").count() == 0
+
+    empty_edges = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    assert analytics.ktruss_edges(empty_edges, k=3).count() == 0
+    out = analytics.pagerank_weighted(
+        empty_edges, lambda a, b: np.ones(a.shape[0], np.int64)
+    )
+    assert out.schema().names == ["node", "rank_q"] and out.count() == 0
+
+    # line_density: empty fixes and single-fix users (no legs)
+    empty_tr = rd.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "ix": pa.array([], pa.int64()), "iy": pa.array([], pa.int64()),
+    }))
+    assert analytics.line_density(
+        empty_tr, "u", "ts", "ix", "iy", x_origin=-3600, y_origin=-1800,
+        cell_units=200, nx=36, ny=18,
+    ).count() == 0
+    one_fix = rd.from_arrow(pa.table({
+        "u": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([0, 0], pa.int64()).cast(pa.timestamp("us")),
+        "ix": pa.array([5, 7], pa.int64()), "iy": pa.array([5, 7], pa.int64()),
+    }))
+    assert analytics.line_density(
+        one_fix, "u", "ts", "ix", "iy", x_origin=-3600, y_origin=-1800,
+        cell_units=200, nx=36, ny=18,
+    ).count() == 0
+
+    # phrase/near search: terms absent from the corpus
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["alpha beta"]),
+    })
+    idx = str(tmp_path / "pos2")
+    pipeline.write_postings_positional(rd.from_arrow(docs), idx, n_buckets=4)
+    assert pipeline.postings_phrase(idx, ["missing", "terms"]).count() == 0
+    assert pipeline.postings_near(idx, "alpha", "missing", 3).count() == 0
+    got = pipeline.postings_near(idx, "alpha", "beta", 3).take_all()
+    assert got == [{"doc_id": 1, "min_gap": 1}]
