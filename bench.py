@@ -252,6 +252,27 @@ def run_bench() -> dict:
     timed_ext("geary", lambda: tpch.q_geary(SF_DIR).count())
     timed_ext("grid_gradient", lambda: tpch.q_grid_gradient(SF_DIR).count())
     timed_ext("ppr", lambda: tpch.q_ppr(SF_DIR).count())
+    timed_ext("line_density", lambda: tpch.q_line_density(SF_DIR).count())
+    timed_ext("grid_route", lambda: tpch.q_grid_route(SF_DIR).count())
+    timed_ext(
+        "route_exposure", lambda: tpch.q_route_exposure(SF_DIR).count()
+    )
+    timed_ext("basket_triples", lambda: tpch.q_basket_triples(SF_DIR).count())
+    timed_ext(
+        "pagerank_weighted", lambda: tpch.q_pagerank_weighted(SF_DIR).count()
+    )
+    timed_ext("ktruss", lambda: tpch.q_ktruss(SF_DIR).count())
+    timed_ext("nn_stats", lambda: tpch.q_nn_stats(SF_DIR).count())
+    timed_ext(
+        "label_prop_partitioned",
+        lambda: tpch.q_label_prop_partitioned(SF_DIR).count(),
+    )
+    # positional-index queries: first call pays the one-time build
+    timed_ext("phrase_search", lambda: tpch.q_phrase_search(SF_DIR).count())
+    timed_ext("near_search", lambda: tpch.q_near_search(SF_DIR).count())
+    timed_ext(
+        "geojsonl_source", lambda: tpch.q_geojsonl_source(SF_DIR).count()
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -2071,6 +2071,99 @@ def trajectory_clip_rect(
     )
 
 
+def zone_dwell_time(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+    lon_col: str,
+    lat_col: str,
+    rect: tuple[float, float, float, float],
+    tiebreak_col: str | None = None,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-entity TIME spent inside an axis-aligned rectangle
+    (geofence dwell TIME — the temporal sibling of
+    ``trajectory_clip_rect``'s dwell distance): each leg's in-rect
+    parameter fraction (identical slab clip) scales the leg's elapsed
+    microseconds under the linear-motion assumption, and
+    ``floor(dt_us·frac + 0.5)`` sums per user —
+    ``(user, n_points, dwell_us)``. The fraction arithmetic and the
+    final rounding are the clip twin's IEEE ops replicated
+    term-for-term in SQL (dt is an exact int64 of microseconds), so
+    the per-user sums are order-free and hash-exact. One user-bucket
+    shuffle, fully vectorized."""
+    xmin, ymin, xmax, ymax = (float(v) for v in rect)
+    cols = [user_col, ts_col, lon_col, lat_col] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    proj = ds.select_columns(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        u = group[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [u, ts]
+        if tiebreak_col:
+            keys.append(
+                group[tiebreak_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        order, starts, _gid = _group_starts(*keys, group_keys=1)
+        lon = group[lon_col].to_numpy(zero_copy_only=False)[order]
+        lat = group[lat_col].to_numpy(zero_copy_only=False)[order]
+        tss = ts[order]
+        n = lon.shape[0]
+        if n == 0:
+            return pa.table(
+                {
+                    user_col: pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                    "dwell_us": pa.array([], pa.int64()),
+                }
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        x0 = np.empty(n); y0 = np.empty(n)
+        x0[1:] = lon[:-1]; y0[1:] = lat[:-1]
+        x0[first] = lon[first]; y0[first] = lat[first]
+        t_prev = np.empty(n, np.int64)
+        t_prev[1:] = tss[:-1]
+        t_prev[first] = tss[first]
+        dt = tss - t_prev
+        dx = lon - x0
+        dy = lat - y0
+        zx = dx == 0.0
+        zy = dy == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = (xmin - x0) / dx
+            tb = (xmax - x0) / dx
+            ua = (ymin - y0) / dy
+            ub = (ymax - y0) / dy
+        lo_x = np.where(zx, 0.0, np.minimum(ta, tb))
+        hi_x = np.where(zx, 1.0, np.maximum(ta, tb))
+        lo_y = np.where(zy, 0.0, np.minimum(ua, ub))
+        hi_y = np.where(zy, 1.0, np.maximum(ua, ub))
+        emptym = (zx & ((x0 < xmin) | (x0 > xmax))) | (
+            zy & ((y0 < ymin) | (y0 > ymax))
+        )
+        t0 = np.maximum(0.0, np.maximum(lo_x, lo_y))
+        t1 = np.minimum(1.0, np.minimum(hi_x, hi_y))
+        frac = np.where(emptym, 0.0, np.maximum(0.0, t1 - t0))
+        frac[first] = 0.0
+        dwell = np.floor(dt.astype(np.float64) * frac + 0.5).astype(np.int64)
+        total = np.add.reduceat(dwell, starts)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                user_col: pa.array(u[order][starts], pa.int64()),
+                "n_points": pa.array(counts, pa.int64()),
+                "dwell_us": pa.array(total, pa.int64()),
+            }
+        )
+
+    return _bucketed(proj, [user_col], n_buckets).map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
 def trajectory_clip_stats(
     ds: ray.data.Dataset,
     user_col: str,

@@ -7657,6 +7657,59 @@ FROM legs GROUP BY user_id
 SQL_CLIP_RECT = _clip_sql()
 
 
+def q_zone_dwell(sf_dir: str):
+    """Per-user TIME inside the geofence rectangle (linear-motion
+    leg-fraction × elapsed µs, analytics.zone_dwell_time — the temporal
+    sibling of ``clip_rect`` with the identical slab-clip fractions)."""
+    from georay import analytics
+
+    return analytics.zone_dwell_time(
+        _event_points(sf_dir), "user_id", "ts", "lon", "lat",
+        rect=_CLIP_RECT, tiebreak_col="event_id",
+    )
+
+
+def _dwell_sql() -> str:
+    xmin, ymin, xmax, ymax = (f"{v!r}e0" for v in _CLIP_RECT)
+    dx, dy = "(lon - x0)", "(lat - y0)"
+    lo_x = f"CASE WHEN {dx} = 0 THEN 0.0e0 ELSE LEAST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    hi_x = f"CASE WHEN {dx} = 0 THEN 1.0e0 ELSE GREATEST(({xmin} - x0) / {dx}, ({xmax} - x0) / {dx}) END"
+    lo_y = f"CASE WHEN {dy} = 0 THEN 0.0e0 ELSE LEAST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    hi_y = f"CASE WHEN {dy} = 0 THEN 1.0e0 ELSE GREATEST(({ymin} - y0) / {dy}, ({ymax} - y0) / {dy}) END"
+    empty = (
+        f"({dx} = 0 AND (x0 < {xmin} OR x0 > {xmax})) "
+        f"OR ({dy} = 0 AND (y0 < {ymin} OR y0 > {ymax}))"
+    )
+    frac = (
+        f"CASE WHEN {empty} THEN 0.0e0 ELSE GREATEST(0.0e0, "
+        f"LEAST(1.0e0, {hi_x}, {hi_y}) - GREATEST(0.0e0, {lo_x}, {lo_y})) END"
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(dt AS DOUBLE) * ({frac}) + 0.5e0)
+                        AS BIGINT) END AS dwell_us
+  FROM seq
+)
+SELECT user_id, COUNT(*) AS n_points,
+       CAST(SUM(dwell_us) AS BIGINT) AS dwell_us
+FROM legs GROUP BY user_id
+"""
+
+
+SQL_ZONE_DWELL = _dwell_sql()
+
+
 def q_path_midpoint(sf_dir: str):
     """Per-user linear-interpolated point at HALF the cumulative track
     length (analytics.trajectory_midpoint — integer-quantized legs so
@@ -15586,6 +15639,7 @@ QUERIES = {
     "hausdorff": q_hausdorff,
     "path_selfintersect": q_path_selfintersect,
     "clip_rect": q_clip_rect,
+    "zone_dwell": q_zone_dwell,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
     "polyfill": q_polyfill,
@@ -15921,6 +15975,7 @@ ORACLE = {
     "hausdorff": SQL_HAUSDORFF,
     "path_selfintersect": SQL_PATH_SELFINTERSECT,
     "clip_rect": SQL_CLIP_RECT,
+    "zone_dwell": SQL_ZONE_DWELL,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
     "polyfill": SQL_POLYFILL,
