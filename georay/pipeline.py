@@ -1356,6 +1356,7 @@ def write_sorted(
     bloom_bits: int = 1 << 14,
     bloom_k: int = 4,
     bounds: tuple[int, int] | None = None,
+    zone_col: str | None = None,
 ) -> dict:
     """Range-clustered table layout with ZONE MAPS: rows land in one
     parquet directory per key range (equi-width splits over the global
@@ -1377,6 +1378,15 @@ def write_sorted(
     bloom pass re-executes the input pipeline pruned to two columns —
     streaming-safe; pay it only when lookups will follow. Probe with
     ``read_bloom_lookup``.
+
+    ``zone_col`` builds a SECONDARY ZONE MAP sidecar — per-partition
+    exact (min, max) of that (int64-castable) column, the data-skipping
+    index for RANGE predicates on a column the layout is not clustered
+    by. It prunes exactly as well as the column CORRELATES with the
+    sort key (a time-sorted table prunes id ranges perfectly when ids
+    are assigned in time order; an uncorrelated column degrades to a
+    full scan — the sidecar is honest either way). Probe with
+    ``read_range_secondary``.
 
     Plan: one streaming min/max pass (combine tree of one row per
     batch), split points broadcast into the partition-id map, one
@@ -1483,9 +1493,100 @@ def write_sorted(
             "col": bloom_col, "bits": bloom_bits, "k": bloom_k,
             "bitmaps": bitmaps,
         }
+    if zone_col is not None:
+        from georay.ops import _group_reduce as _zp_group_reduce
+
+        def zone_partial(batch: pa.Table) -> pa.Table:
+            v = to_int(batch[key])
+            rid = np.clip((v - lo) // width, 0, n_ranges - 1)
+            z = (batch[zone_col].cast(pa.int64())
+                 .to_numpy(zero_copy_only=False))
+            (gr,), outs = _zp_group_reduce(
+                [rid], {"zlo": z, "zhi": z},
+                ufunc={"zlo": np.minimum, "zhi": np.maximum},
+            )
+            return pa.table(
+                {
+                    "rid": pa.array(gr, pa.int64()),
+                    "partial_zlo": pa.array(outs["zlo"], pa.int64()),
+                    "partial_zhi": pa.array(outs["zhi"], pa.int64()),
+                }
+            )
+
+        zt = tree_reduce(
+            ds.select_columns([key, zone_col]).map_batches(
+                zone_partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            ["rid"], {"partial_zlo": "zlo", "partial_zhi": "zhi"},
+            ufunc={"partial_zlo": np.minimum, "partial_zhi": np.maximum},
+        ).to_pandas()
+        manifest["zones"] = {
+            "col": zone_col,
+            "ranges": {
+                str(int(r)): [int(a), int(b)]
+                for r, a, b in zip(zt["rid"], zt["zlo"], zt["zhi"])
+            },
+        }
     with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def read_range_secondary(
+    out_dir: str,
+    lo: int,
+    hi: int,
+    columns: list[str] | None = None,
+) -> tuple[rd.Dataset, int, int]:
+    """Range scan on the SECONDARY zone-mapped column of a
+    ``write_sorted(..., zone_col=...)`` layout: opens only partitions
+    whose secondary (min, max) overlaps the CLOSED ``[lo, hi]``, with
+    an exact residual filter. Returns ``(ds, n_opened, n_total)``."""
+    import glob as _glob
+    import json
+
+    with open(os.path.join(out_dir, "_zonemap.json")) as f:
+        m = json.load(f)
+    z = m.get("zones")
+    if z is None:
+        raise ValueError("read_range_secondary: layout has no secondary "
+                         "zone map (write_sorted(..., zone_col=...))")
+    all_dirs = sorted(_glob.glob(os.path.join(out_dir, "krange=*")))
+    n_total = len(all_dirs)
+    hit = []
+    for d in all_dirs:
+        r = str(int(d.rsplit("=", 1)[1]))
+        zr = z["ranges"].get(r)
+        if zr is not None and zr[0] <= hi and zr[1] >= lo:
+            hit.append(d)
+    files = sorted(
+        f for d in hit for f in _glob.glob(os.path.join(d, "*.parquet"))
+    )
+    col = z["col"]
+    if not files:
+        if not all_dirs:
+            raise ValueError("read_range_secondary: empty layout")
+        empty = rd.read_parquet(
+            sorted(_glob.glob(os.path.join(all_dirs[0], "*.parquet"))),
+            columns=columns,
+        ).limit(0)
+        return empty, 0, n_total
+    ds = rd.read_parquet(files, columns=columns)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        v = batch[col].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        return batch.filter(keep)
+
+    return (
+        ds.map_batches(
+            exact, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        len(hit),
+        n_total,
+    )
 
 
 def read_range(

@@ -14492,6 +14492,46 @@ def q_bloom_lookup(sf_dir: str):
     return ds.select_columns(["event_id", "user_id", "event_type"])
 
 
+_ZONE_RANGE = (500, 799)
+
+
+def q_zonemap_range(sf_dir: str):
+    """Secondary-zone-map range scan: events written once into the
+    ts-range-clustered layout with a per-partition (min, max) sidecar
+    over event_id (pipeline.write_sorted(zone_col=...)); the id-range
+    query opens only partitions whose secondary zone overlaps — ids
+    are assigned in ts order here, so the correlated prune is near-
+    perfect (pipeline.read_range_secondary; prune asserted in pytest).
+    Must equal the plain BETWEEN full scan."""
+    import tempfile
+
+    from georay import pipeline
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"georay_zone_events_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if not os.path.exists(os.path.join(cache, "_zonemap.json")):
+        pipeline.write_sorted(
+            rd.read_parquet(
+                _t(sf_dir, "events"),
+                columns=["event_id", "ts", "user_id"],
+            ),
+            cache, "ts", n_ranges=16, zone_col="event_id",
+        )
+    ds, _n_opened, _n_total = pipeline.read_range_secondary(
+        cache, _ZONE_RANGE[0], _ZONE_RANGE[1],
+        columns=["event_id", "user_id"],
+    )
+    return ds.select_columns(["event_id", "user_id"])
+
+
+SQL_ZONEMAP_RANGE = f"""
+SELECT event_id, user_id FROM events
+WHERE event_id BETWEEN {_ZONE_RANGE[0]} AND {_ZONE_RANGE[1]}
+"""
+
+
 SQL_BLOOM_LOOKUP = f"""
 SELECT event_id, user_id, event_type FROM events
 WHERE event_id IN {_BLOOM_PROBE_IDS}
@@ -15740,6 +15780,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
+    "zonemap_range": q_zonemap_range,
     "zorder_rect": q_zorder_rect,
     "analyze": q_analyze,
     "merge_join_layout": q_merge_join_layout,
@@ -16076,6 +16117,7 @@ ORACLE = {
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
+    "zonemap_range": SQL_ZONEMAP_RANGE,
     "zorder_rect": SQL_ZORDER_RECT,
     "analyze": SQL_ANALYZE,
     "merge_join_layout": SQL_MERGE_JOIN_LAYOUT,

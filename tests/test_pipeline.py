@@ -656,3 +656,42 @@ def test_postings_phrase_repeated_terms_and_prune(ray_session, tmp_path):
     assert res(["a", "a", "a"]) == {2: 1}
     assert res(["b", "c"]) == {1: 1}
     assert res(["c", "a"]) == {}
+
+
+def test_secondary_zonemap_prunes_correlated_column(ray_session, tmp_path):
+    """write_sorted(zone_col=): a range query on a sort-correlated
+    secondary column opens only the overlapping partitions; an
+    uncorrelated query still returns exact rows (honest no-prune)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+
+    n = 4000
+    ts = np.arange(n, dtype=np.int64) * 1_000_000
+    ids = np.arange(n, dtype=np.int64)          # perfectly correlated
+    rnd = (ids * 2654435761) % n                # uncorrelated
+    t = pa.table({
+        "ts": pa.array(ts, pa.int64()),
+        "eid": pa.array(ids, pa.int64()),
+        "rnd": pa.array(rnd, pa.int64()),
+    })
+    out1 = str(tmp_path / "zcorr")
+    pipeline.write_sorted(rd.from_arrow(t), out1, "ts", n_ranges=8,
+                          zone_col="eid")
+    ds, opened, total = pipeline.read_range_secondary(
+        out1, 1000, 1499, columns=["eid"]
+    )
+    got = sorted(r["eid"] for r in ds.take_all())
+    assert got == list(range(1000, 1500))
+    assert opened <= 2 and total == 8  # correlated: near-perfect prune
+
+    out2 = str(tmp_path / "zrnd")
+    pipeline.write_sorted(rd.from_arrow(t), out2, "ts", n_ranges=8,
+                          zone_col="rnd")
+    ds2, opened2, total2 = pipeline.read_range_secondary(
+        out2, 0, 99, columns=["rnd"]
+    )
+    assert len(ds2.take_all()) == 100  # exact rows even with no prune
+    assert opened2 == total2 == 8      # uncorrelated: honest full open
