@@ -313,8 +313,7 @@ def q_hex_cell_count(sf_dir: str):
     return ops.salted_count(hexed, "hex_cell", count_alias="n")
 
 
-SQL_HEX_CELL_COUNT = f"""
-WITH p AS ({_LI_POINT_SQL}),
+_HEX_ID_CTES = f"""p AS ({_LI_POINT_SQL}),
 h0 AS (
   SELECT ((sqrt(3.0e0)/3.0e0) * lon - lat / 3.0e0) / 2.5e0 AS qf,
          (lat * (2.0e0/3.0e0)) / 2.5e0 AS rf
@@ -337,11 +336,106 @@ h4 AS (
          CASE WHEN NOT (da > db AND da > dc) AND db > dc
               THEN -rq - rs ELSE rr END AS r2
   FROM h3
+),
+hid AS (
+  SELECT (CAST(q2 AS BIGINT) + 1048576) * 2097152
+       + (CAST(r2 AS BIGINT) + 1048576) AS hex_cell
+  FROM h4
+)"""
+
+
+SQL_HEX_CELL_COUNT = f"""
+WITH {_HEX_ID_CTES}
+SELECT hex_cell, COUNT(*) AS n FROM hid GROUP BY 1
+"""
+
+
+def q_hex_smoothing(sf_dir: str):
+    """Occupancy smoothing on the HEX grid (ring-1 of the axial cell
+    system — cells.hex_disk): for every occupied hex of the lineitem
+    points, how many of its 6 neighbors are also occupied. Same tagged
+    combine-tree plan as ``geohash_smoothing``: distinct-occupancy
+    dedup tree -> neighbor contribution rows -> one merged tree;
+    zero-neighbor hexes emit 0."""
+    from georay import cells as _cells
+
+    ds = lineitem_points(sf_dir)
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        lon, lat = ops.point_lonlat(batch, "geotag")
+        u = np.unique(_cells.hex_cell(lon, lat, 2.5))
+        return pa.table(
+            {
+                "k": pa.array(u, pa.int64()),
+                "partial_one": pa.array(np.ones(u.shape[0], np.int64)),
+            }
+        )
+
+    occ = ops.tree_sum(
+        ds.map_batches(
+            occ_partial, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "k", {"partial_one": "c"}, int_cols=("partial_one",),
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        disk = _cells.hex_disk(k, 1)  # (n, 7) incl. self
+        nk = disk[disk != k[:, None]]  # the 6 ring-1 neighbors
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate([k, nk]), pa.int64()),
+                "partial_occ": pa.array(np.concatenate(
+                    [np.ones(k.shape[0], np.int64),
+                     np.zeros(nk.shape[0], np.int64)]
+                )),
+                "partial_nbr": pa.array(np.concatenate(
+                    [np.zeros(k.shape[0], np.int64),
+                     np.ones(nk.shape[0], np.int64)]
+                )),
+            }
+        )
+
+    merged = ops.tree_sum(
+        occ.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        ),
+        "k", {"partial_occ": "occ", "partial_nbr": "nbr"},
+        int_cols=("partial_occ", "partial_nbr"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["occ"], 0)
+        sub = batch.filter(keep)
+        return pa.table(
+            {
+                "hex_cell": sub["k"],
+                "n_occ_nbrs": sub["nbr"],
+            }
+        )
+
+    return merged.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_HEX_SMOOTHING = f"""
+WITH {_HEX_ID_CTES},
+occ AS (SELECT DISTINCT hex_cell AS k FROM hid),
+nb AS (
+  SELECT a.k, COUNT(*) AS c
+  FROM occ a JOIN occ b
+    ON ABS((a.k // 2097152) - (b.k // 2097152)) <= 1
+   AND ABS((a.k % 2097152) - (b.k % 2097152)) <= 1
+   AND ABS(((a.k // 2097152) - (b.k // 2097152))
+         + ((a.k % 2097152) - (b.k % 2097152))) <= 1
+   AND a.k <> b.k
+  GROUP BY a.k
 )
-SELECT (CAST(q2 AS BIGINT) + 1048576) * 2097152
-     + (CAST(r2 AS BIGINT) + 1048576) AS hex_cell,
-       COUNT(*) AS n
-FROM h4 GROUP BY 1
+SELECT o.k AS hex_cell, CAST(COALESCE(nb.c, 0) AS BIGINT) AS n_occ_nbrs
+FROM occ o LEFT JOIN nb ON nb.k = o.k
 """
 
 
@@ -15799,6 +15893,7 @@ QUERIES = {
     "interval_cover": q_interval_cover,
     "dissolve_area": q_dissolve_area,
     "hex_cell_count": q_hex_cell_count,
+    "hex_smoothing": q_hex_smoothing,
     "twa": q_twa,
     "window_first_last": q_window_first_last,
     "range_sum": q_range_sum,
@@ -16135,6 +16230,7 @@ ORACLE = {
     "interval_cover": SQL_INTERVAL_COVER,
     "dissolve_area": SQL_DISSOLVE_AREA,
     "hex_cell_count": SQL_HEX_CELL_COUNT,
+    "hex_smoothing": SQL_HEX_SMOOTHING,
     "twa": SQL_TWA,
     "window_first_last": SQL_WINDOW_FIRST_LAST,
     "range_sum": SQL_RANGE_SUM,
