@@ -10286,6 +10286,142 @@ SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
 """
 
 
+def q_graph_report(sf_dir: str):
+    """END-TO-END graph summary — the graph family's ``movement_report``
+    sibling: ONE row fusing components, communities, modularity,
+    cohesion and centrality over the co-purchase graph, every number an
+    already-oracled operator's output and the WHOLE row matched against
+    one mega-CTE SQL query:
+
+      (n_nodes, n_edges, n_components, n_communities, mod_q_num,
+       truss_edges, top_node, top_rank_q)
+
+    The edge list materializes once and feeds every stage; label/rank
+    tables are o(nodes) (the broadcast family budget)."""
+    from georay import analytics
+    from georay.stages.components import connected_components
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    n_edges = edges.count()
+    comp = connected_components(edges, id_a="a", id_b="b")
+    n_nodes = comp.num_rows
+    n_components = len(set(comp["label"].to_pylist()))
+    lpa = analytics.label_propagation(edges, rounds=LPA_ROUNDS)
+    lpat = lpa.to_pandas()
+    n_communities = int(lpat["label"].nunique())
+    mod = analytics.modularity(edges, lpa).to_pandas()
+    truss_edges = analytics.ktruss_edges(edges, k=_KTRUSS_K,
+                                         rounds=_KTRUSS_ROUNDS).count()
+    pr = analytics.pagerank(edges, n_iter=PAGERANK_ITERS).to_pandas()
+    top = pr.sort_values(["rank_q", "node"],
+                         ascending=[False, True]).iloc[0]
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_components": pa.array([n_components], pa.int64()),
+            "n_communities": pa.array([n_communities], pa.int64()),
+            "mod_q_num": pa.array([int(mod["q_num"].iloc[0])], pa.int64()),
+            "truss_edges": pa.array([truss_edges], pa.int64()),
+            "top_node": pa.array([int(top["node"])], pa.int64()),
+            "top_rank_q": pa.array([int(top["rank_q"])], pa.int64()),
+        }
+    )
+
+
+def _graph_report_sql() -> str:
+    scale = 1 << 30
+    parts = [
+        f"WITH RECURSIVE {SQL_COPURCHASE_EDGES.strip()}",
+        """,
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT s AS node FROM sym),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM sym GROUP BY s),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+reach(n, m) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.n, s.d FROM reach r JOIN sym s ON s.s = r.m
+),
+comp AS (SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n),
+l0 AS (SELECT node, node AS lab FROM nodes)""",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(f""",
+l{r} AS (
+  SELECT node, lab FROM (
+    SELECT s.d AS node, l.lab, COUNT(*) AS c,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.d ORDER BY COUNT(*) DESC, l.lab
+           ) AS rn
+    FROM sym s JOIN l{r - 1} l ON l.node = s.s
+    GROUP BY s.d, l.lab)
+  WHERE rn = 1
+)""")
+    parts.append(f""",
+mm AS (SELECT COUNT(*) AS m FROM e),
+dc AS (
+  SELECT l.lab, SUM(d.deg) AS dsum
+  FROM deg d JOIN l{LPA_ROUNDS} l ON l.node = d.node GROUP BY l.lab
+),
+ec AS (
+  SELECT la.lab, COUNT(*) AS intra
+  FROM e JOIN l{LPA_ROUNDS} la ON la.node = e.a
+  JOIN l{LPA_ROUNDS} lb ON lb.node = e.b
+  WHERE la.lab = lb.lab GROUP BY la.lab
+),
+terms AS (
+  SELECT dc.lab, dc.dsum, COALESCE(ec.intra, 0) AS intra
+  FROM dc LEFT JOIN ec ON ec.lab = dc.lab
+),
+e0 AS (SELECT a, b FROM e)""")
+    for r in range(1, _KTRUSS_ROUNDS + 1):
+        p = f"e{r - 1}"
+        parts.append(f""",
+tsym{r} AS (SELECT a AS s, b AS d FROM {p} UNION ALL SELECT b, a FROM {p}),
+tsup{r} AS (
+  SELECT x.a, x.b, COUNT(*) AS c FROM {p} x
+  JOIN tsym{r} s1 ON s1.s = x.a JOIN tsym{r} s2 ON s2.s = x.b AND s2.d = s1.d
+  GROUP BY x.a, x.b
+),
+e{r} AS (
+  SELECT x.a, x.b FROM {p} x
+  LEFT JOIN tsup{r} c ON c.a = x.a AND c.b = x.b
+  WHERE COALESCE(c.c, 0) >= {_KTRUSS_K - 2}
+)""")
+    parts.append(
+        f",\nr0 AS (SELECT node, {scale} // nn.n AS rq FROM deg CROSS JOIN nn)"
+    )
+    for it in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{it - 1}"
+        parts.append(f""",
+ps{it} AS (SELECT s.d AS node, SUM(r.rq // dg.deg) AS c
+       FROM sym s JOIN {prev} r ON r.node = s.s
+       JOIN deg dg ON dg.node = s.s GROUP BY s.d),
+r{it} AS (SELECT deg.node,
+              (15 * CAST({scale} AS BIGINT)) // (100 * nn.n)
+              + (85 * COALESCE(ps{it}.c, 0)) // 100 AS rq
+       FROM deg CROSS JOIN nn LEFT JOIN ps{it} ON ps{it}.node = deg.node)""")
+    parts.append(f"""
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) FROM comp) AS n_components,
+  (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM l{LPA_ROUNDS})
+    AS n_communities,
+  (SELECT CAST(SUM(4 * mm.m * terms.intra - terms.dsum * terms.dsum)
+               AS BIGINT) FROM terms CROSS JOIN mm) AS mod_q_num,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e{_KTRUSS_ROUNDS}) AS truss_edges,
+  (SELECT node FROM r{PAGERANK_ITERS} ORDER BY rq DESC, node LIMIT 1)
+    AS top_node,
+  (SELECT CAST(MAX(rq) AS BIGINT) FROM r{PAGERANK_ITERS}) AS top_rank_q
+""")
+    return "".join(parts)
+
+
+SQL_GRAPH_REPORT = _graph_report_sql()
+
+
 def q_components_partitioned(sf_dir: str):
     """Partitioned-label twin of ``components``: same co-purchase graph,
     but the (node → label) table stays DISTRIBUTED — co-shuffled with the
@@ -15932,6 +16068,7 @@ QUERIES = {
     "bpe_tokens": q_bpe_tokens,
     "bpe_base": q_bpe_base,
     "components": q_components,
+    "graph_report": q_graph_report,
     "components_partitioned": q_components_partitioned,
     "pagerank": q_pagerank,
     "ppr": q_ppr,
@@ -16268,6 +16405,7 @@ ORACLE = {
     "gram_matrix": SQL_GRAM_MATRIX,
     "bpe_base": SQL_BPE_BASE,
     "components": SQL_COMPONENTS,
+    "graph_report": SQL_GRAPH_REPORT,
     "components_partitioned": SQL_COMPONENTS,
     "pagerank": SQL_PAGERANK,
     "ppr": SQL_PPR,
