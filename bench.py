@@ -273,6 +273,16 @@ def run_bench() -> dict:
     timed_ext(
         "geojsonl_source", lambda: tpch.q_geojsonl_source(SF_DIR).count()
     )
+    timed_ext("zone_dwell", lambda: tpch.q_zone_dwell(SF_DIR).count())
+    timed_ext("hex_smoothing", lambda: tpch.q_hex_smoothing(SF_DIR).count())
+    timed_ext("zonemap_range", lambda: tpch.q_zonemap_range(SF_DIR).count())
+    timed_ext("graph_report", lambda: tpch.q_graph_report(SF_DIR).num_rows)
+    timed_ext(
+        "spherical_area", lambda: tpch.q_spherical_area(SF_DIR).count()
+    )
+    timed_ext(
+        "spatial_clusters", lambda: tpch.q_spatial_clusters(SF_DIR).num_rows
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
