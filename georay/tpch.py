@@ -9332,6 +9332,110 @@ FROM per JOIN fst USING (user_id) GROUP BY 1, 2
 """
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV curve — per (cohort, period offset): that period's
+    revenue cents AND the cohort's cumulative LTV, exact ints.
+    Plan: per-user first period via one combine-tree min (o(users)
+    broadcast, the cohort family budget); ONE streaming event pass
+    emits (cohort, offset) cent partials; the bounded periods² table
+    folds driver-side for the cumulative (same bounded-domain
+    convention as the grid ops). NULL values contribute nothing (SQL
+    SUM-skip)."""
+    import ray as _ray
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def first_partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // COHORT_PERIOD_US
+        )
+        (ks,), outs = ops._group_reduce([u], {"pm": p}, ufunc=np.minimum)
+        return pa.table(
+            {"user_id": pa.array(ks, pa.int64()),
+             "pm": pa.array(outs["pm"], pa.int64())}
+        )
+
+    fst = ops.tree_reduce(
+        ev.map_batches(first_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        "user_id", {"pm": "c"}, ufunc=np.minimum,
+    ).to_pandas()
+    un = fst["user_id"].to_numpy().astype(np.int64)
+    uc = fst["c"].to_numpy().astype(np.int64)
+    o = np.argsort(un)
+    ref = _ray.put((un[o], uc[o]))
+    cache: dict = {}
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        uu, cc = cache.setdefault("f", _rayw.get(ref))
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // COHORT_PERIOD_US
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(v)
+        cents = np.where(ok, np.floor(v * 100.0 + 0.5), 0.0).astype(np.int64)
+        coh = cc[np.searchsorted(uu, u)]
+        ks, vs = ops._group_reduce(
+            [coh, p - coh], {"partial_rev": cents}
+        )
+        return pa.table(
+            {
+                "cohort": pa.array(ks[0], pa.int64()),
+                "off": pa.array(ks[1], pa.int64()),
+                "partial_rev": pa.array(vs["partial_rev"], pa.int64()),
+            }
+        )
+
+    rv = ops.tree_sum(
+        ev.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["cohort", "off"], {"partial_rev": "rev"}, int_cols=("partial_rev",),
+    ).to_pandas().sort_values(["cohort", "off"])
+    coh = rv["cohort"].to_numpy().astype(np.int64)
+    rev = rv["rev"].to_numpy().astype(np.int64)
+    starts = np.r_[True, coh[1:] != coh[:-1]]
+    sid = np.cumsum(starts) - 1  # segment id per row
+    cs = np.cumsum(rev)
+    seg_prev = (cs - rev)[np.nonzero(starts)[0]]
+    cum_per = cs - seg_prev[sid]  # segmented cumsum, sign-safe
+    return pa.table(
+        {
+            "cohort": pa.array(coh, pa.int64()),
+            "offset": pa.array(rv["off"].to_numpy().astype(np.int64),
+                               pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "cum_cents": pa.array(cum_per, pa.int64()),
+        }
+    )
+
+
+SQL_COHORT_LTV = f"""
+WITH per AS (
+  SELECT user_id, epoch_us(ts) // {COHORT_PERIOD_US} AS p,
+         CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+  FROM events
+),
+fst AS (SELECT user_id, MIN(p) AS c FROM per GROUP BY user_id),
+rv AS (
+  SELECT c AS cohort, p - c AS "offset",
+         SUM(COALESCE(cents, 0)) AS rev
+  FROM per JOIN fst USING (user_id) GROUP BY 1, 2
+)
+SELECT cohort, "offset", CAST(rev AS BIGINT) AS rev_cents,
+       CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY "offset"
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cents
+FROM rv
+"""
+
+
 # ---------------------------------------------- weighted / CDC operators
 
 
@@ -15905,6 +16009,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "funnel": q_funnel,
     "cohort": q_cohort,
+    "cohort_ltv": q_cohort_ltv,
     "trajectory": q_trajectory,
     "hausdorff": q_hausdorff,
     "path_selfintersect": q_path_selfintersect,
@@ -16244,6 +16349,7 @@ ORACLE = {
     "sessionize": SQL_SESSIONIZE,
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
+    "cohort_ltv": SQL_COHORT_LTV,
     "trajectory": SQL_TRAJECTORY,
     "hausdorff": SQL_HAUSDORFF,
     "path_selfintersect": SQL_PATH_SELFINTERSECT,
