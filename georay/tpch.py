@@ -9332,6 +9332,80 @@ FROM per JOIN fst USING (user_id) GROUP BY 1, 2
 """
 
 
+def q_audience_overlap(sf_dir: str):
+    """Audience-overlap matrix: for every PAIR of event types, the
+    number of users who performed both (plus each type's audience
+    size) — the exact Jaccard numerators segmentation tools plot.
+    Plan: per-batch per-user type BITMASKS OR-merge through one
+    combine tree (``tree_reduce`` with ``np.bitwise_or`` — each user
+    ends as exactly one mask row, batch-split-safe); a second pass
+    folds the 5×5 pair counts per batch and a tiny tree merges the
+    matrix — the event stream itself never shuffles."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+    tset = pa.array(list(_EVENT_TYPE_IDS), pa.string())
+
+    def mask_partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pc.index_in(batch["event_type"], value_set=tset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [u], {"partial_m": (np.int64(1) << t)}, ufunc=np.bitwise_or
+        )
+        return pa.table(
+            {"user_id": pa.array(ks[0], pa.int64()),
+             "partial_m": pa.array(vs["partial_m"], pa.int64())}
+        )
+
+    masks_ds = ops.tree_reduce(
+        ev.map_batches(mask_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        "user_id", {"partial_m": "mask"}, ufunc=np.bitwise_or,
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        masks = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_types = len(_EVENT_TYPE_IDS)
+        pa_, pb_, cnt = [], [], []
+        for a in range(n_types):
+            for b in range(a, n_types):
+                both = ((masks >> a) & 1) & ((masks >> b) & 1)
+                pa_.append(a)
+                pb_.append(b)
+                cnt.append(int(both.sum()))
+        return pa.table(
+            {"ta": pa.array(pa_, pa.int64()),
+             "tb": pa.array(pb_, pa.int64()),
+             "partial_n": pa.array(cnt, pa.int64())}
+        )
+
+    return ops.tree_sum(
+        masks_ds.map_batches(pair_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None),
+        ["ta", "tb"], {"partial_n": "n_users"}, int_cols=("partial_n",),
+    )
+
+
+def _audience_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{name}' THEN {i}" for name, i in _EVENT_TYPE_IDS.items()
+    )
+    return f"""
+WITH pres AS (
+  SELECT DISTINCT user_id,
+         CASE event_type {whens} END AS t
+  FROM events
+)
+SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pres a JOIN pres b ON b.user_id = a.user_id AND b.t >= a.t
+GROUP BY 1, 2
+"""
+
+
+SQL_AUDIENCE_OVERLAP = _audience_sql()
+
+
 def q_cohort_ltv(sf_dir: str):
     """Cohort LTV curve — per (cohort, period offset): that period's
     revenue cents AND the cohort's cumulative LTV, exact ints.
@@ -16010,6 +16084,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort": q_cohort,
     "cohort_ltv": q_cohort_ltv,
+    "audience_overlap": q_audience_overlap,
     "trajectory": q_trajectory,
     "hausdorff": q_hausdorff,
     "path_selfintersect": q_path_selfintersect,
@@ -16350,6 +16425,7 @@ ORACLE = {
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "cohort_ltv": SQL_COHORT_LTV,
+    "audience_overlap": SQL_AUDIENCE_OVERLAP,
     "trajectory": SQL_TRAJECTORY,
     "hausdorff": SQL_HAUSDORFF,
     "path_selfintersect": SQL_PATH_SELFINTERSECT,
