@@ -7751,6 +7751,103 @@ FROM legs GROUP BY user_id
 SQL_CLIP_RECT = _clip_sql()
 
 
+_SPEED_VQ = 5800  # quantized-units/second (~the synthetic median speed)
+
+
+def q_speeding(sf_dir: str):
+    """Movement QA — per user: total legs, legs exceeding the speed
+    limit, and the max quantized leg length among violations. Speed
+    compares EXACTLY in int64: a leg violates iff ``dt_s > 0 AND
+    leg_q > VQ·dt_s`` (leg_q the movement family's 2^20-quantized
+    length, dt floored to whole seconds — both sides define the
+    predicate identically; zero-duration legs have undefined speed and
+    are excluded). One user-bucket shuffle, vectorized legs."""
+    ds = _event_points(sf_dir)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        from georay.analytics import _group_starts
+
+        u = group["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, starts, _ = _group_starts(u, ts, e, group_keys=1)
+        lon = group["lon"].to_numpy(zero_copy_only=False)[order]
+        lat = group["lat"].to_numpy(zero_copy_only=False)[order]
+        tss = ts[order]
+        n = lon.shape[0]
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_legs": pa.array([], pa.int64()),
+                 "n_speeding": pa.array([], pa.int64()),
+                 "max_leg_q": pa.array([], pa.int64())}
+            )
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        x0 = np.empty(n); y0 = np.empty(n)
+        x0[1:] = lon[:-1]; y0[1:] = lat[:-1]
+        x0[first] = lon[first]; y0[first] = lat[first]
+        t0 = np.empty(n, np.int64)
+        t0[1:] = tss[:-1]
+        t0[first] = tss[first]
+        dxy = np.sqrt((lon - x0) ** 2 + (lat - y0) ** 2)
+        leg_q = np.floor(dxy * 1048576.0 + 0.5).astype(np.int64)
+        dt_s = (tss - t0) // 1_000_000
+        is_leg = ~first
+        viol = is_leg & (dt_s > 0) & (leg_q > _SPEED_VQ * dt_s)
+        counts = np.diff(np.append(starts, n))
+        nv = np.add.reduceat(viol.astype(np.int64), starts)
+        mx = np.maximum.reduceat(np.where(viol, leg_q, 0), starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[order][starts], pa.int64()),
+                "n_legs": pa.array(counts - 1, pa.int64()),
+                "n_speeding": pa.array(nv, pa.int64()),
+                "max_leg_q": pa.array(mx, pa.int64()),
+            }
+        )
+
+    from georay.analytics import _bucketed
+
+    return _bucketed(
+        ds.select_columns(["user_id", "ts", "event_id", "lon", "lat"]),
+        ["user_id"], 64,
+    ).map_groups(per_bucket, batch_format="pyarrow")
+
+
+SQL_SPEEDING = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {EV_LON} AS lon, {EV_LAT} AS lat FROM events
+),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         LAG(lon) OVER w AS x0, LAG(lat) OVER w AS y0,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS dt_s
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, rn,
+         CASE WHEN rn = 1 THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(sqrt((lon - x0)*(lon - x0)
+                                 + (lat - y0)*(lat - y0)) * 1048576e0
+                              + 0.5e0) AS BIGINT) END AS leg_q,
+         dt_s
+  FROM seq
+),
+v AS (
+  SELECT user_id, rn, leg_q,
+         (rn > 1 AND dt_s > 0 AND leg_q > {_SPEED_VQ} * dt_s) AS viol
+  FROM legs
+)
+SELECT user_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_legs,
+       CAST(COALESCE(SUM(CASE WHEN viol THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_speeding,
+       CAST(COALESCE(MAX(CASE WHEN viol THEN leg_q ELSE 0 END), 0) AS BIGINT)
+         AS max_leg_q
+FROM v GROUP BY user_id
+"""
+
+
 def q_zone_dwell(sf_dir: str):
     """Per-user TIME inside the geofence rectangle (linear-motion
     leg-fraction × elapsed µs, analytics.zone_dwell_time — the temporal
@@ -16090,6 +16187,7 @@ QUERIES = {
     "path_selfintersect": q_path_selfintersect,
     "clip_rect": q_clip_rect,
     "zone_dwell": q_zone_dwell,
+    "speeding": q_speeding,
     "movement_rose": q_movement_rose,
     "rasterize": q_rasterize,
     "polyfill": q_polyfill,
@@ -16431,6 +16529,7 @@ ORACLE = {
     "path_selfintersect": SQL_PATH_SELFINTERSECT,
     "clip_rect": SQL_CLIP_RECT,
     "zone_dwell": SQL_ZONE_DWELL,
+    "speeding": SQL_SPEEDING,
     "movement_rose": SQL_MOVEMENT_ROSE,
     "rasterize": SQL_RASTERIZE,
     "polyfill": SQL_POLYFILL,
