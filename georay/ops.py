@@ -5951,6 +5951,133 @@ def unpivot(
     )
 
 
+def peak_concurrency(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    delta_col: str,
+    n_shards: int = 64,
+) -> ray.data.Dataset:
+    """EXACT peak of a ±1 delta stream (max concurrent sessions /
+    connections / jobs): the classic sweep — sort deltas by
+    ``(t, delta DESC)`` (all starts at an instant count before any end:
+    closed-interval semantics) and take the max running sum —
+    distributed with the ``pack_sequences`` two-pass prefix plan keyed
+    by TIME: (1) global [min, max] and per-equi-width-shard delta
+    totals via the combine tree give each shard's exclusive base
+    (driver fold over n_shards scalars); (2) one shard co-shuffle,
+    each shard sorts locally and reports ``base + local max prefix``;
+    the answer is the max over shards. Equal timestamps land in one
+    shard by construction, so the tie rule is purely local. Returns
+    one row ``(peak,)``."""
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if t.shape[0] == 0:
+            return pa.table(
+                {"one": pa.array([], pa.int64()),
+                 "partial_lo": pa.array([], pa.int64()),
+                 "partial_hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             "partial_lo": pa.array([int(t.min())], pa.int64()),
+             "partial_hi": pa.array([int(t.max())], pa.int64())}
+        )
+
+    mm = tree_reduce(
+        ds.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["one"], {"partial_lo": "lo", "partial_hi": "hi"},
+        ufunc={"partial_lo": np.minimum, "partial_hi": np.maximum},
+    ).to_pandas()
+    if len(mm) == 0 or "lo" not in mm.columns:
+        return ray.data.from_arrow(
+            pa.table({"peak": pa.array([0], pa.int64())})
+        )
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    width = max(1, (hi - lo + n_shards) // n_shards)
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch[delta_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = np.clip((t - lo) // width, 0, n_shards - 1)
+        ks, vs = _group_reduce([sh], {"partial_d": d})
+        return pa.table(
+            {"shard": pa.array(ks[0], pa.int64()),
+             "partial_d": pa.array(vs["partial_d"], pa.int64())}
+        )
+
+    tot = tree_sum(
+        ds.map_batches(tot_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["shard"], {"partial_d": "d"}, int_cols=("partial_d",),
+    ).to_pandas().sort_values("shard")
+    bases = np.zeros(n_shards, np.int64)
+    sh = tot["shard"].to_numpy().astype(np.int64)
+    dd = tot["d"].to_numpy().astype(np.int64)
+    per = np.zeros(n_shards, np.int64)
+    per[sh] = dd
+    bases[1:] = np.cumsum(per)[:-1]
+    import ray as _ray
+
+    base_ref = _ray.put(bases)
+    cache: dict = {}
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        t = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_shard",
+            pa.array(np.clip((t - lo) // width, 0, n_shards - 1), pa.int64()),
+        )
+
+    def shard_max(group: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        bs = cache.setdefault("b", _rayw.get(base_ref))
+        t = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = group[delta_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if t.shape[0] == 0:
+            return pa.table({"partial_peak": pa.array([], pa.int64())})
+        order = np.lexsort((-d, t))
+        run = np.cumsum(d[order])
+        sh0 = int(np.clip((t[0] - lo) // width, 0, n_shards - 1))
+        return pa.table(
+            {"partial_peak": pa.array(
+                [int(bs[sh0]) + int(run.max())], pa.int64()
+            )}
+        )
+
+    peaks = ds.map_batches(
+        add_shard, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).groupby("_shard").map_groups(shard_max, batch_format="pyarrow")
+
+    def fold(batch: pa.Table) -> pa.Table:
+        p = batch["partial_peak"].to_numpy(zero_copy_only=False)
+        if p.shape[0] == 0:
+            return pa.table(
+                {"one": pa.array([], pa.int64()),
+                 "partial_m": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"one": pa.array([1], pa.int64()),
+             "partial_m": pa.array([int(p.max())], pa.int64())}
+        )
+
+    out = tree_reduce(
+        peaks.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        ["one"], {"partial_m": "peak"}, ufunc=np.maximum,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"peak": batch["peak"]})
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def pack_sequences(
     ds: ray.data.Dataset,
     id_col: str,

@@ -6256,6 +6256,68 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Exact PEAK concurrent sessions across all users (capacity
+    planning's headline number): sessionize → ±1 boundary deltas →
+    ops.peak_concurrency's time-sharded distributed sweep (per-shard
+    totals give exclusive bases; equal timestamps stay in one shard so
+    the starts-before-ends tie rule is local). Closed intervals — a
+    session ending at t still counts at t."""
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+    sess = ops.sessionize(ev, key="user_id", ts="ts",
+                          gap_us=SESSION_GAP_US, order_tiebreak="event_id")
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = batch["session_start"].to_numpy(zero_copy_only=False)
+        e = batch["session_end"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, e]), pa.int64()),
+                "dlt": pa.array(
+                    np.concatenate(
+                        [np.ones(s.shape[0], np.int64),
+                         -np.ones(e.shape[0], np.int64)]
+                    )
+                ),
+            }
+        )
+
+    d = sess.map_batches(deltas, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+    return ops.peak_concurrency(d, "t", "dlt")
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH d0 AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s0 AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d0
+),
+sess AS (
+  SELECT user_id, MIN(t) AS a, MAX(t) AS b FROM s0 GROUP BY user_id, sid
+),
+dd AS (
+  SELECT a AS t, 1 AS dlt FROM sess
+  UNION ALL SELECT b, -1 FROM sess
+),
+p AS (
+  SELECT SUM(dlt) OVER (ORDER BY t, dlt DESC
+                        ROWS UNBOUNDED PRECEDING) AS c
+  FROM dd
+)
+SELECT CAST(MAX(c) AS BIGINT) AS peak FROM p
+"""
+
+
 CLUSTER_RADIUS = 5.0
 
 
@@ -16178,6 +16240,7 @@ QUERIES = {
     "interval_partitioned": q_interval_partitioned,
     "asof_partitioned": q_asof_partitioned,
     "sessionize": q_sessionize,
+    "peak_concurrency": q_peak_concurrency,
     "funnel": q_funnel,
     "cohort": q_cohort,
     "cohort_ltv": q_cohort_ltv,
@@ -16520,6 +16583,7 @@ ORACLE = {
     "interval_partitioned": SQL_INTERVAL_PARTITIONED,
     "asof_partitioned": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "cohort_ltv": SQL_COHORT_LTV,

@@ -337,3 +337,25 @@ def test_asof_tolerance_gate(ray_session):
         rd.from_arrow(left), right, "k", "ts", "rk", "rts", tolerance=20
     ).to_pandas()
     assert tol["matched_ts"].tolist() == [95]
+
+
+def test_peak_concurrency_tie_rule_and_shards(ray_session):
+    """Exact sweep peak: sessions starting at the instant another ends
+    both count (closed intervals, starts before ends); result is
+    shard-count invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import ops
+
+    # [0,10] [10,20] overlap at t=10 -> peak 2; [30,40],[31,35],[32,33]
+    # nest -> peak 3
+    s = [0, 10, 30, 31, 32]
+    e = [10, 20, 40, 35, 33]
+    d = rd.from_arrow(pa.table({
+        "t": pa.array(s + e, pa.int64()),
+        "dlt": pa.array([1] * 5 + [-1] * 5, pa.int64()),
+    }))
+    for n_shards in (1, 4, 64):
+        got = ops.peak_concurrency(d, "t", "dlt", n_shards=n_shards)
+        assert got.to_pandas()["peak"].tolist() == [3], n_shards
