@@ -6318,6 +6318,81 @@ SELECT CAST(MAX(c) AS BIGINT) AS peak FROM p
 """
 
 
+def q_session_overlap(sf_dir: str):
+    """INTERVAL-OVERLAP join, both sides intervals (the generalization
+    of the point-in-interval range join): per user session, the number
+    of 7-day order windows it overlaps. No pair intermediate — with
+    the order windows' sorted starts and (exclusive) ends broadcast,
+    ``overlaps = #(start ≤ session_end) − #(end ≤ session_start)``
+    (two searchsorteds per session, the standard counting identity).
+    Sessions stream; the window table is the broadcast side."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id"])
+    sess = ops.sessionize(ev, key="user_id", ts="ts",
+                          gap_us=SESSION_GAP_US, order_tiebreak="event_id")
+    od = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderdate"])
+    s = np.sort(od["o_orderdate"].cast(pa.int64()).to_numpy())
+    e = s + 7 * 86400 * 1_000_000  # exclusive ends (sorted too)
+    ref = _ray.put((s, e))
+    cache: dict = {}
+
+    def count(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        ss, ee = cache.setdefault("w", _rayw.get(ref))
+        a = batch["session_start"].to_numpy(zero_copy_only=False)
+        b = batch["session_end"].to_numpy(zero_copy_only=False)
+        n = (
+            np.searchsorted(ss, b, side="right")
+            - np.searchsorted(ee, a, side="right")
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_start": batch["session_start"],
+                "n_windows": pa.array(n, pa.int64()),
+            }
+        )
+
+    return sess.map_batches(
+        count, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_SESSION_OVERLAP = f"""
+WITH d0 AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s0 AS (
+  SELECT user_id, t,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d0
+),
+sess AS (
+  SELECT user_id, MIN(t) AS a, MAX(t) AS b FROM s0 GROUP BY user_id, sid
+),
+ows AS (
+  SELECT epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate) + {7 * 86400 * 1_000_000} AS e
+  FROM orders
+)
+SELECT sess.user_id, sess.a AS session_start,
+       CAST(COALESCE(SUM(CASE WHEN ows.s <= sess.b AND ows.e > sess.a
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_windows
+FROM sess CROSS JOIN ows
+GROUP BY sess.user_id, sess.a
+"""
+
+
 CLUSTER_RADIUS = 5.0
 
 
@@ -16241,6 +16316,7 @@ QUERIES = {
     "asof_partitioned": q_asof_partitioned,
     "sessionize": q_sessionize,
     "peak_concurrency": q_peak_concurrency,
+    "session_overlap": q_session_overlap,
     "funnel": q_funnel,
     "cohort": q_cohort,
     "cohort_ltv": q_cohort_ltv,
@@ -16584,6 +16660,7 @@ ORACLE = {
     "asof_partitioned": SQL_ASOF_JOIN,
     "sessionize": SQL_SESSIONIZE,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "session_overlap": SQL_SESSION_OVERLAP,
     "funnel": SQL_FUNNEL,
     "cohort": SQL_COHORT,
     "cohort_ltv": SQL_COHORT_LTV,
