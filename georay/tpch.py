@@ -14733,6 +14733,55 @@ ORDER BY n DESC, l_partkey LIMIT {_SKEW_TOP}
 _INCR_CUTOFF = "1995-01-01"
 
 
+def q_incremental_join(sf_dir: str):
+    """Incremental JOIN maintenance — the IVM sibling of
+    ``incremental_agg``: the pre-cutoff lineitem⋈orders result is
+    'persisted'; arriving post-cutoff rows join ONLY the static orders
+    side (ΔL ⋈ O) and union onto the base result — base lineitem rows
+    are never rescanned. Equality join is distributive over union, so
+    the maintained result must equal the full recompute (the oracle).
+    Both joins are the engine's partitioned equality join; the delta
+    read is pruned to the delta predicate."""
+    cutoff_us = int(np.datetime64(_INCR_CUTOFF, "us").astype(np.int64))
+
+    def li_side(older: bool):
+        li = rd.read_parquet(
+            _t(sf_dir, "lineitem"),
+            columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            t = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            m = t < cutoff_us if older else t >= cutoff_us
+            return batch.filter(pa.array(m)).drop_columns(["l_shipdate"])
+
+        return li.map_batches(keep, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def joined(older: bool):
+        od = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+        out = ops.equi_join_partitioned(
+            li_side(older), od, on="l_orderkey", right_on="o_orderkey",
+            how="inner",
+        )
+        return out.select_columns(
+            ["l_orderkey", "l_linenumber", "o_orderdate"]
+        )
+
+    base = joined(True).materialize()  # the persisted result
+    delta = joined(False)              # ΔL ⋈ O only
+    return base.union(delta)
+
+
+SQL_INCREMENTAL_JOIN = """
+SELECT l_orderkey, l_linenumber, o_orderdate
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+"""
+
+
 def q_incremental_agg(sf_dir: str):
     """Incremental aggregate maintenance — the avoid-rescanning-the-
     base pattern: a per-returnflag (count, quantity-sum) aggregate
@@ -16425,6 +16474,7 @@ QUERIES = {
     "rfm": q_rfm,
     "skew_profile": q_skew_profile,
     "incremental_agg": q_incremental_agg,
+    "incremental_join": q_incremental_join,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -16769,6 +16819,7 @@ ORACLE = {
     "rfm": SQL_RFM,
     "skew_profile": SQL_SKEW_PROFILE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
+    "incremental_join": SQL_INCREMENTAL_JOIN,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
