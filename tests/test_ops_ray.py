@@ -3483,3 +3483,39 @@ def test_radius_pairs_radius2_exact_boundary_and_counts(ray_session):
     assert got == [0, 1, 2] and counts == [3, 3, 3]
     got, counts = pairs_at(float(np.nextafter(d2[0], 0)))  # one ulp less
     assert got == [2] and counts == [1]
+
+
+def test_pip_join_respects_polygon_holes(ray_session):
+    """Even-odd PIP over ALL rings: a point inside a polygon's HOLE is
+    outside the polygon; a point in the shell annulus is inside —
+    pinned for both the grid and STR index paths."""
+    import ray.data as rd
+
+    from georay.codecs import wkt
+    from georay.joins import pip_join
+    from georay.types import GeoType
+
+    donut = (
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(3 3, 7 3, 7 7, 3 7, 3 3))"
+    )
+    geo = GeoType.polygon(crs="OGC:CRS84")
+    geom, _ = wkt.decode(pa.array([donut]), geo)
+    polys = pa.table(
+        {"polygon_id": pa.array([1], pa.int64())}
+    ).append_column(geo.field("geometry"), geom)
+
+    pt_geo = GeoType.point(crs="OGC:CRS84")
+    pts = pa.table({"image_id": pa.array(["in_hole", "in_shell", "outside"])})
+    coords = np.array([[5.0, 5.0], [1.0, 5.0], [20.0, 20.0]])
+    pts = pts.append_column(
+        pt_geo.field("geotag"), native.build_points(coords, pt_geo)
+    )
+    for index in ("grid", "str"):
+        got = sorted(
+            r["image_id"]
+            for r in pip_join(
+                rd.from_arrow(pts), polys, index=index
+            ).take_all()
+        )
+        assert got == ["in_shell"], index
