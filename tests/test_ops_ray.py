@@ -3519,3 +3519,34 @@ def test_pip_join_respects_polygon_holes(ray_session):
             ).take_all()
         )
         assert got == ["in_shell"], index
+
+
+def test_pip_join_multipolygon_parts(ray_session):
+    """A MULTIPOLYGON matches points in EITHER part (once) and not the
+    gap between parts."""
+    import ray.data as rd
+
+    from georay.codecs import wkt
+    from georay.joins import pip_join
+    from georay.types import GeoType
+
+    mp = ("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+          "((10 10, 14 10, 14 14, 10 14, 10 10)))")
+    geo = GeoType.multipolygon(crs="OGC:CRS84")
+    geom, _ = wkt.decode(pa.array([mp]), geo)
+    polys = pa.table(
+        {"polygon_id": pa.array([1], pa.int64())}
+    ).append_column(geo.field("geometry"), geom)
+    pt_geo = GeoType.point(crs="OGC:CRS84")
+    pts = pa.table({"image_id": pa.array(["in_a", "in_b", "between"])})
+    pts = pts.append_column(
+        pt_geo.field("geotag"),
+        native.build_points(
+            np.array([[2.0, 2.0], [12.0, 12.0], [7.0, 7.0]]), pt_geo
+        ),
+    )
+    got = sorted(
+        r["image_id"]
+        for r in pip_join(rd.from_arrow(pts), polys).take_all()
+    )
+    assert got == ["in_a", "in_b"]
