@@ -3396,6 +3396,88 @@ def _dedup_label_rows(g: pa.Table) -> pa.Table:
     )
 
 
+def ancestor_closure(
+    edges: ray.data.Dataset,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 16,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """All (node, proper-ancestor) pairs of a forest by POINTER
+    DOUBLING — O(log depth) co-shuffled join rounds instead of
+    depth-many level steps: the classic BSP transitive-closure shortcut
+    (hierarchy rollups, org charts, BOM explosions) Ray Data has no
+    primitive for. Round ``i`` keeps two DATASETS:
+
+      ``A_i`` — proper-ancestor pairs at distance ≤ 2^i,
+      ``J_i`` — the exact-distance-2^i jump pointers;
+
+    then ``A_{i+1} = A_i ∪ (J_i ∘ A_i)`` (ancestors at distance in
+    (2^i, 2^{i+1}] are the ≤2^i-ancestors of the 2^i-th ancestor) and
+    ``J_{i+1} = J_i ∘ J_i`` — each ``∘`` is ONE
+    ``equi_join_partitioned`` bucket co-shuffle (inner: a jump that
+    falls off a root simply drops). The driver sees only ``J``'s
+    per-round count for termination; labels, pairs, and jumps all stay
+    distributed. Output is O(Σ depth(v)) rows — for the random
+    recursive trees used here, O(n·ln n).
+
+    ``edges``: one row per NON-ROOT node ``(node_col, parent_col)``
+    (int64). Returns (node, anc) pairs, ``anc`` a proper ancestor.
+    Requires acyclicity — a cycle never terminates and is cut off (and
+    raised on) at ``max_rounds``.
+    """
+    from georay.ops import equi_join_partitioned
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "an": batch[node_col].cast(pa.int64()),
+                "aa": batch[parent_col].cast(pa.int64()),
+            }
+        )
+
+    anc = edges.map_batches(
+        as_pairs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    jump = anc.map_batches(
+        lambda b: pa.table({"jn": b["an"], "jj": b["aa"]}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    ).materialize()
+
+    for _ in range(max_rounds):
+        if jump.count() == 0:
+            return anc
+        # A ∪ (J ∘ A): (jn, jj) ⋈ (an=jj, aa) → new pairs (jn, aa)
+        new_pairs = equi_join_partitioned(
+            jump, anc, on="jj", right_on="an", how="inner",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pa.table({"an": b["jn"], "aa": b["aa"]}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        # J ∘ J: (jn, jj) ⋈ (kn=jj, kj) → (jn, kj)
+        jump_r = jump.map_batches(
+            lambda b: pa.table({"kn": b["jn"], "kj": b["jj"]}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        jump2 = equi_join_partitioned(
+            jump, jump_r, on="jj", right_on="kn", how="inner",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pa.table({"jn": b["jn"], "jj": b["kj"]}),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        anc = anc.union(new_pairs).materialize()
+        jump = jump2.materialize()
+    if jump.count() != 0:
+        raise ValueError(
+            f"ancestor_closure: jump set non-empty after {max_rounds} "
+            "doubling rounds — cycle, or depth > 2^max_rounds"
+        )
+    return anc
+
+
 def leg_crossings(
     ds: ray.data.Dataset,
     key: str,

@@ -4710,6 +4710,105 @@ def window_cumsum(
     )
 
 
+def window_clamped_cumsum(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str | list[str],
+    value_col: str,
+    out_col: str = "level",
+    order_tiebreak: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Per-key running sum CLAMPED AT A ZERO FLOOR (inventory / ledger
+    balance that cannot go negative): for each key's rows ordered by
+    (ts, tiebreak), ``level_i = S_i - min(0, min_{j<=i} S_j)`` where
+    ``S`` is the plain running sum of the integer deltas — the closed
+    form of "add delta, floor at 0" (the floor only ever absorbs the
+    running minimum, so no sequential scan is needed). SQL twin::
+
+        s - LEAST(0, MIN(s) OVER (PARTITION BY key ORDER BY ...
+            ROWS UNBOUNDED PRECEDING))
+
+    Exact int64 arithmetic end-to-end. NULL deltas follow SQL SUM
+    (skipped — contribute 0). Same one-key-hash-shuffle bucket plan as
+    ``window_cumsum``; the segmented running minimum uses the
+    per-segment-offset trick (cumsum + seg_id·span, one
+    ``np.minimum.accumulate``) with the ``(1 << 62)`` overflow guard
+    and a per-segment fallback — the ``interval_union_length``
+    convention."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError(
+                "window_clamped_cumsum requires int or string/binary keys"
+            )
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending")
+            for c in ([ts] if isinstance(ts, str) else list(ts))
+        ]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        if n == 0:
+            return g.append_column(out_col, pa.array([], pa.int64()))
+        karr = g[key].combine_chunks() if isinstance(g[key], pa.ChunkedArray) else g[key]
+        varr = g[value_col]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        v = np.asarray(pc.fill_null(varr, 0), dtype=np.int64)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)
+        nul = np.asarray(pc.is_null(karr))
+        first[1:] = np.asarray(neq) | (nul[1:] != nul[:-1])
+        # segmented cumsum (base subtraction — correct for negatives)
+        cum = np.cumsum(v)
+        pos = np.arange(n, dtype=np.int64)
+        start = np.maximum.accumulate(np.where(first, pos, 0))
+        s = cum - (cum[start] - v[start])
+        sid = np.cumsum(first) - 1
+        lo, hi = int(s.min()), int(s.max())
+        span = (hi - lo) + 1
+        n_seg = int(sid[-1]) + 1
+        if n_seg * span < (1 << 62):
+            # NEGATIVE per-segment offsets: each later segment sits a
+            # full span BELOW its predecessor, so an earlier segment's
+            # minimum can never leak forward through the accumulate
+            # (ascending offsets would — min, unlike max, carries the
+            # smallest past value).
+            rm = (
+                np.minimum.accumulate(s - sid * span)
+                + sid * span
+            )
+        else:  # per-segment fallback, same guard as interval_union_length
+            rm = np.empty_like(s)
+            starts = np.nonzero(first)[0]
+            bounds = np.append(starts, n)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                rm[a:b] = np.minimum.accumulate(s[a:b])
+        level = s - np.minimum(rm, 0)
+        return g.append_column(out_col, pa.array(level, pa.int64()))
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def window_moving_sum(
     ds: ray.data.Dataset,
     key: str,

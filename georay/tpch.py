@@ -16348,6 +16348,260 @@ WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')
 """
 
 
+def q_stock_level(sf_dir: str):
+    """Floored running ledger balance per user: purchases credit their
+    cents, every other event debits a third of its cents, and the
+    balance CANNOT go negative (insufficient funds burn). The
+    distributed clamped prefix scan ``ops.window_clamped_cumsum`` —
+    closed form ``S - min(0, running min S)``, one user-hash shuffle,
+    exact int64."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def add_delta(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        ok = np.isfinite(v)
+        cents = np.where(ok, np.floor(v * 100.0 + 0.5), 0.0).astype(np.int64)
+        d = np.where(et == "purchase", cents, -(cents // 3))
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "delta": pa.array(d, pa.int64()),
+            }
+        )
+
+    out = ops.window_clamped_cumsum(
+        ds.map_batches(add_delta, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        key="user_id", ts="ts", value_col="delta",
+        out_col="level", order_tiebreak="event_id",
+    )
+    return out.select_columns(["event_id", "user_id", "level"])
+
+
+SQL_STOCK_LEVEL = """
+WITH d AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)
+              ELSE -(CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) // 3)
+         END AS delta
+  FROM events
+),
+s AS (
+  SELECT event_id, user_id, ts,
+         SUM(COALESCE(delta, 0)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS rs
+  FROM d
+)
+SELECT event_id, user_id,
+       CAST(rs - LEAST(0, MIN(rs) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS level
+FROM s
+"""
+
+
+def q_kruskal(sf_dir: str):
+    """Kruskal–Wallis (rank-based one-way ANOVA) sufficient statistics
+    for l_quantity across return flags — per group: n and the tied-rank
+    sum DOUBLED (mid-ranks step by ½, so 2·R is exact int64). The
+    global ranking needs NO sort: quantity has a bounded integer domain
+    (1..50), so one (flag, value) combine-tree histogram + a driver
+    fold over ≤ |domain| rows yields exact global mid-ranks — the
+    bounded-domain ranking pattern (same budget as the grid ops)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        if not np.all(v == np.floor(v)):
+            raise ValueError("kruskal: non-integral quantity")
+        q = v.astype(np.int64)
+        (fk, qk), outs = ops._group_reduce(
+            [f, q], {"c": np.ones(q.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(fk),
+                "q": pa.array(qk, pa.int64()),
+                "c": pa.array(outs["c"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = ops.tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["l_returnflag", "q"], {"c": "c"}, int_cols=("c",),
+    ).to_pandas()
+    f = hist["l_returnflag"].to_numpy()
+    q = hist["q"].to_numpy().astype(np.int64)
+    c = hist["c"].to_numpy().astype(np.int64)
+    # global mid-ranks over the bounded value domain, ×2 to stay integer
+    vals, inv = np.unique(q, return_inverse=True)
+    tc = np.zeros(vals.shape[0], np.int64)
+    np.add.at(tc, inv, c)
+    cum_before = np.cumsum(tc) - tc
+    mr2 = 2 * cum_before + tc + 1
+    flags = np.unique(f)
+    n_g = np.zeros(flags.shape[0], np.int64)
+    rs2 = np.zeros(flags.shape[0], np.int64)
+    fidx = np.searchsorted(flags, f)
+    np.add.at(n_g, fidx, c)
+    np.add.at(rs2, fidx, c * mr2[inv])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags.astype(object)),
+            "n_g": pa.array(n_g, pa.int64()),
+            "rank_sum2": pa.array(rs2, pa.int64()),
+        }
+    )
+
+
+SQL_KRUSKAL = """
+WITH h AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+         COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+g AS (SELECT q, SUM(c) AS tc FROM h GROUP BY q),
+r AS (
+  SELECT q,
+         2 * (SUM(tc) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) - tc)
+           + tc + 1 AS mr2
+  FROM g
+)
+SELECT h.f AS l_returnflag,
+       CAST(SUM(h.c) AS BIGINT) AS n_g,
+       CAST(SUM(h.c * r.mr2) AS BIGINT) AS rank_sum2
+FROM h JOIN r USING (q)
+GROUP BY 1
+"""
+
+
+def q_subtree_rollup(sf_dir: str):
+    """Hierarchy rollup by POINTER DOUBLING: parts form a random
+    recursive forest (parent(k) = 1 + mix64(k) mod (k-1) for k ≥ 2;
+    0 and 1 are roots — the splitmix/murmur finalizer already
+    SQL-replicated by ``mixture_sample``), and each node rolls up the
+    COUNT and retail-price cents of its whole subtree. The ancestor
+    closure runs in O(log depth) co-shuffled join rounds
+    (``analytics.ancestor_closure`` — pairs and jump pointers both stay
+    Datasets), then one partitioned join attaches descendant cents and
+    a combine tree folds per-ancestor totals. SQL twin: the HUGEINT
+    mix64 replica + a recursive CTE."""
+    from georay import analytics as an
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_retailprice"]
+    )
+
+    def base_tbl(batch: pa.Table) -> pa.Table:
+        k = batch["p_partkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+
+    base = ds.map_batches(
+        base_tbl, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    def edge_tbl(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        m = k >= 2
+        kk = k[m]
+        h = ops._mix64(kk.view(np.uint64).copy())
+        parent = (np.uint64(1) + h % (kk - 1).view(np.uint64)).view(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(kk, pa.int64()),
+                "parent": pa.array(parent, pa.int64()),
+            }
+        )
+
+    edges = base.map_batches(
+        edge_tbl, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+    proper = an.ancestor_closure(edges, "node", "parent")
+    selfp = base.map_batches(
+        lambda b: pa.table({"an": b["k"], "aa": b["k"]}),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    pairs = proper.union(selfp)
+    # attach each DESCENDANT's cents (both sides large → partitioned)
+    withc = ops.equi_join_partitioned(pairs, base, on="an", right_on="k")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        aa = batch["aa"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        (ks,), outs = ops._group_reduce(
+            [aa], {"sc": cents, "n": np.ones(aa.shape[0], np.int64)}
+        )
+        return pa.table(
+            {
+                "p_partkey": pa.array(ks, pa.int64()),
+                "sc": pa.array(outs["sc"].astype(np.int64), pa.int64()),
+                "n": pa.array(outs["n"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        withc.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        "p_partkey", {"sc": "subtree_cents", "n": "subtree_n"},
+        int_cols=("sc", "n"),
+    )
+
+
+SQL_SUBTREE_ROLLUP = """
+WITH RECURSIVE
+base AS (
+  SELECT p_partkey AS k,
+         CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS cents
+  FROM part
+),
+m1 AS (
+  SELECT k, xor(CAST(k AS HUGEINT), CAST(k AS HUGEINT) // 8589934592) AS h1
+  FROM base WHERE k >= 2
+),
+m2 AS (
+  SELECT k,
+         ( (h1 % 4294967296) * 18397679294719823053
+         + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+           * 4294967296
+         ) % 18446744073709551616 AS h2
+  FROM m1
+),
+par AS (
+  SELECT k, CAST(1 + xor(h2, h2 // 8589934592) % (k - 1) AS BIGINT)
+           AS parent
+  FROM m2
+),
+anc AS (
+  SELECT k AS node, k AS anc FROM base
+  UNION ALL
+  SELECT a.node, p.parent FROM anc a JOIN par p ON a.anc = p.k
+)
+SELECT a.anc AS p_partkey,
+       CAST(SUM(b.cents) AS BIGINT) AS subtree_cents,
+       CAST(COUNT(*) AS BIGINT) AS subtree_n
+FROM anc a JOIN base b ON a.node = b.k
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "spherical_area": q_spherical_area,
@@ -16475,6 +16729,9 @@ QUERIES = {
     "skew_profile": q_skew_profile,
     "incremental_agg": q_incremental_agg,
     "incremental_join": q_incremental_join,
+    "stock_level": q_stock_level,
+    "kruskal": q_kruskal,
+    "subtree_rollup": q_subtree_rollup,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -16820,6 +17077,9 @@ ORACLE = {
     "skew_profile": SQL_SKEW_PROFILE,
     "incremental_agg": SQL_INCREMENTAL_AGG,
     "incremental_join": SQL_INCREMENTAL_JOIN,
+    "stock_level": SQL_STOCK_LEVEL,
+    "kruskal": SQL_KRUSKAL,
+    "subtree_rollup": SQL_SUBTREE_ROLLUP,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

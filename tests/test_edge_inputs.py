@@ -1090,3 +1090,76 @@ def test_session6_batch2_empty_inputs(ray_session, tmp_path):
     assert pipeline.postings_near(idx, "alpha", "missing", 3).count() == 0
     got = pipeline.postings_near(idx, "alpha", "beta", 3).take_all()
     assert got == [{"doc_id": 1, "min_gap": 1}]
+
+
+def test_clamped_cumsum_pins(ray_session):
+    """window_clamped_cumsum: closed form equals the sequential
+    max(level+d, 0) recurrence; NULL deltas skip; empty input typed;
+    single-row keys; negative-first segments clamp at 0."""
+    import ray.data as rd
+
+    from georay import ops
+
+    d = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "t": pa.array([0, 1, 2, 3, 0, 1, 0], pa.int64()),
+        "v": pa.array([5, -10, 3, None, -3, 2, -7], pa.int64()),
+    })
+    out = (
+        ops.window_clamped_cumsum(rd.from_arrow(d), "k", "t", "v",
+                                  out_col="lvl")
+        .to_pandas().sort_values(["k", "t"])
+    )
+    # sequential reference: l = max(l + (d or 0), 0) per key
+    assert out["lvl"].tolist() == [5, 0, 3, 3, 0, 2, 0]
+
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()),
+        "t": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+    }))
+    e = ops.window_clamped_cumsum(empty, "k", "t", "v")
+    assert e.count() == 0
+
+    # adversarial cross-segment leak check: a deeply negative first key
+    # must not drag later keys' running minimum down (the offset-trick
+    # regression this op's first draft had)
+    d2 = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "t": pa.array([0, 0], pa.int64()),
+        "v": pa.array([-1_000_000, 7], pa.int64()),
+    })
+    out2 = (
+        ops.window_clamped_cumsum(rd.from_arrow(d2), "k", "t", "v",
+                                  out_col="lvl")
+        .to_pandas().sort_values("k")
+    )
+    assert out2["lvl"].tolist() == [0, 7]
+
+
+def test_ancestor_closure_pins(ray_session):
+    """Pointer doubling vs a hand-walked forest: chain 1→2→…→9 (depth 8
+    forces 3+ doubling rounds) plus a star 20→{21,22}; pair set equals
+    the transitive closure; a 2-cycle raises."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    chain_nodes = list(range(2, 10))
+    edges = pa.table({
+        "node": pa.array(chain_nodes + [21, 22], pa.int64()),
+        "parent": pa.array([k - 1 for k in chain_nodes] + [20, 20],
+                           pa.int64()),
+    })
+    out = analytics.ancestor_closure(rd.from_arrow(edges)).to_pandas()
+    got = set(zip(out["an"], out["aa"]))
+    want = {(n, a) for n in chain_nodes for a in range(1, n)}
+    want |= {(21, 20), (22, 20)}
+    assert got == want
+
+    cyc = pa.table({
+        "node": pa.array([1, 2], pa.int64()),
+        "parent": pa.array([2, 1], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="cycle"):
+        analytics.ancestor_closure(rd.from_arrow(cyc), max_rounds=4)
