@@ -901,6 +901,120 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_radix(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Exact ``quantile_disc`` values for an UNBOUNDED float64 column —
+    the gap ``exact_quantiles`` (bounded-domain histogram) documents:
+    distributed RADIX SELECT. Doubles map to uint64 keys via the
+    order-preserving bit transform (flip all bits when negative, else
+    flip the sign bit), then the exact k-th element is found byte by
+    byte: 8 rounds, each ONE map_batches emitting a 256-bin histogram
+    of the next byte among rows matching every quantile's current
+    prefix + a combine-tree fold; the driver holds 256·|qs| ints and
+    narrows each quantile's prefix. No sort, no shuffle, no sample —
+    exact at any scale, in exactly 8 passes over the column regardless
+    of how many quantiles are asked for (all prefixes ride one pass).
+
+    NULL and NaN rows are excluded (SQL NULL semantics; DuckDB sorts
+    NaN last — callers comparing against it should filter NaN too).
+    Output: one row per q — (q float64, v float64), NULL v on an empty
+    column.
+    """
+    if not qs:
+        raise ValueError("exact_quantiles_radix: qs must be non-empty")
+
+    def _keys(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)  # drop NULL→NaN and real NaN; ±inf are values
+        if not ok.all():
+            x = x[ok]
+        b = x.view(np.uint64)
+        neg = (b >> np.uint64(63)).astype(bool)
+        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
+                        np.uint64(0x8000000000000000))
+        return b ^ mask
+
+    nq = len(qs)
+
+    def round_partial(batch: pa.Table, shift: int,
+                      prefixes: np.ndarray) -> pa.Table:
+        """256-bin next-byte histogram per active quantile prefix."""
+        key = _keys(batch)
+        qi_out, byte_out, c_out = [], [], []
+        hi_shift = np.uint64(shift + 8)
+        for qi in range(nq):
+            if shift == 56:
+                sub = key
+            else:
+                sub = key[(key >> hi_shift) == np.uint64(prefixes[qi])]
+            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            cnt = np.bincount(byte, minlength=256)
+            nz = np.nonzero(cnt)[0]
+            qi_out.append(np.full(nz.shape[0], qi, np.int64))
+            byte_out.append(nz.astype(np.int64))
+            c_out.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(qi_out), pa.int64()),
+                "byte": pa.array(np.concatenate(byte_out), pa.int64()),
+                "c": pa.array(np.concatenate(c_out), pa.int64()),
+            }
+        )
+
+    prefixes = np.zeros(nq, np.uint64)
+    ks = np.zeros(nq, np.int64)
+    have_k = False
+    for shift in range(56, -8, -8):
+        partials = ds.map_batches(
+            lambda b, s=shift, p=prefixes.copy(): round_partial(b, s, p),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        hist = tree_sum(
+            partials, ["qi", "byte"], {"c": "c"}, int_cols=("c",)
+        ).to_pandas()
+        if not have_k:  # first pass doubles as the COUNT(*) pass
+            # an all-null/empty column yields ZERO partial rows, and the
+            # schema-less empty frame has no "c" column at all
+            total = (int(hist["c"].sum()) // nq) if len(hist) else 0
+            if total == 0:
+                return ray.data.from_arrow(pa.table({
+                    "q": pa.array([float(q) for q in qs], pa.float64()),
+                    "v": pa.array([None] * nq, pa.float64()),
+                }))
+            ks = np.array(
+                [max(int(np.ceil(q * total)) - 1, 0) for q in qs], np.int64
+            )
+            have_k = True
+        for qi in range(nq):
+            sub = hist[hist["qi"] == qi].sort_values("byte")
+            cum = sub["c"].to_numpy().cumsum()
+            pos = int(np.searchsorted(cum, ks[qi] + 1, side="left"))
+            ks[qi] -= int(cum[pos - 1]) if pos else 0
+            prefixes[qi] = (prefixes[qi] << np.uint64(8)) | np.uint64(
+                int(sub["byte"].to_numpy()[pos])
+            )
+    # invert the order-preserving transform back to float64
+    out_v = []
+    for qi in range(nq):
+        k = prefixes[qi]
+        neg = (k >> np.uint64(63)) == 0  # sign bit clear ⇒ original < 0
+        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
+                else np.uint64(0x8000000000000000))
+        out_v.append(float(np.uint64(k ^ mask).view(np.float64)))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        "v": pa.array(out_v, pa.float64()),
+    }))
+
+
 def focal_sum(
     hist: ray.data.Dataset,
     cell_col: str = "grid_cell",

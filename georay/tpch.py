@@ -16602,6 +16602,29 @@ GROUP BY 1
 """
 
 
+def q_radix_quantile(sf_dir: str):
+    """Exact median + p99 of l_extendedprice — an UNBOUNDED double
+    domain, where the histogram path (``exact_quantiles``) does not
+    apply: distributed radix select (``ops.exact_quantiles_radix``),
+    8 histogram passes total for BOTH quantiles, no sort, no shuffle,
+    driver holds 512 ints."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    return ops.exact_quantiles_radix(ds, "l_extendedprice", [0.5, 0.99])
+
+
+SQL_RADIX_QUANTILE = """
+WITH v AS (
+  SELECT l_extendedprice AS x,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER () AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT q, x AS v
+FROM v, (VALUES (0.5e0), (0.99e0)) t(q)
+WHERE rn = greatest(CAST(ceil(q * c) AS BIGINT), 1)
+"""
+
+
 QUERIES = {
     "poly_measures": q_poly_measures,
     "spherical_area": q_spherical_area,
@@ -16732,6 +16755,7 @@ QUERIES = {
     "stock_level": q_stock_level,
     "kruskal": q_kruskal,
     "subtree_rollup": q_subtree_rollup,
+    "radix_quantile": q_radix_quantile,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17080,6 +17104,7 @@ ORACLE = {
     "stock_level": SQL_STOCK_LEVEL,
     "kruskal": SQL_KRUSKAL,
     "subtree_rollup": SQL_SUBTREE_ROLLUP,
+    "radix_quantile": SQL_RADIX_QUANTILE,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

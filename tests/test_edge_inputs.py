@@ -1163,3 +1163,34 @@ def test_ancestor_closure_pins(ray_session):
     })
     with pytest.raises(ValueError, match="cycle"):
         analytics.ancestor_closure(rd.from_arrow(cyc), max_rounds=4)
+
+
+def test_radix_quantile_pins(ray_session):
+    """exact_quantiles_radix vs np.sort ground truth on a hostile
+    domain: negatives, ±inf, denormal-ish magnitudes, NULLs and NaNs
+    (both excluded), multiple quantiles in one call; empty input gives
+    NULL values."""
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([
+        rng.randn(500) * 1e6, rng.randn(500) * 1e-6,
+        np.array([-np.inf, np.inf, 0.0, -0.0]),
+    ])
+    vals = list(x) + [None, float("nan")]
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    qs = [0.01, 0.5, 0.99]
+    out = (
+        ops.exact_quantiles_radix(rd.from_arrow(t), "x", qs)
+        .to_pandas().sort_values("q")
+    )
+    xs = np.sort(x)
+    for q, v in zip(out["q"], out["v"]):
+        k = max(int(np.ceil(q * xs.shape[0])) - 1, 0)
+        assert v == xs[k], (q, v, xs[k])
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    e = ops.exact_quantiles_radix(empty, "x", [0.5]).to_pandas()
+    assert len(e) == 1 and np.isnan(e["v"].iloc[0])
