@@ -847,20 +847,15 @@ def write_postings(
     )
 
 
-def write_postings_positional(
+def _postings_pos_write(
     ds: rd.Dataset,
     out_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 16,
-) -> list[str]:
-    """POSITIONAL inverted-index layout: one ``(token, doc, pos)`` row
-    per token OCCURRENCE (0-based position in the canonical token
-    sequence), hash-bucketed by token like ``write_postings`` — the
-    layout phrase/proximity queries need (``postings_phrase``). Same
-    cost shape: occurrences are built where the document's row lives,
-    the one exchange is the bucketed write, and a query's scan is
-    bounded by its terms' buckets, not the corpus."""
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> None:
+    """Shared occurrence-explode + bucketed write for the positional
+    postings layout (full build AND incremental append)."""
     from georay.ops import _key_hash
     from georay.stages.text import _tokenize_flat
 
@@ -891,6 +886,23 @@ def write_postings_positional(
     ds.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).write_parquet(out_dir, partition_cols=["bucket"])
+
+
+def write_postings_positional(
+    ds: rd.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> list[str]:
+    """POSITIONAL inverted-index layout: one ``(token, doc, pos)`` row
+    per token OCCURRENCE (0-based position in the canonical token
+    sequence), hash-bucketed by token like ``write_postings`` — the
+    layout phrase/proximity queries need (``postings_phrase``). Same
+    cost shape: occurrences are built where the document's row lives,
+    the one exchange is the bucketed write, and a query's scan is
+    bounded by its terms' buckets, not the corpus."""
+    _postings_pos_write(ds, out_dir, id_col, text_col, n_buckets)
     with open(os.path.join(out_dir, "_POSTINGS.json"), "w") as f:
         json.dump(
             {
@@ -905,6 +917,43 @@ def write_postings_positional(
         os.path.join(out_dir, d)
         for d in os.listdir(out_dir)
         if d.startswith("bucket=")
+    )
+
+
+def postings_append(
+    postings_dir: str,
+    ds: rd.Dataset,
+    text_col: str = "text",
+) -> None:
+    """INCREMENTAL index maintenance for the positional postings
+    layout: explode the NEW documents' occurrences with the layout's
+    recorded bucket hash and write them as ADDITIONAL parquet files
+    into the existing ``bucket=`` directories — the base index is never
+    re-read or rewritten (the ``incremental_agg`` / ``incremental_join``
+    IVM convention, extended to a persistent layout). Every reader
+    (``postings_and`` / ``postings_phrase`` / ``postings_near`` /
+    ``postings_bm25``) scans whole bucket directories, so delta files
+    are picked up with no reader change and no compaction step.
+
+    APPEND-ONLY: re-adding an already-indexed doc_id duplicates its
+    occurrences (same as re-inserting a row into any log-structured
+    index) — dedup upstream or rebuild to replace documents."""
+    with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
+        meta = json.load(f)
+    if not meta.get("positional"):
+        raise ValueError(
+            "postings_append: layout is not positional "
+            "(built by write_postings_positional)"
+        )
+    id_col = meta["id_col"]
+    got = str(ds.schema().base_schema.field(id_col).type)
+    if got != meta["id_type"]:
+        raise ValueError(
+            f"postings_append: {id_col} type {got} != indexed "
+            f"{meta['id_type']}"
+        )
+    _postings_pos_write(
+        ds, postings_dir, id_col, text_col, int(meta["n_buckets"])
     )
 
 

@@ -16602,6 +16602,43 @@ GROUP BY 1
 """
 
 
+def q_phrase_search_incremental(sf_dir: str):
+    """The phrase_search twin over an INCREMENTALLY MAINTAINED index:
+    the base index covers only doc_id % 5 != 0; the remaining fifth is
+    added later via ``pipeline.postings_append`` (delta parquet files
+    into the existing token buckets — base never rewritten, readers
+    unchanged). Results must equal the full-corpus build, so the oracle
+    is the same corpus-wide SQL as phrase_search."""
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"georay_postings_posinc_{tag}")
+    if not os.path.exists(os.path.join(idx, "_POSTINGS.json")):
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+
+        def _part(batch: pa.Table, keep_delta: bool) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 5) == 0
+            return batch.filter(pa.array(m if keep_delta else ~m))
+
+        pipeline.write_postings_positional(
+            docs.map_batches(lambda b: _part(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None),
+            idx, n_buckets=16,
+        )
+        pipeline.postings_append(
+            idx,
+            docs.map_batches(lambda b: _part(b, True),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None),
+        )
+    return pipeline.postings_phrase(idx, PHRASE_TERMS)
+
+
 def q_radix_quantile(sf_dir: str):
     """Exact median + p99 of l_extendedprice — an UNBOUNDED double
     domain, where the histogram path (``exact_quantiles``) does not
@@ -16756,6 +16793,7 @@ QUERIES = {
     "kruskal": q_kruskal,
     "subtree_rollup": q_subtree_rollup,
     "radix_quantile": q_radix_quantile,
+    "phrase_search_incremental": q_phrase_search_incremental,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17105,6 +17143,7 @@ ORACLE = {
     "kruskal": SQL_KRUSKAL,
     "subtree_rollup": SQL_SUBTREE_ROLLUP,
     "radix_quantile": SQL_RADIX_QUANTILE,
+    "phrase_search_incremental": SQL_PHRASE_SEARCH,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

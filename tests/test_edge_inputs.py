@@ -1194,3 +1194,44 @@ def test_radix_quantile_pins(ray_session):
     empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     e = ops.exact_quantiles_radix(empty, "x", [0.5]).to_pandas()
     assert len(e) == 1 and np.isnan(e["v"].iloc[0])
+
+
+def test_postings_append_pins(ray_session, tmp_path):
+    """Incremental postings maintenance: base build + postings_append
+    equals a fresh full build for phrase AND proximity search; id-type
+    mismatch raises."""
+    import ray.data as rd
+
+    from georay import pipeline
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "merge window now", "window merge later",
+            "the merge window closes", "nothing here",
+        ]),
+    })
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    pipeline.write_postings_positional(rd.from_arrow(docs), full, n_buckets=4)
+    pipeline.write_postings_positional(
+        rd.from_arrow(docs.slice(0, 2)), inc, n_buckets=4)
+    pipeline.postings_append(inc, rd.from_arrow(docs.slice(2)))
+
+    for d in (full, inc):
+        got = sorted(
+            (r["doc_id"], r["n_occ"])
+            for r in pipeline.postings_phrase(d, ["merge", "window"]).take_all()
+        )
+        assert got == [(1, 1), (3, 1)], d
+    a = sorted(r["doc_id"] for r in
+               pipeline.postings_near(full, "merge", "window", 2).take_all())
+    b = sorted(r["doc_id"] for r in
+               pipeline.postings_near(inc, "merge", "window", 2).take_all())
+    assert a == b
+
+    wrong = pa.table({
+        "doc_id": pa.array(["x"]), "text": pa.array(["merge"]),
+    })
+    with pytest.raises(ValueError, match="type"):
+        pipeline.postings_append(inc, rd.from_arrow(wrong))
