@@ -16639,6 +16639,111 @@ def q_phrase_search_incremental(sf_dir: str):
     return pipeline.postings_phrase(idx, PHRASE_TERMS)
 
 
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram of part retail price (geostats —
+    the spatial-correlation-structure profile kriging starts from):
+    ordered part-point pairs within planar distance 10.0, binned by 0.5°
+    distance lags; per bin the pair count, the exact int64
+    Σ(z_i−z_j)² (cents), and γ(h) = ssd / (2·n). Pair generation rides
+    ``radius_join_pairs`` (cell-disk candidates, broadcast refs carry
+    their cents as payload, probes stream); both directions of each
+    pair are counted — γ is invariant to that. sqrt is correctly
+    rounded on this host (trajectory_stats convention), so the lag
+    binning is SQL-bit-exact."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from georay.joins import radius_join_pairs
+
+    t = pq.read_table(_t(sf_dir, "part"),
+                      columns=["p_partkey", "p_retailprice"])
+    sk = t["p_partkey"].to_numpy().astype(np.int64)
+    sx = ((sk * 17) % 3600) / 10.0 - 180.0 + 0.05
+    sy = ((sk * 23) % 1700) / 10.0 - 85.0 + 0.05
+    ab = t["p_retailprice"].to_numpy(zero_copy_only=False)
+    zc = np.floor(ab * 100.0 + 0.5).astype(np.int64)
+    geo = GeoType.point(crs="OGC:CRS84")
+    probes = rd.from_arrow(
+        pa.table(
+            {"p_partkey": pa.array(sk)},
+            schema=pa.schema([pa.field("p_partkey", pa.int64())]),
+        ).append_column(
+            geo.field("geotag"),
+            native.build_points(np.column_stack([sx, sy]), geo),
+        )
+    )
+    pairs = radius_join_pairs(
+        probes, sx, sy, sk, radius=10.0, probe_id_col="p_partkey",
+        neighbor_out="nbr", ref_payload={"zr": zc}, dist_out="d2",
+    )
+    o = np.argsort(sk)
+    zref = _ray.put((sk[o], zc[o]))
+    cache: dict = {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        ks, zs = cache.setdefault("z", _rayw.get(zref))
+        pid = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        nbr = batch["nbr"].to_numpy(zero_copy_only=False)
+        m = pid != nbr
+        pid, nbr = pid[m], nbr[m]
+        d2 = batch["d2"].to_numpy(zero_copy_only=False)[m]
+        zr = batch["zr"].to_numpy(zero_copy_only=False)[m]
+        zp = zs[np.searchsorted(ks, pid)]
+        dz = zp - zr
+        bins = np.floor(np.sqrt(d2) / 0.5).astype(np.int64)
+        (bk,), outs = ops._group_reduce(
+            [bins], {"n": np.ones(bins.shape[0], np.int64), "ssd": dz * dz}
+        )
+        return pa.table(
+            {
+                "bin": pa.array(bk, pa.int64()),
+                "n": pa.array(outs["n"].astype(np.int64), pa.int64()),
+                "ssd": pa.array(outs["ssd"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ops.tree_sum(
+        pairs.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None),
+        "bin", {"n": "n_pairs", "ssd": "ssd"}, int_cols=("n", "ssd"),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        ssd = batch["ssd"].to_numpy(zero_copy_only=False)
+        g = ssd.astype(np.float64) / (2.0 * n)
+        return batch.append_column("gamma", pa.array(g, pa.float64()))
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
+SQL_VARIOGRAM = """
+WITH s AS (
+  SELECT p_partkey AS k,
+         ((p_partkey * 17) % 3600) / 10.0 - 180.0 + 0.05 AS x,
+         ((p_partkey * 23) % 1700) / 10.0 - 85.0 + 0.05 AS y,
+         CAST(floor(p_retailprice * 100.0e0 + 0.5e0) AS BIGINT) AS z
+  FROM part
+),
+p AS (
+  SELECT (b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) AS d2,
+         a.z - b.z AS dz
+  FROM s a JOIN s b
+    ON a.k <> b.k
+   AND (b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y) <= 100.0e0
+)
+SELECT CAST(floor(sqrt(d2) / 0.5e0) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dz * dz) AS BIGINT) AS ssd,
+       CAST(SUM(dz * dz) AS DOUBLE) / (2.0e0 * COUNT(*)) AS gamma
+FROM p GROUP BY bin
+"""
+
+
 def q_radix_quantile(sf_dir: str):
     """Exact median + p99 of l_extendedprice — an UNBOUNDED double
     domain, where the histogram path (``exact_quantiles``) does not
@@ -16794,6 +16899,7 @@ QUERIES = {
     "subtree_rollup": q_subtree_rollup,
     "radix_quantile": q_radix_quantile,
     "phrase_search_incremental": q_phrase_search_incremental,
+    "variogram": q_variogram,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17144,6 +17250,7 @@ ORACLE = {
     "subtree_rollup": SQL_SUBTREE_ROLLUP,
     "radix_quantile": SQL_RADIX_QUANTILE,
     "phrase_search_incremental": SQL_PHRASE_SEARCH,
+    "variogram": SQL_VARIOGRAM,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
