@@ -283,6 +283,31 @@ def run_bench() -> dict:
     timed_ext(
         "spatial_clusters", lambda: tpch.q_spatial_clusters(SF_DIR).num_rows
     )
+    # session-7 additions (late session-6 entries + scan/closure/IVM ops)
+    timed_ext("speeding", lambda: tpch.q_speeding(SF_DIR).count())
+    timed_ext(
+        "peak_concurrency", lambda: tpch.q_peak_concurrency(SF_DIR).count()
+    )
+    timed_ext(
+        "session_overlap", lambda: tpch.q_session_overlap(SF_DIR).count()
+    )
+    timed_ext("day_overlap", lambda: tpch.q_day_overlap(SF_DIR).count())
+    timed_ext(
+        "incremental_join", lambda: tpch.q_incremental_join(SF_DIR).count()
+    )
+    timed_ext("stock_level", lambda: tpch.q_stock_level(SF_DIR).count())
+    timed_ext("kruskal", lambda: tpch.q_kruskal(SF_DIR).num_rows)
+    timed_ext(
+        "subtree_rollup", lambda: tpch.q_subtree_rollup(SF_DIR).count()
+    )
+    timed_ext(
+        "radix_quantile", lambda: tpch.q_radix_quantile(SF_DIR).count()
+    )
+    timed_ext(
+        "phrase_search_incremental",
+        lambda: tpch.q_phrase_search_incremental(SF_DIR).count(),
+    )
+    timed_ext("variogram", lambda: tpch.q_variogram(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

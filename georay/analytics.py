@@ -3402,6 +3402,7 @@ def ancestor_closure(
     parent_col: str = "parent",
     max_rounds: int = 16,
     n_buckets: int = 64,
+    local_edge_cutoff: int = 2_000_000,
 ) -> ray.data.Dataset:
     """All (node, proper-ancestor) pairs of a forest by POINTER
     DOUBLING — O(log depth) co-shuffled join rounds instead of
@@ -3425,8 +3426,51 @@ def ancestor_closure(
     (int64). Returns (node, anc) pairs, ``anc`` a proper ancestor.
     Requires acyclicity — a cycle never terminates and is cut off (and
     raised on) at ``max_rounds``.
+
+    Below ``local_edge_cutoff`` edges the closure runs in ONE task
+    (vectorized parent chasing over collected arrays) — a
+    dimension-sized forest does not justify 2·log(depth) co-shuffle
+    barriers (the triangle_count / pagerank local-fast-path policy;
+    the twins are pinned equal by pytest with cutoff=0).
     """
     from georay.ops import equi_join_partitioned
+
+    if edges.count() <= local_edge_cutoff:
+        import pyarrow as _pa
+
+        et = _pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        node = et[node_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        par = et[parent_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(node)
+        node_s, par_s = node[order], par[order]
+        if node_s.shape[0] == 0:
+            return ray.data.from_arrow(
+                pa.table({"an": pa.array([], pa.int64()),
+                          "aa": pa.array([], pa.int64())})
+            )
+        if np.any(node_s[1:] == node_s[:-1]):
+            raise ValueError("ancestor_closure: duplicate node rows")
+        out_n, out_a = [node_s], [par_s]
+        cur_n, cur_a = node_s, par_s
+        for _ in range(node_s.shape[0] + 1):  # depth ≤ #non-root nodes
+            pos = np.searchsorted(node_s, cur_a)
+            pos_c = np.minimum(pos, node_s.shape[0] - 1)
+            alive = node_s[pos_c] == cur_a  # ancestor is itself non-root
+            if not alive.any():
+                break
+            cur_n, cur_a = cur_n[alive], par_s[pos_c[alive]]
+            out_n.append(cur_n)
+            out_a.append(cur_a)
+        else:
+            raise ValueError("ancestor_closure: cycle detected")
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "an": pa.array(np.concatenate(out_n), pa.int64()),
+                    "aa": pa.array(np.concatenate(out_a), pa.int64()),
+                }
+            )
+        )
 
     def as_pairs(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -1151,18 +1151,26 @@ def test_ancestor_closure_pins(ray_session):
         "parent": pa.array([k - 1 for k in chain_nodes] + [20, 20],
                            pa.int64()),
     })
-    out = analytics.ancestor_closure(rd.from_arrow(edges)).to_pandas()
-    got = set(zip(out["an"], out["aa"]))
     want = {(n, a) for n in chain_nodes for a in range(1, n)}
     want |= {(21, 20), (22, 20)}
-    assert got == want
+    # local fast path AND the distributed pointer-doubling twin
+    # (cutoff=0) must both equal the hand-walked closure
+    for cutoff in (2_000_000, 0):
+        out = analytics.ancestor_closure(
+            rd.from_arrow(edges), local_edge_cutoff=cutoff
+        ).to_pandas()
+        got = set(zip(out["an"], out["aa"]))
+        assert got == want, cutoff
 
     cyc = pa.table({
         "node": pa.array([1, 2], pa.int64()),
         "parent": pa.array([2, 1], pa.int64()),
     })
-    with pytest.raises(ValueError, match="cycle"):
-        analytics.ancestor_closure(rd.from_arrow(cyc), max_rounds=4)
+    for cutoff in (2_000_000, 0):
+        with pytest.raises(ValueError, match="cycle"):
+            analytics.ancestor_closure(
+                rd.from_arrow(cyc), max_rounds=4, local_edge_cutoff=cutoff
+            )
 
 
 def test_radix_quantile_pins(ray_session):
