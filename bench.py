@@ -308,6 +308,10 @@ def run_bench() -> dict:
         lambda: tpch.q_phrase_search_incremental(SF_DIR).count(),
     )
     timed_ext("variogram", lambda: tpch.q_variogram(SF_DIR).count())
+    timed_ext(
+        "radix_quantile_grouped",
+        lambda: tpch.q_radix_quantile_grouped(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -1015,6 +1015,170 @@ def exact_quantiles_radix(
     }))
 
 
+def grouped_quantiles_radix(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """Per-GROUP exact ``quantile_disc`` on an unbounded float64 column
+    — the grouped twin of ``exact_quantiles_radix``, same 8-pass radix
+    plan: every group's every quantile narrows its own byte prefix, all
+    riding the SAME 8 column passes (pass 1 doubles as the per-group
+    COUNT pass that discovers the group set). The driver holds
+    |groups|·|qs| prefixes + a 256-bin histogram per (group, q) —
+    bounded-group-cardinality budget (flags, sources, classes; same
+    convention as ``tree_sum``). NULL/NaN payloads excluded per group.
+
+    Output: (key, q float64, v float64) — groups with at least one
+    non-null value only (SQL GROUP BY semantics)."""
+    if not qs:
+        raise ValueError("grouped_quantiles_radix: qs must be non-empty")
+    nq = len(qs)
+
+    def _kv(batch: pa.Table):
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        karr = batch[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        g = karr.to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(x)
+        if karr.null_count:
+            ok &= ~np.asarray(pc.is_null(karr))
+        if not ok.all():
+            x, g = x[ok], g[ok]
+        b = x.view(np.uint64)
+        neg = (b >> np.uint64(63)).astype(bool)
+        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
+                        np.uint64(0x8000000000000000))
+        return g, b ^ mask
+
+    def discover(batch: pa.Table) -> pa.Table:
+        g, kk = _kv(batch)
+        byte = ((kk >> np.uint64(56)) & np.uint64(0xFF)).astype(np.int64)
+        (gk, bk), outs = _group_reduce(
+            [g, byte], {"c": np.ones(byte.shape[0], np.int64)}
+        )
+        return pa.table({
+            key: pa.array(gk),
+            "byte": pa.array(bk, pa.int64()),
+            "c": pa.array(outs["c"].astype(np.int64), pa.int64()),
+        })
+
+    hist = tree_sum(
+        ds.map_batches(discover, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        [key, "byte"], {"c": "c"}, int_cols=("c",),
+    ).to_pandas()
+    if len(hist) == 0:
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], pa.string()),
+            "q": pa.array([], pa.float64()),
+            "v": pa.array([], pa.float64()),
+        }))
+    groups = np.sort(hist[key].unique())
+    ng = groups.shape[0]
+    # per (group, q) selection state
+    prefixes = np.zeros((ng, nq), np.uint64)
+    ks = np.zeros((ng, nq), np.int64)
+    gidx = np.searchsorted(groups, hist[key].to_numpy())
+    totals = np.zeros(ng, np.int64)
+    np.add.at(totals, gidx, hist["c"].to_numpy().astype(np.int64))
+    for gi in range(ng):
+        for qi, q in enumerate(qs):
+            ks[gi, qi] = max(int(np.ceil(q * totals[gi])) - 1, 0)
+
+    def narrow(hist_df, shift):
+        """Fold one pass's (group, qi, byte) histogram into prefixes."""
+        for gi in range(ng):
+            for qi in range(nq):
+                sub = hist_df[
+                    (hist_df["gi"] == gi) & (hist_df["qi"] == qi)
+                ].sort_values("byte")
+                cum = sub["c"].to_numpy().cumsum()
+                pos = int(np.searchsorted(cum, ks[gi, qi] + 1, side="left"))
+                ks[gi, qi] -= int(cum[pos - 1]) if pos else 0
+                prefixes[gi, qi] = (
+                    (prefixes[gi, qi] << np.uint64(8))
+                    | np.uint64(int(sub["byte"].to_numpy()[pos]))
+                )
+
+    # fold pass 1 (the discover histogram: identical for every qi)
+    import pandas as _pd
+
+    h1 = hist.assign(gi=gidx)
+    narrow(
+        _pd.concat([h1.assign(qi=qi) for qi in range(nq)],
+                   ignore_index=True),
+        56,
+    )
+
+    for shift in range(48, -8, -8):
+        def round_partial(batch: pa.Table, s=shift,
+                          p=prefixes.copy()) -> pa.Table:
+            g, kk = _kv(batch)
+            gm = np.searchsorted(groups, g)
+            gm_c = np.minimum(gm, ng - 1)
+            known = groups[gm_c] == g  # unseen group can't matter now
+            hi_shift = np.uint64(s + 8)
+            gis, qis, bys, cs = [], [], [], []
+            for gi in range(ng):
+                gmask = known & (gm_c == gi)
+                if not gmask.any():
+                    continue
+                sub_all = kk[gmask]
+                for qi in range(nq):
+                    sub = sub_all[
+                        (sub_all >> hi_shift) == np.uint64(p[gi, qi])
+                    ]
+                    byte = ((sub >> np.uint64(s)) & np.uint64(0xFF)).astype(
+                        np.int64
+                    )
+                    cnt = np.bincount(byte, minlength=256)
+                    nz = np.nonzero(cnt)[0]
+                    gis.append(np.full(nz.shape[0], gi, np.int64))
+                    qis.append(np.full(nz.shape[0], qi, np.int64))
+                    bys.append(nz.astype(np.int64))
+                    cs.append(cnt[nz].astype(np.int64))
+            if not gis:
+                gis = [np.zeros(0, np.int64)]
+                qis = [np.zeros(0, np.int64)]
+                bys = [np.zeros(0, np.int64)]
+                cs = [np.zeros(0, np.int64)]
+            return pa.table({
+                "gi": pa.array(np.concatenate(gis), pa.int64()),
+                "qi": pa.array(np.concatenate(qis), pa.int64()),
+                "byte": pa.array(np.concatenate(bys), pa.int64()),
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+            })
+
+        hdf = tree_sum(
+            ds.map_batches(round_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+            ["gi", "qi", "byte"], {"c": "c"}, int_cols=("c",),
+        ).to_pandas()
+        narrow(hdf, shift)
+
+    out_k, out_q, out_v = [], [], []
+    for gi in range(ng):
+        for qi, q in enumerate(qs):
+            kbits = prefixes[gi, qi]
+            neg = (kbits >> np.uint64(63)) == 0
+            mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
+                    else np.uint64(0x8000000000000000))
+            out_k.append(groups[gi])
+            out_q.append(float(q))
+            out_v.append(float(np.uint64(kbits ^ mask).view(np.float64)))
+    return ray.data.from_arrow(pa.table({
+        key: pa.array(list(out_k)),
+        "q": pa.array(out_q, pa.float64()),
+        "v": pa.array(out_v, pa.float64()),
+    }))
+
+
 def focal_sum(
     hist: ray.data.Dataset,
     cell_col: str = "grid_cell",

@@ -16754,6 +16754,33 @@ def q_radix_quantile(sf_dir: str):
     return ops.exact_quantiles_radix(ds, "l_extendedprice", [0.5, 0.99])
 
 
+def q_radix_quantile_grouped(sf_dir: str):
+    """Per-returnflag exact median + p99 of l_extendedprice — the
+    GROUPED radix select (``ops.grouped_quantiles_radix``): every
+    (flag, q) narrows its own byte prefix, all six selections riding
+    the same 8 column passes."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
+    )
+    return ops.grouped_quantiles_radix(
+        ds, "l_returnflag", "l_extendedprice", [0.5, 0.99]
+    )
+
+
+SQL_RADIX_QUANTILE_GROUPED = """
+WITH v AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT l_returnflag, q, x AS v
+FROM v, (VALUES (0.5e0), (0.99e0)) t(q)
+WHERE rn = greatest(CAST(ceil(q * c) AS BIGINT), 1)
+"""
+
+
 SQL_RADIX_QUANTILE = """
 WITH v AS (
   SELECT l_extendedprice AS x,
@@ -16900,6 +16927,7 @@ QUERIES = {
     "radix_quantile": q_radix_quantile,
     "phrase_search_incremental": q_phrase_search_incremental,
     "variogram": q_variogram,
+    "radix_quantile_grouped": q_radix_quantile_grouped,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17251,6 +17279,7 @@ ORACLE = {
     "radix_quantile": SQL_RADIX_QUANTILE,
     "phrase_search_incremental": SQL_PHRASE_SEARCH,
     "variogram": SQL_VARIOGRAM,
+    "radix_quantile_grouped": SQL_RADIX_QUANTILE_GROUPED,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

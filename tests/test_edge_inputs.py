@@ -1243,3 +1243,35 @@ def test_postings_append_pins(ray_session, tmp_path):
     })
     with pytest.raises(ValueError, match="type"):
         pipeline.postings_append(inc, rd.from_arrow(wrong))
+
+
+def test_grouped_radix_quantile_pins(ray_session):
+    """grouped_quantiles_radix vs per-group np.sort ground truth; NULL
+    group keys and NaN payloads excluded; empty input typed."""
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.RandomState(11)
+    g = np.array(["a", "b"])[rng.randint(0, 2, 400)]
+    x = rng.randn(400) * np.where(g == "a", 1e3, 1e-3)
+    t = pa.table({
+        "g": pa.array(list(g) + [None, "a"]),
+        "x": pa.array(list(x) + [1.0, float("nan")], pa.float64()),
+    })
+    out = (
+        ops.grouped_quantiles_radix(rd.from_arrow(t), "g", "x", [0.25, 0.75])
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    assert sorted(out["g"].unique()) == ["a", "b"]
+    for gv in ("a", "b"):
+        xs = np.sort(x[g == gv])
+        for q in (0.25, 0.75):
+            got = out[(out["g"] == gv) & (out["q"] == q)]["v"].iloc[0]
+            k = max(int(np.ceil(q * xs.shape[0])) - 1, 0)
+            assert got == xs[k], (gv, q)
+
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()), "x": pa.array([], pa.float64()),
+    }))
+    assert ops.grouped_quantiles_radix(empty, "g", "x", [0.5]).count() == 0
