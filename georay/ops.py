@@ -905,6 +905,7 @@ def exact_quantiles_radix(
     ds: ray.data.Dataset,
     col: str,
     qs: list[float],
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """Exact ``quantile_disc`` values for an UNBOUNDED float64 column —
     the gap ``exact_quantiles`` (bounded-domain histogram) documents:
@@ -922,41 +923,66 @@ def exact_quantiles_radix(
     NaN last — callers comparing against it should filter NaN too).
     Output: one row per q — (q float64, v float64), NULL v on an empty
     column.
+
+    ``weight_col`` (int64, non-negative, NULL = 0) switches to the
+    WEIGHTED quantile: the smallest value whose cumulative weight
+    reaches ``ceil(q·W)`` — exact weighted median/percentiles on the
+    same 8 passes, the per-byte histograms summing weights instead of
+    row counts.
     """
     if not qs:
         raise ValueError("exact_quantiles_radix: qs must be non-empty")
 
-    def _keys(batch: pa.Table) -> np.ndarray:
+    def _keys(batch: pa.Table):
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(x)  # drop NULL→NaN and real NaN; ±inf are values
-        if not ok.all():
-            x = x[ok]
+        if weight_col is None:
+            if not ok.all():
+                x = x[ok]
+            w = None
+        else:
+            warr = batch[weight_col]
+            if isinstance(warr, pa.ChunkedArray):
+                warr = warr.combine_chunks()
+            w = np.asarray(pc.fill_null(warr, 0)).astype(np.int64)
+            if w.shape[0] and int(w.min()) < 0:
+                raise ValueError(
+                    "exact_quantiles_radix: negative weights"
+                )
+            if not ok.all():
+                x, w = x[ok], w[ok]
         b = x.view(np.uint64)
         neg = (b >> np.uint64(63)).astype(bool)
         mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
                         np.uint64(0x8000000000000000))
-        return b ^ mask
+        return b ^ mask, w
 
     nq = len(qs)
 
     def round_partial(batch: pa.Table, shift: int,
                       prefixes: np.ndarray) -> pa.Table:
         """256-bin next-byte histogram per active quantile prefix."""
-        key = _keys(batch)
+        key, w = _keys(batch)
         qi_out, byte_out, c_out = [], [], []
         hi_shift = np.uint64(shift + 8)
         for qi in range(nq):
             if shift == 56:
-                sub = key
+                sub, sw = key, w
             else:
-                sub = key[(key >> hi_shift) == np.uint64(prefixes[qi])]
+                m = (key >> hi_shift) == np.uint64(prefixes[qi])
+                sub = key[m]
+                sw = None if w is None else w[m]
             byte = ((sub >> np.uint64(shift)) & np.uint64(0xFF)).astype(
                 np.int64
             )
-            cnt = np.bincount(byte, minlength=256)
+            if sw is None:
+                cnt = np.bincount(byte, minlength=256)
+            else:
+                cnt = np.zeros(256, np.int64)
+                np.add.at(cnt, byte, sw)
             nz = np.nonzero(cnt)[0]
             qi_out.append(np.full(nz.shape[0], qi, np.int64))
             byte_out.append(nz.astype(np.int64))

@@ -16781,6 +16781,49 @@ WHERE rn = greatest(CAST(ceil(q * c) AS BIGINT), 1)
 """
 
 
+def q_radix_quantile_weighted(sf_dir: str):
+    """Exact QUANTITY-WEIGHTED median + p99 of l_extendedprice — the
+    weighted radix select (``weight_col=``): per-byte histograms sum
+    integer weights instead of row counts, same 8 passes; result is the
+    smallest price whose cumulative quantity reaches ceil(q·W)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"]
+    )
+
+    def wcast(batch: pa.Table) -> pa.Table:
+        w = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_extendedprice": batch["l_extendedprice"],
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ops.exact_quantiles_radix(
+        ds.map_batches(wcast, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None),
+        "l_extendedprice", [0.5, 0.99], weight_col="w",
+    )
+
+
+SQL_RADIX_QUANTILE_WEIGHTED = """
+WITH w AS (
+  SELECT l_extendedprice AS x, CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+c AS (
+  SELECT x,
+         SUM(wt) OVER (ORDER BY x) AS cw,
+         SUM(wt) OVER () AS tw
+  FROM w
+)
+SELECT q, MIN(x) AS v
+FROM c, (VALUES (0.5e0), (0.99e0)) t(q)
+WHERE cw >= greatest(CAST(ceil(q * tw) AS BIGINT), 1)
+GROUP BY q
+"""
+
+
 SQL_RADIX_QUANTILE = """
 WITH v AS (
   SELECT l_extendedprice AS x,
@@ -16928,6 +16971,7 @@ QUERIES = {
     "phrase_search_incremental": q_phrase_search_incremental,
     "variogram": q_variogram,
     "radix_quantile_grouped": q_radix_quantile_grouped,
+    "radix_quantile_weighted": q_radix_quantile_weighted,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17280,6 +17324,7 @@ ORACLE = {
     "phrase_search_incremental": SQL_PHRASE_SEARCH,
     "variogram": SQL_VARIOGRAM,
     "radix_quantile_grouped": SQL_RADIX_QUANTILE_GROUPED,
+    "radix_quantile_weighted": SQL_RADIX_QUANTILE_WEIGHTED,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

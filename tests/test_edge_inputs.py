@@ -1275,3 +1275,39 @@ def test_grouped_radix_quantile_pins(ray_session):
         "g": pa.array([], pa.string()), "x": pa.array([], pa.float64()),
     }))
     assert ops.grouped_quantiles_radix(empty, "g", "x", [0.5]).count() == 0
+
+
+def test_weighted_radix_quantile_pins(ray_session):
+    """Weighted radix select vs the repeat-expansion ground truth
+    (weight w behaves as w copies); zero weights ignored; negative
+    weight raises; all-zero weights give NULL."""
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(300)
+    w = rng.randint(0, 5, 300).astype(np.int64)
+    t = pa.table({"x": pa.array(x, pa.float64()),
+                  "w": pa.array(w, pa.int64())})
+    out = (
+        ops.exact_quantiles_radix(rd.from_arrow(t), "x", [0.5, 0.9],
+                                  weight_col="w")
+        .to_pandas().sort_values("q")
+    )
+    expanded = np.sort(np.repeat(x, w))
+    W = expanded.shape[0]
+    for q, v in zip(out["q"], out["v"]):
+        target = max(int(np.ceil(q * W)), 1)
+        assert v == expanded[target - 1], (q, v)
+
+    neg = pa.table({"x": pa.array([1.0]), "w": pa.array([-1], pa.int64())})
+    with pytest.raises(Exception, match="negative"):
+        ops.exact_quantiles_radix(rd.from_arrow(neg), "x", [0.5],
+                                  weight_col="w").to_pandas()
+
+    zero = pa.table({"x": pa.array([1.0, 2.0]),
+                     "w": pa.array([0, 0], pa.int64())})
+    z = ops.exact_quantiles_radix(rd.from_arrow(zero), "x", [0.5],
+                                  weight_col="w").to_pandas()
+    assert np.isnan(z["v"].iloc[0])
