@@ -3531,6 +3531,40 @@ def broadcast_join(
     )
 
 
+def join_auto(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    broadcast_limit: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Plan-picking equality join — the broadcast-vs-partitioned switch
+    ``movement_report``'s dwell gate does ad hoc, as a public operator:
+    count the right side once; if it fits ``broadcast_limit`` AND is
+    unique on its key (so map-side first-match probing IS join
+    semantics) take ``broadcast_join`` (no shuffle, big side streams);
+    otherwise — large, duplicate-keyed, or a semi/anti/outer shape the
+    broadcast path doesn't cover — take ``equi_join_partitioned``.
+    Output rows and columns are identical either way (pytest-pinned
+    with ``broadcast_limit=0`` forcing the co-shuffle plan).
+
+    The count is one metadata-cheap pass; at 100 TB the dimension side
+    of a star join is known small and the switch saves the all-to-all
+    exchange, while a mis-guessed "small" side degrades to the
+    partitioned plan instead of a driver OOM."""
+    rk = right_on or on
+    if how in ("inner", "left") and right.count() <= broadcast_limit:
+        tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        keys = tbl[rk]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        n_valid = len(tbl) - keys.null_count
+        if pc.count_distinct(keys).as_py() == n_valid and keys.null_count == 0:
+            return broadcast_join(left, tbl, on, dim_on=rk, how=how)
+    return equi_join_partitioned(left, right, on, right_on=right_on, how=how)
+
+
 def equi_join_partitioned(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

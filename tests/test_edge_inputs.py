@@ -1311,3 +1311,38 @@ def test_weighted_radix_quantile_pins(ray_session):
     z = ops.exact_quantiles_radix(rd.from_arrow(zero), "x", [0.5],
                                   weight_col="w").to_pandas()
     assert np.isnan(z["v"].iloc[0])
+
+
+def test_join_auto_plan_parity(ray_session):
+    """join_auto: broadcast and partitioned plans emit identical rows;
+    duplicate right keys force the partitioned plan even when small
+    (broadcast first-match would drop pairs); left join keeps unmatched
+    probes under both plans."""
+    import ray.data as rd
+
+    from georay import ops
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 2], pa.int64()),
+        "lv": pa.array([10, 20, 30, 21], pa.int64()),
+    }))
+    uniq = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2], pa.int64()),
+        "rv": pa.array([100, 200], pa.int64()),
+    }))
+    for how in ("inner", "left"):
+        a = (ops.join_auto(left, uniq, "k", right_on="rk", how=how)
+             .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+        b = (ops.join_auto(left, uniq, "k", right_on="rk", how=how,
+                           broadcast_limit=0)
+             .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True))
+        assert sorted(a.columns) == sorted(b.columns)
+        assert a[sorted(a.columns)].equals(b[sorted(b.columns)]), how
+
+    dup = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2], pa.int64()),
+        "rv": pa.array([200, 201], pa.int64()),
+    }))
+    # duplicate keys: full pair semantics (2 left rows × 2 right rows)
+    out = ops.join_auto(left, dup, "k", right_on="rk").to_pandas()
+    assert len(out) == 4
