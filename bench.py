@@ -316,6 +316,10 @@ def run_bench() -> dict:
         "radix_quantile_weighted",
         lambda: tpch.q_radix_quantile_weighted(SF_DIR).count(),
     )
+    timed_ext(
+        "entity_resolution",
+        lambda: tpch.q_entity_resolution(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -10037,6 +10037,108 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_entity_resolution(sf_dir: str):
+    """Entity-resolution chain: consecutive-id candidate pairs → exact
+    pair-vectorized Levenshtein gate (≤ 100, the planted near-dup
+    band) → DISTRIBUTED connected components → canonical = min doc id
+    per cluster; docs with no similar neighbor stay their own
+    canonical. The candidate graph is run-structured (edges only
+    between adjacent ids), so the SQL twin is the closed-form
+    gaps-and-islands window — an independent check on the generic
+    distributed components machinery. The label table is bounded by
+    the dup rate (minhash-components convention) and broadcast for the
+    final mapping; the corpus itself streams."""
+    import ray as _ray
+
+    from georay.stages.components import connected_components
+    from georay.stages.dedup import edit_distance_batch
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def left_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "next_id": pc.add(batch["doc_id"], 1),
+                "text_a": batch["text"],
+            }
+        )
+
+    def right_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"rid": batch["doc_id"], "text_b": batch["text"]})
+
+    joined = ops.equi_join_partitioned(
+        docs.map_batches(left_prep, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        docs.map_batches(right_prep, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None),
+        on="next_id", right_on="rid",
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        d = edit_distance_batch(batch["text_a"], batch["text_b"])
+        keep = d <= 100
+        return pa.table(
+            {
+                "id_a": batch["doc_id"].filter(pa.array(keep)),
+                "id_b": batch["next_id"].filter(pa.array(keep)),
+            }
+        )
+
+    edges = joined.map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    labels = connected_components(edges, "id_a", "id_b")  # (node, label)
+    node = labels["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = labels["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(node)
+    ref = _ray.put((node[o], lab[o]))
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import ray as _rayw
+
+        ns, ls = cache.setdefault("l", _rayw.get(ref))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ns, ids)
+        pos_c = np.minimum(pos, max(ns.shape[0] - 1, 0))
+        hit = (ns[pos_c] == ids) if ns.shape[0] else np.zeros(
+            ids.shape[0], bool
+        )
+        canon = np.where(hit, ls[pos_c] if ns.shape[0] else 0, ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "canonical": pa.array(canon, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH d AS (SELECT doc_id, text FROM documents),
+sim AS (
+  SELECT a.doc_id AS id,
+         CASE WHEN b.doc_id IS NOT NULL
+               AND levenshtein(a.text, b.text) <= 100
+              THEN 1 ELSE 0 END AS joined_prev
+  FROM d a LEFT JOIN d b ON b.doc_id = a.doc_id - 1
+),
+g AS (
+  SELECT id,
+         SUM(1 - joined_prev) OVER (ORDER BY id
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM sim
+)
+SELECT id AS doc_id,
+       MIN(id) OVER (PARTITION BY grp) AS canonical
+FROM g
+"""
+
+
 # --------------------------------------------------------- BPE tokenizer
 
 BPE_MERGES = 100
@@ -16972,6 +17074,7 @@ QUERIES = {
     "variogram": q_variogram,
     "radix_quantile_grouped": q_radix_quantile_grouped,
     "radix_quantile_weighted": q_radix_quantile_weighted,
+    "entity_resolution": q_entity_resolution,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17325,6 +17428,7 @@ ORACLE = {
     "variogram": SQL_VARIOGRAM,
     "radix_quantile_grouped": SQL_RADIX_QUANTILE_GROUPED,
     "radix_quantile_weighted": SQL_RADIX_QUANTILE_WEIGHTED,
+    "entity_resolution": SQL_ENTITY_RESOLUTION,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
