@@ -5102,6 +5102,14 @@ def window_clamped_cumsum(
         if isinstance(varr, pa.ChunkedArray):
             varr = varr.combine_chunks()
         v = np.asarray(pc.fill_null(varr, 0), dtype=np.int64)
+        # overflow budget: the whole-bucket cumsum must stay in int64 —
+        # Σ|delta| < 2^62 guards it with margin (float sum is a safe
+        # upper-bound check; np.cumsum would WRAP silently otherwise)
+        if float(np.abs(v, dtype=np.float64).sum()) >= float(1 << 62):
+            raise OverflowError(
+                "window_clamped_cumsum: Σ|delta| per bucket exceeds the "
+                "int64 budget (2^62) — rescale the delta units"
+            )
         first = np.zeros(n, dtype=bool)
         first[0] = True
         neq = pc.fill_null(pc.not_equal(karr.slice(1), karr.slice(0, n - 1)), False)

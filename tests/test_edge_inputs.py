@@ -1346,3 +1346,18 @@ def test_join_auto_plan_parity(ray_session):
     # duplicate keys: full pair semantics (2 left rows × 2 right rows)
     out = ops.join_auto(left, dup, "k", right_on="rk").to_pandas()
     assert len(out) == 4
+
+
+def test_clamped_cumsum_overflow_guard(ray_session):
+    """Deltas whose bucket Σ|delta| exceeds 2^62 must raise, not wrap."""
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([0, 1], pa.int64()),
+        "v": pa.array([1 << 62, 1 << 62], pa.int64()),
+    })
+    with pytest.raises(Exception, match="budget"):
+        ops.window_clamped_cumsum(rd.from_arrow(t), "k", "ts", "v").to_pandas()
