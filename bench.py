@@ -320,6 +320,10 @@ def run_bench() -> dict:
         "entity_resolution",
         lambda: tpch.q_entity_resolution(SF_DIR).count(),
     )
+    timed_ext(
+        "radix_quantile_cont",
+        lambda: tpch.q_radix_quantile_cont(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

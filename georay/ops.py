@@ -1041,6 +1041,114 @@ def exact_quantiles_radix(
     }))
 
 
+def exact_quantiles_radix_cont(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+) -> ray.data.Dataset:
+    """INTERPOLATED (``quantile_cont``) twin of ``exact_quantiles_radix``:
+    pos = q·(n−1), answer = v[floor(pos)] + frac·(v[ceil(pos)] −
+    v[floor(pos)]) — both bracketing ranks selected exactly, ALL 2·|qs|
+    selections riding the same 8 radix passes. Same NULL/NaN exclusion;
+    the interpolation arithmetic is the explicit IEEE expression a SQL
+    twin can replicate bit-for-bit (no library quantile call)."""
+    if not qs:
+        raise ValueError("exact_quantiles_radix_cont: qs must be non-empty")
+    nq = len(qs)
+
+    def _keys(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        if not ok.all():
+            x = x[ok]
+        b = x.view(np.uint64)
+        neg = (b >> np.uint64(63)).astype(bool)
+        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
+                        np.uint64(0x8000000000000000))
+        return b ^ mask
+
+    ns = 2 * nq  # lo/hi selection per quantile
+
+    def round_partial(batch: pa.Table, shift: int,
+                      prefixes: np.ndarray) -> pa.Table:
+        key = _keys(batch)
+        si_out, byte_out, c_out = [], [], []
+        hi_shift = np.uint64(shift + 8)
+        for si in range(ns):
+            if shift == 56:
+                sub = key
+            else:
+                sub = key[(key >> hi_shift) == np.uint64(prefixes[si])]
+            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFF)).astype(
+                np.int64
+            )
+            cnt = np.bincount(byte, minlength=256)
+            nz = np.nonzero(cnt)[0]
+            si_out.append(np.full(nz.shape[0], si, np.int64))
+            byte_out.append(nz.astype(np.int64))
+            c_out.append(cnt[nz].astype(np.int64))
+        return pa.table({
+            "si": pa.array(np.concatenate(si_out), pa.int64()),
+            "byte": pa.array(np.concatenate(byte_out), pa.int64()),
+            "c": pa.array(np.concatenate(c_out), pa.int64()),
+        })
+
+    prefixes = np.zeros(ns, np.uint64)
+    ks = np.zeros(ns, np.int64)
+    fracs = np.zeros(nq, np.float64)
+    have_k = False
+    for shift in range(56, -8, -8):
+        partials = ds.map_batches(
+            lambda b, s=shift, p=prefixes.copy(): round_partial(b, s, p),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
+        hist = tree_sum(
+            partials, ["si", "byte"], {"c": "c"}, int_cols=("c",)
+        ).to_pandas()
+        if not have_k:
+            total = (int(hist["c"].sum()) // ns) if len(hist) else 0
+            if total == 0:
+                return ray.data.from_arrow(pa.table({
+                    "q": pa.array([float(q) for q in qs], pa.float64()),
+                    "v": pa.array([None] * nq, pa.float64()),
+                }))
+            for qi, q in enumerate(qs):
+                pos = q * (total - 1)
+                lo = int(np.floor(pos))
+                hi = int(np.ceil(pos))
+                fracs[qi] = pos - np.floor(pos)
+                ks[2 * qi] = lo
+                ks[2 * qi + 1] = hi
+            have_k = True
+        for si in range(ns):
+            sub = hist[hist["si"] == si].sort_values("byte")
+            cum = sub["c"].to_numpy().cumsum()
+            pos = int(np.searchsorted(cum, ks[si] + 1, side="left"))
+            ks[si] -= int(cum[pos - 1]) if pos else 0
+            prefixes[si] = (prefixes[si] << np.uint64(8)) | np.uint64(
+                int(sub["byte"].to_numpy()[pos])
+            )
+
+    def _inv(kbits: np.uint64) -> float:
+        neg = (kbits >> np.uint64(63)) == 0
+        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
+                else np.uint64(0x8000000000000000))
+        return float(np.uint64(kbits ^ mask).view(np.float64))
+
+    out_v = []
+    for qi in range(nq):
+        vlo = _inv(prefixes[2 * qi])
+        vhi = _inv(prefixes[2 * qi + 1])
+        out_v.append(vlo + fracs[qi] * (vhi - vlo))
+    return ray.data.from_arrow(pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        "v": pa.array(out_v, pa.float64()),
+    }))
+
+
 def grouped_quantiles_radix(
     ds: ray.data.Dataset,
     key: str,

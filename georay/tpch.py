@@ -16926,6 +16926,40 @@ GROUP BY q
 """
 
 
+def q_radix_quantile_cont(sf_dir: str):
+    """Interpolated (quantile_cont) median + p99 of l_extendedprice —
+    both bracketing ranks of every quantile selected exactly on the
+    same 8 radix passes, then the explicit IEEE interpolation
+    vlo + frac·(vhi − vlo) replicated verbatim in SQL."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    return ops.exact_quantiles_radix_cont(
+        ds, "l_extendedprice", [0.5, 0.99]
+    )
+
+
+SQL_RADIX_QUANTILE_CONT = """
+WITH v AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS r,
+         COUNT(*) OVER () AS n
+  FROM (SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL)
+),
+t(q) AS (VALUES (0.5e0), (0.99e0)),
+sel AS (
+  SELECT q,
+         MIN(CASE WHEN r = CAST(floor(q * (n - 1)) AS BIGINT)
+                  THEN x END) AS vlo,
+         MIN(CASE WHEN r = CAST(ceil(q * (n - 1)) AS BIGINT)
+                  THEN x END) AS vhi,
+         ANY_VALUE(n) AS n
+  FROM v, t GROUP BY q
+)
+SELECT q,
+       vlo + (q * (n - 1) - floor(q * (n - 1))) * (vhi - vlo) AS v
+FROM sel
+"""
+
+
 SQL_RADIX_QUANTILE = """
 WITH v AS (
   SELECT l_extendedprice AS x,
@@ -17075,6 +17109,7 @@ QUERIES = {
     "radix_quantile_grouped": q_radix_quantile_grouped,
     "radix_quantile_weighted": q_radix_quantile_weighted,
     "entity_resolution": q_entity_resolution,
+    "radix_quantile_cont": q_radix_quantile_cont,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17429,6 +17464,7 @@ ORACLE = {
     "radix_quantile_grouped": SQL_RADIX_QUANTILE_GROUPED,
     "radix_quantile_weighted": SQL_RADIX_QUANTILE_WEIGHTED,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
+    "radix_quantile_cont": SQL_RADIX_QUANTILE_CONT,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

@@ -1361,3 +1361,31 @@ def test_clamped_cumsum_overflow_guard(ray_session):
     })
     with pytest.raises(Exception, match="budget"):
         ops.window_clamped_cumsum(rd.from_arrow(t), "k", "ts", "v").to_pandas()
+
+
+def test_radix_quantile_cont_pins(ray_session):
+    """Interpolated radix select vs np ground truth (same linear
+    interpolation formula); q=0/q=1 endpoints; single-row input."""
+    import ray.data as rd
+
+    from georay import ops
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(257) * 1e4
+    t = pa.table({"x": pa.array(x, pa.float64())})
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    out = (
+        ops.exact_quantiles_radix_cont(rd.from_arrow(t), "x", qs)
+        .to_pandas().sort_values("q")
+    )
+    xs = np.sort(x)
+    n = xs.shape[0]
+    for q, v in zip(out["q"], out["v"]):
+        pos = q * (n - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        want = xs[lo] + (pos - np.floor(pos)) * (xs[hi] - xs[lo])
+        assert v == want, (q, v, want)
+
+    one = rd.from_arrow(pa.table({"x": pa.array([42.0], pa.float64())}))
+    o = ops.exact_quantiles_radix_cont(one, "x", [0.5]).to_pandas()
+    assert o["v"].iloc[0] == 42.0
