@@ -3435,6 +3435,7 @@ def ancestor_closure(
     """
     from georay.ops import equi_join_partitioned
 
+    edges = edges.materialize()  # cutoff count + closure share one execution
     if edges.count() <= local_edge_cutoff:
         import pyarrow as _pa
 
@@ -3484,6 +3485,29 @@ def ancestor_closure(
         as_pairs, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None,
     ).materialize()
+    from georay.ops import tree_sum as _tree_sum
+
+    def _node_count(batch: pa.Table) -> pa.Table:
+        from georay.ops import _group_reduce
+
+        nn = batch["an"].to_numpy(zero_copy_only=False)
+        (ks,), outs = _group_reduce(
+            [nn], {"c": np.ones(nn.shape[0], np.int64)}
+        )
+        return pa.table({"n": pa.array(ks, pa.int64()),
+                         "c": pa.array(outs["c"].astype(np.int64),
+                                       pa.int64())})
+
+    from ray.data.aggregate import Max as _Max
+
+    counts = _tree_sum(
+        anc.map_batches(_node_count, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None),
+        "n", {"c": "c"}, int_cols=("c",),
+    )
+    mx = counts.aggregate(_Max("c", alias_name="m"))["m"]
+    if mx is not None and int(mx) > 1:
+        raise ValueError("ancestor_closure: duplicate node rows")
     jump = anc.map_batches(
         lambda b: pa.table({"jn": b["an"], "jj": b["aa"]}),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
@@ -3515,10 +3539,24 @@ def ancestor_closure(
         anc = anc.union(new_pairs).materialize()
         jump = jump2.materialize()
     if jump.count() != 0:
-        raise ValueError(
-            f"ancestor_closure: jump set non-empty after {max_rounds} "
-            "doubling rounds — cycle, or depth > 2^max_rounds"
+        # A covers distance <= 2^max_rounds, so a surviving jump whose
+        # TARGET is a root means the closure is already complete (depth
+        # exactly 2^max_rounds); only a target with further ancestors
+        # proves missing pairs (deeper forest, or a cycle).
+        leftover = equi_join_partitioned(
+            jump, anc.map_batches(
+                lambda b: pa.table({"kn": b["an"], "kj": b["aa"]}),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            on="jj", right_on="kn", how="inner", n_buckets=n_buckets,
         )
+        if leftover.count() != 0:
+            raise ValueError(
+                f"ancestor_closure: jump set non-empty after "
+                f"{max_rounds} doubling rounds — cycle, or depth > "
+                "2^max_rounds"
+            )
     return anc
 
 

@@ -901,6 +901,25 @@ def exact_quantiles(
     )
 
 
+def _f64_ordered_u64(x: np.ndarray) -> np.ndarray:
+    """Order-preserving float64 → uint64 bit transform (flip all bits
+    when negative, else flip the sign bit): uint64 order == double
+    order. Shared by the radix-select family."""
+    b = x.view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
+                    np.uint64(0x8000000000000000))
+    return b ^ mask
+
+
+def _ordered_u64_f64(kbits: np.uint64) -> float:
+    """Inverse of ``_f64_ordered_u64`` for one selected key."""
+    neg = (np.uint64(kbits) >> np.uint64(63)) == 0  # sign clear ⇒ was < 0
+    mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
+            else np.uint64(0x8000000000000000))
+    return float(np.uint64(np.uint64(kbits) ^ mask).view(np.float64))
+
+
 def exact_quantiles_radix(
     ds: ray.data.Dataset,
     col: str,
@@ -954,11 +973,12 @@ def exact_quantiles_radix(
                 )
             if not ok.all():
                 x, w = x[ok], w[ok]
-        b = x.view(np.uint64)
-        neg = (b >> np.uint64(63)).astype(bool)
-        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
-                        np.uint64(0x8000000000000000))
-        return b ^ mask, w
+        if w is not None and float(w.sum(dtype=np.float64)) >= float(1 << 62):
+            raise OverflowError(
+                "exact_quantiles_radix: batch weight sum exceeds the "
+                "int64 budget (2^62) — rescale the weight units"
+            )
+        return _f64_ordered_u64(x), w
 
     nq = len(qs)
 
@@ -1009,6 +1029,11 @@ def exact_quantiles_radix(
         if not have_k:  # first pass doubles as the COUNT(*) pass
             # an all-null/empty column yields ZERO partial rows, and the
             # schema-less empty frame has no "c" column at all
+            if len(hist) and int(hist["c"].min()) < 0:
+                raise OverflowError(
+                    "exact_quantiles_radix: merged counts went negative "
+                    "— weight sums wrapped int64; rescale the weights"
+                )
             total = (int(hist["c"].sum()) // nq) if len(hist) else 0
             if total == 0:
                 return ray.data.from_arrow(pa.table({
@@ -1028,13 +1053,7 @@ def exact_quantiles_radix(
                 int(sub["byte"].to_numpy()[pos])
             )
     # invert the order-preserving transform back to float64
-    out_v = []
-    for qi in range(nq):
-        k = prefixes[qi]
-        neg = (k >> np.uint64(63)) == 0  # sign bit clear ⇒ original < 0
-        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
-                else np.uint64(0x8000000000000000))
-        out_v.append(float(np.uint64(k ^ mask).view(np.float64)))
+    out_v = [_ordered_u64_f64(prefixes[qi]) for qi in range(nq)]
     return ray.data.from_arrow(pa.table({
         "q": pa.array([float(q) for q in qs], pa.float64()),
         "v": pa.array(out_v, pa.float64()),
@@ -1064,11 +1083,7 @@ def exact_quantiles_radix_cont(
         ok = ~np.isnan(x)
         if not ok.all():
             x = x[ok]
-        b = x.view(np.uint64)
-        neg = (b >> np.uint64(63)).astype(bool)
-        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
-                        np.uint64(0x8000000000000000))
-        return b ^ mask
+        return _f64_ordered_u64(x)
 
     ns = 2 * nq  # lo/hi selection per quantile
 
@@ -1132,16 +1147,10 @@ def exact_quantiles_radix_cont(
                 int(sub["byte"].to_numpy()[pos])
             )
 
-    def _inv(kbits: np.uint64) -> float:
-        neg = (kbits >> np.uint64(63)) == 0
-        mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
-                else np.uint64(0x8000000000000000))
-        return float(np.uint64(kbits ^ mask).view(np.float64))
-
     out_v = []
     for qi in range(nq):
-        vlo = _inv(prefixes[2 * qi])
-        vhi = _inv(prefixes[2 * qi + 1])
+        vlo = _ordered_u64_f64(prefixes[2 * qi])
+        vhi = _ordered_u64_f64(prefixes[2 * qi + 1])
         out_v.append(vlo + fracs[qi] * (vhi - vlo))
     return ray.data.from_arrow(pa.table({
         "q": pa.array([float(q) for q in qs], pa.float64()),
@@ -1184,11 +1193,7 @@ def grouped_quantiles_radix(
             ok &= ~np.asarray(pc.is_null(karr))
         if not ok.all():
             x, g = x[ok], g[ok]
-        b = x.view(np.uint64)
-        neg = (b >> np.uint64(63)).astype(bool)
-        mask = np.where(neg, np.uint64(0xFFFFFFFFFFFFFFFF),
-                        np.uint64(0x8000000000000000))
-        return g, b ^ mask
+        return g, _f64_ordered_u64(x)
 
     def discover(batch: pa.Table) -> pa.Table:
         g, kk = _kv(batch)
@@ -1208,8 +1213,9 @@ def grouped_quantiles_radix(
         [key, "byte"], {"c": "c"}, int_cols=("c",),
     ).to_pandas()
     if len(hist) == 0:
+        ktype = ds.schema().base_schema.field(key).type
         return ray.data.from_arrow(pa.table({
-            key: pa.array([], pa.string()),
+            key: pa.array([], ktype),
             "q": pa.array([], pa.float64()),
             "v": pa.array([], pa.float64()),
         }))
@@ -1299,13 +1305,9 @@ def grouped_quantiles_radix(
     out_k, out_q, out_v = [], [], []
     for gi in range(ng):
         for qi, q in enumerate(qs):
-            kbits = prefixes[gi, qi]
-            neg = (kbits >> np.uint64(63)) == 0
-            mask = (np.uint64(0xFFFFFFFFFFFFFFFF) if neg
-                    else np.uint64(0x8000000000000000))
             out_k.append(groups[gi])
             out_q.append(float(q))
-            out_v.append(float(np.uint64(kbits ^ mask).view(np.float64)))
+            out_v.append(_ordered_u64_f64(prefixes[gi, qi]))
     return ray.data.from_arrow(pa.table({
         key: pa.array(list(out_k)),
         "q": pa.array(out_q, pa.float64()),
@@ -3662,6 +3664,7 @@ def join_auto(
     exchange, while a mis-guessed "small" side degrades to the
     partitioned plan instead of a driver OOM."""
     rk = right_on or on
+    right = right.materialize()  # count + collect/fallback share one execution
     if how in ("inner", "left") and right.count() <= broadcast_limit:
         tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
         keys = tbl[rk]

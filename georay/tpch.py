@@ -16464,10 +16464,23 @@ def q_stock_level(sf_dir: str):
 
     def add_delta(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
-        v = batch["value"].to_numpy(zero_copy_only=False)
-        ok = np.isfinite(v)
-        cents = np.where(ok, np.floor(v * 100.0 + 0.5), 0.0).astype(np.int64)
-        d = np.where(et == "purchase", cents, -(cents // 3))
+        varr = batch["value"]
+        if isinstance(varr, pa.ChunkedArray):
+            varr = varr.combine_chunks()
+        v = varr.to_numpy(zero_copy_only=False)
+        isnull = np.asarray(pc.is_null(varr)) if varr.null_count else (
+            np.zeros(v.shape[0], bool)
+        )
+        if not np.isfinite(np.where(isnull, 0.0, v)).all():
+            raise ValueError("stock_level: non-finite event value")
+        cents = np.where(isnull, 0.0, np.floor(v * 100.0 + 0.5)).astype(
+            np.int64
+        )
+        # debit = -(cents // 3) with DuckDB's TRUNCATE-toward-zero //
+        # (numpy // floors — differs on negative cents, so truncate
+        # explicitly: -(sign · (|cents| // 3)))
+        debit = -np.sign(cents) * (np.abs(cents) // 3)
+        d = np.where(et == "purchase", cents, debit)
         return pa.table(
             {
                 "event_id": batch["event_id"],

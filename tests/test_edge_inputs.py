@@ -1389,3 +1389,57 @@ def test_radix_quantile_cont_pins(ray_session):
     one = rd.from_arrow(pa.table({"x": pa.array([42.0], pa.float64())}))
     o = ops.exact_quantiles_radix_cont(one, "x", [0.5]).to_pandas()
     assert o["v"].iloc[0] == 42.0
+
+
+def test_ancestor_closure_review_fixes(ray_session):
+    """Review hardening: (1) the DISTRIBUTED path rejects duplicate
+    node rows like the local path; (2) depth exactly 2^max_rounds
+    completes instead of spuriously raising."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    dup = pa.table({
+        "node": pa.array([2, 3, 3, 4], pa.int64()),
+        "parent": pa.array([1, 2, 1, 3], pa.int64()),
+    })
+    for cutoff in (2_000_000, 0):
+        with pytest.raises(ValueError, match="duplicate"):
+            analytics.ancestor_closure(
+                rd.from_arrow(dup), local_edge_cutoff=cutoff
+            ).to_pandas()
+
+    # chain 1→2→3→4→5: max distance 4 == 2^2 → complete at max_rounds=2
+    chain = pa.table({
+        "node": pa.array([2, 3, 4, 5], pa.int64()),
+        "parent": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = analytics.ancestor_closure(
+        rd.from_arrow(chain), max_rounds=2, local_edge_cutoff=0
+    ).to_pandas()
+    got = set(zip(out["an"], out["aa"]))
+    want = {(n, a) for n in (2, 3, 4, 5) for a in range(1, n)}
+    assert got == want
+    # …and depth 5 > 2^2 still raises
+    deeper = pa.table({
+        "node": pa.array([2, 3, 4, 5, 6], pa.int64()),
+        "parent": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    with pytest.raises(ValueError, match="depth"):
+        analytics.ancestor_closure(
+            rd.from_arrow(deeper), max_rounds=2, local_edge_cutoff=0
+        ).to_pandas()
+
+
+def test_grouped_radix_empty_keeps_key_dtype(ray_session):
+    """Empty input preserves the key column dtype (int64 stays int64,
+    not the string fallback)."""
+    import ray.data as rd
+
+    from georay import ops
+
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()), "x": pa.array([], pa.float64()),
+    }))
+    out = ops.grouped_quantiles_radix(empty, "g", "x", [0.5])
+    assert out.schema().base_schema.field("g").type == pa.int64()
