@@ -931,11 +931,12 @@ def exact_quantiles_radix(
     distributed RADIX SELECT. Doubles map to uint64 keys via the
     order-preserving bit transform (flip all bits when negative, else
     flip the sign bit), then the exact k-th element is found byte by
-    byte: 8 rounds, each ONE map_batches emitting a 256-bin histogram
-    of the next byte among rows matching every quantile's current
-    prefix + a combine-tree fold; the driver holds 256·|qs| ints and
+    16-bit digit: 4 rounds, each ONE map_batches emitting a 64Ki-bin
+    histogram of the next digit among rows matching every quantile's
+    current prefix + a combine-tree fold; the driver holds the
+    nonzero bins and
     narrows each quantile's prefix. No sort, no shuffle, no sample —
-    exact at any scale, in exactly 8 passes over the column regardless
+    exact at any scale, in exactly 4 passes over the column regardless
     of how many quantiles are asked for (all prefixes ride one pass).
 
     NULL and NaN rows are excluded (SQL NULL semantics; DuckDB sorts
@@ -946,7 +947,7 @@ def exact_quantiles_radix(
     ``weight_col`` (int64, non-negative, NULL = 0) switches to the
     WEIGHTED quantile: the smallest value whose cumulative weight
     reaches ``ceil(q·W)`` — exact weighted median/percentiles on the
-    same 8 passes, the per-byte histograms summing weights instead of
+    same 4 passes, the per-digit histograms summing weights instead of
     row counts.
     """
     if not qs:
@@ -984,24 +985,27 @@ def exact_quantiles_radix(
 
     def round_partial(batch: pa.Table, shift: int,
                       prefixes: np.ndarray) -> pa.Table:
-        """256-bin next-byte histogram per active quantile prefix."""
+        """64Ki-bin next-DIGIT (16-bit) histogram per active quantile
+        prefix — 4 passes total instead of 8 (each pass is a scheduling
+        barrier; the wider histogram is still tiny after the nonzero
+        filter)."""
         key, w = _keys(batch)
         qi_out, byte_out, c_out = [], [], []
-        hi_shift = np.uint64(shift + 8)
+        hi_shift = np.uint64(shift + 16)
         for qi in range(nq):
-            if shift == 56:
+            if shift == 48:
                 sub, sw = key, w
             else:
                 m = (key >> hi_shift) == np.uint64(prefixes[qi])
                 sub = key[m]
                 sw = None if w is None else w[m]
-            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFF)).astype(
+            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(
                 np.int64
             )
             if sw is None:
-                cnt = np.bincount(byte, minlength=256)
+                cnt = np.bincount(byte, minlength=65536)
             else:
-                cnt = np.zeros(256, np.int64)
+                cnt = np.zeros(65536, np.int64)
                 np.add.at(cnt, byte, sw)
             nz = np.nonzero(cnt)[0]
             qi_out.append(np.full(nz.shape[0], qi, np.int64))
@@ -1018,7 +1022,7 @@ def exact_quantiles_radix(
     prefixes = np.zeros(nq, np.uint64)
     ks = np.zeros(nq, np.int64)
     have_k = False
-    for shift in range(56, -8, -8):
+    for shift in range(48, -16, -16):
         partials = ds.map_batches(
             lambda b, s=shift, p=prefixes.copy(): round_partial(b, s, p),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
@@ -1049,7 +1053,7 @@ def exact_quantiles_radix(
             cum = sub["c"].to_numpy().cumsum()
             pos = int(np.searchsorted(cum, ks[qi] + 1, side="left"))
             ks[qi] -= int(cum[pos - 1]) if pos else 0
-            prefixes[qi] = (prefixes[qi] << np.uint64(8)) | np.uint64(
+            prefixes[qi] = (prefixes[qi] << np.uint64(16)) | np.uint64(
                 int(sub["byte"].to_numpy()[pos])
             )
     # invert the order-preserving transform back to float64
@@ -1068,7 +1072,7 @@ def exact_quantiles_radix_cont(
     """INTERPOLATED (``quantile_cont``) twin of ``exact_quantiles_radix``:
     pos = q·(n−1), answer = v[floor(pos)] + frac·(v[ceil(pos)] −
     v[floor(pos)]) — both bracketing ranks selected exactly, ALL 2·|qs|
-    selections riding the same 8 radix passes. Same NULL/NaN exclusion;
+    selections riding the same 4 radix passes. Same NULL/NaN exclusion;
     the interpolation arithmetic is the explicit IEEE expression a SQL
     twin can replicate bit-for-bit (no library quantile call)."""
     if not qs:
@@ -1091,16 +1095,16 @@ def exact_quantiles_radix_cont(
                       prefixes: np.ndarray) -> pa.Table:
         key = _keys(batch)
         si_out, byte_out, c_out = [], [], []
-        hi_shift = np.uint64(shift + 8)
+        hi_shift = np.uint64(shift + 16)
         for si in range(ns):
-            if shift == 56:
+            if shift == 48:
                 sub = key
             else:
                 sub = key[(key >> hi_shift) == np.uint64(prefixes[si])]
-            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFF)).astype(
+            byte = ((sub >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(
                 np.int64
             )
-            cnt = np.bincount(byte, minlength=256)
+            cnt = np.bincount(byte, minlength=65536)
             nz = np.nonzero(cnt)[0]
             si_out.append(np.full(nz.shape[0], si, np.int64))
             byte_out.append(nz.astype(np.int64))
@@ -1115,7 +1119,7 @@ def exact_quantiles_radix_cont(
     ks = np.zeros(ns, np.int64)
     fracs = np.zeros(nq, np.float64)
     have_k = False
-    for shift in range(56, -8, -8):
+    for shift in range(48, -16, -16):
         partials = ds.map_batches(
             lambda b, s=shift, p=prefixes.copy(): round_partial(b, s, p),
             batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
@@ -1143,7 +1147,7 @@ def exact_quantiles_radix_cont(
             cum = sub["c"].to_numpy().cumsum()
             pos = int(np.searchsorted(cum, ks[si] + 1, side="left"))
             ks[si] -= int(cum[pos - 1]) if pos else 0
-            prefixes[si] = (prefixes[si] << np.uint64(8)) | np.uint64(
+            prefixes[si] = (prefixes[si] << np.uint64(16)) | np.uint64(
                 int(sub["byte"].to_numpy()[pos])
             )
 
@@ -1165,9 +1169,9 @@ def grouped_quantiles_radix(
     qs: list[float],
 ) -> ray.data.Dataset:
     """Per-GROUP exact ``quantile_disc`` on an unbounded float64 column
-    — the grouped twin of ``exact_quantiles_radix``, same 8-pass radix
-    plan: every group's every quantile narrows its own byte prefix, all
-    riding the SAME 8 column passes (pass 1 doubles as the per-group
+    — the grouped twin of ``exact_quantiles_radix``, same 4-pass radix
+    plan: every group's every quantile narrows its own digit prefix,
+    all riding the SAME 4 column passes (pass 1 doubles as the per-group
     COUNT pass that discovers the group set). The driver holds
     |groups|·|qs| prefixes + a 256-bin histogram per (group, q) —
     bounded-group-cardinality budget (flags, sources, classes; same
@@ -1197,7 +1201,7 @@ def grouped_quantiles_radix(
 
     def discover(batch: pa.Table) -> pa.Table:
         g, kk = _kv(batch)
-        byte = ((kk >> np.uint64(56)) & np.uint64(0xFF)).astype(np.int64)
+        byte = ((kk >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)
         (gk, bk), outs = _group_reduce(
             [g, byte], {"c": np.ones(byte.shape[0], np.int64)}
         )
@@ -1242,7 +1246,7 @@ def grouped_quantiles_radix(
                 pos = int(np.searchsorted(cum, ks[gi, qi] + 1, side="left"))
                 ks[gi, qi] -= int(cum[pos - 1]) if pos else 0
                 prefixes[gi, qi] = (
-                    (prefixes[gi, qi] << np.uint64(8))
+                    (prefixes[gi, qi] << np.uint64(16))
                     | np.uint64(int(sub["byte"].to_numpy()[pos]))
                 )
 
@@ -1253,17 +1257,17 @@ def grouped_quantiles_radix(
     narrow(
         _pd.concat([h1.assign(qi=qi) for qi in range(nq)],
                    ignore_index=True),
-        56,
+        48,
     )
 
-    for shift in range(48, -8, -8):
+    for shift in range(32, -16, -16):
         def round_partial(batch: pa.Table, s=shift,
                           p=prefixes.copy()) -> pa.Table:
             g, kk = _kv(batch)
             gm = np.searchsorted(groups, g)
             gm_c = np.minimum(gm, ng - 1)
             known = groups[gm_c] == g  # unseen group can't matter now
-            hi_shift = np.uint64(s + 8)
+            hi_shift = np.uint64(s + 16)
             gis, qis, bys, cs = [], [], [], []
             for gi in range(ng):
                 gmask = known & (gm_c == gi)
@@ -1274,10 +1278,10 @@ def grouped_quantiles_radix(
                     sub = sub_all[
                         (sub_all >> hi_shift) == np.uint64(p[gi, qi])
                     ]
-                    byte = ((sub >> np.uint64(s)) & np.uint64(0xFF)).astype(
+                    byte = ((sub >> np.uint64(s)) & np.uint64(0xFFFF)).astype(
                         np.int64
                     )
-                    cnt = np.bincount(byte, minlength=256)
+                    cnt = np.bincount(byte, minlength=65536)
                     nz = np.nonzero(cnt)[0]
                     gis.append(np.full(nz.shape[0], gi, np.int64))
                     qis.append(np.full(nz.shape[0], qi, np.int64))

@@ -16863,8 +16863,8 @@ def q_radix_quantile(sf_dir: str):
     """Exact median + p99 of l_extendedprice — an UNBOUNDED double
     domain, where the histogram path (``exact_quantiles``) does not
     apply: distributed radix select (``ops.exact_quantiles_radix``),
-    8 histogram passes total for BOTH quantiles, no sort, no shuffle,
-    driver holds 512 ints."""
+    4 histogram passes total for BOTH quantiles, no sort, no shuffle,
+    driver holds only the nonzero bins."""
     ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
     return ops.exact_quantiles_radix(ds, "l_extendedprice", [0.5, 0.99])
 
@@ -16872,8 +16872,8 @@ def q_radix_quantile(sf_dir: str):
 def q_radix_quantile_grouped(sf_dir: str):
     """Per-returnflag exact median + p99 of l_extendedprice — the
     GROUPED radix select (``ops.grouped_quantiles_radix``): every
-    (flag, q) narrows its own byte prefix, all six selections riding
-    the same 8 column passes."""
+    (flag, q) narrows its own digit prefix, all six selections riding
+    the same 4 column passes."""
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_extendedprice"]
     )
@@ -16898,8 +16898,8 @@ WHERE rn = greatest(CAST(ceil(q * c) AS BIGINT), 1)
 
 def q_radix_quantile_weighted(sf_dir: str):
     """Exact QUANTITY-WEIGHTED median + p99 of l_extendedprice — the
-    weighted radix select (``weight_col=``): per-byte histograms sum
-    integer weights instead of row counts, same 8 passes; result is the
+    weighted radix select (``weight_col=``): per-digit histograms sum
+    integer weights instead of row counts, same 4 passes; result is the
     smallest price whose cumulative quantity reaches ceil(q·W)."""
     ds = rd.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_extendedprice", "l_quantity"]
@@ -16942,7 +16942,7 @@ GROUP BY q
 def q_radix_quantile_cont(sf_dir: str):
     """Interpolated (quantile_cont) median + p99 of l_extendedprice —
     both bracketing ranks of every quantile selected exactly on the
-    same 8 radix passes, then the explicit IEEE interpolation
+    same 4 radix passes, then the explicit IEEE interpolation
     vlo + frac·(vhi − vlo) replicated verbatim in SQL."""
     ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
     return ops.exact_quantiles_radix_cont(
