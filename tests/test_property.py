@@ -650,3 +650,29 @@ def test_hausdorff_pairs_vs_brute(rows):
         exp = int(np.floor(np.sqrt(h2) * (1 << 20) + 0.5))
         assert got[(ua, ub)] == exp
     assert len(got) == len(users) * (len(users) - 1) // 2
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    xs=st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1, max_size=40,
+    ),
+    q=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_radix_select_matches_sort(ray_session, xs, q):
+    """exact_quantiles_radix == the sorted-array definition for ANY
+    float64 multiset (±inf, ±0, NaN excluded) and ANY q."""
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({"x": pa.array(xs, pa.float64())})
+    out = ops.exact_quantiles_radix(rd.from_arrow(t), "x", [q]).to_pandas()
+    clean = np.array([v for v in xs if not np.isnan(v)], np.float64)
+    got = out["v"].iloc[0]
+    if clean.shape[0] == 0:
+        assert np.isnan(got)
+        return
+    ref = np.sort(clean)[max(int(np.ceil(q * clean.shape[0])) - 1, 0)]
+    assert got == ref or (np.isnan(got) and np.isnan(ref))
