@@ -676,3 +676,49 @@ def test_radix_select_matches_sort(ray_session, xs, q):
         return
     ref = np.sort(clean)[max(int(np.ceil(q * clean.shape[0])) - 1, 0)]
     assert got == ref or (np.isnan(got) and np.isnan(ref))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # key
+            st.integers(min_value=0, max_value=20),     # ts
+            st.one_of(st.none(),
+                      st.integers(min_value=-1000, max_value=1000)),
+        ),
+        min_size=1, max_size=40,
+    ),
+)
+def test_clamped_cumsum_matches_recurrence(ray_session, rows):
+    """window_clamped_cumsum's closed form == the sequential
+    l = max(l + (d or 0), 0) recurrence for any keyed int sequence
+    (ties broken by a unique tiebreak column, NULL deltas skip)."""
+    import ray.data as rd
+
+    from georay import ops
+
+    ks = [r[0] for r in rows]
+    ts = [r[1] for r in rows]
+    vs = [r[2] for r in rows]
+    rid = list(range(len(rows)))
+    t = pa.table({
+        "k": pa.array(ks, pa.int64()), "t": pa.array(ts, pa.int64()),
+        "r": pa.array(rid, pa.int64()), "v": pa.array(vs, pa.int64()),
+    })
+    out = (
+        ops.window_clamped_cumsum(rd.from_arrow(t), "k", ["t"], "v",
+                                  out_col="lvl", order_tiebreak="r")
+        .to_pandas().sort_values(["k", "t", "r"])
+    )
+    # sequential reference in the same (k, t, r) order
+    import collections
+
+    level = collections.defaultdict(int)
+    want = {}
+    for k, tt, r, v in sorted(zip(ks, ts, rid, vs),
+                              key=lambda z: (z[0], z[1], z[2])):
+        level[k] = max(level[k] + (v or 0), 0)
+        want[r] = level[k]
+    got = dict(zip(out["r"], out["lvl"]))
+    assert got == want
