@@ -1671,6 +1671,99 @@ def read_range(
     return ds, len(dirs), n_total
 
 
+def merge_sorted_layouts(in_dirs: list[str], out_dir: str) -> dict:
+    """LSM-style COMPACTION of range-clustered layouts: union N
+    ``write_sorted`` runs with IDENTICAL split geometry (same key, lo,
+    hi, width, n_ranges — align with ``write_sorted(bounds=...)``, the
+    ``merge_join_layout`` convention; misalignment raises) into ONE
+    layout. Rows already carry their ``krange`` hive partition, so the
+    merge is one streaming read → partitioned write with NO range
+    recompute and no shuffle; readers (``read_range`` /
+    ``read_bloom_lookup`` / ``read_range_secondary``) work on the
+    result unchanged. Sidecars merge algebraically: bloom bitsets OR
+    (same col/bits/k required), secondary zone (min, max) fold
+    elementwise; a sidecar missing from ANY input is dropped from the
+    output (pruning stays honest). Returns the merged manifest."""
+    import glob as _glob
+    import json
+
+    if len(in_dirs) < 2:
+        raise ValueError("merge_sorted_layouts: need >= 2 input layouts")
+    manifests = []
+    for d in in_dirs:
+        with open(os.path.join(d, "_zonemap.json")) as f:
+            manifests.append(json.load(f))
+    m0 = manifests[0]
+    for m in manifests[1:]:
+        if any(m[k] != m0[k] for k in ("key", "lo", "hi", "width",
+                                       "n_ranges")):
+            raise ValueError(
+                "merge_sorted_layouts: split geometry differs — rebuild "
+                "with write_sorted(bounds=...) to align"
+            )
+
+    files = sorted(
+        f
+        for d in in_dirs
+        for f in _glob.glob(os.path.join(d, "krange=*", "*.parquet"))
+    )
+    union = rd.read_parquet(files)
+    key, lo, width = m0["key"], int(m0["lo"]), int(m0["width"])
+    n_ranges = int(m0["n_ranges"])
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        # the partition id is a pure function of the key under the
+        # shared geometry — recomputing it per batch avoids relying on
+        # hive-column round-trips (keys must be int64-castable, the
+        # write_sorted default)
+        if "krange" in batch.column_names:  # hive column, string-typed
+            batch = batch.drop_columns(["krange"])
+        v = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rid = np.clip((v - lo) // width, 0, n_ranges - 1)
+        return batch.append_column("krange", pa.array(rid, pa.int64()))
+
+    os.makedirs(out_dir, exist_ok=True)
+    union.map_batches(
+        add_range, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).write_parquet(out_dir, partition_cols=["krange"])
+
+    merged = {k: m0[k] for k in ("key", "lo", "hi", "width", "n_ranges")}
+    blooms = [m.get("bloom") for m in manifests]
+    if all(b is not None for b in blooms) and all(
+        (b["col"], b["bits"], b["k"])
+        == (blooms[0]["col"], blooms[0]["bits"], blooms[0]["k"])
+        for b in blooms
+    ):
+        bitmaps = {}
+        for r in range(m0["n_ranges"]):
+            acc = np.zeros(blooms[0]["bits"] // 8, np.uint8)
+            for b in blooms:
+                hx = b["bitmaps"].get(str(r))
+                if hx:
+                    acc |= np.frombuffer(bytes.fromhex(hx), np.uint8)
+            bitmaps[str(r)] = acc.tobytes().hex()
+        merged["bloom"] = {
+            "col": blooms[0]["col"], "bits": blooms[0]["bits"],
+            "k": blooms[0]["k"], "bitmaps": bitmaps,
+        }
+    zones = [m.get("zones") for m in manifests]
+    if all(z is not None for z in zones) and all(
+        z["col"] == zones[0]["col"] for z in zones
+    ):
+        ranges: dict = {}
+        for z in zones:
+            for r, (a, b) in z["ranges"].items():
+                if r in ranges:
+                    ranges[r] = [min(ranges[r][0], a), max(ranges[r][1], b)]
+                else:
+                    ranges[r] = [a, b]
+        merged["zones"] = {"col": zones[0]["col"], "ranges": ranges}
+    with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
+        json.dump(merged, f)
+    return merged
+
+
 def write_versioned(out_dir: str, ds: rd.Dataset, key: str) -> int:
     """Versioned table layout, version 1 (the time-travel/merge-on-read
     pattern): rows land under ``v=1/`` stamped with ``_version`` and a

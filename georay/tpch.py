@@ -15024,6 +15024,78 @@ GROUP BY 1
 """
 
 
+def q_merge_sorted(sf_dir: str):
+    """LSM compaction of range-clustered runs: lineitem is split into
+    two halves (odd/even orderkey), each written as its own
+    ``write_sorted`` run with ALIGNED bounds, then
+    ``pipeline.merge_sorted_layouts`` unions them into one layout with
+    no range recompute (rows keep their krange partition; zone
+    manifests fold elementwise). The same 1996 pruned range scan as
+    ``sorted_range_scan`` then runs over the MERGED layout and must
+    equal the plain full-scan SQL."""
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"georay_msorted_{tag}")
+    merged = os.path.join(root, "merged")
+    if not os.path.exists(os.path.join(merged, "_zonemap.json")):
+        bounds = (694_224_000_000_000, 915_148_800_000_000)  # 1992..1999
+        halves = []
+        for h in (0, 1):
+            ds = rd.read_parquet(
+                _t(sf_dir, "lineitem"),
+                columns=["l_orderkey", "l_returnflag", "l_quantity",
+                         "l_shipdate"],
+            )
+
+            def keep(batch: pa.Table, hh=h) -> pa.Table:
+                k = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array((k % 2) == hh)).drop_columns(
+                    ["l_orderkey"]
+                )
+
+            d = os.path.join(root, f"half{h}")
+            pipeline.write_sorted(
+                ds.map_batches(keep, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None),
+                d, "l_shipdate", n_ranges=16, bounds=bounds,
+            )
+            halves.append(d)
+        pipeline.merge_sorted_layouts(halves, merged)
+    ds, n_opened, n_total = pipeline.read_range(
+        merged, _Y96_LO_US, _Y97_LO_US,
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = (t >= _Y96_LO_US) & (t < _Y97_LO_US)
+        f = batch["l_returnflag"].to_numpy(zero_copy_only=False)[m]
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+            .astype(np.float64)[m] + 0.5
+        ).astype(np.int64)
+        ks, vs = ops._group_reduce(
+            [f], {"partial_n": np.ones(q.shape[0], np.int64), "partial_q": q}
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(ks[0]),
+                "partial_n": pa.array(vs["partial_n"], pa.int64()),
+                "partial_q": pa.array(vs["partial_q"], pa.int64()),
+            }
+        )
+
+    return ops.tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        ["l_returnflag"], {"partial_n": "n", "partial_q": "sum_qty"},
+        int_cols=("partial_n", "partial_q"),
+    )
+
+
 def q_analyze(sf_dir: str):
     """ANALYZE lineitem: per-column (n, n_null, exact n_distinct,
     min, max) — the planner statistics every prune decision feeds on
@@ -17123,6 +17195,7 @@ QUERIES = {
     "radix_quantile_weighted": q_radix_quantile_weighted,
     "entity_resolution": q_entity_resolution,
     "radix_quantile_cont": q_radix_quantile_cont,
+    "merge_sorted": q_merge_sorted,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17478,6 +17551,7 @@ ORACLE = {
     "radix_quantile_weighted": SQL_RADIX_QUANTILE_WEIGHTED,
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "radix_quantile_cont": SQL_RADIX_QUANTILE_CONT,
+    "merge_sorted": SQL_SORTED_RANGE_SCAN,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

@@ -1443,3 +1443,49 @@ def test_grouped_radix_empty_keeps_key_dtype(ray_session):
     }))
     out = ops.grouped_quantiles_radix(empty, "g", "x", [0.5])
     assert out.schema().base_schema.field("g").type == pa.int64()
+
+
+def test_merge_sorted_layouts_pins(ray_session, tmp_path):
+    """Compaction: merged layout's pruned range scan equals one full
+    build; zone-map prune still holds; misaligned geometry raises;
+    bloom sidecars OR together."""
+    import ray.data as rd
+
+    from georay import pipeline
+
+    n = 400
+    ks = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "k": pa.array(ks), "id": pa.array(ks * 7 % 1000, pa.int64()),
+    })
+    full_d = str(tmp_path / "full")
+    a_d, b_d, m_d = (str(tmp_path / x) for x in ("a", "b", "m"))
+    bounds = (0, n)
+    pipeline.write_sorted(rd.from_arrow(t), full_d, "k", n_ranges=8,
+                          bounds=bounds, bloom_col="id")
+    pipeline.write_sorted(rd.from_arrow(t.filter(pa.array(ks % 2 == 0))),
+                          a_d, "k", n_ranges=8, bounds=bounds,
+                          bloom_col="id")
+    pipeline.write_sorted(rd.from_arrow(t.filter(pa.array(ks % 2 == 1))),
+                          b_d, "k", n_ranges=8, bounds=bounds,
+                          bloom_col="id")
+    merged = pipeline.merge_sorted_layouts([a_d, b_d], m_d)
+
+    dsf, of, tf = pipeline.read_range(full_d, 100, 200, columns=["k"])
+    dsm, om, tm = pipeline.read_range(m_d, 100, 200, columns=["k"])
+    assert om == of and om < tm  # prune preserved
+    assert sorted(r["k"] for r in dsm.take_all()) == sorted(
+        r["k"] for r in dsf.take_all()
+    )
+    # bloom sidecar: merged bitset is the OR of the halves
+    import json as _json
+
+    with open(f"{full_d}/_zonemap.json") as f:
+        bf = _json.load(f)["bloom"]["bitmaps"]
+    assert merged["bloom"]["bitmaps"] == bf
+
+    bad = str(tmp_path / "bad")
+    pipeline.write_sorted(rd.from_arrow(t), bad, "k", n_ranges=4,
+                          bounds=bounds)
+    with pytest.raises(ValueError, match="geometry"):
+        pipeline.merge_sorted_layouts([a_d, bad], str(tmp_path / "x"))
