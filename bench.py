@@ -325,6 +325,10 @@ def run_bench() -> dict:
         lambda: tpch.q_radix_quantile_cont(SF_DIR).count(),
     )
     timed_ext("merge_sorted", lambda: tpch.q_merge_sorted(SF_DIR).count())
+    timed_ext(
+        "bm25_incremental",
+        lambda: tpch.q_bm25_incremental(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -728,24 +728,17 @@ def bucketed_aggregate(
     return ids.map_batches(agg_bucket, batch_format="pyarrow", batch_size=None)
 
 
-def write_postings(
+def _postings_tf_write(
     ds: rd.Dataset,
     out_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 16,
-) -> list[str]:
-    """INVERTED-INDEX persistent layout: one (token, doc_id, tf) posting
-    per distinct token per document (canonical tokenizer —
-    ``stages.text._tokenize_flat``), hash-bucketed by TOKEN with the
-    engine's ``_key_hash`` and written one parquet directory per
-    bucket. The text-search sibling of ``write_bucketed``: a term
-    query's bucket set is computable from the terms alone, so
-    ``postings_search`` READS ONLY ≤ |terms| of the ``n_buckets``
-    partitions — at 100 TB the index scan cost is per-term, not
-    per-corpus. Tokenize + explode is one narrow ``map_batches`` (a
-    document's postings are built where its row lives; no pre-shuffle);
-    the one exchange is the write itself, paid once."""
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+) -> tuple[int, int]:
+    """Shared tf-postings + doclen bucketed write for the non-positional
+    layout (full build AND incremental append). Returns the written
+    docs' ``(n_docs, sum_dl)`` so callers can set/fold the manifest
+    scalars."""
     from georay.ops import _group_reduce, _key_hash
     from georay.stages.text import _tokenize_flat
 
@@ -824,6 +817,30 @@ def write_postings(
     ).take_all()
     n_docs = int(sum(r["n_docs"] for r in totals))
     sum_dl = int(sum(r["sum_dl"] for r in totals))
+    return n_docs, sum_dl
+
+
+def write_postings(
+    ds: rd.Dataset,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> list[str]:
+    """INVERTED-INDEX persistent layout: one (token, doc_id, tf) posting
+    per distinct token per document (canonical tokenizer —
+    ``stages.text._tokenize_flat``), hash-bucketed by TOKEN with the
+    engine's ``_key_hash`` and written one parquet directory per
+    bucket. The text-search sibling of ``write_bucketed``: a term
+    query's bucket set is computable from the terms alone, so
+    ``postings_search`` READS ONLY ≤ |terms| of the ``n_buckets``
+    partitions — at 100 TB the index scan cost is per-term, not
+    per-corpus. Tokenize + explode is one narrow ``map_batches`` (a
+    document's postings are built where its row lives; no pre-shuffle);
+    the one exchange is the write itself, paid once."""
+    n_docs, sum_dl = _postings_tf_write(
+        ds, out_dir, id_col, text_col, n_buckets
+    )
 
     # self-describing layout: a search MUST use the writer's bucket
     # count and hash — a mismatched reader would silently miss terms.
@@ -937,14 +954,17 @@ def postings_append(
 
     APPEND-ONLY: re-adding an already-indexed doc_id duplicates its
     occurrences (same as re-inserting a row into any log-structured
-    index) — dedup upstream or rebuild to replace documents."""
+    index) — dedup upstream or rebuild to replace documents.
+
+    Works on BOTH layouts: positional (``write_postings_positional``)
+    and tf/BM25 (``write_postings``). For the tf layout the doclen side
+    table gains the new docs' rows and the manifest's corpus scalars
+    (``n_docs``, ``sum_dl`` → avgdl) FOLD with the delta and are
+    rewritten LAST — a crash between the data write and the manifest
+    rewrite leaves readers scoring with stale corpus scalars, the
+    standard non-transactional-append window; rebuild to recover."""
     with open(os.path.join(postings_dir, "_POSTINGS.json")) as f:
         meta = json.load(f)
-    if not meta.get("positional"):
-        raise ValueError(
-            "postings_append: layout is not positional "
-            "(built by write_postings_positional)"
-        )
     id_col = meta["id_col"]
     got = str(ds.schema().base_schema.field(id_col).type)
     if got != meta["id_type"]:
@@ -952,9 +972,18 @@ def postings_append(
             f"postings_append: {id_col} type {got} != indexed "
             f"{meta['id_type']}"
         )
-    _postings_pos_write(
+    if meta.get("positional"):
+        _postings_pos_write(
+            ds, postings_dir, id_col, text_col, int(meta["n_buckets"])
+        )
+        return
+    d_docs, d_dl = _postings_tf_write(
         ds, postings_dir, id_col, text_col, int(meta["n_buckets"])
     )
+    meta["n_docs"] = int(meta["n_docs"]) + d_docs
+    meta["sum_dl"] = int(meta["sum_dl"]) + d_dl
+    with open(os.path.join(postings_dir, "_POSTINGS.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def postings_phrase(

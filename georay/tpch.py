@@ -15903,6 +15903,44 @@ def q_bm25_indexed(sf_dir: str):
                                   k=BM25_K)
 
 
+def q_bm25_incremental(sf_dir: str):
+    """bm25_indexed over an INCREMENTALLY MAINTAINED tf index: base
+    build covers doc_id % 5 != 0, the remaining fifth arrives via
+    ``pipeline.postings_append`` (delta postings + doclen rows into the
+    existing buckets; the manifest's corpus scalars FOLD with the
+    delta, so idf and avgdl equal the full build's). Scores must
+    hash-match the same full-scan oracle as bm25 / bm25_indexed —
+    bit-identical floats, three plans, one oracle."""
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), f"georay_postings_inc_{tag}")
+    if not os.path.exists(os.path.join(idx, "_POSTINGS.json")):
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "text"])
+
+        def _part(batch: pa.Table, keep_delta: bool) -> pa.Table:
+            d = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (d % 5) == 0
+            return batch.filter(pa.array(m if keep_delta else ~m))
+
+        pipeline.write_postings(
+            docs.map_batches(lambda b: _part(b, False),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None),
+            idx, n_buckets=16,
+        )
+        pipeline.postings_append(
+            idx,
+            docs.map_batches(lambda b: _part(b, True),
+                             batch_format="pyarrow", zero_copy_batch=True,
+                             batch_size=None),
+        )
+    return pipeline.postings_bm25(idx, BM25_TERMS, k=BM25_K)
+
+
 def q_areal_interp(sf_dir: str):
     """AREAL INTERPOLATION (spatial disaggregation — the GIS transfer
     of a value from source footprints to a target zoning): each
@@ -17196,6 +17234,7 @@ QUERIES = {
     "entity_resolution": q_entity_resolution,
     "radix_quantile_cont": q_radix_quantile_cont,
     "merge_sorted": q_merge_sorted,
+    "bm25_incremental": q_bm25_incremental,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17552,6 +17591,7 @@ ORACLE = {
     "entity_resolution": SQL_ENTITY_RESOLUTION,
     "radix_quantile_cont": SQL_RADIX_QUANTILE_CONT,
     "merge_sorted": SQL_SORTED_RANGE_SCAN,
+    "bm25_incremental": SQL_BM25,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

@@ -1489,3 +1489,34 @@ def test_merge_sorted_layouts_pins(ray_session, tmp_path):
                           bounds=bounds)
     with pytest.raises(ValueError, match="geometry"):
         pipeline.merge_sorted_layouts([a_d, bad], str(tmp_path / "x"))
+
+
+def test_postings_append_tf_scalars(ray_session, tmp_path):
+    """tf-layout append: manifest corpus scalars (n_docs, sum_dl) fold
+    to exactly the full build's; BM25 scores equal across plans."""
+    import json as _json
+
+    import ray.data as rd
+
+    from georay import pipeline
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "merge window now", "window merge later",
+            "the merge window closes", "other words here",
+        ]),
+    })
+    full, inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    pipeline.write_postings(rd.from_arrow(docs), full, n_buckets=4)
+    pipeline.write_postings(rd.from_arrow(docs.slice(0, 2)), inc,
+                            n_buckets=4)
+    pipeline.postings_append(inc, rd.from_arrow(docs.slice(2)))
+    mf = _json.load(open(f"{full}/_POSTINGS.json"))
+    mi = _json.load(open(f"{inc}/_POSTINGS.json"))
+    assert (mf["n_docs"], mf["sum_dl"]) == (mi["n_docs"], mi["sum_dl"])
+    def scores(d):
+        df = pipeline.postings_bm25(d, ["merge", "window"], k=4).to_pandas()
+        return sorted(zip(df["doc_id"], df["score"]))
+
+    assert scores(full) == scores(inc)
