@@ -329,6 +329,9 @@ def run_bench() -> dict:
         "bm25_incremental",
         lambda: tpch.q_bm25_incremental(SF_DIR).count(),
     )
+    timed_ext(
+        "ivf_incremental", lambda: tpch.q_ivf_incremental(SF_DIR).num_rows
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -119,6 +119,7 @@ def ivf_ann_topk(
     train_sample: int = 4096,
     exclude_self: bool = True,
     train: str = "sample",
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """IVF ANN as a streaming Dataset pipeline (the scale path):
 
@@ -136,7 +137,9 @@ def ivf_ann_topk(
     The full embedding table is never materialized. Approximate — the
     scanned fraction is ~n_probe/n_list; recall is pinned by tests and
     the ``ivf_ann`` driver query's recall-vs-brute oracle."""
-    if train == "distributed":
+    if centroids is not None:
+        cent = np.asarray(centroids, np.float64)
+    elif train == "distributed":
         # full-table Lloyd over combine-tree partials (georay k-means);
         # init from the sample trainer so both paths share a seed
         sample = ds.limit(int(train_sample)).to_pandas()
@@ -763,6 +766,44 @@ def ivf_build_index(
         os.path.join(out_dir, "_ivf_centroids.parquet"),
     )
     return cent
+
+
+def ivf_append_index(
+    index_dir: str,
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """INCREMENTAL IVF maintenance (the ANN sibling of
+    ``pipeline.postings_append``): assign NEW vectors to the index's
+    EXISTING centroids (sidecar — centroids are immutable after build,
+    standard IVF practice) and write them as additional parquet files
+    into the matching ``list_id=`` partitions. The base index is never
+    re-read; ``ivf_search_index`` picks up delta files with no reader
+    change, and results stay bit-equal to the masking scan under the
+    same centroids. Re-train + rebuild when drift degrades recall —
+    append keeps the partition-pruning contract, not centroid
+    optimality. APPEND-ONLY: re-adding an id duplicates it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sidecar = pq.read_table(os.path.join(index_dir, "_ivf_centroids.parquet"))
+    cent = np.stack(
+        sidecar["centroid"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    ref = ray.put(cent)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cache.setdefault("c", ray.get(ref))
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        lid = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).write_parquet(index_dir, partition_cols=["list_id"])
 
 
 def ivf_search_index(

@@ -4823,6 +4823,85 @@ SELECT {IVF_PRUNED_NQ} AS n_queries, {ANN_K} AS k,
 """
 
 
+def q_ivf_incremental(sf_dir: str):
+    """Incrementally MAINTAINED IVF index (embed.ivf_append_index): the
+    base index is built on vec_id % 5 != 0 (training the centroids),
+    the remaining fifth is appended against the SIDECAR centroids
+    (delta files into the existing list partitions; base never
+    re-read), and the pruned search over the maintained index must
+    return IDENTICAL rows to the masking scan of the FULL table under
+    the same centroids — same gate shape as ``ivf_pruned``, plus the
+    structural pruning check."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from georay.stages import embed as embed_stage
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+
+    def _part(batch: pa.Table, keep_delta: bool) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        m = (v % 5) == 0
+        return batch.filter(pa.array(m if keep_delta else ~m))
+
+    q, qids = _ann_queries(sf_dir)
+    q, qids = q[:IVF_PRUNED_NQ], qids[:IVF_PRUNED_NQ]
+    idx_dir = tempfile.mkdtemp(prefix="georay_ivfinc_", dir="/tmp")
+    try:
+        embed_stage.ivf_build_index(
+            ds.map_batches(lambda b: _part(b, False),
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+            idx_dir, n_list=16,
+        )
+        embed_stage.ivf_append_index(
+            idx_dir,
+            ds.map_batches(lambda b: _part(b, True),
+                           batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None),
+        )
+        sidecar = _pq.read_table(
+            os.path.join(idx_dir, "_ivf_centroids.parquet")
+        )
+        cent = np.stack(
+            sidecar["centroid"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        got, stats = embed_stage.ivf_search_index(
+            idx_dir, q, qids, k=ANN_K, n_probe=IVF_PRUNED_NPROBE,
+            exclude_self=False, return_stats=True,
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    got = got.to_pandas().reset_index(drop=True)
+    masked = embed_stage.ivf_ann_topk(
+        ds, q, qids, k=ANN_K, n_list=16, n_probe=IVF_PRUNED_NPROBE,
+        exclude_self=False, centroids=cent,
+    ).to_pandas().reset_index(drop=True)
+    same = bool(
+        len(got) == len(masked)
+        and (got["query_id"] == masked["query_id"]).all()
+        and (got["vec_id"] == masked["vec_id"]).all()
+        and np.allclose(
+            got["sim"].to_numpy(), masked["sim"].to_numpy(),
+            rtol=0, atol=1e-12,
+        )
+    )
+    return pa.table(
+        {
+            "n_queries": pa.array([len(qids)], pa.int64()),
+            "k": pa.array([ANN_K], pa.int64()),
+            "same_as_masked": pa.array([same]),
+            "pruned": pa.array(
+                [bool(stats["lists_scanned"] < stats["lists_total"]
+                      and stats["bytes_scanned"] < stats["bytes_total"])]
+            ),
+        }
+    )
+
+
 PQ_RECALL_MIN = 0.8
 
 
@@ -17235,6 +17314,7 @@ QUERIES = {
     "radix_quantile_cont": q_radix_quantile_cont,
     "merge_sorted": q_merge_sorted,
     "bm25_incremental": q_bm25_incremental,
+    "ivf_incremental": q_ivf_incremental,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17592,6 +17672,7 @@ ORACLE = {
     "radix_quantile_cont": SQL_RADIX_QUANTILE_CONT,
     "merge_sorted": SQL_SORTED_RANGE_SCAN,
     "bm25_incremental": SQL_BM25,
+    "ivf_incremental": SQL_IVF_PRUNED,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
