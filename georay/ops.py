@@ -992,7 +992,9 @@ def exact_quantiles_radix(
         key, w = _keys(batch)
         qi_out, byte_out, c_out = [], [], []
         hi_shift = np.uint64(shift + 16)
-        for qi in range(nq):
+        # pass 1 sees ALL rows for every quantile — compute its (large,
+        # 64Ki-bin) histogram ONCE and let the driver reuse it per qi
+        for qi in range(1 if shift == 48 else nq):
             if shift == 48:
                 sub, sw = key, w
             else:
@@ -1038,7 +1040,7 @@ def exact_quantiles_radix(
                     "exact_quantiles_radix: merged counts went negative "
                     "— weight sums wrapped int64; rescale the weights"
                 )
-            total = (int(hist["c"].sum()) // nq) if len(hist) else 0
+            total = int(hist["c"].sum()) if len(hist) else 0
             if total == 0:
                 return ray.data.from_arrow(pa.table({
                     "q": pa.array([float(q) for q in qs], pa.float64()),
@@ -1049,7 +1051,8 @@ def exact_quantiles_radix(
             )
             have_k = True
         for qi in range(nq):
-            sub = hist[hist["qi"] == qi].sort_values("byte")
+            src_qi = 0 if shift == 48 else qi  # pass-1 histogram is shared
+            sub = hist[hist["qi"] == src_qi].sort_values("byte")
             cum = sub["c"].to_numpy().cumsum()
             pos = int(np.searchsorted(cum, ks[qi] + 1, side="left"))
             ks[qi] -= int(cum[pos - 1]) if pos else 0
@@ -1096,7 +1099,7 @@ def exact_quantiles_radix_cont(
         key = _keys(batch)
         si_out, byte_out, c_out = [], [], []
         hi_shift = np.uint64(shift + 16)
-        for si in range(ns):
+        for si in range(1 if shift == 48 else ns):
             if shift == 48:
                 sub = key
             else:
@@ -1128,7 +1131,7 @@ def exact_quantiles_radix_cont(
             partials, ["si", "byte"], {"c": "c"}, int_cols=("c",)
         ).to_pandas()
         if not have_k:
-            total = (int(hist["c"].sum()) // ns) if len(hist) else 0
+            total = int(hist["c"].sum()) if len(hist) else 0
             if total == 0:
                 return ray.data.from_arrow(pa.table({
                     "q": pa.array([float(q) for q in qs], pa.float64()),
@@ -1143,7 +1146,8 @@ def exact_quantiles_radix_cont(
                 ks[2 * qi + 1] = hi
             have_k = True
         for si in range(ns):
-            sub = hist[hist["si"] == si].sort_values("byte")
+            src_si = 0 if shift == 48 else si  # pass-1 histogram is shared
+            sub = hist[hist["si"] == src_si].sort_values("byte")
             cum = sub["c"].to_numpy().cumsum()
             pos = int(np.searchsorted(cum, ks[si] + 1, side="left"))
             ks[si] -= int(cum[pos - 1]) if pos else 0
@@ -1173,7 +1177,8 @@ def grouped_quantiles_radix(
     plan: every group's every quantile narrows its own digit prefix,
     all riding the SAME 4 column passes (pass 1 doubles as the per-group
     COUNT pass that discovers the group set). The driver holds
-    |groups|·|qs| prefixes + a 256-bin histogram per (group, q) —
+    |groups|·|qs| prefixes + the nonzero bins of a 64Ki-bin histogram
+    per (group, q) —
     bounded-group-cardinality budget (flags, sources, classes; same
     convention as ``tree_sum``). NULL/NaN payloads excluded per group.
 

@@ -742,6 +742,11 @@ def _postings_tf_write(
     from georay.ops import _group_reduce, _key_hash
     from georay.stages.text import _tokenize_flat
 
+    # one source read serves both writes; one tokenize pass serves the
+    # doclen write AND the corpus scalars (the stats pass would
+    # otherwise re-tokenize the source a third time)
+    ds = ds.materialize()
+
     def explode(batch: pa.Table) -> pa.Table:
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
@@ -796,7 +801,7 @@ def _postings_tf_write(
 
     dl_ds = ds.map_batches(
         doclen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    ).materialize()
     dl_dir = os.path.join(out_dir, "doclen")
     dl_ds.write_parquet(dl_dir, partition_cols=["bucket"])
 
@@ -1527,6 +1532,11 @@ def write_sorted(
     manifest = {
         "key": key, "lo": lo, "hi": hi, "width": width,
         "n_ranges": n_ranges,
+        # merge_sorted_layouts recomputes partition ids from the key —
+        # it can only do that under the DEFAULT int64 cast, so record
+        # when a custom mapping was used (merge then requires the same
+        # callable to be passed back in)
+        "custom_key_to_int": key_to_int is not None,
     }
     if bloom_col is not None:
         def bloom_pairs(batch: pa.Table) -> pa.Table:
@@ -1700,7 +1710,11 @@ def read_range(
     return ds, len(dirs), n_total
 
 
-def merge_sorted_layouts(in_dirs: list[str], out_dir: str) -> dict:
+def merge_sorted_layouts(
+    in_dirs: list[str],
+    out_dir: str,
+    key_to_int=None,
+) -> dict:
     """LSM-style COMPACTION of range-clustered layouts: union N
     ``write_sorted`` runs with IDENTICAL split geometry (same key, lo,
     hi, width, n_ranges — align with ``write_sorted(bounds=...)``, the
@@ -1712,7 +1726,11 @@ def merge_sorted_layouts(in_dirs: list[str], out_dir: str) -> dict:
     result unchanged. Sidecars merge algebraically: bloom bitsets OR
     (same col/bits/k required), secondary zone (min, max) fold
     elementwise; a sidecar missing from ANY input is dropped from the
-    output (pruning stays honest). Returns the merged manifest."""
+    output (pruning stays honest). Layouts written with a custom
+    ``key_to_int`` REQUIRE the same callable here (the manifest records
+    the fact but cannot serialize the function; recomputing partition
+    ids with the default cast would silently misplace rows) — omitting
+    it raises. Returns the merged manifest."""
     import glob as _glob
     import json
 
@@ -1730,6 +1748,13 @@ def merge_sorted_layouts(in_dirs: list[str], out_dir: str) -> dict:
                 "merge_sorted_layouts: split geometry differs — rebuild "
                 "with write_sorted(bounds=...) to align"
             )
+    if any(m.get("custom_key_to_int") for m in manifests) and (
+            key_to_int is None):
+        raise ValueError(
+            "merge_sorted_layouts: inputs were written with a custom "
+            "key_to_int — pass the same callable (the default int64 "
+            "cast would misplace rows)"
+        )
 
     files = sorted(
         f
@@ -1747,7 +1772,10 @@ def merge_sorted_layouts(in_dirs: list[str], out_dir: str) -> dict:
         # write_sorted default)
         if "krange" in batch.column_names:  # hive column, string-typed
             batch = batch.drop_columns(["krange"])
-        v = batch[key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        to_int = key_to_int or (
+            lambda col: col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        v = to_int(batch[key])
         rid = np.clip((v - lo) // width, 0, n_ranges - 1)
         return batch.append_column("krange", pa.array(rid, pa.int64()))
 

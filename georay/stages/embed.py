@@ -719,6 +719,45 @@ def pca_project(
 
 # -------------------------------------------- partitioned IVF index (pruned I/O)
 
+def _ivf_load_centroids(index_dir: str) -> np.ndarray:
+    """Load the immutable centroid sidecar (row order == list_id)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "_ivf_centroids.parquet"))
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ct["centroid"].to_pylist()]
+    )
+
+
+def _ivf_assign_write(
+    cent: np.ndarray,
+    ds: ray.data.Dataset,
+    out_dir: str,
+    emb_col: str,
+) -> None:
+    """Assign each vector to its nearest centroid (argmax dot on the
+    normalized matrix — the ONE assignment rule shared by build, append
+    and the masking scan) and write partitioned by list id."""
+    ref = ray.put(cent)
+    cache: dict = {}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cache.setdefault("c", ray.get(ref))
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        if m.shape[1] != c.shape[1]:
+            raise ValueError(
+                f"ivf: embedding dim {m.shape[1]} != index dim {c.shape[1]}"
+            )
+        lid = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("list_id", pa.array(lid, pa.int64()))
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).write_parquet(out_dir, partition_cols=["list_id"])
+
+
 def ivf_build_index(
     ds: ray.data.Dataset,
     out_dir: str,
@@ -744,18 +783,7 @@ def ivf_build_index(
     sample = ds.limit(int(train_sample)).to_pandas()
     train_vecs = np.stack(sample[emb_col].to_numpy()).astype(np.float64)
     cent = kmeans_centroids(train_vecs, n_list=n_list)
-    ref = ray.put(cent)
-    cache: dict = {}
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = cache.setdefault("c", ray.get(ref))
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        lid = np.argmax(m @ c.T, axis=1).astype(np.int64)
-        return batch.append_column("list_id", pa.array(lid, pa.int64()))
-
-    ds.map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).write_parquet(out_dir, partition_cols=["list_id"])
+    _ivf_assign_write(cent, ds, out_dir, emb_col)
     pq.write_table(
         pa.table(
             {
@@ -784,26 +812,29 @@ def ivf_append_index(
     same centroids. Re-train + rebuild when drift degrades recall —
     append keeps the partition-pruning contract, not centroid
     optimality. APPEND-ONLY: re-adding an id duplicates it."""
+    import glob
     import os
 
     import pyarrow.parquet as pq
 
-    sidecar = pq.read_table(os.path.join(index_dir, "_ivf_centroids.parquet"))
-    cent = np.stack(
-        sidecar["centroid"].to_numpy(zero_copy_only=False)
-    ).astype(np.float64)
-    ref = ray.put(cent)
-    cache: dict = {}
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = cache.setdefault("c", ray.get(ref))
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        lid = np.argmax(m @ c.T, axis=1).astype(np.int64)
-        return batch.append_column("list_id", pa.array(lid, pa.int64()))
-
-    ds.map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).write_parquet(index_dir, partition_cols=["list_id"])
+    cent = _ivf_load_centroids(index_dir)
+    # validate the delta against the BASE schema (the postings_append
+    # convention): a mismatched id type or embedding layout would write
+    # fine and corrupt every later search instead of raising here
+    base_files = sorted(
+        glob.glob(os.path.join(index_dir, "list_id=*", "*.parquet"))
+    )
+    if base_files:
+        base_schema = pq.read_schema(base_files[0])
+        d_schema = ds.schema().base_schema
+        for cname in (id_col, emb_col):
+            if base_schema.field(cname).type != d_schema.field(cname).type:
+                raise ValueError(
+                    f"ivf_append_index: {cname} type "
+                    f"{d_schema.field(cname).type} != indexed "
+                    f"{base_schema.field(cname).type}"
+                )
+    _ivf_assign_write(cent, ds, index_dir, emb_col)
 
 
 def ivf_search_index(
@@ -832,10 +863,7 @@ def ivf_search_index(
 
     import pyarrow.parquet as pq
 
-    ct = pq.read_table(os.path.join(index_dir, "_ivf_centroids.parquet"))
-    cent = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in ct["centroid"].to_pylist()]
-    )
+    cent = _ivf_load_centroids(index_dir)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     nq = qn.shape[0]
     csims = qn @ cent.T

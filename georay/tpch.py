@@ -15116,10 +15116,15 @@ def q_merge_sorted(sf_dir: str):
 
     from georay import pipeline
 
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     root = os.path.join(tempfile.gettempdir(), f"georay_msorted_{tag}")
     merged = os.path.join(root, "merged")
     if not os.path.exists(os.path.join(merged, "_zonemap.json")):
+        # a crashed earlier build leaves half-layouts whose dirs a
+        # re-run would APPEND into (double-counting rows) — clear first
+        shutil.rmtree(root, ignore_errors=True)
         bounds = (694_224_000_000_000, 915_148_800_000_000)  # 1992..1999
         halves = []
         for h in (0, 1):
@@ -15994,9 +15999,18 @@ def q_bm25_incremental(sf_dir: str):
 
     from georay import pipeline
 
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(tempfile.gettempdir(), f"georay_postings_inc_{tag}")
     if not os.path.exists(os.path.join(idx, "_POSTINGS.json")):
+        # build base+append in a STAGING dir and publish with one
+        # rename — write_postings writes its own manifest after step 1,
+        # so a crash mid-append would otherwise leave a valid-looking
+        # but delta-less cache that every later run silently serves
+        stage = idx + ".build"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
         docs = rd.read_parquet(_t(sf_dir, "documents"),
                                columns=["doc_id", "text"])
 
@@ -16009,14 +16023,15 @@ def q_bm25_incremental(sf_dir: str):
             docs.map_batches(lambda b: _part(b, False),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=None),
-            idx, n_buckets=16,
+            stage, n_buckets=16,
         )
         pipeline.postings_append(
-            idx,
+            stage,
             docs.map_batches(lambda b: _part(b, True),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=None),
         )
+        os.rename(stage, idx)
     return pipeline.postings_bm25(idx, BM25_TERMS, k=BM25_K)
 
 
@@ -16917,9 +16932,16 @@ def q_phrase_search_incremental(sf_dir: str):
 
     from georay import pipeline
 
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx = os.path.join(tempfile.gettempdir(), f"georay_postings_posinc_{tag}")
     if not os.path.exists(os.path.join(idx, "_POSTINGS.json")):
+        # staging + rename: the base build writes its own manifest, so
+        # a crash before the append would leave a falsely-complete cache
+        stage = idx + ".build"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
         docs = rd.read_parquet(_t(sf_dir, "documents"),
                                columns=["doc_id", "text"])
 
@@ -16932,14 +16954,15 @@ def q_phrase_search_incremental(sf_dir: str):
             docs.map_batches(lambda b: _part(b, False),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=None),
-            idx, n_buckets=16,
+            stage, n_buckets=16,
         )
         pipeline.postings_append(
-            idx,
+            stage,
             docs.map_batches(lambda b: _part(b, True),
                              batch_format="pyarrow", zero_copy_batch=True,
                              batch_size=None),
         )
+        os.rename(stage, idx)
     return pipeline.postings_phrase(idx, PHRASE_TERMS)
 
 

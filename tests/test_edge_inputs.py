@@ -1520,3 +1520,71 @@ def test_postings_append_tf_scalars(ray_session, tmp_path):
         return sorted(zip(df["doc_id"], df["score"]))
 
     assert scores(full) == scores(inc)
+
+
+def test_ivf_append_validation(ray_session, tmp_path):
+    """ivf_append_index rejects a delta whose id type or embedding dim
+    mismatches the base index (the postings_append convention)."""
+    import ray.data as rd
+
+    from georay.stages import embed
+
+    rng = np.random.RandomState(2)
+    base = pa.table({
+        "vec_id": pa.array(np.arange(64), pa.int64()),
+        "embedding": pa.array(list(rng.randn(64, 8)),
+                              pa.list_(pa.float64())),
+    })
+    d = str(tmp_path / "ivf")
+    embed.ivf_build_index(rd.from_arrow(base), d, n_list=4)
+
+    wrong_id = pa.table({
+        "vec_id": pa.array(["x"]),
+        "embedding": pa.array([list(rng.randn(8))], pa.list_(pa.float64())),
+    })
+    with pytest.raises(ValueError, match="type"):
+        embed.ivf_append_index(d, rd.from_arrow(wrong_id))
+
+    wrong_dim = pa.table({
+        "vec_id": pa.array([99], pa.int64()),
+        "embedding": pa.array([list(rng.randn(5))], pa.list_(pa.float64())),
+    })
+    with pytest.raises(Exception, match="dim"):
+        embed.ivf_append_index(d, rd.from_arrow(wrong_dim))
+
+    # a valid append lands and searches pick it up
+    good = pa.table({
+        "vec_id": pa.array([100], pa.int64()),
+        "embedding": pa.array([list(base["embedding"][0].as_py())],
+                              pa.list_(pa.float64())),
+    })
+    embed.ivf_append_index(d, rd.from_arrow(good))
+    q = np.stack([np.asarray(base["embedding"][0].as_py())])
+    got = embed.ivf_search_index(d, q, np.array([0]), k=2, n_probe=4,
+                                 exclude_self=True).to_pandas()
+    assert 100 in set(got["vec_id"])
+
+
+def test_merge_sorted_custom_key_guard(ray_session, tmp_path):
+    """Layouts written with a custom key_to_int refuse a default-cast
+    merge and accept one with the callable passed back in."""
+    import ray.data as rd
+
+    from georay import pipeline
+
+    t = pa.table({"k": pa.array(np.arange(50), pa.int64())})
+    conv = lambda col: (  # noqa: E731
+        col.cast(pa.int64()).to_numpy(zero_copy_only=False) * 2
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    pipeline.write_sorted(rd.from_arrow(t.slice(0, 25)), a, "k",
+                          n_ranges=4, bounds=(0, 100), key_to_int=conv)
+    pipeline.write_sorted(rd.from_arrow(t.slice(25)), b, "k",
+                          n_ranges=4, bounds=(0, 100), key_to_int=conv)
+    with pytest.raises(ValueError, match="key_to_int"):
+        pipeline.merge_sorted_layouts([a, b], str(tmp_path / "m0"))
+    m = pipeline.merge_sorted_layouts([a, b], str(tmp_path / "m1"),
+                                      key_to_int=conv)
+    ds, _, _ = pipeline.read_range(str(tmp_path / "m1"), 0, 100,
+                                   columns=["k"])
+    assert sorted(r["k"] for r in ds.take_all()) == list(range(50))
