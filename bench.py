@@ -332,6 +332,9 @@ def run_bench() -> dict:
     timed_ext(
         "ivf_incremental", lambda: tpch.q_ivf_incremental(SF_DIR).num_rows
     )
+    timed_ext(
+        "epoch_shuffle", lambda: tpch.q_epoch_shuffle(SF_DIR).count()
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -1166,6 +1166,91 @@ def exact_quantiles_radix_cont(
     }))
 
 
+def hash_shuffle_rank(
+    ds: ray.data.Dataset,
+    id_col: str,
+    epoch: int = 0,
+    out_col: str = "pos",
+    n_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """Deterministic EPOCH SHUFFLE with exact global positions: every
+    row gets its rank in ``(mix64(id + epoch·φ), id)`` order — a
+    reproducible, SQL-replicable permutation (the training-loader
+    "shuffle each epoch with a seed" contract) WITHOUT a global sort.
+    Plan: rows hash to 2^k top-bit buckets which are CONTIGUOUS in hash
+    order, so one tiny bucket histogram (combine tree, driver holds
+    ``n_buckets`` ints) yields each bucket's global offset, and one
+    bucket co-shuffle sorts locally and adds the offset — histogram-
+    offset global ranking, the zipWithIndex Ray Data lacks. Ties on the
+    64-bit hash break by id (exact, deterministic).
+
+    NULL ids raise (a shuffle position for a NULL key is undefined).
+    ``n_buckets`` must be a power of two ≤ 2^16."""
+    if n_buckets & (n_buckets - 1) or n_buckets > (1 << 16):
+        raise ValueError("hash_shuffle_rank: n_buckets must be a power "
+                         "of two <= 65536")
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    c_epoch = np.uint64((int(epoch) * 0x9E3779B97F4A7C15) % (1 << 64))
+
+    def _hash(batch: pa.Table) -> np.ndarray:
+        arr = batch[id_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if arr.null_count:
+            raise ValueError("hash_shuffle_rank: NULL ids")
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return _mix64(v.view(np.uint64) + c_epoch)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        b = (_hash(batch) >> shift).astype(np.int64)
+        cnt = np.bincount(b, minlength=n_buckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "b": pa.array(nz.astype(np.int64), pa.int64()),
+            "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        })
+
+    hist = tree_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        "b", {"c": "c"}, int_cols=("c",),
+    ).to_pandas()
+    counts = np.zeros(n_buckets, np.int64)
+    if len(hist):
+        counts[hist["b"].to_numpy()] = hist["c"].to_numpy()
+    offsets = np.cumsum(counts) - counts
+    off_ref = ray.put(offsets)
+    cache: dict = {}
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _hash(batch)
+        return batch.append_column(
+            "_h", pa.array(h.view(np.int64))
+        ).append_column(
+            "_bucket", pa.array((h >> shift).astype(np.int64))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        offs = cache.setdefault("o", ray.get(off_ref))
+        bid = int(group["_bucket"][0].as_py())
+        group = group.drop_columns(["_bucket"])
+        h = group["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = group[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        g = group.take(pa.array(order)).drop_columns(["_h"])
+        pos = offs[bid] + np.arange(len(g), dtype=np.int64)
+        return g.append_column(out_col, pa.array(pos, pa.int64()))
+
+    return (
+        shuffle_coalesce(
+            ds.map_batches(add_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def grouped_quantiles_radix(
     ds: ray.data.Dataset,
     key: str,

@@ -17185,6 +17185,40 @@ FROM sel
 """
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Epoch-1 training shuffle of the document corpus: every doc gets
+    its exact position in the deterministic mix64(id + φ) permutation —
+    ``ops.hash_shuffle_rank``'s histogram-offset global ranking (one
+    1024-bin combine-tree histogram + one bucket co-shuffle; NO global
+    sort). SQL twin: the HUGEINT mix replica + ROW_NUMBER."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    out = ops.hash_shuffle_rank(ds, "doc_id", epoch=1)
+    return out.select_columns(["doc_id", "pos"])
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH s1 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS rid
+  FROM documents
+),
+m1 AS (SELECT doc_id, xor(rid, rid // 8589934592) AS h1 FROM s1),
+m2 AS (
+  SELECT doc_id,
+         ( (h1 % 4294967296) * 18397679294719823053
+         + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+           * 4294967296
+         ) % 18446744073709551616 AS h2
+  FROM m1
+),
+hashed AS (SELECT doc_id, xor(h2, h2 // 8589934592) AS h FROM m2)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM hashed
+"""
+
+
 SQL_RADIX_QUANTILE = """
 WITH v AS (
   SELECT l_extendedprice AS x,
@@ -17338,6 +17372,7 @@ QUERIES = {
     "merge_sorted": q_merge_sorted,
     "bm25_incremental": q_bm25_incremental,
     "ivf_incremental": q_ivf_incremental,
+    "epoch_shuffle": q_epoch_shuffle,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17696,6 +17731,7 @@ ORACLE = {
     "merge_sorted": SQL_SORTED_RANGE_SCAN,
     "bm25_incremental": SQL_BM25,
     "ivf_incremental": SQL_IVF_PRUNED,
+    "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

@@ -1588,3 +1588,29 @@ def test_merge_sorted_custom_key_guard(ray_session, tmp_path):
     ds, _, _ = pipeline.read_range(str(tmp_path / "m1"), 0, 100,
                                    columns=["k"])
     assert sorted(r["k"] for r in ds.take_all()) == list(range(50))
+
+
+def test_hash_shuffle_rank_pins(ray_session):
+    """Exact permutation: positions are 0..n-1 exactly once; different
+    epochs give different orders; NULL ids raise; empty input typed."""
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({"id": pa.array(np.arange(777), pa.int64())})
+    out = ops.hash_shuffle_rank(rd.from_arrow(t), "id", epoch=1).to_pandas()
+    assert sorted(out["pos"]) == list(range(777))
+    out2 = ops.hash_shuffle_rank(rd.from_arrow(t), "id", epoch=2).to_pandas()
+    m = out.merge(out2, on="id", suffixes=("_1", "_2"))
+    assert (m["pos_1"] != m["pos_2"]).any()
+    # determinism: same epoch, same permutation
+    out1b = ops.hash_shuffle_rank(rd.from_arrow(t), "id", epoch=1).to_pandas()
+    assert out.sort_values("id")["pos"].tolist() == \
+        out1b.sort_values("id")["pos"].tolist()
+
+    withnull = pa.table({"id": pa.array([1, None], pa.int64())})
+    with pytest.raises(Exception, match="NULL"):
+        ops.hash_shuffle_rank(rd.from_arrow(withnull), "id").to_pandas()
+
+    empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
+    assert ops.hash_shuffle_rank(empty, "id").count() == 0
