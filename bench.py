@@ -335,6 +335,7 @@ def run_bench() -> dict:
     timed_ext(
         "epoch_shuffle", lambda: tpch.q_epoch_shuffle(SF_DIR).count()
     )
+    timed_ext("anova", lambda: tpch.q_anova(SF_DIR).count())
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -7341,6 +7341,70 @@ SELECT c_mktsegment, COUNT(*) AS n,
 FROM v GROUP BY c_mktsegment
 """
 
+def q_anova(sf_dir: str):
+    """One-way ANOVA sufficient statistics for l_quantity across return
+    flags — the parametric sibling of ``kruskal``: per group the exact
+    int64 (n, Σq, Σq²) AND the within-group numerator
+    ``ssw_num = n_g·Σq² − (Σq)²`` (= n_g² · biased variance — exact,
+    division-free; F derives downstream in one driver-side float).
+    One combine-tree pass; budget n_g·Σq² < 2^63 (holds for any
+    bounded-integer measure; use ``grouped_moments``' quantize for
+    money columns)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        v = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        q = v.astype(np.int64)
+        if not np.all(v == q):
+            raise ValueError("anova: non-integral quantity")
+        (fk,), outs = ops._group_reduce(
+            [f],
+            {"n": np.ones(q.shape[0], np.int64), "s": q, "ss": q * q},
+        )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(fk),
+                "n": pa.array(outs["n"].astype(np.int64), pa.int64()),
+                "s": pa.array(outs["s"].astype(np.int64), pa.int64()),
+                "ss": pa.array(outs["ss"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ops.tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=None),
+        "l_returnflag", {"n": "n_g", "s": "sum_q", "ss": "sumsq_q"},
+        int_cols=("n", "s", "ss"),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        n = batch["n_g"].to_numpy(zero_copy_only=False)
+        s = batch["sum_q"].to_numpy(zero_copy_only=False)
+        ss = batch["sumsq_q"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ssw_num", pa.array(n * ss - s * s, pa.int64())
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+
+
+SQL_ANOVA = """
+WITH v AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_g,
+       CAST(SUM(q) AS BIGINT) AS sum_q,
+       CAST(SUM(q * q) AS BIGINT) AS sumsq_q,
+       CAST(COUNT(*) * SUM(q * q) - SUM(q) * SUM(q) AS BIGINT) AS ssw_num
+FROM v GROUP BY 1
+"""
+
+
 _SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -17373,6 +17437,7 @@ QUERIES = {
     "bm25_incremental": q_bm25_incremental,
     "ivf_incremental": q_ivf_incremental,
     "epoch_shuffle": q_epoch_shuffle,
+    "anova": q_anova,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17732,6 +17797,7 @@ ORACLE = {
     "bm25_incremental": SQL_BM25,
     "ivf_incremental": SQL_IVF_PRUNED,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+    "anova": SQL_ANOVA,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
