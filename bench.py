@@ -336,6 +336,9 @@ def run_bench() -> dict:
         "epoch_shuffle", lambda: tpch.q_epoch_shuffle(SF_DIR).count()
     )
     timed_ext("anova", lambda: tpch.q_anova(SF_DIR).count())
+    timed_ext(
+        "shuffled_layout", lambda: tpch.q_shuffled_layout(SF_DIR).count()
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

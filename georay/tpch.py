@@ -7341,6 +7341,66 @@ SELECT c_mktsegment, COUNT(*) AS n,
 FROM v GROUP BY c_mktsegment
 """
 
+def q_shuffled_layout(sf_dir: str):
+    """The training-loader END-TO-END: epoch-shuffle positions
+    (``hash_shuffle_rank``) are PERSISTED as a range-clustered layout
+    (``write_sorted`` on pos), so a data loader reads any global batch
+    window [lo, hi) SEQUENTIALLY from ≤ ⌈window/range⌉ partitions — a
+    shuffled corpus with sorted-read I/O. Returns the docs at shuffle
+    positions [100, 200); must equal the HUGEINT-mix ROW_NUMBER slice."""
+    import shutil
+    import tempfile
+
+    from georay import pipeline
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"georay_shufl_{tag}")
+    if not os.path.exists(os.path.join(root, "_zonemap.json")):
+        stage = root + ".build"
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+        pos = ops.hash_shuffle_rank(ds, "doc_id", epoch=1)
+        pipeline.write_sorted(pos, stage, "pos", n_ranges=16)
+        os.rename(stage, root)
+    sl, n_opened, n_total = pipeline.read_range(
+        root, 100, 200, columns=["doc_id", "pos"]
+    )
+
+    def residual(batch: pa.Table) -> pa.Table:
+        p = batch["pos"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((p >= 100) & (p < 200)))
+
+    return sl.map_batches(residual, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+
+
+SQL_SHUFFLED_LAYOUT = """
+WITH s1 AS (
+  SELECT doc_id,
+         (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+           % 18446744073709551616 AS rid
+  FROM documents
+),
+m1 AS (SELECT doc_id, xor(rid, rid // 8589934592) AS h1 FROM s1),
+m2 AS (
+  SELECT doc_id,
+         ( (h1 % 4294967296) * 18397679294719823053
+         + ((h1 // 4294967296) * 18397679294719823053 % 4294967296)
+           * 4294967296
+         ) % 18446744073709551616 AS h2
+  FROM m1
+),
+hashed AS (SELECT doc_id, xor(h2, h2 // 8589934592) AS h FROM m2),
+ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+  FROM hashed
+)
+SELECT doc_id, pos FROM ranked WHERE pos >= 100 AND pos < 200
+"""
+
+
 def q_anova(sf_dir: str):
     """One-way ANOVA sufficient statistics for l_quantity across return
     flags — the parametric sibling of ``kruskal``: per group the exact
@@ -17438,6 +17498,7 @@ QUERIES = {
     "ivf_incremental": q_ivf_incremental,
     "epoch_shuffle": q_epoch_shuffle,
     "anova": q_anova,
+    "shuffled_layout": q_shuffled_layout,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17798,6 +17859,7 @@ ORACLE = {
     "ivf_incremental": SQL_IVF_PRUNED,
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "anova": SQL_ANOVA,
+    "shuffled_layout": SQL_SHUFFLED_LAYOUT,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,
