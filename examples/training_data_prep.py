@@ -44,4 +44,20 @@ packed = ops.pack_sequences(
 )
 print("packing:")
 print(packed.to_pandas().head())
+
+# deterministic epoch shuffle with exact global positions, persisted
+# as a range-clustered layout: a loader reads any batch window
+# sequentially from a handful of partitions
+import tempfile  # noqa: E402
+
+from georay import pipeline  # noqa: E402
+
+pos = ops.hash_shuffle_rank(docs.select_columns(["doc_id"]), "doc_id",
+                            epoch=1)
+lay = tempfile.mkdtemp(prefix="georay_shuffle_")
+pipeline.write_sorted(pos, lay, "pos", n_ranges=8)
+window, n_opened, n_total = pipeline.read_range(lay, 0, 64,
+                                                columns=["doc_id", "pos"])
+print(f"epoch-1 window [0,64): {window.count()} rows from "
+      f"{n_opened}/{n_total} partitions")
 ray.shutdown()
