@@ -339,6 +339,10 @@ def run_bench() -> dict:
     timed_ext(
         "shuffled_layout", lambda: tpch.q_shuffled_layout(SF_DIR).count()
     )
+    timed_ext(
+        "radix_quantile_int",
+        lambda: tpch.q_radix_quantile_int(SF_DIR).count(),
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",

@@ -949,14 +949,44 @@ def exact_quantiles_radix(
     reaches ``ceil(q·W)`` — exact weighted median/percentiles on the
     same 4 passes, the per-digit histograms summing weights instead of
     row counts.
+
+    INTEGER columns take a native int64 path (sign-bit-flip order
+    transform, NO float64 round-trip), so quantiles of ids/counters
+    beyond 2^53 stay exact; the output ``v`` column is then int64.
     """
     if not qs:
         raise ValueError("exact_quantiles_radix: qs must be non-empty")
+    col_type = ds.schema().base_schema.field(col).type
+    is_int = pa.types.is_integer(col_type)
 
     def _keys(batch: pa.Table):
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if is_int:
+            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if arr.null_count:
+                keep = ~np.asarray(pc.is_null(arr))
+                v = v[keep]
+            else:
+                keep = None
+            key = v.view(np.uint64) ^ np.uint64(1 << 63)
+            if weight_col is None:
+                return key, None
+            warr = batch[weight_col]
+            if isinstance(warr, pa.ChunkedArray):
+                warr = warr.combine_chunks()
+            w = np.asarray(pc.fill_null(warr, 0)).astype(np.int64)
+            if w.shape[0] and int(w.min()) < 0:
+                raise ValueError("exact_quantiles_radix: negative weights")
+            if keep is not None:
+                w = w[keep]
+            if float(w.sum(dtype=np.float64)) >= float(1 << 62):
+                raise OverflowError(
+                    "exact_quantiles_radix: batch weight sum exceeds the "
+                    "int64 budget (2^62) — rescale the weight units"
+                )
+            return key, w
         x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         ok = ~np.isnan(x)  # drop NULL→NaN and real NaN; ±inf are values
         if weight_col is None:
@@ -1042,9 +1072,10 @@ def exact_quantiles_radix(
                 )
             total = int(hist["c"].sum()) if len(hist) else 0
             if total == 0:
+                vt = pa.int64() if is_int else pa.float64()
                 return ray.data.from_arrow(pa.table({
                     "q": pa.array([float(q) for q in qs], pa.float64()),
-                    "v": pa.array([None] * nq, pa.float64()),
+                    "v": pa.array([None] * nq, vt),
                 }))
             ks = np.array(
                 [max(int(np.ceil(q * total)) - 1, 0) for q in qs], np.int64
@@ -1059,7 +1090,16 @@ def exact_quantiles_radix(
             prefixes[qi] = (prefixes[qi] << np.uint64(16)) | np.uint64(
                 int(sub["byte"].to_numpy()[pos])
             )
-    # invert the order-preserving transform back to float64
+    # invert the order-preserving transform back to the input domain
+    if is_int:
+        out_i = [
+            int(np.uint64(prefixes[qi] ^ np.uint64(1 << 63)).view(np.int64))
+            for qi in range(nq)
+        ]
+        return ray.data.from_arrow(pa.table({
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "v": pa.array(out_i, pa.int64()),
+        }))
     out_v = [_ordered_u64_f64(prefixes[qi]) for qi in range(nq)]
     return ray.data.from_arrow(pa.table({
         "q": pa.array([float(q) for q in qs], pa.float64()),

@@ -17343,6 +17343,27 @@ FROM hashed
 """
 
 
+def q_radix_quantile_int(sf_dir: str):
+    """Exact median + p99 of the int64 l_orderkey — the INTEGER-native
+    radix path (sign-bit-flip transform, no float64 round-trip): ids
+    and counters beyond 2^53 stay exact, and the output v is int64."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    return ops.exact_quantiles_radix(ds, "l_orderkey", [0.5, 0.99])
+
+
+SQL_RADIX_QUANTILE_INT = """
+WITH v AS (
+  SELECT l_orderkey AS x,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn,
+         COUNT(*) OVER () AS c
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+)
+SELECT q, CAST(x AS BIGINT) AS v
+FROM v, (VALUES (0.5e0), (0.99e0)) t(q)
+WHERE rn = greatest(CAST(ceil(q * c) AS BIGINT), 1)
+"""
+
+
 SQL_RADIX_QUANTILE = """
 WITH v AS (
   SELECT l_extendedprice AS x,
@@ -17499,6 +17520,7 @@ QUERIES = {
     "epoch_shuffle": q_epoch_shuffle,
     "anova": q_anova,
     "shuffled_layout": q_shuffled_layout,
+    "radix_quantile_int": q_radix_quantile_int,
     "sorted_range_scan": q_sorted_range_scan,
     "bloom_lookup": q_bloom_lookup,
     "zonemap_range": q_zonemap_range,
@@ -17860,6 +17882,7 @@ ORACLE = {
     "epoch_shuffle": SQL_EPOCH_SHUFFLE,
     "anova": SQL_ANOVA,
     "shuffled_layout": SQL_SHUFFLED_LAYOUT,
+    "radix_quantile_int": SQL_RADIX_QUANTILE_INT,
     "sorted_range_scan": SQL_SORTED_RANGE_SCAN,
     "bloom_lookup": SQL_BLOOM_LOOKUP,
     "zonemap_range": SQL_ZONEMAP_RANGE,

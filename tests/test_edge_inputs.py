@@ -1614,3 +1614,32 @@ def test_hash_shuffle_rank_pins(ray_session):
 
     empty = rd.from_arrow(pa.table({"id": pa.array([], pa.int64())}))
     assert ops.hash_shuffle_rank(empty, "id").count() == 0
+
+
+def test_radix_quantile_int64_native(ray_session):
+    """Integer columns bypass float64: quantiles of values beyond 2^53
+    stay exact (adjacent huge ints that would collide as doubles)."""
+    import ray.data as rd
+
+    from georay import ops
+
+    big = (1 << 60) + 1  # not representable exactly as float64
+    vals = [big, big + 1, big + 2, big + 3, -(1 << 60) - 7, 0]
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    out = (
+        ops.exact_quantiles_radix(rd.from_arrow(t), "x",
+                                  [0.0, 0.5, 1.0])
+        .to_pandas().sort_values("q")
+    )
+    xs = sorted(vals)
+    assert out["v"].dtype == np.int64
+    for q, v in zip(out["q"], out["v"]):
+        k = max(int(np.ceil(q * len(xs))) - 1, 0)
+        assert int(v) == xs[k], (q, v)
+
+    # weighted int path
+    t2 = pa.table({"x": pa.array([big, big + 1], pa.int64()),
+                   "w": pa.array([1, 3], pa.int64())})
+    w = ops.exact_quantiles_radix(rd.from_arrow(t2), "x", [0.5],
+                                  weight_col="w").to_pandas()
+    assert int(w["v"].iloc[0]) == big + 1  # cumw hits ceil(0.5*4)=2 there
