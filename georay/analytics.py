@@ -3423,7 +3423,10 @@ def ancestor_closure(
     recursive trees used here, O(n·ln n).
 
     ``edges``: one row per NON-ROOT node ``(node_col, parent_col)``
-    (int64). Returns (node, anc) pairs, ``anc`` a proper ancestor.
+    (int64). Returns (node, proper-ancestor) pairs under the column
+    names ``an`` (the node) and ``aa`` (its ancestor) — fixed output
+    names regardless of the input column names, like the other graph
+    ops' ``n``/``c`` conventions.
     Requires acyclicity — a cycle never terminates and is cut off (and
     raised on) at ``max_rounds``.
 

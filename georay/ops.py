@@ -964,12 +964,16 @@ def exact_quantiles_radix(
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if is_int:
-            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            # Drop nulls in ARROW before to_numpy: a nullable int array
+            # converts to a float64 ndarray (NaN for nulls), and viewing
+            # float bits as uint64 keys silently mis-orders everything.
             if arr.null_count:
                 keep = ~np.asarray(pc.is_null(arr))
-                v = v[keep]
+                arr = arr.drop_null()
             else:
                 keep = None
+            v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            assert v.dtype == np.int64
             key = v.view(np.uint64) ^ np.uint64(1 << 63)
             if weight_col is None:
                 return key, None
@@ -1069,6 +1073,16 @@ def exact_quantiles_radix(
                 raise OverflowError(
                     "exact_quantiles_radix: merged counts went negative "
                     "— weight sums wrapped int64; rescale the weights"
+                )
+            # per-batch sums are < 2^62 but the MERGED total can still
+            # wrap int64 and land positive; the float64 sum is exact
+            # enough to detect crossing the budget
+            if (weight_col is not None and len(hist)
+                    and float(hist["c"].to_numpy().astype(np.float64).sum())
+                    >= float(1 << 62)):
+                raise OverflowError(
+                    "exact_quantiles_radix: merged weight total exceeds "
+                    "the int64 budget (2^62) — rescale the weight units"
                 )
             total = int(hist["c"].sum()) if len(hist) else 0
             if total == 0:
@@ -1229,6 +1243,10 @@ def hash_shuffle_rank(
     if n_buckets & (n_buckets - 1) or n_buckets > (1 << 16):
         raise ValueError("hash_shuffle_rank: n_buckets must be a power "
                          "of two <= 65536")
+    # both the histogram pass and the rank pass must observe the SAME
+    # rows — pin the input once so a nondeterministic upstream source
+    # can't make bucket offsets disagree with the ranked rows
+    ds = ds.materialize()
     shift = np.uint64(64 - int(np.log2(n_buckets)))
     c_epoch = np.uint64((int(epoch) * 0x9E3779B97F4A7C15) % (1 << 64))
 

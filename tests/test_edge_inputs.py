@@ -1643,3 +1643,41 @@ def test_radix_quantile_int64_native(ray_session):
     w = ops.exact_quantiles_radix(rd.from_arrow(t2), "x", [0.5],
                                   weight_col="w").to_pandas()
     assert int(w["v"].iloc[0]) == big + 1  # cumw hits ceil(0.5*4)=2 there
+
+
+def test_radix_quantile_int_nulls(ray_session):
+    """NULLs in an INT column must not poison the radix keys: pyarrow's
+    to_numpy on a nullable int array returns float64 (NaN for nulls),
+    and viewing those float bits as uint64 mis-orders everything —
+    the advisor's repro (median of [1,2,3,NULL] returned 2.0's bit
+    pattern, 4611686018427387904). Nulls are dropped in Arrow first."""
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({"x": pa.array([1, 2, 3, None], pa.int64())})
+    out = ops.exact_quantiles_radix(rd.from_arrow(t), "x", [0.5]).to_pandas()
+    assert out["v"].dtype == np.int64
+    assert int(out["v"].iloc[0]) == 2
+
+    # negatives + nulls, and the weighted twin (weight mask must align
+    # with the null-dropped value vector)
+    t2 = pa.table({
+        "x": pa.array([-5, None, -1, 7, None, 3], pa.int64()),
+        "w": pa.array([2, 9, 1, 1, 9, 1], pa.int64()),
+    })
+    o2 = ops.exact_quantiles_radix(
+        rd.from_arrow(t2), "x", [0.0, 0.5, 1.0]
+    ).to_pandas().sort_values("q")
+    assert list(o2["v"]) == [-5, -1, 7]
+    ow = ops.exact_quantiles_radix(
+        rd.from_arrow(t2), "x", [0.5], weight_col="w"
+    ).to_pandas()
+    # weights of the null rows are dropped with them: W=5, k=ceil(2.5)=3
+    # cum: -5→2, -1→3 → answer -1
+    assert int(ow["v"].iloc[0]) == -1
+
+    # all-null int column → NULL result, int64 dtype preserved
+    t3 = pa.table({"x": pa.array([None, None], pa.int64())})
+    o3 = ops.exact_quantiles_radix(rd.from_arrow(t3), "x", [0.5]).to_pandas()
+    assert len(o3) == 1 and o3["v"].isna().all()
