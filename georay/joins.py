@@ -1879,6 +1879,795 @@ def knn_geodesic_join(
     )
 
 
+def knn_geodesic_partitioned(
+    probes: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    k: int = 3,
+    probe_id_col: str = "pid",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ref_id_col: str = "rid",
+    ref_x_col: str = "lon",
+    ref_y_col: str = "lat",
+    res: float | None = None,
+    max_rounds: int = 16,
+    n_pid_buckets: int = 64,
+    out_d: str = "d_mkm",
+    out_rank: str = "rank",
+    msg_budget: int = 50_000_000,
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE geodesic kNN join — the partitioned twin of
+    ``knn_geodesic_join`` (same (quantized milli-km, ref id) total
+    order, identical rows), closing the one gap in the twin matrix:
+    no broadcast index, NO DRIVER STATE. The planar
+    ``knn_join_partitioned`` co-shuffle is the template — probe state
+    (pid, lon, lat, ring) is a DATASET whose rows ride the exchanges
+    as in-band sentinel rows; the driver holds only a per-round count.
+
+    Per round: unresolved probes expand their ring-r grid disk into
+    per-cell message rows, ONE ``groupby(cell)`` co-locates them with
+    the refs, each bucket scores haversine milli-km and keeps its local
+    top-k by (mkm, rid), a combine tree (``_topk_reduce`` — mkm rides
+    the d2 column) shrinks candidates, and a ``groupby(hash(pid))``
+    merge applies the POLE-SAFE stopping bound of
+    ``PointIndex.knn_geodesic`` (georay/index.py:699): a ref outside
+    Chebyshev ring r is > r·res° away in latitude (distance ≥
+    r·res·KM_PER_DEG, meridian arc ≤ haversine) OR > r·res−slack° in
+    longitude within the probe's latitude band (distance ≥
+    2R·asin(√(cosφ₁·cosφ_max)·sin(Δλ/2))); the strict quantized
+    comparison kth_mkm < bound_mkm makes the stop bit-identical to the
+    brute scan. Unresolved probes double their ring (jumping at least
+    to the latitude-sufficient radius once their kth is known), so
+    rounds are O(log full_cover).
+
+    POLAR STALL twin: a probe whose φ_max pins at 90° has a dead
+    longitude bound and would ring-expand to half_row rounds. Once it
+    holds ≥k candidates it is diverted to a LAT-BAND finish — but
+    partitioned: every candidate at distance ≤ kth lies within
+    |Δφ| ≤ (kth+1)/1000/KM_PER_DEG (meridian arc lower-bounds
+    haversine), so the stalled probe emits one message per latitude
+    ROW of that band, refs are keyed by row, and one extra
+    ``groupby(row)`` co-shuffle + pid-bucket merge yields the exact
+    top-k (the probe's existing top-k is inside the band, so the band
+    re-scan alone is a superset of the true top-k).
+
+    BOUNDED EXCHANGE (r5): per-round message volume is
+    Σ_probes (2r+1)² rows, which after a kth-informed jump can be
+    30–50 cells per probe — at 10M+ unresolved probes a single
+    exchange would buffer hundreds of millions of rows and stall the
+    streaming executor. Each round therefore splits the unresolved set
+    into hash(pid) WAVES sized so one wave's expansion stays under
+    ``msg_budget`` rows (driver holds only the per-r histogram needed
+    to pick the wave count). Waves are probe-independent, so output is
+    unchanged; peak exchange volume is a deterministic budget at ANY
+    scale — the property a 256-node run needs.
+
+    Partitioning assumption (custom-operator rule): per-round candidate
+    volume ≤ k·|unresolved-in-wave|·cells-per-disk rows sharded over
+    ``n_pid_buckets`` merge groups; the stall finish additionally
+    assumes one latitude row of refs fits a task (chunked outer
+    product bounds the scoring matrix). Ref ids must be ≥ 0 (negative
+    ids are the in-band state sentinels).
+
+    Returns (probe_id_col, ref_id_col, out_d int64 milli-km, out_rank)
+    — identical rows to the broadcast ``knn_geodesic_join`` plan
+    projected to ids/distance/rank.
+    """
+    import ray.data as rd
+
+    from georay import cells as c
+    from georay.kernels import EARTH_RADIUS_KM, KM_PER_DEG, haversine_km
+
+    if res is None:
+        n = max(refs.count(), 1)
+        res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
+    nx = int(np.ceil(360.0 / res))
+    ny = int(np.ceil(180.0 / res))
+    half_row = int(np.ceil(nx / 2)) + 1
+    full_cover = max(half_row, ny) + 1
+    slack = nx * res - 360.0
+    nb = np.uint64(n_pid_buckets)
+    big = np.iinfo(np.int64).max
+
+    def key_refs(batch: pa.Table) -> pa.Table:
+        lon = batch[ref_x_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        lat = batch[ref_y_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        sub = batch.filter(pa.array(okm))
+        lon, lat = lon[okm], lat[okm]
+        rid = sub[ref_id_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if rid.shape[0] and int(rid.min()) < 0:
+            raise ValueError(
+                "knn_geodesic_partitioned: ref ids must be >= 0"
+            )
+        return pa.table(
+            {
+                "cell": pa.array(c.grid_cell(lon, lat, res), pa.int64()),
+                "side": pa.array(np.ones(len(sub), np.int8)),
+                "pid": pa.array(np.full(len(sub), -1), pa.int64()),
+                "rid": pa.array(rid, pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    refs_keyed = refs.map_batches(
+        key_refs, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+
+    def probe_tbl(batch: pa.Table) -> pa.Table:
+        lon = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        sub = batch.filter(pa.array(okm))
+        return pa.table(
+            {
+                "pid": sub[probe_id_col].cast(pa.int64()),
+                "lon": pa.array(lon[okm]),
+                "lat": pa.array(lat[okm]),
+                "r": pa.array(np.zeros(int(okm.sum()), np.int64)),
+            }
+        )
+
+    un = probes.map_batches(
+        probe_tbl, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).materialize()
+    n_un = un.count()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        rr = batch["r"].to_numpy(zero_copy_only=False)
+        cells_ = c.grid_cell(lon, lat, res)
+        parts = []
+        for rv in np.unique(rr):
+            m = rr == rv
+            disk = c.grid_disk(cells_[m], int(rv), nx)
+            width = disk.shape[1]
+            npm = int(m.sum())
+            parts.append(
+                pa.table(
+                    {
+                        "cell": pa.array(disk.reshape(-1), pa.int64()),
+                        "side": pa.array(np.zeros(npm * width, np.int8)),
+                        "pid": pa.array(
+                            np.repeat(pid[m], width), pa.int64()
+                        ),
+                        "rid": pa.array(
+                            np.full(npm * width, -1), pa.int64()
+                        ),
+                        "lon": pa.array(np.repeat(lon[m], width)),
+                        "lat": pa.array(np.repeat(lat[m], width)),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "pid": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    def sentinel(batch: pa.Table) -> pa.Table:
+        """Slim probe-state rows (same scheme as the planar twin):
+        rid=-1 ring row (nc = -(r+1)), rid=-2 coord row (d2 = lon,
+        nc = lat bit-cast)."""
+        n = len(batch)
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate([pid, pid]), pa.int64()),
+                "rid": pa.array(
+                    np.concatenate(
+                        [np.full(n, -1, np.int64), np.full(n, -2, np.int64)]
+                    )
+                ),
+                "d2": pa.array(
+                    np.concatenate([np.full(n, np.inf), lon]), pa.float64()
+                ),
+                "nc": pa.array(
+                    np.concatenate(
+                        [-(r + 1), np.ascontiguousarray(lat).view(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    _cand_empty = pa.table(
+        {
+            "pid": pa.array([], pa.int64()),
+            "rid": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+            "nc": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_score(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        prb = group.filter(pa.array(side == 0))
+        rf = group.filter(pa.array(side == 1))
+        if len(prb) == 0 or len(rf) == 0:
+            return _cand_empty
+        plon = prb["lon"].to_numpy(zero_copy_only=False)
+        plat = prb["lat"].to_numpy(zero_copy_only=False)
+        rlon = rf["lon"].to_numpy(zero_copy_only=False)
+        rlat = rf["lat"].to_numpy(zero_copy_only=False)
+        rids = rf["rid"].to_numpy(zero_copy_only=False)
+        pids = prb["pid"].to_numpy(zero_copy_only=False)
+        # rid-sorted refs + STABLE sort ⇒ exact-distance ties keep the
+        # (mkm, rid) total order before truncation (planar-twin lesson)
+        ro = np.argsort(rids)
+        rlon, rlat, rids = rlon[ro], rlat[ro], rids[ro]
+        km = haversine_km(
+            plon[:, None], plat[:, None], rlon[None, :], rlat[None, :]
+        )
+        mkm = np.floor(km * 1000.0 + 0.5)
+        take = min(k, rlon.shape[0])
+        top = np.argsort(mkm, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(pids.shape[0]), take)
+        cols = top.reshape(-1)
+        return pa.table(
+            {
+                "pid": pa.array(pids[rows], pa.int64()),
+                "rid": pa.array(rids[cols], pa.int64()),
+                "d2": pa.array(mkm[rows, cols], pa.float64()),
+                "nc": pa.array(
+                    np.full(rows.shape[0], rlon.shape[0], np.int64)
+                ),
+            }
+        )
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ops._mix64(pid.view(np.uint64).copy())
+        return batch.append_column(
+            "_pb", pa.array((h % nb).astype(np.int64))
+        )
+
+    # finish-group output: flag 1 = resolved (rid/rank/d), 0 = grow
+    # ring (lon/lat/r), 2 = polar stall → lat-band finish (lon/lat,
+    # r carries kth_mkm)
+    _fin_schema = {
+        "flag": pa.int8(), "pid": pa.int64(), "rid": pa.int64(),
+        "rank": pa.int64(), "d": pa.int64(), "lon": pa.float64(),
+        "lat": pa.float64(), "r": pa.int64(),
+    }
+
+    def _fin_empty() -> pa.Table:
+        return pa.table(
+            {n_: pa.array([], t_) for n_, t_ in _fin_schema.items()}
+        )
+
+    def make_finish(final_round: bool):
+        def finish(group: pa.Table) -> pa.Table:
+            g = _topk_reduce(group.drop_columns(["_pb"]), k)
+            pid = g["pid"].to_numpy(zero_copy_only=False)
+            if pid.shape[0] == 0:
+                return _fin_empty()
+            rid = g["rid"].to_numpy(zero_copy_only=False)
+            d2 = g["d2"].to_numpy(zero_copy_only=False)
+            nc = g["nc"].to_numpy(zero_copy_only=False)
+            real = rid >= 0
+            ring_m = rid == -1
+            coord_m = rid == -2
+            rp, rd2, rrid, rnc = pid[real], d2[real], rid[real], nc[real]
+            all_pid = pid[ring_m]
+            a_r = -nc[ring_m] - 1
+            a_lon = d2[coord_m]
+            a_lat = np.ascontiguousarray(nc[coord_m]).view(np.float64)
+            out_parts = []
+            resolved_pids = np.empty(0, np.int64)
+            stalled_pids = np.empty(0, np.int64)
+            kth_of = np.full(all_pid.shape[0], big, np.int64)
+            if rp.size:
+                uq, st = np.unique(rp, return_index=True)
+                rl = np.diff(np.append(st, rp.shape[0]))
+                kth = rd2[st + rl - 1]
+                nfound = rnc[st]
+                pos = np.searchsorted(all_pid, uq)
+                r_of = a_r[pos]
+                phi1 = np.abs(a_lat[pos])
+                # pole-safe bound (PointIndex.knn_geodesic, index.py:699)
+                lat_bound = r_of * res * KM_PER_DEG
+                phi_max = np.minimum(phi1 + (r_of + 1) * res, 90.0)
+                lon_sep = np.maximum(r_of * res - slack, 0.0)
+                arg = np.sqrt(
+                    np.maximum(
+                        np.cos(np.radians(phi1))
+                        * np.cos(np.radians(phi_max)),
+                        0.0,
+                    )
+                ) * np.sin(np.radians(np.minimum(lon_sep, 180.0)) / 2.0)
+                lon_bound = (
+                    2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(arg, 1.0))
+                )
+                d_min = np.where(
+                    r_of < half_row,
+                    np.minimum(lat_bound, lon_bound), lat_bound,
+                )
+                bound_mkm = np.floor(d_min * 1000.0 + 0.5)
+                have_k = (nfound >= k) & (rl >= np.minimum(k, nfound))
+                resolved = (have_k & (kth < bound_mkm)) | (
+                    r_of >= full_cover
+                )
+                polar = (phi_max >= 90.0) & (r_of >= 1) & (
+                    r_of < half_row
+                )
+                stalled = polar & ~resolved & have_k
+                if final_round:
+                    resolved = np.ones(uq.shape[0], bool)
+                    stalled = np.zeros(uq.shape[0], bool)
+                resolved_pids = uq[resolved]
+                stalled_pids = uq[stalled]
+                kth_of[pos[have_k]] = kth[have_k].astype(np.int64)
+                if resolved_pids.size:
+                    sel = np.isin(rp, resolved_pids)
+                    within = np.arange(rp.shape[0]) - np.repeat(st, rl)
+                    nsel = int(sel.sum())
+                    out_parts.append(
+                        pa.table(
+                            {
+                                "flag": pa.array(np.ones(nsel, np.int8)),
+                                "pid": pa.array(rp[sel], pa.int64()),
+                                "rid": pa.array(rrid[sel], pa.int64()),
+                                "rank": pa.array(
+                                    within[sel] + 1, pa.int64()
+                                ),
+                                "d": pa.array(
+                                    rd2[sel].astype(np.int64), pa.int64()
+                                ),
+                                "lon": pa.array(np.zeros(nsel)),
+                                "lat": pa.array(np.zeros(nsel)),
+                                "r": pa.array(np.zeros(nsel, np.int64)),
+                            }
+                        )
+                    )
+            # ring growth: double; once kth is known, jump at least to
+            # the latitude-sufficient radius (lat_bound > kth)
+            need = np.maximum(a_r * 2, a_r + 1)
+            known = kth_of < big
+            if known.any():
+                r_lat = (
+                    np.ceil(
+                        ((kth_of[known] + 1) / 1000.0)
+                        / KM_PER_DEG / res
+                    ).astype(np.int64)
+                    + 1
+                )
+                need[known] = np.maximum(need[known], r_lat)
+            if stalled_pids.size:
+                sm = np.isin(all_pid, stalled_pids)
+                out_parts.append(
+                    pa.table(
+                        {
+                            "flag": pa.array(
+                                np.full(int(sm.sum()), 2, np.int8)
+                            ),
+                            "pid": pa.array(all_pid[sm], pa.int64()),
+                            "rid": pa.array(
+                                np.full(int(sm.sum()), -1), pa.int64()
+                            ),
+                            "rank": pa.array(
+                                np.zeros(int(sm.sum()), np.int64)
+                            ),
+                            "d": pa.array(
+                                np.zeros(int(sm.sum()), np.int64)
+                            ),
+                            "lon": pa.array(a_lon[sm], pa.float64()),
+                            "lat": pa.array(a_lat[sm], pa.float64()),
+                            "r": pa.array(kth_of[sm], pa.int64()),
+                        }
+                    )
+                )
+            still = ~np.isin(all_pid, resolved_pids) & ~np.isin(
+                all_pid, stalled_pids
+            )
+            if final_round:
+                still &= np.zeros(all_pid.shape[0], bool)
+            if still.any():
+                nst = int(still.sum())
+                out_parts.append(
+                    pa.table(
+                        {
+                            "flag": pa.array(np.zeros(nst, np.int8)),
+                            "pid": pa.array(all_pid[still], pa.int64()),
+                            "rid": pa.array(
+                                np.full(nst, -1), pa.int64()
+                            ),
+                            "rank": pa.array(np.zeros(nst, np.int64)),
+                            "d": pa.array(np.zeros(nst, np.int64)),
+                            "lon": pa.array(a_lon[still], pa.float64()),
+                            "lat": pa.array(a_lat[still], pa.float64()),
+                            "r": pa.array(
+                                np.minimum(need[still], full_cover),
+                                pa.int64(),
+                            ),
+                        }
+                    )
+                )
+            if not out_parts:
+                return _fin_empty()
+            return pa.concat_tables(out_parts)
+
+        return finish
+
+    def r_histogram(ds_un: ray.data.Dataset) -> dict[int, int]:
+        """Per-ring unresolved counts (tiny: ≤ log(full_cover) distinct
+        rings) — drives the wave-count choice; the driver never holds
+        probe rows."""
+        def partial(batch: pa.Table) -> pa.Table:
+            rr = batch["r"].to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(rr, return_counts=True)
+            return pa.table({
+                "rv": pa.array(vals.astype(np.int64), pa.int64()),
+                "c": pa.array(cnts.astype(np.int64), pa.int64()),
+            })
+
+        h = ops.tree_sum(
+            ds_un.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            ),
+            "rv", {"c": "c"}, int_cols=("c",),
+        ).to_pandas()
+        return dict(zip(h["rv"].astype(int), h["c"].astype(int)))
+
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("GEORAY_KNN_DEBUG"))
+    results: list[ray.data.Dataset] = []
+    stalls: list[ray.data.Dataset] = []
+    rounds = 0
+    while n_un and rounds <= max_rounds:
+        rounds += 1
+        _t0 = _time.time()
+        # bounded exchange: split this round into hash(pid) waves so
+        # one wave's disk expansion stays under msg_budget rows
+        hist = r_histogram(un)
+        total_msgs = sum(cnt * (2 * rv + 1) ** 2 for rv, cnt in hist.items())
+        n_waves = max(1, int(np.ceil(total_msgs / msg_budget)))
+        nw = np.uint64(n_waves)
+
+        def wave_of(batch: pa.Table, w: int) -> pa.Table:
+            pid = batch["pid"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            h = ops._mix64((pid + 1).view(np.uint64).copy())
+            return batch.filter(pa.array((h % nw).astype(np.int64) == w))
+
+        fins = []
+        for w in range(n_waves):
+            uw = (
+                un
+                if n_waves == 1
+                else un.map_batches(
+                    lambda b, _w=w: wave_of(b, _w),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
+            )
+            msgs = uw.map_batches(
+                expand, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            sent = uw.map_batches(
+                sentinel, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            cand = (
+                msgs.union(refs_keyed)
+                .groupby("cell")
+                .map_groups(bucket_score, batch_format="pyarrow")
+            )
+            combined = cand.union(sent).map_batches(
+                lambda b: _topk_reduce(b, k),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=ops.COMBINE_TARGET_ROWS,
+                num_cpus=0.5,
+            )
+            fin = (
+                combined.map_batches(
+                    add_pb, batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=None,
+                )
+                .groupby("_pb")
+                .map_groups(
+                    make_finish(rounds > max_rounds),
+                    batch_format="pyarrow",
+                )
+            ).materialize()
+            fins.append(fin)
+        fin_all = fins[0]
+        for extra in fins[1:]:
+            fin_all = fin_all.union(extra)
+        results.append(
+            fin_all.map_batches(
+                lambda b: b.filter(pc.equal(b["flag"], 1)).select(
+                    ["pid", "rid", "rank", "d"]
+                ),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        stall = fin_all.map_batches(
+            lambda b: b.filter(pc.equal(b["flag"], 2)).select(
+                ["pid", "lon", "lat", "r"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ).materialize()
+        n_stall = stall.count()
+        if n_stall:
+            stalls.append(stall)
+            if _dbg:
+                print(f"[knn_geo_part]   stalled +{n_stall}", flush=True)
+        un = fin_all.map_batches(
+            lambda b: b.filter(pc.equal(b["flag"], 0)).select(
+                ["pid", "lon", "lat", "r"]
+            ),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        ).materialize()
+        n_un = un.count()
+        # COMPACT the state: the wave unions + per-group filters leave
+        # hundreds of near-empty blocks, and feeding a fragmented input
+        # into the next round's sort multiplies shuffle metadata
+        # (map×reduce refs live on the driver — the measured 3 GiB
+        # driver-anon spike at 5M probes). Coalesce to ~250k rows/block.
+        if n_un:
+            un = un.repartition(
+                int(np.clip(n_un // 250_000, 8, 256))
+            ).materialize()
+        if _dbg:
+            import resource as _resource
+
+            print(
+                f"[knn_geo_part] round {rounds}: "
+                f"{_time.time() - _t0:.1f}s, waves={n_waves} "
+                f"(est {total_msgs} msgs), unresolved={n_un}, "
+                f"driver_rss="
+                f"{_resource.getrusage(_resource.RUSAGE_SELF).ru_maxrss / (1 << 20):.2f}GiB",
+                flush=True,
+            )
+
+    if stalls:
+        # ---- lat-band stall finish: one row-keyed co-shuffle ----
+        def key_refs_row(batch: pa.Table) -> pa.Table:
+            row = (
+                batch["cell"].to_numpy(zero_copy_only=False)
+                % c.GRID_MULT
+            )
+            return pa.table(
+                {
+                    "row": pa.array(row, pa.int64()),
+                    "side": batch["side"],
+                    "pid": batch["pid"],
+                    "rid": batch["rid"],
+                    "lon": batch["lon"],
+                    "lat": batch["lat"],
+                }
+            )
+
+        refs_rows = refs_keyed.map_batches(
+            key_refs_row, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+
+        def expand_rows(batch: pa.Table) -> pa.Table:
+            pid = batch["pid"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            kth = batch["r"].to_numpy(zero_copy_only=False)
+            dlat = ((kth + 1) / 1000.0) / KM_PER_DEG + 1e-12
+            lo = np.clip(
+                np.floor((lat - dlat + 90.0) / res), 0, ny - 1
+            ).astype(np.int64)
+            hi = np.clip(
+                np.floor((lat + dlat + 90.0) / res), 0, ny - 1
+            ).astype(np.int64)
+            cnt = hi - lo + 1
+            tot = int(cnt.sum())
+            if tot == 0:
+                return pa.table(
+                    {
+                        "row": pa.array([], pa.int64()),
+                        "side": pa.array([], pa.int8()),
+                        "pid": pa.array([], pa.int64()),
+                        "rid": pa.array([], pa.int64()),
+                        "lon": pa.array([], pa.float64()),
+                        "lat": pa.array([], pa.float64()),
+                    }
+                )
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            rows = (
+                np.repeat(lo, cnt) + np.arange(tot) - np.repeat(off, cnt)
+            )
+            return pa.table(
+                {
+                    "row": pa.array(rows, pa.int64()),
+                    "side": pa.array(np.zeros(tot, np.int8)),
+                    "pid": pa.array(np.repeat(pid, cnt), pa.int64()),
+                    "rid": pa.array(np.full(tot, -1), pa.int64()),
+                    "lon": pa.array(np.repeat(lon, cnt)),
+                    "lat": pa.array(np.repeat(lat, cnt)),
+                }
+            )
+
+        def row_score(group: pa.Table) -> pa.Table:
+            side = group["side"].to_numpy(zero_copy_only=False)
+            prb = group.filter(pa.array(side == 0))
+            rf = group.filter(pa.array(side == 1))
+            if len(prb) == 0 or len(rf) == 0:
+                return _cand_empty
+            plon = prb["lon"].to_numpy(zero_copy_only=False)
+            plat = prb["lat"].to_numpy(zero_copy_only=False)
+            rlon = rf["lon"].to_numpy(zero_copy_only=False)
+            rlat = rf["lat"].to_numpy(zero_copy_only=False)
+            rids = rf["rid"].to_numpy(zero_copy_only=False)
+            pids = prb["pid"].to_numpy(zero_copy_only=False)
+            ro = np.argsort(rids)
+            rlon, rlat, rids = rlon[ro], rlat[ro], rids[ro]
+            take = min(k, rids.shape[0])
+            chunk = max(1, (1 << 22) // max(rids.shape[0], 1))
+            parts = []
+            for p0 in range(0, pids.shape[0], chunk):
+                p1 = min(p0 + chunk, pids.shape[0])
+                km = haversine_km(
+                    plon[p0:p1, None], plat[p0:p1, None],
+                    rlon[None, :], rlat[None, :],
+                )
+                mkm = np.floor(km * 1000.0 + 0.5)
+                top = np.argsort(mkm, axis=1, kind="stable")[:, :take]
+                rows = np.repeat(np.arange(p0, p1), take)
+                cols = top.reshape(-1)
+                parts.append(
+                    pa.table(
+                        {
+                            "pid": pa.array(pids[rows], pa.int64()),
+                            "rid": pa.array(rids[cols], pa.int64()),
+                            "d2": pa.array(
+                                mkm[rows - p0, cols], pa.float64()
+                            ),
+                            "nc": pa.array(
+                                np.full(
+                                    rows.shape[0], rids.shape[0],
+                                    np.int64,
+                                )
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(parts)
+
+        st_all = stalls[0]
+        for extra in stalls[1:]:
+            st_all = st_all.union(extra)
+        band_cand = (
+            st_all.map_batches(
+                expand_rows, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .union(refs_rows)
+            .groupby("row")
+            .map_groups(row_score, batch_format="pyarrow")
+        ).map_batches(
+            lambda b: _topk_reduce(b, k),
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=ops.COMBINE_TARGET_ROWS, num_cpus=0.5,
+        )
+
+        def band_finish(group: pa.Table) -> pa.Table:
+            g = _topk_reduce(group.drop_columns(["_pb"]), k)
+            pid = g["pid"].to_numpy(zero_copy_only=False)
+            rid = g["rid"].to_numpy(zero_copy_only=False)
+            d2 = g["d2"].to_numpy(zero_copy_only=False)
+            real = rid >= 0
+            pid, rid, d2 = pid[real], rid[real], d2[real]
+            if pid.shape[0] == 0:
+                return pa.table(
+                    {
+                        "pid": pa.array([], pa.int64()),
+                        "rid": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "d": pa.array([], pa.int64()),
+                    }
+                )
+            uq, st = np.unique(pid, return_index=True)
+            rl = np.diff(np.append(st, pid.shape[0]))
+            within = np.arange(pid.shape[0]) - np.repeat(st, rl)
+            return pa.table(
+                {
+                    "pid": pa.array(pid, pa.int64()),
+                    "rid": pa.array(rid, pa.int64()),
+                    "rank": pa.array(within + 1, pa.int64()),
+                    "d": pa.array(d2.astype(np.int64), pa.int64()),
+                }
+            )
+
+        results.append(
+            band_cand.map_batches(
+                add_pb, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            .groupby("_pb")
+            .map_groups(band_finish, batch_format="pyarrow")
+        )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                probe_id_col: b["pid"],
+                ref_id_col: b["rid"],
+                out_d: b["d"],
+                out_rank: b["rank"],
+            }
+        )
+
+    if not results:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    probe_id_col: pa.array([], pa.int64()),
+                    ref_id_col: pa.array([], pa.int64()),
+                    out_d: pa.array([], pa.int64()),
+                    out_rank: pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = results[0]
+    for extra in results[1:]:
+        out = out.union(extra)
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
+def nearest_geodesic_partitioned(
+    probes: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    probe_id_col: str = "pid",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ref_id_col: str = "rid",
+    ref_x_col: str = "lon",
+    ref_y_col: str = "lat",
+    res: float | None = None,
+    out_d: str = "d_mkm",
+) -> ray.data.Dataset:
+    """Both-sides-large geodesic NEAREST join: ``knn_geodesic_partitioned``
+    at k=1, rank dropped — (probe_id_col, ref_id_col, out_d) rows
+    identical to the broadcast ``nearest_geodesic_join`` projection."""
+    out = knn_geodesic_partitioned(
+        probes, refs, k=1, probe_id_col=probe_id_col, x_col=x_col,
+        y_col=y_col, ref_id_col=ref_id_col, ref_x_col=ref_x_col,
+        ref_y_col=ref_y_col, res=res, out_d=out_d,
+    )
+    return out.map_batches(
+        lambda b: b.drop_columns(["rank"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+
+
 def rect_overlap_area(
     rects: ray.data.Dataset,
     polygons: pa.Table,

@@ -8559,6 +8559,98 @@ SELECT l_orderkey, l_partkey, l_suppkey,
 FROM best WHERE rank <= 3
 """
 
+
+def _geo_part_probe_refs(sf_dir: str):
+    """Part probes + supplier refs as lon/lat DATASETS for the
+    both-sides-large geodesic twins."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    probes = rd.from_arrow(pa.table({
+        "p_partkey": pa.array(pk, pa.int64()),
+        "lon": pa.array(((pk * 17) % 3600) / 10.0 - 180.0 + 0.05),
+        "lat": pa.array(((pk * 23) % 1700) / 10.0 - 85.0 + 0.05),
+    }))
+    sx, sy, sk = supplier_points(sf_dir)
+    refs = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "lon": pa.array(sx), "lat": pa.array(sy),
+    }))
+    return probes, refs
+
+
+def q_knn_geodesic_partitioned(sf_dir: str):
+    """The SAME geodesic kNN as knn_geodesic, executed by the
+    both-sides-large co-partitioned strategy (driver-free in-band-state
+    ring co-shuffle with the pole-safe stopping bound + lat-band polar
+    stall finish — joins.knn_geodesic_partitioned); closes the twin
+    matrix's last broadcast-only row. Part probes vs supplier refs so
+    the probe id is a single key the SQL twin can PARTITION BY."""
+    from georay import joins
+
+    probes, refs = _geo_part_probe_refs(sf_dir)
+    return joins.knn_geodesic_partitioned(
+        probes, refs, k=KNN_K, probe_id_col="p_partkey",
+        ref_id_col="s_suppkey",
+    )
+
+
+def q_nearest_geodesic_partitioned(sf_dir: str):
+    """Both-sides-large geodesic NEAREST twin (k=1 plan of
+    joins.knn_geodesic_partitioned, rank dropped)."""
+    from georay import joins
+
+    probes, refs = _geo_part_probe_refs(sf_dir)
+    return joins.nearest_geodesic_partitioned(
+        probes, refs, probe_id_col="p_partkey", ref_id_col="s_suppkey",
+    )
+
+
+_GEO_PART_CAND = f"""
+WITH sp AS (
+  SELECT s_suppkey,
+         radians({SUPP_SX}) AS rl2,
+         radians({SUPP_SY}) AS rp2
+  FROM supplier
+),
+pts AS (
+  SELECT p_partkey,
+         radians({PART_CX}) AS rl1, radians({PART_CY}) AS rp1
+  FROM part
+),
+cand AS (
+  SELECT p.p_partkey, s.s_suppkey,
+         CAST(floor(2.0 * 6371.0088 * asin(sqrt(least(
+             sin((s.rp2 - p.rp1) / 2.0) * sin((s.rp2 - p.rp1) / 2.0)
+           + cos(p.rp1) * cos(s.rp2)
+             * sin((s.rl2 - p.rl1) / 2.0) * sin((s.rl2 - p.rl1) / 2.0)
+         , 1.0))) * 1000.0e0 + 0.5e0) AS BIGINT) AS d_mkm
+  FROM pts p CROSS JOIN sp s
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                               ORDER BY d_mkm, s_suppkey) AS rank
+  FROM cand
+)
+"""
+
+SQL_KNN_GEODESIC_PART = (
+    _GEO_PART_CAND
+    + f"""
+SELECT p_partkey, s_suppkey, d_mkm, rank
+FROM best WHERE rank <= {KNN_K}
+"""
+)
+
+SQL_NEAREST_GEODESIC_PART = (
+    _GEO_PART_CAND
+    + """
+SELECT p_partkey, s_suppkey, d_mkm
+FROM best WHERE rank = 1
+"""
+)
+
 _SNAP_RADIUS = 30.0
 
 
@@ -17531,6 +17623,8 @@ QUERIES = {
     "snap_join": q_snap_join,
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
+    "knn_geodesic_partitioned": q_knn_geodesic_partitioned,
+    "nearest_geodesic_partitioned": q_nearest_geodesic_partitioned,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
     "od_matrix": q_od_matrix,
@@ -17893,6 +17987,8 @@ ORACLE = {
     "snap_join": SQL_SNAP_JOIN,
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,
+    "knn_geodesic_partitioned": SQL_KNN_GEODESIC_PART,
+    "nearest_geodesic_partitioned": SQL_NEAREST_GEODESIC_PART,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,
     "od_matrix": SQL_OD_MATRIX,

@@ -3550,3 +3550,69 @@ def test_pip_join_multipolygon_parts(ray_session):
         for r in pip_join(rd.from_arrow(pts), polys).take_all()
     )
     assert got == ["in_a", "in_b"]
+
+
+def test_knn_geodesic_partitioned_matches_broadcast(ray_session):
+    """r5: the BOTH-SIDES-LARGE geodesic twin (driver-free in-band-state
+    ring co-shuffle + lat-band polar-stall finish) must reproduce the
+    broadcast plan bit-for-bit — polar clusters (stall path), the
+    antimeridian wrap, quantized-distance ties, refs-smaller-than-k,
+    and NaN coordinate filtering. Closes the last hole in the
+    twin matrix (SCALING.md geodesic row)."""
+    import ray.data as rd
+
+    from georay import joins
+
+    rng = np.random.default_rng(31)
+    nref, nprb = 600, 2500
+    rl = np.concatenate([rng.uniform(-180, 180, nref),
+                         rng.uniform(-180, 180, 40)])
+    rp = np.concatenate([rng.uniform(-85, 85, nref),
+                         rng.uniform(86, 89.9, 40)])
+    rid = np.arange(rl.shape[0], dtype=np.int64)
+    pl = np.concatenate([rng.uniform(-180, 180, nprb),
+                         rng.uniform(-180, 180, 80), [179.95, -180.0, 0.0]])
+    pp = np.concatenate([rng.uniform(-85, 85, nprb),
+                         rng.uniform(87, 90, 80), [5.0, -89.99, 90.0]])
+    probes = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(pl.shape[0]), pa.int64()),
+        "lon": pa.array(pl), "lat": pa.array(pp),
+    })).repartition(5)
+    refs = rd.from_arrow(pa.table({
+        "rid": pa.array(rid), "lon": pa.array(rl), "lat": pa.array(rp),
+    })).repartition(3)
+
+    for k in (1, 3):
+        bc = joins.knn_geodesic_join(
+            probes, rl, rp, rid, k=k, out_id="rid", brute_cutoff=1 << 30
+        ).to_pandas()
+        pt = joins.knn_geodesic_partitioned(
+            probes, refs, k=k, probe_id_col="pid", ref_id_col="rid"
+        ).to_pandas()
+        a = set(zip(bc["pid"], bc["rid"], bc["d_mkm"], bc["rank"]))
+        b = set(zip(pt["pid"], pt["rid"], pt["d_mkm"], pt["rank"]))
+        assert a == b, (k, len(a - b), len(b - a))
+
+    nb = joins.nearest_geodesic_join(
+        probes, rl, rp, rid, out_id="rid", brute_cutoff=1 << 30
+    ).to_pandas()
+    npart = joins.nearest_geodesic_partitioned(
+        probes, refs, probe_id_col="pid", ref_id_col="rid"
+    ).to_pandas()
+    assert set(zip(nb["pid"], nb["rid"], nb["d_mkm"])) == set(
+        zip(npart["pid"], npart["rid"], npart["d_mkm"])
+    )
+
+    # refs smaller than k → fewer rows per probe, still exact
+    small_refs = rd.from_arrow(pa.table({
+        "rid": pa.array([10, 11], pa.int64()),
+        "lon": pa.array([0.5, 179.9]), "lat": pa.array([0.5, -60.0]),
+    }))
+    few = rd.from_arrow(pa.table({
+        "pid": pa.array([1, 2], pa.int64()),
+        "lon": pa.array([0.0, np.nan]), "lat": pa.array([0.0, 10.0]),
+    }))
+    out = joins.knn_geodesic_partitioned(
+        few, small_refs, k=5, probe_id_col="pid", ref_id_col="rid"
+    ).to_pandas()
+    assert set(out["pid"]) == {1} and len(out) == 2  # NaN probe dropped
