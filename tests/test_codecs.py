@@ -459,3 +459,77 @@ def test_geojson_codec_shapes_roundtrip():
         m_geo = GeoType.point(dimensions=Dimensions.XYM)
         m_arr, _ = wkt.decode(pa.array(["POINT M (1 2 3)"]), m_geo)
         geojson.encode(m_arr, m_geo)
+
+
+def test_wkb_vectorized_lane_matches_parser():
+    """r5: the uniform-code vectorized WKB decode lane (per-round
+    cursor walk + one 8-byte-window coord gather) must be byte-identical
+    to the per-feature parser for every geometry family, including
+    nulls, empties, XYZ, and the POINT→MULTI promotions; mixed-code and
+    big-endian batches must bail to the parser (return None)."""
+    import struct
+
+    import georay.codecs.wkb as W
+    from georay.types import Dimensions
+
+    rng = np.random.default_rng(11)
+
+    def wkb_poly(rings, dims=0):
+        out = [b"\x01", struct.pack("<I", dims * 1000 + 3),
+               struct.pack("<I", len(rings))]
+        for r in rings:
+            out.append(struct.pack("<I", r.shape[0]))
+            out.append(r.astype("<f8").tobytes())
+        return b"".join(out)
+
+    def wkb_mpoly(polys, dims=0):
+        return (b"\x01" + struct.pack("<I", dims * 1000 + 6)
+                + struct.pack("<I", len(polys))
+                + b"".join(wkb_poly(p, dims) for p in polys))
+
+    def wkb_ls(c, dims=0):
+        return (b"\x01" + struct.pack("<I", dims * 1000 + 2)
+                + struct.pack("<I", c.shape[0]) + c.astype("<f8").tobytes())
+
+    def ring(n, nd=2):
+        c = rng.uniform(-50, 50, (n, nd))
+        c[-1] = c[0]
+        return c
+
+    def compare(vals, target):
+        arr = pa.array(list(vals[:3]) + [None] + list(vals[3:]),
+                       pa.binary())
+        fast = W._decode_uniform(arr, target)
+        assert fast is not None
+        nodes = [W.parse_feature(v.as_py()) if v.is_valid else None
+                 for v in arr]
+        assert fast.equals(W.build_native(nodes, target))
+
+    polys = [wkb_poly([ring(rng.integers(4, 20))]
+                      + ([ring(5)] if i % 3 == 0 else []))
+             for i in range(40)]
+    polys[7] = wkb_poly([])
+    compare(polys, GeoType.polygon())
+    compare(polys, GeoType.multipolygon())
+    compare([wkb_poly([ring(6, 3)], dims=1) for _ in range(10)],
+            GeoType.polygon(dimensions=Dimensions.XYZ))
+    mpolys = [wkb_mpoly([[ring(8), ring(4)], [ring(5)]][: 1 + i % 2])
+              for i in range(30)]
+    mpolys[5] = wkb_mpoly([])
+    compare(mpolys, GeoType.multipolygon())
+    lss = [wkb_ls(rng.uniform(-50, 50, (int(rng.integers(2, 20)), 2)))
+           for _ in range(30)]
+    lss[3] = wkb_ls(np.empty((0, 2)))
+    compare(lss, GeoType.linestring())
+    compare(lss, GeoType.multilinestring())
+    pts = [b"\x01" + (1).to_bytes(4, "little")
+           + rng.uniform(-9, 9, 2).astype("<f8").tobytes()
+           for _ in range(20)]
+    compare(pts, GeoType.point())
+    compare(pts, GeoType.multipoint())
+
+    mixed = pa.array([polys[0], lss[0]], pa.binary())
+    assert W._decode_uniform(mixed, GeoType.polygon()) is None
+    be = b"\x00" + struct.pack(">I", 3) + struct.pack(">I", 0)
+    assert W._decode_uniform(pa.array([be], pa.binary()),
+                             GeoType.polygon()) is None
