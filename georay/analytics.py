@@ -756,6 +756,7 @@ def label_propagation(
     edges: ray.data.Dataset,
     rounds: int = 3,
     local_edge_cutoff: int = 2_000_000,
+    broadcast_edge_cutoff: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Synchronous deterministic label propagation (community
     detection) over an undirected distinct ``(a, b)`` edge list: labels
@@ -776,8 +777,16 @@ def label_propagation(
     would shuffle). The edge list is read ``rounds`` times — pass a
     materialized Dataset. Below ``local_edge_cutoff`` the identical
     integer iteration runs in-memory (policy of ``pagerank`` /
-    ``connected_components``). For billion-edge graphs use
-    ``label_propagation_partitioned``. Returns ``(node, label)``."""
+    ``connected_components``).
+
+    AUTO-SWITCH (r5, the movement_report dwell-gate pattern): above
+    ``broadcast_edge_cutoff`` edges the call DELEGATES to
+    ``label_propagation_partitioned`` — the broadcast plan's driver-
+    held merged count table grows with 2·|edges| (4.4 GiB at 20M
+    edges) and the measured crossover is ≈2M edges (broadcast/
+    partitioned seconds: 9.9/9.2 at 2M, 25.1/11.2 at 5M, 54.7/11.8 at
+    10M, 32 cpus). All three plans are pinned identical by pytest.
+    Returns ``(node, label)``."""
     import ray as _ray
 
     edges = edges.materialize()
@@ -787,6 +796,8 @@ def label_propagation(
             pa.table({"node": pa.array([], pa.int64()),
                       "label": pa.array([], pa.int64())})
         )
+    if n_edges > max(local_edge_cutoff, broadcast_edge_cutoff):
+        return label_propagation_partitioned(edges, rounds=rounds)
     if n_edges <= local_edge_cutoff:
         t = pa.concat_tables(
             edges.iter_batches(batch_format="pyarrow", batch_size=None)

@@ -1681,3 +1681,50 @@ def test_radix_quantile_int_nulls(ray_session):
     t3 = pa.table({"x": pa.array([None, None], pa.int64())})
     o3 = ops.exact_quantiles_radix(rd.from_arrow(t3), "x", [0.5]).to_pandas()
     assert len(o3) == 1 and o3["v"].isna().all()
+
+
+def test_label_propagation_auto_switch(ray_session, monkeypatch):
+    """r5: above broadcast_edge_cutoff the broadcast plan's driver-held
+    merged count table (2·|edges| rows, 4.4 GiB at 20M edges) is the
+    wrong shape — label_propagation must DELEGATE to the partitioned
+    twin (measured crossover ≈2M edges). All three plans stay
+    identical; the delegation is observed via monkeypatch."""
+    import ray.data as rd
+
+    from georay import analytics
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300)
+    m = a < b
+    import pandas as pd
+
+    df = pd.DataFrame({"a": a[m], "b": b[m]}).drop_duplicates()
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(df["a"].to_numpy().astype(np.int64)),
+        "b": pa.array(df["b"].to_numpy().astype(np.int64)),
+    }))
+    want = analytics.label_propagation(edges).to_pandas().sort_values(
+        "node"
+    ).reset_index(drop=True)
+
+    calls = []
+    orig = analytics.label_propagation_partitioned
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(analytics, "label_propagation_partitioned", spy)
+    got = analytics.label_propagation(
+        edges, local_edge_cutoff=0, broadcast_edge_cutoff=0
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    assert calls, "auto-switch did not delegate to the partitioned twin"
+    assert got.equals(want)
+
+    # below both cutoffs the broadcast/local plans run, no delegation
+    calls.clear()
+    got2 = analytics.label_propagation(edges).to_pandas().sort_values(
+        "node"
+    ).reset_index(drop=True)
+    assert not calls and got2.equals(want)
