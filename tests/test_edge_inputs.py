@@ -1728,3 +1728,50 @@ def test_label_propagation_auto_switch(ray_session, monkeypatch):
         "node"
     ).reset_index(drop=True)
     assert not calls and got2.equals(want)
+
+
+def test_bench_regression_gate_smoke():
+    """r5: the bench regression gate must flag an intentional 3x
+    regression in BOTH the headline and the extended families, and stay
+    silent within tolerance (incl. the extended absolute-slack floor
+    for sub-second queries)."""
+    import importlib.util
+    import json as js
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "georay_bench",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    base = js.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_baseline.json")))
+    hq = next(iter(base["queries"]))
+    big_ext = max(base["extended_queries"],
+                  key=base["extended_queries"].get)
+    small_ext = min(base["extended_queries"],
+                    key=base["extended_queries"].get)
+
+    # within tolerance → silent
+    ok = bench._check_regressions(
+        {hq: base["queries"][hq] * 1.5}, base["value"] * 1.2,
+        {big_ext: base["extended_queries"][big_ext] * 1.5},
+    )
+    assert ok == {}, ok
+    # intentional 3x regressions → flagged with the right gate label
+    bad = bench._check_regressions(
+        {hq: base["queries"][hq] * 3}, base["value"] * 3,
+        {big_ext: base["extended_queries"][big_ext] * 3},
+    )
+    assert hq in bad and "TOTAL" in bad
+    assert bad[big_ext]["gate"] == "extended"
+    # a tiny extended query tripling inside the absolute slack → silent
+    if base["extended_queries"][small_ext] * 2 < bench.EXT_ABS_SLACK_SEC:
+        quiet = bench._check_regressions(
+            {}, 0.0,
+            {small_ext: base["extended_queries"][small_ext] * 3},
+        )
+        assert small_ext not in quiet
