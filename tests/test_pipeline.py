@@ -695,3 +695,138 @@ def test_secondary_zonemap_prunes_correlated_column(ray_session, tmp_path):
     )
     assert len(ds2.take_all()) == 100  # exact rows even with no prune
     assert opened2 == total2 == 8      # uncorrelated: honest full open
+
+
+def test_living_corpus_ivm_composition(ray_session, tmp_path):
+    """r5 (VERDICT item 6): the maintained-index families COMPOSED over
+    append cycles — tf/BM25 postings + positional postings +
+    ivf_append_index + versioned entity table, with a mid-stream
+    compaction and a final vacuum. After EVERY cycle all four query
+    paths must equal a from-scratch rebuild of the same corpus (IVF
+    rebuilt under the same centroids — append keeps pruning, not
+    centroid optimality)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from georay import pipeline
+    from georay.stages import embed
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(60)]
+
+    def mk_docs(ids):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(
+                [" ".join(rng.choice(words, rng.integers(5, 25)))
+                 for _ in ids], pa.string()),
+        })
+
+    def mk_vecs(ids):
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                list(rng.normal(size=(len(ids), 8))),
+                pa.list_(pa.float64())),
+        })
+
+    def mk_ents(ids, c):
+        return pa.table({"k": pa.array(ids, pa.int64()),
+                         "val": pa.array(ids * 10 + c, pa.int64())})
+
+    base = 700
+    tfdir = str(tmp_path / "tf")
+    posdir = str(tmp_path / "pos")
+    ivfdir = str(tmp_path / "ivf")
+    verdir = str(tmp_path / "ver")
+    docs0 = mk_docs(np.arange(base))
+    vecs0 = mk_vecs(np.arange(base))
+    pipeline.write_postings(rd.from_arrow(docs0), tfdir)
+    pipeline.write_postings_positional(rd.from_arrow(docs0), posdir)
+    cent = embed.ivf_build_index(
+        rd.from_arrow(vecs0), ivfdir, n_list=4, train_sample=256
+    )
+    pipeline.write_versioned(
+        verdir, rd.from_arrow(mk_ents(np.arange(base), 0)), key="k"
+    )
+
+    qterms = ["w3", "w17", "w42"]
+    phrase = ["w5", "w9"]
+    qv = rng.normal(size=(3, 8))
+    qids = np.arange(3)
+
+    def run_queries(tf, pos, ivf, ver):
+        bm = pipeline.postings_bm25(tf, qterms, k=10).to_pandas()
+        bm = bm.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).reset_index(drop=True)
+        ph = pipeline.postings_phrase(pos, phrase).to_pandas()
+        ph = ph.sort_values("doc_id").reset_index(drop=True)
+        iv = embed.ivf_search_index(ivf, qv, qids, k=5, exclude_self=False)
+        if hasattr(iv, "to_pandas"):
+            iv = iv.to_pandas()
+        iv = iv.reset_index(drop=True)
+        vr = pipeline.read_version(ver).to_pandas()[["k", "val"]]
+        vr = vr.sort_values("k").reset_index(drop=True)
+        return bm, ph, iv, vr
+
+    doc_tbls, vec_tbls = [docs0], [vecs0]
+    ent = {int(k): int(v) for k, v in
+           zip(np.arange(base), np.arange(base) * 10)}
+    import pyarrow.parquet as pq
+
+    for ci, start in enumerate((base, base + 200), 1):
+        ids = np.arange(start, start + 200)
+        d, v = mk_docs(ids), mk_vecs(ids)
+        upd = np.concatenate([ids, np.arange(0, 50)])
+        e = mk_ents(upd, ci)
+        pipeline.postings_append(tfdir, rd.from_arrow(d))
+        pipeline.postings_append(posdir, rd.from_arrow(d))
+        embed.ivf_append_index(ivfdir, rd.from_arrow(v))
+        pipeline.append_version(verdir, rd.from_arrow(e))
+        doc_tbls.append(d)
+        vec_tbls.append(v)
+        for k_, v_ in zip(e["k"].to_numpy(), e["val"].to_numpy()):
+            ent[int(k_)] = int(v_)
+        if ci == 1:
+            pipeline.compact_versions(verdir)
+        got = run_queries(tfdir, posdir, ivfdir, verdir)
+        rb = str(tmp_path / f"rb{ci}")
+        shutil.rmtree(rb, ignore_errors=True)
+        os.makedirs(rb)
+        docs = pa.concat_tables(doc_tbls)
+        vecs = pa.concat_tables(vec_tbls)
+        pipeline.write_postings(rd.from_arrow(docs), rb + "/tf")
+        pipeline.write_postings_positional(rd.from_arrow(docs), rb + "/pos")
+        embed._ivf_assign_write(cent, rd.from_arrow(vecs), rb + "/ivf",
+                                "embedding")
+        pq.write_table(
+            pa.table({
+                "list_id": pa.array(np.arange(cent.shape[0]), pa.int64()),
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }),
+            rb + "/ivf/_ivf_centroids.parquet",
+        )
+        ks = sorted(ent)
+        pipeline.write_versioned(
+            rb + "/ver",
+            rd.from_arrow(pa.table({
+                "k": pa.array(ks, pa.int64()),
+                "val": pa.array([ent[k] for k in ks], pa.int64()),
+            })),
+            key="k",
+        )
+        want = run_queries(rb + "/tf", rb + "/pos", rb + "/ivf", rb + "/ver")
+        for name, g, w in zip(("bm25", "phrase", "ivf", "version"),
+                              got, want):
+            assert g.equals(w), (ci, name)
+
+    pipeline.vacuum_versions(verdir)
+    with pytest.raises(ValueError):
+        pipeline.read_version(verdir, 1)
+    latest = pipeline.read_version(verdir).to_pandas()[["k", "val"]]
+    ks = sorted(ent)
+    assert list(latest.sort_values("k")["val"]) == [ent[k] for k in ks]
