@@ -1775,3 +1775,92 @@ def test_bench_regression_gate_smoke():
             {small_ext: base["extended_queries"][small_ext] * 3},
         )
         assert small_ext not in quiet
+
+
+def test_r5_robustness_probe_pins(ray_session, tmp_path):
+    """r5 probe sweep (VERDICT item 7) — pin the verified edge
+    behaviors: radix weighted/grouped on hostile columns,
+    peak_concurrency under all-equal timestamps, hausdorff with
+    single-point tracks, and the loud zero/one-run LSM merge guard."""
+    import ray.data as rd
+
+    from georay import analytics, ops, pipeline
+
+    # weighted radix: all-null values / all-zero weights → NULL v
+    t = pa.table({"x": pa.array([None, None], pa.float64()),
+                  "w": pa.array([5, 5], pa.int64())})
+    o = ops.exact_quantiles_radix(rd.from_arrow(t), "x", [0.5],
+                                  weight_col="w").to_pandas()
+    assert o["v"].isna().all()
+    t2 = pa.table({"x": pa.array([1.0, 2.0]),
+                   "w": pa.array([0, 0], pa.int64())})
+    o2 = ops.exact_quantiles_radix(rd.from_arrow(t2), "x", [0.5],
+                                   weight_col="w").to_pandas()
+    assert o2["v"].isna().all()
+    # ±inf-only column orders correctly
+    t3 = pa.table({"x": pa.array([np.inf, -np.inf, np.inf], pa.float64())})
+    o3 = ops.exact_quantiles_radix(
+        rd.from_arrow(t3), "x", [0.0, 0.5, 1.0]
+    ).to_pandas().sort_values("q")
+    assert list(o3["v"]) == [-np.inf, np.inf, np.inf]
+    # NULL weights are zero; int path stays int under them
+    t4 = pa.table({"x": pa.array([5, 6, 7], pa.int64()),
+                   "w": pa.array([None, 2, None], pa.int64())})
+    o4 = ops.exact_quantiles_radix(rd.from_arrow(t4), "x", [0.5],
+                                   weight_col="w").to_pandas()
+    assert int(o4["v"].iloc[0]) == 6
+    # grouped: an all-NaN group vanishes (SQL GROUP BY semantics)
+    t5 = pa.table({"g": pa.array(["a", "a", "b"]),
+                   "x": pa.array([np.nan, np.nan, 1.0])})
+    o5 = ops.grouped_quantiles_radix(
+        rd.from_arrow(t5), "g", "x", [0.5]
+    ).to_pandas()
+    assert list(o5["g"]) == ["b"]
+
+    # peak_concurrency: all events at one instant
+    t6 = pa.table({"ts": pa.array([100] * 7, pa.int64()),
+                   "d": pa.array([1] * 7, pa.int64())})
+    assert ops.peak_concurrency(
+        rd.from_arrow(t6), "ts", "d"
+    ).to_pandas()["peak"].iloc[0] == 7
+    t7 = pa.table({"ts": pa.array([100] * 6, pa.int64()),
+                   "d": pa.array([1, 1, 1, -1, -1, -1], pa.int64())})
+    assert ops.peak_concurrency(
+        rd.from_arrow(t7), "ts", "d"
+    ).to_pandas()["peak"].iloc[0] == 3
+
+    # hausdorff: single-point tracks pair fine; a lone user → 0 pairs
+    def cellfn(lon, lat):
+        return np.zeros(lon.shape[0], np.int64)
+
+    t8 = pa.table({
+        "u": pa.array([1, 2, 3, 3], pa.int64()),
+        "ts": pa.array([1, 1, 1, 2], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 2.0, 2.1]),
+        "lat": pa.array([0.0, 1.0, 2.0, 2.1]),
+        "eid": pa.array([10, 20, 30, 31], pa.int64()),
+    })
+    h = analytics.hausdorff_pairs(
+        rd.from_arrow(t8), "u", "ts", "lon", "lat",
+        group_fn=cellfn, tiebreak_col="eid",
+    ).to_pandas()
+    assert len(h) == 3 and (h["hausdorff_q"] > 0).all()
+    lone = pa.table({"u": pa.array([1], pa.int64()),
+                     "ts": pa.array([1], pa.int64()),
+                     "lon": pa.array([0.0]), "lat": pa.array([0.0]),
+                     "eid": pa.array([1], pa.int64())})
+    assert analytics.hausdorff_pairs(
+        rd.from_arrow(lone), "u", "ts", "lon", "lat",
+        group_fn=cellfn, tiebreak_col="eid",
+    ).count() == 0
+
+    # LSM merge of zero/one runs refuses LOUDLY (no silent half-layout)
+    t9 = pa.table({"k": pa.array(np.arange(50), pa.int64()),
+                   "v": pa.array(np.arange(50), pa.int64())})
+    run1 = str(tmp_path / "run1")
+    pipeline.write_sorted(rd.from_arrow(t9), run1, key="k",
+                          n_ranges=4, bounds=(0, 50))
+    with pytest.raises(ValueError, match=">= 2"):
+        pipeline.merge_sorted_layouts([run1], str(tmp_path / "m1"))
+    with pytest.raises(ValueError, match=">= 2"):
+        pipeline.merge_sorted_layouts([], str(tmp_path / "m0"))
