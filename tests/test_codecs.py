@@ -533,3 +533,45 @@ def test_wkb_vectorized_lane_matches_parser():
     be = b"\x00" + struct.pack(">I", 3) + struct.pack(">I", 0)
     assert W._decode_uniform(pa.array([be], pa.binary()),
                              GeoType.polygon()) is None
+
+
+def test_wkt_double_formatter_fuzz():
+    """r5 (VERDICT item 9): fuzz the WKT double writer across the full
+    exponent range incl. subnormals. Invariants (the 10^6-double sweep
+    in ROUND_NOTES found zero violations): the repr fast lane equals
+    the decimal-quantize path everywhere; scientific notation exactly
+    iff |x| > 1e17 (src/geoarrow.c:6331-6341 convention); and the
+    output round-trips to the input whenever the shortest form needs
+    ≤16 fractional digits (precision-16 fixed truncation is the
+    reference behavior beyond that — NOT a bug)."""
+    from georay.codecs.wkt import _format_double_fast, format_double
+
+    rng = np.random.default_rng(99)
+    bits = rng.integers(0, 2**64, 40_000, dtype=np.uint64)
+    vals = bits.view(np.float64)
+    vals = vals[np.isfinite(vals)]
+    m = rng.uniform(-10, 10, 15_000)
+    e = rng.integers(-320, 309, 15_000)
+    with np.errstate(over="ignore", under="ignore"):
+        sweep = m * (10.0 ** e.astype(np.float64))
+    sweep = sweep[np.isfinite(sweep)]
+    spec = np.array([
+        0.0, -0.0, 5e-324, 2.2250738585072014e-308,
+        1.7976931348623157e308, 1e17, np.nextafter(1e17, np.inf),
+        np.nextafter(1e17, 0), -1e17, 1.0, 0.1, 1 / 3, 1e16, 1e-16,
+    ])
+    for x in np.concatenate([vals, sweep, spec]):
+        x = float(x)
+        s = format_double(x, 16)
+        assert _format_double_fast(x) == s, x
+        assert ("e" in s) == (x > 1e17 or x < -1e17), (x, s)
+        r = repr(abs(x))
+        dot = r.find(".")
+        if (
+            x != 0
+            and "e" not in r
+            and dot >= 0
+            and len(r) - dot - 1 <= 16
+            and abs(x) <= 1e17
+        ):
+            assert float(s) == x, (x, s)
