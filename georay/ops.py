@@ -5172,6 +5172,116 @@ def window_lag(
     )
 
 
+def markov_transitions(
+    ds: ray.data.Dataset,
+    key: str,
+    ts: str | list[str],
+    state_col: str,
+    order_tiebreak: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Global STATE-TRANSITION (bigram) counts over per-key ordered
+    event sequences: every consecutive (state_i → state_{i+1}) pair
+    within a key, counted across all keys — the sufficient statistic
+    of a first-order Markov chain over user journeys (next-event
+    prediction, sequence-model curriculum stats). SQL twin:
+    ``LAG(state) OVER (PARTITION BY key ORDER BY ts)`` + GROUP BY.
+
+    Plan: ONE key-hash co-shuffle (the ``window_lag`` bucket plan);
+    each bucket sorts its keys once, takes the vectorized shift with
+    key-boundary masking, and emits LOCAL (from, to, c) partials; the
+    combine tree merges them — no second exchange, result bounded by
+    |states|² (the transition matrix), independent of row count.
+    Returns (from_state, to_state, c)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _key_hash(batch, [key])
+        if h is None:
+            raise TypeError(
+                "markov_transitions requires int or string/binary keys"
+            )
+        return batch.append_column(
+            "_bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    ts_cols = [ts] if isinstance(ts, str) else list(ts)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bucket"])
+        sort_keys = [(key, "ascending")] + [
+            (c, "ascending") for c in ts_cols
+        ]
+        if order_tiebreak:
+            sort_keys.append((order_tiebreak, "ascending"))
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = len(g)
+        if n < 2:
+            return pa.table(
+                {
+                    "from_state": pa.array([], g[state_col].type),
+                    "to_state": pa.array([], g[state_col].type),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        karr = g[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        sarr = g[state_col]
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        same = np.asarray(
+            pc.fill_null(
+                pc.equal(karr.slice(1), karr.slice(0, n - 1)), False
+            )
+        )
+        frm = sarr.slice(0, n - 1).filter(pa.array(same))
+        to = sarr.slice(1).filter(pa.array(same))
+        # NULL states drop (documented; the SQL twin filters both ends)
+        ok = pc.and_(pc.is_valid(frm), pc.is_valid(to))
+        if not pc.all(ok).as_py():
+            frm, to = frm.filter(ok), to.filter(ok)
+        if len(frm) == 0:
+            return pa.table(
+                {
+                    "from_state": pa.array([], sarr.type),
+                    "to_state": pa.array([], sarr.type),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        # local combine: dictionary-encode the pair and count
+        fe = frm.dictionary_encode()
+        te = to.dictionary_encode()
+        (fk, tk), outs = _group_reduce(
+            [
+                np.asarray(fe.indices).astype(np.int64),
+                np.asarray(te.indices).astype(np.int64),
+            ],
+            {"c": np.ones(len(frm), np.int64)},
+        )
+        return pa.table(
+            {
+                "from_state": fe.dictionary.take(pa.array(fk, pa.int64())),
+                "to_state": te.dictionary.take(pa.array(tk, pa.int64())),
+                "c": pa.array(outs["c"].astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = (
+        shuffle_coalesce(
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return tree_sum(
+        partials, ["from_state", "to_state"], {"c": "c"}, int_cols=("c",)
+    )
+
+
 def window_rank(
     ds: ray.data.Dataset,
     key: str,

@@ -921,6 +921,36 @@ FROM events
 """
 
 
+def q_markov_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event-type
+    sequences (ops.markov_transitions — one key-bucket co-shuffle,
+    per-bucket vectorized shift, combine-tree merge; result bounded by
+    |event types|²)."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return ops.markov_transitions(
+        ds, key="user_id", ts="ts", state_col="event_type",
+        order_tiebreak="event_id",
+    )
+
+
+SQL_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev
+  FROM events
+)
+SELECT prev AS from_state, event_type AS to_state, count(*) AS c
+FROM seq
+WHERE prev IS NOT NULL AND event_type IS NOT NULL
+GROUP BY prev, event_type
+"""
+
+
 def q_extract_props(sf_dir: str):
     """Typed field extraction from the semi-structured event props
     column (ops.add_regex_extract — Arrow C++ RE2, row-preserving),
@@ -13956,6 +13986,39 @@ ANTI JOIN e ON LEAST(p.a, p.b_neg) = e.a AND GREATEST(p.a, p.b_neg) = e.b
 """
 
 
+def q_editdist_join(sf_dir: str):
+    """Exact Levenshtein-distance-≤2 self-join over part names
+    (1-in-7 subset so the oracle's pair enumeration stays bounded at
+    every sf): stages.text.editdist_join_qgram — positional-multiset
+    q-gram count filter, one gram-bucket co-shuffle for candidates,
+    batch-vectorized DP verify."""
+    from georay.stages.text import editdist_join_qgram
+
+    sub = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["p_partkey"].to_numpy(zero_copy_only=False) % 7 == 0
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return editdist_join_qgram(sub, "p_partkey", "p_name", k=2)
+
+
+SQL_EDITDIST_JOIN = """
+WITH sub AS (
+  SELECT p_partkey, lower(p_name) AS s FROM part WHERE p_partkey % 7 = 0
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.s, b.s) AS dist
+FROM sub a JOIN sub b ON a.p_partkey < b.p_partkey
+WHERE abs(length(a.s) - length(b.s)) <= 2
+  AND levenshtein(a.s, b.s) <= 2
+"""
+
+
 def q_pmi(sf_dir: str):
     """Top-100 collocations (adjacent word pairs by quantized PMI,
     count ≥ 5, ties lexicographic) — stages.text.pmi_collocations:
@@ -17624,6 +17687,8 @@ QUERIES = {
     "nearest_geodesic": q_nearest_geodesic,
     "knn_geodesic": q_knn_geodesic,
     "knn_geodesic_partitioned": q_knn_geodesic_partitioned,
+    "markov_transitions": q_markov_transitions,
+    "editdist_join": q_editdist_join,
     "nearest_geodesic_partitioned": q_nearest_geodesic_partitioned,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
@@ -17988,6 +18053,8 @@ ORACLE = {
     "nearest_geodesic": SQL_NEAREST_GEODESIC,
     "knn_geodesic": SQL_KNN_GEODESIC,
     "knn_geodesic_partitioned": SQL_KNN_GEODESIC_PART,
+    "markov_transitions": SQL_MARKOV,
+    "editdist_join": SQL_EDITDIST_JOIN,
     "nearest_geodesic_partitioned": SQL_NEAREST_GEODESIC_PART,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,

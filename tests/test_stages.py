@@ -1068,3 +1068,83 @@ def test_source_ngram_overlap_known(ray_session):
     )
     # s1∩s2 = {a b c}; s1∩s3 = {b c d}; s2∩s3 = {} (no row)
     assert out.values.tolist() == [["s1", "s2", 1], ["s1", "s3", 1]]
+
+
+def test_editdist_join_qgram_matches_brute(ray_session):
+    """r5: exact Levenshtein-≤k self-join (positional-multiset q-gram
+    count filter + short-band sentinel + batch-vectorized DP verify)
+    vs a per-pair brute force, including empty strings, sub-q-gram
+    shorts, case folding, and the short×near-short band a naive
+    short-bucket design would miss."""
+    import itertools
+
+    import ray.data as rd
+
+    from georay.stages.text import editdist_join_qgram
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    strs = [
+        "ring", "rings", "rang", "widget", "widgit", "bolt", "boltt",
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "smallring",
+        "small ring", "smal ring", "red widget", "RED WIDGETT",
+        "blue bolt", "blu bolt",
+    ] + [f"gadget{i}" for i in range(12)] + [f"gadget{i}x" for i in range(6)]
+    t = pa.table({
+        "id": pa.array(np.arange(len(strs)), pa.int64()),
+        "name": pa.array(strs, pa.string()),
+    })
+    for k in (1, 2):
+        got = editdist_join_qgram(
+            rd.from_arrow(t).repartition(3), "id", "name", k=k
+        ).to_pandas()
+        g = set(zip(got["id_a"], got["id_b"], got["dist"]))
+        want = set()
+        for (i, a), (j, b) in itertools.combinations(enumerate(strs), 2):
+            d = lev(a.lower(), b.lower())
+            if d <= k:
+                want.add((i, j, d))
+        assert g == want, (k, len(g ^ want))
+
+    # hot-gram guard raises loudly
+    hot = pa.table({
+        "id": pa.array(np.arange(50), pa.int64()),
+        "name": pa.array(["aaaaaaaaaa"] * 50, pa.string()),
+    })
+    with pytest.raises(Exception, match="max_gram_group"):
+        editdist_join_qgram(
+            rd.from_arrow(hot), "id", "name", k=1, max_gram_group=10
+        ).to_pandas()
+
+
+def test_markov_transitions_pins(ray_session):
+    """r5: per-key bigram counts — key boundaries never pair, NULL
+    states drop, tiebreak orders equal timestamps."""
+    import ray.data as rd
+
+    from georay import ops
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2, 1], pa.int64()),
+        "e": pa.array(["a", "b", "a", "a", None, "c"], pa.string()),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+    })
+    out = ops.markov_transitions(
+        rd.from_arrow(t), key="u", ts="ts", state_col="e",
+        order_tiebreak="id",
+    ).to_pandas()
+    got = {(r.from_state, r.to_state): r.c for r in out.itertuples()}
+    # user1: a->b, b->a; user2's pair has a NULL end (drops); user3 lone
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
