@@ -14019,6 +14019,51 @@ WHERE abs(length(a.s) - length(b.s)) <= 2
 """
 
 
+def q_editdist_clusters(sf_dir: str):
+    """Fuzzy-string ENTITY CLUSTERS: connected components over the
+    Levenshtein-≤2 pair graph of part names — the composition query of
+    the string near-dup family (editdist_join_qgram candidates+verify
+    → components min-label), the editdist sibling of the minhash
+    cluster chain. Labels = component-min id; nodes without a near
+    pair don't appear (edge-list semantics, same as q_components)."""
+    from georay.stages.components import connected_components
+    from georay.stages.text import editdist_join_qgram
+
+    sub = rd.read_parquet(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["p_partkey"].to_numpy(zero_copy_only=False) % 7 == 0
+            )
+        ),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    pairs = editdist_join_qgram(sub, "p_partkey", "p_name", k=2)
+    return connected_components(pairs, id_a="id_a", id_b="id_b")
+
+
+SQL_EDITDIST_CLUSTERS = """
+WITH RECURSIVE
+sub AS (
+  SELECT p_partkey, lower(p_name) AS s FROM part WHERE p_partkey % 7 = 0
+),
+e AS (
+  SELECT a.p_partkey AS a, b.p_partkey AS b
+  FROM sub a JOIN sub b ON a.p_partkey < b.p_partkey
+  WHERE abs(length(a.s) - length(b.s)) <= 2
+    AND levenshtein(a.s, b.s) <= 2
+),
+sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+reach(n, m) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.n, s.d FROM reach r JOIN sym s ON s.s = r.m
+)
+SELECT n AS node, LEAST(n, MIN(m)) AS label FROM reach GROUP BY n
+"""
+
+
 def q_pmi(sf_dir: str):
     """Top-100 collocations (adjacent word pairs by quantized PMI,
     count ≥ 5, ties lexicographic) — stages.text.pmi_collocations:
@@ -17689,6 +17734,7 @@ QUERIES = {
     "knn_geodesic_partitioned": q_knn_geodesic_partitioned,
     "markov_transitions": q_markov_transitions,
     "editdist_join": q_editdist_join,
+    "editdist_clusters": q_editdist_clusters,
     "nearest_geodesic_partitioned": q_nearest_geodesic_partitioned,
     "snap_partitioned": q_snap_partitioned,
     "path_midpoint": q_path_midpoint,
@@ -18055,6 +18101,7 @@ ORACLE = {
     "knn_geodesic_partitioned": SQL_KNN_GEODESIC_PART,
     "markov_transitions": SQL_MARKOV,
     "editdist_join": SQL_EDITDIST_JOIN,
+    "editdist_clusters": SQL_EDITDIST_CLUSTERS,
     "nearest_geodesic_partitioned": SQL_NEAREST_GEODESIC_PART,
     "snap_partitioned": SQL_SNAP_PARTITIONED,
     "path_midpoint": SQL_PATH_MIDPOINT,
