@@ -343,6 +343,26 @@ def run_bench() -> dict:
         "radix_quantile_int",
         lambda: tpch.q_radix_quantile_int(SF_DIR).count(),
     )
+    # round 5
+    timed_ext(
+        "knn_geodesic_partitioned",
+        lambda: tpch.q_knn_geodesic_partitioned(SF_DIR).count(),
+    )
+    timed_ext(
+        "nearest_geodesic_partitioned",
+        lambda: tpch.q_nearest_geodesic_partitioned(SF_DIR).count(),
+    )
+    timed_ext(
+        "markov_transitions",
+        lambda: tpch.q_markov_transitions(SF_DIR).count(),
+    )
+    timed_ext(
+        "editdist_join", lambda: tpch.q_editdist_join(SF_DIR).count()
+    )
+    timed_ext(
+        "editdist_clusters",
+        lambda: tpch.q_editdist_clusters(SF_DIR).num_rows,
+    )
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
