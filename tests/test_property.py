@@ -722,3 +722,53 @@ def test_clamped_cumsum_matches_recurrence(ray_session, rows):
         want[r] = level[k]
     got = dict(zip(out["r"], out["lvl"]))
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    strs=st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=9),
+        min_size=2, max_size=14,
+    ),
+    k=st.integers(min_value=1, max_value=2),
+)
+def test_editdist_join_property(ray_session, strs, k):
+    """Property (r5): editdist_join_qgram over ANY small-alphabet
+    string set equals the per-pair brute force — the tiny alphabet
+    forces repeated q-grams (the positional-multiset case), short
+    strings, empties and whitespace through the sentinel band."""
+    import itertools
+
+    import ray.data as rd
+
+    from georay.stages.text import editdist_join_qgram
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, lb + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[lb]
+
+    t = pa.table({
+        "id": pa.array(np.arange(len(strs)), pa.int64()),
+        "name": pa.array(strs, pa.string()),
+    })
+    got = editdist_join_qgram(rd.from_arrow(t), "id", "name", k=k).to_pandas()
+    g = (
+        set(zip(got["id_a"], got["id_b"], got["dist"]))
+        if len(got)
+        else set()  # Ray 2.49 drops columns on an all-empty dataset
+    )
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(strs), 2)
+        if lev(a, b) <= k
+    }
+    assert g == want
