@@ -575,3 +575,126 @@ def test_wkt_double_formatter_fuzz():
             and abs(x) <= 1e17
         ):
             assert float(s) == x, (x, s)
+
+
+def _native_eq_nan(a, b):
+    """NaN-tolerant structural equality (Arrow equals treats NaN!=NaN)."""
+    if a.type != b.type or len(a) != len(b):
+        return False
+    sa = a.storage if isinstance(a, pa.ExtensionArray) else a
+    sb = b.storage if isinstance(b, pa.ExtensionArray) else b
+
+    def walk(x, y):
+        if x.null_count != y.null_count:
+            return False
+        if x.null_count and not x.is_valid().equals(y.is_valid()):
+            return False
+        t = x.type
+        if pa.types.is_list(t):
+            if not x.offsets.equals(y.offsets):
+                return False
+            return walk(x.flatten(), y.flatten())
+        if pa.types.is_struct(t):
+            return all(
+                walk(x.field(i), y.field(i)) for i in range(t.num_fields)
+            )
+        if pa.types.is_float64(t):
+            xv = x.to_numpy(zero_copy_only=False)
+            yv = y.to_numpy(zero_copy_only=False)
+            return bool(
+                np.array_equal(xv.view(np.uint64), yv.view(np.uint64))
+            )
+        return x.equals(y)
+
+    return walk(sa, sb)
+
+
+def test_wkt_vectorized_lane_matches_parser():
+    """r5: the uniform canonical-form vectorized WKT decode lane
+    (paren-depth scan + one C float sweep) must be bit-identical to
+    the recursive-descent parser for every non-point XY family incl.
+    nulls, EMPTYs, multi-ring/part, and nan/inf/scientific numerics;
+    Z/M, lowercase, nested MULTIPOINT, trailing junk and malformed
+    nesting must bail (return None) so the parser raises precisely."""
+    import georay.codecs.wkt as W
+
+    rng = np.random.default_rng(3)
+
+    def pts(n):
+        return rng.uniform(-80, 80, (n, 2)).round(4)
+
+    def ring(n):
+        c = pts(n)
+        c[-1] = c[0]
+        return c
+
+    def poly_wkt(rings):
+        if not rings:
+            return "POLYGON EMPTY"
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{x} {y}" for x, y in r) + ")" for r in rings
+        ) + ")"
+
+    def ls_wkt(c):
+        if len(c) == 0:
+            return "LINESTRING EMPTY"
+        return "LINESTRING (" + ", ".join(
+            f"{x} {y}" for x, y in c
+        ) + ")"
+
+    def compare(vals, target):
+        arr = pa.array(list(vals[:2]) + [None] + list(vals[2:]),
+                       pa.string())
+        fast = W._decode_uniform_wkt(arr, target)
+        assert fast is not None
+        nodes = [
+            W.parse_feature_wkt(v.as_py()) if v.is_valid else None
+            for v in arr
+        ]
+        from georay.codecs.wkb import build_native
+
+        assert _native_eq_nan(fast, build_native(nodes, target))
+
+    polys = [
+        poly_wkt([ring(int(rng.integers(4, 10)))]
+                 + ([ring(4)] if i % 3 == 0 else []))
+        for i in range(30)
+    ]
+    polys[5] = "POLYGON EMPTY"
+    compare(polys, GeoType.polygon())
+    lss = [ls_wkt(pts(int(rng.integers(2, 12)))) for _ in range(30)]
+    lss[3] = "LINESTRING EMPTY"
+    compare(lss, GeoType.linestring())
+    compare(
+        ["MULTIPOINT (1 2, 3.5 -4)", "MULTIPOINT EMPTY",
+         "MULTIPOINT (0 0)"],
+        GeoType.multipoint(),
+    )
+    compare(
+        ["MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+         "MULTILINESTRING EMPTY", "MULTILINESTRING ((5 5, 6 6))"],
+        GeoType.multilinestring(),
+    )
+    compare(
+        ["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2), "
+         "(2.2 2.2, 2.8 2.2, 2.8 2.8, 2.2 2.2)))",
+         "MULTIPOLYGON EMPTY",
+         "MULTIPOLYGON (((9 9, 10 9, 10 10, 9 9)))"],
+        GeoType.multipolygon(),
+    )
+    compare(
+        ["LINESTRING (-1.5e-3 2E4, nan inf, -inf -0)",
+         "LINESTRING (0 0, 1 1)"],
+        GeoType.linestring(),
+    )
+
+    for bad, tgt in [
+        ("POLYGON Z ((0 0 1, 1 1 1, 2 0 1, 0 0 1))", GeoType.polygon()),
+        ("MULTIPOINT ((1 2), (3 4))", GeoType.multipoint()),
+        ("polygon ((0 0, 1 1, 2 0, 0 0))", GeoType.polygon()),
+        ("LINESTRING (0 0), 5 5", GeoType.linestring()),
+        ("LINESTRING (0 0, 1 1) junk", GeoType.linestring()),
+        ("POLYGON ((0 0, 1 1, 2 0, 0 0)", GeoType.polygon()),
+    ]:
+        assert W._decode_uniform_wkt(pa.array([bad], pa.string()),
+                                     tgt) is None, bad
