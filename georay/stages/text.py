@@ -1655,20 +1655,25 @@ def editdist_join_qgram(
             )
         pa_, pb_ = [], []
         m = int(run_len.max())
-        # vectorized per (i, j) offset round over all runs at once
+        # vectorized pair emission: ONE ragged round per first-element
+        # offset i pairs member i of every live run with ALL its later
+        # members (O(max_run) python rounds, not O(max_run²))
         for i in range(m - 1):
-            live_i = run_len > i
-            for j in range(i + 1, m):
-                live = run_len > j
-                if not live.any():
-                    break
-                si = starts[live] + i
-                sj = starts[live] + j
-                ok = np.abs(lens[si] - lens[sj]) <= k
-                if ok.any():
-                    x, y = ids[si[ok]], ids[sj[ok]]
-                    pa_.append(np.minimum(x, y))
-                    pb_.append(np.maximum(x, y))
+            live = run_len > i + 1
+            if not live.any():
+                break
+            s = starts[live]
+            cnt = (run_len[live] - i - 1).astype(np.int64)
+            tot = int(cnt.sum())
+            off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            within = np.arange(tot) - np.repeat(off, cnt)
+            si = np.repeat(s + i, cnt)
+            sj = np.repeat(s + i + 1, cnt) + within
+            ok = np.abs(lens[si] - lens[sj]) <= k
+            if ok.any():
+                x, y = ids[si[ok]], ids[sj[ok]]
+                pa_.append(np.minimum(x, y))
+                pb_.append(np.maximum(x, y))
         if not pa_:
             return pa.table({
                 "a": pa.array([], pa.int64()),
@@ -1736,21 +1741,28 @@ def editdist_join_qgram(
             B[r, : lb[r]] = np.frombuffer(
                 sb.encode("utf-32-le"), np.uint32
             )[: lb[r]]
+        # BANDED (Ukkonen) DP: |i−j| > k cells can never contribute to
+        # a distance ≤ k, so each row touches only 2k+1 columns —
+        # exact for d ≤ k, and anything clamped at the band edge is
+        # ≥ k+1 which the final test discards anyway
         big = np.int64(1 << 30)
         prev = np.tile(np.arange(Lmax + 1, dtype=np.int64), (nb_, 1))
+        prev[:, k + 1:] = big  # out-of-band row-0 cells
         la_max = int(la.max())
         for i in range(1, la_max + 1):
-            cur = np.empty_like(prev)
-            cur[:, 0] = i
+            cur = np.full((nb_, Lmax + 1), big, np.int64)
+            if i <= k:
+                cur[:, 0] = i
             ai = A[:, i - 1]
-            for j in range(1, Lmax + 1):
+            for j in range(max(1, i - k), min(Lmax, i + k) + 1):
                 cost = (ai != B[:, j - 1]).astype(np.int64)
                 cur[:, j] = np.minimum(
                     np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1),
                     prev[:, j - 1] + cost,
                 )
-            prev = np.where((la >= i)[:, None], cur, prev)
-        d = prev[np.arange(nb_), lb]
+            alive = la >= i
+            prev = np.where(alive[:, None], cur, prev)
+        d = np.minimum(prev[np.arange(nb_), lb], big)
         ok = d <= k
         return pa.table({
             "id_a": pa.array(a[ok], pa.int64()),
