@@ -387,6 +387,142 @@ def _format_double_fast(x: float) -> str:
     return s
 
 
+def _format_doubles_arrow(x: np.ndarray) -> pa.Array:
+    """Vectorized ``format_double(·, 16)`` over a float64 vector: Arrow's
+    double→utf8 cast emits the identical shortest-round-trip fixed form
+    for the common range (zeros/-0/nan/±inf included); values Arrow
+    prints in scientific notation or with >16 fractional digits fall
+    back to the scalar formatter (sparse scatter — zero Python in the
+    common case). Equality with ``format_double`` is pinned by the
+    encode-lane parity tests."""
+    arr = pa.array(x, pa.float64())
+    s = pc.cast(arr, pa.string())
+    has_e = pc.match_substring(s, "e")
+    dot = pc.find_substring(s, ".")
+    frac = pc.subtract(pc.subtract(pc.utf8_length(s), dot), 1)
+    too_long = pc.and_(
+        pc.greater_equal(dot, 0), pc.greater(frac, 16)
+    )
+    bad = pc.or_(has_e, too_long)
+    if pc.any(bad).as_py():
+        idx = np.flatnonzero(np.asarray(bad))
+        so = np.asarray(s).astype(object)
+        for i in idx:
+            so[i] = format_double(float(x[i]), 16)
+        s = pa.array(so, pa.string())
+    return s
+
+
+def _encode_uniform_wkt(
+    arr: pa.Array, geo: GeoType, flat_multipoint: bool
+) -> pa.Array | None:
+    """Vectorized WKT ENCODE lane (r5): the whole column assembles with
+    Arrow C kernels — coordinate doubles format via
+    ``_format_doubles_arrow``, vertices join with
+    ``binary_join_element_wise``, and every ragged ring/part/feature
+    level joins with ONE ``pc.binary_join`` over a list view of the
+    native offsets. Emits the byte-identical text of ``write_node``
+    (pinned by parity tests); shapes the scalar writer treats
+    specially — NaN multipoint children (nested EMPTY form), nested
+    multipoint mode — bail to the per-feature writer."""
+    gt = geo.geometry_type
+    if gt not in (
+        GeometryType.POINT,
+        GeometryType.LINESTRING,
+        GeometryType.POLYGON,
+        GeometryType.MULTIPOINT,
+        GeometryType.MULTILINESTRING,
+        GeometryType.MULTIPOLYGON,
+    ):
+        return None
+    if geo.dimensions != Dimensions.XY:
+        return None
+    if gt == GeometryType.MULTIPOINT and not flat_multipoint:
+        return None
+    v = native.view(arr, geo)
+    coords = v.coords
+    if gt == GeometryType.MULTIPOINT and coords.size and np.isnan(
+        coords
+    ).any():
+        return None  # NaN child points take the writer's nested form
+    sx = _format_doubles_arrow(np.ascontiguousarray(coords[:, 0]))
+    sy = _format_doubles_arrow(np.ascontiguousarray(coords[:, 1]))
+    sep_sp = pa.scalar(" ")
+    vert = pc.binary_join_element_wise(sx, sy, sep_sp)
+    tag = _GEOM_NAME[gt]
+
+    def ragged_join(values: pa.Array, off: np.ndarray) -> pa.Array:
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), values
+        )
+        return pc.binary_join(lst, pa.scalar(", "))
+
+    def wrap(body: pa.Array, pre: str, post: str) -> pa.Array:
+        return pc.binary_join_element_wise(
+            pa.scalar(pre), body, pa.scalar(post), pa.scalar("")
+        )
+
+    def finish(body: pa.Array, n_elem: np.ndarray) -> pa.Array:
+        out = pc.if_else(
+            pa.array(n_elem > 0),
+            wrap(body, f"{tag} (", ")"),
+            pa.scalar(f"{tag} EMPTY"),
+        )
+        if v.valid is not None:
+            out = pc.if_else(pa.array(v.valid), out, pa.scalar(None, pa.string()))
+        return out
+
+    if gt == GeometryType.POINT:
+        if coords.shape[0] != v.length:
+            return None  # sliced/odd storage — per-feature writer
+        empty = (
+            np.all(np.isnan(coords), axis=1)
+            if coords.shape[0]
+            else np.zeros(0, bool)
+        )
+        out = pc.if_else(
+            pa.array(~empty),
+            wrap(vert, f"{tag} (", ")"),
+            pa.scalar(f"{tag} EMPTY"),
+        )
+        if v.valid is not None:
+            out = pc.if_else(
+                pa.array(v.valid), out, pa.scalar(None, pa.string())
+            )
+        return out
+
+    if gt in (GeometryType.LINESTRING, GeometryType.MULTIPOINT):
+        (o0,) = v.offsets
+        body = ragged_join(vert, o0)
+        return finish(body, np.diff(o0))
+
+    if gt in (GeometryType.POLYGON, GeometryType.MULTILINESTRING):
+        o0, o1 = v.offsets
+        part_body = ragged_join(vert, o1)
+        if gt == GeometryType.POLYGON:
+            part = wrap(part_body, "(", ")")  # empty ring → "()"
+        else:
+            # empty child linestring prints EMPTY, not "()"
+            part = pc.if_else(
+                pa.array(np.diff(o1) > 0),
+                wrap(part_body, "(", ")"),
+                pa.scalar("EMPTY"),
+            )
+        body = ragged_join(part, o0)
+        return finish(body, np.diff(o0))
+
+    o0, o1, o2 = v.offsets
+    ring = wrap(ragged_join(vert, o2), "(", ")")
+    poly_body = ragged_join(ring, o1)
+    poly = pc.if_else(
+        pa.array(np.diff(o1) > 0),
+        wrap(poly_body, "(", ")"),
+        pa.scalar("EMPTY"),  # ringless polygon child prints EMPTY
+    )
+    body = ragged_join(poly, o0)
+    return finish(body, np.diff(o0))
+
+
 def _encode_points_fast(arr: pa.Array, geo: GeoType) -> pa.Array:
     """POINT-XY fast lane for ``encode``: one vectorized view, then a
     single lightweight f-string per feature (no Node tree, no decimal)."""
@@ -419,12 +555,17 @@ def encode(
         geo = GeoType.from_field(pa.field("g", arr.type))
     if (
         not geo.serialized
-        and geo.geometry_type == GeometryType.POINT
-        and geo.dimensions == Dimensions.XY
         and precision == 16
         and max_element_size_bytes is None
     ):
-        return _encode_points_fast(arr, geo)
+        fast = _encode_uniform_wkt(arr, geo, flat_multipoint)
+        if fast is not None:
+            return fast
+        if (
+            geo.geometry_type == GeometryType.POINT
+            and geo.dimensions == Dimensions.XY
+        ):
+            return _encode_points_fast(arr, geo)
     if geo.serialized:
         from georay.codecs import wkb as wkb_codec
 

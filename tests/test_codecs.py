@@ -698,3 +698,80 @@ def test_wkt_vectorized_lane_matches_parser():
     ]:
         assert W._decode_uniform_wkt(pa.array([bad], pa.string()),
                                      tgt) is None, bad
+
+
+def test_wkt_vectorized_encode_matches_writer():
+    """r5: the Arrow-kernel WKT ENCODE lane must be byte-identical to
+    the per-feature writer for every family, incl. EMPTY features,
+    EMPTY children (MLS child → 'EMPTY', ringless multipolygon child →
+    'EMPTY', polygon empty ring → '()'), nulls, and hostile numerics
+    that exercise the per-value formatter fallback; NaN multipoint
+    children (nested form) bail."""
+    import georay.codecs.wkt as W
+    from georay.codecs.wkb import Node, build_native
+
+    rng = np.random.default_rng(9)
+    XY = Dimensions.XY
+
+    def ring(n):
+        c = rng.uniform(-80, 80, (n, 2))
+        c[-1] = c[0]
+        return c
+
+    def compare(nodes, geo):
+        arr = build_native(nodes, geo)
+        fast = W._encode_uniform_wkt(arr, geo, True)
+        assert fast is not None
+        slow = [
+            None if nd is None else W.write_node(nd, 16, True)
+            for nd in W.nodes_from_native(arr, geo)
+        ]
+        assert fast.to_pylist() == slow
+
+    polys = [Node(GeometryType.POLYGON, XY,
+                  rings=[ring(5)] + ([ring(4)] if i % 3 == 0 else []))
+             for i in range(20)]
+    polys[5] = Node(GeometryType.POLYGON, XY, rings=[])
+    polys[9] = None
+    compare(polys, GeoType.polygon())
+    mls = [Node(GeometryType.MULTILINESTRING, XY, children=[
+        Node(GeometryType.LINESTRING, XY,
+             coords=rng.uniform(-9, 9, (3, 2)))])
+        for _ in range(6)]
+    mls[2] = Node(GeometryType.MULTILINESTRING, XY,
+                  children=[Node(GeometryType.LINESTRING, XY,
+                                 coords=np.empty((0, 2)))])
+    compare(mls, GeoType.multilinestring())
+    mpoly = [Node(GeometryType.MULTIPOLYGON, XY, children=[
+        Node(GeometryType.POLYGON, XY, rings=[ring(4)])])
+        for _ in range(6)]
+    mpoly[1] = Node(GeometryType.MULTIPOLYGON, XY,
+                    children=[Node(GeometryType.POLYGON, XY, rings=[])])
+    compare(mpoly, GeoType.multipolygon())
+    odd = [Node(GeometryType.LINESTRING, XY, coords=np.array([
+        [1e18, -2.5e17], [1.5e16, 0.13165356661859023],
+        [-0.0, 5e-324], [np.nan, np.inf], [-np.inf, 1e-17]]))]
+    compare(odd, GeoType.linestring())
+    pts = [Node(GeometryType.POINT, XY,
+                coords=np.array([[np.nan, np.nan]])),
+           Node(GeometryType.POINT, XY, coords=np.array([[1.5, -2.0]])),
+           None]
+    compare(pts, GeoType.point())
+    mp_nan = build_native(
+        [Node(GeometryType.MULTIPOINT, XY, children=[
+            Node(GeometryType.POINT, XY,
+                 coords=np.array([[np.nan, np.nan]]))])],
+        GeoType.multipoint(),
+    )
+    assert W._encode_uniform_wkt(mp_nan, GeoType.multipoint(), True) is None
+
+    # formatter fuzz: the Arrow cast + fallback must equal
+    # format_double over the full exponent range
+    bits = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+    xs = bits.view(np.float64)
+    xs = xs[np.isfinite(xs)]
+    xs = np.concatenate([xs, [0.0, -0.0, 1e15, 1e16, 1e17,
+                              np.nextafter(1e17, np.inf), 5e-324]])
+    got = W._format_doubles_arrow(xs).to_pylist()
+    for x, g in zip(xs, got):
+        assert g == W.format_double(float(x), 16), (x, g)
