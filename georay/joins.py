@@ -1376,6 +1376,197 @@ def radius_join_count_partitioned(
     )
 
 
+def radius_geodesic_count_partitioned(
+    probes: ray.data.Dataset,
+    refs: ray.data.Dataset,
+    radius_km: float,
+    probe_id_col: str = "pid",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    ref_x_col: str = "lon",
+    ref_y_col: str = "lat",
+    res: float | None = None,
+    count_alias: str = "n",
+) -> ray.data.Dataset:
+    """BOTH-SIDES-LARGE GEODESIC within-distance join, counted per
+    probe — completes the geodesic family's twin column (nearest/kNN
+    gained partitioned plans in r5; this is the radius sibling of
+    ``radius_join_count_partitioned``). No broadcast: refs key by
+    their single grid cell; each probe replicates to its POLE-SAFE
+    cover — the latitude band ``|Δφ| ≤ radius/KM_PER_DEG`` crossed
+    with the longitude span evaluated at the poleward-most latitude
+    its circle reaches (``radius/(KM_PER_DEG·cos φ_max)``, full row
+    when the circle nears a pole; lon wraps mod nx) — the same
+    per-probe bound ``PointIndex.within_geodesic`` uses batch-wide,
+    but exact per probe. Every (probe, ref) true pair meets in EXACTLY
+    one bucket (the ref's cell), ONE ``groupby(cell)`` co-shuffle,
+    exact haversine filter in-bucket, per-probe partials through the
+    combine tree. Bit-identical counts to the broadcast plan.
+
+    Partitioning note: near-polar probes replicate to a full latitude
+    row of cells (the broadcast plan pays the same conservative disk);
+    probes with zero refs in range emit no row (SQL GROUP BY COUNT
+    semantics, same as the broadcast/planar twins)."""
+    from georay import cells as c
+    from georay.kernels import KM_PER_DEG, haversine_km
+
+    if res is None:
+        n = max(refs.count(), 1)
+        res = float(np.clip(np.sqrt(360.0 * 180.0 / n) * 2.0, 0.25, 30.0))
+    nx = int(np.ceil(360.0 / res))
+    ny = int(np.ceil(180.0 / res))
+    deg_lat = radius_km / KM_PER_DEG
+
+    def key_probes(batch: pa.Table) -> pa.Table:
+        lon = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        sub = batch.filter(pa.array(okm))
+        lon, lat = lon[okm], lat[okm]
+        pid = sub[probe_id_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        phi = np.minimum(np.abs(lat) + deg_lat, 89.999)
+        deg_lon = radius_km / (
+            KM_PER_DEG * np.maximum(np.cos(np.radians(phi)), 1e-6)
+        )
+        row_lo = np.clip(
+            np.floor((lat - deg_lat + 90.0) / res), 0, ny - 1
+        ).astype(np.int64)
+        row_hi = np.clip(
+            np.floor((lat + deg_lat + 90.0) / res), 0, ny - 1
+        ).astype(np.int64)
+        col0 = np.floor((lon + 180.0) / res).astype(np.int64)
+        # +1 column of slack covers the narrow wrap column (res ∤ 360)
+        half_w = np.minimum(
+            np.ceil(deg_lon / res).astype(np.int64) + 1, nx
+        )
+        ncol = np.minimum(2 * half_w + 1, nx)
+        nrow = row_hi - row_lo + 1
+        cnt = nrow * ncol
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "pid": pa.array([], pa.int64()),
+                    "lon": pa.array([], pa.float64()),
+                    "lat": pa.array([], pa.float64()),
+                }
+            )
+        off = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(tot) - np.repeat(off, cnt)
+        ncol_r = np.repeat(ncol, cnt)
+        rows = np.repeat(row_lo, cnt) + within // ncol_r
+        cols = (
+            np.repeat(col0 - half_w, cnt) + within % ncol_r
+        ) % nx
+        cells_ = cols * c.GRID_MULT + rows
+        return pa.table(
+            {
+                "cell": pa.array(cells_, pa.int64()),
+                "side": pa.array(np.zeros(tot, np.int8)),
+                "pid": pa.array(np.repeat(pid, cnt), pa.int64()),
+                "lon": pa.array(np.repeat(lon, cnt)),
+                "lat": pa.array(np.repeat(lat, cnt)),
+            }
+        )
+
+    def key_refs(batch: pa.Table) -> pa.Table:
+        lon = batch[ref_x_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        lat = batch[ref_y_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        okm = np.isfinite(lon) & np.isfinite(lat)
+        lon, lat = lon[okm], lat[okm]
+        return pa.table(
+            {
+                "cell": pa.array(c.grid_cell(lon, lat, res), pa.int64()),
+                "side": pa.array(np.ones(lon.shape[0], np.int8)),
+                "pid": pa.array(np.full(lon.shape[0], -1), pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    keyed = probes.map_batches(
+        key_probes, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    ).union(
+        refs.map_batches(
+            key_refs, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+    )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        p = group.filter(pa.array(side == 0))
+        r = group.filter(pa.array(side == 1))
+        if len(p) == 0 or len(r) == 0:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        plon = p["lon"].to_numpy(zero_copy_only=False)
+        plat = p["lat"].to_numpy(zero_copy_only=False)
+        rlon = r["lon"].to_numpy(zero_copy_only=False)
+        rlat = r["lat"].to_numpy(zero_copy_only=False)
+        pid = p["pid"].to_numpy(zero_copy_only=False)
+        chunk = max(1, (1 << 22) // max(rlon.shape[0], 1))
+        parts = []
+        for p0 in range(0, pid.shape[0], chunk):
+            p1 = min(p0 + chunk, pid.shape[0])
+            km = haversine_km(
+                plon[p0:p1, None], plat[p0:p1, None],
+                rlon[None, :], rlat[None, :],
+            )
+            cnts = (km <= radius_km).sum(axis=1)
+            nz = np.flatnonzero(cnts)
+            if nz.size:
+                parts.append(
+                    pa.table(
+                        {
+                            "pid": pa.array(pid[p0 + nz], pa.int64()),
+                            "partial_n": pa.array(
+                                cnts[nz].astype(np.int64), pa.int64()
+                            ),
+                        }
+                    )
+                )
+        if not parts:
+            return pa.table(
+                {
+                    "pid": pa.array([], pa.int64()),
+                    "partial_n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    partials = (
+        ops.shuffle_coalesce(keyed)
+        .groupby("cell")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+    out = ops.tree_sum(
+        partials, ["pid"], {"partial_n": count_alias},
+        int_cols=("partial_n",),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([probe_id_col, count_alias])
+
+    return out.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )
+
+
 def _blocked_nearest(
     px, py, sid, ax, ay, dxs, dys, len2, point_chunk: int, seg_chunk: int
 ):

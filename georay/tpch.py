@@ -3273,6 +3273,34 @@ GROUP BY p.p_partkey
 """
 
 
+def q_radius_geodesic_partitioned(sf_dir: str):
+    """The SAME geodesic within-distance count as radius_geodesic,
+    executed both-sides-large (joins.radius_geodesic_count_partitioned
+    — refs key by cell, probes replicate to their pole-safe lat-band ×
+    widened-lon cover, ONE groupby(cell) co-shuffle, exact haversine
+    in-bucket, combine-tree merge). Completes the geodesic twin
+    column: nearest/kNN/radius all have partitioned plans."""
+    import pyarrow.parquet as pq
+
+    from georay.joins import radius_geodesic_count_partitioned
+
+    t = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey"])
+    pk = t["p_partkey"].to_numpy().astype(np.int64)
+    probes = rd.from_arrow(pa.table({
+        "p_partkey": pa.array(pk, pa.int64()),
+        "lon": pa.array(((pk * 17) % 3600) / 10.0 - 180.0 + 0.05),
+        "lat": pa.array(((pk * 23) % 1700) / 10.0 - 85.0 + 0.05),
+    }))
+    sx, sy, sk = supplier_points(sf_dir)
+    refs = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(sk, pa.int64()),
+        "lon": pa.array(sx), "lat": pa.array(sy),
+    }))
+    return radius_geodesic_count_partitioned(
+        probes, refs, radius_km=RADIUS_KM, probe_id_col="p_partkey",
+    )
+
+
 def q_radius_payload(sf_dir: str):
     """Payload-carrying radius join: every (part, supplier within
     {RADIUS_D}°) pair with the supplier's nationkey and the exact
@@ -17915,6 +17943,7 @@ QUERIES = {
     "radius_join": q_radius_join,
     "radius_pairs": q_radius_pairs,
     "radius_geodesic": q_radius_geodesic,
+    "radius_geodesic_partitioned": q_radius_geodesic_partitioned,
     "radius_payload": q_radius_payload,
     "intersect_join": q_intersect_join,
     "intersect_str": q_intersect_str,
@@ -18272,6 +18301,7 @@ ORACLE = {
     "radius_join": SQL_RADIUS_JOIN,
     "radius_pairs": SQL_RADIUS_PAIRS,
     "radius_geodesic": SQL_RADIUS_GEODESIC,
+    "radius_geodesic_partitioned": SQL_RADIUS_GEODESIC,
     "radius_payload": SQL_RADIUS_PAYLOAD,
     "intersect_join": SQL_INTERSECT_JOIN,
     "intersect_str": SQL_INTERSECT_JOIN,

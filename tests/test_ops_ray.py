@@ -3616,3 +3616,44 @@ def test_knn_geodesic_partitioned_matches_broadcast(ray_session):
         few, small_refs, k=5, probe_id_col="pid", ref_id_col="rid"
     ).to_pandas()
     assert set(out["pid"]) == {1} and len(out) == 2  # NaN probe dropped
+
+
+def test_radius_geodesic_partitioned_matches_brute(ray_session):
+    """r5: the both-sides-large geodesic radius count (pole-safe
+    lat-band × widened-lon probe cover, one cell co-shuffle, exact
+    in-bucket haversine) vs a brute haversine scan — polar clusters,
+    antimeridian probes, a probe at 89.999°, two radii."""
+    import ray.data as rd
+
+    from georay import joins
+    from georay.kernels import haversine_km
+
+    rng = np.random.default_rng(77)
+    rlon = np.concatenate([rng.uniform(-180, 180, 300),
+                           rng.uniform(-180, 180, 30)])
+    rlat = np.concatenate([rng.uniform(-85, 85, 300),
+                           rng.uniform(85, 89.99, 30)])
+    plon = np.concatenate([rng.uniform(-180, 180, 800),
+                           [179.99, -179.99, 0.0]])
+    plat = np.concatenate([rng.uniform(-88, 88, 800),
+                           [0.0, 0.0, 89.999]])
+    pid = np.arange(plon.shape[0], dtype=np.int64)
+    probes = rd.from_arrow(pa.table({
+        "pid": pa.array(pid), "lon": pa.array(plon),
+        "lat": pa.array(plat),
+    })).repartition(4)
+    refs = rd.from_arrow(pa.table({
+        "rid": pa.array(np.arange(rlon.shape[0], dtype=np.int64)),
+        "lon": pa.array(rlon), "lat": pa.array(rlat),
+    })).repartition(2)
+    for radius in (300.0, 1200.0):
+        km = haversine_km(plon[:, None], plat[:, None],
+                          rlon[None, :], rlat[None, :])
+        cnt = (km <= radius).sum(axis=1)
+        want = {int(p): int(c) for p, c in zip(pid, cnt) if c}
+        got_df = joins.radius_geodesic_count_partitioned(
+            probes, refs, radius_km=radius, probe_id_col="pid"
+        ).to_pandas()
+        got = dict(zip(got_df["pid"].astype(int),
+                       got_df["n"].astype(int)))
+        assert got == want, radius
