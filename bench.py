@@ -363,6 +363,70 @@ def run_bench() -> dict:
         "editdist_clusters",
         lambda: tpch.q_editdist_clusters(SF_DIR).num_rows,
     )
+
+    def codec_polygons():
+        """200k-polygon WKT→native→WKB→native→WKT round-trip as a Ray
+        pipeline — measures the r5 vectorized codec lanes end to end
+        (uniform WKT decode, WKB offset-walk decode, Arrow-kernel WKT
+        encode)."""
+        import numpy as np
+        import pyarrow as _pa
+
+        import ray.data as _rd
+        from georay.codecs import wkb as _wkb
+        from georay.codecs import wkt as _wkt
+        from georay.types import GeoType as _GT
+
+        n_shards, per = 32, 6250
+
+        def gen(batch: _pa.Table) -> _pa.Table:
+            i = int(batch["i"][0].as_py())
+            rng = np.random.default_rng(1000 + i)
+            rows = []
+            for _ in range(per):
+                m = int(rng.integers(4, 12))
+                # magnitudes ≥ 1 so python str() (generator side) and
+                # format_double (encode side) agree on fixed notation
+                c = (
+                    rng.uniform(1.0, 79.0, (m, 2))
+                    * rng.choice([-1.0, 1.0], (m, 2))
+                ).round(6)
+                c[-1] = c[0]
+                fd = lambda v: f"{v}".removesuffix(".0")
+                body = ", ".join(f"{fd(x)} {fd(y)}" for x, y in c)
+                rows.append(f"POLYGON (({body}))")
+            return _pa.table({"wkt": _pa.array(rows, _pa.string())})
+
+        def roundtrip(batch: _pa.Table) -> _pa.Table:
+            geo = _GT.polygon()
+            nat, _ = _wkt.decode(batch["wkt"].combine_chunks(), geo)
+            b = _wkb.encode(nat, geo)
+            nat2, _ = _wkb.decode(b, geo)
+            s2 = _wkt.encode(nat2, geo)
+            ok = pc.equal(s2, batch["wkt"].combine_chunks())
+            return _pa.table(
+                {"ok": _pa.array([int(pc.sum(pc.cast(ok, _pa.int64())).as_py())], _pa.int64())}
+            )
+
+        import pyarrow.compute as pc
+
+        ds = (
+            _rd.from_arrow(_pa.table({"i": _pa.array(list(range(n_shards)))}))
+            .repartition(n_shards)
+            .map_batches(gen, batch_format="pyarrow", batch_size=None)
+            .map_batches(
+                roundtrip, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        total = sum(
+            b["ok"][0].as_py()
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        assert total == n_shards * per, total
+        return total
+
+    timed_ext("codec_polygons", codec_polygons)
     lineitem_rows = pq.read_metadata(os.path.join(SF_DIR, "lineitem.parquet")).num_rows
     result = {
         "metric": "georay headline pipelines wall time",
