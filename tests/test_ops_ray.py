@@ -3657,3 +3657,40 @@ def test_radius_geodesic_partitioned_matches_brute(ray_session):
         got = dict(zip(got_df["pid"].astype(int),
                        got_df["n"].astype(int)))
         assert got == want, radius
+
+
+def test_knn_geodesic_partitioned_unsnapped_res(ray_session):
+    """r5: an explicit res that does NOT divide 360 (seam slack > 0)
+    must still match the broadcast plan — keeps the slack code path
+    covered now that the DEFAULT grid is snapped seam-free."""
+    import ray.data as rd
+
+    from georay import joins
+
+    rng = np.random.default_rng(13)
+    rlon = rng.uniform(-180, 180, 200)
+    rlat = rng.uniform(-85, 85, 200)
+    rid = np.arange(200, dtype=np.int64)
+    plon = np.concatenate([rng.uniform(-180, 180, 600),
+                           [179.99, -179.99]])
+    plat = np.concatenate([rng.uniform(-85, 85, 600), [3.0, -3.0]])
+    pid = np.arange(plon.shape[0], dtype=np.int64)
+    probes = rd.from_arrow(pa.table({
+        "pid": pa.array(pid), "lon": pa.array(plon),
+        "lat": pa.array(plat),
+    })).repartition(3)
+    refs = rd.from_arrow(pa.table({
+        "rid": pa.array(rid), "lon": pa.array(rlon),
+        "lat": pa.array(rlat),
+    }))
+    bc = joins.knn_geodesic_join(
+        probes, rlon, rlat, rid, k=3, out_id="rid",
+        brute_cutoff=1 << 30,
+    ).to_pandas()
+    pt = joins.knn_geodesic_partitioned(
+        probes, refs, k=3, probe_id_col="pid", ref_id_col="rid",
+        res=1.17,
+    ).to_pandas()
+    assert set(zip(bc["pid"], bc["rid"], bc["d_mkm"], bc["rank"])) == set(
+        zip(pt["pid"], pt["rid"], pt["d_mkm"], pt["rank"])
+    )
