@@ -1582,41 +1582,133 @@ def editdist_join_qgram(
     short_len = k * q + q  # count filter vacuous below this length
 
     def grams(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].to_numpy(zero_copy_only=False)
-        out_g, out_o, out_i, out_l = [], [], [], []
+        """Positional-multiset q-gram explode, VECTORIZED for ASCII
+        rows (sliding byte windows over the raw string buffer +
+        lexsort occurrence numbering); non-ASCII rows — where byte
+        grams ≠ character grams — take a per-row fallback with
+        identical semantics."""
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sarr = batch["s"]
-        for row in range(len(batch)):
-            s = sarr[row].as_py() or ""
-            L = len(s)
-            gid = int(ids[row])
-            if L <= short_len + k - 1:
-                # short band: strings below the count-filter floor AND
-                # every string within |Δlen| ≤ k of one share a
-                # synthetic gram, so short×short and short×near-short
-                # pairs all form here (a short string emits no — or too
-                # few — real grams to meet a longer partner otherwise)
-                out_g.append("\x00short")
-                out_o.append(0)
-                out_i.append(gid)
-                out_l.append(L)
-            if L >= short_len:
-                seen: dict = {}
-                for p in range(L - q + 1):
-                    g = s[p : p + q]
-                    occ = seen.get(g, 0)
-                    seen[g] = occ + 1
-                    out_g.append(g)
-                    out_o.append(occ)
-                    out_i.append(gid)
-                    out_l.append(L)
-        return pa.table(
+        if isinstance(sarr, pa.ChunkedArray):
+            sarr = sarr.combine_chunks()
+        n = len(sarr)
+        empty = pa.table(
             {
-                "g": pa.array(out_g, pa.string()),
-                "occ": pa.array(out_o, pa.int64()),
-                "id": pa.array(out_i, pa.int64()),
-                "len": pa.array(out_l, pa.int64()),
+                "g": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "len": pa.array([], pa.int64()),
             }
         )
+        if n == 0:
+            return empty
+        if pa.types.is_large_string(sarr.type):
+            offs = np.frombuffer(sarr.buffers()[1], np.int64)
+        else:
+            offs = np.frombuffer(sarr.buffers()[1], np.int32).astype(
+                np.int64
+            )
+        offs = offs[sarr.offset : sarr.offset + n + 1]
+        buf = (
+            np.frombuffer(sarr.buffers()[2], np.uint8)
+            if sarr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        blen = np.diff(offs)
+        null_m = (
+            ~sarr.is_valid().to_numpy(zero_copy_only=False)
+            if sarr.null_count
+            else np.zeros(n, bool)
+        )
+        clen = np.asarray(
+            pc.fill_null(pc.utf8_length(sarr), 0)
+        ).astype(np.int64)
+        L = np.where(null_m, 0, clen)
+        parts = []
+        # sentinel rows (short band) — fully vectorized
+        sm = L <= short_len + k - 1
+        if sm.any():
+            nsm = int(sm.sum())
+            parts.append(
+                pa.table(
+                    {
+                        "g": pa.array(["\x00short"] * nsm, pa.string()),
+                        "occ": pa.array(np.zeros(nsm, np.int64)),
+                        "id": pa.array(ids[sm], pa.int64()),
+                        "len": pa.array(L[sm], pa.int64()),
+                    }
+                )
+            )
+        rm = L >= short_len
+        fast = rm & ~null_m & (blen == L)  # byte count == char count ⇒ ASCII
+        slow = rm & ~fast
+        sel = np.flatnonzero(fast)
+        if sel.size and buf.shape[0] >= q:
+            ng = (L[sel] - q + 1).astype(np.int64)
+            tot = int(ng.sum())
+            off2 = np.concatenate(([0], np.cumsum(ng)[:-1]))
+            within = np.arange(tot) - np.repeat(off2, ng)
+            p = np.repeat(offs[:-1][sel], ng) + within
+            win = np.lib.stride_tricks.sliding_window_view(buf, q)
+            gb = np.ascontiguousarray(win[p])  # (tot, q) uint8
+            goff = np.arange(0, (tot + 1) * q, q, dtype=np.int32)
+            ga = pa.Array.from_buffers(
+                pa.utf8(), tot,
+                [None, pa.py_buffer(goff.tobytes()),
+                 pa.py_buffer(gb.tobytes())],
+            )
+            gi = np.zeros(tot, np.uint64)
+            for j in range(q):
+                gi = (gi << np.uint64(8)) | gb[:, j]
+            rowrep = np.repeat(sel, ng)
+            order = np.lexsort((within, gi, rowrep))
+            rs, gs = rowrep[order], gi[order]
+            new = np.ones(tot, bool)
+            new[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+            starts = np.flatnonzero(new)
+            occ_sorted = np.arange(tot) - np.repeat(
+                starts, np.diff(np.append(starts, tot))
+            )
+            occ = np.empty(tot, np.int64)
+            occ[order] = occ_sorted
+            parts.append(
+                pa.table(
+                    {
+                        "g": ga,
+                        "occ": pa.array(occ, pa.int64()),
+                        "id": pa.array(np.repeat(ids[sel], ng), pa.int64()),
+                        "len": pa.array(np.repeat(L[sel], ng), pa.int64()),
+                    }
+                )
+            )
+        for row in np.flatnonzero(slow):
+            s = sarr[int(row)].as_py() or ""
+            gid = int(ids[row])
+            seen: dict = {}
+            og, oo = [], []
+            for pch in range(len(s) - q + 1):
+                g = s[pch : pch + q]
+                occ_ = seen.get(g, 0)
+                seen[g] = occ_ + 1
+                og.append(g)
+                oo.append(occ_)
+            parts.append(
+                pa.table(
+                    {
+                        "g": pa.array(og, pa.string()),
+                        "occ": pa.array(oo, pa.int64()),
+                        "id": pa.array(
+                            np.full(len(og), gid, np.int64)
+                        ),
+                        "len": pa.array(
+                            np.full(len(og), len(s), np.int64)
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        return pa.concat_tables(parts)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = _key_hash(batch, ["g", "occ"])
